@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar column functions re-expressing the reference's per-row Perl
+  * helpers (SURVEY.md §2.9) as codegen-friendly Catalyst expressions.
+  * All are pure `Column => Column` combinators — no UDFs — so they stay
+  * inside whole-stage codegen and push down to the scan where possible.
+  */
+object GenomicFunctions {
+
+  /** F7 — strand encode `'+' -> 1 / '-' -> -1`, else NULL.
+    * Reference: lib/Modware/Loader/Role/WithChadoGFF3Helper.pm:336-338. */
+  def strandEncode(c: Column): Column =
+    when(c === "+", 1).when(c === "-", -1).otherwise(lit(null).cast("int"))
+
+  /** F7 — strand decode back to `+`/`-`/`.`.
+    * Reference: lib/Modware/EventHandler/FeatureWriter/GFF3.pm:58-63. */
+  def strandDecode(c: Column): Column =
+    when(c === 1, "+").when(c === -1, "-").otherwise(".")
+
+  /** F8 — 1-based GFF3 start to 0-based interbase fmin.
+    * Reference: lib/Modware/Loader/Role/WithChadoGFF3Helper.pm:333. */
+  def toInterbase(start1: Column): Column = start1 - lit(1)
+
+  /** F8 — 0-based interbase fmin back to 1-based.
+    * Reference: lib/Modware/EventHandler/FeatureWriter/GFF3.pm:50-53. */
+  def toOneBased(fmin: Column): Column = fmin + lit(1)
+
+  /** F5 — DNA reverse complement (`reverse` + `tr/ATGC/TACG/`).
+    * Reference: lib/Modware/Export/Command/chado2fasta.pm:404-407. */
+  def reverseComplement(c: Column): Column =
+    reverse(translate(c, "ATGCatgc", "TACGtacg"))
+
+  /** F6 — 60-char FASTA line wrap `s/(\S{1,60})/$1\n/g`.
+    * Reference: lib/Modware/Export/Command/chado2fasta.pm:365. */
+  def wrap60(c: Column): Column = regexp_replace(c, "(.{1,60})", "$1\n")
+
+  /** F2 — sequence checksum.
+    * Reference: lib/Modware/Loader/Role/WithChadoGFF3Helper.pm:171. */
+  def seqChecksum(c: Column): Column = md5(c)
+
+  /** F1 — `normalize_id`: split `PREFIX:acc` into (db, accession); rows
+    * without a prefix get the fallback db name.
+    * Reference: lib/Modware/Loader/Role/WithChadoHelper.pm:146-154. */
+  def normalizeId(c: Column, fallbackDb: String = "internal"): Column =
+    when(c.contains(":"),
+      struct(
+        substring_index(c, ":", 1).as("db"),
+        substring_index(c, ":", -1).as("accession")))
+      .otherwise(struct(lit(fallbackDb).as("db"), c.as("accession")))
+
+  /** F12 — strip a `DB:`-style prefix.
+    * Reference: lib/Modware/EventHandler/FeatureWriter/GFF3.pm:99. */
+  def stripPrefix(c: Column, prefix: String): Column =
+    regexp_replace(c, "^" + prefix, "")
+
+  /** F1/§1.2 — pipe-joined multi-value field to array at the parse edge.
+    * Reference: lib/Modware/Loader/GAF/Manager.pm:74-81. */
+  def pipeSplit(c: Column): Column = split(c, "\\|")
+
+  /** §1.2 — array back to pipe-joined string at the serialization edge.
+    * Reference: lib/Modware/Export/GAF.pm:352-364. */
+  def pipeJoin(c: Column): Column = concat_ws("|", c)
+
+  /** F11 — obsolete-term name decoration `"name (obsolete ACC)"`.
+    * Reference: lib/Modware/Loader/Role/Ontology/Temp/Generic.pm:141-146. */
+  def obsoleteDecorate(name: Column, acc: Column, isObsolete: Column): Column =
+    when(isObsolete === 1, concat(name, lit(" (obsolete "), acc, lit(")")))
+      .otherwise(name)
+
+  /** F17 — GO aspect one-letter mapping via a literal map lookup.
+    * Reference: lib/Modware/Export/GAF.pm:169-180. */
+  val aspectAbbrev: Map[String, String] = Map(
+    "molecular_function" -> "F",
+    "biological_process" -> "P",
+    "cellular_component" -> "C")
+
+  /** F16 — small static id-map translate as chained `when`s (broadcast-map
+    * analog that stays fully codegen'd for literal maps).
+    * Reference: lib/Modware/Role/Command/Convert/Identifier.pm:14-18. */
+  def mapTranslate(c: Column, m: Map[String, String], default: Column): Column =
+    m.foldLeft(Option.empty[Column]) { case (acc, (k, v)) =>
+      Some(acc.fold(when(c === k, v))(_.when(c === k, v)))
+    }.fold(default)(_.otherwise(default))
+
+  /** F15 — CIGAR-style token reformat: `12M3I` -> `M 12 I 3` (Gap attr).
+    * Reference: lib/Modware/Transform/Command/blast2chadogff3.pm:326-327. */
+  def cigarToGap(c: Column): Column =
+    trim(regexp_replace(c, "(\\d+)([A-Z])", "$2 $1 "))
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale corpus curation.
+  *
+  * Scale extensions beyond the reference's relational dedup (SURVEY.md
+  * §2.5 A5 `DISTINCT`, §2.6 W1 window-dedup): exact content hashing,
+  * MinHash+LSH banding, SimHash, and n-gram Jaccard — the standard
+  * near-duplicate toolkit for training-data pipelines.
+  *
+  * Determinism: all hashing is md5-based (not `hash()`/`xxhash64`) so a
+  * SQL oracle can reproduce results byte-for-byte. The MinHash family is
+  * "lexicographic min of md5(seed:shingle)" — a valid min-wise independent
+  * family, and portable to any engine with md5.
+  *
+  * Scale notes: every step is a shuffle on either doc_id or
+  * shingle/bucket; no driver-side state. At 100 TB the shingle explode is
+  * the big intermediate — it flows straight into partial aggregation
+  * (min per doc) so the map-side combiner keeps shuffle volume at
+  * O(docs × numHashes), not O(tokens). LSH banding makes candidate
+  * generation O(collisions) instead of O(n²).
+  */
+object Dedup {
+
+  /** Tokenize + distinct word n-gram shingles: (doc_id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> " +
+          (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+      )).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup: group identical content by md5, keep the smallest id.
+    * (SURVEY.md A5 as content-hash dedup.) */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: numHashes lexicographic-min md5 values per doc. */
+  def minhashSignature(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy(col("doc_id")).agg(
+      min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
+      (1 until numHashes).map(i =>
+        min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")): _*)
+
+  /** LSH bands: hash groups of `rowsPerBand` signature slots into bucket
+    * keys; docs sharing any (band, bucket) become candidate pairs. */
+  def lshCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      sig.select(col("doc_id"), lit(b).as("band"), md5(concat(slots: _*)).as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Pairwise n-gram Jaccard via an inverted shingle index: only pairs
+    * sharing at least one shingle are materialized. */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint over distinct words, `bits` wide (<= 32: one hex
+    * nibble of md5 per bit keeps the oracle portable). Bit j is set when
+    * the majority of word-hashes have nibble j's high bit set. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    require(bits <= 32, "one md5 nibble per bit")
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "\\s+")).as("w"))
+      .distinct()
+    val sums = words.groupBy(col("doc_id")).agg(
+      expr(s"sum(CASE WHEN substring(md5(w), 1, 1) IN " +
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)").as("s0"),
+      (1 until bits).map(j =>
+        expr(s"sum(CASE WHEN substring(md5(w), ${j + 1}, 1) IN " +
+          "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)").as(s"s$j")): _*)
+    sums.select(col("doc_id"),
+      concat((0 until bits).map(j =>
+        when(col(s"s$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+}

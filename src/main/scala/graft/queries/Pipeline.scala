@@ -1,0 +1,327 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data-pipeline operators (builder brief: dedup, similarity
+  * search, text analysis, multimodal metadata) over the `documents` and
+  * `embeddings` testdata tables, each with a DuckDB oracle.
+  *
+  * Hashing is md5-only so oracles reproduce bit-for-bit (see
+  * [[graft.operators.Dedup]]); float math is widened to double and folded
+  * left-to-right, then rounded to 6 decimals before any ranking.
+  */
+object Pipeline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Shared oracle fragment: distinct word n-gram shingles per doc. */
+  private def shingleCte(n: Int): String = {
+    val parts = (0 until n).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - ${n - 1}), i -> $parts)) AS s
+       |  FROM toks WHERE len(t) >= $n))""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q27
+  // Exact dedup via content hash (scale analog of SURVEY.md A5).
+  private def q27DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("content_hash"))
+
+  private val q27Sql =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  // MinHash + LSH banding near-dup candidates (8 hashes, 2 bands of 4).
+  private def q28MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+    val sig = Dedup.minhashSignature(sh, 8)
+    Dedup.lshCandidates(sig, 8, 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q28Sql = {
+    val mins = (0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+    s"""WITH ${shingleCte(3)},
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q29
+  // n-gram Jaccard near-dup pairs over an inverted shingle index.
+  private def q29Jaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+    Dedup.jaccardPairs(sh, 0.35)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q29Sql =
+    s"""WITH ${shingleCte(3)},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.35
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  // SimHash fingerprint (16 bits, one md5 nibble per bit).
+  private def q30Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", 16)
+      .orderBy(col("doc_id"))
+
+  private val q30Sql = {
+    val sums = (0 until 16).map(j =>
+      s"SUM(CASE WHEN substring(md5(w), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val bits = (0 until 16).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH words AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents)),
+       |sums AS (SELECT doc_id, $sums FROM words GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q31
+  // Brute-force cosine top-k similarity search (exact ANN baseline).
+  private def q31CosineTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 20)
+
+  private val q31Sql =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT vec_id,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, len(embedding)),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+      |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))), 6) AS sim
+      |  FROM embeddings, q WHERE vec_id <> 0)
+      |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  // Sign-bucket LSH ANN: probe only the query's 1-bit-per-dim bucket.
+  private def q32AnnBucket(s: SparkSession, dir: String): DataFrame =
+    Similarity.signBucketTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 6, 10)
+
+  private val q32Sql =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+      |     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+      |     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+      |     CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+      |     CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+      |     CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT b.vec_id,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+      |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))), 6) AS sim
+      |  FROM b JOIN q ON b.bucket = q.bucket WHERE b.vec_id <> 0)
+      |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  // Language-ID heuristic: stopword-set hit counts + argmax.
+  private val enSet = Seq("the", "a", "of", "and", "to")
+  private val deSet = Seq("der", "die", "das", "und", "ist")
+  private val frSet = Seq("le", "la", "et", "les", "des")
+
+  private def hitCount(set: Seq[String]): String =
+    s"size(filter(toks, x -> x IN (${set.map(w => s"'$w'").mkString(", ")})))"
+
+  private def q33LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("en_n", expr(hitCount(enSet)))
+      .withColumn("de_n", expr(hitCount(deSet)))
+      .withColumn("fr_n", expr(hitCount(frSet)))
+      .withColumn("predicted",
+        when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n"), "en")
+          .when(col("de_n") >= col("fr_n"), "de").otherwise("fr"))
+      .select(col("doc_id"), col("en_n"), col("de_n"), col("fr_n"), col("predicted"))
+      .orderBy(col("doc_id"))
+
+  private val q33Sql = {
+    def hits(set: Seq[String]) =
+      s"len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${set.map(w => s"'$w'").mkString(", ")})))"
+    s"""SELECT doc_id,
+       |  CAST(${hits(enSet)} AS INTEGER) AS en_n,
+       |  CAST(${hits(deSet)} AS INTEGER) AS de_n,
+       |  CAST(${hits(frSet)} AS INTEGER) AS fr_n,
+       |  CASE WHEN ${hits(enSet)} >= ${hits(deSet)} AND ${hits(enSet)} >= ${hits(frSet)} THEN 'en'
+       |       WHEN ${hits(deSet)} >= ${hits(frSet)} THEN 'de' ELSE 'fr' END AS predicted
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q34
+  // Quality scoring: token stats, type-token ratio, stopword ratio.
+  private def q34Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("ttr", col("n_uniq").cast("double") / col("n_tokens"))
+      .withColumn("stop_n", expr(hitCount(enSet)).cast("long"))
+      .withColumn("stop_ratio", col("stop_n").cast("double") / col("n_tokens"))
+      .withColumn("quality_ok",
+        (col("n_tokens") >= 20) && (col("n_tokens") <= 1000) && (col("ttr") >= 0.2))
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"), col("ttr"),
+        col("stop_ratio"), col("quality_ok"))
+      .orderBy(col("doc_id"))
+
+  private val q34Sql = {
+    val toks = "string_split_regex(text, '\\s+')"
+    val en = enSet.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len($toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct($toks)) AS BIGINT) AS n_uniq,
+       |  CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) AS ttr,
+       |  CAST(len(list_filter($toks, x -> x IN ($en))) AS DOUBLE) / len($toks) AS stop_ratio,
+       |  (len($toks) >= 20 AND len($toks) <= 1000
+       |    AND CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) >= 0.2) AS quality_ok
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q35
+  // Token counting: whitespace tokens + a BPE-ish regex token stream.
+  private def q35TokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_ws", size(split(col("text"), "\\s+")).cast("long"))
+      .withColumn("n_bpe",
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long"))
+      .select(col("doc_id"), col("n_ws"), col("n_bpe"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val q35Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  // Document fingerprint: min/max rolling md5 over word 5-grams.
+  private def q36Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 5)
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("shingle"))).as("fp_min"),
+        max(md5(col("shingle"))).as("fp_max"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  private val q36Sql =
+    s"""WITH ${shingleCte(5)}
+       |SELECT doc_id, min(md5(s)) AS fp_min, max(md5(s)) AS fp_max, COUNT(*) AS n_shingles
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  // Time-windowed event aggregation (batch form of the streaming path;
+  // graft.streaming runs the same transform via readStream).
+  private def q37TimeWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Relational.dsum("value").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  private val q37Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  // Multimodal metadata over an opaque binary column (decode itself is
+  // stubbed in graft.multimodal; the Spark-side plumbing is real).
+  private def q38BinaryMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .select(col("doc_id"),
+        length(col("blob")).cast("long").as("n_bytes"),
+        upper(hex(expr("substring(blob, 1, 4)"))).as("header_hex"))
+      .orderBy(col("doc_id"))
+
+  private val q38Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS header_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  // Corpus-level stats: one-row summary over the token stream.
+  private def q39CorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+    toks.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("w")).as("vocab_size"),
+      (sum(length(col("w"))).cast("double") / count(lit(1))).as("avg_token_len"))
+  }
+
+  private val q39Sql =
+    """SELECT COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+      |  COUNT(DISTINCT w) AS vocab_size,
+      |  CAST(SUM(length(w)) AS DOUBLE) / COUNT(*) AS avg_token_len
+      |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents)""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_dedup_exact" -> q27DedupExact _,
+    "q28_minhash_lsh" -> q28MinhashLsh _,
+    "q29_jaccard" -> q29Jaccard _,
+    "q30_simhash" -> q30Simhash _,
+    "q31_cosine_topk" -> q31CosineTopK _,
+    "q32_ann_bucket" -> q32AnnBucket _,
+    "q33_langid" -> q33LangId _,
+    "q34_quality" -> q34Quality _,
+    "q35_tokencount" -> q35TokenCount _,
+    "q36_fingerprint" -> q36Fingerprint _,
+    "q37_timewindow" -> q37TimeWindow _,
+    "q38_binarymeta" -> q38BinaryMeta _,
+    "q39_corpus_stats" -> q39CorpusStats _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q27_dedup_exact" -> q27Sql,
+    "q28_minhash_lsh" -> q28Sql,
+    "q29_jaccard" -> q29Sql,
+    "q30_simhash" -> q30Sql,
+    "q31_cosine_topk" -> q31Sql,
+    "q32_ann_bucket" -> q32Sql,
+    "q33_langid" -> q33Sql,
+    "q34_quality" -> q34Sql,
+    "q35_tokencount" -> q35Sql,
+    "q36_fingerprint" -> q36Sql,
+    "q37_timewindow" -> q37Sql,
+    "q38_binarymeta" -> q38Sql,
+    "q39_corpus_stats" -> q39Sql,
+  )
+}

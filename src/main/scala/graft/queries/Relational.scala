@@ -1,0 +1,587 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Closure, Sessionize}
+
+/** Relational operator inventory (SURVEY.md §2) exercised on the
+  * driver-generated TPC-H-ish testdata, each paired with a DuckDB oracle.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - money/double aggregation goes through DECIMAL(18,2) (exact) and is
+  *    cast back to double at the end — identical bits on any engine;
+  *  - averages are written CAST(SUM AS DOUBLE)/COUNT on both sides;
+  *  - every result has a total ORDER BY;
+  *  - timestamps are emitted as formatted strings;
+  *  - counts/row_numbers are cast to BIGINT to match Spark's LongType.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal sum of a double column, emitted as double. */
+  private[queries] def dsum(c: String) =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  // ---------------------------------------------------------------- q1
+  // A1/A3/O5 — grouped aggregate scan (TPC-H Q1 shape).
+  // Reference analog: staging row-count + grouped merge stats
+  // (share/postgresql.lib:166-193).
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  // J3/J9 — multi-way equi-join with broadcast dimensions (TPC-H Q5 shape).
+  // Reference analog: 6-way id-resolution join share/postgresql.lib:195-223.
+  private def q2MultiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+
+  private val q2Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  // J1 — anti-join novelty detection (share/postgresql_gff3.lib:80-86).
+  private def q3Anti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val q3Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  // J6 — semi-join scoping (share/postgresql.lib:320-328).
+  private def q4Semi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  private val q4Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  // J5 — left outer join with optional side (share/postgresql_gff3.lib:87-97).
+  private def q5LeftOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dsum("o_totalprice").as("total_spend"))
+      .orderBy(col("c_custkey"))
+
+  private val q5Sql =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  // A6/O3 — latest-row-per-key via window (dictygaf.pm:118-146).
+  private def q6LatestOrder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q6Sql =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders) WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  // A4/W3 — lag-window gap statistics (sumstatsongff3.pm:85-121).
+  private def q7EventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("gap_us")).cast("double") / count(lit(1))).as("avg_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        min(col("gap_us")).as("min_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q7Sql =
+    """SELECT user_id, COUNT(*) AS n_gaps,
+      |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us,
+      |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+      |  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+      |FROM (SELECT user_id,
+      |        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |      FROM events)
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  // J13/W3 — gap-based chain grouping (blast2chadogff3.pm:337-435),
+  // sessionize events with a 30-minute gap threshold.
+  private def q8Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+    Sessionize.assign(ev, Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+        col("ts_us"), 1800L * 1000 * 1000)
+      .groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q8Sql =
+    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+      |  CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+      |FROM (SELECT user_id, ts_us,
+      |        SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |      FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                        > 1800000000 OR
+      |                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS is_start
+      |            FROM events))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  // A5 — DISTINCT projection (share/postgresql_gff3.lib:136-151).
+  private def q9Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .dropDuplicates()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  private val q9Sql =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  // U1/U2 — EXCEPT set difference (share/postgresql.lib:221-223).
+  private def q10Except(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_partkey"))
+      .except(t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2001-01-01"))
+        .select(col("l_partkey").as("p_partkey")))
+      .orderBy(col("p_partkey"))
+
+  private val q10Sql =
+    """SELECT p_partkey FROM part
+      |EXCEPT
+      |SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  // U3 — UNION ALL of heterogeneous inputs (AppendncRNA.pm:15-31).
+  private def q11Union(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_name").as("name"), lit("customer").as("kind"),
+        col("c_nationkey").as("nationkey"))
+      .unionByName(t(s, dir, "supplier")
+        .select(col("s_name").as("name"), lit("supplier").as("kind"),
+          col("s_nationkey").as("nationkey")))
+      .orderBy(col("kind"), col("name"))
+
+  private val q11Sql =
+    """SELECT name, kind, nationkey FROM (
+      |  SELECT c_name AS name, 'customer' AS kind, c_nationkey AS nationkey FROM customer
+      |  UNION ALL
+      |  SELECT s_name, 'supplier', s_nationkey FROM supplier)
+      |ORDER BY kind, name""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  // W1 — window dedup, one row per key (share/postgresql_gff3.lib:175-187).
+  private def q12WindowDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+  }
+
+  private val q12Sql =
+    """SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber
+      |FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY l_orderkey, l_linenumber) AS rn
+      |      FROM lineitem) WHERE rn = 1
+      |ORDER BY l_partkey, l_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  // A1 — grouped-count compare between "live" and "staging"
+  // (share/postgresql.lib:166-193 synonym-count upsert detection).
+  private def q13CountCompare(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val live = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("live_n"))
+    val staged = orders.filter(col("o_orderdate") >= lit("1998-01-01"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("staged_n"))
+    live.join(staged, Seq("o_custkey"))
+      .filter(col("staged_n") < col("live_n"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q13Sql =
+    """SELECT live.o_custkey, live_n, staged_n
+      |FROM (SELECT o_custkey, COUNT(*) AS live_n FROM orders GROUP BY o_custkey) live
+      |JOIN (SELECT o_custkey, COUNT(*) AS staged_n FROM orders
+      |      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY o_custkey) staged
+      |  ON live.o_custkey = staged.o_custkey
+      |WHERE staged_n < live_n
+      |ORDER BY live.o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  // A7 — ordered pipe-fold / collect_list (Export/GAF.pm:352-364).
+  private def q14PipeFold(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(concat_ws("|", sort_array(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+
+  private val q14Sql =
+    """SELECT r_name, string_agg(n_name, '|' ORDER BY n_name) AS nations, COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  // A2/O3 — argmax via rank window (Loader/GAF.pm:64-80).
+  private def q15Argmax(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q15Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders) WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  // O4 — global top-k with deterministic tiebreak (Export/GAF.pm:220-222).
+  private def q16TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  private val q16Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  // F1/F2/F3/F12/F13 — scalar string pipeline (SURVEY.md §2.9).
+  private def q17Strings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        md5(col("p_name")).as("name_md5"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        length(col("p_name")).as("name_len"),
+        upper(col("p_brand")).as("brand_uc"),
+        regexp_replace(col("p_brand"), "^Brand#", "").as("brand_num"))
+      .orderBy(col("p_partkey"))
+
+  private val q17Sql =
+    """SELECT p_partkey, md5(p_name) AS name_md5,
+      |  split_part(p_type, ' ', 1) AS type_head,
+      |  CAST(length(p_name) AS INTEGER) AS name_len,
+      |  upper(p_brand) AS brand_uc,
+      |  regexp_replace(p_brand, '^Brand#', '') AS brand_num
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  // F7/F17 — CASE-WHEN code mapping (strand encode, aspect abbrev).
+  private def q18CaseWhen(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("status_code",
+        when(col("o_orderstatus") === "O", 1)
+          .when(col("o_orderstatus") === "F", -1).otherwise(0))
+      .withColumn("prio_head", split_part(col("o_orderpriority"), lit("-"), lit(1)))
+      .groupBy(col("status_code"), col("prio_head"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status_code"), col("prio_head"))
+
+  private val q18Sql =
+    """SELECT CASE WHEN o_orderstatus = 'O' THEN 1 WHEN o_orderstatus = 'F' THEN -1 ELSE 0 END AS status_code,
+      |  split_part(o_orderpriority, '-', 1) AS prio_head,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY status_code, prio_head""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  // F9 — date bucketing + formatting (Loader/Ontology.pm:84-94).
+  private def q19DateBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("month_total"))
+      .orderBy(col("ym"))
+
+  private val q19Sql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
+      |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  // J11 — self-join pairs within a scope (StrainImporter.pm:515-656).
+  private def q20SelfJoin(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val a = n.select(col("n_regionkey").as("rk"), col("n_name").as("n1"))
+    val b = n.select(col("n_regionkey").as("rk"), col("n_name").as("n2"))
+    a.join(b, Seq("rk")).filter(col("n1") < col("n2"))
+      .select(col("rk").as("regionkey"), col("n1"), col("n2"))
+      .orderBy(col("regionkey"), col("n1"), col("n2"))
+  }
+
+  private val q20Sql =
+    """SELECT a.n_regionkey AS regionkey, a.n_name AS n1, b.n_name AS n2
+      |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+      |ORDER BY regionkey, n1, n2""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  // U4 — broadcast dup-map fan-out (AppendDuplicate.pm:43-66).
+  private def q21Fanout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dup = Seq(("P", "copy1"), ("P", "copy2"), ("O", "copy1"))
+      .toDF("status", "tag")
+    t(s, dir, "orders")
+      .join(broadcast(dup), col("o_orderstatus") === col("status"))
+      .select(col("o_orderkey"), col("tag"))
+      .orderBy(col("o_orderkey"), col("tag"))
+  }
+
+  private val q21Sql =
+    """SELECT o_orderkey, tag
+      |FROM orders JOIN (VALUES ('P','copy1'),('P','copy2'),('O','copy1')) AS dup(status, tag)
+      |  ON o_orderstatus = status
+      |ORDER BY o_orderkey, tag""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  // J1/J4/J10 — staged upsert merge: staging rows replace matching live
+  // rows, untouched live rows pass through (share/postgresql.lib merge DAG).
+  private def q22MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val staged = orders.filter(col("o_orderdate") >= lit("1998-01-01"))
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE)")
+          .as("price"),
+        lit("staged").as("src"))
+    val untouched = orders
+      .join(staged.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice").as("price"), lit("live").as("src"))
+    staged.unionByName(untouched).orderBy(col("o_orderkey"))
+  }
+
+  private val q22Sql =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE) AS price,
+      |  'staged' AS src
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'live'
+      |FROM orders WHERE NOT (o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  // J2+J6 — prune detection: live rows absent from staging, scoped by a
+  // semi-join guard (share/postgresql.lib:66-77).
+  private def q23Prune(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val staging = li.filter(col("l_shipdate") >= lit("1999-01-01"))
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val scope = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    li.join(staging, Seq("l_orderkey", "l_linenumber"), "left_anti")
+      .join(scope, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q23Sql =
+    """SELECT l_orderkey, l_linenumber FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem s
+      |                  WHERE s.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      |                    AND s.l_orderkey = l.l_orderkey AND s.l_linenumber = l.l_linenumber)
+      |  AND EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey AND o_orderstatus = 'F')
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  // P7 — group-metric filter + semi-join back (gff3alignment.pm:39-53).
+  private def q24GroupFilter(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ok = li.groupBy(col("l_orderkey"))
+      .agg((max(col("l_extendedprice")) - min(col("l_extendedprice"))).as("spread"))
+      .filter(col("spread") <= 20000.0)
+    li.join(ok.select(col("l_orderkey")), Seq("l_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q24Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |                     HAVING MAX(l_extendedprice) - MIN(l_extendedprice) <= 20000.0)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  // JSON extraction from the events.props payload (scale extension; the
+  // reference encodes attributes as custom strings, SURVEY.md §2.9).
+  private def q25Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(expr("k div 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+      .orderBy(col("k_bucket"))
+
+  private val q25Sql =
+    """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS k_bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  // Transitive closure (share/postgresql_transitive.lib:14-47) over a
+  // synthetic binary-tree hierarchy on customer keys.
+  private def q26Closure(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "customer")
+      .filter(col("c_custkey") >= 1)
+      .select(col("c_custkey").as("child"), expr("c_custkey div 2").as("parent"))
+    Closure.transitiveClosure(edges)
+      .orderBy(col("child"), col("dist"))
+  }
+
+  private val q26Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT c_custkey AS child, c_custkey // 2 AS parent FROM customer WHERE c_custkey >= 1),
+      |a AS (
+      |  SELECT child, parent, 1 AS dist FROM e
+      |  UNION ALL
+      |  SELECT a.child, e.parent, a.dist + 1 FROM a JOIN e ON a.parent = e.child)
+      |SELECT child, parent AS ancestor, dist FROM a ORDER BY child, dist""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "q2_multijoin" -> q2MultiJoin _,
+    "q3_anti" -> q3Anti _,
+    "q4_semi" -> q4Semi _,
+    "q5_leftouter" -> q5LeftOuter _,
+    "q6_latest" -> q6LatestOrder _,
+    "q7_gaps" -> q7EventGaps _,
+    "q8_sessionize" -> q8Sessionize _,
+    "q9_distinct" -> q9Distinct _,
+    "q10_except" -> q10Except _,
+    "q11_union" -> q11Union _,
+    "q12_window_dedup" -> q12WindowDedup _,
+    "q13_count_compare" -> q13CountCompare _,
+    "q14_pipe_fold" -> q14PipeFold _,
+    "q15_argmax" -> q15Argmax _,
+    "q16_topk" -> q16TopK _,
+    "q17_strings" -> q17Strings _,
+    "q18_casewhen" -> q18CaseWhen _,
+    "q19_date" -> q19DateBuckets _,
+    "q20_selfjoin" -> q20SelfJoin _,
+    "q21_fanout" -> q21Fanout _,
+    "q22_merge_upsert" -> q22MergeUpsert _,
+    "q23_prune" -> q23Prune _,
+    "q24_groupfilter" -> q24GroupFilter _,
+    "q25_json" -> q25Json _,
+    "q26_closure" -> q26Closure _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_multijoin" -> q2Sql,
+    "q3_anti" -> q3Sql,
+    "q4_semi" -> q4Sql,
+    "q5_leftouter" -> q5Sql,
+    "q6_latest" -> q6Sql,
+    "q7_gaps" -> q7Sql,
+    "q8_sessionize" -> q8Sql,
+    "q9_distinct" -> q9Sql,
+    "q10_except" -> q10Sql,
+    "q11_union" -> q11Sql,
+    "q12_window_dedup" -> q12Sql,
+    "q13_count_compare" -> q13Sql,
+    "q14_pipe_fold" -> q14Sql,
+    "q15_argmax" -> q15Sql,
+    "q16_topk" -> q16Sql,
+    "q17_strings" -> q17Sql,
+    "q18_casewhen" -> q18Sql,
+    "q19_date" -> q19Sql,
+    "q20_selfjoin" -> q20Sql,
+    "q21_fanout" -> q21Sql,
+    "q22_merge_upsert" -> q22Sql,
+    "q23_prune" -> q23Sql,
+    "q24_groupfilter" -> q24Sql,
+    "q25_json" -> q25Sql,
+    "q26_closure" -> q26Sql,
+  )
+}
