@@ -1,0 +1,87 @@
+package graft.cli
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.etl.{Gff3ToChado, OntologyMerge}
+import graft.export.Gff3Export
+import graft.sources.{Fasta, Gff3, Obo}
+
+/** Command-line multiplexer mirroring the reference's `modware-load` /
+  * `modware-export` surface (SURVEY.md §0) on the Spark engine:
+  *
+  *   graft.cli.GraftCli gff3tochado <in.gff3> <outDir>
+  *   graft.cli.GraftCli obo2chado <in.obo> <outDir>
+  *   graft.cli.GraftCli chado2gff3 <in.gff3> <out.gff3dir>
+  *   graft.cli.GraftCli chado2fasta <in.gff3> <out.fastadir>
+  *
+  * Loads write the merged store as parquet (the staging-table analog) and
+  * print the per-table insert counts the reference's tests assert on.
+  */
+object GraftCli {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gff3tochado" :: in :: out :: Nil => gff3ToChado(in, out)
+    case "obo2chado" :: in :: out :: Nil => obo2Chado(in, out)
+    case "chado2gff3" :: in :: out :: Nil => chado2Gff3(in, out)
+    case "chado2fasta" :: in :: out :: Nil => chado2Fasta(in, out)
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage: GraftCli <gff3tochado|obo2chado|chado2gff3|chado2fasta> <in> <out>""".stripMargin)
+      sys.exit(2)
+  }
+
+  private def gff3ToChado(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val feats = Gff3.features(spark, in)
+    val staging = Gff3ToChado.stage(spark, feats)
+    val (store, counts) = Gff3ToChado.merge(staging, Gff3ToChado.Store.emptyLike(staging))
+    counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"$t%-22s $n%6d") }
+    store.feature.write.mode("overwrite").parquet(s"$out/feature")
+    store.featureloc.write.mode("overwrite").parquet(s"$out/featureloc")
+    store.featureRelationship.write.mode("overwrite").parquet(s"$out/feature_relationship")
+    println(s"store written to $out")
+    spark.stop()
+  }
+
+  private def obo2Chado(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val st = OntologyMerge.stage(spark, Obo.terms(spark, in), Obo.relationships(spark, in))
+    val r = OntologyMerge.merge(st, OntologyMerge.CvStore.emptyLike(st))
+    r.counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"$t%-22s $n%6d") }
+    r.store.cvterm.write.mode("overwrite").parquet(s"$out/cvterm")
+    r.store.relationship.write.mode("overwrite").parquet(s"$out/cvterm_relationship")
+    println(s"store written to $out")
+    spark.stop()
+  }
+
+  /** Round-trip export: parse a GFF3, re-emit canonical ordered GFF3. */
+  private def chado2Gff3(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val rec = Gff3.features(spark, in).toDF()
+      .withColumn("uniquename",
+        coalesce(expr("element_at(attributes, 'ID')[0]"),
+          concat_ws(":", col("ftype"), col("seqId"), col("fmin"), col("fmax"))))
+      .select(col("uniquename"),
+        expr("element_at(attributes, 'Name')[0]").as("name"),
+        col("ftype"), col("seqId").as("srcfeature"),
+        col("fmin"), col("fmax"), col("score"), col("strand"), col("phase"),
+        col("source"),
+        expr("element_at(attributes, 'Parent')[0]").as("parent"))
+    val refs = rec.filter(col("ftype").isin("chromosome", "contig", "supercontig"))
+      .select(col("uniquename"), (col("fmax") - col("fmin")).as("seqlen"))
+    Gff3Export.document(refs, rec)
+      .coalesce(1).write.mode("overwrite").text(out)
+    println(s"gff3 written to $out (${rec.count()} feature lines)")
+    spark.stop()
+  }
+
+  /** Export the embedded FASTA tail re-wrapped at 60 chars. */
+  private def chado2Fasta(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val fasta = Gff3.embeddedFasta(spark, in)
+    Fasta.write(fasta.toDF(), "seqId", "residues", out)
+    println(s"fasta written to $out (${fasta.count()} records)")
+    spark.stop()
+  }
+}

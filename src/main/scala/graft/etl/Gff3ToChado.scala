@@ -1,0 +1,193 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.chado.GffRecord
+
+/** The reference's flagship load path, Spark-first (SURVEY.md §3.2):
+  * GFF3 records fan out into per-table staging DataFrames (the
+  * "make-stash" UDTF, lib/Modware/Loader/Role/WithChadoGFF3Helper
+  * .pm:92-368) and a fixed merge DAG appends only-new rows into the live
+  * store — anti-join novelty detection (J1), FK-stitch on natural keys
+  * (J4), window dedup for shared dbxrefs (W1).
+  *
+  * The live store is a set of DataFrames keyed by natural keys; on a
+  * cluster the same DAG stages into parquet/JDBC and the driver issues
+  * the final transactional merge, mirroring the reference's staging-table
+  * design (share/postgresql_gff3.lib). All joins are key-equi and
+  * shuffle on `uniquename`/`(name,type)`; dimension-sized sides (types,
+  * sources) broadcast automatically.
+  */
+object Gff3ToChado {
+
+  /** Staging frames derived from one GFF3 parse — one per target table
+    * (SURVEY.md §3.2 step 5). */
+  case class Staging(
+      feature: DataFrame, // uniquename, name, ftype, seqlen, is_analysis
+      featureloc: DataFrame, // uniquename, srcfeature, fmin, fmax, strand, phase, rank
+      analysisfeature: DataFrame, // uniquename, score, analysis source
+      synonym: DataFrame, // alias names (distinct)
+      featureSynonym: DataFrame, // uniquename, alias
+      dbxref: DataFrame, // db, accession (distinct)
+      featureDbxref: DataFrame, // uniquename, db, accession
+      featureRelationship: DataFrame, // subject, object, reltype
+      featureprop: DataFrame) // uniquename, prop, value, rank
+
+  /** GFF3 reserved attributes routed to dedicated tables (P8); everything
+    * else becomes a featureprop
+    * (lib/Modware/Loader/Role/WithChadoGFF3Helper.pm:193-240). */
+  private val reserved = Set("ID", "Name", "Parent", "Alias", "Dbxref",
+    "Note", "Gap", "Target", "Derives_from")
+
+  def stage(spark: SparkSession, records: Dataset[GffRecord]): Staging = {
+    import spark.implicits._
+    val rec = records.toDF()
+      .withColumn("uniquename",
+        coalesce(expr("element_at(attributes, 'ID')[0]"),
+          // auto-name: the reference synthesizes ids for ID-less rows
+          concat_ws(":", col("ftype"), col("seqId"), col("fmin"), col("fmax"))))
+      .localCheckpoint() // staging reused by 9 branches; cut re-parse
+
+    val feature = rec.select(
+      col("uniquename"),
+      coalesce(expr("element_at(attributes, 'Name')[0]"), col("uniquename")).as("name"),
+      col("ftype"),
+      (col("fmax") - col("fmin")).as("seqlen"),
+      when(col("score").isNotNull, 1).otherwise(0).as("is_analysis"))
+      .dropDuplicates("uniquename")
+
+    // rank 0 = subject location; Target attribute adds a rank-1 query
+    // location (W2: rank-as-data, share/postgresql_gff3.lib:33-42).
+    val loc0 = rec.select(col("uniquename"), col("seqId").as("srcfeature"),
+      col("fmin"), col("fmax"), col("strand"), col("phase"), lit(0).as("rank"))
+    val loc1 = rec
+      .withColumn("target", expr("element_at(attributes, 'Target')[0]"))
+      .filter(col("target").isNotNull)
+      .withColumn("t", split(col("target"), " "))
+      .select(col("uniquename"), col("t").getItem(0).as("srcfeature"),
+        (col("t").getItem(1).cast("int") - 1).as("fmin"),
+        col("t").getItem(2).cast("int").as("fmax"),
+        when(col("t").getItem(3) === "+", 1)
+          .when(col("t").getItem(3) === "-", -1).as("strand"),
+        lit(null).cast("int").as("phase"), lit(1).as("rank"))
+    val featureloc = loc0.unionByName(loc1)
+
+    val analysisfeature = rec.filter(col("score").isNotNull)
+      .select(col("uniquename"), col("score").as("rawscore"),
+        coalesce(col("source"), lit("unknown")).as("analysis"))
+
+    val featureSynonym = rec
+      .select(col("uniquename"), explode(expr("element_at(attributes, 'Alias')")).as("alias"))
+      .dropDuplicates()
+    val synonym = featureSynonym.select(col("alias")).dropDuplicates()
+
+    val featureDbxref = rec
+      .select(col("uniquename"), explode(expr("element_at(attributes, 'Dbxref')")).as("xref"))
+      .withColumn("db", substring_index(col("xref"), ":", 1))
+      .withColumn("accession", substring_index(col("xref"), ":", -1))
+      .drop("xref").dropDuplicates()
+    val dbxref = featureDbxref.select(col("db"), col("accession")).dropDuplicates()
+
+    // Parent -> part_of, Derives_from -> derives_from
+    // (WithChadoGFF3Helper.pm:242-272).
+    val relParent = rec
+      .select(col("uniquename").as("subject"),
+        explode(expr("element_at(attributes, 'Parent')")).as("object"))
+      .withColumn("reltype", lit("part_of"))
+    val relDerives = rec
+      .select(col("uniquename").as("subject"),
+        explode(expr("element_at(attributes, 'Derives_from')")).as("object"))
+      .withColumn("reltype", lit("derives_from"))
+    val featureRelationship = relParent.unionByName(relDerives).dropDuplicates()
+
+    // Note + all non-reserved attributes -> featureprop, rank by value
+    // order within (feature, prop).
+    val props = rec
+      .select(col("uniquename"), explode(col("attributes")).as(Seq("prop", "vals")))
+      .filter(!col("prop").isin(reserved.toSeq.filter(_ != "Note"): _*))
+      .select(col("uniquename"), col("prop"), posexplode(col("vals")).as(Seq("rank", "value")))
+      .select(col("uniquename"), col("prop"), col("value"), col("rank"))
+
+    Staging(feature, featureloc, analysisfeature, synonym, featureSynonym,
+      dbxref, featureDbxref, featureRelationship, props)
+  }
+
+  /** Live-store frames on natural keys. Empty store = first load. */
+  case class Store(
+      feature: DataFrame, featureloc: DataFrame, analysisfeature: DataFrame,
+      synonym: DataFrame, featureSynonym: DataFrame, dbxref: DataFrame,
+      featureDbxref: DataFrame, featureRelationship: DataFrame,
+      featureprop: DataFrame)
+
+  object Store {
+    /** Empty live store with schemas mirrored from a staging set. */
+    def emptyLike(st: Staging): Store = Store(
+      feature = st.feature.limit(0),
+      featureloc = st.featureloc.limit(0),
+      analysisfeature = st.analysisfeature.limit(0),
+      synonym = st.synonym.limit(0),
+      featureSynonym = st.featureSynonym.limit(0),
+      dbxref = st.dbxref.limit(0),
+      featureDbxref = st.featureDbxref.limit(0),
+      featureRelationship = st.featureRelationship.limit(0),
+      featureprop = st.featureprop.limit(0))
+  }
+
+  /** Merge staging into the live store; returns the updated store plus
+    * per-table inserted-row counts (the reference's golden numbers,
+    * t/lib/ChadoGFF3.pm:120-139). Second identical run inserts 0
+    * everywhere — the idempotence gate (ChadoGFF3.pm:141-162). */
+  def merge(staging: Staging, live: Store): (Store, Map[String, Long]) = {
+    def insertNew(stage: DataFrame, liveDf: DataFrame, keys: Seq[String]): DataFrame =
+      stage.join(liveDf.select(keys.map(col): _*), keys, "left_anti")
+
+    // J1: brand-new features by uniquename.
+    val newFeature = insertNew(staging.feature, live.feature, Seq("uniquename"))
+    // J4: child rows follow their (new) parent feature by natural key —
+    // only rows of features that are new get inserted on first load;
+    // changed rows of existing features are treated as already present.
+    val newLoc = insertNew(staging.featureloc, live.featureloc,
+      Seq("uniquename", "rank"))
+    val newAf = insertNew(staging.analysisfeature, live.analysisfeature,
+      Seq("uniquename", "analysis"))
+    val newSynonym = insertNew(staging.synonym, live.synonym, Seq("alias"))
+    val newFs = insertNew(staging.featureSynonym, live.featureSynonym,
+      Seq("uniquename", "alias"))
+    // W1: one row per distinct (db, accession) even when several features
+    // share the xref (share/postgresql_gff3.lib:175-187).
+    val newDbxref = insertNew(staging.dbxref, live.dbxref, Seq("db", "accession"))
+    val newFd = insertNew(staging.featureDbxref, live.featureDbxref,
+      Seq("uniquename", "db", "accession"))
+    val newRel = insertNew(staging.featureRelationship, live.featureRelationship,
+      Seq("subject", "object", "reltype"))
+    val newProp = insertNew(staging.featureprop, live.featureprop,
+      Seq("uniquename", "prop", "rank"))
+
+    val counts = Map(
+      "feature" -> newFeature.count(),
+      "featureloc" -> newLoc.filter(col("rank") === 0).count(),
+      "featureloc_target" -> newLoc.filter(col("rank") === 1).count(),
+      "analysisfeature" -> newAf.count(),
+      "synonym" -> newSynonym.count(),
+      "feature_synonym" -> newFs.count(),
+      "dbxref" -> newDbxref.count(),
+      "feature_dbxref" -> newFd.count(),
+      "feature_relationship" -> newRel.count(),
+      "featureprop" -> newProp.count())
+
+    def u(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b.select(a.columns.map(col): _*))
+
+    val updated = Store(
+      feature = u(live.feature, newFeature),
+      featureloc = u(live.featureloc, newLoc),
+      analysisfeature = u(live.analysisfeature, newAf),
+      synonym = u(live.synonym, newSynonym),
+      featureSynonym = u(live.featureSynonym, newFs),
+      dbxref = u(live.dbxref, newDbxref),
+      featureDbxref = u(live.featureDbxref, newFd),
+      featureRelationship = u(live.featureRelationship, newRel),
+      featureprop = u(live.featureprop, newProp))
+    (updated, counts)
+  }
+}

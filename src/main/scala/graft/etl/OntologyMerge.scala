@@ -1,0 +1,112 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.chado.{OboRelationship, OboTerm}
+
+/** obo2chado ontology merge, Spark-first (SURVEY.md §3.1): the fixed
+  * 13-statement SQL DAG of lib/Modware/Loader/Ontology.pm:313-349 /
+  * share/postgresql.lib re-expressed as DataFrame set algebra on natural
+  * keys (accession = term id):
+  *
+  *  - prune: live terms of this cv absent from staging (J2 anti-join,
+  *    share/postgresql.lib:66-77), unless they arrive as alt_ids;
+  *  - update: terms whose name/definition changed (join + filter);
+  *  - refresh: synonyms/alt_ids delete+reinsert per surviving term;
+  *  - insert: brand-new terms (J1), obsolete-name decoration (F11);
+  *  - relationships: staged edges minus existing (U1 EXCEPT).
+  *
+  * Everything shuffles on the accession key; ontologies are
+  * dimension-sized so at 100 TB these frames broadcast into whatever
+  * fact-side join consumes them.
+  */
+object OntologyMerge {
+
+  case class CvStore(
+      cvterm: DataFrame, // accession, name, definition, is_obsolete
+      synonym: DataFrame, // accession, synonym
+      altId: DataFrame, // accession, alt_id
+      relationship: DataFrame) // subject, predicate, object
+
+  object CvStore {
+    def emptyLike(st: CvStore): CvStore = CvStore(
+      st.cvterm.limit(0), st.synonym.limit(0), st.altId.limit(0),
+      st.relationship.limit(0))
+  }
+
+  /** Stage parsed OBO into the same frame shapes as the live store. */
+  def stage(spark: SparkSession, terms: Dataset[OboTerm],
+            rels: Dataset[OboRelationship]): CvStore = {
+    val t = terms.toDF().localCheckpoint()
+    CvStore(
+      cvterm = t.select(col("id").as("accession"),
+        // F11: obsolete terms decorated "name (obsolete ACC)"
+        // (Temp/Generic.pm:141-146)
+        when(col("isObsolete"),
+          concat(coalesce(col("name"), col("id")), lit(" (obsolete "), col("id"), lit(")")))
+          .otherwise(coalesce(col("name"), col("id"))).as("name"),
+        col("definition"),
+        when(col("isObsolete"), 1).otherwise(0).as("is_obsolete")),
+      synonym = t.select(col("id").as("accession"),
+        explode(col("synonyms")).as("synonym")).dropDuplicates(),
+      altId = t.select(col("id").as("accession"),
+        explode(col("altIds")).as("alt_id")).dropDuplicates(),
+      relationship = rels.toDF().select(col("subject"), col("predicate"),
+        col("obj").as("object")).dropDuplicates())
+  }
+
+  case class MergeResult(store: CvStore, counts: Map[String, Long])
+
+  def merge(staging: CvStore, live: CvStore): MergeResult = {
+    val stagedTerms = staging.cvterm
+    // J2 + alt_id guard: a live term absent from staging survives if its
+    // accession shows up as an alt_id of a staged term
+    // (share/postgresql.lib:66-77 prune with scope guards).
+    val pruned = live.cvterm
+      .join(stagedTerms.select(col("accession")), Seq("accession"), "left_anti")
+      .join(staging.altId.select(col("alt_id").as("accession")), Seq("accession"), "left_anti")
+    val survivors = live.cvterm.join(pruned.select(col("accession")),
+      Seq("accession"), "left_anti")
+
+    // changed name/definition (update_cvterm_names / definitions)
+    val changed = stagedTerms.as("s")
+      .join(survivors.as("l"), Seq("accession"))
+      .filter(not(col("s.name") <=> col("l.name")) ||
+        not(col("s.definition") <=> col("l.definition")) ||
+        not(col("s.is_obsolete") <=> col("l.is_obsolete")))
+      .select(col("accession"))
+
+    // J1: brand-new terms
+    val fresh = stagedTerms.join(survivors.select(col("accession")),
+      Seq("accession"), "left_anti")
+
+    // the new live cvterm set: staging wins for anything it mentions
+    val cvterm = stagedTerms
+
+    // synonyms / alt_ids: delete + reinsert from staging
+    // (share/postgresql.lib:111-164 refresh semantics)
+    val newSyn = staging.synonym.join(live.synonym,
+      Seq("accession", "synonym"), "left_anti")
+    val newAlt = staging.altId.join(live.altId,
+      Seq("accession", "alt_id"), "left_anti")
+
+    // U1: relationships EXCEPT existing (share/postgresql.lib:221-223)
+    val newRel = staging.relationship.except(live.relationship)
+
+    val counts = Map(
+      "pruned" -> pruned.count(),
+      "updated" -> changed.count(),
+      "new_terms" -> fresh.count(),
+      "new_synonyms" -> newSyn.count(),
+      "new_alt_ids" -> newAlt.count(),
+      "new_relationships" -> newRel.count())
+
+    // refresh semantics: staged subjects get exactly their staged edges;
+    // edges of untouched subjects carry over.
+    val stagedSubjects = staging.relationship.select(col("subject")).dropDuplicates()
+    val relationship = staging.relationship.unionByName(
+      live.relationship.join(stagedSubjects, Seq("subject"), "left_anti"))
+
+    MergeResult(CvStore(cvterm, staging.synonym, staging.altId, relationship), counts)
+  }
+}

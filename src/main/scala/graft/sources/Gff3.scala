@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.chado.{FastaRecord, GffRecord}
+
+/** GFF3 source (SURVEY.md S1/S2): line-wise scan of a GFF3 file into a
+  * typed `Dataset[GffRecord]`, plus the embedded `##FASTA` tail.
+  *
+  * Spark-first shape: `spark.read.text` keeps the scan distributed (one
+  * task per file split); parsing is a per-partition pure function, no
+  * driver-side state. Directives (`##...`) and comments are filtered in
+  * the plan; the attribute column is a multi-map exactly like the
+  * reference's parse (Bio::GFF3::LowLevel `gff3_parse_feature`, consumed
+  * at lib/Modware/Load/Command/gff3tochado.pm:188-213).
+  *
+  * The `##FASTA` boundary is per-file state, so FASTA extraction reads
+  * via `wholeTextFiles` — fine because sequence tails are bounded per
+  * file; at 100 TB you ship FASTA separately anyway.
+  */
+object Gff3 {
+
+  /** Percent-decode the reserved GFF3 escapes (%XX). */
+  private def unescape(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val out = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { out.append(c); i += 1 }
+      }
+      out.toString
+    }
+
+  /** Parse one feature line (9 tab columns) into a GffRecord.
+    * 1-based GFF3 start becomes 0-based interbase fmin (F8). */
+  def parseLine(line: String): Option[GffRecord] = {
+    val f = line.split("\t", -1)
+    if (f.length < 9) None
+    else for {
+      start <- f(3).toIntOption // malformed coordinates: skip the row
+      end <- f(4).toIntOption // rather than failing the whole task
+    } yield GffRecord(
+      seqId = unescape(f(0)),
+      source = if (f(1) == ".") None else Some(unescape(f(1))),
+      ftype = f(2),
+      fmin = start - 1,
+      fmax = end,
+      score = if (f(5) == ".") None else f(5).toDoubleOption,
+      strand = f(6) match {
+        case "+" => Some(1)
+        case "-" => Some(-1)
+        case _ => None
+      },
+      phase = if (f(7) == ".") None else f(7).toIntOption,
+      attributes = if (f(8) == "." || f(8).isEmpty) Map.empty
+      else f(8).split(";").iterator.filter(_.nonEmpty).map { kv =>
+        val eq = kv.indexOf('=')
+        if (eq < 0) (unescape(kv.trim), Seq.empty[String])
+        else (unescape(kv.take(eq).trim),
+          kv.drop(eq + 1).split(",", -1).toSeq.map(v => unescape(v.trim)))
+      }.toMap)
+  }
+
+  /** Feature rows of the GFF3 file(s) at `path` (directives, comments and
+    * any `##FASTA` tail excluded). */
+  def features(spark: SparkSession, path: String): Dataset[GffRecord] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .mapPartitions { lines =>
+        // per-partition flag: once ##FASTA starts, everything after in
+        // this partition is sequence. A split boundary inside the FASTA
+        // tail can leak sequence lines into the next partition, so also
+        // require 9 tab columns (sequence lines have none).
+        var inFasta = false
+        lines.flatMap { line =>
+          if (inFasta || line.startsWith("#")) {
+            if (line.startsWith("##FASTA")) inFasta = true
+            None
+          } else if (line.isEmpty || line.count(_ == '\t') < 8) None
+          else parseLine(line)
+        }
+      }
+  }
+
+  /** Directive lines (`##gff-version`, `##sequence-region`, ...). */
+  def directives(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .filter(_.startsWith("##"))
+      .filter(l => !l.startsWith("##FASTA"))
+      .map { l =>
+        val body = l.drop(2).trim
+        val sp = body.indexOf(' ')
+        if (sp < 0) (body, "") else (body.take(sp), body.drop(sp + 1).trim)
+      }
+      .toDF("directive", "value")
+  }
+
+  /** The embedded `##FASTA` tail as (seqId, residues) records (S2). */
+  def embeddedFasta(spark: SparkSession, path: String): Dataset[FastaRecord] = {
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, content) =>
+        val idx = content.indexOf("##FASTA")
+        if (idx < 0) Iterator.empty
+        else Fasta.parseString(content.substring(idx + "##FASTA".length))
+      }
+      .toDS()
+  }
+}

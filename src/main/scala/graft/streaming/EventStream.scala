@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension (SURVEY.md §2.10: the reference is
+  * batch-only; this is the Spark-native upgrade path for incremental
+  * loads — file-watch on drops, watermarked windows, stateful sessions).
+  */
+object EventStream {
+
+  /** Windowed aggregation transform — same logic runs batch (q37) or
+    * streaming; callers hand in either `read` or `readStream` frames. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Run the hourly aggregation as a real stream over a parquet dir and
+    * collect the result synchronously (memory sink) — the smoke path the
+    * spec drives. */
+  def runBatchAsStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType,
+                       name: String): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = hourlyCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  case class Event(user_id: Long, ts_us: Long, event_type: String)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, n_events: Int, duration_us: Long)
+
+  /** Stateful per-user sessionization via mapGroupsWithState — the
+    * streaming form of operators.Sessionize (30-minute idle timeout). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us))
+          val init = state.getOption.getOrElse(
+            SessionState(sorted.head.ts_us, sorted.head.ts_us, 0))
+          val fin = sorted.foldLeft(init) { (s, e) =>
+            if (e.ts_us - s.last > 1800L * 1000 * 1000)
+              SessionState(e.ts_us, e.ts_us, 1) // new session
+            else SessionState(s.start, e.ts_us, s.n + 1)
+          }
+          state.update(fin)
+          SessionOut(user, fin.n, fin.last - fin.start)
+      }
+  }
+}

@@ -1,0 +1,115 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.export.Gff3Export
+import graft.multimodal.Multimodal
+import graft.sources.{Fasta, Gaf}
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+class ExportStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GFF3 export emits parent-before-child, 1-based, escaped") {
+    val feats = Seq(
+      ("gene1", "g;1", "gene", "chr1", 99, 900, Option.empty[Double], Option(1),
+        Option.empty[Int], Option("src"), Option.empty[String]),
+      ("rna1", "r1", "mRNA", "chr1", 99, 900, Option.empty[Double], Option(1),
+        Option.empty[Int], Option("src"), Option("gene1")),
+      ("hit1", "h1", "match", "chr1", 999, 1500, Option(95.5), Option(-1),
+        Option.empty[Int], Option.empty[String], Option.empty[String]))
+      .toDF("uniquename", "name", "ftype", "srcfeature", "fmin", "fmax",
+        "score", "strand", "phase", "source", "parent")
+    val lines = Gff3Export.toGff3Lines(feats).as[String].collect()
+    assert(lines.length == 3)
+    val gene = lines.find(_.contains("ID=gene1")).get
+    assert(gene.startsWith("chr1\tsrc\tgene\t100\t900\t.\t+\t.\t")) // 1-based, strand decoded
+    assert(gene.contains("Name=g%3B1")) // reserved char escaped
+    assert(lines.indexWhere(_.contains("ID=gene1")) <
+      lines.indexWhere(_.contains("ID=rna1"))) // hierarchy order
+    val hit = lines.find(_.contains("ID=hit1")).get
+    assert(hit.contains("\t95.5\t-\t")) // %.3g score + strand
+  }
+
+  test("GFF3 pragmas lead with gff-version then sequence-regions") {
+    val refs = Seq(("chr1", 2000), ("chr2", 500)).toDF("uniquename", "seqlen")
+    val got = Gff3Export.pragmas(refs).as[String].collect().toSeq
+    assert(got == Seq("##gff-version 3",
+      "##sequence-region chr1 1 2000", "##sequence-region chr2 1 500"))
+  }
+
+  test("FASTA format wraps at 60 and round-trips through the reader") {
+    val df = Seq(("s1", "A" * 70), ("s2", "CGT")).toDF("id", "seq")
+    val text = Fasta.format(df.orderBy($"id"), "id", "seq").as[String].collect().mkString("\n")
+    assert(text.linesIterator.toSeq ==
+      Seq(">s1", "A" * 60, "A" * 10, ">s2", "CGT"))
+    val back = Fasta.parseString(text).toSeq
+    assert(back.map(r => r.seqId -> r.residues) ==
+      Seq("s1" -> ("A" * 70), "s2" -> "CGT"))
+  }
+
+  test("GAF load resolves dictionaries, filters invalid, ranks per group") {
+    val gaf = spark.createDataset(Seq(
+      "db\tG1\tsym\t\tGO:1\tPMID:1\tIEA\t\tF\t\t\tgene\ttaxon:1\t20240101\tsrc\t\t",
+      "db\tG1\tsym\t\tGO:1\tPMID:1\tIDA\t\tF\t\t\tgene\ttaxon:1\t20240102\tsrc\t\t",
+      "db\tGX\tsym\t\tGO:1\tPMID:2\tIEA\t\tF\t\t\tgene\ttaxon:1\t20240101\tsrc\t\t")
+    ).flatMap(l => Gaf.parseLine(l))
+    val genes = Seq(("G1", "feat1")).toDF("gene_id", "feature_uniquename")
+    val terms = Seq(("GO:1", "molecular_function")).toDF("go_id", "cv_name")
+    val got = GafLoad.load(gaf, genes, terms)
+      .select($"feature_uniquename", $"evidenceCode", $"rank")
+      .as[(String, String, Int)].collect().toSet
+    // GX fails gene lookup (P10); the two G1 rows rank 0,1 within group (A2)
+    assert(got == Set(("feat1", "IDA", 0), ("feat1", "IEA", 1)))
+  }
+
+  test("duplicate-gene fan-out copies annotations to siblings (U4)") {
+    val ann = Seq(("feat1", "GO:1")).toDF("feature_uniquename", "goId")
+    val dup = Seq(("feat1", "feat1b")).toDF("gene_id", "sibling_id")
+    val got = GafLoad.fanoutDuplicates(ann, dup)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("feat1", "GO:1"), ("feat1b", "GO:1")))
+  }
+
+  test("streaming hourly aggregation matches the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    val ev = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "view", 5.0))
+      .toDF("ts", "event_type", "value")
+    ev.write.mode("overwrite").parquet(dir)
+    val batch = EventStream.hourlyCounts(spark.read.parquet(dir))
+      .select($"event_type", $"n", $"sum_value").as[(String, Long, Double)].collect().toSet
+    val streamed = EventStream.runBatchAsStream(spark, dir,
+      spark.read.parquet(dir).schema, "evtest")
+      .select($"event_type", $"n", $"sum_value").as[(String, Long, Double)].collect().toSet
+    assert(batch == streamed)
+    assert(batch == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("stateful streaming sessionization counts sessions per user") {
+    val evs = Seq(
+      EventStream.Event(1L, 0L, "a"),
+      EventStream.Event(1L, 100L, "b"),
+      EventStream.Event(1L, 4000L * 1000 * 1000, "c")) // > 30 min later
+    val got = EventStream.sessionize(spark.createDataset(evs)).collect()
+    assert(got.length == 1)
+    assert(got.head.n_events == 1) // last session has 1 event
+  }
+
+  test("multimodal stub pipeline extracts deterministic features") {
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(spark, docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.n_bytes == 11)
+    assert(f.header_hex == "68656C6C".toUpperCase) // "hell"
+    assert(f.width == 16 + 'h'.toInt)
+    assert(f.features.length == 8)
+    // determinism: same input -> same features
+    val again = Multimodal.extractFeatures(media).collect().head
+    assert(again.features.toSeq == f.features.toSeq)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.etl
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.sources.Gff3
+
+/** Golden-count + idempotence gates mirroring the reference's own test
+  * strategy (t/lib/ChadoGFF3.pm:120-162): exact per-table insert counts
+  * on first load, zero new rows on identical re-load. */
+class Gff3ToChadoSpec extends SparkSpec {
+
+  private val fixture =
+    """##gff-version 3
+      |chr1	test	chromosome	1	2000	.	.	.	ID=chr1
+      |chr1	test	gene	100	900	.	+	.	ID=gene1;Name=g1;Alias=alpha,beta;Dbxref=GeneDB:G1,UniProt:U1;note=x
+      |chr1	test	mRNA	100	900	.	+	.	ID=rna1;Parent=gene1;Dbxref=GeneDB:G1
+      |chr1	test	exon	100	200	.	+	.	Parent=rna1
+      |chr1	test	exon	300	900	.	+	.	Parent=rna1
+      |chr1	test	CDS	150	850	.	+	0	ID=cds1;Parent=rna1
+      |chr1	blat	match	1000	1500	95.5	-	.	ID=hit1;Target=q1 1 501 +
+      |chr1	test	polypeptide	150	850	.	+	.	ID=pp1;Derives_from=rna1
+      |""".stripMargin
+
+  private lazy val path = {
+    val f = Files.createTempFile("load", ".gff3")
+    Files.writeString(f, fixture)
+    f.toString
+  }
+
+  test("first load produces the golden per-table insert counts") {
+    val staging = Gff3ToChado.stage(spark, Gff3.features(spark, path))
+    val (_, counts) = Gff3ToChado.merge(staging, Gff3ToChado.Store.emptyLike(staging))
+    assert(counts("feature") == 8)
+    assert(counts("featureloc") == 8) // rank-0 location per feature
+    assert(counts("featureloc_target") == 1) // the Target hit (W2 rank 1)
+    assert(counts("analysisfeature") == 1) // scored match line
+    assert(counts("synonym") == 2) // alpha, beta
+    assert(counts("feature_synonym") == 2)
+    assert(counts("dbxref") == 2) // GeneDB:G1 deduped across rows (W1), UniProt:U1
+    assert(counts("feature_dbxref") == 3) // gene1 x2, rna1 x1
+    assert(counts("feature_relationship") == 5) // 4 part_of + 1 derives_from
+    assert(counts("featureprop") == 1) // lowercase note -> generic prop (P8)
+  }
+
+  test("identical re-load inserts zero rows everywhere (idempotence)") {
+    val staging = Gff3ToChado.stage(spark, Gff3.features(spark, path))
+    val (store, _) = Gff3ToChado.merge(staging, Gff3ToChado.Store.emptyLike(staging))
+    val (_, counts2) = Gff3ToChado.merge(staging, store)
+    assert(counts2.values.forall(_ == 0L), s"expected all-zero, got $counts2")
+  }
+
+  test("incremental load inserts only the delta") {
+    val staging = Gff3ToChado.stage(spark, Gff3.features(spark, path))
+    val (store, _) = Gff3ToChado.merge(staging, Gff3ToChado.Store.emptyLike(staging))
+    val f2 = Files.createTempFile("load2", ".gff3")
+    Files.writeString(f2, fixture +
+      "chr1\ttest\tgene\t1200\t1600\t.\t-\t.\tID=gene2;Alias=alpha\n")
+    val staging2 = Gff3ToChado.stage(spark, Gff3.features(spark, f2.toString))
+    val (_, counts) = Gff3ToChado.merge(staging2, store)
+    assert(counts("feature") == 1) // just gene2
+    assert(counts("featureloc") == 1)
+    assert(counts("synonym") == 0) // alpha already present
+    assert(counts("feature_synonym") == 1) // but the link is new
+    assert(counts("feature_relationship") == 0)
+  }
+}

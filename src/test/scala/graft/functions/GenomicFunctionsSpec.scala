@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GenomicFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import GenomicFunctions._
+
+  test("strand encode/decode round-trips (F7)") {
+    val df = Seq("+", "-", ".").toDF("s")
+    val got = df.select(strandDecode(strandEncode($"s")).as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq("+", "-", "."))
+  }
+
+  test("coordinate shift round-trips (F8)") {
+    val df = Seq(1, 100, 999).toDF("start")
+    val got = df.select(toOneBased(toInterbase($"start")).as("r")).as[Int].collect()
+    assert(got.toSeq == Seq(1, 100, 999))
+  }
+
+  test("reverse complement is an involution (F5)") {
+    val df = Seq("ACGT", "AATTCCGG", "GATTACA").toDF("seq")
+    val got = df.select(reverseComplement(reverseComplement($"seq")).as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq("ACGT", "AATTCCGG", "GATTACA"))
+    assert(df.select(reverseComplement($"seq").as("r")).as[String].collect().head == "ACGT")
+  }
+
+  test("60-char wrap inserts newlines every 60 chars (F6)") {
+    val long = "A" * 130
+    val got = Seq(long).toDF("seq").select(wrap60($"seq").as("r")).as[String].collect().head
+    assert(got.split("\n").map(_.length).toSeq == Seq(60, 60, 10))
+  }
+
+  test("normalize_id splits prefix:accession with fallback (F1)") {
+    val df = Seq("GO:0001", "plainid").toDF("id")
+    val got = df.select(normalizeId($"id", "internal").as("n"))
+      .select($"n.db", $"n.accession").as[(String, String)].collect().toSeq
+    assert(got == Seq(("GO", "0001"), ("internal", "plainid")))
+  }
+
+  test("obsolete decoration appends marker only when obsolete (F11)") {
+    val df = Seq(("term a", "T:1", 1), ("term b", "T:2", 0)).toDF("name", "acc", "obs")
+    val got = df.select(obsoleteDecorate($"name", $"acc", $"obs").as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq("term a (obsolete T:1)", "term b"))
+  }
+
+  test("pipe split/join round-trips (F1/A7)") {
+    val df = Seq("a|b|c").toDF("v")
+    assert(df.select(pipeJoin(pipeSplit($"v")).as("r")).as[String].collect().head == "a|b|c")
+  }
+
+  test("map translate falls back to default (F16)") {
+    val df = Seq("x", "y", "z").toDF("v")
+    val got = df.select(mapTranslate($"v", Map("x" -> "1", "y" -> "2"), $"v").as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq("1", "2", "z"))
+  }
+
+  test("cigar reformat (F15)") {
+    val got = Seq("12M3I9M").toDF("c").select(cigarToGap($"c").as("r"))
+      .as[String].collect().head
+    assert(got == "M 12 I 3 M 9")
+  }
+}
