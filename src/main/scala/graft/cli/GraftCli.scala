@@ -24,11 +24,35 @@ object GraftCli {
     case "obo2chado" :: in :: out :: Nil => obo2Chado(in, out)
     case "chado2gff3" :: in :: out :: Nil => chado2Gff3(in, out)
     case "chado2fasta" :: in :: out :: Nil => chado2Fasta(in, out)
+    case "blast2gff3" :: in :: out :: Nil => blast2Gff3(in, out)
+    case "sumstats" :: in :: Nil => sumStats(in)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
-           |usage: GraftCli <gff3tochado|obo2chado|chado2gff3|chado2fasta> <in> <out>""".stripMargin)
+           |usage: GraftCli <gff3tochado|obo2chado|chado2gff3|chado2fasta|blast2gff3|sumstats> <in> [<out>]""".stripMargin)
       sys.exit(2)
+  }
+
+  /** modware-transform blast2chadogff3 analog (SURVEY.md §2.1 S7). */
+  private def blast2Gff3(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val matches = graft.transform.BlastToGff3.toFeatures(
+      graft.transform.BlastToGff3.read(spark, in))
+    graft.transform.BlastToGff3.toGff3Lines(matches)
+      .coalesce(1).write.mode("overwrite").text(out)
+    println(s"${matches.count()} match groups written to $out")
+    spark.stop()
+  }
+
+  /** modware-report sumstatsongff3 analog (SURVEY.md §2.5 A4). */
+  private def sumStats(in: String): Unit = {
+    val spark = GraftSession.local()
+    val bad = spark.sparkContext.longAccumulator("badRows")
+    val stats = graft.report.SumStats.intronStats(
+      Gff3.features(spark, in, Some(bad))).collect().head
+    println(s"introns=${stats.getLong(0)} avg=${stats.getDouble(1)} " +
+      s"max=${stats.getInt(2)} min=${stats.getInt(3)} bad_rows=${bad.value}")
+    spark.stop()
   }
 
   private def gff3ToChado(in: String, out: String): Unit = {

@@ -67,8 +67,12 @@ object Gff3 {
   }
 
   /** Feature rows of the GFF3 file(s) at `path` (directives, comments and
-    * any `##FASTA` tail excluded). */
-  def features(spark: SparkSession, path: String): Dataset[GffRecord] = {
+    * any `##FASTA` tail excluded). `badRows`, when supplied, tallies
+    * malformed feature lines (A8 counter accumulation,
+    * lib/Modware/Transform/Command/modidingoa.pm:29-59). */
+  def features(spark: SparkSession, path: String,
+               badRows: Option[org.apache.spark.util.LongAccumulator] = None
+              ): Dataset[GffRecord] = {
     import spark.implicits._
     spark.read.textFile(path)
       .mapPartitions { lines =>
@@ -82,7 +86,11 @@ object Gff3 {
             if (line.startsWith("##FASTA")) inFasta = true
             None
           } else if (line.isEmpty || line.count(_ == '\t') < 8) None
-          else parseLine(line)
+          else {
+            val parsed = parseLine(line)
+            if (parsed.isEmpty) badRows.foreach(_.add(1))
+            parsed
+          }
         }
       }
   }

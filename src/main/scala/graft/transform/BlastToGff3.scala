@@ -1,0 +1,77 @@
+package graft.transform
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Overlap
+
+/** blast2chadogff3 transform (SURVEY.md S7 + §2.3 P5 + §2.4 J13 +
+  * §2.9 F10): tabular BLAST results (outfmt-6 style, the pre-converted
+  * input SURVEY.md suggests for S7) become GFF3 `match`/`match_part`
+  * features. HSPs of one (query, subject, strand) are chained into
+  * non-overlapping groups with the windowed overlap operator instead of
+  * the reference's O(n²) pairwise walk
+  * (lib/Modware/Transform/Command/blast2chadogff3.pm:337-435).
+  */
+object BlastToGff3 {
+
+  /** One HSP row of a 12-column tabular BLAST report. */
+  case class Hsp(
+      queryId: String, subjectId: String, percentIdentity: Double,
+      alignLen: Int, mismatches: Int, gapOpens: Int,
+      qStart: Int, qEnd: Int, sStart: Int, sEnd: Int,
+      evalue: Double, bitscore: Double)
+
+  def parseLine(line: String): Option[Hsp] = {
+    val f = line.split("\t", -1)
+    if (line.startsWith("#") || f.length < 12) None
+    else try Some(Hsp(f(0), f(1), f(2).toDouble, f(3).toInt, f(4).toInt,
+      f(5).toInt, f(6).toInt, f(7).toInt, f(8).toInt, f(9).toInt,
+      f(10).toDouble, f(11).toDouble))
+    catch { case _: NumberFormatException => None }
+  }
+
+  def read(spark: SparkSession, path: String): Dataset[Hsp] = {
+    import spark.implicits._
+    spark.read.textFile(path).flatMap(parseLine _)
+  }
+
+  /** Group HSPs and emit per-group `match` + per-HSP `match_part` frames.
+    *
+    * - P5: drop HSPs with evalue above `evalueCutoff`
+    *   (blast2chadogff3.pm:235-237)
+    * - strand from subject coordinate orientation; minus-strand
+    *   coordinates normalized to (min, max)
+    * - J13: chain grouping per (query, subject, strand)
+    */
+  def toFeatures(hsps: Dataset[Hsp], evalueCutoff: Double = 10.0): DataFrame = {
+    val norm = hsps.toDF()
+      .filter(col("evalue") <= evalueCutoff)
+      .withColumn("strand", when(col("sEnd") >= col("sStart"), 1).otherwise(-1))
+      .withColumn("start", least(col("sStart"), col("sEnd")) - 1) // 0-based interbase
+      .withColumn("end", greatest(col("sStart"), col("sEnd")))
+    val grouped = Overlap.assignGroups(norm,
+      Seq(col("queryId"), col("subjectId"), col("strand")),
+      col("start"), col("end"))
+    grouped
+      .withColumn("match_id",
+        concat_ws(":", col("queryId"), col("subjectId"), col("strand"), col("group_id")))
+      .groupBy(col("match_id"), col("queryId"), col("subjectId"), col("strand"))
+      .agg(
+        min(col("start")).as("fmin"),
+        max(col("end")).as("fmax"),
+        min(col("evalue")).as("evalue"),
+        max(col("bitscore")).as("score"),
+        count(lit(1)).as("n_parts"))
+  }
+
+  /** Serialize match groups as GFF3 lines with `%.3g` e-values (F10). */
+  def toGff3Lines(matches: DataFrame): DataFrame =
+    matches.select(concat_ws("\t",
+      col("subjectId"), lit("blast"), lit("match"),
+      (col("fmin") + 1).cast("string"), col("fmax").cast("string"),
+      format_string("%.3g", col("evalue")),
+      when(col("strand") === 1, "+").otherwise("-"),
+      lit("."),
+      concat(lit("ID="), col("match_id"), lit(";Target="), col("queryId"))).as("value"))
+      .orderBy(col("value"))
+}

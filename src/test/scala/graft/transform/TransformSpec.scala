@@ -1,0 +1,147 @@
+package graft.transform
+
+import graft.SparkSpec
+import graft.etl.StockImport
+import graft.operators.Overlap
+import graft.report.SumStats
+import graft.sinks.JdbcStore
+import graft.sources.{GenBank, Gff3}
+import org.apache.spark.sql.functions._
+
+class TransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overlap grouping chains overlapping intervals (J13)") {
+    val df = Seq(
+      ("h1", 0, 100), ("h1", 50, 150), ("h1", 140, 200), // one chain
+      ("h1", 500, 600), // separate chain
+      ("h2", 0, 10)) // other key
+      .toDF("hit", "s", "e")
+    val got = Overlap.assignGroups(df, Seq($"hit"), $"s", $"e")
+      .select($"hit", $"s", $"group_id").as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("h1", 0, 1L), ("h1", 50, 1L), ("h1", 140, 1L),
+      ("h1", 500, 2L), ("h2", 0, 1L)))
+  }
+
+  test("blast transform filters by evalue, groups HSPs, formats %.3g") {
+    val hsps = Seq(
+      "q1\ts1\t98.5\t100\t1\t0\t1\t100\t1000\t1099\t1e-30\t190",
+      "q1\ts1\t97.0\t80\t2\t0\t90\t170\t1080\t1159\t1e-20\t150", // overlaps -> same group
+      "q1\ts1\t90.0\t50\t5\t0\t200\t250\t5000\t5049\t1e-5\t80", // separate group
+      "q1\ts1\t50.0\t30\t9\t1\t1\t30\t9000\t9029\t20.0\t20", // fails cutoff
+      "# comment")
+    val ds = spark.createDataset(hsps).flatMap(BlastToGff3.parseLine _)
+    val matches = BlastToGff3.toFeatures(ds, evalueCutoff = 1.0)
+    assert(matches.count() == 2)
+    val top = matches.filter($"n_parts" === 2).as[
+      (String, String, String, Int, Int, Int, Double, Double, Long)].collect().head
+    assert(top._5 == 999 && top._6 == 1159) // fmin 0-based, fmax spans both HSPs
+    val lines = BlastToGff3.toGff3Lines(matches).as[String].collect()
+    assert(lines.exists(_.contains("\t1.00e-30\t"))) // %.3g
+    assert(lines.forall(_.split("\t").length == 9))
+  }
+
+  test("stock import validates ids and stitches parents (S8/J11)") {
+    val dir = java.nio.file.Files.createTempDirectory("stock")
+    java.nio.file.Files.writeString(dir.resolve("strain.tsv"),
+      "DBS0000001\taxeA mutant\tD. discoideum\t\n" +
+        "DBS0000002\taxeB mutant\tD. discoideum\tDBS0000001\n" +
+        "BADID12345\tnope\tx\t\n")
+    val strains = StockImport.strains(spark, dir.resolve("strain.tsv").toString)
+    assert(strains.count() == 2) // regex gate dropped BADID
+    val withP = StockImport.withParents(strains)
+    val child = withP.filter($"stock_id" === "DBS0000002")
+      .select($"parent_descriptor").as[String].collect()
+    assert(child.toSeq == Seq("axeA mutant"))
+  }
+
+  test("GenBank scanner parses locus, features, qualifiers, origin (S6)") {
+    val gb =
+      """LOCUS       TESTSEQ    60 bp    DNA     linear   PLN 01-JAN-2024
+        |DEFINITION  test record.
+        |FEATURES             Location/Qualifiers
+        |     source          1..60
+        |                     /organism="Dictyostelium discoideum"
+        |     gene            10..50
+        |                     /gene="abcA"
+        |     CDS             join(10..30,40..50)
+        |                     /gene="abcA"
+        |                     /product="ABC transporter
+        |                     family protein"
+        |ORIGIN
+        |        1 acgtacgtac gtacgtacgt acgtacgtac gtacgtacgt acgtacgtac gtacgtacgt
+        |//
+        |""".stripMargin
+    val rec = GenBank.parseRecord(gb).get
+    assert(rec.locus == "TESTSEQ" && rec.length == 60)
+    assert(rec.sequence.length == 60 && rec.sequence.startsWith("ACGTACGTAC"))
+    val cds = rec.features.find(_.key == "CDS").get
+    assert(cds.location == "join(10..30,40..50)")
+    assert(cds.qualifiers("product") == "ABC transporterfamily protein")
+    assert(rec.features.find(_.key == "gene").get.qualifiers("gene") == "abcA")
+  }
+
+  test("intron stats from exon gaps via lag window (A4)") {
+    val gff =
+      """##gff-version 3
+        |chr1	t	mRNA	1	1000	.	+	.	ID=rna1
+        |chr1	t	exon	1	100	.	+	.	Parent=rna1
+        |chr1	t	exon	201	400	.	+	.	Parent=rna1
+        |chr1	t	exon	501	1000	.	+	.	Parent=rna1
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("introns", ".gff3")
+    java.nio.file.Files.writeString(f, gff)
+    val feats = Gff3.features(spark, f.toString)
+    val introns = SumStats.introns(feats)
+      .select($"intron_len").as[Int].collect().sorted
+    assert(introns.toSeq == Seq(100, 100)) // gaps 100..200 and 400..500
+    val stats = SumStats.intronStats(feats).collect().head
+    assert(stats.getLong(0) == 2 && stats.getDouble(1) == 100.0)
+  }
+
+  test("malformed GFF3 rows are counted via accumulator (A8)") {
+    val f = java.nio.file.Files.createTempFile("bad", ".gff3")
+    java.nio.file.Files.writeString(f,
+      "chr1\tt\tgene\t1\t100\t.\t+\t.\tID=ok\n" +
+        "chr1\tt\tgene\tBAD\t100\t.\t+\t.\tID=bad\n")
+    val acc = spark.sparkContext.longAccumulator("badRows")
+    val n = Gff3.features(spark, f.toString, Some(acc)).count()
+    assert(n == 1 && acc.value == 1)
+  }
+
+  test("JDBC store round-trips through embedded Derby with pushdown (K1-K3/S9)") {
+    val url = s"jdbc:derby:memory:graftdb;create=true"
+    val df = Seq((1L, "gene1", "gene"), (2L, "rna1", "mRNA"))
+      .toDF("feature_id", "uniquename", "ftype")
+    JdbcStore.write(df, url, "feature", mode = "overwrite",
+      columnTypes = Some("uniquename VARCHAR(128), ftype VARCHAR(64)"))
+    val back = JdbcStore.read(spark, url, "feature")
+      .filter($"ftype" === "gene") // pushes down into Derby
+      .select($"uniquename").as[String].collect()
+    assert(back.toSeq == Seq("gene1"))
+    // driver-side transactional merge (the reference's txn guard): a
+    // failing statement rolls the whole batch back
+    val counts = JdbcStore.mergeTransaction(url, Seq(
+      "INSERT INTO feature VALUES (3, 'new1', 'exon')"))
+    assert(counts == Seq(1))
+    intercept[java.sql.SQLException] {
+      JdbcStore.mergeTransaction(url, Seq(
+        "INSERT INTO feature VALUES (4, 'new2', 'exon')",
+        "INSERT INTO no_such_table VALUES (1)"))
+    }
+    val n = JdbcStore.read(spark, url, "feature").count()
+    assert(n == 3) // the failed txn left nothing behind
+  }
+
+  test("html to wiki conversion (F14)") {
+    import graft.functions.WikiText
+    val got = WikiText.htmlToWiki(
+      "<p>The <b>abcA</b> gene encodes an <i>ABC</i> " +
+        "<a href=\"http://x.org/p1\">transporter</a>.<br/>Second line.</p>")
+    assert(got == "The '''abcA''' gene encodes an ''ABC'' " +
+      "[http://x.org/p1 transporter].\nSecond line.")
+    val viaUdf = Seq("<b>x</b>").toDF("h")
+      .select(WikiText.html_to_wiki($"h").as("w")).as[String].collect().head
+    assert(viaUdf == "'''x'''")
+  }
+}
