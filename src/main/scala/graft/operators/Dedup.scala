@@ -53,9 +53,12 @@ object Dedup {
     * keys; docs sharing any (band, bucket) become candidate pairs. */
   def lshCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // the signature frame feeds numBands branches and both join sides —
+    // checkpoint once so the shingle+minhash pipeline runs once, not 2·b×
+    val s = sig.localCheckpoint()
     val bands = (0 until numBands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      sig.select(col("doc_id"), lit(b).as("band"), md5(concat(slots: _*)).as("bucket"))
+      s.select(col("doc_id"), lit(b).as("band"), md5(concat(slots: _*)).as("bucket"))
     }.reduce(_ unionByName _)
     val a = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
@@ -65,11 +68,27 @@ object Dedup {
   }
 
   /** Pairwise n-gram Jaccard via an inverted shingle index: only pairs
-    * sharing at least one shingle are materialized. */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    * sharing at least one shingle are materialized.
+    *
+    * `maxDf` caps shingle document frequency before the self-join — a
+    * shingle in d docs contributes d² candidate pairs, so one boilerplate
+    * shingle across a 100 TB corpus would otherwise dominate the shuffle
+    * (the standard stopword-shingle guard). Sizes are computed BEFORE the
+    * cap so the Jaccard denominator stays exact. */
+  def jaccardPairs(shingles: DataFrame, minJaccard: Double,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
+    // reused by sizes + both self-join sides: materialize the inverted
+    // index once instead of re-running tokenize/explode/distinct 3×
+    val sh = shingles.localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+    val rare =
+      if (maxDf == Long.MaxValue) sh
+      else sh.join(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+    val inter = rare.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     inter

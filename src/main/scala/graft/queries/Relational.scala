@@ -253,16 +253,18 @@ object Relational {
       |ORDER BY kind, name""".stripMargin
 
   // ---------------------------------------------------------------- q12
-  // W1 — window dedup, one row per key (share/postgresql_gff3.lib:175-187).
-  private def q12WindowDedup(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  // W1 — pick-one-row-per-key dedup (share/postgresql_gff3.lib:175-187).
+  // The reference formulates it as row_number()=1; at scale an arg-min
+  // aggregate is the better physical plan (map-side partial min, no full
+  // partition sort) — struct ordering gives the same lexicographic pick.
+  // row_number-as-filter stays exercised by q6/q15.
+  private def q12WindowDedup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(struct(col("l_orderkey"), col("l_linenumber"))).as("m"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("m.l_orderkey").as("l_orderkey"), col("m.l_linenumber").as("l_linenumber"))
       .orderBy(col("l_partkey"), col("l_suppkey"))
-  }
 
   private val q12Sql =
     """SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber

@@ -53,6 +53,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 0.5)))
   }
 
+  test("jaccard maxDf cap drops boilerplate shingles from candidates") {
+    // "x x" appears in all three docs; with maxDf=2 it can't generate
+    // candidates, so only the a/b pair (sharing "a b") survives
+    val docs = Seq((1L, "a b x x"), (2L, "a b x x"), (3L, "q r x x"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 2)
+    val capped = Dedup.jaccardPairs(sh, 0.1, maxDf = 2)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)))
+    val uncapped = Dedup.jaccardPairs(sh, 0.1)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("simhash of identical docs matches, differs for unrelated docs") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different words here now")).toDF("doc_id", "text")
