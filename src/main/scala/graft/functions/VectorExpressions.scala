@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over embedding
+  * columns (`array<float>` / `array<double>`).
+  *
+  * The composable form — `aggregate(zip_with(a, b, ...), ...)` — builds a
+  * zipped intermediate array and dispatches a Catalyst lambda per
+  * element; at 100 TB of embeddings that is the per-row hot loop, so
+  * this expression fuses dot product and both norms into one pass with
+  * full `doGenCode` support (stays inside whole-stage codegen, no
+  * intermediate allocation).
+  *
+  * Semantics match the composable form bit-for-bit: elements are widened
+  * to double, then multiply-accumulated strictly left-to-right;
+  * `dot / (sqrt(na) * sqrt(nb))`. Null arrays propagate null; element
+  * nulls are not expected (embeddings are dense).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def isFloat(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val af = isFloat(left.dataType)
+    val bf = isFloat(right.dataType)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getA = if (isFloat(left.dataType)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      val getB = if (isFloat(right.dataType)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int i = 0; i < $n; i++) {
+         |  double x = $getA;
+         |  double y = $getB;
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One-pass MinHash over a shingle array (`array<string>`): returns
+  * `numHashes` lexicographic-min md5 hex strings, slot i minimizing
+  * `md5("i:" ++ shingle)` — exactly the portable family in
+  * [[graft.operators.Dedup]], but computed per-row with no
+  * explode / groupBy shuffle. On a 100 TB corpus this turns candidate
+  * generation from (shuffle tokens, aggregate) into a map-only pass.
+  *
+  * Interpreted eval only (md5 via MessageDigest is not worth inlining
+  * into generated Java); still row-at-a-time tight JVM code.
+  */
+case class MinHashMd5(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType, false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_md5 expects array<string>, got $t")
+    }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = new Array[String](numHashes)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val sb = s.getBytes
+        var h = 0
+        while (h < numHashes) {
+          val prefix = (h.toString + ":").getBytes("UTF-8")
+          val buf = new Array[Byte](prefix.length + sb.length)
+          System.arraycopy(prefix, 0, buf, 0, prefix.length)
+          System.arraycopy(sb, 0, buf, prefix.length, sb.length)
+          val hex = md5Hex(buf)
+          if (mins(h) == null || hex < mins(h)) mins(h) = hex
+          h += 1
+        }
+      }
+      i += 1
+    }
+    if (mins(0) == null) null
+    else ArrayData.toArrayData(mins.map(org.apache.spark.unsafe.types.UTF8String.fromString))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API wrappers + SQL registration for the native expressions. */
+object VectorFunctions {
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def minhash_md5(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashMd5(ColumnBridge.expression(shingles), numHashes))
+
+  /** Register as SQL functions on a session (the
+    * `SparkSessionExtensions` injection path uses the same calls). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_md5",
+      exprs => MinHashMd5(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
+}

@@ -42,12 +42,34 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: numHashes lexicographic-min md5 values per doc. */
+  /** MinHash signature: numHashes lexicographic-min md5 values per doc,
+    * from an exploded (doc_id, shingle) frame — shuffles shingles into a
+    * groupBy. Prefer [[minhashSignatureDirect]] where the input is the
+    * document table itself. */
   def minhashSignature(sh: DataFrame, numHashes: Int): DataFrame =
     sh.groupBy(col("doc_id")).agg(
       min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
       (1 until numHashes).map(i =>
         min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")): _*)
+
+  /** Map-only MinHash: tokenize -> shingle array -> one-pass native
+    * [[graft.functions.MinHashMd5]] expression per row. Identical output
+    * to [[minhashSignature]] over [[shingles]], with zero shuffles —
+    * the 100 TB-shaped plan (signatures reduce each doc to numHashes
+    * strings before anything wide happens). */
+  def minhashSignatureDirect(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, numHashes: Int): DataFrame = {
+    val shingleArr = expr(
+      s"array_distinct(transform(sequence(0, size(toks) - $n), i -> " +
+        (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + "))")
+    val sig = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minhash_md5(shingleArr, numHashes).as("sig"))
+    sig.select(col("doc_id") +:
+      (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+  }
 
   /** LSH bands: hash groups of `rowsPerBand` signature slots into bucket
     * keys; docs sharing any (band, bucket) become candidate pairs. */

@@ -22,19 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-
   /** Add a `sim` column: rounded cosine similarity of `embCol` vs the
-    * single-row query frame `queryVec` (column `qv`). */
+    * single-row query frame `queryVec` (column `qv`), via the native
+    * fused expression ([[graft.functions.CosineSimilarity]] — one pass,
+    * codegen'd, bit-identical to the composable
+    * `aggregate(zip_with(...))` form it replaced). */
   def withCosine(df: DataFrame, queryVec: DataFrame, embCol: String): DataFrame =
     df.crossJoin(broadcast(queryVec))
-      .withColumn("dot", expr(dotExpr(embCol, "qv")))
-      .withColumn("na", expr(dotExpr(embCol, embCol)))
-      .withColumn("nb", expr(dotExpr("qv", "qv")))
-      .withColumn("sim", round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
-      .drop("dot", "na", "nb", "qv")
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosine_sim(col(embCol), col("qv")), 6))
+      .drop("qv")
 
   /** Exact brute-force cosine top-k against the embedding of `queryId`. */
   def cosineTopK(emb: DataFrame, idCol: String, embCol: String,

@@ -40,8 +40,9 @@ object Pipeline {
   // ---------------------------------------------------------------- q28
   // MinHash + LSH banding near-dup candidates (8 hashes, 2 bands of 4).
   private def q28MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
-    val sig = Dedup.minhashSignature(sh, 8)
+    // map-only signatures via the native MinHashMd5 expression — no
+    // shingle explode/shuffle; identical output to the groupBy form
+    val sig = Dedup.minhashSignatureDirect(t(s, dir, "documents"), "doc_id", "text", 3, 8)
     Dedup.lshCandidates(sig, 8, 4)
       .orderBy(col("doc_a"), col("doc_b"))
   }

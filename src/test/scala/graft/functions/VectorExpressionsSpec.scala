@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim is bit-identical to the composable aggregate/zip_with form") {
+    val emb = Seq(
+      (1L, Array(0.3f, -1.2f, 7.5f, 0.001f), Array(2.0f, 0.5f, -0.25f, 9f)),
+      (2L, Array(1f, 0f, 0f, 0f), Array(1f, 0f, 0f, 0f)))
+      .toDF("id", "a", "b")
+    val composable = expr(
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v) / " +
+        "(sqrt(aggregate(zip_with(a, a, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)) * " +
+        " sqrt(aggregate(zip_with(b, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))")
+    val rows = emb.select(
+      VectorFunctions.cosine_sim($"a", $"b").as("native"), composable.as("ref"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, r) => assert(n == r, s"native $n != composable $r") }
+    assert(rows(1)._1 == 1.0)
+  }
+
+  test("cosine_sim handles nulls and survives codegen") {
+    val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]])).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine_sim($"a", $"b")).collect()
+    assert(got.head.isNullAt(0))
+  }
+
+  test("minhash_md5 matches the exploded groupBy signature exactly") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different words in this one here now"))
+      .toDF("doc_id", "text")
+    val viaShuffle = Dedup.minhashSignature(
+      Dedup.shingles(docs, "doc_id", "text", 3), 8)
+      .orderBy($"doc_id").collect().map(_.toSeq)
+    val direct = Dedup.minhashSignatureDirect(docs, "doc_id", "text", 3, 8)
+      .orderBy($"doc_id").collect().map(_.toSeq)
+    assert(viaShuffle.toSeq == direct.toSeq)
+  }
+
+  test("SQL registration via GraftExtensions works end-to-end") {
+    // GraftSession builds with extensions; here register on the shared
+    // test session via the function-registry path
+    VectorFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").as[Double].collect()
+    assert(got.head == 1.0)
+    val mh = spark.sql(
+      "SELECT minhash_md5(array('a b c', 'b c d'), 2)")
+      .collect().head.getSeq[String](0)
+    assert(mh.length == 2 && mh.forall(_.length == 32))
+  }
+}
