@@ -55,15 +55,33 @@ object GraftCli {
     spark.stop()
   }
 
+  private val storeTables = Seq("feature", "featureloc", "analysisfeature",
+    "synonym", "feature_synonym", "dbxref", "feature_dbxref",
+    "feature_relationship", "featureprop")
+
   private def gff3ToChado(in: String, out: String): Unit = {
     val spark = GraftSession.local()
     val feats = Gff3.features(spark, in)
     val staging = Gff3ToChado.stage(spark, feats)
-    val (store, counts) = Gff3ToChado.merge(staging, Gff3ToChado.Store.emptyLike(staging))
+    // incremental: an existing store is the live side (the reference's
+    // re-load path, ChadoGFF3UpdateRunner) — only deltas are inserted
+    val live =
+      if (new java.io.File(s"$out/feature").exists()) {
+        def r(t: String) = spark.read.parquet(s"$out/$t")
+        Gff3ToChado.Store(r("feature"), r("featureloc"), r("analysisfeature"),
+          r("synonym"), r("feature_synonym"), r("dbxref"), r("feature_dbxref"),
+          r("feature_relationship"), r("featureprop"))
+      } else Gff3ToChado.Store.emptyLike(staging)
+    val (store, counts) = Gff3ToChado.merge(staging, live)
     counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"$t%-22s $n%6d") }
-    store.feature.write.mode("overwrite").parquet(s"$out/feature")
-    store.featureloc.write.mode("overwrite").parquet(s"$out/featureloc")
-    store.featureRelationship.write.mode("overwrite").parquet(s"$out/feature_relationship")
+    val frames = Seq(store.feature, store.featureloc, store.analysisfeature,
+      store.synonym, store.featureSynonym, store.dbxref, store.featureDbxref,
+      store.featureRelationship, store.featureprop)
+    storeTables.zip(frames).foreach { case (t, df) =>
+      // localCheckpoint: the new store still references the parquet being
+      // overwritten — materialize before the write truncates the input
+      df.localCheckpoint().write.mode("overwrite").parquet(s"$out/$t")
+    }
     println(s"store written to $out")
     spark.stop()
   }

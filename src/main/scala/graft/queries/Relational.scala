@@ -529,6 +529,43 @@ object Relational {
       |  SELECT a.child, e.parent, a.dist + 1 FROM a JOIN e ON a.parent = e.child)
       |SELECT child, parent AS ancestor, dist FROM a ORDER BY child, dist""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  // O2 — ordered assembly via sort_array(collect_list(struct)): the exon
+  // concatenation pattern (chado2fasta.pm:432-460) on lineitem — line
+  // numbers assembled in shipdate order per order.
+  private def q40OrderedAssembly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(",",
+        expr("transform(sort_array(collect_list(struct(l_shipdate, l_linenumber))), x -> CAST(x.l_linenumber AS STRING))"))
+        .as("lines_by_shipdate"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_orderkey"))
+
+  private val q40Sql =
+    """SELECT l_orderkey,
+      |  string_agg(l_linenumber, ',' ORDER BY l_shipdate, l_linenumber) AS lines_by_shipdate,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  // F5/F6/F13 — character-level transforms (reverse-complement analog):
+  // translate + reverse + trim on part names, cross-engine.
+  private def q41CharOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        reverse(translate(col("p_name"), "aeiou", "AEIOU")).as("rev_translated"),
+        trim(col("p_name")).as("trimmed"),
+        substring(col("p_name"), 1, 5).as("head5"))
+      .orderBy(col("p_partkey"))
+
+  private val q41Sql =
+    """SELECT p_partkey,
+      |  reverse(translate(p_name, 'aeiou', 'AEIOU')) AS rev_translated,
+      |  trim(p_name) AS trimmed,
+      |  substring(p_name, 1, 5) AS head5
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -556,6 +593,8 @@ object Relational {
     "q24_groupfilter" -> q24GroupFilter _,
     "q25_json" -> q25Json _,
     "q26_closure" -> q26Closure _,
+    "q40_ordered_assembly" -> q40OrderedAssembly _,
+    "q41_char_ops" -> q41CharOps _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -585,5 +624,7 @@ object Relational {
     "q24_groupfilter" -> q24Sql,
     "q25_json" -> q25Sql,
     "q26_closure" -> q26Sql,
+    "q40_ordered_assembly" -> q40Sql,
+    "q41_char_ops" -> q41Sql,
   )
 }

@@ -71,6 +71,23 @@ class ExportStreamSpec extends SparkSpec {
     assert(got == Set(("feat1", "GO:1"), ("feat1b", "GO:1")))
   }
 
+  test("gene summary joins legacy paragraphs and converts to wiki (J12/F14)") {
+    import graft.export.GeneSummary
+    import graft.sinks.JdbcStore
+    // two "schemas" as two Derby tables, like chado + legacy oracle
+    val url = "jdbc:derby:memory:genesumdb;create=true"
+    JdbcStore.write(Seq(("DDB_G1", 11L), ("DDB_G2", 12L))
+      .toDF("gene_id", "paragraph_no"), url, "featureprop",
+      mode = "overwrite", columnTypes = Some("gene_id VARCHAR(32)"))
+    JdbcStore.write(Seq((11L, "<b>actin</b> binding"), (13L, "orphan"))
+      .toDF("paragraph_no", "html"), url, "paragraph",
+      mode = "overwrite", columnTypes = Some("html VARCHAR(256)"))
+    val got = GeneSummary.toTsvLines(GeneSummary.export(
+      JdbcStore.read(spark, url, "featureprop"),
+      JdbcStore.read(spark, url, "paragraph"))).as[String].collect()
+    assert(got.toSeq == Seq("DDB_G1\t'''actin''' binding")) // G2 has no paragraph
+  }
+
   test("streaming hourly aggregation matches the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     val ev = Seq(
