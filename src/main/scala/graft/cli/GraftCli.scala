@@ -26,6 +26,7 @@ object GraftCli {
     case "chado2fasta" :: in :: out :: Nil => chado2Fasta(in, out)
     case "blast2gff3" :: in :: out :: Nil => blast2Gff3(in, out)
     case "sumstats" :: in :: Nil => sumStats(in)
+    case "stream-merge" :: in :: store :: keys :: Nil => streamMerge(in, store, keys)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -41,6 +42,20 @@ object GraftCli {
     graft.transform.BlastToGff3.toGff3Lines(matches)
       .coalesce(1).write.mode("overwrite").text(out)
     println(s"${matches.count()} match groups written to $out")
+    spark.stop()
+  }
+
+  /** One-shot drain of the file-watch incremental merge (§2.10 upgrade):
+    * processes everything currently in `in`, merges novel rows by `keys`
+    * (comma-separated) into the parquet store, then stops. */
+  private def streamMerge(in: String, store: String, keys: String): Unit = {
+    val spark = GraftSession.local()
+    val schema = spark.read.parquet(in).schema
+    val q = graft.streaming.StreamingMerge.fileWatchMerge(
+      spark, in, schema, store, keys.split(",").toSeq)
+    q.processAllAvailable()
+    q.stop()
+    println(s"store now has ${spark.read.parquet(store).count()} rows")
     spark.stop()
   }
 

@@ -40,4 +40,11 @@ object Closure {
     }
     acc.select(col("child"), col("parent").as("ancestor"), col("dist"))
   }
+
+  /** J7/U2 — closure prune: live `cvtermpath`-shaped rows not present in
+    * the freshly computed closure are the delete set
+    * (share/postgresql_transitive.lib:50-78's correlated
+    * `EXISTS ... EXCEPT` done as a plain EXCEPT). */
+  def pruneSet(liveClosure: DataFrame, newClosure: DataFrame): DataFrame =
+    liveClosure.except(newClosure.select(liveClosure.columns.map(col): _*))
 }

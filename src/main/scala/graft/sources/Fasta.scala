@@ -37,9 +37,14 @@ object Fasta {
       lit(">"), col(idCol), lit("\n"),
       rtrim(regexp_replace(col(residuesCol), "(.{1,60})", "$1\n"), "\n")).as("value"))
 
-  /** Write FASTA to `path` with deterministic record order by id. */
-  def write(df: DataFrame, idCol: String, residuesCol: String, path: String): Unit =
-    format(df.orderBy(col(idCol)), idCol, residuesCol)
+  /** Write FASTA to `path` with deterministic record order by id.
+    * `gzip=true` compresses the part files (K8, the reference's tar.gz
+    * output role — lib/Modware/Role/Command/CanCompress.pm). */
+  def write(df: DataFrame, idCol: String, residuesCol: String, path: String,
+            gzip: Boolean = false): Unit = {
+    val w = format(df.orderBy(col(idCol)), idCol, residuesCol)
       .coalesce(1)
-      .write.mode("overwrite").text(path)
+      .write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).text(path)
+  }
 }

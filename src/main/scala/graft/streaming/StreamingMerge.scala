@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental merge over a file-watch stream (SURVEY.md §2.10: the
+  * reference is batch-only; this is the Spark-native upgrade — GAF/GFF3
+  * drops land in a directory, each micro-batch runs the same anti-join
+  * merge the batch loader uses, via `foreachBatch`).
+  *
+  * The store lives as parquet; each batch reads the current store,
+  * anti-joins the new rows, and appends only the novel ones — the
+  * staging-table merge made continuous. Append mode keeps this safe for
+  * re-delivered files (duplicate rows are filtered by the anti-join).
+  */
+object StreamingMerge {
+
+  /** Start a file-watch merge: new files under `inDir` (matching
+    * `schema`) are anti-joined on `keys` against the parquet store at
+    * `storeDir` and appended. Returns the running query; callers stop it
+    * (or `processAllAvailable` for a synchronous drain). */
+  def fileWatchMerge(spark: SparkSession, inDir: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     storeDir: String, keys: Seq[String]):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val novel =
+          if (new java.io.File(storeDir).exists()) {
+            val live = batch.sparkSession.read.parquet(storeDir)
+            batch.dropDuplicates(keys)
+              .join(live.select(keys.map(col): _*).dropDuplicates(), keys, "left_anti")
+          } else batch.dropDuplicates(keys)
+        novel.write.mode("append").parquet(storeDir)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.streaming.StreamingMerge
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals the plain join (skew-safe path)") {
+    val facts = Seq.tabulate(100)(i => (if (i < 90) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val dims = Seq(("hot", "H"), ("k95", "K")).toDF("key", "label")
+    val plain = facts.join(dims, Seq("key"))
+      .select($"key", $"v", $"label").as[(String, Int, String)].collect().toSet
+    val salted = SkewJoin.saltedJoin(facts, dims, "key", 8, $"v")
+      .select($"key", $"v", $"label").as[(String, Int, String)].collect().toSet
+    assert(salted == plain && plain.size == 91)
+  }
+
+  test("salted two-phase count equals the plain count") {
+    val df = Seq.fill(500)("hot").map(k => (k, 1)).toDF("key", "v")
+      .unionByName(Seq(("cold", 1)).toDF("key", "v"))
+    val got = SkewJoin.saltedCount(df, "key", 16, monotonically_increasing_id())
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("hot" -> 500L, "cold" -> 1L))
+  }
+
+  test("closure prune set is live-minus-new (J7/U2)") {
+    val live = Seq((2L, 1L, 1), (3L, 1L, 1), (9L, 1L, 2)).toDF("child", "ancestor", "dist")
+    val fresh = Seq((2L, 1L, 1), (3L, 1L, 1)).toDF("child", "ancestor", "dist")
+    val prune = Closure.pruneSet(live, fresh).as[(Long, Long, Int)].collect().toSet
+    assert(prune == Set((9L, 1L, 2)))
+  }
+
+  test("file-watch streaming merge appends only novel keys per batch") {
+    val in = java.nio.file.Files.createTempDirectory("smerge-in").toString
+    val store = java.nio.file.Files.createTempDirectory("smerge-store").toString + "/t"
+    val schema = Seq((1L, "a")).toDF("id", "v").schema
+    // batch 1
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(in)
+    val q = StreamingMerge.fileWatchMerge(spark, in, schema, store, Seq("id"))
+    q.processAllAvailable()
+    assert(spark.read.parquet(store).count() == 2)
+    // batch 2: one duplicate key, one new
+    Seq((2L, "dup"), (3L, "c")).toDF("id", "v")
+      .write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(store).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c")) // dup filtered
+  }
+
+  test("gzip FASTA write produces compressed part files (K8)") {
+    val out = java.nio.file.Files.createTempDirectory("fagz").toString + "/fa"
+    graft.sources.Fasta.write(Seq(("s1", "ACGT")).toDF("id", "seq"), "id", "seq",
+      out, gzip = true)
+    val parts = new java.io.File(out).listFiles().filter(_.getName.endsWith(".gz"))
+    assert(parts.nonEmpty)
+    val content = scala.io.Source.fromInputStream(
+      new java.util.zip.GZIPInputStream(new java.io.FileInputStream(parts.head))
+    ).mkString
+    assert(content == ">s1\nACGT\n")
+  }
+}
