@@ -50,6 +50,6 @@ object GafLoad {
       .join(broadcast(dupMap), annotations("feature_uniquename") === dupMap("gene_id"))
       .drop("feature_uniquename", "gene_id")
       .withColumnRenamed("sibling_id", "feature_uniquename")
-    annotations.unionByName(copies.select(annotations.columns.map(col): _*))
+    annotations.unionByName(copies.select(annotations.columns.toIndexedSeq.map(col): _*))
   }
 }

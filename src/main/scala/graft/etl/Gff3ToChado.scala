@@ -176,7 +176,7 @@ object Gff3ToChado {
       "featureprop" -> newProp.count())
 
     def u(a: DataFrame, b: DataFrame): DataFrame =
-      a.unionByName(b.select(a.columns.map(col): _*))
+      a.unionByName(b.select(a.columns.toIndexedSeq.map(col): _*))
 
     val updated = Store(
       feature = u(live.feature, newFeature),

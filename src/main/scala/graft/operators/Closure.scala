@@ -46,5 +46,5 @@ object Closure {
     * (share/postgresql_transitive.lib:50-78's correlated
     * `EXISTS ... EXCEPT` done as a plain EXCEPT). */
   def pruneSet(liveClosure: DataFrame, newClosure: DataFrame): DataFrame =
-    liveClosure.except(newClosure.select(liveClosure.columns.map(col): _*))
+    liveClosure.except(newClosure.select(liveClosure.columns.toIndexedSeq.map(col): _*))
 }
