@@ -76,7 +76,10 @@ object GraftCli {
 
   private def gff3ToChado(in: String, out: String): Unit = {
     val spark = GraftSession.local()
-    val feats = Gff3.features(spark, in)
+    import spark.implicits._
+    // the splittable DSv2 source: one huge GFF3 parallelizes by byte range
+    val feats = spark.read.format("graft.sources.v2.Gff3DataSource")
+      .load(in).as[graft.chado.GffRecord]
     val staging = Gff3ToChado.stage(spark, feats)
     // incremental: an existing store is the live side (the reference's
     // re-load path, ChadoGFF3UpdateRunner) — only deltas are inserted
