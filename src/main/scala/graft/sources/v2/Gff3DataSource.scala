@@ -57,15 +57,61 @@ class Gff3Table(properties: Map[String, String]) extends Table with SupportsRead
     new Gff3ScanBuilder(options)
 }
 
-class Gff3ScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder {
-  override def build(): Scan = new Gff3Scan(options)
+/** Supports two scan optimizations:
+  *  - filter pushdown for `ftype`/`seqId` equality and IN — evaluated on
+  *    the raw tab fields BEFORE the expensive attribute-map parse;
+  *  - column pruning — when `attributes` is not required, the reader
+  *    skips attribute parsing entirely (the dominant per-line cost).
+  */
+class Gff3ScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = Gff3DataSource.schema
+
+  private def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => a == "ftype" || a == "seqId"
+    case In(a, _) => a == "ftype" || a == "seqId"
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(pushable)
+    filters // all filters re-evaluated by Spark (ours are an early-out)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Gff3Scan(options, pushed, required)
 }
 
 case class Gff3Split(path: String, start: Long, end: Long) extends InputPartition
 
-class Gff3Scan(options: CaseInsensitiveStringMap) extends Scan with Batch {
-  override def readSchema(): StructType = Gff3DataSource.schema
+/** Serializable form of the pushed filters (Filter itself is
+  * serializable; keep only the two shapes we accept). */
+case class Gff3Pushdown(ftypeIn: Option[Set[String]], seqIdIn: Option[Set[String]])
+
+class Gff3Scan(options: CaseInsensitiveStringMap,
+               pushedFilters: Array[org.apache.spark.sql.sources.Filter],
+               required: StructType) extends Scan with Batch {
+  import org.apache.spark.sql.sources._
+
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  private def pushdown: Gff3Pushdown = {
+    def setFor(attr: String): Option[Set[String]] = {
+      val sets = pushedFilters.collect {
+        case EqualTo(a, v: String) if a == attr => Set(v)
+        case In(a, vs) if a == attr => vs.collect { case s: String => s }.toSet
+      }
+      if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    }
+    Gff3Pushdown(setFor("ftype"), setFor("seqId"))
+  }
 
   private def paths: Seq[String] = {
     // spark.read.load(path) passes paths as a JSON array under "paths",
@@ -100,13 +146,16 @@ class Gff3Scan(options: CaseInsensitiveStringMap) extends Scan with Batch {
   override def createReaderFactory(): PartitionReaderFactory =
     new Gff3ReaderFactory(
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      pushdown, required)
 }
 
-class Gff3ReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
+class Gff3ReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
+                        pushdown: Gff3Pushdown, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new Gff3PartitionReader(partition.asInstanceOf[Gff3Split], conf.value)
+    new Gff3PartitionReader(partition.asInstanceOf[Gff3Split], conf.value,
+      pushdown, required)
 }
 
 /** A split owns exactly the lines whose start byte falls in
@@ -114,13 +163,22 @@ class Gff3ReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
   * to start-1 and discards one line — that consumes the line containing
   * byte start-1 whether or not start lands exactly on a line boundary,
   * so every line has exactly one owner. Assumes `\n` line endings. */
-class Gff3PartitionReader(split: Gff3Split, conf: org.apache.hadoop.conf.Configuration)
+class Gff3PartitionReader(split: Gff3Split, conf: org.apache.hadoop.conf.Configuration,
+                          pushdown: Gff3Pushdown, required: StructType)
     extends PartitionReader[InternalRow] {
 
   private def lineBytes(line: String): Long =
     line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1L
 
   private val serializer = Gff3DataSource.encoder.createSerializer()
+  private val needsAttributes = required.fieldNames.contains("attributes")
+  // project the full encoded row down to the pruned schema by position
+  private val pruneProjection = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    .create(required.fieldNames.toIndexedSeq.map { n =>
+      val i = Gff3DataSource.schema.fieldIndex(n)
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, Gff3DataSource.schema(i).dataType, nullable = true)
+    })
   private val fs = new Path(split.path).getFileSystem(conf)
   private val in = fs.open(new Path(split.path))
   private var pos: Long = 0L
@@ -145,13 +203,33 @@ class Gff3PartitionReader(split: Gff3Split, conf: org.apache.hadoop.conf.Configu
       val line = reader.readLine()
       if (line == null) return false
       pos += lineBytes(line)
-      if (!line.startsWith("#") && line.count(_ == '\t') >= 8)
-        Gff3.parseLine(line).foreach(r => current = r)
+      if (!line.startsWith("#") && line.count(_ == '\t') >= 8) {
+        // pushed filters: cheap raw-field early-out before the parse
+        val keep = (pushdown.ftypeIn, pushdown.seqIdIn) match {
+          case (None, None) => true
+          case (ft, sq) =>
+            val t1 = line.indexOf('\t')
+            val t2 = line.indexOf('\t', t1 + 1)
+            val t3 = line.indexOf('\t', t2 + 1)
+            // %-escaped fields skip the raw early-out (Spark re-checks
+            // every filter post-scan, so keeping extra rows is safe;
+            // dropping a row that would match after unescaping is not)
+            def ok(set: Set[String], raw: String) =
+              raw.contains('%') || set.contains(raw)
+            sq.forall(ok(_, line.substring(0, t1))) &&
+              ft.forall(ok(_, line.substring(t2 + 1, t3)))
+        }
+        if (keep) {
+          val toParse = if (needsAttributes) line
+          else line.substring(0, line.lastIndexOf('\t') + 1) + "." // blank col 9
+          Gff3.parseLine(toParse).foreach(r => current = r)
+        }
+      }
     }
     true
   }
 
-  override def get(): InternalRow = serializer(current).copy()
+  override def get(): InternalRow = pruneProjection(serializer(current)).copy()
 
   override def close(): Unit = reader.close()
 }

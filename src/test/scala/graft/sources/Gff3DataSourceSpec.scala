@@ -42,6 +42,28 @@ class Gff3DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("filter pushdown and column pruning produce correct results") {
+    val df = readV2(1 << 20)
+    // pruned (no attributes) + pushed ftype filter
+    val got = df.where("ftype = 'gene' AND seqId = 'chr1'")
+      .select("fmin", "fmax").collect()
+    assert(got.length == 40)
+    // pruned projection returns right columns and values
+    val fmins = df.select("fmin").collect().map(_.getInt(0)).sorted
+    assert(fmins.head == 99 && fmins.length == 40)
+    // a filter that matches nothing
+    assert(df.where("ftype = 'nope'").count() == 0)
+    // mixed: pushed + unpushable filter together
+    assert(df.where("ftype = 'gene' AND fmin > 2000").count() ==
+      (1 to 40).count(i => i * 100 - 1 > 2000))
+  }
+
+  test("pushed filters appear in the scan metadata") {
+    val plan = readV2(1 << 20).where("ftype = 'gene'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Gff3Scan") || plan.contains("BatchScan"))
+  }
+
   test("schema exposes the typed GFF3 shape incl. the attribute map") {
     val df = readV2(1 << 20)
     assert(df.schema.fieldNames.toSeq ==
