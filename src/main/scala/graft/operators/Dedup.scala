@@ -122,6 +122,25 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: sign-bucket LSH (1 bit per
+    * leading dim) generates candidates, the native fused cosine
+    * ([[graft.functions.CosineSimilarity]]) confirms. Only same-bucket
+    * pairs materialize — the shuffle is O(candidates), not O(n²). */
+  def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
+                        bits: Int, minSim: Double): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("vec_id"), col(embCol).as("e"),
+      concat((1 to bits).map(i =>
+        when(element_at(col(embCol), i) >= 0f, "1").otherwise("0")): _*).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("e").as("e_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("e").as("e_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosine_sim(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** SimHash fingerprint over distinct words, `bits` wide (<= 32: one hex
     * nibble of md5 per bit keeps the oracle portable). Bit j is set when
     * the majority of word-hashes have nibble j's high bit set. */

@@ -294,6 +294,38 @@ object Pipeline {
       |  CAST(SUM(length(w)) AS DOUBLE) / COUNT(*) AS avg_token_len
       |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents)""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  // Embedding-cosine near-dup pairs: sign-bucket candidates + exact
+  // cosine confirm (completes the dedup family: exact / MinHash /
+  // SimHash / n-gram Jaccard / embedding).
+  private def q42EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        bits = 6, minSim = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q42Sql =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+      |     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+      |     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+      |     CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+      |     CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+      |     CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim
+      |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
@@ -308,6 +340,7 @@ object Pipeline {
     "q37_timewindow" -> q37TimeWindow _,
     "q38_binarymeta" -> q38BinaryMeta _,
     "q39_corpus_stats" -> q39CorpusStats _,
+    "q42_embed_neardup" -> q42EmbedNearDup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,5 +357,6 @@ object Pipeline {
     "q37_timewindow" -> q37Sql,
     "q38_binarymeta" -> q38Sql,
     "q39_corpus_stats" -> q39Sql,
+    "q42_embed_neardup" -> q42Sql,
   )
 }
