@@ -566,6 +566,41 @@ object Relational {
       |  substring(p_name, 1, 5) AS head5
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  // Sequential-pattern funnel on events: first view per user, first
+  // purchase after it, conversion lag (the sessionized-analytics shape
+  // the streaming module serves incrementally).
+  private def q43Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts_us") > col("first_view_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_purchase_us"))
+    firstView.join(firstPurchase, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("first_view_us"),
+        col("first_purchase_us"),
+        col("first_purchase_us").isNotNull.as("converted"),
+        (col("first_purchase_us") - col("first_view_us")).as("lag_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q43Sql =
+    """WITH fv AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS first_view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |fp AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_us
+      |  FROM events e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.first_view_us
+      |  GROUP BY e.user_id)
+      |SELECT fv.user_id, first_view_us, first_purchase_us,
+      |  first_purchase_us IS NOT NULL AS converted,
+      |  first_purchase_us - first_view_us AS lag_us
+      |FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+      |ORDER BY fv.user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -595,6 +630,7 @@ object Relational {
     "q26_closure" -> q26Closure _,
     "q40_ordered_assembly" -> q40OrderedAssembly _,
     "q41_char_ops" -> q41CharOps _,
+    "q43_funnel" -> q43Funnel _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -626,5 +662,6 @@ object Relational {
     "q26_closure" -> q26Sql,
     "q40_ordered_assembly" -> q40Sql,
     "q41_char_ops" -> q41Sql,
+    "q43_funnel" -> q43Sql,
   )
 }

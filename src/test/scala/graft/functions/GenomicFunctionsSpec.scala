@@ -60,6 +60,17 @@ class GenomicFunctionsSpec extends SparkSpec {
     assert(got == Seq("1", "2", "z"))
   }
 
+  test("ordered assembly aggregator concatenates by position (O2)") {
+    import graft.functions.OrderedAssembly
+    val ds = Seq((1L, 2, "CCC"), (1L, 0, "AAA"), (1L, 1, "BBB"), (2L, 0, "X"))
+      .toDS()
+    val got = ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(OrderedAssembly.assemble.toColumn)
+      .collect().toMap
+    assert(got == Map(1L -> "AAABBBCCC", 2L -> "X"))
+  }
+
   test("cigar reformat (F15)") {
     val got = Seq("12M3I9M").toDF("c").select(cigarToGap($"c").as("r"))
       .as[String].collect().head
