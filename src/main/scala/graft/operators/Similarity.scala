@@ -43,6 +43,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions vectors into
+    * cells; queries probe only their nearest cell. The real scale path —
+    * a 10B-vector index scans one cell (~n/k vectors), not the corpus.
+    *
+    * Training is one deterministic Lloyd step: centroids initialize from
+    * the first `numCells` vectors by id, every vector assigns to its
+    * nearest centroid (exact L2², ties to the lowest cell id), and cell
+    * means are recomputed per dimension, rounded to 6 decimals. The
+    * rounding makes the trained centroids — and therefore assignments,
+    * and therefore results — reproducible on any engine regardless of
+    * aggregation order.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
+              queryId: Long, numCells: Int, k: Int): DataFrame = {
+    val l2 = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val init = emb.filter(col(idCol) < numCells)
+      .select(col(idCol).cast("int").as("cid"), col(embCol).as("cv"))
+
+    // assignment pass 0: argmin over exact distances (no aggregation-order
+    // dependence), lexicographic (d2, cid) tiebreak
+    val assign0 = emb.select(col(idCol).as("vid"), col(embCol).as("e"))
+      .crossJoin(broadcast(init))
+      .withColumn("d2", l2("e", "cv"))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cell0"))
+
+    // Lloyd step: per-dimension means, rounded for cross-engine stability
+    val cent1 = emb.select(col(idCol).as("vid"), col(embCol).as("e"))
+      .join(assign0, Seq("vid"))
+      .select(col("cell0"), posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy(col("cell0"), col("i"))
+      .agg(round(sum(col("x").cast("double")) / count(lit(1)), 6).as("m"))
+      .groupBy(col("cell0"))
+      .agg(expr("transform(sort_array(collect_list(struct(i, m))), s -> s.m)").as("cv"))
+      .select(col("cell0").as("cid"), col("cv"))
+
+    // assignment pass 1 against trained centroids, for corpus + query
+    def assign(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(cent1))
+      .withColumn("d2", l2("e", "cv"))
+      .groupBy(col("vid"), col("e"))
+      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cell"))
+    val assigned = assign(emb.select(col(idCol).as("vid"), col(embCol).as("e")))
+      .localCheckpoint() // reused for query cell + candidate scan
+
+    val queryCell = assigned.filter(col("vid") === queryId)
+      .select(col("e").as("qv"), col("cell"))
+    val candidates = assigned.filter(col("vid") =!= queryId)
+      .join(broadcast(queryCell.select(col("cell"))), Seq("cell"), "left_semi")
+    withCosine(candidates, queryCell.select(col("qv")), "e")
+      .select(col("vid").as(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Sign-bucket LSH: bucket key = sign bits of the first `bits` dims.
     * Probes only the query's bucket, then exact cosine within it. */
   def signBucketTopK(emb: DataFrame, idCol: String, embCol: String,

@@ -326,6 +326,48 @@ object Pipeline {
       |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  // IVF ANN: 1-Lloyd-step coarse quantizer (rounded centroids for
+  // cross-engine reproducibility), probe the query's cell only.
+  private def q44AnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, numCells = 8, k = 10)
+
+  private val q44Sql = {
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+    s"""WITH init AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |d0 AS (
+       |  SELECT e.vec_id AS vid, init.cid, ${l2("e.embedding", "init.cv")} AS d2
+       |  FROM embeddings e CROSS JOIN init),
+       |a0 AS (SELECT vid, cid AS cell0 FROM (
+       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn FROM d0) WHERE rn = 1),
+       |dims AS (
+       |  SELECT a0.cell0,
+       |    unnest(generate_series(1, len(e.embedding))) AS i,
+       |    unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS x
+       |  FROM embeddings e JOIN a0 ON e.vec_id = a0.vid),
+       |c1 AS (SELECT cell0 AS cid, list(m ORDER BY i) AS cv FROM (
+       |  SELECT cell0, i, round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS m
+       |  FROM dims GROUP BY cell0, i) GROUP BY cell0),
+       |d1 AS (
+       |  SELECT e.vec_id AS vid, e.embedding AS ev, c1.cid, ${l2("e.embedding", "c1.cv")} AS d2
+       |  FROM embeddings e CROSS JOIN c1),
+       |a1 AS (SELECT vid, ev, cid AS cell FROM (
+       |  SELECT vid, ev, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
+       |q AS (SELECT ev AS qv, cell FROM a1 WHERE vid = 0),
+       |scored AS (
+       |  SELECT vid AS vec_id,
+       |    round(
+       |      list_sum(list_transform(generate_series(1, len(ev)), i -> CAST(ev[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
+       |      (sqrt(list_sum(list_transform(generate_series(1, len(ev)), i -> CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))), 6) AS sim
+       |  FROM a1 JOIN q ON a1.cell = q.cell WHERE a1.vid <> 0)
+       |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
@@ -341,6 +383,7 @@ object Pipeline {
     "q38_binarymeta" -> q38BinaryMeta _,
     "q39_corpus_stats" -> q39CorpusStats _,
     "q42_embed_neardup" -> q42EmbedNearDup _,
+    "q44_ann_ivf" -> q44AnnIvf _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -358,5 +401,6 @@ object Pipeline {
     "q38_binarymeta" -> q38Sql,
     "q39_corpus_stats" -> q39Sql,
     "q42_embed_neardup" -> q42Sql,
+    "q44_ann_ivf" -> q44Sql,
   )
 }
