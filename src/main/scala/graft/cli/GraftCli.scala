@@ -27,6 +27,8 @@ object GraftCli {
     case "blast2gff3" :: in :: out :: Nil => blast2Gff3(in, out)
     case "sumstats" :: in :: Nil => sumStats(in)
     case "stream-merge" :: in :: store :: keys :: Nil => streamMerge(in, store, keys)
+    case "gb2fasta" :: in :: out :: Nil => gb2Fasta(in, out)
+    case "stockreport" :: in :: Nil => stockReport(in)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -42,6 +44,27 @@ object GraftCli {
     graft.transform.BlastToGff3.toGff3Lines(matches)
       .coalesce(1).write.mode("overwrite").text(out)
     println(s"${matches.count()} match groups written to $out")
+    spark.stop()
+  }
+
+  /** GenBank records to FASTA (SURVEY.md S6 + K5). */
+  private def gb2Fasta(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val recs = graft.sources.GenBank.read(spark, in)
+      .filter(_.sequence.nonEmpty).toDF()
+    Fasta.write(recs, "locus", "sequence", out)
+    println(s"${recs.count()} records written to $out")
+    spark.stop()
+  }
+
+  /** Strain TSV import report: valid rows + resolved parent links
+    * (SURVEY.md S8/J11). */
+  private def stockReport(in: String): Unit = {
+    val spark = GraftSession.local()
+    val strains = graft.etl.StockImport.strains(spark, in)
+    val withParents = graft.etl.StockImport.withParents(strains)
+    val linked = withParents.filter(col("parent_descriptor").isNotNull).count()
+    println(s"valid_strains=${strains.count()} parent_links=$linked")
     spark.stop()
   }
 

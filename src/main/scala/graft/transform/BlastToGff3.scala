@@ -30,9 +30,17 @@ object BlastToGff3 {
     catch { case _: NumberFormatException => None }
   }
 
-  def read(spark: SparkSession, path: String): Dataset[Hsp] = {
+  /** `badRows` tallies unparseable non-comment lines (A8), matching the
+    * GFF3 reader's policy. */
+  def read(spark: SparkSession, path: String,
+           badRows: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Hsp] = {
     import spark.implicits._
-    spark.read.textFile(path).flatMap(parseLine _)
+    spark.read.textFile(path).flatMap { line =>
+      val parsed = parseLine(line)
+      if (parsed.isEmpty && !line.startsWith("#") && line.trim.nonEmpty)
+        badRows.foreach(_.add(1))
+      parsed
+    }
   }
 
   /** Group HSPs and emit per-group `match` + per-HSP `match_part` frames.
