@@ -28,6 +28,7 @@ object GraftCli {
     case "sumstats" :: in :: Nil => sumStats(in)
     case "stream-merge" :: in :: store :: keys :: Nil => streamMerge(in, store, keys)
     case "gb2fasta" :: in :: out :: Nil => gb2Fasta(in, out)
+    case "store2gff3" :: store :: out :: Nil => store2Gff3(store, out)
     case "stockreport" :: in :: Nil => stockReport(in)
     case other =>
       System.err.println(
@@ -130,11 +131,53 @@ object GraftCli {
   private def obo2Chado(in: String, out: String): Unit = {
     val spark = GraftSession.local()
     val st = OntologyMerge.stage(spark, Obo.terms(spark, in), Obo.relationships(spark, in))
-    val r = OntologyMerge.merge(st, OntologyMerge.CvStore.emptyLike(st))
+    // incremental: an existing store is the live side — re-loads compute
+    // prune/update/insert deltas (the reference's versioned re-load,
+    // obo2chado-core-update.t)
+    val live =
+      if (new java.io.File(s"$out/cvterm").exists())
+        OntologyMerge.CvStore(
+          spark.read.parquet(s"$out/cvterm"),
+          spark.read.parquet(s"$out/cvtermsynonym"),
+          spark.read.parquet(s"$out/cvterm_altid"),
+          spark.read.parquet(s"$out/cvterm_relationship"))
+      else OntologyMerge.CvStore.emptyLike(st)
+    val r = OntologyMerge.merge(st, live)
     r.counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"$t%-22s $n%6d") }
-    r.store.cvterm.write.mode("overwrite").parquet(s"$out/cvterm")
-    r.store.relationship.write.mode("overwrite").parquet(s"$out/cvterm_relationship")
+    Seq("cvterm" -> r.store.cvterm, "cvtermsynonym" -> r.store.synonym,
+      "cvterm_altid" -> r.store.altId,
+      "cvterm_relationship" -> r.store.relationship).foreach { case (t, df) =>
+      df.localCheckpoint().write.mode("overwrite").parquet(s"$out/$t")
+    }
     println(s"store written to $out")
+    spark.stop()
+  }
+
+  /** Canonical GFF3 export FROM the relational store (SURVEY.md §3.3 as
+    * set-based joins — the reference's per-row ORM walk becomes one
+    * feature ⋈ featureloc ⋈ relationship pass + ordered write). */
+  private def store2Gff3(storeDir: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val feature = spark.read.parquet(s"$storeDir/feature")
+    val loc = spark.read.parquet(s"$storeDir/featureloc").filter(col("rank") === 0)
+    val rel = spark.read.parquet(s"$storeDir/feature_relationship")
+      .filter(col("reltype") === "part_of")
+      .select(col("subject"), col("object").as("parent"))
+    val frame = feature
+      .join(loc, Seq("uniquename"))
+      .join(rel, feature("uniquename") === rel("subject"), "left_outer")
+      .select(col("uniquename"),
+        // staging falls back name := uniquename; don't re-emit the echo
+        nullif(col("name"), col("uniquename")).as("name"),
+        col("ftype"), col("srcfeature"),
+        col("fmin"), col("fmax"), lit(null).cast("double").as("score"),
+        col("strand"), col("phase"), lit(null).cast("string").as("source"),
+        col("parent"))
+    val refs = frame.filter(col("ftype").isin("chromosome", "contig", "supercontig"))
+      .select(col("uniquename"), (col("fmax") - col("fmin")).as("seqlen"))
+    Gff3Export.document(refs, frame)
+      .coalesce(1).write.mode("overwrite").text(out)
+    println(s"gff3 written to $out (${frame.count()} feature lines)")
     spark.stop()
   }
 
