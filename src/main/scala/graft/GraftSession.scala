@@ -10,6 +10,30 @@ import org.apache.spark.sql.SparkSession
   * initial number down, so we set a large initial value there instead.
   */
 object GraftSession {
+
+  /** The settings that change between local[] and a 1000-executor
+    * cluster, in one place. Local keeps shuffle partitions at core
+    * count; the cluster profile starts high and lets AQE coalesce,
+    * turns on skew-join splitting, and bounds scan partition size so a
+    * 100 TB input plans ~800k well-sized tasks rather than a few huge
+    * ones. */
+  val clusterConf: Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> "2000", // AQE coalesces down
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Builder pre-loaded with [[clusterConf]] + engine extensions; the
+    * caller adds master/deploy settings. */
+  def clusterBuilder(): SparkSession.Builder =
+    clusterConf.foldLeft(
+      SparkSession.builder().appName("graft").withExtensions(new GraftExtensions)
+    ) { case (b, (k, v)) => b.config(k, v) }
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
