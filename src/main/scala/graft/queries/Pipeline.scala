@@ -368,6 +368,61 @@ object Pipeline {
        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q45
+  // Deterministic dataset split: md5 of the content maps each doc to
+  // train/val/test with fixed proportions (12/16 train, 2/16 val,
+  // 2/16 test) — reproducible on any engine, stable under re-runs,
+  // and content-keyed so exact duplicates land in the same split.
+  private def q45Split(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("bucket", expr("substring(md5(text), 1, 1)"))
+      .withColumn("split",
+        when(col("bucket") < "c", "train")
+          .when(col("bucket") < "e", "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("split"))
+
+  private val q45Sql =
+    """SELECT CASE WHEN substring(md5(text), 1, 1) < 'c' THEN 'train'
+      |            WHEN substring(md5(text), 1, 1) < 'e' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  // End-to-end curation pipeline: quality gate -> exact-dup removal ->
+  // split assignment -> per-(split, lang) accounting. The composition
+  // every training-data pipeline runs, as one declarative plan.
+  private def q46Curation(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), "\\s+")))
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000)
+    val keep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    docs.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .withColumn("split",
+        when(expr("substring(md5(text), 1, 1)") < "c", "train").otherwise("heldout"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  private val q46Sql =
+    """WITH gated AS (
+      |  SELECT doc_id, lang, text, len(string_split_regex(text, '\s+')) AS n_tokens
+      |  FROM documents
+      |  WHERE len(string_split_regex(text, '\s+')) BETWEEN 20 AND 1000),
+      |keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text))
+      |SELECT CASE WHEN substring(md5(text), 1, 1) < 'c' THEN 'train' ELSE 'heldout' END AS split,
+      |  lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+      |FROM gated WHERE doc_id IN (SELECT doc_id FROM keep)
+      |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
@@ -384,6 +439,8 @@ object Pipeline {
     "q39_corpus_stats" -> q39CorpusStats _,
     "q42_embed_neardup" -> q42EmbedNearDup _,
     "q44_ann_ivf" -> q44AnnIvf _,
+    "q45_split" -> q45Split _,
+    "q46_curation" -> q46Curation _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -402,5 +459,7 @@ object Pipeline {
     "q39_corpus_stats" -> q39Sql,
     "q42_embed_neardup" -> q42Sql,
     "q44_ann_ivf" -> q44Sql,
+    "q45_split" -> q45Sql,
+    "q46_curation" -> q46Sql,
   )
 }
