@@ -30,6 +30,9 @@ object GraftCli {
     case "gb2fasta" :: in :: out :: Nil => gb2Fasta(in, out)
     case "store2gff3" :: store :: out :: Nil => store2Gff3(store, out)
     case "stockreport" :: in :: Nil => stockReport(in)
+    case "gaf2chado" :: in :: store :: Nil => gaf2Chado(in, store)
+    case "chado2gaf" :: store :: out :: rest if rest.size <= 1 =>
+      chado2Gaf(store, out, rest.headOption)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -199,6 +202,39 @@ object GraftCli {
     Gff3Export.document(refs, rec)
       .coalesce(1).write.mode("overwrite").text(out)
     println(s"gff3 written to $out (${rec.count()} feature lines)")
+    spark.stop()
+  }
+
+  /** dictygaf2chado analog: parse a GAF 2.0 file into the Chado-shaped
+    * annotation store tables (SURVEY.md §3.4; GAF.pm:86-163). */
+  private def gaf2Chado(in: String, store: String): Unit = {
+    val spark = GraftSession.local()
+    val tables = graft.etl.GafLoad.toStore(graft.sources.Gaf.read(spark, in))
+    tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$store/$name")
+      println(f"$name%-18s ${spark.read.parquet(s"$store/$name").count()}%6d")
+    }
+    println(s"annotation store written to $store")
+    spark.stop()
+  }
+
+  /** chado2gaf / dictygaf analog: the flagship GAF 2.0 product export
+    * (lib/Modware/Export/GAF.pm:155-386) from the annotation store —
+    * P2+P3+P6+F17+F18+A6+A7 composed in one declarative plan. */
+  private def chado2Gaf(store: String, out: String, skipFile: Option[String]): Unit = {
+    val spark = GraftSession.local()
+    def r(t: String) = spark.read.parquet(s"$store/$t")
+    val skip = skipFile.map { f =>
+      spark.read.textFile(f).toDF("accession").filter(col("accession") =!= "")
+    }
+    val rows = graft.export.GafExport.rows(
+      assoc = r("feature_cvterm"), terms = r("cvterm_go"), genes = r("gene"),
+      evidenceSynonyms = r("evidence_synonym"), geneSynonyms = r("gene_synonym"),
+      descriptions = r("gene_description"), skipIds = skip)
+    graft.export.GafExport.lines(rows, "dictyBase", "http://dictybase.org",
+        java.time.LocalDate.now())
+      .coalesce(1).write.mode("overwrite").text(out)
+    println(s"gaf written to $out (${rows.count()} annotation rows)")
     spark.stop()
   }
 

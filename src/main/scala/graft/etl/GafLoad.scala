@@ -42,6 +42,65 @@ object GafLoad {
         col("pub"), col("evidenceCode"), col("date"), col("rank"))
   }
 
+  /** Decompose parsed GAF rows into the Chado-shaped store tables the
+    * GAF exporter reads back (`graft.export.GafExport.rows`) — the Spark
+    * analog of dictygaf2chado's feature_cvterm + rank-aligned
+    * feature_cvtermprop writes (lib/Modware/Export/GAF.pm:86-163).
+    *
+    * Returned frames, by name:
+    *  - feature_cvterm: (gene_id, go_id, pub, evidence_id, qualifier,
+    *    with_from, date, assigned_by) — one row per (annotation, dbRef);
+    *  - cvterm_go: (go_id, cv_name, is_obsolete) — aspect letter mapped
+    *    back to its cv namespace;
+    *  - gene: (gene_id, accession, symbol, object_type);
+    *  - evidence_synonym: (evidence_id, synonym) — seeded with the code
+    *    itself; ontology loads add the spelled-out EXACT synonyms that
+    *    make F18's ≤3-char preference meaningful;
+    *  - gene_synonym: (gene_id, name);
+    *  - gene_description: (gene_id, description, date_created dd-MMM-yy).
+    */
+  def toStore(gaf: Dataset[GafRecord]): Map[String, DataFrame] = {
+    val df = gaf.toDF()
+    val cvOfAspect = map(graft.export.GafExport.aspects.flatMap {
+      case (cvName, letter) => Seq(lit(letter), lit(cvName))
+    }: _*)
+    val featureCvterm = df.select(
+      col("objectId").as("gene_id"),
+      regexp_replace(col("goId"), "^GO:", "").as("go_id"),
+      explode(col("dbRef")).as("pub"),
+      concat(lit("ECO:"), col("evidenceCode")).as("evidence_id"),
+      concat_ws("|", col("qualifier")).as("qualifier"),
+      concat_ws("|", col("withFrom")).as("with_from"),
+      col("date"), col("assignedBy").as("assigned_by"))
+    val cvtermGo = df.select(
+      regexp_replace(col("goId"), "^GO:", "").as("go_id"),
+      element_at(cvOfAspect, col("aspect")).as("cv_name"),
+      lit(0).as("is_obsolete")).dropDuplicates("go_id")
+    val gene = df.select(
+      col("objectId").as("gene_id"),
+      col("objectId").as("accession"),
+      col("symbol"),
+      col("objectType").as("object_type")).dropDuplicates("gene_id")
+    val evidenceSynonym = df.select(
+      concat(lit("ECO:"), col("evidenceCode")).as("evidence_id"),
+      col("evidenceCode").as("synonym")).dropDuplicates()
+    val geneSynonym = df.select(col("objectId").as("gene_id"),
+      explode(col("synonyms")).as("name")).dropDuplicates()
+    val geneDescription = df
+      .filter(col("objectName").isNotNull)
+      .select(col("objectId").as("gene_id"),
+        col("objectName").as("description"),
+        date_format(to_date(col("date"), "yyyyMMdd"), "dd-MMM-yy").as("date_created"))
+      .dropDuplicates()
+    Map(
+      "feature_cvterm" -> featureCvterm,
+      "cvterm_go" -> cvtermGo,
+      "gene" -> gene,
+      "evidence_synonym" -> evidenceSynonym,
+      "gene_synonym" -> geneSynonym,
+      "gene_description" -> geneDescription)
+  }
+
   /** U4 — duplicate-gene fan-out: copy annotation rows to each sibling id
     * in the dup map (AppendDuplicate.pm:43-66). */
   def fanoutDuplicates(annotations: DataFrame, dupMap: DataFrame): DataFrame = {

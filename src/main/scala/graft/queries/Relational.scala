@@ -601,6 +601,112 @@ object Relational {
       |FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
       |ORDER BY fv.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  // F18+A7 — evidence-code synonym resolution (≤3-char synonym preferred,
+  // Export/GAF.pm:273-281) + pipe-fold (GAF.pm:352-364), the GAF-export
+  // core, via the real graft.export.GafExport.resolveEvidence operator.
+  // Synonym table = long priority names ∪ their short split codes.
+  private def q47EvidencePref(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val syn = o.select(col("o_custkey").as("k"), col("o_orderpriority").as("synonym"))
+      .unionByName(o.select(col("o_custkey").as("k"),
+        split_part(col("o_orderpriority"), lit("-"), lit(1)).as("synonym")))
+      .dropDuplicates()
+    val pref = graft.export.GafExport.resolveEvidence(
+        syn.select(col("k").as("evidence_id"), col("synonym")))
+      .select(col("evidence_id").as("k"), col("evidence_code"))
+    val folds = syn.groupBy(col("k"))
+      .agg(concat_ws("|", sort_array(collect_list(col("synonym")))).as("synonyms"),
+        count(lit(1)).as("n_synonyms"))
+    t(s, dir, "customer")
+      .join(pref, col("c_custkey") === pref("k")).drop("k")
+      .join(folds, col("c_custkey") === folds("k")).drop("k")
+      .select(col("c_custkey"), col("c_name"), col("evidence_code"),
+        col("synonyms"), col("n_synonyms"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q47Sql =
+    """WITH syn AS (
+      |  SELECT DISTINCT o_custkey AS k, o_orderpriority AS synonym FROM orders
+      |  UNION
+      |  SELECT DISTINCT o_custkey, split_part(o_orderpriority, '-', 1) FROM orders)
+      |SELECT c_custkey, c_name,
+      |  coalesce(min(CASE WHEN length(synonym) <= 3 THEN synonym END), min(synonym)) AS evidence_code,
+      |  string_agg(synonym, '|' ORDER BY synonym) AS synonyms,
+      |  COUNT(*) AS n_synonyms
+      |FROM customer JOIN syn ON c_custkey = k
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  // J1+J4+J10 — the staging↔live FK-stitch merge
+  // (share/postgresql_gff3.lib:99-211): novel natural keys get surrogate
+  // ids allocated above the live max, then child rows staged by natural
+  // key join the unioned dimension to pick up their FK. The global
+  // row_number here is the oracle-expressible form of id allocation; the
+  // 100 TB path allocates per-partition ranges (see Gff3ToChado.merge).
+  private def q48FkStitch(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    // live dimension: two-thirds of customers already have surrogate ids
+    val live = cust.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_name").as("key"), col("c_custkey").as("id"))
+    val staging = cust.select(col("c_name").as("key"))
+    // J1 novelty: staged keys absent from the live dimension
+    val novel = staging.join(live, Seq("key"), "left_anti")
+    val newRows = novel.withColumn("id",
+      row_number().over(Window.orderBy(col("key"))).cast("long") + lit(1000000L))
+    val dim = live.unionByName(newRows.select(col("key"), col("id")))
+    // J4: children staged by natural key stitch to their surrogate FK
+    val children = cust
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name").as("key"), col("o_orderkey"))
+    children.join(dim, Seq("key"))
+      .select(col("o_orderkey"), col("id").as("feature_id"), col("key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q48Sql =
+    """WITH live AS (
+      |  SELECT c_name AS key, c_custkey AS id FROM customer WHERE c_custkey % 3 <> 0),
+      |staging AS (SELECT c_name AS key FROM customer),
+      |novel AS (SELECT key FROM staging WHERE NOT EXISTS (SELECT 1 FROM live WHERE live.key = staging.key)),
+      |newrows AS (SELECT key, 1000000 + row_number() OVER (ORDER BY key) AS id FROM novel),
+      |dim AS (SELECT * FROM live UNION ALL SELECT * FROM newrows),
+      |children AS (SELECT c_name AS key, o_orderkey FROM customer JOIN orders ON c_custkey = o_custkey)
+      |SELECT o_orderkey, dim.id AS feature_id, dim.key AS key
+      |FROM children JOIN dim USING (key)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  // J7/U2 — closure prune via EXCEPT inside a scoped delete
+  // (share/postgresql_transitive.lib:50-78): live closure rows not in
+  // the staged closure, scoped by a semi-join guard, are removed; the
+  // survivors are the merged closure.
+  private def q49ClosurePrune(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val live = li.select(col("l_orderkey"), col("l_partkey")).dropDuplicates()
+    val staging = li.filter(col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_partkey")).dropDuplicates()
+    val scope = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    val prune = live.except(staging)
+      .join(scope, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    live.join(prune, Seq("l_orderkey", "l_partkey"), "left_anti")
+      .orderBy(col("l_orderkey"), col("l_partkey"))
+  }
+
+  private val q49Sql =
+    """WITH live AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |staging AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |            WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |prune AS (
+      |  SELECT * FROM (SELECT * FROM live EXCEPT SELECT * FROM staging) p
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = p.l_orderkey AND o_orderstatus = 'F'))
+      |SELECT l_orderkey, l_partkey FROM live l
+      |WHERE NOT EXISTS (SELECT 1 FROM prune
+      |                  WHERE prune.l_orderkey = l.l_orderkey AND prune.l_partkey = l.l_partkey)
+      |ORDER BY l_orderkey, l_partkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -631,6 +737,9 @@ object Relational {
     "q40_ordered_assembly" -> q40OrderedAssembly _,
     "q41_char_ops" -> q41CharOps _,
     "q43_funnel" -> q43Funnel _,
+    "q47_evidence_pref" -> q47EvidencePref _,
+    "q48_fk_stitch" -> q48FkStitch _,
+    "q49_closure_prune" -> q49ClosurePrune _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -663,5 +772,8 @@ object Relational {
     "q40_ordered_assembly" -> q40Sql,
     "q41_char_ops" -> q41Sql,
     "q43_funnel" -> q43Sql,
+    "q47_evidence_pref" -> q47Sql,
+    "q48_fk_stitch" -> q48Sql,
+    "q49_closure_prune" -> q49Sql,
   )
 }
