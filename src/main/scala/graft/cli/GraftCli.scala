@@ -19,7 +19,16 @@ import graft.sources.{Fasta, Gff3, Obo}
   */
 object GraftCli {
 
-  def main(args: Array[String]): Unit = args.toList match {
+  /** Exports default to the scale-safe per-reference partitioned layout;
+    * `--single-file` opts into one coalesced, globally-sorted file. */
+  private var singleFile = false
+
+  def main(args: Array[String]): Unit = {
+    singleFile = args.contains("--single-file")
+    run(args.toList.filterNot(_ == "--single-file"))
+  }
+
+  private def run(args: List[String]): Unit = args match {
     case "gff3tochado" :: in :: out :: Nil => gff3ToChado(in, out)
     case "obo2chado" :: in :: out :: Nil => obo2Chado(in, out)
     case "chado2gff3" :: in :: out :: Nil => chado2Gff3(in, out)
@@ -45,8 +54,12 @@ object GraftCli {
     val spark = GraftSession.local()
     val matches = graft.transform.BlastToGff3.toFeatures(
       graft.transform.BlastToGff3.read(spark, in))
-    graft.transform.BlastToGff3.toGff3Lines(matches)
-      .coalesce(1).write.mode("overwrite").text(out)
+    if (singleFile)
+      graft.transform.BlastToGff3.toGff3Lines(matches)
+        .coalesce(1).write.mode("overwrite").text(out)
+    else
+      Gff3Export.writePartitionedText(
+        graft.transform.BlastToGff3.toGff3LinesBySubject(matches), "srcfeature", out)
     println(s"${matches.count()} match groups written to $out")
     spark.stop()
   }
@@ -178,8 +191,7 @@ object GraftCli {
         col("parent"))
     val refs = frame.filter(col("ftype").isin("chromosome", "contig", "supercontig"))
       .select(col("uniquename"), (col("fmax") - col("fmin")).as("seqlen"))
-    Gff3Export.document(refs, frame)
-      .coalesce(1).write.mode("overwrite").text(out)
+    Gff3Export.writeDocument(refs, frame, out, singleFile)
     println(s"gff3 written to $out (${frame.count()} feature lines)")
     spark.stop()
   }
@@ -199,8 +211,7 @@ object GraftCli {
         expr("element_at(attributes, 'Parent')[0]").as("parent"))
     val refs = rec.filter(col("ftype").isin("chromosome", "contig", "supercontig"))
       .select(col("uniquename"), (col("fmax") - col("fmin")).as("seqlen"))
-    Gff3Export.document(refs, rec)
-      .coalesce(1).write.mode("overwrite").text(out)
+    Gff3Export.writeDocument(refs, rec, out, singleFile)
     println(s"gff3 written to $out (${rec.count()} feature lines)")
     spark.stop()
   }
@@ -242,7 +253,7 @@ object GraftCli {
   private def chado2Fasta(in: String, out: String): Unit = {
     val spark = GraftSession.local()
     val fasta = Gff3.embeddedFasta(spark, in)
-    Fasta.write(fasta.toDF(), "seqId", "residues", out)
+    Fasta.write(fasta.toDF(), "seqId", "residues", out, singleFile = singleFile)
     println(s"fasta written to $out (${fasta.count()} records)")
     spark.stop()
   }

@@ -78,6 +78,50 @@ object Gff3Export {
       .select(col("value"))
   }
 
+  /** Write the export per-reference: each `srcfeature=<ref>/` directory
+    * holds a self-contained GFF3 (its own `##gff-version` +
+    * `##sequence-region` pragmas + its features in canonical order) —
+    * the reference's per-chromosome parallel dump shape
+    * (bin/chado2dicty_gff3_parallel.sh:24-41), which is also the only
+    * shape that survives 100× scale: no global sort into one partition,
+    * every reference written concurrently. `singleFile = true` opts into
+    * the old one-file globally-sorted output for small exports.
+    *
+    * All rows of one reference hash to one task (`repartition(srcfeature)`)
+    * and are sorted within it, so each partition file is internally
+    * ordered and files concatenate in srcfeature order to a canonical
+    * whole-genome dump.
+    */
+  def writeDocument(references: DataFrame, features: DataFrame, out: String,
+      singleFile: Boolean = false): Unit =
+    if (singleFile) {
+      document(references, features).coalesce(1).write.mode("overwrite").text(out)
+    } else {
+      def pragma(rank: Int, value: org.apache.spark.sql.Column) =
+        references.select(col("uniquename").as("srcfeature"),
+          lit(rank).as("doc_rank"), lit(0).as("type_rank"), lit(0).as("fmin"),
+          lit("").as("uniquename"), value.as("value"))
+      val version = pragma(0, lit("##gff-version 3"))
+      val head = pragma(1, concat(lit("##sequence-region "), col("uniquename"),
+        lit(" 1 "), col("seqlen").cast("string")))
+      val body = featureLines(features).withColumn("doc_rank", lit(2))
+        .select(col("srcfeature"), col("doc_rank"), col("type_rank"),
+          col("fmin"), col("uniquename"), col("value"))
+      version.unionByName(head).unionByName(body)
+        .repartition(col("srcfeature"))
+        .sortWithinPartitions(col("srcfeature"), col("doc_rank"),
+          col("type_rank"), col("fmin"), col("uniquename"))
+        .select(col("srcfeature"), col("value"))
+        .write.mode("overwrite").partitionBy("srcfeature").text(out)
+    }
+
+  /** Generic per-key ordered text write for (partCol, value)-shaped
+    * frames (K4/K7 sinks): one file per key, rows sorted within. */
+  def writePartitionedText(df: DataFrame, partCol: String, out: String): Unit =
+    df.repartition(col(partCol))
+      .sortWithinPartitions(col(partCol), col("value"))
+      .write.mode("overwrite").partitionBy(partCol).text(out)
+
   /** Whole GFF3 document — pragmas then ordered feature lines — as one
     * globally sorted frame safe for a single-file write. */
   def document(references: DataFrame, features: DataFrame): DataFrame = {

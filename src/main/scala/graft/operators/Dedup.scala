@@ -71,23 +71,50 @@ object Dedup {
       (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
   }
 
-  /** LSH bands: hash groups of `rowsPerBand` signature slots into bucket
-    * keys; docs sharing any (band, bucket) become candidate pairs. */
-  def lshCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  private def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     // the signature frame feeds numBands branches and both join sides —
     // checkpoint once so the shingle+minhash pipeline runs once, not 2·b×
     val s = sig.localCheckpoint()
-    val bands = (0 until numBands).map { b =>
+    (0 until numBands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       s.select(col("doc_id"), lit(b).as("band"), md5(concat(slots: _*)).as("bucket"))
     }.reduce(_ unionByName _)
-    val a = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+  }
+
+  /** LSH bands: hash groups of `rowsPerBand` signature slots into bucket
+    * keys; docs sharing any (band, bucket) become candidate pairs.
+    *
+    * `maxBucket` caps bucket membership before the self-join: a bucket of
+    * d docs emits d² pairs, so one degenerate bucket (empty documents,
+    * shared boilerplate) goes quadratic on a 100 TB corpus. Over-full
+    * buckets are dropped whole — their members are, by construction,
+    * near-identical en masse and better handled by exact dedup first;
+    * [[oversizedLshBuckets]] reports exactly what was skipped. Pass
+    * `Long.MaxValue` for the exact (uncapped) semantics. */
+  def lshCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
+                    maxBucket: Long = 1000): DataFrame = {
+    val bands = lshBands(sig, numHashes, rowsPerBand)
+    val kept =
+      if (maxBucket == Long.MaxValue) bands
+      else bands.join(
+        bands.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxBucket).select(col("band"), col("bucket")),
+        Seq("band", "bucket"), "left_semi")
+    val a = kept.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
+
+  /** Accounting for [[lshCandidates]]' cap: the (band, bucket, df) rows
+    * whose membership exceeded `maxBucket` and were skipped. */
+  def oversizedLshBuckets(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
+                          maxBucket: Long): DataFrame =
+    lshBands(sig, numHashes, rowsPerBand)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBucket)
 
   /** Pairwise n-gram Jaccard via an inverted shingle index: only pairs
     * sharing at least one shingle are materialized.
@@ -96,9 +123,11 @@ object Dedup {
     * shingle in d docs contributes d² candidate pairs, so one boilerplate
     * shingle across a 100 TB corpus would otherwise dominate the shuffle
     * (the standard stopword-shingle guard). Sizes are computed BEFORE the
-    * cap so the Jaccard denominator stays exact. */
+    * cap so the Jaccard denominator stays exact. The default is finite —
+    * exact all-pairs semantics is the thing you must explicitly opt into
+    * with `Long.MaxValue`, not the thing you get by forgetting a knob. */
   def jaccardPairs(shingles: DataFrame, minJaccard: Double,
-                   maxDf: Long = Long.MaxValue): DataFrame = {
+                   maxDf: Long = 1000): DataFrame = {
     // reused by sizes + both self-join sides: materialize the inverted
     // index once instead of re-running tokenize/explode/distinct 3×
     val sh = shingles.localCheckpoint()
@@ -125,12 +154,24 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs: sign-bucket LSH (1 bit per
     * leading dim) generates candidates, the native fused cosine
     * ([[graft.functions.CosineSimilarity]]) confirms. Only same-bucket
-    * pairs materialize — the shuffle is O(candidates), not O(n²). */
+    * pairs materialize — the shuffle is O(candidates), not O(n²).
+    *
+    * `maxBucket` guards the degenerate-bucket quadratic blowup (e.g. a
+    * mass of all-zero embeddings signing into one bucket); over-full
+    * buckets are dropped whole, `Long.MaxValue` restores exact
+    * semantics. */
   def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
-                        bits: Int, minSim: Double): DataFrame = {
-    val bucketed = emb.select(col(idCol).as("vec_id"), col(embCol).as("e"),
+                        bits: Int, minSim: Double,
+                        maxBucket: Long = 10000): DataFrame = {
+    val all = emb.select(col(idCol).as("vec_id"), col(embCol).as("e"),
       concat((1 to bits).map(i =>
         when(element_at(col(embCol), i) >= 0f, "1").otherwise("0")): _*).as("bucket"))
+    val bucketed =
+      if (maxBucket == Long.MaxValue) all
+      else all.join(
+        all.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxBucket).select(col("bucket")),
+        Seq("bucket"), "left_semi")
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("e").as("e_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("e").as("e_b"))
     a.join(b, Seq("bucket"))

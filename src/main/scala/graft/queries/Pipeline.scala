@@ -43,7 +43,8 @@ object Pipeline {
     // map-only signatures via the native MinHashMd5 expression — no
     // shingle explode/shuffle; identical output to the groupBy form
     val sig = Dedup.minhashSignatureDirect(t(s, dir, "documents"), "doc_id", "text", 3, 8)
-    Dedup.lshCandidates(sig, 8, 4)
+    // oracle stays exact: the production default caps bucket size
+    Dedup.lshCandidates(sig, 8, 4, maxBucket = Long.MaxValue)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -64,7 +65,8 @@ object Pipeline {
   // n-gram Jaccard near-dup pairs over an inverted shingle index.
   private def q29Jaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
-    Dedup.jaccardPairs(sh, 0.35)
+    // oracle stays exact: the production default caps shingle df
+    Dedup.jaccardPairs(sh, 0.35, maxDf = Long.MaxValue)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -299,8 +301,9 @@ object Pipeline {
   // cosine confirm (completes the dedup family: exact / MinHash /
   // SimHash / n-gram Jaccard / embedding).
   private def q42EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    // oracle stays exact: the production default caps bucket size
     Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-        bits = 6, minSim = 0.4)
+        bits = 6, minSim = 0.4, maxBucket = Long.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
 
   private val q42Sql =

@@ -38,13 +38,19 @@ object Fasta {
       rtrim(regexp_replace(col(residuesCol), "(.{1,60})", "$1\n"), "\n")).as("value"))
 
   /** Write FASTA to `path` with deterministic record order by id.
-    * `gzip=true` compresses the part files (K8, the reference's tar.gz
-    * output role — lib/Modware/Role/Command/CanCompress.pm). */
+    * Default layout is range-partitioned + sorted-within-partition:
+    * part files concatenate in filename order to the globally id-sorted
+    * FASTA, with no single-partition stage (scale-safe). `singleFile`
+    * opts into one coalesced file for small outputs. `gzip=true`
+    * compresses the part files (K8, the reference's tar.gz output role —
+    * lib/Modware/Role/Command/CanCompress.pm). */
   def write(df: DataFrame, idCol: String, residuesCol: String, path: String,
-            gzip: Boolean = false): Unit = {
-    val w = format(df.orderBy(col(idCol)), idCol, residuesCol)
-      .coalesce(1)
-      .write.mode("overwrite")
+            gzip: Boolean = false, singleFile: Boolean = false): Unit = {
+    val ordered =
+      if (singleFile) format(df.orderBy(col(idCol)), idCol, residuesCol).coalesce(1)
+      else format(df.repartitionByRange(col(idCol))
+        .sortWithinPartitions(col(idCol)), idCol, residuesCol)
+    val w = ordered.write.mode("overwrite")
     (if (gzip) w.option("compression", "gzip") else w).text(path)
   }
 }

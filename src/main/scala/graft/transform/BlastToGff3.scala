@@ -72,14 +72,20 @@ object BlastToGff3 {
         count(lit(1)).as("n_parts"))
   }
 
+  private def gff3Line = concat_ws("\t",
+    col("subjectId"), lit("blast"), lit("match"),
+    (col("fmin") + 1).cast("string"), col("fmax").cast("string"),
+    format_string("%.3g", col("evalue")),
+    when(col("strand") === 1, "+").otherwise("-"),
+    lit("."),
+    concat(lit("ID="), col("match_id"), lit(";Target="), col("queryId")))
+
   /** Serialize match groups as GFF3 lines with `%.3g` e-values (F10). */
   def toGff3Lines(matches: DataFrame): DataFrame =
-    matches.select(concat_ws("\t",
-      col("subjectId"), lit("blast"), lit("match"),
-      (col("fmin") + 1).cast("string"), col("fmax").cast("string"),
-      format_string("%.3g", col("evalue")),
-      when(col("strand") === 1, "+").otherwise("-"),
-      lit("."),
-      concat(lit("ID="), col("match_id"), lit(";Target="), col("queryId"))).as("value"))
-      .orderBy(col("value"))
+    matches.select(gff3Line.as("value")).orderBy(col("value"))
+
+  /** Same lines keyed by subject sequence, for the per-reference
+    * partitioned write (scale path — no global sort). */
+  def toGff3LinesBySubject(matches: DataFrame): DataFrame =
+    matches.select(col("subjectId").as("srcfeature"), gff3Line.as("value"))
 }

@@ -38,6 +38,51 @@ class ExportStreamSpec extends SparkSpec {
       "##sequence-region chr1 1 2000", "##sequence-region chr2 1 500"))
   }
 
+  test("partitioned GFF3 write: one self-contained ordered doc per reference") {
+    val refs = Seq(("chr1", 2000), ("chr2", 500)).toDF("uniquename", "seqlen")
+    val feats = Seq(
+      ("gene1", "g1", "gene", "chr1", 99, 900, Option.empty[Double], Option(1),
+        Option.empty[Int], Option("src"), Option.empty[String]),
+      ("rna1", "r1", "mRNA", "chr1", 99, 900, Option.empty[Double], Option(1),
+        Option.empty[Int], Option("src"), Option("gene1")),
+      ("gene2", "g2", "gene", "chr2", 10, 50, Option.empty[Double], Option(-1),
+        Option.empty[Int], Option("src"), Option.empty[String]))
+      .toDF("uniquename", "name", "ftype", "srcfeature", "fmin", "fmax",
+        "score", "strand", "phase", "source", "parent")
+    val out = java.nio.file.Files.createTempDirectory("gff3part").toString
+    Gff3Export.writeDocument(refs, feats, out)
+    // one directory per reference — the parallel per-chromosome shape
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("srcfeature=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("srcfeature=chr1", "srcfeature=chr2"))
+    def readRef(r: String) =
+      spark.read.textFile(s"$out/srcfeature=$r").collect().toSeq
+    val chr1 = readRef("chr1")
+    // each file is a self-contained GFF3: version, its region, ordered body
+    assert(chr1.take(2) == Seq("##gff-version 3", "##sequence-region chr1 1 2000"))
+    assert(chr1.indexWhere(_.contains("ID=gene1")) <
+      chr1.indexWhere(_.contains("ID=rna1")))
+    assert(readRef("chr2").take(2) ==
+      Seq("##gff-version 3", "##sequence-region chr2 1 500"))
+    // concatenated in srcfeature order the bodies match the single-file
+    // canonical export's body line set and order
+    val concatBody = (chr1 ++ readRef("chr2")).filterNot(_.startsWith("##"))
+    val single = Gff3Export.document(refs, feats).as[String].collect()
+      .filterNot(_.startsWith("##")).toSeq
+    assert(concatBody == single)
+  }
+
+  test("FASTA partitioned write concatenates to the id-sorted document") {
+    val df = Seq(("s2", "CGT"), ("s1", "A" * 70), ("s3", "TT")).toDF("id", "seq")
+    val out = java.nio.file.Files.createTempDirectory("fastapart").toString
+    Fasta.write(df, "id", "seq", out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val lines = parts.flatMap(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath)).linesIterator)
+    assert(lines.toSeq == Seq(">s1", "A" * 60, "A" * 10, ">s2", "CGT", ">s3", "TT"))
+  }
+
   test("FASTA format wraps at 60 and round-trips through the reader") {
     val df = Seq(("s1", "A" * 70), ("s2", "CGT")).toDF("id", "seq")
     val text = Fasta.format(df.orderBy($"id"), "id", "seq").as[String].collect().mkString("\n")

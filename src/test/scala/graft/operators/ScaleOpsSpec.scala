@@ -52,6 +52,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c")) // dup filtered
   }
 
+  test("LSH bucket cap bounds a degenerate hot bucket, accounting reports it") {
+    // 50 identical empty-ish docs share every band bucket (the classic
+    // degenerate corpus); 2 genuinely-similar docs share theirs
+    val docs = (Seq.tabulate(50)(i => (i.toLong, "x x x x")) ++
+      Seq((100L, "real content here now"), (101L, "real content here now")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatureDirect(docs, "doc_id", "text", 3, 8)
+    // uncapped: the hot bucket alone is 50*49/2 = 1225 pairs
+    val uncapped = Dedup.lshCandidates(sig, 8, 4, maxBucket = Long.MaxValue).count()
+    assert(uncapped == 1225 + 1)
+    // capped at 10: the degenerate bucket is skipped, the real pair stays
+    val capped = Dedup.lshCandidates(sig, 8, 4, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)))
+    // accounting: both bands report the size-50 bucket
+    val dropped = Dedup.oversizedLshBuckets(sig, 8, 4, maxBucket = 10)
+      .select($"df").as[Long].collect().toSeq.sorted
+    assert(dropped == Seq(50L, 50L))
+  }
+
+  test("embedding near-dup bucket cap bounds the all-zero-vector bucket") {
+    val zeros = Seq.tabulate(30)(i => (i.toLong, Array(0f, 0f, 0f, 0f)))
+    val real = Seq((100L, Array(1f, -1f, 0.5f, 0f)), (101L, Array(1f, -1f, 0.4f, 0f)))
+    val emb = (zeros ++ real).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        bits = 4, minSim = 0.9, maxBucket = 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)))
+    // uncapped, the 30 zero vectors emit all 435 pairs AND each passes
+    // the sim filter (0/0 = NaN, and Spark orders NaN above every
+    // double) — the degenerate bucket poisons the result as well as the
+    // shuffle, which is exactly why the cap is the default
+    val uncapped = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      bits = 4, minSim = 0.9, maxBucket = Long.MaxValue).count()
+    assert(uncapped == 435 + 1)
+  }
+
   test("gzip FASTA write produces compressed part files (K8)") {
     val out = java.nio.file.Files.createTempDirectory("fagz").toString + "/fa"
     graft.sources.Fasta.write(Seq(("s1", "ACGT")).toDF("id", "seq"), "id", "seq",
