@@ -32,11 +32,14 @@ object GraftCli {
     case "gff3tochado" :: in :: out :: Nil => gff3ToChado(in, out)
     case "obo2chado" :: in :: out :: Nil => obo2Chado(in, out)
     case "chado2gff3" :: in :: out :: Nil => chado2Gff3(in, out)
-    case "chado2fasta" :: in :: out :: Nil => chado2Fasta(in, out)
+    case "chado2fasta" :: in :: out :: rest if rest.size <= 1 =>
+      chado2Fasta(in, out, rest.headOption.getOrElse("reference"))
     case "blast2gff3" :: in :: out :: Nil => blast2Gff3(in, out)
     case "sumstats" :: in :: Nil => sumStats(in)
     case "stream-merge" :: in :: store :: keys :: Nil => streamMerge(in, store, keys)
     case "gb2fasta" :: in :: out :: Nil => gb2Fasta(in, out)
+    case "gb2chado" :: in :: out :: Nil => gb2Chado(in, out, mitochondrial = false)
+    case "gbmito2chado" :: in :: out :: Nil => gb2Chado(in, out, mitochondrial = true)
     case "store2gff3" :: store :: out :: Nil => store2Gff3(store, out)
     case "stockreport" :: in :: Nil => stockReport(in)
     case "gaf2chado" :: in :: store :: Nil => gaf2Chado(in, store)
@@ -120,6 +123,24 @@ object GraftCli {
     // the splittable DSv2 source: one huge GFF3 parallelizes by byte range
     val feats = spark.read.format("graft.sources.v2.Gff3DataSource")
       .load(in).as[graft.chado.GffRecord]
+    mergeIntoStore(spark, feats, out)
+    spark.stop()
+  }
+
+  /** gb2chado (SURVEY.md S6 + §3.2): GenBank scaffolds → FeatureStack
+    * grouping → the same staging/merge DAG as the GFF3 load, incremental
+    * and idempotent against an existing store. */
+  private def gb2Chado(in: String, out: String, mitochondrial: Boolean): Unit = {
+    val spark = GraftSession.local()
+    val feats = graft.etl.GenBankToChado.toGffRecords(
+      graft.sources.GenBank.read(spark, in), mitochondrial)
+    mergeIntoStore(spark, feats, out)
+    spark.stop()
+  }
+
+  private def mergeIntoStore(spark: org.apache.spark.sql.SparkSession,
+      feats: org.apache.spark.sql.Dataset[graft.chado.GffRecord],
+      out: String): Unit = {
     val staging = Gff3ToChado.stage(spark, feats)
     // incremental: an existing store is the live side (the reference's
     // re-load path, ChadoGFF3UpdateRunner) — only deltas are inserted
@@ -141,7 +162,6 @@ object GraftCli {
       df.localCheckpoint().write.mode("overwrite").parquet(s"$out/$t")
     }
     println(s"store written to $out")
-    spark.stop()
   }
 
   private def obo2Chado(in: String, out: String): Unit = {
@@ -196,10 +216,11 @@ object GraftCli {
     spark.stop()
   }
 
-  /** Round-trip export: parse a GFF3, re-emit canonical ordered GFF3. */
-  private def chado2Gff3(in: String, out: String): Unit = {
-    val spark = GraftSession.local()
-    val rec = Gff3.features(spark, in).toDF()
+  /** Relational feature frame from a parsed GFF3 (the staging shape the
+    * exporters consume). */
+  private def gffFeatureFrame(spark: org.apache.spark.sql.SparkSession,
+      in: String): org.apache.spark.sql.DataFrame =
+    Gff3.features(spark, in).toDF()
       .withColumn("uniquename",
         coalesce(expr("element_at(attributes, 'ID')[0]"),
           concat_ws(":", col("ftype"), col("seqId"), col("fmin"), col("fmax"))))
@@ -209,6 +230,11 @@ object GraftCli {
         col("fmin"), col("fmax"), col("score"), col("strand"), col("phase"),
         col("source"),
         expr("element_at(attributes, 'Parent')[0]").as("parent"))
+
+  /** Round-trip export: parse a GFF3, re-emit canonical ordered GFF3. */
+  private def chado2Gff3(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val rec = gffFeatureFrame(spark, in)
     val refs = rec.filter(col("ftype").isin("chromosome", "contig", "supercontig"))
       .select(col("uniquename"), (col("fmax") - col("fmin")).as("seqlen"))
     Gff3Export.writeDocument(refs, rec, out, singleFile)
@@ -249,12 +275,39 @@ object GraftCli {
     spark.stop()
   }
 
-  /** Export the embedded FASTA tail re-wrapped at 60 chars. */
-  private def chado2Fasta(in: String, out: String): Unit = {
+  /** chado2fasta (lib/Modware/Export/Command/chado2fasta.pm): `mode` is
+    * the reference's --feature_type dispatch —
+    *  - `reference`: dump the reference residues (the FASTA tail);
+    *  - `cds`: spliced transcript sequences — exons cut from the
+    *    reference, assembled in fmin order, revcomp'd on minus strand;
+    *  - any other type (`gene`, `mRNA`, ...): that type's span inferred
+    *    from the reference residues (SUBSTR + revcomp).
+    */
+  private def chado2Fasta(in: String, out: String, mode: String): Unit = {
     val spark = GraftSession.local()
-    val fasta = Gff3.embeddedFasta(spark, in)
-    Fasta.write(fasta.toDF(), "seqId", "residues", out, singleFile = singleFile)
-    println(s"fasta written to $out (${fasta.count()} records)")
+    val fasta = Gff3.embeddedFasta(spark, in).toDF()
+    val refs = fasta.select(col("seqId").as("srcfeature"), col("residues"))
+    val result = mode match {
+      case "reference" =>
+        fasta.select(col("seqId").as("uniquename"), col("residues"))
+      case "cds" =>
+        val rec = gffFeatureFrame(spark, in).localCheckpoint()
+        val locCols = Seq(col("uniquename"), col("srcfeature"),
+          col("fmin"), col("fmax"), col("strand"))
+        graft.export.FastaExport.spliced(
+          rec.filter(col("ftype").rlike("RNA$")).select(locCols: _*),
+          rec.filter(col("ftype") === "exon").select(col("uniquename"), col("parent")),
+          rec.filter(col("ftype") === "exon").select(locCols: _*),
+          refs)
+      case ftype =>
+        graft.export.FastaExport.inferred(
+          gffFeatureFrame(spark, in).filter(col("ftype") === ftype)
+            .select(col("uniquename"), col("srcfeature"),
+              col("fmin"), col("fmax"), col("strand")),
+          refs)
+    }
+    Fasta.write(result, "uniquename", "residues", out, singleFile = singleFile)
+    println(s"fasta written to $out (${result.count()} records)")
     spark.stop()
   }
 }
