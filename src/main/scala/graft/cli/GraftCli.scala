@@ -43,6 +43,7 @@ object GraftCli {
     case "store2gff3" :: store :: out :: Nil => store2Gff3(store, out)
     case "stockreport" :: in :: Nil => stockReport(in)
     case "gaf2chado" :: in :: store :: Nil => gaf2Chado(in, store)
+    case "oboclosure2chado" :: in :: store :: Nil => oboClosure2Chado(in, store)
     case "chado2gaf" :: store :: out :: rest if rest.size <= 1 =>
       chado2Gaf(store, out, rest.headOption)
     case other =>
@@ -239,6 +240,33 @@ object GraftCli {
       .select(col("uniquename"), (col("fmax") - col("fmin")).as("seqlen"))
     Gff3Export.writeDocument(refs, rec, out, singleFile)
     println(s"gff3 written to $out (${rec.count()} feature lines)")
+    spark.stop()
+  }
+
+  /** oboclosure2chado (lib/Modware/Load/Command/oboclosure2chado.pm +
+    * share/postgresql_transitive.lib:50-78): load an owltools closure
+    * TSV and merge it into the store's `cvtermpath` — rows no longer in
+    * the fresh closure are pruned (J7/U2), novel rows inserted (U1),
+    * unchanged rows survive. Re-running with the same file is a no-op.
+    */
+  private def oboClosure2Chado(in: String, store: String): Unit = {
+    val spark = GraftSession.local()
+    val fresh = graft.sources.ClosureTsv.read(spark, in).toDF()
+    val path = s"$store/cvtermpath"
+    if (new java.io.File(path).exists()) {
+      val live = spark.read.parquet(path)
+      val pruned = graft.operators.Closure.pruneSet(live, fresh)
+      val inserted = fresh.join(live,
+        fresh.columns.toIndexedSeq, "left_anti")
+      val kept = live.join(pruned, live.columns.toIndexedSeq, "left_anti")
+      val merged = kept.unionByName(inserted).localCheckpoint()
+      println(s"pruned ${pruned.count()} inserted ${inserted.count()}")
+      merged.write.mode("overwrite").parquet(path)
+    } else {
+      fresh.write.mode("overwrite").parquet(path)
+      println(s"pruned 0 inserted ${spark.read.parquet(path).count()}")
+    }
+    println(s"cvtermpath store at $path")
     spark.stop()
   }
 

@@ -14,6 +14,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((4L, 2L, 1), (2L, 1L, 1), (3L, 1L, 1), (4L, 1L, 2)))
   }
 
+  test("closure keeps one row per PATH (cvtermpath multiplicity) and deep chains") {
+    // diamond: 5 -> {3, 4} -> 1 — two distinct length-2 paths 5~>1
+    val diamond = Seq((5L, 3L), (5L, 4L), (3L, 1L), (4L, 1L)).toDF("child", "parent")
+    val rows = Closure.transitiveClosure(diamond)
+      .filter($"child" === 5L && $"ancestor" === 1L).collect()
+    assert(rows.length == 2 && rows.forall(_.getInt(2) == 2))
+    // chain of 9 (depth not a power of two — exercises the mixed
+    // prefix+suffix round of the doubling loop)
+    val chain = (1 until 9).map(i => (i.toLong, i.toLong + 1)).toDF("child", "parent")
+    val got = Closure.transitiveClosure(chain)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == 8 * 9 / 2) // all (i, j>i) pairs
+    assert(got.toSet == (for { c <- 1 to 8; a <- c + 1 to 9 }
+      yield (c.toLong, a.toLong, a - c)).toSet)
+    assert(got.length == got.distinct.length)
+  }
+
   test("sessionize splits on gap threshold per key") {
     val df = Seq(
       (1L, 0L), (1L, 100L), (1L, 5000L), // user 1: two sessions at gap>1000
