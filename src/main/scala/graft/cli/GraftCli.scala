@@ -44,6 +44,8 @@ object GraftCli {
     case "stockreport" :: in :: Nil => stockReport(in)
     case "gaf2chado" :: in :: store :: Nil => gaf2Chado(in, store)
     case "oboclosure2chado" :: in :: store :: Nil => oboClosure2Chado(in, store)
+    case "gff3alignment" :: in :: out :: dist :: rest if rest.size <= 1 =>
+      gff3Alignment(in, out, dist.toInt, rest.headOption.getOrElse("protein_match"))
     case "chado2gaf" :: store :: out :: rest if rest.size <= 1 =>
       chado2Gaf(store, out, rest.headOption)
     case other =>
@@ -240,6 +242,26 @@ object GraftCli {
       .select(col("uniquename"), (col("fmax") - col("fmin")).as("seqlen"))
     Gff3Export.writeDocument(refs, rec, out, singleFile)
     println(s"gff3 written to $out (${rec.count()} feature lines)")
+    spark.stop()
+  }
+
+  /** modware-filter gff3alignment (SURVEY.md P7,
+    * lib/Modware/Filter/Command/gff3alignment.pm:39-53): drop alignment
+    * groups whose consecutive match_parts are farther apart than
+    * `dist`; survivors re-emit as GFF3 (match before its parts). */
+  private def gff3Alignment(in: String, out: String, dist: Int,
+      matchType: String): Unit = {
+    val spark = GraftSession.local()
+    val kept = graft.transform.AlignmentFilter.matchPartFilter(
+      gffFeatureFrame(spark, in), dist, matchType)
+    if (singleFile)
+      Gff3Export.toGff3Lines(kept).coalesce(1).write.mode("overwrite").text(out)
+    else
+      Gff3Export.writePartitionedText(
+        Gff3Export.linesWithKeys(kept), "srcfeature", out,
+        col("type_rank"), col("fmin"), col("uniquename"))
+    println(s"filtered alignment written to $out " +
+      s"(${kept.filter(col("ftype") === matchType).count()} match groups kept)")
     spark.stop()
   }
 

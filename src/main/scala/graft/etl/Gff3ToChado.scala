@@ -138,8 +138,13 @@ object Gff3ToChado {
     * t/lib/ChadoGFF3.pm:120-139). Second identical run inserts 0
     * everywhere — the idempotence gate (ChadoGFF3.pm:141-162). */
   def merge(staging: Staging, live: Store): (Store, Map[String, Long]) = {
+    // each delta is materialized exactly once (localCheckpoint): the
+    // golden counts, the store union, and the caller's write all reuse
+    // it — one anti-join pass over the live store per table, not one per
+    // downstream action (round-1 verdict fix #4)
     def insertNew(stage: DataFrame, liveDf: DataFrame, keys: Seq[String]): DataFrame =
       stage.join(liveDf.select(keys.map(col): _*), keys, "left_anti")
+        .localCheckpoint()
 
     // J1: brand-new features by uniquename.
     val newFeature = insertNew(staging.feature, live.feature, Seq("uniquename"))
@@ -163,17 +168,18 @@ object Gff3ToChado {
     val newProp = insertNew(staging.featureprop, live.featureprop,
       Seq("uniquename", "prop", "rank"))
 
-    val counts = Map(
-      "feature" -> newFeature.count(),
-      "featureloc" -> newLoc.filter(col("rank") === 0).count(),
-      "featureloc_target" -> newLoc.filter(col("rank") === 1).count(),
-      "analysisfeature" -> newAf.count(),
-      "synonym" -> newSynonym.count(),
-      "feature_synonym" -> newFs.count(),
-      "dbxref" -> newDbxref.count(),
-      "feature_dbxref" -> newFd.count(),
-      "feature_relationship" -> newRel.count(),
-      "featureprop" -> newProp.count())
+    // all golden counts in ONE job over the materialized deltas
+    val counts = collectCounts(Seq(
+      "feature" -> newFeature,
+      "featureloc" -> newLoc.filter(col("rank") === 0),
+      "featureloc_target" -> newLoc.filter(col("rank") === 1),
+      "analysisfeature" -> newAf,
+      "synonym" -> newSynonym,
+      "feature_synonym" -> newFs,
+      "dbxref" -> newDbxref,
+      "feature_dbxref" -> newFd,
+      "feature_relationship" -> newRel,
+      "featureprop" -> newProp))
 
     def u(a: DataFrame, b: DataFrame): DataFrame =
       a.unionByName(b.select(a.columns.toIndexedSeq.map(col): _*))
@@ -190,4 +196,13 @@ object Gff3ToChado {
       featureprop = u(live.featureprop, newProp))
     (updated, counts)
   }
+
+  /** One Spark action for a set of named row counts: per-frame global
+    * aggregates unioned and collected together (A3 at merge scale —
+    * replaces one job per golden number). */
+  private[etl] def collectCounts(frames: Seq[(String, DataFrame)]): Map[String, Long] =
+    frames.map { case (name, df) =>
+      df.groupBy().agg(count(lit(1)).as("n")).select(lit(name).as("t"), col("n"))
+    }.reduce(_ unionByName _)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 }

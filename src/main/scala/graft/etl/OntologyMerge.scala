@@ -65,6 +65,7 @@ object OntologyMerge {
     val pruned = live.cvterm
       .join(stagedTerms.select(col("accession")), Seq("accession"), "left_anti")
       .join(staging.altId.select(col("alt_id").as("accession")), Seq("accession"), "left_anti")
+      .localCheckpoint() // reused by the count job and the survivors anti-join
     val survivors = live.cvterm.join(pruned.select(col("accession")),
       Seq("accession"), "left_anti")
 
@@ -93,13 +94,15 @@ object OntologyMerge {
     // U1: relationships EXCEPT existing (share/postgresql.lib:221-223)
     val newRel = staging.relationship.except(live.relationship)
 
-    val counts = Map(
-      "pruned" -> pruned.count(),
-      "updated" -> changed.count(),
-      "new_terms" -> fresh.count(),
-      "new_synonyms" -> newSyn.count(),
-      "new_alt_ids" -> newAlt.count(),
-      "new_relationships" -> newRel.count())
+    // one action for all six merge counts (round-1 verdict fix #4): the
+    // live store is scanned once per delta, not once per delta per count
+    val counts = Gff3ToChado.collectCounts(Seq(
+      "pruned" -> pruned,
+      "updated" -> changed,
+      "new_terms" -> fresh,
+      "new_synonyms" -> newSyn,
+      "new_alt_ids" -> newAlt,
+      "new_relationships" -> newRel))
 
     // refresh semantics: staged subjects get exactly their staged edges;
     // edges of untouched subjects carry over.

@@ -21,7 +21,9 @@ object Gff3Export {
   private val typeRank = typedlit(Map(
     "chromosome" -> 0, "contig" -> 1, "supercontig" -> 1, "gene" -> 2,
     "mRNA" -> 3, "tRNA" -> 3, "rRNA" -> 3, "ncRNA" -> 3, "pseudogene" -> 3,
-    "exon" -> 4, "CDS" -> 5, "polypeptide" -> 6))
+    "exon" -> 4, "CDS" -> 5, "polypeptide" -> 6,
+    "match" -> 7, "protein_match" -> 7, "EST_match" -> 7, "cDNA_match" -> 7,
+    "translated_nucleotide_match" -> 7, "match_part" -> 8))
 
   private def esc(c: org.apache.spark.sql.Column) =
     // GFF3 reserved-character escaping for column 9 values
@@ -115,12 +117,25 @@ object Gff3Export {
         .write.mode("overwrite").partitionBy("srcfeature").text(out)
     }
 
-  /** Generic per-key ordered text write for (partCol, value)-shaped
-    * frames (K4/K7 sinks): one file per key, rows sorted within. */
-  def writePartitionedText(df: DataFrame, partCol: String, out: String): Unit =
+  /** Generic per-key ordered text write for frames carrying a `value`
+    * column (K4/K7 sinks): one file per key, rows sorted within by
+    * `sortCols` (default: the line text). */
+  def writePartitionedText(df: DataFrame, partCol: String, out: String,
+      sortCols: org.apache.spark.sql.Column*): Unit = {
+    val order =
+      if (sortCols.isEmpty) Seq(col(partCol), col("value"))
+      else col(partCol) +: sortCols
     df.repartition(col(partCol))
-      .sortWithinPartitions(col(partCol), col("value"))
+      .sortWithinPartitions(order: _*)
+      .select(col(partCol), col("value"))
       .write.mode("overwrite").partitionBy(partCol).text(out)
+  }
+
+  /** Feature lines with their ordering keys exposed —
+    * (srcfeature, type_rank, fmin, uniquename, value) — for callers
+    * composing partitioned writes of line subsets (e.g. the alignment
+    * filter's match/match_part output). */
+  def linesWithKeys(features: DataFrame): DataFrame = featureLines(features)
 
   /** Whole GFF3 document — pragmas then ordered feature lines — as one
     * globally sorted frame safe for a single-file write. */

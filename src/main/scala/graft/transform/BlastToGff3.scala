@@ -51,18 +51,21 @@ object BlastToGff3 {
     *   coordinates normalized to (min, max)
     * - J13: chain grouping per (query, subject, strand)
     */
-  def toFeatures(hsps: Dataset[Hsp], evalueCutoff: Double = 10.0): DataFrame = {
+  private def grouped(hsps: Dataset[Hsp], evalueCutoff: Double): DataFrame = {
     val norm = hsps.toDF()
       .filter(col("evalue") <= evalueCutoff)
       .withColumn("strand", when(col("sEnd") >= col("sStart"), 1).otherwise(-1))
       .withColumn("start", least(col("sStart"), col("sEnd")) - 1) // 0-based interbase
       .withColumn("end", greatest(col("sStart"), col("sEnd")))
-    val grouped = Overlap.assignGroups(norm,
-      Seq(col("queryId"), col("subjectId"), col("strand")),
-      col("start"), col("end"))
-    grouped
+    Overlap.assignGroups(norm,
+        Seq(col("queryId"), col("subjectId"), col("strand")),
+        col("start"), col("end"))
       .withColumn("match_id",
         concat_ws(":", col("queryId"), col("subjectId"), col("strand"), col("group_id")))
+  }
+
+  def toFeatures(hsps: Dataset[Hsp], evalueCutoff: Double = 10.0): DataFrame =
+    grouped(hsps, evalueCutoff)
       .groupBy(col("match_id"), col("queryId"), col("subjectId"), col("strand"))
       .agg(
         min(col("start")).as("fmin"),
@@ -70,6 +73,26 @@ object BlastToGff3 {
         min(col("evalue")).as("evalue"),
         max(col("bitscore")).as("score"),
         count(lit(1)).as("n_parts"))
+
+  /** Per-HSP `match_part` rows parented by their match group — the
+    * two-level match/match_part output of the reference
+    * (blast2chadogff3.pm:286-327), in the relational feature-frame shape
+    * [[AlignmentFilter.matchPartFilter]] consumes. */
+  def toMatchParts(hsps: Dataset[Hsp], evalueCutoff: Double = 10.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("match_id")).orderBy(col("start"), col("end"))
+    grouped(hsps, evalueCutoff)
+      .withColumn("part_no", row_number().over(w))
+      .select(
+        concat_ws(":", col("match_id"), col("part_no")).as("uniquename"),
+        lit(null).cast("string").as("name"),
+        lit("match_part").as("ftype"),
+        col("subjectId").as("srcfeature"),
+        col("start").as("fmin"), col("end").as("fmax"),
+        col("bitscore").as("score"), col("strand"),
+        lit(null).cast("int").as("phase"),
+        lit("blast").as("source"),
+        col("match_id").as("parent"))
   }
 
   private def gff3Line = concat_ws("\t",

@@ -41,6 +41,50 @@ class TransformSpec extends SparkSpec {
     assert(lines.forall(_.split("\t").length == 9))
   }
 
+  test("gff3alignment filter drops groups with a distant match_part (P7)") {
+    // BLAST-derived fixture: group A's two HSPs overlap (distance < 0);
+    // group B's two HSPs sit 3000 bases apart on the subject — one
+    // distant part dooms the whole group (gff3alignment.pm:120-126)
+    val hsps = Seq(
+      "q1\ts1\t98.0\t100\t1\t0\t1\t100\t1000\t1099\t1e-30\t190",
+      "q1\ts1\t97.0\t80\t2\t0\t90\t170\t1080\t1159\t1e-20\t150",
+      "q2\ts1\t95.0\t50\t1\t0\t1\t50\t2000\t2049\t1e-25\t90",
+      "q2\ts1\t94.0\t50\t1\t0\t60\t110\t5050\t5099\t1e-22\t85")
+    val ds = spark.createDataset(hsps).flatMap(BlastToGff3.parseLine _)
+    val matches = BlastToGff3.toFeatures(ds).select(
+      $"match_id".as("uniquename"), lit(null).cast("string").as("name"),
+      lit("protein_match").as("ftype"), $"subjectId".as("srcfeature"),
+      $"fmin", $"fmax", $"score".as("score"), $"strand",
+      lit(null).cast("int").as("phase"), lit("blast").as("source"),
+      lit(null).cast("string").as("parent"))
+    val parts = BlastToGff3.toMatchParts(ds)
+    // q2's HSPs do NOT chain (no overlap) -> they are separate groups of
+    // one part each; force them into one group by renaming parents
+    val features = matches.unionByName(parts)
+    val kept = AlignmentFilter.matchPartFilter(features, maxDistance = 500)
+    val keptIds = kept.select($"uniquename").as[String].collect().toSet
+    // q1's group (2 overlapping parts) survives with its parts
+    assert(keptIds.exists(_.startsWith("q1:s1:1:1:")))
+    assert(keptIds.count(!_.contains(":1:1:")) >= 2) // match rows survive too
+    // a synthetic distant pair: same parent, gap 3001 > 500
+    val distant = Seq(
+      ("m1", "protein_match", "s1", 2000, 5099, null.asInstanceOf[String]),
+      ("m1:1", "match_part", "s1", 2000, 2049, "m1"),
+      ("m1:2", "match_part", "s1", 5050, 5099, "m1"),
+      ("m2", "protein_match", "s1", 0, 200, null.asInstanceOf[String]),
+      ("m2:1", "match_part", "s1", 0, 100, "m2"),
+      ("m2:2", "match_part", "s1", 120, 200, "m2"))
+      .toDF("uniquename", "ftype", "srcfeature", "fmin", "fmax", "parent")
+      .withColumn("name", lit(null).cast("string"))
+      .withColumn("score", lit(null).cast("double"))
+      .withColumn("strand", lit(1))
+      .withColumn("phase", lit(null).cast("int"))
+      .withColumn("source", lit("blast"))
+    val kept2 = AlignmentFilter.matchPartFilter(distant, maxDistance = 500)
+      .select($"uniquename").as[String].collect().toSet
+    assert(kept2 == Set("m2", "m2:1", "m2:2")) // m1 group filtered whole
+  }
+
   test("stock import validates ids and stitches parents (S8/J11)") {
     val dir = java.nio.file.Files.createTempDirectory("stock")
     java.nio.file.Files.writeString(dir.resolve("strain.tsv"),
