@@ -55,8 +55,13 @@ object Similarity {
     * and therefore results — reproducible on any engine regardless of
     * aggregation order.
     */
+  /** `nprobe` is the recall knob every real IVF index carries: probe the
+    * `nprobe` cells whose trained centroids are nearest the query
+    * (ordered by (distance, cell id)). nprobe = 1 reproduces the pure
+    * assignment-cell probe; nprobe = numCells degrades gracefully to the
+    * exact scan. Cost is O(nprobe · n / numCells) candidates. */
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
-              queryId: Long, numCells: Int, k: Int): DataFrame = {
+              queryId: Long, numCells: Int, k: Int, nprobe: Int = 1): DataFrame = {
     val l2 = (a: String, b: String) =>
       expr(s"aggregate(zip_with($a, $b, (x, y) -> " +
         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
@@ -91,11 +96,17 @@ object Similarity {
     val assigned = assign(emb.select(col(idCol).as("vid"), col(embCol).as("e")))
       .localCheckpoint() // reused for query cell + candidate scan
 
-    val queryCell = assigned.filter(col("vid") === queryId)
-      .select(col("e").as("qv"), col("cell"))
+    val qv = emb.filter(col(idCol) === queryId).select(col(embCol).as("e"))
+    // the nprobe nearest cells by trained-centroid distance; for
+    // nprobe = 1 this is exactly the assignment cell (same tiebreak)
+    val probeCells = qv.crossJoin(broadcast(cent1))
+      .withColumn("d2", l2("e", "cv"))
+      .orderBy(col("d2"), col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("cell"))
     val candidates = assigned.filter(col("vid") =!= queryId)
-      .join(broadcast(queryCell.select(col("cell"))), Seq("cell"), "left_semi")
-    withCosine(candidates, queryCell.select(col("qv")), "e")
+      .join(broadcast(probeCells), Seq("cell"), "left_semi")
+    withCosine(candidates, qv.select(col("e").as("qv")), "e")
       .select(col("vid").as(idCol), col("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)

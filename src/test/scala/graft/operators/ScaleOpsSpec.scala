@@ -89,6 +89,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(uncapped == 435 + 1)
   }
 
+  test("partitioned store layout prunes single-reference scans") {
+    val dir = java.nio.file.Files.createTempDirectory("locstore").toString + "/featureloc"
+    Seq(("f1", "chr1", 0, 10, 1, 0), ("f2", "chr1", 5, 20, 1, 0),
+      ("f3", "chr2", 0, 30, -1, 0))
+      .toDF("uniquename", "srcfeature", "fmin", "fmax", "strand", "rank")
+      .write.partitionBy("srcfeature").parquet(dir)
+    val scan = spark.read.parquet(dir).filter($"srcfeature" === "chr1")
+    assert(scan.count() == 2)
+    // the filter lands in PartitionFilters (pruned scan), not a
+    // post-scan Filter over the whole table
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("srcfeature"))
+    val scanNode = scan.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    assert(scanNode.metadata("PartitionFilters").contains("srcfeature"))
+    // only chr1's directory is actually selected
+    val selected = scanNode.relation.location.listFiles(
+      scanNode.partitionFilters, scanNode.dataFilters)
+    assert(selected.flatMap(_.files).forall(_.getPath.toString.contains("srcfeature=chr1")))
+  }
+
   test("gzip FASTA write produces compressed part files (K8)") {
     val out = java.nio.file.Files.createTempDirectory("fagz").toString + "/fa"
     graft.sources.Fasta.write(Seq(("s1", "ACGT")).toDF("id", "seq"), "id", "seq",
