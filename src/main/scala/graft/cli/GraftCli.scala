@@ -45,6 +45,14 @@ object GraftCli {
     case "stockreport" :: in :: Nil => stockReport(in)
     case "gaf2chado" :: in :: store :: Nil => gaf2Chado(in, store)
     case "oboclosure2chado" :: in :: store :: Nil => oboClosure2Chado(in, store)
+    case "dictystrain" :: strains :: props :: out :: Nil =>
+      dictyStrain(strains, props, out)
+    case "dictyplasmid" :: plasmids :: out :: Nil => dictyPlasmid(plasmids, out)
+    case "organism2chado" :: in :: store :: Nil => organism2Chado(in, store)
+    case "modidingoa" :: in :: resource :: out :: Nil =>
+      modInGoa(in, resource, out, refs = false)
+    case "modrefingoa" :: in :: resource :: out :: Nil =>
+      modInGoa(in, resource, out, refs = true)
     case "gff3alignment" :: in :: out :: dist :: rest if rest.size <= 1 =>
       gff3Alignment(in, out, dist.toInt, rest.headOption.getOrElse("protein_match"))
     case "chado2gaf" :: store :: out :: rest if rest.size <= 1 =>
@@ -253,6 +261,67 @@ object GraftCli {
       .select(col("uniquename"), (col("fmax") - col("fmin")).as("seqlen"))
     Gff3Export.writeDocument(refs, rec, out, singleFile)
     println(s"gff3 written to $out (${rec.count()} feature lines)")
+    spark.stop()
+  }
+
+  /** modware-dump dictystrain (lib/Modware/Dump/Command/dictystrain.pm):
+    * strain + inventory TSV files from the stock frames. */
+  private def dictyStrain(strainsPath: String, propsPath: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val strains = graft.etl.StockImport.strains(spark, strainsPath)
+    val props = graft.etl.StockImport.props(spark, propsPath)
+    graft.export.StockExport.strainLines(strains, props)
+      .coalesce(1).write.mode("overwrite").text(s"$out/strain")
+    graft.export.StockExport.inventoryLines(props)
+      .coalesce(1).write.mode("overwrite").text(s"$out/inventory")
+    println(s"strain=${strains.count()} dumped to $out")
+    spark.stop()
+  }
+
+  /** modware-dump dictyplasmid (lib/Modware/Dump/Command/dictyplasmid.pm). */
+  private def dictyPlasmid(plasmidsPath: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val plasmids = graft.etl.StockImport.plasmids(spark, plasmidsPath)
+    graft.export.StockExport.plasmidLines(plasmids)
+      .coalesce(1).write.mode("overwrite").text(s"$out/plasmid")
+    println(s"plasmid=${plasmids.count()} dumped to $out")
+    spark.stop()
+  }
+
+  /** organism2chado (lib/Modware/Import/Command/organism2chado.pm):
+    * organisms TSV merged novel-only into the store's organism table —
+    * idempotent like the reference's single-txn populate. */
+  private def organism2Chado(in: String, store: String): Unit = {
+    val spark = GraftSession.local()
+    val staging = graft.etl.StockImport.organisms(spark, in)
+    val path = s"$store/organism"
+    val live =
+      if (new java.io.File(path).exists()) spark.read.parquet(path)
+      else staging.limit(0)
+    val (merged, inserted) = graft.etl.StockImport.mergeOrganisms(staging, live)
+    merged.localCheckpoint().write.mode("overwrite").parquet(path)
+    println(s"organism inserted=$inserted total=${spark.read.parquet(path).count()}")
+    spark.stop()
+  }
+
+  /** modidingoa / modrefingoa (SURVEY.md F16): translate GOA GAF ids
+    * (gp2protein resource) or GO_REF references (GO_REF metadata) to MOD
+    * identifiers; untranslatable rows are dropped with counts, like the
+    * reference's converted/not_converted tally (modidingoa.pm:29-59). */
+  private def modInGoa(in: String, resource: String, out: String,
+      refs: Boolean): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val gaf = graft.sources.Gaf.read(spark, in)
+    val (kept, dropped) =
+      if (refs) graft.transform.IdConvert.convertRefs(
+        gaf, graft.transform.IdConvert.gorefMapping(spark, resource))
+      else graft.transform.IdConvert.convertIds(
+        gaf, graft.transform.IdConvert.gp2protein(spark, resource))
+    graft.sources.Gaf.format(kept.as[graft.chado.GafRecord])
+      .coalesce(1).write.mode("overwrite").text(out)
+    println(s"total:${gaf.count()} converted:${kept.count()} " +
+      s"not_converted:${dropped.count()}")
     spark.stop()
   }
 

@@ -43,6 +43,27 @@ object StockImport {
     strains.join(parents, Seq("parent_id"), "left_outer")
   }
 
+  /** organism2chado (lib/Modware/Import/Command/organism2chado.pm): the
+    * reference fetches a taxon subtree from a SPARQL endpoint (HTTP —
+    * driver-side per SURVEY.md S11) and bulk-populates `organism`; the
+    * engine part is this TSV → dedup-vs-live → insert merge.
+    * organisms.tsv: genus, species, common_name. Abbreviation derives
+    * `G.species` like the reference's plugin. */
+  def organisms(spark: SparkSession, path: String): DataFrame =
+    tsv(spark, path, Seq("genus", "species", "common_name"))
+      .filter(col("genus").isNotNull && col("species").isNotNull)
+      .withColumn("abbreviation",
+        concat(substring(col("genus"), 1, 1), lit("."), col("species")))
+      .dropDuplicates("genus", "species")
+
+  /** J1-style organism upsert: only (genus, species) pairs absent from
+    * the live table insert; returns (updated live, inserted count). */
+  def mergeOrganisms(staging: DataFrame, live: DataFrame): (DataFrame, Long) = {
+    val novel = staging.join(live.select(col("genus"), col("species")),
+      Seq("genus", "species"), "left_anti").localCheckpoint()
+    (live.unionByName(novel), novel.count())
+  }
+
   /** Strain→plasmid links from a props frame (prop_name = 'plasmid'). */
   def plasmidLinks(strains: DataFrame, props: DataFrame,
                    plasmids: DataFrame): DataFrame =

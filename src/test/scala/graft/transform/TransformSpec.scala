@@ -85,6 +85,51 @@ class TransformSpec extends SparkSpec {
     assert(kept2 == Set("m2", "m2:1", "m2:2")) // m1 group filtered whole
   }
 
+  test("stock dump emits strain/inventory/plasmid TSVs (dictystrain/dictyplasmid)") {
+    import graft.export.StockExport
+    val strains = Seq(("DBS0000002", " axenic strain ", "discoideum", null),
+      ("DBS0000001", "wildtype", "discoideum", null))
+      .toDF("stock_id", "descriptor", "species", "parent_id")
+    val props = Seq(
+      ("DBS0000001", "description", " the canonical WT "),
+      ("DBS0000001", "location", "freezer-3"),
+      ("DBS0000001", "plasmid", "DBP0000007"),
+      ("DBS0000002", "color", "blue"))
+      .toDF("stock_id", "prop_name", "value")
+    val strainTsv = StockExport.strainLines(strains, props).as[String].collect()
+    assert(strainTsv.toSeq == Seq(
+      "DBS0000001\twildtype\tdiscoideum\tthe canonical WT",
+      "DBS0000002\taxenic strain\tdiscoideum\t"))
+    val inv = StockExport.inventoryLines(props).as[String].collect()
+    assert(inv.toSeq == Seq("DBS0000001\tlocation\tfreezer-3",
+      "DBS0000002\tcolor\tblue")) // plasmid + description are not inventory
+    val dscg = StockExport.withDscgIds(strains)
+      .select($"stock_id", $"dscg_id").as[(String, String)].collect().toMap
+    assert(dscg == Map("DBS0000001" -> "DSC_G0000001", "DBS0000002" -> "DSC_G0000002"))
+    val plasmids = Seq(("DBP0000007", "pDM304", null.asInstanceOf[String]))
+      .toDF("stock_id", "name", "description")
+    assert(StockExport.plasmidLines(plasmids).as[String].collect().toSeq ==
+      Seq("DBP0000007\tpDM304\t"))
+  }
+
+  test("organism merge inserts only novel (genus, species) pairs") {
+    import graft.etl.StockImport
+    val dir = java.nio.file.Files.createTempFile("organisms", ".tsv")
+    java.nio.file.Files.writeString(dir,
+      "Dictyostelium\tdiscoideum\tslime mold\nPolysphondylium\tpallidum\t\n" +
+        "Dictyostelium\tdiscoideum\tdup row\n")
+    val staging = StockImport.organisms(spark, dir.toString)
+    assert(staging.count() == 2)
+    assert(staging.filter($"species" === "discoideum")
+      .select($"abbreviation").as[String].head() == "D.discoideum")
+    val live = Seq(("Dictyostelium", "discoideum", "existing", "D.discoideum"))
+      .toDF("genus", "species", "common_name", "abbreviation")
+    val (merged, inserted) = StockImport.mergeOrganisms(staging, live)
+    assert(inserted == 1 && merged.count() == 2) // only pallidum is new
+    val (_, again) = StockImport.mergeOrganisms(staging, merged)
+    assert(again == 0) // idempotent
+  }
+
   test("stock import validates ids and stitches parents (S8/J11)") {
     val dir = java.nio.file.Files.createTempDirectory("stock")
     java.nio.file.Files.writeString(dir.resolve("strain.tsv"),
