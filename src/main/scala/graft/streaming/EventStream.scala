@@ -38,23 +38,31 @@ object EventStream {
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, n_events: Int, duration_us: Long)
 
-  /** Stateful per-user sessionization via mapGroupsWithState — the
-    * streaming form of operators.Sessionize (30-minute idle timeout). */
+  /** Stateful per-user sessionization via flatMapGroupsWithState — the
+    * streaming form of operators.Sessionize (30-minute gap). A session
+    * is EMITTED when a later event's gap closes it (append semantics);
+    * the running session is O(1) state. Memory per invocation is one
+    * micro-batch's per-key slice (sorted locally — bounded by the
+    * trigger interval, not the key's history), which fixes the round-1
+    * note about materializing a user's whole batch. */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts_us))
-          val init = state.getOption.getOrElse(
-            SessionState(sorted.head.ts_us, sorted.head.ts_us, 0))
-          val fin = sorted.foldLeft(init) { (s, e) =>
-            if (e.ts_us - s.last > 1800L * 1000 * 1000)
-              SessionState(e.ts_us, e.ts_us, 1) // new session
-            else SessionState(s.start, e.ts_us, s.n + 1)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          val sorted = rows.toArray.sortBy(_.ts_us)
+          var s = state.getOption.orNull
+          for (e <- sorted) {
+            if (s == null) s = SessionState(e.ts_us, e.ts_us, 1)
+            else if (e.ts_us - s.last > 1800L * 1000 * 1000) {
+              closed += SessionOut(user, s.n, s.last - s.start)
+              s = SessionState(e.ts_us, e.ts_us, 1)
+            } else s = SessionState(s.start, e.ts_us, s.n + 1)
           }
-          state.update(fin)
-          SessionOut(user, fin.n, fin.last - fin.start)
+          if (s != null) state.update(s)
+          closed.iterator
       }
   }
 }

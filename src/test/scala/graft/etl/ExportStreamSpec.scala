@@ -150,14 +150,16 @@ class ExportStreamSpec extends SparkSpec {
     assert(batch == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
-  test("stateful streaming sessionization counts sessions per user") {
+  test("stateful streaming sessionization emits closed sessions per user") {
     val evs = Seq(
       EventStream.Event(1L, 0L, "a"),
       EventStream.Event(1L, 100L, "b"),
-      EventStream.Event(1L, 4000L * 1000 * 1000, "c")) // > 30 min later
+      EventStream.Event(1L, 4000L * 1000 * 1000, "c"), // > 30 min later
+      EventStream.Event(2L, 0L, "x")) // never closed -> stays in state
     val got = EventStream.sessionize(spark.createDataset(evs)).collect()
-    assert(got.length == 1)
-    assert(got.head.n_events == 1) // last session has 1 event
+    // user 1's first session (2 events, 100us) is closed by event c;
+    // the running sessions (c, and user 2's) remain in state, unemitted
+    assert(got.toSeq == Seq(EventStream.SessionOut(1L, 2, 100L)))
   }
 
   test("multimodal stub pipeline extracts deterministic features") {

@@ -130,6 +130,27 @@ class TransformSpec extends SparkSpec {
     assert(again == 0) // idempotent
   }
 
+  test("dictypub link export and bib formatting") {
+    import graft.export.PubExport
+    val fp = Seq((10L, 1L), (11L, 2L), (12L, 3L), (13L, 1L))
+      .toDF("gene_id", "pub_id")
+    val genes = Seq((10L, "aarA", 0), (11L, "abcB", 0), (12L, "gone", 1),
+      (13L, "noDdb", 0)).toDF("gene_id", "name", "is_deleted")
+    val pubs = Seq((1L, "10557", "PUBMED"), (2L, "PUB99", "PUBMED"),
+      (3L, "20991", "PUBMED")).toDF("pub_id", "uniquename", "pubplace")
+    val ddb = Seq((10L, "DDB_G1")).toDF("gene_id", "ddb_id")
+    val lines = PubExport.genePubLinks(fp, genes, pubs, ddb).as[String].collect()
+    // abcB: PUB-prefixed pub rejected; gone: deleted; noDdb: no translation
+    assert(lines.toSeq == Seq("10557\taarA\tDDB_G1"))
+    val bib = PubExport.bibRecords(Seq(
+      ("10557", "A paper", "Smith, J.|Doe, A.", "J Biol", "1999", "12", "1-10"))
+      .toDF("uniquename", "title", "authors", "journal", "year", "volume", "pages"))
+      .as[String].collect().head
+    assert(bib.startsWith("@article{PMID:10557,"))
+    assert(bib.contains("author = {Smith, J. and Doe, A.}"))
+    assert(bib.contains("pages = {1-10}"))
+  }
+
   test("stock import validates ids and stitches parents (S8/J11)") {
     val dir = java.nio.file.Files.createTempDirectory("stock")
     java.nio.file.Files.writeString(dir.resolve("strain.tsv"),
