@@ -20,12 +20,22 @@ import graft.sources.{Fasta, Gff3, Obo}
 object GraftCli {
 
   /** Exports default to the scale-safe per-reference partitioned layout;
-    * `--single-file` opts into one coalesced, globally-sorted file. */
+    * `--single-file` opts into one coalesced, globally-sorted file.
+    * `--dry-run` computes and prints merge counts without writing (the
+    * reference's txn-rollback dry run, gff3tochado.pm:272-277).
+    * `--force` bypasses the ontology version gate (obo2chado's
+    * `is_ontology_new_version`, Ontology.pm:206-239). */
   private var singleFile = false
+  private var dryRun = false
+  private var force = false
+
+  private val flags = Set("--single-file", "--dry-run", "--force")
 
   def main(args: Array[String]): Unit = {
     singleFile = args.contains("--single-file")
-    run(args.toList.filterNot(_ == "--single-file"))
+    dryRun = args.contains("--dry-run")
+    force = args.contains("--force")
+    run(args.toList.filterNot(flags.contains))
   }
 
   private def run(args: List[String]): Unit = args match {
@@ -165,6 +175,7 @@ object GraftCli {
       } else Gff3ToChado.Store.emptyLike(staging)
     val (store, counts) = Gff3ToChado.merge(staging, live)
     counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"$t%-22s $n%6d") }
+    if (dryRun) { println("dry run: no store write"); return }
     val frames = Seq(store.feature, store.featureloc, store.analysisfeature,
       store.synonym, store.featureSynonym, store.dbxref, store.featureDbxref,
       store.featureRelationship, store.featureprop)
@@ -183,6 +194,22 @@ object GraftCli {
 
   private def obo2Chado(in: String, out: String): Unit = {
     val spark = GraftSession.local()
+    // version gate (Ontology.pm:206-239): only load when the file's
+    // header date is newer than the store's recorded date
+    val header = Obo.header(spark, in)
+    val fileDate = Obo.headerDate(header)
+    val metaFile = new java.io.File(s"$out/cv_metadata.txt")
+    val storeDate =
+      if (metaFile.exists())
+        Obo.headerDate(Map("date" -> java.nio.file.Files.readString(metaFile.toPath).trim))
+      else None
+    (fileDate, storeDate) match {
+      case (Some(f), Some(s)) if !f.isAfter(s) && !force =>
+        println(s"ontology date $f is not newer than store date $s; " +
+          "skipping load (--force overrides)")
+        spark.stop(); return
+      case _ => ()
+    }
     val st = OntologyMerge.stage(spark, Obo.terms(spark, in), Obo.relationships(spark, in))
     // incremental: an existing store is the live side — re-loads compute
     // prune/update/insert deltas (the reference's versioned re-load,
@@ -197,10 +224,17 @@ object GraftCli {
       else OntologyMerge.CvStore.emptyLike(st)
     val r = OntologyMerge.merge(st, live)
     r.counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"$t%-22s $n%6d") }
+    if (dryRun) { println("dry run: no store write"); spark.stop(); return }
     Seq("cvterm" -> r.store.cvterm, "cvtermsynonym" -> r.store.synonym,
       "cvterm_altid" -> r.store.altId,
       "cvterm_relationship" -> r.store.relationship).foreach { case (t, df) =>
       df.localCheckpoint().write.mode("overwrite").parquet(s"$out/$t")
+    }
+    // record the loaded version for the next run's gate (the cvprop
+    // `date` row, Ontology.pm:241-293)
+    header.get("date").foreach { d =>
+      new java.io.File(out).mkdirs()
+      java.nio.file.Files.writeString(metaFile.toPath, d)
     }
     println(s"store written to $out")
     spark.stop()

@@ -707,6 +707,31 @@ object Relational {
       |                  WHERE prune.l_orderkey = l.l_orderkey AND prune.l_partkey = l.l_partkey)
       |ORDER BY l_orderkey, l_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  // P8 / §2.11 — the make-stash fan-out: one source row unpivots into
+  // several typed (prop, value) rows routed by kind — the GFF3 row →
+  // 9-table stash UDTF (WithChadoGFF3Helper.pm:92-368) as a `stack`
+  // projection (codegen'd generator, no shuffle).
+  private def q51StashFanout(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), expr(
+        """stack(3,
+          |  'status', o_orderstatus,
+          |  'priority', o_orderpriority,
+          |  'month', date_format(o_orderdate, 'yyyy-MM')) AS (prop, value)""".stripMargin))
+      .filter(col("value").isNotNull)
+      .orderBy(col("o_orderkey"), col("prop"))
+
+  private val q51Sql =
+    """SELECT o_orderkey, prop, value FROM (
+      |  SELECT o_orderkey, 'status' AS prop, o_orderstatus AS value FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'priority', o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'month', strftime(o_orderdate, '%Y-%m') FROM orders)
+      |WHERE value IS NOT NULL
+      |ORDER BY o_orderkey, prop""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -740,6 +765,7 @@ object Relational {
     "q47_evidence_pref" -> q47EvidencePref _,
     "q48_fk_stitch" -> q48FkStitch _,
     "q49_closure_prune" -> q49ClosurePrune _,
+    "q51_stash_fanout" -> q51StashFanout _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -775,5 +801,6 @@ object Relational {
     "q47_evidence_pref" -> q47Sql,
     "q48_fk_stitch" -> q48Sql,
     "q49_closure_prune" -> q49Sql,
+    "q51_stash_fanout" -> q51Sql,
   )
 }

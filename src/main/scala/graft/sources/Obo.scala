@@ -90,6 +90,21 @@ object Obo {
     }.toMap
   }
 
+  /** Header of the first OBO file at `path` (driver-side read — headers
+    * are a few lines and gate control flow, not the data plane). */
+  def header(spark: SparkSession, path: String): Map[String, String] =
+    spark.sparkContext.wholeTextFiles(path).map { case (_, c) => parseHeader(c) }
+      .collect().headOption.getOrElse(Map.empty)
+
+  /** The header `date:` tag parsed with the reference's `%d:%m:%Y %H:%M`
+    * pattern (Ontology.pm:84-94) — the version-gate comparand. */
+  def headerDate(header: Map[String, String]): Option[java.time.LocalDateTime] =
+    header.get("date").flatMap { d =>
+      try Some(java.time.LocalDateTime.parse(d,
+        java.time.format.DateTimeFormatter.ofPattern("dd:MM:yyyy HH:mm")))
+      catch { case _: java.time.format.DateTimeParseException => None }
+    }
+
   def terms(spark: SparkSession, path: String): Dataset[OboTerm] = {
     import spark.implicits._
     spark.sparkContext.wholeTextFiles(path)
