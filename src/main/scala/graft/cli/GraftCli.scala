@@ -29,12 +29,15 @@ object GraftCli {
   private var dryRun = false
   private var force = false
 
-  private val flags = Set("--single-file", "--dry-run", "--force")
+  private var featureVersion = false
+
+  private val flags = Set("--single-file", "--dry-run", "--force", "--feature-version")
 
   def main(args: Array[String]): Unit = {
     singleFile = args.contains("--single-file")
     dryRun = args.contains("--dry-run")
     force = args.contains("--force")
+    featureVersion = args.contains("--feature-version")
     run(args.toList.filterNot(flags.contains))
   }
 
@@ -70,7 +73,12 @@ object GraftCli {
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
-           |usage: GraftCli <gff3tochado|obo2chado|chado2gff3|chado2fasta|blast2gff3|sumstats> <in> [<out>]""".stripMargin)
+           |usage: GraftCli <command> <args> [--single-file] [--dry-run] [--force] [--feature-version]
+           |load:      gff3tochado gb2chado gbmito2chado obo2chado oboclosure2chado gaf2chado organism2chado stream-merge
+           |export:    chado2gff3 store2gff3 chado2fasta chado2gaf gb2fasta
+           |transform: blast2gff3 gff3alignment modidingoa modrefingoa
+           |dump:      dictystrain dictyplasmid
+           |report:    sumstats stockreport""".stripMargin)
       sys.exit(2)
   }
 
@@ -163,7 +171,10 @@ object GraftCli {
   private def mergeIntoStore(spark: org.apache.spark.sql.SparkSession,
       feats: org.apache.spark.sql.Dataset[graft.chado.GffRecord],
       out: String): Unit = {
-    val staging = Gff3ToChado.stage(spark, feats)
+    val staged = Gff3ToChado.stage(spark, feats)
+    // optional FeatureVersion plugin (gff3tochado.pm:263-269)
+    val staging =
+      if (featureVersion) Gff3ToChado.withFeatureVersion(staged) else staged
     // incremental: an existing store is the live side (the reference's
     // re-load path, ChadoGFF3UpdateRunner) — only deltas are inserted
     val live =

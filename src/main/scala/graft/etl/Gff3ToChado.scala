@@ -112,6 +112,23 @@ object Gff3ToChado {
       dbxref, featureDbxref, featureRelationship, props)
   }
 
+  /** §2.11 FeatureVersion plugin (Plugin/Create/FeatureVersion.pm +
+    * share/postgresql_feature_version.lib:1-20): decorate staging so
+    * every feature carries a versioned public dbxref — a `db:uniquename`
+    * xref plus a version-1 featureprop. Applied pre-merge, so the
+    * novelty anti-joins make it idempotent: re-loads add nothing for
+    * features already versioned. */
+  def withFeatureVersion(st: Staging, db: String = "DDB"): Staging = st.copy(
+    dbxref = st.dbxref.unionByName(
+      st.feature.select(lit(db).as("db"), col("uniquename").as("accession")))
+      .dropDuplicates(),
+    featureDbxref = st.featureDbxref.unionByName(
+      st.feature.select(col("uniquename"), lit(db).as("db"),
+        col("uniquename").as("accession"))),
+    featureprop = st.featureprop.unionByName(
+      st.feature.select(col("uniquename"), lit("dbxref_version").as("prop"),
+        lit("1").as("value"), lit(0).as("rank"))))
+
   /** Live-store frames on natural keys. Empty store = first load. */
   case class Store(
       feature: DataFrame, featureloc: DataFrame, analysisfeature: DataFrame,

@@ -42,6 +42,18 @@ class Gff3ToChadoSpec extends SparkSpec {
     assert(counts("featureprop") == 1) // lowercase note -> generic prop (P8)
   }
 
+  test("FeatureVersion plugin adds one versioned dbxref per feature, idempotently") {
+    val staged = Gff3ToChado.stage(spark, Gff3.features(spark, path))
+    val staging = Gff3ToChado.withFeatureVersion(staged)
+    val (store, counts) = Gff3ToChado.merge(staging, Gff3ToChado.Store.emptyLike(staging))
+    // 8 features -> +8 DDB:uniquename dbxrefs, links, version props
+    assert(counts("dbxref") == 2 + 8)
+    assert(counts("feature_dbxref") == 3 + 8)
+    assert(counts("featureprop") == 1 + 8)
+    val (_, again) = Gff3ToChado.merge(staging, store)
+    assert(again.values.forall(_ == 0L)) // re-load adds nothing
+  }
+
   test("identical re-load inserts zero rows everywhere (idempotence)") {
     val staging = Gff3ToChado.stage(spark, Gff3.features(spark, path))
     val (store, _) = Gff3ToChado.merge(staging, Gff3ToChado.Store.emptyLike(staging))
