@@ -86,6 +86,9 @@ object Similarity {
       .groupBy(col("cell0"))
       .agg(expr("transform(sort_array(collect_list(struct(i, m))), s -> s.m)").as("cv"))
       .select(col("cell0").as("cid"), col("cv"))
+      // numCells rows, broadcast twice (assignment + probe ranking):
+      // materialize once so the training pipeline runs once
+      .localCheckpoint()
 
     // assignment pass 1 against trained centroids, for corpus + query
     def assign(df: DataFrame): DataFrame = df
