@@ -58,6 +58,8 @@ object GraftCli {
     case "stockreport" :: in :: Nil => stockReport(in)
     case "gaf2chado" :: in :: store :: Nil => gaf2Chado(in, store)
     case "oboclosure2chado" :: in :: store :: Nil => oboClosure2Chado(in, store)
+    case "chado2genesummary" :: props :: paragraphs :: out :: Nil =>
+      chado2GeneSummary(props, paragraphs, out)
     case "dictystrain" :: strains :: props :: out :: Nil =>
       dictyStrain(strains, props, out)
     case "dictyplasmid" :: plasmids :: out :: Nil => dictyPlasmid(plasmids, out)
@@ -75,7 +77,7 @@ object GraftCli {
         s"""unknown command: ${other.mkString(" ")}
            |usage: GraftCli <command> <args> [--single-file] [--dry-run] [--force] [--feature-version]
            |load:      gff3tochado gb2chado gbmito2chado obo2chado oboclosure2chado gaf2chado organism2chado stream-merge
-           |export:    chado2gff3 store2gff3 chado2fasta chado2gaf gb2fasta
+           |export:    chado2gff3 store2gff3 chado2fasta chado2gaf chado2genesummary gb2fasta
            |transform: blast2gff3 gff3alignment modidingoa modrefingoa
            |dump:      dictystrain dictyplasmid
            |report:    sumstats stockreport""".stripMargin)
@@ -309,6 +311,26 @@ object GraftCli {
     spark.stop()
   }
 
+  /** chado2genesummary (SURVEY.md J12+F14,
+    * lib/Modware/Export/Command/chado2genesummary.pm:92-123): join the
+    * featureprop paragraph pointers (TSV: gene_id, paragraph_no) to the
+    * legacy paragraph table (TSV: paragraph_no, html), convert HTML to
+    * wiki markup, write the summary TSV. The same library call accepts
+    * two JDBC frames for real cross-schema stores (ExportStreamSpec). */
+  private def chado2GeneSummary(propsPath: String, paragraphsPath: String,
+      out: String): Unit = {
+    val spark = GraftSession.local()
+    val props = spark.read.option("sep", "\t").csv(propsPath)
+      .toDF("gene_id", "paragraph_no")
+    val paragraphs = spark.read.option("sep", "\t").csv(paragraphsPath)
+      .toDF("paragraph_no", "html")
+    val lines = graft.export.GeneSummary.toTsvLines(
+      graft.export.GeneSummary.export(props, paragraphs))
+    lines.coalesce(1).write.mode("overwrite").text(out)
+    println(s"gene summaries written to $out (${lines.count()} rows)")
+    spark.stop()
+  }
+
   /** modware-dump dictystrain (lib/Modware/Dump/Command/dictystrain.pm):
     * strain + inventory TSV files from the stock frames. */
   private def dictyStrain(strainsPath: String, propsPath: String, out: String): Unit = {
@@ -319,6 +341,10 @@ object GraftCli {
       .coalesce(1).write.mode("overwrite").text(s"$out/strain")
     graft.export.StockExport.inventoryLines(props)
       .coalesce(1).write.mode("overwrite").text(s"$out/inventory")
+    Seq("publications", "genotype", "phenotype").foreach { kind =>
+      graft.export.StockExport.propKindLines(props, kind)
+        .coalesce(1).write.mode("overwrite").text(s"$out/$kind")
+    }
     println(s"strain=${strains.count()} dumped to $out")
     spark.stop()
   }

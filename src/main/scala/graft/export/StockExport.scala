@@ -46,6 +46,15 @@ object StockExport {
         col("stock_id"), col("prop_name"))
       .orderBy(col("stock_id"), col("prop_name")).select(col("value"))
 
+  /** Generic per-kind prop dump (the reference's other `data` kinds:
+    * publications, genotype, phenotype — dictystrain.pm's data list):
+    * `id \t value` lines for one prop kind. */
+  def propKindLines(props: DataFrame, kind: String): DataFrame =
+    props.filter(col("prop_name") === kind)
+      .select(concat_ws("\t", col("stock_id"), coalesce(col("value"), lit("")))
+        .as("value"), col("stock_id"))
+      .orderBy(col("stock_id"), col("value")).select(col("value"))
+
   /** plasmid.tsv rows: id, name, description — dictyplasmid.pm. */
   def plasmidLines(plasmids: DataFrame): DataFrame =
     plasmids.select(concat_ws("\t", col("stock_id"), trim(col("name")),
