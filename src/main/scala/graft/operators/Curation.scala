@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond dedup (builder brief: the operations
+  * a large-scale training-data pipeline needs): benchmark
+  * decontamination, deterministic stratified sampling, and
+  * repetition-based quality filtering.
+  *
+  * Scale notes: decontamination is an inverted-index semi-join — the
+  * benchmark side is tiny (eval sets), so its distinct shingle set
+  * broadcasts and the corpus is touched map-side once. Stratified
+  * sampling is one window per stratum (parallelism = #strata ×
+  * partitioning, no global sort). Repetition counting is a two-level
+  * aggregation with map-side combine — shuffle volume is per-doc
+  * distinct-shingle cardinality, not token count.
+  */
+object Curation {
+
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap rule):
+    * corpus docs sharing at least one shingle with the benchmark set,
+    * with the overlapping-shingle count as evidence.
+    *
+    * Inputs are (doc_id, shingle) frames — distinct shingles per doc
+    * (e.g. [[Dedup.shingles]]). Returns (doc_id, n_hits) for
+    * contaminated docs only; callers anti-join the corpus against it to
+    * drop or audit. */
+  def contaminated(corpusShingles: DataFrame, benchShingles: DataFrame): DataFrame =
+    corpusShingles
+      .join(broadcast(benchShingles.select(col("shingle")).distinct()), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+
+  /** Deterministic stratified sample: keep `n` rows per stratum, ranked
+    * by md5 of the id — a reproducible quota sample for domain/language
+    * mixing (every engine picks the identical rows, re-runs are
+    * stable, and the hash decorrelates the pick from id order). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .drop("rn")
+  }
+
+  /** Raw (not distinct) word n-gram occurrence counts per doc:
+    * (doc_id, shingle, c). */
+  def shingleCounts(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> " +
+          (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+      )).as("shingle"))
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Gopher-style repetition metric: the most frequent n-gram's share of
+    * all n-gram occurrences in the doc — boilerplate/looping text scores
+    * high. Returns (doc_id, top_ngram_ratio, repetitive). */
+  def repetitionRatio(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double = 0.2): DataFrame =
+    shingleCounts(docs, idCol, textCol, n)
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_ngram_ratio"))
+      .withColumn("repetitive", col("top_ngram_ratio") > threshold)
+}

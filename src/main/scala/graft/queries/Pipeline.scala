@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 
 /** Training-data-pipeline operators (builder brief: dedup, similarity
   * search, text analysis, multimodal metadata) over the `documents` and
@@ -384,6 +384,64 @@ object Pipeline {
   private val q44Sql = ivfSql(1)
   private val q50Sql = ivfSql(2)
 
+  // ---------------------------------------------------------------- q52
+  // Benchmark decontamination: corpus docs sharing any 3-gram with the
+  // "benchmark" slice (doc_id < 50) are flagged with their overlap
+  // count — the GPT-3-style n-gram decontamination rule as an
+  // inverted-index join against a broadcast benchmark shingle set.
+  private def q52Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3).localCheckpoint()
+    Curation.contaminated(
+        sh.filter(col("doc_id") >= 50),
+        sh.filter(col("doc_id") < 50))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q52Sql =
+    s"""WITH ${shingleCte(3)},
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50)
+       |SELECT sh.doc_id, COUNT(*) AS n_hits
+       |FROM sh JOIN bench ON sh.s = bench.s
+       |WHERE sh.doc_id >= 50
+       |GROUP BY sh.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  // Deterministic stratified sample: 5 docs per language ranked by
+  // md5(doc_id) — reproducible quota sampling for corpus mixing.
+  private def q53Stratified(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 5)
+      .select(col("lang"), col("doc_id"), col("source"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  private val q53Sql =
+    """SELECT lang, doc_id, source FROM (
+      |  SELECT lang, doc_id, source,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) WHERE rn <= 5
+      |ORDER BY lang, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  // Gopher-style repetition filter: the dominant 2-gram's share of all
+  // 2-gram occurrences per doc, with the repetitive flag.
+  private def q54Repetition(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionRatio(t(s, dir, "documents"), "doc_id", "text", 2)
+      .orderBy(col("doc_id"))
+
+  private val q54Sql =
+    """WITH toksr AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |shr AS (SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS s
+      |  FROM toksr WHERE len(t) >= 2),
+      |counts AS (SELECT doc_id, s, COUNT(*) AS c FROM shr GROUP BY doc_id, s)
+      |SELECT doc_id,
+      |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_ngram_ratio,
+      |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) > 0.2 AS repetitive
+      |FROM counts GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q45
   // Deterministic dataset split: md5 of the content maps each doc to
   // train/val/test with fixed proportions (12/16 train, 2/16 val,
@@ -457,6 +515,9 @@ object Pipeline {
     "q44_ann_ivf" -> q44AnnIvf _,
     "q50_ann_nprobe" -> q50AnnNprobe _,
     "q45_split" -> q45Split _,
+    "q52_decontaminate" -> q52Decontaminate _,
+    "q53_stratified" -> q53Stratified _,
+    "q54_repetition" -> q54Repetition _,
     "q46_curation" -> q46Curation _,
   )
 
@@ -478,6 +539,9 @@ object Pipeline {
     "q44_ann_ivf" -> q44Sql,
     "q50_ann_nprobe" -> q50Sql,
     "q45_split" -> q45Sql,
+    "q52_decontaminate" -> q52Sql,
+    "q53_stratified" -> q53Sql,
+    "q54_repetition" -> q54Sql,
     "q46_curation" -> q46Sql,
   )
 }

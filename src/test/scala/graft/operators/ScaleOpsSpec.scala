@@ -89,6 +89,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(uncapped == 435 + 1)
   }
 
+  test("decontamination flags corpus docs overlapping the benchmark set") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"), // benchmark
+      (100L, "a quick brown fox runs"), // shares "quick brown fox"
+      (101L, "totally different words entirely here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val hits = Curation.contaminated(
+        sh.filter($"doc_id" >= 100), sh.filter($"doc_id" < 100))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(100L -> 1L)) // one shared 3-gram; 101 is clean
+  }
+
+  test("stratified sample keeps n per stratum, deterministically") {
+    val df = (1 to 20).map(i => (if (i % 2 == 0) "en" else "de", i.toLong))
+      .toDF("lang", "doc_id")
+    val s1 = Curation.stratifiedSample(df, "lang", "doc_id", 3)
+      .as[(String, Long)].collect().toSet
+    assert(s1.count(_._1 == "en") == 3 && s1.count(_._1 == "de") == 3)
+    val s2 = Curation.stratifiedSample(df, "lang", "doc_id", 3)
+      .as[(String, Long)].collect().toSet
+    assert(s1 == s2) // reproducible pick
+  }
+
+  test("repetition ratio scores looping text high, varied text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // one dominant 2-gram
+      (2L, "every word here is completely different"))
+      .toDF("doc_id", "text")
+    val byId = Curation.repetitionRatio(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(byId(1L)._1 == 1.0 && byId(1L)._2) // "spam spam" x5 of 5
+    assert(byId(2L)._1 < 0.2 + 1e-9 && !byId(2L)._2)
+  }
+
   test("partitioned store layout prunes single-reference scans") {
     val dir = java.nio.file.Files.createTempDirectory("locstore").toString + "/featureloc"
     Seq(("f1", "chr1", 0, 10, 1, 0), ("f2", "chr1", 5, 20, 1, 0),
