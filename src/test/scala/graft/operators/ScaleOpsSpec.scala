@@ -145,6 +145,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(selected.flatMap(_.files).forall(_.getPath.toString.contains("srcfeature=chr1")))
   }
 
+  test("bucketed tables join without a shuffle exchange (co-located join)") {
+    import graft.sinks.BucketedStore
+    val base = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val orders = (1L to 100L).map(i => (i, s"o$i")).toDF("k", "o_payload")
+    val items = (1L to 300L).map(i => (i % 100 + 1, s"i$i")).toDF("k", "i_payload")
+    BucketedStore.writeBucketed(orders, "bk_orders", s"$base/o", "k", 4)
+    BucketedStore.writeBucketed(items, "bk_items", s"$base/i", "k", 4)
+    val joined = spark.table("bk_orders").hint("merge")
+      .join(spark.table("bk_items"), Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides read bucketed: the sort-merge join has NO hash exchange
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected exchange-free co-located join, got:\n$plan")
+    assert(joined.count() == 300)
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_items")
+  }
+
   test("gzip FASTA write produces compressed part files (K8)") {
     val out = java.nio.file.Files.createTempDirectory("fagz").toString + "/fa"
     graft.sources.Fasta.write(Seq(("s1", "ACGT")).toDF("id", "seq"), "id", "seq",
