@@ -469,9 +469,8 @@ object GraftCli {
       assoc = r("feature_cvterm"), terms = r("cvterm_go"), genes = r("gene"),
       evidenceSynonyms = r("evidence_synonym"), geneSynonyms = r("gene_synonym"),
       descriptions = r("gene_description"), skipIds = skip)
-    graft.export.GafExport.lines(rows, "dictyBase", "http://dictybase.org",
-        java.time.LocalDate.now())
-      .coalesce(1).write.mode("overwrite").text(out)
+    graft.export.GafExport.writeDocument(rows, "dictyBase",
+      "http://dictybase.org", java.time.LocalDate.now(), out, singleFile)
     println(s"gaf written to $out (${rows.count()} annotation rows)")
     spark.stop()
   }

@@ -179,4 +179,33 @@ object GafExport {
         concat_ws("\t", rows.columns.map(col).toIndexedSeq: _*).as("value"))
     header.unionByName(body).orderBy(col("ord"), col("value")).select(col("value"))
   }
+
+  /** Write the export. Default layout is per-aspect partitioned
+    * (`aspect=F|P|C`), each directory a self-contained valid GAF with
+    * its own dated header — the layout that parallelizes at corpus
+    * scale (no single-partition sort; GO itself publishes per-aspect
+    * slices). `singleFile` opts into the reference's one-file form. */
+  def writeDocument(rows: DataFrame, sourceDb: String, sourceUrl: String,
+      today: java.time.LocalDate, out: String,
+      singleFile: Boolean = false): Unit =
+    if (singleFile) {
+      lines(rows, sourceDb, sourceUrl, today)
+        .coalesce(1).write.mode("overwrite").text(out)
+    } else {
+      val spark = rows.sparkSession
+      import spark.implicits._
+      val d = today.format(java.time.format.DateTimeFormatter.ofPattern("MM/dd/yyyy"))
+      val hdr = rows.select(col("c9_aspect").as("aspect")).distinct()
+        .crossJoin(Seq(
+          (0, "!gaf-version: 2.0"),
+          (1, s"!$d"),
+          (2, s"!$sourceDb($sourceUrl)")).toDF("ord", "value"))
+      val body = rows.select(col("c9_aspect").as("aspect"), lit(3).as("ord"),
+        concat_ws("\t", rows.columns.map(col).toIndexedSeq: _*).as("value"))
+      hdr.unionByName(body)
+        .repartition(col("aspect"))
+        .sortWithinPartitions(col("aspect"), col("ord"), col("value"))
+        .select(col("aspect"), col("value"))
+        .write.mode("overwrite").partitionBy("aspect").text(out)
+    }
 }

@@ -62,6 +62,46 @@ object Multimodal {
     }
   }
 
+  /** Resize stage (stub): a real deployment calls the codec's scaler;
+    * here target dims pass through the deterministic fake while the
+    * Spark contract — binary in, (binary, new dims) out, partition-local
+    * batches, payload never shuffled — is the real thing. */
+  case class ResizedMedia(media_id: Long, kind: String, width: Int,
+      height: Int, payload: Array[Byte])
+
+  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _) = StubCodec.decode(r.payload)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        // stub: payload passes through; a real codec re-encodes
+        ResizedMedia(r.media_id, r.kind,
+          math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt),
+          r.payload)
+      }
+    }
+  }
+
+  /** Frame sampling (stub): pick `n` deterministic byte offsets per
+    * payload standing in for video frame extraction — one output row
+    * per sampled frame, the UDTF batch shape a real ffmpeg-backed
+    * sampler would use. */
+  case class Frame(media_id: Long, frame_no: Int, offset: Long,
+      frame_payload: Array[Byte])
+
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = math.max(1, r.payload.length)
+      (0 until n).map { i =>
+        val off = (len.toLong * i) / n
+        Frame(r.media_id, i, off,
+          r.payload.slice(off.toInt, math.min(len, off.toInt + 16)))
+      }
+    }
+  }
+
   /** Metadata-only projection that never deserializes the payload past
     * length/prefix — the cheap path for filtering before decode. */
   def metadata(df: DataFrame, idCol: String, payloadCol: String): DataFrame =

@@ -175,5 +175,13 @@ class ExportStreamSpec extends SparkSpec {
     // determinism: same input -> same features
     val again = Multimodal.extractFeatures(media).collect().head
     assert(again.features.toSeq == f.features.toSeq)
+    // resize caps the longer dimension, preserving aspect
+    val resized = Multimodal.resize(media, 32).collect().head
+    assert(math.max(resized.width, resized.height) <= 32 && resized.width >= 1)
+    // frame sampling: n rows with monotonically increasing offsets
+    val frames = Multimodal.sampleFrames(media, 4).collect().sortBy(_.frame_no)
+    assert(frames.length == 4)
+    assert(frames.map(_.offset).toSeq == frames.map(_.offset).toSeq.sorted)
+    assert(frames.forall(_.frame_payload.nonEmpty))
   }
 }

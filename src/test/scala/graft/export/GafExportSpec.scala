@@ -101,6 +101,20 @@ class GafExportSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSet == Set("DDB_G0267178"))
   }
 
+  test("partitioned GAF write: one self-contained headered doc per aspect") {
+    val out = java.nio.file.Files.createTempDirectory("gafpart").toString
+    GafExport.writeDocument(exportRows(), "dictyBase", "http://dictybase.org",
+      java.time.LocalDate.of(2026, 8, 12), out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("aspect=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("aspect=C", "aspect=F"))
+    val f = spark.read.textFile(s"$out/aspect=F").collect()
+    assert(f.take(3).toSeq == Seq("!gaf-version: 2.0", "!08/12/2026",
+      "!dictyBase(http://dictybase.org)"))
+    assert(f.drop(3).forall(_.split("\t", -1)(8) == "F"))
+    assert(f.drop(3).length == 3) // the three F-aspect annotations
+  }
+
   test("serialized GAF 2.0 document: dated header + valid tab rows") {
     val lines = GafExport.lines(exportRows(), "dictyBase", "http://dictybase.org",
       java.time.LocalDate.of(2026, 8, 12)).collect().map(_.getString(0))
