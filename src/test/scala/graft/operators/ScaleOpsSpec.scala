@@ -145,6 +145,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(selected.flatMap(_.files).forall(_.getPath.toString.contains("srcfeature=chr1")))
   }
 
+  test("distributed id allocation: dense, unique, deterministic, no global window") {
+    val df = (1 to 500).map(i => s"key%04d".format(501 - i)).toDF("key")
+      .repartition(8)
+    val ids1 = IdAllocate.denseIds(df, "key", base = 1000L)
+      .select($"key", $"id").as[(String, Long)].collect().sortBy(_._1)
+    // dense range starting at base+1, ordered by key
+    assert(ids1.map(_._2).toSeq == (1001L to 1500L))
+    // deterministic across re-runs
+    val ids2 = IdAllocate.denseIds(df, "key", base = 1000L)
+      .select($"key", $"id").as[(String, Long)].collect().sortBy(_._1)
+    assert(ids1.toSeq == ids2.toSeq)
+    // the plan contains no single-partition window
+    val plan = IdAllocate.denseIds(df, "key", 0L).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+
   test("bucketed tables join without a shuffle exchange (co-located join)") {
     import graft.sinks.BucketedStore
     val base = java.nio.file.Files.createTempDirectory("bucketed").toString
