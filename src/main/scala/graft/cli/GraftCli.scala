@@ -58,6 +58,10 @@ object GraftCli {
     case "stockreport" :: in :: Nil => stockReport(in)
     case "gaf2chado" :: in :: store :: Nil => gaf2Chado(in, store)
     case "oboclosure2chado" :: in :: store :: Nil => oboClosure2Chado(in, store)
+    case "bibtex2chado" :: in :: store :: Nil => bibtex2Chado(in, store)
+    case "chadopub2bib" :: store :: out :: Nil => chadoPub2Bib(store, out)
+    case "store2alignmentgff3" :: store :: out :: Nil => store2AlignmentGff3(store, out)
+    case "dropontofromchado" :: store :: ns :: Nil => dropOntoFromChado(store, ns)
     case "chado2genesummary" :: props :: paragraphs :: out :: Nil =>
       chado2GeneSummary(props, paragraphs, out)
     case "dictystrain" :: strains :: props :: out :: Nil =>
@@ -76,8 +80,10 @@ object GraftCli {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: GraftCli <command> <args> [--single-file] [--dry-run] [--force] [--feature-version]
-           |load:      gff3tochado gb2chado gbmito2chado obo2chado oboclosure2chado gaf2chado organism2chado stream-merge
-           |export:    chado2gff3 store2gff3 chado2fasta chado2gaf chado2genesummary gb2fasta
+           |load:      gff3tochado gb2chado gbmito2chado obo2chado oboclosure2chado
+           |           gaf2chado organism2chado bibtex2chado stream-merge dropontofromchado
+           |export:    chado2gff3 store2gff3 store2alignmentgff3 chado2fasta chado2gaf
+           |           chado2genesummary chadopub2bib gb2fasta
            |transform: blast2gff3 gff3alignment modidingoa modrefingoa
            |dump:      dictystrain dictyplasmid
            |report:    sumstats stockreport""".stripMargin)
@@ -308,6 +314,70 @@ object GraftCli {
       .select(col("uniquename"), (col("fmax") - col("fmin")).as("seqlen"))
     Gff3Export.writeDocument(refs, rec, out, singleFile)
     println(s"gff3 written to $out (${rec.count()} feature lines)")
+    spark.stop()
+  }
+
+  /** bibtex2chado (lib/Modware/Load/Command/bibtex2chado.pm): parse a
+    * .bib file and merge novel pubs (by uniquename) into the store's
+    * pub table — idempotent re-loads insert nothing. */
+  private def bibtex2Chado(in: String, store: String): Unit = {
+    val spark = GraftSession.local()
+    val staging = graft.sources.BibTex.read(spark, in).dropDuplicates("uniquename")
+    val path = s"$store/pub"
+    val live =
+      if (new java.io.File(path).exists()) spark.read.parquet(path)
+      else staging.limit(0)
+    val novel = staging.join(live.select(col("uniquename")),
+      Seq("uniquename"), "left_anti").localCheckpoint()
+    val n = novel.count()
+    if (!dryRun) live.unionByName(novel).localCheckpoint()
+      .write.mode("overwrite").parquet(path)
+    println(s"pub inserted=$n")
+    spark.stop()
+  }
+
+  /** chadopub2bib: export the store's pub table as BibTeX records (the
+    * engine half of lib/Modware/Export/Command/chadopub2bib.pm — the
+    * PubMed HTTP/XSLT fetch is driver-side, SURVEY.md S11). */
+  private def chadoPub2Bib(store: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val pubs = spark.read.parquet(s"$store/pub")
+    graft.export.PubExport.bibRecords(pubs)
+      .coalesce(1).write.mode("overwrite").text(out)
+    println(s"bib written to $out (${pubs.count()} records)")
+    spark.stop()
+  }
+
+  /** chado2alignmentgff3: alignment features from the store with Target
+    * attributes rebuilt from rank-1 featurelocs (W2) and scores from
+    * analysisfeature. */
+  private def store2AlignmentGff3(store: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val lines = Gff3Export.alignmentLines(
+      spark.read.parquet(s"$store/feature"),
+      spark.read.parquet(s"$store/featureloc"),
+      spark.read.parquet(s"$store/analysisfeature"))
+    lines.coalesce(1).write.mode("overwrite").text(out)
+    println(s"alignment gff3 written to $out (${lines.count()} lines)")
+    spark.stop()
+  }
+
+  /** dropontofromchado: remove one ontology namespace (terms, synonyms,
+    * alt_ids, touching relationships) from the cv store. */
+  private def dropOntoFromChado(store: String, ns: String): Unit = {
+    val spark = GraftSession.local()
+    def r(t: String) = spark.read.parquet(s"$store/$t")
+    val cv = OntologyMerge.CvStore(r("cvterm"), r("cvtermsynonym"),
+      r("cvterm_altid"), r("cvterm_relationship"))
+    val res = OntologyMerge.dropOntology(cv, ns)
+    res.counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"$t%-24s $n%6d") }
+    if (dryRun) { println("dry run: no store write"); spark.stop(); return }
+    Seq("cvterm" -> res.store.cvterm, "cvtermsynonym" -> res.store.synonym,
+      "cvterm_altid" -> res.store.altId,
+      "cvterm_relationship" -> res.store.relationship).foreach { case (t, df) =>
+      df.localCheckpoint().write.mode("overwrite").parquet(s"$store/$t")
+    }
+    println(s"namespace $ns dropped from $store")
     spark.stop()
   }
 

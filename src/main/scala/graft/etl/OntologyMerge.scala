@@ -46,7 +46,10 @@ object OntologyMerge {
           concat(coalesce(col("name"), col("id")), lit(" (obsolete "), col("id"), lit(")")))
           .otherwise(coalesce(col("name"), col("id"))).as("name"),
         col("definition"),
-        when(col("isObsolete"), 1).otherwise(0).as("is_obsolete")),
+        when(col("isObsolete"), 1).otherwise(0).as("is_obsolete"),
+        // cv scoping column (the reference's cv_id FK): per-term
+        // namespace, for dropontofromchado and cv-scoped prunes
+        coalesce(col("namespace"), lit("default")).as("namespace")),
       synonym = t.select(col("id").as("accession"),
         explode(col("synonyms")).as("synonym")).dropDuplicates(),
       altId = t.select(col("id").as("accession"),
@@ -111,5 +114,27 @@ object OntologyMerge {
       live.relationship.join(stagedSubjects, Seq("subject"), "left_anti"))
 
     MergeResult(CvStore(cvterm, staging.synonym, staging.altId, relationship), counts)
+  }
+
+  /** dropontofromchado (lib/Modware/Load/Command/dropontofromchado.pm):
+    * remove one ontology namespace from the store — its terms, their
+    * synonyms/alt_ids, and every relationship touching a dropped term.
+    * Returns the reduced store plus per-table drop counts. */
+  def dropOntology(store: CvStore, namespace: String): MergeResult = {
+    val dropped = store.cvterm.filter(col("namespace") === namespace)
+      .select(col("accession")).localCheckpoint()
+    def keep(df: DataFrame, key: String): DataFrame =
+      df.join(dropped.select(col("accession").as(key)), Seq(key), "left_anti")
+    val cvterm = store.cvterm.filter(col("namespace") =!= namespace)
+    val synonym = keep(store.synonym, "accession")
+    val altId = keep(store.altId, "accession")
+    val relationship = keep(keep(store.relationship, "subject"), "object")
+    val counts = Gff3ToChado.collectCounts(Seq(
+      "dropped_terms" -> dropped,
+      "dropped_synonyms" -> store.synonym.join(dropped, Seq("accession"), "left_semi"),
+      "dropped_alt_ids" -> store.altId.join(dropped, Seq("accession"), "left_semi"),
+      "dropped_relationships" ->
+        store.relationship.except(relationship)))
+    MergeResult(CvStore(cvterm, synonym, altId, relationship), counts)
   }
 }

@@ -137,6 +137,43 @@ object Gff3Export {
     * filter's match/match_part output). */
   def linesWithKeys(features: DataFrame): DataFrame = featureLines(features)
 
+  /** chado2alignmentgff3 (lib/Modware/Export/Command/
+    * chado2alignmentgff3.pm): re-emit alignment features with their
+    * `Target` attribute reconstructed from the rank-1 featureloc (W2:
+    * rank 0 = subject location, rank 1 = query location) and the score
+    * from analysisfeature. Only features that carry a rank-1 location
+    * are alignments — one semi-join scopes the export.
+    *
+    * `featureloc`: (uniquename, srcfeature, fmin, fmax, strand, rank);
+    * `features`: (uniquename, ftype, source?); `analysis`:
+    * (uniquename, rawscore). Returns ordered GFF3 `value` lines.
+    */
+  def alignmentLines(features: DataFrame, featureloc: DataFrame,
+      analysis: DataFrame): DataFrame = {
+    val loc0 = featureloc.filter(col("rank") === 0)
+    val target = featureloc.filter(col("rank") === 1)
+      .select(col("uniquename"),
+        concat_ws(" ", col("srcfeature"), (col("fmin") + 1).cast("string"),
+          col("fmax").cast("string"),
+          when(col("strand") === 1, "+").when(col("strand") === -1, "-"))
+          .as("target"))
+    loc0
+      .join(target, Seq("uniquename")) // inner join scopes to alignments
+      .join(features.select(col("uniquename"), col("ftype")), Seq("uniquename"))
+      .join(analysis.select(col("uniquename"), col("rawscore")),
+        Seq("uniquename"), "left_outer")
+      .select(concat_ws("\t",
+        col("srcfeature"), lit("chado"), col("ftype"),
+        (col("fmin") + 1).cast("string"), col("fmax").cast("string"),
+        when(col("rawscore").isNotNull,
+          format_string("%.3g", col("rawscore"))).otherwise("."),
+        when(col("strand") === 1, "+").when(col("strand") === -1, "-").otherwise("."),
+        lit("."),
+        concat(lit("ID="), esc(col("uniquename")),
+          lit(";Target="), col("target"))).as("value"))
+      .orderBy(col("value"))
+  }
+
   /** Whole GFF3 document — pragmas then ordered feature lines — as one
     * globally sorted frame safe for a single-file write. */
   def document(references: DataFrame, features: DataFrame): DataFrame = {

@@ -130,6 +130,73 @@ class TransformSpec extends SparkSpec {
     assert(again == 0) // idempotent
   }
 
+  test("bibtex parses entries and round-trips through bib formatting") {
+    import graft.sources.BibTex
+    val bib =
+      """@article{PMID:10557,
+        |  author = {Smith, J. and Doe, A.},
+        |  title = {A paper about
+        |           actin},
+        |  journal = {J Biol},
+        |  year = 1999,
+        |  volume = {12},
+        |  pages = {1-10}
+        |}
+        |
+        |@book{someKey, title = "A book", year = {2001}}
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("refs", ".bib")
+    java.nio.file.Files.writeString(f, bib)
+    val rows = BibTex.read(spark, f.toString).orderBy($"uniquename").collect()
+    assert(rows.length == 2)
+    val art = rows.find(_.getString(0) == "10557").get
+    assert(art.getString(1) == "article")
+    assert(art.getString(2) == "A paper about actin") // folded whitespace
+    assert(art.getString(3) == "Smith, J.|Doe, A.")
+    assert(art.getString(5) == "1999") // bare value
+    // round-trip: formatted back out via PubExport
+    val out = graft.export.PubExport.bibRecords(
+      BibTex.read(spark, f.toString).filter($"entry_type" === "article"))
+      .as[String].collect().head
+    assert(out.contains("author = {Smith, J. and Doe, A.}"))
+    assert(out.contains("title = {A paper about actin}"))
+  }
+
+  test("alignment export rebuilds Target from rank-1 featurelocs (W2)") {
+    import graft.export.Gff3Export
+    val features = Seq(("hit1", "match"), ("gene1", "gene"))
+      .toDF("uniquename", "ftype")
+    val locs = Seq(
+      ("hit1", "chr1", 999, 1500, -1, 0), // subject location
+      ("hit1", "q1", 0, 501, 1, 1), // Target (query) location
+      ("gene1", "chr1", 10, 90, 1, 0)) // not an alignment: no rank-1 row
+      .toDF("uniquename", "srcfeature", "fmin", "fmax", "strand", "rank")
+    val analysis = Seq(("hit1", 95.5)).toDF("uniquename", "rawscore")
+    val lines = Gff3Export.alignmentLines(features, locs, analysis)
+      .as[String].collect()
+    assert(lines.length == 1)
+    assert(lines.head ==
+      "chr1\tchado\tmatch\t1000\t1500\t95.5\t-\t.\tID=hit1;Target=q1 1 501 +")
+  }
+
+  test("dropontofromchado removes a namespace and its edges") {
+    import graft.etl.OntologyMerge
+    val cvterm = Seq(("GO:1", "a", null, 0, "go"), ("GO:2", "b", null, 0, "go"),
+      ("SO:1", "c", null, 0, "so"))
+      .toDF("accession", "name", "definition", "is_obsolete", "namespace")
+    val syn = Seq(("GO:1", "alpha"), ("SO:1", "sigma")).toDF("accession", "synonym")
+    val alt = Seq(("GO:2", "GO:99")).toDF("accession", "alt_id")
+    val rel = Seq(("GO:1", "is_a", "GO:2"), ("SO:1", "is_a", "GO:1"))
+      .toDF("subject", "predicate", "object")
+    val res = OntologyMerge.dropOntology(
+      OntologyMerge.CvStore(cvterm, syn, alt, rel), "go")
+    assert(res.counts == Map("dropped_terms" -> 2L, "dropped_synonyms" -> 1L,
+      "dropped_alt_ids" -> 1L, "dropped_relationships" -> 2L))
+    assert(res.store.cvterm.select($"accession").as[String].collect().toSeq == Seq("SO:1"))
+    assert(res.store.relationship.count() == 0) // SO:1's edge touched GO:1
+    assert(res.store.synonym.as[(String, String)].collect().toSeq == Seq(("SO:1", "sigma")))
+  }
+
   test("dictypub link export and bib formatting") {
     import graft.export.PubExport
     val fp = Seq((10L, 1L), (11L, 2L), (12L, 3L), (13L, 1L))
