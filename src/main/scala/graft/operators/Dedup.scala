@@ -24,16 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Tokenize + distinct word n-gram shingles: (doc_id, shingle). */
+  /** Tokenize + distinct word n-gram shingles: (doc_id, shingle).
+    * Dedup happens per doc with `array_distinct` BEFORE the explode —
+    * (doc_id, shingle) pairs are then globally unique by construction,
+    * so no shuffle is spent on a `distinct()` (map-only operator). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> " +
-          (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+        s"array_distinct(transform(sequence(0, size(toks) - $n), i -> " +
+          (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + "))"
       )).as("shingle"))
-      .distinct()
   }
 
   /** Exact dedup: group identical content by md5, keep the smallest id.
