@@ -58,6 +58,7 @@ object GraftCli {
     case "stockreport" :: in :: Nil => stockReport(in)
     case "gaf2chado" :: in :: store :: Nil => gaf2Chado(in, store)
     case "oboclosure2chado" :: in :: store :: Nil => oboClosure2Chado(in, store)
+    case "validateobo" :: in :: Nil => validateObo(in)
     case "bibtex2chado" :: in :: store :: Nil => bibtex2Chado(in, store)
     case "chadopub2bib" :: store :: out :: Nil => chadoPub2Bib(store, out)
     case "store2alignmentgff3" :: store :: out :: Nil => store2AlignmentGff3(store, out)
@@ -315,6 +316,20 @@ object GraftCli {
     Gff3Export.writeDocument(refs, rec, out, singleFile)
     println(s"gff3 written to $out (${rec.count()} feature lines)")
     spark.stop()
+  }
+
+  /** Structural OBO validation report (fills the reference's empty
+    * Validate/Obo hook): duplicate ids, dangling relationship
+    * endpoints, relationships on obsolete terms. Non-zero exit on
+    * findings so pipelines can gate the load. */
+  private def validateObo(in: String): Unit = {
+    val spark = GraftSession.local()
+    val st = OntologyMerge.stage(spark, Obo.terms(spark, in), Obo.relationships(spark, in))
+    val findings = OntologyMerge.validate(st).collect()
+    findings.foreach(r => println(s"${r.getString(0)}\t${r.getString(1)}"))
+    println(s"${findings.length} findings")
+    spark.stop()
+    if (findings.nonEmpty) sys.exit(1)
   }
 
   /** bibtex2chado (lib/Modware/Load/Command/bibtex2chado.pm): parse a

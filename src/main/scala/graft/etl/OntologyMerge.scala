@@ -116,6 +116,37 @@ object OntologyMerge {
     MergeResult(CvStore(cvterm, staging.synonym, staging.altId, relationship), counts)
   }
 
+  /** Structural OBO validation — the reference ships an empty
+    * `validate_data` hook (lib/Modware/Role/Command/Validate/Obo.pm:14-16);
+    * this fills it with the checks a loader actually needs before the
+    * merge runs: duplicate term ids, relationship endpoints that resolve
+    * to no term (and no alt_id), and relationships on obsolete terms
+    * (an OBO spec violation). Returns (kind, detail) diagnostic rows —
+    * empty means clean. */
+  def validate(staging: CvStore): DataFrame = {
+    val ids = staging.cvterm.select(col("accession"))
+      .unionByName(staging.altId.select(col("alt_id").as("accession")))
+      .dropDuplicates()
+    val dups = staging.cvterm.groupBy(col("accession"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(lit("duplicate_id").as("kind"), col("accession").as("detail"))
+    def dangling(side: String) = staging.relationship
+      .select(col(side).as("accession"))
+      .join(ids, Seq("accession"), "left_anti")
+      .select(lit(s"dangling_$side").as("kind"), col("accession").as("detail"))
+      .dropDuplicates()
+    val obsoleteWithEdges = staging.cvterm.filter(col("is_obsolete") === 1)
+      .select(col("accession"))
+      .join(staging.relationship
+          .select(col("subject").as("accession"))
+          .unionByName(staging.relationship.select(col("object").as("accession"))),
+        Seq("accession"), "left_semi")
+      .select(lit("obsolete_with_relationship").as("kind"),
+        col("accession").as("detail"))
+    dups.unionByName(dangling("subject")).unionByName(dangling("object"))
+      .unionByName(obsoleteWithEdges)
+  }
+
   /** dropontofromchado (lib/Modware/Load/Command/dropontofromchado.pm):
     * remove one ontology namespace from the store — its terms, their
     * synonyms/alt_ids, and every relationship touching a dropped term.

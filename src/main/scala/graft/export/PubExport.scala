@@ -33,6 +33,25 @@ object PubExport {
       .orderBy(col("uniquename"), col("ddb_id"))
       .select(col("value"))
 
+  /** dictypubannotation (lib/Modware/Export/Command/
+    * dictypubannotation.pm:16-41): per-(gene, pub) annotation rows with
+    * their curation props pivoted on — the reference walks feature_pub
+    * with prefetched pubprops; here one join + a pipe-fold per link.
+    * `featurePub`: (accession, pubmed); `pubprops`:
+    * (accession, pubmed, prop). Output: ordered accession\tpubmed\tprops
+    * lines. */
+  def pubAnnotations(featurePub: DataFrame, pubprops: DataFrame): DataFrame = {
+    val folded = pubprops.groupBy(col("accession"), col("pubmed"))
+      .agg(concat_ws("|", sort_array(collect_list(col("prop")))).as("props"))
+    featurePub
+      .join(folded, Seq("accession", "pubmed"), "left_outer")
+      .select(concat_ws("\t", col("accession"), col("pubmed"),
+        coalesce(col("props"), lit(""))).as("value"),
+        col("accession"), col("pubmed"))
+      .orderBy(col("accession"), col("pubmed"))
+      .select(col("value"))
+  }
+
   /** BibTeX records from pub rows: (uniquename, title, authors
     * pipe-joined "Last, F.", journal, year, volume, pages). Multi-line
     * records carried as one `value` per pub, ordered by id. */

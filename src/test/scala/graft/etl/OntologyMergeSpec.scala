@@ -82,4 +82,38 @@ class OntologyMergeSpec extends SparkSpec {
     val r = OntologyMerge.merge(staged(v1), first.store)
     assert(r.counts.values.forall(_ == 0L), s"expected all-zero, got ${r.counts}")
   }
+
+  test("OBO validation flags dup ids, dangling edges, obsolete with edges") {
+    import spark.implicits._
+    val cvterm = Seq(
+      ("T:1", "a", null, 0, "ns"), ("T:1", "a2", null, 0, "ns"), // dup
+      ("T:2", "b", null, 1, "ns"), // obsolete but has an edge
+      ("T:3", "c", null, 0, "ns"))
+      .toDF("accession", "name", "definition", "is_obsolete", "namespace")
+    val alt = Seq(("T:3", "T:99")).toDF("accession", "alt_id")
+    val rel = Seq(
+      ("T:2", "is_a", "T:3"),
+      ("T:3", "is_a", "T:99"), // resolves via alt_id -> OK
+      ("T:3", "is_a", "T:404")) // dangling object
+      .toDF("subject", "predicate", "object")
+    val st = OntologyMerge.CvStore(cvterm,
+      Seq.empty[(String, String)].toDF("accession", "synonym"), alt, rel)
+    val got = OntologyMerge.validate(st)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("duplicate_id", "T:1"),
+      ("dangling_object", "T:404"),
+      ("obsolete_with_relationship", "T:2")))
+  }
+
+  test("pub annotation export folds curation props per (gene, pub)") {
+    import spark.implicits._
+    val fp = Seq(("DDB_G1", "10557"), ("DDB_G2", "20991"))
+      .toDF("accession", "pubmed")
+    val props = Seq(("DDB_G1", "10557", "curated"), ("DDB_G1", "10557", "reviewed"))
+      .toDF("accession", "pubmed", "prop")
+    val got = graft.export.PubExport.pubAnnotations(fp, props)
+      .as[String].collect().toSeq
+    assert(got == Seq("DDB_G1\t10557\tcurated|reviewed", "DDB_G2\t20991\t"))
+  }
 }
