@@ -30,14 +30,17 @@ object GraftCli {
   private var force = false
 
   private var featureVersion = false
+  private var withParts = false
 
-  private val flags = Set("--single-file", "--dry-run", "--force", "--feature-version")
+  private val flags = Set("--single-file", "--dry-run", "--force",
+    "--feature-version", "--parts")
 
   def main(args: Array[String]): Unit = {
     singleFile = args.contains("--single-file")
     dryRun = args.contains("--dry-run")
     force = args.contains("--force")
     featureVersion = args.contains("--feature-version")
+    withParts = args.contains("--parts")
     run(args.toList.filterNot(flags.contains))
   }
 
@@ -91,12 +94,28 @@ object GraftCli {
       sys.exit(2)
   }
 
-  /** modware-transform blast2chadogff3 analog (SURVEY.md §2.1 S7). */
+  /** modware-transform blast2chadogff3 analog (SURVEY.md §2.1 S7).
+    * `--parts` emits the two-level match + match_part document
+    * (the blast2gbrowsegff3 variant's shape, parent before children). */
   private def blast2Gff3(in: String, out: String): Unit = {
     val spark = GraftSession.local()
-    val matches = graft.transform.BlastToGff3.toFeatures(
-      graft.transform.BlastToGff3.read(spark, in))
-    if (singleFile)
+    val hsps = graft.transform.BlastToGff3.read(spark, in)
+    val matches = graft.transform.BlastToGff3.toFeatures(hsps)
+    if (withParts) {
+      val matchFrame = matches.select(
+        col("match_id").as("uniquename"), lit(null).cast("string").as("name"),
+        lit("match").as("ftype"), col("subjectId").as("srcfeature"),
+        col("fmin"), col("fmax"), col("score").cast("double").as("score"),
+        col("strand"), lit(null).cast("int").as("phase"),
+        lit("blast").as("source"), lit(null).cast("string").as("parent"))
+      val doc = matchFrame.unionByName(
+        graft.transform.BlastToGff3.toMatchParts(hsps))
+      if (singleFile)
+        Gff3Export.toGff3Lines(doc).coalesce(1).write.mode("overwrite").text(out)
+      else
+        Gff3Export.writePartitionedText(Gff3Export.linesWithKeys(doc),
+          "srcfeature", out, col("type_rank"), col("fmin"), col("uniquename"))
+    } else if (singleFile)
       graft.transform.BlastToGff3.toGff3Lines(matches)
         .coalesce(1).write.mode("overwrite").text(out)
     else
