@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSimilarity, MinHashMd5}
+import graft.functions.{CosineSimilarity, L2Distance, MinHashMd5}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val v = exprs(1).eval()
         v.asInstanceOf[Number].intValue()
       })))
+    ext.injectFunction((
+      FunctionIdentifier("l2_dist"),
+      new ExpressionInfo(classOf[L2Distance].getName, "l2_dist"),
+      (exprs: Seq[Expression]) => L2Distance(exprs.head, exprs(1))))
   }
 }

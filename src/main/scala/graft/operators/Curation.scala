@@ -62,12 +62,32 @@ object Curation {
 
   /** Gopher-style repetition metric: the most frequent n-gram's share of
     * all n-gram occurrences in the doc — boilerplate/looping text scores
-    * high. Returns (doc_id, top_ngram_ratio, repetitive). */
+    * high. Returns (doc_id, top_ngram_ratio, repetitive).
+    *
+    * Map-only: the metric is purely per-document, so instead of
+    * explode + groupBy(doc, shingle) + groupBy(doc) (two shuffles of
+    * every n-gram occurrence), the n-gram array is sorted in place and
+    * the dominant count is the longest equal run — identical to
+    * `MAX(c) / SUM(c)` over occurrence counts, with zero exchange. */
   def repetitionRatio(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int, threshold: Double = 0.2): DataFrame =
-    shingleCounts(docs, idCol, textCol, n)
-      .groupBy(col("doc_id"))
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
-        .as("top_ngram_ratio"))
+                      n: Int, threshold: Double = 0.2): DataFrame = {
+    val grams = (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .withColumn("sg", expr(s"array_sort(transform(sequence(0, size(toks) - $n), i -> $grams))"))
+      // longest run in the sorted array == max occurrence count; guarded
+      // because sequence(1, 0) would count down, not produce empty
+      .withColumn("best", expr(
+        """IF(size(sg) < 2, 1,
+          |  aggregate(sequence(1, size(sg) - 1),
+          |    named_struct('run', 1, 'best', 1),
+          |    (acc, i) -> IF(sg[i] = sg[i - 1],
+          |      named_struct('run', acc.run + 1, 'best', greatest(acc.best, acc.run + 1)),
+          |      named_struct('run', 1, 'best', acc.best)),
+          |    acc -> acc.best))""".stripMargin))
+      .select(col("doc_id"),
+        (col("best").cast("double") / size(col("sg")).cast("double")).as("top_ngram_ratio"))
       .withColumn("repetitive", col("top_ngram_ratio") > threshold)
+  }
 }

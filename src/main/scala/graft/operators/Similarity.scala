@@ -62,10 +62,12 @@ object Similarity {
     * exact scan. Cost is O(nprobe · n / numCells) candidates. */
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
               queryId: Long, numCells: Int, k: Int, nprobe: Int = 1): DataFrame = {
+    // native fused expression ([[graft.functions.L2Distance]]) — the
+    // aggregate(zip_with(...)) form it replaced is a higher-order
+    // function chain that never enters codegen; semantics (double
+    // widening, left-to-right accumulation) are bit-identical
     val l2 = (a: String, b: String) =>
-      expr(s"aggregate(zip_with($a, $b, (x, y) -> " +
-        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+      graft.functions.VectorFunctions.l2_dist(col(a), col(b))
     val init = emb.filter(col(idCol) < numCells)
       .select(col(idCol).cast("int").as("cid"), col(embCol).as("cv"))
 

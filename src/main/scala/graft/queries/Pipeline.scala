@@ -390,11 +390,13 @@ object Pipeline {
   // count — the GPT-3-style n-gram decontamination rule as an
   // inverted-index join against a broadcast benchmark shingle set.
   private def q52Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // shingle generation is map-only (array_distinct before explode), so
+    // building each side from its own pushed-down scan beats
+    // checkpointing every corpus shingle to disk for reuse
     val docs = t(s, dir, "documents")
-    val sh = Dedup.shingles(docs, "doc_id", "text", 3).localCheckpoint()
     Curation.contaminated(
-        sh.filter(col("doc_id") >= 50),
-        sh.filter(col("doc_id") < 50))
+        Dedup.shingles(docs.filter(col("doc_id") >= 50), "doc_id", "text", 3),
+        Dedup.shingles(docs.filter(col("doc_id") < 50), "doc_id", "text", 3))
       .orderBy(col("doc_id"))
   }
 
