@@ -732,6 +732,136 @@ object Relational {
       |WHERE value IS NOT NULL
       |ORDER BY o_orderkey, prop""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  // W2 — rank **as data**: the reference stores featureloc rank 0/1 as a
+  // column, not as a dedup device (WithChadoGFF3Helper.pm:362-368,
+  // Gff3ToChado rank 0/1 golden). Here: each customer's orders ranked by
+  // date, the rank kept as an output column, early ranks retained.
+  private def q55RankData(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("ord_rank", rank().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long"))
+      .filter(col("ord_rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("ord_rank"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
+  private val q55Sql =
+    """SELECT o_custkey, o_orderkey, ord_rank FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS ord_rank
+      |  FROM orders)
+      |WHERE ord_rank <= 3
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  // F6 — the 60-char FASTA wrap as a chunking regex
+  // (chado2fasta.pm:365 `s/(\S{1,60})/$1\n/g`): line count and the
+  // newline-joined wrapped body, verified cell-for-cell vs DuckDB's RE2.
+  private def q56Wrap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("lines", expr("regexp_extract_all(text, '.{1,60}', 0)"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        array_join(col("lines"), "\n").as("wrapped"))
+      .orderBy(col("doc_id"))
+
+  private val q56Sql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '.{1,60}')) AS BIGINT) AS n_lines,
+      |  array_to_string(regexp_extract_all(text, '.{1,60}'), chr(10)) AS wrapped
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  // F14 — HTML -> MediaWiki conversion (WithMediaWikiFormatter.pm via
+  // chado2genesummary.pm:114): a deterministic HTML fragment is built
+  // from document fields, then converted through the real
+  // [[graft.functions.WikiText]] UDF; the oracle replays the identical
+  // rule chain as RE2 regexp_replace calls.
+  private def q57HtmlWiki(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("html", concat(
+        lit("<p><b>"), col("source"), lit("</b> &amp; <i>"), col("lang"),
+        lit("</i><br/><a href=\"https://docs/"), col("doc_id"),
+        lit("\">doc "), col("doc_id"), lit("</a></p>")))
+      .select(col("doc_id"), graft.functions.WikiText.html_to_wiki(col("html")).as("wiki"))
+      .orderBy(col("doc_id"))
+
+  private val q57Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<p><b>' || source || '</b> &amp; <i>' || lang ||
+      |    '</i><br/><a href="https://docs/' || doc_id ||
+      |    '">doc ' || doc_id || '</a></p>' AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |  trim(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(
+      |                  regexp_replace(
+      |                    regexp_replace(html, '(?is)<b>(.*?)</b>', '''''''\1''''''', 'g'),
+      |                    '(?is)<strong>(.*?)</strong>', '''''''\1''''''', 'g'),
+      |                  '(?is)<i>(.*?)</i>', '''''\1''''', 'g'),
+      |                '(?is)<em>(.*?)</em>', '''''\1''''', 'g'),
+      |              '(?is)<a\s+href="([^"]*)"[^>]*>(.*?)</a>', '[\1 \2]', 'g'),
+      |            '(?is)<br\s*/?>', chr(10), 'g'),
+      |          '(?is)</?p>', chr(10), 'g'),
+      |        '(?is)<[^>]+>', '', 'g'),
+      |      '\n{3,}', chr(10) || chr(10), 'g'),
+      |    ' ' || chr(10) || chr(9) || chr(13)) AS wiki
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  // F16/J9 — small static id-map translate
+  // (Convert/Identifier.pm:14-18, modidingoa): a literal map compiles to
+  // chained WHENs (fully codegen'd, no join) applied after a broadcast
+  // dimension join; untranslated ids pass through.
+  private def q58IdMap(s: SparkSession, dir: String): DataFrame = {
+    val m = Map("NATION_0" -> "N0", "NATION_1" -> "N1", "NATION_2" -> "N2")
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("nation_code",
+        graft.functions.GenomicFunctions.mapTranslate(col("n_name"), m, col("n_name")))
+      .groupBy(col("nation_code"))
+      .agg(count(lit(1)).as("n_cust"), dsum("c_acctbal").as("sum_bal"))
+      .orderBy(col("nation_code"))
+  }
+
+  private val q58Sql =
+    """SELECT CASE n_name WHEN 'NATION_0' THEN 'N0' WHEN 'NATION_1' THEN 'N1'
+      |                   WHEN 'NATION_2' THEN 'N2' ELSE n_name END AS nation_code,
+      |  COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY nation_code""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  // F15 — CIGAR-style token reformat (blast2chadogff3.pm:326-327
+  // `12M3I` -> `M 12 I 3`, the GFF3 Gap attribute): tokens synthesized
+  // from lineitem quantities, reformatted by the engine's cigarToGap.
+  private def q59Cigar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 500)
+      .withColumn("cig", concat(
+        expr("CAST(FLOOR(l_quantity) AS INT)"), lit("M"),
+        col("l_linenumber"), lit("D")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("cig"),
+        graft.functions.GenomicFunctions.cigarToGap(col("cig")).as("gap"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q59Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(FLOOR(l_quantity) AS INT) || 'M' || l_linenumber || 'D' AS cig,
+      |  trim(regexp_replace(CAST(FLOOR(l_quantity) AS INT) || 'M' || l_linenumber || 'D',
+      |    '(\d+)([A-Z])', '\2 \1 ', 'g'), ' ') AS gap
+      |FROM lineitem WHERE l_orderkey < 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -766,6 +896,11 @@ object Relational {
     "q48_fk_stitch" -> q48FkStitch _,
     "q49_closure_prune" -> q49ClosurePrune _,
     "q51_stash_fanout" -> q51StashFanout _,
+    "q55_rank_data" -> q55RankData _,
+    "q56_wrap" -> q56Wrap _,
+    "q57_html_wiki" -> q57HtmlWiki _,
+    "q58_idmap" -> q58IdMap _,
+    "q59_cigar" -> q59Cigar _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -802,5 +937,10 @@ object Relational {
     "q48_fk_stitch" -> q48Sql,
     "q49_closure_prune" -> q49Sql,
     "q51_stash_fanout" -> q51Sql,
+    "q55_rank_data" -> q55Sql,
+    "q56_wrap" -> q56Sql,
+    "q57_html_wiki" -> q57Sql,
+    "q58_idmap" -> q58Sql,
+    "q59_cigar" -> q59Sql,
   )
 }
