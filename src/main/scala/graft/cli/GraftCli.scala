@@ -445,10 +445,15 @@ object GraftCli {
       .coalesce(1).write.mode("overwrite").text(s"$out/strain")
     graft.export.StockExport.inventoryLines(props)
       .coalesce(1).write.mode("overwrite").text(s"$out/inventory")
-    Seq("publications", "genotype", "phenotype").foreach { kind =>
-      graft.export.StockExport.propKindLines(props, kind)
-        .coalesce(1).write.mode("overwrite").text(s"$out/$kind")
-    }
+    Seq("publications", "genotype", "phenotype", "genes", "characteristics")
+      .foreach { kind =>
+        graft.export.StockExport.propKindLines(props, kind)
+          .coalesce(1).write.mode("overwrite").text(s"$out/$kind")
+      }
+    graft.export.StockExport.allPropLines(props)
+      .coalesce(1).write.mode("overwrite").text(s"$out/props")
+    graft.export.StockExport.parentLines(strains)
+      .coalesce(1).write.mode("overwrite").text(s"$out/parent")
     println(s"strain=${strains.count()} dumped to $out")
     spark.stop()
   }

@@ -55,6 +55,28 @@ object StockExport {
         .as("value"), col("stock_id"))
       .orderBy(col("stock_id"), col("value")).select(col("value"))
 
+  /** props.tsv rows: every (id, prop, value) triple — the reference's
+    * `props` data kind dumps the full property bag, unlike the
+    * inventory/genotype/... kinds which slice it. */
+  def allPropLines(props: DataFrame): DataFrame =
+    props
+      .select(concat_ws("\t", col("stock_id"), col("prop_name"),
+        coalesce(col("value"), lit(""))).as("value"),
+        col("stock_id"), col("prop_name"))
+      .orderBy(col("stock_id"), col("prop_name"), col("value"))
+      .select(col("value"))
+
+  /** parent.tsv rows: id, parent descriptor — the reference's `parent`
+    * data kind (Role/Stock/Export/Strain.pm find_strain_parent), the
+    * J11 self-join resolved set-based; strains without a resolvable
+    * parent are skipped like the reference's `if` guard. */
+  def parentLines(strains: DataFrame): DataFrame =
+    graft.etl.StockImport.withParents(strains)
+      .filter(col("parent_descriptor").isNotNull)
+      .select(concat_ws("\t", col("stock_id"), trim(col("parent_descriptor")))
+        .as("value"), col("stock_id"))
+      .orderBy(col("stock_id")).select(col("value"))
+
   /** plasmid.tsv rows: id, name, description — dictyplasmid.pm. */
   def plasmidLines(plasmids: DataFrame): DataFrame =
     plasmids.select(concat_ws("\t", col("stock_id"), trim(col("name")),

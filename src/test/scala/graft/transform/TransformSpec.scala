@@ -110,6 +110,13 @@ class TransformSpec extends SparkSpec {
       .toDF("stock_id", "name", "description")
     assert(StockExport.plasmidLines(plasmids).as[String].collect().toSeq ==
       Seq("DBP0000007\tpDM304\t"))
+    // `props` kind dumps the whole bag; `parent` resolves the self-join
+    assert(StockExport.allPropLines(props).as[String].collect().length == 4)
+    val withParent = Seq(("DBS0000002", "mutant", "discoideum", "DBS0000001"),
+      ("DBS0000001", "wildtype", "discoideum", null))
+      .toDF("stock_id", "descriptor", "species", "parent_id")
+    assert(StockExport.parentLines(withParent).as[String].collect().toSeq ==
+      Seq("DBS0000002\twildtype")) // root strain skipped
   }
 
   test("organism merge inserts only novel (genus, species) pairs") {
