@@ -179,8 +179,15 @@ case class MinHashMd5(child: Expression, numHashes: Int)
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  private def md5Hex(bytes: Array[Byte]): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+  // task-local state: expression trees are deserialized per task, so a
+  // cached digest + precomputed seed prefixes are safe and keep the
+  // per-(shingle × hash) inner loop allocation-free
+  @transient private lazy val digest =
+    java.security.MessageDigest.getInstance("MD5")
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(h => (h.toString + ":").getBytes("UTF-8"))
+
+  private def md5Hex(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -193,7 +200,8 @@ case class MinHashMd5(child: Expression, numHashes: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val mins = new Array[String](numHashes)
+    // minimize over raw digests — unsigned byte order == hex string order
+    val mins = new Array[Array[Byte]](numHashes)
     var i = 0
     while (i < arr.numElements()) {
       val s = arr.getUTF8String(i)
@@ -201,19 +209,20 @@ case class MinHashMd5(child: Expression, numHashes: Int)
         val sb = s.getBytes
         var h = 0
         while (h < numHashes) {
-          val prefix = (h.toString + ":").getBytes("UTF-8")
-          val buf = new Array[Byte](prefix.length + sb.length)
-          System.arraycopy(prefix, 0, buf, 0, prefix.length)
-          System.arraycopy(sb, 0, buf, prefix.length, sb.length)
-          val hex = md5Hex(buf)
-          if (mins(h) == null || hex < mins(h)) mins(h) = hex
+          digest.reset()
+          digest.update(prefixes(h))
+          digest.update(sb)
+          val d = digest.digest()
+          if (mins(h) == null || java.util.Arrays.compareUnsigned(d, mins(h)) < 0)
+            mins(h) = d
           h += 1
         }
       }
       i += 1
     }
     if (mins(0) == null) null
-    else ArrayData.toArrayData(mins.map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    else ArrayData.toArrayData(mins.map(d =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(md5Hex(d))))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
