@@ -862,6 +862,68 @@ object Relational {
       |FROM lineitem WHERE l_orderkey < 500
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  // P5 — scientific-notation e-value cutoff (BlastToGff3's `--evalue`
+  // gate, blast2chadogff3.pm hit filter): the threshold applies to a
+  // *parsed string* column, exactly as a BLAST report's e-value field
+  // arrives; here the string is synthesized per lineitem row.
+  private def q60Evalue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .withColumn("evalue_str", concat(lit("1e-"), col("l_linenumber")))
+      .withColumn("evalue", col("evalue_str").cast("double"))
+      .filter(col("evalue") <= 0.001)
+      .select(col("l_orderkey"), col("l_linenumber"), col("evalue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q60Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST('1e-' || l_linenumber AS DOUBLE) AS evalue
+      |FROM lineitem
+      |WHERE l_orderkey < 1000 AND CAST('1e-' || l_linenumber AS DOUBLE) <= 0.001
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  // P1 — comment-line skip (every reference parser's first gate:
+  // Gff3/Gaf/BlastToGff3 drop `#`-prefixed lines): lines synthesized
+  // with a deterministic comment prefix on every 10th doc, then the
+  // parser-edge filter drops them.
+  private def q61CommentSkip(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("line",
+        when(col("doc_id") % 10 === 0, concat(lit("# "), col("text")))
+          .otherwise(col("text")))
+      .filter(!col("line").startsWith("#"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val q61Sql =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN doc_id % 10 = 0 THEN '# ' || text ELSE text END AS line
+      |  FROM documents)
+      |WHERE line NOT LIKE '#%'
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  // F11 — obsolete-term name decoration `"name (obsolete ACC)"`
+  // (Ontology/Temp/Generic.pm:141-146), via the engine's
+  // obsoleteDecorate over a synthesized flag.
+  private def q62ObsoleteDecor(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .withColumn("acc", concat(lit("NAT:"), col("n_nationkey")))
+      .withColumn("decorated", graft.functions.GenomicFunctions.obsoleteDecorate(
+        col("n_name"), col("acc"), (col("n_nationkey") % 2).cast("int")))
+      .select(col("n_nationkey"), col("decorated"))
+      .orderBy(col("n_nationkey"))
+
+  private val q62Sql =
+    """SELECT n_nationkey,
+      |  CASE WHEN n_nationkey % 2 = 1
+      |       THEN n_name || ' (obsolete NAT:' || n_nationkey || ')'
+      |       ELSE n_name END AS decorated
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -901,6 +963,9 @@ object Relational {
     "q57_html_wiki" -> q57HtmlWiki _,
     "q58_idmap" -> q58IdMap _,
     "q59_cigar" -> q59Cigar _,
+    "q60_evalue" -> q60Evalue _,
+    "q61_comment_skip" -> q61CommentSkip _,
+    "q62_obsolete_decor" -> q62ObsoleteDecor _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -942,5 +1007,8 @@ object Relational {
     "q57_html_wiki" -> q57Sql,
     "q58_idmap" -> q58Sql,
     "q59_cigar" -> q59Sql,
+    "q60_evalue" -> q60Sql,
+    "q61_comment_skip" -> q61Sql,
+    "q62_obsolete_decor" -> q62Sql,
   )
 }
