@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Curation, Dedup, Similarity}
+import graft.operators.{Components, Curation, Dedup, Similarity}
 
 /** Training-data-pipeline operators (builder brief: dedup, similarity
   * search, text analysis, multimodal metadata) over the `documents` and
@@ -444,6 +444,39 @@ object Pipeline {
       |FROM counts GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  // Near-dup pairs -> duplicate CLUSTERS via connected components
+  // (min-label propagation) — the step every real dedup pipeline runs
+  // between candidate generation and canonical-doc selection. Oracle:
+  // the same clusters by recursive reachability.
+  private def q63DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignatureDirect(t(s, dir, "documents"), "doc_id", "text", 3, 8)
+    val pairs = Dedup.lshCandidates(sig, 8, 4, maxBucket = Long.MaxValue)
+    Components.duplicateClusters(pairs)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q63Sql = {
+    val mins = (0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+    s"""WITH RECURSIVE ${shingleCte(3)},
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q45
   // Deterministic dataset split: md5 of the content maps each doc to
   // train/val/test with fixed proportions (12/16 train, 2/16 val,
@@ -521,6 +554,7 @@ object Pipeline {
     "q53_stratified" -> q53Stratified _,
     "q54_repetition" -> q54Repetition _,
     "q46_curation" -> q46Curation _,
+    "q63_dup_clusters" -> q63DupClusters _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -545,5 +579,6 @@ object Pipeline {
     "q53_stratified" -> q53Sql,
     "q54_repetition" -> q54Sql,
     "q46_curation" -> q46Sql,
+    "q63_dup_clusters" -> q63Sql,
   )
 }
