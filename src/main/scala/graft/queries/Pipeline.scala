@@ -477,6 +477,76 @@ object Pipeline {
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q64
+  // Corpus length distribution: EXACT per-language p50/p90 via
+  // row_number selection with pure-integer rank formulas — reproducible
+  // on any engine, unlike percentile_approx (the 100 TB path would use
+  // the sketch; the oracle-able form is the exact one).
+  private def q64LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val cw = Window.partitionBy(col("lang"))
+    t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy(col("lang"), col("cnt").as("n_docs"))
+      .agg(
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("n_chars"))).as("p50"),
+        max(when(col("rn") === expr("(9 * cnt + 9) div 10"), col("n_chars"))).as("p90"))
+      .orderBy(col("lang"))
+  }
+
+  private val q64Sql =
+    """SELECT lang, cnt AS n_docs,
+      |  MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS p50,
+      |  MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_chars END) AS p90
+      |FROM (SELECT lang, doc_id, n_chars,
+      |        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY lang) AS cnt
+      |      FROM documents)
+      |GROUP BY lang, cnt ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  // Distinctive terms per doc: tf-idf-style score with a rational idf
+  // (tf * N / df — no ln, so the score is bit-reproducible), top 2 terms
+  // per doc by (score, term). Inverted-index df + broadcast corpus size,
+  // window top-k per doc.
+  private def q65Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), "\\s+")).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, Seq("w"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("w"))).cast("long"))
+      .filter(col("rn") <= 2)
+      .select(col("doc_id"), col("w"), col("score"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  private val q65Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.w, CAST(tf * n AS DOUBLE) / df AS score
+      |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+      |SELECT doc_id, w, score, rn FROM (
+      |  SELECT doc_id, w, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS BIGINT) AS rn
+      |  FROM scored)
+      |WHERE rn <= 2
+      |ORDER BY doc_id, rn""".stripMargin
+
   // ---------------------------------------------------------------- q45
   // Deterministic dataset split: md5 of the content maps each doc to
   // train/val/test with fixed proportions (12/16 train, 2/16 val,
@@ -555,6 +625,8 @@ object Pipeline {
     "q54_repetition" -> q54Repetition _,
     "q46_curation" -> q46Curation _,
     "q63_dup_clusters" -> q63DupClusters _,
+    "q64_length_quantiles" -> q64LengthQuantiles _,
+    "q65_tfidf" -> q65Tfidf _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -580,5 +652,7 @@ object Pipeline {
     "q54_repetition" -> q54Sql,
     "q46_curation" -> q46Sql,
     "q63_dup_clusters" -> q63Sql,
+    "q64_length_quantiles" -> q64Sql,
+    "q65_tfidf" -> q65Sql,
   )
 }

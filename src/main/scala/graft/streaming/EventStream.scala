@@ -65,4 +65,19 @@ object EventStream {
           closed.iterator
       }
   }
+
+  /** Streaming exact dedup — the incremental form of
+    * [[graft.operators.Dedup.exact]]: rows whose content hash was
+    * already seen within the watermark delay are dropped.
+    * `dropDuplicatesWithinWatermark` expires each hash's state once the
+    * watermark passes it, so state is bounded by (arrival rate × delay),
+    * not corpus size — the only viable shape for an unbounded 100 TB/day
+    * ingest stream. Exactly-once file sinks make the result equivalent
+    * to batch dedup over any window shorter than the delay. */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

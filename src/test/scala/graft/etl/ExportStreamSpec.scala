@@ -150,6 +150,24 @@ class ExportStreamSpec extends SparkSpec {
     assert(batch == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming exact dedup drops watermark-window duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    val docs = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "same text"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 2L, "same text"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 3L, "other text"))
+      .toDF("ts", "doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStream.dedupStream(stream, "ts", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduptest").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("deduptest").select($"doc_id").as[Long].collect().toSet
+    assert(kept.size == 2 && kept.contains(3L)) // one of 1/2 + doc 3
+  }
+
   test("stateful streaming sessionization emits closed sessions per user") {
     val evs = Seq(
       EventStream.Event(1L, 0L, "a"),
