@@ -153,6 +153,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** [[jaccardPairs]] straight from the document table: the per-doc
+    * shingle count comes from `size(array_distinct(...))` BEFORE the
+    * explode — map-only — so the only aggregations left are the df cap
+    * and the pair intersection counts. One fewer shuffle and one fewer
+    * checkpoint consumer than the generic (doc_id, shingle) entry
+    * point; identical output. */
+  def jaccardPairsFromDocs(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, minJaccard: Double,
+                           maxDf: Long = 1000): DataFrame = {
+    val shingleArr = expr(
+      s"array_distinct(transform(sequence(0, size(toks) - $n), i -> " +
+        (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + "))")
+    // checkpoint the COMPACT per-doc array form (one row per doc), not
+    // the exploded occurrence stream — sizes, the df cap, and both
+    // self-join sides all re-derive from it with cheap in-memory ops
+    val base = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), shingleArr.as("sh_arr"))
+      .localCheckpoint()
+    val sizes = base.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"))
+    val sh = base.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val rare =
+      if (maxDf == Long.MaxValue) sh
+      else sh.join(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+    val inter = rare.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-bucket LSH (1 bit per
     * leading dim) generates candidates, the native fused cosine
     * ([[graft.functions.CosineSimilarity]]) confirms. Only same-bucket

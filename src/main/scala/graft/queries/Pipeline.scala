@@ -63,12 +63,11 @@ object Pipeline {
 
   // ---------------------------------------------------------------- q29
   // n-gram Jaccard near-dup pairs over an inverted shingle index.
-  private def q29Jaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+  private def q29Jaccard(s: SparkSession, dir: String): DataFrame =
     // oracle stays exact: the production default caps shingle df
-    Dedup.jaccardPairs(sh, 0.35, maxDf = Long.MaxValue)
+    Dedup.jaccardPairsFromDocs(t(s, dir, "documents"), "doc_id", "text", 3,
+        0.35, maxDf = Long.MaxValue)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   private val q29Sql =
     s"""WITH ${shingleCte(3)},
