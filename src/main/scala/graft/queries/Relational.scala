@@ -689,7 +689,10 @@ object Relational {
     val staging = li.filter(col("l_shipdate") < lit("1997-01-01"))
       .select(col("l_orderkey"), col("l_partkey")).dropDuplicates()
     val scope = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-    val prune = live.except(staging)
+    // EXCEPT over two already-distinct frames == left_anti join: same
+    // rows, one fewer aggregate round, and the anti-join reuses the
+    // (l_orderkey, l_partkey) hash partitioning the dropDuplicates left
+    val prune = live.join(staging, Seq("l_orderkey", "l_partkey"), "left_anti")
       .join(scope, col("l_orderkey") === col("o_orderkey"), "left_semi")
     live.join(prune, Seq("l_orderkey", "l_partkey"), "left_anti")
       .orderBy(col("l_orderkey"), col("l_partkey"))
