@@ -15,13 +15,14 @@ object Bench {
     // warm-up: session/codegen/file-index init lands here, not in q1
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    // optional comma-separated subset for local iteration
+    // local-iteration knobs: query subset + repeat-and-take-min (noise
+    // floor). Parsed once; bad values fall back to a full single run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(1))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      // optional repeat-and-take-min for local iteration (noise floor)
-      val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -32,7 +33,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // mark subset/min-of-N runs so they can't be mistaken for the
+    // published full-bench number
+    val mode = (if (only.isDefined) List(s""""subset":${results.size}""") else Nil) ++
+      (if (repeat > 1) List(s""""repeat":$repeat""") else Nil)
+    val modeStr = if (mode.isEmpty) "" else mode.mkString(",", ",", "")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$modeStr}""")
     spark.stop()
   }
 }

@@ -72,9 +72,13 @@ object StockExport {
     * parent are skipped like the reference's `if` guard. */
   def parentLines(strains: DataFrame): DataFrame =
     graft.etl.StockImport.withParents(strains)
-      .filter(col("parent_descriptor").isNotNull)
-      .select(concat_ws("\t", col("stock_id"), trim(col("parent_descriptor")))
-        .as("value"), col("stock_id"))
+      // roots (no parent link) are skipped like the reference's guard;
+      // a linked parent with a blank descriptor still emits its row —
+      // empty-coalesced like every other line builder here
+      .filter(col("parent_id").isNotNull)
+      .select(concat_ws("\t", col("stock_id"),
+        coalesce(trim(col("parent_descriptor")), lit(""))).as("value"),
+        col("stock_id"))
       .orderBy(col("stock_id")).select(col("value"))
 
   /** plasmid.tsv rows: id, name, description — dictyplasmid.pm. */

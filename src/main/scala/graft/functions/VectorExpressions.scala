@@ -90,9 +90,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * higher-order function chain that stays interpreted; this expression
   * fuses subtract-square-accumulate into one codegen'd pass.
   *
-  * Semantics match the composable form bit-for-bit: widen to double,
-  * `(x-y)²` accumulated strictly left-to-right. Null arrays propagate
-  * null; element nulls are not expected (embeddings are dense).
+  * For equal-length dense arrays (the embedding contract) semantics
+  * match the composable form bit-for-bit: widen to double, `(x-y)²`
+  * accumulated strictly left-to-right. Null arrays propagate null.
+  * Ragged inputs truncate to the shorter array (like
+  * [[CosineSimilarity]]) — the zip_with form returned null there;
+  * embeddings are fixed-dimension so the case is a data bug either way.
   */
 case class L2Distance(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -179,11 +182,14 @@ case class MinHashMd5(child: Expression, numHashes: Int)
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  // task-local state: expression trees are deserialized per task, so a
-  // cached digest + precomputed seed prefixes are safe and keep the
-  // per-(shingle × hash) inner loop allocation-free
-  @transient private lazy val digest =
-    java.security.MessageDigest.getInstance("MD5")
+  // MessageDigest is mutable and NOT thread-safe; tasks deserialize
+  // their own expression copies, but driver-side interpreted eval (e.g.
+  // ConvertToLocalRelation) can share one instance across queries — a
+  // ThreadLocal keeps the hot loop allocation-free AND safe everywhere.
+  // The prefix table is immutable after init, so plain sharing is fine.
+  @transient private lazy val digestTL =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
   @transient private lazy val prefixes: Array[Array[Byte]] =
     Array.tabulate(numHashes)(h => (h.toString + ":").getBytes("UTF-8"))
 
@@ -200,6 +206,7 @@ case class MinHashMd5(child: Expression, numHashes: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    val digest = digestTL.get()
     // minimize over raw digests — unsigned byte order == hex string order
     val mins = new Array[Array[Byte]](numHashes)
     var i = 0

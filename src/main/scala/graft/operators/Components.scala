@@ -51,6 +51,11 @@ object Components {
       labels = next
       iters += 1
     }
+    // unconverged labels are indistinguishable from correct output —
+    // fail loudly rather than hand back a silently split component
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(component diameter exceeds maxIters — raise it for chain-shaped graphs)")
     labels
   }
 

@@ -134,6 +134,13 @@ object Dedup {
     // index once instead of re-running tokenize/explode/distinct 3×
     val sh = shingles.localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    jaccardCore(sh, sizes, minJaccard, maxDf)
+  }
+
+  /** Shared pair-scoring core: df cap -> inverted-index self-join ->
+    * intersection counts -> Jaccard with exact (pre-cap) sizes. */
+  private def jaccardCore(sh: DataFrame, sizes: DataFrame,
+                          minJaccard: Double, maxDf: Long): DataFrame = {
     val rare =
       if (maxDf == Long.MaxValue) sh
       else sh.join(
@@ -175,23 +182,7 @@ object Dedup {
       .localCheckpoint()
     val sizes = base.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"))
     val sh = base.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
-    val rare =
-      if (maxDf == Long.MaxValue) sh
-      else sh.join(
-        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select(col("shingle")),
-        Seq("shingle"), "left_semi")
-    val inter = rare.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardCore(sh, sizes, minJaccard, maxDf)
   }
 
   /** Embedding-cosine near-duplicate pairs: sign-bucket LSH (1 bit per

@@ -763,7 +763,10 @@ object Relational {
   // newline-joined wrapped body, verified cell-for-cell vs DuckDB's RE2.
   private def q56Wrap(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("lines", expr("regexp_extract_all(text, '.{1,60}', 0)"))
+      // [^\n] not '.': Java's dot also excludes \r and U+2028/2029 where
+      // RE2's excludes only \n — the explicit class behaves identically
+      // in both engines on any input
+      .withColumn("lines", expr("regexp_extract_all(text, '[^\\n]{1,60}', 0)"))
       .select(col("doc_id"),
         size(col("lines")).cast("long").as("n_lines"),
         array_join(col("lines"), "\n").as("wrapped"))
@@ -771,8 +774,8 @@ object Relational {
 
   private val q56Sql =
     """SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '.{1,60}')) AS BIGINT) AS n_lines,
-      |  array_to_string(regexp_extract_all(text, '.{1,60}'), chr(10)) AS wrapped
+      |  CAST(len(regexp_extract_all(text, '[^\n]{1,60}')) AS BIGINT) AS n_lines,
+      |  array_to_string(regexp_extract_all(text, '[^\n]{1,60}'), chr(10)) AS wrapped
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q57
