@@ -55,57 +55,77 @@ object Similarity {
     * and therefore results — reproducible on any engine regardless of
     * aggregation order.
     */
-  /** `nprobe` is the recall knob every real IVF index carries: probe the
-    * `nprobe` cells whose trained centroids are nearest the query
-    * (ordered by (distance, cell id)). nprobe = 1 reproduces the pure
-    * assignment-cell probe; nprobe = numCells degrades gracefully to the
-    * exact scan. Cost is O(nprobe · n / numCells) candidates. */
-  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
-              queryId: Long, numCells: Int, k: Int, nprobe: Int = 1): DataFrame = {
-    // native fused expression ([[graft.functions.L2Distance]]) — the
-    // aggregate(zip_with(...)) form it replaced is a higher-order
-    // function chain that never enters codegen; semantics (double
-    // widening, left-to-right accumulation) are bit-identical
-    val l2 = (a: String, b: String) =>
-      graft.functions.VectorFunctions.l2_dist(col(a), col(b))
-    val init = emb.filter(col(idCol) < numCells)
-      .select(col(idCol).cast("int").as("cid"), col(embCol).as("cv"))
+  /** A trained IVF coarse quantizer: `cids(i)` is the cell id whose
+    * centroid is `centroids(i)` — dimension-sized model state held on
+    * the driver, exactly like any production IVF index (and any Spark
+    * MLlib model). Train once, probe many. */
+  final case class IvfIndex(cids: Seq[Int], centroids: Seq[Seq[Double]]) {
+    /** Map-only cell assignment for column `e`: argmin of the fused
+      * [[graft.functions.L2Distance]] against every centroid literal,
+      * first-minimum tiebreak == lowest cell id (cids are sorted). No
+      * crossJoin, no groupBy — one codegen'd projection. */
+    private[Similarity] def cellCol: org.apache.spark.sql.Column = {
+      val ds = array(centroids.map(c =>
+        graft.functions.VectorFunctions.l2_dist(col("e"),
+          array(c.map(lit): _*))): _*)
+      element_at(
+        array(cids.map(lit): _*),
+        array_position(ds, array_min(ds)).cast("int"))
+    }
+  }
 
-    // assignment pass 0: argmin over exact distances (no aggregation-order
-    // dependence), lexicographic (d2, cid) tiebreak
-    val assign0 = emb.select(col(idCol).as("vid"), col(embCol).as("e"))
-      .crossJoin(broadcast(init))
-      .withColumn("d2", l2("e", "cv"))
-      .groupBy(col("vid"))
-      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cell0"))
-
-    // Lloyd step: per-dimension means, rounded for cross-engine stability
+  /** One deterministic Lloyd step (see [[ivfTopK]] scaladoc): centroids
+    * initialize from the first `numCells` vectors by id, every vector
+    * assigns to its nearest centroid, cell means are recomputed per
+    * dimension and rounded to 6 decimals. Only the dimension-sized
+    * centroid table ever reaches the driver. */
+  def trainIvf(emb: DataFrame, idCol: String, embCol: String,
+               numCells: Int): IvfIndex = {
+    val init = IvfIndex(
+      (0 until numCells),
+      emb.filter(col(idCol) < numCells)
+        .orderBy(col(idCol))
+        .select(col(embCol).cast("array<double>"))
+        .collect().toSeq.map(_.getSeq[Double](0)))
+    // Lloyd step: per-dimension means per assigned cell, rounded for
+    // cross-engine stability; one aggregation pass over the corpus
     val cent1 = emb.select(col(idCol).as("vid"), col(embCol).as("e"))
-      .join(assign0, Seq("vid"))
+      .withColumn("cell0", init.cellCol)
       .select(col("cell0"), posexplode(col("e")).as(Seq("i", "x")))
       .groupBy(col("cell0"), col("i"))
       .agg(round(sum(col("x").cast("double")) / count(lit(1)), 6).as("m"))
       .groupBy(col("cell0"))
       .agg(expr("transform(sort_array(collect_list(struct(i, m))), s -> s.m)").as("cv"))
-      .select(col("cell0").as("cid"), col("cv"))
-      // numCells rows, broadcast twice (assignment + probe ranking):
-      // materialize once so the training pipeline runs once
-      .localCheckpoint()
+      .orderBy(col("cell0"))
+      .collect().toSeq
+    IvfIndex(cent1.map(_.getInt(0)), cent1.map(_.getSeq[Double](1)))
+  }
 
-    // assignment pass 1 against trained centroids, for corpus + query
-    def assign(df: DataFrame): DataFrame = df
-      .crossJoin(broadcast(cent1))
-      .withColumn("d2", l2("e", "cv"))
-      .groupBy(col("vid"), col("e"))
-      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cell"))
-    val assigned = assign(emb.select(col(idCol).as("vid"), col(embCol).as("e")))
-      .localCheckpoint() // reused for query cell + candidate scan
+  /** `nprobe` is the recall knob every real IVF index carries: probe the
+    * `nprobe` cells whose trained centroids are nearest the query
+    * (ordered by (distance, cell id)). nprobe = 1 reproduces the pure
+    * assignment-cell probe; nprobe = numCells degrades gracefully to the
+    * exact scan. Cost is O(nprobe · n / numCells) candidates.
+    *
+    * Assignment is MAP-ONLY: the trained centroids are dimension-sized
+    * driver state ([[IvfIndex]]), so cell ids come from a codegen'd
+    * argmin projection over centroid literals — no crossJoin+groupBy
+    * shuffle of the corpus, the plan every real IVF build runs. */
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
+              queryId: Long, numCells: Int, k: Int, nprobe: Int = 1): DataFrame = {
+    val index = trainIvf(emb, idCol, embCol, numCells)
+    val assigned = emb.select(col(idCol).as("vid"), col(embCol).as("e"))
+      .withColumn("cell", index.cellCol)
 
     val qv = emb.filter(col(idCol) === queryId).select(col(embCol).as("e"))
     // the nprobe nearest cells by trained-centroid distance; for
     // nprobe = 1 this is exactly the assignment cell (same tiebreak)
-    val probeCells = qv.crossJoin(broadcast(cent1))
-      .withColumn("d2", l2("e", "cv"))
+    val probeCells = qv
+      .select(posexplode(array(index.cids.indices.map(i => struct(
+        graft.functions.VectorFunctions.l2_dist(col("e"),
+          array(index.centroids(i).map(lit): _*)).as("d2"),
+        lit(index.cids(i)).as("cid"))): _*)).as(Seq("pos", "s")))
+      .select(col("s.d2").as("d2"), col("s.cid").as("cid"))
       .orderBy(col("d2"), col("cid"))
       .limit(nprobe)
       .select(col("cid").as("cell"))
