@@ -59,10 +59,15 @@ object Closure {
           .select(col("child"), col("gp").as("parent"),
             (col("dist") + col("d2")).as("dist"))
       // paths in (2^k, 2^(k+1)]: exactly-2^k prefix + shorter suffix;
-      // materialized once via the acc checkpoint (no separate action)
-      acc = acc.unionByName(extend(acc)).localCheckpoint()
+      // next acc and next power materialize in ONE action (tagged union,
+      // split back by filter over the checkpointed result) so each
+      // round is exactly two jobs: shuffle p, build both frames
+      val combined = acc.unionByName(extend(acc)).withColumn("pw", lit(0))
+        .unionByName(extend(power).withColumn("pw", lit(1)))
+        .localCheckpoint()
+      acc = combined.filter(col("pw") === 0).drop("pw")
       // paths of exactly 2^(k+1): square the power
-      power = extend(power).localCheckpoint()
+      power = combined.filter(col("pw") === 1).drop("pw")
       rounds += 1
     }
     acc.select(col("child"), col("parent").as("ancestor"), col("dist"))
