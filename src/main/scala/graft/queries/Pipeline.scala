@@ -546,6 +546,27 @@ object Pipeline {
       |WHERE rn <= 2
       |ORDER BY doc_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  // The stream-stream interval join's batch form (same
+  // EventStream.clickAttribution transform over a batch frame): clicks
+  // joined to the same user's views within the preceding 10 minutes.
+  private def q66Attribution(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.clickAttribution(t(s, dir, "events"))
+      .select(col("click_id"), col("user_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c_ts"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("v_ts"))
+      .orderBy(col("click_id"), col("v_ts"))
+
+  private val q66Sql =
+    """SELECT c.event_id AS click_id, c.user_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS c_ts,
+      |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS v_ts
+      |FROM events c JOIN events v
+      |  ON c.user_id = v.user_id
+      | AND c.event_type = 'click' AND v.event_type = 'view'
+      | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE
+      |ORDER BY click_id, v_ts""".stripMargin
+
   // ---------------------------------------------------------------- q45
   // Deterministic dataset split: md5 of the content maps each doc to
   // train/val/test with fixed proportions (12/16 train, 2/16 val,
@@ -626,6 +647,7 @@ object Pipeline {
     "q63_dup_clusters" -> q63DupClusters _,
     "q64_length_quantiles" -> q64LengthQuantiles _,
     "q65_tfidf" -> q65Tfidf _,
+    "q66_attribution" -> q66Attribution _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -653,5 +675,6 @@ object Pipeline {
     "q63_dup_clusters" -> q63Sql,
     "q64_length_quantiles" -> q64Sql,
     "q65_tfidf" -> q65Sql,
+    "q66_attribution" -> q66Sql,
   )
 }

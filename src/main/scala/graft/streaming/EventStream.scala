@@ -66,6 +66,28 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: each click joins the same user's view
+    * events from the preceding 10 minutes (attribution). Both sides
+    * carry watermarks AND the join has a time-range bound, so each
+    * side's buffered state expires as the watermark advances — the only
+    * stream-stream join shape whose state stays bounded at scale. The
+    * same transform runs batch-side for parity testing. */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "20 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "20 minutes")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   /** Streaming exact dedup — the incremental form of
     * [[graft.operators.Dedup.exact]]: rows whose content hash was
     * already seen within the watermark delay are dropped.

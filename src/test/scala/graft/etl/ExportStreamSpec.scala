@@ -150,6 +150,31 @@ class ExportStreamSpec extends SparkSpec {
     assert(batch == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("stream-stream interval join matches the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("ssjoin").toString
+    def t(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $m:00")
+    val ev = Seq(
+      (1L, t("10:00"), 7L, "view"),
+      (2L, t("10:05"), 7L, "click"),  // joins view@10:00 (5 min before)
+      (3L, t("10:20"), 7L, "click"),  // view@10:00 is 20 min old -> no match
+      (4L, t("10:02"), 8L, "view"),
+      (5L, t("10:04"), 9L, "click"))  // other user's view -> no match
+      .toDF("event_id", "ts", "user_id", "event_type")
+    ev.write.mode("overwrite").parquet(dir)
+    val batch = EventStream.clickAttribution(spark.read.parquet(dir))
+      .select($"click_id", $"user_id").as[(Long, Long)].collect().toSet
+    assert(batch == Set((2L, 7L)))
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStream.clickAttribution(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjointest").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssjointest")
+      .select($"click_id", $"user_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("streaming exact dedup drops watermark-window duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString
     val docs = Seq(

@@ -102,6 +102,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hits == Map(100L -> 1L)) // one shared 3-gram; 101 is clean
   }
 
+  test("jaccardPairsFromDocs equals the generic shingle-frame entry point") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 12L).map(i =>
+      (i, Seq.fill(6 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    for (maxDf <- Seq(Long.MaxValue, 4L)) {
+      val generic = Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 2), 0.1, maxDf)
+        .as[(Long, Long, Double)].collect().toSet
+      val direct = Dedup.jaccardPairsFromDocs(docs, "doc_id", "text", 2, 0.1, maxDf)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(direct == generic, s"maxDf=$maxDf")
+      assert(maxDf == 4L || generic.nonEmpty) // uncapped run must find pairs
+    }
+  }
+
   test("stratified sample keeps n per stratum, deterministically") {
     val df = (1 to 20).map(i => (if (i % 2 == 0) "en" else "de", i.toLong))
       .toDF("lang", "doc_id")
