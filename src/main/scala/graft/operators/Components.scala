@@ -34,6 +34,13 @@ object Components {
       .agg(min(col("b")).as("nb"))
       .select(col("a").as("id"), least(col("a"), col("nb")).as("component"))
       .localCheckpoint()
+    // labels only ever decrease, so sum(component) is a strictly
+    // decreasing potential: an unchanged sum == a fixpoint. The
+    // convergence check is then one scan of the checkpointed labels,
+    // not a join of consecutive rounds.
+    def labelSum(l: DataFrame): Long =
+      l.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -46,8 +53,9 @@ object Components {
         .join(labels, Seq("id"))
         .select(col("id"), least(col("component"), col("nb_min")).as("component"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") < col("old")).isEmpty
+      val curSum = labelSum(next)
+      converged = curSum == prevSum
+      prevSum = curSum
       labels = next
       iters += 1
     }

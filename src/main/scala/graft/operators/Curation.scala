@@ -33,6 +33,23 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
 
+  /** [[contaminated]] with a Bloom prefilter — for when the benchmark
+    * shingle set is too big to broadcast as an exact hash relation
+    * (multi-benchmark suites at full n-gram resolution). A Bloom filter
+    * over the benchmark shingles (bits, not strings — orders of
+    * magnitude smaller) drops the vast majority of corpus shingles
+    * map-side; the exact semi-join then runs only on survivors. Bloom
+    * false positives are removed by that exact join, so the result is
+    * identical to [[contaminated]] — the filter only prunes work. */
+  def contaminatedBloom(corpusShingles: DataFrame, benchShingles: DataFrame,
+                        expectedItems: Long = 1000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    val bench = benchShingles.select(col("shingle")).distinct()
+    val bloom = bench.stat.bloomFilter("shingle", expectedItems, fpp)
+    val mightContain = udf((s: String) => s != null && bloom.mightContainString(s))
+    contaminated(corpusShingles.filter(mightContain(col("shingle"))), bench)
+  }
+
   /** Deterministic stratified sample: keep `n` rows per stratum, ranked
     * by md5 of the id — a reproducible quota sample for domain/language
     * mixing (every engine picks the identical rows, re-runs are

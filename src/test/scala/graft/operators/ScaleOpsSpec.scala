@@ -100,6 +100,13 @@ class ScaleOpsSpec extends SparkSpec {
         sh.filter($"doc_id" >= 100), sh.filter($"doc_id" < 100))
       .as[(Long, Long)].collect().toMap
     assert(hits == Map(100L -> 1L)) // one shared 3-gram; 101 is clean
+    // bloom prefilter prunes work, never changes the answer (false
+    // positives die in the exact semi-join)
+    val bloomHits = Curation.contaminatedBloom(
+        sh.filter($"doc_id" >= 100), sh.filter($"doc_id" < 100),
+        expectedItems = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(bloomHits == hits)
   }
 
   test("jaccardPairsFromDocs equals the generic shingle-frame entry point") {
