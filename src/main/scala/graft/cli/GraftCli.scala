@@ -80,6 +80,10 @@ object GraftCli {
       gff3Alignment(in, out, dist.toInt, rest.headOption.getOrElse("protein_match"))
     case "chado2gaf" :: store :: out :: rest if rest.size <= 1 =>
       chado2Gaf(store, out, rest.headOption)
+    case "corpusdedup" :: in :: out :: Nil => corpusDedup(in, out)
+    case "decontaminate" :: corpus :: bench :: out :: Nil =>
+      decontaminate(corpus, bench, out)
+    case "corpusstats" :: in :: Nil => corpusStats(in)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -90,7 +94,8 @@ object GraftCli {
            |           chado2genesummary chadopub2bib gb2fasta
            |transform: blast2gff3 gff3alignment modidingoa modrefingoa
            |dump:      dictystrain dictyplasmid
-           |report:    sumstats stockreport""".stripMargin)
+           |report:    sumstats stockreport
+           |corpus:    corpusdedup decontaminate corpusstats""".stripMargin)
       sys.exit(2)
   }
 
@@ -455,6 +460,63 @@ object GraftCli {
     graft.export.StockExport.parentLines(strains)
       .coalesce(1).write.mode("overwrite").text(s"$out/parent")
     println(s"strain=${strains.count()} dumped to $out")
+    spark.stop()
+  }
+
+  /** Corpus dedup end-to-end (scale extension): exact content dedup,
+    * then MinHash+LSH near-dup candidates clustered via connected
+    * components; one keeper (min doc id) survives per cluster. Writes
+    * the deduplicated corpus as parquet and prints the accounting. */
+  private def corpusDedup(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val docs = spark.read.parquet(in)
+    val total = docs.count()
+    // exact first: near-dup candidate generation then never sees copies
+    val keepIds = graft.operators.Dedup.exact(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val uniq = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    val sig = graft.operators.Dedup.minhashSignatureDirect(uniq, "doc_id", "text", 3, 8)
+    val pairs = graft.operators.Dedup.lshCandidates(sig, 8, 4)
+    val clusters = graft.operators.Components.duplicateClusters(pairs)
+    val dropNearDups = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
+    val kept = uniq.join(dropNearDups, Seq("doc_id"), "left_anti")
+    kept.write.mode("overwrite").parquet(out)
+    val nKept = spark.read.parquet(out).count()
+    println(s"docs=$total exact_unique=${uniq.count()} kept=$nKept -> $out")
+    spark.stop()
+  }
+
+  /** Benchmark decontamination end-to-end: corpus docs sharing any
+    * 3-gram with the benchmark set are dropped; the clean corpus is
+    * written as parquet with contamination accounting printed. */
+  private def decontaminate(corpusPath: String, benchPath: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val corpus = spark.read.parquet(corpusPath)
+    val bench = spark.read.parquet(benchPath)
+    val hits = graft.operators.Curation.contaminated(
+      graft.operators.Dedup.shingles(corpus, "doc_id", "text", 3),
+      graft.operators.Dedup.shingles(bench, "doc_id", "text", 3))
+    val clean = corpus.join(hits.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    clean.write.mode("overwrite").parquet(out)
+    println(s"corpus=${corpus.count()} contaminated=${hits.count()} " +
+      s"clean=${spark.read.parquet(out).count()} -> $out")
+    spark.stop()
+  }
+
+  /** One-line corpus report: doc/token/vocab counts and length stats. */
+  private def corpusStats(in: String): Unit = {
+    val spark = GraftSession.local()
+    val docs = spark.read.parquet(in)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+    val row = toks.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("w")).as("vocab"),
+      (sum(length(col("w"))).cast("double") / count(lit(1))).as("avg_token_len"))
+      .head()
+    println(s"docs=${row.getLong(0)} tokens=${row.getLong(1)} " +
+      f"vocab=${row.getLong(2)} avg_token_len=${row.getDouble(3)}%.2f")
     spark.stop()
   }
 
