@@ -515,7 +515,10 @@ object Pipeline {
     val docs = t(s, dir, "documents")
     val words = docs.select(col("doc_id"),
       explode(split(col("text"), "\\s+")).as("w"))
+    // tf feeds both the df aggregate and the scored join — materialize
+    // once (the static planner does not reuse the exchange here)
     val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(df, Seq("w"))
