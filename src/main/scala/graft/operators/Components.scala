@@ -28,8 +28,12 @@ object Components {
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .repartition(col("a"))
-      .localCheckpoint() // static adjacency, shuffled on `a` exactly once
+      // partition on `b` — the per-round JOIN key (labels arrive keyed by
+      // node id = b). localCheckpoint preserves output partitioning, so
+      // every round's join reuses this one shuffle of the big static side
+      // and only the small label frame exchanges.
+      .repartition(col("b"))
+      .localCheckpoint()
     var labels = und.groupBy(col("a"))
       .agg(min(col("b")).as("nb"))
       .select(col("a").as("id"), least(col("a"), col("nb")).as("component"))
