@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** Behavioral checks for the ANN family: IVF probes are a strict subset
+  * of the corpus, nprobe monotonically improves recall vs the exact
+  * cosine top-k baseline, and nprobe = numCells recovers it entirely.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic embeddings: 40 vectors in 4 loose clusters
+  private lazy val emb = {
+    val rnd = new Random(3)
+    (0L until 40L).map { i =>
+      val center = (i % 4).toInt
+      val v = Array.tabulate(8)(d =>
+        (if (d % 4 == center) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.2f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select($"vec_id").as[Long].collect().toSeq
+
+  test("IVF recall grows with nprobe and reaches exact at numCells") {
+    val exact = ids(Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)).toSet
+    def recall(nprobe: Int): Double = {
+      val got = ids(Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queryId = 0L, numCells = 4, k = 10, nprobe = nprobe)).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1); val r2 = recall(2); val r4 = recall(4)
+    assert(r1 > 0.0, "probing the query's own cell must find same-cluster neighbors")
+    assert(r2 >= r1 && r4 >= r2, s"recall must not degrade with nprobe: $r1 $r2 $r4")
+    assert(r4 == 1.0, "probing every cell is the exact scan")
+  }
+
+  test("trainIvf centroids are reproducible and assignment covers the corpus") {
+    val a = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
+    val b = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
+    assert(a == b) // deterministic Lloyd step, rounded means
+    assert(a.cids == a.cids.sorted && a.cids.distinct.size == a.cids.size)
+    assert(a.centroids.forall(_.size == 8))
+  }
+}
