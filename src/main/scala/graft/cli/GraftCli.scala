@@ -84,6 +84,7 @@ object GraftCli {
     case "decontaminate" :: corpus :: bench :: out :: Nil =>
       decontaminate(corpus, bench, out)
     case "corpusstats" :: in :: Nil => corpusStats(in)
+    case "corpussplit" :: in :: out :: Nil => corpusSplit(in, out)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -95,7 +96,7 @@ object GraftCli {
            |transform: blast2gff3 gff3alignment modidingoa modrefingoa
            |dump:      dictystrain dictyplasmid
            |report:    sumstats stockreport
-           |corpus:    corpusdedup decontaminate corpusstats""".stripMargin)
+           |corpus:    corpusdedup decontaminate corpusstats corpussplit""".stripMargin)
       sys.exit(2)
   }
 
@@ -501,6 +502,24 @@ object GraftCli {
     clean.write.mode("overwrite").parquet(out)
     println(s"corpus=${corpus.count()} contaminated=${hits.count()} " +
       s"clean=${spark.read.parquet(out).count()} -> $out")
+    spark.stop()
+  }
+
+  /** Content-keyed train/val/test split (q45 semantics: dup-stable,
+    * reproducible) written as split-partitioned parquet — downstream
+    * training jobs read one partition directory per split. */
+  private def corpusSplit(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val docs = spark.read.parquet(in)
+      .withColumn("split",
+        when(expr("substring(md5(text), 1, 1)") < "c", "train")
+          .when(expr("substring(md5(text), 1, 1)") < "e", "val")
+          .otherwise("test"))
+    docs.write.mode("overwrite").partitionBy("split").parquet(out)
+    val counts = spark.read.parquet(out).groupBy(col("split")).count()
+      .orderBy(col("split")).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"$counts -> $out")
     spark.stop()
   }
 

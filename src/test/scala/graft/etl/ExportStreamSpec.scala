@@ -175,6 +175,33 @@ class ExportStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming corpus ingest gates, dedups, and splits incrementally") {
+    import graft.streaming.CorpusIngest
+    val dir = java.nio.file.Files.createTempDirectory("ingest").toString
+    val good = ("word " * 25).trim // 25 tokens: passes the gate
+    val docs = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 1L, good),
+      (java.sql.Timestamp.valueOf("2024-01-01 09:01:00"), 2L, good), // dup
+      (java.sql.Timestamp.valueOf("2024-01-01 09:02:00"), 3L, "too short"))
+      .toDF("ts", "doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = CorpusIngest.curate(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingesttest").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ingesttest")
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+    assert(rows.length == 1) // dup dropped, short doc gated
+    assert(Set("train", "val", "test").contains(rows.head._2))
+    // batch parity: same transform over the same frame (batch dedup keeps
+    // one of 1/2 as well — watermarks are no-ops batch-side)
+    val batch = CorpusIngest.curate(spark.read.parquet(dir))
+      .select($"split").as[String].collect()
+    assert(batch.length == 1 && batch.head == rows.head._2)
+  }
+
   test("streaming exact dedup drops watermark-window duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString
     val docs = Seq(
