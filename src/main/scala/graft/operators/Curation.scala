@@ -63,6 +63,28 @@ object Curation {
       .drop("rn")
   }
 
+  /** Fixed-size token chunking with stride (overlap = chunkTokens −
+    * stride) — the standard long-document preparation for training:
+    * each doc yields ⌈tokens / stride⌉ windows, the tail window partial.
+    * Map-only (tokenize, window starts via `sequence`, `slice`,
+    * explode); at 100 TB this is one pass with no shuffle, and the
+    * output inherits the input's partitioning. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride, "need 0 < stride <= chunkTokens")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), expr(
+        s"""posexplode(transform(sequence(0, size(toks) - 1, $stride),
+           |  s -> named_struct(
+           |    'chunk', concat_ws(' ', slice(toks, s + 1, $chunkTokens)),
+           |    'n', size(slice(toks, s + 1, $chunkTokens)))))""".stripMargin)
+        .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("c.chunk").as("chunk"), col("c.n").cast("long").as("chunk_tokens"))
+  }
+
   /** Raw (not distinct) word n-gram occurrence counts per doc:
     * (doc_id, shingle, c). */
   def shingleCounts(docs: DataFrame, idCol: String, textCol: String,

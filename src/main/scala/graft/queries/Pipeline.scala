@@ -570,6 +570,28 @@ object Pipeline {
       | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE
       |ORDER BY click_id, v_ts""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  // Fixed-window token chunking with stride (50-token windows, stride
+  // 40 = 10-token overlap) — map-only long-document preparation.
+  private def q67Chunking(s: SparkSession, dir: String): DataFrame =
+    Curation.chunk(t(s, dir, "documents"), "doc_id", "text", 50, 40)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_tokens"), col("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q67Sql =
+    """WITH toksc AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+      |              FROM documents WHERE len(string_split_regex(text, '\s+')) >= 1),
+      |starts AS (
+      |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 40)) AS s
+      |  FROM toksc)
+      |SELECT doc_id,
+      |  CAST(s / 40 AS BIGINT) AS chunk_idx,
+      |  CAST(len(list_slice(t, s + 1, s + 50)) AS BIGINT) AS chunk_tokens,
+      |  array_to_string(list_slice(t, s + 1, s + 50), ' ') AS chunk
+      |FROM starts
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---------------------------------------------------------------- q45
   // Deterministic dataset split: md5 of the content maps each doc to
   // train/val/test with fixed proportions (12/16 train, 2/16 val,
@@ -651,6 +673,7 @@ object Pipeline {
     "q64_length_quantiles" -> q64LengthQuantiles _,
     "q65_tfidf" -> q65Tfidf _,
     "q66_attribution" -> q66Attribution _,
+    "q67_chunking" -> q67Chunking _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -679,5 +702,6 @@ object Pipeline {
     "q64_length_quantiles" -> q64Sql,
     "q65_tfidf" -> q65Sql,
     "q66_attribution" -> q66Sql,
+    "q67_chunking" -> q67Sql,
   )
 }
