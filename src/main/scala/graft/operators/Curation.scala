@@ -85,6 +85,27 @@ object Curation {
         col("c.chunk").as("chunk"), col("c.n").cast("long").as("chunk_tokens"))
   }
 
+  /** Contiguous sequence packing: docs are binned into fixed-token
+    * training sequences by running token count within a stratum
+    * (deterministic doc-id order). The bin id is
+    * `(cumulative − own) / seqTokens` — a doc starts a new bin when the
+    * running total crosses the boundary. Parallelism is per-stratum
+    * (the window partitions by `stratumCol`), the standard
+    * pack-within-shard compromise: exact global packing is inherently
+    * sequential, per-shard packing is embarrassingly parallel and
+    * loses at most one partial sequence per shard. */
+  def packSequences(docs: DataFrame, stratumCol: String, idCol: String,
+                    textCol: String, seqTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(stratumCol), col(idCol).as("doc_id"),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("seq_bin",
+        expr(s"(cum_tokens - n_tokens) div $seqTokens")) // integer div: exact at any corpus size
+  }
+
   /** Raw (not distinct) word n-gram occurrence counts per doc:
     * (doc_id, shingle, c). */
   def shingleCounts(docs: DataFrame, idCol: String, textCol: String,

@@ -592,6 +592,27 @@ object Pipeline {
       |FROM starts
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  // Per-language sequence packing into 2048-token bins by running
+  // token count (parallel per stratum; see Curation.packSequences).
+  private def q68Packing(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(t(s, dir, "documents"), "lang", "doc_id", "text", 2048)
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("seq_bin"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  private val q68Sql =
+    """SELECT lang, doc_id,
+      |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CAST(len(string_split_regex(text, '\s+')) AS BIGINT))
+      |    OVER (PARTITION BY lang ORDER BY doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+      |  CAST((SUM(CAST(len(string_split_regex(text, '\s+')) AS BIGINT))
+      |    OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    - len(string_split_regex(text, '\s+'))) // 2048 AS BIGINT) AS seq_bin
+      |FROM documents
+      |ORDER BY lang, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q45
   // Deterministic dataset split: md5 of the content maps each doc to
   // train/val/test with fixed proportions (12/16 train, 2/16 val,
@@ -674,6 +695,7 @@ object Pipeline {
     "q65_tfidf" -> q65Tfidf _,
     "q66_attribution" -> q66Attribution _,
     "q67_chunking" -> q67Chunking _,
+    "q68_packing" -> q68Packing _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -703,5 +725,6 @@ object Pipeline {
     "q65_tfidf" -> q65Sql,
     "q66_attribution" -> q66Sql,
     "q67_chunking" -> q67Sql,
+    "q68_packing" -> q68Sql,
   )
 }
