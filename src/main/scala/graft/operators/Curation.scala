@@ -150,4 +150,109 @@ object Curation {
         (col("best").cast("double") / size(col("sg")).cast("double")).as("top_ngram_ratio"))
       .withColumn("repetitive", col("top_ngram_ratio") > threshold)
   }
+
+  /** PII / boilerplate patterns for [[scrub]]. RE2-safe (no lookaround,
+    * no backreferences) so the same patterns run on any regex engine a
+    * downstream consumer might re-apply them with. */
+  val piiPatterns: Seq[String] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", // email
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", // IPv4
+    "\\+?\\d[\\d().-]{7,}\\d" // phone-ish digit runs
+  )
+
+  /** Regex scrubbing (PII redaction / boilerplate stripping): each
+    * pattern is replaced with a space, then whitespace is collapsed and
+    * trimmed. Adds `clean` next to the original column. Map-only — one
+    * codegen'd projection, no shuffle, the 100 TB cost is exactly one
+    * read of the text column. */
+  def scrub(docs: DataFrame, textCol: String, patterns: Seq[String]): DataFrame = {
+    val cleaned = patterns.foldLeft(col(textCol)) { (c, p) =>
+      regexp_replace(c, p, " ")
+    }
+    docs.withColumn("clean",
+      trim(regexp_replace(cleaned, "\\s+", " ")))
+  }
+
+  /** LM-fluency proxy without a model: for each doc, how many of its
+    * bigram occurrences are corpus-supported (total corpus count >=
+    * `minCount`)? Low `n_known / n_bigrams` flags gibberish, OCR noise,
+    * and machine-generated text whose local word transitions never
+    * recur corpus-wide. Returns (doc_id, n_bigrams, n_known) as exact
+    * integer counts (no float, oracle-stable).
+    *
+    * Scale shape: per-doc bigram counts first (map-side combine on
+    * (doc, bigram)), then one shuffle keyed by bigram to build corpus
+    * totals, then a shuffle join back — volume is distinct-bigram
+    * cardinality, not token count. The skew guard for 100 TB is the
+    * same as the shingle ops: ubiquitous bigrams concentrate on one
+    * key only in the corpus-total agg (partial agg flattens it), never
+    * in a pair join. */
+  def knownBigramRatio(docs: DataFrame, idCol: String, textCol: String,
+                       minCount: Long): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i + 1]))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val corpus = bg.groupBy(col("bg"))
+      .agg(sum(col("c")).as("cc"))
+      .filter(col("cc") >= minCount)
+    val known = bg.join(corpus.select(col("bg")), Seq("bg"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_known"))
+    val totals = bg.groupBy(col("doc_id")).agg(sum(col("c")).as("n_bigrams"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left_outer")
+      .join(known, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_bigrams", "n_known"))
+  }
+
+  /** Deterministic mixture resampling: downsample each stratum so the
+    * surviving corpus matches target `weights` (language/domain mixing,
+    * the data-mixture step before training). The largest feasible total
+    * is `min_s(count_s / w_s)`; each stratum keeps rate
+    * `w_s * total / count_s` of its rows, chosen by md5-hash threshold
+    * (first 8 hex chars < `floor(rate * 2^32)` in hex) — reproducible
+    * on any engine, stable under re-runs, no RNG.
+    *
+    * Scale shape: one tiny per-stratum count aggregate broadcasts back
+    * onto the corpus, then the keep decision is a map-only filter — no
+    * window, no per-stratum sort, unlike quota sampling
+    * ([[stratifiedSample]]) which pays a window shuffle. This is the
+    * 100 TB mixture path. Strata absent from `weights` are dropped. */
+  def resampleToMixture(df: DataFrame, stratumCol: String, idCol: String,
+                        weights: Map[String, Double]): DataFrame = {
+    val wmap = typedLit(weights)
+    val rates = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", element_at(wmap, col(stratumCol)))
+      .filter(col("w").isNotNull)
+      .withColumn("cap", col("cnt").cast("double") / col("w"))
+    val total = rates.agg(min(col("cap")).as("nstar"))
+    val withRate = rates.crossJoin(broadcast(total))
+      .withColumn("rate", col("w") * col("nstar") / col("cnt").cast("double"))
+      .select(col(stratumCol), col("rate"))
+    df.join(broadcast(withRate), Seq(stratumCol))
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(col(idCol).cast("string")), 1, 8) <
+          lpad(lower(hex(floor(col("rate") * lit(4294967296.0)))), 8, "0"))
+      .drop("rate")
+  }
+
+  /** Deterministic training-shard assignment: shard = md5-derived value
+    * in [0, 256) mod `nShards` — the reproducible global shuffle before
+    * writing training shards (breaks source/time locality so each shard
+    * is an unbiased corpus sample). Map-only; the subsequent
+    * `.write.partitionBy("shard")` is the only exchange. Portable to
+    * any engine: the hash digit extraction is string arithmetic, no
+    * engine-specific hash. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0 && nShards <= 256, "nShards must be in [1, 256]")
+    val hexDigits = "0123456789abcdef"
+    df.withColumn("shard", (
+      (expr(s"instr('$hexDigits', substring(md5(cast($idCol as string)), 1, 1))") - 1) * 16 +
+        (expr(s"instr('$hexDigits', substring(md5(cast($idCol as string)), 2, 1))") - 1)
+      ) % nShards)
+  }
 }

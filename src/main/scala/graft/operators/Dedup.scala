@@ -234,4 +234,30 @@ object Dedup {
       concat((0 until bits).map(j =>
         when(col(s"s$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
   }
+
+  /** Segment-level exact dedup (the paragraph-dedup family): documents
+    * are cut into non-overlapping `windowTokens`-token segments and
+    * every segment that already occurred anywhere in the corpus — by
+    * content hash, first occurrence = lowest (doc_id, idx) — is
+    * flagged. Near-duplicate docs that exact-dedup misses still share
+    * verbatim runs; this removes the runs themselves (the Dolma /
+    * CCNet paragraph-dedup recipe, with fixed token windows standing
+    * in for paragraph boundaries when the text has none).
+    *
+    * Returns (doc_id, seg_idx, segment, dup) — callers filter `!dup`
+    * and reassemble, or aggregate per doc for audit. Scale shape:
+    * segmentation is map-only ([[Curation.chunk]] with stride =
+    * window); the only shuffle keys on the segment hash, and the
+    * per-hash window touches collision groups (tiny) — equivalent to
+    * an arg-min self-marking, volume O(segments). */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   windowTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))
+    Curation.chunk(docs, idCol, textCol, windowTokens, windowTokens)
+      .select(col("doc_id"), col("chunk_idx").as("seg_idx"),
+        col("chunk").as("segment"), md5(col("chunk")).as("h"))
+      .withColumn("dup", row_number().over(w) > 1)
+      .drop("h")
+  }
 }

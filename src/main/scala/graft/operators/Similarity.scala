@@ -154,4 +154,36 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** Exact k-NN *join*: every query vector's top-k cosine neighbors in
+    * the corpus — the retrieval/eval primitive (embed an eval set,
+    * fetch neighbors for every probe at once). Returns
+    * (query_id, idCol, sim), k rows per query, ties broken by id.
+    *
+    * Scale shape: the query side broadcasts (eval sets are small), so
+    * scoring the |corpus| × |queries| pairs is map-side; per-query
+    * top-k then runs through [[graft.functions.TopK]], a bounded typed
+    * aggregator with partial aggregation — each map task emits at most
+    * k pairs per query, so the shuffle is O(queries × k × partitions),
+    * never the scored cross product. A window `row_number` here would
+    * shuffle every scored pair; that plan dies at 100 TB.
+    *
+    * For corpora too large even for a map-side scan per query, compose
+    * with [[trainIvf]]: assign both sides to cells and knnJoin within
+    * each cell (probe-local retrieval). */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(embCol).as("qv")))
+    val scored = corpus
+      .join(q, col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(graft.functions.VectorFunctions.cosine_sim(col(embCol), col("qv")), 6)
+          .as("sim"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(k)(col(idCol).cast("long"), col("sim")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit._1").as(idCol), col("hit._2").as("sim"))
+  }
 }

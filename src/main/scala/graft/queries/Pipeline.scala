@@ -668,6 +668,164 @@ object Pipeline {
       |FROM gated WHERE doc_id IN (SELECT doc_id FROM keep)
       |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  // Regex scrubbing (PII-redaction machinery, demonstrated on stopword
+  // boilerplate so the rule fires on the synthetic corpus). Map-only.
+  private def q69Scrub(s: SparkSession, dir: String): DataFrame =
+    Curation.scrub(t(s, dir, "documents"), "text", Seq("\\b(the|a)\\b"))
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_before"),
+        when(col("clean") === "", 0L)
+          .otherwise(size(split(col("clean"), "\\s+")).cast("long")).as("n_after"),
+        col("clean"))
+      .orderBy(col("doc_id"))
+
+  private val q69Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_before,
+      |  CASE WHEN clean = '' THEN 0
+      |       ELSE CAST(len(string_split_regex(clean, '\s+')) AS BIGINT) END AS n_after,
+      |  clean
+      |FROM (SELECT doc_id, text,
+      |        trim(regexp_replace(regexp_replace(text, '\b(the|a)\b', ' ', 'g'),
+      |             '\s+', ' ', 'g')) AS clean
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  // LM-fluency proxy: share of each doc's bigram occurrences that are
+  // corpus-supported (total count >= 5). Exact integer counts.
+  private def q70KnownBigram(s: SparkSession, dir: String): DataFrame =
+    Curation.knownBigramRatio(t(s, dir, "documents"), "doc_id", "text", 5L)
+      .orderBy(col("doc_id"))
+
+  private val q70Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+      |  WHERE len(string_split_regex(text, '\s+')) >= 2),
+      |occ AS (
+      |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(1, len(toks) - 1)) AS i FROM tk)),
+      |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+      |corpus AS (SELECT bg FROM bgc GROUP BY bg HAVING SUM(c) >= 5),
+      |totals AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams FROM bgc GROUP BY doc_id),
+      |known AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_known
+      |          FROM bgc WHERE bg IN (SELECT bg FROM corpus) GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(t.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(k.n_known, 0) AS n_known
+      |FROM documents d
+      |LEFT JOIN totals t ON d.doc_id = t.doc_id
+      |LEFT JOIN known k ON d.doc_id = k.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  // Deterministic mixture resampling to target language weights —
+  // map-only hash-threshold filter, no window (see
+  // Curation.resampleToMixture).
+  private val q71Weights = Map(
+    "en" -> 0.25, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.2)
+
+  private def q71Mixture(s: SparkSession, dir: String): DataFrame =
+    Curation.resampleToMixture(t(s, dir, "documents"), "lang", "doc_id", q71Weights)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+
+  private val q71Sql =
+    """WITH w(lang, wt) AS (VALUES
+      |  ('en', CAST(0.25 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+      |  ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+      |  ('zh', CAST(0.2 AS DOUBLE))),
+      |counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      |caps AS (SELECT c.lang, w.wt, c.cnt,
+      |           CAST(c.cnt AS DOUBLE) / w.wt AS cap
+      |         FROM counts c JOIN w ON c.lang = w.lang),
+      |nstar AS (SELECT MIN(cap) AS ns FROM caps),
+      |rates AS (SELECT lang, wt * ns / CAST(cnt AS DOUBLE) AS rate FROM caps, nstar)
+      |SELECT d.lang, COUNT(*) AS n_kept
+      |FROM documents d JOIN rates r ON d.lang = r.lang
+      |WHERE r.rate >= 1.0
+      |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+      |      lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  // Deterministic training-shard assignment (md5-derived, engine-
+  // portable) + per-shard balance audit.
+  private def q72Shards(s: SparkSession, dir: String): DataFrame =
+    Curation.shardAssign(t(s, dir, "documents"), "doc_id", 8)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("shard"))
+
+  private val q72Sql =
+    """SELECT CAST((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |     + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INTEGER) % 8 AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  COUNT(DISTINCT lang) AS n_langs
+      |FROM documents
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  // Exact k-NN join: top-10 corpus neighbors for each of 5 query
+  // vectors at once, via the bounded TopK partial aggregator (shuffle
+  // is O(queries x k), never the scored cross product).
+  private def q73KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnJoin(emb.filter(col("vec_id") >= 5),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+  }
+
+  private val q73Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, len(c.embedding)),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+      |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))), 6) AS sim
+      |  FROM c, q),
+      |ranked AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 10
+      |ORDER BY query_id, sim DESC, vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  // Segment-level exact dedup: 10-token windows, first occurrence by
+  // (doc_id, idx) kept, repeats flagged — per-doc audit counts.
+  private def q74SegmentDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", 10)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("dup"), 1).otherwise(0)).cast("long").as("n_dup"))
+      .orderBy(col("doc_id"))
+
+  private val q74Sql =
+    """WITH toksc AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+      |              FROM documents WHERE len(string_split_regex(text, '\s+')) >= 1),
+      |starts AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 10)) AS s
+      |           FROM toksc),
+      |segs AS (SELECT doc_id, s // 10 AS seg_idx,
+      |           md5(array_to_string(list_slice(t, s + 1, s + 10), ' ')) AS h
+      |         FROM starts),
+      |flagged AS (SELECT doc_id, seg_idx,
+      |              row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) > 1 AS dup
+      |            FROM segs)
+      |SELECT doc_id, COUNT(*) AS n_segments,
+      |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
@@ -696,6 +854,12 @@ object Pipeline {
     "q66_attribution" -> q66Attribution _,
     "q67_chunking" -> q67Chunking _,
     "q68_packing" -> q68Packing _,
+    "q69_scrub" -> q69Scrub _,
+    "q70_known_bigram" -> q70KnownBigram _,
+    "q71_mixture" -> q71Mixture _,
+    "q72_shards" -> q72Shards _,
+    "q73_knn_join" -> q73KnnJoin _,
+    "q74_segment_dedup" -> q74SegmentDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -726,5 +890,11 @@ object Pipeline {
     "q66_attribution" -> q66Sql,
     "q67_chunking" -> q67Sql,
     "q68_packing" -> q68Sql,
+    "q69_scrub" -> q69Sql,
+    "q70_known_bigram" -> q70Sql,
+    "q71_mixture" -> q71Sql,
+    "q72_shards" -> q72Sql,
+    "q73_knn_join" -> q73Sql,
+    "q74_segment_dedup" -> q74Sql,
   )
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral specs for the round-4 curation additions: regex scrub
+  * (PII), known-bigram fluency, mixture resampling, shard assignment,
+  * segment dedup, and the bounded TopK aggregator behind knnJoin. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrub redacts PII patterns and collapses whitespace") {
+    val docs = Seq(
+      (1L, "mail me at alice.smith+x@example.co.uk  today"),
+      (2L, "server 192.168.0.1 responded"),
+      (3L, "call 555-123-4567 now"), // contiguous digit run, no inner spaces
+      (4L, "no pii here")
+    ).toDF("doc_id", "text")
+    val got = Curation.scrub(docs, "text", Curation.piiPatterns)
+      .select($"doc_id", $"clean").as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail me at today")
+    assert(got(2L) == "server responded")
+    assert(!got(3L).exists(_.isDigit))
+    assert(got(4L) == "no pii here")
+  }
+
+  test("knownBigramRatio counts corpus-supported bigram occurrences") {
+    // "a b" occurs 3x corpus-wide (docs 1,1,2); "b c" once; doc 3 too short
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: a b, b a, a b
+      (2L, "a b c"),   // bigrams: a b, b c
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = Curation.knownBigramRatio(docs, "doc_id", "text", 3L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, 2L))) // 3 bigrams, "a b" x2 known
+    assert(got(2L) == ((2L, 1L)))
+    assert(got(3L) == ((0L, 0L)))
+  }
+
+  test("resampleToMixture hits target weights and is deterministic") {
+    val docs = (0L until 900L).map(i => (i, if (i < 600) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val weights = Map("en" -> 0.5, "fr" -> 0.5)
+    // fr binds: nstar = 300/0.5 = 600 -> en rate 0.5, fr rate 1.0
+    val kept = Curation.resampleToMixture(docs, "lang", "doc_id", weights)
+    val byLang = kept.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("fr") >= 299L) // rate==1 modulo FP epsilon on the md5 edge
+    // en kept should be close to 300 of 600 (hash threshold at rate 0.5)
+    assert(byLang("en") > 240L && byLang("en") < 360L)
+    // deterministic: second run keeps the identical id set
+    val ids1 = kept.select($"doc_id").as[Long].collect().toSet
+    val ids2 = Curation.resampleToMixture(docs, "lang", "doc_id", weights)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // strata without a weight are dropped
+    val extra = docs.unionByName(Seq((9999L, "zz")).toDF("doc_id", "lang"))
+    assert(Curation.resampleToMixture(extra, "lang", "doc_id", weights)
+      .filter($"lang" === "zz").count() == 0L)
+  }
+
+  test("shardAssign is balanced-ish, deterministic, and in range") {
+    val docs = (0L until 2000L).toDF("doc_id")
+    val byShard = Curation.shardAssign(docs, "doc_id", 8)
+      .groupBy($"shard").count().as[(Int, Long)].collect().toMap
+    assert(byShard.keySet == (0 until 8).toSet)
+    // md5 is uniform: each shard ~250 of 2000
+    assert(byShard.values.forall(c => c > 150 && c < 350))
+    val again = Curation.shardAssign(docs, "doc_id", 8)
+      .groupBy($"shard").count().as[(Int, Long)].collect().toMap
+    assert(again == byShard)
+  }
+
+  test("segmentDedup flags repeated windows, keeps first occurrence") {
+    val seg = "w1 w2 w3 w4" // 4-token window shared verbatim
+    val docs = Seq(
+      (1L, s"$seg unique1 a b c"),
+      (2L, s"$seg unique2 d e f")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.segmentDedup(docs, "doc_id", "text", 4)
+      .select($"doc_id", $"seg_idx", $"dup").as[(Long, Long, Boolean)]
+      .collect().toSet
+    // doc 1 seg 0 is the first occurrence; doc 2 seg 0 is the dup
+    assert(flagged.contains((1L, 0L, false)))
+    assert(flagged.contains((2L, 0L, true)))
+    // tails differ -> not dups
+    assert(flagged.filter(_._2 == 1L).forall(!_._3))
+  }
+
+  test("TopK aggregator == window row_number top-k on random data") {
+    val rnd = new scala.util.Random(7)
+    val scored = Seq.tabulate(500) { i =>
+      (i % 5L, i.toLong, math.round(rnd.nextDouble() * 1e6) / 1e6)
+    }.toDF("g", "id", "s")
+    val viaAgg = scored.groupBy($"g")
+      .agg(graft.functions.TopK.top_k(7)($"id", $"s").as("hits"))
+      .select($"g", explode($"hits").as("h"))
+      .select($"g", $"h._1".as("id"), $"h._2".as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"s".desc, $"id")
+    val viaWindow = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 7).drop("rn")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaAgg == viaWindow && viaAgg.size == 35)
+  }
+
+  test("knnJoin returns k exact neighbors per query, ranked") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = Similarity.knnJoin(
+      emb.filter($"vec_id" >= 3), emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", 5)
+    val rows = got.as[(Long, Long, Double)].collect()
+    assert(rows.length == 15)
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L) && byQ.values.forall(_.length == 5))
+    // per query, sims match the single-query brute-force operator
+    val single = Similarity.cosineTopK(
+      emb.filter($"vec_id" >= 3 || $"vec_id" === 0L), "vec_id", "embedding", 0L, 5)
+      .as[(Long, Double)].collect().toSet
+    assert(byQ(0L).map(r => (r._2, r._3)).toSet == single)
+  }
+}
