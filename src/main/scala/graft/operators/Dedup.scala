@@ -185,6 +185,79 @@ object Dedup {
     jaccardCore(sh, sizes, minJaccard, maxDf)
   }
 
+  /** Exact Jaccard pairs via AllPairs/PPJoin prefix filtering — same
+    * output as [[jaccardPairsFromDocs]] with no df cap, far fewer
+    * candidates. Each doc's shingles are globally ordered rare-first
+    * (corpus df asc, then shingle); only the first
+    * `n − floor(t·n) + 1` shingles are indexed. Theorem (Bayardo et
+    * al., WWW'07): two sets with Jaccard ≥ t must share an element in
+    * both prefixes under any common total order, so joining prefixes
+    * loses nothing; `floor` (not `ceil`) keeps the bound safe against
+    * FP jitter. Rare-first ordering pushes boilerplate shingles to the
+    * suffix, so a shingle in d docs contributes ~0 candidates instead
+    * of d² — the exactness-preserving answer to the quadratic hot-key
+    * problem the df cap only truncates away.
+    *
+    * Stages: df count (partial agg), per-doc re-sort (one shuffle of
+    * occurrences), prefix self-join (small), then exact verification
+    * by `array_intersect` on the two docs' full shingle arrays. Every
+    * stage is bounded; no all-pairs step anywhere. */
+  /** The per-doc prefix under a global order: rare-first (corpus df
+    * asc — strongest pruning, costs one df pass + regroup shuffle) or
+    * md5-hash order (map-only from the array — weaker pruning, zero
+    * extra shuffle). Both are valid total orders, so both are exact;
+    * rare-first wins when boilerplate shingles dominate (the 100 TB
+    * case), hash order wins when the extra pass outweighs the pruning
+    * (smaller corpora, flat df distributions). */
+  private def prefixFrame(base: DataFrame, minJaccard: Double,
+                          rareFirst: Boolean): DataFrame =
+    if (rareFirst) {
+      val occ = base.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+      val df = occ.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      occ.join(df, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("sorted"))
+        .select(col("doc_id"), size(col("sorted")).cast("long").as("n_sh"),
+          expr(s"slice(transform(sorted, x -> x.shingle), 1, " +
+            s"size(sorted) - floor($minJaccard * size(sorted)) + 1)").as("prefix"))
+    } else
+      base.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"),
+        expr(s"slice(transform(sort_array(transform(sh_arr, s -> struct(md5(s) AS k, s AS s))), x -> x.s), 1, " +
+          s"size(sh_arr) - floor($minJaccard * size(sh_arr)) + 1)").as("prefix"))
+
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, minJaccard: Double,
+                         rareFirst: Boolean = true): DataFrame = {
+    val shingleArr = expr(
+      s"array_distinct(transform(sequence(0, size(toks) - $n), i -> " +
+        (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + "))")
+    val base = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), shingleArr.as("sh_arr"))
+      .localCheckpoint()
+    val prefixes = prefixFrame(base, minJaccard, rareFirst)
+    val pocc = prefixes.select(col("doc_id"), col("n_sh"),
+      explode(col("prefix")).as("shingle"))
+    val cands = pocc.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
+      .join(pocc.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: J <= min/max, so a matching pair needs min >= t*max
+      .filter(col("n_a").cast("double") >= lit(minJaccard) * col("n_b") - lit(1e-9) &&
+        col("n_b").cast("double") >= lit(minJaccard) * col("n_a") - lit(1e-9))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .join(base.select(col("doc_id").as("doc_a"), col("sh_arr").as("arr_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("sh_arr").as("arr_b")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-bucket LSH (1 bit per
     * leading dim) generates candidates, the native fused cosine
     * ([[graft.functions.CosineSimilarity]]) confirms. Only same-bucket

@@ -64,7 +64,10 @@ object Pipeline {
   // ---------------------------------------------------------------- q29
   // n-gram Jaccard near-dup pairs over an inverted shingle index.
   private def q29Jaccard(s: SparkSession, dir: String): DataFrame =
-    // oracle stays exact: the production default caps shingle df
+    // oracle stays exact: the production default caps shingle df.
+    // (Dedup.jaccardPairsPrefix is the exact-no-cap skew path; on this
+    // flat-df synthetic corpus its verification joins cost more than
+    // the pruning saves, so the inverted index stays the bench shape.)
     Dedup.jaccardPairsFromDocs(t(s, dir, "documents"), "doc_id", "text", 3,
         0.35, maxDf = Long.MaxValue)
       .orderBy(col("doc_a"), col("doc_b"))

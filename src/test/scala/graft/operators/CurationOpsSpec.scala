@@ -105,6 +105,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow && viaAgg.size == 35)
   }
 
+  test("prefix-filtered jaccard == inverted-index jaccard (exact)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b", round($"jaccard", 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+    val viaIndex = norm(Dedup.jaccardPairsFromDocs(
+      docs, "doc_id", "text", 3, 0.35, maxDf = Long.MaxValue))
+    val viaPrefix = norm(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.35))
+    assert(viaPrefix == viaIndex && viaIndex.nonEmpty)
+    val viaHashOrder = norm(Dedup.jaccardPairsPrefix(
+      docs, "doc_id", "text", 3, 0.35, rareFirst = false))
+    assert(viaHashOrder == viaIndex)
+    // lower threshold too (more pairs, exercises the length filter)
+    val lo = norm(Dedup.jaccardPairsFromDocs(
+      docs, "doc_id", "text", 2, 0.2, maxDf = Long.MaxValue))
+    val loP = norm(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 2, 0.2))
+    assert(loP == lo)
+  }
+
   test("knnJoin returns k exact neighbors per query, ranked") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val got = Similarity.knnJoin(
