@@ -85,6 +85,8 @@ object GraftCli {
       decontaminate(corpus, bench, out)
     case "corpusstats" :: in :: Nil => corpusStats(in)
     case "corpussplit" :: in :: out :: Nil => corpusSplit(in, out)
+    case "corpusmix" :: in :: out :: weights :: nShards :: Nil =>
+      corpusMix(in, out, weights, nShards.toInt)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -96,7 +98,7 @@ object GraftCli {
            |transform: blast2gff3 gff3alignment modidingoa modrefingoa
            |dump:      dictystrain dictyplasmid
            |report:    sumstats stockreport
-           |corpus:    corpusdedup decontaminate corpusstats corpussplit""".stripMargin)
+           |corpus:    corpusdedup decontaminate corpusstats corpussplit corpusmix""".stripMargin)
       sys.exit(2)
   }
 
@@ -520,6 +522,32 @@ object GraftCli {
       .orderBy(col("split")).collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
     println(s"$counts -> $out")
+    spark.stop()
+  }
+
+  /** Training-shard production: PII scrub -> deterministic mixture
+    * resample to target stratum weights ("en=0.25,de=0.2,...") ->
+    * md5-derived shard assignment -> shard-partitioned parquet. The
+    * whole pipeline is map-only after one tiny per-stratum count, so
+    * the single exchange is the partitioned write itself. */
+  private def corpusMix(in: String, out: String, weights: String,
+                        nShards: Int): Unit = {
+    val spark = GraftSession.local()
+    val w = weights.split(",").map { kv =>
+      val Array(k, v) = kv.split("="); k -> v.toDouble
+    }.toMap
+    val docs = spark.read.parquet(in)
+    val scrubbed = graft.operators.Curation
+      .scrub(docs, "text", graft.operators.Curation.piiPatterns)
+      .drop("text").withColumnRenamed("clean", "text")
+    val mixed = graft.operators.Curation
+      .resampleToMixture(scrubbed, "lang", "doc_id", w)
+    graft.operators.Curation.shardAssign(mixed, "doc_id", nShards)
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val counts = spark.read.parquet(out).groupBy(col("lang")).count()
+      .orderBy(col("lang")).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"kept $counts shards=$nShards -> $out")
     spark.stop()
   }
 

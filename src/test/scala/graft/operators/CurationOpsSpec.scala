@@ -105,6 +105,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow && viaAgg.size == 35)
   }
 
+  test("corpusmix composition: scrub -> resample -> shard-partitioned write") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val w = Map("en" -> 0.25, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.2)
+    val scrubbed = Curation.scrub(docs, "text", Curation.piiPatterns)
+      .drop("text").withColumnRenamed("clean", "text")
+    val sharded = Curation.shardAssign(
+      Curation.resampleToMixture(scrubbed, "lang", "doc_id", w), "doc_id", 4)
+    val out = java.nio.file.Files.createTempDirectory("corpusmix").toString
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+    val back = spark.read.parquet(out)
+    assert((0 until 4).forall(sh =>
+      new java.io.File(s"$out/shard=$sh").isDirectory))
+    // achieved mixture ~ target ratios (binding stratum keeps all)
+    val byLang = back.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val total = byLang.values.sum.toDouble
+    w.foreach { case (l, wt) =>
+      assert(math.abs(byLang(l) / total - wt) < 0.05, s"$l off-target")
+    }
+    // re-run writes the identical id set
+    val ids1 = back.select($"doc_id").as[Long].collect().toSet
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+    val ids2 = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("prefix-filtered jaccard == inverted-index jaccard (exact)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def norm(df: org.apache.spark.sql.DataFrame) =
