@@ -171,6 +171,33 @@ object Similarity {
     * For corpora too large even for a map-side scan per query, compose
     * with [[trainIvf]]: assign both sides to cells and knnJoin within
     * each cell (probe-local retrieval). */
+  /** Online semantic gate: tag each embedded row with its best-matching
+    * query vector (argmax cosine) and keep rows clearing `minSim` — the
+    * ingest-time retrieval trigger / content filter.
+    *
+    * The query set rides along as literals (driver-held model state,
+    * like [[IvfIndex]] centroids), so the whole gate is ONE stateless
+    * codegen'd projection: no join, no aggregation, no shuffle. That
+    * statelessness is the point — the identical plan runs over a
+    * Structured Streaming frame in append mode (no watermark needed)
+    * and over a 100 TB batch scan. Ties prefer the lowest query id. */
+  def similarityGate(rows: DataFrame, queries: Seq[(Long, Seq[Float])],
+                     embCol: String, minSim: Double): DataFrame = {
+    require(queries.nonEmpty, "need at least one query vector")
+    val scored = array(queries.map { case (qid, vec) =>
+      struct(
+        round(graft.functions.VectorFunctions.cosine_sim(
+          col(embCol), typedLit(vec)), 6).as("sim"),
+        lit(-qid).as("nqid"))
+    }: _*)
+    rows
+      .withColumn("best", array_max(scored))
+      .withColumn("best_query", -col("best.nqid"))
+      .withColumn("sim", col("best.sim"))
+      .drop("best")
+      .filter(col("sim") >= minSim)
+  }
+
   def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(

@@ -829,6 +829,45 @@ object Pipeline {
       |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  // Stateless similarity gate: argmax cosine over 5 driver-held query
+  // vectors as one codegen'd projection (no join/agg — the identical
+  // plan runs over a stream in append mode; see
+  // Similarity.similarityGate).
+  private def q75SimGate(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    Similarity.similarityGate(emb.filter(col("vec_id") >= 5), queries,
+        "embedding", 0.2)
+      .select(col("vec_id"), col("best_query"), col("sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q75Sql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      |scored AS (
+      |  SELECT c.vec_id, q.qid,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, len(c.embedding)),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+      |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))), 6) AS sim
+      |  FROM c, q),
+      |best AS (
+      |  SELECT vec_id, qid AS best_query, sim,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, qid) AS rn
+      |  FROM scored)
+      |SELECT vec_id, best_query, sim FROM best
+      |WHERE rn = 1 AND sim >= 0.2
+      |ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
@@ -863,6 +902,7 @@ object Pipeline {
     "q72_shards" -> q72Shards _,
     "q73_knn_join" -> q73KnnJoin _,
     "q74_segment_dedup" -> q74SegmentDedup _,
+    "q75_sim_gate" -> q75SimGate _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -899,5 +939,6 @@ object Pipeline {
     "q72_shards" -> q72Sql,
     "q73_knn_join" -> q73Sql,
     "q74_segment_dedup" -> q74Sql,
+    "q75_sim_gate" -> q75Sql,
   )
 }

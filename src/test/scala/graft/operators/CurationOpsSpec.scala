@@ -149,6 +149,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(loP == lo)
   }
 
+  test("similarityGate: stateless stream == batch, ties to lowest qid") {
+    val dir = java.nio.file.Files.createTempDirectory("simgate").toString
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    emb.filter($"vec_id" >= 5).write.mode("overwrite").parquet(dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val batch = Similarity.similarityGate(
+        spark.read.parquet(dir), queries, "embedding", 0.2)
+      .select($"vec_id", $"best_query", $"sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    // identical plan over a stream, append mode, no watermark needed
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = Similarity.similarityGate(stream, queries, "embedding", 0.2)
+      .select($"vec_id", $"best_query", $"sim")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("simgatetest").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("simgatetest")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    // a row equally close to two queries tags the lowest query id
+    val tied = Seq((100L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val twin = Seq((0L, Seq(1f, 0f)), (1L, Seq(1f, 0f))).map {
+      case (i, v) => (i, v: Seq[Float])
+    }
+    val best = Similarity.similarityGate(tied, twin, "embedding", 0.5)
+      .select($"best_query").as[Long].head()
+    assert(best == 0L)
+  }
+
   test("knnJoin returns k exact neighbors per query, ranked") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val got = Similarity.knnJoin(
