@@ -930,6 +930,96 @@ object Relational {
       |       ELSE n_name END AS decorated
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  // Merge audit via FULL OUTER reconciliation: staging vs live rows
+  // classified insert / delete / update / same — the diff report a
+  // staging-merge DAG (J1/J2) emits before committing. One shuffle on
+  // the natural key; the classification is a map-side projection.
+  private def q76StoreDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val live = orders.filter(col("o_orderdate") < lit("1997-06-01"))
+      .select(col("o_orderkey").as("lk"), col("o_orderstatus").as("lstatus"))
+    val staging = orders.filter(col("o_orderdate") >= lit("1996-06-01"))
+      .select(col("o_orderkey").as("sk"), lit("F").as("sstatus"))
+    live.join(staging, col("lk") === col("sk"), "full_outer")
+      .withColumn("class",
+        when(col("lk").isNull, "insert")
+          .when(col("sk").isNull, "delete")
+          .when(col("lstatus") =!= col("sstatus"), "update")
+          .otherwise("same"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n"),
+        min(coalesce(col("lk"), col("sk"))).as("min_key"),
+        max(coalesce(col("lk"), col("sk"))).as("max_key"))
+      .orderBy(col("class"))
+  }
+
+  private val q76Sql =
+    """WITH live AS (SELECT o_orderkey AS lk, o_orderstatus AS lstatus
+      |              FROM orders WHERE o_orderdate < DATE '1997-06-01'),
+      |staging AS (SELECT o_orderkey AS sk, 'F' AS sstatus
+      |            FROM orders WHERE o_orderdate >= DATE '1996-06-01')
+      |SELECT CASE WHEN lk IS NULL THEN 'insert'
+      |            WHEN sk IS NULL THEN 'delete'
+      |            WHEN lstatus <> sstatus THEN 'update'
+      |            ELSE 'same' END AS class,
+      |  COUNT(*) AS n,
+      |  MIN(COALESCE(lk, sk)) AS min_key,
+      |  MAX(COALESCE(lk, sk)) AS max_key
+      |FROM live FULL OUTER JOIN staging ON lk = sk
+      |GROUP BY 1 ORDER BY class""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  // Long->wide pivot: the reverse of the q51 stash fan-out —
+  // featureprop-style (key, prop, value) rows reshaped into one wide
+  // row per key. Explicit pivot values keep the plan a single
+  // partial-aggregable groupBy (no distinct-scan to discover columns).
+  private def q77Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), expr(
+        """stack(3,
+          |  'status', o_orderstatus,
+          |  'priority', o_orderpriority,
+          |  'month', date_format(o_orderdate, 'yyyy-MM')) AS (prop, value)""".stripMargin))
+      .groupBy(col("o_orderkey"))
+      .pivot("prop", Seq("month", "priority", "status"))
+      .agg(max(col("value")))
+      .orderBy(col("o_orderkey"))
+
+  private val q77Sql =
+    """WITH props AS (
+      |  SELECT o_orderkey, 'status' AS prop, o_orderstatus AS value FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'priority', o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'month', strftime(o_orderdate, '%Y-%m') FROM orders)
+      |SELECT o_orderkey,
+      |  MAX(CASE WHEN prop = 'month' THEN value END) AS month,
+      |  MAX(CASE WHEN prop = 'priority' THEN value END) AS priority,
+      |  MAX(CASE WHEN prop = 'status' THEN value END) AS status
+      |FROM props GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  // ROLLUP accounting (grouping-sets extension beyond the reference's
+  // flat GROUP BYs): corpus size by (lang, source) with subtotals and
+  // a grand total in one pass — partial-aggregable, NULLS FIRST
+  // ordering aligned across engines.
+  private def q78Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+"))).cast("long").as("n_tokens"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid").desc, col("lang"), col("source"))
+
+  private val q78Sql =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+      |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+      |FROM documents
+      |GROUP BY ROLLUP (lang, source)
+      |ORDER BY gid DESC, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -972,6 +1062,9 @@ object Relational {
     "q60_evalue" -> q60Evalue _,
     "q61_comment_skip" -> q61CommentSkip _,
     "q62_obsolete_decor" -> q62ObsoleteDecor _,
+    "q76_storediff" -> q76StoreDiff _,
+    "q77_pivot" -> q77Pivot _,
+    "q78_rollup" -> q78Rollup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1016,5 +1109,8 @@ object Relational {
     "q60_evalue" -> q60Sql,
     "q61_comment_skip" -> q61Sql,
     "q62_obsolete_decor" -> q62Sql,
+    "q76_storediff" -> q76Sql,
+    "q77_pivot" -> q77Sql,
+    "q78_rollup" -> q78Sql,
   )
 }
