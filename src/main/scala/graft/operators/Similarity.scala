@@ -171,6 +171,45 @@ object Similarity {
     * For corpora too large even for a map-side scan per query, compose
     * with [[trainIvf]]: assign both sides to cells and knnJoin within
     * each cell (probe-local retrieval). */
+  /** IVF-accelerated k-NN join: [[knnJoin]] for corpora too large to
+    * scan per query. The corpus assigns to cells map-only (centroid
+    * literals, codegen'd argmin); each query probes its `nprobe`
+    * nearest cells (same map-only projection + `array_sort` pick); the
+    * score join keys on `cell`, so only O(nprobe · |corpus| / cells)
+    * pairs are ever scored — not |corpus| × |queries|. Ranking runs
+    * through the bounded [[graft.functions.TopK]] aggregator as in the
+    * exact join. `nprobe = numCells` probes everything and reproduces
+    * [[knnJoin]] bit-for-bit (same rounding and tiebreaks); smaller
+    * nprobe trades recall for candidate volume — the standard IVF
+    * dial, now on the join form. */
+  def knnJoinIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 embCol: String, k: Int, index: IvfIndex,
+                 nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= index.cids.size, "1 <= nprobe <= cells")
+    val assigned = corpus.select(col(idCol).as("cand_id"), col(embCol).as("e"))
+      .withColumn("cell", index.cellCol)
+    val probeStructs = array(index.cids.indices.map(i => struct(
+      graft.functions.VectorFunctions.l2_dist(col("e"),
+        array(index.centroids(i).map(lit): _*)).as("d2"),
+      lit(index.cids(i)).as("cid"))): _*)
+    // array_sort on structs orders by (d2, cid) — the ivfTopK tiebreak
+    val qcells = queries.select(col(idCol).as("query_id"), col(embCol).as("e"))
+      .withColumn("pc", slice(array_sort(probeStructs), 1, nprobe))
+      .select(col("query_id"), col("e").as("qv"),
+        explode(expr("transform(pc, x -> x.cid)")).as("cell"))
+    val scored = assigned
+      .join(broadcast(qcells), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(graft.functions.VectorFunctions.cosine_sim(col("e"), col("qv")), 6)
+          .as("sim"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(k)(col("cand_id").cast("long"), col("sim")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit._1").as(idCol), col("hit._2").as("sim"))
+  }
+
   /** Online semantic gate: tag each embedded row with its best-matching
     * query vector (argmax cosine) and keep rows clearing `minSim` — the
     * ingest-time retrieval trigger / content filter.

@@ -37,6 +37,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 == 1.0, "probing every cell is the exact scan")
   }
 
+  test("knnJoinIvf at full probe == exact knnJoin; recall grows with nprobe") {
+    val corpus = emb.filter($"vec_id" >= 8)
+    val queries = emb.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"vec_id", $"sim")
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = rows(Similarity.knnJoin(corpus, queries, "vec_id", "embedding", 5))
+    val index = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
+    val full = rows(Similarity.knnJoinIvf(
+      corpus, queries, "vec_id", "embedding", 5, index, nprobe = 4))
+    assert(full == exact, "probing every cell must reproduce the exact join")
+    def recall(nprobe: Int): Double = {
+      val got = rows(Similarity.knnJoinIvf(
+        corpus, queries, "vec_id", "embedding", 5, index, nprobe))
+      (got.map(r => (r._1, r._2)) & exact.map(r => (r._1, r._2))).size.toDouble /
+        exact.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r1 > 0.0 && r2 >= r1, s"recall must not degrade with nprobe: $r1 $r2")
+  }
+
   test("trainIvf centroids are reproducible and assignment covers the corpus") {
     val a = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
     val b = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
