@@ -197,15 +197,17 @@ object Curation {
         .as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("c"))
-    val corpus = bg.groupBy(col("bg"))
-      .agg(sum(col("c")).as("cc"))
-      .filter(col("cc") >= minCount)
-    val known = bg.join(corpus.select(col("bg")), Seq("bg"))
-      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_known"))
-    val totals = bg.groupBy(col("doc_id")).agg(sum(col("c")).as("n_bigrams"))
+    // one doc-level aggregate carries both counts: join each per-doc
+    // bigram count to the corpus total and split the sum by the
+    // known-flag — two consumers of `bg` (an identical exchange AQE
+    // reuses), no third pass, no second doc-level shuffle
+    val corpus = bg.groupBy(col("bg")).agg(sum(col("c")).as("cc"))
+    val stats = bg.join(corpus, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(when(col("cc") >= minCount, col("c")).otherwise(0L)).as("n_known"))
     docs.select(col(idCol).as("doc_id"))
-      .join(totals, Seq("doc_id"), "left_outer")
-      .join(known, Seq("doc_id"), "left_outer")
+      .join(stats, Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("n_bigrams", "n_known"))
   }
 
