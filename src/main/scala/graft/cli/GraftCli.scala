@@ -533,8 +533,15 @@ object GraftCli {
   private def corpusMix(in: String, out: String, weights: String,
                         nShards: Int): Unit = {
     val spark = GraftSession.local()
-    val w = weights.split(",").map { kv =>
-      val Array(k, v) = kv.split("="); k -> v.toDouble
+    val w = weights.split(",").toSeq.map { kv =>
+      kv.split("=") match {
+        case Array(k, v) if v.toDoubleOption.exists(_ > 0) =>
+          k -> v.toDouble
+        case _ =>
+          System.err.println(
+            s"corpusmix: bad weight entry '$kv' (want stratum=positive-number, e.g. en=0.25)")
+          sys.exit(2)
+      }
     }.toMap
     val docs = spark.read.parquet(in)
     val scrubbed = graft.operators.Curation

@@ -16,27 +16,38 @@ import org.apache.spark.sql.functions.udaf
   * pairs that is the difference between a plan that scales and one
   * that re-shuffles the cross product.
   *
-  * The buffer is an unordered list trimmed whenever it exceeds 2k, so
-  * reduce stays amortized O(1) per row with one sort per trim rather
-  * than a heap per row (JVM-friendlier for small k).
+  * Ordering matches SQL `ORDER BY score DESC, id` exactly, including
+  * NaN: both Spark's `desc` sort and DuckDB rank NaN above every
+  * finite value, so the comparator here puts NaN first too (Scala's
+  * default Double ordering would sort it last and silently drop
+  * NaN-scored rows from the top-k).
+  *
+  * The buffer is a size-tracked unordered list trimmed whenever it
+  * exceeds 2k, so reduce stays amortized O(1) per row — one sort per
+  * trim rather than a heap per row (JVM-friendlier for small k).
   */
 final class TopKAggregator(k: Int)
-    extends Aggregator[(Long, Double), List[(Long, Double)], Seq[(Long, Double)]] {
+    extends Aggregator[(Long, Double), (Int, List[(Long, Double)]), Seq[(Long, Double)]] {
   require(k > 0, "k must be positive")
 
+  // score desc with NaN ranked FIRST (the SQL DESC semantics), id asc.
+  // (!isNaN, -score, id) ascending: NaN rows sort before finite rows,
+  // NaN-vs-NaN compares equal (java.lang.Double.compare) -> id breaks.
   private def best(b: List[(Long, Double)]): List[(Long, Double)] =
-    b.sortBy { case (id, s) => (-s, id) }.take(k)
+    b.sortBy { case (id, s) => (!s.isNaN, -s, id) }.take(k)
 
-  def zero: List[(Long, Double)] = Nil
-  def reduce(b: List[(Long, Double)], a: (Long, Double)): List[(Long, Double)] = {
-    val nb = a :: b
-    if (nb.length > 2 * k) best(nb) else nb
+  def zero: (Int, List[(Long, Double)]) = (0, Nil)
+  def reduce(b: (Int, List[(Long, Double)]), a: (Long, Double)): (Int, List[(Long, Double)]) = {
+    val (n, xs) = b
+    if (n + 1 > 2 * k) (k, best(a :: xs)) else (n + 1, a :: xs)
   }
-  def merge(l: List[(Long, Double)], r: List[(Long, Double)]): List[(Long, Double)] =
-    best(l ::: r)
-  def finish(b: List[(Long, Double)]): Seq[(Long, Double)] = best(b)
-  def bufferEncoder: Encoder[List[(Long, Double)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Double)]]()
+  def merge(l: (Int, List[(Long, Double)]), r: (Int, List[(Long, Double)])): (Int, List[(Long, Double)]) = {
+    val m = best(l._2 ::: r._2)
+    (m.length, m)
+  }
+  def finish(b: (Int, List[(Long, Double)])): Seq[(Long, Double)] = best(b._2)
+  def bufferEncoder: Encoder[(Int, List[(Long, Double)])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, List[(Long, Double)])]()
   def outputEncoder: Encoder[Seq[(Long, Double)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
 }

@@ -189,14 +189,8 @@ object Curation {
     * in a pair join. */
   def knownBigramRatio(docs: DataFrame, idCol: String, textCol: String,
                        minCount: Long): DataFrame = {
-    val bg = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i + 1]))"))
-        .as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"))
+    val bg = shingleCounts(docs, idCol, textCol, 2)
+      .withColumnRenamed("shingle", "bg")
     // one doc-level aggregate carries both counts: join each per-doc
     // bigram count to the corpus total and split the sum by the
     // known-flag — two consumers of `bg` (an identical exchange AQE

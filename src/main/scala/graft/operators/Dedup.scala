@@ -59,16 +59,35 @@ object Dedup {
     * to [[minhashSignature]] over [[shingles]], with zero shuffles —
     * the 100 TB-shaped plan (signatures reduce each doc to numHashes
     * strings before anything wide happens). */
-  def minhashSignatureDirect(docs: DataFrame, idCol: String, textCol: String,
-                             n: Int, numHashes: Int): DataFrame = {
-    val shingleArr = expr(
-      s"array_distinct(transform(sequence(0, size(toks) - $n), i -> " +
-        (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + "))")
-    val sig = docs
+  /** The shared tokenize step: (doc_id, toks) with at least n tokens. */
+  private def tokens(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
+
+  /** The distinct word-n-gram array expression over `toks` — the ONE
+    * definition of this engine's shingling, shared by MinHash, the
+    * Jaccard inverted index, and the prefix-filtered join (their
+    * identical-output contracts depend on identical tokenization). */
+  private def shingleArr(n: Int) = expr(
+    s"array_distinct(transform(sequence(0, size(toks) - $n), i -> " +
+      (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + "))")
+
+  /** Checkpointed compact per-doc shingle arrays: (doc_id, sh_arr) —
+    * one row per doc, materialized once because sizes, df caps, and
+    * both self-join sides re-derive from it. */
+  private def shingleArrayBase(docs: DataFrame, idCol: String, textCol: String,
+                               n: Int): DataFrame =
+    tokens(docs, idCol, textCol, n)
+      .select(col("doc_id"), shingleArr(n).as("sh_arr"))
+      .localCheckpoint()
+
+  def minhashSignatureDirect(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, numHashes: Int): DataFrame = {
+    val sig = tokens(docs, idCol, textCol, n)
       .select(col("doc_id"),
-        graft.functions.VectorFunctions.minhash_md5(shingleArr, numHashes).as("sig"))
+        graft.functions.VectorFunctions.minhash_md5(shingleArr(n), numHashes).as("sig"))
     sig.select(col("doc_id") +:
       (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
   }
@@ -169,17 +188,10 @@ object Dedup {
   def jaccardPairsFromDocs(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, minJaccard: Double,
                            maxDf: Long = 1000): DataFrame = {
-    val shingleArr = expr(
-      s"array_distinct(transform(sequence(0, size(toks) - $n), i -> " +
-        (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + "))")
     // checkpoint the COMPACT per-doc array form (one row per doc), not
     // the exploded occurrence stream — sizes, the df cap, and both
     // self-join sides all re-derive from it with cheap in-memory ops
-    val base = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), shingleArr.as("sh_arr"))
-      .localCheckpoint()
+    val base = shingleArrayBase(docs, idCol, textCol, n)
     val sizes = base.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"))
     val sh = base.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
     jaccardCore(sh, sizes, minJaccard, maxDf)
@@ -228,14 +240,7 @@ object Dedup {
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          n: Int, minJaccard: Double,
                          rareFirst: Boolean = true): DataFrame = {
-    val shingleArr = expr(
-      s"array_distinct(transform(sequence(0, size(toks) - $n), i -> " +
-        (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + "))")
-    val base = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), shingleArr.as("sh_arr"))
-      .localCheckpoint()
+    val base = shingleArrayBase(docs, idCol, textCol, n)
     val prefixes = prefixFrame(base, minJaccard, rareFirst)
     val pocc = prefixes.select(col("doc_id"), col("n_sh"),
       explode(col("prefix")).as("shingle"))

@@ -186,6 +186,7 @@ object Similarity {
                  embCol: String, k: Int, index: IvfIndex,
                  nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= index.cids.size, "1 <= nprobe <= cells")
+    val idType = integralIdType(corpus, idCol)
     val assigned = corpus.select(col(idCol).as("cand_id"), col(embCol).as("e"))
       .withColumn("cell", index.cellCol)
     val probeStructs = array(index.cids.indices.map(i => struct(
@@ -207,7 +208,7 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(graft.functions.TopK.top_k(k)(col("cand_id").cast("long"), col("sim")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("hit"))
-      .select(col("query_id"), col("hit._1").as(idCol), col("hit._2").as("sim"))
+      .select(col("query_id"), col("hit._1").cast(idType).as(idCol), col("hit._2").as("sim"))
   }
 
   /** Online semantic gate: tag each embedded row with its best-matching
@@ -237,8 +238,21 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** The TopK aggregator carries ids as longs; only integral id
+    * columns round-trip losslessly (a string key would need a
+    * surrogate, see [[graft.operators.IdAllocate]]). The output id is
+    * cast back to the input column's exact type. */
+  private def integralIdType(df: DataFrame, idCol: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"knnJoin needs an integral id column, got $idCol: $dt")
+    dt
+  }
+
   def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int): DataFrame = {
+    val idType = integralIdType(corpus, idCol)
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(embCol).as("qv")))
     val scored = corpus
@@ -250,6 +264,6 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(graft.functions.TopK.top_k(k)(col(idCol).cast("long"), col("sim")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("hit"))
-      .select(col("query_id"), col("hit._1").as(idCol), col("hit._2").as("sim"))
+      .select(col("query_id"), col("hit._1").cast(idType).as(idCol), col("hit._2").as("sim"))
   }
 }

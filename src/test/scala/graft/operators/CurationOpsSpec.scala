@@ -89,20 +89,27 @@ class CurationOpsSpec extends SparkSpec {
 
   test("TopK aggregator == window row_number top-k on random data") {
     val rnd = new scala.util.Random(7)
-    val scored = Seq.tabulate(500) { i =>
+    // NaN scores included: SQL DESC (and DuckDB) rank NaN above every
+    // finite value, and the aggregator must agree, not drop them
+    val scored = (Seq.tabulate(500) { i =>
       (i % 5L, i.toLong, math.round(rnd.nextDouble() * 1e6) / 1e6)
-    }.toDF("g", "id", "s")
+    } ++ Seq((0L, 9000L, Double.NaN), (1L, 9001L, Double.NaN)))
+      .toDF("g", "id", "s")
+    // NaN != NaN under Scala tuple equality — compare via a sentinel
+    def norm(t: (Long, Long, Double)) =
+      (t._1, t._2, if (t._3.isNaN) -999.0 else t._3)
     val viaAgg = scored.groupBy($"g")
       .agg(graft.functions.TopK.top_k(7)($"id", $"s").as("hits"))
       .select($"g", explode($"hits").as("h"))
       .select($"g", $"h._1".as("id"), $"h._2".as("s"))
-      .as[(Long, Long, Double)].collect().toSet
+      .as[(Long, Long, Double)].collect().map(norm).toSet
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"g").orderBy($"s".desc, $"id")
     val viaWindow = scored.withColumn("rn", row_number().over(w))
       .filter($"rn" <= 7).drop("rn")
-      .as[(Long, Long, Double)].collect().toSet
+      .as[(Long, Long, Double)].collect().map(norm).toSet
     assert(viaAgg == viaWindow && viaAgg.size == 35)
+    assert(viaAgg.count(_._3 == -999.0) == 2, "NaN rows must survive into the top-k")
   }
 
   test("corpusmix composition: scrub -> resample -> shard-partitioned write") {
