@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: keep per-key PARTIAL aggregates
+  * (exact decimal sum + count) and fold new deltas into them instead of
+  * re-aggregating the corpus — the materialized-view refresh pattern.
+  * At 100 TB this is the difference between touching yesterday's whole
+  * fact table and touching today's delta: partials are key-cardinality
+  * sized, re-aggregation is one shuffle of (existing partials ∪ delta
+  * partials).
+  *
+  * Sums stay DECIMAL(18,2)-exact until [[finish]], so merging partials
+  * in any order or grouping is bit-identical to the full aggregate —
+  * the associativity that floats would only approximate.
+  */
+object IncrementalAgg {
+
+  /** Per-key partial state of `valueCol` over `df`:
+    * (keys..., psum DECIMAL, pcnt LONG). */
+  def partial(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("psum"),
+        count(lit(1)).as("pcnt"))
+
+  /** Fold partial frames together: exact decimal re-aggregation whose
+    * result equals [[partial]] over the concatenated inputs. */
+  def merge(partials: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(partials.nonEmpty, "need at least one partial frame")
+    partials.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("psum")).as("psum"), sum(col("pcnt")).as("pcnt"))
+  }
+
+  /** Final user-facing shape: (keys..., sum_value DOUBLE, n_rows). */
+  def finish(merged: DataFrame, keys: Seq[String]): DataFrame =
+    merged.select(keys.map(col) :+
+      col("psum").cast("double").as("sum_value") :+
+      col("pcnt").as("n_rows"): _*)
+}

@@ -1020,6 +1020,32 @@ object Relational {
       |GROUP BY ROLLUP (lang, source)
       |ORDER BY gid DESC, lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  // Incremental aggregate maintenance: base partials (history) merged
+  // with delta partials (new arrivals) must equal the full aggregate —
+  // the oracle computes the full aggregate directly, so the gate IS
+  // the refresh-correctness statement. Decimal-exact partial sums make
+  // the merge order-insensitive (see operators/IncrementalAgg).
+  private def q79IncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val base = graft.operators.IncrementalAgg.partial(
+      li.filter(col("l_shipdate") < lit("1997-01-01")), keys, "l_quantity")
+    val delta = graft.operators.IncrementalAgg.partial(
+      li.filter(col("l_shipdate") >= lit("1997-01-01")), keys, "l_quantity")
+    graft.operators.IncrementalAgg.finish(
+        graft.operators.IncrementalAgg.merge(Seq(base, delta), keys), keys)
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q79Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -1065,6 +1091,7 @@ object Relational {
     "q76_storediff" -> q76StoreDiff _,
     "q77_pivot" -> q77Pivot _,
     "q78_rollup" -> q78Rollup _,
+    "q79_incr_agg" -> q79IncrAgg _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1112,5 +1139,6 @@ object Relational {
     "q76_storediff" -> q76Sql,
     "q77_pivot" -> q77Sql,
     "q78_rollup" -> q78Sql,
+    "q79_incr_agg" -> q79Sql,
   )
 }

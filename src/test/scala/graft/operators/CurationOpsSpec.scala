@@ -112,6 +112,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(viaAgg.count(_._3 == -999.0) == 2, "NaN rows must survive into the top-k")
   }
 
+  test("incremental agg: merged partials == full aggregate, any split/order") {
+    val rows = Seq.tabulate(300)(i =>
+      (s"k${i % 3}", (i % 7) + 0.25)).toDF("k", "v")
+    def got(parts: Seq[org.apache.spark.sql.DataFrame]) =
+      IncrementalAgg.finish(IncrementalAgg.merge(parts, Seq("k")), Seq("k"))
+        .as[(String, Double, Long)].collect().toSet
+    val full = got(Seq(IncrementalAgg.partial(rows, Seq("k"), "v")))
+    val a = IncrementalAgg.partial(rows.filter($"v" < 3), Seq("k"), "v")
+    val b = IncrementalAgg.partial(rows.filter($"v" >= 3 && $"v" < 5), Seq("k"), "v")
+    val c = IncrementalAgg.partial(rows.filter($"v" >= 5), Seq("k"), "v")
+    assert(got(Seq(a, b, c)) == full)
+    assert(got(Seq(c, a, b)) == full) // order-insensitive (decimal-exact)
+  }
+
   test("corpusmix composition: scrub -> resample -> shard-partitioned write") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val w = Map("en" -> 0.25, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.2)
