@@ -112,6 +112,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(viaAgg.count(_._3 == -999.0) == 2, "NaN rows must survive into the top-k")
   }
 
+  test("edge cases: empty inputs, k > corpus, single-stratum mixture") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.scrub(emptyDocs, "text", Curation.piiPatterns).count() == 0L)
+    assert(Curation.knownBigramRatio(emptyDocs, "doc_id", "text", 5L).count() == 0L)
+    assert(Dedup.segmentDedup(emptyDocs, "doc_id", "text", 10).count() == 0L)
+    assert(Curation.resampleToMixture(
+      emptyDocs.withColumn("lang", lit("en")), "lang", "doc_id",
+      Map("en" -> 1.0)).count() == 0L)
+    // k larger than the corpus: every candidate comes back, no padding
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val tiny = emb.filter($"vec_id" >= 5 && $"vec_id" < 9)
+    val hits = Similarity.knnJoin(tiny, emb.filter($"vec_id" === 0L),
+      "vec_id", "embedding", 100)
+    assert(hits.count() == 4L)
+    // one stratum at weight 1.0 keeps everything (rate == 1 branch)
+    val one = (0L until 50L).map((_, "en")).toDF("doc_id", "lang")
+    assert(Curation.resampleToMixture(one, "lang", "doc_id",
+      Map("en" -> 1.0)).count() == 50L)
+    // docs shorter than the segment window yield one partial segment
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    val segs = Dedup.segmentDedup(short, "doc_id", "text", 10)
+      .select($"seg_idx", $"segment", $"dup").as[(Long, String, Boolean)].collect()
+    assert(segs.toSeq == Seq((0L, "a b", false)))
+  }
+
   test("incremental agg: merged partials == full aggregate, any split/order") {
     val rows = Seq.tabulate(300)(i =>
       (s"k${i % 3}", (i % 7) + 0.25)).toDF("k", "v")
