@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
 
   /** Per-key partial state of `valueCol` over `df`:
-    * (keys..., psum DECIMAL, pcnt LONG). */
+    * (keys..., psum DECIMAL(38,2), pcnt LONG). The sum is pinned at
+    * max precision so repeated folds ([[merge]]) keep one stable
+    * schema — Spark widens decimal sums per level otherwise, and a
+    * parquet partial store must not drift types between refreshes. */
   def partial(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("psum"),
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)").as("psum"),
         count(lit(1)).as("pcnt"))
 
   /** Fold partial frames together: exact decimal re-aggregation whose
@@ -30,7 +33,8 @@ object IncrementalAgg {
     require(partials.nonEmpty, "need at least one partial frame")
     partials.reduce(_ unionByName _)
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("psum")).as("psum"), sum(col("pcnt")).as("pcnt"))
+      .agg(sum(col("psum")).cast("decimal(38,2)").as("psum"),
+        sum(col("pcnt")).as("pcnt"))
   }
 
   /** Final user-facing shape: (keys..., sum_value DOUBLE, n_rows). */

@@ -37,4 +37,35 @@ object StreamingMerge {
       }
       .start()
   }
+
+  /** Streaming materialized-view maintenance: each micro-batch's rows
+    * are partial-aggregated ([[graft.operators.IncrementalAgg]]) and
+    * folded into the parquet partial store — the store always equals
+    * the full aggregate over every row ever streamed, but each refresh
+    * touches only (delta ∪ key-cardinality partials), never the
+    * history. Decimal-exact partials make the fold order-insensitive,
+    * so micro-batch boundaries and restarts can't change the result.
+    *
+    * The store is read before overwrite and `localCheckpoint`ed — the
+    * read-your-own-write guard every overwrite merge in this repo
+    * uses. */
+  def aggMaintain(spark: SparkSession, inDir: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  storeDir: String, keys: Seq[String], valueCol: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.IncrementalAgg
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = IncrementalAgg.partial(batch, keys, valueCol)
+        val merged =
+          if (new java.io.File(storeDir).exists()) {
+            val live = batch.sparkSession.read.parquet(storeDir).localCheckpoint()
+            IncrementalAgg.merge(Seq(live, delta), keys)
+          } else delta
+        merged.write.mode("overwrite").parquet(storeDir)
+      }
+      .start()
+  }
 }

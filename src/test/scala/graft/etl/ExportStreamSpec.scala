@@ -202,6 +202,29 @@ class ExportStreamSpec extends SparkSpec {
     assert(batch.length == 1 && batch.head == rows.head._2)
   }
 
+  test("streaming agg maintenance: store equals full aggregate across batches") {
+    import graft.operators.IncrementalAgg
+    val in = java.nio.file.Files.createTempDirectory("aggm-in").toString
+    val store = java.nio.file.Files.createTempDirectory("aggm").toString + "/partials"
+    val b1 = Seq(("a", 1.5), ("a", 2.0), ("b", 3.25)).toDF("k", "v")
+    val b2 = Seq(("a", 0.25), ("c", 7.0)).toDF("k", "v")
+    b1.write.mode("append").parquet(in)
+    val q = graft.streaming.StreamingMerge.aggMaintain(
+      spark, in, b1.schema, store, Seq("k"), "v")
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    val got = IncrementalAgg.finish(spark.read.parquet(store), Seq("k"))
+      .as[(String, Double, Long)].collect().toSet
+    // full-batch truth over all rows ever streamed
+    val full = IncrementalAgg.finish(
+      IncrementalAgg.partial(b1.unionByName(b2), Seq("k"), "v"), Seq("k"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(got == full)
+    assert(got == Set(("a", 3.75, 3L), ("b", 3.25, 1L), ("c", 7.0, 1L)))
+  }
+
   test("streaming exact dedup drops watermark-window duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString
     val docs = Seq(
