@@ -868,6 +868,42 @@ object Pipeline {
       |WHERE rn = 1 AND sim >= 0.2
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  // Metadata-filtered ANN (the pre-filter retrieval shape): restrict
+  // the corpus by a metadata predicate BEFORE scoring — only matching
+  // vectors are ever touched, vs post-filtering a top-k that may then
+  // come up short. The metadata side arrives via a semi-join (broadcast
+  // at dimension size, bucketed co-location at fact size).
+  private def q80FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val en = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"))
+    val filtered = emb.join(broadcast(en),
+      col("vec_id") === col("doc_id"), "left_semi")
+    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    Similarity.withCosine(filtered.filter(col("vec_id") =!= 0L), qv, "embedding")
+      .select(col("vec_id"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(15)
+  }
+
+  private val q80Sql =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |c AS (SELECT vec_id, embedding FROM embeddings
+      |      WHERE vec_id <> 0
+      |        AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+      |scored AS (
+      |  SELECT vec_id,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, len(embedding)),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+      |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))), 6) AS sim
+      |  FROM c, q)
+      |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 15""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
@@ -903,6 +939,7 @@ object Pipeline {
     "q73_knn_join" -> q73KnnJoin _,
     "q74_segment_dedup" -> q74SegmentDedup _,
     "q75_sim_gate" -> q75SimGate _,
+    "q80_filtered_ann" -> q80FilteredAnn _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -940,5 +977,6 @@ object Pipeline {
     "q73_knn_join" -> q73Sql,
     "q74_segment_dedup" -> q74Sql,
     "q75_sim_gate" -> q75Sql,
+    "q80_filtered_ann" -> q80Sql,
   )
 }

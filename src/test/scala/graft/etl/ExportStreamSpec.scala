@@ -202,6 +202,27 @@ class ExportStreamSpec extends SparkSpec {
     assert(batch.length == 1 && batch.head == rows.head._2)
   }
 
+  test("stream-static broadcast enrichment matches the batch join") {
+    val dir = java.nio.file.Files.createTempDirectory("enrich").toString
+    val events = Seq((1L, 10L), (2L, 20L), (3L, 10L), (4L, 99L))
+      .toDF("event_id", "cust_id")
+    events.write.mode("overwrite").parquet(dir)
+    val dims = Seq((10L, "gold"), (20L, "basic")).toDF("cust_id", "tier")
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(dims), Seq("cust_id"), "left_outer")
+        .select($"event_id", coalesce($"tier", lit("unknown")).as("tier"))
+    val batch = enrich(spark.read.parquet(dir))
+      .as[(Long, String)].collect().toSet
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = enrich(stream).writeStream.outputMode("append")
+      .format("memory").queryName("enrichtest").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrichtest").as[(Long, String)].collect().toSet
+    assert(streamed == batch &&
+      batch == Set((1L, "gold"), (3L, "gold"), (2L, "basic"), (4L, "unknown")))
+  }
+
   test("streaming agg maintenance: store equals full aggregate across batches") {
     import graft.operators.IncrementalAgg
     val in = java.nio.file.Files.createTempDirectory("aggm-in").toString
