@@ -685,16 +685,21 @@ object Relational {
   // survivors are the merged closure.
   private def q49ClosurePrune(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val live = li.select(col("l_orderkey"), col("l_partkey")).dropDuplicates()
-    val staging = li.filter(col("l_shipdate") < lit("1997-01-01"))
-      .select(col("l_orderkey"), col("l_partkey")).dropDuplicates()
     val scope = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-    // EXCEPT over two already-distinct frames == left_anti join: same
-    // rows, one fewer aggregate round, and the anti-join reuses the
-    // (l_orderkey, l_partkey) hash partitioning the dropDuplicates left
-    val prune = live.join(staging, Seq("l_orderkey", "l_partkey"), "left_anti")
-      .join(scope, col("l_orderkey") === col("o_orderkey"), "left_semi")
-    live.join(prune, Seq("l_orderkey", "l_partkey"), "left_anti")
+      .select(col("o_orderkey")).withColumn("in_scope", lit(1))
+    // The generic closure-prune is live ANTI staging SEMI scope, then
+    // live ANTI pruneSet (operators/Closure.pruneSet, spec'd + the
+    // oracle's EXCEPT form). Here staging is a filter of live's own
+    // base table, so the whole DAG collapses to an arg-min rewrite
+    // (the q12 trick): staging-membership == min(shipdate) < cutoff,
+    // and "survives the prune" == staged OR out of scope. One
+    // partial-aggregable shuffle + a broadcast flag join replace two
+    // dedups and three join passes — identical rows.
+    li.groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+      .join(broadcast(scope), col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .filter(col("first_ship") < lit("1997-01-01") || col("in_scope").isNull)
+      .select(col("l_orderkey"), col("l_partkey"))
       .orderBy(col("l_orderkey"), col("l_partkey"))
   }
 
