@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** Model-based checks for the round-4 curation operators: on random
+  * corpora, each Spark operator must match a pure-Scala reference
+  * model exactly — the same style as ClosurePropertySpec (seeded
+  * trials, one Spark job each, not ScalaCheck's hundreds).
+  *
+  * The mixture model intentionally re-implements the md5-threshold
+  * arithmetic in plain Scala: both engines (and this model) perform
+  * the identical IEEE double ops, so agreement is exact, which is the
+  * whole reproducibility claim of the operator.
+  */
+class CurationPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val vocab = Vector("the", "a", "cat", "dog", "runs", "fast", "slow", "x9")
+
+  private def randomDoc(rnd: Random, n: Int): String =
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  test("segmentDedup matches the first-occurrence model on random corpora") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 4) {
+      val w = 2 + rnd.nextInt(4)
+      val docs = (0L until (5L + rnd.nextInt(10))).map { id =>
+        (id, randomDoc(rnd, 1 + rnd.nextInt(20)))
+      }
+      // model: windows in (doc_id, idx) order; first content occurrence kept
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = docs.flatMap { case (id, text) =>
+        text.split("\\s+").grouped(w).zipWithIndex.map { case (seg, i) =>
+          val content = seg.mkString(" ")
+          val dup = !seen.add(content)
+          (id, i.toLong, dup)
+        }
+      }.toSet
+      val got = Dedup.segmentDedup(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .select($"doc_id", $"seg_idx", $"dup")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got == want, s"trial $trial (w=$w)")
+    }
+  }
+
+  test("resampleToMixture matches the threshold model on random strata") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 3) {
+      val strata = Seq("s0", "s1", "s2").take(2 + rnd.nextInt(2))
+      val docs = (0L until (100L + rnd.nextInt(200))).map { id =>
+        (id, strata(rnd.nextInt(strata.size)))
+      }
+      val weights = strata.map(_ -> (0.1 + rnd.nextDouble() * 0.9)).toMap
+      // model: identical arithmetic, plain Scala
+      val counts = docs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val nstar = strata.map(s => counts(s).toDouble / weights(s)).min
+      def keep(id: Long, s: String): Boolean = {
+        val rate = weights(s) * nstar / counts(s).toDouble
+        rate >= 1.0 || {
+          val thr = math.floor(rate * 4294967296.0).toLong
+          val hex = ("0" * 8 + java.lang.Long.toHexString(thr)).takeRight(8)
+          md5hex(id.toString).substring(0, 8) < hex
+        }
+      }
+      val want = docs.filter { case (id, s) => keep(id, s) }.map(_._1).toSet
+      val got = Curation.resampleToMixture(
+          docs.toDF("doc_id", "lang"), "lang", "doc_id", weights)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == want, s"trial $trial (${strata.size} strata)")
+    }
+  }
+
+  test("scrub matches java replaceAll on PII-injected random text") {
+    val rnd = new Random(37)
+    val pii = Seq("bob@ex.com", "10.0.0.255", "555-123-9876")
+    val docs = (0L until 30L).map { id =>
+      val words = Seq.fill(6)(vocab(rnd.nextInt(vocab.size))) ++
+        (if (rnd.nextBoolean()) Seq(pii(rnd.nextInt(pii.size))) else Nil)
+      (id, rnd.shuffle(words).mkString(" "))
+    }
+    val want = docs.map { case (id, text) =>
+      val stripped = Curation.piiPatterns.foldLeft(text)((t, p) => t.replaceAll(p, " "))
+      id -> stripped.replaceAll("\\s+", " ").trim
+    }.toMap
+    val got = Curation.scrub(docs.toDF("doc_id", "text"), "text", Curation.piiPatterns)
+      .select($"doc_id", $"clean").as[(Long, String)].collect().toMap
+    assert(got == want)
+    assert(got.values.forall(v => !v.contains("@")))
+  }
+
+  test("chunk with stride == window reassembles to the original tokens") {
+    val rnd = new Random(53)
+    val docs = (0L until 20L).map(id => (id, randomDoc(rnd, 1 + rnd.nextInt(40))))
+    val got = Curation.chunk(docs.toDF("doc_id", "text"), "doc_id", "text", 7, 7)
+      .select($"doc_id", $"chunk_idx", $"chunk")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3).mkString(" ")
+      }
+    docs.foreach { case (id, text) => assert(got(id) == text, s"doc $id") }
+  }
+
+  test("shardAssign matches the md5 hex-pair model for random shard counts") {
+    val rnd = new Random(71)
+    for (trial <- 1 to 3) {
+      val n = 1 + rnd.nextInt(256)
+      val ids = (0L until 300L).toDF("doc_id")
+      val want = (0L until 300L).map { id =>
+        val h = md5hex(id.toString)
+        val v = "0123456789abcdef".indexOf(h.charAt(0)) * 16 +
+          "0123456789abcdef".indexOf(h.charAt(1))
+        id -> (v % n)
+      }.toMap
+      val got = Curation.shardAssign(ids, "doc_id", n)
+        .select($"doc_id", $"shard".cast("int")).as[(Long, Int)].collect().toMap
+      assert(got == want, s"trial $trial (n=$n)")
+      assert(got.values.forall(s => s >= 0 && s < n))
+    }
+  }
+}
