@@ -26,6 +26,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == Map("hot" -> 500L, "cold" -> 1L))
   }
 
+  test("Sessionize.assign groups like Spark's native session_window") {
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"ts")
+    // native gap-based session windows (30 min), counted per user
+    val native = events
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .count()
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    // the window-based operator with the same 30-minute gap (micros)
+    val viaOp = Sessionize.assign(events,
+        Seq($"user_id"), Seq($"ts"),
+        unix_micros($"ts"), 30L * 60 * 1000 * 1000)
+      .groupBy($"user_id").agg(countDistinct($"session_id").as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == viaOp && native.nonEmpty)
+  }
+
+  test("approx_count_distinct tracks exact NDV within its error bound") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val toks = docs.select(explode(split($"text", "\\s+")).as("w"))
+    val (approx, exact) = toks
+      .agg(approx_count_distinct($"w", 0.02).as("a"), countDistinct($"w").as("e"))
+      .as[(Long, Long)].head()
+    // rsd 0.02 -> generous 10% assertion bound; the point is the sketch
+    // path exists for 100 TB NDV where exact distinct is a full shuffle
+    assert(math.abs(approx - exact).toDouble / exact < 0.10, s"$approx vs $exact")
+  }
+
   test("closure prune set is live-minus-new (J7/U2)") {
     val live = Seq((2L, 1L, 1), (3L, 1L, 1), (9L, 1L, 2)).toDF("child", "ancestor", "dist")
     val fresh = Seq((2L, 1L, 1), (3L, 1L, 1)).toDF("child", "ancestor", "dist")
