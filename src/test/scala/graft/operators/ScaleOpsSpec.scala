@@ -55,6 +55,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.10, s"$approx vs $exact")
   }
 
+  test("store compaction shrinks file count, preserves data; expire drops by TTL") {
+    import graft.sinks.StoreMaintenance
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val rows = (0L until 5000L).map(i =>
+      (i, s"2024-01-${"%02d".format((i % 28) + 1)}", s"payload-$i"))
+      .toDF("id", "day", "v")
+    rows.repartition(40).write.mode("overwrite").parquet(dir)
+    val before = rows.collect().toSet
+    val (nBefore, nAfter) = StoreMaintenance.compact(spark, dir, 512 * 1024)
+    assert(nBefore == 40 && nAfter < 40)
+    assert(spark.read.parquet(dir).collect().toSet == before)
+    val dropped = StoreMaintenance.expire(spark, dir, "day", "2024-01-15")
+    val left = spark.read.parquet(dir)
+    assert(dropped > 0 && left.count() + dropped == 5000L)
+    assert(left.agg(min($"day")).head().getString(0) >= "2024-01-15")
+  }
+
   test("closure prune set is live-minus-new (J7/U2)") {
     val live = Seq((2L, 1L, 1), (3L, 1L, 1), (9L, 1L, 2)).toDF("child", "ancestor", "dist")
     val fresh = Seq((2L, 1L, 1), (3L, 1L, 1)).toDF("child", "ancestor", "dist")
