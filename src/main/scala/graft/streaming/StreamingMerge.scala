@@ -38,6 +38,45 @@ object StreamingMerge {
       .start()
   }
 
+  /** CDC-style continuous merge: each micro-batch carries an `opCol`
+    * marker per row — `I`/`U` upsert, `D` delete — and the parquet
+    * store is rewritten to reflect it, the streaming completion of the
+    * batch merge DAG's upsert + prune semantics (SURVEY.md §2.10: the
+    * reference's incrementality IS merge semantics).
+    *
+    * Within one batch the LAST marker per key wins (ordered by
+    * `seqCol` — CDC logs carry a sequence/LSN). The rewrite is
+    * set-based: store ANTI batch-keys ∪ batch-survivors; no
+    * row-at-a-time mutation. Idempotent under redelivery: re-applying
+    * a batch yields the same store. */
+  def cdcMerge(spark: SparkSession, inDir: String,
+               schema: org.apache.spark.sql.types.StructType,
+               storeDir: String, keys: Seq[String], opCol: String,
+               seqCol: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(seqCol).desc)
+        val latest = batch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val survivors = latest.filter(col(opCol) =!= "D")
+          .drop(opCol, seqCol)
+        val merged =
+          if (new java.io.File(storeDir).exists()) {
+            val live = batch.sparkSession.read.parquet(storeDir).localCheckpoint()
+            live.join(latest.select(keys.map(col): _*), keys, "left_anti")
+              .unionByName(survivors)
+          } else survivors
+        merged.write.mode("overwrite").parquet(storeDir)
+      }
+      .start()
+  }
+
   /** Streaming materialized-view maintenance: each micro-batch's rows
     * are partial-aggregated ([[graft.operators.IncrementalAgg]]) and
     * folded into the parquet partial store — the store always equals

@@ -223,6 +223,33 @@ class ExportStreamSpec extends SparkSpec {
       batch == Set((1L, "gold"), (3L, "gold"), (2L, "basic"), (4L, "unknown")))
   }
 
+  test("CDC streaming merge applies upsert + delete, last-marker-wins") {
+    val in = java.nio.file.Files.createTempDirectory("cdc-in").toString
+    val store = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
+    val b1 = Seq(
+      (1L, "v1", "I", 10L),
+      (2L, "v2", "I", 11L),
+      (2L, "v2b", "U", 12L), // same batch: later seq wins
+      (3L, "v3", "I", 13L))
+      .toDF("id", "v", "op", "seq")
+    b1.write.mode("append").parquet(in)
+    val q = graft.streaming.StreamingMerge.cdcMerge(
+      spark, in, b1.schema, store, Seq("id"), "op", "seq")
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(store)
+      .as[(Long, String)].collect().toSet
+    assert(after1 == Set((1L, "v1"), (2L, "v2b"), (3L, "v3")))
+    // batch 2: delete 1, update 3, insert 4
+    Seq((1L, "x", "D", 20L), (3L, "v3b", "U", 21L), (4L, "v4", "I", 22L))
+      .toDF("id", "v", "op", "seq")
+      .write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(store)
+      .as[(Long, String)].collect().toSet
+    assert(after2 == Set((2L, "v2b"), (3L, "v3b"), (4L, "v4")))
+  }
+
   test("streaming agg maintenance: store equals full aggregate across batches") {
     import graft.operators.IncrementalAgg
     val in = java.nio.file.Files.createTempDirectory("aggm-in").toString
