@@ -1051,6 +1051,61 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  // RANGE window frame: per-customer trailing-90-day spend — the frame
+  // is bounded by the ORDER-BY VALUE (days), not row offsets, so gaps
+  // in order history widen/narrow the frame correctly. One shuffle on
+  // the partition key; money through DECIMAL per the oracle rules.
+  private def q81RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-90, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("day", datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
+      .withColumn("trailing_90d",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"), col("trailing_90d"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  private val q81Sql =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, day,
+      |  CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY day
+      |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_90d
+      |FROM t
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  // ntile bucketing: per-language length quartiles (curriculum /
+  // difficulty binning). The ORDER BY carries a unique tiebreak so
+  // bucket boundaries are deterministic on any engine.
+  private def q82Decile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("lang"), col("quartile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("quartile"))
+  }
+
+  private val q82Sql =
+    """WITH q AS (
+      |  SELECT lang, n_chars,
+      |    ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+      |  FROM documents)
+      |SELECT lang, quartile, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM q GROUP BY lang, quartile
+      |ORDER BY lang, quartile""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -1097,6 +1152,8 @@ object Relational {
     "q77_pivot" -> q77Pivot _,
     "q78_rollup" -> q78Rollup _,
     "q79_incr_agg" -> q79IncrAgg _,
+    "q81_range_window" -> q81RangeWindow _,
+    "q82_decile" -> q82Decile _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1145,5 +1202,7 @@ object Relational {
     "q77_pivot" -> q77Sql,
     "q78_rollup" -> q78Sql,
     "q79_incr_agg" -> q79Sql,
+    "q81_range_window" -> q81Sql,
+    "q82_decile" -> q82Sql,
   )
 }
