@@ -87,6 +87,7 @@ object GraftCli {
     case "corpussplit" :: in :: out :: Nil => corpusSplit(in, out)
     case "corpusmix" :: in :: out :: weights :: nShards :: Nil =>
       corpusMix(in, out, weights, nShards.toInt)
+    case "corpusimport" :: in :: fmt :: out :: Nil => corpusImport(in, fmt, out)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -98,7 +99,7 @@ object GraftCli {
            |transform: blast2gff3 gff3alignment modidingoa modrefingoa
            |dump:      dictystrain dictyplasmid
            |report:    sumstats stockreport
-           |corpus:    corpusdedup decontaminate corpusstats corpussplit corpusmix""".stripMargin)
+           |corpus:    corpusdedup decontaminate corpusstats corpussplit corpusmix corpusimport""".stripMargin)
       sys.exit(2)
   }
 
@@ -549,12 +550,54 @@ object GraftCli {
       .drop("text").withColumnRenamed("clean", "text")
     val mixed = graft.operators.Curation
       .resampleToMixture(scrubbed, "lang", "doc_id", w)
+    // co-locate each shard before the partitioned write: without this,
+    // every task writes a fragment into every shard directory
+    // (tasks × shards small files); with it, one file per shard
     graft.operators.Curation.shardAssign(mixed, "doc_id", nShards)
+      .repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(out)
     val counts = spark.read.parquet(out).groupBy(col("lang")).count()
       .orderBy(col("lang")).collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
     println(s"kept $counts shards=$nShards -> $out")
+    spark.stop()
+  }
+
+  /** Corpus on-ramp: normalize a JSONL / CSV / parquet document dump
+    * into the canonical documents schema
+    * (doc_id, text, lang, source, n_chars) as parquet. Missing doc_id
+    * is derived from the content hash (first 15 md5 hex digits —
+    * deterministic across runs and engines; exact duplicates collide
+    * on purpose, they are duplicates); missing lang becomes 'und';
+    * missing source becomes the input path. */
+  private def corpusImport(in: String, fmt: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val raw = fmt match {
+      case "jsonl" | "json" => spark.read.json(in)
+      case "csv" => spark.read.option("header", "true").csv(in)
+      case "parquet" => spark.read.parquet(in)
+      case other =>
+        System.err.println(s"corpusimport: unknown format '$other' (jsonl|csv|parquet)")
+        sys.exit(2)
+    }
+    if (!raw.columns.contains("text")) {
+      System.err.println("corpusimport: input needs a 'text' column")
+      sys.exit(2)
+    }
+    val hashId = expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as long)")
+    val withId =
+      if (raw.columns.contains("doc_id"))
+        raw.withColumn("doc_id", coalesce(col("doc_id").cast("long"), hashId))
+      else raw.withColumn("doc_id", hashId)
+    val docs = withId
+      .withColumn("lang",
+        if (raw.columns.contains("lang")) coalesce(col("lang"), lit("und")) else lit("und"))
+      .withColumn("source",
+        if (raw.columns.contains("source")) coalesce(col("source"), lit(in)) else lit(in))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(out)
+    println(s"imported ${spark.read.parquet(out).count()} docs ($fmt) -> $out")
     spark.stop()
   }
 

@@ -159,10 +159,15 @@ class CurationOpsSpec extends SparkSpec {
     val sharded = Curation.shardAssign(
       Curation.resampleToMixture(scrubbed, "lang", "doc_id", w), "doc_id", 4)
     val out = java.nio.file.Files.createTempDirectory("corpusmix").toString
-    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+    sharded.repartition(4, $"shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
     val back = spark.read.parquet(out)
-    assert((0 until 4).forall(sh =>
-      new java.io.File(s"$out/shard=$sh").isDirectory))
+    assert((0 until 4).forall { sh =>
+      val d = new java.io.File(s"$out/shard=$sh")
+      // co-located write: exactly one data file per shard directory
+      d.isDirectory &&
+        d.listFiles().count(_.getName.endsWith(".parquet")) == 1
+    })
     // achieved mixture ~ target ratios (binding stratum keeps all)
     val byLang = back.groupBy($"lang").count().as[(String, Long)].collect().toMap
     val total = byLang.values.sum.toDouble
