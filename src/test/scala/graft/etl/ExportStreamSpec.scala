@@ -223,6 +223,32 @@ class ExportStreamSpec extends SparkSpec {
       batch == Set((1L, "gold"), (3L, "gold"), (2L, "basic"), (4L, "unknown")))
   }
 
+  test("multimodal retrieval pipeline: frames -> stub features -> kNN join") {
+    import graft.operators.Similarity
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(40)
+    val media = Multimodal.fromDocuments(spark, docs)
+    // per-frame stub features become the embedding column; the
+    // retrieval stack downstream is the REAL one (broadcast queries,
+    // bounded TopK) — only the codec is fake
+    val frameMedia = Multimodal.sampleFrames(media, 2)
+      .map(f => Multimodal.MediaRow(
+        f.media_id * 10 + f.frame_no, "frame", f.frame_payload))
+    val emb = Multimodal.extractFeatures(frameMedia)
+      .select($"media_id".as("vec_id"), $"features".as("embedding"))
+    val queries = emb.filter($"vec_id" < 20L)
+    val corpus = emb.filter($"vec_id" >= 20L)
+    val hits = Similarity.knnJoin(corpus, queries, "vec_id", "embedding", 3)
+      .as[(Long, Long, Double)].collect()
+    val byQ = hits.groupBy(_._1)
+    assert(byQ.values.forall(_.length == 3))
+    assert(byQ.keySet == queries.select($"vec_id").as[Long].collect().toSet)
+    // deterministic end-to-end: stub codec + md5-free cosine rank
+    val again = Similarity.knnJoin(corpus, queries, "vec_id", "embedding", 3)
+      .as[(Long, Long, Double)].collect()
+    assert(again.map(r => (r._1, r._2)).toSet == hits.map(r => (r._1, r._2)).toSet)
+  }
+
   test("CDC streaming merge applies upsert + delete, last-marker-wins") {
     val in = java.nio.file.Files.createTempDirectory("cdc-in").toString
     val store = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
