@@ -263,6 +263,37 @@ object Pipeline {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  // Windowed top-k (trending detection): the q37 hourly counts ranked
+  // within each window, keeping the top 2 event types — the
+  // window-agg + per-window rank composition every monitoring /
+  // trending pipeline runs. Spark 4 pushes the rank's sort through
+  // WindowGroupLimit (per-partition top-k before the full window sort).
+  private def q83WindowTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour")).orderBy(col("n").desc, col("event_type"))
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .orderBy(col("hour"), col("rank"))
+  }
+
+  private val q83Sql =
+    """WITH hourly AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT hour, event_type, n,
+      |    row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS rank
+      |  FROM hourly)
+      |SELECT hour, event_type, n, rank FROM ranked
+      |WHERE rank <= 2 ORDER BY hour, rank""".stripMargin
+
   // ---------------------------------------------------------------- q38
   // Multimodal metadata over an opaque binary column (decode itself is
   // stubbed in graft.multimodal; the Spark-side plumbing is real).
@@ -940,6 +971,7 @@ object Pipeline {
     "q74_segment_dedup" -> q74SegmentDedup _,
     "q75_sim_gate" -> q75SimGate _,
     "q80_filtered_ann" -> q80FilteredAnn _,
+    "q83_window_topk" -> q83WindowTopk _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -978,5 +1010,6 @@ object Pipeline {
     "q74_segment_dedup" -> q74Sql,
     "q75_sim_gate" -> q75Sql,
     "q80_filtered_ann" -> q80Sql,
+    "q83_window_topk" -> q83Sql,
   )
 }
