@@ -236,6 +236,42 @@ object Curation {
       .drop("rate")
   }
 
+  /** Deterministic negative sampling for contrastive training: each row
+    * gets `k` negatives drawn from a hash-selected candidate pool —
+    * no RNG (re-runs and engines agree), no O(n²) cross join. The pool
+    * is the `poolSize` lowest-md5 ids (a uniform pseudo-random subset,
+    * broadcastable); each (row, candidate) pair ranks by
+    * md5(id:candidate), so every row sees its own k pseudo-random picks
+    * rather than everyone sharing the pool's head.
+    *
+    * Scale shape: pool selection is one tiny TakeOrdered; the pairing
+    * is a broadcast nested-loop over |rows| × poolSize (poolSize is a
+    * few hundred), ranked map-side via the bounded TopK aggregator —
+    * the shuffle carries k pairs per row, not the pool fan-out. */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+                     poolSize: Int): DataFrame = {
+    require(k <= poolSize, "k must not exceed the candidate pool")
+    val pool = broadcast(
+      df.select(col(idCol).cast("long").as("neg_id"))
+        .orderBy(md5(col("neg_id").cast("string")), col("neg_id"))
+        .limit(poolSize))
+    df.select(col(idCol).cast("long").as("anchor_id"))
+      .join(pool, col("anchor_id") =!= col("neg_id"))
+      // rank key: md5 of "anchor:candidate" -> per-anchor pseudo-random
+      // order; negated first-8-hex as a DOUBLE score so the bounded
+      // TopK aggregator (score desc) yields the lexicographically
+      // smallest hashes
+      .withColumn("score",
+        -conv(substring(md5(concat_ws(":", col("anchor_id"), col("neg_id"))), 1, 8),
+          16, 10).cast("double"))
+      .groupBy(col("anchor_id"))
+      .agg(graft.functions.TopK.top_k(k)(col("neg_id"), col("score")).as("hits"))
+      .select(col("anchor_id"), explode(col("hits")).as("h"))
+      .select(col("anchor_id"), col("h._1").as("neg_id"),
+        row_number().over(Window.partitionBy(col("anchor_id"))
+          .orderBy(col("h._2").desc, col("h._1"))).cast("long").as("neg_rank"))
+  }
+
   /** Deterministic training-shard assignment: shard = md5-derived value
     * in [0, 256) mod `nShards` — the reproducible global shuffle before
     * writing training shards (breaks source/time locality so each shard

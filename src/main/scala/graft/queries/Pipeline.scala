@@ -294,6 +294,29 @@ object Pipeline {
       |SELECT hour, event_type, n, rank FROM ranked
       |WHERE rank <= 2 ORDER BY hour, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  // Deterministic negative sampling (contrastive training pairs): a
+  // hash-selected candidate pool broadcasts, each anchor ranks its
+  // pairs by md5(anchor:candidate) — reproducible negatives with no
+  // RNG and no O(n²) cross join (see Curation.negativeSample).
+  private def q84NegSample(s: SparkSession, dir: String): DataFrame =
+    Curation.negativeSample(t(s, dir, "documents"), "doc_id", 3, 64)
+      .orderBy(col("anchor_id"), col("neg_rank"))
+
+  private val q84Sql =
+    """WITH pool AS (
+      |  SELECT doc_id AS neg_id FROM documents
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64),
+      |pairs AS (
+      |  SELECT d.doc_id AS anchor_id, p.neg_id,
+      |    row_number() OVER (PARTITION BY d.doc_id
+      |      ORDER BY substring(md5(d.doc_id || ':' || p.neg_id), 1, 8), p.neg_id)
+      |      AS neg_rank
+      |  FROM documents d JOIN pool p ON d.doc_id <> p.neg_id)
+      |SELECT anchor_id, neg_id, CAST(neg_rank AS BIGINT) AS neg_rank
+      |FROM pairs WHERE neg_rank <= 3
+      |ORDER BY anchor_id, neg_rank""".stripMargin
+
   // ---------------------------------------------------------------- q38
   // Multimodal metadata over an opaque binary column (decode itself is
   // stubbed in graft.multimodal; the Spark-side plumbing is real).
@@ -972,6 +995,7 @@ object Pipeline {
     "q75_sim_gate" -> q75SimGate _,
     "q80_filtered_ann" -> q80FilteredAnn _,
     "q83_window_topk" -> q83WindowTopk _,
+    "q84_neg_sample" -> q84NegSample _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1011,5 +1035,6 @@ object Pipeline {
     "q75_sim_gate" -> q75Sql,
     "q80_filtered_ann" -> q80Sql,
     "q83_window_topk" -> q83Sql,
+    "q84_neg_sample" -> q84Sql,
   )
 }

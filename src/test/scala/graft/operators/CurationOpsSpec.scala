@@ -137,6 +137,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(segs.toSeq == Seq((0L, "a b", false)))
   }
 
+  test("negativeSample: k negatives per anchor, never self, deterministic") {
+    val docs = (0L until 200L).toDF("doc_id")
+    val negs = Curation.negativeSample(docs, "doc_id", 5, 32)
+      .as[(Long, Long, Long)].collect()
+    val byAnchor = negs.groupBy(_._1)
+    assert(byAnchor.size == 200 && byAnchor.values.forall(_.length == 5))
+    assert(negs.forall { case (a, n, _) => a != n })
+    assert(byAnchor.values.forall(_.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+    // anchors draw DIFFERENT negatives (per-anchor hash ranking, not
+    // everyone sharing the pool head)
+    assert(byAnchor.values.map(_.map(_._2).toSet).toSet.size > 100)
+    val again = Curation.negativeSample(docs, "doc_id", 5, 32)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == negs.toSet)
+  }
+
   test("incremental agg: merged partials == full aggregate, any split/order") {
     val rows = Seq.tabulate(300)(i =>
       (s"k${i % 3}", (i % 7) + 0.25)).toDF("k", "v")
