@@ -55,6 +55,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.10, s"$approx vs $exact")
   }
 
+  test("store schema evolution: mergeSchema unions old and new columns") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(dir)
+    // a later writer adds a column; old files stay untouched
+    Seq((2L, "b", "extra")).toDF("id", "v", "note")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "note", "v"))
+    val rows = merged.select($"id", $"v", $"note")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some("extra"))))
+  }
+
   test("store compaction shrinks file count, preserves data; expire drops by TTL") {
     import graft.sinks.StoreMaintenance
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
