@@ -31,12 +31,14 @@ object GraftCli {
 
   private var featureVersion = false
   private var withParts = false
+  private var includeMetadata = false
 
   private val flags = Set("--single-file", "--dry-run", "--force",
-    "--feature-version", "--parts")
+    "--feature-version", "--parts", "--include-metadata")
 
   def main(args: Array[String]): Unit = {
     singleFile = args.contains("--single-file")
+    includeMetadata = args.contains("--include-metadata")
     dryRun = args.contains("--dry-run")
     force = args.contains("--force")
     featureVersion = args.contains("--feature-version")
@@ -47,6 +49,8 @@ object GraftCli {
   private def run(args: List[String]): Unit = args match {
     case "gff3tochado" :: in :: out :: Nil => gff3ToChado(in, out)
     case "obo2chado" :: in :: out :: Nil => obo2Chado(in, out)
+    case "adhocobo2chado" :: in :: out :: Nil =>
+      obo2Chado(in, out, metadata = includeMetadata)
     case "chado2gff3" :: in :: out :: Nil => chado2Gff3(in, out)
     case "chado2fasta" :: in :: out :: rest if rest.size <= 1 =>
       chado2Fasta(in, out, rest.headOption.getOrElse("reference"))
@@ -92,7 +96,7 @@ object GraftCli {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: GraftCli <command> <args> [--single-file] [--dry-run] [--force] [--feature-version]
-           |load:      gff3tochado gb2chado gbmito2chado obo2chado oboclosure2chado
+           |load:      gff3tochado gb2chado gbmito2chado obo2chado adhocobo2chado oboclosure2chado
            |           gaf2chado organism2chado bibtex2chado stream-merge dropontofromchado
            |export:    chado2gff3 store2gff3 store2alignmentgff3 chado2fasta chado2gaf
            |           chado2genesummary chadopub2bib gb2fasta
@@ -240,7 +244,12 @@ object GraftCli {
     println(s"store written to $out")
   }
 
-  private def obo2Chado(in: String, out: String): Unit = {
+  /** obo2chado; with metadata = false it is adhocobo2chado
+    * (lib/Modware/Load/Command/adhocobo2chado.pm:16-23: terms +
+    * relationships only, synonyms/alt_ids skipped unless
+    * --include-metadata). */
+  private def obo2Chado(in: String, out: String,
+                        metadata: Boolean = true): Unit = {
     val spark = GraftSession.local()
     // version gate (Ontology.pm:206-239): only load when the file's
     // header date is newer than the store's recorded date
@@ -258,7 +267,11 @@ object GraftCli {
         spark.stop(); return
       case _ => ()
     }
-    val st = OntologyMerge.stage(spark, Obo.terms(spark, in), Obo.relationships(spark, in))
+    val staged = OntologyMerge.stage(spark, Obo.terms(spark, in), Obo.relationships(spark, in))
+    val st =
+      if (metadata) staged
+      else staged.copy(synonym = staged.synonym.limit(0),
+        altId = staged.altId.limit(0))
     // incremental: an existing store is the live side — re-loads compute
     // prune/update/insert deltas (the reference's versioned re-load,
     // obo2chado-core-update.t)
