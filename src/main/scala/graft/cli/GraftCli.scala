@@ -92,6 +92,7 @@ object GraftCli {
     case "corpusmix" :: in :: out :: weights :: nShards :: Nil =>
       corpusMix(in, out, weights, nShards.toInt)
     case "corpusimport" :: in :: fmt :: out :: Nil => corpusImport(in, fmt, out)
+    case "corpusingest" :: in :: out :: Nil => corpusIngest(in, out)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -103,7 +104,8 @@ object GraftCli {
            |transform: blast2gff3 gff3alignment modidingoa modrefingoa
            |dump:      dictystrain dictyplasmid
            |report:    sumstats stockreport
-           |corpus:    corpusdedup decontaminate corpusstats corpussplit corpusmix corpusimport""".stripMargin)
+           |corpus:    corpusdedup decontaminate corpusstats corpussplit corpusmix
+           |           corpusimport corpusingest""".stripMargin)
       sys.exit(2)
   }
 
@@ -611,6 +613,33 @@ object GraftCli {
       .select("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(out)
     println(s"imported ${spark.read.parquet(out).count()} docs ($fmt) -> $out")
+    spark.stop()
+  }
+
+  /** Incremental corpus ingest from a drop directory: every parquet
+    * file under `in` flows through the streaming curation transform
+    * (gate -> watermarked dedup -> split, graft.streaming.CorpusIngest)
+    * into the output store. Trigger.AvailableNow drains what exists and
+    * exits — cron-able; a long-running deployment drops the trigger
+    * and keeps the same checkpointed query. */
+  private def corpusIngest(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+      // writers vary (TIMESTAMP_NTZ from duckdb/pandas dumps); the
+      // watermark needs instant semantics
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = graft.streaming.CorpusIngest.curate(stream)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$out/docs")
+      .start()
+    q.awaitTermination()
+    val n = spark.read.parquet(s"$out/docs").count()
+    println(s"ingested: store now holds $n curated docs -> $out/docs")
     spark.stop()
   }
 
