@@ -317,6 +317,68 @@ object Pipeline {
       |FROM pairs WHERE neg_rank <= 3
       |ORDER BY anchor_id, neg_rank""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  // Curation pipeline v2 — the round-4 operators composed in ONE
+  // declarative plan: scrub boilerplate -> token gate -> mixture
+  // resample to target language weights -> per-language accounting
+  // joined with a segment-dup audit over the scrubbed text. Everything
+  // before the final accounting is map-only or broadcast except the
+  // segment-hash window and the per-stratum count.
+  private def q85CurationV2(s: SparkSession, dir: String): DataFrame = {
+    val clean = Curation.scrub(t(s, dir, "documents"), "text", Seq("\\b(the|a)\\b"))
+      .drop("text").withColumnRenamed("clean", "text")
+    val gated = clean.filter(size(split(col("text"), "\\s+")) >= 10)
+    val dup = Dedup.segmentDedup(gated, "doc_id", "text", 10)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+    val kept = Curation.resampleToMixture(gated, "lang", "doc_id", q71Weights)
+    kept.join(dup, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_dup"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_dup")).as("dup_segments"))
+      .orderBy(col("lang"))
+  }
+
+  private val q85Sql =
+    """WITH clean AS (
+      |  SELECT doc_id, lang,
+      |    trim(regexp_replace(regexp_replace(text, '\b(the|a)\b', ' ', 'g'),
+      |         '\s+', ' ', 'g')) AS text
+      |  FROM documents),
+      |gated AS (
+      |  SELECT * FROM clean WHERE len(string_split_regex(text, '\s+')) >= 10),
+      |toksc AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM gated),
+      |starts AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 10)) AS st
+      |           FROM toksc),
+      |segs AS (SELECT doc_id, st // 10 AS seg_idx,
+      |           md5(array_to_string(list_slice(t, st + 1, st + 10), ' ')) AS h
+      |         FROM starts),
+      |dup AS (SELECT doc_id,
+      |          CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |        FROM (SELECT doc_id, seg_idx,
+      |                row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+      |              FROM segs)
+      |        GROUP BY doc_id),
+      |w(lang, wt) AS (VALUES
+      |  ('en', CAST(0.25 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+      |  ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+      |  ('zh', CAST(0.2 AS DOUBLE))),
+      |counts AS (SELECT lang, COUNT(*) AS cnt FROM gated GROUP BY lang),
+      |caps AS (SELECT c.lang, w.wt, c.cnt, CAST(c.cnt AS DOUBLE) / w.wt AS cap
+      |         FROM counts c JOIN w ON c.lang = w.lang),
+      |nstar AS (SELECT MIN(cap) AS ns FROM caps),
+      |rates AS (SELECT lang, wt * ns / CAST(cnt AS DOUBLE) AS rate FROM caps, nstar),
+      |kept AS (
+      |  SELECT g.doc_id, g.lang FROM gated g JOIN rates r ON g.lang = r.lang
+      |  WHERE r.rate >= 1.0
+      |     OR substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 8) <
+      |        lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0'))
+      |SELECT k.lang, COUNT(*) AS n_kept,
+      |  CAST(SUM(COALESCE(d.n_dup, 0)) AS BIGINT) AS dup_segments
+      |FROM kept k LEFT JOIN dup d ON k.doc_id = d.doc_id
+      |GROUP BY k.lang ORDER BY k.lang""".stripMargin
+
   // ---------------------------------------------------------------- q38
   // Multimodal metadata over an opaque binary column (decode itself is
   // stubbed in graft.multimodal; the Spark-side plumbing is real).
@@ -996,6 +1058,7 @@ object Pipeline {
     "q80_filtered_ann" -> q80FilteredAnn _,
     "q83_window_topk" -> q83WindowTopk _,
     "q84_neg_sample" -> q84NegSample _,
+    "q85_curation_v2" -> q85CurationV2 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1036,5 +1099,6 @@ object Pipeline {
     "q80_filtered_ann" -> q80Sql,
     "q83_window_topk" -> q83Sql,
     "q84_neg_sample" -> q84Sql,
+    "q85_curation_v2" -> q85Sql,
   )
 }
