@@ -1106,6 +1106,37 @@ object Relational {
       |FROM q GROUP BY lang, quartile
       |ORDER BY lang, quartile""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  // Cohort retention: of the users active on day d, how many return on
+  // day d+1 — distinct (user, day) activity self-joined on consecutive
+  // day numbers. Both sides derive from one dedup'd frame; the join
+  // keys on (user, day) so it reuses the dedup's partitioning.
+  private def q86Retention(s: SparkSession, dir: String): DataFrame = {
+    val active = t(s, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("day"))
+      .dropDuplicates("user_id", "day")
+    val next = active.select(col("user_id"), (col("day") - 1).as("day"))
+    active.join(next.withColumn("retained", lit(1)),
+        Seq("user_id", "day"), "left_outer")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("retained"), lit(0))).cast("long").as("n_retained"))
+      .orderBy(col("day"))
+  }
+
+  private val q86Sql =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+      |  FROM events)
+      |SELECT a.day, COUNT(*) AS n_active,
+      |  CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_retained
+      |FROM active a
+      |LEFT JOIN active b ON b.user_id = a.user_id AND b.day = a.day + 1
+      |GROUP BY a.day ORDER BY a.day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -1154,6 +1185,7 @@ object Relational {
     "q79_incr_agg" -> q79IncrAgg _,
     "q81_range_window" -> q81RangeWindow _,
     "q82_decile" -> q82Decile _,
+    "q86_retention" -> q86Retention _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1204,5 +1236,6 @@ object Relational {
     "q79_incr_agg" -> q79Sql,
     "q81_range_window" -> q81Sql,
     "q82_decile" -> q82Sql,
+    "q86_retention" -> q86Sql,
   )
 }
