@@ -101,6 +101,29 @@ object Similarity {
     IvfIndex(cent1.map(_.getInt(0)), cent1.map(_.getSeq[Double](1)))
   }
 
+  /** Persist a trained [[IvfIndex]] as parquet (cell_id, centroid) —
+    * train once on the corpus, reuse across every retrieval job, the
+    * lifecycle of any production index/model artifact. */
+  def saveIndex(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+                path: String): Unit = {
+    import spark.implicits._
+    index.cids.zip(index.centroids)
+      .toDF("cell_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load an [[IvfIndex]] written by [[saveIndex]]; cells come back
+    * sorted so the first-minimum tiebreak behaves identically. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfIndex = {
+    val rows = spark.read.parquet(path)
+      .orderBy(col("cell_id"))
+      .collect()
+    IvfIndex(rows.map(_.getInt(0)).toSeq,
+      rows.map(_.getSeq[Double](1)).toSeq)
+  }
+
   /** `nprobe` is the recall knob every real IVF index carries: probe the
     * `nprobe` cells whose trained centroids are nearest the query
     * (ordered by (distance, cell id)). nprobe = 1 reproduces the pure

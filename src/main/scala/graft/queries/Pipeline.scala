@@ -379,6 +379,41 @@ object Pipeline {
       |FROM kept k LEFT JOIN dup d ON k.doc_id = d.doc_id
       |GROUP BY k.lang ORDER BY k.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  // Skip-gram co-occurrence counts (window 2): the word2vec-style
+  // corpus statistic behind embedding training and collocation
+  // analysis. LINEAR in tokens (each position pairs with <=2
+  // successors), unlike within-doc all-pairs which is quadratic —
+  // that distinction is the 100 TB design. Counts are exact integers
+  // (consumers derive PMI themselves — no log in the oracle, libm
+  // differs across engines). Pairs are ordered (min, max) so "a b"
+  // and "b a" accumulate together.
+  private def q87Cooccur(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(toks) - 2), i ->
+          |  transform(sequence(i + 1, least(i + 2, size(toks) - 1)), j ->
+          |    named_struct(
+          |      'w1', least(toks[i], toks[j]),
+          |      'w2', greatest(toks[i], toks[j])))))""".stripMargin)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(20)
+
+  private val q87Sql =
+    """WITH toks AS (
+      |  SELECT string_split_regex(text, '\s+') AS t FROM documents
+      |  WHERE len(string_split_regex(text, '\s+')) >= 2),
+      |pairs AS (
+      |  SELECT least(t[i], t[j]) AS w1, greatest(t[i], t[j]) AS w2
+      |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+      |       LATERAL (SELECT unnest(generate_series(i + 1, least(i + 2, len(t)))) AS j))
+      |SELECT w1, w2, COUNT(*) AS n FROM pairs
+      |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q38
   // Multimodal metadata over an opaque binary column (decode itself is
   // stubbed in graft.multimodal; the Spark-side plumbing is real).
@@ -1059,6 +1094,7 @@ object Pipeline {
     "q83_window_topk" -> q83WindowTopk _,
     "q84_neg_sample" -> q84NegSample _,
     "q85_curation_v2" -> q85CurationV2 _,
+    "q87_cooccur" -> q87Cooccur _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1100,5 +1136,6 @@ object Pipeline {
     "q83_window_topk" -> q83Sql,
     "q84_neg_sample" -> q84Sql,
     "q85_curation_v2" -> q85Sql,
+    "q87_cooccur" -> q87Sql,
   )
 }

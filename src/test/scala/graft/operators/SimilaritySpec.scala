@@ -58,6 +58,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 > 0.0 && r2 >= r1, s"recall must not degrade with nprobe: $r1 $r2")
   }
 
+  test("IvfIndex round-trips through parquet; loaded index answers identically") {
+    val index = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    Similarity.saveIndex(spark, index, path)
+    val loaded = Similarity.loadIndex(spark, path)
+    assert(loaded == index)
+    val corpus = emb.filter($"vec_id" >= 8)
+    val queries = emb.filter($"vec_id" < 8)
+    def rows(ix: Similarity.IvfIndex) =
+      Similarity.knnJoinIvf(corpus, queries, "vec_id", "embedding", 5, ix, 2)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(rows(loaded) == rows(index))
+  }
+
   test("trainIvf centroids are reproducible and assignment covers the corpus") {
     val a = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
     val b = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
