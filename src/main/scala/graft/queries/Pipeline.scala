@@ -414,6 +414,34 @@ object Pipeline {
       |SELECT w1, w2, COUNT(*) AS n FROM pairs
       |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  // Embedding QC before indexing: per-label L2-norm distribution and
+  // degenerate-vector counts (near-zero norms break cosine; the check
+  // every ANN build runs first). Map-only scan + one partial-aggregable
+  // groupBy; norms widen to double, fold left-to-right, round 6.
+  private def q88EmbedQc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .withColumn("norm", round(
+        sqrt(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"),
+        sum(when(col("norm") < 0.001, 1L).otherwise(0L)).as("n_degenerate"))
+      .orderBy(col("label"))
+
+  private val q88Sql =
+    """WITH n AS (
+      |  SELECT label,
+      |    round(sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  round(MIN(norm), 6) AS min_norm,
+      |  round(MAX(norm), 6) AS max_norm,
+      |  CAST(SUM(CASE WHEN norm < 0.001 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------------- q38
   // Multimodal metadata over an opaque binary column (decode itself is
   // stubbed in graft.multimodal; the Spark-side plumbing is real).
@@ -1095,6 +1123,7 @@ object Pipeline {
     "q84_neg_sample" -> q84NegSample _,
     "q85_curation_v2" -> q85CurationV2 _,
     "q87_cooccur" -> q87Cooccur _,
+    "q88_embed_qc" -> q88EmbedQc _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1137,5 +1166,6 @@ object Pipeline {
     "q84_neg_sample" -> q84Sql,
     "q85_curation_v2" -> q85Sql,
     "q87_cooccur" -> q87Sql,
+    "q88_embed_qc" -> q88Sql,
   )
 }
