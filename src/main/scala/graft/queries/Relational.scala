@@ -1137,6 +1137,82 @@ object Relational {
       |LEFT JOIN active b ON b.user_id = a.user_id AND b.day = a.day + 1
       |GROUP BY a.day ORDER BY a.day""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  // As-of join: each purchase matched to the user's latest prior-or-
+  // equal click (the attribution/point-in-time-correctness primitive).
+  // Spark has no ASOF JOIN; graft.operators.AsofJoin does it in one
+  // tagged-union window pass — a single |L|+|R| shuffle on the key, no
+  // range-join row expansion. Clicks are pre-collapsed per (user, ts)
+  // so ties are deterministic on both engines; timestamps compare at
+  // microseconds on both sides (events.parquet is nanos — Spark loads
+  // floor-µs, the oracle CASTs to µs the same way).
+  private def q89Asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"), max(col("value")).as("click_value"))
+    graft.operators.AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts")
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_value"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q89Sql =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |  FROM events),
+      |p AS (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      |      FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, MAX(event_id) AS click_id, MAX(value) AS click_value
+      |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.purchase_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      |  p.purchase_value, c.click_id, c.click_value,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  // Range (point-in-interval) join via binning: parts priced within ±5
+  // of each of the 20 highest-priced parts. The naive BETWEEN join is a
+  // nested loop; graft.operators.RangeJoin bins both sides to turn it
+  // into an equi hash join + residual filter (each qualifying pair
+  // appears exactly once because a point has one bin). The 20-row
+  // interval side is explicitly broadcast.
+  private def q90RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").select(col("p_partkey"), col("p_retailprice"))
+    val anchors = parts
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(20)
+      .select(col("p_partkey").as("anchor_key"),
+        col("p_retailprice").as("anchor_price"),
+        (col("p_retailprice") - lit(5.0)).as("lo"),
+        (col("p_retailprice") + lit(5.0)).as("hi"))
+    graft.operators.RangeJoin
+      .pointInInterval(parts, "p_retailprice", broadcast(anchors), "lo", "hi", binWidth = 10.0)
+      .filter(col("p_partkey") =!= col("anchor_key"))
+      .select(col("anchor_key"), col("anchor_price"),
+        col("p_partkey").as("match_key"), col("p_retailprice").as("match_price"))
+      .orderBy(col("anchor_key"), col("match_key"))
+  }
+
+  private val q90Sql =
+    """WITH anchors AS (
+      |  SELECT p_partkey AS anchor_key, p_retailprice AS anchor_price,
+      |    p_retailprice - 5.0 AS lo, p_retailprice + 5.0 AS hi
+      |  FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20)
+      |SELECT a.anchor_key, a.anchor_price,
+      |  p.p_partkey AS match_key, p.p_retailprice AS match_price
+      |FROM part p JOIN anchors a
+      |  ON p.p_retailprice >= a.lo AND p.p_retailprice <= a.hi
+      | AND p.p_partkey <> a.anchor_key
+      |ORDER BY anchor_key, match_key""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -1186,6 +1262,8 @@ object Relational {
     "q81_range_window" -> q81RangeWindow _,
     "q82_decile" -> q82Decile _,
     "q86_retention" -> q86Retention _,
+    "q89_asof" -> q89Asof _,
+    "q90_range_join" -> q90RangeJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1237,5 +1315,7 @@ object Relational {
     "q81_range_window" -> q81Sql,
     "q82_decile" -> q82Sql,
     "q86_retention" -> q86Sql,
+    "q89_asof" -> q89Sql,
+    "q90_range_join" -> q90Sql,
   )
 }
