@@ -630,14 +630,18 @@ object Pipeline {
   // (min-label propagation) — the step every real dedup pipeline runs
   // between candidate generation and canonical-doc selection. Oracle:
   // the same clusters by recursive reachability.
-  private def q63DupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Shared Spark pipeline: LSH near-dup pairs -> connected components
+    * (doc_id, cluster). Used by q63 (cluster assignment) and q93
+    * (canonical-representative selection). */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
     val sig = Dedup.minhashSignatureDirect(t(s, dir, "documents"), "doc_id", "text", 3, 8)
     val pairs = Dedup.lshCandidates(sig, 8, 4, maxBucket = Long.MaxValue)
     Components.duplicateClusters(pairs)
-      .orderBy(col("doc_id"))
   }
 
-  private val q63Sql = {
+  /** Shared oracle fragment for [[dupClusters]]: the same clusters by
+    * recursive reachability, ending in CTE `clus(doc_id, cluster)`. */
+  private val dupClusterCtes: String = {
     val mins = (0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
     s"""WITH RECURSIVE ${shingleCte(3)},
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
@@ -653,10 +657,17 @@ object Pipeline {
        |reach AS (
        |  SELECT a, b FROM und
        |  UNION
-       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
-       |SELECT a AS doc_id, least(a, min(b)) AS cluster
-       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+       |         FROM reach GROUP BY a)""".stripMargin
   }
+
+  private def q63DupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClusters(s, dir).orderBy(col("doc_id"))
+
+  private val q63Sql =
+    s"""$dupClusterCtes
+       |SELECT doc_id, cluster FROM clus ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q64
   // Corpus length distribution: EXACT per-language p50/p90 via
