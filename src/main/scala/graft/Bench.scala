@@ -41,7 +41,17 @@ object Bench {
     val mode = (if (only.isDefined) List(s""""subset":${results.size}""") else Nil) ++
       (if (repeat > 1) List(s""""repeat":$repeat""") else Nil)
     val modeStr = if (mode.isEmpty) "" else mode.mkString(",", ",", "")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$modeStr}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$modeStr}"""
+    // The driver captures only the tail of stdout, so the ~4 KB per-query
+    // map must not ride on the final line: the full JSON goes to a file,
+    // and the last stdout line is a short parseable summary.
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json"))
+    java.nio.file.Files.write(outFile,
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full) // early in the stream; tail-truncation only costs the copy
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries_file":"$outFile"$modeStr}""")
     spark.stop()
   }
 }

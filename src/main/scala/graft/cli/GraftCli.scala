@@ -60,6 +60,9 @@ object GraftCli {
     case "gb2fasta" :: in :: out :: Nil => gb2Fasta(in, out)
     case "gb2chado" :: in :: out :: Nil => gb2Chado(in, out, mitochondrial = false)
     case "gbmito2chado" :: in :: out :: Nil => gb2Chado(in, out, mitochondrial = true)
+    case "gbassembly2chado" :: in :: store :: rest if rest.size <= 2 =>
+      gbAssembly2Chado(in, store, rest.headOption.getOrElse("supercontig"),
+        rest.drop(1).headOption)
     case "store2gff3" :: store :: out :: rest if rest.size <= 1 =>
       store2Gff3(store, out, rest.headOption)
     case "stockreport" :: in :: Nil => stockReport(in)
@@ -97,7 +100,7 @@ object GraftCli {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: GraftCli <command> <args> [--single-file] [--dry-run] [--force] [--feature-version]
-           |load:      gff3tochado gb2chado gbmito2chado obo2chado adhocobo2chado oboclosure2chado
+           |load:      gff3tochado gb2chado gbmito2chado gbassembly2chado obo2chado adhocobo2chado oboclosure2chado
            |           gaf2chado organism2chado bibtex2chado stream-merge dropontofromchado
            |export:    chado2gff3 store2gff3 store2alignmentgff3 chado2fasta chado2gaf
            |           chado2genesummary chadopub2bib gb2fasta
@@ -202,13 +205,88 @@ object GraftCli {
 
   /** gb2chado (SURVEY.md S6 + §3.2): GenBank scaffolds → FeatureStack
     * grouping → the same staging/merge DAG as the GFF3 load, incremental
-    * and idempotent against an existing store. */
+    * and idempotent against an existing store. Scaffold ORIGIN sequences
+    * persist to the store's `sequence` table (the chado `residues`
+    * column) so the assembly loader can slice contig residues from them. */
   private def gb2Chado(in: String, out: String, mitochondrial: Boolean): Unit = {
     val spark = GraftSession.local()
-    val feats = graft.etl.GenBankToChado.toGffRecords(
-      graft.sources.GenBank.read(spark, in), mitochondrial)
+    import spark.implicits._
+    val records = graft.sources.GenBank.read(spark, in)
+    val feats = graft.etl.GenBankToChado.toGffRecords(records, mitochondrial)
     mergeIntoStore(spark, feats, out)
+    if (!dryRun) {
+      val seqs = records.filter(_.sequence.nonEmpty)
+        .map(r => (r.locus, r.sequence)).toDF("uniquename", "residues")
+        .withColumn("md5checksum", md5(col("residues")))
+      val n = upsertTable(spark, seqs, s"$out/sequence", Seq("uniquename"))
+      println(f"sequence               $n%6d")
+    }
     spark.stop()
+  }
+
+  /** gbassembly2chado (lib/Modware/Load/Command/gbassembly2chado.pm):
+    * scaffold CONTIG join-lists → contig/gap features featureloc'd on the
+    * already-loaded reference features, stitched through the standard
+    * merge DAG; contig residues sliced set-wise from the store's scaffold
+    * sequences. `refType` mirrors --reference_type (default supercontig);
+    * `pub` mirrors --link_publication (contig features only,
+    * Assembly.pm:548-585). Idempotent: a re-run inserts 0 everywhere. */
+  private def gbAssembly2Chado(in: String, store: String, refType: String,
+                               pub: Option[String]): Unit = {
+    val spark = GraftSession.local()
+    // "The top level features has to be loaded in database"
+    // (gbassembly2chado.pm:131-136) — no store means no scaffolds
+    if (!new java.io.File(s"$store/feature").exists()) {
+      System.err.println(s"no store at $store: load the scaffolds first (gb2chado)")
+      sys.exit(2)
+    }
+    val records = graft.sources.GenBank.read(spark, in)
+    // materialized once: the scaffold gate, merge staging, residue slice
+    // and pub link all reuse the walked segments
+    val all = graft.etl.AssemblyToChado.segments(records).localCheckpoint()
+    val segs = graft.etl.AssemblyToChado
+      .onLoadedScaffolds(all, spark.read.parquet(s"$store/feature"), refType)
+      .localCheckpoint()
+    val dropped = all.count() - segs.count()
+    if (dropped > 0)
+      println(s"warning: $dropped segment(s) on unloaded scaffolds skipped")
+    mergeIntoStore(spark, graft.etl.AssemblyToChado.toGffRecords(segs), store)
+    if (!dryRun) {
+      val seqPath = s"$store/sequence"
+      if (new java.io.File(seqPath).exists()) {
+        val contigSeqs = graft.etl.AssemblyToChado
+          .contigSequences(segs, spark.read.parquet(seqPath))
+        val n = upsertTable(spark, contigSeqs, seqPath, Seq("uniquename"))
+        println(f"sequence               $n%6d")
+      } else println("no sequence table in store: contig residues skipped")
+      pub.foreach { pubId =>
+        val links = segs.toDF().filter(col("ftype") === "contig")
+          .select(col("uniquename"), lit(pubId).as("pub"))
+        val n = upsertTable(spark, links, s"$store/feature_pub",
+          Seq("uniquename", "pub"))
+        println(f"feature_pub            $n%6d")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Keyed parquet upsert: anti-join novelty on `keys`, append-only union
+    * (the same J1 shape as the merge DAG, for store side-tables). Returns
+    * the inserted-row count. */
+  private def upsertTable(spark: org.apache.spark.sql.SparkSession,
+                          df: org.apache.spark.sql.DataFrame, path: String,
+                          keys: Seq[String]): Long = {
+    val live =
+      if (new java.io.File(path).exists()) spark.read.parquet(path)
+      else df.limit(0)
+    val delta = df
+      .join(live.select(keys.map(col): _*), keys, "left_anti")
+      .localCheckpoint()
+    val n = delta.count()
+    // materialize the union before overwriting the parquet it reads
+    live.unionByName(delta).localCheckpoint()
+      .write.mode("overwrite").parquet(path)
+    n
   }
 
   private def mergeIntoStore(spark: org.apache.spark.sql.SparkSession,

@@ -49,7 +49,7 @@ object Gff3Export {
       (col("fmin") + 1).cast("string"), // 0-based interbase -> 1-based (F8)
       col("fmax").cast("string"),
       // F10: sprintf("%.3g", score) like blast2chadogff3.pm:293
-      when(col("score").isNotNull, format_string("%.3g", col("score"))).otherwise("."),
+      when(col("score").isNotNull, graft.functions.GenomicFunctions.formatG3(col("score"))).otherwise("."),
       when(col("strand") === 1, "+").when(col("strand") === -1, "-").otherwise("."), // F7
       coalesce(col("phase").cast("string"), lit(".")),
       attrs)
@@ -166,7 +166,7 @@ object Gff3Export {
         col("srcfeature"), lit("chado"), col("ftype"),
         (col("fmin") + 1).cast("string"), col("fmax").cast("string"),
         when(col("rawscore").isNotNull,
-          format_string("%.3g", col("rawscore"))).otherwise("."),
+          graft.functions.GenomicFunctions.formatG3(col("rawscore"))).otherwise("."),
         when(col("strand") === 1, "+").when(col("strand") === -1, "-").otherwise("."),
         lit("."),
         concat(lit("ID="), esc(col("uniquename")),

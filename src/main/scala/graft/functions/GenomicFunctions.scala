@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Scalar column functions re-expressing the reference's per-row Perl
   * helpers (SURVEY.md §2.9) as codegen-friendly Catalyst expressions.
-  * All are pure `Column => Column` combinators — no UDFs — so they stay
-  * inside whole-stage codegen and push down to the scan where possible.
+  * All but one are pure `Column => Column` combinators — no UDFs — so
+  * they stay inside whole-stage codegen and push down to the scan where
+  * possible; the exception is [[formatG3]] (exact C printf rounding
+  * needs BigDecimal, see its doc), used only at serialization edges.
   */
 object GenomicFunctions {
 
@@ -89,4 +91,33 @@ object GenomicFunctions {
     * Reference: lib/Modware/Transform/Command/blast2chadogff3.pm:326-327. */
   def cigarToGap(c: Column): Column =
     trim(regexp_replace(c, "(\\d+)([A-Z])", "$2 $1 "))
+
+  /** F10 — C-style `%.3g` (Perl sprintf semantics): trailing zeros and a
+    * bare decimal point stripped, AND ties rounded half-even on the
+    * exact binary value — `4605000.0 -> 4.6e+06` where Java's Formatter
+    * (HALF_UP on the shortest representation) says `4.61e+06`. Faithful
+    * C behavior needs the exact decimal expansion, so this is the one
+    * deliberate UDF in the function library: `new BigDecimal(double)` is
+    * that exact expansion, rounded with MathContext(3, HALF_EVEN). It
+    * runs at serialization edges (GFF3 score/e-value emit), never in an
+    * aggregation hot path. Reference: the `sprintf "%.3g"` e-value emit,
+    * lib/Modware/Transform/Command/blast2chadogff3.pm:224. */
+  private[functions] def g3(v: Double): String = {
+    if (v.isNaN) return "nan"
+    if (v.isInfinite) return if (v > 0) "inf" else "-inf"
+    if (v == 0.0) return if (1.0 / v < 0) "-0" else "0"
+    val bd = new java.math.BigDecimal(v)
+      .round(new java.math.MathContext(3, java.math.RoundingMode.HALF_EVEN))
+    val x = bd.precision - bd.scale - 1 // decimal exponent
+    if (x < -4 || x >= 3) {
+      val man = bd.movePointLeft(x).stripTrailingZeros.toPlainString
+      val sign = if (x >= 0) "+" else "-"
+      f"${man}e$sign${math.abs(x)}%02d"
+    } else bd.stripTrailingZeros.toPlainString
+  }
+
+  private val g3Udf =
+    udf((v: java.lang.Double) => if (v == null) null else g3(v))
+
+  def formatG3(c: Column): Column = g3Udf(c)
 }

@@ -1109,13 +1109,15 @@ object Relational {
   // ---------------------------------------------------------------- q86
   // Cohort retention: of the users active on day d, how many return on
   // day d+1 — distinct (user, day) activity self-joined on consecutive
-  // day numbers. Both sides derive from one dedup'd frame; the join
-  // keys on (user, day) so it reuses the dedup's partitioning.
+  // day numbers. The activity frame is materialized once
+  // (localCheckpoint): the static planner would otherwise run the
+  // events scan + distinct shuffle for both sides of the self-join.
   private def q86Retention(s: SparkSession, dir: String): DataFrame = {
     val active = t(s, dir, "events")
       .select(col("user_id"),
         datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("day"))
       .dropDuplicates("user_id", "day")
+      .localCheckpoint()
     val next = active.select(col("user_id"), (col("day") - 1).as("day"))
     active.join(next.withColumn("retained", lit(1)),
         Seq("user_id", "day"), "left_outer")
@@ -1213,6 +1215,104 @@ object Relational {
       | AND p.p_partkey <> a.anchor_key
       |ORDER BY anchor_key, match_key""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  // Assembly scaffold stitch (gbassembly2chado's join shape,
+  // AssemblyToChado.stitch): ordered parts with explicit lengths stack
+  // into 0-based interbase coordinates per parent via one running-sum
+  // window, then one shuffle join to the parent sequence slices each
+  // piece and checksums it — the set-based collapse of the reference's
+  // per-contig walk + per-contig SUBSTR query (Assembly.pm:292-485).
+  private def q91AsmStitch(s: SparkSession, dir: String): DataFrame = {
+    // five ordered segments per document with data-dependent lengths —
+    // the assembly join-list shape with lengths as data
+    val parts = t(s, dir, "documents")
+      .select(col("doc_id"), explode(sequence(lit(1), lit(5))).as("ord"))
+      .select(col("doc_id"), col("ord").cast("long").as("ord"),
+        ((col("doc_id") + col("ord")) % 37 + 1).cast("long").as("len"))
+    val parents = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.etl.AssemblyToChado
+      .stitch(parts, "doc_id", "ord", "len", parents, "text")
+      .select(col("doc_id"), col("ord"), col("fmin"), col("fmax"),
+        col("piece"), col("piece_md5"))
+      .orderBy(col("doc_id"), col("ord"))
+  }
+
+  private val q91Sql =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(o.ord AS BIGINT) AS ord,
+      |    CAST((doc_id + o.ord) % 37 + 1 AS BIGINT) AS len
+      |  FROM documents, (SELECT unnest(generate_series(1, 5)) AS ord) o),
+      |c AS (
+      |  SELECT doc_id, ord, len,
+      |    CAST(SUM(len) OVER (PARTITION BY doc_id ORDER BY ord)
+      |         AS BIGINT) AS fmax
+      |  FROM p),
+      |s AS (
+      |  SELECT c.doc_id, c.ord, c.fmax - c.len AS fmin, c.fmax,
+      |    substr(d.text, CAST(c.fmax - c.len + 1 AS INT),
+      |           CAST(c.len AS INT)) AS piece
+      |  FROM c JOIN documents d ON d.doc_id = c.doc_id)
+      |SELECT doc_id, ord, fmin, fmax, piece, md5(piece) AS piece_md5
+      |FROM s ORDER BY doc_id, ord""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  // F8 coordinate shift: 1-based GFF3 starts to 0-based interbase and
+  // back (GenomicFunctions.toInterbase/toOneBased) — the round trip is
+  // emitted so the oracle checks both directions cell-for-cell.
+  private def q92CoordShift(s: SparkSession, dir: String): DataFrame = {
+    val start1 = col("l_quantity").cast("long")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        start1.as("start1"),
+        graft.functions.GenomicFunctions.toInterbase(start1).as("fmin"),
+        graft.functions.GenomicFunctions
+          .toOneBased(graft.functions.GenomicFunctions.toInterbase(start1))
+          .as("roundtrip"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q92Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS BIGINT) AS start1,
+      |  CAST(l_quantity AS BIGINT) - 1 AS fmin,
+      |  (CAST(l_quantity AS BIGINT) - 1) + 1 AS roundtrip
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q93
+  // F10 `%.3g` e-value formatting, C/Perl sprintf semantics (trailing
+  // zeros stripped — GenomicFunctions.formatG3). The probe values sweep
+  // fixed notation, scientific notation, zero and negatives by scaling
+  // prices with exactly-representable power-of-ten literals, so both
+  // engines format bit-identical doubles; DuckDB's printf is fmt/C.
+  private def q93FormatG(s: SparkSession, dir: String): DataFrame = {
+    val scaled = col("l_extendedprice") *
+      when(col("l_linenumber") % 4 === 0, lit(1e-30))
+        .when(col("l_linenumber") % 4 === 1, lit(1e-5))
+        .when(col("l_linenumber") % 4 === 2, lit(1.0))
+        .otherwise(lit(1e3))
+    val v = when(col("l_quantity") === 1, lit(0.0))
+      .when(col("l_quantity") === 2, -scaled)
+      .otherwise(scaled)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), v.as("v"))
+      .withColumn("g3", graft.functions.GenomicFunctions.formatG3(col("v")))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q93Sql =
+    """WITH t AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_quantity = 1 THEN 0.0
+      |         WHEN l_quantity = 2 THEN -(l_extendedprice * s)
+      |         ELSE l_extendedprice * s END AS v
+      |  FROM (SELECT *,
+      |    CASE l_linenumber % 4 WHEN 0 THEN 1e-30 WHEN 1 THEN 1e-5
+      |         WHEN 2 THEN 1.0 ELSE 1e3 END AS s
+      |    FROM lineitem))
+      |SELECT l_orderkey, l_linenumber, v, printf('%.3g', v) AS g3
+      |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -1264,6 +1364,9 @@ object Relational {
     "q86_retention" -> q86Retention _,
     "q89_asof" -> q89Asof _,
     "q90_range_join" -> q90RangeJoin _,
+    "q91_asm_stitch" -> q91AsmStitch _,
+    "q92_coord_shift" -> q92CoordShift _,
+    "q93_format_g" -> q93FormatG _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1317,5 +1420,8 @@ object Relational {
     "q86_retention" -> q86Sql,
     "q89_asof" -> q89Sql,
     "q90_range_join" -> q90Sql,
+    "q91_asm_stitch" -> q91Sql,
+    "q92_coord_shift" -> q92Sql,
+    "q93_format_g" -> q93Sql,
   )
 }

@@ -12,8 +12,12 @@ object GenBank {
 
   case class GbFeature(key: String, location: String,
                        qualifiers: Map[String, String])
+  /** `contig` holds the CONTIG header annotation (the `join(...)` of
+    * contig accessions and gaps an assembly scaffold record carries —
+    * Modware/Loader/Genome/GenBank/Assembly.pm:307-317); empty for
+    * ordinary records. */
   case class GbRecord(locus: String, length: Int, features: Seq[GbFeature],
-                      sequence: String)
+                      sequence: String, contig: String = "")
 
   def parseRecord(text: String): Option[GbRecord] = {
     val lines = text.linesIterator.toArray
@@ -36,7 +40,11 @@ object GenBank {
         features += GbFeature(key, location.toString, quals.toMap)
         key = null; location = new StringBuilder; quals.clear(); lastQual = null
       }
-      for (line <- lines.slice(featStart + 1, featEnd) if line.length > 5) {
+      // a non-indented line after FEATURES is a new header keyword
+      // (CONTIG, BASE COUNT, ORIGIN) — the feature table is over
+      val featLines = lines.slice(featStart + 1, featEnd)
+        .takeWhile(l => l.isEmpty || l.head.isWhitespace)
+      for (line <- featLines if line.length > 5) {
         val keyField = line.slice(5, 20).trim
         val rest = if (line.length > 21) line.drop(21).trim else ""
         if (keyField.nonEmpty) { // new feature entry
@@ -57,7 +65,16 @@ object GenBank {
     else lines.drop(originStart + 1).takeWhile(!_.startsWith("//"))
       .map(_.replaceAll("[0-9\\s]", "")).mkString("").toUpperCase
 
-    Some(GbRecord(locus, length, features.toSeq, sequence))
+    // CONTIG annotation: keyword line + indented continuations, joined
+    // without whitespace (the location string may wrap mid-accession)
+    val contigStart = lines.indexWhere(_.startsWith("CONTIG"))
+    val contig = if (contigStart < 0) ""
+    else (lines(contigStart).drop(6).trim +:
+      lines.drop(contigStart + 1)
+        .takeWhile(l => l.nonEmpty && l.head.isWhitespace).map(_.trim).toSeq)
+      .mkString("")
+
+    Some(GbRecord(locus, length, features.toSeq, sequence, contig))
   }
 
   def read(spark: SparkSession, path: String): Dataset[GbRecord] = {

@@ -98,7 +98,7 @@ object BlastToGff3 {
   private def gff3Line = concat_ws("\t",
     col("subjectId"), lit("blast"), lit("match"),
     (col("fmin") + 1).cast("string"), col("fmax").cast("string"),
-    format_string("%.3g", col("evalue")),
+    graft.functions.GenomicFunctions.formatG3(col("evalue")),
     when(col("strand") === 1, "+").otherwise("-"),
     lit("."),
     concat(lit("ID="), col("match_id"), lit(";Target="), col("queryId")))

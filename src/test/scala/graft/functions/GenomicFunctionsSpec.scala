@@ -76,4 +76,26 @@ class GenomicFunctionsSpec extends SparkSpec {
       .as[String].collect().head
     assert(got == "M 12 I 3 M 9")
   }
+
+  test("C-style %.3g: strip zeros, half-even ties, fixed/sci cutover (F10)") {
+    // C/Perl printf forms, not Java Formatter's (which keeps trailing
+    // zeros and rounds ties half-up)
+    assert(GenomicFunctions.g3(1e-30) == "1e-30")
+    assert(GenomicFunctions.g3(0.0001) == "0.0001") // x = -4: still fixed
+    assert(GenomicFunctions.g3(0.00001) == "1e-05") // x = -5: scientific
+    assert(GenomicFunctions.g3(95.5) == "95.5")
+    assert(GenomicFunctions.g3(100.0) == "100")
+    assert(GenomicFunctions.g3(999.0) == "999")
+    assert(GenomicFunctions.g3(1000.0) == "1e+03") // x = 3: scientific
+    assert(GenomicFunctions.g3(0.0) == "0")
+    // exact binary ties round half-even: 4605000 -> 4.60 -> "4.6";
+    // 4615000 -> 4.62
+    assert(GenomicFunctions.g3(4605000.0) == "4.6e+06")
+    assert(GenomicFunctions.g3(4615000.0) == "4.62e+06")
+    assert(GenomicFunctions.g3(-0.000123) == "-0.000123")
+    // the Column form matches, null-safe
+    val got = Seq(Some(1.7e-29), None).toDF("v")
+      .select(formatG3($"v").as("g")).as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("1.7e-29"), None))
+  }
 }

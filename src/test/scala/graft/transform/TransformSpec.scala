@@ -37,7 +37,9 @@ class TransformSpec extends SparkSpec {
       (String, String, String, Int, Int, Int, Double, Double, Long)].collect().head
     assert(top._5 == 999 && top._6 == 1159) // fmin 0-based, fmax spans both HSPs
     val lines = BlastToGff3.toGff3Lines(matches).as[String].collect()
-    assert(lines.exists(_.contains("\t1.00e-30\t"))) // %.3g
+    // C/Perl-style %.3g: trailing mantissa zeros stripped (1e-30, not
+    // Java Formatter's 1.00e-30)
+    assert(lines.exists(_.contains("\t1e-30\t")))
     assert(lines.forall(_.split("\t").length == 9))
   }
 
