@@ -78,6 +78,10 @@ object GraftCli {
     case "dictystrain" :: strains :: props :: out :: Nil =>
       dictyStrain(strains, props, out)
     case "dictyplasmid" :: plasmids :: out :: Nil => dictyPlasmid(plasmids, out)
+    case "dictystrain2chado" :: dataDir :: store :: Nil =>
+      stock2Chado(dataDir, store, strain = true)
+    case "dictyplasmid2chado" :: dataDir :: store :: Nil =>
+      stock2Chado(dataDir, store, strain = false)
     case "organism2chado" :: in :: store :: Nil => organism2Chado(in, store)
     case "modidingoa" :: in :: resource :: out :: Nil =>
       modInGoa(in, resource, out, refs = false)
@@ -96,6 +100,11 @@ object GraftCli {
       corpusMix(in, out, weights, nShards.toInt)
     case "corpusimport" :: in :: fmt :: out :: Nil => corpusImport(in, fmt, out)
     case "corpusingest" :: in :: out :: Nil => corpusIngest(in, out)
+    case "annbuild" :: emb :: indexDir :: rest if rest.size <= 1 =>
+      annBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(16))
+    case "annquery" :: indexDir :: emb :: id :: k :: rest if rest.size <= 1 =>
+      annQuery(indexDir, emb, id.toLong, k.toInt,
+        rest.headOption.map(_.toInt).getOrElse(1))
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -105,10 +114,13 @@ object GraftCli {
            |export:    chado2gff3 store2gff3 store2alignmentgff3 chado2fasta chado2gaf
            |           chado2genesummary chadopub2bib gb2fasta
            |transform: blast2gff3 gff3alignment modidingoa modrefingoa
+           |stock:     dictystrain2chado dictyplasmid2chado (load <datadir> <store>)
            |dump:      dictystrain dictyplasmid
            |report:    sumstats stockreport
            |corpus:    corpusdedup decontaminate corpusstats corpussplit corpusmix
-           |           corpusimport corpusingest""".stripMargin)
+           |           corpusimport corpusingest
+           |ann:       annbuild <emb> <indexdir> [cells]
+           |           annquery <indexdir> <emb> <id> <k> [nprobe]""".stripMargin)
       sys.exit(2)
   }
 
@@ -270,24 +282,10 @@ object GraftCli {
     spark.stop()
   }
 
-  /** Keyed parquet upsert: anti-join novelty on `keys`, append-only union
-    * (the same J1 shape as the merge DAG, for store side-tables). Returns
-    * the inserted-row count. */
   private def upsertTable(spark: org.apache.spark.sql.SparkSession,
                           df: org.apache.spark.sql.DataFrame, path: String,
-                          keys: Seq[String]): Long = {
-    val live =
-      if (new java.io.File(path).exists()) spark.read.parquet(path)
-      else df.limit(0)
-    val delta = df
-      .join(live.select(keys.map(col): _*), keys, "left_anti")
-      .localCheckpoint()
-    val n = delta.count()
-    // materialize the union before overwriting the parquet it reads
-    live.unionByName(delta).localCheckpoint()
-      .write.mode("overwrite").parquet(path)
-    n
-  }
+                          keys: Seq[String]): Long =
+    graft.sinks.ParquetUpsert(spark, df, path, keys)
 
   private def mergeIntoStore(spark: org.apache.spark.sql.SparkSession,
       feats: org.apache.spark.sql.Dataset[graft.chado.GffRecord],
@@ -532,7 +530,11 @@ object GraftCli {
       .toDF("paragraph_no", "html")
     val lines = graft.export.GeneSummary.toTsvLines(
       graft.export.GeneSummary.export(props, paragraphs))
-    lines.coalesce(1).write.mode("overwrite").text(out)
+    // featureprop-joined output is fact-sized: partitioned write by
+    // default like the GFF3/GAF exports; --single-file mirrors the
+    // reference's one-file dump (chado2genesummary.pm)
+    (if (singleFile) lines.coalesce(1) else lines)
+      .write.mode("overwrite").text(out)
     println(s"gene summaries written to $out (${lines.count()} rows)")
     spark.stop()
   }
@@ -896,6 +898,62 @@ object GraftCli {
     }
     Fasta.write(result, "uniquename", "residues", out, singleFile = singleFile)
     println(s"fasta written to $out (${result.count()} records)")
+    spark.stop()
+  }
+
+  /** dictystrain2chado / dictyplasmid2chado
+    * (lib/Modware/Import/Command/dictystrain2chado.pm,
+    * dictyplasmid2chado.pm): the stock-center data_dir's
+    * `strain_*.tsv` / `plasmid_*.tsv` files merge into the parquet
+    * stock store with per-table insert counts; a re-import inserts 0
+    * (the reference's existing-stock skip, StrainImporter.pm:59-63,
+    * done as anti-joins). */
+  private def stock2Chado(dataDir: String, store: String,
+                          strain: Boolean): Unit = {
+    val spark = GraftSession.local()
+    val staging =
+      if (strain) graft.etl.StockImport.strainStaging(spark, dataDir)
+      else graft.etl.StockImport.plasmidStaging(spark, dataDir)
+    if (dryRun) {
+      println(f"stock                  ${staging.stock.count()}%6d staged")
+      println("dry run: no store write")
+    } else {
+      val counts = graft.etl.StockImport.mergeIntoStore(spark, staging, store)
+      counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"$t%-22s $n%6d") }
+      println(s"store written to $store")
+    }
+    spark.stop()
+  }
+
+  /** annbuild: train the IVF coarse quantizer once over the corpus and
+    * persist it (Similarity.trainIvf + saveIndex) — the build half of
+    * the index lifecycle. One aggregation pass over the embeddings;
+    * only the dimension-sized centroid table reaches the driver. */
+  private def annBuild(emb: String, indexDir: String, cells: Int): Unit = {
+    val spark = GraftSession.local()
+    val corpus = spark.read.parquet(emb)
+    val index = graft.operators.Similarity
+      .trainIvf(corpus, "vec_id", "embedding", cells)
+    graft.operators.Similarity.saveIndex(spark, index, indexDir)
+    println(s"index written to $indexDir (${index.cids.size} cells, " +
+      s"dim ${index.centroids.headOption.map(_.size).getOrElse(0)})")
+    spark.stop()
+  }
+
+  /** annquery: load a persisted index and probe it
+    * (Similarity.loadIndex + ivfProbe) — the serve half. NO training in
+    * this path: assignment is a map-only argmin over the loaded centroid
+    * literals, and repeated queries reuse the same index artifact. */
+  private def annQuery(indexDir: String, emb: String, id: Long, k: Int,
+                       nprobe: Int): Unit = {
+    val spark = GraftSession.local()
+    val index = graft.operators.Similarity.loadIndex(spark, indexDir)
+    val hits = graft.operators.Similarity
+      .ivfProbe(spark.read.parquet(emb), "vec_id", "embedding", id, index,
+        k, nprobe)
+      .collect()
+    hits.foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
+    println(s"${hits.length} neighbors of $id (nprobe $nprobe of ${index.cids.size} cells)")
     spark.stop()
   }
 }

@@ -72,4 +72,113 @@ object StockImport {
       .join(strains.select(col("stock_id")), Seq("stock_id"), "left_semi")
       .join(plasmids.select(col("stock_id").as("plasmid_id"), col("name")),
         Seq("plasmid_id"), "left_outer")
+
+  // ------------------------------------------------------------------
+  // dictystrain2chado / dictyplasmid2chado store import
+  // (lib/Modware/Import/Command/dictystrain2chado.pm,
+  //  dictyplasmid2chado.pm + Stock/StrainImporter.pm /
+  //  PlasmidImporter.pm): the reference walks each TSV line through ORM
+  //  find-or-create; here each file is a frame and the store merge is
+  //  one anti-join per table.
+
+  /** Per-table staging for one stock kind. `stock` rows carry the kind
+    * in `stype`; `relationship` holds parent (`is_parent_of`,
+    * StrainImporter.pm:515-581) and strain→plasmid (`part_of`,
+    * :583-655) edges; `pub` is the stock→publication link table. */
+  case class StockStaging(stock: DataFrame, stockprop: DataFrame,
+                          relationship: DataFrame, pub: DataFrame)
+
+  /** Read `<dir>/<prefix><name>.tsv` or an empty frame with the given
+    * columns — the reference's per-`data` file dispatch, where any
+    * subset of the data files may be present. */
+  private def optTsv(spark: SparkSession, dir: String, prefix: String,
+                     name: String, cols: Seq[String]): DataFrame = {
+    val p = s"$dir/$prefix$name.tsv"
+    if (new java.io.File(p).exists()) tsv(spark, p, cols)
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(cols.map(StructField(_, StringType))))
+    }
+  }
+
+  /** strain_*.tsv files → staging (StrainImporter.pm). Descriptions go
+    * through the html→wiki chain like import_stock (F14,
+    * StrainImporter.pm:69-72); invalid ids drop at the regex gate. */
+  def strainStaging(spark: SparkSession, dataDir: String): StockStaging = {
+    val pre = "strain_"
+    val stock = optTsv(spark, dataDir, pre, "strain",
+      Seq("stock_id", "name", "species", "description"))
+      .filter(col("stock_id").rlike(strainIdPattern))
+      .withColumn("description",
+        graft.functions.WikiText.html_to_wiki(col("description")))
+      .withColumn("stype", lit("strain"))
+    val props = optTsv(spark, dataDir, pre, "props",
+      Seq("stock_id", "prop_name", "value"))
+      .filter(col("stock_id").rlike(strainIdPattern))
+    val parent = optTsv(spark, dataDir, pre, "parent",
+      Seq("stock_id", "parent_id"))
+      .filter(col("stock_id").rlike(strainIdPattern))
+      .select(col("stock_id").as("object_id"),
+        col("parent_id").as("subject_id"), lit("is_parent_of").as("reltype"))
+    val plasmid = optTsv(spark, dataDir, pre, "plasmid",
+      Seq("stock_id", "plasmid_id"))
+      .filter(col("stock_id").rlike(strainIdPattern))
+      .select(col("stock_id").as("object_id"),
+        col("plasmid_id").as("subject_id"), lit("part_of").as("reltype"))
+    val pub = optTsv(spark, dataDir, pre, "publications",
+      Seq("stock_id", "pub_id"))
+      .filter(col("stock_id").rlike(strainIdPattern))
+    StockStaging(stock, props, parent.unionByName(plasmid), pub)
+  }
+
+  /** plasmid_*.tsv files → staging (PlasmidImporter.pm). */
+  def plasmidStaging(spark: SparkSession, dataDir: String): StockStaging = {
+    val pre = "plasmid_"
+    val stock = optTsv(spark, dataDir, pre, "plasmid",
+      Seq("stock_id", "name", "description"))
+      .filter(col("stock_id").rlike(plasmidIdPattern))
+      .withColumn("species", lit(null).cast("string"))
+      .withColumn("stype", lit("plasmid"))
+      .select(col("stock_id"), col("name"), col("species"),
+        col("description"), col("stype"))
+    val props = optTsv(spark, dataDir, pre, "props",
+      Seq("stock_id", "prop_name", "value"))
+      .filter(col("stock_id").rlike(plasmidIdPattern))
+    val pub = optTsv(spark, dataDir, pre, "publications",
+      Seq("stock_id", "pub_id"))
+      .filter(col("stock_id").rlike(plasmidIdPattern))
+    StockStaging(stock, props,
+      stock.limit(0).select(col("stock_id").as("object_id"),
+        col("stock_id").as("subject_id"), col("stock_id").as("reltype")),
+      pub)
+  }
+
+  /** Merge a staging set into the parquet stock store with per-table
+    * insert counts. Relationship edges resolve BOTH ends against the
+    * post-insert stock table, dropping unresolvable links like the
+    * reference's find_stock misses (StrainImporter.pm:544-556, warn +
+    * skip) — the dropped count surfaces as `relationship_skipped`. The
+    * anti-join novelty per table makes a re-import a no-op. */
+  def mergeIntoStore(spark: SparkSession, st: StockStaging,
+                     store: String): Map[String, Long] = {
+    import graft.sinks.ParquetUpsert
+    val nStock = ParquetUpsert(spark, st.stock, s"$store/stock", Seq("stock_id"))
+    val nProp = ParquetUpsert(spark, st.stockprop, s"$store/stockprop",
+      Seq("stock_id", "prop_name", "value"))
+    val loaded = spark.read.parquet(s"$store/stock").select(col("stock_id"))
+    val resolvable = st.relationship
+      .join(loaded.select(col("stock_id").as("object_id")), Seq("object_id"), "left_semi")
+      .join(loaded.select(col("stock_id").as("subject_id")), Seq("subject_id"), "left_semi")
+      .localCheckpoint()
+    val nSkipped = st.relationship.count() - resolvable.count()
+    val nRel = ParquetUpsert(spark, resolvable, s"$store/stock_relationship",
+      Seq("object_id", "subject_id", "reltype"))
+    val nPub = ParquetUpsert(spark, st.pub, s"$store/stock_pub",
+      Seq("stock_id", "pub_id"))
+    Map("stock" -> nStock, "stockprop" -> nProp,
+      "stock_relationship" -> nRel, "relationship_skipped" -> nSkipped,
+      "stock_pub" -> nPub)
+  }
 }

@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata; decode / feature
   * extraction runs per-partition in bounded batches.
   *
-  * The codec itself is STUBBED (no image/audio libraries in this
-  * container): `StubCodec` is a deterministic fake standing in for a
-  * JNI/FFI decoder. Everything Spark-side — schema, batch shape,
-  * partition-local iteration, metadata projection — is real and tested.
+  * The IMAGE path is real: the JDK ships `javax.imageio`
+  * (PNG/JPEG/GIF/BMP header probe, pixel decode) so [[ImageCodec]]
+  * needs no external libraries. Audio/video have no JDK codec, so they
+  * go through `StubCodec`, a deterministic fake standing in for a
+  * JNI/FFI decoder — the one honest remaining stub. Payloads that no
+  * ImageIO reader claims (including the text-derived fixtures) fall
+  * back to the stub as well, so the plumbing behaves identically for
+  * every kind.
   *
   * Scale notes: `mapPartitions` keeps one codec instance per task (the
   * expensive init happens once per partition, not per row) and streams
@@ -27,15 +31,15 @@ object Multimodal {
       kind: String,
       n_bytes: Int,
       header_hex: String,
-      // stub "decoded" outputs — deterministic fakes of width/height/
-      // duration and a fixed-length feature vector
+      format: String, // decoded format name, or "stub" on the fake path
       width: Int,
       height: Int,
       features: Array[Float])
 
-  /** Deterministic fake decoder: byte-derived pseudo-metadata. A real
-    * deployment swaps this object for an FFI codec; the Spark plumbing
-    * around it is unchanged. */
+  /** Deterministic fake decoder: byte-derived pseudo-metadata, for
+    * payloads with no JDK codec (audio/video, synthetic fixtures). A
+    * real deployment swaps this object for an FFI codec; the Spark
+    * plumbing around it is unchanged. */
   object StubCodec {
     def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
       val n = payload.length
@@ -49,23 +53,91 @@ object Multimodal {
     }
   }
 
-  /** Decode + featurize each media row, one codec per partition. */
+  /** Real image decode via `javax.imageio` — JDK-only, nothing external.
+    * PNG/JPEG/GIF/BMP width/height/format come from the actual headers
+    * and pixels from the actual decoder. */
+  object ImageCodec {
+    /** Decode a payload some ImageIO reader claims:
+      * (formatName, image); None for non-image bytes. */
+    def decode(payload: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Option(r.read(0)).map(img => (r.getFormatName.toLowerCase, img))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None } // truncated/corrupt payload
+
+    /** 8-bin luminance histogram, normalized — a real, deterministic
+      * content feature from the decoded pixels. */
+    def luminanceHistogram(img: java.awt.image.BufferedImage,
+                           bins: Int = 8): Array[Float] = {
+      val counts = new Array[Long](bins)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          counts(math.min(bins - 1, lum * bins / 256)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = math.max(1L, img.getWidth.toLong * img.getHeight)
+      counts.map(c => c.toFloat / total)
+    }
+
+    /** Scale to (w, h) and re-encode as PNG bytes. */
+    def resizePng(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null)
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Decode + featurize each media row, one codec per partition: real
+    * ImageIO metadata + luminance histogram for decodable images, the
+    * stub for everything else. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition codec init would go here (expensive, once)
       rows.map { r =>
-        val (w, h, feats) = StubCodec.decode(r.payload)
         val headerHex = r.payload.take(4).map("%02X".format(_)).mkString
-        MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex, w, h, feats)
+        ImageCodec.decode(r.payload) match {
+          case Some((fmt, img)) =>
+            MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
+              fmt, img.getWidth, img.getHeight,
+              ImageCodec.luminanceHistogram(img))
+          case None =>
+            val (w, h, feats) = StubCodec.decode(r.payload)
+            MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
+              "stub", w, h, feats)
+        }
       }
     }
   }
 
-  /** Resize stage (stub): a real deployment calls the codec's scaler;
-    * here target dims pass through the deterministic fake while the
-    * Spark contract — binary in, (binary, new dims) out, partition-local
-    * batches, payload never shuffled — is the real thing. */
+  /** Resize stage: decodable images are REALLY rescaled and re-encoded
+    * as PNG (ImageIO + a headless BufferedImage render); other payloads
+    * pass through with stub dims. The Spark contract — binary in,
+    * (binary, new dims) out, partition-local batches, payload never
+    * shuffled — is identical on both paths. */
   case class ResizedMedia(media_id: Long, kind: String, width: Int,
       height: Int, payload: Array[Byte])
 
@@ -73,12 +145,21 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, _) = StubCodec.decode(r.payload)
-        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-        // stub: payload passes through; a real codec re-encodes
-        ResizedMedia(r.media_id, r.kind,
-          math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt),
-          r.payload)
+        ImageCodec.decode(r.payload) match {
+          case Some((_, img)) =>
+            val scale = math.min(1.0,
+              maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+            val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+              math.max(1, (img.getHeight * scale).toInt))
+            ResizedMedia(r.media_id, r.kind, w, h,
+              ImageCodec.resizePng(img, w, h))
+          case None =>
+            val (w0, h0, _) = StubCodec.decode(r.payload)
+            val scale = math.min(1.0, maxDim.toDouble / math.max(w0, h0))
+            ResizedMedia(r.media_id, r.kind,
+              math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt),
+              r.payload)
+        }
       }
     }
   }

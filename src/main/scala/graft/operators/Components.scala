@@ -41,9 +41,12 @@ object Components {
     // labels only ever decrease, so sum(component) is a strictly
     // decreasing potential: an unchanged sum == a fixpoint. The
     // convergence check is then one scan of the checkpointed labels,
-    // not a join of consecutive rounds.
-    def labelSum(l: DataFrame): Long =
-      l.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
+    // not a join of consecutive rounds. The potential aggregates as
+    // DECIMAL(38,0) — a LongType sum could wrap under non-ANSI
+    // semantics for huge id spaces and make "unchanged" unsound.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
@@ -58,7 +61,7 @@ object Components {
         .select(col("id"), least(col("component"), col("nb_min")).as("component"))
         .localCheckpoint()
       val curSum = labelSum(next)
-      converged = curSum == prevSum
+      converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       labels = next
       iters += 1

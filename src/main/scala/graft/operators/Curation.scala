@@ -250,7 +250,10 @@ object Curation {
     * the shuffle carries k pairs per row, not the pool fan-out. */
   def negativeSample(df: DataFrame, idCol: String, k: Int,
                      poolSize: Int): DataFrame = {
-    require(k <= poolSize, "k must not exceed the candidate pool")
+    // strict: an anchor that is itself in the pool sees poolSize - 1
+    // candidates (self excluded), so k == poolSize would silently yield
+    // k - 1 negatives for pool members
+    require(k < poolSize, "k must be smaller than the candidate pool")
     val pool = broadcast(
       df.select(col(idCol).cast("long").as("neg_id"))
         .orderBy(md5(col("neg_id").cast("string")), col("neg_id"))

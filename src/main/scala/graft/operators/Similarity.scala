@@ -135,8 +135,18 @@ object Similarity {
     * argmin projection over centroid literals — no crossJoin+groupBy
     * shuffle of the corpus, the plan every real IVF build runs. */
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
-              queryId: Long, numCells: Int, k: Int, nprobe: Int = 1): DataFrame = {
-    val index = trainIvf(emb, idCol, embCol, numCells)
+              queryId: Long, numCells: Int, k: Int, nprobe: Int = 1): DataFrame =
+    ivfProbe(emb, idCol, embCol, queryId,
+      trainIvf(emb, idCol, embCol, numCells), k, nprobe)
+
+  /** Probe an ALREADY-TRAINED index — the serve-path half of the
+    * train-once / probe-many lifecycle ([[trainIvf]] + [[saveIndex]] →
+    * [[loadIndex]] + this, the annbuild/annquery CLI verbs). No
+    * training work in here: the index is driver-held literals, so the
+    * probe is a map-only assignment + broadcast semi-join + top-k. */
+  def ivfProbe(emb: DataFrame, idCol: String, embCol: String,
+               queryId: Long, index: IvfIndex, k: Int,
+               nprobe: Int = 1): DataFrame = {
     val assigned = emb.select(col(idCol).as("vid"), col(embCol).as("e"))
       .withColumn("cell", index.cellCol)
 

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet-store housekeeping: the two maintenance passes every
@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *   surviving rows — the set-based delete shape (anti-filter), not a
   *   row-at-a-time mutation.
   *
-  * Both read-then-overwrite, with `localCheckpoint` breaking the
-  * read-your-own-write cycle — the same guard the merge DAGs use.
-  * On a real cluster the rewrite would land in a new directory +
-  * atomic swap; local overwrite keeps the spec-able semantics.
+  * Both write the rewritten table to a sibling temp directory first and
+  * swap it into place only after the write completes — the source
+  * directory stays intact (and readable) until the replacement is fully
+  * on disk, so a crash mid-rewrite can never lose the table. The same
+  * new-directory + swap is how the rewrite lands on a cluster
+  * (HDFS/object-store rename).
   */
 object StoreMaintenance {
 
@@ -26,6 +28,20 @@ object StoreMaintenance {
       if (f.isFile) f.length()
       else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
     walk(new java.io.File(dir))
+  }
+
+  /** Write `df` (which may read from `dir`) to a temp sibling, then swap
+    * it in. The source dir is only removed after the replacement write
+    * finished, so the data always exists complete somewhere on disk. */
+  private def overwriteViaSwap(df: DataFrame, dir: String): Unit = {
+    val tmp = dir + ".rewrite-" + System.nanoTime()
+    df.write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(dir))
   }
 
   /** Rewrite the store at `dir` into ≈ `targetBytes`-sized files.
@@ -39,8 +55,7 @@ object StoreMaintenance {
     }
     val before = parquetFiles(dir)
     val nFiles = math.max(1L, (dirBytes(dir) + targetBytes - 1) / targetBytes).toInt
-    val data = spark.read.parquet(dir).localCheckpoint()
-    data.repartition(nFiles).write.mode("overwrite").parquet(dir)
+    overwriteViaSwap(spark.read.parquet(dir).repartition(nFiles), dir)
     (before, parquetFiles(dir))
   }
 
@@ -48,10 +63,10 @@ object StoreMaintenance {
     * `cutoff` (an ISO timestamp/date string). Returns rows dropped. */
   def expire(spark: SparkSession, dir: String, tsCol: String,
              cutoff: String): Long = {
-    val data = spark.read.parquet(dir).localCheckpoint()
+    val data = spark.read.parquet(dir)
+    val total = data.count()
     val keep = data.filter(col(tsCol) >= lit(cutoff))
-    val dropped = data.count() - keep.count()
-    keep.write.mode("overwrite").parquet(dir)
-    dropped
+    overwriteViaSwap(keep, dir)
+    total - spark.read.parquet(dir).count()
   }
 }

@@ -27,13 +27,23 @@ object CorpusIngest {
       .withColumn("n_tokens", size(split(col("text"), "\\s+")))
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
       .withColumn("content_hash", md5(col("text")))
-    // the watermarked dedup operator is stream-only; the batch form of
-    // the same semantics (one row per content hash) is dropDuplicates
+    // the watermarked dedup operator is stream-only. The stream arm
+    // keeps the FIRST arrival per hash; the batch arm must pick the same
+    // survivor for parity, and dropDuplicates keeps an arbitrary row —
+    // so the batch form is a deterministic arg-min on (ts, doc_id), the
+    // batch definition of "first arrival".
     val deduped =
       if (docs.isStreaming)
         gated.withWatermark(tsCol, delay)
           .dropDuplicatesWithinWatermark("content_hash")
-      else gated.dropDuplicates("content_hash")
+      else {
+        val all = gated.columns
+        gated
+          .groupBy(col("content_hash"))
+          .agg(min_by(struct(all.map(col): _*),
+            struct(col(tsCol), col("doc_id"))).as("r"))
+          .select(col("r.*"))
+      }
     deduped.withColumn("split",
         when(expr("substring(content_hash, 1, 1)") < "c", "train")
           .when(expr("substring(content_hash, 1, 1)") < "e", "val")

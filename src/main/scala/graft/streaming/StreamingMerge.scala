@@ -83,28 +83,47 @@ object StreamingMerge {
     * the full aggregate over every row ever streamed, but each refresh
     * touches only (delta ∪ key-cardinality partials), never the
     * history. Decimal-exact partials make the fold order-insensitive,
-    * so micro-batch boundaries and restarts can't change the result.
+    * so micro-batch boundaries can't change the result.
     *
-    * The store is read before overwrite and `localCheckpoint`ed — the
-    * read-your-own-write guard every overwrite merge in this repo
-    * uses. */
+    * foreachBatch is at-least-once: a batch whose store write landed but
+    * whose stream checkpoint didn't commit is REPLAYED on restart, and a
+    * blind re-fold would double-count it. The store therefore carries
+    * the id of the last folded batch in an `_applied_batch` column —
+    * written in the same parquet commit as the data, so the
+    * skip-if-already-applied gate can't drift from the store contents.
+    * The gate makes restarts exactly-once per checkpoint lineage
+    * (batch ids restart at 0 if the stream's checkpoint dir is wiped —
+    * pair store and checkpoint lifetimes). */
   def aggMaintain(spark: SparkSession, inDir: String,
                   schema: org.apache.spark.sql.types.StructType,
                   storeDir: String, keys: Seq[String], valueCol: String):
       org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.IncrementalAgg
     val stream = spark.readStream.schema(schema).parquet(inDir)
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = IncrementalAgg.partial(batch, keys, valueCol)
-        val merged =
-          if (new java.io.File(storeDir).exists()) {
-            val live = batch.sparkSession.read.parquet(storeDir).localCheckpoint()
-            IncrementalAgg.merge(Seq(live, delta), keys)
-          } else delta
-        merged.write.mode("overwrite").parquet(storeDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAggBatch(batch, batchId, storeDir, keys, valueCol): Unit
       }
       .start()
+  }
+
+  /** One aggMaintain fold, replay-safe; factored out so the idempotence
+    * contract is directly testable. Returns false when the batch was
+    * already applied and skipped. */
+  def applyAggBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                    keys: Seq[String], valueCol: String): Boolean = {
+    import graft.operators.IncrementalAgg
+    val delta = IncrementalAgg.partial(batch, keys, valueCol)
+    val merged =
+      if (new java.io.File(storeDir).exists()) {
+        val live = batch.sparkSession.read.parquet(storeDir).localCheckpoint()
+        val lastApplied = live.agg(max(col("_applied_batch"))).collect()
+          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        if (lastApplied.exists(_ >= batchId)) return false // replayed batch
+        IncrementalAgg.merge(Seq(live.drop("_applied_batch"), delta), keys)
+      } else delta
+    merged.withColumn("_applied_batch", lit(batchId))
+      .write.mode("overwrite").parquet(storeDir)
+    true
   }
 }

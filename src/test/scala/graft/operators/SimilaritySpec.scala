@@ -72,6 +72,23 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(loaded) == rows(index))
   }
 
+  test("annbuild/annquery lifecycle: build once, probe many, no retrain") {
+    // the CLI verbs' exact call path: trainIvf+saveIndex once, then
+    // loadIndex+ivfProbe per query — results identical to the
+    // train-inside ivfTopK form at the same (cells, k, nprobe)
+    val path = java.nio.file.Files.createTempDirectory("ann").toString + "/ix"
+    Similarity.saveIndex(spark,
+      Similarity.trainIvf(emb, "vec_id", "embedding", 4), path)
+    val loaded = Similarity.loadIndex(spark, path)
+    for (q <- Seq(0L, 7L)) { // query twice against the one artifact
+      val probe = Similarity.ivfProbe(emb, "vec_id", "embedding", q, loaded,
+        k = 5, nprobe = 2).as[(Long, Double)].collect().toSeq
+      val trained = Similarity.ivfTopK(emb, "vec_id", "embedding", q,
+        numCells = 4, k = 5, nprobe = 2).as[(Long, Double)].collect().toSeq
+      assert(probe == trained)
+    }
+  }
+
   test("trainIvf centroids are reproducible and assignment covers the corpus") {
     val a = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
     val b = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
