@@ -71,6 +71,12 @@ object GraftCli {
     case "validateobo" :: in :: Nil => validateObo(in)
     case "bibtex2chado" :: in :: store :: Nil => bibtex2Chado(in, store)
     case "chadopub2bib" :: store :: out :: Nil => chadoPub2Bib(store, out)
+    case "pub2bib" :: in :: out :: Nil => pub2Bib(in, out)
+    case "dictybib" :: in :: store :: out :: Nil => dictyBib(in, store, out)
+    case "dictypub" :: featurePub :: genes :: pubs :: ddbMap :: out :: Nil =>
+      dictyPub(featurePub, genes, pubs, ddbMap, out)
+    case "dictypubannotation" :: featurePub :: pubprops :: out :: Nil =>
+      dictyPubAnnotation(featurePub, pubprops, out)
     case "store2alignmentgff3" :: store :: out :: Nil => store2AlignmentGff3(store, out)
     case "dropontofromchado" :: store :: ns :: Nil => dropOntoFromChado(store, ns)
     case "chado2genesummary" :: props :: paragraphs :: out :: Nil =>
@@ -112,8 +118,8 @@ object GraftCli {
            |load:      gff3tochado gb2chado gbmito2chado gbassembly2chado obo2chado adhocobo2chado oboclosure2chado
            |           gaf2chado organism2chado bibtex2chado stream-merge dropontofromchado
            |export:    chado2gff3 store2gff3 store2alignmentgff3 chado2fasta chado2gaf
-           |           chado2genesummary chadopub2bib gb2fasta
-           |transform: blast2gff3 gff3alignment modidingoa modrefingoa
+           |           chado2genesummary chadopub2bib gb2fasta dictypub dictypubannotation
+           |transform: blast2gff3 gff3alignment modidingoa modrefingoa pub2bib dictybib
            |stock:     dictystrain2chado dictyplasmid2chado (load <datadir> <store>)
            |dump:      dictystrain dictyplasmid
            |report:    sumstats stockreport
@@ -479,6 +485,71 @@ object GraftCli {
     graft.export.PubExport.bibRecords(pubs)
       .coalesce(1).write.mode("overwrite").text(out)
     println(s"bib written to $out (${pubs.count()} records)")
+    spark.stop()
+  }
+
+  /** dictypub (lib/Modware/Export/Command/dictypub.pm:63-113): the
+    * gene↔publication link dump — TSV frames in, ordered
+    * pubmed/gene/DDB-id lines out via PubExport.genePubLinks. */
+  private def dictyPub(featurePubPath: String, genesPath: String,
+                       pubsPath: String, ddbMapPath: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    def tsv(p: String, cols: String*) =
+      spark.read.option("sep", "\t").csv(p).toDF(cols: _*)
+    val lines = graft.export.PubExport.genePubLinks(
+      tsv(featurePubPath, "gene_id", "pub_id"),
+      tsv(genesPath, "gene_id", "name", "is_deleted"),
+      tsv(pubsPath, "pub_id", "uniquename", "pubplace"),
+      tsv(ddbMapPath, "gene_id", "ddb_id"))
+    (if (singleFile) lines.coalesce(1) else lines)
+      .write.mode("overwrite").text(out)
+    println(s"gene-pub links written to $out (${lines.count()} rows)")
+    spark.stop()
+  }
+
+  /** dictypubannotation (lib/Modware/Export/Command/
+    * dictypubannotation.pm): per-(gene, pub) annotation rows with their
+    * curation props pipe-folded on. */
+  private def dictyPubAnnotation(featurePubPath: String, pubpropsPath: String,
+                                 out: String): Unit = {
+    val spark = GraftSession.local()
+    def tsv(p: String, cols: String*) =
+      spark.read.option("sep", "\t").csv(p).toDF(cols: _*)
+    val lines = graft.export.PubExport.pubAnnotations(
+      tsv(featurePubPath, "accession", "pubmed"),
+      tsv(pubpropsPath, "accession", "pubmed", "prop"))
+    (if (singleFile) lines.coalesce(1) else lines)
+      .write.mode("overwrite").text(out)
+    println(s"pub annotations written to $out (${lines.count()} rows)")
+    spark.stop()
+  }
+
+  /** pub2bib (lib/Modware/Transform/Command/pub2bib.pm): PubMed efetch
+    * XML → BibTeX. The HTTP fetch half is driver-side (SURVEY.md S11);
+    * this is the file-to-file transform the XSLT performs there. */
+  private def pub2Bib(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val articles = graft.transform.PubmedToBib.read(spark, in)
+    val bib = graft.transform.PubmedToBib.toBibtex(articles)
+    (if (singleFile) bib.coalesce(1) else bib)
+      .write.mode("overwrite").text(out)
+    println(s"bib written to $out (${articles.count()} articles)")
+    spark.stop()
+  }
+
+  /** dictybib (lib/Modware/Update/Command/dictybib.pm): stamp un-dated
+    * BibTeX entries with the pub store's created_at date; entries
+    * already stamped or unknown to the store are skipped. */
+  private def dictyBib(in: String, store: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val pubs = spark.read.parquet(s"$store/pub")
+    require(pubs.columns.contains("created_at"),
+      "dictybib needs a pub table with created_at (dd-MMM-yy), like the dicty schema")
+    val updated = graft.transform.PubmedToBib.dictybib(
+      graft.sources.BibTex.records(spark, in), pubs)
+    (if (singleFile) updated.coalesce(1) else updated)
+      .write.mode("overwrite").text(out)
+    println(s"updated bib written to $out (${updated.count()} entries)")
     spark.stop()
   }
 

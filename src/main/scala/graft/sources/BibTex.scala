@@ -32,6 +32,15 @@ object BibTex {
   def parseString(content: String): Iterator[BibRecord] =
     content.split("(?m)^@").iterator.filter(_.trim.nonEmpty).flatMap(parseEntry)
 
+  /** Full typed records (all fields kept) — the dictybib update path
+    * needs every field for its re-emit, not just the pub-table subset. */
+  def records(spark: SparkSession,
+              path: String): org.apache.spark.sql.Dataset[BibRecord] = {
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, c) => parseString(c) }.toDS()
+  }
+
   /** Read .bib file(s) into the pub-table shape the exporters consume:
     * (uniquename, entry_type, title, authors pipe-joined, journal, year,
     * volume, pages). `PMID:`-prefixed cite keys are normalized to the

@@ -1,0 +1,136 @@
+package graft.transform
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** pub2bib (lib/Modware/Transform/Command/pub2bib.pm): the reference
+  * fetches PubMed efetch XML over HTTP (driver-side, SURVEY.md S11) and
+  * XSLT-transforms it to BibTeX (share/pubmed2bibtex.xslt). The engine
+  * half is the transform: article records parse out of the XML and
+  * serialize as BibTeX with the stylesheet's field set — title, author,
+  * journal/year/month/volume/pages/issn, abstract, doi, nlmuniqueid,
+  * pmid, status.
+  *
+  * Scale shape: the file splits into `<PubmedArticle>` blocks up front,
+  * so a multi-gigabyte efetch dump parallelizes per article; each block
+  * parses with the JDK DOM parser inside `flatMap` (per-task parser, no
+  * external XML library).
+  */
+object PubmedToBib {
+
+  case class PubArticle(
+      pmid: String,
+      title: String,
+      authors: Seq[String],
+      journal: String,
+      year: String,
+      month: String,
+      volume: String,
+      pages: String,
+      issn: String,
+      abstractText: String,
+      doi: String,
+      nlmuniqueid: String,
+      status: String)
+
+  /** DOM-parse one `<PubmedArticle>` block. */
+  def parseArticle(xml: String): Option[PubArticle] =
+    try {
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+      def texts(tag: String): Seq[org.w3c.dom.Element] = {
+        val nl = doc.getElementsByTagName(tag)
+        (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+      }
+      def first(tag: String): String =
+        texts(tag).headOption.map(_.getTextContent.trim).getOrElse("")
+      val pmid = first("PMID")
+      if (pmid.isEmpty) None
+      else {
+        val authors = texts("Author").map { a =>
+          def child(t: String): String = {
+            val nl = a.getElementsByTagName(t)
+            if (nl.getLength > 0) nl.item(0).getTextContent.trim else ""
+          }
+          Seq(child("LastName"), child("Initials")).filter(_.nonEmpty)
+            .mkString(", ")
+        }.filter(_.nonEmpty)
+        val doi = texts("ArticleId")
+          .find(_.getAttribute("IdType") == "doi")
+          .map(_.getTextContent.trim).getOrElse("")
+        Some(PubArticle(pmid, first("ArticleTitle"), authors,
+          first("Title"), first("Year"), first("Month"), first("Volume"),
+          first("MedlinePgn"), first("ISSN"), first("AbstractText"), doi,
+          first("NlmUniqueID"), first("PublicationStatus")))
+      }
+    } catch { case _: Exception => None }
+
+  /** Read efetch XML file(s) into article records, one task per block
+    * batch. */
+  def read(spark: SparkSession, path: String): Dataset[PubArticle] = {
+    import spark.implicits._
+    val blockRe = "(?s)<PubmedArticle\\b.*?</PubmedArticle>".r
+    spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, c) => blockRe.findAllIn(c) }
+      // round-robin the blocks so the DOM work spreads beyond the
+      // one-partition-per-file layout wholeTextFiles returns
+      .repartition(spark.sparkContext.defaultParallelism)
+      .toDS()
+      .flatMap(b => parseArticle(b))
+  }
+
+  /** Serialize as BibTeX in the stylesheet's shape, ordered by pmid.
+    * Empty optional fields are omitted like the xslt's length guards. */
+  def toBibtex(articles: Dataset[PubArticle]): DataFrame = {
+    import articles.sparkSession.implicits._
+    articles.map { a =>
+      val opt = Seq(
+        "author" -> a.authors.mkString(" and "), "title" -> a.title,
+        "journal" -> a.journal, "year" -> a.year, "month" -> a.month,
+        "volume" -> a.volume, "pages" -> a.pages, "issn" -> a.issn,
+        "abstract" -> a.abstractText, "doi" -> a.doi,
+        "nlmuniqueid" -> a.nlmuniqueid)
+        .collect { case (k, v) if v.nonEmpty => s"    $k = {$v}," }
+      ((s"@article{pmid${a.pmid}," +: opt) ++
+        Seq(s"    pmid = {${a.pmid}},", s"    status = {${a.status}}", "}"))
+        .mkString("\n")
+    }.toDF("value")
+      .orderBy(col("value"))
+  }
+
+  /** dictybib (lib/Modware/Update/Command/dictybib.pm): re-emit BibTeX
+    * entries that (a) carry no `timestamp` field yet and (b) exist in
+    * the pub store, stamped with the store's `created_at` date
+    * (dd-MMM-yy in the dicty schema) as `timestamp = {yyyy.mm.dd}` in
+    * the reference's fixed field order. Entries already stamped or
+    * unknown to the store are skipped, like the `next ENTRY` guards. */
+  def dictybib(entries: Dataset[graft.sources.BibTex.BibRecord],
+               pubs: DataFrame): DataFrame = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val pending = entries
+      .filter(r => !r.fields.contains("timestamp"))
+      .map(r => (r.fields.getOrElse("pmid",
+        r.citeKey.replaceFirst("^(?i)pmid:?", "")), r))
+      .toDF("pmid", "rec")
+    val stamped = pubs.select(col("uniquename").as("pmid"),
+      date_format(to_date(initcap(lower(col("created_at"))), "dd-MMM-yy"),
+        "yyyy.MM.dd").as("ts"))
+    pending.join(stamped, Seq("pmid"))
+      .filter(col("ts").isNotNull)
+      .orderBy(col("pmid"))
+      .select(col("rec").as[graft.sources.BibTex.BibRecord], col("ts").as[String])
+      .map { case (r, ts) =>
+        // the reference's exact emit order (dictybib.pm sub bibtex):
+        // six always-present fields, six optionals, author, timestamp
+        val always = Seq("journal", "title", "status", "nlmuniqueid",
+          "pmid", "year").map(k => s"${k} = {${r.fields.getOrElse(k, "")}},")
+        val opts = Seq("volume", "pages", "doi", "month", "issn", "abstract")
+          .collect { case k if r.fields.contains(k) => s"$k = {${r.fields(k)}}," }
+        ((s"@article{${r.citeKey}," +: (always ++ opts)) ++
+          Seq(s"author = {${r.fields.getOrElse("author", "")}},",
+            s"timestamp = {$ts}", "}")).mkString("\n")
+      }.toDF("value")
+  }
+}
