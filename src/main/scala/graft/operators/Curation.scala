@@ -290,4 +290,39 @@ object Curation {
         (expr(s"instr('$hexDigits', substring(md5(cast($idCol as string)), 2, 1))") - 1)
       ) % nShards)
   }
+
+  /** Linear text-classifier INFERENCE at corpus scale (the
+    * fasttext-style quality/domain scorer every curation pipeline runs):
+    * score = sigmoid(bias + Σ w(token) over token OCCURRENCES). The
+    * model is driver-held state like the IVF centroids — broadcast to a
+    * dimension-sized weight table, so scoring is a map-side
+    * broadcast-hash join + one partial-aggregable per-doc sum. No
+    * shuffle of text, no UDF, no model server round-trips.
+    *
+    * Weight sums accumulate as DECIMAL(18,6) so the fold is
+    * order-insensitive and any engine reproduces the sigmoid input
+    * bit-for-bit; the sigmoid itself is then a deterministic double op.
+    * Docs with no weighted tokens score sigmoid(bias). Returns
+    * (doc_id, n_hits, score). */
+  def linearScore(docs: DataFrame, idCol: String, textCol: String,
+                  weights: Seq[(String, Double)], bias: Double): DataFrame = {
+    require(weights.nonEmpty, "need at least one feature weight")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = broadcast(weights.toDF("tok", "weight")
+      .withColumn("weight", col("weight").cast("decimal(18,6)")))
+    val hits = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "\\s+")).as("tok"))
+      .join(w, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("weight")).cast("decimal(18,6)").as("wsum"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(lit(bias) + coalesce(col("wsum"), lit(0).cast("decimal(18,6)"))
+            .cast("double")))), 6).as("score"))
+  }
 }

@@ -338,4 +338,52 @@ object Dedup {
       .withColumn("dup", row_number().over(w) > 1)
       .drop("h")
   }
+
+  /** Exact duplicate-SPAN detection (the Lee et al. 2022 "Deduplicating
+    * Training Data" exact-substring recipe, windowed): every n-token
+    * SLIDING window whose hash appears in ≥ 2 documents is a duplicated
+    * span, and the per-doc audit reports how many spans and how many
+    * distinct token positions they cover. Segment dedup ([[segmentDedup]])
+    * sees only aligned chunks; sliding spans catch verbatim runs at ANY
+    * offset — the cross-doc boilerplate/contamination signal.
+    *
+    * The published recipe builds a suffix array; the distributed
+    * re-expression is an inverted span-hash index: explode n-gram
+    * windows (linear in tokens, NOT quadratic — each position starts
+    * exactly one span), count distinct docs per hash with a partial
+    * two-phase aggregate, semi-join the duplicated hashes back, and
+    * expand coverage positions (fan-out n per duplicated span, bounded).
+    * Every shuffle is linear in token count.
+    *
+    * Returns (doc_id, n_tokens, n_dup_spans, n_dup_tokens, dup_frac) —
+    * one row per doc with ≥ n tokens, zeros when nothing duplicates. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .localCheckpoint() // reused: spans (twice via semi-join) + per-doc sizes
+    val spans = base.select(col("doc_id"),
+      explode(expr(s"transform(sequence(1, size(toks) - $n + 1), i -> " +
+        s"named_struct('pos', i, 'sp', md5(concat_ws(' ', slice(toks, i, $n)))))")).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.sp").as("sp"))
+    val dupHashes = spans.groupBy(col("sp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("sp"))
+    val dup = spans.join(dupHashes, Seq("sp"), "left_semi")
+    val perDocSpans = dup.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"))
+    val perDocCover = dup
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + $n - 1)")).as("tp"))
+      .dropDuplicates("doc_id", "tp")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDocSpans, Seq("doc_id"), "left_outer")
+      .join(perDocCover, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6))
+  }
 }

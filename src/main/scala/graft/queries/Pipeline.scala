@@ -1094,6 +1094,74 @@ object Pipeline {
       |  FROM c, q)
       |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 15""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  // Exact duplicate-SPAN audit (Lee et al. exact-substring dedup,
+  // windowed): 20-token sliding windows whose hash occurs in >= 2 docs,
+  // with per-doc span and covered-token counts. Linear in tokens: each
+  // position starts one span; the only shuffles key on the span hash
+  // and on (doc, position).
+  private def q94DupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.duplicateSpans(t(s, dir, "documents"),
+        "doc_id", "text", 20)
+      .orderBy(col("doc_id"))
+
+  private val q94Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+      |  WHERE len(string_split_regex(text, '\s+')) >= 20),
+      |spans AS (
+      |  SELECT doc_id, i, md5(array_to_string(t[i:i+19], ' ')) AS sp
+      |  FROM (SELECT doc_id, t,
+      |          unnest(generate_series(1, len(t) - 19)) AS i FROM toks)),
+      |duph AS (SELECT sp FROM spans GROUP BY sp
+      |         HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dup AS (SELECT s.doc_id, s.i FROM spans s JOIN duph d ON s.sp = d.sp),
+      |pds AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM dup GROUP BY doc_id),
+      |cov AS (SELECT doc_id, COUNT(*) AS n_dup_tokens FROM (
+      |  SELECT DISTINCT doc_id, tp FROM dup,
+      |    LATERAL (SELECT unnest(generate_series(i, i + 19)) AS tp))
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |  COALESCE(pds.n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(cov.n_dup_tokens, 0) AS n_dup_tokens,
+      |  round(CAST(COALESCE(cov.n_dup_tokens, 0) AS DOUBLE) / len(t.t), 6)
+      |    AS dup_frac
+      |FROM toks t
+      |LEFT JOIN pds ON pds.doc_id = t.doc_id
+      |LEFT JOIN cov ON cov.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+  // Linear classifier inference (fasttext-style quality scorer): the
+  // model is a broadcast weight table + bias; scoring is a map-side
+  // join and one decimal-exact per-doc sum, sigmoid at the end.
+  private val q95Weights = Seq(
+    "the" -> 0.12, "of" -> 0.08, "and" -> 0.07, "data" -> -0.31,
+    "click" -> -0.64, "free" -> -0.52, "genome" -> 0.45, "cell" -> 0.29)
+
+  private def q95ClassifierScore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.linearScore(t(s, dir, "documents"),
+        "doc_id", "text", q95Weights, bias = -0.2)
+      .orderBy(col("doc_id"))
+
+  private val q95Sql = {
+    val values = q95Weights
+      .map { case (t, w) => s"('$t', ${w})" }.mkString(", ")
+    s"""WITH w(tok, weight) AS (VALUES $values),
+       |hits AS (
+       |  SELECT doc_id, COUNT(*) AS n_hits,
+       |    CAST(SUM(CAST(w.weight AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS wsum
+       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |        FROM documents) x
+       |  JOIN w ON w.tok = x.tok
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |  round(1.0 / (1.0 + exp(-(-0.2 +
+       |    CAST(COALESCE(h.wsum, 0) AS DOUBLE)))), 6) AS score
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
@@ -1135,6 +1203,8 @@ object Pipeline {
     "q85_curation_v2" -> q85CurationV2 _,
     "q87_cooccur" -> q87Cooccur _,
     "q88_embed_qc" -> q88EmbedQc _,
+    "q94_dup_spans" -> q94DupSpans _,
+    "q95_classifier_score" -> q95ClassifierScore _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1178,5 +1248,7 @@ object Pipeline {
     "q85_curation_v2" -> q85Sql,
     "q87_cooccur" -> q87Sql,
     "q88_embed_qc" -> q88Sql,
+    "q94_dup_spans" -> q94Sql,
+    "q95_classifier_score" -> q95Sql,
   )
 }

@@ -9,6 +9,39 @@ import org.apache.spark.sql.functions._
 class CurationOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("duplicateSpans finds cross-doc sliding windows at any offset") {
+    // docs 1 and 2 share the run "x y z w" at DIFFERENT offsets (aligned
+    // chunk dedup would miss it); doc 3 has no cross-doc span; doc 4 is
+    // too short and is excluded entirely
+    val docs = Seq(
+      (1L, "x y z w a b"), //  spans@3: xyz yzw zwa wab
+      (2L, "q x y z w c"), //  spans@3: qxy xyz yzw zwc
+      (3L, "m n o p r s"),
+      (4L, "t u")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // shared hashes: "x y z" (docs 1+2), "y z w" (docs 1+2)
+    // doc 1: spans at pos 1,2 -> tokens 1..4 covered (x y z w)
+    // doc 2: spans at pos 2,3 -> tokens 2..5 covered
+    assert(got == Seq(
+      (1L, 6L, 2L, 4L, 0.666667), // dup_frac rounds to 6 decimals
+      (2L, 6L, 2L, 4L, 0.666667),
+      (3L, 6L, 0L, 0L, 0.0)))
+  }
+
+  test("linearScore: broadcast weights, decimal-exact sums, bias fallback") {
+    val docs = Seq(
+      (1L, "good good bad"), // 2*0.5 - 0.25 = 0.75
+      (2L, "nothing matches here")).toDF("doc_id", "text")
+    val got = Curation.linearScore(docs, "doc_id", "text",
+        Seq("good" -> 0.5, "bad" -> -0.25), bias = 0.1)
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    def sig(x: Double) = BigDecimal(1.0 / (1.0 + math.exp(-x)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 3L, sig(0.1 + 0.75)), (2L, 0L, sig(0.1))))
+  }
+
   test("scrub redacts PII patterns and collapses whitespace") {
     val docs = Seq(
       (1L, "mail me at alice.smith+x@example.co.uk  today"),
