@@ -166,8 +166,13 @@ object Dedup {
         sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf).select(col("shingle")),
         Seq("shingle"), "left_semi")
-    val inter = rare.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+    // the self-join only needs shingle EQUALITY, not the strings: 64-bit
+    // keys shrink both shuffle sides (~20% on the bench). Same accuracy
+    // class as the md5-keyed exact dedup: a cross-shingle collision
+    // (p ≈ n²/2⁶⁵ per corpus) could inflate one intersection count.
+    val hashed = rare.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val inter = hashed.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(hashed.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     inter
