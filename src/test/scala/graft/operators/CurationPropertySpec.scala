@@ -105,6 +105,45 @@ class CurationPropertySpec extends SparkSpec {
     docs.foreach { case (id, text) => assert(got(id) == text, s"doc $id") }
   }
 
+  test("duplicateSpans matches the sliding-window model on random corpora") {
+    val rnd = new Random(43)
+    for (trial <- 1 to 3) {
+      val n = 2 + rnd.nextInt(3) // span width
+      // random docs, then inject one shared run into two of them at
+      // random offsets — the cross-doc signal the operator must find
+      val base = (0L until (6L + rnd.nextInt(6))).map { id =>
+        id -> randomDoc(rnd, n + rnd.nextInt(15))
+      }
+      val run = Seq.fill(n + 2)("zz" + rnd.nextInt(3)).mkString(" ")
+      val docs = base.map { case (id, t) =>
+        if (id <= 1) (id, s"$t $run") else (id, t)
+      }
+      // model: per-doc token windows; a span hash is duplicated when it
+      // occurs in >= 2 distinct docs; coverage = distinct positions
+      val spansOf = docs.map { case (id, t) =>
+        val toks = t.split("\\s+")
+        id -> toks.indices.dropRight(n - 1)
+          .map(i => (i + 1, toks.slice(i, i + n).mkString(" ")))
+      }.toMap
+      val docsPerSpan = spansOf.toSeq
+        .flatMap { case (id, sp) => sp.map { case (_, s) => (s, id) } }
+        .distinct.groupBy(_._1).view.mapValues(_.size).toMap
+      val want = docs.collect {
+        case (id, t) if t.split("\\s+").length >= n =>
+          val dups = spansOf(id).filter { case (_, s) => docsPerSpan(s) >= 2 }
+          val cover = dups.flatMap { case (p, _) => p until (p + n) }.distinct
+          id -> (dups.size.toLong, cover.size.toLong)
+      }.toMap
+      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n)
+        .select($"doc_id", $"n_dup_spans", $"n_dup_tokens")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == want, s"trial $trial (n=$n)")
+      assert(got(0L)._1 >= 1 && got(1L)._1 >= 1, "injected run not found")
+    }
+  }
+
   test("shardAssign matches the md5 hex-pair model for random shard counts") {
     val rnd = new Random(71)
     for (trial <- 1 to 3) {
