@@ -50,7 +50,8 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json"))
     java.nio.file.Files.write(outFile,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(full) // early in the stream; tail-truncation only costs the copy
+    // stdout carries ONLY the short summary (the driver tail-captures
+    // stdout; the ~4 KB per-query map lives in the file)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries_file":"$outFile"$modeStr}""")
     spark.stop()
   }
