@@ -71,6 +71,8 @@ object GraftCli {
     case "validateobo" :: in :: Nil => validateObo(in)
     case "bibtex2chado" :: in :: store :: Nil => bibtex2Chado(in, store)
     case "chadopub2bib" :: store :: out :: Nil => chadoPub2Bib(store, out)
+    case "dictynonpub2bib" :: store :: out :: Nil =>
+      chadoPub2Bib(store, out, nonpub = true)
     case "pub2bib" :: in :: out :: Nil => pub2Bib(in, out)
     case "dictybib" :: in :: store :: out :: Nil => dictyBib(in, store, out)
     case "dictypub" :: featurePub :: genes :: pubs :: ddbMap :: out :: Nil =>
@@ -476,15 +478,31 @@ object GraftCli {
     spark.stop()
   }
 
-  /** chadopub2bib: export the store's pub table as BibTeX records (the
-    * engine half of lib/Modware/Export/Command/chadopub2bib.pm — the
-    * PubMed HTTP/XSLT fetch is driver-side, SURVEY.md S11). */
-  private def chadoPub2Bib(store: String, out: String): Unit = {
+  /** chadopub2bib: export the store's PUBMED pubs as BibTeX records
+    * (the engine half of lib/Modware/Export/Command/chadopub2bib.pm:84 —
+    * `pubplace = 'PUBMED'`; the PubMed HTTP/XSLT fetch is driver-side,
+    * SURVEY.md S11). `nonpub = true` is dictynonpub2bib: the complement
+    * predicate (`pubplace != 'PUBMED'`, dictynonpub2bib.pm:47-56),
+    * written one directory per source — the reference's
+    * one-file-per-pubplace loop as a partitioned write. */
+  private def chadoPub2Bib(store: String, out: String,
+                           nonpub: Boolean = false): Unit = {
     val spark = GraftSession.local()
-    val pubs = spark.read.parquet(s"$store/pub")
-    graft.export.PubExport.bibRecords(pubs)
-      .coalesce(1).write.mode("overwrite").text(out)
-    println(s"bib written to $out (${pubs.count()} records)")
+    val all = spark.read.parquet(s"$store/pub")
+    val pubs =
+      if (!all.columns.contains("pubplace")) all // pre-pubplace stores
+      else if (nonpub) all.filter(col("pubplace") =!= "PUBMED")
+      else all.filter(col("pubplace") === "PUBMED")
+    if (nonpub) {
+      graft.export.PubExport.bibRecordsKeyed(pubs)
+        .select(col("value"), col("pubplace"))
+        .write.mode("overwrite").partitionBy("pubplace").text(out)
+      println(s"non-pubmed bib written to $out (${pubs.count()} records)")
+    } else {
+      graft.export.PubExport.bibRecords(pubs)
+        .coalesce(1).write.mode("overwrite").text(out)
+      println(s"bib written to $out (${pubs.count()} records)")
+    }
     spark.stop()
   }
 

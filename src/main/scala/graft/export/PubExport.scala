@@ -56,6 +56,14 @@ object PubExport {
     * pipe-joined "Last, F.", journal, year, volume, pages). Multi-line
     * records carried as one `value` per pub, ordered by id. */
   def bibRecords(pubs: DataFrame): DataFrame =
+    bibRecordsKeyed(pubs).orderBy(col("uniquename")).select(col("value"))
+
+  /** [[bibRecords]] with the key columns retained — the
+    * dictynonpub2bib per-source dump keeps `pubplace` alongside so the
+    * write can partition one directory per source
+    * (lib/Modware/Export/Command/dictynonpub2bib.pm:47-56, one output
+    * file per pubplace there). */
+  def bibRecordsKeyed(pubs: DataFrame): DataFrame =
     pubs.select(concat(
       lit("@article{PMID:"), col("uniquename"), lit(",\n"),
       lit("  author = {"),
@@ -66,7 +74,7 @@ object PubExport {
       lit("  year = {"), coalesce(col("year"), lit("")), lit("},\n"),
       lit("  volume = {"), coalesce(col("volume"), lit("")), lit("},\n"),
       lit("  pages = {"), coalesce(col("pages"), lit("")), lit("}\n}")
-    ).as("value"), col("uniquename"))
-      .orderBy(col("uniquename"))
-      .select(col("value"))
+    ).as("value"), col("uniquename"),
+      (if (pubs.columns.contains("pubplace")) col("pubplace")
+       else lit("PUBMED").as("pubplace")))
 }

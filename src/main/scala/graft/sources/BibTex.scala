@@ -43,8 +43,10 @@ object BibTex {
 
   /** Read .bib file(s) into the pub-table shape the exporters consume:
     * (uniquename, entry_type, title, authors pipe-joined, journal, year,
-    * volume, pages). `PMID:`-prefixed cite keys are normalized to the
-    * bare id (the loader's dbxref convention). */
+    * volume, pages, pubplace). `PMID:`-prefixed cite keys are normalized
+    * to the bare id (the loader's dbxref convention); `pubplace` defaults
+    * to PUBMED like the dicty pub loads — the column the
+    * chadopub2bib / dictynonpub2bib export predicates dispatch on. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.wholeTextFiles(path)
@@ -56,9 +58,10 @@ object BibTex {
           f.getOrElse("author", "").split("\\s+and\\s+").filter(_.nonEmpty)
             .mkString("|"),
           f.getOrElse("journal", ""), f.getOrElse("year", ""),
-          f.getOrElse("volume", ""), f.getOrElse("pages", ""))
+          f.getOrElse("volume", ""), f.getOrElse("pages", ""),
+          f.getOrElse("pubplace", "PUBMED"))
       }
       .toDF("uniquename", "entry_type", "title", "authors", "journal",
-        "year", "volume", "pages")
+        "year", "volume", "pages", "pubplace")
   }
 }

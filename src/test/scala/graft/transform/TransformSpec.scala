@@ -171,6 +171,24 @@ class TransformSpec extends SparkSpec {
     assert(out.contains("title = {A paper about actin}"))
   }
 
+  test("pubplace predicate splits chadopub2bib from dictynonpub2bib") {
+    import graft.sources.BibTex
+    // pubplace defaults to PUBMED; an explicit field routes the entry to
+    // the non-pubmed dump (dictynonpub2bib.pm:47-56 complement predicate)
+    val bib =
+      """@article{PMID:1, title = {pm}, year = {1999}}
+        |@article{PUB100, title = {house}, year = {2000}, pubplace = {dictyBase}}
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("places", ".bib")
+    java.nio.file.Files.writeString(f, bib)
+    val pubs = BibTex.read(spark, f.toString)
+    assert(pubs.filter($"pubplace" === "PUBMED").count() == 1)
+    val nonpub = graft.export.PubExport
+      .bibRecordsKeyed(pubs.filter($"pubplace" =!= "PUBMED"))
+      .select($"uniquename", $"pubplace").as[(String, String)].collect().toSeq
+    assert(nonpub == Seq(("PUB100", "dictyBase")))
+  }
+
   test("alignment export rebuilds Target from rank-1 featurelocs (W2)") {
     import graft.export.Gff3Export
     val features = Seq(("hit1", "match"), ("gene1", "gene"))
