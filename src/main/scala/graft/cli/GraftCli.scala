@@ -488,10 +488,15 @@ object GraftCli {
   private def chadoPub2Bib(store: String, out: String,
                            nonpub: Boolean = false): Unit = {
     val spark = GraftSession.local()
-    val all = spark.read.parquet(s"$store/pub")
+    val read = spark.read.parquet(s"$store/pub")
+    // pre-pubplace stores carry only PUBMED loads (the loader default),
+    // so they get the default column — NOT a filter bypass, which would
+    // send every pub to the non-pubmed dump
+    val all =
+      if (read.columns.contains("pubplace")) read
+      else read.withColumn("pubplace", lit("PUBMED"))
     val pubs =
-      if (!all.columns.contains("pubplace")) all // pre-pubplace stores
-      else if (nonpub) all.filter(col("pubplace") =!= "PUBMED")
+      if (nonpub) all.filter(col("pubplace") =!= "PUBMED")
       else all.filter(col("pubplace") === "PUBMED")
     if (nonpub) {
       graft.export.PubExport.bibRecordsKeyed(pubs)
@@ -513,7 +518,7 @@ object GraftCli {
                        pubsPath: String, ddbMapPath: String, out: String): Unit = {
     val spark = GraftSession.local()
     def tsv(p: String, cols: String*) =
-      spark.read.option("sep", "\t").csv(p).toDF(cols: _*)
+      graft.etl.StockImport.tsv(spark, p, cols)
     val lines = graft.export.PubExport.genePubLinks(
       tsv(featurePubPath, "gene_id", "pub_id"),
       tsv(genesPath, "gene_id", "name", "is_deleted"),
@@ -532,7 +537,7 @@ object GraftCli {
                                  out: String): Unit = {
     val spark = GraftSession.local()
     def tsv(p: String, cols: String*) =
-      spark.read.option("sep", "\t").csv(p).toDF(cols: _*)
+      graft.etl.StockImport.tsv(spark, p, cols)
     val lines = graft.export.PubExport.pubAnnotations(
       tsv(featurePubPath, "accession", "pubmed"),
       tsv(pubpropsPath, "accession", "pubmed", "prop"))

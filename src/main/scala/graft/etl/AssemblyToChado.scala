@@ -66,8 +66,12 @@ object AssemblyToChado {
           out += AsmSegment(scaffold, acc, "contig", Some(ver.toInt),
             fmin, runningEnd, len, out.size)
         case GapRgx(_, n) =>
-          // assemblies cannot start with a gap (Assembly.pm:427-428), so
-          // the running coordinate is already set
+          // the reference assumes assemblies never start with a gap
+          // (Assembly.pm:427-428) and would mis-anchor the next contig
+          // if one did; here a leading gap simply starts the coordinate
+          // scale at 0, so a malformed join-list cannot make a later
+          // contig overlap the segments already emitted
+          startFlag = false
           val len = n.toLong
           val fmin = runningEnd
           runningEnd = fmin + len
@@ -95,6 +99,12 @@ object AssemblyToChado {
                    prefix: String = "dictyBase"): Dataset[GffRecord] = {
     import segs.sparkSession.implicits._
     segs.map { s =>
+      // GffRecord carries Int interbase coordinates (the engine-wide
+      // featureloc schema); fail loudly rather than wrap past 2^31 —
+      // a >2 Gbp scaffold or a corrupt gap(N) would otherwise emit
+      // negative coordinates while the residue slice kept the Long
+      require(s.fmax <= Int.MaxValue,
+        s"assembly coordinate overflow on ${s.scaffold}: fmax=${s.fmax}")
       val attrs = Map(
         "ID" -> Seq(s.uniquename),
         "Name" -> Seq(s.uniquename),

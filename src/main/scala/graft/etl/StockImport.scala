@@ -13,7 +13,10 @@ object StockImport {
   val strainIdPattern = "^DBS[0-9]{7}$"
   val plasmidIdPattern = "^DBP[0-9]{7}$"
 
-  private def tsv(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+  /** Shared headerless-TSV reader (also used by the CLI's TSV-fed
+    * export verbs — one implementation, not three). */
+  private[graft] def tsv(spark: SparkSession, path: String,
+                         cols: Seq[String]): DataFrame =
     spark.read.option("sep", "\t").csv(path).toDF(cols: _*)
 
   /** strain.tsv: id, descriptor, species, parent_id (optional). Invalid

@@ -70,7 +70,8 @@ object GafExport {
     */
   def latestDescription(descriptions: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("gene_id"))
-      .orderBy(to_date(col("date_created"), "dd-MMM-yy").desc, col("description"))
+      .orderBy(graft.functions.GenomicFunctions.legacyDate(col("date_created")).desc,
+        col("description"))
     descriptions
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -58,6 +58,19 @@ object GenomicFunctions {
   def stripPrefix(c: Column, prefix: String): Column =
     regexp_replace(c, "^" + prefix, "")
 
+  /** F9 — legacy Oracle-style `dd-MMM-yy` dates with the POSIX/Perl
+    * two-digit-century convention (69-99 → 19xx, 00-68 → 20xx — what
+    * `strptime %y` does). Java's `yy` pattern resolves every two-digit
+    * year to 20xx, which would misdate 1990s dictyBase records (and
+    * mis-ORDER latest-by-date reduces that mix centuries).
+    * Reference: the created_at/date_created columns consumed at
+    * lib/Modware/Update/Command/dictybib.pm:17-22. */
+  def legacyDate(c: Column): Column = {
+    val yy = substring(c, 8, 2).cast("int")
+    val yyyy = when(yy >= 69, yy + 1900).otherwise(yy + 2000).cast("string")
+    to_date(concat(substring(c, 1, 7), yyyy), "dd-MMM-yyyy")
+  }
+
   /** F1/§1.2 — pipe-joined multi-value field to array at the parse edge.
     * Reference: lib/Modware/Loader/GAF/Manager.pm:74-81. */
   def pipeSplit(c: Column): Column = split(c, "\\|")

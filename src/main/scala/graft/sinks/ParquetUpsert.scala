@@ -16,8 +16,13 @@ object ParquetUpsert {
     val live =
       if (new java.io.File(path).exists()) spark.read.parquet(path)
       else df.limit(0)
-    val delta = df
-      .join(live.select(keys.map(col): _*), keys, "left_anti")
+    // null-SAFE anti-join: a nullable key column (e.g. an empty TSV
+    // value field) must still dedup against itself, or every re-import
+    // re-inserts the null-keyed rows and idempotence silently breaks
+    val n_ = df.alias("n")
+    val o = live.select(keys.map(col): _*).alias("o")
+    val cond = keys.map(k => col(s"n.$k") <=> col(s"o.$k")).reduce(_ && _)
+    val delta = n_.join(o, cond, "left_anti")
       .localCheckpoint()
     val n = delta.count()
     // materialize the union before overwriting the parquet it reads

@@ -117,8 +117,12 @@ object StreamingMerge {
     val merged =
       if (new java.io.File(storeDir).exists()) {
         val live = batch.sparkSession.read.parquet(storeDir).localCheckpoint()
-        val lastApplied = live.agg(max(col("_applied_batch"))).collect()
-          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        // stores written before the gate existed have no marker column:
+        // treat as "nothing recorded" instead of crashing the stream
+        val lastApplied =
+          if (!live.columns.contains("_applied_batch")) None
+          else live.agg(max(col("_applied_batch"))).collect()
+            .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
         if (lastApplied.exists(_ >= batchId)) return false // replayed batch
         IncrementalAgg.merge(Seq(live.drop("_applied_batch"), delta), keys)
       } else delta

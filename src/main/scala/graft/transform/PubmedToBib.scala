@@ -39,30 +39,39 @@ object PubmedToBib {
       val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
         .newDocumentBuilder()
         .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
-      def texts(tag: String): Seq[org.w3c.dom.Element] = {
-        val nl = doc.getElementsByTagName(tag)
+      def texts(scope: org.w3c.dom.Element, tag: String): Seq[org.w3c.dom.Element] = {
+        val nl = scope.getElementsByTagName(tag)
         (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
       }
-      def first(tag: String): String =
-        texts(tag).headOption.map(_.getTextContent.trim).getOrElse("")
-      val pmid = first("PMID")
+      val root = doc.getDocumentElement
+      def first(scope: org.w3c.dom.Element, tag: String): String =
+        texts(scope, tag).headOption.map(_.getTextContent.trim).getOrElse("")
+      val pmid = first(root, "PMID")
       if (pmid.isEmpty) None
       else {
-        val authors = texts("Author").map { a =>
-          def child(t: String): String = {
-            val nl = a.getElementsByTagName(t)
-            if (nl.getLength > 0) nl.item(0).getTextContent.trim else ""
-          }
-          Seq(child("LastName"), child("Initials")).filter(_.nonEmpty)
+        val authors = texts(root, "Author").map { a =>
+          Seq(first(a, "LastName"), first(a, "Initials")).filter(_.nonEmpty)
             .mkString(", ")
         }.filter(_.nonEmpty)
-        val doi = texts("ArticleId")
+        val doi = texts(root, "ArticleId")
           .find(_.getAttribute("IdType") == "doi")
           .map(_.getTextContent.trim).getOrElse("")
-        Some(PubArticle(pmid, first("ArticleTitle"), authors,
-          first("Title"), first("Year"), first("Month"), first("Volume"),
-          first("MedlinePgn"), first("ISSN"), first("AbstractText"), doi,
-          first("NlmUniqueID"), first("PublicationStatus")))
+        // Year/Month MUST come from the publication date, not whichever
+        // <Year> happens first in the record — real efetch XML leads
+        // with DateCompleted/DateRevised (the curation dates). Volume
+        // and the journal Title are likewise scoped to their parents.
+        val pubDate = texts(root, "PubDate").headOption
+        val journal = texts(root, "Journal").headOption
+        val issue = texts(root, "JournalIssue").headOption
+        Some(PubArticle(pmid, first(root, "ArticleTitle"), authors,
+          journal.map(first(_, "Title")).getOrElse(""),
+          pubDate.map(first(_, "Year")).getOrElse(""),
+          pubDate.map(first(_, "Month")).getOrElse(""),
+          issue.map(first(_, "Volume")).getOrElse(""),
+          first(root, "MedlinePgn"),
+          journal.map(first(_, "ISSN")).getOrElse(""),
+          first(root, "AbstractText"), doi,
+          first(root, "NlmUniqueID"), first(root, "PublicationStatus")))
       }
     } catch { case _: Exception => None }
 
@@ -115,7 +124,8 @@ object PubmedToBib {
         r.citeKey.replaceFirst("^(?i)pmid:?", "")), r))
       .toDF("pmid", "rec")
     val stamped = pubs.select(col("uniquename").as("pmid"),
-      date_format(to_date(initcap(lower(col("created_at"))), "dd-MMM-yy"),
+      date_format(
+        graft.functions.GenomicFunctions.legacyDate(col("created_at")),
         "yyyy.MM.dd").as("ts"))
     pending.join(stamped, Seq("pmid"))
       .filter(col("ts").isNotNull)

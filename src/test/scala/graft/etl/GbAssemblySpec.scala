@@ -56,6 +56,11 @@ class GbAssemblySpec extends SparkSpec {
     assert(mixed.map(_.ftype) == Seq("contig", "gap"))
     assert(mixed.last.fmin == 10L && mixed.last.fmax == 110L)
     assert(AssemblyToChado.parseContigJoin("X", "").isEmpty)
+    // malformed leading gap: the coordinate scale starts at 0 and the
+    // following contig STACKS — no overlap with the emitted gap
+    val led = AssemblyToChado.parseContigJoin("S", "join(gap(10),C9.1:1..40)")
+    assert(led.map(s => (s.ftype, s.fmin, s.fmax)) ==
+      Seq(("gap", 0L, 10L), ("contig", 10L, 50L)))
   }
 
   test("scanner captures multi-line CONTIG headers; walk runs distributed") {

@@ -21,7 +21,8 @@ class StockImportStoreSpec extends SparkSpec {
         "BADID12345\tnope\tx\t\n")
     w("strain_props.tsv",
       "DBS0000001\tmutagenesis method\tUV\n" +
-        "DBS0000002\tgenotype\taxeB-\n")
+        "DBS0000002\tgenotype\taxeB-\n" +
+        "DBS0000002\tsynonym\t\n") // empty value -> NULL key component
     w("strain_parent.tsv",
       "DBS0000002\tDBS0000001\n" + // resolvable
         "DBS0000001\tDBS9999999\n") // parent never loaded -> skipped
@@ -45,7 +46,7 @@ class StockImportStoreSpec extends SparkSpec {
     val sc = StockImport.mergeIntoStore(spark,
       StockImport.strainStaging(spark, dataDir), store)
     assert(sc("stock") == 2) // BADID dropped
-    assert(sc("stockprop") == 2)
+    assert(sc("stockprop") == 3) // incl. the NULL-valued synonym row
     // parent edge + plasmid part_of edge resolve; unknown parent skipped
     assert(sc("stock_relationship") == 2)
     assert(sc("relationship_skipped") == 1)

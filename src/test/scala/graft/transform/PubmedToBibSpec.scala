@@ -15,6 +15,8 @@ class PubmedToBibSpec extends SparkSpec {
       |<PubmedArticle>
       |  <MedlineCitation>
       |    <PMID Version="1">21351276</PMID>
+      |    <DateCompleted><Year>2013</Year><Month>03</Month></DateCompleted>
+      |    <DateRevised><Year>2019</Year><Month>11</Month></DateRevised>
       |    <MedlineJournalInfo><NlmUniqueID>100892</NlmUniqueID></MedlineJournalInfo>
       |    <Article>
       |      <Journal>
@@ -60,7 +62,10 @@ class PubmedToBibSpec extends SparkSpec {
     assert(a.title == "Dictyostelium genomics." && a.journal == "Genome Biology")
     assert(a.authors == Seq("Kuspa, A", "Loomis, WF"))
     assert(a.doi == "10.1000/gb.2011.12" && a.nlmuniqueid == "100892")
-    assert(a.year == "2011" && a.pages == "88-99" && a.status == "ppublish")
+    // year/month come from PubDate, NOT the leading DateCompleted/
+    // DateRevised curation dates
+    assert(a.year == "2011" && a.month == "Feb")
+    assert(a.pages == "88-99" && a.status == "ppublish")
 
     val bib = PubmedToBib.toBibtex(
       PubmedToBib.read(spark, f.toString)).as[String].collect().mkString("\n")
@@ -81,13 +86,16 @@ class PubmedToBibSpec extends SparkSpec {
       BibTex.BibRecord("article", "pmid2", Map( // already stamped -> skip
         "pmid" -> "2", "title" -> "two", "timestamp" -> "2020.01.01")),
       BibTex.BibRecord("article", "pmid3", Map( // not in store -> skip
-        "pmid" -> "3", "title" -> "three"))))
-    val pubs = Seq(("1", "12-AUG-26"), ("2", "01-JAN-20"))
+        "pmid" -> "3", "title" -> "three")),
+      BibTex.BibRecord("article", "pmid4", Map( // 1990s legacy date
+        "pmid" -> "4", "title" -> "old"))))
+    val pubs = Seq(("1", "12-AUG-26"), ("2", "01-JAN-20"), ("4", "15-JUN-98"))
       .toDF("uniquename", "created_at")
     val out = PubmedToBib.dictybib(entries, pubs).as[String].collect()
-    assert(out.length == 1)
-    val e = out.head
-    assert(e.startsWith("@article{pmid1,"))
+    assert(out.length == 2)
+    // POSIX two-digit-century rule: 98 -> 1998, not Java's 2098
+    assert(out.exists(_.contains("timestamp = {1998.06.15}")))
+    val e = out.find(_.startsWith("@article{pmid1,")).get
     // the reference's fixed order: six always-fields (empty allowed),
     // then present optionals, author, timestamp
     assert(e.contains("journal = {J},") && e.contains("status = {},"))
