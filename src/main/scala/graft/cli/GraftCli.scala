@@ -97,7 +97,9 @@ object GraftCli {
       modInGoa(in, resource, out, refs = true)
     case "gff3alignment" :: in :: out :: dist :: rest if rest.size <= 1 =>
       gff3Alignment(in, out, dist.toInt, rest.headOption.getOrElse("protein_match"))
-    case "chado2gaf" :: store :: out :: rest if rest.size <= 1 =>
+    // dictygaf (lib/Modware/Export/Command/dictygaf.pm) is the MOD-named
+    // entry point of the same Export::GAF pipeline chado2gaf runs
+    case ("chado2gaf" | "dictygaf") :: store :: out :: rest if rest.size <= 1 =>
       chado2Gaf(store, out, rest.headOption)
     case "corpusdedup" :: in :: out :: Nil => corpusDedup(in, out)
     case "decontaminate" :: corpus :: bench :: out :: Nil =>
