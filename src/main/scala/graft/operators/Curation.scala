@@ -325,4 +325,41 @@ object Curation {
           exp(-(lit(bias) + coalesce(col("wsum"), lit(0).cast("decimal(18,6)"))
             .cast("double")))), 6).as("score"))
   }
+
+  /** Character-bigram language-model score — the perplexity-proxy
+    * quality signal of the CCNet/RefinedWeb recipes, self-trained on
+    * the corpus it scores (no external model artifact). Per document:
+    * the mean add-one-smoothed log-probability of its character
+    * bigrams, higher = more typical of the corpus; gibberish, binary
+    * spill, and wrong-charset text sit far in the left tail.
+    *
+    * Two linear passes over the corpus, both map-heavy: (1) TRAIN —
+    * count bigrams (shuffle cardinality = the bigram vocabulary,
+    * bounded by charset² — thousands of rows even at 100 TB) and turn
+    * counts into `round(ln((c+1)/(N+V)), 6)`; (2) SCORE — broadcast the
+    * vocabulary-sized log-prob table, map-side join each document's
+    * bigrams, one per-doc aggregate. Log-probs are rounded to 6
+    * decimals BEFORE the decimal-typed per-doc sum, so the fold is
+    * order-insensitive and any engine reproduces avg_logp bit-for-bit.
+    *
+    * Documents shorter than 2 characters have no bigrams and are
+    * omitted. Returns (doc_id, n_bigrams, avg_logp). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, char_length(t) - 1), i -> substring(t, i, 2))")).as("bg"))
+    val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val tot = model.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val lp = model.crossJoin(broadcast(tot))
+      .select(col("bg"),
+        round(log((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double")), 6)
+          .cast("decimal(28,6)").as("logp"))
+    bg.join(broadcast(lp), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("avg_logp"))
+  }
 }

@@ -271,6 +271,34 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    * cluster the corpus with the coarse quantizer, pick one
+    * representative per cell (lowest id — deterministic, no RNG), and
+    * flag every other member whose cosine similarity to its cell's
+    * representative clears `threshold`. Near-identical paraphrases and
+    * re-encodings land in the same cell and die there; cross-cell
+    * comparisons are never made, which is what keeps the candidate set
+    * linear instead of quadratic.
+    *
+    * Scale shape: cell assignment is the map-only codegen'd argmin over
+    * centroid literals ([[IvfIndex.cellCol]]); the representative table
+    * is numCells rows, so the scoring join broadcasts; the only shuffle
+    * is the numCells-row representative aggregation. Returns one row
+    * per vector: (idCol, cell, rep_id, sim, is_dup), and the caller
+    * keeps `!is_dup` (representatives always survive). */
+  def semanticDedup(emb: DataFrame, idCol: String, embCol: String,
+                    index: IvfIndex, threshold: Double): DataFrame = {
+    val assigned = emb.select(col(idCol).as("vid"), col(embCol).as("e"))
+      .withColumn("cell", index.cellCol)
+    val reps = assigned.groupBy(col("cell"))
+      .agg(min(col("vid")).as("rep_id"), min_by(col("e"), col("vid")).as("rv"))
+    assigned.join(broadcast(reps), Seq("cell"))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosine_sim(col("e"), col("rv")), 6))
+      .select(col("vid").as(idCol), col("cell"), col("rep_id"), col("sim"),
+        (col("vid") =!= col("rep_id") && col("sim") >= threshold).as("is_dup"))
+  }
+
   /** The TopK aggregator carries ids as longs; only integral id
     * columns round-trip losslessly (a string key would need a
     * surrogate, see [[graft.operators.IdAllocate]]). The output id is

@@ -534,11 +534,24 @@ object Pipeline {
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, numCells = 8, k = 10, nprobe = 2)
 
-  private def ivfSql(nprobe: Int): String = {
-    def l2(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, len($a)), " +
-        s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
-    s"""WITH init AS (
+  private def l2Sql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, len($a)), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  /** Rounded cosine similarity of two DuckDB lists — same widen-first /
+    * round-6 discipline as [[graft.functions.CosineSimilarity]]. */
+  private def cosSql(a: String, b: String) =
+    s"""round(
+       |      list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+       |      (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))), 6)""".stripMargin
+
+  /** Shared oracle fragment: the deterministic 1-Lloyd-step IVF training
+    * ([[Similarity.trainIvf]]) replayed in SQL; ends at `a1(vid, ev,
+    * cell)` — every vector with its trained-cell assignment. */
+  private val ivfCtes: String = {
+    def l2(a: String, b: String) = l2Sql(a, b)
+    s"""init AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
        |d0 AS (
        |  SELECT e.vec_id AS vid, init.cid, ${l2("e.embedding", "init.cv")} AS d2
@@ -557,19 +570,19 @@ object Pipeline {
        |  SELECT e.vec_id AS vid, e.embedding AS ev, c1.cid, ${l2("e.embedding", "c1.cv")} AS d2
        |  FROM embeddings e CROSS JOIN c1),
        |a1 AS (SELECT vid, ev, cid AS cell FROM (
-       |  SELECT vid, ev, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
+       |  SELECT vid, ev, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfSql(nprobe: Int): String =
+    s"""WITH $ivfCtes,
        |q AS (SELECT ev AS qv FROM a1 WHERE vid = 0),
        |probes AS (SELECT cid AS cell FROM (
        |  SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn FROM d1 WHERE vid = 0) WHERE rn <= $nprobe),
        |scored AS (
        |  SELECT vid AS vec_id,
-       |    round(
-       |      list_sum(list_transform(generate_series(1, len(ev)), i -> CAST(ev[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
-       |      (sqrt(list_sum(list_transform(generate_series(1, len(ev)), i -> CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)))) *
-       |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))), 6) AS sim
+       |    ${cosSql("ev", "qv")} AS sim
        |  FROM a1 JOIN probes ON a1.cell = probes.cell CROSS JOIN q WHERE a1.vid <> 0)
        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
-  }
 
   private val q44Sql = ivfSql(1)
   private val q50Sql = ivfSql(2)
@@ -1171,6 +1184,53 @@ object Pipeline {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q96
+  // Semantic dedup (SemDeDup): one representative per IVF cell, members
+  // whose cosine to their representative clears the threshold are
+  // flagged. Candidate set is linear (cell-local), never all-pairs.
+  private def q96SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.semanticDedup(emb, "vec_id", "embedding",
+        Similarity.trainIvf(emb, "vec_id", "embedding", 8), threshold = 0.35)
+      .orderBy(col("vec_id"))
+  }
+
+  private val q96Sql =
+    s"""WITH $ivfCtes,
+       |reps AS (SELECT cell, MIN(vid) AS rep_id FROM a1 GROUP BY cell),
+       |repv AS (SELECT r.cell, r.rep_id, a.ev AS rv
+       |         FROM reps r JOIN a1 a ON a.vid = r.rep_id),
+       |scored AS (
+       |  SELECT a.vid AS vec_id, a.cell, r.rep_id,
+       |    ${cosSql("a.ev", "r.rv")} AS sim
+       |  FROM a1 a JOIN repv r ON a.cell = r.cell)
+       |SELECT vec_id, cell, rep_id, sim,
+       |  (vec_id <> rep_id AND sim >= 0.35) AS is_dup
+       |FROM scored ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  // Char-bigram LM quality score (CCNet-style perplexity proxy): train
+  // an add-one-smoothed bigram model on the corpus in-plan, score every
+  // document by mean log-probability. Model = vocabulary-sized
+  // broadcast table; both passes are map-heavy.
+  private def q97LmScore(s: SparkSession, dir: String): DataFrame =
+    Curation.lmScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q97Sql =
+    """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2),
+      |bg AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS bg
+      |       FROM t, unnest(generate_series(1, length(t) - 1)) AS u(i)),
+      |m AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+      |tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM m),
+      |lp AS (SELECT bg,
+      |         CAST(round(ln((c + 1) / CAST(n + v AS DOUBLE)), 6) AS DECIMAL(28,6)) AS logp
+      |       FROM m CROSS JOIN tot)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+      |FROM bg JOIN lp USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
@@ -1214,6 +1274,8 @@ object Pipeline {
     "q88_embed_qc" -> q88EmbedQc _,
     "q94_dup_spans" -> q94DupSpans _,
     "q95_classifier_score" -> q95ClassifierScore _,
+    "q96_semantic_dedup" -> q96SemanticDedup _,
+    "q97_lm_score" -> q97LmScore _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1259,5 +1321,7 @@ object Pipeline {
     "q88_embed_qc" -> q88Sql,
     "q94_dup_spans" -> q94Sql,
     "q95_classifier_score" -> q95Sql,
+    "q96_semantic_dedup" -> q96Sql,
+    "q97_lm_score" -> q97Sql,
   )
 }

@@ -298,4 +298,28 @@ class CurationOpsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSet
     assert(byQ(0L).map(r => (r._2, r._3)).toSet == single)
   }
+
+  test("lmScore: typical text outscores gibberish; bigram counts exact; short docs omitted") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "zqxj kvvw pzfq xqzj zzzz"), // bigrams the corpus never repeats
+      (4L, "x")                         // one char: no bigrams, omitted
+    ).toDF("doc_id", "text")
+    val got = Curation.lmScore(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), "doc 4 has no bigrams")
+    // n_bigrams = chars - 1 (lowercased text, spaces count)
+    assert(got.map(_._2).toSeq == Seq(21L, 21L, 23L))
+    val score = got.map(r => r._1 -> r._3).toMap
+    assert(score(3L) < score(1L) && score(3L) < score(2L),
+      s"gibberish must sit in the left tail: $score")
+    // self-trained model: every log-prob is negative, so means are too
+    assert(got.forall(_._3 < 0.0))
+    // case-folding: scoring is over lower(text)
+    val uppercased = Curation.lmScore(
+      docs.withColumn("text", upper($"text")), "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    assert(uppercased.toSeq == got.toSeq)
+  }
 }

@@ -89,6 +89,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: reps survive, near-identical cell-mates flagged, one row per vector") {
+    // plant an exact duplicate and a tiny-noise paraphrase of vector 0;
+    // both land in 0's cell and score ~1.0 against its representative
+    val withDups = emb.unionByName(Seq(
+      (100L, Array.tabulate(8)(d => if (d % 4 == 0) 1f else 0f)),
+      (101L, Array.tabulate(8)(d => (if (d % 4 == 0) 1f else 0f) + d * 1e-4f))
+    ).toDF("vec_id", "embedding"))
+    val index = Similarity.trainIvf(withDups, "vec_id", "embedding", 4)
+    val out = Similarity.semanticDedup(withDups, "vec_id", "embedding", index, 0.98)
+      .as[(Long, Int, Long, Double, Boolean)].collect()
+    assert(out.length == 42, "exactly one row per input vector")
+    // every cell's representative is its min id and is never flagged
+    val byCell = out.groupBy(_._2)
+    for ((_, rows) <- byCell) {
+      val rep = rows.map(_._1).min
+      assert(rows.forall(_._3 == rep))
+      val repRow = rows.find(_._1 == rep).get
+      assert(repRow._4 == 1.0 && !repRow._5, "rep scores 1.0 vs itself, survives")
+    }
+    val flagged = out.filter(_._5).map(_._1).toSet
+    assert(Set(100L, 101L).subsetOf(flagged), s"planted near-dups flagged: $flagged")
+    // flagging is exactly the threshold predicate on the emitted sim
+    assert(out.forall(r => r._5 == (r._1 != r._3 && r._4 >= 0.98)))
+  }
+
   test("trainIvf centroids are reproducible and assignment covers the corpus") {
     val a = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
     val b = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
