@@ -115,6 +115,10 @@ object GraftCli {
     case "annquery" :: indexDir :: emb :: id :: k :: rest if rest.size <= 1 =>
       annQuery(indexDir, emb, id.toLong, k.toInt,
         rest.headOption.map(_.toInt).getOrElse(1))
+    case "bpetrain" :: docs :: out :: rest if rest.size <= 1 =>
+      bpeTrain(docs, out, rest.headOption.map(_.toInt).getOrElse(32))
+    case "bpetokenize" :: docs :: mergesDir :: out :: Nil =>
+      bpeTokenize(docs, mergesDir, out)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -130,7 +134,9 @@ object GraftCli {
            |corpus:    corpusdedup decontaminate corpusstats corpussplit corpusmix
            |           corpusimport corpusingest
            |ann:       annbuild <emb> <indexdir> [cells]
-           |           annquery <indexdir> <emb> <id> <k> [nprobe]""".stripMargin)
+           |           annquery <indexdir> <emb> <id> <k> [nprobe]
+           |tokenizer: bpetrain <docs> <mergesdir> [merges]
+           |           bpetokenize <docs> <mergesdir> <outdir>""".stripMargin)
       sys.exit(2)
   }
 
@@ -1018,6 +1024,35 @@ object GraftCli {
       counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"$t%-22s $n%6d") }
       println(s"store written to $store")
     }
+    spark.stop()
+  }
+
+  /** bpetrain: learn a BPE merge table from a parquet corpus (needs a
+    * `text` column) and persist it as (rank, a, b) — the tokenizer-
+    * training half of the corpus pipeline. The corpus reduces to a
+    * word-frequency dictionary once; each merge round is dictionary-
+    * local and ships one row to the driver. */
+  private def bpeTrain(in: String, out: String, numMerges: Int): Unit = {
+    val spark = GraftSession.local()
+    val merges = graft.operators.Bpe.learn(spark.read.parquet(in), "text", numMerges)
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "a", "b").repartition(1)
+      .write.mode("overwrite").parquet(out)
+    println(s"learned ${merges.size} merge rules -> $out")
+    spark.stop()
+  }
+
+  /** bpetokenize: segment a corpus with a saved merge table — merges
+    * replay on the distinct-word dictionary, documents rejoin by word
+    * (map-side); writes (doc_id, pos, word, tokens). */
+  private def bpeTokenize(in: String, mergesDir: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val merges = spark.read.parquet(mergesDir).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.tokenize(spark.read.parquet(in), "doc_id", "text", merges)
+      .write.mode("overwrite").parquet(out)
+    println(s"tokenized with ${merges.size} merge rules -> $out")
     spark.stop()
   }
 

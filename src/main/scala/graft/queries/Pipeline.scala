@@ -1231,6 +1231,26 @@ object Pipeline {
       |FROM bg JOIN lp USING (bg)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  // BPE training round statistics: frequency-weighted adjacent
+  // character-pair counts over the word dictionary — the aggregation
+  // every merge round of tokenizer training runs (operators/Bpe.learn);
+  // top pair = the first learned merge rule.
+  private def q98BpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.pairCounts(
+        graft.operators.Bpe.wordDict(t(s, dir, "documents"), "text"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(50)
+
+  private val q98Sql =
+    """WITH w AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents),
+      |wd AS (SELECT word, COUNT(*) AS n FROM w WHERE length(word) > 0 GROUP BY word),
+      |p AS (SELECT substr(word, CAST(i AS INTEGER), 1) AS a,
+      |             substr(word, CAST(i AS INTEGER) + 1, 1) AS b, n
+      |      FROM wd, unnest(generate_series(1, length(word) - 1)) AS u(i))
+      |SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt
+      |FROM p GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
@@ -1276,6 +1296,7 @@ object Pipeline {
     "q95_classifier_score" -> q95ClassifierScore _,
     "q96_semantic_dedup" -> q96SemanticDedup _,
     "q97_lm_score" -> q97LmScore _,
+    "q98_bpe_pairs" -> q98BpePairs _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1323,5 +1344,6 @@ object Pipeline {
     "q95_classifier_score" -> q95Sql,
     "q96_semantic_dedup" -> q96Sql,
     "q97_lm_score" -> q97Sql,
+    "q98_bpe_pairs" -> q98Sql,
   )
 }
