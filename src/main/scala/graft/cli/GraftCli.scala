@@ -65,6 +65,16 @@ object GraftCli {
         rest.drop(1).headOption)
     case "store2gff3" :: store :: out :: rest if rest.size <= 1 =>
       store2Gff3(store, out, rest.headOption)
+    case "chado2dictycanonicalgff3" :: store :: out :: Nil =>
+      dictyGff3(store, out, "canonical")
+    case "chado2dictycuratedgff3" :: store :: out :: Nil =>
+      dictyGff3(store, out, "curated")
+    case "chado2dictynoncodinggff3" :: store :: out :: Nil =>
+      dictyGff3(store, out, "noncoding")
+    case "chado2dictynoncanonicalgff3" :: store :: out :: rest if rest.size <= 1 =>
+      dictyGff3(store, out, "noncanonical", rest.headOption)
+    case "chado2dictynoncanonicalv2gff3" :: store :: out :: rest if rest.size <= 1 =>
+      dictyGff3(store, out, "noncanonicalv2", rest.headOption)
     case "stockreport" :: in :: Nil => stockReport(in)
     case "gaf2chado" :: in :: store :: Nil => gaf2Chado(in, store)
     case "oboclosure2chado" :: in :: store :: Nil => oboClosure2Chado(in, store)
@@ -127,6 +137,8 @@ object GraftCli {
            |           gaf2chado organism2chado bibtex2chado stream-merge dropontofromchado
            |export:    chado2gff3 store2gff3 store2alignmentgff3 chado2fasta chado2gaf
            |           chado2genesummary chadopub2bib gb2fasta dictypub dictypubannotation
+           |           chado2dicty{canonical,curated,noncoding}gff3 <store> <out>
+           |           chado2dictynoncanonical[v2]gff3 <store> <out> [source]
            |transform: blast2gff3 gff3alignment modidingoa modrefingoa pub2bib dictybib
            |stock:     dictystrain2chado dictyplasmid2chado (load <datadir> <store>)
            |dump:      dictystrain dictyplasmid
@@ -423,6 +435,40 @@ object GraftCli {
     val refs = frame.filter(col("ftype").isin("chromosome", "contig", "supercontig"))
       .select(col("uniquename"), (col("fmax") - col("fmin")).as("seqlen"))
     Gff3Export.writeDocument(refs, frame, out, singleFile)
+    println(s"gff3 written to $out (${frame.count()} feature lines)")
+    spark.stop()
+  }
+
+  /** The five dicty house GFF3 dumps (lib/Modware/Export/Command/
+    * chado2dicty*gff3.pm) over the parquet store — each variant is one
+    * declarative join pass in export/DictyGff3Export. The canonical
+    * family writes `##sequence-region` headers; the noncanonical pair
+    * defaults them off like the reference commands. */
+  private def dictyGff3(storeDir: String, out: String, variant: String,
+      source: Option[String] = None): Unit = {
+    val spark = GraftSession.local()
+    def t(name: String) = spark.read.parquet(s"$storeDir/$name")
+    val c = graft.export.DictyGff3Export.Chado(
+      feature = t("feature"), featureloc = t("featureloc"),
+      featureRelationship = t("feature_relationship"),
+      featureDbxref = t("feature_dbxref"),
+      featureSynonym = t("feature_synonym"))
+    import graft.export.DictyGff3Export
+    val (frame, regions) = variant match {
+      case "canonical" => (DictyGff3Export.canonical(c), true)
+      case "curated" => (DictyGff3Export.curated(c), true)
+      case "noncoding" => (DictyGff3Export.noncoding(c), true)
+      case "noncanonical" =>
+        (DictyGff3Export.noncanonical(c,
+          source.getOrElse(DictyGff3Export.SeqCenter)), false)
+      case "noncanonicalv2" =>
+        (DictyGff3Export.noncanonicalV2(c,
+          source = source.getOrElse(DictyGff3Export.Reprediction)), false)
+    }
+    val refs = c.feature.filter(col("ftype") === "chromosome")
+      .select(col("uniquename"), col("seqlen"))
+    Gff3Export.writeDocument(refs, frame, out, singleFile,
+      sequenceRegion = regions)
     println(s"gff3 written to $out (${frame.count()} feature lines)")
     spark.stop()
   }

@@ -110,7 +110,9 @@ object AssemblyToChado {
         "Name" -> Seq(s.uniquename),
         "Dbxref" -> Seq(s"$prefix:${s.uniquename}", "GFF_source:GenBank")) ++
         s.version.map(v => "version" -> Seq(v.toString))
-      GffRecord(s.scaffold, Some("genbank"), s.ftype,
+      // source 'GenBank' coincides with the explicit compat xref above,
+      // so the staged column-2 GFF_source link dedupes against it
+      GffRecord(s.scaffold, Some("GenBank"), s.ftype,
         s.fmin.toInt, s.fmax.toInt, None, None, None, attrs)
     }
   }

@@ -81,11 +81,19 @@ object Gff3ToChado {
       .dropDuplicates()
     val synonym = featureSynonym.select(col("alias")).dropDuplicates()
 
+    // column 2 (source) is preserved as a db='GFF_source' dbxref exactly
+    // like the reference loader (WithChadoGFF3Helper.pm:347-351) — the
+    // dicty per-source exports filter on it
+    val sourceDbxref = rec.filter(col("source").isNotNull)
+      .select(col("uniquename"), lit("GFF_source").as("db"),
+        col("source").as("accession"))
     val featureDbxref = rec
       .select(col("uniquename"), explode(expr("element_at(attributes, 'Dbxref')")).as("xref"))
       .withColumn("db", substring_index(col("xref"), ":", 1))
       .withColumn("accession", substring_index(col("xref"), ":", -1))
-      .drop("xref").dropDuplicates()
+      .drop("xref")
+      .unionByName(sourceDbxref)
+      .dropDuplicates()
     val dbxref = featureDbxref.select(col("db"), col("accession")).dropDuplicates()
 
     // Parent -> part_of, Derives_from -> derives_from

@@ -1,0 +1,246 @@
+package graft.export
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The five dicty house GFF3 exports (lib/Modware/Export/Command/
+  * chado2dicty{canonical,curated,noncanonical,noncanonicalv2,noncoding}
+  * gff3.pm). In the reference each is an EventEmitter walk — one reader
+  * subclass picks transcripts per gene with a per-row SQL round-trip, one
+  * writer subclass rewrites dicty pseudogene models and caches which gene
+  * rows were already printed. Here every variant is a single declarative
+  * join pass over the store frames; the per-gene "curated source else
+  * sequencing center" fallback is a min-over-window, and the writer
+  * rewrites are column expressions, so the whole export stays one
+  * shuffle-per-join plan that scales with partition count.
+  */
+object DictyGff3Export {
+
+  /** Store frames the dicty exports consume (parquet store layout). */
+  case class Chado(
+      feature: DataFrame, // uniquename, name, ftype [, is_deleted]
+      featureloc: DataFrame, // uniquename, srcfeature, fmin, fmax, strand, phase, rank
+      featureRelationship: DataFrame, // subject, object, reltype
+      featureDbxref: DataFrame, // uniquename, db, accession
+      featureSynonym: DataFrame) // uniquename, alias
+
+  val Curator = "dictyBase Curator"
+  val SeqCenter = "Sequencing Center"
+  val Reprediction = "geneID reprediction"
+
+  /** ncRNA transcript types (FeatureReader/Chado/NonCoding/Dicty.pm:21-27). */
+  val noncodingTypes: Seq[String] = Seq(
+    "snRNA", "class_I_RNA", "class_II_RNA", "C_D_box_snoRNA",
+    "H_ACA_box_snoRNA", "SRP_RNA", "RNase_P_RNA", "RNAase_MRP_RNA",
+    "snoRNA", "rRNA", "ncRNA", "tRNA", "antisense_RNA")
+
+  /** `is_deleted = 0` gate every dicty reader applies (Canonical/Dicty.pm:
+    * 23). The column is optional in the store; absent means nothing was
+    * soft-deleted. */
+  private def live(feature: DataFrame): DataFrame =
+    if (feature.columns.contains("is_deleted"))
+      feature.filter(!coalesce(col("is_deleted").cast("boolean"), lit(false)))
+    else feature
+
+  /** Per-feature GFF_source accession — the db='GFF_source' dbxref the
+    * GFF3 loader records for column 2 (WithChadoGFF3Helper.pm:347-351).
+    * min() makes the pick deterministic if a feature carries several. */
+  private def gffSource(fdbx: DataFrame): DataFrame =
+    fdbx.filter(col("db") === "GFF_source")
+      .groupBy(col("uniquename"))
+      .agg(min(col("accession")).as("gff_source"))
+
+  private def rank0(loc: DataFrame): DataFrame =
+    loc.filter(col("rank") === 0)
+      .select(col("uniquename"), col("srcfeature"), col("fmin"), col("fmax"),
+        col("strand"), col("phase"))
+
+  /** part_of transcript children of live genes, with each transcript's
+    * GFF_source attached: (uniquename, name, ftype, gene, gff_source). */
+  private def geneTranscripts(c: Chado, typeFilter: Column): DataFrame = {
+    val genes = live(c.feature).filter(col("ftype") === "gene")
+      .select(col("uniquename").as("gene"))
+    val edges = c.featureRelationship.filter(col("reltype") === "part_of")
+      .select(col("subject").as("uniquename"), col("object").as("gene"))
+      .join(genes, "gene")
+    live(c.feature).filter(typeFilter)
+      .select(col("uniquename"), col("name"), col("ftype"))
+      .join(edges, "uniquename")
+      .join(gffSource(c.featureDbxref), Seq("uniquename"), "left_outer")
+  }
+
+  private val outCols = Seq("uniquename", "name", "ftype", "srcfeature",
+    "fmin", "fmax", "score", "strand", "phase", "source", "parent", "alias",
+    "type_rank").map(col)
+
+  private def shape(df: DataFrame, ftype: Column, source: Column,
+      parent: Column, alias: Column, rank: Int): DataFrame =
+    df.select(col("uniquename"),
+      // staging falls back name := uniquename; don't re-emit the echo
+      nullif(col("name"), col("uniquename")).as("name"),
+      ftype.as("ftype"), col("srcfeature"), col("fmin"), col("fmax"),
+      lit(null).cast("double").as("score"), col("strand"),
+      lit(null).cast("int").as("phase"), source.as("source"),
+      parent.as("parent"), alias.as("alias"), lit(rank).as("type_rank"))
+
+  /** Shared writer shape for the canonical-family variants
+    * (FeatureWriter/GFF3/Canonical/Dicty.pm:24-100 and NonCanonical/
+    * Dicty.pm:12-30): gene rows are emitted once per gene that kept a
+    * transcript and inherit that transcript's source (and Alias =
+    * synonyms); dicty pseudogene models are rewritten SO-compliant —
+    * pseudogene / pseudogenic_transcript / pseudogenic_exon; the
+    * noncanonical writer drops gene rows and the transcripts' Parent.
+    *
+    * `trans` columns: uniquename, name, ftype, gene, gff_source.
+    */
+  private def dictyFrame(c: Chado, trans: DataFrame, genes: Boolean,
+      parentOnTranscript: Boolean, polypeptide: Boolean): DataFrame = {
+    val loc0 = rank0(c.featureloc)
+    val t = trans.join(loc0, "uniquename")
+
+    val transRows = shape(t,
+      ftype = when(col("ftype") === "pseudogene", "pseudogenic_transcript")
+        .otherwise(col("ftype")),
+      source = col("gff_source"),
+      parent = if (parentOnTranscript) col("gene")
+        else lit(null).cast("string"),
+      alias = lit(null).cast("array<string>"), rank = 3)
+
+    val geneRows = if (!genes) transRows.limit(0) else {
+      // the first transcript printed defines the gene row's source and
+      // whether the gene is rewritten as `pseudogene`; min(uniquename)
+      // is the deterministic stand-in for the reference's cursor order
+      val geneInfo = trans.groupBy(col("gene")).agg(
+        min_by(struct(col("gff_source"), col("ftype")), col("uniquename"))
+          .as("rep"))
+        .select(col("gene").as("uniquename"),
+          col("rep.gff_source").as("gene_source"),
+          (col("rep.ftype") === "pseudogene").as("pseudo"))
+      val synonyms = c.featureSynonym.groupBy(col("uniquename"))
+        .agg(array_sort(collect_set(col("alias"))).as("syn"))
+      val g = live(c.feature).join(geneInfo, "uniquename")
+        .join(synonyms, Seq("uniquename"), "left_outer")
+        .join(loc0, "uniquename")
+      shape(g,
+        ftype = when(col("pseudo"), "pseudogene").otherwise(lit("gene")),
+        source = col("gene_source"), parent = lit(null).cast("string"),
+        alias = col("syn"), rank = 2)
+    }
+
+    // exon / pseudogenic_exon children, forced pseudogenic under a
+    // pseudogene parent (write_exon, Canonical/Dicty.pm:84-99)
+    // distinct transcript keys: a multi-parent transcript appears once
+    // per gene in `trans` but its exons must be emitted once
+    val tkeys = trans.select(col("uniquename").as("parent"),
+      (col("ftype") === "pseudogene").as("parent_pseudo")).dropDuplicates()
+    val exonEdges = c.featureRelationship.filter(col("reltype") === "part_of")
+      .select(col("subject").as("uniquename"), col("object").as("parent"))
+      .join(tkeys, "parent")
+    val exons = live(c.feature)
+      .filter(col("ftype").isin("exon", "pseudogenic_exon"))
+      .select(col("uniquename"), col("name"), col("ftype"))
+      .join(exonEdges, "uniquename")
+      .join(gffSource(c.featureDbxref), Seq("uniquename"), "left_outer")
+      .join(loc0, "uniquename")
+    val exonRows = shape(exons,
+      ftype = when(col("parent_pseudo"), "pseudogenic_exon")
+        .otherwise(col("ftype")),
+      source = col("gff_source"), parent = col("parent"),
+      alias = lit(null).cast("array<string>"), rank = 4)
+
+    val polyRows = if (!polypeptide) transRows.limit(0) else {
+      val polyEdges = c.featureRelationship
+        .filter(col("reltype").isin("derives_from", "derived_from"))
+        .select(col("subject").as("uniquename"), col("object").as("parent"))
+        .join(trans.select(col("uniquename").as("parent")).dropDuplicates(),
+          "parent")
+      val p = live(c.feature).filter(col("ftype") === "polypeptide")
+        .select(col("uniquename"), col("name"), col("ftype"))
+        .join(polyEdges, "uniquename")
+        .join(gffSource(c.featureDbxref), Seq("uniquename"), "left_outer")
+        .join(loc0, "uniquename")
+      shape(p, ftype = col("ftype"), source = col("gff_source"),
+        parent = col("parent"), alias = lit(null).cast("array<string>"),
+        rank = 6)
+    }
+
+    geneRows.unionByName(transRows).unionByName(exonRows)
+      .unionByName(polyRows).select(outCols: _*)
+  }
+
+  /** chado2dictycanonicalgff3: mRNA/pseudogene transcripts from the
+    * curator, falling back per gene to the sequencing center when no
+    * curated model exists (read_canonical_transcript, Canonical/Dicty.pm:
+    * 50-90) — the two-query fallback becomes one min-over-window. */
+  def canonical(c: Chado): DataFrame = {
+    val trans = geneTranscripts(c, col("ftype").isin("mRNA", "pseudogene"))
+      .filter(col("gff_source").isin(Curator, SeqCenter))
+      .withColumn("prio", when(col("gff_source") === Curator, 0).otherwise(1))
+    val keep = trans
+      .withColumn("best", min(col("prio")).over(Window.partitionBy(col("gene"))))
+      .filter(col("prio") === col("best")).drop("prio", "best")
+    dictyFrame(c, keep, genes = true, parentOnTranscript = true,
+      polypeptide = true)
+  }
+
+  /** chado2dictycuratedgff3: curator-sourced models only, any *RNA* type
+    * or pseudogene, no fallback (Curated/Dicty.pm:54-70). */
+  def curated(c: Chado): DataFrame = {
+    val trans = geneTranscripts(c,
+      col("ftype").like("%RNA%") || col("ftype") === "pseudogene")
+      .filter(col("gff_source") === Curator)
+    dictyFrame(c, trans, genes = true, parentOnTranscript = true,
+      polypeptide = false)
+  }
+
+  /** chado2dictynoncodinggff3: the fixed ncRNA type list, any GFF_source
+    * (NonCoding/Dicty.pm:12-33). */
+  def noncoding(c: Chado): DataFrame = {
+    val trans = geneTranscripts(c, col("ftype").isin(noncodingTypes: _*))
+      .filter(col("gff_source").isNotNull)
+    dictyFrame(c, trans, genes = true, parentOnTranscript = true,
+      polypeptide = false)
+  }
+
+  /** chado2dictynoncanonicalgff3: one alternate source's mRNA/pseudogene
+    * models (default Sequencing Center), written WITHOUT gene rows and
+    * with the transcripts' Parent dropped (read_transcript_by_source +
+    * NonCanonical/Dicty.pm:12-30). */
+  def noncanonical(c: Chado, source: String = SeqCenter): DataFrame = {
+    val trans = geneTranscripts(c, col("ftype").isin("mRNA", "pseudogene"))
+      .filter(col("gff_source") === source)
+    dictyFrame(c, trans, genes = false, parentOnTranscript = false,
+      polypeptide = false)
+  }
+
+  /** chado2dictynoncanonicalv2gff3: flat dump of one source's features
+    * (default `geneID reprediction` mRNAs) and their part_of subfeatures,
+    * no gene hierarchy, no pseudogene rewrite (NonCanonical/Dicty.pm
+    * reader:19-48 + NonCanonical/DictyV2.pm writer). */
+  def noncanonicalV2(c: Chado, featureType: String = "mRNA",
+      subfeatureType: String = "exon",
+      source: String = Reprediction): DataFrame = {
+    val loc0 = rank0(c.featureloc)
+    val feats = live(c.feature).filter(col("ftype") === featureType)
+      .select(col("uniquename"), col("name"), col("ftype"))
+      .join(gffSource(c.featureDbxref), "uniquename")
+      .filter(col("gff_source") === source)
+    val featRows = shape(feats.join(loc0, "uniquename"),
+      ftype = col("ftype"), source = col("gff_source"),
+      parent = lit(null).cast("string"),
+      alias = lit(null).cast("array<string>"), rank = 3)
+    val subEdges = c.featureRelationship.filter(col("reltype") === "part_of")
+      .select(col("subject").as("uniquename"), col("object").as("parent"))
+      .join(feats.select(col("uniquename").as("parent")), "parent")
+    val subs = live(c.feature).filter(col("ftype") === subfeatureType)
+      .select(col("uniquename"), col("name"), col("ftype"))
+      .join(subEdges, "uniquename")
+      .join(gffSource(c.featureDbxref), Seq("uniquename"), "left_outer")
+      .join(loc0, "uniquename")
+    val subRows = shape(subs, ftype = col("ftype"),
+      source = col("gff_source"), parent = col("parent"),
+      alias = lit(null).cast("array<string>"), rank = 4)
+    featRows.unionByName(subRows).select(outCols: _*)
+  }
+}

@@ -38,10 +38,19 @@ object Gff3Export {
     * int), source (nullable), parent (nullable).
     */
   private def featureLines(features: DataFrame): DataFrame = {
+    // optional Alias attribute (array<string> `alias` column): the dicty
+    // gene rows carry their synonyms (Canonical/Dicty.pm write_gene Alias)
+    val aliasAttr =
+      if (!features.columns.contains("alias")) lit("")
+      else when(col("alias").isNotNull && size(col("alias")) > 0,
+        concat(lit(";Alias="),
+          concat_ws(",", transform(col("alias"), a => esc(a)))))
+        .otherwise(lit(""))
     val attrs = concat(
       lit("ID="), esc(col("uniquename")),
       when(col("name").isNotNull, concat(lit(";Name="), esc(col("name")))).otherwise(lit("")),
-      when(col("parent").isNotNull, concat(lit(";Parent="), esc(col("parent")))).otherwise(lit("")))
+      when(col("parent").isNotNull, concat(lit(";Parent="), esc(col("parent")))).otherwise(lit("")),
+      aliasAttr)
     val line = concat_ws("\t",
       col("srcfeature"),
       coalesce(col("source"), lit(".")),
@@ -53,10 +62,15 @@ object Gff3Export {
       when(col("strand") === 1, "+").when(col("strand") === -1, "-").otherwise("."), // F7
       coalesce(col("phase").cast("string"), lit(".")),
       attrs)
-    features
-      .withColumn("type_rank", coalesce(typeRank(col("ftype")), lit(9)))
-      .select(col("srcfeature"), col("type_rank"), col("fmin"),
-        col("uniquename"), line.as("value"))
+    // a caller-supplied type_rank wins: the dicty variants re-rank their
+    // rewritten pseudogene rows (gene-level `pseudogene` sorts as a gene,
+    // not as the transcript the name ranks by default)
+    val ranked =
+      if (features.columns.contains("type_rank")) features
+      else features.withColumn("type_rank",
+        coalesce(typeRank(col("ftype")), lit(9)))
+    ranked.select(col("srcfeature"), col("type_rank"), col("fmin"),
+      col("uniquename"), line.as("value"))
   }
 
   /** Serialize a feature frame into ordered GFF3 lines: parent before
@@ -95,17 +109,23 @@ object Gff3Export {
     * whole-genome dump.
     */
   def writeDocument(references: DataFrame, features: DataFrame, out: String,
-      singleFile: Boolean = false): Unit =
+      singleFile: Boolean = false, sequenceRegion: Boolean = true): Unit =
     if (singleFile) {
-      document(references, features).coalesce(1).write.mode("overwrite").text(out)
+      document(references, features, sequenceRegion)
+        .coalesce(1).write.mode("overwrite").text(out)
     } else {
       def pragma(rank: Int, value: org.apache.spark.sql.Column) =
         references.select(col("uniquename").as("srcfeature"),
           lit(rank).as("doc_rank"), lit(0).as("type_rank"), lit(0).as("fmin"),
           lit("").as("uniquename"), value.as("value"))
       val version = pragma(0, lit("##gff-version 3"))
-      val head = pragma(1, concat(lit("##sequence-region "), col("uniquename"),
-        lit(" 1 "), col("seqlen").cast("string")))
+      // the noncanonical dicty dumps default sequence-region headers off
+      // (chado2dictynoncanonicalgff3.pm write_sequence_region)
+      val head =
+        if (sequenceRegion)
+          pragma(1, concat(lit("##sequence-region "), col("uniquename"),
+            lit(" 1 "), col("seqlen").cast("string")))
+        else pragma(1, lit("")).limit(0)
       val body = featureLines(features).withColumn("doc_rank", lit(2))
         .select(col("srcfeature"), col("doc_rank"), col("type_rank"),
           col("fmin"), col("uniquename"), col("value"))
@@ -176,14 +196,16 @@ object Gff3Export {
 
   /** Whole GFF3 document — pragmas then ordered feature lines — as one
     * globally sorted frame safe for a single-file write. */
-  def document(references: DataFrame, features: DataFrame): DataFrame = {
-    val head = references
+  def document(references: DataFrame, features: DataFrame,
+      sequenceRegion: Boolean = true): DataFrame = {
+    val regions = references
       .select(concat(lit("##sequence-region "), col("uniquename"), lit(" 1 "),
         col("seqlen").cast("string")).as("value"))
       .withColumn("doc_rank", lit(1))
       .withColumn("srcfeature", lit(""))
       .withColumn("type_rank", lit(0)).withColumn("fmin", lit(0))
       .withColumn("uniquename", col("value"))
+    val head = if (sequenceRegion) regions else regions.limit(0)
     val version = features.sparkSession.range(1)
       .select(lit("##gff-version 3").as("value"), lit(0).as("doc_rank"),
         lit("").as("srcfeature"), lit(0).as("type_rank"), lit(0).as("fmin"),

@@ -338,28 +338,40 @@ object Curation {
     * bounded by charset² — thousands of rows even at 100 TB) and turn
     * counts into `round(ln((c+1)/(N+V)), 6)`; (2) SCORE — broadcast the
     * vocabulary-sized log-prob table, map-side join each document's
-    * bigrams, one per-doc aggregate. Log-probs are rounded to 6
+    * distinct bigrams (count-weighted), one per-doc aggregate. Both
+    * passes share one materialized per-(doc, bigram) count frame, so
+    * the corpus is scanned and exploded once. Log-probs are rounded to 6
     * decimals BEFORE the decimal-typed per-doc sum, so the fold is
     * order-insensitive and any engine reproduces avg_logp bit-for-bit.
     *
     * Documents shorter than 2 characters have no bigrams and are
     * omitted. Returns (doc_id, n_bigrams, avg_logp). */
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = docs
+    // per-(doc, bigram) counts, materialized once: both the trainer and
+    // the scorer consume this frame, and without the checkpoint the
+    // static planner would re-scan and re-explode the corpus for each
+    // (the q86/q65 double-subtree rule). Collapsing to per-doc distinct
+    // bigrams first also shrinks the scoring join from bigram INSTANCES
+    // to per-doc vocabulary — sum(logp)·k is decimal-exact, so values
+    // are bit-identical to the instance-level fold.
+    val bgc = docs
       .select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
       .filter(length(col("t")) >= 2)
       .select(col("doc_id"),
         explode(expr(
           "transform(sequence(1, char_length(t) - 1), i -> substring(t, i, 2))")).as("bg"))
-    val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val model = bgc.groupBy(col("bg")).agg(sum(col("k")).as("c"))
     val tot = model.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
     val lp = model.crossJoin(broadcast(tot))
       .select(col("bg"),
         round(log((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double")), 6)
           .cast("decimal(28,6)").as("logp"))
-    bg.join(broadcast(lp), Seq("bg"))
+    bgc.join(broadcast(lp), Seq("bg"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("avg_logp"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round((sum(col("logp") * col("k"))).cast("double") / sum(col("k")), 6)
+          .as("avg_logp"))
   }
 }

@@ -1251,7 +1251,29 @@ object Pipeline {
       |SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt
       |FROM p GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin
 
+  // --------------------------------------------------------------- q100
+  // Unicode NFC normalization via the codegen'd
+  // [[graft.functions.UnicodeNormalize]] expression vs DuckDB's
+  // nfc_normalize. The corpus text is ASCII-heavy (the fast path), so
+  // the probe suffixes a decomposed e+U+0301 and an ﬁ ligature onto
+  // every row: NFC must compose the accent but keep the compatibility
+  // ligature, exercising the real normalizer on every row.
+  private def q100Normalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.UnicodeNormalize(
+          concat(substring(col("text"), 1, 24), lit(" e\u0301\ufb01") /* e + combining acute, fi ligature */),
+          "NFC").as("norm"))
+      .withColumn("n_cp", length(col("norm")))
+      .orderBy(col("doc_id"))
+
+  private val q100Sql =
+    "SELECT doc_id, nfc_normalize(substr(text, 1, 24) || ' e' || chr(769) || chr(64257)) AS norm, " +
+      "CAST(length(nfc_normalize(substr(text, 1, 24) || ' e' || chr(769) || chr(64257))) AS INTEGER) AS n_cp " +
+      "FROM documents ORDER BY doc_id"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_normalize" -> q100Normalize _,
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
     "q29_jaccard" -> q29Jaccard _,
@@ -1345,5 +1367,6 @@ object Pipeline {
     "q96_semantic_dedup" -> q96Sql,
     "q97_lm_score" -> q97Sql,
     "q98_bpe_pairs" -> q98Sql,
+    "q100_normalize" -> q100Sql,
   )
 }

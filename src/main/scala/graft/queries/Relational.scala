@@ -1313,6 +1313,47 @@ object Relational {
       |SELECT l_orderkey, l_linenumber, v, printf('%.3g', v) AS g3
       |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  // The dicty canonical transcript picker (export/DictyGff3Export.canonical,
+  // FeatureReader/Chado/Canonical/Dicty.pm:50-90): scope rows to the two
+  // accepted sources, keep only each group's best-priority source
+  // (curator-else-sequencing-center as one min-over-window instead of the
+  // reference's two-query fallback), then a min_by picks the group
+  // representative the way the emitted gene row inherits its first
+  // transcript's source.
+  private def q99SourcePref(s: SparkSession, dir: String): DataFrame = {
+    val scoped = t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("R", "A"))
+      .withColumn("prio", when(col("l_returnflag") === "R", 0).otherwise(1))
+    val kept = scoped.withColumn("best",
+      min(col("prio")).over(Window.partitionBy(col("l_orderkey"))))
+      .filter(col("prio") === col("best"))
+    kept.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("l_returnflag")).as("kept_flag"),
+        // composite deterministic key: the synthetic lineitem reuses
+        // l_linenumber within an order, so break ties on quantity
+        // (quantity <= 50 keeps ln*100 + qty monotone in (ln, qty))
+        min_by(col("l_quantity"),
+          col("l_linenumber") * 100 + col("l_quantity")).as("rep_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  private val q99Sql =
+    """WITH scoped AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      |         CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS prio
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+      |kept AS (
+      |  SELECT * FROM (
+      |    SELECT *, MIN(prio) OVER (PARTITION BY l_orderkey) AS best
+      |    FROM scoped)
+      |  WHERE prio = best)
+      |SELECT l_orderkey, COUNT(*) AS n_kept,
+      |       MIN(l_returnflag) AS kept_flag,
+      |       MIN_BY(l_quantity, l_linenumber * 100 + l_quantity) AS rep_qty
+      |FROM kept GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -1367,6 +1408,7 @@ object Relational {
     "q91_asm_stitch" -> q91AsmStitch _,
     "q92_coord_shift" -> q92CoordShift _,
     "q93_format_g" -> q93FormatG _,
+    "q99_source_pref" -> q99SourcePref _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1422,6 +1464,7 @@ object Relational {
     "q90_range_join" -> q90Sql,
     "q91_asm_stitch" -> q91Sql,
     "q92_coord_shift" -> q92Sql,
+    "q99_source_pref" -> q99Sql,
     "q93_format_g" -> q93Sql,
   )
 }

@@ -26,7 +26,11 @@ object CorpusIngest {
     val gated = docs
       .withColumn("n_tokens", size(split(col("text"), "\\s+")))
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
-      .withColumn("content_hash", md5(col("text")))
+      // hash the NFC form: composed and decomposed encodings of the same
+      // text are the same document (codegen'd expression, ASCII rows
+      // take the identity fast path — see functions/UnicodeNormalize)
+      .withColumn("content_hash",
+        md5(graft.functions.UnicodeNormalize(col("text"), "NFC")))
     // the watermarked dedup operator is stream-only. The stream arm
     // keeps the FIRST arrival per hash; the batch arm must pick the same
     // survivor for parity, and dropDuplicates keeps an arbitrary row —

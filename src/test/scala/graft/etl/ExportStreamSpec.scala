@@ -202,6 +202,19 @@ class ExportStreamSpec extends SparkSpec {
     assert(batch.length == 1 && batch.head == rows.head._2)
   }
 
+  test("ingest dedup is Unicode-normalization-insensitive") {
+    import graft.streaming.CorpusIngest
+    val composed = ("caf\u00e9 " * 25).trim // e-acute as U+00E9
+    val decomposed = ("cafe\u0301 " * 25).trim // e + combining acute U+0301
+    val docs = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 1L, composed),
+      (java.sql.Timestamp.valueOf("2024-01-01 09:01:00"), 2L, decomposed))
+      .toDF("ts", "doc_id", "text")
+    val out = CorpusIngest.curate(docs)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L)) // same text after NFC; first arrival survives
+  }
+
   test("stream-static broadcast enrichment matches the batch join") {
     val dir = java.nio.file.Files.createTempDirectory("enrich").toString
     val events = Seq((1L, 10L), (2L, 20L), (3L, 10L), (4L, 99L))

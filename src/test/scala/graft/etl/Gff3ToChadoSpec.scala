@@ -36,8 +36,10 @@ class Gff3ToChadoSpec extends SparkSpec {
     assert(counts("analysisfeature") == 1) // scored match line
     assert(counts("synonym") == 2) // alpha, beta
     assert(counts("feature_synonym") == 2)
-    assert(counts("dbxref") == 2) // GeneDB:G1 deduped across rows (W1), UniProt:U1
-    assert(counts("feature_dbxref") == 3) // gene1 x2, rna1 x1
+    // GeneDB:G1 deduped across rows (W1), UniProt:U1, plus the two
+    // GFF_source xrefs (test, blat) the loader records for column 2
+    assert(counts("dbxref") == 4)
+    assert(counts("feature_dbxref") == 11) // gene1 x2, rna1 x1, + 8 GFF_source links
     assert(counts("feature_relationship") == 5) // 4 part_of + 1 derives_from
     assert(counts("featureprop") == 1) // lowercase note -> generic prop (P8)
   }
@@ -47,8 +49,8 @@ class Gff3ToChadoSpec extends SparkSpec {
     val staging = Gff3ToChado.withFeatureVersion(staged)
     val (store, counts) = Gff3ToChado.merge(staging, Gff3ToChado.Store.emptyLike(staging))
     // 8 features -> +8 DDB:uniquename dbxrefs, links, version props
-    assert(counts("dbxref") == 2 + 8)
-    assert(counts("feature_dbxref") == 3 + 8)
+    assert(counts("dbxref") == 4 + 8)
+    assert(counts("feature_dbxref") == 11 + 8)
     assert(counts("featureprop") == 1 + 8)
     val (_, again) = Gff3ToChado.merge(staging, store)
     assert(again.values.forall(_ == 0L)) // re-load adds nothing
