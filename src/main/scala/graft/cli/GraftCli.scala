@@ -635,11 +635,17 @@ object GraftCli {
     * analysisfeature. */
   private def store2AlignmentGff3(store: String, out: String): Unit = {
     val spark = GraftSession.local()
-    val lines = Gff3Export.alignmentLines(
+    val lines = Gff3Export.alignmentLinesKeyed(
       spark.read.parquet(s"$store/feature"),
       spark.read.parquet(s"$store/featureloc"),
       spark.read.parquet(s"$store/analysisfeature"))
-    lines.coalesce(1).write.mode("overwrite").text(out)
+    // a whole-genome alignment dump is fact-sized: partitioned
+    // per-reference write by default, one global file only on opt-in
+    if (singleFile)
+      lines.orderBy(col("value")).select(col("value"))
+        .coalesce(1).write.mode("overwrite").text(out)
+    else
+      Gff3Export.writePartitionedText(lines, "srcfeature", out)
     println(s"alignment gff3 written to $out (${lines.count()} lines)")
     spark.stop()
   }

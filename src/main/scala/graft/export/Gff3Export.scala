@@ -169,6 +169,14 @@ object Gff3Export {
     * (uniquename, rawscore). Returns ordered GFF3 `value` lines.
     */
   def alignmentLines(features: DataFrame, featureloc: DataFrame,
+      analysis: DataFrame): DataFrame =
+    alignmentLinesKeyed(features, featureloc, analysis)
+      .orderBy(col("value")).select(col("value"))
+
+  /** Alignment lines with their reference key exposed, for the
+    * partitioned per-reference write (the scale default — a whole-genome
+    * alignment dump is fact-sized). */
+  def alignmentLinesKeyed(features: DataFrame, featureloc: DataFrame,
       analysis: DataFrame): DataFrame = {
     val loc0 = featureloc.filter(col("rank") === 0)
     val target = featureloc.filter(col("rank") === 1)
@@ -182,7 +190,7 @@ object Gff3Export {
       .join(features.select(col("uniquename"), col("ftype")), Seq("uniquename"))
       .join(analysis.select(col("uniquename"), col("rawscore")),
         Seq("uniquename"), "left_outer")
-      .select(concat_ws("\t",
+      .select(col("srcfeature"), concat_ws("\t",
         col("srcfeature"), lit("chado"), col("ftype"),
         (col("fmin") + 1).cast("string"), col("fmax").cast("string"),
         when(col("rawscore").isNotNull,
@@ -191,7 +199,6 @@ object Gff3Export {
         lit("."),
         concat(lit("ID="), esc(col("uniquename")),
           lit(";Target="), col("target"))).as("value"))
-      .orderBy(col("value"))
   }
 
   /** Whole GFF3 document — pragmas then ordered feature lines — as one
