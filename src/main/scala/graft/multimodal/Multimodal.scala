@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE path is real: the JDK ships `javax.imageio`
   * (PNG/JPEG/GIF/BMP header probe, pixel decode) so [[ImageCodec]]
-  * needs no external libraries. Audio/video have no JDK codec, so they
-  * go through `StubCodec`, a deterministic fake standing in for a
-  * JNI/FFI decoder — the one honest remaining stub. Payloads that no
-  * ImageIO reader claims (including the text-derived fixtures) fall
-  * back to the stub as well, so the plumbing behaves identically for
-  * every kind.
+  * needs no external libraries. The AUDIO path is real too:
+  * `javax.sound.sampled` reads WAV/AIFF/AU containers and PCM samples
+  * ([[AudioCodec]]). Video has no JDK codec, so it goes through
+  * `StubCodec`, a deterministic fake standing in for a JNI/FFI
+  * decoder — the one honest remaining stub. Payloads no JDK reader
+  * claims (including the text-derived fixtures) fall back to the stub
+  * as well, so the plumbing behaves identically for every kind.
   *
   * Scale notes: `mapPartitions` keeps one codec instance per task (the
   * expensive init happens once per partition, not per row) and streams
@@ -32,8 +33,11 @@ object Multimodal {
       n_bytes: Int,
       header_hex: String,
       format: String, // decoded format name, or "stub" on the fake path
-      width: Int,
+      width: Int, // images; 0 for audio
       height: Int,
+      sample_rate: Int, // audio; 0 for images/stub
+      channels: Int,
+      n_frames: Long,
       features: Array[Float])
 
   /** Deterministic fake decoder: byte-derived pseudo-metadata, for
@@ -110,9 +114,54 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode via `javax.sound.sampled` — JDK-only. WAV/AIFF/AU
+    * header metadata (sample rate, channels, frame count) comes from the
+    * actual container headers, and the amplitude histogram from the
+    * actual PCM samples. */
+  object AudioCodec {
+    /** (containerType, format, frameLength) for payloads a JDK audio
+      * reader claims; None for non-audio bytes. */
+    def decode(payload: Array[Byte])
+        : Option[(String, javax.sound.sampled.AudioFormat, Long)] =
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        Some((aff.getType.toString.toLowerCase, aff.getFormat,
+          aff.getFrameLength.toLong))
+      } catch { case _: Exception => None }
+
+    /** 8-bin histogram of absolute 16-bit PCM amplitude, normalized —
+      * a real, deterministic content feature from the decoded samples.
+      * Non-16-bit payloads fall back to an all-zero vector (the JDK
+      * decodes them; binning other sample widths isn't needed here). */
+    def amplitudeHistogram(payload: Array[Byte], bins: Int = 8): Array[Float] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return new Array[Float](bins)
+        val bytes = in.readAllBytes()
+        val big = fmt.isBigEndian
+        val counts = new Array[Long](bins)
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s =
+            if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+            else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+          val a = math.abs(s.toInt)
+          counts(math.min(bins - 1, a * bins / 32768)) += 1
+          i += 2
+        }
+        val total = math.max(1L, counts.sum)
+        counts.map(c => c.toFloat / total)
+      } finally in.close()
+    }
+  }
+
   /** Decode + featurize each media row, one codec per partition: real
-    * ImageIO metadata + luminance histogram for decodable images, the
-    * stub for everything else. */
+    * ImageIO metadata + luminance histogram for decodable images, real
+    * javax.sound metadata + amplitude histogram for decodable audio,
+    * the stub for everything else (video — no JDK codec). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -122,12 +171,18 @@ object Multimodal {
         ImageCodec.decode(r.payload) match {
           case Some((fmt, img)) =>
             MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
-              fmt, img.getWidth, img.getHeight,
+              fmt, img.getWidth, img.getHeight, 0, 0, 0L,
               ImageCodec.luminanceHistogram(img))
-          case None =>
-            val (w, h, feats) = StubCodec.decode(r.payload)
-            MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
-              "stub", w, h, feats)
+          case None => AudioCodec.decode(r.payload) match {
+            case Some((fmt, af, frames)) =>
+              MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
+                fmt, 0, 0, af.getSampleRate.toInt, af.getChannels, frames,
+                AudioCodec.amplitudeHistogram(r.payload))
+            case None =>
+              val (w, h, feats) = StubCodec.decode(r.payload)
+              MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
+                "stub", w, h, 0, 0, 0L, feats)
+          }
         }
       }
     }

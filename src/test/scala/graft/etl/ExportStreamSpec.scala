@@ -385,7 +385,7 @@ class ExportStreamSpec extends SparkSpec {
     // luminance histogram: half the pixels darkest bin, half lightest
     assert(f1.features.head == 0.5f && f1.features.last == 0.5f)
     assert(math.abs(f1.features.sum - 1.0f) < 1e-6)
-    // audio stays on the documented stub path
+    // undecodable bytes stay on the documented stub path
     assert(feats(2L).format == "stub")
     // real resize: dims scale, payload is a re-encoded PNG of the new size
     val resized = Multimodal.resize(media, 10).collect()
@@ -394,6 +394,32 @@ class ExportStreamSpec extends SparkSpec {
     val reDecoded = Multimodal.ImageCodec.decode(resized(1L).payload)
     assert(reDecoded.exists { case (fmt, i) =>
       fmt == "png" && i.getWidth == 10 && i.getHeight == 5 })
+  }
+
+  test("multimodal audio path decodes real WAV metadata and PCM amplitudes") {
+    // a real 16-bit mono PCM WAV, generated with the same JDK API:
+    // 800 frames of a loud square wave at 8 kHz
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](800 * 2)
+    for (i <- 0 until 800) {
+      val s: Short = if (i % 20 < 10) 30000 else -30000
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val media = spark.createDataset(Seq(Multimodal.MediaRow(7L, "audio", wav)))
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.format == "wave" && f.sample_rate == 8000 &&
+      f.channels == 1 && f.n_frames == 800)
+    assert(f.header_hex == "52494646") // the actual RIFF magic
+    // every sample is |30000| -> the 30000*8/32768 = 7th bin holds all
+    assert(f.features(7) == 1.0f && math.abs(f.features.sum - 1.0f) < 1e-6)
+    assert(f.width == 0 && f.height == 0) // image fields vacant on audio
   }
 
   test("multimodal stub pipeline extracts deterministic features") {
