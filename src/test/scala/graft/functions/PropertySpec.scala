@@ -69,3 +69,32 @@ object GraftProperties extends Properties("graft") {
       parts.mkString("|").split("\\|").toSeq == parts
     }
 }
+
+/** Unicode normalization laws over the codegen'd expression's kernel
+  * (functions/UnicodeNormalize): normalization is a projection —
+  * idempotent per form — NFKC output is already NFC-composed, and
+  * ASCII is a fixed point of every form (the fast-path contract). */
+object UnicodeNormalizeProperties extends Properties("unicode-normalize") {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def norm(s: String, form: String): String =
+    UnicodeNormalize.normalize(UTF8String.fromString(s), form).toString
+
+  val mixed: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf('é', '́', 'ﬁ', 'Ｈ', '²'),
+    1 -> Gen.oneOf(' ', '.', 'ß'))).map(_.mkString)
+
+  property("each form is idempotent") = Prop.forAll(mixed) { s =>
+    Seq("NFC", "NFKC", "NFD", "NFKD").forall(f => norm(norm(s, f), f) == norm(s, f))
+  }
+
+  property("NFKC output is NFC-fixed") = Prop.forAll(mixed) { s =>
+    norm(norm(s, "NFKC"), "NFC") == norm(s, "NFKC")
+  }
+
+  property("ASCII strings are fixed points of every form") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      Seq("NFC", "NFKC", "NFD", "NFKD").forall(f => norm(s, f) == s)
+    }
+}
