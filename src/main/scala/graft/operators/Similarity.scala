@@ -64,9 +64,15 @@ object Similarity {
       * [[graft.functions.L2Distance]] against every centroid literal,
       * first-minimum tiebreak == lowest cell id (cids are sorted). No
       * crossJoin, no groupBy — one codegen'd projection. */
-    private[Similarity] def cellCol: org.apache.spark.sql.Column = {
+    private[Similarity] def cellCol: org.apache.spark.sql.Column =
+      cellColFor(col("e"))
+
+    /** Same map-only argmin assignment against an arbitrary input
+      * column — the product-quantizer reuses it per subvector. */
+    private[Similarity] def cellColFor(
+        e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       val ds = array(centroids.map(c =>
-        graft.functions.VectorFunctions.l2_dist(col("e"),
+        graft.functions.VectorFunctions.l2_dist(e,
           array(c.map(lit): _*))): _*)
       element_at(
         array(cids.map(lit): _*),
@@ -326,5 +332,78 @@ object Similarity {
       .agg(graft.functions.TopK.top_k(k)(col(idCol).cast("long"), col("sim")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("hit"))
       .select(col("query_id"), col("hit._1").cast(idType).as(idCol), col("hit._2").as("sim"))
+  }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the memory/IO half of a production
+  // IVF-PQ index. Vectors are split into `m` contiguous subspaces; each
+  // subspace gets its own small codebook (the same deterministic
+  // one-Lloyd-step recipe as [[trainIvf]], per subspace), and a vector
+  // is stored as m small codes instead of d floats. Queries score
+  // against a per-subspace lookup table of query-to-centroid distances
+  // (ADC — asymmetric distance computation), so ranking scans CODES,
+  // not floats: at 100 TB of embeddings this is the difference between
+  // reading the corpus and reading ~1/32 of it, and both the encode and
+  // the scoring are map-only codegen'd projections over driver-held
+  // literals — no join, no shuffle until the bounded top-k.
+
+  /** A trained product quantizer: one [[IvfIndex]] codebook per
+    * subspace, each over `subDim`-wide subvectors. */
+  final case class PqIndex(subDim: Int, codebooks: Seq[IvfIndex])
+
+  /** Train `m` codebooks of `k` centroids each — one [[trainIvf]] pass
+    * per subspace over the sliced column. (A fused single-pass variant
+    * would aggregate all subspaces at once; m is small and training is
+    * one-off, so the simple per-subspace pass keeps the recipe —
+    * and its cross-engine determinism — identical to the coarse
+    * quantizer's.) */
+  def trainPq(emb: DataFrame, idCol: String, embCol: String,
+              m: Int, k: Int): PqIndex = {
+    val dim = emb.select(size(col(embCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    PqIndex(sub, (0 until m).map { j =>
+      trainIvf(emb.select(col(idCol),
+        slice(col(embCol), j * sub + 1, sub).as("sub")), idCol, "sub", k)
+    })
+  }
+
+  /** Map-only encode: each vector becomes its `m` nearest-centroid
+    * codes — one codegen'd argmin projection per subspace, no shuffle. */
+  def pqEncode(emb: DataFrame, idCol: String, embCol: String,
+               index: PqIndex): DataFrame =
+    emb.select(col(idCol).as("vid") +:
+      index.codebooks.zipWithIndex.map { case (b, j) =>
+        b.cellColFor(slice(col(embCol), j * index.subDim + 1, index.subDim))
+          .as(s"code_$j")
+      }: _*)
+
+  /** ADC top-k for the embedding of `queryId`: train, encode, build the
+    * per-subspace query-to-centroid distance table (constant-folded
+    * literals, each entry rounded to 6 decimals like every trained
+    * quantity), and rank by the summed table lookups — ascending
+    * approximate L2², ties to the lowest id. */
+  def pqTopK(emb: DataFrame, idCol: String, embCol: String,
+             queryId: Long, m: Int, k: Int, topK: Int): DataFrame = {
+    val index = trainPq(emb, idCol, embCol, m, k)
+    val codes = pqEncode(emb, idCol, embCol, index)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(embCol).cast("array<double>")).head.getSeq[Double](0)
+    // lut(j) = array of rounded distances from the query's j-th
+    // subvector to each centroid, in cid order (cids are 0..k-1 sorted)
+    val lut = index.codebooks.zipWithIndex.map { case (b, j) =>
+      val qj = array(q.slice(j * index.subDim, (j + 1) * index.subDim)
+        .map(lit): _*)
+      array(b.centroids.map(c =>
+        round(graft.functions.VectorFunctions.l2_dist(qj,
+          array(c.map(lit): _*)), 6)): _*)
+    }
+    val adist = round(lut.zipWithIndex.map { case (l, j) =>
+      element_at(l, col(s"code_$j") + 1)
+    }.reduce(_ + _), 6)
+    codes.filter(col("vid") =!= queryId)
+      .select(col("vid").as(idCol), adist.as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(topK)
   }
 }

@@ -1272,8 +1272,58 @@ object Pipeline {
       "CAST(length(nfc_normalize(substr(text, 1, 24) || ' e' || chr(769) || chr(64257))) AS INTEGER) AS n_cp " +
       "FROM documents ORDER BY doc_id"
 
+  // --------------------------------------------------------------- q101
+  // Product-quantization ADC ranking (operators/Similarity.pqTopK): two
+  // 32-dim subspaces, an 8-centroid codebook each (the deterministic
+  // one-Lloyd-step recipe per subspace), vectors reduced to 2 codes,
+  // query scored via summed lookup-table distances. m=2 keeps the
+  // cross-engine float story trivial (fp addition of two terms is
+  // commutative); the operator itself takes any m.
+  private def q101PqAdc(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, m = 2, k = 8, topK = 10)
+
+  private val q101Sql = {
+    def l2(a: String, b: String) = l2Sql(a, b)
+    s"""WITH subv AS (
+       |  SELECT vec_id, j, embedding[j*32+1 : (j+1)*32] AS sv
+       |  FROM embeddings, unnest(generate_series(0, 1)) AS u(j)),
+       |init AS (
+       |  SELECT j, CAST(vec_id AS INTEGER) AS cid, sv AS cv
+       |  FROM subv WHERE vec_id < 8),
+       |d0 AS (
+       |  SELECT s.vec_id AS vid, s.j, i.cid, ${l2("s.sv", "i.cv")} AS d2
+       |  FROM subv s JOIN init i ON s.j = i.j),
+       |a0 AS (SELECT vid, j, cell0 FROM (
+       |  SELECT vid, j, cid AS cell0,
+       |         row_number() OVER (PARTITION BY vid, j ORDER BY d2, cid) AS rn
+       |  FROM d0) WHERE rn = 1),
+       |dims AS (
+       |  SELECT a0.j, a0.cell0,
+       |    unnest(generate_series(1, len(s.sv))) AS i,
+       |    unnest(list_transform(s.sv, x -> CAST(x AS DOUBLE))) AS x
+       |  FROM subv s JOIN a0 ON s.vec_id = a0.vid AND s.j = a0.j),
+       |c1 AS (SELECT j, cell0 AS cid, list(m ORDER BY i) AS cv FROM (
+       |  SELECT j, cell0, i, round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS m
+       |  FROM dims GROUP BY j, cell0, i) GROUP BY j, cell0),
+       |enc AS (SELECT vid, j, code FROM (
+       |  SELECT s.vec_id AS vid, s.j, c.cid AS code,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.j
+       |                            ORDER BY ${l2("s.sv", "c.cv")}, c.cid) AS rn
+       |  FROM subv s JOIN c1 c ON s.j = c.j) WHERE rn = 1),
+       |lut AS (
+       |  SELECT c.j, c.cid, round(${l2("q.sv", "c.cv")}, 6) AS dd
+       |  FROM c1 c JOIN subv q ON q.j = c.j AND q.vec_id = 0),
+       |scored AS (
+       |  SELECT e.vid AS vec_id, round(SUM(l.dd), 6) AS adist
+       |  FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.cid
+       |  WHERE e.vid <> 0 GROUP BY e.vid)
+       |SELECT vec_id, adist FROM scored ORDER BY adist, vec_id LIMIT 10""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_normalize" -> q100Normalize _,
+    "q101_pq_adc" -> q101PqAdc _,
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
     "q29_jaccard" -> q29Jaccard _,
@@ -1368,5 +1418,6 @@ object Pipeline {
     "q97_lm_score" -> q97Sql,
     "q98_bpe_pairs" -> q98Sql,
     "q100_normalize" -> q100Sql,
+    "q101_pq_adc" -> q101Sql,
   )
 }

@@ -121,4 +121,33 @@ class SimilaritySpec extends SparkSpec {
     assert(a.cids == a.cids.sorted && a.cids.distinct.size == a.cids.size)
     assert(a.centroids.forall(_.size == 8))
   }
+
+  test("PQ: codes are bounded, encode is deterministic") {
+    val df = emb.toDF("vec_id", "embedding")
+    val idx = Similarity.trainPq(df, "vec_id", "embedding", m = 2, k = 4)
+    assert(idx.subDim == 4 && idx.codebooks.size == 2)
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", idx).collect()
+    assert(codes.length == 40)
+    assert(codes.forall(r => (1 to 2).forall(j =>
+      r.getInt(j) >= 0 && r.getInt(j) < 4)))
+    val again = Similarity.pqEncode(df, "vec_id", "embedding", idx).collect()
+    assert(codes.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("PQ ADC equals exact squared-L2 ranking when codebooks are lossless") {
+    // 4 vectors whose subvectors are all distinct and all in the init
+    // set (vec_id < k): the Lloyd step leaves each subvector as its own
+    // centroid, codes are lossless, so ADC == exact L2² and the ranking
+    // matches brute force.
+    val vs = Seq(
+      (0L, Array(0f, 0f, 1f, 1f)),
+      (1L, Array(0f, 1f, 1f, 2f)), // d2 to q=0: 1 + 1 = 2
+      (2L, Array(2f, 0f, 1f, 5f)), // d2: 4 + 16 = 20
+      (3L, Array(0f, 3f, 9f, 1f))) // d2: 9 + 64 = 73
+    val df = vs.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, "vec_id", "embedding",
+      queryId = 0L, m = 2, k = 4, topK = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2.0), (2L, 20.0), (3L, 73.0)))
+  }
 }
