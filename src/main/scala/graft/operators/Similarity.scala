@@ -378,6 +378,46 @@ object Similarity {
           .as(s"code_$j")
       }: _*)
 
+  /** IVF-PQ: the full production ANN layout — the coarse quantizer
+    * prunes the corpus to `nprobe` cells, PQ codes score the survivors
+    * via ADC. The serve path touches (codes of ~nprobe/numCells of the
+    * corpus); both pruning and scoring are map-only projections over
+    * driver-held literals. With `nprobe = numCells` and lossless
+    * codebooks this degrades gracefully to exact ranking (spec'd). */
+  def ivfPqTopK(emb: DataFrame, idCol: String, embCol: String,
+                queryId: Long, numCells: Int, m: Int, k: Int, topK: Int,
+                nprobe: Int = 1): DataFrame = {
+    val coarse = trainIvf(emb, idCol, embCol, numCells)
+    val pq = trainPq(emb, idCol, embCol, m, k)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(embCol).cast("array<double>")).head.getSeq[Double](0)
+    // nprobe nearest coarse cells, computed driver-side from the same
+    // rounded centroids (dimension-sized work)
+    val probeCells = coarse.cids.zip(coarse.centroids)
+      .map { case (cid, c) =>
+        (q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid) }
+      .sortBy(identity).take(nprobe).map(_._2)
+    val lut = pq.codebooks.zipWithIndex.map { case (b, j) =>
+      val qj = array(q.slice(j * pq.subDim, (j + 1) * pq.subDim).map(lit): _*)
+      array(b.centroids.map(c =>
+        round(graft.functions.VectorFunctions.l2_dist(qj,
+          array(c.map(lit): _*)), 6)): _*)
+    }
+    val codeCols = pq.codebooks.zipWithIndex.map { case (b, j) =>
+      b.cellColFor(slice(col(embCol), j * pq.subDim + 1, pq.subDim))
+        .as(s"code_$j")
+    }
+    val adist = round(lut.zipWithIndex.map { case (l, j) =>
+      element_at(l, col(s"code_$j") + 1)
+    }.reduce(_ + _), 6)
+    emb.select(col(idCol).as("vid") +: col(embCol).as("e") +: codeCols: _*)
+      .withColumn("cell", coarse.cellColFor(col("e")))
+      .filter(col("cell").isin(probeCells: _*) && col("vid") =!= queryId)
+      .select(col("vid").as(idCol), adist.as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(topK)
+  }
+
   /** ADC top-k for the embedding of `queryId`: train, encode, build the
     * per-subspace query-to-centroid distance table (constant-folded
     * literals, each entry rounded to 6 decimals like every trained

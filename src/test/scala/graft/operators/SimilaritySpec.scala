@@ -149,5 +149,16 @@ class SimilaritySpec extends SparkSpec {
       queryId = 0L, m = 2, k = 4, topK = 3)
       .as[(Long, Double)].collect().toSeq
     assert(got == Seq((1L, 2.0), (2L, 20.0), (3L, 73.0)))
+    // IVF-PQ with a full probe over lossless codebooks degrades to the
+    // same exact ranking; a 1-cell probe returns a ranked subset of it
+    val full = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      queryId = 0L, numCells = 4, m = 2, k = 4, topK = 3, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == got)
+    val pruned = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      queryId = 0L, numCells = 4, m = 2, k = 4, topK = 3, nprobe = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(pruned.toSet.subsetOf(got.toSet) &&
+      pruned == pruned.sortBy(p => (p._2, p._1)))
   }
 }
