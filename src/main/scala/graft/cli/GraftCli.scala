@@ -125,6 +125,11 @@ object GraftCli {
     case "annquery" :: indexDir :: emb :: id :: k :: rest if rest.size <= 1 =>
       annQuery(indexDir, emb, id.toLong, k.toInt,
         rest.headOption.map(_.toInt).getOrElse(1))
+    case "pqbuild" :: emb :: indexDir :: rest if rest.size <= 2 =>
+      pqBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(2),
+        rest.drop(1).headOption.map(_.toInt).getOrElse(8))
+    case "pqquery" :: indexDir :: emb :: id :: k :: Nil =>
+      pqQuery(indexDir, emb, id.toLong, k.toInt)
     case "bpetrain" :: docs :: out :: rest if rest.size <= 1 =>
       bpeTrain(docs, out, rest.headOption.map(_.toInt).getOrElse(32))
     case "bpetokenize" :: docs :: mergesDir :: out :: Nil =>
@@ -147,6 +152,8 @@ object GraftCli {
            |           corpusimport corpusingest
            |ann:       annbuild <emb> <indexdir> [cells]
            |           annquery <indexdir> <emb> <id> <k> [nprobe]
+           |           pqbuild <emb> <indexdir> [m] [k]
+           |           pqquery <indexdir> <emb> <id> <topk>
            |tokenizer: bpetrain <docs> <mergesdir> [merges]
            |           bpetokenize <docs> <mergesdir> <outdir>""".stripMargin)
       sys.exit(2)
@@ -1137,6 +1144,33 @@ object GraftCli {
       .collect()
     hits.foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
     println(s"${hits.length} neighbors of $id (nprobe $nprobe of ${index.cids.size} cells)")
+    spark.stop()
+  }
+
+  /** pqbuild: train a product quantizer once and persist its codebooks
+    * (Similarity.trainPq + savePqIndex) — the build half of the PQ
+    * lifecycle. */
+  private def pqBuild(emb: String, indexDir: String, m: Int, k: Int): Unit = {
+    val spark = GraftSession.local()
+    val index = graft.operators.Similarity
+      .trainPq(spark.read.parquet(emb), "vec_id", "embedding", m, k)
+    graft.operators.Similarity.savePqIndex(spark, index, indexDir)
+    println(s"pq index written to $indexDir (${index.codebooks.size} subspaces x " +
+      s"${index.codebooks.head.cids.size} centroids, subdim ${index.subDim})")
+    spark.stop()
+  }
+
+  /** pqquery: load persisted codebooks and rank by ADC
+    * (Similarity.loadPqIndex + pqProbe) — the serve half, no training. */
+  private def pqQuery(indexDir: String, emb: String, id: Long, topK: Int): Unit = {
+    val spark = GraftSession.local()
+    val index = graft.operators.Similarity.loadPqIndex(spark, indexDir)
+    val hits = graft.operators.Similarity
+      .pqProbe(spark.read.parquet(emb), "vec_id", "embedding", id, index, topK)
+      .collect()
+    hits.foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
+    println(s"${hits.length} ADC neighbors of $id " +
+      s"(${index.codebooks.size} subspaces, subdim ${index.subDim})")
     spark.stop()
   }
 }

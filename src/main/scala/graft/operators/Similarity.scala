@@ -418,14 +418,47 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Persist a trained product quantizer: one row per (subspace,
+    * centroid), the same dimension-sized parquet layout as [[saveIndex]]. */
+  def savePqIndex(spark: org.apache.spark.sql.SparkSession, index: PqIndex,
+                  path: String): Unit = {
+    import spark.implicits._
+    index.codebooks.zipWithIndex.flatMap { case (b, j) =>
+      b.cids.zip(b.centroids).map { case (cid, c) => (j, cid, c) }
+    }.toDF("subspace", "cell_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[PqIndex]] written by [[savePqIndex]]; subspaces and cells
+    * come back sorted so tiebreaks behave identically. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): PqIndex = {
+    val rows = spark.read.parquet(path)
+      .orderBy(col("subspace"), col("cell_id"))
+      .collect()
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      IvfIndex(rs.map(_.getInt(1)).toSeq, rs.map(_.getSeq[Double](2)).toSeq)
+    }
+    PqIndex(books.head.centroids.head.size, books)
+  }
+
   /** ADC top-k for the embedding of `queryId`: train, encode, build the
     * per-subspace query-to-centroid distance table (constant-folded
     * literals, each entry rounded to 6 decimals like every trained
     * quantity), and rank by the summed table lookups — ascending
     * approximate L2², ties to the lowest id. */
   def pqTopK(emb: DataFrame, idCol: String, embCol: String,
-             queryId: Long, m: Int, k: Int, topK: Int): DataFrame = {
-    val index = trainPq(emb, idCol, embCol, m, k)
+             queryId: Long, m: Int, k: Int, topK: Int): DataFrame =
+    pqProbe(emb, idCol, embCol, queryId,
+      trainPq(emb, idCol, embCol, m, k), topK)
+
+  /** ADC ranking against an ALREADY-TRAINED quantizer — the serve-path
+    * half of the PQ train-once / probe-many lifecycle ([[trainPq]] +
+    * [[savePqIndex]] → [[loadPqIndex]] + this, the pqbuild/pqquery CLI
+    * verbs). No training work in here. */
+  def pqProbe(emb: DataFrame, idCol: String, embCol: String,
+              queryId: Long, index: PqIndex, topK: Int): DataFrame = {
     val codes = pqEncode(emb, idCol, embCol, index)
     val q = emb.filter(col(idCol) === queryId)
       .select(col(embCol).cast("array<double>")).head.getSeq[Double](0)

@@ -161,4 +161,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.toSet.subsetOf(got.toSet) &&
       pruned == pruned.sortBy(p => (p._2, p._1)))
   }
+
+  test("PQ index round-trips through parquet; probe equals in-memory ranking") {
+    val df = emb.toDF("vec_id", "embedding")
+    val trained = Similarity.trainPq(df, "vec_id", "embedding", m = 2, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("pqindex").toString
+    Similarity.savePqIndex(spark, trained, dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    assert(loaded == trained)
+    val direct = Similarity.pqTopK(df, "vec_id", "embedding", 0L, 2, 4, 5)
+      .as[(Long, Double)].collect().toSeq
+    val served = Similarity.pqProbe(df, "vec_id", "embedding", 0L, loaded, 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(served == direct)
+  }
 }
