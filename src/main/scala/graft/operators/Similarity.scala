@@ -418,6 +418,24 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Recall@k — the eval metric every ANN deployment tracks: per query,
+    * the fraction of the EXACT top-k the approximate index returned.
+    * Both inputs are (queryCol, idCol) neighbor lists (extra columns
+    * ignored). One semi-join + two dimension-bounded aggregates; at
+    * eval scale (queries × k rows) everything broadcasts. */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+                queryCol: String, idCol: String): DataFrame = {
+    val hits = approx.select(col(queryCol), col(idCol))
+      .join(exact.select(col(queryCol), col(idCol)), Seq(queryCol, idCol),
+        "left_semi")
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col(queryCol)).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq(queryCol), "left_outer")
+      .select(col(queryCol),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
+          .as("recall"))
+  }
+
   /** Persist a trained product quantizer: one row per (subspace,
     * centroid), the same dimension-sized parquet layout as [[saveIndex]]. */
   def savePqIndex(spark: org.apache.spark.sql.SparkSession, index: PqIndex,

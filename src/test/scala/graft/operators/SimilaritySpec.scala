@@ -162,6 +162,22 @@ class SimilaritySpec extends SparkSpec {
       pruned == pruned.sortBy(p => (p._2, p._1)))
   }
 
+  test("recallAtK: full-probe IVF scores 1.0, misses score fractionally") {
+    val df = emb.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", 0L, 5)
+      .withColumn("query_id", org.apache.spark.sql.functions.lit(0L))
+    val full = Similarity.ivfTopK(df, "vec_id", "embedding", 0L,
+      numCells = 4, k = 5, nprobe = 4)
+      .withColumn("query_id", org.apache.spark.sql.functions.lit(0L))
+    val r = Similarity.recallAtK(full, exact, "query_id", "vec_id")
+      .as[(Long, Double)].collect().toMap
+    assert(r(0L) == 1.0) // full probe degrades to exact
+    // an empty approximate list scores 0, not null
+    val none = Similarity.recallAtK(full.limit(0), exact, "query_id", "vec_id")
+      .as[(Long, Double)].collect().toMap
+    assert(none(0L) == 0.0)
+  }
+
   test("PQ index round-trips through parquet; probe equals in-memory ranking") {
     val df = emb.toDF("vec_id", "embedding")
     val trained = Similarity.trainPq(df, "vec_id", "embedding", m = 2, k = 4)
