@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSimilarity, L2Distance, MinHashMd5}
+import graft.functions.{CosineSimilarity, L2Distance, MinHashMd5, UnicodeNormalize}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -29,5 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_dist"),
       new ExpressionInfo(classOf[L2Distance].getName, "l2_dist"),
       (exprs: Seq[Expression]) => L2Distance(exprs.head, exprs(1))))
+    // unicode_normalize(s, 'NFC'|'NFKC'|'NFD'|'NFKD') — form must be a
+    // literal (it is baked into the generated code)
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (exprs: Seq[Expression]) => UnicodeNormalize(exprs.head,
+        exprs(1).eval().toString)))
   }
 }

@@ -76,7 +76,9 @@ object GraftCli {
     case "chado2dictynoncanonicalv2gff3" :: store :: out :: rest if rest.size <= 1 =>
       dictyGff3(store, out, "noncanonicalv2", rest.headOption)
     case "stockreport" :: in :: Nil => stockReport(in)
-    case "gaf2chado" :: in :: store :: Nil => gaf2Chado(in, store)
+    // dictygaf2chado (lib/Modware/Load/Command/dictygaf2chado.pm) is the
+    // MOD-named entry point of the same GAF load pipeline
+    case ("gaf2chado" | "dictygaf2chado") :: in :: store :: Nil => gaf2Chado(in, store)
     case "oboclosure2chado" :: in :: store :: Nil => oboClosure2Chado(in, store)
     case "validateobo" :: in :: Nil => validateObo(in)
     case "bibtex2chado" :: in :: store :: Nil => bibtex2Chado(in, store)

@@ -258,5 +258,8 @@ object VectorFunctions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_dist", exprs => L2Distance(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_normalize", exprs => UnicodeNormalize(exprs.head,
+        exprs(1).eval().toString), "built-in")
   }
 }

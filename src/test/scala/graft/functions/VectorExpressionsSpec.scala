@@ -54,5 +54,8 @@ class VectorExpressionsSpec extends SparkSpec {
       "SELECT minhash_md5(array('a b c', 'b c d'), 2)")
       .collect().head.getSeq[String](0)
     assert(mh.length == 2 && mh.forall(_.length == 32))
+    val un = spark.sql(
+      "SELECT unicode_normalize('A\u0301', 'NFC')").as[String].collect()
+    assert(un.head == "\u00c1") // A + combining acute composes
   }
 }
