@@ -63,7 +63,10 @@ object GraftCli {
     case "gbassembly2chado" :: in :: store :: rest if rest.size <= 2 =>
       gbAssembly2Chado(in, store, rest.headOption.getOrElse("supercontig"),
         rest.drop(1).headOption)
-    case "store2gff3" :: store :: out :: rest if rest.size <= 1 =>
+    // chado2canonicalgff3 (lib/Modware/Export/Command/
+    // chado2canonicalgff3.pm) is the reference's name for the canonical
+    // store export
+    case ("store2gff3" | "chado2canonicalgff3") :: store :: out :: rest if rest.size <= 1 =>
       store2Gff3(store, out, rest.headOption)
     case "chado2dictycanonicalgff3" :: store :: out :: Nil =>
       dictyGff3(store, out, "canonical")
