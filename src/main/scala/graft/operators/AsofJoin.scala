@@ -62,7 +62,7 @@ object AsofJoin {
     // right payload as one struct (so one ignoreNulls last() carries it),
     // left payload (null on right rows).
     val payloadStruct = struct(
-      rightPayload.map(col) :+ col(tsCol).as(asofTsName): _*)
+      rightPayload.toIndexedSeq.map(col) :+ col(tsCol).as(asofTsName): _*)
     val rightTagged = right.select(
       commonCols.map(col) ++
         Seq(lit(0).as("__asof_tag"), payloadStruct.as("__asof_payload")) ++

@@ -46,7 +46,7 @@ object Components {
     // semantics for huge id spaces and make "unchanged" unsound.
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iters = 0

@@ -359,7 +359,7 @@ object Similarity {
     * quantizer's.) */
   def trainPq(emb: DataFrame, idCol: String, embCol: String,
               m: Int, k: Int): PqIndex = {
-    val dim = emb.select(size(col(embCol))).head.getInt(0)
+    val dim = emb.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     PqIndex(sub, (0 until m).map { j =>
@@ -390,7 +390,7 @@ object Similarity {
     val coarse = trainIvf(emb, idCol, embCol, numCells)
     val pq = trainPq(emb, idCol, embCol, m, k)
     val q = emb.filter(col(idCol) === queryId)
-      .select(col(embCol).cast("array<double>")).head.getSeq[Double](0)
+      .select(col(embCol).cast("array<double>")).head().getSeq[Double](0)
     // nprobe nearest coarse cells, computed driver-side from the same
     // rounded centroids (dimension-sized work)
     val probeCells = coarse.cids.zip(coarse.centroids)
@@ -479,7 +479,7 @@ object Similarity {
               queryId: Long, index: PqIndex, topK: Int): DataFrame = {
     val codes = pqEncode(emb, idCol, embCol, index)
     val q = emb.filter(col(idCol) === queryId)
-      .select(col(embCol).cast("array<double>")).head.getSeq[Double](0)
+      .select(col(embCol).cast("array<double>")).head().getSeq[Double](0)
     // lut(j) = array of rounded distances from the query's j-th
     // subvector to each centroid, in cid order (cids are 0..k-1 sorted)
     val lut = index.codebooks.zipWithIndex.map { case (b, j) =>

@@ -44,7 +44,7 @@ object CorpusIngest {
         val all = gated.columns
         gated
           .groupBy(col("content_hash"))
-          .agg(min_by(struct(all.map(col): _*),
+          .agg(min_by(struct(all.toIndexedSeq.map(col): _*),
             struct(col(tsCol), col("doc_id"))).as("r"))
           .select(col("r.*"))
       }
