@@ -50,7 +50,10 @@ object GenBankToChado {
   def recordToGff(rec: GbRecord, mitochondrial: Boolean): Seq[GffRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[GffRecord]
     val genomeProp = if (mitochondrial) "mitochondrial_DNA" else "nuclear_sequence"
-    out += GffRecord(rec.locus, Some("genbank"), "chromosome", 0,
+    // source 'GenBank' (capitalized) everywhere: the staged GFF_source
+    // dbxref must be case-consistent with the assembly loader's compat
+    // xref so per-source export filters see ONE provenance value
+    out += GffRecord(rec.locus, Some("GenBank"), "chromosome", 0,
       math.max(rec.length, rec.sequence.length), None, None, None,
       Map("ID" -> Seq(rec.locus), "genome_type" -> Seq(genomeProp)))
 
@@ -67,14 +70,14 @@ object GenBankToChado {
             geneId = s"${rec.locus}:${name(f, s"gene$idx")}"
             geneStrand = strand
             lastTranscript = null
-            out += GffRecord(rec.locus, Some("genbank"), "gene", fmin, fmax,
+            out += GffRecord(rec.locus, Some("GenBank"), "gene", fmin, fmax,
               None, Some(strand), None,
               Map("ID" -> Seq(geneId), "Name" -> Seq(name(f, s"gene$idx"))))
           }
         case k if k.endsWith("RNA") && geneId != null =>
           locParsed.foreach { case (fmin, fmax, strand) =>
             lastTranscript = s"$geneId:$k:$idx"
-            out += GffRecord(rec.locus, Some("genbank"), k, fmin, fmax,
+            out += GffRecord(rec.locus, Some("GenBank"), k, fmin, fmax,
               None, Some(strand), None,
               Map("ID" -> Seq(lastTranscript), "Parent" -> Seq(geneId)))
           }
@@ -84,12 +87,12 @@ object GenBankToChado {
               // mito records carry no explicit mRNA: clone the CDS as a
               // transcript on the gene's strand (GenBank.pm:510-517)
               lastTranscript = s"$geneId:mRNA:$idx"
-              out += GffRecord(rec.locus, Some("genbank"), "mRNA", fmin, fmax,
+              out += GffRecord(rec.locus, Some("GenBank"), "mRNA", fmin, fmax,
                 None, Some(geneStrand), None,
                 Map("ID" -> Seq(lastTranscript), "Parent" -> Seq(geneId)))
             }
             val parent = Option(lastTranscript).getOrElse(geneId)
-            out += GffRecord(rec.locus, Some("genbank"), "CDS", fmin, fmax,
+            out += GffRecord(rec.locus, Some("GenBank"), "CDS", fmin, fmax,
               None, Some(strand), Some(0),
               Map("ID" -> Seq(s"$geneId:cds:$idx"),
                 "Derives_from" -> Seq(parent),

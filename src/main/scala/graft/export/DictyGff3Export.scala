@@ -57,8 +57,13 @@ object DictyGff3Export {
         col("strand"), col("phase"))
 
   /** part_of transcript children of live genes, with each transcript's
-    * GFF_source attached: (uniquename, name, ftype, gene, gff_source). */
-  private def geneTranscripts(c: Chado, typeFilter: Column): DataFrame = {
+    * GFF_source attached: (uniquename, name, ftype, gene, gff_source).
+    * `src` is the shared (uniquename, gff_source) frame — computed once
+    * per export and materialized, so the feature_dbxref scan+aggregate
+    * doesn't re-run for every consumer (transcripts, exons,
+    * polypeptides). */
+  private def geneTranscripts(c: Chado, typeFilter: Column,
+      src: DataFrame): DataFrame = {
     val genes = live(c.feature).filter(col("ftype") === "gene")
       .select(col("uniquename").as("gene"))
     val edges = c.featureRelationship.filter(col("reltype") === "part_of")
@@ -67,22 +72,32 @@ object DictyGff3Export {
     live(c.feature).filter(typeFilter)
       .select(col("uniquename"), col("name"), col("ftype"))
       .join(edges, "uniquename")
-      .join(gffSource(c.featureDbxref), Seq("uniquename"), "left_outer")
+      .join(src, Seq("uniquename"), "left_outer")
   }
 
+  /** One materialization of the per-feature GFF_source frame per export
+    * run: it feeds 3-4 joins, its recompute is a fact-table scan +
+    * shuffle, and its materialized form is a narrow 2-column frame —
+    * the checkpoint side of the checkpoint-vs-recompute rule. */
+  private def sharedSource(c: Chado): DataFrame =
+    gffSource(c.featureDbxref).localCheckpoint()
+
   private val outCols = Seq("uniquename", "name", "ftype", "srcfeature",
-    "fmin", "fmax", "score", "strand", "phase", "source", "parent", "alias",
-    "type_rank").map(col)
+    "fmin", "fmax", "score", "strand", "phase", "source", "parent",
+    "derives_from", "alias", "type_rank").map(col)
 
   private def shape(df: DataFrame, ftype: Column, source: Column,
-      parent: Column, alias: Column, rank: Int): DataFrame =
-    df.select(col("uniquename"),
+      parent: Column, alias: Column, rank: Int,
+      derivesFrom: Column = lit(null).cast("string"),
+      id: Column = col("uniquename")): DataFrame =
+    df.select(id.as("uniquename"),
       // staging falls back name := uniquename; don't re-emit the echo
       nullif(col("name"), col("uniquename")).as("name"),
       ftype.as("ftype"), col("srcfeature"), col("fmin"), col("fmax"),
       lit(null).cast("double").as("score"), col("strand"),
       lit(null).cast("int").as("phase"), source.as("source"),
-      parent.as("parent"), alias.as("alias"), lit(rank).as("type_rank"))
+      parent.as("parent"), derivesFrom.as("derives_from"),
+      alias.as("alias"), lit(rank).as("type_rank"))
 
   /** Shared writer shape for the canonical-family variants
     * (FeatureWriter/GFF3/Canonical/Dicty.pm:24-100 and NonCanonical/
@@ -95,7 +110,8 @@ object DictyGff3Export {
     * `trans` columns: uniquename, name, ftype, gene, gff_source.
     */
   private def dictyFrame(c: Chado, trans: DataFrame, genes: Boolean,
-      parentOnTranscript: Boolean, polypeptide: Boolean): DataFrame = {
+      parentOnTranscript: Boolean, polypeptide: Boolean,
+      src: DataFrame): DataFrame = {
     val loc0 = rank0(c.featureloc)
     val t = trans.join(loc0, "uniquename")
 
@@ -121,11 +137,20 @@ object DictyGff3Export {
         .agg(array_sort(collect_set(col("alias"))).as("syn"))
       val g = live(c.feature).join(geneInfo, "uniquename")
         .join(synonyms, Seq("uniquename"), "left_outer")
+        .join(src.withColumnRenamed("gff_source", "own_source"),
+          Seq("uniquename"), "left_outer")
         .join(loc0, "uniquename")
+      // pseudogene gene rows go through pseudorow2gff3hash in the
+      // reference (Canonical/Dicty.pm:100-148): column 2 is the gene's
+      // OWN GFF_source and no Alias is attached; ordinary gene rows
+      // inherit the transcript's source and carry Alias = synonyms
       shape(g,
         ftype = when(col("pseudo"), "pseudogene").otherwise(lit("gene")),
-        source = col("gene_source"), parent = lit(null).cast("string"),
-        alias = col("syn"), rank = 2)
+        source = when(col("pseudo"), col("own_source"))
+          .otherwise(col("gene_source")),
+        parent = lit(null).cast("string"),
+        alias = when(col("pseudo"), lit(null).cast("array<string>"))
+          .otherwise(col("syn")), rank = 2)
     }
 
     // exon / pseudogenic_exon children, forced pseudogenic under a
@@ -141,7 +166,7 @@ object DictyGff3Export {
       .filter(col("ftype").isin("exon", "pseudogenic_exon"))
       .select(col("uniquename"), col("name"), col("ftype"))
       .join(exonEdges, "uniquename")
-      .join(gffSource(c.featureDbxref), Seq("uniquename"), "left_outer")
+      .join(src, Seq("uniquename"), "left_outer")
       .join(loc0, "uniquename")
     val exonRows = shape(exons,
       ftype = when(col("parent_pseudo"), "pseudogenic_exon")
@@ -158,11 +183,16 @@ object DictyGff3Export {
       val p = live(c.feature).filter(col("ftype") === "polypeptide")
         .select(col("uniquename"), col("name"), col("ftype"))
         .join(polyEdges, "uniquename")
-        .join(gffSource(c.featureDbxref), Seq("uniquename"), "left_outer")
+        .join(src, Seq("uniquename"), "left_outer")
         .join(loc0, "uniquename")
+      // write_polypeptide (Canonical/Dicty.pm:150-167): the transcript
+      // arrives as Derives_from, not Parent, and the house '.P' id
+      // suffix is stripped
       shape(p, ftype = col("ftype"), source = col("gff_source"),
-        parent = col("parent"), alias = lit(null).cast("array<string>"),
-        rank = 6)
+        parent = lit(null).cast("string"),
+        alias = lit(null).cast("array<string>"), rank = 6,
+        derivesFrom = col("parent"),
+        id = regexp_replace(col("uniquename"), "\\.P$", ""))
     }
 
     geneRows.unionByName(transRows).unionByName(exonRows)
@@ -174,33 +204,36 @@ object DictyGff3Export {
     * curated model exists (read_canonical_transcript, Canonical/Dicty.pm:
     * 50-90) — the two-query fallback becomes one min-over-window. */
   def canonical(c: Chado): DataFrame = {
-    val trans = geneTranscripts(c, col("ftype").isin("mRNA", "pseudogene"))
+    val src = sharedSource(c)
+    val trans = geneTranscripts(c, col("ftype").isin("mRNA", "pseudogene"), src)
       .filter(col("gff_source").isin(Curator, SeqCenter))
       .withColumn("prio", when(col("gff_source") === Curator, 0).otherwise(1))
     val keep = trans
       .withColumn("best", min(col("prio")).over(Window.partitionBy(col("gene"))))
       .filter(col("prio") === col("best")).drop("prio", "best")
     dictyFrame(c, keep, genes = true, parentOnTranscript = true,
-      polypeptide = true)
+      polypeptide = true, src = src)
   }
 
   /** chado2dictycuratedgff3: curator-sourced models only, any *RNA* type
     * or pseudogene, no fallback (Curated/Dicty.pm:54-70). */
   def curated(c: Chado): DataFrame = {
+    val src = sharedSource(c)
     val trans = geneTranscripts(c,
-      col("ftype").like("%RNA%") || col("ftype") === "pseudogene")
+      col("ftype").like("%RNA%") || col("ftype") === "pseudogene", src)
       .filter(col("gff_source") === Curator)
     dictyFrame(c, trans, genes = true, parentOnTranscript = true,
-      polypeptide = false)
+      polypeptide = false, src = src)
   }
 
   /** chado2dictynoncodinggff3: the fixed ncRNA type list, any GFF_source
     * (NonCoding/Dicty.pm:12-33). */
   def noncoding(c: Chado): DataFrame = {
-    val trans = geneTranscripts(c, col("ftype").isin(noncodingTypes: _*))
+    val src = sharedSource(c)
+    val trans = geneTranscripts(c, col("ftype").isin(noncodingTypes: _*), src)
       .filter(col("gff_source").isNotNull)
     dictyFrame(c, trans, genes = true, parentOnTranscript = true,
-      polypeptide = false)
+      polypeptide = false, src = src)
   }
 
   /** chado2dictynoncanonicalgff3: one alternate source's mRNA/pseudogene
@@ -208,10 +241,11 @@ object DictyGff3Export {
     * with the transcripts' Parent dropped (read_transcript_by_source +
     * NonCanonical/Dicty.pm:12-30). */
   def noncanonical(c: Chado, source: String = SeqCenter): DataFrame = {
-    val trans = geneTranscripts(c, col("ftype").isin("mRNA", "pseudogene"))
+    val src = sharedSource(c)
+    val trans = geneTranscripts(c, col("ftype").isin("mRNA", "pseudogene"), src)
       .filter(col("gff_source") === source)
     dictyFrame(c, trans, genes = false, parentOnTranscript = false,
-      polypeptide = false)
+      polypeptide = false, src = src)
   }
 
   /** chado2dictynoncanonicalv2gff3: flat dump of one source's features
@@ -222,9 +256,10 @@ object DictyGff3Export {
       subfeatureType: String = "exon",
       source: String = Reprediction): DataFrame = {
     val loc0 = rank0(c.featureloc)
+    val src = sharedSource(c)
     val feats = live(c.feature).filter(col("ftype") === featureType)
       .select(col("uniquename"), col("name"), col("ftype"))
-      .join(gffSource(c.featureDbxref), "uniquename")
+      .join(src, "uniquename")
       .filter(col("gff_source") === source)
     val featRows = shape(feats.join(loc0, "uniquename"),
       ftype = col("ftype"), source = col("gff_source"),
@@ -236,7 +271,7 @@ object DictyGff3Export {
     val subs = live(c.feature).filter(col("ftype") === subfeatureType)
       .select(col("uniquename"), col("name"), col("ftype"))
       .join(subEdges, "uniquename")
-      .join(gffSource(c.featureDbxref), Seq("uniquename"), "left_outer")
+      .join(src, Seq("uniquename"), "left_outer")
       .join(loc0, "uniquename")
     val subRows = shape(subs, ftype = col("ftype"),
       source = col("gff_source"), parent = col("parent"),

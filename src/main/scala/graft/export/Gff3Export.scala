@@ -26,9 +26,11 @@ object Gff3Export {
     "translated_nucleotide_match" -> 7, "match_part" -> 8))
 
   private def esc(c: org.apache.spark.sql.Column) =
-    // GFF3 reserved-character escaping for column 9 values
-    regexp_replace(regexp_replace(regexp_replace(c,
-      "%", "%25"), ";", "%3B"), "=", "%3D")
+    // GFF3 reserved-character escaping for column 9 values; comma must
+    // be escaped too — it separates multiple values of one attribute
+    // (load-bearing since Alias lists joined with ',')
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      "%", "%25"), ";", "%3B"), "=", "%3D"), ",", "%2C")
 
   /** Feature lines with their ordering columns attached:
     * (srcfeature, type_rank, fmin, uniquename, value).
@@ -46,10 +48,18 @@ object Gff3Export {
         concat(lit(";Alias="),
           concat_ws(",", transform(col("alias"), a => esc(a)))))
         .otherwise(lit(""))
+    // optional Derives_from (polypeptide rows in the dicty dumps carry
+    // it instead of Parent — write_polypeptide, Canonical/Dicty.pm:150)
+    val derivesAttr =
+      if (!features.columns.contains("derives_from")) lit("")
+      else when(col("derives_from").isNotNull,
+        concat(lit(";Derives_from="), esc(col("derives_from"))))
+        .otherwise(lit(""))
     val attrs = concat(
       lit("ID="), esc(col("uniquename")),
       when(col("name").isNotNull, concat(lit(";Name="), esc(col("name")))).otherwise(lit("")),
       when(col("parent").isNotNull, concat(lit(";Parent="), esc(col("parent")))).otherwise(lit("")),
+      derivesAttr,
       aliasAttr)
     val line = concat_ws("\t",
       col("srcfeature"),

@@ -368,15 +368,42 @@ object Similarity {
     })
   }
 
+  /** The per-subspace code columns (code_0..code_{m-1}) for `embCol` —
+    * shared by [[pqEncode]] and [[ivfPqTopK]] so the projections can't
+    * diverge. */
+  private def codeColumns(index: PqIndex, embCol: String)
+      : Seq[org.apache.spark.sql.Column] =
+    index.codebooks.zipWithIndex.map { case (b, j) =>
+      b.cellColFor(slice(col(embCol), j * index.subDim + 1, index.subDim))
+        .as(s"code_$j")
+    }
+
+  /** Summed ADC distance for rows carrying code_j columns. The lookup
+    * is a literal MAP keyed BY CID — codes are cid VALUES, and
+    * [[trainIvf]] can legitimately return gapped cids (an init
+    * centroid that attracts no vectors is dropped), so positional
+    * `element_at(array, code+1)` would read the wrong entry or run off
+    * the table. Entries are rounded to 6 decimals like every trained
+    * quantity; every emitted code has an entry by construction. */
+  private def adcDistCol(index: PqIndex, q: Seq[Double])
+      : org.apache.spark.sql.Column = {
+    val terms = index.codebooks.zipWithIndex.map { case (b, j) =>
+      val qj = array(q.slice(j * index.subDim, (j + 1) * index.subDim)
+        .map(lit): _*)
+      val entries = b.cids.zip(b.centroids).flatMap { case (cid, c) =>
+        Seq(lit(cid), round(graft.functions.VectorFunctions.l2_dist(qj,
+          array(c.map(lit): _*)), 6))
+      }
+      element_at(map(entries: _*), col(s"code_$j"))
+    }
+    round(terms.reduce(_ + _), 6)
+  }
+
   /** Map-only encode: each vector becomes its `m` nearest-centroid
     * codes — one codegen'd argmin projection per subspace, no shuffle. */
   def pqEncode(emb: DataFrame, idCol: String, embCol: String,
                index: PqIndex): DataFrame =
-    emb.select(col(idCol).as("vid") +:
-      index.codebooks.zipWithIndex.map { case (b, j) =>
-        b.cellColFor(slice(col(embCol), j * index.subDim + 1, index.subDim))
-          .as(s"code_$j")
-      }: _*)
+    emb.select(col(idCol).as("vid") +: codeColumns(index, embCol): _*)
 
   /** IVF-PQ: the full production ANN layout — the coarse quantizer
     * prunes the corpus to `nprobe` cells, PQ codes score the survivors
@@ -397,23 +424,11 @@ object Similarity {
       .map { case (cid, c) =>
         (q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid) }
       .sortBy(identity).take(nprobe).map(_._2)
-    val lut = pq.codebooks.zipWithIndex.map { case (b, j) =>
-      val qj = array(q.slice(j * pq.subDim, (j + 1) * pq.subDim).map(lit): _*)
-      array(b.centroids.map(c =>
-        round(graft.functions.VectorFunctions.l2_dist(qj,
-          array(c.map(lit): _*)), 6)): _*)
-    }
-    val codeCols = pq.codebooks.zipWithIndex.map { case (b, j) =>
-      b.cellColFor(slice(col(embCol), j * pq.subDim + 1, pq.subDim))
-        .as(s"code_$j")
-    }
-    val adist = round(lut.zipWithIndex.map { case (l, j) =>
-      element_at(l, col(s"code_$j") + 1)
-    }.reduce(_ + _), 6)
-    emb.select(col(idCol).as("vid") +: col(embCol).as("e") +: codeCols: _*)
+    emb.select(col(idCol).as("vid") +: col(embCol).as("e") +:
+        codeColumns(pq, embCol): _*)
       .withColumn("cell", coarse.cellColFor(col("e")))
       .filter(col("cell").isin(probeCells: _*) && col("vid") =!= queryId)
-      .select(col("vid").as(idCol), adist.as("adist"))
+      .select(col("vid").as(idCol), adcDistCol(pq, q).as("adist"))
       .orderBy(col("adist"), col(idCol))
       .limit(topK)
   }
@@ -425,11 +440,13 @@ object Similarity {
     * eval scale (queries × k rows) everything broadcasts. */
   def recallAtK(approx: DataFrame, exact: DataFrame,
                 queryCol: String, idCol: String): DataFrame = {
-    val hits = approx.select(col(queryCol), col(idCol))
-      .join(exact.select(col(queryCol), col(idCol)), Seq(queryCol, idCol),
-        "left_semi")
+    // dedup both neighbor lists: a pair repeated by the caller (e.g. a
+    // multi-probe union) must not inflate either count past 1.0 recall
+    val ex = exact.select(col(queryCol), col(idCol)).dropDuplicates()
+    val hits = approx.select(col(queryCol), col(idCol)).dropDuplicates()
+      .join(ex, Seq(queryCol, idCol), "left_semi")
       .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hit"))
-    exact.groupBy(col(queryCol)).agg(count(lit(1)).as("n_exact"))
+    ex.groupBy(col(queryCol)).agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq(queryCol), "left_outer")
       .select(col(queryCol),
         round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
@@ -480,20 +497,8 @@ object Similarity {
     val codes = pqEncode(emb, idCol, embCol, index)
     val q = emb.filter(col(idCol) === queryId)
       .select(col(embCol).cast("array<double>")).head().getSeq[Double](0)
-    // lut(j) = array of rounded distances from the query's j-th
-    // subvector to each centroid, in cid order (cids are 0..k-1 sorted)
-    val lut = index.codebooks.zipWithIndex.map { case (b, j) =>
-      val qj = array(q.slice(j * index.subDim, (j + 1) * index.subDim)
-        .map(lit): _*)
-      array(b.centroids.map(c =>
-        round(graft.functions.VectorFunctions.l2_dist(qj,
-          array(c.map(lit): _*)), 6)): _*)
-    }
-    val adist = round(lut.zipWithIndex.map { case (l, j) =>
-      element_at(l, col(s"code_$j") + 1)
-    }.reduce(_ + _), 6)
     codes.filter(col("vid") =!= queryId)
-      .select(col("vid").as(idCol), adist.as("adist"))
+      .select(col("vid").as(idCol), adcDistCol(index, q).as("adist"))
       .orderBy(col("adist"), col(idCol))
       .limit(topK)
   }

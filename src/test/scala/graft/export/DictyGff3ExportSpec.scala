@@ -22,16 +22,16 @@ class DictyGff3ExportSpec extends SparkSpec {
   private val fixture =
     """##gff-version 3
       |chr1	dictyBase	chromosome	1	10000	.	.	.	ID=chr1
-      |chr1	dictyBase Curator	gene	100	900	.	+	.	ID=gene1;Alias=abcA
+      |chr1	dictyBase Curator	gene	100	900	.	+	.	ID=gene1;Alias=abcA,b%2Cc
       |chr1	dictyBase Curator	mRNA	100	900	.	+	.	ID=rna1a;Parent=gene1
       |chr1	Sequencing Center	mRNA	100	880	.	+	.	ID=rna1b;Parent=gene1
       |chr1	dictyBase Curator	exon	100	400	.	+	.	ID=e1a;Parent=rna1a
       |chr1	Sequencing Center	exon	100	380	.	+	.	ID=e1b;Parent=rna1b
-      |chr1	dictyBase Curator	polypeptide	100	900	.	+	.	ID=pp1;Derives_from=rna1a
+      |chr1	dictyBase Curator	polypeptide	100	900	.	+	.	ID=pp1.P;Derives_from=rna1a
       |chr1	Sequencing Center	gene	1200	1800	.	-	.	ID=gene2
       |chr1	Sequencing Center	mRNA	1200	1800	.	-	.	ID=rna2;Parent=gene2
       |chr1	Sequencing Center	exon	1200	1500	.	-	.	ID=e2;Parent=rna2
-      |chr1	dictyBase Curator	gene	2000	2400	.	+	.	ID=gene3
+      |chr1	dictyBase	gene	2000	2400	.	+	.	ID=gene3;Alias=pseudoAlias
       |chr1	dictyBase Curator	pseudogene	2000	2400	.	+	.	ID=ps3;Parent=gene3
       |chr1	dictyBase Curator	exon	2000	2200	.	+	.	ID=e3;Parent=ps3
       |chr1	Sequencing Center	gene	3000	3200	.	+	.	ID=gene4
@@ -62,8 +62,10 @@ class DictyGff3ExportSpec extends SparkSpec {
     // gene rows inherit the surviving transcript's source
     assert(rows("gene1") == (("gene", "dictyBase Curator", null)))
     assert(rows("gene2") == (("gene", "Sequencing Center", null)))
-    // polypeptide rides its curated transcript
-    assert(rows("pp1") == (("polypeptide", "dictyBase Curator", "rna1a")))
+    // polypeptide rides its curated transcript via Derives_from (no
+    // Parent) and loses the house '.P' id suffix
+    assert(rows("pp1") == (("polypeptide", "dictyBase Curator", null)))
+    assert(!rows.contains("pp1.P"))
     // exon of the dropped seqcenter transcript is gone
     assert(rows.contains("e1a") && !rows.contains("e1b"))
     // non-mRNA gene models are out of scope
@@ -72,7 +74,9 @@ class DictyGff3ExportSpec extends SparkSpec {
 
   test("canonical: dicty pseudogene models are rewritten SO-compliant") {
     val rows = byId(DictyGff3Export.canonical(chado))
-    assert(rows("gene3")._1 == "pseudogene")
+    // the pseudogene gene row keeps its OWN source (pseudorow2gff3hash),
+    // not the transcript's
+    assert(rows("gene3") == (("pseudogene", "dictyBase", null)))
     assert(rows("ps3") == (("pseudogenic_transcript", "dictyBase Curator", "gene3")))
     assert(rows("e3") == (("pseudogenic_exon", "dictyBase Curator", "ps3")))
   }
@@ -113,8 +117,16 @@ class DictyGff3ExportSpec extends SparkSpec {
         .select(col("uniquename"), col("seqlen")),
       frame).collect().map(_.getString(0))
     val gene1 = lines.find(_.contains("ID=gene1")).get
-    assert(gene1.contains("Alias=abcA"))
+    // multi-valued Alias: values joined with ',' and embedded commas
+    // %2C-escaped (round-trips through the parser)
+    assert(gene1.contains("Alias=abcA,b%2Cc"))
     assert(gene1.split("\t")(1) == "dictyBase Curator")
+    // pseudogene gene rows carry no Alias (pseudorow2gff3hash attrs)
+    assert(!lines.find(_.contains("ID=gene3")).get.contains("Alias"))
+    // polypeptide: stripped id, Derives_from instead of Parent
+    val pp = lines.find(_.contains("ID=pp1")).get
+    assert(pp.contains("ID=pp1;") && pp.contains("Derives_from=rna1a")
+      && !pp.contains("Parent="))
     // parent-before-child: gene3 (pseudogene row) precedes ps3 precedes e3
     val ig = lines.indexWhere(_.contains("ID=gene3"))
     val ip = lines.indexWhere(_.contains("ID=ps3;"))

@@ -178,6 +178,27 @@ class SimilaritySpec extends SparkSpec {
     assert(none(0L) == 0.0)
   }
 
+  test("PQ ADC survives gapped codebook cids (empty init cell dropped)") {
+    // v0 and v1 share the subspace-0 value, so the argmin tie sends both
+    // to cid 0 and init cell 1 attracts nothing: trainIvf returns cids
+    // [0, 2] with a gap. Codes are cid VALUES — the ADC lookup must key
+    // by cid, not position, or v2's code (2) reads past a 2-entry table.
+    val vs = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(1f, 5f)), // d2 to q=0: 0 + 25 = 25
+      (2L, Array(4f, 2f)), // d2: 9 + 4 = 13
+      (3L, Array(1f, 2f))) // d2: 0 + 4 = 4
+    val df = vs.toDF("vec_id", "embedding")
+    val idx = Similarity.trainPq(df, "vec_id", "embedding", m = 2, k = 3)
+    assert(idx.codebooks.head.cids == Seq(0, 2)) // the gap is real
+    val got = Similarity.pqTopK(df, "vec_id", "embedding",
+      queryId = 0L, m = 2, k = 3, topK = 3)
+      .as[(Long, Double)].collect().toSeq
+    // codebooks are still lossless (identical subvectors share a cell),
+    // so ADC equals exact squared L2 — and contains no nulls
+    assert(got == Seq((3L, 4.0), (2L, 13.0), (1L, 25.0)))
+  }
+
   test("PQ index round-trips through parquet; probe equals in-memory ranking") {
     val df = emb.toDF("vec_id", "embedding")
     val trained = Similarity.trainPq(df, "vec_id", "embedding", m = 2, k = 4)
