@@ -263,7 +263,10 @@ object GraftCli {
   private def gb2Chado(in: String, out: String, mitochondrial: Boolean): Unit = {
     val spark = GraftSession.local()
     import spark.implicits._
-    val records = graft.sources.GenBank.read(spark, in)
+    // parsed once for both consumers (feature merge + sequence table) —
+    // without the cache the flat file is wholeTextFiles-read and
+    // re-parsed from scratch for the residues projection
+    val records = graft.sources.GenBank.read(spark, in).cache()
     val feats = graft.etl.GenBankToChado.toGffRecords(records, mitochondrial)
     mergeIntoStore(spark, feats, out)
     if (!dryRun) {
@@ -532,9 +535,16 @@ object GraftCli {
     val spark = GraftSession.local()
     val staging = graft.sources.BibTex.read(spark, in).dropDuplicates("uniquename")
     val path = s"$store/pub"
-    val live =
-      if (new java.io.File(path).exists()) spark.read.parquet(path)
-      else staging.limit(0)
+    val live = {
+      val read =
+        if (new java.io.File(path).exists()) spark.read.parquet(path)
+        else staging.limit(0)
+      // schema evolution, write side: a pre-pubplace store defaults to
+      // PUBMED loads (the same rule the chadopub2bib read path applies)
+      // so the merged union always carries the full column set
+      if (read.columns.contains("pubplace")) read
+      else read.withColumn("pubplace", lit("PUBMED"))
+    }
     val novel = staging.join(live.select(col("uniquename")),
       Seq("uniquename"), "left_anti").localCheckpoint()
     val n = novel.count()

@@ -68,7 +68,13 @@ object GenomicFunctions {
   def legacyDate(c: Column): Column = {
     val yy = substring(c, 8, 2).cast("int")
     val yyyy = when(yy >= 69, yy + 1900).otherwise(yy + 2000).cast("string")
-    to_date(concat(substring(c, 1, 7), yyyy), "dd-MMM-yyyy")
+    // only fixed-width dd-MMM-yy qualifies: a 4-digit-year value like
+    // 01-JAN-1995 would otherwise read '19' as the two-digit year and
+    // silently parse to 2019 — anything else stays null (sorted last),
+    // matching the old to_date(c, 'dd-MMM-yy') behavior
+    when(length(c) === 9,
+      to_date(concat(substring(c, 1, 7), yyyy), "dd-MMM-yyyy"))
+      .otherwise(lit(null).cast("date"))
   }
 
   /** F1/§1.2 — pipe-joined multi-value field to array at the parse edge.

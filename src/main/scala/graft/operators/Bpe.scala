@@ -101,9 +101,12 @@ object Bpe {
   /** Segment every document with a learned merge table: merges apply
     * to the DISTINCT-word dictionary in learned order (vocabulary-
     * sized work, `localCheckpoint` between rules keeps plans flat),
-    * then documents rejoin their words' segmentations through a
-    * broadcast map-side join. Returns one row per word occurrence in
-    * document order: (idCol, pos, word, tokens). */
+    * then documents rejoin their words' segmentations on the word key.
+    * The dictionary is distinct-word-sized — UNBOUNDED on web text
+    * (typos, numbers, URLs) — so the join is left to the planner
+    * (shuffle or AQE-chosen broadcast), never force-broadcast.
+    * Returns one row per word occurrence in document order:
+    * (idCol, pos, word, tokens). */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
                merges: Seq[(String, String)]): DataFrame = {
     val words = docs
@@ -115,7 +118,7 @@ object Bpe {
     val segmented = merges.foldLeft(dict0) { case (d, (a, b)) =>
       mergePair(d, a, b).localCheckpoint()
     }
-    words.join(broadcast(segmented.withColumnRenamed("syms", "tokens")), Seq("word"))
+    words.join(segmented.withColumnRenamed("syms", "tokens"), Seq("word"))
       .select(col(idCol), col("pos"), col("word"), col("tokens"))
   }
 }

@@ -16,10 +16,22 @@ object ParquetUpsert {
     val live =
       if (new java.io.File(path).exists()) spark.read.parquet(path)
       else df.limit(0)
+    // in-batch dedup first: a key repeated WITHIN the input (a corrected
+    // row appended to a curation TSV rather than edited) must not
+    // persist twice in a keyed table — keep one row per key,
+    // deterministically (min over the remaining columns), like the
+    // reference's per-row find-or-create creates each id once
+    val nonKey = df.columns.filterNot(keys.contains)
+    val deduped =
+      if (nonKey.isEmpty) df.dropDuplicates(keys)
+      else df.groupBy(keys.map(col): _*)
+        .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.struct(nonKey.map(col).toIndexedSeq: _*)).as("_r"))
+        .select(keys.map(col) ++ nonKey.map(c => col(s"_r.$c").as(c)): _*)
     // null-SAFE anti-join: a nullable key column (e.g. an empty TSV
     // value field) must still dedup against itself, or every re-import
     // re-inserts the null-keyed rows and idempotence silently breaks
-    val n_ = df.alias("n")
+    val n_ = deduped.alias("n")
     val o = live.select(keys.map(col): _*).alias("o")
     val cond = keys.map(k => col(s"n.$k") <=> col(s"o.$k")).reduce(_ && _)
     val delta = n_.join(o, cond, "left_anti")

@@ -33,7 +33,7 @@ object StoreMaintenance {
   /** Write `df` (which may read from `dir`) to a temp sibling, then swap
     * it in. The source dir is only removed after the replacement write
     * finished, so the data always exists complete somewhere on disk. */
-  private def overwriteViaSwap(df: DataFrame, dir: String): Unit = {
+  private[graft] def overwriteViaSwap(df: DataFrame, dir: String): Unit = {
     val tmp = dir + ".rewrite-" + System.nanoTime()
     df.write.mode("overwrite").parquet(tmp)
     def rm(f: java.io.File): Unit = {

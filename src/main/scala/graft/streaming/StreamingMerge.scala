@@ -126,8 +126,11 @@ object StreamingMerge {
         if (lastApplied.exists(_ >= batchId)) return false // replayed batch
         IncrementalAgg.merge(Seq(live.drop("_applied_batch"), delta), keys)
       } else delta
-    merged.withColumn("_applied_batch", lit(batchId))
-      .write.mode("overwrite").parquet(storeDir)
+    // write-to-sibling-then-swap: a crash mid-overwrite must not leave a
+    // partial store whose max(_applied_batch) == batchId — the replay
+    // gate would then skip the very batch that repairs it
+    graft.sinks.StoreMaintenance.overwriteViaSwap(
+      merged.withColumn("_applied_batch", lit(batchId)), storeDir)
     true
   }
 }

@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * journal/year/month/volume/pages/issn, abstract, doi, nlmuniqueid,
   * pmid, status.
   *
-  * Scale shape: the file splits into `<PubmedArticle>` blocks up front,
-  * so a multi-gigabyte efetch dump parallelizes per article; each block
-  * parses with the JDK DOM parser inside `flatMap` (per-task parser, no
-  * external XML library).
+  * Scale shape: each FILE is read whole (`wholeTextFiles`), split into
+  * `<PubmedArticle>` blocks, then repartitioned so DOM parsing runs per
+  * article (per-task JDK parser, no external XML library). The
+  * whole-file read bounds a single input file to what one task can hold
+  * (< 2 GB JVM string limit) — a multi-gigabyte efetch corpus must
+  * arrive as multiple files (which is how efetch batching emits it);
+  * only the cheap regex block-split is per-file serial, the parse is
+  * per-article parallel either way.
   */
 object PubmedToBib {
 

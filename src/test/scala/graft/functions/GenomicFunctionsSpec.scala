@@ -98,4 +98,16 @@ class GenomicFunctionsSpec extends SparkSpec {
       .select(formatG3($"v").as("g")).as[Option[String]].collect().toSeq
     assert(got == Seq(Some("1.7e-29"), None))
   }
+
+  test("legacyDate parses only fixed-width dd-MMM-yy; 4-digit years stay null") {
+    val got = Seq("01-JAN-95", "30-DEC-69", "05-FEB-04", "01-JAN-1995", "junk", "")
+      .toDF("d")
+      .select(GenomicFunctions.legacyDate($"d").cast("string").as("p"))
+      .as[Option[String]].collect().toSeq
+    // POSIX century split: >= 69 -> 19xx, else 20xx; a dd-MMM-yyyy value
+    // must NOT silently read '19' as the year (it parsed to 2019 before
+    // the width guard) — it stays null, like any other malformed value
+    assert(got == Seq(Some("1995-01-01"), Some("1969-12-30"),
+      Some("2004-02-05"), None, None, None))
+  }
 }
