@@ -32,11 +32,14 @@ object GraftProperties extends Properties("graft") {
     }
 
   val attrVal: Gen[String] = Gen.nonEmptyListOf(
-    Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.oneOf(';', '=', '%'))).map(_.mkString)
+    Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.oneOf(';', '=', '%', ','))).map(_.mkString)
 
   property("GFF3 attribute escaping round-trips through parse") =
     Prop.forAll(attrVal) { v =>
-      val escaped = v.replace("%", "%25").replace(";", "%3B").replace("=", "%3D")
+      // the writer's escape set (Gff3Export.esc): % ; = and the
+      // value-separator comma
+      val escaped = v.replace("%", "%25").replace(";", "%3B")
+        .replace("=", "%3D").replace(",", "%2C")
       val line = s"chr\tsrc\tgene\t1\t10\t.\t+\t.\tID=x;Note=$escaped"
       Gff3.parseLine(line).exists(_.attributes("Note") == Seq(v))
     }
