@@ -68,12 +68,14 @@ object GraftCli {
     // store export
     case ("store2gff3" | "chado2canonicalgff3") :: store :: out :: rest if rest.size <= 1 =>
       store2Gff3(store, out, rest.headOption)
-    case "chado2dictycanonicalgff3" :: store :: out :: Nil =>
-      dictyGff3(store, out, "canonical")
-    case "chado2dictycuratedgff3" :: store :: out :: Nil =>
-      dictyGff3(store, out, "curated")
-    case "chado2dictynoncodinggff3" :: store :: out :: Nil =>
-      dictyGff3(store, out, "noncoding")
+    // optional trailing arg = reference_id (dump one reference only;
+    // partition-pruned on the srcfeature-partitioned featureloc)
+    case "chado2dictycanonicalgff3" :: store :: out :: rest if rest.size <= 1 =>
+      dictyGff3(store, out, "canonical", ref = rest.headOption)
+    case "chado2dictycuratedgff3" :: store :: out :: rest if rest.size <= 1 =>
+      dictyGff3(store, out, "curated", ref = rest.headOption)
+    case "chado2dictynoncodinggff3" :: store :: out :: rest if rest.size <= 1 =>
+      dictyGff3(store, out, "noncoding", ref = rest.headOption)
     case "chado2dictynoncanonicalgff3" :: store :: out :: rest if rest.size <= 1 =>
       dictyGff3(store, out, "noncanonical", rest.headOption)
     case "chado2dictynoncanonicalv2gff3" :: store :: out :: rest if rest.size <= 1 =>
@@ -460,11 +462,16 @@ object GraftCli {
     * family writes `##sequence-region` headers; the noncanonical pair
     * defaults them off like the reference commands. */
   private def dictyGff3(storeDir: String, out: String, variant: String,
-      source: Option[String] = None): Unit = {
+      source: Option[String] = None, ref: Option[String] = None): Unit = {
     val spark = GraftSession.local()
     def t(name: String) = spark.read.parquet(s"$storeDir/$name")
+    // reference_id scoping (chado2dictycanonicalgff3.pm reference_id):
+    // with the srcfeature-partitioned featureloc layout this filter is a
+    // partition-pruned scan, and every downstream join inner-joins loc
+    val locAll = t("featureloc")
     val c = graft.export.DictyGff3Export.Chado(
-      feature = t("feature"), featureloc = t("featureloc"),
+      feature = t("feature"),
+      featureloc = ref.fold(locAll)(r => locAll.filter(col("srcfeature") === r)),
       featureRelationship = t("feature_relationship"),
       featureDbxref = t("feature_dbxref"),
       featureSynonym = t("feature_synonym"))
@@ -480,8 +487,9 @@ object GraftCli {
         (DictyGff3Export.noncanonicalV2(c,
           source = source.getOrElse(DictyGff3Export.Reprediction)), false)
     }
-    val refs = c.feature.filter(col("ftype") === "chromosome")
+    val refsAll = c.feature.filter(col("ftype") === "chromosome")
       .select(col("uniquename"), col("seqlen"))
+    val refs = ref.fold(refsAll)(r => refsAll.filter(col("uniquename") === r))
     Gff3Export.writeDocument(refs, frame, out, singleFile,
       sequenceRegion = regions)
     println(s"gff3 written to $out (${frame.count()} feature lines)")
