@@ -126,6 +126,8 @@ object GraftCli {
     case "corpusmix" :: in :: out :: weights :: nShards :: Nil =>
       corpusMix(in, out, weights, nShards.toInt)
     case "corpusimport" :: in :: fmt :: out :: Nil => corpusImport(in, fmt, out)
+    case "corpusexport" :: in :: out :: fmt :: rest if rest.size <= 1 =>
+      corpusExport(in, out, fmt, rest.headOption.map(_.toInt))
     case "corpusingest" :: in :: out :: Nil => corpusIngest(in, out)
     case "annbuild" :: emb :: indexDir :: rest if rest.size <= 1 =>
       annBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(16))
@@ -156,7 +158,7 @@ object GraftCli {
            |dump:      dictystrain dictyplasmid
            |report:    sumstats stockreport
            |corpus:    corpusdedup decontaminate corpusstats corpussplit corpusmix
-           |           corpusimport corpusingest
+           |           corpusimport corpusingest corpusexport <parquet> <out> <fmt> [shards]
            |ann:       annbuild <emb> <indexdir> [cells]
            |           annquery <indexdir> <emb> <id> <k> [nprobe]
            |           pqbuild <emb> <indexdir> [m] [k]
@@ -877,6 +879,38 @@ object GraftCli {
       .select("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(out)
     println(s"imported ${spark.read.parquet(out).count()} docs ($fmt) -> $out")
+    spark.stop()
+  }
+
+  /** corpusexport: the emit side of the corpus lifecycle — write the
+    * curated parquet corpus as the gzipped jsonl (or csv/parquet) shards
+    * a training run consumes. With `nShards`, rows get the deterministic
+    * md5 shard of `Curation.shardAssign` (q72 semantics: breaks
+    * source/time locality, unbiased per-shard samples) and land as one
+    * `shard=N/` directory each; the partitioned write is the only
+    * exchange. */
+  private def corpusExport(in: String, out: String, fmt: String,
+      nShards: Option[Int]): Unit = {
+    val spark = GraftSession.local()
+    val docs = spark.read.parquet(in)
+    val writer = nShards match {
+      case Some(n) =>
+        graft.operators.Curation.shardAssign(docs, "doc_id", n)
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+      case None => docs.write.mode("overwrite")
+    }
+    fmt match {
+      case "jsonl" | "json" => writer.option("compression", "gzip").json(out)
+      case "csv" => writer.option("header", "true")
+        .option("compression", "gzip").csv(out)
+      case "parquet" => writer.parquet(out)
+      case other =>
+        System.err.println(s"corpusexport: unknown format '$other' (jsonl|csv|parquet)")
+        spark.stop(); sys.exit(2)
+    }
+    println(s"exported ${docs.count()} docs ($fmt" +
+      nShards.fold("")(n => s", $n shards") + s") -> $out")
     spark.stop()
   }
 
