@@ -115,14 +115,19 @@ class Gff3Scan(options: CaseInsensitiveStringMap,
 
   private def paths: Seq[String] = {
     // spark.read.load(path) passes paths as a JSON array under "paths",
-    // single-path loads under "path"
+    // single-path loads under "path". Real JSON parsing (Jackson ships
+    // with Spark): a path containing a comma, quote, or escape must not
+    // be split into garbage fragments.
     val multi = Option(options.get("paths")).map { json =>
-      json.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-        .filter(_.nonEmpty)
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(json, classOf[Array[String]]).toSeq
     }
     multi.getOrElse(Option(options.get("path")).toSeq)
   }
+
+  // metadata/temporary names every built-in file index skips
+  private def isHidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
@@ -131,13 +136,24 @@ class Gff3Scan(options: CaseInsensitiveStringMap,
     paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
-      val files = if (fs.getFileStatus(hp).isDirectory)
-        fs.listStatus(hp).toSeq.filter(_.isFile).map(_.getPath)
-      else Seq(hp)
-      files.flatMap { f =>
-        val len = fs.getFileStatus(f).getLen
+      // glob support like every built-in source (dir/*.gff3); a non-glob
+      // existing path comes back as its own 1-element match, a missing
+      // path falls through to getFileStatus for the standard error
+      val matched = Option(fs.globStatus(hp)).map(_.toSeq)
+        .filter(_.nonEmpty)
+        .getOrElse(Seq(fs.getFileStatus(hp)))
+      val files = matched.flatMap { st =>
+        if (st.isDirectory)
+          // skip _SUCCESS/.crc/in-flight temporaries inside directories;
+          // explicitly-named files are always honored
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && !isHidden(s.getPath.getName))
+        else Seq(st)
+      }
+      files.flatMap { st => // statuses already carry lengths: no re-fetch
+        val len = st.getLen
         (0L until math.max(len, 1L) by maxSplit).map { start =>
-          Gff3Split(f.toString, start, math.min(start + maxSplit, len))
+          Gff3Split(st.getPath.toString, start, math.min(start + maxSplit, len))
         }
       }
     }.toArray
@@ -167,8 +183,22 @@ class Gff3PartitionReader(split: Gff3Split, conf: org.apache.hadoop.conf.Configu
                           pushdown: Gff3Pushdown, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private def lineBytes(line: String): Long =
-    line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1L
+  /** UTF-8 byte length of `line` + 1 for its `\n`, computed
+    * arithmetically — no throwaway byte[] per line on the scan path,
+    * and exact for any well-formed text (surrogate pairs = 4 bytes). */
+  private def lineBytes(line: String): Long = {
+    var n = 0L
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c < 0x80) { n += 1; i += 1 }
+      else if (c < 0x800) { n += 2; i += 1 }
+      else if (Character.isHighSurrogate(c) && i + 1 < line.length &&
+        Character.isLowSurrogate(line.charAt(i + 1))) { n += 4; i += 2 }
+      else { n += 3; i += 1 }
+    }
+    n + 1L
+  }
 
   private val serializer = Gff3DataSource.encoder.createSerializer()
   private val needsAttributes = required.fieldNames.contains("attributes")
@@ -185,14 +215,20 @@ class Gff3PartitionReader(split: Gff3Split, conf: org.apache.hadoop.conf.Configu
   private val reader = {
     val seekTo = math.max(split.start - 1, 0L)
     in.seek(seekTo)
-    val r = new java.io.BufferedReader(
-      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
     pos = seekTo
     if (split.start > 0) {
-      val skipped = r.readLine() // line containing byte start-1: not ours
-      if (skipped != null) pos += lineBytes(skipped)
+      // skip the boundary line AT THE BYTE LEVEL: the seek can land in
+      // the middle of a multi-byte character, and a decoder started
+      // there would substitute replacement chars whose re-encoded size
+      // differs from the file bytes — drifting `pos` and silently
+      // dropping or duplicating a boundary line. Raw bytes can't drift,
+      // and afterwards the stream sits on a clean line start.
+      var b = in.read()
+      while (b != -1 && b != '\n') { pos += 1; b = in.read() }
+      if (b == '\n') pos += 1
     }
-    r
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
   }
   private var current: GffRecord = _
 

@@ -29,40 +29,74 @@ object EventStream {
       .writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName(name)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // always stop: a query left running after a failure wedges the
+    // shared session (and every later test in the suite)
+    try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
 
   case class Event(user_id: Long, ts_us: Long, event_type: String)
+  /** [[Event]] plus its derived event-time column (encoder-visible —
+    * the generated deserializer can't access a private class). */
+  case class EventTs(user_id: Long, ts_us: Long, event_type: String,
+      event_ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, n_events: Int, duration_us: Long)
 
+  private val GapUs = 1800L * 1000 * 1000 // 30-minute session gap
+  private val GapMs = 1800L * 1000
+
   /** Stateful per-user sessionization via flatMapGroupsWithState — the
     * streaming form of operators.Sessionize (30-minute gap). A session
-    * is EMITTED when a later event's gap closes it (append semantics);
-    * the running session is O(1) state. Memory per invocation is one
-    * micro-batch's per-key slice (sorted locally — bounded by the
-    * trigger interval, not the key's history), which fixes the round-1
-    * note about materializing a user's whole batch. */
+    * is EMITTED when a later event's gap closes it (append semantics).
+    * The running session is O(1) state per key, and the aggregate state
+    * is BOUNDED: an event-time timeout evicts each key once the
+    * watermark passes gap-after-last-event, emitting the final session
+    * on the way out — without it every user_id ever seen would hold
+    * state forever. Memory per invocation is one micro-batch's per-key
+    * slice (sorted locally). A late cross-batch event inside the gap
+    * merges without moving `last` backward (max), so durations are
+    * never negative. Batch runs have no watermark: timeouts don't
+    * apply and trailing sessions stay unemitted, the documented batch
+    * contract. */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", "30 minutes")
+      .as[EventTs]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, rows, state: GroupState[SessionState]) =>
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          val sorted = rows.toArray.sortBy(_.ts_us)
-          var s = state.getOption.orNull
-          for (e <- sorted) {
-            if (s == null) s = SessionState(e.ts_us, e.ts_us, 1)
-            else if (e.ts_us - s.last > 1800L * 1000 * 1000) {
-              closed += SessionOut(user, s.n, s.last - s.start)
-              s = SessionState(e.ts_us, e.ts_us, 1)
-            } else s = SessionState(s.start, e.ts_us, s.n + 1)
+          if (state.hasTimedOut) {
+            // watermark passed gap-after-last: the session can never be
+            // extended — emit it and free the key's state
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.n, s.last - s.start))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            val sorted = rows.toArray.sortBy(_.ts_us)
+            var s = state.getOption.orNull
+            for (e <- sorted) {
+              if (s == null) s = SessionState(e.ts_us, e.ts_us, 1)
+              else if (e.ts_us - s.last > GapUs) {
+                closed += SessionOut(user, s.n, s.last - s.start)
+                s = SessionState(e.ts_us, e.ts_us, 1)
+              } else s = SessionState(s.start, math.max(s.last, e.ts_us), s.n + 1)
+            }
+            if (s != null) {
+              state.update(s)
+              // timeout must stay ahead of the current watermark; batch
+              // has no watermark and throws — trailing sessions simply
+              // stay in (discarded) batch state, as documented
+              try state.setTimeoutTimestamp(
+                math.max(s.last / 1000L + GapMs, state.getCurrentWatermarkMs + 1))
+              catch { case _: UnsupportedOperationException => () }
+            }
+            closed.iterator
           }
-          if (s != null) state.update(s)
-          closed.iterator
       }
   }
 
@@ -102,4 +136,5 @@ object EventStream {
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash") // synthetic key: keep the caller's schema
 }

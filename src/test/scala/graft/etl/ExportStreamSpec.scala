@@ -364,6 +364,39 @@ class ExportStreamSpec extends SparkSpec {
     assert(got.toSeq == Seq(EventStream.SessionOut(1L, 2, 100L)))
   }
 
+  test("streaming sessionization times out idle keys: final session emitted, state freed") {
+    val dir = java.nio.file.Files.createTempDirectory("sesstream").toString
+    def write(name: String, evs: Seq[EventStream.Event]): Unit =
+      spark.createDataset(evs).repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/$name")
+    // timestamps sit well above epoch: the initial watermark is 0 and
+    // stateful operators drop rows at-or-below it as late
+    val base = 1700000000L * 1000 * 1000
+    // batch 1: user 1 has a 2-event session; nothing closes it in-batch
+    write("b1", Seq(EventStream.Event(1L, base, "a"),
+      EventStream.Event(1L, base + 100L, "b")))
+    val stream = spark.readStream
+      .schema(spark.createDataset(Seq.empty[EventStream.Event]).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val q = EventStream.sessionize(stream.as[EventStream.Event])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesstimeout").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sesstimeout").count() == 0) // still open
+      // batch 2: another user far in the future advances the watermark
+      // past user 1's last + gap -> the event-time timeout fires and
+      // user 1's FINAL session is emitted (NoTimeout never would)
+      write("b2", Seq(EventStream.Event(2L, base + 8000L * 1000 * 1000, "x")))
+      q.processAllAvailable()
+      q.processAllAvailable() // one more cycle: timeout fires after the watermark commit
+      val got = spark.table("sesstimeout")
+        .as[EventStream.SessionOut].collect().toSet
+      assert(got.contains(EventStream.SessionOut(1L, 2, 100L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("multimodal image path decodes a REAL png via javax.imageio") {
     // generate an actual 20x10 PNG: left half black, right half white
     val img = new java.awt.image.BufferedImage(20, 10,

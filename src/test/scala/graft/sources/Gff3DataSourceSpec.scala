@@ -42,6 +42,44 @@ class Gff3DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("multi-byte UTF-8 content keeps split accounting exact") {
+    // every line carries 2- and 3-byte characters plus a 4-byte
+    // supplementary codepoint, so nearly every tiny-split boundary
+    // lands inside a multi-byte sequence; byte-level skip + arithmetic
+    // UTF-8 lengths must still give every line exactly one owner
+    val sb = new StringBuilder("##gff-version 3\n")
+    (1 to 30).foreach { i =>
+      sb ++= s"chr1\tt\tgene\t${i * 10}\t${i * 10 + 5}\t.\t+\t.\t" +
+        s"ID=u$i;Note=café 世界 ${new String(Character.toChars(0x1F600))}\n"
+    }
+    val f = Files.createTempFile("dsv2utf8", ".gff3")
+    Files.writeString(f, sb.toString)
+    for (splitBytes <- Seq(23L, 41L, 77L)) {
+      val ids = spark.read.format("graft.sources.v2.Gff3DataSource")
+        .option("maxSplitBytes", splitBytes.toString)
+        .load(f.toString)
+        .selectExpr("element_at(attributes, 'ID')[0]")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(ids == (1 to 30).map(i => s"u$i").sorted,
+        s"splitBytes=$splitBytes lost or duplicated rows")
+    }
+  }
+
+  test("glob paths and directory listings skip metadata files") {
+    val dir = Files.createTempDirectory("dsv2glob")
+    Files.writeString(dir.resolve("a.gff3"),
+      "chr1\tt\tgene\t1\t10\t.\t+\t.\tID=ga\n")
+    Files.writeString(dir.resolve("b.gff3"),
+      "chr1\tt\tgene\t2\t20\t.\t+\t.\tID=gb\n")
+    Files.writeString(dir.resolve("_SUCCESS"), "")
+    Files.writeString(dir.resolve(".hidden.crc"), "binary\tgarbage")
+    def ids(p: String) = spark.read.format("graft.sources.v2.Gff3DataSource")
+      .load(p).selectExpr("element_at(attributes, 'ID')[0]")
+      .collect().map(_.getString(0)).toSet
+    assert(ids(s"$dir/*.gff3") == Set("ga", "gb")) // glob
+    assert(ids(dir.toString) == Set("ga", "gb")) // dir listing skips _ and .
+  }
+
   test("filter pushdown and column pruning produce correct results") {
     val df = readV2(1 << 20)
     // pruned (no attributes) + pushed ftype filter
