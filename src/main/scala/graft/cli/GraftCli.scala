@@ -1032,7 +1032,9 @@ object GraftCli {
     */
   private def oboClosure2Chado(in: String, store: String): Unit = {
     val spark = GraftSession.local()
-    val fresh = graft.sources.ClosureTsv.read(spark, in).toDF()
+    // distinct rows: cvtermpath is unique per (subject, ancestor,
+    // distance) and the prune/insert diff runs set semantics
+    val fresh = graft.sources.ClosureTsv.read(spark, in).toDF().dropDuplicates()
     val path = s"$store/cvtermpath"
     if (new java.io.File(path).exists()) {
       val live = spark.read.parquet(path)

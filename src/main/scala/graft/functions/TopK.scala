@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions.udaf
   * trim rather than a heap per row (JVM-friendlier for small k).
   */
 final class TopKAggregator(k: Int)
-    extends Aggregator[(Long, Double), (Int, List[(Long, Double)]), Seq[(Long, Double)]] {
+    extends Aggregator[(java.lang.Long, java.lang.Double), (Int, List[(Long, Double)]), Seq[(Long, Double)]] {
   require(k > 0, "k must be positive")
 
   // score desc with NaN ranked FIRST (the SQL DESC semantics), id asc.
@@ -37,9 +37,15 @@ final class TopKAggregator(k: Int)
     b.sortBy { case (id, s) => (!s.isNaN, -s, id) }.take(k)
 
   def zero: (Int, List[(Long, Double)]) = (0, Nil)
-  def reduce(b: (Int, List[(Long, Double)]), a: (Long, Double)): (Int, List[(Long, Double)]) = {
+  def reduce(b: (Int, List[(Long, Double)]),
+             a: (java.lang.Long, java.lang.Double)): (Int, List[(Long, Double)]) = {
+    // null id or score (e.g. cosine of a null embedding) is unrankable:
+    // skip the row like SQL ORDER BY ... LIMIT k over non-null rows
+    // would never surface it — instead of crashing the deserializer
+    if (a._1 == null || a._2 == null) return b
     val (n, xs) = b
-    if (n + 1 > 2 * k) (k, best(a :: xs)) else (n + 1, a :: xs)
+    val pair = (a._1.longValue, a._2.doubleValue)
+    if (n + 1 > 2 * k) (k, best(pair :: xs)) else (n + 1, pair :: xs)
   }
   def merge(l: (Int, List[(Long, Double)]), r: (Int, List[(Long, Double)])): (Int, List[(Long, Double)]) = {
     val m = best(l._2 ::: r._2)
@@ -58,6 +64,6 @@ object TopK {
     * get one row per hit. */
   def top_k(k: Int)(id: Column, score: Column): Column =
     udaf(new TopKAggregator(k),
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+      Encoders.tuple(Encoders.LONG, Encoders.DOUBLE)) // boxed: null-tolerant
       .apply(id, score)
 }

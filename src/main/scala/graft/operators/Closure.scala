@@ -41,6 +41,9 @@ object Closure {
     * round-1 verdict's co-partitioning fix).
     */
   def transitiveClosure(edges: DataFrame, maxIters: Int = 64): DataFrame = {
+    // 0 would silently return only direct edges; negatives would
+    // sign-extend into 64 squaring rounds on cyclic input
+    require(maxIters > 0, s"maxIters must be positive, got $maxIters")
     var acc = edges.select(col("child"), col("parent"), lit(1).as("dist"))
       .localCheckpoint()
     var power = acc
@@ -76,7 +79,13 @@ object Closure {
   /** J7/U2 — closure prune: live `cvtermpath`-shaped rows not present in
     * the freshly computed closure are the delete set
     * (share/postgresql_transitive.lib:50-78's correlated
-    * `EXISTS ... EXCEPT` done as a plain EXCEPT). */
+    * `EXISTS ... EXCEPT` done as a plain EXCEPT).
+    *
+    * SET semantics, deliberately: cvtermpath rows are unique per
+    * (subject, ancestor, distance) like chado's table, so both inputs
+    * must be distinct-row frames. Feeding the per-path multiset that
+    * [[transitiveClosure]] emits would make EXCEPT-distinct blind to
+    * multiplicity changes — dedup first (the CLI load does). */
   def pruneSet(liveClosure: DataFrame, newClosure: DataFrame): DataFrame =
     liveClosure.except(newClosure.select(liveClosure.columns.toIndexedSeq.map(col): _*))
 }

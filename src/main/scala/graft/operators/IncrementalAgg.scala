@@ -21,7 +21,14 @@ object IncrementalAgg {
     * (keys..., psum DECIMAL(38,2), pcnt LONG). The sum is pinned at
     * max precision so repeated folds ([[merge]]) keep one stable
     * schema — Spark widens decimal sums per level otherwise, and a
-    * parquet partial store must not drift types between refreshes. */
+    * parquet partial store must not drift types between refreshes.
+    *
+    * Domain contract: DECIMAL(18,2) is the engine-wide money rule
+    * (README "cross-engine determinism") — 16 integral digits, 2
+    * fractional. Values outside it fail LOUDLY under Spark 4's ANSI
+    * default (an overflow crash beats a silent null-drop undercount),
+    * and finer-than-cent scales round half-up at ingestion. For other
+    * value domains, cast to the domain's decimal before calling. */
   def partial(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)").as("psum"),

@@ -46,11 +46,16 @@ object JdbcStore {
       conn.setAutoCommit(false)
       val counts = try {
         val st = conn.createStatement()
-        val res = statements.map(st.executeUpdate)
+        // force strictly: a lazy Seq would defer executeUpdate past the
+        // commit and "commit" an empty transaction
+        val res = statements.toList.map(st.executeUpdate)
         conn.commit()
         res
       } catch {
-        case e: Throwable => conn.rollback(); throw e
+        case e: Throwable =>
+          // a rollback on a dead connection must not mask the root cause
+          try conn.rollback() catch { case re: Throwable => e.addSuppressed(re) }
+          throw e
       }
       counts
     } finally conn.close()

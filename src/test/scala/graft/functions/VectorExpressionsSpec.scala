@@ -59,3 +59,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(un.head == "\u00c1") // A + combining acute composes
   }
 }
+
+/** Null tolerance of the bounded top-k aggregator: unrankable rows
+  * (null id/score) are skipped, not crashed on. */
+class TopKNullSpec extends graft.SparkSpec {
+  import spark.implicits._
+  test("top_k skips null-scored rows like SQL ordering would") {
+    val df = Seq((1L, Some(0.9)), (2L, None), (3L, Some(0.5)))
+      .toDF("id", "score")
+    val got = df.groupBy()
+      .agg(TopK.top_k(2)($"id", $"score").as("hits"))
+      .selectExpr("explode(hits) as h").select("h._1", "h._2")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 0.9), (3L, 0.5)))
+  }
+}
