@@ -243,7 +243,9 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(graft.functions.VectorFunctions.cosine_sim(col("e"), col("qv")), 6)
           .as("sim"))
-    scored
+    // null sim (a null/ragged embedding) is unrankable and the bounded
+    // aggregator's primitive encoder is strict: drop map-side, free
+    scored.filter(col("sim").isNotNull)
       .groupBy(col("query_id"))
       .agg(graft.functions.TopK.top_k(k)(col("cand_id").cast("long"), col("sim")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("hit"))
@@ -327,7 +329,7 @@ object Similarity {
       .select(col("query_id"), col(idCol),
         round(graft.functions.VectorFunctions.cosine_sim(col(embCol), col("qv")), 6)
           .as("sim"))
-    scored
+    scored.filter(col("sim").isNotNull) // null embedding -> unrankable, drop map-side
       .groupBy(col("query_id"))
       .agg(graft.functions.TopK.top_k(k)(col(idCol).cast("long"), col("sim")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("hit"))
