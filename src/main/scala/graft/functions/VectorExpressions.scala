@@ -236,6 +236,171 @@ case class MinHashMd5(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment for the IVF coarse quantizer: returns the
+  * cell id (`cids(i)`) whose centroid minimizes squared-L2 distance to the
+  * input vector, first-minimum tiebreak (cids are sorted ascending, so
+  * ties go to the lowest cell id).
+  *
+  * This replaces the per-centroid-literal form — `element_at(array(cids),
+  * array_position(ds, array_min(ds)))` over one `l2_dist` expression PER
+  * centroid — which builds O(cells · dim) plan nodes and dies at the
+  * 64k–1M cells a real 10B-vector index needs (codegen/plan-size limits,
+  * long before data size matters). Here the centroid matrix is ONE
+  * driver-held object referenced by a single expression node: codegen
+  * attaches it via `addReferenceObj`, so the generated code is a fixed
+  * two-level loop regardless of cell count and the plan stays
+  * constant-sized. The matrix ships once per stage with the serialized
+  * plan (the broadcast-module pattern of every MLlib model).
+  *
+  * Semantics match the literal form bit-for-bit: distances accumulate
+  * `(x-y)²` left-to-right in double ([[L2Distance]]), ragged inputs
+  * truncate to the shorter length, comparison uses the SQL total order
+  * (NaN greatest — `java.lang.Double.compare`), null input → null cell.
+  */
+case class NearestCell(child: Expression, cids: Seq[Int],
+                       centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_cell expects array<float|double>, got $t")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val cidArr: Array[Int] = cids.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    val fl = isFloat
+    var best = 0
+    var bestD = Double.NaN
+    var k = 0
+    while (k < matrix.length) {
+      val c = matrix(k)
+      val n = math.min(e.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (fl) e.getFloat(i).toDouble else e.getDouble(i)
+        val d = x - c(i)
+        acc += d * d
+        i += 1
+      }
+      if (k == 0 || java.lang.Double.compare(acc, bestD) < 0) {
+        bestD = acc; best = k
+      }
+      k += 1
+    }
+    cidArr(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroidMatrix", matrix, "double[][]")
+    val cd = ctx.addReferenceObj("cellIds", cidArr, "int[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, e => {
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val acc = ctx.freshName("acc")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      s"""
+         |int $best = 0;
+         |double $bestD = Double.NaN;
+         |for (int k = 0; k < $m.length; k++) {
+         |  double[] $c = $m[k];
+         |  int $n = java.lang.Math.min($e.numElements(), $c.length);
+         |  double $acc = 0.0;
+         |  for (int i = 0; i < $n; i++) {
+         |    double d = ((double) $e.$get(i)) - $c[i];
+         |    $acc += d * d;
+         |  }
+         |  if (k == 0 || java.lang.Double.compare($acc, $bestD) < 0) {
+         |    $bestD = $acc; $best = k;
+         |  }
+         |}
+         |${ev.value} = $cd[$best];
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The `nprobe` nearest cells for a query vector, ordered by
+  * (distance, cell id) ascending — the multi-cell probe pick that
+  * previously sorted a per-centroid-literal struct array
+  * (`slice(array_sort(...), 1, nprobe)`), with the same plan-size
+  * ceiling as the assignment form (see [[NearestCell]]). Query-side
+  * only (rows = probes, not corpus), so interpreted eval is fine.
+  * Ordering matches `array_sort` on `struct(d2, cid)` exactly: double
+  * total order (NaN greatest) then cid. Null input → null.
+  */
+case class NearestCells(child: Expression, cids: Seq[Int],
+                        centroids: Seq[Seq[Double]], nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells expects array<float|double>, got $t")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val cidArr: Array[Int] = cids.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val ds = new Array[Double](matrix.length)
+    var k = 0
+    while (k < matrix.length) {
+      val c = matrix(k)
+      val n = math.min(e.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (fl) e.getFloat(i).toDouble else e.getDouble(i)
+        val d = x - c(i)
+        acc += d * d
+        i += 1
+      }
+      ds(k) = acc
+      k += 1
+    }
+    val idx = Array.tabulate(matrix.length)(identity)
+    val sorted = idx.sortWith { (i, j) =>
+      val c = java.lang.Double.compare(ds(i), ds(j))
+      if (c != 0) c < 0 else cidArr(i) < cidArr(j)
+    }
+    ArrayData.toArrayData(
+      sorted.take(math.min(nprobe, sorted.length)).map(cidArr))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers + SQL registration for the native expressions. */
 object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
@@ -246,6 +411,13 @@ object VectorFunctions {
 
   def l2_dist(a: Column, b: Column): Column =
     ColumnBridge.column(L2Distance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def nearest_cell(e: Column, cids: Seq[Int], centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(NearestCell(ColumnBridge.expression(e), cids, centroids))
+
+  def nearest_cells(e: Column, cids: Seq[Int], centroids: Seq[Seq[Double]],
+                    nprobe: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(e), cids, centroids, nprobe))
 
   /** Register as SQL functions on a session (the
     * `SparkSessionExtensions` injection path uses the same calls). */

@@ -60,24 +60,28 @@ object Similarity {
     * the driver, exactly like any production IVF index (and any Spark
     * MLlib model). Train once, probe many. */
   final case class IvfIndex(cids: Seq[Int], centroids: Seq[Seq[Double]]) {
-    /** Map-only cell assignment for column `e`: argmin of the fused
-      * [[graft.functions.L2Distance]] against every centroid literal,
-      * first-minimum tiebreak == lowest cell id (cids are sorted). No
-      * crossJoin, no groupBy — one codegen'd projection. */
+    /** Map-only cell assignment for column `e`: a SINGLE codegen'd
+      * argmin expression over the driver-held centroid matrix
+      * ([[graft.functions.NearestCell]] — the matrix rides as one
+      * reference object, so the plan stays constant-sized at 64k–1M
+      * cells where the old per-centroid-literal form hit codegen/plan
+      * limits). First-minimum tiebreak == lowest cell id (cids are
+      * sorted). No crossJoin, no groupBy — one projection. */
     private[Similarity] def cellCol: org.apache.spark.sql.Column =
       cellColFor(col("e"))
 
     /** Same map-only argmin assignment against an arbitrary input
       * column — the product-quantizer reuses it per subvector. */
     private[Similarity] def cellColFor(
-        e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val ds = array(centroids.map(c =>
-        graft.functions.VectorFunctions.l2_dist(e,
-          array(c.map(lit): _*))): _*)
-      element_at(
-        array(cids.map(lit): _*),
-        array_position(ds, array_min(ds)).cast("int"))
-    }
+        e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.functions.VectorFunctions.nearest_cell(e, cids, centroids)
+
+    /** The `nprobe` nearest cells by trained-centroid distance, ordered
+      * by (distance, cell id) — same single-expression shape as
+      * [[cellCol]]; `element 1` reproduces the assignment cell. */
+    private[Similarity] def probeCellsCol(
+        e: org.apache.spark.sql.Column, nprobe: Int): org.apache.spark.sql.Column =
+      graft.functions.VectorFunctions.nearest_cells(e, cids, centroids, nprobe)
   }
 
   /** One deterministic Lloyd step (see [[ivfTopK]] scaladoc): centroids
@@ -160,14 +164,7 @@ object Similarity {
     // the nprobe nearest cells by trained-centroid distance; for
     // nprobe = 1 this is exactly the assignment cell (same tiebreak)
     val probeCells = qv
-      .select(posexplode(array(index.cids.indices.map(i => struct(
-        graft.functions.VectorFunctions.l2_dist(col("e"),
-          array(index.centroids(i).map(lit): _*)).as("d2"),
-        lit(index.cids(i)).as("cid"))): _*)).as(Seq("pos", "s")))
-      .select(col("s.d2").as("d2"), col("s.cid").as("cid"))
-      .orderBy(col("d2"), col("cid"))
-      .limit(nprobe)
-      .select(col("cid").as("cell"))
+      .select(explode(index.probeCellsCol(col("e"), nprobe)).as("cell"))
     val candidates = assigned.filter(col("vid") =!= queryId)
       .join(broadcast(probeCells), Seq("cell"), "left_semi")
     withCosine(candidates, qv.select(col("e").as("qv")), "e")
@@ -228,15 +225,10 @@ object Similarity {
     val idType = integralIdType(corpus, idCol)
     val assigned = corpus.select(col(idCol).as("cand_id"), col(embCol).as("e"))
       .withColumn("cell", index.cellCol)
-    val probeStructs = array(index.cids.indices.map(i => struct(
-      graft.functions.VectorFunctions.l2_dist(col("e"),
-        array(index.centroids(i).map(lit): _*)).as("d2"),
-      lit(index.cids(i)).as("cid"))): _*)
-    // array_sort on structs orders by (d2, cid) — the ivfTopK tiebreak
+    // nearest_cells orders by (d2, cid) — the ivfTopK tiebreak
     val qcells = queries.select(col(idCol).as("query_id"), col(embCol).as("e"))
-      .withColumn("pc", slice(array_sort(probeStructs), 1, nprobe))
       .select(col("query_id"), col("e").as("qv"),
-        explode(expr("transform(pc, x -> x.cid)")).as("cell"))
+        explode(index.probeCellsCol(col("e"), nprobe)).as("cell"))
     val scored = assigned
       .join(broadcast(qcells), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
@@ -361,7 +353,18 @@ object Similarity {
     * quantizer's.) */
   def trainPq(emb: DataFrame, idCol: String, embCol: String,
               m: Int, k: Int): PqIndex = {
-    val dim = emb.select(size(col(embCol))).head().getInt(0)
+    // probe dimensionality from a min/max aggregate, not one arbitrary
+    // row: an empty frame fails with a real message instead of a bare
+    // NoSuchElementException, and a ragged corpus is rejected up front
+    // instead of silently mis-sizing every subspace slice
+    val sz = emb.agg(min(size(col(embCol))).as("mn"),
+      max(size(col(embCol))).as("mx")).head()
+    require(!sz.isNullAt(0),
+      s"trainPq: no rows with a non-null '$embCol' to train on")
+    val dim = sz.getInt(0)
+    require(dim == sz.getInt(1),
+      s"trainPq: ragged embeddings (size $dim..${sz.getInt(1)}) — " +
+        "fixed dimension required")
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     PqIndex(sub, (0 until m).map { j =>
@@ -413,13 +416,24 @@ object Similarity {
     * corpus); both pruning and scoring are map-only projections over
     * driver-held literals. With `nprobe = numCells` and lossless
     * codebooks this degrades gracefully to exact ranking (spec'd). */
+  /** Fetch the query embedding as a driver-side vector, with a real
+    * error when the id is absent or its embedding is null (a bare
+    * `head()` threw an opaque NoSuchElementException). */
+  private def queryVector(emb: DataFrame, idCol: String, embCol: String,
+                          queryId: Long): Seq[Double] = {
+    val rows = emb.filter(col(idCol) === queryId)
+      .select(col(embCol).cast("array<double>")).limit(1).collect()
+    require(rows.nonEmpty && !rows(0).isNullAt(0),
+      s"query id $queryId not found (or has a null '$embCol')")
+    rows(0).getSeq[Double](0)
+  }
+
   def ivfPqTopK(emb: DataFrame, idCol: String, embCol: String,
                 queryId: Long, numCells: Int, m: Int, k: Int, topK: Int,
                 nprobe: Int = 1): DataFrame = {
     val coarse = trainIvf(emb, idCol, embCol, numCells)
     val pq = trainPq(emb, idCol, embCol, m, k)
-    val q = emb.filter(col(idCol) === queryId)
-      .select(col(embCol).cast("array<double>")).head().getSeq[Double](0)
+    val q = queryVector(emb, idCol, embCol, queryId)
     // nprobe nearest coarse cells, computed driver-side from the same
     // rounded centroids (dimension-sized work)
     val probeCells = coarse.cids.zip(coarse.centroids)
@@ -431,6 +445,10 @@ object Similarity {
       .withColumn("cell", coarse.cellColFor(col("e")))
       .filter(col("cell").isin(probeCells: _*) && col("vid") =!= queryId)
       .select(col("vid").as(idCol), adcDistCol(pq, q).as("adist"))
+      // a null/ragged embedding yields null codes → null adist, and
+      // ascending orderBy sorts NULLS FIRST — drop unrankable rows
+      // map-side (mirrors the knnJoin null-sim filter)
+      .filter(col("adist").isNotNull)
       .orderBy(col("adist"), col(idCol))
       .limit(topK)
   }
@@ -497,10 +515,12 @@ object Similarity {
   def pqProbe(emb: DataFrame, idCol: String, embCol: String,
               queryId: Long, index: PqIndex, topK: Int): DataFrame = {
     val codes = pqEncode(emb, idCol, embCol, index)
-    val q = emb.filter(col(idCol) === queryId)
-      .select(col(embCol).cast("array<double>")).head().getSeq[Double](0)
+    val q = queryVector(emb, idCol, embCol, queryId)
     codes.filter(col("vid") =!= queryId)
       .select(col("vid").as(idCol), adcDistCol(index, q).as("adist"))
+      // null/ragged embedding → null code → null adist → NULLS FIRST
+      // would surface unrankable vectors as top neighbors; drop map-side
+      .filter(col("adist").isNotNull)
       .orderBy(col("adist"), col(idCol))
       .limit(topK)
   }
