@@ -61,7 +61,7 @@ object Bpe {
   /** Greedy left-to-right, non-overlapping merge of pair (a, b) in
     * every word's symbol array — one codegen'd map over the
     * dictionary, no shuffle. */
-  private def mergePair(dict: DataFrame, a: String, b: String): DataFrame = {
+  private[operators] def mergePair(dict: DataFrame, a: String, b: String): DataFrame = {
     val merged = lit(a + b)
     dict.withColumn("syms",
       aggregate(col("syms"),
@@ -73,27 +73,79 @@ object Bpe {
           .otherwise(concat(acc, array(x)))))
   }
 
-  /** Learn `numMerges` merge rules from the corpus. Per round the
-    * driver receives ONE row (the argmax pair); rounds that find no
-    * mergeable pair left stop early. */
-  def learn(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+  /** Learn `numMerges` merge rules from the corpus, BATCHING provably
+    * independent merges per round. A one-merge-per-round loop is V
+    * driver round-trips for a V-entry vocabulary — unusable at a
+    * production 32k merge table. Instead each round collects the top
+    * `batchK` pairs once and applies the longest PREFIX of that sorted
+    * list that is exactly equivalent to the sequential greedy loop:
+    *
+    *  - prefix only (never skip an interacting pair and keep going —
+    *    the sequential loop would have processed it first);
+    *  - a later pair must share NO symbol with any earlier batched
+    *    pair (so its count is provably unchanged by those merges —
+    *    a merge only touches pairs adjacent to an occurrence, all of
+    *    which contain one of its symbols), and must not equal an
+    *    earlier merged symbol (which would mint new occurrences);
+    *  - its count must STRICTLY exceed the count of any pair a prior
+    *    batch merge could newly create. A new pair (x·"ab") born of
+    *    merging (a,b) only arises where "x a b" stood, so its count is
+    *    ≤ the OLD count of (x,a) — some pair sharing a symbol with
+    *    (a,b). That is bounded by the collected counts (plus the
+    *    truncation tail c_K for pairs outside the top-K, and c_i
+    *    itself for a self-pair (a,a), whose merge can spawn ("aa","a")
+    *    at up to its own count). Strict `>` also rules out a new pair
+    *    stealing the (cnt, a, b) tiebreak.
+    *
+    * Ambiguous rounds degrade to batch size 1 — the sequential
+    * algorithm — so the learned table is byte-identical to the
+    * one-at-a-time loop at any batch size; only the round count
+    * changes. Rounds that find no mergeable pair left stop early. */
+  def learn(docs: DataFrame, textCol: String, numMerges: Int,
+            batchK: Int = 64): Seq[(String, String)] = {
     require(numMerges >= 1, "need at least one merge round")
     var dict = wordDict(docs, textCol).localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
-    var round = 0
+    var done = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
+    while (done < numMerges && !exhausted) {
       val top = pairCounts(dict)
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(batchK)
         .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        dict = mergePair(dict, a, b).localCheckpoint()
+        // any pair NOT collected has count <= the last collected count
+        val tailBound = if (top.length == batchK) top.last._3 else 0L
+        def shares(p: (String, String, Long), q: (String, String, Long)): Boolean =
+          p._1 == q._1 || p._1 == q._2 || p._2 == q._1 || p._2 == q._2
+        // upper bound on the count of any pair newly created by merging p
+        def newPairBound(p: (String, String, Long)): Long = {
+          val fromCollected = top.iterator
+            .filter(q => q != p && shares(p, q)).map(_._3)
+            .maxOption.getOrElse(0L)
+          val selfPair = if (p._1 == p._2) p._3 else 0L
+          math.max(tailBound, math.max(fromCollected, selfPair))
+        }
+        val batch = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var j = 0
+        var stop = false
+        while (!stop && j < top.length && done + batch.size < numMerges) {
+          val pj = top(j)
+          val ok = batch.forall { pi =>
+            val minted = pi._1 + pi._2
+            !shares(pi, pj) && pj._1 != minted && pj._2 != minted &&
+              pj._3 > newPairBound(pi)
+          }
+          if (ok) batch += pj else stop = true
+          j += 1
+        }
+        batch.foreach { case (a, b, _) => merges += ((a, b)) }
+        done += batch.size
+        dict = batch.foldLeft(dict) { case (d, (a, b, _)) => mergePair(d, a, b) }
+          .localCheckpoint()
       }
-      round += 1
     }
     merges.result()
   }
@@ -115,8 +167,13 @@ object Bpe {
     val dict0 = words.select(col("word")).distinct()
       .withColumn("syms", expr(
         "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))"))
-    val segmented = merges.foldLeft(dict0) { case (d, (a, b)) =>
-      mergePair(d, a, b).localCheckpoint()
+    // checkpoint every 16 rules, not every rule: localCheckpoint is an
+    // eager job, and a 32k-rule table would otherwise run 32k jobs over
+    // the dictionary; 16 chained merge lambdas keep plans well inside
+    // codegen limits while cutting the job count 16x
+    val segmented = merges.grouped(16).foldLeft(dict0) { case (d, group) =>
+      group.foldLeft(d) { case (dd, (a, b)) => mergePair(dd, a, b) }
+        .localCheckpoint()
     }
     words.join(segmented.withColumnRenamed("syms", "tokens"), Seq("word"))
       .select(col(idCol), col("pos"), col("word"), col("tokens"))

@@ -28,6 +28,19 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.learn(Seq((1L, "a b c a b")).toDF("doc_id", "text"), "text", 3).isEmpty)
   }
 
+  test("batched learning is byte-identical to the sequential loop") {
+    // batchK = 1 IS the sequential algorithm (one collect per merge);
+    // the default batch must learn the same table in the same order on
+    // real text, where count ties and shared symbols force the safety
+    // checks to actually fire
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(60)
+    val sequential = Bpe.learn(docs, "text", 48, batchK = 1)
+    val batched = Bpe.learn(docs, "text", 48)
+    assert(batched == sequential)
+    assert(sequential.size == 48)
+  }
+
   test("tokenize round-trips losslessly and compresses monotonically") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .limit(40)
