@@ -139,6 +139,14 @@ object GraftCli {
         rest.drop(1).headOption.map(_.toInt).getOrElse(8))
     case "pqquery" :: indexDir :: emb :: id :: k :: Nil =>
       pqQuery(indexDir, emb, id.toLong, k.toInt)
+    case "colleague" :: dataDir :: cout :: relout :: Nil =>
+      colleague(dataDir, cout, relout)
+    case "colleague2gene" :: dataDir :: out :: Nil =>
+      colleague2Gene(dataDir, out)
+    case "curatornotes" :: dataDir :: note :: out :: Nil =>
+      curatorNotes(dataDir, note, out)
+    case "dscorders" :: dataDir :: pout :: sout :: Nil =>
+      dscOrders(dataDir, pout, sout)
     case "bpetrain" :: docs :: out :: rest if rest.size <= 1 =>
       bpeTrain(docs, out, rest.headOption.map(_.toInt).getOrElse(32))
     case "bpetokenize" :: docs :: mergesDir :: out :: Nil =>
@@ -156,6 +164,10 @@ object GraftCli {
            |transform: blast2gff3 gff3alignment modidingoa modrefingoa pub2bib dictybib
            |stock:     dictystrain2chado dictyplasmid2chado (load <datadir> <store>)
            |dump:      dictystrain dictyplasmid
+           |crm:       colleague <datadir> <colleague_out> <relations_out>
+           |           colleague2gene <datadir> <out>
+           |           curatornotes <datadir> <public|private> <out>
+           |           dscorders <datadir> <plasmid_out> <strain_out>
            |report:    sumstats stockreport
            |corpus:    corpusdedup decontaminate corpusstats corpussplit corpusmix
            |           corpusimport corpusingest corpusexport <parquet> <out> <fmt> [shards]
@@ -590,10 +602,111 @@ object GraftCli {
         .write.mode("overwrite").partitionBy("pubplace").text(out)
       println(s"non-pubmed bib written to $out (${pubs.count()} records)")
     } else {
-      graft.export.PubExport.bibRecords(pubs)
-        .coalesce(1).write.mode("overwrite").text(out)
+      // partitioned by default like every other export; --single-file
+      // opts into the reference's one-file dump (chadopub2bib.pm)
+      val lines = graft.export.PubExport.bibRecords(pubs)
+      (if (singleFile) lines.coalesce(1) else lines)
+        .write.mode("overwrite").text(out)
       println(s"bib written to $out (${pubs.count()} records)")
     }
+    spark.stop()
+  }
+
+  /** Shared writer for the CRM CSV dumps: default partitioned text
+    * (the global orderBy range-partitions, so the header line still
+    * lands first in part-00000); --single-file mirrors the reference's
+    * one-file/STDOUT dump. */
+  private def writeCsv(lines: org.apache.spark.sql.DataFrame, out: String): Long = {
+    (if (singleFile) lines.coalesce(1) else lines)
+      .write.mode("overwrite").text(out)
+    lines.count() - 1 // minus the header line
+  }
+
+  /** colleague (lib/Modware/Export/Command/colleague.pm): the
+    * colleague CSV + group-leader relations CSV from a directory of
+    * legacy-table TSVs (colleague, coll_email, email, coll_phone,
+    * phone, colleague_remark, pi). */
+  private def colleague(dataDir: String, cout: String, relout: String): Unit = {
+    val spark = GraftSession.local()
+    def tsv(n: String, cols: String*) =
+      graft.etl.StockImport.tsv(spark, s"$dataDir/$n.tsv", cols)
+    val collEmail = tsv("coll_email", "colleague_no", "email_no")
+    val email = tsv("email", "email_no", "email")
+    val rows = graft.export.CrmExport.colleagueRows(
+      tsv("colleague", "colleague_no", "first_name", "last_name", "suffix",
+        "profession", "job_title", "institution", "address1", "address2",
+        "address3", "address4", "city", "state", "region", "country",
+        "postal_code", "is_subscribed"),
+      collEmail, email,
+      tsv("coll_phone", "colleague_no", "phone_no"),
+      tsv("phone", "phone_no", "phone_num"),
+      tsv("colleague_remark", "colleague_no", "remark"))
+    val n = writeCsv(graft.export.CrmExport.colleagueCsvLines(rows), cout)
+    val rels = graft.export.CrmExport.colleagueRelations(
+      tsv("pi", "pi_no", "colleague_no"), collEmail, email)
+    val rn = writeCsv(graft.export.CrmExport.colleagueRelationCsvLines(rels), relout)
+    println(s"written $n colleague entries")
+    println(s"written $rn colleague relation")
+    spark.stop()
+  }
+
+  /** colleague2gene (lib/Modware/Export/Command/colleague2gene.pm):
+    * one CSV row per colleague email with its gene ids (TSVs: email,
+    * coll_email, coll_locus, feature). */
+  private def colleague2Gene(dataDir: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    def tsv(n: String, cols: String*) =
+      graft.etl.StockImport.tsv(spark, s"$dataDir/$n.tsv", cols)
+    val rows = graft.export.CrmExport.colleagueGenes(
+      tsv("email", "email_no", "email"),
+      tsv("coll_email", "colleague_no", "email_no"),
+      tsv("coll_locus", "colleague_no", "locus_no"),
+      tsv("feature", "feature_id", "uniquename"))
+    val n = writeCsv(graft.export.CrmExport.colleagueGeneCsvLines(rows), out)
+    println(s"written $n colleague-gene rows")
+    spark.stop()
+  }
+
+  /** curatornotes (lib/Modware/Export/Command/curatornotes.pm): gene
+    * accession → public/private curator notes (TSVs: featureprop,
+    * feature, dbxref). */
+  private def curatorNotes(dataDir: String, note: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    def tsv(n: String, cols: String*) =
+      graft.etl.StockImport.tsv(spark, s"$dataDir/$n.tsv", cols)
+    val rows = graft.export.CrmExport.curatorNotes(
+      tsv("featureprop", "feature_id", "prop_type", "note"),
+      tsv("feature", "feature_id", "ftype", "dbxref_id", "is_deleted"),
+      tsv("dbxref", "dbxref_id", "accession"), note)
+    val n = writeCsv(graft.export.CrmExport.curatorNoteCsvLines(rows), out)
+    println(s"written $n $note-note rows")
+    spark.stop()
+  }
+
+  /** dscorders (lib/Modware/Export/Command/dscorders.pm): plasmid and
+    * strain order CSVs (TSVs: plasmid, stock_item_order, stock_order,
+    * coll_email, email, stock_center, dbxref). */
+  private def dscOrders(dataDir: String, pout: String, sout: String): Unit = {
+    val spark = GraftSession.local()
+    def tsv(n: String, cols: String*) =
+      graft.etl.StockImport.tsv(spark, s"$dataDir/$n.tsv", cols)
+    val plasmid = tsv("plasmid", "name")
+    val sitem = tsv("stock_item_order", "stock_item_order_id", "item", "item_id")
+    val sorder = tsv("stock_order", "stock_order_id", "colleague_id", "order_date")
+    val collEmail = tsv("coll_email", "colleague_no", "email_no")
+    val email = tsv("email", "email_no", "email")
+    val p = graft.export.CrmExport.plasmidOrders(
+      plasmid, sitem, sorder, collEmail, email)
+    val pn = writeCsv(
+      graft.export.CrmExport.orderCsvLines(p, "name", "Name"), pout)
+    println(s"finished writing plasmid orders ($pn)")
+    val s = graft.export.CrmExport.strainOrders(
+      plasmid, sitem, sorder, collEmail, email,
+      tsv("stock_center", "id", "dbxref_id"),
+      tsv("dbxref", "dbxref_id", "accession"))
+    val sn = writeCsv(
+      graft.export.CrmExport.orderCsvLines(s, "strain_id", "Strain_id"), sout)
+    println(s"finished writing strain orders ($sn)")
     spark.stop()
   }
 
