@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * (PNG/JPEG/GIF/BMP header probe, pixel decode) so [[ImageCodec]]
   * needs no external libraries. The AUDIO path is real too:
   * `javax.sound.sampled` reads WAV/AIFF/AU containers and PCM samples
-  * ([[AudioCodec]]). Video has no JDK codec, so it goes through
-  * `StubCodec`, a deterministic fake standing in for a JNI/FFI
-  * decoder — the one honest remaining stub. Payloads no JDK reader
-  * claims (including the text-derived fixtures) fall back to the stub
-  * as well, so the plumbing behaves identically for every kind.
+  * ([[AudioCodec]]). Frame sampling is real for the JDK-decodable
+  * animation container (animated GIF via the same ImageIO readers);
+  * mp4/webm have no JDK codec, so they go through `StubCodec`, a
+  * deterministic fake standing in for a JNI/FFI decoder — the one
+  * honest remaining stub. Payloads no JDK reader claims (including the
+  * text-derived fixtures) fall back to the stub as well, so the
+  * plumbing behaves identically for every kind.
   *
   * Scale notes: `mapPartitions` keeps one codec instance per task (the
   * expensive init happens once per partition, not per row) and streams
@@ -100,6 +102,41 @@ object Multimodal {
       val total = math.max(1L, img.getWidth.toLong * img.getHeight)
       counts.map(c => c.toFloat / total)
     }
+
+    /** Decode `n` evenly-sampled frames from a MULTI-frame payload —
+      * animated GIF is the JDK-decodable case (the same `javax.imageio`
+      * reader used for stills exposes the frame sequence via
+      * `getNumImages`/`read(i)`). One reader open per payload; only the
+      * sampled frame indices are decoded, never the whole animation —
+      * the access pattern a video sampler needs at scale. Sampled
+      * indices are distinct (`k*i/n`), so a 4-frame GIF sampled at
+      * n=8 yields 4 rows, not 8 duplicates. Each frame re-encodes as
+      * PNG bytes; frames of animations with patch-composition disposal
+      * return the raw decoded patch (honest decoder output, not a
+      * compositor). None for payloads no reader claims. */
+    def sampleFrames(payload: Array[Byte], n: Int): Option[Seq[(Int, Array[Byte])]] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val k = r.getNumImages(true)
+              if (k <= 0) None
+              else Some((0 until n).map(i => (k.toLong * i / n).toInt)
+                .distinct.map { i =>
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(r.read(i), "png", bos)
+                  (i, bos.toByteArray)
+                })
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
 
     /** Scale to (w, h) and re-encode as PNG bytes. */
     def resizePng(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
@@ -219,21 +256,33 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling (stub): pick `n` deterministic byte offsets per
-    * payload standing in for video frame extraction — one output row
-    * per sampled frame, the UDTF batch shape a real ffmpeg-backed
-    * sampler would use. */
+  /** Frame sampling: REAL decoded frames for payloads `javax.imageio`
+    * claims (animated GIF — evenly-sampled distinct frame indices,
+    * each re-encoded as PNG; `offset` is the source frame index), and
+    * the deterministic byte-offset stub for container formats with no
+    * JDK codec (mp4/webm — there `offset` is a byte position and the
+    * payload a 16-byte slice, standing in for an FFI decoder). One
+    * output row per sampled frame either way — the UDTF batch shape an
+    * ffmpeg-backed sampler would use, and only sampled frames are ever
+    * decoded (never the whole animation). */
   case class Frame(media_id: Long, frame_no: Int, offset: Long,
       frame_payload: Array[Byte])
 
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val len = math.max(1, r.payload.length)
-      (0 until n).map { i =>
-        val off = (len.toLong * i) / n
-        Frame(r.media_id, i, off,
-          r.payload.slice(off.toInt, math.min(len, off.toInt + 16)))
+      ImageCodec.sampleFrames(r.payload, n) match {
+        case Some(frames) =>
+          frames.zipWithIndex.map { case ((srcIdx, png), i) =>
+            Frame(r.media_id, i, srcIdx.toLong, png)
+          }
+        case None =>
+          val len = math.max(1, r.payload.length)
+          (0 until n).map { i =>
+            val off = (len.toLong * i) / n
+            Frame(r.media_id, i, off,
+              r.payload.slice(off.toInt, math.min(len, off.toInt + 16)))
+          }
       }
     }
   }

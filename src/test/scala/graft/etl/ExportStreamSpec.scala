@@ -455,6 +455,46 @@ class ExportStreamSpec extends SparkSpec {
     assert(f.width == 0 && f.height == 0) // image fields vacant on audio
   }
 
+  test("frame sampling decodes REAL frames from an animated GIF") {
+    // build a 4-frame animated GIF with the JDK's own gif sequence
+    // writer: each frame a solid 8x8 gray level (40*i per channel)
+    val frames = (0 until 4).map { i =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(40 * i, 40 * i, 40 * i))
+        g.fillRect(0, 0, 8, 8)
+      } finally g.dispose()
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(
+      new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+
+    val media = spark.createDataset(Seq(Multimodal.MediaRow(9L, "video", gif)))
+    // n=2 over 4 frames samples source indices 0 and 2, decoded for real
+    val sampled = Multimodal.sampleFrames(media, 2).collect().sortBy(_.frame_no)
+    assert(sampled.map(_.offset).toSeq == Seq(0L, 2L))
+    val decoded = sampled.map(f => Multimodal.ImageCodec.decode(f.frame_payload))
+    assert(decoded.forall(_.isDefined), "sampled frames are real decodable PNGs")
+    val imgs = decoded.map(_.get)
+    assert(imgs.forall { case (fmt, img) =>
+      fmt == "png" && img.getWidth == 8 && img.getHeight == 8 })
+    // frame 0 is black, frame 2 is gray(80): the pixels prove these are
+    // DIFFERENT real frames, not byte slices
+    def lum(img: java.awt.image.BufferedImage) = img.getRGB(4, 4) & 0xff
+    assert(lum(imgs(0)._2) == 0 && lum(imgs(1)._2) == 80)
+    // oversampling never duplicates: 4 distinct frames from n=8
+    assert(Multimodal.sampleFrames(media, 8).collect().length == 4)
+  }
+
   test("multimodal stub pipeline extracts deterministic features") {
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.fromDocuments(spark, docs)
