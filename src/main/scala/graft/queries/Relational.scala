@@ -935,6 +935,93 @@ object Relational {
       |       ELSE n_name END AS decorated
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- q102
+  // S1 — the REAL GFF3 line parser end-to-end (sources/Gff3.parse: the
+  // 9-column gate, comment skip, 1-based→interbase shift, strand map,
+  // attribute multi-map with %XX unescape — Bio::GFF3::LowLevel
+  // `gff3_parse_feature` semantics, gff3tochado.pm:188-213): well-formed
+  // lines synthesized per orders row (every 10th a comment), parsed by
+  // the production code path, oracle recomputed relationally.
+  private def q102Gff3Parse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = t(s, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select(when(col("o_orderkey") % 10 === 0,
+          concat(lit("# comment "), col("o_orderkey")))
+        .otherwise(concat(
+          lit("chr"), col("o_orderkey") % 5, lit("\tgraft\tgene\t"),
+          col("o_orderkey") + 1, lit("\t"), col("o_orderkey") + 100,
+          lit("\t.\t"),
+          when(col("o_orderkey") % 2 === 0, "+").otherwise("-"),
+          lit("\t.\tID=ORD"), col("o_orderkey"),
+          lit(";Alias=a"), col("o_orderkey") % 7,
+          lit(",b"), col("o_orderkey") % 3,
+          lit(";note=v%20al"))).as("value"))
+      .as[String]
+    graft.sources.Gff3.parse(lines)
+      .select(col("seqId").as("seq_id"),
+        col("fmin").cast("long").as("fmin"),
+        col("fmax").cast("long").as("fmax"),
+        col("strand"),
+        element_at(element_at(col("attributes"), "ID"), 1).as("id"),
+        size(element_at(col("attributes"), "Alias")).as("n_alias"),
+        element_at(element_at(col("attributes"), "note"), 1).as("note"))
+      .orderBy(col("fmin"))
+  }
+
+  private val q102Sql =
+    """SELECT 'chr' || (o_orderkey % 5) AS seq_id,
+      |  CAST(o_orderkey AS BIGINT) AS fmin,
+      |  CAST(o_orderkey + 100 AS BIGINT) AS fmax,
+      |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END AS INTEGER) AS strand,
+      |  'ORD' || o_orderkey AS id,
+      |  CAST(2 AS INTEGER) AS n_alias,
+      |  'v al' AS note
+      |FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 10 <> 0
+      |ORDER BY fmin""".stripMargin
+
+  // --------------------------------------------------------------- q103
+  // S4 — the REAL GAF 2.0 line parser end-to-end (sources/Gaf.parse:
+  // `!` comment skip, 17-column pad, pipe-split multi-values —
+  // GAF/Manager.pm:60-100): lines synthesized per customer row (every
+  // 7th a `!` header), parsed by the production code path, pipe-split
+  // cardinalities and elements oracle-recomputed relationally.
+  private def q103GafParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = t(s, dir, "customer")
+      .filter(col("c_custkey") < 2000)
+      .select(when(col("c_custkey") % 7 === 0,
+          concat(lit("! gaf-version: 2.0 "), col("c_custkey")))
+        .otherwise(concat(
+          lit("dictyBase\tDDB"), col("c_custkey"),
+          lit("\tsym"), col("c_custkey") % 9,
+          lit("\t\tGO:000"), col("c_custkey") % 4,
+          lit("\tPMID:1|PMID:"), col("c_custkey") % 5,
+          lit("\tIEA\t\tP\t\tsyn1|syn"), col("c_custkey") % 3,
+          lit("\tgene\ttaxon:44689\t20130512\tdictyBase"))).as("value"))
+      .as[String]
+    graft.sources.Gaf.parse(lines)
+      .select(col("objectId").as("object_id"),
+        col("goId").as("go_id"),
+        size(col("dbRef")).as("n_dbref"),
+        element_at(col("dbRef"), 2).as("dbref2"),
+        size(col("synonyms")).as("n_syn"),
+        element_at(col("synonyms"), 2).as("syn2"),
+        size(col("qualifier")).as("n_qual"))
+      .orderBy(col("object_id"))
+  }
+
+  private val q103Sql =
+    """SELECT 'DDB' || c_custkey AS object_id,
+      |  'GO:000' || (c_custkey % 4) AS go_id,
+      |  CAST(2 AS INTEGER) AS n_dbref,
+      |  'PMID:' || (c_custkey % 5) AS dbref2,
+      |  CAST(2 AS INTEGER) AS n_syn,
+      |  'syn' || (c_custkey % 3) AS syn2,
+      |  CAST(0 AS INTEGER) AS n_qual
+      |FROM customer WHERE c_custkey < 2000 AND c_custkey % 7 <> 0
+      |ORDER BY object_id""".stripMargin
+
   // ---------------------------------------------------------------- q76
   // Merge audit via FULL OUTER reconciliation: staging vs live rows
   // classified insert / delete / update / same — the diff report a
@@ -1409,6 +1496,8 @@ object Relational {
     "q92_coord_shift" -> q92CoordShift _,
     "q93_format_g" -> q93FormatG _,
     "q99_source_pref" -> q99SourcePref _,
+    "q102_gff3_parse" -> q102Gff3Parse _,
+    "q103_gaf_parse" -> q103GafParse _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1466,5 +1555,7 @@ object Relational {
     "q92_coord_shift" -> q92Sql,
     "q99_source_pref" -> q99Sql,
     "q93_format_g" -> q93Sql,
+    "q102_gff3_parse" -> q102Sql,
+    "q103_gaf_parse" -> q103Sql,
   )
 }

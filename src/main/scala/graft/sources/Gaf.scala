@@ -39,9 +39,15 @@ object Gaf {
     }
   }
 
-  def read(spark: SparkSession, path: String): Dataset[GafRecord] = {
-    import spark.implicits._
-    spark.read.textFile(path).flatMap(parseLine _)
+  def read(spark: SparkSession, path: String): Dataset[GafRecord] =
+    parse(spark.read.textFile(path))
+
+  /** The same parse gate over an in-memory line Dataset — the entry
+    * point the oracle row (q103) uses; [[read]] is exactly
+    * `parse(textFile(path))`. */
+  def parse(lines: Dataset[String]): Dataset[GafRecord] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap(parseLine _)
   }
 
   /** Serialize back to 17-col GAF rows (SURVEY.md K6): arrays re-joined

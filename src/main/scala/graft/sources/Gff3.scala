@@ -72,27 +72,35 @@ object Gff3 {
     * lib/Modware/Transform/Command/modidingoa.pm:29-59). */
   def features(spark: SparkSession, path: String,
                badRows: Option[org.apache.spark.util.LongAccumulator] = None
-              ): Dataset[GffRecord] = {
-    import spark.implicits._
-    spark.read.textFile(path)
-      .mapPartitions { lines =>
-        // per-partition flag: once ##FASTA starts, everything after in
-        // this partition is sequence. A split boundary inside the FASTA
-        // tail can leak sequence lines into the next partition, so also
-        // require 9 tab columns (sequence lines have none).
-        var inFasta = false
-        lines.flatMap { line =>
-          if (inFasta || line.startsWith("#")) {
-            if (line.startsWith("##FASTA")) inFasta = true
-            None
-          } else if (line.isEmpty || line.count(_ == '\t') < 8) None
-          else {
-            val parsed = parseLine(line)
-            if (parsed.isEmpty) badRows.foreach(_.add(1))
-            parsed
-          }
+              ): Dataset[GffRecord] =
+    parse(spark.read.textFile(path), badRows)
+
+  /** The same full parse gate over an in-memory line Dataset — the
+    * entry point the oracle row (q102) and any upstream line source
+    * (e.g. a decompression stage) use; [[features]] is exactly
+    * `parse(textFile(path))`. */
+  def parse(lines: Dataset[String],
+            badRows: Option[org.apache.spark.util.LongAccumulator] = None
+           ): Dataset[GffRecord] = {
+    import lines.sparkSession.implicits._
+    lines.mapPartitions { it =>
+      // per-partition flag: once ##FASTA starts, everything after in
+      // this partition is sequence. A split boundary inside the FASTA
+      // tail can leak sequence lines into the next partition, so also
+      // require 9 tab columns (sequence lines have none).
+      var inFasta = false
+      it.flatMap { line =>
+        if (inFasta || line.startsWith("#")) {
+          if (line.startsWith("##FASTA")) inFasta = true
+          None
+        } else if (line.isEmpty || line.count(_ == '\t') < 8) None
+        else {
+          val parsed = parseLine(line)
+          if (parsed.isEmpty) badRows.foreach(_.add(1))
+          parsed
         }
       }
+    }
   }
 
   /** Directive lines (`##gff-version`, `##sequence-region`, ...). */
