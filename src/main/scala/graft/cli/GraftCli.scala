@@ -33,17 +33,49 @@ object GraftCli {
   private var withParts = false
   private var includeMetadata = false
 
+  /** Value-carrying options (`--flag value` or `--flag=value`), parsed
+    * once up front like the boolean flags. The dicty export verbs use
+    * them so reference_id and source/feature_type scoping compose
+    * (the reference commands expose all of these as Getopt options —
+    * chado2dictynoncanonicalgff3.pm reference_id + source). */
+  private var sourceOpt: Option[String] = None
+  private var refOpt: Option[String] = None
+  private var featureTypeOpt: Option[String] = None
+  private var subfeatureTypeOpt: Option[String] = None
+  private var typeOpt: Option[String] = None
+
   private val flags = Set("--single-file", "--dry-run", "--force",
     "--feature-version", "--parts", "--include-metadata")
+  private val valueFlags = Set("--source", "--ref", "--feature-type",
+    "--subfeature-type", "--type")
 
   def main(args: Array[String]): Unit = {
+    val vals = scala.collection.mutable.Map.empty[String, String]
+    val positional = List.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      val eq = a.indexOf('=')
+      if (flags.contains(a)) () // boolean, read below
+      else if (valueFlags.contains(a) && i + 1 < args.length) {
+        vals(a) = args(i + 1); i += 1
+      } else if (eq > 0 && valueFlags.contains(a.substring(0, eq))) {
+        vals(a.substring(0, eq)) = a.substring(eq + 1)
+      } else positional += a
+      i += 1
+    }
     singleFile = args.contains("--single-file")
     includeMetadata = args.contains("--include-metadata")
     dryRun = args.contains("--dry-run")
     force = args.contains("--force")
     featureVersion = args.contains("--feature-version")
     withParts = args.contains("--parts")
-    run(args.toList.filterNot(flags.contains))
+    sourceOpt = vals.get("--source")
+    refOpt = vals.get("--ref")
+    featureTypeOpt = vals.get("--feature-type")
+    subfeatureTypeOpt = vals.get("--subfeature-type")
+    typeOpt = vals.get("--type")
+    run(positional.result())
   }
 
   private def run(args: List[String]): Unit = args match {
@@ -55,6 +87,7 @@ object GraftCli {
     case "chado2fasta" :: in :: out :: rest if rest.size <= 1 =>
       chado2Fasta(in, out, rest.headOption.getOrElse("reference"))
     case "blast2gff3" :: in :: out :: Nil => blast2Gff3(in, out)
+    case "blast2gbrowsegff3" :: in :: out :: Nil => blast2GbrowseGff3(in, out)
     case "sumstats" :: in :: Nil => sumStats(in)
     case "stream-merge" :: in :: store :: keys :: Nil => streamMerge(in, store, keys)
     case "gb2fasta" :: in :: out :: Nil => gb2Fasta(in, out)
@@ -70,16 +103,20 @@ object GraftCli {
       store2Gff3(store, out, rest.headOption)
     // optional trailing arg = reference_id (dump one reference only;
     // partition-pruned on the srcfeature-partitioned featureloc)
+    // trailing positional kept for back-compat (ref for the canonical
+    // family, source for the noncanonical pair); the flags compose.
     case "chado2dictycanonicalgff3" :: store :: out :: rest if rest.size <= 1 =>
-      dictyGff3(store, out, "canonical", ref = rest.headOption)
+      dictyGff3(store, out, "canonical", ref = refOpt.orElse(rest.headOption))
     case "chado2dictycuratedgff3" :: store :: out :: rest if rest.size <= 1 =>
-      dictyGff3(store, out, "curated", ref = rest.headOption)
+      dictyGff3(store, out, "curated", ref = refOpt.orElse(rest.headOption))
     case "chado2dictynoncodinggff3" :: store :: out :: rest if rest.size <= 1 =>
-      dictyGff3(store, out, "noncoding", ref = rest.headOption)
+      dictyGff3(store, out, "noncoding", ref = refOpt.orElse(rest.headOption))
     case "chado2dictynoncanonicalgff3" :: store :: out :: rest if rest.size <= 1 =>
-      dictyGff3(store, out, "noncanonical", rest.headOption)
+      dictyGff3(store, out, "noncanonical",
+        source = sourceOpt.orElse(rest.headOption), ref = refOpt)
     case "chado2dictynoncanonicalv2gff3" :: store :: out :: rest if rest.size <= 1 =>
-      dictyGff3(store, out, "noncanonicalv2", rest.headOption)
+      dictyGff3(store, out, "noncanonicalv2",
+        source = sourceOpt.orElse(rest.headOption), ref = refOpt)
     case "stockreport" :: in :: Nil => stockReport(in)
     // dictygaf2chado (lib/Modware/Load/Command/dictygaf2chado.pm) is the
     // MOD-named entry point of the same GAF load pipeline
@@ -161,7 +198,8 @@ object GraftCli {
            |           chado2genesummary chadopub2bib gb2fasta dictypub dictypubannotation
            |           chado2dicty{canonical,curated,noncoding}gff3 <store> <out>
            |           chado2dictynoncanonical[v2]gff3 <store> <out> [source]
-           |transform: blast2gff3 gff3alignment modidingoa modrefingoa pub2bib dictybib
+           |transform: blast2gff3 blast2gbrowsegff3 gff3alignment modidingoa
+           |           modrefingoa pub2bib dictybib
            |stock:     dictystrain2chado dictyplasmid2chado (load <datadir> <store>)
            |dump:      dictystrain dictyplasmid
            |crm:       colleague <datadir> <colleague_out> <relations_out>
@@ -208,6 +246,36 @@ object GraftCli {
       Gff3Export.writePartitionedText(
         graft.transform.BlastToGff3.toGff3LinesBySubject(matches), "srcfeature", out)
     println(s"${matches.count()} match groups written to $out")
+    spark.stop()
+  }
+
+  /** The dedicated GBrowse transform (lib/Modware/Transform/Command/
+    * blast2gbrowsegff3.pm): two-level hit + match_part document with
+    * the algorithm-typed column 3, `%.3g` scores, and `Parent`/`Target`
+    * attributes. `--source blastn` sets column 2 and drives the type
+    * guess; `--type protein_match` overrides the guess outright —
+    * the reference's `source`/`primary_tag` options. */
+  private def blast2GbrowseGff3(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val hsps = graft.transform.BlastToGff3.read(spark, in)
+    val doc = graft.transform.BlastToGff3.toGbrowseLines(hsps,
+      source = sourceOpt.getOrElse("blast"), primaryTag = typeOpt)
+    if (singleFile) {
+      // the reference prints the version pragma first (execute():215);
+      // a doc_rank key sorts it ahead instead of relying on union order
+      val header = spark.range(1).select(lit(0).as("doc_rank"),
+        lit("").as("srcfeature"), lit(0).as("hit_fmin"),
+        lit("").as("match_id"), lit(0).as("rank"), lit(0).as("fmin"),
+        lit("##gff-version\t3").as("value"))
+      doc.withColumn("doc_rank", lit(1)).unionByName(header)
+        .orderBy(col("doc_rank"), col("srcfeature"), col("hit_fmin"),
+          col("match_id"), col("rank"), col("fmin"))
+        .select(col("value"))
+        .coalesce(1).write.mode("overwrite").text(out)
+    } else
+      Gff3Export.writePartitionedText(doc, "srcfeature", out,
+        col("hit_fmin"), col("match_id"), col("rank"), col("fmin"))
+    println(s"gbrowse gff3 written to $out")
     spark.stop()
   }
 
@@ -499,6 +567,8 @@ object GraftCli {
           source.getOrElse(DictyGff3Export.SeqCenter)), false)
       case "noncanonicalv2" =>
         (DictyGff3Export.noncanonicalV2(c,
+          featureType = featureTypeOpt.getOrElse("mRNA"),
+          subfeatureType = subfeatureTypeOpt.getOrElse("exon"),
           source = source.getOrElse(DictyGff3Export.Reprediction)), false)
     }
     val refsAll = c.feature.filter(col("ftype") === "chromosome")
@@ -1005,13 +1075,31 @@ object GraftCli {
   private def corpusExport(in: String, out: String, fmt: String,
       nShards: Option[Int]): Unit = {
     val spark = GraftSession.local()
-    val docs = spark.read.parquet(in)
+    val raw = spark.read.parquet(in)
+    // csv can't carry array/struct/map columns (AnalysisException at
+    // write time) — stringify them as JSON so tokenized shards export
+    val docs =
+      if (fmt != "csv") raw
+      else {
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+        val nonAtomic = raw.schema.fields.filter(f => f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _ => false
+        })
+        if (nonAtomic.nonEmpty) System.err.println(
+          s"corpusexport: csv carries ${nonAtomic.map(_.name).mkString(",")} as JSON strings")
+        nonAtomic.foldLeft(raw)((d, f) =>
+          d.withColumn(f.name, to_json(col(f.name))))
+      }
+    // count rides the write itself (Observation) — no second scan
+    val obs = org.apache.spark.sql.Observation("corpusexport")
+    val observed = docs.observe(obs, count(lit(1)).as("rows"))
     val writer = nShards match {
       case Some(n) =>
-        graft.operators.Curation.shardAssign(docs, "doc_id", n)
+        graft.operators.Curation.shardAssign(observed, "doc_id", n)
           .repartition(col("shard"))
           .write.mode("overwrite").partitionBy("shard")
-      case None => docs.write.mode("overwrite")
+      case None => observed.write.mode("overwrite")
     }
     fmt match {
       case "jsonl" | "json" => writer.option("compression", "gzip").json(out)
@@ -1022,7 +1110,7 @@ object GraftCli {
         System.err.println(s"corpusexport: unknown format '$other' (jsonl|csv|parquet)")
         spark.stop(); sys.exit(2)
     }
-    println(s"exported ${docs.count()} docs ($fmt" +
+    println(s"exported ${obs.get("rows")} docs ($fmt" +
       nShards.fold("")(n => s", $n shards") + s") -> $out")
     spark.stop()
   }

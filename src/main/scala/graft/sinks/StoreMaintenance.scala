@@ -31,17 +31,26 @@ object StoreMaintenance {
   }
 
   /** Write `df` (which may read from `dir`) to a temp sibling, then swap
-    * it in. The source dir is only removed after the replacement write
-    * finished, so the data always exists complete somewhere on disk. */
+    * it in: rename the live dir aside, move the replacement in, delete
+    * the aside copy last. A complete copy of the data exists on disk at
+    * every instant — the only crash window is between the two renames,
+    * after which the old store survives under the deterministic
+    * `<dir>.old-*` name for manual recovery (a delete-then-move swap
+    * would instead leave NO live store, and a crash there silently
+    * rebuilds from the next delta alone). */
   private[graft] def overwriteViaSwap(df: DataFrame, dir: String): Unit = {
-    val tmp = dir + ".rewrite-" + System.nanoTime()
+    val stamp = System.nanoTime()
+    val tmp = dir + ".rewrite-" + stamp
+    val aside = dir + ".old-" + stamp
     df.write.mode("overwrite").parquet(tmp)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
-    rm(new java.io.File(dir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(aside))
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
       java.nio.file.Paths.get(dir))
+    rm(new java.io.File(aside))
   }
 
   /** Rewrite the store at `dir` into ≈ `targetBytes`-sized files.

@@ -111,4 +111,65 @@ object BlastToGff3 {
     * partitioned write (scale path — no global sort). */
   def toGff3LinesBySubject(matches: DataFrame): DataFrame =
     matches.select(col("subjectId").as("srcfeature"), gff3Line.as("value"))
+
+  /** The reference's algorithm→column-3 type map
+    * (blast2gbrowsegff3.pm:90-113 `primary_tag`). With tabular input
+    * the algorithm isn't in the file, so the source name doubles as the
+    * guess — overridable, like the reference's option. */
+  def primaryTagFor(source: String): String = source.toLowerCase match {
+    case "blastn"             => "nucleotide_match"
+    case "blastp" | "tblastn" => "protein_match"
+    case "blastx" | "tblastx" => "translated_nucleotide_match"
+    case _                    => "match"
+  }
+
+  /** GBrowse two-level GFF3 document (blast2gbrowsegff3.pm:311-366
+    * write_hit/write_hsp): hit lines typed by algorithm with
+    * `ID`/`Name` attributes; `match_part` lines carrying `Parent` +
+    * `Target=<query> <qstart> <qend> <qstrand>` (strand numeric 1/-1,
+    * exactly what the reference prints) and, when the HSP is ungapped,
+    * `Gap=M<alignlen>` — tabular input has no cigar string, so a gapped
+    * HSP's Gap is honestly omitted rather than guessed. Scores are
+    * `%.3g` e-values on both levels (F10). Returns
+    * (srcfeature, sort keys, value) rows: parent-before-children via
+    * (hit fmin, match_id, rank, fmin). */
+  def toGbrowseLines(hsps: Dataset[Hsp], source: String = "blast",
+      primaryTag: Option[String] = None,
+      evalueCutoff: Double = 10.0): DataFrame = {
+    val tag = primaryTag.getOrElse(primaryTagFor(source))
+    val strandCh = when(col("strand") === 1, "+").otherwise("-")
+    val hits = toFeatures(hsps, evalueCutoff).select(
+      col("subjectId").as("srcfeature"),
+      col("fmin").as("hit_fmin"), col("match_id"),
+      lit(0).as("rank"), col("fmin"),
+      concat_ws("\t",
+        col("subjectId"), lit(source), lit(tag),
+        (col("fmin") + 1).cast("string"), col("fmax").cast("string"),
+        graft.functions.GenomicFunctions.formatG3(col("evalue")),
+        strandCh, lit("."),
+        concat(lit("ID="), col("match_id"), lit(";Name="), col("queryId"))
+      ).as("value"))
+    val g = grouped(hsps, evalueCutoff)
+    val hitSpan = g.groupBy(col("match_id").as("mid"))
+      .agg(min(col("start")).as("hit_fmin"))
+    val parts = g.join(hitSpan, col("match_id") === col("mid")).select(
+      col("subjectId").as("srcfeature"),
+      col("hit_fmin"), col("match_id"),
+      lit(1).as("rank"), col("start").as("fmin"),
+      concat_ws("\t",
+        col("subjectId"), lit(source), lit("match_part"),
+        (col("start") + 1).cast("string"), col("end").cast("string"),
+        graft.functions.GenomicFunctions.formatG3(col("evalue")),
+        strandCh, lit("."),
+        concat(
+          when(col("gapOpens") === 0,
+            concat(lit("Gap=M"), col("alignLen"), lit(";")))
+            .otherwise(lit("")),
+          lit("Parent="), col("match_id"),
+          lit(";Target="), col("queryId"), lit(" "),
+          col("qStart"), lit(" "), col("qEnd"), lit(" "),
+          when(col("qEnd") >= col("qStart"), 1).otherwise(-1))
+      ).as("value"))
+    hits.unionByName(parts)
+  }
 }

@@ -43,6 +43,36 @@ class TransformSpec extends SparkSpec {
     assert(lines.forall(_.split("\t").length == 9))
   }
 
+  test("blast2gbrowsegff3 document: typed hit + Parent/Target/Gap parts") {
+    // blast2gbrowsegff3.pm:311-366: hit typed by algorithm with
+    // ID/Name; match_part with Parent + 'Target=<q> <s> <e> <strand>'
+    // (numeric strand, as the reference prints) + Gap when ungapped
+    val hsps = Seq(
+      "q1\ts1\t98.5\t100\t1\t0\t1\t100\t1000\t1099\t1e-30\t190",
+      "q1\ts1\t97.0\t80\t2\t0\t90\t170\t1080\t1159\t1e-20\t150",
+      "q2\ts2\t90.0\t50\t5\t2\t1\t50\t5000\t5049\t1e-5\t80") // gapped
+    val ds = spark.createDataset(hsps).flatMap(BlastToGff3.parseLine _)
+    val doc = BlastToGff3.toGbrowseLines(ds, source = "blastn")
+      .orderBy($"srcfeature", $"hit_fmin", $"match_id", $"rank", $"fmin")
+    val lines = doc.select($"value").as[String].collect()
+    assert(lines.length == 5) // 2 hits + 3 parts
+    assert(lines(0) ==
+      "s1\tblastn\tnucleotide_match\t1000\t1159\t1e-30\t+\t.\tID=q1:s1:1:1;Name=q1")
+    assert(lines(1) ==
+      "s1\tblastn\tmatch_part\t1000\t1099\t1e-30\t+\t.\tGap=M100;Parent=q1:s1:1:1;Target=q1 1 100 1")
+    assert(lines(2) ==
+      "s1\tblastn\tmatch_part\t1080\t1159\t1e-20\t+\t.\tGap=M80;Parent=q1:s1:1:1;Target=q1 90 170 1")
+    // gapped HSP: no cigar in tabular input -> Gap honestly omitted
+    assert(lines(4).contains("match_part") && !lines(4).contains("Gap=")
+      && lines(4).contains("Parent=q2:s2:1:1")
+      && lines(4).endsWith("Target=q2 1 50 1"))
+    // --type override wins over the algorithm guess
+    val typed = BlastToGff3.toGbrowseLines(ds, source = "blastn",
+      primaryTag = Some("EST_match"))
+    assert(typed.filter($"rank" === 0)
+      .select($"value").as[String].collect().forall(_.contains("\tEST_match\t")))
+  }
+
   test("gff3alignment filter drops groups with a distant match_part (P7)") {
     // BLAST-derived fixture: group A's two HSPs overlap (distance < 0);
     // group B's two HSPs sit 3000 bases apart on the subject — one
