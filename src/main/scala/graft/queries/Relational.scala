@@ -1022,6 +1022,228 @@ object Relational {
       |FROM customer WHERE c_custkey < 2000 AND c_custkey % 7 <> 0
       |ORDER BY object_id""".stripMargin
 
+  // --------------------------------------------------------------- q104
+  // S7 — the REAL tabular-BLAST parser end-to-end (transform/
+  // BlastToGff3.parse: `#` comment skip, 12-column gate, numeric parse
+  // with malformed-line drop — blast2chadogff3.pm input contract):
+  // outfmt-6 lines synthesized per lineitem row keyed by
+  // l_orderkey*10+l_linenumber, every 10th a comment, every 13th
+  // malformed (too few columns); exact-representable fractions (.5/.25
+  // steps) keep the double parse bit-identical cross-engine.
+  private def q104BlastParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uk = col("l_orderkey") * 10 + col("l_linenumber")
+    val lines = t(s, dir, "lineitem")
+      .filter(uk < 20000)
+      .select(when(uk % 10 === 0, concat(lit("# blast run "), uk))
+        .when(uk % 13 === 0, concat(lit("malformed "), uk))
+        .otherwise(concat(
+          lit("Q"), uk % 50, lit("\tS"), uk % 20, lit("\t"),
+          (uk % 200).cast("double") * 0.5, lit("\t"),
+          uk % 500 + 10, lit("\t"), uk % 7, lit("\t"), uk % 3, lit("\t"),
+          uk % 100 + 1, lit("\t"), uk % 100 + 90, lit("\t"),
+          uk + 1000, lit("\t"), uk + 1500, lit("\t"),
+          (uk % 9).cast("double") * 0.25, lit("\t"),
+          (uk % 300).cast("double") * 0.5,
+          lit("\t"), uk)).as("value")) // 13th col rides along (ignored)
+      .as[String]
+    graft.transform.BlastToGff3.parse(lines)
+      .select(col("queryId").as("query_id"),
+        col("subjectId").as("subject_id"),
+        col("percentIdentity").as("pct_id"),
+        col("alignLen").as("align_len"),
+        col("qStart").as("q_start"),
+        col("sEnd").cast("long").as("s_end"),
+        col("evalue"), col("bitscore"))
+      .orderBy(col("s_end"))
+  }
+
+  private val q104Sql =
+    """SELECT 'Q' || (uk % 50) AS query_id, 'S' || (uk % 20) AS subject_id,
+      |  CAST(uk % 200 AS DOUBLE) * 0.5 AS pct_id,
+      |  CAST(uk % 500 + 10 AS INTEGER) AS align_len,
+      |  CAST(uk % 100 + 1 AS INTEGER) AS q_start,
+      |  CAST(uk + 1500 AS BIGINT) AS s_end,
+      |  CAST(uk % 9 AS DOUBLE) * 0.25 AS evalue,
+      |  CAST(uk % 300 AS DOUBLE) * 0.5 AS bitscore
+      |FROM (SELECT l_orderkey * 10 + l_linenumber AS uk FROM lineitem) AS t
+      |WHERE uk < 20000 AND uk % 10 <> 0 AND uk % 13 <> 0
+      |ORDER BY s_end""".stripMargin
+
+  // --------------------------------------------------------------- q105
+  // K4 round-trip — the REAL GFF3 writer feeding the REAL parser
+  // (export/Gff3Export.featureLines -> sources/Gff3.parse): attribute
+  // %XX escaping (`;` in Name), interbase->1-based->interbase shift,
+  // strand/phase glyphs, and %.3g score rendering must all invert
+  // exactly (FeatureWriter/GFF3.pm:41-66 semantics). Exact .5-step
+  // scores keep the %.3g round-trip lossless.
+  private def q105Gff3RoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = col("p_partkey")
+    val feats = t(s, dir, "part").filter(k < 3000)
+      .select(
+        concat(lit("F"), k).as("uniquename"),
+        concat(lit("n;"), k % 11).as("name"),
+        lit("gene").as("ftype"),
+        concat(lit("chr"), k % 4).as("srcfeature"),
+        (k * 10).as("fmin"),
+        (k * 10 + 500).as("fmax"),
+        ((k % 8).cast("double") * 0.5).as("score"),
+        when(k % 2 === 0, 1).otherwise(-1).as("strand"),
+        when(k % 3 === 0, lit(0)).otherwise(lit(null)).cast("int").as("phase"),
+        lit("graft").as("source"),
+        lit(null).cast("string").as("parent"))
+    val lines = graft.export.Gff3Export.toGff3Lines(feats).as[String]
+    graft.sources.Gff3.parse(lines)
+      .select(col("seqId").as("seq_id"),
+        col("fmin").cast("long").as("fmin"),
+        col("fmax").cast("long").as("fmax"),
+        col("score"), col("strand"), col("phase"),
+        element_at(element_at(col("attributes"), "ID"), 1).as("id"),
+        element_at(element_at(col("attributes"), "Name"), 1).as("name"))
+      .orderBy(col("fmin"))
+  }
+
+  private val q105Sql =
+    """SELECT 'chr' || (p_partkey % 4) AS seq_id,
+      |  CAST(p_partkey * 10 AS BIGINT) AS fmin,
+      |  CAST(p_partkey * 10 + 500 AS BIGINT) AS fmax,
+      |  CAST(p_partkey % 8 AS DOUBLE) * 0.5 AS score,
+      |  CAST(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE -1 END AS INTEGER) AS strand,
+      |  CAST(CASE WHEN p_partkey % 3 = 0 THEN 0 ELSE NULL END AS INTEGER) AS phase,
+      |  'F' || p_partkey AS id,
+      |  'n;' || (p_partkey % 11) AS name
+      |FROM part WHERE p_partkey < 3000
+      |ORDER BY fmin""".stripMargin
+
+  // --------------------------------------------------------------- q106
+  // K6 round-trip — the REAL GAF 2.0 writer feeding the REAL parser
+  // (export/GafExport.lines -> sources/Gaf.parse): 17-column tab join,
+  // `!` dated header emission and skip, pipe re-join/re-split
+  // (GAF/Manager.pm:60-100 inverse). Fixed header date keeps the frame
+  // deterministic; the header rows must vanish at the parse edge.
+  private def q106GafRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = col("s_suppkey")
+    val rows17 = t(s, dir, "supplier").filter(k < 2000)
+      .select(
+        lit("dictyBase").as("c1_db"),
+        concat(lit("DDB"), k).as("c2_objid"),
+        concat(lit("sym"), k % 9).as("c3_symbol"),
+        lit("").as("c4_qualifier"),
+        concat(lit("GO:000"), k % 5).as("c5_goid"),
+        concat(lit("PMID:1|PMID:"), k % 7).as("c6_dbref"),
+        lit("IEA").as("c7_evidence"),
+        lit("").as("c8_with"),
+        lit("P").as("c9_aspect"),
+        concat(lit("name "), k).as("c10_name"),
+        concat(lit("syn1|syn"), k % 3).as("c11_synonyms"),
+        lit("gene").as("c12_type"),
+        lit("taxon:44689").as("c13_taxon"),
+        lit("20130512").as("c14_date"),
+        lit("dictyBase").as("c15_assignedby"),
+        lit("").as("c16_ext"), lit("").as("c17_form"))
+    val lines = graft.export.GafExport.lines(rows17, "dictyBase",
+      "http://dictybase.org", java.time.LocalDate.of(2013, 5, 12)).as[String]
+    graft.sources.Gaf.parse(lines)
+      .select(col("objectId").as("object_id"),
+        col("symbol"), col("goId").as("go_id"),
+        size(col("dbRef")).as("n_dbref"),
+        element_at(col("dbRef"), 2).as("dbref2"),
+        element_at(col("synonyms"), 2).as("syn2"),
+        col("aspect"), col("objectName").as("object_name"))
+      .orderBy(col("object_id"))
+  }
+
+  private val q106Sql =
+    """SELECT 'DDB' || s_suppkey AS object_id,
+      |  'sym' || (s_suppkey % 9) AS symbol,
+      |  'GO:000' || (s_suppkey % 5) AS go_id,
+      |  CAST(2 AS INTEGER) AS n_dbref,
+      |  'PMID:' || (s_suppkey % 7) AS dbref2,
+      |  'syn' || (s_suppkey % 3) AS syn2,
+      |  'P' AS aspect,
+      |  'name ' || s_suppkey AS object_name
+      |FROM supplier WHERE s_suppkey < 2000
+      |ORDER BY object_id""".stripMargin
+
+  // --------------------------------------------------------------- q107
+  // S3 — the REAL OBO stanza parser end-to-end (sources/Obo.parseTerms:
+  // blank-line stanza split, [Term] gate, first-tag wins, quoted-string
+  // def/synonym extraction, repeated alt_id accumulation, is_obsolete
+  // flag — obo2chado.pm's Ontology.pm parse contract): stanza documents
+  // synthesized from customer rows (8 multi-stanza docs, stanzas sorted
+  // for determinism), parsed by the production code path.
+  private def q107OboParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = col("c_custkey")
+    val stanza = concat(
+      lit("[Term]\nid: GO:"), k,
+      lit("\nname: term "), k,
+      lit("\nnamespace: ns"), k % 3,
+      lit("\ndef: \"d "), k, lit("\" [GO:curators]"),
+      lit("\nsynonym: \"s"), k % 4, lit("\" EXACT []"),
+      lit("\nalt_id: GO:A"), k % 5,
+      lit("\nalt_id: GO:B"), k % 7,
+      when(k % 6 === 0, lit("\nis_obsolete: true")).otherwise(lit("")))
+    val docs = t(s, dir, "customer").filter(k < 1600)
+      .groupBy((k % 8).as("doc"))
+      .agg(concat_ws("\n\n", sort_array(collect_list(stanza))).as("content"))
+      .select(col("content")).as[String]
+    docs.flatMap(graft.sources.Obo.parseTerms _)
+      .select(col("id"), col("name"), col("namespace"),
+        col("definition"),
+        element_at(col("synonyms"), 1).as("syn1"),
+        size(col("altIds")).as("n_alt"),
+        element_at(col("altIds"), 2).as("alt2"),
+        col("isObsolete").cast("int").as("obsolete"))
+      .orderBy(col("id"))
+  }
+
+  private val q107Sql =
+    """SELECT 'GO:' || c_custkey AS id,
+      |  'term ' || c_custkey AS name,
+      |  'ns' || (c_custkey % 3) AS namespace,
+      |  'd ' || c_custkey AS definition,
+      |  's' || (c_custkey % 4) AS syn1,
+      |  CAST(2 AS INTEGER) AS n_alt,
+      |  'GO:B' || (c_custkey % 7) AS alt2,
+      |  CAST(CASE WHEN c_custkey % 6 = 0 THEN 1 ELSE 0 END AS INTEGER) AS obsolete
+      |FROM customer WHERE c_custkey < 1600
+      |ORDER BY id""".stripMargin
+
+  // --------------------------------------------------------------- q108
+  // K5 round-trip — the REAL FASTA writer feeding the REAL parser
+  // (sources/Fasta.format -> parseString): `>` header emission,
+  // 60-column residue wrapping (F6), then the multi-record `(?m)^>`
+  // split and line re-join must invert exactly. Records are
+  // concatenated into 8 multi-record documents so the record-boundary
+  // split is exercised, not just single chunks.
+  private def q108FastaRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = col("c_custkey")
+    val recs = t(s, dir, "customer").filter(k < 2000)
+      .select(concat(lit("SEQ"), k).as("id"),
+        expr("substr(repeat('ACGTTGCA', 20), 1, 1 + c_custkey % 140)")
+          .as("residues"))
+    val lines = graft.sources.Fasta.format(recs, "id", "residues")
+      .withColumn("doc", pmod(xxhash64(col("value")), lit(8)))
+    val docs = lines.groupBy(col("doc"))
+      .agg(concat_ws("\n", sort_array(collect_list(col("value")))).as("content"))
+      .select(col("content")).as[String]
+    docs.flatMap(graft.sources.Fasta.parseString _)
+      .select(col("seqId").as("id"), length(col("residues")).as("len"),
+        col("residues"))
+      .orderBy(col("id"))
+  }
+
+  private val q108Sql =
+    """SELECT 'SEQ' || c_custkey AS id,
+      |  CAST(1 + c_custkey % 140 AS INTEGER) AS len,
+      |  substr(repeat('ACGTTGCA', 20), 1, 1 + c_custkey % 140) AS residues
+      |FROM customer WHERE c_custkey < 2000
+      |ORDER BY id""".stripMargin
+
   // ---------------------------------------------------------------- q76
   // Merge audit via FULL OUTER reconciliation: staging vs live rows
   // classified insert / delete / update / same — the diff report a
@@ -1498,6 +1720,11 @@ object Relational {
     "q99_source_pref" -> q99SourcePref _,
     "q102_gff3_parse" -> q102Gff3Parse _,
     "q103_gaf_parse" -> q103GafParse _,
+    "q104_blast_parse" -> q104BlastParse _,
+    "q105_gff3_roundtrip" -> q105Gff3RoundTrip _,
+    "q106_gaf_roundtrip" -> q106GafRoundTrip _,
+    "q107_obo_parse" -> q107OboParse _,
+    "q108_fasta_roundtrip" -> q108FastaRoundTrip _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1557,5 +1784,10 @@ object Relational {
     "q93_format_g" -> q93Sql,
     "q102_gff3_parse" -> q102Sql,
     "q103_gaf_parse" -> q103Sql,
+    "q104_blast_parse" -> q104Sql,
+    "q105_gff3_roundtrip" -> q105Sql,
+    "q106_gaf_roundtrip" -> q106Sql,
+    "q107_obo_parse" -> q107Sql,
+    "q108_fasta_roundtrip" -> q108Sql,
   )
 }

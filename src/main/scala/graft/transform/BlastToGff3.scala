@@ -33,9 +33,16 @@ object BlastToGff3 {
   /** `badRows` tallies unparseable non-comment lines (A8), matching the
     * GFF3 reader's policy. */
   def read(spark: SparkSession, path: String,
-           badRows: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Hsp] = {
-    import spark.implicits._
-    spark.read.textFile(path).flatMap { line =>
+           badRows: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Hsp] =
+    parse(spark.read.textFile(path), badRows)
+
+  /** The same parse gate over an in-memory line Dataset — the entry
+    * point the oracle row (q104) uses; [[read]] is exactly
+    * `parse(textFile(path))`. */
+  def parse(lines: Dataset[String],
+            badRows: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Hsp] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap { line =>
       val parsed = parseLine(line)
       if (parsed.isEmpty && !line.startsWith("#") && line.trim.nonEmpty)
         badRows.foreach(_.add(1))
