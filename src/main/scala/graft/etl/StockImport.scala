@@ -23,8 +23,14 @@ object StockImport {
     * ids are dropped like the reference's regex gate
     * (StrainImporter.pm:35-89). */
   def strains(spark: SparkSession, path: String): DataFrame =
-    tsv(spark, path, Seq("stock_id", "descriptor", "species", "parent_id"))
-      .filter(col("stock_id").rlike(strainIdPattern))
+    strainGate(tsv(spark, path,
+      Seq("stock_id", "descriptor", "species", "parent_id")))
+
+  /** The reference's strain-id regex gate over an already-loaded frame
+    * — the entry point the oracle row (q111) uses; [[strains]] is
+    * exactly `strainGate(tsv(path))`. */
+  def strainGate(df: DataFrame): DataFrame =
+    df.filter(col("stock_id").rlike(strainIdPattern))
 
   /** plasmid.tsv: id, name, description. */
   def plasmids(spark: SparkSession, path: String): DataFrame =

@@ -1244,6 +1244,129 @@ object Relational {
       |FROM customer WHERE c_custkey < 2000
       |ORDER BY id""".stripMargin
 
+  // --------------------------------------------------------------- q109
+  // S5 — the REAL closure-TSV parser end-to-end (sources/ClosureTsv
+  // .parse: 4-column split, all-digit distance gate —
+  // TransitiveClosure/Staging/Postgresql.pm:53-86): lines synthesized
+  // per part row, every 9th with a non-numeric distance (dropped by the
+  // production gate), oracle recomputed relationally.
+  private def q109ClosureParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = col("p_partkey")
+    val lines = t(s, dir, "part").filter(k < 4000)
+      .select(when(k % 9 === 0,
+          concat(lit("GO:"), k, lit("\tis_a\tx\tGO:bad")))
+        .otherwise(concat(
+          lit("GO:"), k, lit("\t"),
+          when(k % 2 === 0, "is_a").otherwise("part_of"),
+          lit("\t"), k % 5, lit("\tGO:"), k % 100)).as("value"))
+      .as[String]
+    graft.sources.ClosureTsv.parse(lines)
+      .select(col("subject"), col("predicate"),
+        col("pathdistance"), col("obj").as("object"))
+      .orderBy(col("subject"))
+  }
+
+  private val q109Sql =
+    """SELECT 'GO:' || p_partkey AS subject,
+      |  CASE WHEN p_partkey % 2 = 0 THEN 'is_a' ELSE 'part_of' END AS predicate,
+      |  CAST(p_partkey % 5 AS INTEGER) AS pathdistance,
+      |  'GO:' || (p_partkey % 100) AS object
+      |FROM part WHERE p_partkey < 4000 AND p_partkey % 9 <> 0
+      |ORDER BY subject""".stripMargin
+
+  // --------------------------------------------------------------- q110
+  // S6 — the REAL GenBank flat-file scanner end-to-end (sources/GenBank
+  // .parse: `//` record split, LOCUS length token, fixed-column feature
+  // table with qualifier continuation joins, ORIGIN digit/space strip +
+  // uppercase — Loader/Genome/GenBank.pm:384-531): records synthesized
+  // per supplier row in the exact column layout, concatenated into
+  // multi-record documents so the record split is exercised.
+  private def q110GenBankParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = col("s_suppkey")
+    val pad21 = "                     " // 21 cols to the qualifier field
+    val record = concat(
+      lit("LOCUS       SEQ"), k, lit("             "), k % 50 + 137,
+      lit(" bp    DNA     linear\n"),
+      lit("FEATURES             Location/Qualifiers\n"),
+      lit("     gene            1.."), k % 50 + 137, lit("\n"),
+      lit(pad21 + "/locus_tag=\"L"), k % 9, lit("\"\n"),
+      lit(pad21 + "/note=\"alpha\n"),
+      lit(pad21 + "beta"), k, lit("\"\n"),
+      lit("     CDS             10.."), k % 50 + 30, lit("\n"),
+      lit(pad21 + "/product=\"p "), k % 7, lit("\"\n"),
+      lit("ORIGIN\n"),
+      lit("        1 "),
+      expr("substr(repeat('acgt', 10), 1, 10 + s_suppkey % 20)"), lit("\n"))
+    val docs = t(s, dir, "supplier").filter(k < 1000)
+      .groupBy((k % 4).as("doc"))
+      .agg(concat_ws("//\n", sort_array(collect_list(record))).as("content"))
+      .select(col("content")).as[String]
+    graft.sources.GenBank.parse(docs)
+      .select(col("locus"), col("length"),
+        size(col("features")).as("n_feat"),
+        element_at(col("features"), 1).getField("location").as("gene_loc"),
+        element_at(element_at(col("features"), 1).getField("qualifiers"),
+          "locus_tag").as("locus_tag"),
+        element_at(element_at(col("features"), 1).getField("qualifiers"),
+          "note").as("note"),
+        element_at(element_at(col("features"), 2).getField("qualifiers"),
+          "product").as("product"),
+        col("sequence"))
+      .orderBy(col("locus"))
+  }
+
+  private val q110Sql =
+    """SELECT 'SEQ' || s_suppkey AS locus,
+      |  CAST(s_suppkey % 50 + 137 AS INTEGER) AS length,
+      |  CAST(2 AS INTEGER) AS n_feat,
+      |  '1..' || (s_suppkey % 50 + 137) AS gene_loc,
+      |  'L' || (s_suppkey % 9) AS locus_tag,
+      |  'alphabeta' || s_suppkey AS note,
+      |  'p ' || (s_suppkey % 7) AS product,
+      |  upper(substr(repeat('acgt', 10), 1, 10 + s_suppkey % 20)) AS sequence
+      |FROM supplier WHERE s_suppkey < 1000
+      |ORDER BY locus""".stripMargin
+
+  // --------------------------------------------------------------- q111
+  // S8 — the REAL stock-import gate + parent stitch end-to-end
+  // (etl/StockImport.strainGate + withParents: the ^DBS[0-9]{7}$ regex
+  // drop of StrainImporter.pm:35-89 and the J11 lenient parent
+  // self-join): four id shapes synthesized per customer row, only the
+  // 7-digit DBS form survives; parents resolve only where the pointed-at
+  // key exists in the gated set (nulls kept, like the reference).
+  private def q111StockGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = col("c_custkey")
+    val raw = t(s, dir, "customer").filter(k < 2000)
+      .select(
+        when(k % 4 === 0, concat(lit("DBS"), lpad(k.cast("string"), 7, "0")))
+          .when(k % 4 === 1, concat(lit("DBP"), lpad(k.cast("string"), 7, "0")))
+          .when(k % 4 === 2, concat(lit("DBS"), k.cast("string")))
+          .otherwise(concat(lit("XXX"), k)).as("stock_id"),
+        concat(lit("d"), k).as("descriptor"),
+        concat(lit("sp"), k % 3).as("species"),
+        concat(lit("DBS"),
+          lpad((k % 250 * 4).cast("string"), 7, "0")).as("parent_id"))
+    graft.etl.StockImport.withParents(graft.etl.StockImport.strainGate(raw))
+      .select(col("stock_id"), col("descriptor"), col("species"),
+        col("parent_id"), col("parent_descriptor"))
+      .orderBy(col("stock_id"))
+  }
+
+  private val q111Sql =
+    """WITH s AS (
+      |  SELECT 'DBS' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS stock_id,
+      |         'd' || c_custkey AS descriptor,
+      |         'sp' || (c_custkey % 3) AS species,
+      |         'DBS' || lpad(CAST(c_custkey % 250 * 4 AS VARCHAR), 7, '0') AS parent_id
+      |  FROM customer WHERE c_custkey < 2000 AND c_custkey % 4 = 0)
+      |SELECT s.stock_id, s.descriptor, s.species, s.parent_id,
+      |       p.descriptor AS parent_descriptor
+      |FROM s LEFT JOIN s AS p ON p.stock_id = s.parent_id
+      |ORDER BY s.stock_id""".stripMargin
+
   // ---------------------------------------------------------------- q76
   // Merge audit via FULL OUTER reconciliation: staging vs live rows
   // classified insert / delete / update / same — the diff report a
@@ -1725,6 +1848,9 @@ object Relational {
     "q106_gaf_roundtrip" -> q106GafRoundTrip _,
     "q107_obo_parse" -> q107OboParse _,
     "q108_fasta_roundtrip" -> q108FastaRoundTrip _,
+    "q109_closure_parse" -> q109ClosureParse _,
+    "q110_genbank_parse" -> q110GenBankParse _,
+    "q111_stock_gate" -> q111StockGate _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1789,5 +1915,8 @@ object Relational {
     "q106_gaf_roundtrip" -> q106Sql,
     "q107_obo_parse" -> q107Sql,
     "q108_fasta_roundtrip" -> q108Sql,
+    "q109_closure_parse" -> q109Sql,
+    "q110_genbank_parse" -> q110Sql,
+    "q111_stock_gate" -> q111Sql,
   )
 }

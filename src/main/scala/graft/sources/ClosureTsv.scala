@@ -8,9 +8,15 @@ import graft.chado.ClosureRow
   * (lib/Modware/Loader/TransitiveClosure/Staging/Postgresql.pm:53-86).
   */
 object ClosureTsv {
-  def read(spark: SparkSession, path: String): Dataset[ClosureRow] = {
-    import spark.implicits._
-    spark.read.textFile(path).flatMap { line =>
+  def read(spark: SparkSession, path: String): Dataset[ClosureRow] =
+    parse(spark.read.textFile(path))
+
+  /** The same parse gate over an in-memory line Dataset — the entry
+    * point the oracle row (q109) uses; [[read]] is exactly
+    * `parse(textFile(path))`. */
+  def parse(lines: Dataset[String]): Dataset[ClosureRow] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap { line =>
       line.split("\t", -1) match {
         case Array(s, p, d, o, _*) if d.forall(_.isDigit) && d.nonEmpty =>
           Some(ClosureRow(s, p, d.toInt, o))

@@ -79,9 +79,15 @@ object GenBank {
 
   def read(spark: SparkSession, path: String): Dataset[GbRecord] = {
     import spark.implicits._
-    spark.sparkContext.wholeTextFiles(path)
-      .flatMap { case (_, content) =>
-        content.split("(?m)^//\\s*$").iterator.flatMap(parseRecord)
-      }.toDS()
+    parse(spark.sparkContext.wholeTextFiles(path).values.toDS())
+  }
+
+  /** The same record split + parse over in-memory file contents — the
+    * entry point the oracle row (q110) uses; [[read]] is exactly
+    * `parse(wholeTextFiles(path).values)`. */
+  def parse(contents: Dataset[String]): Dataset[GbRecord] = {
+    import contents.sparkSession.implicits._
+    contents.flatMap(content =>
+      content.split("(?m)^//\\s*$").iterator.flatMap(parseRecord))
   }
 }
