@@ -1367,6 +1367,139 @@ object Relational {
       |FROM s LEFT JOIN s AS p ON p.stock_id = s.parent_id
       |ORDER BY s.stock_id""".stripMargin
 
+  // --------------------------------------------------------------- q112
+  // S9 + K1 — the REAL JDBC sink and scan end-to-end (sinks/JdbcStore
+  // .write batched ingest -> .read predicated scan) against embedded
+  // Derby, the in-container stand-in for the reference's Postgres
+  // (share/postgresql_gff3.lib). The filter and projection push into
+  // the generated SQL (SURVEY.md §4); on a cluster the URL points at a
+  // shared Postgres, not :memory:. Oracle = identity recomputation.
+  private def q112JdbcRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graftq112;create=true"
+    val src = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    graft.sinks.JdbcStore.write(src, url, "nation_rt", mode = "overwrite")
+    graft.sinks.JdbcStore.read(s, url, "nation_rt")
+      .filter(col("n_regionkey") >= 0)
+      .select(col("n_nationkey").cast("int").as("nationkey"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("int").as("regionkey"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q112Sql =
+    """SELECT CAST(n_nationkey AS INTEGER) AS nationkey,
+      |  n_name AS name,
+      |  CAST(n_regionkey AS INTEGER) AS regionkey
+      |FROM nation WHERE n_regionkey >= 0
+      |ORDER BY nationkey""".stripMargin
+
+  // --------------------------------------------------------------- q113
+  // K2/K3 — the REAL driver-side transactional merge (sinks/JdbcStore
+  // .mergeTransaction: one connection, commit-or-rollback — the
+  // txn_scope_guard analog, gff3tochado.pm:251-277): live rows get a
+  // stale name, staging carries the fresh full set, one SQL MERGE
+  // updates matches and inserts novelties atomically; the verified
+  // output is the post-merge live table read back over JDBC.
+  private def q113JdbcMerge(s: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graftq113;create=true"
+    val nation = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("int").as("k"),
+        col("n_name").as("name"))
+    val live = nation.filter(col("k") < 20)
+      .select(col("k"), concat(lit("old_"), col("name")).as("name"))
+    val staging = nation
+      .select(col("k"), concat(lit("new_"), col("name")).as("name"))
+    graft.sinks.JdbcStore.write(live, url, "live_t", mode = "overwrite")
+    graft.sinks.JdbcStore.write(staging, url, "staging_t", mode = "overwrite")
+    // Spark's JDBC writer creates quoted (case-sensitive) identifiers
+    graft.sinks.JdbcStore.mergeTransaction(url, Seq(
+      """MERGE INTO live_t t USING staging_t s ON t."k" = s."k"
+        |WHEN MATCHED THEN UPDATE SET t."name" = s."name"
+        |WHEN NOT MATCHED THEN INSERT ("k", "name") VALUES (s."k", s."name")"""
+        .stripMargin))
+    graft.sinks.JdbcStore.read(s, url, "live_t")
+      .select(col("k").cast("int").as("k"), col("name"))
+      .orderBy(col("k"))
+  }
+
+  private val q113Sql =
+    """SELECT CAST(n_nationkey AS INTEGER) AS k,
+      |  'new_' || n_name AS name
+      |FROM nation ORDER BY k""".stripMargin
+
+  // --------------------------------------------------------------- q114
+  // P10 end-to-end — the REAL GAF load chain (sources/Gaf.parse ->
+  // etl/GafLoad.load): broadcast dictionary resolution (J9), the
+  // validity drop of rows failing any lookup / empty evidence / no
+  // publication (GAF/Manager.pm validity gate), dbRef fan-out, and the
+  // A2 rank ordinal within (feature, term, pub). Dimensions derive
+  // from the same tables, so the oracle recomputes the joins exactly;
+  // per-row-unique dates keep the rank window ordering total.
+  private def q114GafValidity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = col("c_custkey")
+    val lines = t(s, dir, "customer").filter(k < 2000)
+      .select(when(k % 7 === 0, concat(lit("! header "), k))
+        .otherwise(concat(
+          lit("dictyBase\tDDB"), k % 600, lit("\tsym\t\tGO:000"), k % 8,
+          lit("\t"),
+          when(k % 13 === 0, "").otherwise(
+            concat(lit("PMID:1|PMID:"), k % 5)),
+          lit("\t"),
+          when(k % 11 === 0, "").otherwise(lit("IEA")),
+          lit("\t\tP\t\t\tgene\ttaxon:44689\t"),
+          lpad(k.cast("string"), 8, "0"),
+          lit("\tdictyBase"))).as("value"))
+      .as[String]
+    val genes = t(s, dir, "customer").filter(k < 400)
+      .select(concat(lit("DDB"), k).as("gene_id"),
+        concat(lit("FEAT"), k).as("feature_uniquename"))
+    val terms = t(s, dir, "nation").filter(col("n_nationkey") < 6)
+      .select(concat(lit("GO:000"), col("n_nationkey")).as("go_id"),
+        concat(lit("ns"), col("n_nationkey") % 3).as("cv_name"))
+    graft.etl.GafLoad.load(graft.sources.Gaf.parse(lines), genes, terms)
+      .select(col("feature_uniquename"), col("goId").as("go_id"),
+        col("cv_name"), col("pub"), col("evidenceCode").as("ev"),
+        col("date"), col("rank"))
+      .orderBy(col("feature_uniquename"), col("go_id"), col("pub"),
+        col("date"), col("rank"))
+  }
+
+  private val q114Sql =
+    """WITH gaf AS (
+      |  SELECT 'DDB' || (c_custkey % 600) AS object_id,
+      |    'GO:000' || (c_custkey % 8) AS go_id,
+      |    CASE WHEN c_custkey % 13 = 0 THEN ''
+      |         ELSE 'PMID:1|PMID:' || (c_custkey % 5) END AS dbref,
+      |    CASE WHEN c_custkey % 11 = 0 THEN '' ELSE 'IEA' END AS ev,
+      |    lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS date
+      |  FROM customer WHERE c_custkey < 2000 AND c_custkey % 7 <> 0),
+      |genes AS (
+      |  SELECT 'DDB' || c_custkey AS gene_id,
+      |         'FEAT' || c_custkey AS feature_uniquename
+      |  FROM customer WHERE c_custkey < 400),
+      |terms AS (
+      |  SELECT 'GO:000' || n_nationkey AS go_id,
+      |         'ns' || (n_nationkey % 3) AS cv_name
+      |  FROM nation WHERE n_nationkey < 6),
+      |ex AS (
+      |  SELECT g.*, unnest(string_split(g.dbref, '|')) AS pub
+      |  FROM gaf g WHERE g.dbref <> ''),
+      |valid AS (
+      |  SELECT ge.feature_uniquename, e.go_id, tm.cv_name, e.pub,
+      |         e.ev, e.date
+      |  FROM ex e
+      |  JOIN genes ge ON e.object_id = ge.gene_id
+      |  JOIN terms tm ON e.go_id = tm.go_id
+      |  WHERE e.ev <> '')
+      |SELECT feature_uniquename, go_id, cv_name, pub, ev, date,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY feature_uniquename, go_id, pub
+      |    ORDER BY ev, date) - 1 AS INTEGER) AS rank
+      |FROM valid
+      |ORDER BY feature_uniquename, go_id, pub, date, rank""".stripMargin
+
   // ---------------------------------------------------------------- q76
   // Merge audit via FULL OUTER reconciliation: staging vs live rows
   // classified insert / delete / update / same — the diff report a
@@ -1851,6 +1984,9 @@ object Relational {
     "q109_closure_parse" -> q109ClosureParse _,
     "q110_genbank_parse" -> q110GenBankParse _,
     "q111_stock_gate" -> q111StockGate _,
+    "q112_jdbc_roundtrip" -> q112JdbcRoundTrip _,
+    "q113_jdbc_merge" -> q113JdbcMerge _,
+    "q114_gaf_validity" -> q114GafValidity _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1918,5 +2054,8 @@ object Relational {
     "q109_closure_parse" -> q109Sql,
     "q110_genbank_parse" -> q110Sql,
     "q111_stock_gate" -> q111Sql,
+    "q112_jdbc_roundtrip" -> q112Sql,
+    "q113_jdbc_merge" -> q113Sql,
+    "q114_gaf_validity" -> q114Sql,
   )
 }
