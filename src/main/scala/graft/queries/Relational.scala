@@ -1500,6 +1500,117 @@ object Relational {
       |FROM valid
       |ORDER BY feature_uniquename, go_id, pub, date, rank""".stripMargin
 
+  // --------------------------------------------------------------- q115
+  // S2 — the REAL embedded-FASTA scanner end-to-end (sources/Gff3
+  // .embeddedFastaOf: `##FASTA` boundary cut, then the FASTA record
+  // split over the tail — gff3tochado.pm's sequence section): GFF3
+  // documents synthesized with a feature section AND a FASTA tail built
+  // by the production writer, so the boundary and the records are both
+  // exercised; documents without a tail must yield nothing.
+  private def q115EmbeddedFasta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = col("c_custkey")
+    val recs = t(s, dir, "customer").filter(k < 2000)
+      .select(concat(lit("CH"), k).as("id"),
+        expr("substr(repeat('ttagcc', 25), 1, 5 + c_custkey % 120)")
+          .as("residues"))
+    val fastaLines = graft.sources.Fasta.format(recs, "id", "residues")
+      .withColumn("doc", pmod(xxhash64(col("value")), lit(8)))
+    val docs = fastaLines.groupBy(col("doc"))
+      .agg(concat_ws("\n", sort_array(collect_list(col("value"))))
+        .as("tail"))
+      .select(concat(
+        lit("chr1\tgraft\tgene\t1\t100\t.\t+\t.\tID=g1\n##FASTA\n"),
+        col("tail")).as("content"))
+      // a document with features but NO ##FASTA section must
+      // contribute zero records
+      .unionByName(s.range(1).select(
+        lit("chr1\tgraft\tgene\t1\t100\t.\t+\t.\tID=g1").as("content")))
+      .as[String]
+    graft.sources.Gff3.embeddedFastaOf(docs)
+      .select(col("seqId").as("id"), length(col("residues")).as("len"),
+        col("residues"))
+      .orderBy(col("id"))
+  }
+
+  private val q115Sql =
+    """SELECT 'CH' || c_custkey AS id,
+      |  CAST(5 + c_custkey % 120 AS INTEGER) AS len,
+      |  substr(repeat('ttagcc', 25), 1, 5 + c_custkey % 120) AS residues
+      |FROM customer WHERE c_custkey < 2000
+      |ORDER BY id""".stripMargin
+
+  // --------------------------------------------------------------- q116
+  // S10 + J12 + F14 — the REAL legacy cross-schema export end-to-end
+  // (export/GeneSummary.export over two separate JDBC stores — the
+  // chado2genesummary.pm Chado-featureprop × legacy-Oracle-paragraph
+  // join done set-based, with the html→MediaWiki UDF in the
+  // projection): gene props seeded into one embedded Derby database,
+  // paragraphs into a second, both read back over JDBC before joining.
+  private def q116LegacySummary(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val urlA = "jdbc:derby:memory:graftq116a;create=true"
+    val urlB = "jdbc:derby:memory:graftq116b;create=true"
+    val props = t(s, dir, "customer").filter(k < 1500)
+      .select(concat(lit("G"), k).as("gene_id"),
+        (k % 300).cast("int").as("paragraph_no"))
+    val paras = t(s, dir, "customer").filter(k < 300)
+      .select(k.cast("int").as("paragraph_no"),
+        concat(lit("<b>sum "), k, lit("</b><br/>tail"), k % 4).as("html"))
+    graft.sinks.JdbcStore.write(props, urlA, "geneprops", mode = "overwrite")
+    graft.sinks.JdbcStore.write(paras, urlB, "paragraphs", mode = "overwrite")
+    graft.export.GeneSummary.export(
+        graft.sinks.JdbcStore.read(s, urlA, "geneprops"),
+        graft.sinks.JdbcStore.read(s, urlB, "paragraphs"))
+      .select(col("gene_id"), col("summary"))
+      .orderBy(col("gene_id"))
+  }
+
+  private val q116Sql =
+    """WITH props AS (
+      |  SELECT 'G' || c_custkey AS gene_id,
+      |         c_custkey % 300 AS paragraph_no
+      |  FROM customer WHERE c_custkey < 1500),
+      |paras AS (
+      |  SELECT c_custkey AS paragraph_no,
+      |         repeat(chr(39), 3) || 'sum ' || c_custkey || repeat(chr(39), 3)
+      |           || chr(10) || 'tail' || (c_custkey % 4) AS summary
+      |  FROM customer WHERE c_custkey < 300)
+      |SELECT p.gene_id, q.summary
+      |FROM props p JOIN paras q USING (paragraph_no)
+      |ORDER BY p.gene_id""".stripMargin
+
+  // --------------------------------------------------------------- q117
+  // A8 — the REAL bad-row counter accumulation (sources/Gff3.parse's
+  // badRows LongAccumulator — the reference's per-run malformed-line
+  // tally, modidingoa.pm:29-59): lines synthesized with every 6th
+  // carrying a non-numeric coordinate (9 columns, so it reaches the
+  // parse and fails there) and every 10th a comment; the accumulator
+  // and the surviving-row count are the verified outputs. The
+  // driver-side action is the accumulator contract itself.
+  private def q117BadRowCounter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = col("o_orderkey")
+    val lines = t(s, dir, "orders").filter(k < 3000)
+      .select(when(k % 10 === 0, concat(lit("# c "), k))
+        .when(k % 6 === 0, concat(
+          lit("chr1\tgraft\tgene\tNOTNUM\t200\t.\t+\t.\tID=B"), k))
+        .otherwise(concat(
+          lit("chr1\tgraft\tgene\t1\t200\t.\t+\t.\tID=G"), k)).as("value"))
+      .as[String]
+    val acc = s.sparkContext.longAccumulator("gff3_bad_rows")
+    val parsed = graft.sources.Gff3.parse(lines, Some(acc)).count()
+    Seq((parsed, acc.value: Long)).toDF("n_parsed", "n_bad")
+  }
+
+  private val q117Sql =
+    """SELECT
+      |  CAST(sum(CASE WHEN o_orderkey % 10 <> 0 AND o_orderkey % 6 <> 0
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+      |  CAST(sum(CASE WHEN o_orderkey % 10 <> 0 AND o_orderkey % 6 = 0
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      |FROM orders WHERE o_orderkey < 3000""".stripMargin
+
   // ---------------------------------------------------------------- q76
   // Merge audit via FULL OUTER reconciliation: staging vs live rows
   // classified insert / delete / update / same — the diff report a
@@ -1987,6 +2098,9 @@ object Relational {
     "q112_jdbc_roundtrip" -> q112JdbcRoundTrip _,
     "q113_jdbc_merge" -> q113JdbcMerge _,
     "q114_gaf_validity" -> q114GafValidity _,
+    "q115_embedded_fasta" -> q115EmbeddedFasta _,
+    "q116_legacy_summary" -> q116LegacySummary _,
+    "q117_badrow_counter" -> q117BadRowCounter _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2057,5 +2171,8 @@ object Relational {
     "q112_jdbc_roundtrip" -> q112Sql,
     "q113_jdbc_merge" -> q113Sql,
     "q114_gaf_validity" -> q114Sql,
+    "q115_embedded_fasta" -> q115Sql,
+    "q116_legacy_summary" -> q116Sql,
+    "q117_badrow_counter" -> q117Sql,
   )
 }

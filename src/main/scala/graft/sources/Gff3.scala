@@ -120,12 +120,18 @@ object Gff3 {
   /** The embedded `##FASTA` tail as (seqId, residues) records (S2). */
   def embeddedFasta(spark: SparkSession, path: String): Dataset[FastaRecord] = {
     import spark.implicits._
-    spark.sparkContext.wholeTextFiles(path)
-      .flatMap { case (_, content) =>
-        val idx = content.indexOf("##FASTA")
-        if (idx < 0) Iterator.empty
-        else Fasta.parseString(content.substring(idx + "##FASTA".length))
-      }
-      .toDS()
+    embeddedFastaOf(spark.sparkContext.wholeTextFiles(path).values.toDS())
+  }
+
+  /** The same `##FASTA`-boundary split + FASTA parse over in-memory
+    * file contents — the entry point the oracle row (q115) uses;
+    * [[embeddedFasta]] is exactly `embeddedFastaOf(wholeTextFiles)`. */
+  def embeddedFastaOf(contents: Dataset[String]): Dataset[FastaRecord] = {
+    import contents.sparkSession.implicits._
+    contents.flatMap { content =>
+      val idx = content.indexOf("##FASTA")
+      if (idx < 0) Iterator.empty
+      else Fasta.parseString(content.substring(idx + "##FASTA".length))
+    }
   }
 }
