@@ -1611,6 +1611,95 @@ object Relational {
       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
       |FROM orders WHERE o_orderkey < 3000""".stripMargin
 
+  // --------------------------------------------------------------- q118
+  // K7 — the REAL stock-report TSV writer (export/StockExport
+  // .strainLines: description-prop left join, trim, null→empty
+  // coalesce, 4-column tab join — dictystrain.pm's strain.tsv shape):
+  // the verified value is the exact line string the writer emits,
+  // including whitespace trimming and missing-species/description
+  // handling.
+  private def q118StockLines(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val strains = t(s, dir, "customer").filter(k < 2000)
+      .select(concat(lit("DBS"), lpad(k.cast("string"), 7, "0")).as("stock_id"),
+        concat(lit("  d"), k, lit("  ")).as("descriptor"),
+        when(k % 5 === 0, lit(null)).otherwise(concat(lit("sp"), k % 3))
+          .cast("string").as("species"))
+    val props = t(s, dir, "customer").filter(k < 2000)
+      .select(concat(lit("DBS"), lpad(k.cast("string"), 7, "0")).as("stock_id"),
+        when(k % 2 === 0, "description").otherwise("color").as("prop_name"),
+        concat(lit(" v"), k % 9, lit(" ")).as("value"))
+    graft.export.StockExport.strainLines(strains, props)
+      .orderBy(col("value"))
+  }
+
+  private val q118Sql =
+    """SELECT 'DBS' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') || chr(9) ||
+      |  'd' || c_custkey || chr(9) ||
+      |  CASE WHEN c_custkey % 5 = 0 THEN ''
+      |       ELSE 'sp' || (c_custkey % 3) END || chr(9) ||
+      |  CASE WHEN c_custkey % 2 = 0 THEN 'v' || (c_custkey % 9)
+      |       ELSE '' END AS value
+      |FROM customer WHERE c_custkey < 2000
+      |ORDER BY value""".stripMargin
+
+  // --------------------------------------------------------------- q119
+  // J8 — the REAL export traversal ordering (export/Gff3Export
+  // .linesWithKeys over a gene→mRNA→exon document): the verified value
+  // is each emitted line AND its global position under the canonical
+  // (srcfeature, type_rank, fmin, uniquename) order — parent rows must
+  // precede their children within every reference (the N+1-killed
+  // store2gff3 dump shape, chado2canonicalgff3.pm).
+  private def q119ExportOrder(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val base = t(s, dir, "part").filter(k < 1200)
+    def shaped(u: org.apache.spark.sql.Column, ft: String,
+        fminOff: Int, fmaxOff: Int,
+        parent: org.apache.spark.sql.Column) =
+      base.select(u.as("uniquename"),
+        lit(null).cast("string").as("name"), lit(ft).as("ftype"),
+        concat(lit("chr"), k % 3).as("srcfeature"),
+        (k * 100 + fminOff).as("fmin"), (k * 100 + fmaxOff).as("fmax"),
+        lit(null).cast("double").as("score"),
+        when(k % 2 === 0, 1).otherwise(-1).as("strand"),
+        lit(null).cast("int").as("phase"),
+        lit("graft").as("source"), parent.cast("string").as("parent"))
+    val doc = shaped(concat(lit("g"), k), "gene", 0, 90, lit(null))
+      .unionByName(shaped(concat(lit("m"), k), "mRNA", 5, 85,
+        concat(lit("g"), k)))
+      .unionByName(shaped(concat(lit("e"), k), "exon", 10, 40,
+        concat(lit("m"), k)))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      col("srcfeature"), col("type_rank"), col("fmin"), col("uniquename"))
+    graft.export.Gff3Export.linesWithKeys(doc)
+      .select(col("value"), row_number().over(w).as("pos"))
+      .orderBy(col("pos"))
+  }
+
+  private val q119Sql =
+    """WITH feats AS (
+      |  SELECT 'g' || p_partkey AS uniquename, 'gene' AS ftype, 2 AS rank,
+      |    'chr' || (p_partkey % 3) AS srcfeature,
+      |    p_partkey * 100 AS fmin, p_partkey * 100 + 90 AS fmax,
+      |    NULL AS parent, p_partkey AS k FROM part WHERE p_partkey < 1200
+      |  UNION ALL
+      |  SELECT 'm' || p_partkey, 'mRNA', 3, 'chr' || (p_partkey % 3),
+      |    p_partkey * 100 + 5, p_partkey * 100 + 85,
+      |    'g' || p_partkey, p_partkey FROM part WHERE p_partkey < 1200
+      |  UNION ALL
+      |  SELECT 'e' || p_partkey, 'exon', 4, 'chr' || (p_partkey % 3),
+      |    p_partkey * 100 + 10, p_partkey * 100 + 40,
+      |    'm' || p_partkey, p_partkey FROM part WHERE p_partkey < 1200)
+      |SELECT srcfeature || chr(9) || 'graft' || chr(9) || ftype || chr(9) ||
+      |    (fmin + 1) || chr(9) || fmax || chr(9) || '.' || chr(9) ||
+      |    CASE WHEN k % 2 = 0 THEN '+' ELSE '-' END || chr(9) || '.' ||
+      |    chr(9) || 'ID=' || uniquename ||
+      |    CASE WHEN parent IS NULL THEN ''
+      |         ELSE ';Parent=' || parent END AS value,
+      |  CAST(row_number() OVER (
+      |    ORDER BY srcfeature, rank, fmin, uniquename) AS INTEGER) AS pos
+      |FROM feats ORDER BY pos""".stripMargin
+
   // ---------------------------------------------------------------- q76
   // Merge audit via FULL OUTER reconciliation: staging vs live rows
   // classified insert / delete / update / same — the diff report a
@@ -2101,6 +2190,8 @@ object Relational {
     "q115_embedded_fasta" -> q115EmbeddedFasta _,
     "q116_legacy_summary" -> q116LegacySummary _,
     "q117_badrow_counter" -> q117BadRowCounter _,
+    "q118_stock_lines" -> q118StockLines _,
+    "q119_export_order" -> q119ExportOrder _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2174,5 +2265,7 @@ object Relational {
     "q115_embedded_fasta" -> q115Sql,
     "q116_legacy_summary" -> q116Sql,
     "q117_badrow_counter" -> q117Sql,
+    "q118_stock_lines" -> q118Sql,
+    "q119_export_order" -> q119Sql,
   )
 }
