@@ -151,6 +151,61 @@ object Multimodal {
     }
   }
 
+  /** Real VIDEO-stream frame sampling for raw MJPEG — the concatenated
+    * JPEG stream IP cameras and many capture pipelines emit — with pure
+    * JDK machinery: SOI/EOI marker scan to index frame boundaries
+    * (cheap, no decode), then `javax.imageio` decodes ONLY the sampled
+    * frames. mp4/webm stay stubbed (their codecs aren't in the JDK);
+    * this is the real sampled-decode access pattern on a real video
+    * stream format. Known honest limitation: an embedded EOI inside an
+    * APPn thumbnail would split a frame early. */
+  object MjpegCodec {
+
+    /** (start, end-exclusive) byte ranges of each JPEG frame: a frame
+      * runs from an FFD8 FF start-of-image to its FFD9 end-of-image.
+      * Empty unless the payload begins with SOI. */
+    def frameIndex(payload: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      val out = scala.collection.immutable.IndexedSeq.newBuilder[(Int, Int)]
+      var p = 0
+      def isSoi(i: Int) = i + 2 < payload.length &&
+        payload(i) == 0xFF.toByte && payload(i + 1) == 0xD8.toByte &&
+        payload(i + 2) == 0xFF.toByte
+      while (isSoi(p)) {
+        var q = p + 2
+        var end = -1
+        while (end < 0 && q + 1 < payload.length) {
+          if (payload(q) == 0xFF.toByte && payload(q + 1) == 0xD9.toByte)
+            end = q + 2
+          q += 1
+        }
+        if (end < 0) return out.result() // truncated tail frame: drop
+        out += ((p, end))
+        p = end
+      }
+      out.result()
+    }
+
+    /** Evenly-sampled distinct frame indices of a ≥2-frame MJPEG
+      * stream, each decoded and re-encoded as PNG (same contract as the
+      * GIF path). None for anything else — a single JPEG is an image,
+      * not a stream, and belongs to [[ImageCodec]]. */
+    def sampleFrames(payload: Array[Byte], n: Int): Option[Seq[(Int, Array[Byte])]] = {
+      val idx = frameIndex(payload)
+      if (idx.length < 2) None
+      else try Some((0 until n).map(i => (idx.length.toLong * i / n).toInt)
+        .distinct.map { i =>
+          val (s, e) = idx(i)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload.slice(s, e)))
+          if (img == null) throw new java.io.IOException(s"frame $i undecodable")
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (i, bos.toByteArray)
+        })
+      catch { case _: Exception => None }
+    }
+  }
+
   /** Real audio decode via `javax.sound.sampled` — JDK-only. WAV/AIFF/AU
     * header metadata (sample rate, channels, frame count) comes from the
     * actual container headers, and the amplitude histogram from the
@@ -256,12 +311,14 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: REAL decoded frames for payloads `javax.imageio`
-    * claims (animated GIF — evenly-sampled distinct frame indices,
-    * each re-encoded as PNG; `offset` is the source frame index), and
-    * the deterministic byte-offset stub for container formats with no
-    * JDK codec (mp4/webm — there `offset` is a byte position and the
-    * payload a 16-byte slice, standing in for an FFI decoder). One
+  /** Frame sampling: REAL decoded frames for payloads the JDK can
+    * claim — raw MJPEG video streams (SOI/EOI-indexed, only sampled
+    * frames decoded) and animated GIF (evenly-sampled distinct frame
+    * indices), each re-encoded as PNG with `offset` = source frame
+    * index — and the deterministic byte-offset stub for container
+    * formats with no JDK codec (mp4/webm — there `offset` is a byte
+    * position and the payload a 16-byte slice, standing in for an FFI
+    * decoder). One
     * output row per sampled frame either way — the UDTF batch shape an
     * ffmpeg-backed sampler would use, and only sampled frames are ever
     * decoded (never the whole animation). */
@@ -271,7 +328,10 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      ImageCodec.sampleFrames(r.payload, n) match {
+      // MJPEG first: ImageIO's JPEG reader would claim the stream and
+      // silently see only its first frame
+      MjpegCodec.sampleFrames(r.payload, n)
+        .orElse(ImageCodec.sampleFrames(r.payload, n)) match {
         case Some(frames) =>
           frames.zipWithIndex.map { case ((srcIdx, png), i) =>
             Frame(r.media_id, i, srcIdx.toLong, png)

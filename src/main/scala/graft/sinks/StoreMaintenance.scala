@@ -46,11 +46,16 @@ object StoreMaintenance {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
-    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
-      java.nio.file.Paths.get(aside))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(dir))
-    rm(new java.io.File(aside))
+    // first materialization: nothing live yet, the swap is one rename
+    if (new java.io.File(dir).exists()) {
+      java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+        java.nio.file.Paths.get(aside))
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(dir))
+      rm(new java.io.File(aside))
+    } else
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(dir))
   }
 
   /** Rewrite the store at `dir` into ≈ `targetBytes`-sized files.

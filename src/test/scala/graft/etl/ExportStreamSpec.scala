@@ -495,6 +495,48 @@ class ExportStreamSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(media, 8).collect().length == 4)
   }
 
+  test("frame sampling decodes REAL frames from a raw MJPEG stream") {
+    // a raw MJPEG video stream is concatenated JPEGs (the IP-camera
+    // format): build 5 frames with distinct gray levels, jpeg-encode
+    // each with the JDK writer, and concatenate
+    def jpeg(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(level, level, level))
+        g.fillRect(0, 0, 8, 8)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val stream = (0 until 5).map(i => jpeg(50 * i)).reduce(_ ++ _)
+
+    // the marker scan indexes 5 frames without decoding any
+    val idx = Multimodal.MjpegCodec.frameIndex(stream)
+    assert(idx.length == 5)
+    assert(idx.head._1 == 0 && idx.last._2 == stream.length)
+
+    val media = spark.createDataset(Seq(Multimodal.MediaRow(11L, "video", stream)))
+    // n=2 over 5 frames samples source indices 0 and 2, decoded for real
+    val sampled = Multimodal.sampleFrames(media, 2).collect().sortBy(_.frame_no)
+    assert(sampled.map(_.offset).toSeq == Seq(0L, 2L))
+    val decoded = sampled.map(f => Multimodal.ImageCodec.decode(f.frame_payload))
+    assert(decoded.forall(_.isDefined), "sampled frames are real decodable PNGs")
+    val imgs = decoded.map(_.get)
+    assert(imgs.forall { case (fmt, img) =>
+      fmt == "png" && img.getWidth == 8 && img.getHeight == 8 })
+    // frame 0 is black, frame 2 is gray(100) ± jpeg loss: the pixels
+    // prove these are DIFFERENT real frames of the stream
+    def lum(img: java.awt.image.BufferedImage) = img.getRGB(4, 4) & 0xff
+    assert(lum(imgs(0)._2) < 20 && math.abs(lum(imgs(1)._2) - 100) < 20)
+    // oversampling never duplicates: 5 distinct frames from n=8
+    assert(Multimodal.sampleFrames(media, 8).collect().length == 5)
+    // a single JPEG is an image, not a stream: the MJPEG codec declines
+    assert(Multimodal.MjpegCodec.sampleFrames(jpeg(0), 2).isEmpty)
+  }
+
   test("multimodal stub pipeline extracts deterministic features") {
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.fromDocuments(spark, docs)
