@@ -251,29 +251,45 @@ object Multimodal {
   }
 
   /** Decode + featurize each media row, one codec per partition: real
-    * ImageIO metadata + luminance histogram for decodable images, real
-    * javax.sound metadata + amplitude histogram for decodable audio,
-    * the stub for everything else (video — no JDK codec). */
+    * MJPEG stream metadata (marker-indexed frame count + one decoded
+    * frame) for ≥2-frame video streams, real ImageIO metadata +
+    * luminance histogram for decodable images, real javax.sound
+    * metadata + amplitude histogram for decodable audio, the stub for
+    * everything else (mp4/webm — no JDK codec). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition codec init would go here (expensive, once)
       rows.map { r =>
         val headerHex = r.payload.take(4).map("%02X".format(_)).mkString
-        ImageCodec.decode(r.payload) match {
-          case Some((fmt, img)) =>
+        // MJPEG first (see sampleFrames): a ≥2-frame stream is VIDEO —
+        // frame count from the marker index, dims + histogram from a
+        // single decoded frame, never the whole stream
+        val mjpeg = MjpegCodec.frameIndex(r.payload)
+        val mjpegImg = if (mjpeg.length < 2) None
+          else Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.payload.slice(mjpeg.head._1, mjpeg.head._2))))
+        mjpegImg match {
+          case Some(img) =>
             MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
-              fmt, img.getWidth, img.getHeight, 0, 0, 0L,
+              "mjpeg", img.getWidth, img.getHeight, 0, 0, mjpeg.length.toLong,
               ImageCodec.luminanceHistogram(img))
-          case None => AudioCodec.decode(r.payload) match {
-            case Some((fmt, af, frames)) =>
+          case None => ImageCodec.decode(r.payload) match {
+            case Some((fmt, img)) =>
               MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
-                fmt, 0, 0, af.getSampleRate.toInt, af.getChannels, frames,
-                AudioCodec.amplitudeHistogram(r.payload))
-            case None =>
-              val (w, h, feats) = StubCodec.decode(r.payload)
-              MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
-                "stub", w, h, 0, 0, 0L, feats)
+                fmt, img.getWidth, img.getHeight, 0, 0, 0L,
+                ImageCodec.luminanceHistogram(img))
+            case None => AudioCodec.decode(r.payload) match {
+              case Some((fmt, af, frames)) =>
+                MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
+                  fmt, 0, 0, af.getSampleRate.toInt, af.getChannels, frames,
+                  AudioCodec.amplitudeHistogram(r.payload))
+              case None =>
+                val (w, h, feats) = StubCodec.decode(r.payload)
+                MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
+                  "stub", w, h, 0, 0, 0L, feats)
+            }
           }
         }
       }

@@ -535,6 +535,11 @@ class ExportStreamSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(media, 8).collect().length == 5)
     // a single JPEG is an image, not a stream: the MJPEG codec declines
     assert(Multimodal.MjpegCodec.sampleFrames(jpeg(0), 2).isEmpty)
+    // feature extraction reports the stream as VIDEO: mjpeg format,
+    // marker-indexed frame count, dims from one decoded frame
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.format == "mjpeg" && f.n_frames == 5
+      && f.width == 8 && f.height == 8)
   }
 
   test("multimodal stub pipeline extracts deterministic features") {

@@ -110,6 +110,20 @@ class DictyGff3ExportSpec extends SparkSpec {
     assert(rows("e6") == (("exon", "geneID reprediction", "rna6")))
   }
 
+  test("noncanonical v2: feature/subfeature types and source are configurable") {
+    // the CLI's --feature-type/--subfeature-type/--source flags flow
+    // here (chado2dictynoncanonicalv2gff3.pm's Getopt options)
+    val rows = byId(DictyGff3Export.noncanonicalV2(chado,
+      featureType = "mRNA", subfeatureType = "exon",
+      source = "Sequencing Center"))
+    assert(rows.keySet == Set("rna1b", "rna2", "e1b", "e2"))
+    // a subfeature type with no part_of children yields features only
+    val cds = byId(DictyGff3Export.noncanonicalV2(chado,
+      featureType = "mRNA", subfeatureType = "CDS",
+      source = "Sequencing Center"))
+    assert(cds.keySet == Set("rna1b", "rna2"))
+  }
+
   test("gene Alias carries synonyms and parents sort before children in the document") {
     val frame = DictyGff3Export.canonical(chado)
     val lines = Gff3Export.document(
