@@ -1244,6 +1244,51 @@ object Relational {
       |FROM customer WHERE c_custkey < 2000
       |ORDER BY id""".stripMargin
 
+  // --------------------------------------------------------------- q120
+  // K8 — the REAL compression sink end-to-end (sources/Fasta.write with
+  // gzip=true, the reference's tar.gz output role —
+  // lib/Modware/Role/Command/CanCompress.pm): records are written as
+  // gzipped part files, every part is asserted to carry the gzip magic
+  // bytes (so the codec genuinely ran — without that check a plain-text
+  // write would pass the content oracle), then the directory is read
+  // back through the REAL parser (sources/Fasta.read, whose
+  // wholeTextFiles decompresses via the Hadoop codec factory) and the
+  // decoded records are verified relationally. On a cluster the same
+  // path writes gzipped shards to an object store; gzip parts are
+  // non-splittable, which is exactly the whole-file read the parser
+  // performs.
+  private def q120GzipRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val recs = t(s, dir, "customer").filter(k < 2000)
+      .select(concat(lit("SEQ"), k).as("id"),
+        expr("substr(repeat('ACGTTGCA', 20), 1, 1 + c_custkey % 140)")
+          .as("residues"))
+    val out = sys.props("java.io.tmpdir") + "/graft_q120_fa"
+    graft.sources.Fasta.write(recs, "id", "residues", out, gzip = true)
+    val parts = Option(new java.io.File(out).listFiles()).getOrElse(Array())
+      .filter(f => f.getName.startsWith("part-") && f.length > 0)
+    require(parts.nonEmpty && parts.forall(_.getName.endsWith(".gz")),
+      s"K8 gzip sink must emit .gz part files under $out")
+    require(parts.forall { f =>
+      val in = new java.io.FileInputStream(f)
+      try {
+        val m = new Array[Byte](2)
+        in.read(m) == 2 && m(0) == 0x1f.toByte && m(1) == 0x8b.toByte
+      } finally in.close()
+    }, "every part file must start with the gzip magic bytes")
+    graft.sources.Fasta.read(s, out)
+      .select(col("seqId").as("id"), length(col("residues")).as("len"),
+        col("residues"))
+      .orderBy(col("id"))
+  }
+
+  private val q120Sql =
+    """SELECT 'SEQ' || c_custkey AS id,
+      |  CAST(1 + c_custkey % 140 AS INTEGER) AS len,
+      |  substr(repeat('ACGTTGCA', 20), 1, 1 + c_custkey % 140) AS residues
+      |FROM customer WHERE c_custkey < 2000
+      |ORDER BY id""".stripMargin
+
   // --------------------------------------------------------------- q109
   // S5 — the REAL closure-TSV parser end-to-end (sources/ClosureTsv
   // .parse: 4-column split, all-digit distance gate —
@@ -2192,6 +2237,7 @@ object Relational {
     "q117_badrow_counter" -> q117BadRowCounter _,
     "q118_stock_lines" -> q118StockLines _,
     "q119_export_order" -> q119ExportOrder _,
+    "q120_gzip_roundtrip" -> q120GzipRoundTrip _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2267,5 +2313,6 @@ object Relational {
     "q117_badrow_counter" -> q117Sql,
     "q118_stock_lines" -> q118Sql,
     "q119_export_order" -> q119Sql,
+    "q120_gzip_roundtrip" -> q120Sql,
   )
 }
