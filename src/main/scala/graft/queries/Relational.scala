@@ -1289,6 +1289,123 @@ object Relational {
       |FROM customer WHERE c_custkey < 2000
       |ORDER BY id""".stripMargin
 
+  // --------------------------------------------------------------- q121
+  // Bucketed co-located join (SURVEY.md §4 / builder brief "bucketing
+  // for co-located joins"; reference analog: the post-load staging
+  // indexes of Temp/WithPostgresql.pm:30-51, re-expressed as a storage
+  // layout): both join sides are written through sinks/BucketedStore
+  // (bucketBy + sortBy on the join key), then joined AND aggregated on
+  // that key. The require proves the 100 TB claim on the actual
+  // physical plan: scan → sort-merge join → partial+final aggregate
+  // with ZERO Exchange nodes — the nightly fact⋈fact shuffle is paid
+  // once at write time, never again per query. Broadcast is disabled
+  // inside the probe window so the plan can't cheat the claim with a
+  // BroadcastHashJoin; the conf is restored afterwards.
+  private def q121BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = sys.props("java.io.tmpdir") + "/graft_q121_store"
+    graft.sinks.BucketedStore.writeBucketed(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      "graft_q121_cust", s"$base/cust", "c_custkey", 8)
+    graft.sinks.BucketedStore.writeBucketed(
+      t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+      "graft_q121_ord", s"$base/ord", "c_custkey", 8)
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = s.conf.getOption(bcast)
+    s.conf.set(bcast, "-1")
+    try {
+      val agg = s.table("graft_q121_cust")
+        .join(s.table("graft_q121_ord"), Seq("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum("o_totalprice").as("revenue"))
+      // force physical planning now, while broadcast is off: the
+      // bucket specs must line up so EnsureRequirements inserts no
+      // shuffle anywhere — join or aggregate
+      val plan = agg.queryExecution.sparkPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed join+agg must plan exchange-free, got:\n$plan")
+      require(plan.contains("SortMergeJoin"),
+        "co-located plan must be a sort-merge join over bucket files")
+      agg.orderBy(col("c_custkey"))
+    } finally prev match {
+      case Some(v) => s.conf.set(bcast, v)
+      case None    => s.conf.unset(bcast)
+    }
+  }
+
+  private val q121Sql =
+    """SELECT c.c_custkey, c.c_mktsegment,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- q122
+  // Salted skew join (operators/SkewJoin.saltedJoin): every lineitem
+  // row is split into one of 8 deterministic sub-keys
+  // (xxhash64(orderkey, linenumber) % 8) and the supplier dimension is
+  // replicated once per salt bucket, so a hot supplier's rows land in 8
+  // tasks instead of one. The salt is content-derived — retried tasks
+  // re-produce identical output — and the relational oracle is the
+  // UNsalted join: salting must be invisible in the result.
+  private def q122SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val facts = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("s_suppkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+    val dims = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    graft.operators.SkewJoin
+      .saltedJoin(facts, dims, "s_suppkey", 8,
+        struct(col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum("l_extendedprice").as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val q122Sql =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
+  // --------------------------------------------------------------- q123
+  // Partition-pruned store (SURVEY.md §4 "partition pruning"): events
+  // are laid out partitioned by event date — the layout every
+  // time-series fact table uses at 100 TB — and a one-week query is
+  // answered against it. The require proves the predicate reached the
+  // scan as a PartitionFilter (applied at file LISTING time: 23 of 30
+  // date directories are never opened), not as a post-scan row filter.
+  private def q123PartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_q123_events"
+    t(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val week = s.read.parquet(out)
+      .filter(col("event_date").between("2024-01-08", "2024-01-14"))
+    val scan = week.queryExecution.sparkPlan.toString
+    require(scan.contains("PartitionFilters") && {
+      val pf = scan.substring(scan.indexOf("PartitionFilters"))
+      pf.take(pf.indexOf("]") + 1).contains("event_date")
+    }, s"date predicate must prune at the partition listing, got:\n$scan")
+    week.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q123Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- q109
   // S5 — the REAL closure-TSV parser end-to-end (sources/ClosureTsv
   // .parse: 4-column split, all-digit distance gate —
@@ -2238,6 +2355,9 @@ object Relational {
     "q118_stock_lines" -> q118StockLines _,
     "q119_export_order" -> q119ExportOrder _,
     "q120_gzip_roundtrip" -> q120GzipRoundTrip _,
+    "q121_bucketed_join" -> q121BucketedJoin _,
+    "q122_salted_join" -> q122SaltedJoin _,
+    "q123_partition_prune" -> q123PartitionPrune _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2314,5 +2434,8 @@ object Relational {
     "q118_stock_lines" -> q118Sql,
     "q119_export_order" -> q119Sql,
     "q120_gzip_roundtrip" -> q120Sql,
+    "q121_bucketed_join" -> q121Sql,
+    "q122_salted_join" -> q122Sql,
+    "q123_partition_prune" -> q123Sql,
   )
 }
