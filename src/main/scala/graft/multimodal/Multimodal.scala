@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   * needs no external libraries. The AUDIO path is real too:
   * `javax.sound.sampled` reads WAV/AIFF/AU containers and PCM samples
   * ([[AudioCodec]]). Frame sampling is real for the JDK-decodable
-  * animation container (animated GIF via the same ImageIO readers);
-  * mp4/webm have no JDK codec, so they go through `StubCodec`, a
-  * deterministic fake standing in for a JNI/FFI decoder — the one
-  * honest remaining stub. Payloads no JDK reader claims (including the
+  * animation container (animated GIF via the same ImageIO readers),
+  * for raw MJPEG streams ([[MjpegCodec]]), and — at the container
+  * level — for MP4: [[Mp4Codec]] walks the real ISO-BMFF box tree and
+  * sample tables (mux and demux), so mp4 metadata, frame counts, and
+  * per-frame encoded bytes are all real; only PIXEL decode of
+  * non-JPEG codec payloads (avc1/hevc/vp9 — no JDK codec) still goes
+  * through `StubCodec`, the deterministic fake standing in for a
+  * JNI/FFI decoder. Payloads no reader claims (including the
   * text-derived fixtures) fall back to the stub as well, so the
   * plumbing behaves identically for every kind.
   *
@@ -254,8 +258,10 @@ object Multimodal {
     * MJPEG stream metadata (marker-indexed frame count + one decoded
     * frame) for ≥2-frame video streams, real ImageIO metadata +
     * luminance histogram for decodable images, real javax.sound
-    * metadata + amplitude histogram for decodable audio, the stub for
-    * everything else (mp4/webm — no JDK codec). */
+    * metadata + amplitude histogram for decodable audio, real ISO-BMFF
+    * demux (tkhd dims, stsz frame count, sample-size signature) for
+    * MP4 containers, the stub for everything else (webm — no JDK
+    * parser). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -285,10 +291,22 @@ object Multimodal {
                 MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
                   fmt, 0, 0, af.getSampleRate.toInt, af.getChannels, frames,
                   AudioCodec.amplitudeHistogram(r.payload))
-              case None =>
-                val (w, h, feats) = StubCodec.decode(r.payload)
-                MediaFeatures(r.media_id, r.kind, r.payload.length, headerHex,
-                  "stub", w, h, 0, 0, 0L, feats)
+              case None => Mp4Codec.parse(r.payload) match {
+                // real ISO-BMFF demux: metadata + sample table without
+                // any codec — dims from tkhd, frame count from stsz,
+                // features from the encoded-sample-size signature
+                case Some(meta) if meta.tracks.nonEmpty =>
+                  val tr = meta.video.orElse(meta.tracks.headOption).get
+                  MediaFeatures(r.media_id, r.kind, r.payload.length,
+                    headerHex, "mp4/" + tr.codec.trim, tr.width, tr.height,
+                    if (tr.handler == "soun") tr.timescale.toInt else 0, 0,
+                    tr.sampleSizes.length.toLong,
+                    Mp4Codec.sampleSizeHistogram(tr.sampleSizes))
+                case _ =>
+                  val (w, h, feats) = StubCodec.decode(r.payload)
+                  MediaFeatures(r.media_id, r.kind, r.payload.length,
+                    headerHex, "stub", w, h, 0, 0, 0L, feats)
+              }
             }
           }
         }
@@ -331,10 +349,12 @@ object Multimodal {
     * claim — raw MJPEG video streams (SOI/EOI-indexed, only sampled
     * frames decoded) and animated GIF (evenly-sampled distinct frame
     * indices), each re-encoded as PNG with `offset` = source frame
-    * index — and the deterministic byte-offset stub for container
-    * formats with no JDK codec (mp4/webm — there `offset` is a byte
-    * position and the payload a 16-byte slice, standing in for an FFI
-    * decoder). One
+    * index; REAL demuxed frames for MP4 (`offset` = the sample's true
+    * mdat byte offset, payload = its encoded bytes — a decodable JPEG
+    * for 'jpeg' tracks); and the deterministic byte-offset stub only
+    * for containers with neither a JDK codec nor a parseable sample
+    * table (webm — there `offset` is a byte position and the payload a
+    * 16-byte slice, standing in for an FFI decoder). One
     * output row per sampled frame either way — the UDTF batch shape an
     * ffmpeg-backed sampler would use, and only sampled frames are ever
     * decoded (never the whole animation). */
@@ -352,13 +372,22 @@ object Multimodal {
           frames.zipWithIndex.map { case ((srcIdx, png), i) =>
             Frame(r.media_id, i, srcIdx.toLong, png)
           }
-        case None =>
-          val len = math.max(1, r.payload.length)
-          (0 until n).map { i =>
-            val off = (len.toLong * i) / n
-            Frame(r.media_id, i, off,
-              r.payload.slice(off.toInt, math.min(len, off.toInt + 16)))
-          }
+        case None => Mp4Codec.sampleFrames(r.payload, n) match {
+          // real MP4 demux: the sample table yields each sampled
+          // frame's true mdat offset + encoded bytes (a complete JPEG
+          // for 'jpeg' tracks; the codec payload otherwise)
+          case Some(frames) =>
+            frames.zipWithIndex.map { case ((off, bytes), i) =>
+              Frame(r.media_id, i, off, bytes)
+            }
+          case None =>
+            val len = math.max(1, r.payload.length)
+            (0 until n).map { i =>
+              val off = (len.toLong * i) / n
+              Frame(r.media_id, i, off,
+                r.payload.slice(off.toInt, math.min(len, off.toInt + 16)))
+            }
+        }
       }
     }
   }

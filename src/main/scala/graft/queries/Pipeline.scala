@@ -468,6 +468,60 @@ object Pipeline {
       |  upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS header_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q124
+  // REAL video-container round-trip, distributed (multimodal/Mp4Codec):
+  // each row JPEG-encodes its frames (JDK ImageIO), muxes them into a
+  // valid single-track MP4 (ftyp/mdat/moov with full sample tables),
+  // then demuxes its OWN output through the box-tree parser. The
+  // in-query require proves the sample table resolves every frame to
+  // byte-identical encoded samples; the relational oracle checks the
+  // container metadata (brand, codec fourcc, stsz frame count, tkhd
+  // dims, mvhd duration) against closed-form expectations. Map-only —
+  // the 100 TB shape for media normalization at ingest: payloads never
+  // shuffle, one codec init per partition, output is metadata-sized.
+  private def q124Mp4RoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = t(s, dir, "customer").filter(col("c_custkey") < 400)
+      .select(col("c_custkey")).as[Long]
+    keys.map { key =>
+      val nFrames = 2 + (key % 4).toInt
+      val frames = (0 until nFrames).map { i =>
+        val level = ((key * 37 + i * 50) % 256).toInt
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try {
+          g.setColor(new java.awt.Color(level, level, level))
+          g.fillRect(0, 0, 8, 8)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val payload = graft.multimodal.Mp4Codec.mux(frames, 8, 8, fps = 10)
+      val meta = graft.multimodal.Mp4Codec.parse(payload).getOrElse(
+        throw new IllegalStateException(s"muxed mp4 for $key must parse"))
+      val v = meta.video.getOrElse(
+        throw new IllegalStateException(s"mp4 for $key lost its video track"))
+      val demuxed = graft.multimodal.Mp4Codec.sampleFrames(payload, nFrames)
+        .getOrElse(Seq.empty)
+      require(demuxed.length == nFrames &&
+        demuxed.map(_._2.toSeq) == frames.map(_.toSeq),
+        s"demux of $key must return byte-identical samples at true offsets")
+      (key, meta.brand, v.codec, v.sampleSizes.length.toLong,
+        v.width, v.height, meta.duration)
+    }.toDF("id", "brand", "codec", "n_frames", "width", "height", "dur_ticks")
+      .orderBy(col("id"))
+  }
+
+  private val q124Sql =
+    """SELECT c_custkey AS id, 'isom' AS brand, 'jpeg' AS codec,
+      |  CAST(2 + c_custkey % 4 AS BIGINT) AS n_frames,
+      |  8 AS width, 8 AS height,
+      |  CAST(2 + c_custkey % 4 AS BIGINT) AS dur_ticks
+      |FROM customer WHERE c_custkey < 400
+      |ORDER BY id""".stripMargin
+
   // ---------------------------------------------------------------- q39
   // Corpus-level stats: one-row summary over the token stream.
   private def q39CorpusStats(s: SparkSession, dir: String): DataFrame = {
@@ -1336,6 +1390,7 @@ object Pipeline {
     "q36_fingerprint" -> q36Fingerprint _,
     "q37_timewindow" -> q37TimeWindow _,
     "q38_binarymeta" -> q38BinaryMeta _,
+    "q124_mp4_roundtrip" -> q124Mp4RoundTrip _,
     "q39_corpus_stats" -> q39CorpusStats _,
     "q42_embed_neardup" -> q42EmbedNearDup _,
     "q44_ann_ivf" -> q44AnnIvf _,
@@ -1384,6 +1439,7 @@ object Pipeline {
     "q36_fingerprint" -> q36Sql,
     "q37_timewindow" -> q37Sql,
     "q38_binarymeta" -> q38Sql,
+    "q124_mp4_roundtrip" -> q124Sql,
     "q39_corpus_stats" -> q39Sql,
     "q42_embed_neardup" -> q42Sql,
     "q44_ann_ivf" -> q44Sql,
