@@ -302,10 +302,22 @@ object Multimodal {
                     if (tr.handler == "soun") tr.timescale.toInt else 0, 0,
                     tr.sampleSizes.length.toLong,
                     Mp4Codec.sampleSizeHistogram(tr.sampleSizes))
-                case _ =>
-                  val (w, h, feats) = StubCodec.decode(r.payload)
-                  MediaFeatures(r.media_id, r.kind, r.payload.length,
-                    headerHex, "stub", w, h, 0, 0, 0L, feats)
+                case _ => EbmlCodec.parse(r.payload) match {
+                  // real EBML walk: matroska/webm DocType, track dims,
+                  // video SimpleBlock count — still no codec needed
+                  case Some(meta) if meta.tracks.nonEmpty =>
+                    val tr = meta.video.orElse(meta.tracks.headOption).get
+                    MediaFeatures(r.media_id, r.kind, r.payload.length,
+                      headerHex, meta.docType + "/" + tr.codecId,
+                      tr.width, tr.height,
+                      if (tr.trackType == 2L) tr.sampleRate.toInt else 0,
+                      tr.channels, meta.nVideoBlocks,
+                      new Array[Float](8))
+                  case _ =>
+                    val (w, h, feats) = StubCodec.decode(r.payload)
+                    MediaFeatures(r.media_id, r.kind, r.payload.length,
+                      headerHex, "stub", w, h, 0, 0, 0L, feats)
+                }
               }
             }
           }
@@ -372,10 +384,12 @@ object Multimodal {
           frames.zipWithIndex.map { case ((srcIdx, png), i) =>
             Frame(r.media_id, i, srcIdx.toLong, png)
           }
-        case None => Mp4Codec.sampleFrames(r.payload, n) match {
-          // real MP4 demux: the sample table yields each sampled
-          // frame's true mdat offset + encoded bytes (a complete JPEG
-          // for 'jpeg' tracks; the codec payload otherwise)
+        case None => Mp4Codec.sampleFrames(r.payload, n)
+          // real container demux (MP4 sample table, then Matroska
+          // SimpleBlocks): each sampled frame's true byte offset +
+          // encoded bytes (a complete JPEG for jpeg/V_MJPEG tracks;
+          // the codec payload otherwise)
+          .orElse(EbmlCodec.sampleFrames(r.payload, n)) match {
           case Some(frames) =>
             frames.zipWithIndex.map { case ((off, bytes), i) =>
               Frame(r.media_id, i, off, bytes)

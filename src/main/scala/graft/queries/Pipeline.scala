@@ -522,6 +522,63 @@ object Pipeline {
       |FROM customer WHERE c_custkey < 400
       |ORDER BY id""".stripMargin
 
+  // --------------------------------------------------------------- q125
+  // Cross-container parity (multimodal/EbmlCodec vs Mp4Codec): the same
+  // JPEG frames are muxed into BOTH a Matroska file (V_MJPEG
+  // SimpleBlocks) and an MP4 ('jpeg' sample table), and each container
+  // is demuxed by its own parser. The in-query require proves both
+  // demuxes return the identical frame bytes — two independent
+  // container stacks, one truth — and the relational oracle checks the
+  // EBML-side metadata (DocType, codec id, block count, track dims,
+  // duration in ms ticks at the fixed 1e6 timecode scale). Map-only.
+  private def q125MkvParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = t(s, dir, "supplier").filter(col("s_suppkey") < 200)
+      .select(col("s_suppkey")).as[Long]
+    keys.map { key =>
+      val nFrames = 1 + (key % 3).toInt
+      val frames = (0 until nFrames).map { i =>
+        val level = ((key * 53 + i * 70) % 256).toInt
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try {
+          g.setColor(new java.awt.Color(level, level, level))
+          g.fillRect(0, 0, 8, 8)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val mkv = graft.multimodal.EbmlCodec.mux(frames, 8, 8, fps = 10)
+      val mp4 = graft.multimodal.Mp4Codec.mux(frames, 8, 8, fps = 10)
+      val mkvFrames = graft.multimodal.EbmlCodec.sampleFrames(mkv, nFrames)
+        .getOrElse(Seq.empty)
+      val mp4Frames = graft.multimodal.Mp4Codec.sampleFrames(mp4, nFrames)
+        .getOrElse(Seq.empty)
+      require(mkvFrames.map(_._2.toSeq) == frames.map(_.toSeq) &&
+        mp4Frames.map(_._2.toSeq) == frames.map(_.toSeq),
+        s"both containers must demux $key back to the identical frames")
+      val meta = graft.multimodal.EbmlCodec.parse(mkv).getOrElse(
+        throw new IllegalStateException(s"muxed mkv for $key must parse"))
+      val v = meta.video.getOrElse(
+        throw new IllegalStateException(s"mkv for $key lost its video track"))
+      (key, meta.docType, v.codecId, meta.nVideoBlocks,
+        v.width, v.height, meta.durationTicks)
+    }.toDF("id", "doc_type", "codec_id", "n_blocks", "width", "height",
+      "dur_ms")
+      .orderBy(col("id"))
+  }
+
+  private val q125Sql =
+    """SELECT s_suppkey AS id, 'matroska' AS doc_type,
+      |  'V_MJPEG' AS codec_id,
+      |  CAST(1 + s_suppkey % 3 AS BIGINT) AS n_blocks,
+      |  8 AS width, 8 AS height,
+      |  CAST((1 + s_suppkey % 3) * 100 AS DOUBLE) AS dur_ms
+      |FROM supplier WHERE s_suppkey < 200
+      |ORDER BY id""".stripMargin
+
   // ---------------------------------------------------------------- q39
   // Corpus-level stats: one-row summary over the token stream.
   private def q39CorpusStats(s: SparkSession, dir: String): DataFrame = {
@@ -1391,6 +1448,7 @@ object Pipeline {
     "q37_timewindow" -> q37TimeWindow _,
     "q38_binarymeta" -> q38BinaryMeta _,
     "q124_mp4_roundtrip" -> q124Mp4RoundTrip _,
+    "q125_mkv_parity" -> q125MkvParity _,
     "q39_corpus_stats" -> q39CorpusStats _,
     "q42_embed_neardup" -> q42EmbedNearDup _,
     "q44_ann_ivf" -> q44AnnIvf _,
@@ -1440,6 +1498,7 @@ object Pipeline {
     "q37_timewindow" -> q37Sql,
     "q38_binarymeta" -> q38Sql,
     "q124_mp4_roundtrip" -> q124Sql,
+    "q125_mkv_parity" -> q125Sql,
     "q39_corpus_stats" -> q39Sql,
     "q42_embed_neardup" -> q42Sql,
     "q44_ann_ivf" -> q44Sql,
