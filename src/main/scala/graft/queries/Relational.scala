@@ -1406,6 +1406,90 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q126
+  // Column profiling (operators/Profile): row/null/distinct counts and
+  // type-appropriate extremes for four lineitem columns, all measures
+  // in ONE aggregation pass (multi-distinct plans as a single Expand;
+  // the approx HLL variant drops even that at 100 TB). The oracle is
+  // the per-column UNION ALL recomputation in DuckDB.
+  private def q126Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"))
+      .orderBy(col("col_name"))
+
+  private val q126Sql =
+    """SELECT * FROM (
+      |  SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+      |    COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+      |    COUNT(DISTINCT l_orderkey) AS n_distinct,
+      |    CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
+      |    CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
+      |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+      |    COUNT(DISTINCT l_quantity),
+      |    CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+      |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+      |    COUNT(DISTINCT l_returnflag),
+      |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |    MIN(l_returnflag), MAX(l_returnflag)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+      |    COUNT(DISTINCT l_linestatus),
+      |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |    MIN(l_linestatus), MAX(l_linestatus)
+      |  FROM lineitem)
+      |ORDER BY col_name""".stripMargin
+
+  // --------------------------------------------------------------- q127
+  // S1 via the DataSourceV2 path end-to-end: the q102 fixture lines are
+  // written as a text DIRECTORY, read back through
+  // `format("graft.sources.v2.Gff3DataSource")` — byte-range splits,
+  // comment skip, attribute decode all in the v2 reader — with an
+  // ftype filter the scan builder pushes down (reader-level early-out;
+  // Spark re-evaluates as the safety net) and a projection the require
+  // proves was PRUNED AT THE SCAN: the BatchScan's output must not
+  // carry the attributes/score columns a naive reader would decode.
+  private def q127Dsv2Scan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = sys.props("java.io.tmpdir") + "/graft_q127_gff3"
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select(when(col("o_orderkey") % 10 === 0,
+          concat(lit("# comment "), col("o_orderkey")))
+        .otherwise(concat(
+          lit("chr"), col("o_orderkey") % 5, lit("\tgraft\t"),
+          when(col("o_orderkey") % 2 === 0, "gene").otherwise("mRNA"),
+          lit("\t"), col("o_orderkey") + 1, lit("\t"),
+          col("o_orderkey") + 100, lit("\t.\t+\t.\tID=ORD"),
+          col("o_orderkey"))).as("value"))
+      .write.mode("overwrite").text(out)
+    val genes = s.read.format("graft.sources.v2.Gff3DataSource").load(out)
+      .filter(col("ftype") === "gene")
+      .select(col("seqId").as("seq_id"),
+        col("fmin").cast("long").as("fmin"),
+        col("fmax").cast("long").as("fmax"))
+    val plan = genes.queryExecution.sparkPlan.toString
+    require(plan.contains("BatchScan"),
+      s"the v2 source must plan as a BatchScan, got:\n$plan")
+    require(!plan.contains("attributes#") && !plan.contains("score#"),
+      s"projection must be pruned at the scan, got:\n$plan")
+    genes.orderBy(col("fmin"))
+  }
+
+  private val q127Sql =
+    """SELECT 'chr' || (o_orderkey % 5) AS seq_id,
+      |  CAST(o_orderkey AS BIGINT) AS fmin,
+      |  CAST(o_orderkey + 100 AS BIGINT) AS fmax
+      |FROM orders
+      |WHERE o_orderkey < 3000 AND o_orderkey % 10 <> 0 AND o_orderkey % 2 = 0
+      |ORDER BY fmin""".stripMargin
+
   // --------------------------------------------------------------- q109
   // S5 — the REAL closure-TSV parser end-to-end (sources/ClosureTsv
   // .parse: 4-column split, all-digit distance gate —
@@ -2358,6 +2442,8 @@ object Relational {
     "q121_bucketed_join" -> q121BucketedJoin _,
     "q122_salted_join" -> q122SaltedJoin _,
     "q123_partition_prune" -> q123PartitionPrune _,
+    "q126_profile" -> q126Profile _,
+    "q127_dsv2_scan" -> q127Dsv2Scan _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2437,5 +2523,7 @@ object Relational {
     "q121_bucketed_join" -> q121Sql,
     "q122_salted_join" -> q122Sql,
     "q123_partition_prune" -> q123Sql,
+    "q126_profile" -> q126Sql,
+    "q127_dsv2_scan" -> q127Sql,
   )
 }

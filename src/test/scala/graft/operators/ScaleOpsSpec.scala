@@ -18,6 +18,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain && plain.size == 91)
   }
 
+  test("Profile counts nulls/distincts per column in one pass, both modes") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), Some("b")), (Some(3), None),
+      (None, Some("b")), (None, Some("c"))).toDF("n", "s")
+    val p = Profile.profile(df, Seq("n", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = p("n")
+    assert(n.getLong(1) == 5 && n.getLong(2) == 2 && n.getLong(3) == 2)
+    assert(n.getDouble(4) == 1.0 && n.getDouble(5) == 3.0)
+    assert(n.isNullAt(6) && n.isNullAt(7))
+    val sRow = p("s")
+    assert(sRow.getLong(1) == 5 && sRow.getLong(2) == 1 && sRow.getLong(3) == 3)
+    assert(sRow.isNullAt(4) && sRow.isNullAt(5))
+    assert(sRow.getString(6) == "a" && sRow.getString(7) == "c")
+    // approx mode: identical schema, sketch-based distinct (exact at
+    // these cardinalities), no Expand in the plan
+    val approx = Profile.profile(df, Seq("n", "s"), exact = false)
+    assert(approx.schema == Profile.profile(df, Seq("n", "s")).schema)
+    assert(!approx.queryExecution.sparkPlan.toString.contains("Expand"))
+    val a = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a == Map("n" -> 2L, "s" -> 3L))
+  }
+
   test("salted two-phase count equals the plain count") {
     val df = Seq.fill(500)("hot").map(k => (k, 1)).toDF("key", "v")
       .unionByName(Seq(("cold", 1)).toDF("key", "v"))
