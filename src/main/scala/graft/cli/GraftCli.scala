@@ -44,8 +44,10 @@ object GraftCli {
   private var subfeatureTypeOpt: Option[String] = None
   private var typeOpt: Option[String] = None
 
+  private var approx = false
+
   private val flags = Set("--single-file", "--dry-run", "--force",
-    "--feature-version", "--parts", "--include-metadata")
+    "--feature-version", "--parts", "--include-metadata", "--approx")
   private val valueFlags = Set("--source", "--ref", "--feature-type",
     "--subfeature-type", "--type")
 
@@ -70,6 +72,7 @@ object GraftCli {
     force = args.contains("--force")
     featureVersion = args.contains("--feature-version")
     withParts = args.contains("--parts")
+    approx = args.contains("--approx")
     sourceOpt = vals.get("--source")
     refOpt = vals.get("--ref")
     featureTypeOpt = vals.get("--feature-type")
@@ -188,6 +191,8 @@ object GraftCli {
       bpeTrain(docs, out, rest.headOption.map(_.toInt).getOrElse(32))
     case "bpetokenize" :: docs :: mergesDir :: out :: Nil =>
       bpeTokenize(docs, mergesDir, out)
+    case "profile" :: in :: out :: rest if rest.size <= 1 =>
+      profileCmd(in, out, rest.headOption)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -214,7 +219,8 @@ object GraftCli {
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |tokenizer: bpetrain <docs> <mergesdir> [merges]
-           |           bpetokenize <docs> <mergesdir> <outdir>""".stripMargin)
+           |           bpetokenize <docs> <mergesdir> <outdir>
+           |analyze:   profile <parquet> <outdir> [col,col,...] [--approx]""".stripMargin)
       sys.exit(2)
   }
 
@@ -1143,6 +1149,26 @@ object GraftCli {
   }
 
   /** One-line corpus report: doc/token/vocab counts and length stats. */
+  /** One-pass column profile (operators/Profile) of a parquet input →
+    * parquet report + per-column stdout summary. Columns default to
+    * every column of the input; `--approx` swaps exact distinct counts
+    * for the HLL sketch (no Expand — the 100 TB default). The profile
+    * is localCheckpointed so the single aggregation pass feeds both the
+    * write and the report. */
+  private def profileCmd(in: String, out: String, cols: Option[String]): Unit = {
+    val spark = GraftSession.local()
+    val df = spark.read.parquet(in)
+    val names = cols.map(_.split(",").toSeq).getOrElse(df.columns.toSeq)
+    val prof = graft.operators.Profile.profile(df, names, exact = !approx)
+      .localCheckpoint()
+    prof.coalesce(1).write.mode("overwrite").parquet(out)
+    prof.orderBy(col("col_name")).collect().foreach { r =>
+      println(s"${r.getString(0)}: rows=${r.getLong(1)} nulls=${r.getLong(2)} " +
+        s"distinct=${r.getLong(3)}")
+    }
+    spark.stop()
+  }
+
   private def corpusStats(in: String): Unit = {
     val spark = GraftSession.local()
     val docs = spark.read.parquet(in)
