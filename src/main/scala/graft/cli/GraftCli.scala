@@ -59,7 +59,13 @@ object GraftCli {
       val a = args(i)
       val eq = a.indexOf('=')
       if (flags.contains(a)) () // boolean, read below
-      else if (valueFlags.contains(a) && i + 1 < args.length) {
+      else if (valueFlags.contains(a)) {
+        if (i + 1 >= args.length) {
+          // a dangling value flag must error, not fall through to the
+          // positionals and silently scope an export on "--ref" itself
+          System.err.println(s"graft: option $a requires a value")
+          sys.exit(2)
+        }
         vals(a) = args(i + 1); i += 1
       } else if (eq > 0 && valueFlags.contains(a.substring(0, eq))) {
         vals(a.substring(0, eq)) = a.substring(eq + 1)
@@ -691,11 +697,14 @@ object GraftCli {
   /** Shared writer for the CRM CSV dumps: default partitioned text
     * (the global orderBy range-partitions, so the header line still
     * lands first in part-00000); --single-file mirrors the reference's
-    * one-file/STDOUT dump. */
+    * one-file/STDOUT dump. The row count rides the write itself
+    * (Observation) — no second scan for the log line. */
   private def writeCsv(lines: org.apache.spark.sql.DataFrame, out: String): Long = {
-    (if (singleFile) lines.coalesce(1) else lines)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = lines.observe(obs, count(lit(1)).as("rows"))
+    (if (singleFile) observed.coalesce(1) else observed)
       .write.mode("overwrite").text(out)
-    lines.count() - 1 // minus the header line
+    obs.get("rows").asInstanceOf[Long] - 1 // minus the header line
   }
 
   /** colleague (lib/Modware/Export/Command/colleague.pm): the

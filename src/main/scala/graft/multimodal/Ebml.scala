@@ -125,7 +125,14 @@ object EbmlCodec {
 
   /** Parse container metadata. None unless the payload opens with a
     * well-formed EBML header followed by a Segment. */
-  def parse(b: Array[Byte]): Option[MkvMeta] =
+  def parse(b: Array[Byte]): Option[MkvMeta] = parseImpl(b).map(_._1)
+
+  /** The single walk behind both [[parse]] and [[sampleFrames]]:
+    * metadata plus the un-laced video-track frame ranges collected in
+    * the same Cluster pass (`nVideoBlocks` still counts EVERY
+    * video-track SimpleBlock, laced or not), so sampling a payload
+    * never scans it twice. */
+  private def parseImpl(b: Array[Byte]): Option[(MkvMeta, IndexedSeq[(Int, Int)])] =
     try {
       val top = elements(b, 0, b.length)
       val header = top.collectFirst { case (IdEbml, s, e) => (s, e) }
@@ -164,15 +171,21 @@ object EbmlCodec {
             }
           }.getOrElse(Seq.empty)
           val videoNo = tracks.find(_.trackType == 1L).map(_.number)
-          val nBlocks = videoNo.map { no =>
-            seg.collect { case (IdCluster, cs, ce) =>
-              elements(b, cs, ce).count {
-                case (IdSimpleBlock, bs, be) => blockTrack(b, bs, be) == no
-                case _ => false
-              }.toLong
-            }.sum
-          }.getOrElse(0L)
-          Some(MkvMeta(docType, scale, dur, tracks, nBlocks))
+          var nBlocks = 0L
+          val ranges = IndexedSeq.newBuilder[(Int, Int)]
+          videoNo.foreach { no =>
+            seg.foreach {
+              case (IdCluster, cs, ce) =>
+                elements(b, cs, ce).foreach {
+                  case (IdSimpleBlock, bs, be) if blockTrack(b, bs, be) == no =>
+                    nBlocks += 1
+                    blockFrame(b, bs, be).foreach(ranges += _)
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          }
+          Some((MkvMeta(docType, scale, dur, tracks, nBlocks), ranges.result()))
         case _ => None
       }
     } catch { case _: Exception => None }
@@ -196,26 +209,12 @@ object EbmlCodec {
     * frameBytes) — for V_MJPEG each is a decodable JPEG. None when
     * there is no video track or no un-laced blocks. */
   def sampleFrames(payload: Array[Byte], n: Int): Option[Seq[(Long, Array[Byte])]] =
-    parse(payload).flatMap { meta =>
-      meta.video.map(_.number).flatMap { no =>
-        val seg = elements(payload, 0, payload.length)
-          .collectFirst { case (IdSegment, s, e) => (s, e) }
-        val ranges = seg.toSeq.flatMap { case (ss, se) =>
-          elements(payload, ss, se).collect { case (IdCluster, cs, ce) =>
-            elements(payload, cs, ce).collect {
-              case (IdSimpleBlock, bs, be) if blockTrack(payload, bs, be) == no =>
-                blockFrame(payload, bs, be)
-            }.flatten
-          }.flatten
-        }
-        if (ranges.isEmpty) None
-        else Some((0 until math.max(1, n))
-          .map(i => (ranges.length.toLong * i / n).toInt).distinct
-          .map { i =>
-            val (fs, fe) = ranges(i)
-            (fs.toLong, payload.slice(fs, fe))
-          })
-      }
+    parseImpl(payload).flatMap { case (meta, ranges) =>
+      if (meta.video.isEmpty || ranges.isEmpty) None
+      else Some(FrameSampling.indices(ranges.length, n).map { i =>
+        val (fs, fe) = ranges(i)
+        (fs.toLong, payload.slice(fs, fe))
+      })
     }
 
   // ------------------------------------------------------------- muxer
@@ -267,9 +266,14 @@ object EbmlCodec {
 
   /** Mux pre-encoded frames into a minimal valid single-video-track
     * Matroska file. `codecId` defaults to V_MJPEG (frames are complete
-    * JPEGs, no transcode). One keyframe SimpleBlock per frame in one
-    * Cluster; TimecodeScale is fixed at 1e6 (ns per tick = 1 ms) and
-    * Duration is `frames/fps` in those ticks. */
+    * JPEGs, no transcode). One keyframe SimpleBlock per frame;
+    * TimecodeScale is fixed at 1e6 (ns per tick = 1 ms) and Duration
+    * is `frames/fps` in those ticks. Blocks are grouped into Clusters
+    * so every SimpleBlock's RELATIVE timecode fits its signed-16-bit
+    * field: a new Cluster (with its own absolute Timecode element)
+    * starts whenever `frameTick - clusterBase` would exceed 32767 —
+    * streams longer than ~32.7 s stay timestamp-correct for real
+    * demuxers instead of silently wrapping negative. */
   def mux(frames: Seq[Array[Byte]], width: Int, height: Int,
           fps: Int = 25, codecId: String = "V_MJPEG"): Array[Byte] = {
     require(frames.nonEmpty, "mux needs at least one frame")
@@ -293,17 +297,28 @@ object EbmlCodec {
         el(IdVideo,
           el(IdPixelWidth, uintBytes(width.toLong)),
           el(IdPixelHeight, uintBytes(height.toLong)))))
-    val blocks = frames.zipWithIndex.map { case (f, i) =>
-      // SimpleBlock: track varint (1 → 0x81), int16 relative timecode,
-      // flags 0x80 (keyframe, no lacing), then the frame bytes
-      el(IdSimpleBlock,
-        Array(0x81.toByte,
-          ((i * 1000 / fps) >> 8).toByte, ((i * 1000 / fps) & 0xff).toByte,
-          0x80.toByte),
-        f)
+    // group frames into clusters whose relative timecodes fit int16
+    val ticks = frames.indices.map(i => i.toLong * 1000 / fps)
+    val clusters = Seq.newBuilder[Array[Byte]]
+    var s = 0
+    while (s < frames.length) {
+      val base = ticks(s)
+      var e = s + 1
+      while (e < frames.length && ticks(e) - base <= 32767L) e += 1
+      val blocks = (s until e).map { i =>
+        // SimpleBlock: track varint (1 → 0x81), int16 relative
+        // timecode, flags 0x80 (keyframe, no lacing), then the frame
+        val rel = (ticks(i) - base).toInt
+        el(IdSimpleBlock,
+          Array(0x81.toByte, (rel >> 8).toByte, (rel & 0xff).toByte,
+            0x80.toByte),
+          frames(i))
+      }
+      clusters += el(IdCluster,
+        (el(0xE7L, uintBytes(base)) +: blocks): _*) // abs Timecode, blocks
+      s = e
     }
-    val cluster = el(IdCluster,
-      (el(0xE7L, uintBytes(0)) +: blocks): _*) // Timecode 0, then blocks
-    header ++ el(IdSegment, info, tracks, cluster)
+    header ++ el(IdSegment,
+      (Seq(info, tracks) ++ clusters.result()): _*)
   }
 }

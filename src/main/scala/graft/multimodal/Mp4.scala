@@ -184,12 +184,17 @@ object Mp4Codec {
         t.sampleOffsets.length == t.sampleSizes.length)
       .map { t =>
         val k = t.sampleOffsets.length
-        (0 until math.max(1, n)).map(i => (k.toLong * i / n).toInt).distinct
-          .map { i =>
-            val off = t.sampleOffsets(i)
+        FrameSampling.indices(k, n).map { i =>
+          val off = t.sampleOffsets(i)
+          // a corrupt/hostile stco|co64 offset outside the payload must
+          // DECLINE (empty frame → the forall below), never wrap toInt
+          // and silently return bytes from the wrong place
+          if (off < 0 || off >= payload.length) (off, Array.emptyByteArray)
+          else {
             val end = math.min(payload.length.toLong, off + t.sampleSizes(i))
             (off, payload.slice(off.toInt, end.toInt))
           }
+        }
       }
       .filter(_.forall(_._2.nonEmpty))
 

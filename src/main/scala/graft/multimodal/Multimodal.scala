@@ -29,6 +29,40 @@ import org.apache.spark.sql.functions._
   * stay off the shuffle path: metadata is extracted first, heavy columns
   * are dropped before any wide operation.
   */
+/** The ONE even-sampling index formula shared by every frame sampler
+  * (GIF, MJPEG, MP4, Matroska): `n` evenly-spaced distinct indices into
+  * `k` source frames — `floor(k*i/n)` for i in [0, n). Empty for a
+  * non-positive request or an empty source, so every codec declines
+  * `n <= 0` gracefully instead of dividing by it, and the cross-
+  * container parity oracle (q125) rests on all paths sampling the
+  * exact same source indices by construction. */
+private[multimodal] object FrameSampling {
+  def indices(k: Int, n: Int): Seq[Int] =
+    if (n <= 0 || k <= 0) Seq.empty
+    else (0 until n).map(i => (k.toLong * i / n).toInt).distinct
+}
+
+/** Deterministic synthetic media fixtures — the frame generators the
+  * container oracles (q124/q125) and specs share, so the "same frames
+  * into both muxers" premise is true by construction instead of by
+  * four drifting copies of the BufferedImage boilerplate. */
+object MediaFixtures {
+  /** A solid-gray `w`×`h` JPEG at the given 0-255 level, encoded by the
+    * JDK's own writer (deterministic for fixed inputs). */
+  def solidJpeg(w: Int, h: Int, level: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(new java.awt.Color(level, level, level))
+      g.fillRect(0, 0, w, h)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+}
+
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
@@ -131,8 +165,7 @@ object Multimodal {
               r.setInput(iis)
               val k = r.getNumImages(true)
               if (k <= 0) None
-              else Some((0 until n).map(i => (k.toLong * i / n).toInt)
-                .distinct.map { i =>
+              else Some(FrameSampling.indices(k, n).map { i =>
                   val bos = new java.io.ByteArrayOutputStream()
                   javax.imageio.ImageIO.write(r.read(i), "png", bos)
                   (i, bos.toByteArray)
@@ -196,8 +229,7 @@ object Multimodal {
     def sampleFrames(payload: Array[Byte], n: Int): Option[Seq[(Int, Array[Byte])]] = {
       val idx = frameIndex(payload)
       if (idx.length < 2) None
-      else try Some((0 until n).map(i => (idx.length.toLong * i / n).toInt)
-        .distinct.map { i =>
+      else try Some(FrameSampling.indices(idx.length, n).map { i =>
           val (s, e) = idx(i)
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(payload.slice(s, e)))
@@ -363,10 +395,11 @@ object Multimodal {
     * indices), each re-encoded as PNG with `offset` = source frame
     * index; REAL demuxed frames for MP4 (`offset` = the sample's true
     * mdat byte offset, payload = its encoded bytes — a decodable JPEG
-    * for 'jpeg' tracks); and the deterministic byte-offset stub only
-    * for containers with neither a JDK codec nor a parseable sample
-    * table (webm — there `offset` is a byte position and the payload a
-    * 16-byte slice, standing in for an FFI decoder). One
+    * for 'jpeg' tracks) and Matroska/webm (`offset` = the SimpleBlock
+    * frame's true byte position, payload = its encoded bytes); and the
+    * deterministic byte-offset stub only for payloads NO parser claims
+    * (there `offset` is a byte position and the payload a 16-byte
+    * slice, standing in for an FFI decoder). One
     * output row per sampled frame either way — the UDTF batch shape an
     * ffmpeg-backed sampler would use, and only sampled frames are ever
     * decoded (never the whole animation). */

@@ -95,7 +95,16 @@ object Bpe {
     *    truncation tail c_K for pairs outside the top-K, and c_i
     *    itself for a self-pair (a,a), whose merge can spawn ("aa","a")
     *    at up to its own count). Strict `>` also rules out a new pair
-    *    stealing the (cnt, a, b) tiebreak.
+    *    stealing the (cnt, a, b) tiebreak;
+    *  - a batch CLOSES right after any merge whose minted string
+    *    already exists as a symbol (a previous round merged the same
+    *    string by another split, e.g. "a"+"bc" then "ab"+"c"). Such a
+    *    merge doesn't just create new pairs — it BOOSTS the counts of
+    *    existing pairs containing that symbol, so the new-pair bound
+    *    above (which bounds created counts, not old+created) no longer
+    *    protects later batch members. Multi-char symbols only ever
+    *    come from merges (the base alphabet is single chars), so the
+    *    minted-so-far set is exactly the collision domain.
     *
     * Ambiguous rounds degrade to batch size 1 — the sequential
     * algorithm — so the learned table is byte-identical to the
@@ -106,6 +115,7 @@ object Bpe {
     require(numMerges >= 1, "need at least one merge round")
     var dict = wordDict(docs, textCol).localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
+    val mintedAll = scala.collection.mutable.Set.empty[String]
     var done = 0
     var exhausted = false
     while (done < numMerges && !exhausted) {
@@ -138,7 +148,14 @@ object Bpe {
             !shares(pi, pj) && pj._1 != minted && pj._2 != minted &&
               pj._3 > newPairBound(pi)
           }
-          if (ok) batch += pj else stop = true
+          if (ok) {
+            batch += pj
+            // minted-string collision with an existing symbol boosts
+            // pairs the independence bound doesn't cover: keep pj (its
+            // own guards held) but close the batch here
+            val mintedPj = pj._1 + pj._2
+            if (!mintedAll.add(mintedPj)) stop = true
+          } else stop = true
           j += 1
         }
         batch.foreach { case (a, b, _) => merges += ((a, b)) }

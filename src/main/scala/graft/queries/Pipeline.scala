@@ -486,17 +486,8 @@ object Pipeline {
     keys.map { key =>
       val nFrames = 2 + (key % 4).toInt
       val frames = (0 until nFrames).map { i =>
-        val level = ((key * 37 + i * 50) % 256).toInt
-        val img = new java.awt.image.BufferedImage(8, 8,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = img.createGraphics()
-        try {
-          g.setColor(new java.awt.Color(level, level, level))
-          g.fillRect(0, 0, 8, 8)
-        } finally g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", bos)
-        bos.toByteArray
+        graft.multimodal.MediaFixtures.solidJpeg(8, 8,
+          ((key * 37 + i * 50) % 256).toInt)
       }
       val payload = graft.multimodal.Mp4Codec.mux(frames, 8, 8, fps = 10)
       val meta = graft.multimodal.Mp4Codec.parse(payload).getOrElse(
@@ -538,17 +529,8 @@ object Pipeline {
     keys.map { key =>
       val nFrames = 1 + (key % 3).toInt
       val frames = (0 until nFrames).map { i =>
-        val level = ((key * 53 + i * 70) % 256).toInt
-        val img = new java.awt.image.BufferedImage(8, 8,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = img.createGraphics()
-        try {
-          g.setColor(new java.awt.Color(level, level, level))
-          g.fillRect(0, 0, 8, 8)
-        } finally g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", bos)
-        bos.toByteArray
+        graft.multimodal.MediaFixtures.solidJpeg(8, 8,
+          ((key * 53 + i * 70) % 256).toInt)
       }
       val mkv = graft.multimodal.EbmlCodec.mux(frames, 8, 8, fps = 10)
       val mp4 = graft.multimodal.Mp4Codec.mux(frames, 8, 8, fps = 10)

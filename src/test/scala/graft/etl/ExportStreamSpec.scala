@@ -499,18 +499,8 @@ class ExportStreamSpec extends SparkSpec {
     // a raw MJPEG video stream is concatenated JPEGs (the IP-camera
     // format): build 5 frames with distinct gray levels, jpeg-encode
     // each with the JDK writer, and concatenate
-    def jpeg(level: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(8, 8,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = img.createGraphics()
-      try {
-        g.setColor(new java.awt.Color(level, level, level))
-        g.fillRect(0, 0, 8, 8)
-      } finally g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
-    }
+    def jpeg(level: Int): Array[Byte] =
+      graft.multimodal.MediaFixtures.solidJpeg(8, 8, level)
     val stream = (0 until 5).map(i => jpeg(50 * i)).reduce(_ ++ _)
 
     // the marker scan indexes 5 frames without decoding any
@@ -543,18 +533,8 @@ class ExportStreamSpec extends SparkSpec {
   }
 
   test("MP4 mux/demux round-trips real frames through the ISO-BMFF sample table") {
-    def jpeg(level: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(8, 8,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = img.createGraphics()
-      try {
-        g.setColor(new java.awt.Color(level, level, level))
-        g.fillRect(0, 0, 8, 8)
-      } finally g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
-    }
+    def jpeg(level: Int): Array[Byte] =
+      graft.multimodal.MediaFixtures.solidJpeg(8, 8, level)
     // an MJPEG capture normalized into a seekable container: 6 distinct
     // pre-encoded JPEG frames muxed without transcoding
     val frames = (0 until 6).map(i => jpeg(40 * i))
@@ -599,18 +579,8 @@ class ExportStreamSpec extends SparkSpec {
   }
 
   test("Matroska mux/demux round-trips real frames through EBML SimpleBlocks") {
-    def jpeg(level: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(8, 8,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = img.createGraphics()
-      try {
-        g.setColor(new java.awt.Color(level, level, level))
-        g.fillRect(0, 0, 8, 8)
-      } finally g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
-    }
+    def jpeg(level: Int): Array[Byte] =
+      graft.multimodal.MediaFixtures.solidJpeg(8, 8, level)
     // V_MJPEG is Matroska's registered Motion-JPEG codec id: complete
     // JPEGs as block payloads, no transcode
     val frames = (0 until 5).map(i => jpeg(45 * i))
