@@ -1406,6 +1406,45 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q128
+  // Zone-map data skipping (sinks/SkippingStore): lineitem laid out
+  // range-partitioned + sorted by l_shipdate with a colocated _zonemap
+  // (file -> min/max), then a one-quarter query answered by pruning
+  // the file LIST driver-side before Spark ever opens a file — the
+  // lake-format manifest-skip pattern for columns too fine-grained to
+  // be directory keys (q123's partition pruning is the coarse sibling).
+  // The require proves real skipping: the surviving file count must be
+  // strictly below the total. The oracle is the plain unpruned filter —
+  // skipping must be semantically invisible.
+  private def q128ZoneMap(s: SparkSession, dir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_q128_store"
+    graft.sinks.SkippingStore.write(
+      t(s, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice")),
+      "l_shipdate", out, nFiles = 24)
+    val lo = to_timestamp(lit("1996-01-01"))
+    val hi = to_timestamp(lit("1996-03-31"))
+    val (kept, total, pruned) = graft.sinks.SkippingStore
+      .readPruned(s, out, "l_shipdate", lo, hi)
+    require(kept < total,
+      s"zone map must skip files for a selective range ($kept of $total kept)")
+    pruned.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q128Sql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <= TIMESTAMP '1996-03-31'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------- q126
   // Column profiling (operators/Profile): row/null/distinct counts and
   // type-appropriate extremes for four lineitem columns, all measures
@@ -2444,6 +2483,7 @@ object Relational {
     "q123_partition_prune" -> q123PartitionPrune _,
     "q126_profile" -> q126Profile _,
     "q127_dsv2_scan" -> q127Dsv2Scan _,
+    "q128_zone_map" -> q128ZoneMap _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2525,5 +2565,6 @@ object Relational {
     "q123_partition_prune" -> q123Sql,
     "q126_profile" -> q126Sql,
     "q127_dsv2_scan" -> q127Sql,
+    "q128_zone_map" -> q128Sql,
   )
 }

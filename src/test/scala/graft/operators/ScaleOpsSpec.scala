@@ -286,6 +286,25 @@ class ScaleOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bk_items")
   }
 
+  test("zone-map store prunes files driver-side, results identical to full scan") {
+    import graft.sinks.SkippingStore
+    val dir = java.nio.file.Files.createTempDirectory("zmap").toString + "/store"
+    val df = Seq.tabulate(400)(i => (i, s"v$i")).toDF("k", "v")
+    SkippingStore.write(df, "k", dir, nFiles = 8)
+    // the zonemap is one row per data file, invisible to directory reads
+    assert(SkippingStore.zoneMap(spark, dir).count() == 8)
+    assert(spark.read.parquet(dir).count() == 400)
+    val (kept, total, pruned) =
+      SkippingStore.readPruned(spark, dir, "k", lit(100), lit(149))
+    assert(total == 8 && kept < total, s"kept $kept of $total")
+    val got = pruned.select($"k", $"v").as[(Int, String)].collect().toSet
+    assert(got == (100 to 149).map(i => (i, s"v$i")).toSet)
+    // an out-of-range probe keeps zero files and yields an empty, typed frame
+    val (k0, _, empty) =
+      SkippingStore.readPruned(spark, dir, "k", lit(1000), lit(2000))
+    assert(k0 == 0 && empty.count() == 0 && empty.schema == pruned.schema)
+  }
+
   test("gzip FASTA write produces compressed part files (K8)") {
     val out = java.nio.file.Files.createTempDirectory("fagz").toString + "/fa"
     graft.sources.Fasta.write(Seq(("s1", "ACGT")).toDF("id", "seq"), "id", "seq",
