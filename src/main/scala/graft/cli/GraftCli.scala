@@ -175,6 +175,14 @@ object GraftCli {
     case "corpusexport" :: in :: out :: fmt :: rest if rest.size <= 1 =>
       corpusExport(in, out, fmt, rest.headOption.map(_.toInt))
     case "corpusingest" :: in :: out :: Nil => corpusIngest(in, out)
+    case "zonewrite" :: in :: dir :: sortCol :: rest if rest.size <= 1 =>
+      zoneWrite(in, dir, sortCol, rest.headOption.map(_.toInt).getOrElse(32),
+        append = false)
+    case "zoneappend" :: in :: dir :: sortCol :: rest if rest.size <= 1 =>
+      zoneWrite(in, dir, sortCol, rest.headOption.map(_.toInt).getOrElse(8),
+        append = true)
+    case "zonequery" :: dir :: sortCol :: lo :: hi :: out :: Nil =>
+      zoneQuery(dir, sortCol, lo, hi, out)
     case "annbuild" :: emb :: indexDir :: rest if rest.size <= 1 =>
       annBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(16))
     case "annquery" :: indexDir :: emb :: id :: k :: rest if rest.size <= 1 =>
@@ -226,7 +234,10 @@ object GraftCli {
            |           pqquery <indexdir> <emb> <id> <topk>
            |tokenizer: bpetrain <docs> <mergesdir> [merges]
            |           bpetokenize <docs> <mergesdir> <outdir>
-           |analyze:   profile <parquet> <outdir> [col,col,...] [--approx]""".stripMargin)
+           |analyze:   profile <parquet> <outdir> [col,col,...] [--approx]
+           |store:     zonewrite <parquet> <storedir> <sortcol> [files]
+           |           zoneappend <parquet> <storedir> <sortcol> [files]
+           |           zonequery <storedir> <sortcol> <lo> <hi> <outdir>""".stripMargin)
       sys.exit(2)
   }
 
@@ -1414,6 +1425,37 @@ object GraftCli {
     * persist it (Similarity.trainIvf + saveIndex) — the build half of
     * the index lifecycle. One aggregation pass over the embeddings;
     * only the dimension-sized centroid table reaches the driver. */
+  /** zonewrite / zoneappend / zonequery: the zone-map store lifecycle
+    * (sinks/SkippingStore) on the CLI — lay a table out for data
+    * skipping once, extend it incrementally, then serve range queries
+    * that open only the files whose min/max intersect the predicate
+    * (the q128 semantics; build-once/serve-many like annbuild/annquery). */
+  private def zoneWrite(in: String, dir: String, sortCol: String,
+                        nFiles: Int, append: Boolean): Unit = {
+    val spark = GraftSession.local()
+    val df = spark.read.parquet(in)
+    if (append) graft.sinks.SkippingStore.append(df, sortCol, dir, nFiles)
+    else graft.sinks.SkippingStore.write(df, sortCol, dir, nFiles)
+    val zm = graft.sinks.SkippingStore.zoneMap(spark, dir).count()
+    println(s"${if (append) "appended to" else "wrote"} $dir " +
+      s"(sorted by $sortCol, zone map covers $zm files)")
+    spark.stop()
+  }
+
+  private def zoneQuery(dir: String, sortCol: String, lo: String, hi: String,
+                        out: String): Unit = {
+    val spark = GraftSession.local()
+    // cast the CLI bounds to the store column's own type — comparing
+    // against bare string literals would coerce the COLUMN to string
+    // and prune lexicographically (wrong for ints and timestamps)
+    val t = spark.read.parquet(dir).schema(sortCol).dataType
+    val (kept, total, pruned) = graft.sinks.SkippingStore
+      .readPruned(spark, dir, sortCol, lit(lo).cast(t), lit(hi).cast(t))
+    pruned.write.mode("overwrite").parquet(out)
+    println(s"zone query [$lo, $hi] on $sortCol: opened $kept of $total files -> $out")
+    spark.stop()
+  }
+
   private def annBuild(emb: String, indexDir: String, cells: Int): Unit = {
     val spark = GraftSession.local()
     val corpus = spark.read.parquet(emb)

@@ -48,6 +48,42 @@ object SkippingStore {
       .write.mode("overwrite").parquet(s"$dir/_zonemap")
   }
 
+  /** Append `df` to an existing store and extend the zone map by
+    * scanning ONLY the newly written files: the store's immutable-file
+    * model means an append never touches existing zone rows, so the
+    * index update costs one pass over the appended data, not the
+    * table. New files are the directory listing minus the files the
+    * zone map already describes (both driver-side, file-count-sized).
+    * Appended batches are each internally range-sorted; their value
+    * ranges may overlap older files' — pruning stays correct (zone
+    * intersection is per-file) and only loses selectivity, which a
+    * periodic compaction rewrite (`write`) restores. */
+  def append(df: DataFrame, sortCol: String, dir: String, nFiles: Int): Unit = {
+    require(nFiles >= 1, "need at least one file")
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("append").parquet(dir)
+    val spark = df.sparkSession
+    val known = zoneMap(spark, dir).select(col("file"))
+      .collect().map(_.getString(0)).toSet
+    val newFiles = listDataFiles(dir).filterNot(known)
+    if (newFiles.nonEmpty)
+      spark.read.parquet(newFiles.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(sortCol)).as("zmin"), max(col(sortCol)).as("zmax"))
+        .coalesce(1)
+        .write.mode("append").parquet(s"$dir/_zonemap")
+  }
+
+  /** The store's data files as the `file:` URIs `input_file_name`
+    * reports, so listing and zone-map keys compare equal. */
+  private def listDataFiles(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .filter(f => f.isFile && f.getName.startsWith("part-")
+        && f.getName.endsWith(".parquet"))
+      .map(_.toURI.toString.replaceFirst("^file:/", "file:///"))
+      .toSeq
+
   /** The zone map as a DataFrame (one row per data file). */
   def zoneMap(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/_zonemap")

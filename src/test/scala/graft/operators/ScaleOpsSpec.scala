@@ -305,6 +305,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(k0 == 0 && empty.count() == 0 && empty.schema == pruned.schema)
   }
 
+  test("zone-map append indexes only the new files, pruning stays exact") {
+    import graft.sinks.SkippingStore
+    val dir = java.nio.file.Files.createTempDirectory("zmapapp").toString + "/store"
+    SkippingStore.write(
+      Seq.tabulate(200)(i => (i, s"v$i")).toDF("k", "v"), "k", dir, nFiles = 4)
+    assert(SkippingStore.zoneMap(spark, dir).count() == 4)
+    SkippingStore.append(
+      Seq.tabulate(100)(i => (200 + i, s"v${200 + i}")).toDF("k", "v"),
+      "k", dir, nFiles = 2)
+    // 2 new zone rows, the 4 old ones untouched
+    assert(SkippingStore.zoneMap(spark, dir).count() == 6)
+    // a range spanning the append boundary reads from both generations
+    val (kept, total, pruned) =
+      SkippingStore.readPruned(spark, dir, "k", lit(180), lit(230))
+    assert(total == 6 && kept < total)
+    assert(pruned.select($"k", $"v").as[(Int, String)].collect().toSet ==
+      (180 to 230).map(i => (i, s"v$i")).toSet)
+  }
+
   test("gzip FASTA write produces compressed part files (K8)") {
     val out = java.nio.file.Files.createTempDirectory("fagz").toString + "/fa"
     graft.sources.Fasta.write(Seq(("s1", "ACGT")).toDF("id", "seq"), "id", "seq",
