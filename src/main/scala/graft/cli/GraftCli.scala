@@ -1447,8 +1447,10 @@ object GraftCli {
     val spark = GraftSession.local()
     // cast the CLI bounds to the store column's own type — comparing
     // against bare string literals would coerce the COLUMN to string
-    // and prune lexicographically (wrong for ints and timestamps)
-    val t = spark.read.parquet(dir).schema(sortCol).dataType
+    // and prune lexicographically (wrong for ints and timestamps).
+    // zmin IS min(sortCol), so the manifest-sized zone map carries the
+    // type; never open the data files just to learn it
+    val t = graft.sinks.SkippingStore.zoneMap(spark, dir).schema("zmin").dataType
     val (kept, total, pruned) = graft.sinks.SkippingStore
       .readPruned(spark, dir, sortCol, lit(lo).cast(t), lit(hi).cast(t))
     pruned.write.mode("overwrite").parquet(out)

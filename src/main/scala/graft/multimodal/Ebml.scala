@@ -125,14 +125,18 @@ object EbmlCodec {
 
   /** Parse container metadata. None unless the payload opens with a
     * well-formed EBML header followed by a Segment. */
-  def parse(b: Array[Byte]): Option[MkvMeta] = parseImpl(b).map(_._1)
+  def parse(b: Array[Byte]): Option[MkvMeta] =
+    parseImpl(b, collectRanges = false).map(_._1)
 
   /** The single walk behind both [[parse]] and [[sampleFrames]]:
-    * metadata plus the un-laced video-track frame ranges collected in
-    * the same Cluster pass (`nVideoBlocks` still counts EVERY
-    * video-track SimpleBlock, laced or not), so sampling a payload
-    * never scans it twice. */
-  private def parseImpl(b: Array[Byte]): Option[(MkvMeta, IndexedSeq[(Int, Int)])] =
+    * metadata plus (only when `collectRanges` — the metadata-only path
+    * must not allocate a tuple per block) the un-laced video-track
+    * frame ranges collected in the same Cluster pass. `nVideoBlocks`
+    * still counts EVERY video-track SimpleBlock, laced or not, either
+    * way, so sampling a payload never scans it twice and metadata
+    * extraction never pays for frame ranges it discards. */
+  private def parseImpl(b: Array[Byte], collectRanges: Boolean)
+      : Option[(MkvMeta, IndexedSeq[(Int, Int)])] =
     try {
       val top = elements(b, 0, b.length)
       val header = top.collectFirst { case (IdEbml, s, e) => (s, e) }
@@ -179,7 +183,7 @@ object EbmlCodec {
                 elements(b, cs, ce).foreach {
                   case (IdSimpleBlock, bs, be) if blockTrack(b, bs, be) == no =>
                     nBlocks += 1
-                    blockFrame(b, bs, be).foreach(ranges += _)
+                    if (collectRanges) blockFrame(b, bs, be).foreach(ranges += _)
                   case _ => ()
                 }
               case _ => ()
@@ -209,7 +213,7 @@ object EbmlCodec {
     * frameBytes) — for V_MJPEG each is a decodable JPEG. None when
     * there is no video track or no un-laced blocks. */
   def sampleFrames(payload: Array[Byte], n: Int): Option[Seq[(Long, Array[Byte])]] =
-    parseImpl(payload).flatMap { case (meta, ranges) =>
+    parseImpl(payload, collectRanges = true).flatMap { case (meta, ranges) =>
       if (meta.video.isEmpty || ranges.isEmpty) None
       else Some(FrameSampling.indices(ranges.length, n).map { i =>
         val (fs, fe) = ranges(i)

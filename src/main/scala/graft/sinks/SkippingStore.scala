@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   * only the surviving files, with the residual row filter (and its
   * parquet pushdown) still applied on top.
   *
+  * The map keys files by their NAME, not their URI: part-file names
+  * carry a per-job UUID so they are unique, the store survives being
+  * relocated, and there is no URI-normalization seam between
+  * `input_file_name()` and the filesystem listing. All listings go
+  * through the Hadoop FileSystem of the store's own path, so local,
+  * `file:`, and cluster (hdfs/s3a) stores behave identically. Every
+  * read VERIFIES the map covers exactly the store's data files and
+  * fails loudly on drift — a stale or partial index must never turn
+  * into silently missing rows.
+  *
   * At 100 TB the effect is the q123 one: a selective range query opens
   * a handful of files instead of listing-then-row-filtering the whole
   * table, and the layout cost is paid once at write time. The sort also
@@ -40,11 +50,7 @@ object SkippingStore {
     df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(dir)
-    val spark = df.sparkSession
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(sortCol)).as("zmin"), max(col(sortCol)).as("zmax"))
-      .coalesce(1) // file-count-sized by construction
+    zoneRows(df.sparkSession.read.parquet(dir), sortCol)
       .write.mode("overwrite").parquet(s"$dir/_zonemap")
   }
 
@@ -52,37 +58,42 @@ object SkippingStore {
     * scanning ONLY the newly written files: the store's immutable-file
     * model means an append never touches existing zone rows, so the
     * index update costs one pass over the appended data, not the
-    * table. New files are the directory listing minus the files the
-    * zone map already describes (both driver-side, file-count-sized).
+    * table. On a directory with no `_zonemap` yet this IS `write`
+    * (refusing loudly if un-indexed data files already exist there).
     * Appended batches are each internally range-sorted; their value
     * ranges may overlap older files' — pruning stays correct (zone
     * intersection is per-file) and only loses selectivity, which a
     * periodic compaction rewrite (`write`) restores. */
   def append(df: DataFrame, sortCol: String, dir: String, nFiles: Int): Unit = {
     require(nFiles >= 1, "need at least one file")
-    df.repartitionByRange(nFiles, col(sortCol))
-      .sortWithinPartitions(sortCol)
-      .write.mode("append").parquet(dir)
     val spark = df.sparkSession
-    val known = zoneMap(spark, dir).select(col("file"))
-      .collect().map(_.getString(0)).toSet
-    val newFiles = listDataFiles(dir).filterNot(known)
-    if (newFiles.nonEmpty)
-      spark.read.parquet(newFiles.toIndexedSeq: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(sortCol)).as("zmin"), max(col(sortCol)).as("zmax"))
-        .coalesce(1)
-        .write.mode("append").parquet(s"$dir/_zonemap")
+    if (!pathExists(spark, s"$dir/_zonemap")) {
+      val orphans = listDataFileNames(spark, dir)
+      require(orphans.isEmpty,
+        s"$dir has ${orphans.size} data files but no _zonemap — not a zone " +
+          "store; rewrite it with write() instead of appending blind")
+      write(df, sortCol, dir, nFiles)
+    } else {
+      // validate BEFORE writing: a map already out of sync means the
+      // store was modified behind the index — appending would bury it
+      val known = mappedFileNames(spark, dir)
+      checkCoverage(listDataFileNames(spark, dir).toSet, known, dir)
+      df.repartitionByRange(nFiles, col(sortCol))
+        .sortWithinPartitions(sortCol)
+        .write.mode("append").parquet(dir)
+      val newFiles = listDataFileNames(spark, dir).filterNot(known)
+      if (newFiles.nonEmpty)
+        zoneRows(spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*), sortCol)
+          .write.mode("append").parquet(s"$dir/_zonemap")
+    }
   }
 
-  /** The store's data files as the `file:` URIs `input_file_name`
-    * reports, so listing and zone-map keys compare equal. */
-  private def listDataFiles(dir: String): Seq[String] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array())
-      .filter(f => f.isFile && f.getName.startsWith("part-")
-        && f.getName.endsWith(".parquet"))
-      .map(_.toURI.toString.replaceFirst("^file:/", "file:///"))
-      .toSeq
+  /** One (fileName, zmin, zmax) row per data file of `data`. */
+  private def zoneRows(data: DataFrame, sortCol: String): DataFrame =
+    data
+      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .agg(min(col(sortCol)).as("zmin"), max(col(sortCol)).as("zmax"))
+      .coalesce(1) // file-count-sized by construction
 
   /** The zone map as a DataFrame (one row per data file). */
   def zoneMap(spark: SparkSession, dir: String): DataFrame =
@@ -91,23 +102,59 @@ object SkippingStore {
   /** Read only the files whose [zmin, zmax] range intersects [lo, hi],
     * with the exact residual filter applied on top. The prune happens
     * on the driver over the file-count-sized zone map — the same shape
-    * as a lake format's manifest scan. Returns (survivingFiles,
+    * as a lake format's manifest scan — after verifying the map covers
+    * exactly the store's data files. Returns (survivingFiles,
     * totalFiles, frame); an empty survivor set yields an empty frame
     * with the store's schema. */
   def readPruned(spark: SparkSession, dir: String, sortCol: String,
                  lo: Column, hi: Column): (Long, Long, DataFrame) = {
     val zm = zoneMap(spark, dir).cache()
     try {
-      val total = zm.count()
+      val mapped = zm.select(col("file")).collect().map(_.getString(0)).toSet
+      checkCoverage(listDataFileNames(spark, dir).toSet, mapped, dir)
       val files = zm.filter(col("zmax") >= lo && col("zmin") <= hi)
-        .select(col("file")).collect().map(_.getString(0))
+        .select(col("file")).collect().map(r => s"$dir/${r.getString(0)}")
       val residual = (d: DataFrame) =>
         d.filter(col(sortCol) >= lo && col(sortCol) <= hi)
       if (files.isEmpty)
-        (0L, total, residual(spark.read.parquet(dir)).limit(0))
+        (0L, mapped.size.toLong, residual(spark.read.parquet(dir)).limit(0))
       else
-        (files.length.toLong, total,
+        (files.length.toLong, mapped.size.toLong,
           residual(spark.read.parquet(files.toIndexedSeq: _*)))
     } finally zm.unpersist()
+  }
+
+  /** Loud drift check: rows must never silently vanish because a file
+    * missed indexing (crash between data and map write, foreign
+    * writer), nor double-count because the map lists a file twice. */
+  private def checkCoverage(actual: Set[String], mapped: Set[String],
+                            dir: String): Unit = {
+    val unindexed = actual -- mapped
+    val phantom = mapped -- actual
+    require(unindexed.isEmpty && phantom.isEmpty,
+      s"zone map out of sync with $dir: ${unindexed.size} data files " +
+        s"unindexed ${unindexed.take(3).mkString("(", ",", ")")}, " +
+        s"${phantom.size} indexed files missing " +
+        s"${phantom.take(3).mkString("(", ",", ")")} — rewrite the store")
+  }
+
+  private def mappedFileNames(spark: SparkSession, dir: String): Set[String] =
+    zoneMap(spark, dir).select(col("file")).collect()
+      .map(_.getString(0)).toSet
+
+  /** Data-file names under `dir` via its OWN Hadoop filesystem, so
+    * local, file:, and cluster (hdfs/s3a) stores all list correctly. */
+  private def listDataFileNames(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .toSeq
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

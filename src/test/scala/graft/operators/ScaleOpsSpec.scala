@@ -324,6 +324,36 @@ class ScaleOpsSpec extends SparkSpec {
       (180 to 230).map(i => (i, s"v$i")).toSet)
   }
 
+  test("zone-map store: fresh-dir append is write, foreign files fail loudly") {
+    import graft.sinks.SkippingStore
+    val base = java.nio.file.Files.createTempDirectory("zmapguard").toString
+    // append on a directory with no _zonemap behaves as the initial write
+    val fresh = s"$base/fresh"
+    SkippingStore.append(
+      Seq.tabulate(50)(i => (i, s"v$i")).toDF("k", "v"), "k", fresh, nFiles = 2)
+    assert(SkippingStore.zoneMap(spark, fresh).count() == 2)
+    val (_, _, all) = SkippingStore.readPruned(spark, fresh, "k", lit(0), lit(49))
+    assert(all.count() == 50)
+    // a data file written BEHIND the index (plain parquet append) must
+    // make reads and further appends fail loudly, never lose rows
+    Seq((999, "vx")).toDF("k", "v").write.mode("append").parquet(fresh)
+    val e1 = intercept[IllegalArgumentException] {
+      SkippingStore.readPruned(spark, fresh, "k", lit(0), lit(49))
+    }
+    assert(e1.getMessage.contains("out of sync"))
+    val e2 = intercept[IllegalArgumentException] {
+      SkippingStore.append(Seq((1, "v")).toDF("k", "v"), "k", fresh, 1)
+    }
+    assert(e2.getMessage.contains("out of sync"))
+    // a data dir with files but NO map refuses blind appends
+    val orphan = s"$base/orphan"
+    Seq((1, "v")).toDF("k", "v").write.parquet(orphan)
+    val e3 = intercept[IllegalArgumentException] {
+      SkippingStore.append(Seq((2, "w")).toDF("k", "v"), "k", orphan, 1)
+    }
+    assert(e3.getMessage.contains("not a zone store"))
+  }
+
   test("gzip FASTA write produces compressed part files (K8)") {
     val out = java.nio.file.Files.createTempDirectory("fagz").toString + "/fa"
     graft.sources.Fasta.write(Seq(("s1", "ACGT")).toDF("id", "seq"), "id", "seq",
