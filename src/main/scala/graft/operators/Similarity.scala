@@ -97,6 +97,9 @@ object Similarity {
         .orderBy(col(idCol))
         .select(col(embCol).cast("array<double>"))
         .collect().toSeq.map(_.getSeq[Double](0)))
+    require(init.centroids.nonEmpty,
+      s"trainIvf: no seed vectors with $idCol < $numCells — an empty " +
+        "centroid set would make every nearest_cell lookup fail")
     // Lloyd step: per-dimension means per assigned cell, rounded for
     // cross-engine stability; one aggregation pass over the corpus
     val cent1 = emb.select(col(idCol).as("vid"), col(embCol).as("e"))
