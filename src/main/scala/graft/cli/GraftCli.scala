@@ -175,6 +175,7 @@ object GraftCli {
     case "corpusexport" :: in :: out :: fmt :: rest if rest.size <= 1 =>
       corpusExport(in, out, fmt, rest.headOption.map(_.toInt))
     case "corpusingest" :: in :: out :: Nil => corpusIngest(in, out)
+    case "warcimport" :: in :: out :: Nil => warcImport(in, out)
     case "zonewrite" :: in :: dir :: sortCol :: rest if rest.size <= 1 =>
       zoneWrite(in, dir, sortCol, rest.headOption.map(_.toInt).getOrElse(32),
         append = false)
@@ -235,6 +236,7 @@ object GraftCli {
            |tokenizer: bpetrain <docs> <mergesdir> [merges]
            |           bpetokenize <docs> <mergesdir> <outdir>
            |analyze:   profile <parquet> <outdir> [col,col,...] [--approx]
+           |ingest:    warcimport <warcdir> <docs.parquet>
            |store:     zonewrite <parquet> <storedir> <sortcol> [files]
            |           zoneappend <parquet> <storedir> <sortcol> [files]
            |           zonequery <storedir> <sortcol> <lo> <hi> <outdir>""".stripMargin)
@@ -1425,6 +1427,28 @@ object GraftCli {
     * persist it (Similarity.trainIvf + saveIndex) — the build half of
     * the index lifecycle. One aggregation pass over the embeddings;
     * only the dimension-sized centroid table reaches the driver. */
+  /** warcimport: web archives -> a documents-shaped parquet corpus.
+    * One archive file per task (sources/Warc.records via binaryFile),
+    * 200-status text responses kept, bodies decoded UTF-8 — the
+    * Common Crawl ingest step in front of the curation pipeline
+    * (corpusdedup / decontaminate / corpusstats compose downstream). */
+  private def warcImport(in: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val docs = graft.sources.Warc.records(spark, in)
+      .filter(r => r.warcType == "response" && r.httpStatus.contains(200) &&
+        r.httpContentType.forall(_.startsWith("text/")))
+      .map(r => (r.targetUri, r.date, new String(r.body, "UTF-8")))
+      .toDF("url", "fetched_at", "text")
+      .withColumn("doc_id", xxhash64(col("url"), col("fetched_at")))
+      .withColumn("n_chars", length(col("text")))
+    val obs = org.apache.spark.sql.Observation()
+    docs.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(out)
+    println(s"imported ${obs.get("rows")} documents -> $out")
+    spark.stop()
+  }
+
   /** zonewrite / zoneappend / zonequery: the zone-map store lifecycle
     * (sinks/SkippingStore) on the CLI — lay a table out for data
     * skipping once, extend it incrementally, then serve range queries

@@ -561,6 +561,51 @@ object Pipeline {
       |FROM supplier WHERE s_suppkey < 200
       |ORDER BY id""".stripMargin
 
+  // --------------------------------------------------------------- q129
+  // WARC ingest (sources/Warc): documents are serialized into
+  // Common-Crawl-shaped archives (16 multi-record WARC payloads, each
+  // record an HTTP response member with exact Content-Length), then the
+  // PRODUCTION parser splits records, parses WARC headers, and peels
+  // the HTTP status/Content-Type/body apart. The in-query require
+  // proves every synthesized record parses; the relational oracle
+  // recomputes the projection — including the 45-byte HTTP header
+  // arithmetic inside Content-Length — from the documents table.
+  // Map-only per archive; bodies never reach a shuffle (the groupByKey
+  // builds archives, the parse output is metadata + text).
+  private def q129WarcParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    docs.groupByKey(_._1 % 16)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toSeq.sortBy(_._1)
+        val recs = rows.map { case (id, text) =>
+          graft.sources.Warc.formatRecord("response",
+            s"http://corpus.test/doc/$id", "2024-01-01T00:00:00Z",
+            s"<urn:graft:$id>", Option(text).getOrElse("").getBytes("UTF-8"),
+            httpStatus = Some(200), httpContentType = Some("text/plain"))
+        }
+        val archive = recs.foldLeft(Array.emptyByteArray)(_ ++ _)
+        val parsed = graft.sources.Warc.parseRecords(archive)
+        require(parsed.length == recs.length,
+          s"all ${recs.length} synthesized records must parse, got ${parsed.length}")
+        parsed.iterator.map { r =>
+          (r.targetUri.split('/').last.toLong, r.warcType,
+            r.httpStatus.getOrElse(-1), r.httpContentType.getOrElse(""),
+            r.contentLength, new String(r.body, "UTF-8"))
+        }
+      }
+      .toDF("doc_id", "warc_type", "status", "http_ct", "content_length", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q129Sql =
+    """SELECT doc_id, 'response' AS warc_type, 200 AS status,
+      |  'text/plain' AS http_ct,
+      |  CAST(45 + strlen(text) AS BIGINT) AS content_length,
+      |  text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q39
   // Corpus-level stats: one-row summary over the token stream.
   private def q39CorpusStats(s: SparkSession, dir: String): DataFrame = {
@@ -1431,6 +1476,7 @@ object Pipeline {
     "q38_binarymeta" -> q38BinaryMeta _,
     "q124_mp4_roundtrip" -> q124Mp4RoundTrip _,
     "q125_mkv_parity" -> q125MkvParity _,
+    "q129_warc_parse" -> q129WarcParse _,
     "q39_corpus_stats" -> q39CorpusStats _,
     "q42_embed_neardup" -> q42EmbedNearDup _,
     "q44_ann_ivf" -> q44AnnIvf _,
@@ -1481,6 +1527,7 @@ object Pipeline {
     "q38_binarymeta" -> q38Sql,
     "q124_mp4_roundtrip" -> q124Sql,
     "q125_mkv_parity" -> q125Sql,
+    "q129_warc_parse" -> q129Sql,
     "q39_corpus_stats" -> q39Sql,
     "q42_embed_neardup" -> q42Sql,
     "q44_ann_ivf" -> q44Sql,
