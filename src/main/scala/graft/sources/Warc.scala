@@ -159,15 +159,29 @@ object Warc {
     head.getBytes("ISO-8859-1") ++ payload ++ (Crlf + Crlf).getBytes("ISO-8859-1")
   }
 
-  /** Distributed scan of a directory of `.warc` archive files — one
-    * file per task (`binaryFile`), per-payload map-only parse. */
+  /** Distributed scan of a directory of `.warc` / `.warc.gz` archive
+    * files — one file per task (`binaryFile`; gzip members make the
+    * files non-splittable anyway, so the file IS the parallelism unit,
+    * exactly Common Crawl's ~1 GB segment layout), per-payload map-only
+    * parse. `.gz` payloads are decompressed streaming in-task;
+    * `GZIPInputStream` reads concatenated gzip members, which covers
+    * both whole-file and per-record-member compression. */
   def records(spark: SparkSession, dir: String): Dataset[WarcRecord] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(dir)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap(parseRecords _)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        parseRecords(if (path.endsWith(".gz")) gunzip(content) else content)
+      }
   }
+
+  private[sources] def gunzip(b: Array[Byte]): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try in.readAllBytes() finally in.close()
+    } catch { case _: java.io.IOException => Array.emptyByteArray }
 
   /** Parse a binary archive column in place — the multimodal-table
     * entry point (archives already staged as rows). */

@@ -48,6 +48,23 @@ class WarcSpec extends AnyFunSuite {
     for (len <- 0 to good.length) parseRecords(good.take(len))
   }
 
+  test("gunzip handles whole-file and concatenated per-record members") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.util.zip.GZIPOutputStream(bos)
+      o.write(b); o.close(); bos.toByteArray
+    }
+    val r1 = rec(1, "first"); val r2 = rec(2, "second")
+    // whole-archive compression
+    assert(parseRecords(Warc.gunzip(gz(r1 ++ r2))).map(_.targetUri) ==
+      Seq("http://t/doc/1", "http://t/doc/2"))
+    // per-record gzip members concatenated (the Common Crawl layout)
+    assert(parseRecords(Warc.gunzip(gz(r1) ++ gz(r2))).map(_.targetUri) ==
+      Seq("http://t/doc/1", "http://t/doc/2"))
+    // corrupt gzip declines to empty, no throw
+    assert(Warc.gunzip("not gzip".getBytes("UTF-8")).isEmpty)
+  }
+
   test("bodies containing WARC/1.0 or CRLF-CRLF do not break framing") {
     // Content-Length framing means record-like bytes INSIDE a body must
     // not start a new record or end the current one early
