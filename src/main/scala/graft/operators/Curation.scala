@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -165,6 +165,43 @@ object Curation {
     * trimmed. Adds `clean` next to the original column. Map-only — one
     * codegen'd projection, no shuffle, the 100 TB cost is exactly one
     * read of the text column. */
+  /** HTML -> text extraction for crawl curation (the step between
+    * warcimport and the quality/dedup pipeline): drop script/style
+    * blocks wholesale, strip the remaining tags, decode the common
+    * entities, collapse whitespace. Everything is built-in
+    * `regexp_replace`/`replace` — codegen'd, no UDF — and every regex
+    * keeps to the common subset of Java regex and RE2 (inline `(?is)`
+    * flags, non-greedy, `[^>]`), so a DuckDB/RE2 oracle recomputes it
+    * verbatim. Entity order matters (`&amp;` decodes LAST so
+    * `&amp;lt;` stays `&lt;` — the HTML-correct single pass).
+    *
+    * Honest scope: a regex extractor, not an HTML5 tree parser — no
+    * boilerplate/readability scoring (that's the quality-score
+    * operator's job downstream), and pathological markup (unclosed
+    * `<script`, conditional comments) degrades to over-stripping,
+    * never to leaked tags. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
+      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Host of an http(s) URL via the same Java/RE2-common regex on both
+    * engines (Spark's parse_url has no DuckDB twin), lowercased,
+    * `www.` stripped — the key URL-level curation groups by (per-host
+    * caps, domain mixes, blocklists). Null for non-URLs. */
+  def urlHost(url: Column): Column = {
+    val h = lower(regexp_extract(url, "^https?://([^/:?#]+)", 1))
+    nullif(regexp_replace(h, "^www\\.", ""), lit(""))
+  }
+
   def scrub(docs: DataFrame, textCol: String, patterns: Seq[String]): DataFrame = {
     val cleaned = patterns.foldLeft(col(textCol)) { (c, p) =>
       regexp_replace(c, p, " ")

@@ -606,6 +606,87 @@ object Pipeline {
       |  text
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q130
+  // HTML -> text extraction (Curation.htmlToText): each document is
+  // wrapped in a realistic page shell (head, style+script blocks whose
+  // contents must vanish WHOLESALE including a '<' inside the script,
+  // a comment, markup, and an entity-laden tail), then the production
+  // extractor — built-in regexp_replace/replace only, codegen'd, no
+  // UDF — recovers the text. Every regex keeps to the Java/RE2 common
+  // subset so the DuckDB oracle recomputes the identical chain.
+  private def q130HtmlText(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>t</title><style type=\"text/css\">p { color: red; }" +
+        "</style><script>var x = 1 < 2 && \"a\";</script></head><body>" +
+        "<!-- boilerplate --><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><p>x &amp; y &lt;z&gt; &quot;q&quot; &#39;s&#39;&nbsp;tail</p>" +
+        "<br/></body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.Curation.htmlToText(html).as("clean"))
+      .withColumn("n_chars", length(col("clean")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q130Sql =
+    """WITH h AS (SELECT doc_id,
+      |  '<html><head><title>t</title><style type="text/css">p { color: red; }' ||
+      |  '</style><script>var x = 1 < 2 && "a";</script></head><body>' ||
+      |  '<!-- boilerplate --><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |  '</h1><p>' || text ||
+      |  '</p><p>x &amp; y &lt;z&gt; &quot;q&quot; &#39;s&#39;&nbsp;tail</p>' ||
+      |  '<br/></body></html>' AS html FROM documents),
+      |c AS (SELECT doc_id, trim(regexp_replace(
+      |  replace(replace(replace(replace(replace(replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |        '(?s)<!--.*?-->', ' ', 'g'),
+      |      '<[^>]*>', ' ', 'g'),
+      |    '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+      |    '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+      |  '\s+', ' ', 'g')) AS clean FROM h)
+      |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q131
+  // URL host curation (Curation.urlHost): hosts parsed with the same
+  // Java/RE2-common regex on both engines (ports/paths/fragments
+  // stripped, lowercased, www. removed, junk -> null and dropped),
+  // then the per-host document counts every crawl-mix policy keys on.
+  private def q131UrlStats(s: SparkSession, dir: String): DataFrame = {
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://www.example.com/doc/"), col("doc_id")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://news.site.org:8080/a?id="), col("doc_id")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://Example.COM/p/"), col("doc_id"), lit("#frag")))
+      .otherwise(lit("not a url"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.operators.Curation.urlHost(url).as("host"))
+      .filter(col("host").isNotNull)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("host"))
+  }
+
+  private val q131Sql =
+    """WITH u AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+      |    WHEN 0 THEN 'https://www.example.com/doc/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 1 THEN 'http://news.site.org:8080/a?id=' || CAST(doc_id AS VARCHAR)
+      |    WHEN 2 THEN 'https://Example.COM/p/' || CAST(doc_id AS VARCHAR) || '#frag'
+      |    ELSE 'not a url' END AS url FROM documents),
+      |h AS (SELECT doc_id, nullif(regexp_replace(
+      |    lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)),
+      |    '^www\.', ''), '') AS host FROM u)
+      |SELECT host, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+      |FROM h WHERE host IS NOT NULL
+      |GROUP BY host ORDER BY host""".stripMargin
+
   // ---------------------------------------------------------------- q39
   // Corpus-level stats: one-row summary over the token stream.
   private def q39CorpusStats(s: SparkSession, dir: String): DataFrame = {
@@ -1477,6 +1558,8 @@ object Pipeline {
     "q124_mp4_roundtrip" -> q124Mp4RoundTrip _,
     "q125_mkv_parity" -> q125MkvParity _,
     "q129_warc_parse" -> q129WarcParse _,
+    "q130_html_text" -> q130HtmlText _,
+    "q131_url_stats" -> q131UrlStats _,
     "q39_corpus_stats" -> q39CorpusStats _,
     "q42_embed_neardup" -> q42EmbedNearDup _,
     "q44_ann_ivf" -> q44AnnIvf _,
@@ -1528,6 +1611,8 @@ object Pipeline {
     "q124_mp4_roundtrip" -> q124Sql,
     "q125_mkv_parity" -> q125Sql,
     "q129_warc_parse" -> q129Sql,
+    "q130_html_text" -> q130Sql,
+    "q131_url_stats" -> q131Sql,
     "q39_corpus_stats" -> q39Sql,
     "q42_embed_neardup" -> q42Sql,
     "q44_ann_ivf" -> q44Sql,

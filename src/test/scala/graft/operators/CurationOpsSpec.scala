@@ -322,4 +322,33 @@ class CurationOpsSpec extends SparkSpec {
       .orderBy($"doc_id").as[(Long, Long, Double)].collect()
     assert(uppercased.toSeq == got.toSeq)
   }
+
+  test("htmlToText strips blocks/tags, decodes entities, never leaks markup") {
+    def x(h: String): String = {
+      val df = Seq(h).toDF("h")
+        .select(Curation.htmlToText($"h").as("t"))
+      df.as[String].head()
+    }
+    assert(x("<p>plain</p>") == "plain")
+    // script/style vanish wholesale, including '<' inside the script
+    assert(x("<script>if (1 < 2) alert('x')</script>keep<style>p{}</style>") == "keep")
+    assert(x("<!-- gone --><b>bold</b> text") == "bold text")
+    // entity order: &amp;lt; must decode to the literal string "&lt;"
+    assert(x("a &amp;lt; b &amp; c &lt;d&gt;") == "a &lt; b & c <d>")
+    // unclosed script over-strips (documented degradation), never leaks tags
+    assert(!x("<script>var a=1; trailing").contains("<"))
+    // whitespace collapses across removed nodes
+    assert(x("<div>\n  a\n\n<span> b </span>\t</div>") == "a b")
+  }
+
+  test("urlHost lowercases, strips www and port, declines junk") {
+    val urls = Seq(
+      "https://www.Example.COM/doc/1", "http://news.site.org:8080/a?id=2",
+      "https://sub.www.host.net/x", "ftp://files.example.com/a",
+      "not a url", "").toDF("u")
+    val got = urls.select(Curation.urlHost($"u").as("h"))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("example.com"), Some("news.site.org"),
+      Some("sub.www.host.net"), None, None, None))
+  }
 }
