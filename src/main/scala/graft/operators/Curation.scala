@@ -202,6 +202,148 @@ object Curation {
     nullif(regexp_replace(h, "^www\\.", ""), lit(""))
   }
 
+  /** URL canonicalization — the dedup key for crawl frontiers and
+    * per-URL corpus dedup (the same page arrives as `http://WWW.x.com/a/`,
+    * `https://x.com:443/a#top`, `https://x.com/a?utm_source=feed`, …).
+    * Normalizations, in order: drop the `#fragment`; lowercase only the
+    * scheme+authority (paths stay case-sensitive per RFC 3986); strip
+    * default ports (`:80` http, `:443` https); strip a leading `www.`;
+    * remove tracking query params (`utm_*`, `fbclid`, `gclid`) and any
+    * dangling `?`; strip one trailing slash. Non-URL strings pass
+    * through mostly untouched — callers gate on a scheme match.
+    *
+    * Every step is a codegen'd regex in the Java/RE2-common subset
+    * (no lookarounds — RE2 has none) so the DuckDB oracle mirrors it
+    * literally. Map-only; at 100 TB this runs inside the scan
+    * projection with zero shuffle. */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase scheme://authority only: extract the prefix, lower it,
+    // re-attach the path+query verbatim
+    val pre = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(pre), noFrag.substr(length(pre) + 1, length(noFrag)))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2"),
+      "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    val noTrack = regexp_replace(
+      regexp_replace(noWww, "(utm_[a-z]+|fbclid|gclid)=[^&#]*&", ""),
+      "[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$", "")
+    regexp_replace(regexp_replace(noTrack, "\\?$", ""), "/$", "")
+  }
+
+  /** Outbound links of an HTML document: every double-quoted `href`
+    * attribute value, case-insensitive, in document order. The crawl
+    * frontier primitive — explode + [[urlHost]] gives the outlink host
+    * graph. Same regex on both engines; map-only. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)href=\"([^\"]*)\""), lit(1))
+
+  /** Line-level quality filtering — the C4/Gopher recipe: a web page is
+    * cleaned line by line BEFORE document-level scoring, because
+    * boilerplate (nav bars, cookie banners, share buttons) arrives as
+    * short terminal-punctuation-free lines that poison doc-level stats.
+    * A line survives when it (a) has at least `minWords` whitespace
+    * words, (b) ends in terminal punctuation (`. ! ? "`), (c) is not a
+    * bullet/quote fragment (`- * >`), and (d) contains none of the
+    * `boilerplate` phrases (case-insensitive substring match — C4 drops
+    * "javascript"/"cookie"/"click here" lines the same way).
+    *
+    * Implemented as higher-order array functions over `split(text, \n)`
+    * — `filter` + `array_join` stay inside whole-stage codegen, so the
+    * pass is map-only with zero shuffle at any scale. Returns the input
+    * plus (n_lines, n_kept, clean) where `clean` is the surviving lines
+    * re-joined with newlines. */
+  def lineFilter(docs: DataFrame, textCol: String, minWords: Int,
+                 boilerplate: Seq[String]): DataFrame = {
+    def ok(l: Column): Column = {
+      val t = trim(l)
+      val base = (size(split(t, "\\s+")) >= minWords) &&
+        t.rlike("[.!?\"]$") && !t.rlike("^[-*>]")
+      boilerplate.foldLeft(base)((acc, p) =>
+        acc && !contains(lower(t), lit(p.toLowerCase)))
+    }
+    val lines = split(col(textCol), "\n")
+    docs
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("kept", filter(lines, ok(_)))
+      .withColumn("n_kept", size(col("kept")).cast("long"))
+      .withColumn("clean", array_join(col("kept"), "\n"))
+      .drop("kept")
+  }
+
+  /** Robots-style URL blocklist: drop every document whose URL path
+    * falls under a disallowed prefix for its host (the `Disallow:`
+    * semantics of robots.txt, applied corpus-side as curation). `rules`
+    * is a (host, prefix) frame — real blocklists are thousands of rows,
+    * so it broadcasts and the corpus is touched map-side twice
+    * (flag, then anti-join on the id) with zero corpus shuffle: both
+    * joins are broadcast-hash. Returns the input minus blocked docs. */
+  def prefixBlocklist(docs: DataFrame, idCol: String, urlCol: String,
+                      rules: DataFrame): DataFrame = {
+    val host = urlHost(col(urlCol))
+    val path = regexp_extract(col(urlCol), "^[a-zA-Z]+://[^/?#]+(/[^?#]*)", 1)
+    val blockedIds = docs
+      .select(col(idCol), host.as("_host"), path.as("_path"))
+      .join(broadcast(rules.select(col("host").as("_host"), col("prefix"))),
+        Seq("_host"))
+      .filter(col("_path").startsWith(col("prefix")))
+      .select(col(idCol)).distinct()
+    docs.join(broadcast(blockedIds), Seq(idCol), "left_anti")
+  }
+
+  /** BM25 top-k retrieval over the corpus for a driver-held term set —
+    * the retrieval half of decontamination-by-search and
+    * quality-by-query-affinity recipes (Okapi BM25, Robertson &
+    * Zaragoza 2009). k1/b are the standard free parameters.
+    *
+    * Determinism across engines: idf and each per-term contribution are
+    * rounded to 6 decimals and summed as DECIMAL(28,6), so the per-doc
+    * fold is order-insensitive and DuckDB reproduces scores
+    * bit-for-bit; avgdl comes from an exact BIGINT token-count sum.
+    *
+    * Scale shape: the term set is tiny (a query), so the explode is
+    * pre-filtered map-side by `isin` before the per-(doc, term) count;
+    * df is a terms-sized aggregate that broadcasts back; the final
+    * top-k is TakeOrderedAndProject (no global sort). Shuffle volume is
+    * matching-token counts only, never the corpus. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    // exact corpus stats: BIGINT sum, then one double division
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .withColumn("avgdl", round(col("sdl").cast("double") / col("n"), 6))
+    // tf feeds both the df aggregate and the scoring join — materialize
+    // once (q65 rule: the static planner re-runs the scan + explode per
+    // consumer). Post-filter tf is query-term hits only, so the
+    // checkpoint is tiny at any corpus size.
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(stats.select(col("n"), col("avgdl"))))
+      .withColumn("idf", round(
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)), 6))
+      .withColumn("c", round(
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+        6).cast("decimal(28,6)"))
+    contrib.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def scrub(docs: DataFrame, textCol: String, patterns: Seq[String]): DataFrame = {
     val cleaned = patterns.foldLeft(col(textCol)) { (c, p) =>
       regexp_replace(c, p, " ")

@@ -687,6 +687,206 @@ object Pipeline {
       |FROM h WHERE host IS NOT NULL
       |GROUP BY host ORDER BY host""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+  // Line-level quality filtering (C4/Gopher): multi-line pages are
+  // synthesized deterministically around each doc's text — one clean
+  // lead sentence, a cookie-banner line, a bullet fragment, a
+  // click-here boilerplate line, a too-short line, and the body — then
+  // Curation.lineFilter keeps only lines with >=4 words, terminal
+  // punctuation, no bullet prefix, and no boilerplate phrase. The whole
+  // pass is higher-order array functions inside one codegen'd
+  // projection: zero shuffle at any scale.
+  private def q132LineQuality(s: SparkSession, dir: String): DataFrame = {
+    val page = concat_ws("\n",
+      concat(lit("Document "), col("doc_id").cast("string"),
+        lit(" opens with a clean first sentence.")),
+      lit("Accept all cookies to continue"),
+      lit("* a bullet fragment that still ends with a period."),
+      lit("Please click here to subscribe to the newsletter."),
+      lit("Too short."),
+      concat(col("text"), lit(" and the body line ends cleanly.")))
+    Curation.lineFilter(
+        t(s, dir, "documents").select(col("doc_id"), page.as("page")),
+        "page", 4, Seq("click here", "cookie"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        length(col("clean")).cast("long").as("n_clean_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q132Sql =
+    """WITH p AS (SELECT doc_id,
+      |    'Document ' || CAST(doc_id AS VARCHAR) || ' opens with a clean first sentence.' || chr(10) ||
+      |    'Accept all cookies to continue' || chr(10) ||
+      |    '* a bullet fragment that still ends with a period.' || chr(10) ||
+      |    'Please click here to subscribe to the newsletter.' || chr(10) ||
+      |    'Too short.' || chr(10) ||
+      |    text || ' and the body line ends cleanly.' AS page FROM documents),
+      |l AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM p),
+      |k AS (SELECT doc_id, ls, list_filter(ls, x ->
+      |    len(string_split_regex(trim(x), '\s+')) >= 4
+      |    AND regexp_matches(trim(x), '[.!?"]$')
+      |    AND NOT regexp_matches(trim(x), '^[-*>]')
+      |    AND NOT contains(lower(trim(x)), 'click here')
+      |    AND NOT contains(lower(trim(x)), 'cookie')) AS ks FROM l)
+      |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(ks) AS BIGINT) AS n_kept,
+      |  CAST(length(array_to_string(ks, chr(10))) AS BIGINT) AS n_clean_chars
+      |FROM k ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+  // BM25 top-k retrieval for a driver-held query (Okapi BM25,
+  // k1=1.2 b=0.75). Per-term contributions are rounded to 6 decimals
+  // and summed as DECIMAL(28,6) so the fold is order-insensitive
+  // (the lmScore/linearScore convention); avgdl comes from an exact
+  // BIGINT sum. Final top-k is TakeOrderedAndProject.
+  private def q133Bm25(s: SparkSession, dir: String): DataFrame =
+    Curation.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      Seq("spark", "join", "merge"), 15)
+
+  private val q133Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+      |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN ('spark', 'join', 'merge') GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |contrib AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf JOIN df USING (w) CROSS JOIN stats)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
+      |FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
+  // ---------------------------------------------------------------- q134
+  // URL canonicalization + per-URL dedup: six deterministic surface
+  // variants per logical page (www + mixed-case host, explicit :443,
+  // fragment, trailing tracking param, leading tracking param, and a
+  // distinct page with only tracking) collapse through
+  // Curation.urlNormalize into dup groups of 3/2/1. The normalize chain
+  // is codegen'd regexes in the Java/RE2-common subset, mirrored
+  // literally by the oracle.
+  private def q134UrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 6
+    val g = expr("CAST(doc_id DIV 6 AS STRING)")
+    val url = when(m === 0, concat(lit("https://www.Example.com/Article/"), g))
+      .when(m === 1, concat(lit("https://example.com:443/Article/"), g))
+      .when(m === 2, concat(lit("HTTPS://EXAMPLE.COM/Article/"), g, lit("#section")))
+      .when(m === 3, concat(lit("http://news.site.org:8080/story?id="), g,
+        lit("&utm_source=feed")))
+      .when(m === 4, concat(lit("http://news.site.org:8080/story?utm_campaign=x&id="), g))
+      .otherwise(concat(lit("https://blog.example.com/post/"), g, lit("?utm_medium=email")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), Curation.urlNormalize(url).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("canonical"))
+  }
+
+  private val q134Sql =
+    """WITH u AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER)
+      |    WHEN 0 THEN 'https://www.Example.com/Article/' || CAST(doc_id // 6 AS VARCHAR)
+      |    WHEN 1 THEN 'https://example.com:443/Article/' || CAST(doc_id // 6 AS VARCHAR)
+      |    WHEN 2 THEN 'HTTPS://EXAMPLE.COM/Article/' || CAST(doc_id // 6 AS VARCHAR) || '#section'
+      |    WHEN 3 THEN 'http://news.site.org:8080/story?id=' || CAST(doc_id // 6 AS VARCHAR) || '&utm_source=feed'
+      |    WHEN 4 THEN 'http://news.site.org:8080/story?utm_campaign=x&id=' || CAST(doc_id // 6 AS VARCHAR)
+      |    ELSE 'https://blog.example.com/post/' || CAST(doc_id // 6 AS VARCHAR) || '?utm_medium=email'
+      |    END AS url FROM documents),
+      |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM u),
+      |n2 AS (SELECT doc_id,
+      |    lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) ||
+      |    substr(u, len(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1) AS u FROM n1),
+      |n3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+      |    '^(https://[^/:?#]+):443([/?#]|$)', '\1\2'),
+      |    '^(http://[^/:?#]+):80([/?#]|$)', '\1\2') AS u FROM n2),
+      |n4 AS (SELECT doc_id, regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM n3),
+      |n5 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+      |    '(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
+      |    '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$', '') AS u FROM n4),
+      |n6 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '\?$', ''), '/$', '') AS u FROM n5)
+      |SELECT u AS canonical, COUNT(*) AS n_dups, MIN(doc_id) AS min_doc
+      |FROM n6 GROUP BY u ORDER BY canonical""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  // Outlink extraction — the crawl-frontier primitive: every href in a
+  // synthesized page (absolute https, absolute http with a tracking
+  // param, a doc-varying CDN host, and a relative link), exploded and
+  // grouped by target host. extractLinks + urlHost are codegen'd
+  // regexes; the only shuffle is the final host-count agg.
+  private def q135Outlinks(s: SparkSession, dir: String): DataFrame = {
+    val g = col("doc_id").cast("string")
+    val html = concat(
+      lit("<p>intro</p><a href=\"https://docs.example.com/guide/"), g, lit("\">g</a>"),
+      lit("<A HREF=\"http://Mirror.example.net/copy?id="), g, lit("\">m</a>"),
+      lit("<a href=\"https://cdn"), (col("doc_id") % 2).cast("string"),
+      lit(".assets.io/img\">c</a>"),
+      lit("<a class=\"nav\" href=\"/local/"), g, lit("\">l</a>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Curation.extractLinks(html)).as("link"))
+      .select(col("doc_id"),
+        coalesce(Curation.urlHost(col("link")), lit("(relative)")).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("host"))
+  }
+
+  private val q135Sql =
+    """WITH h AS (SELECT doc_id,
+      |    '<p>intro</p><a href="https://docs.example.com/guide/' || CAST(doc_id AS VARCHAR) || '">g</a>' ||
+      |    '<A HREF="http://Mirror.example.net/copy?id=' || CAST(doc_id AS VARCHAR) || '">m</a>' ||
+      |    '<a href="https://cdn' || CAST(doc_id % 2 AS VARCHAR) || '.assets.io/img">c</a>' ||
+      |    '<a class="nav" href="/local/' || CAST(doc_id AS VARCHAR) || '">l</a>' AS html
+      |  FROM documents),
+      |links AS (SELECT doc_id, unnest(regexp_extract_all(html, '(?i)href="([^"]*)"', 1)) AS link FROM h),
+      |hosts AS (SELECT doc_id, coalesce(nullif(regexp_replace(
+      |    lower(regexp_extract(link, '^https?://([^/:?#]+)', 1)),
+      |    '^www\.', ''), ''), '(relative)') AS host FROM links)
+      |SELECT host, COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM hosts GROUP BY host ORDER BY host""".stripMargin
+
+  // ---------------------------------------------------------------- q136
+  // Robots-style prefix blocklist: URLs across two hosts with
+  // disallowed path subtrees; Curation.prefixBlocklist drops blocked
+  // docs via a broadcast equi-join on host plus a startswith residual,
+  // then a broadcast anti-join on doc_id — the corpus never shuffles.
+  private def q136Robots(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = col("doc_id") % 4
+    val g = col("doc_id").cast("string")
+    val url = when(m === 0, concat(lit("https://site-a.org/public/"), g))
+      .when(m === 1, concat(lit("https://site-a.org/private/"), g))
+      .when(m === 2, concat(lit("https://site-b.org/tmp/cache/"), g))
+      .otherwise(concat(lit("https://site-b.org/posts/"), g))
+    val rules = Seq(("site-a.org", "/private"), ("site-b.org", "/tmp/"),
+      ("site-c.org", "/x")).toDF("host", "prefix")
+    val docs = t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+    Curation.prefixBlocklist(docs, "doc_id", "url", rules)
+      .select(col("doc_id"), Curation.urlHost(col("url")).as("host"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q136Sql =
+    """WITH u AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+      |    WHEN 0 THEN 'https://site-a.org/public/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 1 THEN 'https://site-a.org/private/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 2 THEN 'https://site-b.org/tmp/cache/' || CAST(doc_id AS VARCHAR)
+      |    ELSE 'https://site-b.org/posts/' || CAST(doc_id AS VARCHAR)
+      |    END AS url FROM documents),
+      |r(host, prefix) AS (VALUES ('site-a.org', '/private'), ('site-b.org', '/tmp/'),
+      |    ('site-c.org', '/x')),
+      |k AS (SELECT doc_id, url,
+      |    nullif(regexp_replace(lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)),
+      |      '^www\.', ''), '') AS host,
+      |    regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) AS path FROM u)
+      |SELECT doc_id, host FROM k WHERE NOT EXISTS (
+      |  SELECT 1 FROM r WHERE r.host = k.host AND starts_with(k.path, r.prefix))
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q39
   // Corpus-level stats: one-row summary over the token stream.
   private def q39CorpusStats(s: SparkSession, dir: String): DataFrame = {
@@ -1560,6 +1760,11 @@ object Pipeline {
     "q129_warc_parse" -> q129WarcParse _,
     "q130_html_text" -> q130HtmlText _,
     "q131_url_stats" -> q131UrlStats _,
+    "q132_line_quality" -> q132LineQuality _,
+    "q133_bm25" -> q133Bm25 _,
+    "q134_url_normalize" -> q134UrlNormalize _,
+    "q135_outlinks" -> q135Outlinks _,
+    "q136_robots" -> q136Robots _,
     "q39_corpus_stats" -> q39CorpusStats _,
     "q42_embed_neardup" -> q42EmbedNearDup _,
     "q44_ann_ivf" -> q44AnnIvf _,
@@ -1613,6 +1818,11 @@ object Pipeline {
     "q129_warc_parse" -> q129Sql,
     "q130_html_text" -> q130Sql,
     "q131_url_stats" -> q131Sql,
+    "q132_line_quality" -> q132Sql,
+    "q133_bm25" -> q133Sql,
+    "q134_url_normalize" -> q134Sql,
+    "q135_outlinks" -> q135Sql,
+    "q136_robots" -> q136Sql,
     "q39_corpus_stats" -> q39Sql,
     "q42_embed_neardup" -> q42Sql,
     "q44_ann_ivf" -> q44Sql,

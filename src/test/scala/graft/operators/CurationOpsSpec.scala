@@ -351,4 +351,95 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Seq(Some("example.com"), Some("news.site.org"),
       Some("sub.www.host.net"), None, None, None))
   }
+
+  test("urlNormalize collapses surface variants to one canonical form") {
+    def n(u: String): String =
+      Seq(u).toDF("u").select(Curation.urlNormalize($"u")).as[String].head()
+    // scheme+host lowercased, path case preserved
+    assert(n("HTTPS://EXAMPLE.COM/Article/9") == "https://example.com/Article/9")
+    // default ports stripped, non-default kept
+    assert(n("https://example.com:443/a") == "https://example.com/a")
+    assert(n("http://example.com:80/a") == "http://example.com/a")
+    assert(n("http://example.com:8080/a") == "http://example.com:8080/a")
+    // www, fragment, trailing slash
+    assert(n("https://www.example.com/a/#top") == "https://example.com/a")
+    // tracking params removed wherever they sit; real params survive
+    assert(n("https://h.io/p?utm_source=x&id=7") == "https://h.io/p?id=7")
+    assert(n("https://h.io/p?id=7&utm_source=x") == "https://h.io/p?id=7")
+    assert(n("https://h.io/p?utm_source=x&utm_medium=y") == "https://h.io/p")
+    assert(n("https://h.io/p?gclid=abc") == "https://h.io/p")
+    // the six-variant q134 family really collapses
+    val variants = Seq(
+      "https://www.Example.com/Article/7",
+      "https://example.com:443/Article/7",
+      "HTTPS://EXAMPLE.COM/Article/7#section")
+    assert(variants.map(n).distinct == Seq("https://example.com/Article/7"))
+  }
+
+  test("extractLinks pulls every double-quoted href, case-insensitive, in order") {
+    val html = """<a href="https://a.com/1">x</a><A HREF="/rel/2">y</A>""" +
+      """<a class="z" href="http://b.net/3?q=1">w</a><a name="no-href">v</a>"""
+    val got = Seq(html).toDF("h")
+      .select(Curation.extractLinks($"h").as("l")).as[Seq[String]].head()
+    assert(got == Seq("https://a.com/1", "/rel/2", "http://b.net/3?q=1"))
+    // no hrefs -> empty array, not null
+    assert(Seq("<p>none</p>").toDF("h")
+      .select(Curation.extractLinks($"h")).as[Seq[String]].head().isEmpty)
+  }
+
+  test("lineFilter keeps clean sentences, drops boilerplate/bullets/fragments") {
+    val page = Seq(
+      "A clean first sentence stands alone here.", //  kept
+      "Accept all cookies to continue",            //  boilerplate + no punct
+      "* a bullet that still ends with a period.", //  bullet
+      "Please click here to subscribe right now.", //  boilerplate
+      "Too short.",                                //  < minWords
+      "  Indented but otherwise fine sentence here.  ", // kept (trimmed check)
+      "").mkString("\n")
+    val got = Curation.lineFilter(Seq((1L, page)).toDF("doc_id", "text"),
+        "text", 4, Seq("click here", "cookie"))
+      .select($"n_lines", $"n_kept", $"clean")
+      .as[(Long, Long, String)].head()
+    assert(got._1 == 7L)
+    assert(got._2 == 2L)
+    // surviving lines keep their original (untrimmed) form, joined by \n
+    assert(got._3 == "A clean first sentence stands alone here.\n" +
+      "  Indented but otherwise fine sentence here.  ")
+  }
+
+  test("prefixBlocklist drops disallowed subtrees per host only") {
+    val docs = Seq(
+      (1L, "https://site-a.org/public/1"),
+      (2L, "https://site-a.org/private/2"),   // blocked
+      (3L, "https://site-b.org/private/3"),   // /private not blocked on b
+      (4L, "https://site-b.org/tmp/cache/4"), // blocked
+      (5L, "not a url")                       // no host: kept
+    ).toDF("doc_id", "url")
+    val rules = Seq(("site-a.org", "/private"), ("site-b.org", "/tmp/"))
+      .toDF("host", "prefix")
+    val kept = Curation.prefixBlocklist(docs, "doc_id", "url", rules)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 3L, 5L))
+  }
+
+  test("bm25TopK ranks term-dense short docs first, deterministic ties") {
+    val docs = Seq(
+      (1L, "spark spark spark join"),         // dense in both terms
+      (2L, "spark a b c d e f g h i j k l m"),// one hit, long doc
+      (3L, "join join"),                      // dense in one term
+      (4L, "nothing relevant at all here"),   // no hits: excluded
+      (5L, "spark spark spark join")          // tie with doc 1 -> doc_id order
+    ).toDF("doc_id", "text")
+    val got = Curation.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "join"), 10)
+      .select($"doc_id", $"n_terms", $"score")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1).take(2) == Seq(1L, 5L), s"tie order: $got")
+    assert(!got.map(_._1).contains(4L))
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last),
+      "scores descend")
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) == byId(5L))
+    assert(byId(1L) > byId(2L), "tf saturation still beats single distant hit")
+  }
 }
