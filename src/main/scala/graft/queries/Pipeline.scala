@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Components, Curation, Dedup, Similarity}
+import graft.operators.{Components, Curation, Dedup, Graph, Similarity}
 
 /** Training-data-pipeline operators (builder brief: dedup, similarity
   * search, text analysis, multimodal metadata) over the `documents` and
@@ -1740,7 +1740,58 @@ object Pipeline {
        |SELECT vec_id, adist FROM scored ORDER BY adist, vec_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q137
+  // Host-graph PageRank — the authority score a crawl pipeline ranks
+  // its frontier by. The host graph is synthesized from doc_id
+  // arithmetic (two deterministic outlinks per doc over 8 hosts, so the
+  // weighted digraph is fixed at every SF); 5 power-iteration rounds at
+  // damping 0.85. The oracle unrolls the same 5 rounds as chained CTEs
+  // — a fixed iteration count (not a convergence test) keeps both
+  // engines bit-reproducible under round(6).
+  private def q137Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def host(e: org.apache.spark.sql.Column) =
+      concat(lit("h"), e.cast("string"))
+    val e0 = docs.select(host(col("doc_id") % 8).as("src"),
+        host((col("doc_id") * 3 + 1) % 8).as("dst"))
+      .unionByName(docs.select(host(col("doc_id") % 8).as("src"),
+        host((col("doc_id") * 5 + 2) % 8).as("dst")))
+    val edges = e0.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    Graph.pageRank(edges, iters = 5, damping = 0.85)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("node"))
+  }
+
+  private val q137Sql = {
+    val iter = (k: Int) =>
+      s"""r$k AS (SELECT nd.node, 0.15/n.cnt + 0.85*coalesce(c.s, 0.0) AS r
+         |  FROM nodes nd CROSS JOIN n LEFT JOIN (
+         |    SELECT f.dst AS node, SUM(p.r * f.frac) AS s
+         |    FROM f JOIN r${k - 1} p ON f.src = p.node GROUP BY f.dst) c
+         |  ON nd.node = c.node)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT 'h' || CAST(doc_id % 8 AS VARCHAR) AS src,
+       |         'h' || CAST((doc_id*3 + 1) % 8 AS VARCHAR) AS dst FROM documents
+       |  UNION ALL
+       |  SELECT 'h' || CAST(doc_id % 8 AS VARCHAR),
+       |         'h' || CAST((doc_id*5 + 2) % 8 AS VARCHAR) FROM documents),
+       |e AS (SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY src, dst),
+       |outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+       |f AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(ow AS DOUBLE) AS frac
+       |      FROM e JOIN outw USING (src)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+       |r0 AS (SELECT node, 1.0/cnt AS r FROM nodes CROSS JOIN n),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |${iter(4)},
+       |${iter(5)}
+       |SELECT node, round(r, 6) AS pr FROM r5 ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_pagerank" -> q137Pagerank _,
     "q100_normalize" -> q100Normalize _,
     "q101_pq_adc" -> q101PqAdc _,
     "q27_dedup_exact" -> q27DedupExact _,
@@ -1801,6 +1852,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_pagerank" -> q137Sql,
     "q27_dedup_exact" -> q27Sql,
     "q28_minhash_lsh" -> q28Sql,
     "q29_jaccard" -> q29Sql,
