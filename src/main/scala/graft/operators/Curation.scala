@@ -239,6 +239,28 @@ object Curation {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("(?i)href=\"([^\"]*)\""), lit(1))
 
+  /** Anchors of an HTML document as an array of (href, anchor) structs:
+    * every `<a … href="…">inner</a>` element, with the inner text
+    * tag-stripped and whitespace-collapsed. Incoming anchor text is the
+    * classic off-page relevance/quality signal (it feeds BM25F fields
+    * and crawl priority), aggregated per TARGET, so it needs the
+    * (href, text) pair — [[extractLinks]] alone loses the text.
+    *
+    * The element match is non-greedy to the first `</a>` and the
+    * opening tag can contain no `>`, so the first `>` of each match
+    * ends the opening tag — both facts make the inner-text extraction
+    * a plain regex. All steps are codegen'd regexes in the Java/RE2
+    * common subset; map-only at any scale. */
+  def extractAnchors(html: Column): Column = {
+    val ms = regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"), lit(0))
+    transform(ms, m => struct(
+      regexp_extract(m, "(?is)href=\"([^\"]*)\"", 1).as("href"),
+      trim(regexp_replace(
+        regexp_replace(regexp_extract(m, "(?is)>(.*)</a>$", 1), "<[^>]*>", " "),
+        "\\s+", " ")).as("anchor")))
+  }
+
   /** Line-level quality filtering — the C4/Gopher recipe: a web page is
     * cleaned line by line BEFORE document-level scoring, because
     * boilerplate (nav bars, cookie banners, share buttons) arrives as

@@ -1790,8 +1790,54 @@ object Pipeline {
        |SELECT node, round(r, 6) AS pr FROM r5 ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q138
+  // Incoming-anchor-text aggregation — the off-page relevance signal:
+  // anchors are extracted WITH their inner text (extractAnchors), then
+  // grouped by TARGET host, so each host accumulates what other pages
+  // call it. Synthesized pages carry three anchor shapes: a doc-varying
+  // guide link, a nested-markup mirror link, and a relative link.
+  private def q138AnchorText(s: SparkSession, dir: String): DataFrame = {
+    val g = (col("doc_id") % 5).cast("string")
+    val html = concat(
+      lit("<p>see</p><a href=\"https://docs.example.com/guide/"), g,
+      lit("\">Guide  "), g, lit("</a>"),
+      lit("<a class=\"m\" href=\"http://Mirror.example.net/copy\">mirror <b>fast</b></a>"),
+      lit("<a href=\"/local/home\">home page</a>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(Curation.extractAnchors(html)).as("a"))
+      .select(col("doc_id"),
+        coalesce(Curation.urlHost(col("a.href")), lit("(relative)")).as("host"),
+        col("a.anchor").as("anchor"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_anchors"),
+        countDistinct(col("anchor")).as("n_texts"),
+        min(col("anchor")).as("first_text"))
+      .orderBy(col("host"))
+  }
+
+  private val q138Sql =
+    """WITH h AS (SELECT doc_id,
+      |    '<p>see</p><a href="https://docs.example.com/guide/' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    '">Guide  ' || CAST(doc_id % 5 AS VARCHAR) || '</a>' ||
+      |    '<a class="m" href="http://Mirror.example.net/copy">mirror <b>fast</b></a>' ||
+      |    '<a href="/local/home">home page</a>' AS html FROM documents),
+      |m AS (SELECT doc_id, unnest(regexp_extract_all(html,
+      |    '(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 0)) AS el FROM h),
+      |p AS (SELECT doc_id,
+      |    regexp_extract(el, '(?is)href="([^"]*)"', 1) AS href,
+      |    trim(regexp_replace(regexp_replace(
+      |      regexp_extract(el, '(?is)>(.*)</a>$', 1), '<[^>]*>', ' ', 'g'),
+      |      '\s+', ' ', 'g')) AS anchor FROM m),
+      |k AS (SELECT doc_id, anchor, coalesce(nullif(regexp_replace(
+      |    lower(regexp_extract(href, '^https?://([^/:?#]+)', 1)),
+      |    '^www\.', ''), ''), '(relative)') AS host FROM p)
+      |SELECT host, COUNT(*) AS n_anchors, COUNT(DISTINCT anchor) AS n_texts,
+      |  MIN(anchor) AS first_text
+      |FROM k GROUP BY host ORDER BY host""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_pagerank" -> q137Pagerank _,
+    "q138_anchor_text" -> q138AnchorText _,
     "q100_normalize" -> q100Normalize _,
     "q101_pq_adc" -> q101PqAdc _,
     "q27_dedup_exact" -> q27DedupExact _,
@@ -1853,6 +1899,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "q137_pagerank" -> q137Sql,
+    "q138_anchor_text" -> q138Sql,
     "q27_dedup_exact" -> q27Sql,
     "q28_minhash_lsh" -> q28Sql,
     "q29_jaccard" -> q29Sql,

@@ -387,6 +387,24 @@ class CurationOpsSpec extends SparkSpec {
       .select(Curation.extractLinks($"h")).as[Seq[String]].head().isEmpty)
   }
 
+  test("extractAnchors pairs each href with its tag-stripped inner text") {
+    val html = """<a href="https://a.com/1">Plain  text</a>""" +
+      """<A CLASS="x" HREF="/rel">nested <b>bold</b> tail</A>""" +
+      """<a href="http://b.net/3">multi
+        |line</a><a name="no-href">skipped</a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(explode(Curation.extractAnchors($"h")).as("a"))
+      .select($"a.href", $"a.anchor").as[(String, String)].collect().toSeq
+    assert(got == Seq(
+      ("https://a.com/1", "Plain text"),
+      ("/rel", "nested bold tail"),
+      ("http://b.net/3", "multi line")))
+    // anchor-free html -> empty array, not null
+    assert(Seq("<p>none</p><a name=x>y</a>").toDF("h")
+      .select(Curation.extractAnchors($"h")).as[Seq[(String, String)]]
+      .head().isEmpty)
+  }
+
   test("lineFilter keeps clean sentences, drops boilerplate/bullets/fragments") {
     val page = Seq(
       "A clean first sentence stands alone here.", //  kept
