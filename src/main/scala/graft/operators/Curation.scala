@@ -239,6 +239,52 @@ object Curation {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("(?i)href=\"([^\"]*)\""), lit(1))
 
+  /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", §A1.1) — the published heuristic battery web corpora are
+    * gated through before training. Per doc: word count in [minWords,
+    * maxWords], mean word length in [3, 10], symbol-to-word ratio
+    * (`#` and `...`) ≤ 0.1, at most 90% of lines bullet-started, at
+    * most 30% of lines ellipsis-ended, ≥ 80% of words containing an
+    * alphabetic character, and at least 2 of a fixed 8-stopword set
+    * present. Returns every per-rule measurement plus the combined
+    * `keep` verdict, so thresholds can be re-audited downstream without
+    * recomputation.
+    *
+    * Every rule is a codegen'd expression over one `split` of the text
+    * (map-only, zero shuffle); ratios are rounded to 6 decimals for
+    * engine-exact reproduction. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val w = split(col(textCol), "\\s+")
+    val lines = split(col(textCol), "\n")
+    val nWords = size(w).cast("long")
+    val nLines = size(lines).cast("long")
+    def frac(n: Column, d: Column) = round(n.cast("double") / d, 6)
+    val meanLen = frac(aggregate(w, lit(0L), (acc, x) => acc + length(x)), nWords)
+    val nSymbols = (length(col(textCol)) -
+      length(replace(col(textCol), lit("#"), lit("")))).cast("long") +
+      size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0))).cast("long")
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+    val ellipsisLines = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$")))
+    val alphaWords = size(filter(w, x => x.rlike("[a-zA-Z]")))
+    val stopHits = size(array_intersect(
+      array_distinct(transform(w, lower(_))), array(stops.map(lit): _*)))
+    docs.select(col(idCol), nWords.as("n_words"), meanLen.as("mean_wlen"),
+        frac(nSymbols, nWords).as("symbol_ratio"),
+        frac(bulletLines.cast("long"), nLines).as("bullet_frac"),
+        frac(ellipsisLines.cast("long"), nLines).as("ellipsis_frac"),
+        frac(alphaWords.cast("long"), nWords).as("alpha_frac"),
+        stopHits.cast("long").as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_wlen").between(3.0, 10.0) &&
+          (col("symbol_ratio") <= 0.1) && (col("bullet_frac") <= 0.9) &&
+          (col("ellipsis_frac") <= 0.3) && (col("alpha_frac") >= 0.8) &&
+          (col("stop_hits") >= 2L))
+  }
+
   /** Anchors of an HTML document as an array of (href, anchor) structs:
     * every `<a … href="…">inner</a>` element, with the inner text
     * tag-stripped and whitespace-collapsed. Incoming anchor text is the

@@ -1835,9 +1835,61 @@ object Pipeline {
       |  MIN(anchor) AS first_text
       |FROM k GROUP BY host ORDER BY host""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  // The Gopher quality-rule battery (Rae et al. 2021 §A1.1) over texts
+  // augmented so each rule actually fires: every third doc gains bullet
+  // lines + an ellipsis tail, every third+1 a hash-heavy line. Output
+  // is the full per-rule measurement table plus the combined verdict.
+  private def q139GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val s0 = "\n- bullet point one\n- bullet point two\nAnd a trailing thought..."
+    val s1 = "\n" + ("#" * 40) + " ..."
+    val m = col("doc_id") % 3
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(m === 0, lit(s0)).when(m === 1, lit(s1)).otherwise(lit("")))
+        .as("text"))
+    Curation.gopherRules(docs, "doc_id", "text", minWords = 20)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q139Sql = {
+    val stops = "'the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'"
+    s"""WITH aug AS (SELECT doc_id, text || CASE CAST(doc_id % 3 AS INTEGER)
+       |    WHEN 0 THEN chr(10) || '- bullet point one' || chr(10) ||
+       |      '- bullet point two' || chr(10) || 'And a trailing thought...'
+       |    WHEN 1 THEN chr(10) || repeat('#', 40) || ' ...'
+       |    ELSE '' END AS text FROM documents),
+       |m AS (SELECT doc_id,
+       |    string_split_regex(text, '\\s+') AS w,
+       |    string_split(text, chr(10)) AS lines,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+       |      CAST(len(regexp_extract_all(text, '\\.\\.\\.', 0)) AS BIGINT) AS n_sym
+       |  FROM aug),
+       |r AS (SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+       |      / len(w), 6) AS mean_wlen,
+       |    round(CAST(n_sym AS DOUBLE) / len(w), 6) AS symbol_ratio,
+       |    round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l),
+       |      '^[-*•]'))) AS DOUBLE) / len(lines), 6) AS bullet_frac,
+       |    round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l),
+       |      '\\.\\.\\.$$'))) AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
+       |    round(CAST(len(list_filter(w, x -> regexp_matches(x,
+       |      '[a-zA-Z]'))) AS DOUBLE) / len(w), 6) AS alpha_frac,
+       |    CAST(len(list_distinct(list_intersect(
+       |      list_distinct(list_transform(w, x -> lower(x))),
+       |      [$stops]))) AS BIGINT) AS stop_hits
+       |  FROM m)
+       |SELECT *, (n_words BETWEEN 20 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
+       |  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+       |  AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_pagerank" -> q137Pagerank _,
     "q138_anchor_text" -> q138AnchorText _,
+    "q139_gopher_rules" -> q139GopherRules _,
     "q100_normalize" -> q100Normalize _,
     "q101_pq_adc" -> q101PqAdc _,
     "q27_dedup_exact" -> q27DedupExact _,
@@ -1900,6 +1952,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "q137_pagerank" -> q137Sql,
     "q138_anchor_text" -> q138Sql,
+    "q139_gopher_rules" -> q139Sql,
     "q27_dedup_exact" -> q27Sql,
     "q28_minhash_lsh" -> q28Sql,
     "q29_jaccard" -> q29Sql,

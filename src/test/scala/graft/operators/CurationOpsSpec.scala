@@ -387,6 +387,27 @@ class CurationOpsSpec extends SparkSpec {
       .select(Curation.extractLinks($"h")).as[Seq[String]].head().isEmpty)
   }
 
+  test("gopherRules measures each rule and combines the verdict") {
+    val clean = ("the quick brown fox jumps over and over with " * 3).trim
+    val bullets = "short text\n- one\n- two\n* three\n• four"
+    val hashy = "the " + ("#" * 30) + " of and ... ... ..."
+    val df = Seq((1L, clean), (2L, bullets), (3L, hashy))
+      .toDF("doc_id", "text")
+    val got = Curation.gopherRules(df, "doc_id", "text", minWords = 5)
+      .orderBy("doc_id").collect()
+    // clean: all rules pass
+    assert(got(0).getAs[Boolean]("keep"))
+    assert(got(0).getAs[Long]("stop_hits") >= 2)
+    assert(got(0).getAs[Double]("alpha_frac") == 1.0)
+    // bullets: 4 of 5 lines bullet-started -> bullet_frac 0.8, and only
+    // 1 stopword -> rejected on stop_hits
+    assert(math.abs(got(1).getAs[Double]("bullet_frac") - 0.8) < 1e-9)
+    assert(!got(1).getAs[Boolean]("keep"))
+    // hashy: symbol ratio way over 0.1 -> rejected
+    assert(got(2).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!got(2).getAs[Boolean]("keep"))
+  }
+
   test("extractAnchors pairs each href with its tag-stripped inner text") {
     val html = """<a href="https://a.com/1">Plain  text</a>""" +
       """<A CLASS="x" HREF="/rel">nested <b>bold</b> tail</A>""" +
