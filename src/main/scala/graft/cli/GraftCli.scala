@@ -184,6 +184,11 @@ object GraftCli {
         append = true)
     case "zonequery" :: dir :: sortCol :: lo :: hi :: out :: Nil =>
       zoneQuery(dir, sortCol, lo, hi, out)
+    case "bloomindex" :: dir :: keyCol :: rest if rest.size <= 2 =>
+      bloomIndex(dir, keyCol, rest.headOption.map(_.toInt).getOrElse(1 << 17),
+        rest.drop(1).headOption.map(_.toInt).getOrElse(5))
+    case "bloomquery" :: dir :: keyCol :: value :: out :: Nil =>
+      bloomQuery(dir, keyCol, value, out)
     case "annbuild" :: emb :: indexDir :: rest if rest.size <= 1 =>
       annBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(16))
     case "annquery" :: indexDir :: emb :: id :: k :: rest if rest.size <= 1 =>
@@ -239,7 +244,9 @@ object GraftCli {
            |ingest:    warcimport <warcdir> <docs.parquet>
            |store:     zonewrite <parquet> <storedir> <sortcol> [files]
            |           zoneappend <parquet> <storedir> <sortcol> [files]
-           |           zonequery <storedir> <sortcol> <lo> <hi> <outdir>""".stripMargin)
+           |           zonequery <storedir> <sortcol> <lo> <hi> <outdir>
+           |           bloomindex <storedir> <keycol> [nbits] [hashes]
+           |           bloomquery <storedir> <keycol> <value> <outdir>""".stripMargin)
       sys.exit(2)
   }
 
@@ -1479,6 +1486,29 @@ object GraftCli {
       .readPruned(spark, dir, sortCol, lit(lo).cast(t), lit(hi).cast(t))
     pruned.write.mode("overwrite").parquet(out)
     println(s"zone query [$lo, $hi] on $sortCol: opened $kept of $total files -> $out")
+    spark.stop()
+  }
+
+  /** bloomindex / bloomquery: per-file Bloom skipping for equality
+    * lookups on scattered keys (hashes, URLs) where min/max zones can't
+    * prune — index any parquet store once, then serve point lookups
+    * that open only the files whose filter holds the probe bits. */
+  private def bloomIndex(dir: String, keyCol: String, nbits: Int,
+                         k: Int): Unit = {
+    val spark = GraftSession.local()
+    graft.sinks.SkippingStore.bloomIndex(spark, dir, keyCol, nbits, k)
+    val n = graft.sinks.SkippingStore.bloomMap(spark, dir).count()
+    println(s"bloom index on $keyCol written ($n files, $nbits bits, $k hashes)")
+    spark.stop()
+  }
+
+  private def bloomQuery(dir: String, keyCol: String, value: String,
+                         out: String): Unit = {
+    val spark = GraftSession.local()
+    val (kept, total, hit) = graft.sinks.SkippingStore
+      .readBloomEq(spark, dir, keyCol, value)
+    hit.write.mode("overwrite").parquet(out)
+    println(s"bloom lookup $keyCol=$value: opened $kept of $total files -> $out")
     spark.stop()
   }
 

@@ -1886,10 +1886,39 @@ object Pipeline {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q140
+  // Bloom-filter file skipping: point lookup on a content-hash key that
+  // scatters uniformly across every file, so min/max zones cannot prune
+  // — the bloom sidecar must (require(kept < total) proves it in-plan,
+  // the q128 pattern). The oracle sees only the relational result.
+  private def q140BloomSkip(s: SparkSession, dir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_q140_store"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("key"),
+        col("n_chars"))
+    graft.sinks.SkippingStore.write(docs, "doc_id", out, nFiles = 12)
+    graft.sinks.SkippingStore.bloomIndex(s, out, "key", nbits = 1 << 17, k = 5)
+    val target = java.security.MessageDigest.getInstance("MD5")
+      .digest("42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (kept, total, hit) =
+      graft.sinks.SkippingStore.readBloomEq(s, out, "key", target)
+    require(kept < total,
+      s"bloom filter must skip files for a point lookup ($kept of $total kept)")
+    hit.select(col("doc_id"), col("key"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q140Sql =
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key, n_chars
+      |FROM documents
+      |WHERE md5(CAST(doc_id AS VARCHAR)) = md5('42')
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_pagerank" -> q137Pagerank _,
     "q138_anchor_text" -> q138AnchorText _,
     "q139_gopher_rules" -> q139GopherRules _,
+    "q140_bloom_skip" -> q140BloomSkip _,
     "q100_normalize" -> q100Normalize _,
     "q101_pq_adc" -> q101PqAdc _,
     "q27_dedup_exact" -> q27DedupExact _,
@@ -1953,6 +1982,7 @@ object Pipeline {
     "q137_pagerank" -> q137Sql,
     "q138_anchor_text" -> q138Sql,
     "q139_gopher_rules" -> q139Sql,
+    "q140_bloom_skip" -> q140Sql,
     "q27_dedup_exact" -> q27Sql,
     "q28_minhash_lsh" -> q28Sql,
     "q29_jaccard" -> q29Sql,

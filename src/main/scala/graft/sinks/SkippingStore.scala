@@ -124,6 +124,93 @@ object SkippingStore {
     } finally zm.unpersist()
   }
 
+  /** Per-file Bloom-filter skipping for EQUALITY lookups on a column
+    * whose values do not cluster by file — the case min/max zones
+    * cannot prune (a content hash, URL, or id scattered uniformly
+    * across every file's range). One fixed-size bitset per file lives
+    * in a `_bloommap` sidecar; a point lookup tests its k probe bits
+    * against each file's set and opens only the files that might hold
+    * the value. False positives cost one extra file read; false
+    * negatives are impossible (no-false-negative property spec'd).
+    *
+    * The bitset is built DISTRIBUTIVELY: probe positions are
+    * `xxhash64(value, seed) mod nbits`, packed into 64-bit words by a
+    * two-level `bit_or` aggregation keyed on (file, word index) — the
+    * sidecar row for a file is at most `nbits/64` longs regardless of
+    * the file's cardinality, and nothing value-sized ever reaches the
+    * driver. At 16 KiB per file (the default 2^17 bits), a million-file
+    * 100 TB store carries a 16 GB index — read as a file-count-sized
+    * parquet, never the data. */
+  def bloomIndex(spark: SparkSession, dir: String, keyCol: String,
+                 nbits: Int = 1 << 17, k: Int = 5): Unit = {
+    require(nbits % 64 == 0 && nbits > 0, "nbits must be a positive multiple of 64")
+    require(k >= 1, "need at least one hash")
+    val data = spark.read.parquet(dir)
+    val probes = (0 until k).map(i =>
+      pmod(xxhash64(col(keyCol), lit(i)), lit(nbits.toLong)).as(s"p$i"))
+    val pos = data
+      .select((regexp_extract(input_file_name(), "[^/]+$", 0).as("file") +: probes): _*)
+      .select(col("file"), explode(array((0 until k).map(i => col(s"p$i")): _*)).as("pos"))
+    val words = pos
+      .groupBy(col("file"), (col("pos") / 64).cast("int").as("idx"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("word"))
+      .groupBy(col("file"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("word")))).as("iw"))
+      .select(col("file"),
+        col("iw.idx").as("idxs"), col("iw.word").as("words"),
+        lit(nbits).as("nbits"), lit(k).as("k"))
+    words.coalesce(1) // file-count-sized by construction
+      .write.mode("overwrite").parquet(s"$dir/_bloommap")
+  }
+
+  /** The bloom sidecar as a DataFrame (one row per data file). */
+  def bloomMap(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/_bloommap")
+
+  /** Equality lookup through the bloom sidecar: open only the files
+    * whose filter holds every probe bit of `value`, then apply the
+    * exact residual `keyCol = value` on top. Same driver-side,
+    * file-count-sized prune shape as [[readPruned]], with the same
+    * loud coverage check against the store's actual files. Returns
+    * (survivingFiles, totalFiles, frame). */
+  def readBloomEq(spark: SparkSession, dir: String, keyCol: String,
+                  value: String): (Long, Long, DataFrame) = {
+    val bm = bloomMap(spark, dir).cache()
+    try {
+      val rows = bm.collect()
+      require(rows.nonEmpty, s"$dir/_bloommap is empty — rebuild with bloomIndex")
+      val nbits = rows.head.getAs[Int]("nbits")
+      val k = rows.head.getAs[Int]("k")
+      require(rows.forall(r => r.getAs[Int]("nbits") == nbits &&
+        r.getAs[Int]("k") == k),
+        s"$dir/_bloommap mixes filter geometries — rebuild with bloomIndex")
+      checkCoverage(listDataFileNames(spark, dir).toSet,
+        rows.map(_.getAs[String]("file")).toSet, dir)
+      // the probe positions via the SAME expression the index used, on a
+      // literal cast to the store's column type — one driver-local job
+      val keyType = spark.read.parquet(dir).schema(keyCol).dataType
+      val probeCols = (0 until k).map(i =>
+        pmod(xxhash64(lit(value).cast(keyType), lit(i)), lit(nbits.toLong)))
+      val probe = spark.range(1).select(probeCols: _*).head()
+      val want = (0 until k).map(i => probe.getLong(i))
+      val files = rows.filter { r =>
+        val idxs = r.getAs[scala.collection.Seq[Int]]("idxs")
+        val ws = r.getAs[scala.collection.Seq[Long]]("words")
+        val byIdx = idxs.zip(ws).toMap
+        want.forall { p =>
+          (byIdx.getOrElse((p / 64).toInt, 0L) & (1L << (p % 64).toInt)) != 0L
+        }
+      }.map(r => s"$dir/${r.getAs[String]("file")}")
+      val residual = (d: DataFrame) =>
+        d.filter(col(keyCol) === lit(value).cast(keyType))
+      if (files.isEmpty)
+        (0L, rows.length.toLong, residual(spark.read.parquet(dir)).limit(0))
+      else
+        (files.length.toLong, rows.length.toLong,
+          residual(spark.read.parquet(files.toIndexedSeq: _*)))
+    } finally bm.unpersist()
+  }
+
   /** Loud drift check: rows must never silently vanish because a file
     * missed indexing (crash between data and map write, foreign
     * writer), nor double-count because the map lists a file twice. */

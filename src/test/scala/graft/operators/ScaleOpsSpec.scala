@@ -354,6 +354,48 @@ class ScaleOpsSpec extends SparkSpec {
     assert(e3.getMessage.contains("not a zone store"))
   }
 
+  test("bloom skipping: no false negatives, prunes scattered-key lookups") {
+    import graft.sinks.SkippingStore
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString + "/store"
+    // keys are content hashes: uniform across every file's sort range,
+    // so zones are useless and only the bloom can prune
+    val df = Seq.tabulate(400) { i =>
+      (i, java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }.toDF("k", "key")
+    SkippingStore.write(df, "k", dir, nFiles = 8)
+    SkippingStore.bloomIndex(spark, dir, "key", nbits = 1 << 12, k = 5)
+    assert(SkippingStore.bloomMap(spark, dir).count() == 8)
+    // EVERY present key must be found (no false negatives), each from
+    // few files; spot-check a deterministic sample
+    var keptSum = 0L
+    for (i <- 0 until 400 by 23) {
+      val want = df.filter($"k" === i).select($"key").as[String].head()
+      val (kept, total, hit) = SkippingStore.readBloomEq(spark, dir, "key", want)
+      assert(total == 8)
+      keptSum += kept
+      assert(hit.select($"k").as[Int].collect().toSeq == Seq(i))
+    }
+    // pruning actually happened on average (fp rate well under 1 file)
+    assert(keptSum < 2L * (400 / 23 + 1), s"kept $keptSum files total")
+    // an absent key yields an empty frame, usually zero files opened
+    val (_, _, miss) = SkippingStore.readBloomEq(spark, dir, "key", "no-such-key")
+    assert(miss.count() == 0)
+  }
+
+  test("bloom skipping fails loudly on store drift") {
+    import graft.sinks.SkippingStore
+    val dir = java.nio.file.Files.createTempDirectory("bloomdrift").toString + "/store"
+    Seq((1, "a"), (2, "b")).toDF("k", "key").write.parquet(dir)
+    SkippingStore.bloomIndex(spark, dir, "key")
+    // foreign data file appears after indexing -> must refuse, not miss rows
+    Seq((3, "c")).toDF("k", "key").write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      SkippingStore.readBloomEq(spark, dir, "key", "c")
+    }
+    assert(e.getMessage.contains("out of sync"))
+  }
+
   test("gzip FASTA write produces compressed part files (K8)") {
     val out = java.nio.file.Files.createTempDirectory("fagz").toString + "/fa"
     graft.sources.Fasta.write(Seq(("s1", "ACGT")).toDF("id", "seq"), "id", "seq",
