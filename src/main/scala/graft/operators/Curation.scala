@@ -239,6 +239,43 @@ object Curation {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("(?i)href=\"([^\"]*)\""), lit(1))
 
+  /** Largest-remainder (Hamilton) budget apportionment: split an exact
+    * integer `budget` of training tokens across strata proportionally
+    * to their token counts, with every seat accounted for — the step
+    * between mixture WEIGHTS ([[resampleToMixture]] takes rates) and an
+    * executable per-domain sampling PLAN (exact per-domain token
+    * targets that sum to the budget). Pure integer math: base share is
+    * `budget*n / total` floored, the `budget - Σbase` leftover seats go
+    * to the largest remainders `(budget*n) mod total`, ties broken by
+    * stratum name — bit-identical on any engine, no floats anywhere.
+    *
+    * The frame is stratum-count-sized (domains, not documents), so the
+    * single global rank window is over a handful of rows — at 100 TB
+    * the document-sized work is the upstream count aggregation, which
+    * arrives here already reduced. */
+  def allocateBudget(counts: DataFrame, stratumCol: String, nCol: String,
+                     budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    // all arithmetic in DECIMAL(38,0): `budget*n` can overflow a long at
+    // real token scales, and Column./ is DOUBLE division — one ulp off
+    // would mis-floor a base share. `prod - rem` divides exactly, so the
+    // decimal division below has an integer quotient: no rounding seam.
+    val dec = "decimal(38,0)"
+    val tot = counts.agg(sum(col(nCol)).cast(dec).as("total"))
+    val prod = lit(budget).cast(dec) * col(nCol).cast(dec)
+    val based = counts.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col(nCol).cast("long").as(nCol),
+        ((prod - prod % col("total")) / col("total")).cast("long").as("base"),
+        (prod % col("total")).cast(dec).as("rem"))
+    val leftover = lit(budget) - sum(col("base")).over(Window.partitionBy())
+    val ranked = based.withColumn("rk",
+      row_number().over(Window.orderBy(col("rem").desc, col(stratumCol))))
+      .withColumn("leftover", leftover)
+    ranked.select(col(stratumCol), col(nCol),
+      (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        .as("alloc"))
+  }
+
   /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling
     * Language Models: Methods, Analysis & Insights from Training
     * Gopher", §A1.1) — the published heuristic battery web corpora are

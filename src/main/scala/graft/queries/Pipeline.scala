@@ -1914,11 +1914,43 @@ object Pipeline {
       |WHERE md5(CAST(doc_id AS VARCHAR)) = md5('42')
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  // Largest-remainder token-budget apportionment: per-domain token
+  // counts -> exact integer per-domain targets summing to the budget
+  // (the executable sampling plan behind a mixture spec). Pure integer
+  // math end to end; the in-plan require proves the seats balance.
+  private def q141ShardBudget(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy(concat(lit("d"), (col("doc_id") % 7).cast("string")).as("domain"))
+      .agg(sum(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"))
+    val out = Curation.allocateBudget(counts, "domain", "n_tokens", 100000L)
+    val allocated = out.agg(sum(col("alloc"))).head().getLong(0)
+    require(allocated == 100000L,
+      s"largest-remainder must allocate the whole budget ($allocated)")
+    out.orderBy(col("domain"))
+  }
+
+  private val q141Sql =
+    """WITH c AS (SELECT 'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+      |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT SUM(n_tokens) AS total FROM c),
+      |b AS (SELECT domain, n_tokens,
+      |    (100000 * n_tokens) // total AS base,
+      |    (100000 * n_tokens) % total AS rem
+      |  FROM c CROSS JOIN t),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, domain) AS rk,
+      |    100000 - SUM(base) OVER () AS leftover FROM b)
+      |SELECT domain, n_tokens,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM r ORDER BY domain""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_pagerank" -> q137Pagerank _,
     "q138_anchor_text" -> q138AnchorText _,
     "q139_gopher_rules" -> q139GopherRules _,
     "q140_bloom_skip" -> q140BloomSkip _,
+    "q141_shard_budget" -> q141ShardBudget _,
     "q100_normalize" -> q100Normalize _,
     "q101_pq_adc" -> q101PqAdc _,
     "q27_dedup_exact" -> q27DedupExact _,
@@ -1983,6 +2015,7 @@ object Pipeline {
     "q138_anchor_text" -> q138Sql,
     "q139_gopher_rules" -> q139Sql,
     "q140_bloom_skip" -> q140Sql,
+    "q141_shard_budget" -> q141Sql,
     "q27_dedup_exact" -> q27Sql,
     "q28_minhash_lsh" -> q28Sql,
     "q29_jaccard" -> q29Sql,

@@ -387,6 +387,30 @@ class CurationOpsSpec extends SparkSpec {
       .select(Curation.extractLinks($"h")).as[Seq[String]].head().isEmpty)
   }
 
+  test("allocateBudget: largest-remainder seats sum exactly, ties by name") {
+    def alloc(counts: Seq[(String, Long)], budget: Long): Map[String, Long] =
+      Curation.allocateBudget(counts.toDF("domain", "n"), "domain", "n", budget)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    // classic Hamilton example: shares 49.9%/30.05%/20.05% of 10 seats
+    val got = alloc(Seq(("a", 4990L), ("b", 3005L), ("c", 2005L)), 10L)
+    assert(got.values.sum == 10L)
+    assert(got == Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    // equal remainders: the leftover seat goes to the lexicographically
+    // first stratum
+    val tied = alloc(Seq(("x", 1L), ("y", 1L)), 3L)
+    assert(tied == Map("x" -> 2L, "y" -> 1L))
+    // budget smaller than stratum count: only largest remainders get 1
+    val tiny = alloc(Seq(("a", 7L), ("b", 5L), ("c", 1L)), 2L)
+    assert(tiny.values.sum == 2L && tiny("c") == 0L)
+    // proportionality at an exact split needs no remainder seats
+    val exact = alloc(Seq(("a", 2L), ("b", 6L)), 4L)
+    assert(exact == Map("a" -> 1L, "b" -> 3L))
+    // beyond-long products stay exact through the decimal path
+    val big = alloc(Seq(("a", 3000000000000L), ("b", 1000000000000L)),
+      4000000000000L)
+    assert(big == Map("a" -> 3000000000000L, "b" -> 1000000000000L))
+  }
+
   test("gopherRules measures each rule and combines the verdict") {
     val clean = ("the quick brown fox jumps over and over with " * 3).trim
     val bullets = "short text\n- one\n- two\n* three\n• four"
