@@ -103,6 +103,36 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** The (doc_id, band, bucket) band-signature frame as a public entry
+    * point — the unit an LSH signature STORE persists. An append-only
+    * corpus keeps this frame on disk keyed by (band, bucket) (bucketed
+    * layout at cluster scale), so arriving batches are deduped against
+    * the whole history by [[incrementalDuplicates]] without ever
+    * re-signaturing old documents. */
+  def bandSignatures(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, numHashes: Int, rowsPerBand: Int): DataFrame =
+    lshBands(minhashSignatureDirect(docs, idCol, textCol, n, numHashes),
+      numHashes, rowsPerBand)
+
+  /** Incremental (delta-vs-store) dedup: for each incoming doc, the
+    * number of its bands whose bucket already exists in the signature
+    * store, plus the smallest matching store doc id as the canonical
+    * prior copy. Docs with no hit are absent — callers anti-join to
+    * admit novel documents.
+    *
+    * Scale notes: the join key is (band, bucket); with the store laid
+    * out bucketed on that key only the DELTA shuffles — the historical
+    * side streams from its buckets. Cost per batch is proportional to
+    * the batch, not the corpus, which is what makes continuous-crawl
+    * dedup feasible at 100 TB. */
+  def incrementalDuplicates(incoming: DataFrame, store: DataFrame): DataFrame =
+    incoming.select(col("doc_id"), col("band"), col("bucket"))
+      .join(store.select(col("band"), col("bucket"),
+        col("doc_id").as("store_doc")), Seq("band", "bucket"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("band")).as("n_bands_hit"),
+        min(col("store_doc")).as("first_match"))
+
   /** LSH bands: hash groups of `rowsPerBand` signature slots into bucket
     * keys; docs sharing any (band, bucket) become candidate pairs.
     *

@@ -1945,12 +1945,48 @@ object Pipeline {
       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
       |FROM r ORDER BY domain""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  // Incremental dedup against a persisted LSH signature store: even
+  // docs are the historical corpus (signatures written to parquet and
+  // read back — the store round-trip is part of the plan), odd docs the
+  // arriving batch; each incoming doc reports how many of its bands hit
+  // the store and its canonical prior copy. Batch-sized cost, not
+  // corpus-sized — the continuous-crawl dedup shape.
+  private def q142DedupDelta(s: SparkSession, dir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_q142_store"
+    val docs = t(s, dir, "documents")
+    Dedup.bandSignatures(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", 3, 8, 4)
+      .write.mode("overwrite").parquet(out)
+    val inc = Dedup.bandSignatures(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", 3, 8, 4)
+    Dedup.incrementalDuplicates(inc, s.read.parquet(out))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q142Sql = {
+    val mins = (0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+    s"""WITH ${shingleCte(3)},
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig),
+       |store AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+       |inc AS (SELECT * FROM bands WHERE doc_id % 2 = 1)
+       |SELECT i.doc_id AS doc_id, CAST(COUNT(DISTINCT i.band) AS BIGINT) AS n_bands_hit,
+       |  MIN(s.doc_id) AS first_match
+       |FROM inc i JOIN store s ON i.band = s.band AND i.bucket = s.bucket
+       |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_pagerank" -> q137Pagerank _,
     "q138_anchor_text" -> q138AnchorText _,
     "q139_gopher_rules" -> q139GopherRules _,
     "q140_bloom_skip" -> q140BloomSkip _,
     "q141_shard_budget" -> q141ShardBudget _,
+    "q142_dedup_delta" -> q142DedupDelta _,
     "q100_normalize" -> q100Normalize _,
     "q101_pq_adc" -> q101PqAdc _,
     "q27_dedup_exact" -> q27DedupExact _,
@@ -2016,6 +2052,7 @@ object Pipeline {
     "q139_gopher_rules" -> q139Sql,
     "q140_bloom_skip" -> q140Sql,
     "q141_shard_budget" -> q141Sql,
+    "q142_dedup_delta" -> q142Sql,
     "q27_dedup_exact" -> q27Sql,
     "q28_minhash_lsh" -> q28Sql,
     "q29_jaccard" -> q29Sql,

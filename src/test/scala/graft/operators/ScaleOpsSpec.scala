@@ -154,6 +154,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(dropped == Seq(50L, 50L))
   }
 
+  test("incremental dedup flags only incoming docs whose bands hit the store") {
+    val store = Dedup.bandSignatures(Seq(
+      (0L, "the exact same sentence appears here today"),
+      (2L, "an unrelated historical document about trains"),
+      (4L, "the exact same sentence appears here today")) // in-store dup
+      .toDF("doc_id", "text"), "doc_id", "text", 3, 8, 4)
+    val inc = Dedup.bandSignatures(Seq(
+      (1L, "the exact same sentence appears here today"), // dup of 0 and 4
+      (3L, "a genuinely novel incoming document about ships"))
+      .toDF("doc_id", "text"), "doc_id", "text", 3, 8, 4)
+    val got = Dedup.incrementalDuplicates(inc, store)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1 hits on both bands, canonical prior copy is min(0, 4) = 0;
+    // doc 3 is novel -> absent
+    assert(got == Seq((1L, 2L, 0L)))
+  }
+
   test("embedding near-dup bucket cap bounds the all-zero-vector bucket") {
     val zeros = Seq.tabulate(30)(i => (i.toLong, Array(0f, 0f, 0f, 0f)))
     val real = Seq((100L, Array(1f, -1f, 0.5f, 0f)), (101L, Array(1f, -1f, 0.4f, 0f)))
