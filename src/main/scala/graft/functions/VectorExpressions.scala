@@ -61,8 +61,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getA = if (isFloat(left.dataType)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val getB = if (isFloat(right.dataType)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // every local (including loop vars) via freshName: two instances of
+      // this expression can land in ONE generated method, where sibling
+      // `int i` declarations collide and janino drops the whole stage to
+      // interpreted mode
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val getA = if (isFloat(left.dataType)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloat(right.dataType)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
@@ -70,10 +77,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  double x = $getA;
-         |  double y = $getB;
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $getA;
+         |  double $y = $getB;
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
@@ -136,16 +143,19 @@ case class L2Distance(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getA = if (isFloat(left.dataType)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val getB = if (isFloat(right.dataType)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // loop vars via freshName too — see CosineSimilarity.doGenCode
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val getA = if (isFloat(left.dataType)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloat(right.dataType)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  double d = $getA - $getB;
-         |  $acc += d * d;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $getA - $getB;
+         |  $acc += $d * $d;
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -308,24 +318,28 @@ case class NearestCell(child: Expression, cids: Seq[Int],
     val cd = ctx.addReferenceObj("cellIds", cidArr, "int[]")
     val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, e => {
+      // loop vars via freshName too — see CosineSimilarity.doGenCode
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
       val acc = ctx.freshName("acc")
       val c = ctx.freshName("c")
       val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val d = ctx.freshName("d")
       s"""
          |int $best = 0;
          |double $bestD = Double.NaN;
-         |for (int k = 0; k < $m.length; k++) {
-         |  double[] $c = $m[k];
+         |for (int $k = 0; $k < $m.length; $k++) {
+         |  double[] $c = $m[$k];
          |  int $n = java.lang.Math.min($e.numElements(), $c.length);
          |  double $acc = 0.0;
-         |  for (int i = 0; i < $n; i++) {
-         |    double d = ((double) $e.$get(i)) - $c[i];
-         |    $acc += d * d;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ((double) $e.$get($i)) - $c[$i];
+         |    $acc += $d * $d;
          |  }
-         |  if (k == 0 || java.lang.Double.compare($acc, $bestD) < 0) {
-         |    $bestD = $acc; $best = k;
+         |  if ($k == 0 || java.lang.Double.compare($acc, $bestD) < 0) {
+         |    $bestD = $acc; $best = $k;
          |  }
          |}
          |${ev.value} = $cd[$best];
