@@ -184,6 +184,9 @@ object GraftCli {
         append = true)
     case "zonequery" :: dir :: sortCol :: lo :: hi :: out :: Nil =>
       zoneQuery(dir, sortCol, lo, hi, out)
+    case "pagerank" :: edges :: out :: rest if rest.size <= 2 =>
+      pageRank(edges, out, rest.headOption.map(_.toInt).getOrElse(10),
+        rest.drop(1).headOption.map(_.toDouble).getOrElse(0.85))
     case "bloomindex" :: dir :: keyCol :: rest if rest.size <= 2 =>
       bloomIndex(dir, keyCol, rest.headOption.map(_.toInt).getOrElse(1 << 17),
         rest.drop(1).headOption.map(_.toInt).getOrElse(5))
@@ -246,7 +249,8 @@ object GraftCli {
            |           zoneappend <parquet> <storedir> <sortcol> [files]
            |           zonequery <storedir> <sortcol> <lo> <hi> <outdir>
            |           bloomindex <storedir> <keycol> [nbits] [hashes]
-           |           bloomquery <storedir> <keycol> <value> <outdir>""".stripMargin)
+           |           bloomquery <storedir> <keycol> <value> <outdir>
+           |graph:     pagerank <edges_parquet> <outdir> [iters] [damping]""".stripMargin)
       sys.exit(2)
   }
 
@@ -1486,6 +1490,23 @@ object GraftCli {
       .readPruned(spark, dir, sortCol, lit(lo).cast(t), lit(hi).cast(t))
     pruned.write.mode("overwrite").parquet(out)
     println(s"zone query [$lo, $hi] on $sortCol: opened $kept of $total files -> $out")
+    spark.stop()
+  }
+
+  /** pagerank: iterative authority ranking over an edge-list parquet
+    * (src, dst[, w]) — the crawl-frontier scorer (operators/Graph).
+    * Missing weights default to 1. */
+  private def pageRank(edges: String, out: String, iters: Int,
+                       damping: Double): Unit = {
+    val spark = GraftSession.local()
+    val raw = spark.read.parquet(edges)
+    val e =
+      if (raw.columns.contains("w")) raw.select(col("src"), col("dst"), col("w"))
+      else raw.select(col("src"), col("dst"), lit(1L).as("w"))
+    graft.operators.Graph.pageRank(e, iters, damping)
+      .write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    println(s"pagerank: $n nodes ranked ($iters iterations, damping $damping) -> $out")
     spark.stop()
   }
 
