@@ -24,23 +24,39 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = math.max(1,
       sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(3))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A query that throws is recorded as an error, NOT a timing: timing a
+    // crashed attempt would rank it among the fastest rows and silently
+    // shrink the total (a deleted testdata column must make the bench
+    // loudly report n_failed=1, not emit a 60 ms entry).
+    val attempts = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        var err: Option[String] = None
+        val times = (1 to repeat).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+              None
+          }
+        }
+        (name, times.minOption, err)
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = attempts.collect { case (n, Some(t), _) => n -> t }.toMap
+    val failed = attempts.collect { case (n, None, err) => n -> err.getOrElse("error") }
+    val qs = (results.map { case (k, v) => s"\"" + k + "\":" + v } ++
+      failed.map { case (k, e) => s"\"" + k + "\":{\"err\":\"" + e + "\"}" })
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // mark subset/min-of-N runs so they can't be mistaken for the
     // published full-bench number
     val mode = (if (only.isDefined) List(s""""subset":${results.size}""") else Nil) ++
-      (if (repeat > 1) List(s""""repeat":$repeat""") else Nil)
+      (if (repeat > 1) List(s""""repeat":$repeat""") else Nil) ++
+      (if (failed.nonEmpty) List(s""""n_failed":${failed.size}""") else Nil)
     val modeStr = if (mode.isEmpty) "" else mode.mkString(",", ",", "")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$modeStr}"""

@@ -46,8 +46,11 @@ object GraftCli {
 
   private var approx = false
 
+  private var compactStore = false
+
   private val flags = Set("--single-file", "--dry-run", "--force",
-    "--feature-version", "--parts", "--include-metadata", "--approx")
+    "--feature-version", "--parts", "--include-metadata", "--approx",
+    "--compact")
   private val valueFlags = Set("--source", "--ref", "--feature-type",
     "--subfeature-type", "--type")
 
@@ -79,6 +82,7 @@ object GraftCli {
     featureVersion = args.contains("--feature-version")
     withParts = args.contains("--parts")
     approx = args.contains("--approx")
+    compactStore = args.contains("--compact")
     sourceOpt = vals.get("--source")
     refOpt = vals.get("--ref")
     featureTypeOpt = vals.get("--feature-type")
@@ -165,6 +169,8 @@ object GraftCli {
     case ("chado2gaf" | "dictygaf") :: store :: out :: rest if rest.size <= 1 =>
       chado2Gaf(store, out, rest.headOption)
     case "corpusdedup" :: in :: out :: Nil => corpusDedup(in, out)
+    case "dedupingest" :: batch :: store :: out :: Nil =>
+      dedupIngest(batch, store, out)
     case "decontaminate" :: corpus :: bench :: out :: Nil =>
       decontaminate(corpus, bench, out)
     case "corpusstats" :: in :: Nil => corpusStats(in)
@@ -236,6 +242,7 @@ object GraftCli {
            |           dscorders <datadir> <plasmid_out> <strain_out>
            |report:    sumstats stockreport
            |corpus:    corpusdedup decontaminate corpusstats corpussplit corpusmix
+           |           dedupingest <batch> <sigstore> <dupes_out> [--compact]
            |           corpusimport corpusingest corpusexport <parquet> <out> <fmt> [shards]
            |ann:       annbuild <emb> <indexdir> [cells]
            |           annquery <indexdir> <emb> <id> <k> [nprobe]
@@ -991,6 +998,21 @@ object GraftCli {
     kept.write.mode("overwrite").parquet(out)
     val nKept = spark.read.parquet(out).count()
     println(s"docs=$total exact_unique=${uniq.count()} kept=$nKept -> $out")
+    spark.stop()
+  }
+
+  /** Incremental dedup ingest (the q142 store lifecycle as a verb): a
+    * batch of documents is deduped against the persisted (band, bucket)
+    * signature store, novel signatures are appended, and `--compact`
+    * rewrites the store to ~64 MB files so continuous per-batch appends
+    * don't decay into a small-file hazard. */
+  private def dedupIngest(batch: String, storeDir: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val (nDocs, nDupes, filesAfter) = graft.operators.Dedup.ingestBatch(
+      spark.read.parquet(batch), "doc_id", "text", storeDir, out,
+      compactTargetBytes = if (compactStore) Some(64L << 20) else None)
+    val compactMsg = if (filesAfter >= 0) s" store_files=$filesAfter" else ""
+    println(s"batch=$nDocs duplicates=$nDupes -> $out; store=$storeDir$compactMsg")
     spark.stop()
   }
 

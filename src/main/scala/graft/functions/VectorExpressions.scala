@@ -351,6 +351,115 @@ case class NearestCell(child: Expression, cids: Seq[Int],
     copy(child = newChild)
 }
 
+/** [[NearestCell]] with the centroid matrix held as a TORRENT BROADCAST
+  * instead of expression state. The plain form attaches the matrix via
+  * `addReferenceObj`, so it rides inside the serialized task binary of
+  * every stage that uses it — ~65 MB at 64k cells × 128 dims, shipped
+  * per stage. Here the expression carries only the two broadcast
+  * HANDLES (bytes); executors fetch the matrix once via the broadcast
+  * machinery and cache it process-wide, exactly like a broadcast join's
+  * hash relation. [[graft.operators.Similarity.IvfIndex]] switches to
+  * this form automatically at >= 4,096 cells.
+  *
+  * Eval semantics are identical to [[NearestCell]] (same kernel:
+  * left-to-right (x-y)² accumulation, `java.lang.Double.compare`
+  * first-minimum tiebreak, null → null); full `doGenCode`, with the
+  * matrix lazily pulled out of the broadcast into a class-level field
+  * on first row.
+  */
+case class NearestCellBroadcast(child: Expression,
+    cidsBc: org.apache.spark.broadcast.Broadcast[Array[Int]],
+    centroidsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_cell expects array<float|double>, got $t")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val matrix: Array[Array[Double]] = centroidsBc.value
+  @transient private lazy val cidArr: Array[Int] = cidsBc.value
+
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    val fl = isFloat
+    var best = 0
+    var bestD = Double.NaN
+    var k = 0
+    while (k < matrix.length) {
+      val c = matrix(k)
+      val n = math.min(e.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (fl) e.getFloat(i).toDouble else e.getDouble(i)
+        val d = x - c(i)
+        acc += d * d
+        i += 1
+      }
+      if (k == 0 || java.lang.Double.compare(acc, bestD) < 0) {
+        bestD = acc; best = k
+      }
+      k += 1
+    }
+    cidArr(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // only the HANDLES go into the references array / task binary
+    val mBc = ctx.addReferenceObj("centroidBc", centroidsBc,
+      "org.apache.spark.broadcast.Broadcast")
+    val cdBc = ctx.addReferenceObj("cellIdsBc", cidsBc,
+      "org.apache.spark.broadcast.Broadcast")
+    val m = ctx.addMutableState("double[][]", "ncbMatrix")
+    val cd = ctx.addMutableState("int[]", "ncbCids")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, e => {
+      // loop vars via freshName too — see CosineSimilarity.doGenCode
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val acc = ctx.freshName("acc")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($m == null) {
+         |  $m = (double[][]) $mBc.value();
+         |  $cd = (int[]) $cdBc.value();
+         |}
+         |int $best = 0;
+         |double $bestD = Double.NaN;
+         |for (int $k = 0; $k < $m.length; $k++) {
+         |  double[] $c = $m[$k];
+         |  int $n = java.lang.Math.min($e.numElements(), $c.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ((double) $e.$get($i)) - $c[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($k == 0 || java.lang.Double.compare($acc, $bestD) < 0) {
+         |    $bestD = $acc; $best = $k;
+         |  }
+         |}
+         |${ev.value} = $cd[$best];
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The `nprobe` nearest cells for a query vector, ordered by
   * (distance, cell id) ascending — the multi-cell probe pick that
   * previously sorted a per-centroid-literal struct array
@@ -432,6 +541,11 @@ object VectorFunctions {
   def nearest_cells(e: Column, cids: Seq[Int], centroids: Seq[Seq[Double]],
                     nprobe: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(e), cids, centroids, nprobe))
+
+  def nearest_cell_bcast(e: Column,
+      cidsBc: org.apache.spark.broadcast.Broadcast[Array[Int]],
+      centroidsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    ColumnBridge.column(NearestCellBroadcast(ColumnBridge.expression(e), cidsBc, centroidsBc))
 
   /** Register as SQL functions on a session (the
     * `SparkSessionExtensions` injection path uses the same calls). */

@@ -133,6 +133,46 @@ object Dedup {
       .agg(countDistinct(col("band")).as("n_bands_hit"),
         min(col("store_doc")).as("first_match"))
 
+  /** One batch of the persisted-store dedup lifecycle (the q142 shape
+    * productionized, `cli:dedupingest`): report duplicates of `docs`
+    * against the signature store at `storeDir` (written to `dupesOut`),
+    * append the NOVEL documents' signatures to the store, and — when
+    * `compactTargetBytes` is set — rewrite the store into
+    * ~target-sized files via [[graft.sinks.StoreMaintenance.compact]].
+    * A year of per-batch appends otherwise decays into a small-file
+    * store whose (band, bucket) join pays per-file open cost; periodic
+    * compaction restores scan efficiency and NEVER changes results
+    * (row set is preserved — spec'd). The dupes report is materialized
+    * BEFORE the append, so a batch never matches its own signatures.
+    * Returns (batchDocs, duplicateDocs, storeFilesAfter). */
+  def ingestBatch(docs: DataFrame, idCol: String, textCol: String,
+                  storeDir: String, dupesOut: String,
+                  compactTargetBytes: Option[Long] = None,
+                  n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 4)
+      : (Long, Long, Int) = {
+    val spark = docs.sparkSession
+    val sigs = bandSignatures(docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text")), "doc_id", "text", n, numHashes, rowsPerBand)
+      .persist()
+    try {
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val store0 =
+        if (fs.exists(p)) spark.read.parquet(storeDir)
+        else sigs.limit(0) // first batch: empty store, same schema
+      incrementalDuplicates(sigs, store0)
+        .write.mode("overwrite").parquet(dupesOut)
+      val dupIds = spark.read.parquet(dupesOut).select(col("doc_id"))
+      sigs.join(dupIds, Seq("doc_id"), "left_anti")
+        .write.mode("append").parquet(storeDir)
+      val after = compactTargetBytes match {
+        case Some(t) => graft.sinks.StoreMaintenance.compact(spark, storeDir, t)._2
+        case None => -1
+      }
+      (docs.count(), dupIds.count(), after)
+    } finally { sigs.unpersist(); () }
+  }
+
   /** LSH bands: hash groups of `rowsPerBand` signature slots into bucket
     * keys; docs sharing any (band, bucket) become candidate pairs.
     *

@@ -59,7 +59,18 @@ object Similarity {
     * centroid is `centroids(i)` — dimension-sized model state held on
     * the driver, exactly like any production IVF index (and any Spark
     * MLlib model). Train once, probe many. */
+  /** Above this cell count the centroid matrix moves from expression
+    * state (serialized into every stage's task binary) to a torrent
+    * broadcast fetched once per executor — at 64k cells × 128 dims the
+    * matrix is ~65 MB, which must not ride in every task closure. */
+  private[graft] val BroadcastCellThreshold = 4096
+
   final case class IvfIndex(cids: Seq[Int], centroids: Seq[Seq[Double]]) {
+    // broadcast once per index instance, only if a big assignment asks
+    @transient private lazy val bc = {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      (sc.broadcast(cids.toArray), sc.broadcast(centroids.map(_.toArray).toArray))
+    }
     /** Map-only cell assignment for column `e`: a SINGLE codegen'd
       * argmin expression over the driver-held centroid matrix
       * ([[graft.functions.NearestCell]] — the matrix rides as one
@@ -74,7 +85,10 @@ object Similarity {
       * column — the product-quantizer reuses it per subvector. */
     private[Similarity] def cellColFor(
         e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      graft.functions.VectorFunctions.nearest_cell(e, cids, centroids)
+      if (cids.length >= BroadcastCellThreshold) {
+        val (cb, mb) = bc
+        graft.functions.VectorFunctions.nearest_cell_bcast(e, cb, mb)
+      } else graft.functions.VectorFunctions.nearest_cell(e, cids, centroids)
 
     /** The `nprobe` nearest cells by trained-centroid distance, ordered
       * by (distance, cell id) — same single-expression shape as

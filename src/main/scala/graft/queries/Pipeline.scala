@@ -1740,6 +1740,112 @@ object Pipeline {
        |SELECT vec_id, adist FROM scored ORDER BY adist, vec_id LIMIT 10""".stripMargin
   }
 
+  // --------------------------------------------------------------- q143
+  // IVF-PQ serve path (operators/Similarity.ivfPqTopK): the coarse
+  // 8-cell quantizer prunes the corpus to the query's 2 nearest cells,
+  // PQ codes (2 subspaces x 8 centroids) score the survivors via summed
+  // ADC table lookups. The oracle unrolls BOTH trainings — the full-dim
+  // coarse Lloyd step (shared ivfCtes) and the per-subspace PQ step —
+  // then intersects probe-cell candidates with code lookups.
+  private def q143IvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, numCells = 8, m = 2, k = 8, topK = 10, nprobe = 2)
+
+  private val q143Sql = {
+    def l2(a: String, b: String) = l2Sql(a, b)
+    s"""WITH $ivfCtes,
+       |probes AS (SELECT cid AS cell FROM (
+       |  SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn
+       |  FROM d1 WHERE vid = 0) WHERE rn <= 2),
+       |subv AS (
+       |  SELECT vec_id, j, embedding[j*32+1 : (j+1)*32] AS sv
+       |  FROM embeddings, unnest(generate_series(0, 1)) AS u(j)),
+       |pinit AS (
+       |  SELECT j, CAST(vec_id AS INTEGER) AS cid, sv AS cv
+       |  FROM subv WHERE vec_id < 8),
+       |pd0 AS (
+       |  SELECT s.vec_id AS vid, s.j, i.cid, ${l2("s.sv", "i.cv")} AS d2
+       |  FROM subv s JOIN pinit i ON s.j = i.j),
+       |pa0 AS (SELECT vid, j, cell0 FROM (
+       |  SELECT vid, j, cid AS cell0,
+       |         row_number() OVER (PARTITION BY vid, j ORDER BY d2, cid) AS rn
+       |  FROM pd0) WHERE rn = 1),
+       |pdims AS (
+       |  SELECT pa0.j, pa0.cell0,
+       |    unnest(generate_series(1, len(s.sv))) AS i,
+       |    unnest(list_transform(s.sv, x -> CAST(x AS DOUBLE))) AS x
+       |  FROM subv s JOIN pa0 ON s.vec_id = pa0.vid AND s.j = pa0.j),
+       |pc1 AS (SELECT j, cell0 AS cid, list(m ORDER BY i) AS cv FROM (
+       |  SELECT j, cell0, i, round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS m
+       |  FROM pdims GROUP BY j, cell0, i) GROUP BY j, cell0),
+       |enc AS (SELECT vid, j, code FROM (
+       |  SELECT s.vec_id AS vid, s.j, c.cid AS code,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.j
+       |                            ORDER BY ${l2("s.sv", "c.cv")}, c.cid) AS rn
+       |  FROM subv s JOIN pc1 c ON s.j = c.j) WHERE rn = 1),
+       |lut AS (
+       |  SELECT c.j, c.cid, round(${l2("q.sv", "c.cv")}, 6) AS dd
+       |  FROM pc1 c JOIN subv q ON q.j = c.j AND q.vec_id = 0),
+       |cand AS (
+       |  SELECT a1.vid FROM a1 JOIN probes ON a1.cell = probes.cell
+       |  WHERE a1.vid <> 0),
+       |scored AS (
+       |  SELECT e.vid AS vec_id, round(SUM(l.dd), 6) AS adist
+       |  FROM enc e JOIN cand ON cand.vid = e.vid
+       |  JOIN lut l ON e.j = l.j AND e.code = l.cid
+       |  GROUP BY e.vid)
+       |SELECT vec_id, adist FROM scored ORDER BY adist, vec_id LIMIT 10""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q144
+  // Recall@10 eval (operators/Similarity.recallAtK): for 5 query
+  // vectors, the IVF nprobe=1 top-10 is scored against the exact
+  // brute-force cosine top-10 — the metric every ANN deployment tracks.
+  // Train-once / probe-many: one shared coarse index serves all probes.
+  private def q144Recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val approx = qids.map(q =>
+        Similarity.ivfProbe(emb, "vec_id", "embedding", q, index, k = 10)
+          .withColumn("query_id", lit(q)))
+      .reduce(_ unionByName _)
+    val exact = qids.map(q =>
+        Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+          .withColumn("query_id", lit(q)))
+      .reduce(_ unionByName _)
+    Similarity.recallAtK(approx, exact, "query_id", "vec_id")
+      .orderBy(col("query_id"))
+  }
+
+  private val q144Sql =
+    s"""WITH $ivfCtes,
+       |qv AS (SELECT vid AS qid, ev AS qvec FROM a1 WHERE vid IN (0, 1, 2, 3, 4)),
+       |probes AS (SELECT qid, cell FROM (
+       |  SELECT d1.vid AS qid, d1.cid AS cell,
+       |         row_number() OVER (PARTITION BY d1.vid ORDER BY d1.d2, d1.cid) AS rn
+       |  FROM d1 WHERE d1.vid IN (0, 1, 2, 3, 4)) WHERE rn <= 1),
+       |ax AS (SELECT qid, vec_id FROM (
+       |  SELECT p.qid, a1.vid AS vec_id,
+       |         row_number() OVER (PARTITION BY p.qid
+       |                            ORDER BY ${cosSql("a1.ev", "q.qvec")} DESC, a1.vid) AS rn
+       |  FROM a1 JOIN probes p ON a1.cell = p.cell
+       |  JOIN qv q ON q.qid = p.qid
+       |  WHERE a1.vid <> p.qid) WHERE rn <= 10),
+       |ex AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, a1.vid AS vec_id,
+       |         row_number() OVER (PARTITION BY q.qid
+       |                            ORDER BY ${cosSql("a1.ev", "q.qvec")} DESC, a1.vid) AS rn
+       |  FROM a1 CROSS JOIN qv q WHERE a1.vid <> q.qid) WHERE rn <= 10),
+       |hits AS (SELECT ex.qid, COUNT(*) AS n_hit
+       |         FROM ex JOIN ax ON ax.qid = ex.qid AND ax.vec_id = ex.vec_id
+       |         GROUP BY ex.qid),
+       |nex AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid)
+       |SELECT CAST(nex.qid AS BIGINT) AS query_id,
+       |  round(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / nex.n_exact, 6) AS recall
+       |FROM nex LEFT JOIN hits ON hits.qid = nex.qid
+       |ORDER BY query_id""".stripMargin
+
   // ---------------------------------------------------------------- q137
   // Host-graph PageRank — the authority score a crawl pipeline ranks
   // its frontier by. The host graph is synthesized from doc_id
@@ -1989,6 +2095,8 @@ object Pipeline {
     "q142_dedup_delta" -> q142DedupDelta _,
     "q100_normalize" -> q100Normalize _,
     "q101_pq_adc" -> q101PqAdc _,
+    "q143_ivfpq" -> q143IvfPq _,
+    "q144_recall" -> q144Recall _,
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
     "q29_jaccard" -> q29Jaccard _,
@@ -2110,5 +2218,7 @@ object Pipeline {
     "q98_bpe_pairs" -> q98Sql,
     "q100_normalize" -> q100Sql,
     "q101_pq_adc" -> q101Sql,
+    "q143_ivfpq" -> q143Sql,
+    "q144_recall" -> q144Sql,
   )
 }

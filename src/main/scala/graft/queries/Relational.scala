@@ -26,6 +26,15 @@ object Relational {
   private[queries] def dsum(c: String) =
     sum(col(c).cast("decimal(18,2)")).cast("double")
 
+  /** Epoch micros from a timestamp column, tolerant of both TIMESTAMP and
+    * TIMESTAMP_NTZ inputs: parquet `timestamp[us]` without a timezone reads
+    * as TIMESTAMP_NTZ under Spark 4, which `unix_micros` rejects. The cast
+    * to TIMESTAMP is the identity under the session timezone pinned to UTC
+    * (Bench/Verify/build.sbt), so DuckDB `epoch_us` semantics are unchanged.
+    */
+  private[graft] def epochUs(c: org.apache.spark.sql.Column) =
+    unix_micros(c.cast("timestamp"))
+
   // ---------------------------------------------------------------- q1
   // A1/A3/O5 — grouped aggregate scan (TPC-H Q1 shape).
   // Reference analog: staging row-count + grouped merge stats
@@ -157,7 +166,7 @@ object Relational {
   private def q7EventGaps(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     t(s, dir, "events")
-      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_us", epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(w))
       .filter(col("gap_us").isNotNull)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_gaps"),
@@ -183,7 +192,7 @@ object Relational {
   // J13/W3 — gap-based chain grouping (blast2chadogff3.pm:337-435),
   // sessionize events with a 30-minute gap threshold.
   private def q8Sessionize(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val ev = t(s, dir, "events").withColumn("ts_us", epochUs(col("ts")))
     Sessionize.assign(ev, Seq(col("user_id")), Seq(col("ts"), col("event_id")),
         col("ts_us"), 1800L * 1000 * 1000)
       .groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
@@ -571,7 +580,7 @@ object Relational {
   // purchase after it, conversion lag (the sessionized-analytics shape
   // the streaming module serves incrementally).
   private def q43Funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val ev = t(s, dir, "events").withColumn("ts_us", epochUs(col("ts")))
     val firstView = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
     val firstPurchase = ev.filter(col("event_type") === "purchase")

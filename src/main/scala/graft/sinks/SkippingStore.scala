@@ -139,8 +139,10 @@ object SkippingStore {
     * sidecar row for a file is at most `nbits/64` longs regardless of
     * the file's cardinality, and nothing value-sized ever reaches the
     * driver. At 16 KiB per file (the default 2^17 bits), a million-file
-    * 100 TB store carries a 16 GB index — read as a file-count-sized
-    * parquet, never the data. */
+    * 100 TB store carries a 16 GB index; lookups therefore probe it
+    * DISTRIBUTIVELY too ([[readBloomEq]] filters the sidecar as a
+    * DataFrame and collects only surviving file names), so driver memory
+    * stays O(file names), never O(bitsets). */
   def bloomIndex(spark: SparkSession, dir: String, keyCol: String,
                  nbits: Int = 1 << 17, k: Int = 5): Unit = {
     require(nbits % 64 == 0 && nbits > 0, "nbits must be a positive multiple of 64")
@@ -177,15 +179,15 @@ object SkippingStore {
                   value: String): (Long, Long, DataFrame) = {
     val bm = bloomMap(spark, dir).cache()
     try {
-      val rows = bm.collect()
-      require(rows.nonEmpty, s"$dir/_bloommap is empty — rebuild with bloomIndex")
-      val nbits = rows.head.getAs[Int]("nbits")
-      val k = rows.head.getAs[Int]("k")
-      require(rows.forall(r => r.getAs[Int]("nbits") == nbits &&
-        r.getAs[Int]("k") == k),
+      // geometry check via a tiny distinct — the driver never sees a bitset
+      val geom = bm.select(col("nbits"), col("k")).distinct().collect()
+      require(geom.nonEmpty, s"$dir/_bloommap is empty — rebuild with bloomIndex")
+      require(geom.length == 1,
         s"$dir/_bloommap mixes filter geometries — rebuild with bloomIndex")
-      checkCoverage(listDataFileNames(spark, dir).toSet,
-        rows.map(_.getAs[String]("file")).toSet, dir)
+      val nbits = geom.head.getInt(0)
+      val k = geom.head.getInt(1)
+      val mapped = bm.select(col("file")).collect().map(_.getString(0)).toSet
+      checkCoverage(listDataFileNames(spark, dir).toSet, mapped, dir)
       // the probe positions via the SAME expression the index used, on a
       // literal cast to the store's column type — one driver-local job
       val keyType = spark.read.parquet(dir).schema(keyCol).dataType
@@ -193,20 +195,23 @@ object SkippingStore {
         pmod(xxhash64(lit(value).cast(keyType), lit(i)), lit(nbits.toLong)))
       val probe = spark.range(1).select(probeCols: _*).head()
       val want = (0 until k).map(i => probe.getLong(i))
-      val files = rows.filter { r =>
-        val idxs = r.getAs[scala.collection.Seq[Int]]("idxs")
-        val ws = r.getAs[scala.collection.Seq[Long]]("words")
-        val byIdx = idxs.zip(ws).toMap
-        want.forall { p =>
-          (byIdx.getOrElse((p / 64).toInt, 0L) & (1L << (p % 64).toInt)) != 0L
-        }
-      }.map(r => s"$dir/${r.getAs[String]("file")}")
+      // the k probe-bit tests evaluate INSIDE the sidecar scan as a plain
+      // column predicate (map lookup + mask over the packed words); only
+      // the SURVIVING file names ever reach the driver — O(survivors)
+      // driver memory at a million files, not 16 GB of bitsets
+      val iw = map_from_arrays(col("idxs"), col("words"))
+      val hasAllBits = want.map { p =>
+        coalesce(element_at(iw, lit((p / 64).toInt)), lit(0L))
+          .bitwiseAND(lit(1L << (p % 64).toInt)) =!= lit(0L)
+      }.reduce(_ && _)
+      val files = bm.filter(hasAllBits)
+        .select(col("file")).collect().map(r => s"$dir/${r.getString(0)}")
       val residual = (d: DataFrame) =>
         d.filter(col(keyCol) === lit(value).cast(keyType))
       if (files.isEmpty)
-        (0L, rows.length.toLong, residual(spark.read.parquet(dir)).limit(0))
+        (0L, mapped.size.toLong, residual(spark.read.parquet(dir)).limit(0))
       else
-        (files.length.toLong, rows.length.toLong,
+        (files.length.toLong, mapped.size.toLong,
           residual(spark.read.parquet(files.toIndexedSeq: _*)))
     } finally bm.unpersist()
   }

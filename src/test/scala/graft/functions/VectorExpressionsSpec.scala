@@ -76,4 +76,47 @@ class TopKNullSpec extends graft.SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(got == Seq((1L, 0.9), (3L, 0.5)))
   }
+
+  test("NearestCellBroadcast at 4096 cells: same assignment, no codegen fallback, flat expression payload") {
+    val nCells = 4096
+    val dim = 8
+    val cids: Seq[Int] = 0 until nCells
+    val cents: Seq[Seq[Double]] = Seq.tabulate(nCells)(k =>
+      Seq.tabulate(dim)(i => ((k * 31 + i * 7) % 97).toDouble / 97.0))
+    val sc = spark.sparkContext
+    val cb = sc.broadcast(cids.toArray)
+    val mb = sc.broadcast(cents.map(_.toArray).toArray)
+    val vecs = Seq.tabulate(200)(r =>
+        (r.toLong, Array.tabulate(dim)(i => ((r * 13 + i * 5) % 89).toFloat / 89f)))
+      .toDF("id", "e")
+    // fallback=false makes a janino failure throw instead of silently
+    // dropping to interpreted mode — this IS the no-fallback assertion
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val plain = vecs.select($"id",
+          VectorFunctions.nearest_cell($"e", cids, cents).as("c"))
+        .as[(Long, Int)].collect().toMap
+      val viaBc = vecs.select($"id",
+          VectorFunctions.nearest_cell_bcast($"e", cb, mb).as("c"))
+        .as[(Long, Int)].collect().toMap
+      assert(viaBc == plain && plain.size == 200)
+      assert(plain.values.toSet.size > 1) // assignments actually vary
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    // the broadcast form serializes HANDLES, not the centroid matrix —
+    // this is what keeps the per-stage task binary flat at 64k+ cells
+    def serializedSize(e: Any): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(e); oos.close(); bos.size()
+    }
+    import org.apache.spark.sql.graft.ColumnBridge
+    val probe = lit(null).cast("array<float>")
+    val plainSz = serializedSize(
+      ColumnBridge.expression(VectorFunctions.nearest_cell(probe, cids, cents)))
+    val bcSz = serializedSize(
+      ColumnBridge.expression(VectorFunctions.nearest_cell_bcast(probe, cb, mb)))
+    assert(bcSz < plainSz / 10,
+      s"broadcast form $bcSz B should be tiny vs matrix-state form $plainSz B")
+  }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted-signature-store dedup lifecycle (q142 + VERDICT r5 #8):
+  * batches append, compaction rewrites the store smaller, and — the
+  * invariant that matters — compaction NEVER changes what counts as a
+  * duplicate.
+  */
+class DedupStoreLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(ids: Seq[Long], textOf: Long => String) =
+    ids.map(i => (i, textOf(i))).toDF("doc_id", "text")
+
+  private def parquetFiles(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+    walk(new java.io.File(dir))
+  }
+
+  test("ingest batches, compact: file count drops, duplicates detected unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("dedupstore").toString
+    val store = s"$base/sigs"
+    // every token carries i, so distinct docs share NO 3-shingles
+    // (Jaccard 0 — no LSH false positives to muddy the counts)
+    def fresh(i: Long) =
+      (0 until 10).map(w => s"tok${i}x$w").mkString(" ")
+
+    // batch 1: all novel (store doesn't exist yet) -> zero duplicates
+    val (n1, d1, _) = Dedup.ingestBatch(
+      docs(0L until 10L, fresh), "doc_id", "text", store, s"$base/dupes1")
+    assert(n1 == 10 && d1 == 0)
+    // batch 2: 5 repeats of batch-1 texts + 5 novel -> 5 duplicates
+    val (n2, d2, _) = Dedup.ingestBatch(
+      docs(10L until 20L, i => if (i < 15) fresh(i - 10) else fresh(i)),
+      "doc_id", "text", store, s"$base/dupes2")
+    assert(n2 == 10 && d2 == 5)
+    val dupes2 = spark.read.parquet(s"$base/dupes2")
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    // exact-copy texts hit on ALL bands, canonical match is the original
+    assert(dupes2.map(_._1) == (10L until 15L) &&
+      dupes2.forall { case (id, bands, first) => bands == 2 && first == id - 10 })
+
+    // a probe batch AGAINST the store (no append): results must be
+    // byte-identical across compaction
+    val probe = docs(100L until 110L, i => fresh(i - 100)) // all dups of batch 1
+    def probeDupes(): Seq[(Long, Long, Long)] =
+      Dedup.incrementalDuplicates(
+          Dedup.bandSignatures(probe, "doc_id", "text", 3, 8, 4),
+          spark.read.parquet(store))
+        .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    val before = probeDupes()
+    assert(before.size == 10)
+
+    val filesBefore = parquetFiles(store)
+    // huge target -> one output file; two appends must have left more
+    val (_, after) = graft.sinks.StoreMaintenance.compact(spark, store, 1L << 30)
+    assert(filesBefore > after && after == 1,
+      s"expected compaction to shrink $filesBefore files to 1, got $after")
+    assert(probeDupes() == before, "compaction changed duplicate detection")
+
+    // lifecycle continues across the compacted store, --compact path:
+    // batch 3 repeats batch-2's novel docs and compacts inline
+    val (n3, d3, files3) = Dedup.ingestBatch(
+      docs(20L until 25L, i => fresh(i - 5)), "doc_id", "text",
+      store, s"$base/dupes3", compactTargetBytes = Some(1L << 30))
+    assert(n3 == 5 && d3 == 5 && files3 == 1)
+  }
+}

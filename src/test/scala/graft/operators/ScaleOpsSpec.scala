@@ -61,7 +61,7 @@ class ScaleOpsSpec extends SparkSpec {
     // the window-based operator with the same 30-minute gap (micros)
     val viaOp = Sessionize.assign(events,
         Seq($"user_id"), Seq($"ts"),
-        unix_micros($"ts"), 30L * 60 * 1000 * 1000)
+        graft.queries.Relational.epochUs($"ts"), 30L * 60 * 1000 * 1000)
       .groupBy($"user_id").agg(countDistinct($"session_id").as("n_sessions"))
       .as[(Long, Long)].collect().toMap
     assert(native == viaOp && native.nonEmpty)
