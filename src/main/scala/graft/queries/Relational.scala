@@ -2413,7 +2413,27 @@ object Relational {
       |       MIN_BY(l_quantity, l_linenumber * 100 + l_quantity) AS rep_qty
       |FROM kept GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q145
+  // The PRODUCTION surrogate-id path (operators/IdAllocate.denseIds):
+  // range-partition by key, per-partition local index + driver prefix
+  // sum over #partitions counts — no global window anywhere. q48 proves
+  // the oracle-form single-window allocation; this row proves the
+  // 1000-executor form lands on the exact same dense id sequence the
+  // database sequence (`nextval`, Staging/Postgresql.pm:28-33) would
+  // have produced for sorted input.
+  private def q145DenseIds(s: SparkSession, dir: String): DataFrame =
+    graft.operators.IdAllocate.denseIds(
+        t(s, dir, "customer").select(col("c_name")),
+        "c_name", base = 5000000L)
+      .select(col("c_name"), col("id"))
+      .orderBy(col("c_name"))
+
+  private val q145Sql =
+    """SELECT c_name, CAST(5000000 + row_number() OVER (ORDER BY c_name) AS BIGINT) AS id
+      |FROM customer ORDER BY c_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_dense_ids" -> q145DenseIds _,
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
     "q3_anti" -> q3Anti _,
@@ -2496,6 +2516,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q145_dense_ids" -> q145Sql,
     "q1_agg" -> q1Sql,
     "q2_multijoin" -> q2Sql,
     "q3_anti" -> q3Sql,
