@@ -148,7 +148,8 @@ object Dedup {
   def ingestBatch(docs: DataFrame, idCol: String, textCol: String,
                   storeDir: String, dupesOut: String,
                   compactTargetBytes: Option[Long] = None,
-                  n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 4)
+                  n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 4,
+                  markerBatch: Option[Long] = None)
       : (Long, Long, Int) = {
     val spark = docs.sparkSession
     val sigs = bandSignatures(docs.select(col(idCol).as("doc_id"),
@@ -163,7 +164,10 @@ object Dedup {
       incrementalDuplicates(sigs, store0)
         .write.mode("overwrite").parquet(dupesOut)
       val dupIds = spark.read.parquet(dupesOut).select(col("doc_id"))
-      sigs.join(dupIds, Seq("doc_id"), "left_anti")
+      val novel = sigs.join(dupIds, Seq("doc_id"), "left_anti")
+      // the streamed lifecycle stamps appended rows with the micro-batch
+      // id so its replay gate can skip redelivered batches
+      markerBatch.fold(novel)(b => novel.withColumn("_applied_batch", lit(b)))
         .write.mode("append").parquet(storeDir)
       val after = compactTargetBytes match {
         case Some(t) => graft.sinks.StoreMaintenance.compact(spark, storeDir, t)._2

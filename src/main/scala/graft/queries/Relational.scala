@@ -2432,7 +2432,35 @@ object Relational {
     """SELECT c_name, CAST(5000000 + row_number() OVER (ORDER BY c_name) AS BIGINT) AS id
       |FROM customer ORDER BY c_name""".stripMargin
 
+  // --------------------------------------------------------------- q146
+  // TTL retention rewrite (sinks/StoreMaintenance.expire): the events
+  // table is materialized as a parquet store, rows before the cutoff
+  // are expired via the crash-safe temp-dir + swap rewrite, and the
+  // SURVIVING STORE is read back — the oracle is the plain filter, so
+  // the row proves the rewrite kept exactly the retained rows and the
+  // dropped count (carried as a column) matches the oracle's.
+  private def q146Expire(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q146store")
+      .toString + "/events"
+    t(s, dir, "events").write.mode("overwrite").parquet(tmp)
+    val dropped = graft.sinks.StoreMaintenance.expire(
+      s, tmp, "ts", "2024-01-16 00:00:00")
+    s.read.parquet(tmp)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        lit(dropped).as("n_dropped"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q146Sql =
+    """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      |  CAST((SELECT COUNT(*) FROM events
+      |        WHERE ts < TIMESTAMP '2024-01-16 00:00:00') AS BIGINT) AS n_dropped
+      |FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_expire" -> q146Expire _,
     "q145_dense_ids" -> q145DenseIds _,
     "q1_agg" -> q1Agg _,
     "q2_multijoin" -> q2MultiJoin _,
@@ -2516,6 +2544,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q146_expire" -> q146Sql,
     "q145_dense_ids" -> q145Sql,
     "q1_agg" -> q1Sql,
     "q2_multijoin" -> q2Sql,

@@ -107,6 +107,46 @@ object StreamingMerge {
       .start()
   }
 
+  /** Continuous-crawl dedup: document drops under `inDir` run the
+    * persisted-signature-store lifecycle ([[graft.operators.Dedup
+    * .ingestBatch]], the q142/dedupingest shape) per micro-batch —
+    * duplicates land under `dupesDir/batch_<id>`, novel signatures
+    * append to the store stamped with the batch id. Batch/stream
+    * parity and replay safety are spec'd (DedupStoreLifecycleSpec). */
+  def dedupIngest(spark: SparkSession, inDir: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  storeDir: String, dupesDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDedupBatch(batch, batchId, storeDir, dupesDir): Unit
+      }
+      .start()
+
+  /** One streamed dedup ingest, replay-safe: appended signature rows
+    * carry `_applied_batch`; a redelivered batch (marker already at or
+    * past `batchId`) is skipped before any write, and a batch replayed
+    * after a crash-before-append re-writes the SAME per-batch dupes
+    * report (overwrite), never double-reporting. Returns false when
+    * skipped. */
+  def applyDedupBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                      dupesDir: String): Boolean = {
+    val spark = batch.sparkSession
+    if (new java.io.File(storeDir).exists()) {
+      val live = spark.read.parquet(storeDir)
+      val lastApplied =
+        if (!live.columns.contains("_applied_batch")) None
+        else live.agg(max(col("_applied_batch"))).collect()
+          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      if (lastApplied.exists(_ >= batchId)) return false // replayed batch
+    }
+    graft.operators.Dedup.ingestBatch(batch, "doc_id", "text", storeDir,
+      s"$dupesDir/batch_$batchId", markerBatch = Some(batchId))
+    true
+  }
+
   /** One aggMaintain fold, replay-safe; factored out so the idempotence
     * contract is directly testable. Returns false when the batch was
     * already applied and skipped. */

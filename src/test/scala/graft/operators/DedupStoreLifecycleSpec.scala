@@ -69,4 +69,43 @@ class DedupStoreLifecycleSpec extends SparkSpec {
       store, s"$base/dupes3", compactTargetBytes = Some(1L << 30))
     assert(n3 == 5 && d3 == 5 && files3 == 1)
   }
+
+  test("streamed dedup ingest == sequential batch ingest, replay-safe") {
+    val base = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    def fresh(i: Long) = (0 until 10).map(w => s"tok${i}x$w").mkString(" ")
+    val batch1 = docs(0L until 10L, fresh)
+    val batch2 = docs(10L until 20L,
+      i => if (i < 15) fresh(i - 10) else fresh(i)) // 5 dups, 5 novel
+
+    // reference: the sequential batch lifecycle
+    Dedup.ingestBatch(batch1, "doc_id", "text", s"$base/batchstore", s"$base/bd1")
+    Dedup.ingestBatch(batch2, "doc_id", "text", s"$base/batchstore", s"$base/bd2")
+
+    // streamed: the same two drops through the file-watch lifecycle
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    batch1.coalesce(1).write.parquet(s"$inDir/drop1")
+    val q = graft.streaming.StreamingMerge.dedupIngest(spark,
+      s"$inDir/*", batch1.schema, s"$base/streamstore", s"$base/sdupes")
+    try {
+      q.processAllAvailable()
+      batch2.coalesce(1).write.parquet(s"$inDir/drop2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def sigSet(dir: String) = spark.read.parquet(dir)
+      .select($"doc_id", $"band", $"bucket")
+      .as[(Long, Int, String)].collect().toSet
+    assert(sigSet(s"$base/streamstore") == sigSet(s"$base/batchstore"))
+    def dupSet(dir: String) = spark.read.parquet(dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dupSet(s"$base/sdupes/batch_1") == dupSet(s"$base/bd2") &&
+      dupSet(s"$base/bd2").size == 5)
+
+    // replaying the last micro-batch must be a no-op
+    val sigsBefore = sigSet(s"$base/streamstore")
+    assert(!graft.streaming.StreamingMerge.applyDedupBatch(
+      batch2, 1L, s"$base/streamstore", s"$base/sdupes"))
+    assert(sigSet(s"$base/streamstore") == sigsBefore)
+  }
 }
