@@ -637,6 +637,34 @@ object Curation {
     *
     * Documents shorter than 2 characters have no bigrams and are
     * omitted. Returns (doc_id, n_bigrams, avg_logp). */
+  /** CCNet-style perplexity bucketing: documents are split into
+    * head / middle / tail by the 0.75/0.25 quantiles of their
+    * [[lmScore]] quality (higher avg log-prob = less surprising =
+    * head). The thresholds ride the plan as a broadcast 1-row frame —
+    * no collect, no global window; classification is map-side. The
+    * quantiles here are EXACT (`percentile`) for cross-engine
+    * bit-equality; at 100 TB swap in `approx_percentile` — the plan
+    * shape (scalar agg → broadcast cross join → map classify →
+    * partial/final agg) is identical. 0.25/0.75 are binary-exact
+    * doubles, so both engines interpolate from the same literals.
+    * Returns (bucket, n_docs, sum_logp), decimal-exact sum. */
+  def lmBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = lmScore(docs, idCol, textCol)
+    val th = scored.agg(
+      expr("percentile(avg_logp, 0.25)").as("t1"),
+      expr("percentile(avg_logp, 0.75)").as("t2"))
+    scored.crossJoin(broadcast(th))
+      .select(
+        when(col("avg_logp") >= col("t2"), "head")
+          .when(col("avg_logp") >= col("t1"), "middle")
+          .otherwise("tail").as("bucket"),
+        col("avg_logp"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("avg_logp").cast("decimal(28,6)")).cast("double").as("sum_logp"))
+      .orderBy(col("bucket"))
+  }
+
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // per-(doc, bigram) counts, materialized once: both the trainer and
     // the scorer consume this frame, and without the checkpoint the

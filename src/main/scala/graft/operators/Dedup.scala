@@ -418,6 +418,27 @@ object Dedup {
       .drop("h")
   }
 
+  /** Rebuild documents after [[segmentDedup]] — the reassembly half of
+    * paragraph-level dedup (CCNet-style: drop repeated paragraphs, keep
+    * the rest of the document in order). Duplicate segments vanish,
+    * survivors re-join in segment order; documents that lose every
+    * segment are omitted (nothing left to emit). One partial/final
+    * aggregate keyed on the doc id — the fan-in mirror of the map-only
+    * segmentation, so the whole drop-and-rebuild costs two linear
+    * shuffles at any corpus size. Returns
+    * (doc_id, n_kept, n_dropped, text). */
+  def reassembleDeduped(segs: DataFrame): DataFrame =
+    segs.groupBy(col("doc_id"))
+      .agg(
+        sum(when(!col("dup"), 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("dup"), 1).otherwise(0)).cast("long").as("n_dropped"),
+        // collect only surviving segments (collect_list skips the CASE's
+        // nulls), order deterministically by seg_idx, then re-join
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN NOT dup THEN struct(seg_idx, segment) END)), " +
+          "s -> s.segment), ' ')").as("text"))
+      .filter(col("n_kept") > 0)
+
   /** Exact duplicate-SPAN detection (the Lee et al. 2022 "Deduplicating
     * Training Data" exact-substring recipe, windowed): every n-token
     * SLIDING window whose hash appears in ≥ 2 documents is a duplicated

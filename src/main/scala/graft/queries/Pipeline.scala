@@ -1650,6 +1650,36 @@ object Pipeline {
       |FROM bg JOIN lp USING (bg)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q148
+  // CCNet head/middle/tail perplexity bucketing (Curation.lmBuckets):
+  // the q97 bigram-LM scores split at their exact 0.25/0.75 quantiles
+  // (binary-exact literals, so both engines interpolate identically);
+  // thresholds broadcast in-plan, classification map-side.
+  private def q148LmBuckets(s: SparkSession, dir: String): DataFrame =
+    Curation.lmBuckets(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q148Sql =
+    """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2),
+      |bg AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS bg
+      |       FROM t, unnest(generate_series(1, length(t) - 1)) AS u(i)),
+      |m AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+      |tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM m),
+      |lp AS (SELECT bg,
+      |         CAST(round(ln((c + 1) / CAST(n + v AS DOUBLE)), 6) AS DECIMAL(28,6)) AS logp
+      |       FROM m CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+      |  FROM bg JOIN lp USING (bg) GROUP BY doc_id),
+      |th AS (SELECT quantile_cont(avg_logp, 0.25) AS t1,
+      |              quantile_cont(avg_logp, 0.75) AS t2 FROM scored)
+      |SELECT CASE WHEN avg_logp >= t2 THEN 'head'
+      |            WHEN avg_logp >= t1 THEN 'middle'
+      |            ELSE 'tail' END AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(avg_logp AS DECIMAL(28,6))) AS DOUBLE) AS sum_logp
+      |FROM scored CROSS JOIN th
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- q98
   // BPE training round statistics: frequency-weighted adjacent
   // character-pair counts over the word dictionary — the aggregation
@@ -1739,6 +1769,37 @@ object Pipeline {
        |  WHERE e.vid <> 0 GROUP BY e.vid)
        |SELECT vec_id, adist FROM scored ORDER BY adist, vec_id LIMIT 10""".stripMargin
   }
+
+  // --------------------------------------------------------------- q147
+  // Paragraph-dedup reassembly (Dedup.reassembleDeduped): q74 flags
+  // aligned duplicate segments; this row rebuilds each document from
+  // its SURVIVING segments in order — the CCNet drop-repeated-
+  // paragraphs shape end-to-end, with the rebuilt text itself
+  // hash-checked against the oracle's ordered string_agg.
+  private def q147Reassemble(s: SparkSession, dir: String): DataFrame =
+    Dedup.reassembleDeduped(
+        Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", 10))
+      .orderBy(col("doc_id"))
+
+  private val q147Sql =
+    """WITH toksc AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+      |              FROM documents WHERE len(string_split_regex(text, '\s+')) >= 1),
+      |starts AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 10)) AS s
+      |           FROM toksc),
+      |segs AS (SELECT doc_id, s // 10 AS seg_idx,
+      |           array_to_string(list_slice(t, s + 1, s + 10), ' ') AS seg
+      |         FROM starts),
+      |flagged AS (SELECT doc_id, seg_idx, seg,
+      |              row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) > 1 AS dup
+      |            FROM segs)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  string_agg(CASE WHEN NOT dup THEN seg END, ' ' ORDER BY seg_idx) AS text
+      |FROM flagged
+      |GROUP BY doc_id
+      |HAVING SUM(CASE WHEN NOT dup THEN 1 ELSE 0 END) > 0
+      |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q143
   // IVF-PQ serve path (operators/Similarity.ivfPqTopK): the coarse
@@ -2097,6 +2158,8 @@ object Pipeline {
     "q101_pq_adc" -> q101PqAdc _,
     "q143_ivfpq" -> q143IvfPq _,
     "q144_recall" -> q144Recall _,
+    "q147_reassemble" -> q147Reassemble _,
+    "q148_lm_buckets" -> q148LmBuckets _,
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
     "q29_jaccard" -> q29Jaccard _,
@@ -2220,5 +2283,7 @@ object Pipeline {
     "q101_pq_adc" -> q101Sql,
     "q143_ivfpq" -> q143Sql,
     "q144_recall" -> q144Sql,
+    "q147_reassemble" -> q147Sql,
+    "q148_lm_buckets" -> q148Sql,
   )
 }
