@@ -648,11 +648,18 @@ object Curation {
     * partial/final agg) is identical. 0.25/0.75 are binary-exact
     * doubles, so both engines interpolate from the same literals.
     * Returns (bucket, n_docs, sum_logp), decimal-exact sum. */
-  def lmBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val scored = lmScore(docs, idCol, textCol)
-    val th = scored.agg(
-      expr("percentile(avg_logp, 0.25)").as("t1"),
-      expr("percentile(avg_logp, 0.75)").as("t2"))
+  def lmBuckets(docs: DataFrame, idCol: String, textCol: String,
+                exact: Boolean = true): DataFrame = {
+    // both the threshold agg and the classification consume the scored
+    // frame; materialize once so the LM train+score isn't paid twice
+    val scored = lmScore(docs, idCol, textCol).localCheckpoint()
+    val th =
+      if (exact) scored.agg(
+        expr("percentile(avg_logp, 0.25)").as("t1"),
+        expr("percentile(avg_logp, 0.75)").as("t2"))
+      else scored.agg( // the 100 TB path: sketch, no global sort
+        expr("approx_percentile(avg_logp, 0.25, 10000)").as("t1"),
+        expr("approx_percentile(avg_logp, 0.75, 10000)").as("t2"))
     scored.crossJoin(broadcast(th))
       .select(
         when(col("avg_logp") >= col("t2"), "head")

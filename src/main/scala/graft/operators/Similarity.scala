@@ -33,6 +33,21 @@ object Similarity {
         round(graft.functions.VectorFunctions.cosine_sim(col(embCol), col("qv")), 6))
       .drop("qv")
 
+  /** Matryoshka truncation: keep the first `dims` components and
+    * re-normalize to unit length — the MRL-embedding cheap-prefilter
+    * trick (a 16-dim prefix scan costs 1/4 of a 64-dim one; re-rank the
+    * survivors at full dimension). Map-only, widened to double before
+    * the norm, components rounded to 6 decimals AFTER the divide (the
+    * trained-quantity discipline). Zero-norm / null vectors become
+    * null — unrankable, same contract as the null-sim filters. */
+  def truncateNormalize(emb: DataFrame, embCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, "need at least one dimension")
+    val t = slice(col(embCol).cast("array<double>"), 1, dims)
+    val nm = sqrt(aggregate(t, lit(0.0), (a, x) => a + x * x))
+    emb.withColumn(embCol,
+      when(nm > 0.0, transform(t, x => round(x / nm, 6))))
+  }
+
   /** Exact brute-force cosine top-k against the embedding of `queryId`. */
   def cosineTopK(emb: DataFrame, idCol: String, embCol: String,
                  queryId: Long, k: Int): DataFrame = {

@@ -1801,6 +1801,30 @@ object Pipeline {
       |HAVING SUM(CASE WHEN NOT dup THEN 1 ELSE 0 END) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q149
+  // Matryoshka prefix search (Similarity.truncateNormalize): embeddings
+  // truncated to their first 16 dims and re-normalized, then the exact
+  // cosine top-10 for query 0 in the REDUCED space — the MRL cheap
+  // pre-filter whose survivors a full-dimension pass would re-rank.
+  private def q149Matryoshka(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(
+      Similarity.truncateNormalize(t(s, dir, "embeddings"), "embedding", 16),
+      "vec_id", "embedding", queryId = 0L, k = 10)
+
+  private val q149Sql =
+    s"""WITH tr AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS t
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, t,
+       |        sqrt(list_sum(list_transform(t, x -> x * x))) AS nm FROM tr),
+       |u AS (SELECT vec_id, list_transform(t, x -> round(x / nm, 6)) AS e
+       |      FROM n WHERE nm > 0),
+       |q AS (SELECT e AS qv FROM u WHERE vec_id = 0)
+       |SELECT u.vec_id, ${cosSql("u.e", "q.qv")} AS sim
+       |FROM u CROSS JOIN q WHERE u.vec_id <> 0
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   // --------------------------------------------------------------- q143
   // IVF-PQ serve path (operators/Similarity.ivfPqTopK): the coarse
   // 8-cell quantizer prunes the corpus to the query's 2 nearest cells,
@@ -2160,6 +2184,7 @@ object Pipeline {
     "q144_recall" -> q144Recall _,
     "q147_reassemble" -> q147Reassemble _,
     "q148_lm_buckets" -> q148LmBuckets _,
+    "q149_matryoshka" -> q149Matryoshka _,
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
     "q29_jaccard" -> q29Jaccard _,
@@ -2285,5 +2310,6 @@ object Pipeline {
     "q144_recall" -> q144Sql,
     "q147_reassemble" -> q147Sql,
     "q148_lm_buckets" -> q148Sql,
+    "q149_matryoshka" -> q149Sql,
   )
 }

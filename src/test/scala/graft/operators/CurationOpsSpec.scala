@@ -505,4 +505,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(byId(1L) == byId(5L))
     assert(byId(1L) > byId(2L), "tf saturation still beats single distant hit")
   }
+
+  test("lmBuckets approx mode tracks exact bucket sizes (the 100 TB path)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val exact = Curation.lmBuckets(docs, "doc_id", "text")
+      .select($"bucket", $"n_docs").as[(String, Long)].collect().toMap
+    val approx = Curation.lmBuckets(docs, "doc_id", "text", exact = false)
+      .select($"bucket", $"n_docs").as[(String, Long)].collect().toMap
+    assert(exact.keySet == Set("head", "middle", "tail"))
+    assert(exact.values.sum == approx.values.sum)
+    // sketch thresholds may flip boundary docs only — sizes stay close
+    exact.foreach { case (b, n) =>
+      assert(math.abs(approx(b) - n) <= math.max(5L, n / 10),
+        s"bucket $b: approx ${approx(b)} vs exact $n")
+    }
+  }
 }
