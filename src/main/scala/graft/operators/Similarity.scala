@@ -360,6 +360,34 @@ object Similarity {
       .select(col("query_id"), col("hit._1").cast(idType).as(idCol), col("hit._2").as("sim"))
   }
 
+  /** k-NN label propagation: predict a label for every `unlabeled` row
+    * by majority vote over its `k` nearest `labeled` neighbors (cosine,
+    * the [[knnJoin]] ranking) — the label-bootstrapping step that turns
+    * a small hand-labeled seed set into training labels for a corpus
+    * (quality tiers, topic tags, toxicity flags). Vote ties break to
+    * the smallest label; neighbor ties to (sim desc, id) like every
+    * ranking here, so predictions are deterministic on any engine.
+    *
+    * Scale shape: the expensive part IS [[knnJoin]] (or swap in
+    * [[knnJoinIvf]] for a trained index at corpus scale); the vote is
+    * two bounded aggregates over queries × k rows. Returns
+    * (idCol, predicted `labelCol`, votes). */
+  def knnClassify(labeled: DataFrame, unlabeled: DataFrame, idCol: String,
+                  embCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = knnJoin(labeled.select(col(idCol), col(embCol)),
+      unlabeled.select(col(idCol), col(embCol)), idCol, embCol, k)
+    val votes = nn
+      .join(labeled.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col(labelCol))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id").as(idCol), col(labelCol), col("votes"))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ) — the memory/IO half of a production
   // IVF-PQ index. Vectors are split into `m` contiguous subspaces; each

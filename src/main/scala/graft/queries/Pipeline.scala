@@ -1801,6 +1801,44 @@ object Pipeline {
       |HAVING SUM(CASE WHEN NOT dup THEN 1 ELSE 0 END) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q150
+  // k-NN label propagation (Similarity.knnClassify): vectors with
+  // vec_id < 250 are the hand-labeled seed set; every other vector
+  // gets the majority label of its 5 nearest seeds — the
+  // label-bootstrapping step of semi-supervised corpus annotation,
+  // checked with per-row predictions AND correctness against the
+  // held-out true labels.
+  private def q150KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val labeled = emb.filter(col("vec_id") < 250)
+    val unlabeled = emb.filter(col("vec_id") >= 250)
+    Similarity.knnClassify(labeled, unlabeled,
+        "vec_id", "embedding", "label", k = 5)
+      .withColumnRenamed("label", "pred_label")
+      .join(unlabeled.select(col("vec_id"), col("label").as("true_label")),
+        Seq("vec_id"))
+      .withColumn("correct", col("pred_label") === col("true_label"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q150Sql =
+    s"""WITH l AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 250),
+       |u AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 250),
+       |nn AS (SELECT qid, clabel FROM (
+       |  SELECT u.vec_id AS qid, l.vec_id AS cid, l.label AS clabel,
+       |    row_number() OVER (PARTITION BY u.vec_id
+       |                       ORDER BY ${cosSql("l.embedding", "u.embedding")} DESC, l.vec_id) AS rn
+       |  FROM u CROSS JOIN l) WHERE rn <= 5),
+       |votes AS (SELECT qid, clabel, COUNT(*) AS votes FROM nn GROUP BY qid, clabel),
+       |best AS (SELECT qid, clabel, votes FROM (
+       |  SELECT qid, clabel, votes,
+       |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, clabel) AS vr
+       |  FROM votes) WHERE vr = 1)
+       |SELECT b.qid AS vec_id, b.clabel AS pred_label, b.votes,
+       |  u.label AS true_label, b.clabel = u.label AS correct
+       |FROM best b JOIN u ON u.vec_id = b.qid
+       |ORDER BY vec_id""".stripMargin
+
   // --------------------------------------------------------------- q149
   // Matryoshka prefix search (Similarity.truncateNormalize): embeddings
   // truncated to their first 16 dims and re-normalized, then the exact
@@ -2185,6 +2223,7 @@ object Pipeline {
     "q147_reassemble" -> q147Reassemble _,
     "q148_lm_buckets" -> q148LmBuckets _,
     "q149_matryoshka" -> q149Matryoshka _,
+    "q150_knn_classify" -> q150KnnClassify _,
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
     "q29_jaccard" -> q29Jaccard _,
@@ -2311,5 +2350,6 @@ object Pipeline {
     "q147_reassemble" -> q147Sql,
     "q148_lm_buckets" -> q148Sql,
     "q149_matryoshka" -> q149Sql,
+    "q150_knn_classify" -> q150Sql,
   )
 }
