@@ -212,4 +212,23 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(served == direct)
   }
+
+  test("truncateNormalize: unit norm, zero/null vectors unrankable") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(3f, 4f, 0f, 5f)),
+      (2L, Array(0f, 0f, 0f, 0f)), // zero prefix -> null
+      (3L, Array(-1f, 2f, 9f, 9f))).toDF("vec_id", "embedding")
+    val got = Similarity.truncateNormalize(emb, "embedding", 2)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_ => r.getSeq[Double](1)))
+      .toMap
+    assert(got(2L).isEmpty)
+    for (id <- Seq(1L, 3L); v = got(id).get) {
+      assert(v.length == 2)
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-5, s"norm of $v")
+    }
+    // 3-4-5 prefix: exactly (0.6, 0.8)
+    assert(got(1L).get == Seq(0.6, 0.8))
+  }
 }
