@@ -198,6 +198,10 @@ object GraftCli {
         rest.drop(1).headOption.map(_.toInt).getOrElse(5))
     case "bloomquery" :: dir :: keyCol :: value :: out :: Nil =>
       bloomQuery(dir, keyCol, value, out)
+    case "bloomappend" :: dir :: keyCol :: Nil => bloomAppend(dir, keyCol)
+    case "corpusbuckets" :: in :: Nil => corpusBuckets(in)
+    case "knnlabel" :: labeled :: unlabeled :: out :: rest if rest.size <= 1 =>
+      knnLabel(labeled, unlabeled, out, rest.headOption.map(_.toInt).getOrElse(5))
     case "annbuild" :: emb :: indexDir :: rest if rest.size <= 1 =>
       annBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(16))
     case "annquery" :: indexDir :: emb :: id :: k :: rest if rest.size <= 1 =>
@@ -256,7 +260,10 @@ object GraftCli {
            |           zoneappend <parquet> <storedir> <sortcol> [files]
            |           zonequery <storedir> <sortcol> <lo> <hi> <outdir>
            |           bloomindex <storedir> <keycol> [nbits] [hashes]
+           |           bloomappend <storedir> <keycol>
            |           bloomquery <storedir> <keycol> <value> <outdir>
+           |           corpusbuckets <docs.parquet> [--approx]
+           |           knnlabel <labeled.parquet> <unlabeled.parquet> <outdir> [k]
            |graph:     pagerank <edges_parquet> <outdir> [iters] [damping]""".stripMargin)
       sys.exit(2)
   }
@@ -1552,6 +1559,39 @@ object GraftCli {
       .readBloomEq(spark, dir, keyCol, value)
     hit.write.mode("overwrite").parquet(out)
     println(s"bloom lookup $keyCol=$value: opened $kept of $total files -> $out")
+    spark.stop()
+  }
+
+  private def bloomAppend(dir: String, keyCol: String): Unit = {
+    val spark = GraftSession.local()
+    graft.sinks.SkippingStore.bloomAppend(spark, dir, keyCol)
+    val n = graft.sinks.SkippingStore.bloomMap(spark, dir).count()
+    println(s"bloom index on $keyCol extended ($n files covered)")
+    spark.stop()
+  }
+
+  /** CCNet head/middle/tail perplexity buckets over a document corpus
+    * (`--approx` switches the quantile thresholds to the sketch path). */
+  private def corpusBuckets(in: String): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.Curation.lmBuckets(spark.read.parquet(in),
+        "doc_id", "text", exact = !approx)
+      .collect()
+      .foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getDouble(2)}"))
+    spark.stop()
+  }
+
+  /** k-NN label propagation: rows of `labeled` (doc_id/vec_id + label +
+    * embedding) vote labels onto `unlabeled`; predictions written as
+    * parquet. */
+  private def knnLabel(labeled: String, unlabeled: String, out: String,
+                       k: Int): Unit = {
+    val spark = GraftSession.local()
+    val pred = graft.operators.Similarity.knnClassify(
+      spark.read.parquet(labeled), spark.read.parquet(unlabeled),
+      "vec_id", "embedding", "label", k)
+    pred.write.mode("overwrite").parquet(out)
+    println(s"labeled ${spark.read.parquet(out).count()} rows (k=$k) -> $out")
     spark.stop()
   }
 

@@ -147,13 +147,21 @@ object SkippingStore {
                  nbits: Int = 1 << 17, k: Int = 5): Unit = {
     require(nbits % 64 == 0 && nbits > 0, "nbits must be a positive multiple of 64")
     require(k >= 1, "need at least one hash")
-    val data = spark.read.parquet(dir)
+    bloomRows(spark.read.parquet(dir), keyCol, nbits, k)
+      .coalesce(1) // file-count-sized by construction
+      .write.mode("overwrite").parquet(s"$dir/_bloommap")
+  }
+
+  /** One (file, idxs, words, nbits, k) sidecar row per data file of
+    * `data` — the distributive two-level bit_or packing shared by
+    * [[bloomIndex]] and [[bloomAppend]]. */
+  private def bloomRows(data: DataFrame, keyCol: String,
+                        nbits: Int, k: Int): DataFrame = {
     val probes = (0 until k).map(i =>
       pmod(xxhash64(col(keyCol), lit(i)), lit(nbits.toLong)).as(s"p$i"))
-    val pos = data
+    data
       .select((regexp_extract(input_file_name(), "[^/]+$", 0).as("file") +: probes): _*)
       .select(col("file"), explode(array((0 until k).map(i => col(s"p$i")): _*)).as("pos"))
-    val words = pos
       .groupBy(col("file"), (col("pos") / 64).cast("int").as("idx"))
       .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("word"))
       .groupBy(col("file"))
@@ -161,8 +169,30 @@ object SkippingStore {
       .select(col("file"),
         col("iw.idx").as("idxs"), col("iw.word").as("words"),
         lit(nbits).as("nbits"), lit(k).as("k"))
-    words.coalesce(1) // file-count-sized by construction
-      .write.mode("overwrite").parquet(s"$dir/_bloommap")
+  }
+
+  /** Extend the bloom sidecar to cover files appended since the last
+    * index pass — the equality-skipping mirror of [[append]]'s zone
+    * maintenance: only the NEW files are scanned (one pass over the
+    * appended data, not the table), with the filter geometry read from
+    * the existing sidecar so mixed-geometry maps can't arise. Fails
+    * loudly when no sidecar exists (build with [[bloomIndex]] first). */
+  def bloomAppend(spark: SparkSession, dir: String, keyCol: String): Unit = {
+    require(pathExists(spark, s"$dir/_bloommap"),
+      s"$dir has no _bloommap — build it with bloomIndex before appending")
+    val bm = bloomMap(spark, dir)
+    val geom = bm.select(col("nbits"), col("k")).distinct().collect()
+    require(geom.length == 1,
+      s"$dir/_bloommap mixes filter geometries — rebuild with bloomIndex")
+    val nbits = geom.head.getInt(0)
+    val k = geom.head.getInt(1)
+    val mapped = bm.select(col("file")).collect().map(_.getString(0)).toSet
+    val newFiles = listDataFileNames(spark, dir).filterNot(mapped)
+    if (newFiles.nonEmpty)
+      bloomRows(spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*),
+          keyCol, nbits, k)
+        .coalesce(1)
+        .write.mode("append").parquet(s"$dir/_bloommap")
   }
 
   /** The bloom sidecar as a DataFrame (one row per data file). */

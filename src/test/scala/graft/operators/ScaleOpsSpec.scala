@@ -400,6 +400,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(miss.count() == 0)
   }
 
+  test("bloomAppend covers appended files: old and new keys found, geometry reused") {
+    import graft.sinks.SkippingStore
+    val dir = java.nio.file.Files.createTempDirectory("bloomapp").toString + "/store"
+    def hashed(r: Range) = r.map { i =>
+      (i, java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }.toDF("k", "key")
+    SkippingStore.write(hashed(0 until 200), "k", dir, nFiles = 4)
+    SkippingStore.bloomIndex(spark, dir, "key", nbits = 1 << 12, k = 5)
+    // plain data append, then index only the new files
+    hashed(200 until 300).repartition(2).write.mode("append").parquet(dir)
+    SkippingStore.bloomAppend(spark, dir, "key")
+    assert(SkippingStore.bloomMap(spark, dir).count() == 6)
+    assert(SkippingStore.bloomMap(spark, dir)
+      .select($"nbits", $"k").distinct().count() == 1) // geometry reused
+    for (i <- Seq(3, 150, 200, 299)) { // spans old and appended files
+      val want = hashed(i to i).select($"key").as[String].head()
+      val (_, total, hit) = SkippingStore.readBloomEq(spark, dir, "key", want)
+      assert(total == 6)
+      assert(hit.select($"k").as[Int].collect().toSeq == Seq(i))
+    }
+    // appending with no sidecar refuses loudly
+    val bare = java.nio.file.Files.createTempDirectory("bloomapp2").toString + "/s"
+    hashed(0 until 10).write.parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      SkippingStore.bloomAppend(spark, bare, "key")
+    }
+    assert(e.getMessage.contains("no _bloommap"))
+  }
+
   test("bloom skipping fails loudly on store drift") {
     import graft.sinks.SkippingStore
     val dir = java.nio.file.Files.createTempDirectory("bloomdrift").toString + "/store"
