@@ -637,6 +637,33 @@ object Curation {
     *
     * Documents shorter than 2 characters have no bigrams and are
     * omitted. Returns (doc_id, n_bigrams, avg_logp). */
+  /** Flesch-Kincaid readability grade — the classic surface-form
+    * quality feature (alongside the q34 length/punct/stopword ratios).
+    * Syllables are approximated by vowel-group runs (`[aeiouy]+`), the
+    * standard cheap heuristic; sentences by `[.!?]+` splits with
+    * non-blank remainder, floored at 1 so headline-like docs don't
+    * divide by zero. Entirely map-only: three codegen'd regex/split
+    * projections per row, no shuffle except the caller's sort.
+    * Documents with no words are dropped (no grade to assign).
+    * Returns (idCol, n_words, n_sentences, n_syllables, fk_grade). */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = size(filter(split(col(textCol), "\\s+"), w => length(w) > 0))
+    val sentences = greatest(
+      size(filter(split(col(textCol), "[.!?]+"), s => length(trim(s)) > 0)),
+      lit(1))
+    val syllables = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0)))
+    docs.select(col(idCol),
+        words.cast("long").as("n_words"),
+        sentences.cast("long").as("n_sentences"),
+        syllables.cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("fk_grade",
+        round(lit(0.39) * col("n_words").cast("double") / col("n_sentences") +
+          lit(11.8) * col("n_syllables").cast("double") / col("n_words") -
+          lit(15.59), 6))
+  }
+
   /** CCNet-style perplexity bucketing: documents are split into
     * head / middle / tail by the 0.75/0.25 quantiles of their
     * [[lmScore]] quality (higher avg log-prob = less surprising =

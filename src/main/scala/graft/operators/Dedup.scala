@@ -418,6 +418,43 @@ object Dedup {
       .drop("h")
   }
 
+  /** LSH candidate-quality eval: how many of the MinHash+LSH candidate
+    * pairs are TRUE near-duplicates by exact shingle Jaccard — the
+    * precision metric that tunes (numHashes, rowsPerBand) before a
+    * corpus-wide dedup run, the recall@k of the dedup family. Exact
+    * Jaccard is computed ONLY for candidate pairs (intersection join
+    * over the candidates' distinct shingles — work scales with
+    * candidates, not the corpus). Returns one row:
+    * (n_candidates, n_true, precision). */
+  def lshPrecision(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, numHashes: Int, rowsPerBand: Int,
+                   jaccardThreshold: Double,
+                   maxBucket: Long = 1000): DataFrame = {
+    val cand = lshCandidates(
+      minhashSignatureDirect(docs, idCol, textCol, n, numHashes),
+      numHashes, rowsPerBand, maxBucket)
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val jac = cand
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .select((coalesce(col("n_inter"), lit(0L)).cast("double") /
+        (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)))).as("jac"))
+    jac.agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jac") >= jaccardThreshold, 1).otherwise(0))
+          .cast("long").as("n_true"))
+      .select(col("n_candidates"), col("n_true"),
+        when(col("n_candidates") > 0,
+          round(col("n_true").cast("double") / col("n_candidates"), 6))
+          .as("precision"))
+  }
+
   /** Rebuild documents after [[segmentDedup]] — the reassembly half of
     * paragraph-level dedup (CCNet-style: drop repeated paragraphs, keep
     * the rest of the document in order). Duplicate segments vanish,

@@ -1801,6 +1801,74 @@ object Pipeline {
       |HAVING SUM(CASE WHEN NOT dup THEN 1 ELSE 0 END) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q151
+  // Flesch-Kincaid readability (Curation.readability): vowel-group
+  // syllable heuristic, [.!?]-split sentences floored at 1 — the
+  // surface-form quality grade, map-only.
+  private def q151Readability(s: SparkSession, dir: String): DataFrame =
+    Curation.readability(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q151Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS n_words,
+      |    greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+      |      s -> length(trim(s)) > 0)), 1) AS n_sentences,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_sentences AS BIGINT) AS n_sentences,
+      |  CAST(n_syllables AS BIGINT) AS n_syllables,
+      |  round(0.39 * CAST(n_words AS DOUBLE) / n_sentences +
+      |        11.8 * CAST(n_syllables AS DOUBLE) / n_words - 15.59, 6) AS fk_grade
+      |FROM f WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q152
+  // LSH tuning eval (Dedup.lshPrecision): of the q28 candidate pairs,
+  // the fraction that clear exact shingle Jaccard 0.5 — the precision
+  // dial for (numHashes, rowsPerBand) before a corpus-wide run. Exact
+  // Jaccard runs over CANDIDATE pairs only.
+  private def q152LshPrecision(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshPrecision(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 4, jaccardThreshold = 0.5)
+
+  private val q152Sql = {
+    val mins = (0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+    s"""WITH ${shingleCte(3)},
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig),
+       |keep AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+       |         HAVING COUNT(*) <= 1000),
+       |kb AS (SELECT bands.* FROM bands JOIN keep USING (band, bucket)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM kb a JOIN kb b ON a.band = b.band AND a.bucket = b.bucket
+       |                   AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |         (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)) AS jac
+       |  FROM cand c
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+       |SELECT COUNT(*) AS n_candidates,
+       |  CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |  CASE WHEN COUNT(*) > 0
+       |       THEN round(CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+       |                  / COUNT(*), 6) END AS precision
+       |FROM jac""".stripMargin
+  }
+
   // --------------------------------------------------------------- q150
   // k-NN label propagation (Similarity.knnClassify): vectors with
   // vec_id < 250 are the hand-labeled seed set; every other vector
@@ -2224,6 +2292,8 @@ object Pipeline {
     "q148_lm_buckets" -> q148LmBuckets _,
     "q149_matryoshka" -> q149Matryoshka _,
     "q150_knn_classify" -> q150KnnClassify _,
+    "q151_readability" -> q151Readability _,
+    "q152_lsh_precision" -> q152LshPrecision _,
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
     "q29_jaccard" -> q29Jaccard _,
@@ -2351,5 +2421,7 @@ object Pipeline {
     "q148_lm_buckets" -> q148Sql,
     "q149_matryoshka" -> q149Sql,
     "q150_knn_classify" -> q150Sql,
+    "q151_readability" -> q151Sql,
+    "q152_lsh_precision" -> q152Sql,
   )
 }
