@@ -617,26 +617,27 @@ object Curation {
             .cast("double")))), 6).as("score"))
   }
 
-  /** Character-bigram language-model score — the perplexity-proxy
-    * quality signal of the CCNet/RefinedWeb recipes, self-trained on
-    * the corpus it scores (no external model artifact). Per document:
-    * the mean add-one-smoothed log-probability of its character
-    * bigrams, higher = more typical of the corpus; gibberish, binary
-    * spill, and wrong-charset text sit far in the left tail.
-    *
-    * Two linear passes over the corpus, both map-heavy: (1) TRAIN —
-    * count bigrams (shuffle cardinality = the bigram vocabulary,
-    * bounded by charset² — thousands of rows even at 100 TB) and turn
-    * counts into `round(ln((c+1)/(N+V)), 6)`; (2) SCORE — broadcast the
-    * vocabulary-sized log-prob table, map-side join each document's
-    * distinct bigrams (count-weighted), one per-doc aggregate. Both
-    * passes share one materialized per-(doc, bigram) count frame, so
-    * the corpus is scanned and exploded once. Log-probs are rounded to 6
-    * decimals BEFORE the decimal-typed per-doc sum, so the fold is
-    * order-insensitive and any engine reproduces avg_logp bit-for-bit.
-    *
-    * Documents shorter than 2 characters have no bigrams and are
-    * omitted. Returns (doc_id, n_bigrams, avg_logp). */
+  /** Per-document character-level Shannon entropy — the garbled-text /
+    * binary-spill detector (near-zero entropy = repeated filler, ~8 bits
+    * = random bytes; natural language sits ~4). Per-term contributions
+    * `-p·log2(p)` are rounded to 6 decimals and summed as decimals, so
+    * the fold is order-insensitive and cross-engine bit-stable (the q97
+    * discipline). One explode + two aggregates, linear in characters.
+    * Empty docs are dropped. Returns (idCol, n_chars, entropy). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .select(col(idCol), col("n"),
+        round(-(col("c").cast("double") / col("n")) *
+          log(2.0, col("c").cast("double") / col("n")), 6)
+          .cast("decimal(28,6)").as("term"))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n_chars"),
+        round(sum(col("term")).cast("double"), 6).as("entropy"))
+
   /** Flesch-Kincaid readability grade — the classic surface-form
     * quality feature (alongside the q34 length/punct/stopword ratios).
     * Syllables are approximated by vowel-group runs (`[aeiouy]+`), the
@@ -699,6 +700,26 @@ object Curation {
       .orderBy(col("bucket"))
   }
 
+  /** Character-bigram language-model score — the perplexity-proxy
+    * quality signal of the CCNet/RefinedWeb recipes, self-trained on
+    * the corpus it scores (no external model artifact). Per document:
+    * the mean add-one-smoothed log-probability of its character
+    * bigrams, higher = more typical of the corpus; gibberish, binary
+    * spill, and wrong-charset text sit far in the left tail.
+    *
+    * Two linear passes over the corpus, both map-heavy: (1) TRAIN —
+    * count bigrams (shuffle cardinality = the bigram vocabulary,
+    * bounded by charset² — thousands of rows even at 100 TB) and turn
+    * counts into `round(ln((c+1)/(N+V)), 6)`; (2) SCORE — broadcast the
+    * vocabulary-sized log-prob table, map-side join each document's
+    * distinct bigrams (count-weighted), one per-doc aggregate. Both
+    * passes share one materialized per-(doc, bigram) count frame, so
+    * the corpus is scanned and exploded once. Log-probs are rounded to 6
+    * decimals BEFORE the decimal-typed per-doc sum, so the fold is
+    * order-insensitive and any engine reproduces avg_logp bit-for-bit.
+    *
+    * Documents shorter than 2 characters have no bigrams and are
+    * omitted. Returns (doc_id, n_bigrams, avg_logp). */
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // per-(doc, bigram) counts, materialized once: both the trainer and
     // the scorer consume this frame, and without the checkpoint the

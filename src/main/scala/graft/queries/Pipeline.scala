@@ -1801,6 +1801,28 @@ object Pipeline {
       |HAVING SUM(CASE WHEN NOT dup THEN 1 ELSE 0 END) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q153
+  // Character-entropy quality gate (Curation.charEntropy): Shannon
+  // entropy over per-doc char frequencies, decimal-summed pre-rounded
+  // terms (order-insensitive fold, the q97 discipline).
+  private def q153CharEntropy(s: SparkSession, dir: String): DataFrame =
+    Curation.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q153Sql =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch
+      |       WHERE length(ch) > 0 GROUP BY doc_id, ch),
+      |wn AS (SELECT doc_id, ch, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM cc),
+      |terms AS (SELECT doc_id, n,
+      |    CAST(round(-(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 6)
+      |         AS DECIMAL(28,6)) AS term
+      |  FROM wn)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+      |  round(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q151
   // Flesch-Kincaid readability (Curation.readability): vowel-group
   // syllable heuristic, [.!?]-split sentences floored at 1 — the
@@ -2294,6 +2316,7 @@ object Pipeline {
     "q150_knn_classify" -> q150KnnClassify _,
     "q151_readability" -> q151Readability _,
     "q152_lsh_precision" -> q152LshPrecision _,
+    "q153_char_entropy" -> q153CharEntropy _,
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
     "q29_jaccard" -> q29Jaccard _,
@@ -2423,5 +2446,6 @@ object Pipeline {
     "q150_knn_classify" -> q150Sql,
     "q151_readability" -> q151Sql,
     "q152_lsh_precision" -> q152Sql,
+    "q153_char_entropy" -> q153Sql,
   )
 }
