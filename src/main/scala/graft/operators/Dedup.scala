@@ -455,6 +455,32 @@ object Dedup {
           .as("precision"))
   }
 
+  /** The complement of [[lshPrecision]]: of the TRUE near-duplicate
+    * pairs (exact shingle Jaccard ≥ threshold, df-capped like q29),
+    * the fraction the MinHash+LSH candidate generation actually
+    * surfaced — missed true pairs are duplicates that would survive a
+    * dedup run. Together the two metrics tune the band geometry:
+    * precision says how much verification work is wasted, recall says
+    * how much duplication leaks through. One row:
+    * (n_true, n_found, recall). */
+  def lshRecall(docs: DataFrame, idCol: String, textCol: String,
+                n: Int, numHashes: Int, rowsPerBand: Int,
+                jaccardThreshold: Double, maxDf: Long = 1000,
+                maxBucket: Long = 1000): DataFrame = {
+    val truePairs = jaccardPairsFromDocs(docs, idCol, textCol, n,
+      jaccardThreshold, maxDf).select(col("doc_a"), col("doc_b"))
+    val cand = lshCandidates(
+      minhashSignatureDirect(docs, idCol, textCol, n, numHashes),
+      numHashes, rowsPerBand, maxBucket)
+    val found = truePairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truePairs.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_true"), col("n_found"),
+        when(col("n_true") > 0,
+          round(col("n_found").cast("double") / col("n_true"), 6))
+          .as("recall"))
+  }
+
   /** Rebuild documents after [[segmentDedup]] — the reassembly half of
     * paragraph-level dedup (CCNet-style: drop repeated paragraphs, keep
     * the rest of the document in order). Duplicate segments vanish,

@@ -1801,6 +1801,49 @@ object Pipeline {
       |HAVING SUM(CASE WHEN NOT dup THEN 1 ELSE 0 END) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q154
+  // LSH recall eval (Dedup.lshRecall): of the exact-Jaccard >= 0.5
+  // true pairs (df-capped, the q29 recipe), the fraction the q28 band
+  // geometry surfaced — with q152's precision, the full tuning dial.
+  private def q154LshRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecall(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 4, jaccardThreshold = 0.5)
+
+  private val q154Sql = {
+    val mins = (0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+    s"""WITH ${shingleCte(3)},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |rare AS (SELECT * FROM sh WHERE s IN (
+       |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000)),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truep AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig),
+       |keep AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+       |         HAVING COUNT(*) <= 1000),
+       |kb AS (SELECT bands.* FROM bands JOIN keep USING (band, bucket)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM kb a JOIN kb b ON a.band = b.band AND a.bucket = b.bucket
+       |                   AND a.doc_id < b.doc_id),
+       |found AS (SELECT t.* FROM truep t
+       |          JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+       |SELECT (SELECT COUNT(*) FROM truep) AS n_true,
+       |  (SELECT COUNT(*) FROM found) AS n_found,
+       |  CASE WHEN (SELECT COUNT(*) FROM truep) > 0
+       |       THEN round(CAST((SELECT COUNT(*) FROM found) AS DOUBLE) /
+       |                  (SELECT COUNT(*) FROM truep), 6) END AS recall""".stripMargin
+  }
+
   // --------------------------------------------------------------- q153
   // Character-entropy quality gate (Curation.charEntropy): Shannon
   // entropy over per-doc char frequencies, decimal-summed pre-rounded
@@ -2317,6 +2360,7 @@ object Pipeline {
     "q151_readability" -> q151Readability _,
     "q152_lsh_precision" -> q152LshPrecision _,
     "q153_char_entropy" -> q153CharEntropy _,
+    "q154_lsh_recall" -> q154LshRecall _,
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
     "q29_jaccard" -> q29Jaccard _,
@@ -2447,5 +2491,6 @@ object Pipeline {
     "q151_readability" -> q151Sql,
     "q152_lsh_precision" -> q152Sql,
     "q153_char_entropy" -> q153Sql,
+    "q154_lsh_recall" -> q154Sql,
   )
 }
