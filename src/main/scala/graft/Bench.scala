@@ -48,18 +48,26 @@ object Bench {
       }
     val results = attempts.collect { case (n, Some(t), _) => n -> t }.toMap
     val failed = attempts.collect { case (n, None, err) => n -> err.getOrElse("error") }
+    // a query that failed SOME repeats but succeeded others keeps its
+    // timing yet is surfaced as flaky — not silently laundered clean
+    val flaky = attempts.collect { case (n, Some(_), Some(e)) => n -> e }
     val qs = (results.map { case (k, v) => s"\"" + k + "\":" + v } ++
       failed.map { case (k, e) => s"\"" + k + "\":{\"err\":\"" + e + "\"}" })
       .mkString("{", ",", "}")
+    val flakyStr =
+      if (flaky.isEmpty) ""
+      else flaky.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
+        .mkString(",\"flaky\":{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // mark subset/min-of-N runs so they can't be mistaken for the
     // published full-bench number
     val mode = (if (only.isDefined) List(s""""subset":${results.size}""") else Nil) ++
       (if (repeat > 1) List(s""""repeat":$repeat""") else Nil) ++
-      (if (failed.nonEmpty) List(s""""n_failed":${failed.size}""") else Nil)
+      (if (failed.nonEmpty) List(s""""n_failed":${failed.size}""") else Nil) ++
+      (if (flaky.nonEmpty) List(s""""n_flaky":${flaky.size}""") else Nil)
     val modeStr = if (mode.isEmpty) "" else mode.mkString(",", ",", "")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$modeStr}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$flakyStr$modeStr}"""
     // The driver captures only the tail of stdout, so the ~4 KB per-query
     // map must not ride on the final line: the full JSON goes to a file,
     // and the last stdout line is a short parseable summary.

@@ -246,6 +246,72 @@ case class MinHashMd5(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** The argmin kernel shared by [[NearestCell]] (matrix as expression
+  * state) and [[NearestCellBroadcast]] (matrix behind a broadcast
+  * handle): ONE implementation of the semantics both scaladocs promise
+  * — left-to-right (x-y)² accumulation in double, truncation to the
+  * shorter length, `java.lang.Double.compare` first-minimum tiebreak —
+  * so a future change cannot drift the two forms apart. */
+private[functions] object ArgminKernel {
+
+  def eval(e: ArrayData, isFloat: Boolean, matrix: Array[Array[Double]],
+           cids: Array[Int]): Int = {
+    var best = 0
+    var bestD = Double.NaN
+    var k = 0
+    while (k < matrix.length) {
+      val c = matrix(k)
+      val n = math.min(e.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) e.getFloat(i).toDouble else e.getDouble(i)
+        val d = x - c(i)
+        acc += d * d
+        i += 1
+      }
+      if (k == 0 || java.lang.Double.compare(acc, bestD) < 0) {
+        bestD = acc; best = k
+      }
+      k += 1
+    }
+    cids(best)
+  }
+
+  /** The generated-Java body: identical loop for both expression forms;
+    * `m`/`cd` are the matrix / cell-id variable names the caller bound
+    * (a reference object or a broadcast-filled mutable field). Every
+    * local goes through freshName — see CosineSimilarity.doGenCode. */
+  def genBody(ctx: CodegenContext, e: String, get: String, m: String,
+              cd: String, out: String): String = {
+    val best = ctx.freshName("best")
+    val bestD = ctx.freshName("bestD")
+    val acc = ctx.freshName("acc")
+    val c = ctx.freshName("c")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val k = ctx.freshName("k")
+    val d = ctx.freshName("d")
+    s"""
+       |int $best = 0;
+       |double $bestD = Double.NaN;
+       |for (int $k = 0; $k < $m.length; $k++) {
+       |  double[] $c = $m[$k];
+       |  int $n = java.lang.Math.min($e.numElements(), $c.length);
+       |  double $acc = 0.0;
+       |  for (int $i = 0; $i < $n; $i++) {
+       |    double $d = ((double) $e.$get($i)) - $c[$i];
+       |    $acc += $d * $d;
+       |  }
+       |  if ($k == 0 || java.lang.Double.compare($acc, $bestD) < 0) {
+       |    $bestD = $acc; $best = $k;
+       |  }
+       |}
+       |$out = $cd[$best];
+     """.stripMargin
+  }
+}
+
 /** Nearest-centroid assignment for the IVF coarse quantizer: returns the
   * cell id (`cids(i)`) whose centroid minimizes squared-L2 distance to the
   * input vector, first-minimum tiebreak (cids are sorted ascending, so
@@ -288,63 +354,15 @@ case class NearestCell(child: Expression, cids: Seq[Int],
     centroids.map(_.toArray).toArray
   @transient private lazy val cidArr: Array[Int] = cids.toArray
 
-  override def nullSafeEval(v: Any): Any = {
-    val e = v.asInstanceOf[ArrayData]
-    val fl = isFloat
-    var best = 0
-    var bestD = Double.NaN
-    var k = 0
-    while (k < matrix.length) {
-      val c = matrix(k)
-      val n = math.min(e.numElements(), c.length)
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val x = if (fl) e.getFloat(i).toDouble else e.getDouble(i)
-        val d = x - c(i)
-        acc += d * d
-        i += 1
-      }
-      if (k == 0 || java.lang.Double.compare(acc, bestD) < 0) {
-        bestD = acc; best = k
-      }
-      k += 1
-    }
-    cidArr(best)
-  }
+  override def nullSafeEval(v: Any): Any =
+    ArgminKernel.eval(v.asInstanceOf[ArrayData], isFloat, matrix, cidArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("centroidMatrix", matrix, "double[][]")
     val cd = ctx.addReferenceObj("cellIds", cidArr, "int[]")
     val get = if (isFloat) "getFloat" else "getDouble"
-    nullSafeCodeGen(ctx, ev, e => {
-      // loop vars via freshName too — see CosineSimilarity.doGenCode
-      val best = ctx.freshName("best")
-      val bestD = ctx.freshName("bestD")
-      val acc = ctx.freshName("acc")
-      val c = ctx.freshName("c")
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val k = ctx.freshName("k")
-      val d = ctx.freshName("d")
-      s"""
-         |int $best = 0;
-         |double $bestD = Double.NaN;
-         |for (int $k = 0; $k < $m.length; $k++) {
-         |  double[] $c = $m[$k];
-         |  int $n = java.lang.Math.min($e.numElements(), $c.length);
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $d = ((double) $e.$get($i)) - $c[$i];
-         |    $acc += $d * $d;
-         |  }
-         |  if ($k == 0 || java.lang.Double.compare($acc, $bestD) < 0) {
-         |    $bestD = $acc; $best = $k;
-         |  }
-         |}
-         |${ev.value} = $cd[$best];
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, e =>
+      ArgminKernel.genBody(ctx, e, get, m, cd, ev.value))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -388,30 +406,8 @@ case class NearestCellBroadcast(child: Expression,
   @transient private lazy val matrix: Array[Array[Double]] = centroidsBc.value
   @transient private lazy val cidArr: Array[Int] = cidsBc.value
 
-  override def nullSafeEval(v: Any): Any = {
-    val e = v.asInstanceOf[ArrayData]
-    val fl = isFloat
-    var best = 0
-    var bestD = Double.NaN
-    var k = 0
-    while (k < matrix.length) {
-      val c = matrix(k)
-      val n = math.min(e.numElements(), c.length)
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val x = if (fl) e.getFloat(i).toDouble else e.getDouble(i)
-        val d = x - c(i)
-        acc += d * d
-        i += 1
-      }
-      if (k == 0 || java.lang.Double.compare(acc, bestD) < 0) {
-        bestD = acc; best = k
-      }
-      k += 1
-    }
-    cidArr(best)
-  }
+  override def nullSafeEval(v: Any): Any =
+    ArgminKernel.eval(v.asInstanceOf[ArrayData], isFloat, matrix, cidArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // only the HANDLES go into the references array / task binary
@@ -422,38 +418,14 @@ case class NearestCellBroadcast(child: Expression,
     val m = ctx.addMutableState("double[][]", "ncbMatrix")
     val cd = ctx.addMutableState("int[]", "ncbCids")
     val get = if (isFloat) "getFloat" else "getDouble"
-    nullSafeCodeGen(ctx, ev, e => {
-      // loop vars via freshName too — see CosineSimilarity.doGenCode
-      val best = ctx.freshName("best")
-      val bestD = ctx.freshName("bestD")
-      val acc = ctx.freshName("acc")
-      val c = ctx.freshName("c")
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val k = ctx.freshName("k")
-      val d = ctx.freshName("d")
+    nullSafeCodeGen(ctx, ev, e =>
       s"""
          |if ($m == null) {
          |  $m = (double[][]) $mBc.value();
          |  $cd = (int[]) $cdBc.value();
          |}
-         |int $best = 0;
-         |double $bestD = Double.NaN;
-         |for (int $k = 0; $k < $m.length; $k++) {
-         |  double[] $c = $m[$k];
-         |  int $n = java.lang.Math.min($e.numElements(), $c.length);
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $d = ((double) $e.$get($i)) - $c[$i];
-         |    $acc += $d * $d;
-         |  }
-         |  if ($k == 0 || java.lang.Double.compare($acc, $bestD) < 0) {
-         |    $bestD = $acc; $best = $k;
-         |  }
-         |}
-         |${ev.value} = $cd[$best];
-       """.stripMargin
-    })
+         |${ArgminKernel.genBody(ctx, e, get, m, cd, ev.value)}
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -630,9 +630,12 @@ object Curation {
       .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
       .withColumn("n", sum(col("c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      // log2 via ln(p)/ln(2) EXPLICITLY on both engines (the oracle
+      // mirrors this form): a native log2 on one side and ln/ln(2) on
+      // the other can differ by 1 ULP and flip the 6-decimal rounding
       .select(col(idCol), col("n"),
         round(-(col("c").cast("double") / col("n")) *
-          log(2.0, col("c").cast("double") / col("n")), 6)
+          log(col("c").cast("double") / col("n")) / log(lit(2.0)), 6)
           .cast("decimal(28,6)").as("term"))
       .groupBy(col(idCol))
       .agg(max(col("n")).as("n_chars"),

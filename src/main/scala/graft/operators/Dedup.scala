@@ -433,7 +433,10 @@ object Dedup {
     val cand = lshCandidates(
       minhashSignatureDirect(docs, idCol, textCol, n, numHashes),
       numHashes, rowsPerBand, maxBucket)
-    val sh = shingles(docs, idCol, textCol, n)
+    // sizes and BOTH intersection-join sides reuse the shingle frame —
+    // materialize it once (the jaccardPairs checkpoint rule) instead of
+    // paying the tokenize+explode three times
+    val sh = shingles(docs, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))

@@ -1859,7 +1859,7 @@ object Pipeline {
       |       WHERE length(ch) > 0 GROUP BY doc_id, ch),
       |wn AS (SELECT doc_id, ch, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM cc),
       |terms AS (SELECT doc_id, n,
-      |    CAST(round(-(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 6)
+      |    CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) / ln(2), 6)
       |         AS DECIMAL(28,6)) AS term
       |  FROM wn)
       |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
@@ -1978,8 +1978,11 @@ object Pipeline {
   // cosine top-10 for query 0 in the REDUCED space — the MRL cheap
   // pre-filter whose survivors a full-dimension pass would re-rank.
   private def q149Matryoshka(s: SparkSession, dir: String): DataFrame =
+    // the null filter mirrors the oracle's WHERE nm > 0: a zero-norm
+    // prefix is unrankable and must not ride into the top-k as null sim
     Similarity.cosineTopK(
-      Similarity.truncateNormalize(t(s, dir, "embeddings"), "embedding", 16),
+      Similarity.truncateNormalize(t(s, dir, "embeddings"), "embedding", 16)
+        .filter(col("embedding").isNotNull),
       "vec_id", "embedding", queryId = 0L, k = 10)
 
   private val q149Sql =

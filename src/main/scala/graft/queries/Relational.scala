@@ -2440,8 +2440,11 @@ object Relational {
   // the row proves the rewrite kept exactly the retained rows and the
   // dropped count (carried as a column) matches the oracle's.
   private def q146Expire(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("q146store")
-      .toString + "/events"
+    // one FIXED scratch dir per JVM, overwritten each call: the bench's
+    // min-of-3 and repeated verify runs reuse it instead of leaking a
+    // fresh events copy into /tmp per invocation
+    val tmp = java.lang.System.getProperty("java.io.tmpdir") +
+      "/graft_q146_store/events"
     t(s, dir, "events").write.mode("overwrite").parquet(tmp)
     val dropped = graft.sinks.StoreMaintenance.expire(
       s, tmp, "ts", "2024-01-16 00:00:00")

@@ -125,23 +125,39 @@ object StreamingMerge {
       }
       .start()
 
+  /** The `_applied_batch` replay gate shared by [[applyDedupBatch]] and
+    * [[applyAggBatch]]: the highest batch id recorded in the parquet
+    * store at `storeDir`, or None when the store (or the marker column
+    * — stores written before the gate existed) is absent. Store
+    * existence goes through the path's own Hadoop FileSystem (local,
+    * file:, hdfs, s3a all behave), and the read merges file schemas so
+    * a marker written by ANY file is seen even if another writer
+    * appended marker-less rows. The aggregate prunes to the single
+    * marker column — a long column scan (RLE-compressed pages), not a
+    * store scan. */
+  private def lastAppliedBatch(spark: SparkSession,
+                               storeDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val live = spark.read.option("mergeSchema", "true").parquet(storeDir)
+    if (!live.columns.contains("_applied_batch")) None
+    else live.select(col("_applied_batch")).agg(max(col("_applied_batch")))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+  }
+
   /** One streamed dedup ingest, replay-safe: appended signature rows
-    * carry `_applied_batch`; a redelivered batch (marker already at or
-    * past `batchId`) is skipped before any write, and a batch replayed
-    * after a crash-before-append re-writes the SAME per-batch dupes
-    * report (overwrite), never double-reporting. Returns false when
-    * skipped. */
+    * carry `_applied_batch` IN the same append (so the gate and the
+    * data commit atomically); a redelivered batch (marker already at
+    * or past `batchId`) is skipped before any write, and a batch
+    * replayed after a crash-before-append re-writes the SAME per-batch
+    * dupes report (overwrite), never double-reporting. Returns false
+    * when skipped. */
   def applyDedupBatch(batch: DataFrame, batchId: Long, storeDir: String,
                       dupesDir: String): Boolean = {
     val spark = batch.sparkSession
-    if (new java.io.File(storeDir).exists()) {
-      val live = spark.read.parquet(storeDir)
-      val lastApplied =
-        if (!live.columns.contains("_applied_batch")) None
-        else live.agg(max(col("_applied_batch"))).collect()
-          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      if (lastApplied.exists(_ >= batchId)) return false // replayed batch
-    }
+    if (lastAppliedBatch(spark, storeDir).exists(_ >= batchId))
+      return false // replayed batch
     graft.operators.Dedup.ingestBatch(batch, "doc_id", "text", storeDir,
       s"$dupesDir/batch_$batchId", markerBatch = Some(batchId))
     true
@@ -154,16 +170,15 @@ object StreamingMerge {
                     keys: Seq[String], valueCol: String): Boolean = {
     import graft.operators.IncrementalAgg
     val delta = IncrementalAgg.partial(batch, keys, valueCol)
+    val spark = batch.sparkSession
+    val storeP = new org.apache.hadoop.fs.Path(storeDir)
+    val storeExists = storeP.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(storeP)
     val merged =
-      if (new java.io.File(storeDir).exists()) {
-        val live = batch.sparkSession.read.parquet(storeDir).localCheckpoint()
-        // stores written before the gate existed have no marker column:
-        // treat as "nothing recorded" instead of crashing the stream
-        val lastApplied =
-          if (!live.columns.contains("_applied_batch")) None
-          else live.agg(max(col("_applied_batch"))).collect()
-            .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-        if (lastApplied.exists(_ >= batchId)) return false // replayed batch
+      if (storeExists) {
+        if (lastAppliedBatch(spark, storeDir).exists(_ >= batchId))
+          return false // replayed batch
+        val live = spark.read.parquet(storeDir).localCheckpoint()
         IncrementalAgg.merge(Seq(live.drop("_applied_batch"), delta), keys)
       } else delta
     // write-to-sibling-then-swap: a crash mid-overwrite must not leave a
