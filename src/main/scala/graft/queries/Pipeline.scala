@@ -1801,6 +1801,41 @@ object Pipeline {
       |HAVING SUM(CASE WHEN NOT dup THEN 1 ELSE 0 END) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q155
+  // Dataset card: the one-row corpus summary every published dataset
+  // ships — volume, token count, language/source spread, exact-dup
+  // rate, length spread. One scan plus dimension-sized aggregates;
+  // the decimal-exact mean keeps the card bit-stable cross-engine.
+  private def q155DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"),
+      (sum(col("n_tokens")).cast("double") / count(lit(1))).as("mean_tokens"),
+      min(col("n_tokens")).as("min_tokens"),
+      max(col("n_tokens")).as("max_tokens"))
+  }
+
+  private val q155Sql =
+    """SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
+      |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+      |  CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+      |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+      |FROM (SELECT doc_id, lang, source,
+      |        len(string_split_regex(text, '\s+')) AS n_tokens,
+      |        md5(text) AS h
+      |      FROM documents)""".stripMargin
+
   // --------------------------------------------------------------- q154
   // LSH recall eval (Dedup.lshRecall): of the exact-Jaccard >= 0.5
   // true pairs (df-capped, the q29 recipe), the fraction the q28 band
@@ -2364,6 +2399,7 @@ object Pipeline {
     "q152_lsh_precision" -> q152LshPrecision _,
     "q153_char_entropy" -> q153CharEntropy _,
     "q154_lsh_recall" -> q154LshRecall _,
+    "q155_dataset_card" -> q155DatasetCard _,
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
     "q29_jaccard" -> q29Jaccard _,
@@ -2495,5 +2531,6 @@ object Pipeline {
     "q152_lsh_precision" -> q152Sql,
     "q153_char_entropy" -> q153Sql,
     "q154_lsh_recall" -> q154Sql,
+    "q155_dataset_card" -> q155Sql,
   )
 }

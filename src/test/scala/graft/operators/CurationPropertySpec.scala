@@ -161,4 +161,48 @@ class CurationPropertySpec extends SparkSpec {
       assert(got.values.forall(s => s >= 0 && s < n))
     }
   }
+
+  test("charEntropy matches the plain-Scala model exactly on random corpora") {
+    val rnd = new Random(29)
+    for (_ <- 1 to 3) {
+      val docs = (0L until (4L + rnd.nextInt(6))).map { id =>
+        (id, randomDoc(rnd, 1 + rnd.nextInt(15)))
+      }
+      // model: identical arithmetic — per-char p, round6(-p*ln(p)/ln(2))
+      // summed exactly (BigDecimal), rounded to 6
+      def round6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = docs.map { case (id, text) =>
+        val counts = text.toSeq.groupBy(identity).map { case (_, g) => g.size }
+        val n = text.length.toLong
+        val h = counts.map { c =>
+          BigDecimal(round6(-(c.toDouble / n) * math.log(c.toDouble / n) / math.log(2.0)))
+        }.sum.toDouble
+        id -> ((n, round6(h)))
+      }.toMap
+      val got = Curation.charEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want)
+      // entropy bounds: 0 <= H <= log2(#distinct chars) (+rounding slack)
+      got.foreach { case (id, (_, h)) =>
+        val k = docs.toMap.apply(id).toSeq.distinct.size
+        assert(h >= 0.0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-4, s"doc $id H=$h k=$k")
+      }
+    }
+  }
+
+  test("readability counts are consistent: syllables inside chars, words positive") {
+    val rnd = new Random(31)
+    val docs = (0L until 20L).map(id => (id, randomDoc(rnd, 1 + rnd.nextInt(30)) +
+      (if (id % 3 == 0) ". The end! Sure?" else ""))).toDF("doc_id", "text")
+    val rows = Curation.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (id, w, s2, syl, fk) =>
+      assert(w > 0 && s2 >= 1 && syl >= 0, s"doc $id")
+      // each syllable is at least one char; each word at most its chars
+      assert(fk == BigDecimal(0.39 * w.toDouble / s2 + 11.8 * syl.toDouble / w - 15.59)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"doc $id fk")
+    }
+  }
 }
