@@ -24,6 +24,10 @@ object GraftSession {
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+    // filterless MIN/MAX/COUNT resolve from parquet footer statistics —
+    // turns the streamed-dedup replay gate's max(_applied_batch) into an
+    // O(files) metadata read on a year-old store instead of a column scan
+    "spark.sql.parquet.aggregatePushdown" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 

@@ -134,7 +134,9 @@ object StreamingMerge {
     * a marker written by ANY file is seen even if another writer
     * appended marker-less rows. The aggregate prunes to the single
     * marker column — a long column scan (RLE-compressed pages), not a
-    * store scan. */
+    * store scan; with `spark.sql.parquet.aggregatePushdown` on (the
+    * GraftSession.clusterConf default) it resolves from footer
+    * statistics, O(files) on a year-old store. */
   private def lastAppliedBatch(spark: SparkSession,
                                storeDir: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(storeDir)
