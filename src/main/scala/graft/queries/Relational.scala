@@ -2462,7 +2462,33 @@ object Relational {
       |FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- q156
+  // Multi-column zone statistics (SkippingStore.writeMulti): the store
+  // sorts by o_orderdate but records per-file (min, max) for
+  // o_orderkey AND o_totalprice — the Delta data-skipping shape. The
+  // gate drives the full write -> sidecar -> coverage-check ->
+  // prune-on-a-SECONDARY-column -> residual path; pruning
+  // effectiveness on correlated layouts is spec'd separately
+  // (ScaleOpsSpec), correctness here is the oracle's plain filter.
+  private def q156MultiZone(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.lang.System.getProperty("java.io.tmpdir") +
+      "/graft_q156_store/orders"
+    graft.sinks.SkippingStore.writeMulti(t(s, dir, "orders"),
+      "o_orderdate", Seq("o_orderkey", "o_totalprice"), tmp, 8)
+    val (_, _, hit) = graft.sinks.SkippingStore.readPrunedOn(
+      s, tmp, "o_totalprice", 1000.0, 50000.0)
+    hit.select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q156Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE CAST(o_totalprice AS DOUBLE) >= 1000.0
+      |  AND CAST(o_totalprice AS DOUBLE) <= 50000.0
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_multi_zone" -> q156MultiZone _,
     "q146_expire" -> q146Expire _,
     "q145_dense_ids" -> q145DenseIds _,
     "q1_agg" -> q1Agg _,
@@ -2547,6 +2573,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q156_multi_zone" -> q156Sql,
     "q146_expire" -> q146Sql,
     "q145_dense_ids" -> q145Sql,
     "q1_agg" -> q1Sql,

@@ -99,6 +99,67 @@ object SkippingStore {
   def zoneMap(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/_zonemap")
 
+  // ------------------------------------------------------------------
+  // Multi-column zone statistics — the lake-format generalization: the
+  // layout is sorted by ONE column, but (min, max) is recorded for
+  // SEVERAL numeric columns per file (Delta's dataSkippingNumIndexedCols
+  // shape). Pruning on the sort column is tight; pruning on a secondary
+  // column is only as good as its correlation with the layout — but it
+  // is always CORRECT (zone intersection per file), so a query on any
+  // indexed column can skip without a second copy of the data.
+
+  /** Write `df` range-partitioned/sorted by `sortCol` with per-file
+    * (min, max) recorded for every column in `statsCols` (numeric or
+    * date/timestamp — stats are widened to double epoch/value) in a
+    * `_zonemap_multi` sidecar: one (file, col, zmin, zmax) row per
+    * file × column. */
+  def writeMulti(df: DataFrame, sortCol: String, statsCols: Seq[String],
+                 dir: String, nFiles: Int): Unit = {
+    require(nFiles >= 1, "need at least one file")
+    require(statsCols.nonEmpty, "need at least one stats column")
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(dir)
+    val data = df.sparkSession.read.parquet(dir)
+    statsCols.map { c =>
+      data.groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+        .agg(min(col(c).cast("double")).as("zmin"),
+          max(col(c).cast("double")).as("zmax"))
+        .select(col("file"), lit(c).as("col"), col("zmin"), col("zmax"))
+    }.reduce(_ unionByName _)
+      .coalesce(1) // files × columns — sidecar-sized by construction
+      .write.mode("overwrite").parquet(s"$dir/_zonemap_multi")
+  }
+
+  /** Prune a [[writeMulti]] store on ANY indexed column: open only the
+    * files whose recorded [zmin, zmax] for `statsCol` intersects
+    * [lo, hi] (doubles), residual filter on top. Same loud coverage
+    * check as [[readPruned]]. Returns (survivingFiles, totalFiles,
+    * frame). */
+  def readPrunedOn(spark: SparkSession, dir: String, statsCol: String,
+                   lo: Double, hi: Double): (Long, Long, DataFrame) = {
+    val zm = spark.read.parquet(s"$dir/_zonemap_multi").cache()
+    try {
+      val mapped = zm.select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
+      checkCoverage(listDataFileNames(spark, dir).toSet, mapped, dir)
+      val forCol = zm.filter(col("col") === statsCol)
+      require(forCol.limit(1).count() > 0,
+        s"$dir/_zonemap_multi has no stats for column '$statsCol' — " +
+          "rewrite with writeMulti including it")
+      val files = forCol.filter(col("zmax") >= lo && col("zmin") <= hi)
+        .select(col("file")).collect().map(r => s"$dir/${r.getString(0)}")
+      val residual = (d: DataFrame) =>
+        d.filter(col(statsCol).cast("double") >= lo &&
+          col(statsCol).cast("double") <= hi)
+      if (files.isEmpty)
+        (0L, mapped.size.toLong, residual(spark.read.parquet(dir)).limit(0))
+      else
+        (files.length.toLong, mapped.size.toLong,
+          residual(spark.read.parquet(files.toIndexedSeq: _*)))
+    } finally zm.unpersist()
+  }
+
   /** Read only the files whose [zmin, zmax] range intersects [lo, hi],
     * with the exact residual filter applied on top. The prune happens
     * on the driver over the file-count-sized zone map — the same shape

@@ -400,6 +400,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(miss.count() == 0)
   }
 
+  test("multi-column zones prune on a correlated secondary column, stay correct on any") {
+    import graft.sinks.SkippingStore
+    val dir = java.nio.file.Files.createTempDirectory("mzone").toString + "/store"
+    // ts is the layout; size correlates with ts (bigger later), noise doesn't
+    val df = Seq.tabulate(400)(i => (i, i * 10 + i % 3, (i * 37) % 101))
+      .toDF("ts", "size", "noise")
+    SkippingStore.writeMulti(df, "ts", Seq("size", "noise"), dir, nFiles = 8)
+    // correlated column: a narrow size range lives in few files
+    val (kept, total, hit) = SkippingStore.readPrunedOn(spark, dir, "size", 100.0, 300.0)
+    assert(total == 8 && kept < total, s"kept $kept of $total")
+    val want = df.filter($"size" >= 100 && $"size" <= 300)
+      .select($"ts").as[Int].collect().toSet
+    assert(hit.select($"ts").as[Int].collect().toSet == want && want.nonEmpty)
+    // uncorrelated column: may keep everything, must still be exact
+    val (_, _, hit2) = SkippingStore.readPrunedOn(spark, dir, "noise", 10.0, 20.0)
+    val want2 = df.filter($"noise" >= 10 && $"noise" <= 20)
+      .select($"ts").as[Int].collect().toSet
+    assert(hit2.select($"ts").as[Int].collect().toSet == want2 && want2.nonEmpty)
+    // un-indexed column refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      SkippingStore.readPrunedOn(spark, dir, "ts", 0.0, 1.0)
+    }
+    assert(e.getMessage.contains("no stats"))
+  }
+
   test("bloomAppend covers appended files: old and new keys found, geometry reused") {
     import graft.sinks.SkippingStore
     val dir = java.nio.file.Files.createTempDirectory("bloomapp").toString + "/store"
