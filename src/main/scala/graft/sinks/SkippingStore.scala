@@ -131,6 +131,39 @@ object SkippingStore {
       .write.mode("overwrite").parquet(s"$dir/_zonemap_multi")
   }
 
+  /** Append to a [[writeMulti]] store, extending the sidecar with
+    * stats for ONLY the newly written files; the indexed column set is
+    * read from the existing sidecar so every file carries the same
+    * stats. Refuses loudly when no multi sidecar exists. */
+  def appendMulti(df: DataFrame, sortCol: String, dir: String,
+                  nFiles: Int): Unit = {
+    require(nFiles >= 1, "need at least one file")
+    val spark = df.sparkSession
+    require(pathExists(spark, s"$dir/_zonemap_multi"),
+      s"$dir has no _zonemap_multi — build it with writeMulti first")
+    val zm = spark.read.parquet(s"$dir/_zonemap_multi")
+    val statsCols = zm.select(col("col")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val known = zm.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    checkCoverage(listDataFileNames(spark, dir).toSet, known, dir)
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("append").parquet(dir)
+    val newFiles = listDataFileNames(spark, dir).filterNot(known)
+    if (newFiles.nonEmpty) {
+      val data = spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*)
+      statsCols.map { c =>
+        data.groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+          .agg(min(col(c).cast("double")).as("zmin"),
+            max(col(c).cast("double")).as("zmax"))
+          .select(col("file"), lit(c).as("col"), col("zmin"), col("zmax"))
+      }.reduce(_ unionByName _)
+        .coalesce(1)
+        .write.mode("append").parquet(s"$dir/_zonemap_multi")
+    }
+  }
+
   /** Prune a [[writeMulti]] store on ANY indexed column: open only the
     * files whose recorded [zmin, zmax] for `statsCol` intersects
     * [lo, hi] (doubles), residual filter on top. Same loud coverage

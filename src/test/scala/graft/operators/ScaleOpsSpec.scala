@@ -423,6 +423,14 @@ class ScaleOpsSpec extends SparkSpec {
       SkippingStore.readPrunedOn(spark, dir, "ts", 0.0, 1.0)
     }
     assert(e.getMessage.contains("no stats"))
+    // append extends the sidecar for new files only, same column set
+    val delta = Seq.tabulate(100)(i => (1000 + i, 10000 + i * 10, i % 7))
+      .toDF("ts", "size", "noise")
+    SkippingStore.appendMulti(delta, "ts", dir, nFiles = 2)
+    val (k3, t3, hit3) = SkippingStore.readPrunedOn(spark, dir, "size", 10000.0, 10500.0)
+    assert(t3 == 10 && k3 < t3) // appended range lives in the new files
+    assert(hit3.select($"ts").as[Int].collect().toSet ==
+      delta.filter($"size" <= 10500).select($"ts").as[Int].collect().toSet)
   }
 
   test("bloomAppend covers appended files: old and new keys found, geometry reused") {
