@@ -213,6 +213,48 @@ class SimilaritySpec extends SparkSpec {
     assert(served == direct)
   }
 
+  test("knnJoinSeedBroadcast is bit-identical to knnJoin; broadcast side is the corpus") {
+    val corpus = emb.filter($"vec_id" < 8)    // the small seed side
+    val queries = emb.filter($"vec_id" >= 8)  // the big streamed side
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"vec_id", $"sim")
+        .as[(Long, Long, Double)].collect().toSet
+    val viaQueryBcast = rows(Similarity.knnJoin(corpus, queries, "vec_id", "embedding", 3))
+    val swapped = Similarity.knnJoinSeedBroadcast(corpus, queries, "vec_id", "embedding", 3)
+    assert(rows(swapped) == viaQueryBcast,
+      "swapping the physical build side must not change a single row")
+    // the scale claim, asserted in-plan: every broadcast exchange feeds
+    // the CORPUS (cand_id/cv) side; the query stream never broadcasts
+    val bcasts = graft.PlanAudit.broadcastOutputs(swapped.queryExecution.executedPlan)
+    assert(bcasts.nonEmpty, "expected a broadcast of the seed/corpus side")
+    for (names <- bcasts) {
+      assert(names.contains("cand_id") && !names.contains("query_id"),
+        s"broadcast side must be the corpus frame, got columns $names")
+    }
+  }
+
+  test("knnClassify broadcasts only the labeled seed frame (r6 scale-killer inverted)") {
+    val labeled = emb.filter($"vec_id" < 8)
+      .withColumn("label", ($"vec_id" % 4).cast("int"))
+    val unlabeled = emb.filter($"vec_id" >= 8)
+    val out = Similarity.knnClassify(labeled, unlabeled,
+      "vec_id", "embedding", "label", k = 3)
+    // every broadcast in the plan carries seed-side columns only —
+    // (cand_id, cv) from the neighbor join or (vec_id, label) from the
+    // vote join; the unlabeled corpus (query_id/qv) never broadcasts
+    val bcasts = graft.PlanAudit.broadcastOutputs(out.queryExecution.executedPlan)
+    assert(bcasts.nonEmpty)
+    for (names <- bcasts) {
+      assert(!names.contains("query_id") && !names.contains("qv"),
+        s"corpus-side columns reached a broadcast: $names")
+      assert(names.subsetOf(Set("cand_id", "cv", "vec_id", "label")),
+        s"unexpected broadcast frame: $names")
+    }
+    // predictions exist for every unlabeled vector, votes bounded by k
+    val got = out.as[(Long, Int, Long)].collect()
+    assert(got.length == 32 && got.forall(r => r._3 >= 1 && r._3 <= 3))
+  }
+
   test("truncateNormalize: unit norm, zero/null vectors unrankable") {
     import spark.implicits._
     val emb = Seq(
