@@ -381,9 +381,13 @@ object Curation {
     * falls under a disallowed prefix for its host (the `Disallow:`
     * semantics of robots.txt, applied corpus-side as curation). `rules`
     * is a (host, prefix) frame — real blocklists are thousands of rows,
-    * so it broadcasts and the corpus is touched map-side twice
-    * (flag, then anti-join on the id) with zero corpus shuffle: both
-    * joins are broadcast-hash. Returns the input minus blocked docs. */
+    * so it broadcasts and the corpus is touched map-side once to flag.
+    * The blocked-id anti-join is left UNHINTED: blocked ids are
+    * corpus-derived (worst case, a rule that blocks everything), so the
+    * planner must stay free to pick a shuffle join when runtime stats
+    * say the set outgrew the broadcast threshold — AQE still
+    * broadcast-joins the common small case. Returns the input minus
+    * blocked docs. */
   def prefixBlocklist(docs: DataFrame, idCol: String, urlCol: String,
                       rules: DataFrame): DataFrame = {
     val host = urlHost(col(urlCol))
@@ -394,7 +398,7 @@ object Curation {
         Seq("_host"))
       .filter(col("_path").startsWith(col("prefix")))
       .select(col(idCol)).distinct()
-    docs.join(broadcast(blockedIds), Seq(idCol), "left_anti")
+    docs.join(blockedIds, Seq(idCol), "left_anti")
   }
 
   /** BM25 top-k retrieval over the corpus for a driver-held term set —

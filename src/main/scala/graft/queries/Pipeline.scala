@@ -1509,7 +1509,9 @@ object Pipeline {
     val emb = t(s, dir, "embeddings")
     val en = t(s, dir, "documents").filter(col("lang") === "en")
       .select(col("doc_id"))
-    val filtered = emb.join(broadcast(en),
+    // the language slice can be MOST of the corpus (en usually is) —
+    // no forced broadcast; AQE decides from runtime stats
+    val filtered = emb.join(en,
       col("vec_id") === col("doc_id"), "left_semi")
     val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
     Similarity.withCosine(filtered.filter(col("vec_id") =!= 0L), qv, "embedding")

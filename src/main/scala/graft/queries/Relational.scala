@@ -706,7 +706,10 @@ object Relational {
     // dedups and three join passes — identical rows.
     li.groupBy(col("l_orderkey"), col("l_partkey"))
       .agg(min(col("l_shipdate")).as("first_ship"))
-      .join(broadcast(scope), col("l_orderkey") === col("o_orderkey"), "left_outer")
+      // scope is a FILTER OF ORDERS (fact-sized at scale) — no forced
+      // broadcast; AQE picks broadcast-hash while stats stay under the
+      // threshold and a shuffle join once they don't
+      .join(scope, col("l_orderkey") === col("o_orderkey"), "left_outer")
       .filter(col("first_ship") < lit("1997-01-01") || col("in_scope").isNull)
       .select(col("l_orderkey"), col("l_partkey"))
       .orderBy(col("l_orderkey"), col("l_partkey"))

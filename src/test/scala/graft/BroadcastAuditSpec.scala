@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+
+/** Codifies VERDICT r6 #2: a FORCED `broadcast()` hint overrides the
+  * planner's size statistics, so a hint on a corpus-derived frame is a
+  * latent OOM at 100 TB no matter how green the small-SF row is (the r6
+  * knnClassify finding). Planner-chosen broadcasts are exempt by
+  * construction — AQE only picks them while runtime stats sit under
+  * `autoBroadcastJoinThreshold` and falls back to a shuffle join once
+  * they don't. Every forced hint in every registry query must therefore
+  * belong to a documented bounded family below; anything new fails this
+  * spec until it is either un-hinted (let AQE decide) or documented
+  * with its boundedness argument.
+  */
+class BroadcastAuditSpec extends SparkSpec {
+
+  /** Documented forced-broadcast families: family -> (why bounded,
+    * query -> the exact column sets it may force-broadcast). */
+  private val families: Seq[(String, String, Map[String, Set[Set[String]]])] = Seq(
+    ("one-row-ride",
+      "exactly ONE row by construction: a corpus-level aggregate (count/total/threshold) or the probe's own vector riding along a cross join",
+      Map(
+        "q31_cosine_topk" -> Set(Set("qv")),
+        "q32_ann_bucket" -> Set(Set("qv")),
+        "q44_ann_ivf" -> Set(Set("qv")),
+        "q50_ann_nprobe" -> Set(Set("qv")),
+        "q80_filtered_ann" -> Set(Set("qv")),
+        "q149_matryoshka" -> Set(Set("qv")),
+        "q144_recall" -> Set(Set("qv")),
+        "q65_tfidf" -> Set(Set("n")),
+        "q97_lm_score" -> Set(Set("n", "v")),
+        "q133_bm25" -> Set(Set("avgdl", "n")),
+        "q141_shard_budget" -> Set(Set("total")),
+        "q148_lm_buckets" -> Set(Set("t1", "t2")),
+        "q71_mixture" -> Set(Set("nstar")),
+        "q85_curation_v2" -> Set(Set("nstar")))),
+    ("probe-keys",
+      "nprobe-/band-bounded key sets derived from the probe side (the cells or buckets ONE query hashes into), never the corpus's keys",
+      Map(
+        "q32_ann_bucket" -> Set(Set("bucket")),
+        "q44_ann_ivf" -> Set(Set("cell")),
+        "q50_ann_nprobe" -> Set(Set("cell")),
+        "q144_recall" -> Set(Set("cell")))),
+    ("dimension-table",
+      "a genuine dimension/reference table or slice (region, nation, ontology terms, id maps, tag vocab, robots rules) — cardinality fixed by the domain, not the corpus",
+      Map(
+        "q2_multijoin" -> Set(Set("r_name", "r_regionkey"),
+          Set("n_name", "n_nationkey", "n_regionkey")),
+        "q14_pipe_fold" -> Set(Set("r_name", "r_regionkey")),
+        "q58_idmap" -> Set(Set("n_name", "n_nationkey", "n_regionkey")),
+        "q21_fanout" -> Set(Set("status", "tag")),
+        "q114_gaf_validity" -> Set(Set("cv_name", "go_id"),
+          Set("feature_uniquename", "gene_id")),
+        "q136_robots" -> Set(Set("_host", "prefix")))),
+    ("model-state",
+      "trained model / vocabulary frames whose size is the MODEL's (classifier weights, LM bigram table, IDF table, per-stratum rates, cell representatives), trained once and reused",
+      Map(
+        "q95_classifier_score" -> Set(Set("tok", "weight")),
+        "q97_lm_score" -> Set(Set("bg", "logp")),
+        "q133_bm25" -> Set(Set("df", "w")),
+        "q71_mixture" -> Set(Set("lang", "rate")),
+        "q85_curation_v2" -> Set(Set("lang", "rate")),
+        "q96_semantic_dedup" -> Set(Set("cell", "rep_id", "rv")))),
+    ("seed-set",
+      "small-by-premise hand-curated/eval frames: labeled seeds, eval query sets, benchmark shingles — the operator's contract says this side is the sample, the corpus streams (J9/IdStash discipline)",
+      Map(
+        "q150_knn_classify" -> Set(Set("cand_id", "cv"), Set("label", "vec_id")),
+        "q73_knn_join" -> Set(Set("query_id", "qv")),
+        "q52_decontaminate" -> Set(Set("shingle")))),
+    ("k-bounded",
+      "frames capped by an explicit LIMIT in the same plan (negative-sample pool, top-N anchors) — the cap is the boundedness proof",
+      Map(
+        "q84_neg_sample" -> Set(Set("neg_id")),
+        "q90_range_join" -> Set(Set("anchor_key", "anchor_price", "hi", "lo")))))
+
+  test("every forced broadcast hint belongs to a documented bounded family") {
+    val actual: Seq[(String, Set[String])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val df = fn(spark, "/root/testdata/sf0.001")
+        df.queryExecution.analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.nonEmpty =>
+            name -> h.child.output.map(_.name).toSet
+        }
+      }.distinct
+    val documented: Set[(String, Set[String])] = families.flatMap {
+      case (_, _, qs) => qs.toSeq.flatMap { case (q, sets) => sets.map(q -> _) }
+    }.toSet
+    val undocumented = actual.filterNot(documented)
+    assert(undocumented.isEmpty,
+      "forced broadcast of an undocumented frame (corpus-sized? un-hint it " +
+        "and let AQE decide, or document its boundedness in a family): " +
+        undocumented.map { case (q, c) => s"$q[${c.toSeq.sorted.mkString(",")}]" }
+          .mkString(", "))
+    // documentation must not outlive the hints it documents
+    val actualSet = actual.toSet
+    val stale = documented.filterNot(actualSet)
+    assert(stale.isEmpty,
+      "stale broadcast-family entries (hint no longer planned): " +
+        stale.map { case (q, c) => s"$q[${c.toSeq.sorted.mkString(",")}]" }
+          .mkString(", "))
+  }
+}
