@@ -83,14 +83,22 @@ object Dedup {
       .select(col("doc_id"), shingleArr(n).as("sh_arr"))
       .localCheckpoint()
 
-  def minhashSignatureDirect(docs: DataFrame, idCol: String, textCol: String,
-                             n: Int, numHashes: Int): DataFrame = {
-    val sig = tokens(docs, idCol, textCol, n)
-      .select(col("doc_id"),
-        graft.functions.VectorFunctions.minhash_md5(shingleArr(n), numHashes).as("sig"))
+  /** MinHash signature columns (h0..h{n-1}) from a (doc_id, sh_arr)
+    * frame — the from-arrays half of [[minhashSignatureDirect]], shared
+    * with [[lshRecall]] so a caller that already holds the shingle
+    * arrays never re-tokenizes. */
+  private def minhashFromArrays(base: DataFrame, numHashes: Int): DataFrame = {
+    val sig = base.select(col("doc_id"),
+      graft.functions.VectorFunctions.minhash_md5(col("sh_arr"), numHashes).as("sig"))
     sig.select(col("doc_id") +:
       (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
   }
+
+  def minhashSignatureDirect(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, numHashes: Int): DataFrame =
+    minhashFromArrays(
+      tokens(docs, idCol, textCol, n).select(col("doc_id"), shingleArr(n).as("sh_arr")),
+      numHashes)
 
   private def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
@@ -470,10 +478,19 @@ object Dedup {
                 n: Int, numHashes: Int, rowsPerBand: Int,
                 jaccardThreshold: Double, maxDf: Long = 1000,
                 maxBucket: Long = 1000): DataFrame = {
-    val truePairs = jaccardPairsFromDocs(docs, idCol, textCol, n,
-      jaccardThreshold, maxDf).select(col("doc_a"), col("doc_b"))
+    // ONE tokenize+shingle pass feeds BOTH pipelines (the lshPrecision
+    // sharing discipline): the truth side's sizes and inverted index
+    // AND the candidate side's MinHash signatures all derive from the
+    // same checkpointed per-doc shingle arrays — identical rows to the
+    // former jaccardPairsFromDocs + minhashSignatureDirect pair, one
+    // full corpus pass cheaper.
+    val base = shingleArrayBase(docs, idCol, textCol, n)
+    val sizes = base.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"))
+    val sh = base.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val truePairs = jaccardCore(sh, sizes, jaccardThreshold, maxDf)
+      .select(col("doc_a"), col("doc_b"))
     val cand = lshCandidates(
-      minhashSignatureDirect(docs, idCol, textCol, n, numHashes),
+      minhashFromArrays(base, numHashes),
       numHashes, rowsPerBand, maxBucket)
     val found = truePairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     truePairs.agg(count(lit(1)).as("n_true"))
