@@ -48,6 +48,32 @@ object Similarity {
       when(nm > 0.0, transform(t, x => round(x / nm, 6))))
   }
 
+  /** The composed two-stage matryoshka serve — the documented POINT of
+    * MRL truncation ([[truncateNormalize]] is stage one's prefilter):
+    * rank the corpus by cosine in the cheap `prefixDims`-dim prefix
+    * space, shortlist the top `shortlist` ids, then re-rank ONLY those
+    * survivors at full dimension and return the top `k`. At 100 TB the
+    * full-dim vectors of the corpus are never scored — stage one reads
+    * 1/ratio of the floats, stage two touches `shortlist` rows via a
+    * LIMIT-bounded broadcast semi-join (the k-bounded family), so the
+    * expensive pass is shortlist-sized by construction. Final sims are
+    * full-dimension cosine with the standard (sim desc, id) tiebreak;
+    * recall vs the exact scan is the shortlist-size dial. */
+  def mrlTopK(emb: DataFrame, idCol: String, embCol: String,
+              queryId: Long, prefixDims: Int, shortlist: Int,
+              k: Int): DataFrame = {
+    require(k <= shortlist, "k cannot exceed the stage-one shortlist")
+    val short = cosineTopK(
+      truncateNormalize(emb, embCol, prefixDims).filter(col(embCol).isNotNull),
+      idCol, embCol, queryId, shortlist)
+      .select(col(idCol))
+    val qv = emb.filter(col(idCol) === queryId).select(col(embCol).as("qv"))
+    withCosine(emb.join(broadcast(short), Seq(idCol), "left_semi"), qv, embCol)
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact brute-force cosine top-k against the embedding of `queryId`. */
   def cosineTopK(emb: DataFrame, idCol: String, embCol: String,
                  queryId: Long, k: Int): DataFrame = {

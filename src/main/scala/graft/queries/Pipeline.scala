@@ -2036,6 +2036,38 @@ object Pipeline {
        |FROM u CROSS JOIN q WHERE u.vec_id <> 0
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------- q157
+  // Two-stage matryoshka serve (Similarity.mrlTopK): q149's 16-dim
+  // prefix scan shortlists 20 candidates, and ONLY those are re-ranked
+  // at full dimension — the documented MRL serving recipe (cheap
+  // prefilter + exact re-rank), composed as one operator. The full-dim
+  // corpus is never scored; stage two rides a LIMIT-bounded broadcast
+  // semi-join.
+  private def q157MrlRerank(s: SparkSession, dir: String): DataFrame =
+    Similarity.mrlTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, prefixDims = 16, shortlist = 20, k = 10)
+
+  private val q157Sql =
+    s"""WITH tr AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS t
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, t,
+       |        sqrt(list_sum(list_transform(t, x -> x * x))) AS nm FROM tr),
+       |u AS (SELECT vec_id, list_transform(t, x -> round(x / nm, 6)) AS e
+       |      FROM n WHERE nm > 0),
+       |q AS (SELECT e AS qv FROM u WHERE vec_id = 0),
+       |short AS (
+       |  SELECT u.vec_id, ${cosSql("u.e", "q.qv")} AS psim
+       |  FROM u CROSS JOIN q WHERE u.vec_id <> 0
+       |  ORDER BY psim DESC, vec_id LIMIT 20),
+       |fq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "fq.qv")} AS sim
+       |FROM embeddings e
+       |JOIN short s ON s.vec_id = e.vec_id
+       |CROSS JOIN fq
+       |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
+
   // --------------------------------------------------------------- q143
   // IVF-PQ serve path (operators/Similarity.ivfPqTopK): the coarse
   // 8-cell quantizer prunes the corpus to the query's 2 nearest cells,
@@ -2402,6 +2434,7 @@ object Pipeline {
     "q153_char_entropy" -> q153CharEntropy _,
     "q154_lsh_recall" -> q154LshRecall _,
     "q155_dataset_card" -> q155DatasetCard _,
+    "q157_mrl_rerank" -> q157MrlRerank _,
     "q27_dedup_exact" -> q27DedupExact _,
     "q28_minhash_lsh" -> q28MinhashLsh _,
     "q29_jaccard" -> q29Jaccard _,
@@ -2534,5 +2567,6 @@ object Pipeline {
     "q153_char_entropy" -> q153Sql,
     "q154_lsh_recall" -> q154Sql,
     "q155_dataset_card" -> q155Sql,
+    "q157_mrl_rerank" -> q157Sql,
   )
 }

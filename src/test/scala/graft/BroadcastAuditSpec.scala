@@ -27,6 +27,7 @@ class BroadcastAuditSpec extends SparkSpec {
         "q50_ann_nprobe" -> Set(Set("qv")),
         "q80_filtered_ann" -> Set(Set("qv")),
         "q149_matryoshka" -> Set(Set("qv")),
+        "q157_mrl_rerank" -> Set(Set("qv")),
         "q144_recall" -> Set(Set("qv")),
         "q65_tfidf" -> Set(Set("n")),
         "q97_lm_score" -> Set(Set("n", "v")),
@@ -72,7 +73,8 @@ class BroadcastAuditSpec extends SparkSpec {
       "frames capped by an explicit LIMIT in the same plan (negative-sample pool, top-N anchors) — the cap is the boundedness proof",
       Map(
         "q84_neg_sample" -> Set(Set("neg_id")),
-        "q90_range_join" -> Set(Set("anchor_key", "anchor_price", "hi", "lo")))))
+        "q90_range_join" -> Set(Set("anchor_key", "anchor_price", "hi", "lo")),
+        "q157_mrl_rerank" -> Set(Set("vec_id")))))
 
   test("every forced broadcast hint belongs to a documented bounded family") {
     val actual: Seq[(String, Set[String])] =

@@ -255,6 +255,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length == 32 && got.forall(r => r._3 >= 1 && r._3 <= 3))
   }
 
+  test("mrlTopK re-ranks ONLY the stage-one shortlist at full dimension") {
+    // v3 is the GLOBAL full-dim winner but its 2-dim prefix is
+    // orthogonal to the query, so a shortlist of 2 excludes it — if the
+    // full-dim pass touched anything beyond the shortlist, v3 would win
+    val vs = Seq(
+      (0L, Array(1f, 0f, 10f, 0f)), // query
+      (1L, Array(1f, 0f, 0f, 0f)),  // prefix cos 1.0, full ~0.0995
+      (2L, Array(1f, 1f, 0f, 0f)),  // prefix cos ~0.707, full ~0.0704
+      (3L, Array(0f, 1f, 10f, 0f))  // prefix cos 0.0, full ~0.990
+    ).toDF("vec_id", "embedding")
+    val globalTop = Similarity.cosineTopK(vs, "vec_id", "embedding", 0L, 1)
+      .as[(Long, Double)].collect().head
+    assert(globalTop._1 == 3L, "sanity: v3 is the exact full-dim winner")
+    val two = Similarity.mrlTopK(vs, "vec_id", "embedding",
+      queryId = 0L, prefixDims = 2, shortlist = 2, k = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(two.map(_._1) == Seq(1L, 2L),
+      s"only shortlist rows may be scored at full dim, got $two")
+    // full-dim sims, not prefix sims, decide the final order
+    assert(two.forall { case (id, sim) =>
+      val exact = Similarity.cosineTopK(vs, "vec_id", "embedding", 0L, 3)
+        .as[(Long, Double)].collect().toMap
+      sim == exact(id)
+    })
+    // a corpus-wide shortlist at full prefix degrades to the exact scan
+    val degraded = Similarity.mrlTopK(vs, "vec_id", "embedding",
+      queryId = 0L, prefixDims = 4, shortlist = 3, k = 3)
+      .as[(Long, Double)].collect().toSeq
+    val exact3 = Similarity.cosineTopK(vs, "vec_id", "embedding", 0L, 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(degraded == exact3)
+  }
+
   test("truncateNormalize: unit norm, zero/null vectors unrankable") {
     import spark.implicits._
     val emb = Seq(
