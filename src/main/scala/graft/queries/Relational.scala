@@ -2442,12 +2442,18 @@ object Relational {
   // SURVIVING STORE is read back — the oracle is the plain filter, so
   // the row proves the rewrite kept exactly the retained rows and the
   // dropped count (carried as a column) matches the oracle's.
+  /** One scratch dir per (query, INPUT DIR): stable within a session so
+    * the bench's min-of-3 reuses it instead of leaking copies into
+    * /tmp, but keyed on the sf dir so two concurrent runs at different
+    * SFs can't overwrite/expire each other's store mid-query
+    * (String.hashCode is spec'd, so the path is also stable across
+    * JVMs). */
+  private def scratchDir(tag: String, dir: String, leaf: String): String =
+    java.lang.System.getProperty("java.io.tmpdir") +
+      s"/graft_${tag}_store_${java.lang.Integer.toHexString(dir.hashCode)}/$leaf"
+
   private def q146Expire(s: SparkSession, dir: String): DataFrame = {
-    // one FIXED scratch dir per JVM, overwritten each call: the bench's
-    // min-of-3 and repeated verify runs reuse it instead of leaking a
-    // fresh events copy into /tmp per invocation
-    val tmp = java.lang.System.getProperty("java.io.tmpdir") +
-      "/graft_q146_store/events"
+    val tmp = scratchDir("q146", dir, "events")
     t(s, dir, "events").write.mode("overwrite").parquet(tmp)
     val dropped = graft.sinks.StoreMaintenance.expire(
       s, tmp, "ts", "2024-01-16 00:00:00")
@@ -2474,8 +2480,7 @@ object Relational {
   // effectiveness on correlated layouts is spec'd separately
   // (ScaleOpsSpec), correctness here is the oracle's plain filter.
   private def q156MultiZone(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.lang.System.getProperty("java.io.tmpdir") +
-      "/graft_q156_store/orders"
+    val tmp = scratchDir("q156", dir, "orders")
     graft.sinks.SkippingStore.writeMulti(t(s, dir, "orders"),
       "o_orderdate", Seq("o_orderkey", "o_totalprice"), tmp, 8)
     val (_, _, hit) = graft.sinks.SkippingStore.readPrunedOn(
@@ -2490,8 +2495,33 @@ object Relational {
       |  AND CAST(o_totalprice AS DOUBLE) <= 50000.0
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q158
+  // STRING-typed zone statistics (SkippingStore.readPrunedOnString):
+  // the store still sorts by o_orderdate, but the sidecar carries
+  // lexicographic (min, max) for o_orderpriority — Delta's string
+  // min/max shape, the kind of column (URL, hash, status label) crawl
+  // stores actually filter on. Also exercises a DATETIME stats column
+  // (o_orderdate widens to epoch micros, the ANSI-safe path). The gate
+  // drives write -> typed sidecar -> coverage check -> string-range
+  // prune -> residual; the oracle is the plain string-range filter.
+  private def q158ZoneString(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("q158", dir, "orders")
+    graft.sinks.SkippingStore.writeMulti(t(s, dir, "orders"),
+      "o_orderdate", Seq("o_orderpriority", "o_orderdate"), tmp, 8)
+    val (_, _, hit) = graft.sinks.SkippingStore.readPrunedOnString(
+      s, tmp, "o_orderpriority", "2-HIGH", "3-MEDIUM")
+    hit.select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q158Sql =
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE o_orderpriority >= '2-HIGH' AND o_orderpriority <= '3-MEDIUM'
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_multi_zone" -> q156MultiZone _,
+    "q158_zone_string" -> q158ZoneString _,
     "q146_expire" -> q146Expire _,
     "q145_dense_ids" -> q145DenseIds _,
     "q1_agg" -> q1Agg _,
@@ -2577,6 +2607,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q156_multi_zone" -> q156Sql,
+    "q158_zone_string" -> q158Sql,
     "q146_expire" -> q146Sql,
     "q145_dense_ids" -> q145Sql,
     "q1_agg" -> q1Sql,

@@ -102,17 +102,61 @@ object SkippingStore {
   // ------------------------------------------------------------------
   // Multi-column zone statistics — the lake-format generalization: the
   // layout is sorted by ONE column, but (min, max) is recorded for
-  // SEVERAL numeric columns per file (Delta's dataSkippingNumIndexedCols
-  // shape). Pruning on the sort column is tight; pruning on a secondary
-  // column is only as good as its correlation with the layout — but it
-  // is always CORRECT (zone intersection per file), so a query on any
-  // indexed column can skip without a second copy of the data.
+  // SEVERAL columns per file (Delta's dataSkippingNumIndexedCols
+  // shape, which indexes strings too — URLs, content hashes, clerks:
+  // exactly the columns crawl stores filter on). Pruning on the sort
+  // column is tight; pruning on a secondary column is only as good as
+  // its correlation with the layout — but it is always CORRECT (zone
+  // intersection per file), so a query on any indexed column can skip
+  // without a second copy of the data.
+
+  /** The widened numeric stat expression for a column: numerics cast
+    * to double; date/timestamp columns go through an EXPLICIT timestamp
+    * cast + `unix_micros` (a direct double cast on datetimes is an
+    * invalid cast under ANSI mode). String columns return None — they
+    * carry their own lexicographic stat slots. Anything else is
+    * rejected up front. */
+  private def widenedNumeric(c: Column, dt: org.apache.spark.sql.types.DataType)
+      : Option[Column] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => None
+      case DateType | TimestampType | TimestampNTZType =>
+        Some(unix_micros(c.cast("timestamp")).cast("double"))
+      case _: NumericType => Some(c.cast("double"))
+      case other => throw new IllegalArgumentException(
+        s"zone stats support numeric, date/timestamp, and string columns, not $other")
+    }
+  }
+
+  /** One (file, col, zmin, zmax, zmin_str, zmax_str) row per data file
+    * × stats column — numeric/datetime stats in the double slots,
+    * string stats in the lexicographic slots, the other pair null.
+    * Shared by [[writeMulti]] and [[appendMulti]] so the two can never
+    * diverge on widening rules. */
+  private def multiZoneRows(data: DataFrame, statsCols: Seq[String]): DataFrame =
+    statsCols.map { c =>
+      val by = data.groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      widenedNumeric(col(c), data.schema(c).dataType) match {
+        case Some(w) =>
+          by.agg(min(w).as("zmin"), max(w).as("zmax"))
+            .select(col("file"), lit(c).as("col"), col("zmin"), col("zmax"),
+              lit(null).cast("string").as("zmin_str"),
+              lit(null).cast("string").as("zmax_str"))
+        case None =>
+          by.agg(min(col(c)).as("zmin_str"), max(col(c)).as("zmax_str"))
+            .select(col("file"), lit(c).as("col"),
+              lit(null).cast("double").as("zmin"),
+              lit(null).cast("double").as("zmax"),
+              col("zmin_str"), col("zmax_str"))
+      }
+    }.reduce(_ unionByName _)
 
   /** Write `df` range-partitioned/sorted by `sortCol` with per-file
-    * (min, max) recorded for every column in `statsCols` (numeric or
-    * date/timestamp — stats are widened to double epoch/value) in a
-    * `_zonemap_multi` sidecar: one (file, col, zmin, zmax) row per
-    * file × column. */
+    * (min, max) recorded for every column in `statsCols` — numeric and
+    * date/timestamp columns in widened-double slots (datetimes as epoch
+    * micros), string columns in lexicographic string slots — in a
+    * `_zonemap_multi` sidecar: one row per file × column. */
   def writeMulti(df: DataFrame, sortCol: String, statsCols: Seq[String],
                  dir: String, nFiles: Int): Unit = {
     require(nFiles >= 1, "need at least one file")
@@ -120,13 +164,7 @@ object SkippingStore {
     df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(dir)
-    val data = df.sparkSession.read.parquet(dir)
-    statsCols.map { c =>
-      data.groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-        .agg(min(col(c).cast("double")).as("zmin"),
-          max(col(c).cast("double")).as("zmax"))
-        .select(col("file"), lit(c).as("col"), col("zmin"), col("zmax"))
-    }.reduce(_ unionByName _)
+    multiZoneRows(df.sparkSession.read.parquet(dir), statsCols)
       .coalesce(1) // files × columns — sidecar-sized by construction
       .write.mode("overwrite").parquet(s"$dir/_zonemap_multi")
   }
@@ -151,26 +189,20 @@ object SkippingStore {
       .sortWithinPartitions(sortCol)
       .write.mode("append").parquet(dir)
     val newFiles = listDataFileNames(spark, dir).filterNot(known)
-    if (newFiles.nonEmpty) {
-      val data = spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*)
-      statsCols.map { c =>
-        data.groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-          .agg(min(col(c).cast("double")).as("zmin"),
-            max(col(c).cast("double")).as("zmax"))
-          .select(col("file"), lit(c).as("col"), col("zmin"), col("zmax"))
-      }.reduce(_ unionByName _)
+    if (newFiles.nonEmpty)
+      multiZoneRows(spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*), statsCols)
         .coalesce(1)
         .write.mode("append").parquet(s"$dir/_zonemap_multi")
-    }
   }
 
-  /** Prune a [[writeMulti]] store on ANY indexed column: open only the
-    * files whose recorded [zmin, zmax] for `statsCol` intersects
-    * [lo, hi] (doubles), residual filter on top. Same loud coverage
-    * check as [[readPruned]]. Returns (survivingFiles, totalFiles,
-    * frame). */
-  def readPrunedOn(spark: SparkSession, dir: String, statsCol: String,
-                   lo: Double, hi: Double): (Long, Long, DataFrame) = {
+  /** Shared prune-then-residual tail for the multi-zone readers:
+    * coverage check, per-column zone intersection, survivor-file read,
+    * residual filter. `zonePred` runs over the sidecar rows of
+    * `statsCol`; `residual` over the surviving data. */
+  private def readMultiPruned(spark: SparkSession, dir: String,
+                              statsCol: String, zonePred: Column,
+                              residual: DataFrame => DataFrame)
+      : (Long, Long, DataFrame) = {
     val zm = spark.read.parquet(s"$dir/_zonemap_multi").cache()
     try {
       val mapped = zm.select(col("file")).distinct()
@@ -180,17 +212,47 @@ object SkippingStore {
       require(forCol.limit(1).count() > 0,
         s"$dir/_zonemap_multi has no stats for column '$statsCol' — " +
           "rewrite with writeMulti including it")
-      val files = forCol.filter(col("zmax") >= lo && col("zmin") <= hi)
+      val files = forCol.filter(zonePred)
         .select(col("file")).collect().map(r => s"$dir/${r.getString(0)}")
-      val residual = (d: DataFrame) =>
-        d.filter(col(statsCol).cast("double") >= lo &&
-          col(statsCol).cast("double") <= hi)
       if (files.isEmpty)
         (0L, mapped.size.toLong, residual(spark.read.parquet(dir)).limit(0))
       else
         (files.length.toLong, mapped.size.toLong,
           residual(spark.read.parquet(files.toIndexedSeq: _*)))
     } finally zm.unpersist()
+  }
+
+  /** Prune a [[writeMulti]] store on any NUMERIC or DATE/TIMESTAMP
+    * indexed column: open only the files whose recorded [zmin, zmax]
+    * for `statsCol` intersects [lo, hi] (widened doubles — datetimes
+    * compare as epoch micros, the same widening the writer recorded),
+    * residual filter on top. Same loud coverage check as
+    * [[readPruned]]. String columns prune via [[readPrunedOnString]].
+    * Returns (survivingFiles, totalFiles, frame). */
+  def readPrunedOn(spark: SparkSession, dir: String, statsCol: String,
+                   lo: Double, hi: Double): (Long, Long, DataFrame) = {
+    val w = widenedNumeric(col(statsCol),
+      spark.read.parquet(dir).schema(statsCol).dataType)
+    require(w.isDefined,
+      s"'$statsCol' is a string column — prune it with readPrunedOnString")
+    readMultiPruned(spark, dir, statsCol,
+      col("zmax") >= lo && col("zmin") <= hi,
+      d => d.filter(w.get >= lo && w.get <= hi))
+  }
+
+  /** [[readPrunedOn]] for STRING stats columns: zone intersection and
+    * residual both run in lexicographic string order — the Delta
+    * string-min/max shape, covering the columns crawl stores actually
+    * filter on (URLs, content hashes, status labels). Returns
+    * (survivingFiles, totalFiles, frame). */
+  def readPrunedOnString(spark: SparkSession, dir: String, statsCol: String,
+                         lo: String, hi: String): (Long, Long, DataFrame) = {
+    import org.apache.spark.sql.types.StringType
+    require(spark.read.parquet(dir).schema(statsCol).dataType == StringType,
+      s"'$statsCol' is not a string column — prune it with readPrunedOn")
+    readMultiPruned(spark, dir, statsCol,
+      col("zmax_str") >= lo && col("zmin_str") <= hi,
+      d => d.filter(col(statsCol) >= lo && col(statsCol) <= hi))
   }
 
   /** Read only the files whose [zmin, zmax] range intersects [lo, hi],

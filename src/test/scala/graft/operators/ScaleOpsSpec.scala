@@ -433,6 +433,50 @@ class ScaleOpsSpec extends SparkSpec {
       delta.filter($"size" <= 10500).select($"ts").as[Int].collect().toSet)
   }
 
+  test("string and datetime zone stats: lexicographic prune, ANSI-safe epoch widening") {
+    import graft.sinks.SkippingStore
+    val dir = java.nio.file.Files.createTempDirectory("szone").toString + "/store"
+    // layout sorted BY THE STRING: url prefixes cluster per file, so a
+    // host-range prune actually skips; day is a datetime stats column
+    val df = Seq.tabulate(400) { i =>
+      (i, f"https://host-${i / 50}%02d.example/p$i",
+        java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 00:00:00"))
+    }.toDF("id", "url", "day")
+    SkippingStore.writeMulti(df, "url", Seq("url", "day"), dir, nFiles = 8)
+    val (kept, total, hit) = SkippingStore.readPrunedOnString(
+      spark, dir, "url", "https://host-02", "https://host-03.zzz")
+    assert(total == 8 && kept < total, s"kept $kept of $total")
+    val want = df.filter($"url" >= "https://host-02" && $"url" <= "https://host-03.zzz")
+      .select($"id").as[Int].collect().toSet
+    assert(hit.select($"id").as[Int].collect().toSet == want && want.nonEmpty)
+    // datetime stats column: the zone intersection and residual both
+    // run on epoch micros (a raw double cast would be an ANSI error)
+    val lo = java.sql.Timestamp.valueOf("2024-01-05 00:00:00").getTime * 1000.0
+    val hi = java.sql.Timestamp.valueOf("2024-01-07 00:00:00").getTime * 1000.0
+    val (_, _, hit2) = SkippingStore.readPrunedOn(spark, dir, "day", lo, hi)
+    val want2 = df.filter($"day" >= "2024-01-05" && $"day" <= "2024-01-07")
+      .select($"id").as[Int].collect().toSet
+    assert(hit2.select($"id").as[Int].collect().toSet == want2 && want2.nonEmpty)
+    // wrong-kind entry points refuse loudly in both directions
+    assert(intercept[IllegalArgumentException] {
+      SkippingStore.readPrunedOn(spark, dir, "url", 0.0, 1.0)
+    }.getMessage.contains("readPrunedOnString"))
+    assert(intercept[IllegalArgumentException] {
+      SkippingStore.readPrunedOnString(spark, dir, "day", "a", "z")
+    }.getMessage.contains("readPrunedOn"))
+    // appendMulti carries the string/datetime stat kinds forward
+    val delta = Seq.tabulate(60) { i =>
+      (1000 + i, s"https://zzz-late.example/p$i",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    }.toDF("id", "url", "day")
+    SkippingStore.appendMulti(delta, "url", dir, nFiles = 2)
+    val (k3, t3, hit3) = SkippingStore.readPrunedOnString(
+      spark, dir, "url", "https://zzz", "https://zzz~")
+    assert(t3 == 10 && k3 < t3, s"kept $k3 of $t3")
+    assert(hit3.select($"id").as[Int].collect().toSet ==
+      delta.select($"id").as[Int].collect().toSet)
+  }
+
   test("bloomAppend covers appended files: old and new keys found, geometry reused") {
     import graft.sinks.SkippingStore
     val dir = java.nio.file.Files.createTempDirectory("bloomapp").toString + "/store"
