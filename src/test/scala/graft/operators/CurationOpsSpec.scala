@@ -507,17 +507,22 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("lmBuckets approx mode tracks exact bucket sizes (the 100 TB path)") {
-    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
-    val exact = Curation.lmBuckets(docs, "doc_id", "text")
-      .select($"bucket", $"n_docs").as[(String, Long)].collect().toMap
-    val approx = Curation.lmBuckets(docs, "doc_id", "text", exact = false)
-      .select($"bucket", $"n_docs").as[(String, Long)].collect().toMap
-    assert(exact.keySet == Set("head", "middle", "tail"))
-    assert(exact.values.sum == approx.values.sum)
-    // sketch thresholds may flip boundary docs only — sizes stay close
-    exact.foreach { case (b, n) =>
-      assert(math.abs(approx(b) - n) <= math.max(5L, n / 10),
-        s"bucket $b: approx ${approx(b)} vs exact $n")
+    // two SFs: the sketch threshold is a data value while the exact
+    // threshold interpolates, so the only docs that may flip buckets
+    // are those AT the boundary order statistic — ±1 doc per bucket
+    // edge, at any scale where the sketch is saturated-exact
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = graft.Tables.load(spark, s"/root/testdata/$sf", "documents")
+      val exact = Curation.lmBuckets(docs, "doc_id", "text")
+        .select($"bucket", $"n_docs").as[(String, Long)].collect().toMap
+      val approx = Curation.lmBuckets(docs, "doc_id", "text", exact = false)
+        .select($"bucket", $"n_docs").as[(String, Long)].collect().toMap
+      assert(exact.keySet == Set("head", "middle", "tail"), s"$sf: $exact")
+      assert(exact.values.sum == approx.values.sum, s"$sf: doc totals differ")
+      exact.foreach { case (b, n) =>
+        assert(math.abs(approx(b) - n) <= 2L, // one flip per bucket edge
+          s"$sf bucket $b: approx ${approx(b)} vs exact $n")
+      }
     }
   }
 }
