@@ -24,9 +24,13 @@ object GraftSession {
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
-    // filterless MIN/MAX/COUNT resolve from parquet footer statistics —
-    // turns the streamed-dedup replay gate's max(_applied_batch) into an
-    // O(files) metadata read on a year-old store instead of a column scan
+    // filterless MIN/MAX/COUNT over V2 parquet scans resolve from footer
+    // statistics. NOTE: parquet sits on the V1 source path by default
+    // (spark.sql.sources.useV1SourceList), so this only engages for jobs
+    // that clear that list — in particular the streamed-dedup replay
+    // gate's max(_applied_batch) stays a column-pruned scan of one
+    // RLE-compressed long column (its mergeSchema read would preclude
+    // pushdown anyway); don't size restart budgets assuming O(files)
     "spark.sql.parquet.aggregatePushdown" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")

@@ -94,13 +94,21 @@ object StreamingMerge {
     * The gate makes restarts exactly-once per checkpoint lineage
     * (batch ids restart at 0 if the stream's checkpoint dir is wiped —
     * pair store and checkpoint lifetimes). */
+  /** `checkpointDir` is REQUIRED and must live exactly as long as the
+    * store: the replay gate keys on micro-batch ids, which only stay
+    * monotonic across restarts when the stream resumes from a durable
+    * checkpoint (an ephemeral temp checkpoint resets ids to 0 and the
+    * gate would silently skip every genuinely new batch — the failure
+    * [[applyAggBatch]] now detects and refuses loudly). */
   def aggMaintain(spark: SparkSession, inDir: String,
                   schema: org.apache.spark.sql.types.StructType,
-                  storeDir: String, keys: Seq[String], valueCol: String):
+                  storeDir: String, keys: Seq[String], valueCol: String,
+                  checkpointDir: String):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(inDir)
     stream.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyAggBatch(batch, batchId, storeDir, keys, valueCol): Unit
       }
@@ -112,14 +120,22 @@ object StreamingMerge {
     * .ingestBatch]], the q142/dedupingest shape) per micro-batch —
     * duplicates land under `dupesDir/batch_<id>`, novel signatures
     * append to the store stamped with the batch id. Batch/stream
-    * parity and replay safety are spec'd (DedupStoreLifecycleSpec). */
+    * parity and replay safety are spec'd (DedupStoreLifecycleSpec).
+    *
+    * `checkpointDir` is REQUIRED and pairs lifetimes with the store
+    * (see [[aggMaintain]]): batch ids must keep climbing across
+    * restarts or the `_applied_batch` gate cannot tell a replay from
+    * new data. A reset lineage (fresh checkpoint over an old store) is
+    * detected and refused loudly rather than silently skipped. */
   def dedupIngest(spark: SparkSession, inDir: String,
                   schema: org.apache.spark.sql.types.StructType,
-                  storeDir: String, dupesDir: String):
+                  storeDir: String, dupesDir: String,
+                  checkpointDir: String):
       org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyDedupBatch(batch, batchId, storeDir, dupesDir): Unit
       }
@@ -133,10 +149,11 @@ object StreamingMerge {
     * file:, hdfs, s3a all behave), and the read merges file schemas so
     * a marker written by ANY file is seen even if another writer
     * appended marker-less rows. The aggregate prunes to the single
-    * marker column — a long column scan (RLE-compressed pages), not a
-    * store scan; with `spark.sql.parquet.aggregatePushdown` on (the
-    * GraftSession.clusterConf default) it resolves from footer
-    * statistics, O(files) on a year-old store. */
+    * marker column — the scan reads one RLE-compressed long column,
+    * not the store. (It is NOT a footer-only read: parquet sits on the
+    * V1 source path by default and mergeSchema precludes aggregate
+    * pushdown besides, so do not size restart budgets assuming an
+    * O(files) metadata read.) */
   private def lastAppliedBatch(spark: SparkSession,
                                storeDir: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(storeDir)
@@ -148,17 +165,39 @@ object StreamingMerge {
       .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
   }
 
+  /** The shared replay gate decision: `batchId == max` is the ONE
+    * legitimate at-least-once replay (store written, checkpoint commit
+    * lost) and skips silently; `batchId < max` means micro-batch ids
+    * went BACKWARD, which a healthy checkpoint lineage cannot produce —
+    * the stream restarted from a fresh/wiped checkpoint over an old
+    * store, where silent skipping loses every new batch and blind
+    * applying double-counts the re-delivered history. Refuse loudly:
+    * the operator must restore the paired checkpoint or rebuild the
+    * store. */
+  private def replayGateSkips(spark: SparkSession, storeDir: String,
+                              batchId: Long): Boolean =
+    lastAppliedBatch(spark, storeDir) match {
+      case Some(max) if batchId == max => true
+      case Some(max) if batchId < max => throw new IllegalStateException(
+        s"replay gate: store $storeDir has _applied_batch=$max but the " +
+          s"stream delivered batch $batchId — checkpoint and store " +
+          "lifetimes diverged (wiped/ephemeral checkpoint over an old " +
+          "store). Restore the original checkpointDir or rebuild the store.")
+      case _ => false
+    }
+
   /** One streamed dedup ingest, replay-safe: appended signature rows
     * carry `_applied_batch` IN the same append (so the gate and the
-    * data commit atomically); a redelivered batch (marker already at
-    * or past `batchId`) is skipped before any write, and a batch
-    * replayed after a crash-before-append re-writes the SAME per-batch
-    * dupes report (overwrite), never double-reporting. Returns false
-    * when skipped. */
+    * data commit atomically); a redelivered batch (marker at
+    * `batchId`) is skipped before any write, and a batch replayed
+    * after a crash-before-append re-writes the SAME per-batch dupes
+    * report (overwrite), never double-reporting. Returns false when
+    * skipped; refuses loudly on a reset id lineage
+    * ([[replayGateSkips]]). */
   def applyDedupBatch(batch: DataFrame, batchId: Long, storeDir: String,
                       dupesDir: String): Boolean = {
     val spark = batch.sparkSession
-    if (lastAppliedBatch(spark, storeDir).exists(_ >= batchId))
+    if (replayGateSkips(spark, storeDir, batchId))
       return false // replayed batch
     graft.operators.Dedup.ingestBatch(batch, "doc_id", "text", storeDir,
       s"$dupesDir/batch_$batchId", markerBatch = Some(batchId))
@@ -178,7 +217,7 @@ object StreamingMerge {
       spark.sparkContext.hadoopConfiguration).exists(storeP)
     val merged =
       if (storeExists) {
-        if (lastAppliedBatch(spark, storeDir).exists(_ >= batchId))
+        if (replayGateSkips(spark, storeDir, batchId))
           return false // replayed batch
         val live = spark.read.parquet(storeDir).localCheckpoint()
         IncrementalAgg.merge(Seq(live.drop("_applied_batch"), delta), keys)

@@ -297,7 +297,8 @@ class ExportStreamSpec extends SparkSpec {
     val b2 = Seq(("a", 0.25), ("c", 7.0)).toDF("k", "v")
     b1.write.mode("append").parquet(in)
     val q = graft.streaming.StreamingMerge.aggMaintain(
-      spark, in, b1.schema, store, Seq("k"), "v")
+      spark, in, b1.schema, store, Seq("k"), "v",
+      java.nio.file.Files.createTempDirectory("aggm-ckpt").toString)
     q.processAllAvailable()
     b2.write.mode("append").parquet(in)
     q.processAllAvailable()

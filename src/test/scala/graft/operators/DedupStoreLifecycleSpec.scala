@@ -86,7 +86,8 @@ class DedupStoreLifecycleSpec extends SparkSpec {
     new java.io.File(inDir).mkdirs()
     batch1.coalesce(1).write.parquet(s"$inDir/drop1")
     val q = graft.streaming.StreamingMerge.dedupIngest(spark,
-      s"$inDir/*", batch1.schema, s"$base/streamstore", s"$base/sdupes")
+      s"$inDir/*", batch1.schema, s"$base/streamstore", s"$base/sdupes",
+      s"$base/ckpt")
     try {
       q.processAllAvailable()
       batch2.coalesce(1).write.parquet(s"$inDir/drop2")
@@ -106,6 +107,16 @@ class DedupStoreLifecycleSpec extends SparkSpec {
     val sigsBefore = sigSet(s"$base/streamstore")
     assert(!graft.streaming.StreamingMerge.applyDedupBatch(
       batch2, 1L, s"$base/streamstore", s"$base/sdupes"))
+    assert(sigSet(s"$base/streamstore") == sigsBefore)
+
+    // a RESET id lineage (fresh/wiped checkpoint over the old store —
+    // batch ids restart at 0 below the store's high-water mark) must
+    // refuse loudly, not silently skip new data or double-apply history
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamingMerge.applyDedupBatch(
+        batch2, 0L, s"$base/streamstore", s"$base/sdupes")
+    }
+    assert(e.getMessage.contains("lifetimes diverged"))
     assert(sigSet(s"$base/streamstore") == sigsBefore)
   }
 }
