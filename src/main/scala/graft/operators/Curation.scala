@@ -755,4 +755,105 @@ object Curation {
         round((sum(col("logp") * col("k"))).cast("double") / sum(col("k")), 6)
           .as("avg_logp"))
   }
+
+  /** Per-group document quota (the Common-Crawl "host cap"): flag the
+    * top `cap` docs per group by (`orderCol` desc, id asc); everything
+    * else in the group is over-quota. The anti-over-representation
+    * gate web corpora run per registered domain.
+    *
+    * Scale shape: the keep set is computed with the bounded
+    * [[graft.functions.TopK]] partial aggregate — each map task ships
+    * at most `cap` (id, score) pairs per group, so a pathological host
+    * with 10^9 docs costs cap-sized shuffle rows, NOT a 10^9-row
+    * single-reducer window sort (the row_number form's skew killer).
+    * The kept-id set (groups x cap, bounded) then broadcast-joins back
+    * against the corpus — the corpus itself never shuffles. */
+  def groupQuota(docs: DataFrame, idCol: String, groupCol: String,
+                 orderCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val kept = docs
+      // null score/id -> unrankable, over-quota by definition (and the
+      // TopK tuple encoder is null-free by contract) — filter map-side
+      .filter(col(orderCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol), col(idCol).cast("long").as("_qid"),
+        col(orderCol).cast("double").as("_qscore"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopK.top_k(cap)(col("_qid"), col("_qscore")).as("top"))
+      .select(explode(col("top")).as("hit"))
+      .select(col("hit._1").as("_qid"))
+    docs.join(broadcast(kept),
+        docs(idCol).cast("long") === kept("_qid"), "left_outer")
+      .withColumn("kept", col("_qid").isNotNull)
+      .drop("_qid")
+  }
+
+  /** Vocabulary coverage / OOV rate: build the corpus top-`vocabSize`
+    * token vocabulary (count desc, token asc — fully deterministic),
+    * then score each doc by the fraction of its token OCCURRENCES
+    * outside that vocabulary. High-OOV docs are encoding junk, exotic
+    * boilerplate, or wrong-tokenizer content — a standard pre-training
+    * gate, and the copy a tokenizer-coverage audit reads.
+    *
+    * Scale shape: token frequencies partial-aggregate map-side; the
+    * vocabulary is `TakeOrderedAndProject` (top-N bounded, never a full
+    * sort) and rides back as a broadcast; per-doc scoring is then one
+    * map-side broadcast join + one partial-agg'd per-doc fold. Returns
+    * (doc_id, n_tokens, n_oov, oov_rate). */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\\s+")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Temperature-scaled mixture allocation (the multilingual sampling
+    * formula, p_l ∝ n_l^α): flatten the natural size distribution so
+    * low-resource strata are up-sampled, then hand the exact integer
+    * apportionment to [[allocateBudget]]'s largest-remainder step.
+    *
+    * α is fixed at 0.5 (square-root temperature): IEEE-754 requires
+    * sqrt to be correctly rounded, so `floor(sqrt(n) * 1e6)` yields the
+    * SAME integer weight on every engine — unlike pow(n, 0.3), whose
+    * last ulp is libm-specific and could flip a remainder rank. The
+    * 1e6 factor keeps six significant fractional digits of the weight
+    * before the floor. Stratum-count-sized frames end to end. */
+  def temperatureAllocate(counts: DataFrame, stratumCol: String,
+                          nCol: String, budget: Long): DataFrame = {
+    val w = counts.select(col(stratumCol),
+      floor(sqrt(col(nCol).cast("double")) * 1e6).cast("long").as("weight"))
+    counts.select(col(stratumCol), col(nCol).cast("long").as(nCol))
+      .join(broadcast(allocateBudget(w, stratumCol, "weight", budget)),
+        Seq(stratumCol))
+  }
+
+  /** n-gram novelty: the fraction of a doc's DISTINCT word n-grams that
+    * appear nowhere else in the corpus (document frequency 1). Low
+    * novelty = near-boilerplate; per-shingle df == 1 is also the
+    * memorization-risk copy (unique spans are the ones a model can only
+    * have learned from this doc). Returns (doc_id, n_shingles,
+    * n_unique, novelty).
+    *
+    * Scale shape: one hash shuffle of the distinct-shingle stream (the
+    * df count rides a window partitioned BY SHINGLE — millions of tiny
+    * partitions, no skew), then a per-doc partial-agg'd fold. Nothing
+    * is all-pairs; cost is linear in corpus shingles. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val sh = Dedup.shingles(docs, idCol, textCol, n)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+  }
 }

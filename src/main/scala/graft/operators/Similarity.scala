@@ -662,4 +662,75 @@ object Similarity {
       .orderBy(col("adist"), col(idCol))
       .limit(topK)
   }
+
+  // ------------------------------------------------------------- SQ8
+  // Int8 scalar quantization: the standard 4x embedding-memory
+  // compression for ANN serving (FAISS's SQ8 / "scalar quantizer").
+  // Per-vector symmetric scheme: scale = max|x| / 127, code_i =
+  // round-half-up(x_i / scale) in [-127, 127]. Chosen over a global
+  // scale because per-vector scaling is what serving stacks ship (no
+  // second pass over the corpus to learn a calibration, new vectors
+  // quantize independently — append-friendly at 100 TB).
+  //
+  // Reproducibility: every step is an exactly-specified IEEE double op
+  // (max, divide, floor, multiply) — no libm transcendental whose last
+  // ulp could differ across engines. Rounding is floor(x + 0.5), i.e.
+  // half-toward-+inf, picked over `round` so the tie rule is the same
+  // formula on any engine. The quantized dot product is pure int64
+  // arithmetic — order-independent, so partial aggregation cannot
+  // reassociate it into a different answer.
+
+  /** Encode: (id, vec double[], sq_scale, sq_codes int[]). Map-only —
+    * zero shuffle; at serve time only `sq_codes` (4x smaller) and one
+    * double ride per row. Zero vectors get scale 0 / all-zero codes. */
+  def sq8Encode(emb: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val e = col(embCol).cast("array<double>")
+    emb.select(col(idCol), e.as("vec"),
+        (array_max(transform(e, x => abs(x))) / 127.0).as("sq_scale"))
+      .withColumn("sq_codes",
+        when(col("sq_scale") > 0.0,
+          transform(col("vec"),
+            x => floor(x / col("sq_scale") + 0.5).cast("int")))
+          .otherwise(transform(col("vec"), _ => lit(0))))
+  }
+
+  /** Per-vector quantization quality: (id, sq_scale, rmse) — the
+    * reconstruction root-mean-square error of the int8 round trip.
+    * Map-only; the accuracy dial you read BEFORE committing a corpus
+    * to quantized serving. */
+  def sq8Error(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    sq8Encode(emb, idCol, embCol)
+      // rmse FIRST, against the raw scale: rounding the scale in the
+      // same select would let Spark's lateral-column-alias resolution
+      // bind the lambda's sq_scale to the rounded alias and inflate
+      // the reconstruction error it is supposed to measure
+      .withColumn("rmse",
+        round(sqrt(aggregate(
+          zip_with(col("vec"), col("sq_codes"),
+            (x, c) => { val d = x - c.cast("double") * col("sq_scale"); d * d }),
+          lit(0.0), (a, x) => a + x) / size(col("vec"))), 6))
+      .select(col(idCol), round(col("sq_scale"), 6).as("sq_scale"), col("rmse"))
+
+  /** Quantized top-k: rank the corpus by the dequantized dot product
+    * against `queryId`'s codes. The hot loop is an int64 dot product
+    * over int8 codes (the SIMD-friendly ADC-free form); the two scales
+    * multiply back in once per row. Query codes ride a broadcast 1-row
+    * frame; top-k is `TakeOrderedAndProject` (per-partition partial
+    * top-k, k-bounded driver merge) — the corpus never shuffles. */
+  def sq8TopK(emb: DataFrame, idCol: String, embCol: String,
+              queryId: Long, k: Int): DataFrame = {
+    val codes = sq8Encode(emb, idCol, embCol)
+    val q = codes.filter(col(idCol) === queryId)
+      .select(col("sq_scale").as("q_scale"), col("sq_codes").as("q_codes"))
+    codes.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(aggregate(
+            zip_with(col("sq_codes"), col("q_codes"),
+              (a, b) => a.cast("long") * b.cast("long")),
+            lit(0L), (acc, x) => acc + x)
+          .cast("double") * col("sq_scale") * col("q_scale"), 6).as("qsim"))
+      .orderBy(col("qsim").desc, col(idCol))
+      .limit(k)
+  }
 }

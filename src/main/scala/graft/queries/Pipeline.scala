@@ -2414,7 +2414,189 @@ object Pipeline {
        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q159
+  // Per-source document quota (the Common-Crawl host cap): top 15 docs
+  // per source by (n_chars desc, doc_id), everything else over-quota.
+  // The keep set folds through the bounded TopK partial aggregate (cap
+  // rows per group per map task — no skewed single-reducer window
+  // sort) and broadcast-joins back; the corpus never shuffles.
+  private def q159SourceQuota(s: SparkSession, dir: String): DataFrame =
+    Curation.groupQuota(t(s, dir, "documents"), "doc_id", "source",
+        "n_chars", cap = 15)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).cast("long")
+          .as("kept_chars"))
+      .orderBy(col("source"))
+
+  private val q159Sql =
+    """WITH r AS (SELECT source, doc_id, n_chars,
+      |  row_number() OVER (PARTITION BY source
+      |                     ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** Shared SQ8 oracle fragment: per-vector scale + int8 codes, the
+    * exact arithmetic of [[Similarity.sq8Encode]] (max/127 scale,
+    * floor(x/s + 0.5) codes, all-zero codes for zero vectors). */
+  private val sq8Ctes =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |       FROM embeddings),
+      |sc AS (SELECT vec_id, e,
+      |         list_max(list_transform(e, x -> abs(x))) / 127.0 AS s FROM v),
+      |cd AS (SELECT vec_id, e, s,
+      |  CASE WHEN s > 0 THEN list_transform(e, x -> CAST(floor(x / s + 0.5) AS BIGINT))
+      |       ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS codes
+      |  FROM sc)""".stripMargin
+
+  // ---------------------------------------------------------------- q160
+  // Int8 scalar-quantization quality audit (Similarity.sq8Error): the
+  // per-vector reconstruction RMSE of the 4x-compression round trip —
+  // the accuracy dial read before switching a corpus to SQ8 serving.
+  // Map-only; every step an exactly-specified IEEE double op.
+  private def q160Sq8Error(s: SparkSession, dir: String): DataFrame =
+    Similarity.sq8Error(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
+  private val q160Sql =
+    s"""WITH $sq8Ctes
+       |SELECT vec_id, round(s, 6) AS sq_scale,
+       |  round(sqrt(list_sum(list_transform(generate_series(1, len(e)),
+       |    i -> (e[i] - codes[i] * s) * (e[i] - codes[i] * s))) / len(e)), 6) AS rmse
+       |FROM cd ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q161
+  // SQ8 quantized top-k serve (Similarity.sq8TopK): rank by the
+  // dequantized dot product — an exact int64 dot over int8 codes (the
+  // SIMD/ADC-free serving form), scales multiplied back in once per
+  // row. Query codes broadcast; top-k is TakeOrderedAndProject.
+  private def q161Sq8TopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.sq8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10)
+
+  private val q161Sql =
+    s"""WITH $sq8Ctes,
+       |q AS (SELECT s AS qs, codes AS qc FROM cd WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  round(CAST(list_sum(list_transform(generate_series(1, len(codes)),
+       |    i -> codes[i] * qc[i])) AS DOUBLE) * s * qs, 6) AS qsim
+       |FROM cd CROSS JOIN q WHERE vec_id <> 0
+       |ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q162
+  // Vocabulary coverage / OOV rate (Curation.oovRate): corpus top-100
+  // token vocabulary (count desc, token asc), then each doc's fraction
+  // of token occurrences outside it — the tokenizer-coverage /
+  // encoding-junk gate. Vocab is TakeOrderedAndProject-bounded and
+  // rides back as a broadcast; scoring is map-side.
+  private def q162OovRate(s: SparkSession, dir: String): DataFrame =
+    Curation.oovRate(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 100)
+      .orderBy(col("doc_id"))
+
+  private val q162Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      |             FROM documents),
+      |v AS (SELECT tok FROM toks GROUP BY tok
+      |      ORDER BY COUNT(*) DESC, tok LIMIT 100)
+      |SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS oov_rate
+      |FROM toks t LEFT JOIN v ON t.tok = v.tok
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q163
+  // Temperature-scaled language mixture (Curation.temperatureAllocate):
+  // p_l ∝ n_l^0.5 flattens the size distribution (the multilingual
+  // up-sampling formula), largest-remainder makes it an exact integer
+  // plan. α = 0.5 because IEEE sqrt is correctly rounded — the integer
+  // weights reproduce on any engine, unlike a libm pow.
+  private def q163TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"))
+    Curation.temperatureAllocate(counts, "lang", "n_tokens", 100000L)
+      .orderBy(col("lang"))
+  }
+
+  private val q163Sql =
+    """WITH c AS (SELECT lang,
+      |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT lang, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS weight
+      |  FROM c),
+      |t AS (SELECT SUM(weight) AS total FROM w),
+      |b AS (SELECT lang, n_tokens, weight,
+      |    (100000 * weight) // total AS base,
+      |    (100000 * weight) % total AS rem FROM w CROSS JOIN t),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+      |    100000 - SUM(base) OVER () AS leftover FROM b)
+      |SELECT lang, n_tokens, weight,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM r ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q164
+  // n-gram novelty (Curation.ngramNovelty): per doc, the fraction of
+  // its distinct 3-grams with corpus document-frequency 1 — low is
+  // boilerplate, high is memorization-risk. One hash shuffle of the
+  // shingle stream (df via a window partitioned BY SHINGLE), then a
+  // partial-agg'd per-doc fold; nothing all-pairs.
+  private def q164NgramNovelty(s: SparkSession, dir: String): DataFrame =
+    Curation.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy(col("doc_id"))
+
+  private val q164Sql =
+    s"""WITH ${shingleCte(3)},
+       |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+       |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  round(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*), 6) AS novelty
+       |FROM sh JOIN df ON sh.s = df.s
+       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q165
+  // SQ8 serving recall: does the int8 index (q161) return the exact
+  // cosine top-10 (q31's ranking at k=10)? The accuracy-vs-4x-memory
+  // trade made measurable, the q144 discipline applied to SQ8.
+  private def q165Sq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val approx = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 10)
+      .withColumn("query_id", lit(0L))
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .withColumn("query_id", lit(0L))
+    Similarity.recallAtK(approx, exact, "query_id", "vec_id")
+  }
+
+  private val q165Sql =
+    s"""WITH $sq8Ctes,
+       |q AS (SELECT s AS qs, codes AS qc FROM cd WHERE vec_id = 0),
+       |approx AS (SELECT cd.vec_id FROM cd CROSS JOIN q WHERE cd.vec_id <> 0
+       |  ORDER BY round(CAST(list_sum(list_transform(generate_series(1, len(codes)),
+       |    i -> codes[i] * qc[i])) AS DOUBLE) * s * qs, 6) DESC, cd.vec_id
+       |  LIMIT 10),
+       |fq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |exact AS (SELECT e.vec_id FROM embeddings e CROSS JOIN fq
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY ${cosSql("e.embedding", "fq.qv")} DESC, e.vec_id LIMIT 10)
+       |SELECT CAST(0 AS BIGINT) AS query_id,
+       |  round(CAST((SELECT COUNT(*) FROM approx JOIN exact USING (vec_id))
+       |        AS DOUBLE) / 10, 6) AS recall""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_source_quota" -> q159SourceQuota _,
+    "q160_sq8_error" -> q160Sq8Error _,
+    "q161_sq8_topk" -> q161Sq8TopK _,
+    "q162_oov_rate" -> q162OovRate _,
+    "q163_temperature_mix" -> q163TemperatureMix _,
+    "q164_ngram_novelty" -> q164NgramNovelty _,
+    "q165_sq8_recall" -> q165Sq8Recall _,
     "q137_pagerank" -> q137Pagerank _,
     "q138_anchor_text" -> q138AnchorText _,
     "q139_gopher_rules" -> q139GopherRules _,
@@ -2568,5 +2750,12 @@ object Pipeline {
     "q154_lsh_recall" -> q154Sql,
     "q155_dataset_card" -> q155Sql,
     "q157_mrl_rerank" -> q157Sql,
+    "q159_source_quota" -> q159Sql,
+    "q160_sq8_error" -> q160Sql,
+    "q161_sq8_topk" -> q161Sql,
+    "q162_oov_rate" -> q162Sql,
+    "q163_temperature_mix" -> q163Sql,
+    "q164_ngram_novelty" -> q164Sql,
+    "q165_sq8_recall" -> q165Sql,
   )
 }

@@ -33,6 +33,9 @@ class BroadcastAuditSpec extends SparkSpec {
         "q97_lm_score" -> Set(Set("n", "v")),
         "q133_bm25" -> Set(Set("avgdl", "n")),
         "q141_shard_budget" -> Set(Set("total")),
+        "q163_temperature_mix" -> Set(Set("total")),
+        "q161_sq8_topk" -> Set(Set("q_scale", "q_codes")),
+        "q165_sq8_recall" -> Set(Set("q_scale", "q_codes"), Set("qv")),
         "q148_lm_buckets" -> Set(Set("t1", "t2")),
         "q71_mixture" -> Set(Set("nstar")),
         "q85_curation_v2" -> Set(Set("nstar")))),
@@ -62,7 +65,9 @@ class BroadcastAuditSpec extends SparkSpec {
         "q133_bm25" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),
-        "q96_semantic_dedup" -> Set(Set("cell", "rep_id", "rv")))),
+        "q96_semantic_dedup" -> Set(Set("cell", "rep_id", "rv")),
+        "q162_oov_rate" -> Set(Set("tok", "in_vocab")),
+        "q163_temperature_mix" -> Set(Set("lang", "weight", "alloc")))),
     ("seed-set",
       "small-by-premise hand-curated/eval frames: labeled seeds, eval query sets, benchmark shingles — the operator's contract says this side is the sample, the corpus streams (J9/IdStash discipline)",
       Map(
@@ -74,7 +79,9 @@ class BroadcastAuditSpec extends SparkSpec {
       Map(
         "q84_neg_sample" -> Set(Set("neg_id")),
         "q90_range_join" -> Set(Set("anchor_key", "anchor_price", "hi", "lo")),
-        "q157_mrl_rerank" -> Set(Set("vec_id")))))
+        "q157_mrl_rerank" -> Set(Set("vec_id")),
+        // groupQuota's keep set: TopK-capped to groups x cap rows
+        "q159_source_quota" -> Set(Set("_qid")))))
 
   test("every forced broadcast hint belongs to a documented bounded family") {
     val actual: Seq[(String, Set[String])] =

@@ -19,6 +19,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
       "for export order — a file has one line sequence"),
     "q141_shard_budget" -> ("largest-remainder ranking runs over domain STRATA, " +
       "a dimension-sized frame by construction (Curation.apportionBudget)"),
+    "q163_temperature_mix" -> ("same allocateBudget largest-remainder ranking, " +
+      "over language strata — dimension-sized by construction"),
     // NOT exempt: q118_stock_lines — its strainLines path takes
     // pre-assigned ids, so no global window reaches its plan; the
     // StockExport DSC_G%07d helper (dimension-sized legacy semantics)

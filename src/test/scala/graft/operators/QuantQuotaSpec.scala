@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-7 operators: SQ8 scalar quantization (Similarity.sq8*),
+  * per-group quotas, OOV rate, temperature mixture, n-gram novelty. */
+class QuantQuotaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embFrame(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("sq8Encode: codes bounded to [-127,127], zero vector degrades to scale 0") {
+    val emb = embFrame(
+      0L -> Seq(1.0f, -0.5f, 0.25f, 0.0f),
+      1L -> Seq(0.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Seq(-2.0f, 2.0f, 1.0f, -1.0f))
+    val enc = Similarity.sq8Encode(emb, "vec_id", "embedding")
+      .select($"vec_id", $"sq_scale", $"sq_codes")
+      .as[(Long, Double, Seq[Int])].collect().sortBy(_._1)
+    // max|x| maps to ±127 exactly; half-up ties round toward +inf
+    // (-63.5 -> -63); everything stays in the int8 range
+    assert(enc(0)._3 == Seq(127, -63, 32, 0))
+    assert(enc(0)._2 == 1.0 / 127.0)
+    assert(enc(1)._2 == 0.0 && enc(1)._3 == Seq(0, 0, 0, 0))
+    assert(enc(2)._3 == Seq(-127, 127, 64, -63))
+    assert(enc.forall(_._3.forall(c => c >= -127 && c <= 127)))
+  }
+
+  test("sq8Error: rmse bounded by half an SQ8 step (the scheme's max per-dim error)") {
+    val emb = embFrame(
+      0L -> Seq(0.9f, -0.3f, 0.111f, 0.777f),
+      1L -> Seq(0.001f, 0.0005f, -0.0002f, 0.0009f))
+    val got = Similarity.sq8Error(emb, "vec_id", "embedding")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    got.foreach { case (_, scale, rmse) =>
+      assert(rmse >= 0.0 && rmse <= scale / 2.0 + 1e-9,
+        s"rmse $rmse exceeds the half-step bound for scale $scale")
+    }
+  }
+
+  test("sq8TopK ranks like exact cosine on well-separated vectors; corpus never broadcasts") {
+    // three tight clusters on distinct axes: quantization cannot
+    // reorder across clusters, so the exact top-3 and SQ8 top-3 agree
+    def jitter(base: Seq[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (x, i) => if (i == 3) x + eps else x }
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.01f)
+    val b = Seq(0.0f, 1.0f, 0.0f, 0.01f)
+    val emb = embFrame(
+      0L -> a, 1L -> jitter(a, 0.02f), 2L -> jitter(a, 0.04f),
+      3L -> b, 4L -> jitter(b, 0.02f), 5L -> jitter(b, 0.04f))
+    val approx = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 3)
+      .select($"vec_id").as[Long].collect().toSet
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(approx == exact && exact == Set(1L, 2L, 5L))
+    // the only broadcast in the plan is the one-row query frame; top-k
+    // is a TakeOrdered, not a global sort
+    val plan = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 3)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("groupQuota keeps exactly min(cap, group size) top rows; ties break to low id") {
+    val docs = (
+      (1L to 10L).map(i => (i, "big", 100L - i)) ++     // scores 99..90
+        Seq((20L, "tie", 5L), (21L, "tie", 5L), (22L, "tie", 5L)) ++
+        Seq((30L, "small", 1L))
+      ).toDF("doc_id", "grp", "score")
+    val out = Curation.groupQuota(docs, "doc_id", "grp", "score", cap = 2)
+    assert(out.count() == 14) // flag, don't drop
+    val kept = out.filter($"kept").select($"doc_id").as[Long].collect().toSet
+    // big: top-2 scores are ids 1,2; tie: equal scores -> ids 20,21; small: all
+    assert(kept == Set(1L, 2L, 20L, 21L, 30L))
+    // the keep-set side of the join is a broadcast (corpus never shuffles)
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("oovRate scores occurrences outside the top-N vocabulary") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog"),
+      (3L, "zyx qwv")).toDF("doc_id", "text")
+    // vocabSize 2 -> vocab = {the(3), cat/dog/mat/on/sat tie at 1 -> "cat"}
+    val got = Curation.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 6L, 3L, 0.5)))       // sat on mat OOV
+    assert(got(1) == ((2L, 2L, 1L, 0.5)))       // dog OOV
+    assert(got(2) == ((3L, 2L, 2L, 1.0)))       // fully OOV
+  }
+
+  test("temperatureAllocate flattens the size distribution and spends the whole budget") {
+    val counts = Seq(("en", 900000L), ("mi", 10000L)).toDF("lang", "n")
+    val got = Curation.temperatureAllocate(counts, "lang", "n", 10000L)
+      .select($"lang", $"alloc").as[(String, Long)].collect().toMap
+    assert(got.values.sum == 10000L)
+    // proportional would give mi ~110; sqrt temperature lifts it ~10x
+    assert(got("mi") > 900L && got("mi") < 1200L)
+    // weights are floor(sqrt(n)*1e6): integer, engine-exact
+    val w = Curation.temperatureAllocate(counts, "lang", "n", 10000L)
+      .select($"weight").as[Long].collect().toSet
+    assert(w == Set(math.floor(math.sqrt(900000.0) * 1e6).toLong,
+      math.floor(math.sqrt(10000.0) * 1e6).toLong))
+  }
+
+  test("ngramNovelty: df=1 shingles over the corpus, per-doc fraction") {
+    val docs = Seq(
+      (1L, "a b c d"),     // shingles: "a b c", "b c d"
+      (2L, "a b c x"),     // shingles: "a b c", "b c x"
+      (3L, "p q r s")      // shingles: "p q r", "q r s" (all unique)
+    ).toDF("doc_id", "text")
+    val got = Curation.ngramNovelty(docs, "doc_id", "text", 3)
+      .select($"doc_id", $"n_shingles", $"n_unique", $"novelty")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 1L, 0.5)))  // "a b c" shared with doc 2
+    assert(got(1) == ((2L, 2L, 1L, 0.5)))
+    assert(got(2) == ((3L, 2L, 2L, 1.0)))
+  }
+}
