@@ -212,6 +212,9 @@ object GraftCli {
         rest.drop(1).headOption.map(_.toInt).getOrElse(8))
     case "pqquery" :: indexDir :: emb :: id :: k :: Nil =>
       pqQuery(indexDir, emb, id.toLong, k.toInt)
+    case "sq8build" :: emb :: storeDir :: Nil => sq8Build(emb, storeDir)
+    case "sq8query" :: storeDir :: id :: k :: out :: Nil =>
+      sq8Query(storeDir, id.toLong, k.toInt, out)
     case "colleague" :: dataDir :: cout :: relout :: Nil =>
       colleague(dataDir, cout, relout)
     case "colleague2gene" :: dataDir :: out :: Nil =>
@@ -252,6 +255,8 @@ object GraftCli {
            |           annquery <indexdir> <emb> <id> <k> [nprobe]
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
+           |           sq8build <emb> <storedir>
+           |           sq8query <storedir> <id> <topk> <out>
            |tokenizer: bpetrain <docs> <mergesdir> [merges]
            |           bpetokenize <docs> <mergesdir> <outdir>
            |analyze:   profile <parquet> <outdir> [col,col,...] [--approx]
@@ -1647,6 +1652,36 @@ object GraftCli {
     hits.foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
     println(s"${hits.length} ADC neighbors of $id " +
       s"(${index.codebooks.size} subspaces, subdim ${index.subDim})")
+    spark.stop()
+  }
+
+  /** sq8build / sq8query: int8 scalar-quantized serving lifecycle
+    * (Similarity.sq8Encode / sq8TopKFromCodes). Build encodes the
+    * corpus once — map-only, no training pass — into a codes store 4x
+    * smaller than the floats; query serves top-k from the codes alone
+    * (the float vectors are never opened at serve time). */
+  private def sq8Build(emb: String, storeDir: String): Unit = {
+    val spark = GraftSession.local()
+    val obs = org.apache.spark.sql.Observation()
+    graft.operators.Similarity
+      .sq8Encode(spark.read.parquet(emb), "vec_id", "embedding")
+      .select(col("vec_id"), col("sq_scale"), col("sq_codes"))
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(storeDir)
+    println(s"sq8: ${obs.get("rows")} vectors encoded -> $storeDir")
+    spark.stop()
+  }
+
+  private def sq8Query(storeDir: String, id: Long, topK: Int,
+                       out: String): Unit = {
+    val spark = GraftSession.local()
+    val hits = graft.operators.Similarity
+      .sq8TopKFromCodes(spark.read.parquet(storeDir), "vec_id", id, topK)
+    hits.write.mode("overwrite").parquet(out)
+    val shown = spark.read.parquet(out).orderBy(col("qsim").desc, col("vec_id"))
+      .collect()
+    shown.foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
+    println(s"${shown.length} SQ8 neighbors of $id -> $out")
     spark.stop()
   }
 }

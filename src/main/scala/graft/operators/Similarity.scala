@@ -718,8 +718,15 @@ object Similarity {
     * frame; top-k is `TakeOrderedAndProject` (per-partition partial
     * top-k, k-bounded driver merge) — the corpus never shuffles. */
   def sq8TopK(emb: DataFrame, idCol: String, embCol: String,
-              queryId: Long, k: Int): DataFrame = {
-    val codes = sq8Encode(emb, idCol, embCol)
+              queryId: Long, k: Int): DataFrame =
+    sq8TopKFromCodes(sq8Encode(emb, idCol, embCol), idCol, queryId, k)
+
+  /** Serve from an ALREADY-ENCODED codes frame (idCol, sq_scale,
+    * sq_codes) — the persisted-store path (cli:sq8build/sq8query): the
+    * float vectors are never read at query time, only the 4x-smaller
+    * codes. Same ranking as [[sq8TopK]] by construction. */
+  def sq8TopKFromCodes(codes: DataFrame, idCol: String,
+                       queryId: Long, k: Int): DataFrame = {
     val q = codes.filter(col(idCol) === queryId)
       .select(col("sq_scale").as("q_scale"), col("sq_codes").as("q_codes"))
     codes.filter(col(idCol) =!= queryId)

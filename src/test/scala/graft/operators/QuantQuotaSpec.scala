@@ -62,6 +62,20 @@ class QuantQuotaSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("sq8TopKFromCodes serves identically from a persisted codes store") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val direct = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("sq8store").toString
+    Similarity.sq8Encode(emb, "vec_id", "embedding")
+      .select($"vec_id", $"sq_scale", $"sq_codes")
+      .write.mode("overwrite").parquet(dir)
+    val served = Similarity
+      .sq8TopKFromCodes(spark.read.parquet(dir), "vec_id", 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(served == direct && direct.size == 10)
+  }
+
   test("groupQuota keeps exactly min(cap, group size) top rows; ties break to low id") {
     val docs = (
       (1L to 10L).map(i => (i, "big", 100L - i)) ++     // scores 99..90
