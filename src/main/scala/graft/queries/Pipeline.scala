@@ -2589,7 +2589,57 @@ object Pipeline {
        |  round(CAST((SELECT COUNT(*) FROM approx JOIN exact USING (vec_id))
        |        AS DOUBLE) / 10, 6) AS recall""".stripMargin
 
+  // ---------------------------------------------------------------- q166
+  // The round-7 operators composed as ONE declarative plan (the q46/q85
+  // discipline): host-cap quota -> OOV gate over the surviving docs'
+  // own vocabulary -> temperature-scaled per-language token budget.
+  // The pipeline a multilingual pretraining run actually executes:
+  // de-bias sources, drop encoding junk, then up-sample low-resource
+  // languages with an exact integer sampling plan.
+  private def q166CurationV3(s: SparkSession, dir: String): DataFrame = {
+    val quota = Curation.groupQuota(t(s, dir, "documents"), "doc_id",
+        "source", "n_chars", cap = 15)
+      .filter(col("kept")).drop("kept")
+    val oov = Curation.oovRate(quota, "doc_id", "text", vocabSize = 100)
+    val keep = oov.filter(col("oov_rate") <= 0.75)
+      .select(col("doc_id"), col("n_tokens"))
+    val counts = quota.select(col("doc_id"), col("lang"))
+      .join(keep, Seq("doc_id"))
+      .groupBy(col("lang")).agg(sum(col("n_tokens")).as("n_tokens"))
+    Curation.temperatureAllocate(counts, "lang", "n_tokens", 50000L)
+      .orderBy(col("lang"))
+  }
+
+  private val q166Sql =
+    """WITH r AS (SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY n_chars DESC, doc_id) AS rn FROM documents),
+      |k1 AS (SELECT doc_id, text, lang FROM r WHERE rn <= 15),
+      |toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      |         FROM k1),
+      |v AS (SELECT tok FROM toks GROUP BY tok
+      |      ORDER BY COUNT(*) DESC, tok LIMIT 100),
+      |oov AS (SELECT t.doc_id, COUNT(*) AS n_toks,
+      |    round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |          / COUNT(*), 6) AS oov_rate
+      |  FROM toks t LEFT JOIN v ON t.tok = v.tok GROUP BY t.doc_id),
+      |c AS (SELECT k1.lang, CAST(SUM(o.n_toks) AS BIGINT) AS n_tokens
+      |  FROM k1 JOIN oov o ON k1.doc_id = o.doc_id
+      |  WHERE o.oov_rate <= 0.75 GROUP BY 1),
+      |w AS (SELECT lang, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS weight
+      |  FROM c),
+      |t AS (SELECT SUM(weight) AS total FROM w),
+      |b AS (SELECT lang, n_tokens, weight,
+      |    (50000 * weight) // total AS base,
+      |    (50000 * weight) % total AS rem FROM w CROSS JOIN t),
+      |r2 AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+      |    50000 - SUM(base) OVER () AS leftover FROM b)
+      |SELECT lang, n_tokens, weight,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM r2 ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_curation_v3" -> q166CurationV3 _,
     "q159_source_quota" -> q159SourceQuota _,
     "q160_sq8_error" -> q160Sq8Error _,
     "q161_sq8_topk" -> q161Sq8TopK _,
@@ -2757,5 +2807,6 @@ object Pipeline {
     "q163_temperature_mix" -> q163Sql,
     "q164_ngram_novelty" -> q164Sql,
     "q165_sq8_recall" -> q165Sql,
+    "q166_curation_v3" -> q166Sql,
   )
 }

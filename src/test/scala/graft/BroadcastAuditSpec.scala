@@ -34,6 +34,7 @@ class BroadcastAuditSpec extends SparkSpec {
         "q133_bm25" -> Set(Set("avgdl", "n")),
         "q141_shard_budget" -> Set(Set("total")),
         "q163_temperature_mix" -> Set(Set("total")),
+        "q166_curation_v3" -> Set(Set("total")),
         "q161_sq8_topk" -> Set(Set("q_scale", "q_codes")),
         "q165_sq8_recall" -> Set(Set("q_scale", "q_codes"), Set("qv")),
         "q148_lm_buckets" -> Set(Set("t1", "t2")),
@@ -67,7 +68,9 @@ class BroadcastAuditSpec extends SparkSpec {
         "q85_curation_v2" -> Set(Set("lang", "rate")),
         "q96_semantic_dedup" -> Set(Set("cell", "rep_id", "rv")),
         "q162_oov_rate" -> Set(Set("tok", "in_vocab")),
-        "q163_temperature_mix" -> Set(Set("lang", "weight", "alloc")))),
+        "q163_temperature_mix" -> Set(Set("lang", "weight", "alloc")),
+        "q166_curation_v3" -> Set(Set("tok", "in_vocab"),
+          Set("lang", "weight", "alloc")))),
     ("seed-set",
       "small-by-premise hand-curated/eval frames: labeled seeds, eval query sets, benchmark shingles — the operator's contract says this side is the sample, the corpus streams (J9/IdStash discipline)",
       Map(
@@ -81,7 +84,8 @@ class BroadcastAuditSpec extends SparkSpec {
         "q90_range_join" -> Set(Set("anchor_key", "anchor_price", "hi", "lo")),
         "q157_mrl_rerank" -> Set(Set("vec_id")),
         // groupQuota's keep set: TopK-capped to groups x cap rows
-        "q159_source_quota" -> Set(Set("_qid")))))
+        "q159_source_quota" -> Set(Set("_qid")),
+        "q166_curation_v3" -> Set(Set("_qid")))))
 
   test("every forced broadcast hint belongs to a documented bounded family") {
     val actual: Seq[(String, Set[String])] =

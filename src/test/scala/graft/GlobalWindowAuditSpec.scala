@@ -21,6 +21,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
       "a dimension-sized frame by construction (Curation.apportionBudget)"),
     "q163_temperature_mix" -> ("same allocateBudget largest-remainder ranking, " +
       "over language strata — dimension-sized by construction"),
+    "q166_curation_v3" -> ("composed pipeline ends in the same allocateBudget " +
+      "largest-remainder step over language strata"),
     // NOT exempt: q118_stock_lines — its strainLines path takes
     // pre-assigned ids, so no global window reaches its plan; the
     // StockExport DSC_G%07d helper (dimension-sized legacy semantics)
