@@ -2597,9 +2597,14 @@ object Pipeline {
   // de-bias sources, drop encoding junk, then up-sample low-resource
   // languages with an exact integer sampling plan.
   private def q166CurationV3(s: SparkSession, dir: String): DataFrame = {
+    // the surviving-docs frame feeds THREE consumers (vocab build, OOV
+    // scoring, language accounting); without the checkpoint the static
+    // planner re-scans the corpus and re-runs the quota TopK for each
+    // (the q148/q97 shared-subtree discipline)
     val quota = Curation.groupQuota(t(s, dir, "documents"), "doc_id",
         "source", "n_chars", cap = 15)
       .filter(col("kept")).drop("kept")
+      .localCheckpoint()
     val oov = Curation.oovRate(quota, "doc_id", "text", vocabSize = 100)
     val keep = oov.filter(col("oov_rate") <= 0.75)
       .select(col("doc_id"), col("n_tokens"))
