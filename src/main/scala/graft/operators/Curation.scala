@@ -835,6 +835,85 @@ object Curation {
         Seq(stratumCol))
   }
 
+  /** Linear text-classifier TRAINING — the other half of
+    * [[linearScore]]'s inference: batch gradient descent on logistic
+    * loss over bag-of-words relative-frequency features, the
+    * fasttext-style recipe behind every quality/language/domain scorer
+    * a curation pipeline runs. Labels ride in as a 0/1 column.
+    *
+    * The model is a (token, weight) FRAME, never driver-collected —
+    * vocabulary-sized state updated in place each round (the pageRank
+    * discipline: localCheckpoint per round, two joins + two aggregates,
+    * nothing corpus-sized moves except one token-keyed and one
+    * doc-keyed shuffle per round). At a 10M-token vocabulary the
+    * weight join flips from broadcast to shuffle automatically — no
+    * forced hints.
+    *
+    * Engine-exact reproducibility (the q97/q95 discipline): features
+    * x = round(cnt/n, 6) held as DECIMAL(18,6); every cross-row sum
+    * (z fold, gradients) is a decimal sum of exact products, so folds
+    * are order-insensitive; the sigmoid is the only libm call and its
+    * output is rounded to 6 decimals before it re-enters decimal
+    * arithmetic; weight updates are round(lr·grad/n, 6) so weights
+    * stay exact multiples of 1e-6. An oracle that unrolls the same
+    * rounds reproduces the model bit-for-bit.
+    *
+    * Returns (tok, weight) after `rounds` full-batch steps, with the
+    * intercept as the reserved `__bias__` row. */
+  def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, rounds: Int, lr: Double): DataFrame = {
+    require(rounds >= 1, "need at least one training round")
+    val dec = "decimal(18,6)"
+    val feats = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "\\s+")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("tok"),
+        round(col("cnt").cast("double") / col("n"), 6).cast(dec).as("x"))
+      .localCheckpoint()
+    val labels = docs
+      .select(col(idCol).as("doc_id"), col(labelCol).cast("int").as("y"))
+      .localCheckpoint()
+    // one count action: the batch size is a scalar in every update rule
+    // (the BPE one-row-to-the-driver-per-round discipline)
+    val nd = labels.count()
+    // weights start empty (w=0 everywhere); bias starts 0 — round one's
+    // uniform p=0.5 gives every token its first signed gradient
+    var w = feats.sparkSession.createDataFrame(
+      feats.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType))))
+    var bias = 0.0
+    for (_ <- 1 to rounds) {
+      val z = feats.join(w, Seq("tok"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("x") * coalesce(col("w"), lit(0.0)).cast(dec)).as("zsum"))
+      val err = labels.join(z, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          (round(lit(1.0) / (lit(1.0) +
+              exp(-(lit(bias) + coalesce(col("zsum"), lit(0).cast(dec)).cast("double")))),
+            6).cast(dec) - col("y")).as("err"))
+        .localCheckpoint()
+      val grad = feats.join(err, Seq("doc_id"))
+        .groupBy(col("tok")).agg(sum(col("err") * col("x")).as("g"))
+      w = w.join(grad, Seq("tok"), "full_outer")
+        .select(col("tok"),
+          (coalesce(col("w"), lit(0.0)) -
+            round(lit(lr) * coalesce(col("g"), lit(0).cast(dec)).cast("double") /
+              lit(nd), 6)).as("w"))
+        .localCheckpoint()
+      bias -= err.agg(coalesce(sum(col("err")), lit(0).cast(dec))
+          .cast("double").as("g"))
+        .select(round(lit(lr) * col("g") / lit(nd), 6)).head().getDouble(0)
+    }
+    w.select(col("tok"), col("w").as("weight"))
+      .unionByName(w.sparkSession.range(1)
+        .select(lit("__bias__").as("tok"), lit(bias).as("weight")))
+  }
+
   /** n-gram novelty: the fraction of a doc's DISTINCT word n-grams that
     * appear nowhere else in the corpus (document frequency 1). Low
     * novelty = near-boilerplate; per-shingle df == 1 is also the

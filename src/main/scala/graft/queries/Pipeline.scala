@@ -2643,7 +2643,73 @@ object Pipeline {
       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
       |FROM r2 ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+  // In-engine classifier TRAINING (Curation.trainLogistic): 3 rounds of
+  // full-batch logistic regression on bag-of-words frequencies, label =
+  // "is this English" — the missing half of q95's fasttext-style
+  // inference (train here, score with linearScore). The model is a
+  // vocabulary-sized (tok, weight) frame updated in place each round;
+  // decimal-exact gradients + round-6 sigmoid/updates make the oracle's
+  // unrolled rounds reproduce the weights bit-for-bit. Output: the 25
+  // most English-indicative tokens (weight desc, tok).
+  private def q167TrainClassifier(s: SparkSession, dir: String): DataFrame =
+    Curation.trainLogistic(
+        t(s, dir, "documents")
+          .withColumn("is_en", (col("lang") === "en").cast("int")),
+        "doc_id", "text", "is_en", rounds = 3, lr = 10.0)
+      .orderBy(col("weight").desc, col("tok")).limit(25)
+
+  private val q167Sql = {
+    // one CTE block per unrolled round r: err from the previous round's
+    // (w, b), token gradients, updated weights/bias — the exact
+    // arithmetic of Curation.trainLogistic
+    def roundCtes(r: Int): String = {
+      val (pw, pb) = (s"w${r - 1}", s"b${r - 1}")
+      val errExpr =
+        if (r == 1) "CAST(0.5 AS DECIMAL(18,6)) - l.y" // w=0, b=0 -> p=0.5
+        else
+          s"""CAST(round(1.0 / (1.0 + exp(-($pb.b + CAST(COALESCE(z$r.zs, 0) AS DOUBLE)))), 6)
+             |        AS DECIMAL(18,6)) - l.y""".stripMargin
+      val zJoin =
+        if (r == 1) ""
+        else
+          s"""z$r AS (SELECT f.doc_id, SUM(f.x * CAST($pw.w AS DECIMAL(18,6))) AS zs
+             |  FROM f JOIN $pw USING (tok) GROUP BY f.doc_id),
+             |""".stripMargin
+      val fromTail =
+        if (r == 1) "FROM lab l"
+        else s"FROM lab l LEFT JOIN z$r USING (doc_id) CROSS JOIN $pb"
+      s"""${zJoin}e$r AS (SELECT l.doc_id, $errExpr AS err $fromTail),
+         |g$r AS (SELECT f.tok, SUM(e$r.err * f.x) AS g
+         |  FROM f JOIN e$r USING (doc_id) GROUP BY f.tok),
+         |w$r AS (SELECT COALESCE($pw.tok, g$r.tok) AS tok,
+         |    COALESCE($pw.w, 0.0) -
+         |      round(10.0 * CAST(COALESCE(g$r.g, 0) AS DOUBLE) / nd.nd, 6) AS w
+         |  FROM $pw FULL JOIN g$r USING (tok) CROSS JOIN nd),
+         |b$r AS (SELECT $pb.b -
+         |    round(10.0 * CAST((SELECT SUM(err) FROM e$r) AS DOUBLE) / nd.nd, 6) AS b
+         |  FROM $pb CROSS JOIN nd)""".stripMargin
+    }
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |             FROM documents),
+       |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       |nn AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1),
+       |f AS (SELECT cnt.doc_id, cnt.tok,
+       |    CAST(round(CAST(cnt.c AS DOUBLE) / nn.n, 6) AS DECIMAL(18,6)) AS x
+       |  FROM cnt JOIN nn USING (doc_id)),
+       |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |        FROM documents),
+       |nd AS (SELECT COUNT(*) AS nd FROM documents),
+       |w0 AS (SELECT NULL AS tok, NULL AS w WHERE FALSE),
+       |b0 AS (SELECT 0.0 AS b),
+       |${(1 to 3).map(roundCtes).mkString(",\n")}
+       |SELECT tok, w AS weight FROM w3
+       |UNION ALL SELECT '__bias__', b FROM b3
+       |ORDER BY weight DESC, tok LIMIT 25""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_train_classifier" -> q167TrainClassifier _,
     "q166_curation_v3" -> q166CurationV3 _,
     "q159_source_quota" -> q159SourceQuota _,
     "q160_sq8_error" -> q160Sq8Error _,
@@ -2813,5 +2879,6 @@ object Pipeline {
     "q164_ngram_novelty" -> q164Sql,
     "q165_sq8_recall" -> q165Sql,
     "q166_curation_v3" -> q166Sql,
+    "q167_train_classifier" -> q167Sql,
   )
 }

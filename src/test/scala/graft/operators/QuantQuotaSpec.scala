@@ -120,6 +120,27 @@ class QuantQuotaSpec extends SparkSpec {
       math.floor(math.sqrt(10000.0) * 1e6).toLong))
   }
 
+  test("trainLogistic learns a separating model; linearScore serves it") {
+    // class 1 says "good", class 0 says "bad"; "filler" is uninformative
+    val docs = Seq(
+      (1L, "good good filler", 1), (2L, "good filler filler", 1),
+      (3L, "bad bad filler", 0), (4L, "bad filler filler", 0)
+    ).toDF("doc_id", "text", "y")
+    val model = Curation.trainLogistic(docs, "doc_id", "text", "y",
+      rounds = 5, lr = 10.0)
+    val w = model.as[(String, Double)].collect().toMap
+    assert(w("good") > 0 && w("bad") < 0,
+      s"indicative tokens must separate: $w")
+    assert(math.abs(w("filler")) < w("good"), "filler stays near zero")
+    // end-to-end: the trained weights drive the existing inference op
+    val scored = Curation.linearScore(docs, "doc_id", "text",
+        (w - "__bias__").toSeq, w("__bias__"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scored(1L) > 0.5 && scored(2L) > 0.5 &&
+      scored(3L) < 0.5 && scored(4L) < 0.5,
+      s"trained model must classify its training set: $scored")
+  }
+
   test("ngramNovelty: df=1 shingles over the corpus, per-doc fraction") {
     val docs = Seq(
       (1L, "a b c d"),     // shingles: "a b c", "b c d"
