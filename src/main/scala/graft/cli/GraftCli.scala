@@ -215,6 +215,12 @@ object GraftCli {
     case "sq8build" :: emb :: storeDir :: Nil => sq8Build(emb, storeDir)
     case "sq8query" :: storeDir :: id :: k :: out :: Nil =>
       sq8Query(storeDir, id.toLong, k.toInt, out)
+    case "clftrain" :: docs :: labelCol :: modelDir :: rest if rest.size <= 2 =>
+      clfTrain(docs, labelCol, modelDir,
+        rest.headOption.map(_.toInt).getOrElse(3),
+        rest.drop(1).headOption.map(_.toDouble).getOrElse(10.0))
+    case "clfscore" :: docs :: modelDir :: out :: Nil =>
+      clfScore(docs, modelDir, out)
     case "colleague" :: dataDir :: cout :: relout :: Nil =>
       colleague(dataDir, cout, relout)
     case "colleague2gene" :: dataDir :: out :: Nil =>
@@ -257,6 +263,8 @@ object GraftCli {
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
            |           sq8query <storedir> <id> <topk> <out>
+           |classifier: clftrain <docs> <labelcol> <modeldir> [rounds] [lr]
+           |           clfscore <docs> <modeldir> <out>
            |tokenizer: bpetrain <docs> <mergesdir> [merges]
            |           bpetokenize <docs> <mergesdir> <outdir>
            |analyze:   profile <parquet> <outdir> [col,col,...] [--approx]
@@ -1669,6 +1677,36 @@ object GraftCli {
       .observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").parquet(storeDir)
     println(s"sq8: ${obs.get("rows")} vectors encoded -> $storeDir")
+    spark.stop()
+  }
+
+  /** clftrain / clfscore: the quality-classifier lifecycle
+    * (Curation.trainLogistic / linearScore). Train persists the
+    * vocabulary-sized (tok, weight) model frame — it never collects to
+    * the driver during training; score loads the model-sized table
+    * (the pqquery codebook discipline) and runs map-side inference. */
+  private def clfTrain(docs: String, labelCol: String, modelDir: String,
+                       rounds: Int, lr: Double): Unit = {
+    val spark = GraftSession.local()
+    val model = graft.operators.Curation.trainLogistic(
+      spark.read.parquet(docs), "doc_id", "text", labelCol, rounds, lr)
+    model.write.mode("overwrite").parquet(modelDir)
+    val n = spark.read.parquet(modelDir).count()
+    println(s"clf: trained $rounds rounds (lr $lr), ${n - 1} token weights -> $modelDir")
+    spark.stop()
+  }
+
+  private def clfScore(docs: String, modelDir: String, out: String): Unit = {
+    val spark = GraftSession.local()
+    val rows = spark.read.parquet(modelDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val bias = rows.collectFirst { case ("__bias__", b) => b }.getOrElse(0.0)
+    val w = rows.filter(_._1 != "__bias__").toSeq
+    graft.operators.Curation
+      .linearScore(spark.read.parquet(docs), "doc_id", "text", w, bias)
+      .write.mode("overwrite").parquet(out)
+    println(s"clf: scored ${spark.read.parquet(out).count()} docs " +
+      s"with ${w.size} weights -> $out")
     spark.stop()
   }
 

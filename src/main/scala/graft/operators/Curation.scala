@@ -914,6 +914,32 @@ object Curation {
         .select(lit("__bias__").as("tok"), lit(bias).as("weight")))
   }
 
+  /** Classifier calibration curve (reliability diagram): bucket
+    * predicted probabilities into `nBuckets` equal bins and compare
+    * each bin's mean prediction to its observed positive rate — the
+    * eval every deployed quality/language scorer needs before its
+    * scores gate a corpus (a 0.9-bucket whose positive rate is 0.6
+    * means thresholds lie). Input: a frame carrying a [0,1] `scoreCol`
+    * and a 0/1 `labelCol`.
+    *
+    * One partial-agg'd aggregate over bucket keys (bounded at
+    * `nBuckets` groups); scores are summed as DECIMAL(18,6) so the
+    * per-bin mean is order-insensitive. Returns
+    * (bucket, n_docs, mean_score, frac_pos). */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+                  nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "need at least two buckets")
+    scored
+      .withColumn("bucket",
+        least(floor(col(scoreCol) * nBuckets), lit(nBuckets - 1)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col(scoreCol).cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_score"),
+        round(sum(col(labelCol).cast("long")).cast("double") /
+          count(lit(1)), 6).as("frac_pos"))
+  }
+
   /** n-gram novelty: the fraction of a doc's DISTINCT word n-grams that
     * appear nowhere else in the corpus (document frequency 1). Low
     * novelty = near-boilerplate; per-shingle df == 1 is also the

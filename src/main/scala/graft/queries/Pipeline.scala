@@ -2708,7 +2708,48 @@ object Pipeline {
        |ORDER BY weight DESC, tok LIMIT 25""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q168
+  // Classifier calibration curve (Curation.calibration): q95's fixed
+  // quality model scored over the corpus, predictions bucketed into
+  // deciles, each bin's mean prediction vs its observed is-English
+  // rate — the reliability check run before a scorer's thresholds gate
+  // a corpus. Bounded bucket-keyed aggregate; decimal-exact bin means.
+  private def q168Calibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    val scored = Curation.linearScore(docs, "doc_id", "text",
+        q95Weights, bias = -0.2)
+      .join(docs.select(col("doc_id"), col("is_en")), Seq("doc_id"))
+    Curation.calibration(scored, "score", "is_en", nBuckets = 10)
+      .orderBy(col("bucket"))
+  }
+
+  private val q168Sql = {
+    val values = q95Weights
+      .map { case (t, w) => s"('$t', ${w})" }.mkString(", ")
+    s"""WITH w(tok, weight) AS (VALUES $values),
+       |hits AS (
+       |  SELECT doc_id, CAST(SUM(CAST(w.weight AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS wsum
+       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |        FROM documents) x
+       |  JOIN w ON w.tok = x.tok
+       |  GROUP BY doc_id),
+       |sc AS (SELECT d.doc_id,
+       |    round(1.0 / (1.0 + exp(-(-0.2 +
+       |      CAST(COALESCE(h.wsum, 0) AS DOUBLE)))), 6) AS score,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id),
+       |b AS (SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bucket,
+       |        score, y FROM sc)
+       |SELECT bucket, COUNT(*) AS n_docs,
+       |  round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+       |        / COUNT(*), 6) AS mean_score,
+       |  round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_calibration" -> q168Calibration _,
     "q167_train_classifier" -> q167TrainClassifier _,
     "q166_curation_v3" -> q166CurationV3 _,
     "q159_source_quota" -> q159SourceQuota _,
@@ -2880,5 +2921,6 @@ object Pipeline {
     "q165_sq8_recall" -> q165Sql,
     "q166_curation_v3" -> q166Sql,
     "q167_train_classifier" -> q167Sql,
+    "q168_calibration" -> q168Sql,
   )
 }

@@ -62,6 +62,7 @@ class BroadcastAuditSpec extends SparkSpec {
       "trained model / vocabulary frames whose size is the MODEL's (classifier weights, LM bigram table, IDF table, per-stratum rates, cell representatives), trained once and reused",
       Map(
         "q95_classifier_score" -> Set(Set("tok", "weight")),
+        "q168_calibration" -> Set(Set("tok", "weight")),
         "q97_lm_score" -> Set(Set("bg", "logp")),
         "q133_bm25" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
