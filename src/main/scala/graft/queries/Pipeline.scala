@@ -2748,7 +2748,51 @@ object Pipeline {
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q169
+  // Edit-distance verification of the q28 LSH candidates
+  // (Dedup.editDistanceGate): normalized Levenshtein over 1000-char
+  // prefixes, dup flagged at ratio <= 0.3 — the verify stage that
+  // catches reordered/lightly-edited copies Jaccard-style set overlap
+  // misses. Work is candidate-bounded (the LSH bucket caps are the
+  // proof); Levenshtein is exact integer arithmetic on both engines.
+  private def q169EditGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sig = Dedup.minhashSignatureDirect(docs, "doc_id", "text", 3, 8)
+    val cands = Dedup.lshCandidates(sig, 8, 4, maxBucket = 1000)
+    Dedup.editDistanceGate(docs, "doc_id", "text", cands, maxRatio = 0.3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q169Sql = {
+    val mins = (0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+    s"""WITH ${shingleCte(3)},
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig),
+       |keep AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+       |         HAVING COUNT(*) <= 1000),
+       |kept AS (SELECT b.* FROM bands b JOIN keep k USING (band, bucket)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |ev AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(levenshtein(substring(da.text, 1, 1000),
+       |                     substring(db.text, 1, 1000)) AS BIGINT) AS dist,
+       |    greatest(len(substring(da.text, 1, 1000)),
+       |             len(substring(db.text, 1, 1000))) AS maxlen
+       |  FROM cand c
+       |  JOIN documents da ON da.doc_id = c.doc_a
+       |  JOIN documents db ON db.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, dist,
+       |  round(CAST(dist AS DOUBLE) / maxlen, 6) AS edit_ratio,
+       |  round(CAST(dist AS DOUBLE) / maxlen, 6) <= 0.3 AS dup
+       |FROM ev ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_edit_gate" -> q169EditGate _,
     "q168_calibration" -> q168Calibration _,
     "q167_train_classifier" -> q167TrainClassifier _,
     "q166_curation_v3" -> q166CurationV3 _,
@@ -2922,5 +2966,6 @@ object Pipeline {
     "q166_curation_v3" -> q166Sql,
     "q167_train_classifier" -> q167Sql,
     "q168_calibration" -> q168Sql,
+    "q169_edit_gate" -> q169Sql,
   )
 }

@@ -141,6 +141,25 @@ class QuantQuotaSpec extends SparkSpec {
       s"trained model must classify its training set: $scored")
   }
 
+  test("editDistanceGate verifies candidates with normalized Levenshtein") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fix"),   // 1 edit from doc 1
+      (3L, "completely different words here")
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.editDistanceGate(docs, "doc_id", "text", cands, 0.3)
+      .select($"doc_a", $"doc_b", $"dist", $"dup")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._2)
+    assert(got(0) == ((1L, 2L, 1L, true)))   // one substitution
+    assert(got(1)._3 > 15 && !got(1)._4)     // far apart, not a dup
+    // the prefix cap bounds the per-pair DP
+    val capped = Dedup.editDistanceGate(docs, "doc_id", "text", cands, 0.3,
+      prefixLen = 9)
+    assert(capped.filter($"doc_a" === 1 && $"doc_b" === 2)
+      .select($"dist").as[Long].head() == 0L) // identical 9-char prefixes
+  }
+
   test("ngramNovelty: df=1 shingles over the corpus, per-doc fraction") {
     val docs = Seq(
       (1L, "a b c d"),     // shingles: "a b c", "b c d"
