@@ -663,6 +663,37 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Per-DIMENSION corpus statistics over an embedding column —
+    * (dim, n, mean, std, dmin, dmax). The other axis of embedding QC
+    * (q88 profiles per-label norms): a dimension whose mean drifts
+    * between index-build time and serve time invalidates trained
+    * centroids/codebooks, and near-zero-variance dimensions are dead
+    * weight a Matryoshka/PQ layout should drop. Also the input to
+    * mean-centering/whitening before IVF training.
+    *
+    * One posexplode + one partial-agg'd aggregate keyed on dimension
+    * index (bounded groups = vector width). Components are summed as
+    * DECIMAL (x and x² both) so means/variances are order-insensitive
+    * and engine-exact; the variance is max(E[x²]−mean², 0) with every
+    * double op in a fixed order. */
+  def dimStats(emb: DataFrame, embCol: String): DataFrame = {
+    val dec = "decimal(28,12)"
+    emb.select(posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        min(col("x")).as("dmin"), max(col("x")).as("dmax"))
+      .select(col("dim"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean"),
+        round(sqrt(greatest(
+          col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) *
+            (col("sx").cast("double") / col("n")),
+          lit(0.0))), 6).as("std"),
+        round(col("dmin"), 6).as("dmin"), round(col("dmax"), 6).as("dmax"))
+  }
+
   // ------------------------------------------------------------- SQ8
   // Int8 scalar quantization: the standard 4x embedding-memory
   // compression for ANN serving (FAISS's SQ8 / "scalar quantizer").

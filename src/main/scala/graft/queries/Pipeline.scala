@@ -2791,7 +2791,36 @@ object Pipeline {
        |FROM ev ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q170
+  // Per-dimension embedding statistics (Similarity.dimStats): the
+  // drift/whitening axis of embedding QC — mean/std/min/max per vector
+  // dimension, decimal-summed so the corpus fold is order-insensitive.
+  // Bounded groups (= vector width); the oracle re-derives the same
+  // x / x² decimal sums positionally.
+  private def q170DimStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimStats(t(s, dir, "embeddings"), "embedding")
+      .orderBy(col("dim"))
+
+  private val q170Sql =
+    """WITH x AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |       unnest(generate_series(1, len(embedding))) AS u(i)),
+      |a AS (SELECT dim, COUNT(*) AS n,
+      |    SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+      |    SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+      |    MIN(x) AS dmin, MAX(x) AS dmax
+      |  FROM x GROUP BY dim)
+      |SELECT CAST(dim AS INTEGER) AS dim, n,
+      |  round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+      |  round(sqrt(greatest(
+      |    CAST(sxx AS DOUBLE) / n -
+      |      (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
+      |    0.0)), 6) AS std,
+      |  round(dmin, 6) AS dmin, round(dmax, 6) AS dmax
+      |FROM a ORDER BY dim""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_dim_stats" -> q170DimStats _,
     "q169_edit_gate" -> q169EditGate _,
     "q168_calibration" -> q168Calibration _,
     "q167_train_classifier" -> q167TrainClassifier _,
@@ -2967,5 +2996,6 @@ object Pipeline {
     "q167_train_classifier" -> q167Sql,
     "q168_calibration" -> q168Sql,
     "q169_edit_gate" -> q169Sql,
+    "q170_dim_stats" -> q170Sql,
   )
 }
