@@ -768,6 +768,9 @@ object Similarity {
               (a, b) => a.cast("long") * b.cast("long")),
             lit(0L), (acc, x) => acc + x)
           .cast("double") * col("sq_scale") * col("q_scale"), 6).as("qsim"))
+      // null embedding -> null codes -> null qsim: unrankable, drop
+      // map-side (the knnJoin/pqTopK contract)
+      .filter(col("qsim").isNotNull)
       .orderBy(col("qsim").desc, col(idCol))
       .limit(k)
   }

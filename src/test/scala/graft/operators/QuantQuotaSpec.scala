@@ -62,6 +62,21 @@ class QuantQuotaSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("sq8 null embeddings are unrankable, never surface in top-k") {
+    val emb = Seq(
+      (0L, Some(Seq(1.0f, 0.0f))), (1L, Some(Seq(0.9f, 0.1f))),
+      (2L, None), (3L, Some(Seq(0.8f, 0.2f)))
+    ).toDF("vec_id", "embedding")
+    val enc = Similarity.sq8Encode(emb, "vec_id", "embedding")
+      .filter($"vec_id" === 2L).select($"sq_scale", $"sq_codes").head()
+    assert(enc.isNullAt(0) && enc.isNullAt(1)) // null in -> null out
+    val top = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 3)
+      .select($"vec_id").as[Long].collect()
+    // unrankable rows are dropped map-side (the knnJoin/pqTopK
+    // contract), never padded into the top-k
+    assert(top.toSeq == Seq(1L, 3L))
+  }
+
   test("sq8TopKFromCodes serves identically from a persisted codes store") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val direct = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 10)
