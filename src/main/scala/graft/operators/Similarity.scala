@@ -249,6 +249,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe sign-bucket ANN (Lv et al., "Multi-Probe LSH"): probe
+    * the query's own bucket PLUS the buckets reached by flipping its
+    * `nflip` LOWEST-MARGIN sign bits (smallest |component| = the signs
+    * most likely to differ for a true neighbor). The standard recall
+    * dial that costs no extra index memory: nflip+1 bucket probes
+    * instead of a bigger table or fewer bits. Flip order is
+    * (|component| asc, index asc) — fully deterministic; `nflip = 0`
+    * reproduces [[signBucketTopK]] exactly.
+    *
+    * Scale shape identical to the single-probe form: the probe-bucket
+    * set (nflip+1 strings) broadcasts, candidates resolve via one
+    * semi-join on the bucket key, scoring is the fused codegen'd
+    * cosine, top-k is `TakeOrderedAndProject`. Candidate volume is
+    * Σ probed-bucket sizes — (nflip+1)·n/2^bits expected. */
+  def signBucketMultiProbe(emb: DataFrame, idCol: String, embCol: String,
+                           queryId: Long, bits: Int, nflip: Int,
+                           k: Int): DataFrame = {
+    require(nflip >= 0 && nflip <= bits, "0 <= nflip <= bits")
+    def bucket(df: DataFrame): DataFrame = df.withColumn("bucket",
+      concat((1 to bits).map(i =>
+        when(element_at(col(embCol), i) >= 0f, "1").otherwise("0")): _*))
+    val all = bucket(emb)
+    val q = all.filter(col(idCol) === queryId)
+      .select(col(embCol).as("qv"), col("bucket"))
+    val probes = q.select(explode(expr(
+      s"""concat(
+         |  array(bucket),
+         |  transform(
+         |    slice(array_sort(transform(sequence(1, $bits),
+         |      i -> struct(abs(cast(element_at(qv, i) as double)) as m, i as i))),
+         |      1, $nflip),
+         |    s -> concat(substring(bucket, 1, s.i - 1),
+         |                case when substring(bucket, s.i, 1) = '1'
+         |                     then '0' else '1' end,
+         |                substring(bucket, s.i + 1, $bits))))""".stripMargin))
+      .as("bucket"))
+    val candidates = all.filter(col(idCol) =!= queryId)
+      .join(broadcast(probes), Seq("bucket"), "left_semi")
+    withCosine(candidates, q.select(col("qv")), embCol)
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact k-NN *join*: every query vector's top-k cosine neighbors in
     * the corpus — the retrieval/eval primitive (embed an eval set,
     * fetch neighbors for every probe at once). Returns

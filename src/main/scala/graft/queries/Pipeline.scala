@@ -2819,7 +2819,46 @@ object Pipeline {
       |  round(dmin, 6) AS dmin, round(dmax, 6) AS dmax
       |FROM a ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------- q171
+  // Multi-probe sign-bucket ANN (Similarity.signBucketMultiProbe): q32's
+  // 6-bit bucket probe widened by flipping the query's 2 lowest-margin
+  // sign bits — the Lv et al. multi-probe recall dial, no extra index
+  // memory. The probe set (3 bucket strings) broadcasts; candidates
+  // are one semi-join; nflip=0 reproduces q32 exactly.
+  private def q171Multiprobe(s: SparkSession, dir: String): DataFrame =
+    Similarity.signBucketMultiProbe(t(s, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, bits = 6, nflip = 2, k = 10)
+
+  private val q171Sql =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+       |     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+       |     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+       |     CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+       |     CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+       |     CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT unnest(list_concat(
+       |    [bucket],
+       |    list_transform(
+       |      list_sort(list_transform(generate_series(1, 6),
+       |        i -> {'m': abs(CAST(qv[i] AS DOUBLE)), 'i': i}))[1:2],
+       |      s -> substring(bucket, 1, s.i - 1) ||
+       |           (CASE WHEN substring(bucket, s.i, 1) = '1'
+       |                 THEN '0' ELSE '1' END) ||
+       |           substring(bucket, s.i + 1, 6)))) AS pb
+       |  FROM q),
+       |scored AS (
+       |  SELECT b.vec_id, ${cosSql("b.embedding", "q.qv")} AS sim
+       |  FROM b JOIN probes ON b.bucket = probes.pb CROSS JOIN q
+       |  WHERE b.vec_id <> 0)
+       |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_multiprobe" -> q171Multiprobe _,
     "q170_dim_stats" -> q170DimStats _,
     "q169_edit_gate" -> q169EditGate _,
     "q168_calibration" -> q168Calibration _,
@@ -2997,5 +3036,6 @@ object Pipeline {
     "q168_calibration" -> q168Sql,
     "q169_edit_gate" -> q169Sql,
     "q170_dim_stats" -> q170Sql,
+    "q171_multiprobe" -> q171Sql,
   )
 }

@@ -23,6 +23,7 @@ class BroadcastAuditSpec extends SparkSpec {
       Map(
         "q31_cosine_topk" -> Set(Set("qv")),
         "q32_ann_bucket" -> Set(Set("qv")),
+        "q171_multiprobe" -> Set(Set("qv")),
         "q44_ann_ivf" -> Set(Set("qv")),
         "q50_ann_nprobe" -> Set(Set("qv")),
         "q80_filtered_ann" -> Set(Set("qv")),
@@ -44,6 +45,7 @@ class BroadcastAuditSpec extends SparkSpec {
       "nprobe-/band-bounded key sets derived from the probe side (the cells or buckets ONE query hashes into), never the corpus's keys",
       Map(
         "q32_ann_bucket" -> Set(Set("bucket")),
+        "q171_multiprobe" -> Set(Set("bucket")),
         "q44_ann_ivf" -> Set(Set("cell")),
         "q50_ann_nprobe" -> Set(Set("cell")),
         "q144_recall" -> Set(Set("cell")))),

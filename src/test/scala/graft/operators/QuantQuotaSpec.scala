@@ -91,6 +91,24 @@ class QuantQuotaSpec extends SparkSpec {
     assert(served == direct && direct.size == 10)
   }
 
+  test("signBucketMultiProbe: nflip=0 == single probe; flips recover cross-bucket neighbors") {
+    // query sits at (+,+) with a tiny 2nd component; its true nearest
+    // neighbor differs only in that low-margin sign -> single-probe
+    // misses it, one flip recovers it
+    val emb = embFrame(
+      0L -> Seq(1.0f, 0.001f, 0.5f, 0.5f),
+      1L -> Seq(1.0f, -0.001f, 0.5f, 0.5f),  // across the low-margin bit
+      2L -> Seq(0.9f, 0.2f, 0.5f, 0.5f))     // same bucket as query
+    val single = Similarity.signBucketMultiProbe(emb, "vec_id", "embedding",
+      0L, bits = 4, nflip = 0, k = 5).select($"vec_id").as[Long].collect().toSet
+    val single2 = Similarity.signBucketTopK(emb, "vec_id", "embedding",
+      0L, bits = 4, k = 5).select($"vec_id").as[Long].collect().toSet
+    assert(single == single2 && single == Set(2L)) // misses vec 1
+    val multi = Similarity.signBucketMultiProbe(emb, "vec_id", "embedding",
+      0L, bits = 4, nflip = 1, k = 5).select($"vec_id").as[Long].collect().toSet
+    assert(multi == Set(1L, 2L)) // the flipped-bit bucket recovers vec 1
+  }
+
   test("groupQuota keeps exactly min(cap, group size) top rows; ties break to low id") {
     val docs = (
       (1L to 10L).map(i => (i, "big", 100L - i)) ++     // scores 99..90
