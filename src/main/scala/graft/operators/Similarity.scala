@@ -293,6 +293,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al.) — the standard hybrid
+    * retrieval combiner: each input ranking contributes 1/(c + rank)
+    * per doc, fused score is the sum, so lexical (BM25) and dense
+    * (cosine) retrieval merge without score calibration. Inputs are
+    * (idCol, score) frames that are ALREADY top-N bounded (their LIMIT
+    * is the boundedness proof); a doc missing from a list contributes
+    * nothing from it.
+    *
+    * Ranks are computed with a k-bounded better-than self-join count
+    * (identical values to `row_number` over (score desc, id), without
+    * planning a partition-less window); the fused sum folds the lists
+    * in argument order, so an oracle summing the same way reproduces
+    * it bit-for-bit. Everything here is k-sized — at 100 TB the
+    * expensive part is the upstream retrieval, never the fusion. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, c: Int,
+              k: Int): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val ranked = rankings.zipWithIndex.map { case (df, j) =>
+      val x = df.select(col(idCol).cast("long").as("id"),
+        col("score").cast("double").as("s"))
+      val y = x.select(col("id").as("id2"), col("s").as("s2"))
+      x.join(y, col("s2") > col("s") ||
+          (col("s2") === col("s") && col("id2") < col("id")), "left_outer")
+        .groupBy(col("id")).agg((count(col("id2")) + 1).as(s"r$j"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val fused = ranked.indices
+      .map(j => coalesce(lit(1.0) / (lit(c.toDouble) + col(s"r$j")), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col("id").as(idCol), round(fused, 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact k-NN *join*: every query vector's top-k cosine neighbors in
     * the corpus — the retrieval/eval primitive (embed an eval set,
     * fetch neighbors for every probe at once). Returns

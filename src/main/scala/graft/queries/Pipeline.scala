@@ -2857,7 +2857,55 @@ object Pipeline {
        |  WHERE b.vec_id <> 0)
        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+  // Hybrid retrieval via reciprocal-rank fusion (Similarity.rrfFuse):
+  // the q133 BM25 lexical ranking and the q31 dense cosine ranking
+  // (doc_id == vec_id in the synthetic corpus) fused as
+  // Σ 1/(60 + rank) — the calibration-free combiner RAG stacks ship.
+  // Both inputs are top-20 bounded; fusion is k-sized throughout.
+  private def q172RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val lex = Curation.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "merge"), 20)
+      .select(col("doc_id"), col("score"))
+    val dense = Similarity.cosineTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 0L, 20)
+      .select(col("vec_id").as("doc_id"), col("sim").as("score"))
+    Similarity.rrfFuse(Seq(lex, dense), "doc_id", c = 60, k = 10)
+  }
+
+  private val q172Sql =
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT COUNT(*) AS n,
+       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+       |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+       |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+       |  WHERE w IN ('spark', 'join', 'merge') GROUP BY doc_id, dl, w),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |contrib AS (SELECT doc_id,
+       |    CAST(round(
+       |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+       |      * (tf * (1.2e0 + 1)) /
+       |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+       |  FROM tf JOIN df USING (w) CROSS JOIN stats),
+       |lex AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+       |  FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+       |fq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |dense AS (SELECT e.vec_id AS doc_id, ${cosSql("e.embedding", "fq.qv")} AS score
+       |  FROM embeddings e CROSS JOIN fq WHERE e.vec_id <> 0
+       |  ORDER BY score DESC, doc_id LIMIT 20),
+       |lr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       |       FROM lex),
+       |dr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       |       FROM dense)
+       |SELECT doc_id,
+       |  round(COALESCE(1.0 / (60.0 + lr.r), 0.0) +
+       |        COALESCE(1.0 / (60.0 + dr.r), 0.0), 6) AS rrf
+       |FROM lr FULL JOIN dr USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_rrf_fusion" -> q172RrfFusion _,
     "q171_multiprobe" -> q171Multiprobe _,
     "q170_dim_stats" -> q170DimStats _,
     "q169_edit_gate" -> q169EditGate _,
@@ -3037,5 +3085,6 @@ object Pipeline {
     "q169_edit_gate" -> q169Sql,
     "q170_dim_stats" -> q170Sql,
     "q171_multiprobe" -> q171Sql,
+    "q172_rrf_fusion" -> q172Sql,
   )
 }

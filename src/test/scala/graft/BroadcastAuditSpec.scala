@@ -33,6 +33,7 @@ class BroadcastAuditSpec extends SparkSpec {
         "q65_tfidf" -> Set(Set("n")),
         "q97_lm_score" -> Set(Set("n", "v")),
         "q133_bm25" -> Set(Set("avgdl", "n")),
+        "q172_rrf_fusion" -> Set(Set("avgdl", "n"), Set("qv")),
         "q141_shard_budget" -> Set(Set("total")),
         "q163_temperature_mix" -> Set(Set("total")),
         "q166_curation_v3" -> Set(Set("total")),
@@ -67,6 +68,7 @@ class BroadcastAuditSpec extends SparkSpec {
         "q168_calibration" -> Set(Set("tok", "weight")),
         "q97_lm_score" -> Set(Set("bg", "logp")),
         "q133_bm25" -> Set(Set("df", "w")),
+        "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),
         "q96_semantic_dedup" -> Set(Set("cell", "rep_id", "rv")),

@@ -109,6 +109,22 @@ class QuantQuotaSpec extends SparkSpec {
     assert(multi == Set(1L, 2L)) // the flipped-bit bucket recovers vec 1
   }
 
+  test("rrfFuse: both-list docs beat single-list docs; ranks match row_number") {
+    val lex = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "score")
+    val dense = Seq((2L, 0.9), (4L, 0.8), (1L, 0.7)).toDF("doc_id", "score")
+    val got = Similarity.rrfFuse(Seq(lex, dense), "doc_id", c = 60, k = 4)
+      .as[(Long, Double)].collect()
+    // doc 2: rank 2 lexical + rank 1 dense; doc 1: rank 1 + rank 3
+    val exp = Map(
+      1L -> (1.0 / 61 + 1.0 / 63), 2L -> (1.0 / 62 + 1.0 / 61),
+      3L -> 1.0 / 63, 4L -> 1.0 / 62)
+    got.foreach { case (id, r) =>
+      assert(math.abs(r - exp(id)) < 1e-6, s"doc $id: $r vs ${exp(id)}")
+    }
+    // both-list docs outrank every single-list doc here
+    assert(got.take(2).map(_._1).toSet == Set(1L, 2L))
+  }
+
   test("groupQuota keeps exactly min(cap, group size) top rows; ties break to low id") {
     val docs = (
       (1L to 10L).map(i => (i, "big", 100L - i)) ++     // scores 99..90
