@@ -772,6 +772,28 @@ object Similarity {
         round(col("dmin"), 6).as("dmin"), round(col("dmax"), 6).as("dmax"))
   }
 
+  /** Standardize every dimension to zero mean / unit variance with
+    * DRIVER-HELD per-dimension stats (the [[IvfIndex]] model-state
+    * pattern — train once via [[dimStats]].collect, a vector-width
+    * frame, then apply map-only everywhere). The whitening-lite step
+    * before IVF/PQ training: centering stops a dominant DC component
+    * from swallowing the coarse quantizer, unit variance stops one hot
+    * dimension from owning every L2 distance. Zero-variance (dead)
+    * dimensions map to 0. Components round to 6 decimals AFTER the
+    * divide (the trained-quantity discipline). */
+  def standardize(emb: DataFrame, embCol: String,
+                  means: Seq[Double], stds: Seq[Double]): DataFrame = {
+    require(means.size == stds.size && means.nonEmpty,
+      "means and stds must align")
+    val m = typedLit(means)
+    val s = typedLit(stds)
+    emb.withColumn(embCol,
+      transform(col(embCol).cast("array<double>"), (x, i) =>
+        when(element_at(s, i + 1) > 0.0,
+          round((x - element_at(m, i + 1)) / element_at(s, i + 1), 6))
+          .otherwise(lit(0.0))))
+  }
+
   // ------------------------------------------------------------- SQ8
   // Int8 scalar quantization: the standard 4x embedding-memory
   // compression for ANN serving (FAISS's SQ8 / "scalar quantizer").

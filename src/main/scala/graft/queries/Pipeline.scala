@@ -2904,7 +2904,57 @@ object Pipeline {
        |FROM lr FULL JOIN dr USING (doc_id)
        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  // Whitening round trip (Similarity.standardize): train per-dim stats
+  // once (q170, collected as vector-width model state — the IvfIndex
+  // pattern), standardize the corpus map-only, and re-profile. The
+  // output IS the proof the transform worked: every live dimension
+  // lands at mean ~0 / std ~1, and the oracle reproduces the exact
+  // post-rounding values.
+  private def q173Whiten(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val stats = Similarity.dimStats(emb, "embedding")
+      .orderBy(col("dim")).collect()
+    val white = Similarity.standardize(emb, "embedding",
+      stats.map(_.getDouble(2)).toSeq, stats.map(_.getDouble(3)).toSeq)
+    Similarity.dimStats(white, "embedding").orderBy(col("dim"))
+  }
+
+  private val q173Sql =
+    """WITH x AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |       unnest(generate_series(1, len(embedding))) AS u(i)),
+      |a AS (SELECT dim, COUNT(*) AS n,
+      |    SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+      |    SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx
+      |  FROM x GROUP BY dim),
+      |st AS (SELECT dim,
+      |    round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+      |    round(sqrt(greatest(
+      |      CAST(sxx AS DOUBLE) / n -
+      |        (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
+      |      0.0)), 6) AS std
+      |  FROM a),
+      |w AS (SELECT x.vec_id, x.dim,
+      |    CASE WHEN st.std > 0 THEN round((x.x - st.mean) / st.std, 6)
+      |         ELSE 0.0 END AS x
+      |  FROM x JOIN st USING (dim)),
+      |a2 AS (SELECT dim, COUNT(*) AS n,
+      |    SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+      |    SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+      |    MIN(x) AS dmin, MAX(x) AS dmax
+      |  FROM w GROUP BY dim)
+      |SELECT CAST(dim AS INTEGER) AS dim, n,
+      |  round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+      |  round(sqrt(greatest(
+      |    CAST(sxx AS DOUBLE) / n -
+      |      (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
+      |    0.0)), 6) AS std,
+      |  round(dmin, 6) AS dmin, round(dmax, 6) AS dmax
+      |FROM a2 ORDER BY dim""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_whiten" -> q173Whiten _,
     "q172_rrf_fusion" -> q172RrfFusion _,
     "q171_multiprobe" -> q171Multiprobe _,
     "q170_dim_stats" -> q170DimStats _,
@@ -3086,5 +3136,6 @@ object Pipeline {
     "q170_dim_stats" -> q170Sql,
     "q171_multiprobe" -> q171Sql,
     "q172_rrf_fusion" -> q172Sql,
+    "q173_whiten" -> q173Sql,
   )
 }

@@ -109,6 +109,23 @@ class QuantQuotaSpec extends SparkSpec {
     assert(multi == Set(1L, 2L)) // the flipped-bit bucket recovers vec 1
   }
 
+  test("standardize centers and scales; dead dimensions map to zero") {
+    val emb = embFrame(
+      0L -> Seq(10.0f, 5.0f, 1.0f, 0.0f),
+      1L -> Seq(12.0f, 5.0f, 2.0f, 0.0f),
+      2L -> Seq(14.0f, 5.0f, 3.0f, 0.0f))
+    val stats = Similarity.dimStats(emb, "embedding").orderBy($"dim").collect()
+    val white = Similarity.standardize(emb, "embedding",
+      stats.map(_.getDouble(2)).toSeq, stats.map(_.getDouble(3)).toSeq)
+    val ws = Similarity.dimStats(white, "embedding").orderBy($"dim")
+      .select($"dim", $"mean", $"std").as[(Int, Double, Double)].collect()
+    // live dims land at mean ~0 / std ~1; the constant dim (std 0) and
+    // the all-zero dim both become exactly 0
+    assert(math.abs(ws(0)._2) < 1e-5 && math.abs(ws(0)._3 - 1.0) < 1e-5)
+    assert(ws(1) == ((1, 0.0, 0.0)) && ws(3) == ((3, 0.0, 0.0)))
+    assert(math.abs(ws(2)._3 - 1.0) < 1e-5)
+  }
+
   test("rrfFuse: both-list docs beat single-list docs; ranks match row_number") {
     val lex = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "score")
     val dense = Seq((2L, 0.9), (4L, 0.8), (1L, 0.7)).toDF("doc_id", "score")
