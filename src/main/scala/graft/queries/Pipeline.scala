@@ -2953,7 +2953,67 @@ object Pipeline {
       |  round(dmin, 6) AS dmin, round(dmax, 6) AS dmax
       |FROM a2 ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------- q174
+  // Event-rate anomaly detection: per event type, each hour's count
+  // z-scored against its OWN trailing 6-hour window (sample variance,
+  // >= 3 trailing points) — the monitoring primitive behind every
+  // ingest-rate alert. Windows partition by event_type (bounded keys);
+  // the trailing moments are integer-exact window sums, so the one
+  // double formula reproduces on any engine.
+  private def q174EventAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-6, -1)
+    val meanD = col("s1").cast("double") / col("cnt").cast("double")
+    val varD = (col("cnt") * col("s2") - col("s1") * col("s1")).cast("double") /
+      (col("cnt") * (col("cnt") - 1)).cast("double")
+    val z = round((col("n").cast("double") - meanD) / sqrt(varD), 6)
+    hourly
+      .withColumn("cnt", count(col("n")).over(win))
+      .withColumn("s1", sum(col("n")).over(win))
+      .withColumn("s2", sum(col("n") * col("n")).over(win))
+      .filter(col("cnt") >= 3)
+      .select(col("hour"), col("event_type"), col("n"),
+        round(meanD, 6).as("trailing_mean"),
+        when(varD > 0.0, z).as("z"))
+      .withColumn("anomaly",
+        when(col("z").isNotNull && abs(col("z")) > 2.0, true).otherwise(false))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val q174Sql =
+    """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT hour, event_type, n,
+      |    COUNT(n) OVER win AS cnt,
+      |    SUM(n) OVER win AS s1,
+      |    SUM(n * n) OVER win AS s2
+      |  FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hour
+      |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+      |SELECT hour, event_type, n,
+      |  round(CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS trailing_mean,
+      |  CASE WHEN CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+      |            / CAST(cnt * (cnt - 1) AS DOUBLE) > 0
+      |    THEN round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+      |      / sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+      |             / CAST(cnt * (cnt - 1) AS DOUBLE)), 6)
+      |  END AS z,
+      |  COALESCE(abs(CASE WHEN CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+      |            / CAST(cnt * (cnt - 1) AS DOUBLE) > 0
+      |    THEN round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+      |      / sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+      |             / CAST(cnt * (cnt - 1) AS DOUBLE)), 6)
+      |  END) > 2.0, FALSE) AS anomaly
+      |FROM w WHERE cnt >= 3 ORDER BY event_type, hour""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_event_anomaly" -> q174EventAnomaly _,
     "q173_whiten" -> q173Whiten _,
     "q172_rrf_fusion" -> q172RrfFusion _,
     "q171_multiprobe" -> q171Multiprobe _,
@@ -3137,5 +3197,6 @@ object Pipeline {
     "q171_multiprobe" -> q171Sql,
     "q172_rrf_fusion" -> q172Sql,
     "q173_whiten" -> q173Sql,
+    "q174_event_anomaly" -> q174Sql,
   )
 }

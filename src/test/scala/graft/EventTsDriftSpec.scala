@@ -15,7 +15,7 @@ class EventTsDriftSpec extends SparkSpec {
 
   private val eventQueries = Seq(
     "q7_gaps", "q8_sessionize", "q37_timewindow",
-    "q43_funnel", "q66_attribution", "q89_asof")
+    "q43_funnel", "q66_attribution", "q89_asof", "q174_event_anomaly")
 
   // two copies of the events table differing ONLY in the ts type
   private lazy val (tzDir, ntzDir) = {
