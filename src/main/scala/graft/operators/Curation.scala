@@ -766,8 +766,11 @@ object Curation {
     * at most `cap` (id, score) pairs per group, so a pathological host
     * with 10^9 docs costs cap-sized shuffle rows, NOT a 10^9-row
     * single-reducer window sort (the row_number form's skew killer).
-    * The kept-id set (groups x cap, bounded) then broadcast-joins back
-    * against the corpus — the corpus itself never shuffles. */
+    * The kept-id set (groups × cap) joins back on the id key with NO
+    * forced hint: it is groups-proportional, so at a web-scale 10^8
+    * hosts it is NOT broadcastable — AQE broadcasts it while its
+    * runtime size allows and falls back to an id-keyed shuffle join
+    * when it doesn't (the broadcast-audit contract). */
   def groupQuota(docs: DataFrame, idCol: String, groupCol: String,
                  orderCol: String, cap: Int): DataFrame = {
     require(cap > 0, "cap must be positive")
@@ -781,7 +784,7 @@ object Curation {
       .agg(graft.functions.TopK.top_k(cap)(col("_qid"), col("_qscore")).as("top"))
       .select(explode(col("top")).as("hit"))
       .select(col("hit._1").as("_qid"))
-    docs.join(broadcast(kept),
+    docs.join(kept,
         docs(idCol).cast("long") === kept("_qid"), "left_outer")
       .withColumn("kept", col("_qid").isNotNull)
       .drop("_qid")

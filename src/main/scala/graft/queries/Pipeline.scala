@@ -2419,7 +2419,8 @@ object Pipeline {
   // per source by (n_chars desc, doc_id), everything else over-quota.
   // The keep set folds through the bounded TopK partial aggregate (cap
   // rows per group per map task — no skewed single-reducer window
-  // sort) and broadcast-joins back; the corpus never shuffles.
+  // sort) and joins back on the id key, strategy AQE's call (the keep
+  // set is groups-proportional, so no forced broadcast hint).
   private def q159SourceQuota(s: SparkSession, dir: String): DataFrame =
     Curation.groupQuota(t(s, dir, "documents"), "doc_id", "source",
         "n_chars", cap = 15)

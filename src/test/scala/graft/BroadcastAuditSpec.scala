@@ -87,11 +87,11 @@ class BroadcastAuditSpec extends SparkSpec {
       Map(
         "q84_neg_sample" -> Set(Set("neg_id")),
         "q90_range_join" -> Set(Set("anchor_key", "anchor_price", "hi", "lo")),
-        "q157_mrl_rerank" -> Set(Set("vec_id")),
-        // groupQuota's keep set: TopK-capped to groups x cap rows
-        // (q166 runs the same hint but its localCheckpoint truncates
-        // the lineage before this spec's analyzed-plan walk sees it)
-        "q159_source_quota" -> Set(Set("_qid")))))
+        "q157_mrl_rerank" -> Set(Set("vec_id")))))
+    // NOT documented (and deliberately un-hinted): groupQuota's keep
+    // set (q159/q166) is groups-proportional — at web-scale host counts
+    // it is not broadcastable, so the operator lets AQE pick the join
+    // strategy instead of forcing a hint this audit would have to bless.
 
   test("every forced broadcast hint belongs to a documented bounded family") {
     val actual: Seq[(String, Set[String])] =

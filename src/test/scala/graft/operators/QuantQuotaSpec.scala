@@ -153,9 +153,13 @@ class QuantQuotaSpec extends SparkSpec {
     val kept = out.filter($"kept").select($"doc_id").as[Long].collect().toSet
     // big: top-2 scores are ids 1,2; tie: equal scores -> ids 20,21; small: all
     assert(kept == Set(1L, 2L, 20L, 21L, 30L))
-    // the keep-set side of the join is a broadcast (corpus never shuffles)
-    val plan = out.queryExecution.sparkPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    // no forced hint on the keep-set join: it is groups-proportional,
+    // so strategy is AQE's call (broadcast while small, shuffle at
+    // web-scale host counts) — assert the absence of a forced hint
+    assert(!out.queryExecution.analyzed.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+        if h.hints.strategy.nonEmpty => h
+    }.isDefined)
   }
 
   test("oovRate scores occurrences outside the top-N vocabulary") {
