@@ -917,6 +917,40 @@ object Curation {
         .select(lit("__bias__").as("tok"), lit(bias).as("weight")))
   }
 
+  /** Two-pass heavy hitters: every token whose occurrence count clears
+    * `pctNum/pctDen` of all occurrences (e.g. 1/100 = 1%), with EXACT
+    * counts — the boilerplate-token / hot-host detector that cannot
+    * afford a full token-frequency shuffle at 100 TB.
+    *
+    * Pass one is the mergeable Misra–Gries sketch
+    * ([[graft.functions.HeavyHitters]]): one partial-agg'd pass, o(n)
+    * memory, candidate set ≤ `sketchK` tokens GUARANTEED to contain
+    * every true heavy hitter (requires sketchK ≥ pctDen). Pass two
+    * recounts ONLY the candidates — a broadcast semi-join plus an
+    * aggregate over ≤ sketchK keys, so the only full-cardinality
+    * frequency table that ever exists is candidate-sized. The sketch's
+    * own counts are merge-order-dependent and are never emitted; the
+    * final rows are deterministic because the candidate superset
+    * property holds under any merge order and the threshold compares
+    * exact integers (`pctDen·cnt >= n`). */
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+                   pctNum: Int, pctDen: Int, sketchK: Int): DataFrame = {
+    require(pctNum > 0 && pctDen > pctNum, "need 0 < pctNum < pctDen")
+    require(sketchK * pctNum >= pctDen,
+      "sketchK must be >= pctDen/pctNum for the MG guarantee")
+    val toks = docs.select(
+      explode(split(col(textCol), "\\s+")).as("tok"))
+    val cands = toks
+      .agg(graft.functions.HeavyHitters.mg_candidates(sketchK)(col("tok")).as("c"))
+      .select(explode(col("c")).as("tok"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(lit(pctDen.toLong) * col("cnt") >= lit(pctNum.toLong) * col("n"))
+      .select(col("tok"), col("cnt"))
+  }
+
   /** Classifier calibration curve (reliability diagram): bucket
     * predicted probabilities into `nBuckets` equal bins and compare
     * each bin's mean prediction to its observed positive rate — the

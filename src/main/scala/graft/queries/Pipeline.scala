@@ -3013,7 +3013,28 @@ object Pipeline {
       |  END) > 2.0, FALSE) AS anomaly
       |FROM w WHERE cnt >= 3 ORDER BY event_type, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+  // Two-pass heavy hitters (Curation.heavyHitters): tokens holding
+  // >= 1% of all occurrences, exact counts — pass one is the mergeable
+  // Misra-Gries sketch (candidates guaranteed, o(n) memory, no full
+  // frequency shuffle), pass two recounts only the <= 300 candidates.
+  // The sketch's order-dependent counts are never emitted, so the
+  // output is deterministic and the oracle is a plain GROUP BY.
+  private def q175HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Curation.heavyHitters(t(s, dir, "documents"), "doc_id", "text",
+        pctNum = 1, pctDen = 100, sketchK = 300)
+      .orderBy(col("cnt").desc, col("tok"))
+
+  private val q175Sql =
+    """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+      |             FROM documents),
+      |t AS (SELECT COUNT(*) AS n FROM toks),
+      |c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+      |SELECT tok, cnt FROM c CROSS JOIN t
+      |WHERE 100 * cnt >= 1 * n ORDER BY cnt DESC, tok""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_heavy_hitters" -> q175HeavyHitters _,
     "q174_event_anomaly" -> q174EventAnomaly _,
     "q173_whiten" -> q173Whiten _,
     "q172_rrf_fusion" -> q172RrfFusion _,
@@ -3199,5 +3220,6 @@ object Pipeline {
     "q172_rrf_fusion" -> q172Sql,
     "q173_whiten" -> q173Sql,
     "q174_event_anomaly" -> q174Sql,
+    "q175_heavy_hitters" -> q175Sql,
   )
 }

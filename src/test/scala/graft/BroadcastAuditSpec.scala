@@ -31,6 +31,7 @@ class BroadcastAuditSpec extends SparkSpec {
         "q157_mrl_rerank" -> Set(Set("qv")),
         "q144_recall" -> Set(Set("qv")),
         "q65_tfidf" -> Set(Set("n")),
+        "q175_heavy_hitters" -> Set(Set("n")),
         "q97_lm_score" -> Set(Set("n", "v")),
         "q133_bm25" -> Set(Set("avgdl", "n")),
         "q172_rrf_fusion" -> Set(Set("avgdl", "n"), Set("qv")),
@@ -87,7 +88,9 @@ class BroadcastAuditSpec extends SparkSpec {
       Map(
         "q84_neg_sample" -> Set(Set("neg_id")),
         "q90_range_join" -> Set(Set("anchor_key", "anchor_price", "hi", "lo")),
-        "q157_mrl_rerank" -> Set(Set("vec_id")))))
+        "q157_mrl_rerank" -> Set(Set("vec_id")),
+        // Misra-Gries candidate set: sketchK-capped by construction
+        "q175_heavy_hitters" -> Set(Set("tok")))))
     // NOT documented (and deliberately un-hinted): groupQuota's keep
     // set (q159/q166) is groups-proportional — at web-scale host counts
     // it is not broadcastable, so the operator lets AQE pick the join

@@ -81,6 +81,47 @@ class QuantPropertySpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters matches the exact threshold count on random corpora") {
+    val vocabAll = ('a' to 'z').map(_.toString)
+    val rnd = new Random(41)
+    for (trial <- 1 to 3) {
+      // skewed: a few hot tokens + a uniform tail
+      val hot = vocabAll.take(3)
+      val docs = (0L until 40L).map { id =>
+        (id, Seq.fill(30)(
+          if (rnd.nextInt(10) < 4) hot(rnd.nextInt(hot.size))
+          else vocabAll(rnd.nextInt(vocabAll.size))).mkString(" "))
+      }
+      val toks = docs.flatMap(_._2.split("\\s+"))
+      val n = toks.size
+      val want = toks.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+        .filter { case (_, c) => 100 * c >= n }.toSet
+      val got = Curation.heavyHitters(docs.toDF("doc_id", "text"),
+          "doc_id", "text", pctNum = 1, pctDen = 100, sketchK = 120)
+        .as[(String, Long)].collect().toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("Misra-Gries guarantee: every item above n/(k+1) survives any stream order") {
+    val rnd = new Random(43)
+    val agg = new graft.functions.MisraGriesAggregator(5)
+    for (trial <- 1 to 4) {
+      val items = rnd.shuffle(
+        Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+          (1 to 40).map(i => s"cold$i"))
+      // simulate partial aggregation: arbitrary split points + merge
+      val parts = items.grouped(1 + rnd.nextInt(20)).toSeq
+      val merged = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      val cands = agg.finish(merged)
+      // n=125, k=5 -> anything above 125/6 ~ 21 must survive
+      assert(cands.contains("hot") && cands.contains("warm"),
+        s"trial $trial lost a guaranteed heavy hitter: $cands")
+      assert(merged.size <= 5)
+    }
+  }
+
   test("oovRate matches the frequency model on random corpora") {
     val vocabAll = Vector("a", "b", "c", "d", "e", "f", "g", "h")
     val rnd = new Random(31)
