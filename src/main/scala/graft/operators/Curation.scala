@@ -951,6 +951,38 @@ object Curation {
       .select(col("tok"), col("cnt"))
   }
 
+  /** Population-stability-index drift between two cohorts of one
+    * bucketed feature — the monitoring metric that detects a feature's
+    * distribution shifting between a baseline corpus snapshot and the
+    * current one (quality scores, doc lengths, perplexities) before
+    * the shift silently moves every downstream threshold. Per bucket:
+    * cohort shares pa/pb and the PSI term (pa−pb)·ln(pa/pb); the
+    * corpus-level PSI is the sum (>0.2 = major shift by convention).
+    *
+    * One bucket×cohort aggregate (bounded groups) + a bucket-keyed
+    * pivot; shares divide exact integer counts, terms round to 6
+    * decimals before any downstream sum (the charEntropy discipline).
+    * Buckets empty in EITHER cohort get a null term — the standard
+    * "recount with coarser buckets" signal, not a silent epsilon.
+    * Returns (bucket, n_base, n_cur, pa, pb, psi_term). */
+  def psiDrift(df: DataFrame, bucketCol: String, cohortCol: String,
+               baseValue: String, curValue: String): DataFrame = {
+    val counts = df
+      .filter(col(cohortCol).isin(baseValue, curValue))
+      .groupBy(col(bucketCol).as("bucket"))
+      .agg(
+        sum(when(col(cohortCol) === baseValue, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col(cohortCol) === curValue, 1L).otherwise(0L)).as("n_cur"))
+    val tot = counts.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        round(col("n_base").cast("double") / col("tb"), 6).as("pa"),
+        round(col("n_cur").cast("double") / col("tc"), 6).as("pb"))
+      .withColumn("psi_term",
+        when(col("pa") > 0.0 && col("pb") > 0.0,
+          round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6)))
+  }
+
   /** Classifier calibration curve (reliability diagram): bucket
     * predicted probabilities into `nBuckets` equal bins and compare
     * each bin's mean prediction to its observed positive rate — the

@@ -3033,7 +3033,80 @@ object Pipeline {
       |SELECT tok, cnt FROM c CROSS JOIN t
       |WHERE 100 * cnt >= 1 * n ORDER BY cnt DESC, tok""".stripMargin
 
+  // ---------------------------------------------------------------- q176
+  // Language-ID confusion matrix: q33's stopword classifier evaluated
+  // against the ground-truth lang column — per (true, predicted) cell
+  // counts plus the cell's share of its true class (the recall
+  // decomposition). The eval every deployed classifier needs next to
+  // its calibration curve (q168). Integer-exact; one bounded aggregate.
+  private def q176LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("en_n", expr(hitCount(enSet)))
+      .withColumn("de_n", expr(hitCount(deSet)))
+      .withColumn("fr_n", expr(hitCount(frSet)))
+      .withColumn("predicted",
+        when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n"), "en")
+          .when(col("de_n") >= col("fr_n"), "de").otherwise("fr"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("class_share",
+        round(col("n").cast("double") / sum(col("n")).over(w), 6))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  private val q176Sql = {
+    def hits(set: Seq[String]) =
+      s"len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${set.map(w => s"'$w'").mkString(", ")})))"
+    s"""WITH p AS (SELECT lang,
+       |  CASE WHEN ${hits(enSet)} >= ${hits(deSet)} AND ${hits(enSet)} >= ${hits(frSet)} THEN 'en'
+       |       WHEN ${hits(deSet)} >= ${hits(frSet)} THEN 'de' ELSE 'fr' END AS predicted
+       |  FROM documents),
+       |c AS (SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2)
+       |SELECT lang, predicted, n,
+       |  round(CAST(n AS DOUBLE) /
+       |        SUM(n) OVER (PARTITION BY lang), 6) AS class_share
+       |FROM c ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q177
+  // PSI distribution drift (Curation.psiDrift): doc-length buckets of
+  // an even-id baseline snapshot vs the odd-id current one — the
+  // monitoring metric that catches a feature distribution shifting
+  // before it silently moves every downstream threshold. Bounded
+  // bucket x cohort aggregate; terms round before any sum.
+  private def q177PsiDrift(s: SparkSession, dir: String): DataFrame =
+    Curation.psiDrift(
+        t(s, dir, "documents")
+          .withColumn("bucket",
+            least(floor(col("n_chars") / 120), lit(4L)).cast("int"))
+          .withColumn("cohort",
+            when(col("doc_id") % 2 === 0, "base").otherwise("cur")),
+        "bucket", "cohort", "base", "cur")
+      .orderBy(col("bucket"))
+
+  private val q177Sql =
+    """WITH d AS (SELECT CAST(least(floor(n_chars / 120), 4) AS INTEGER) AS bucket,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'cur' END AS cohort
+      |  FROM documents),
+      |c AS (SELECT bucket,
+      |    CAST(SUM(CASE WHEN cohort = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |    CAST(SUM(CASE WHEN cohort = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM d GROUP BY bucket),
+      |t AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM c),
+      |s AS (SELECT bucket, n_base, n_cur,
+      |    round(CAST(n_base AS DOUBLE) / tb, 6) AS pa,
+      |    round(CAST(n_cur AS DOUBLE) / tc, 6) AS pb
+      |  FROM c CROSS JOIN t)
+      |SELECT bucket, n_base, n_cur, pa, pb,
+      |  CASE WHEN pa > 0 AND pb > 0
+      |       THEN round((pa - pb) * ln(pa / pb), 6) END AS psi_term
+      |FROM s ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_langid_confusion" -> q176LangConfusion _,
+    "q177_psi_drift" -> q177PsiDrift _,
     "q175_heavy_hitters" -> q175HeavyHitters _,
     "q174_event_anomaly" -> q174EventAnomaly _,
     "q173_whiten" -> q173Whiten _,
@@ -3221,5 +3294,7 @@ object Pipeline {
     "q173_whiten" -> q173Sql,
     "q174_event_anomaly" -> q174Sql,
     "q175_heavy_hitters" -> q175Sql,
+    "q176_langid_confusion" -> q176Sql,
+    "q177_psi_drift" -> q177Sql,
   )
 }

@@ -36,6 +36,7 @@ class BroadcastAuditSpec extends SparkSpec {
         "q133_bm25" -> Set(Set("avgdl", "n")),
         "q172_rrf_fusion" -> Set(Set("avgdl", "n"), Set("qv")),
         "q141_shard_budget" -> Set(Set("total")),
+        "q177_psi_drift" -> Set(Set("tb", "tc")),
         "q163_temperature_mix" -> Set(Set("total")),
         "q166_curation_v3" -> Set(Set("total")),
         "q161_sq8_topk" -> Set(Set("q_scale", "q_codes")),
