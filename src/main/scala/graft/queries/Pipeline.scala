@@ -3104,7 +3104,38 @@ object Pipeline {
       |       THEN round((pa - pb) * ln(pa / pb), 6) END AS psi_term
       |FROM s ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+  // Sequence-packing efficiency report: the q68 running-token binning
+  // at a 512-token context, rolled up per language — tokens per opened
+  // bin is the padding-waste metric a training run pays for directly
+  // (fill 0.8 means 20% of every step's FLOPs are padding). Bounded
+  // per-stratum aggregate on top of the existing packing plan.
+  private def q178PackEfficiency(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(t(s, dir, "documents"), "lang", "doc_id", "text", 512)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("seq_bin")) + 1L).as("n_bins"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("fill_rate",
+        round(col("total_tokens").cast("double") / (col("n_bins") * 512L), 6))
+      .orderBy(col("lang"))
+
+  private val q178Sql =
+    """WITH p AS (SELECT lang, doc_id,
+      |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST((SUM(CAST(len(string_split_regex(text, '\s+')) AS BIGINT))
+      |    OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    - len(string_split_regex(text, '\s+'))) // 512 AS BIGINT) AS seq_bin
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(MAX(seq_bin) + 1 AS BIGINT) AS n_bins,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  round(CAST(SUM(n_tokens) AS DOUBLE) / ((MAX(seq_bin) + 1) * 512), 6)
+      |    AS fill_rate
+      |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
     "q175_heavy_hitters" -> q175HeavyHitters _,
@@ -3296,5 +3327,6 @@ object Pipeline {
     "q175_heavy_hitters" -> q175Sql,
     "q176_langid_confusion" -> q176Sql,
     "q177_psi_drift" -> q177Sql,
+    "q178_pack_efficiency" -> q178Sql,
   )
 }

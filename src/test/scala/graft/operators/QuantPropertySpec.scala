@@ -122,6 +122,27 @@ class QuantPropertySpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries aggregate runs under streaming complete mode, guarantee intact") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("mgstream").toString + "/toks"
+    val toks = Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 30).map(i => s"cold$i")
+    toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "tok").write.parquet(dir)
+    val stream = spark.readStream
+      .schema("id LONG, tok STRING").parquet(dir)
+    val q = stream
+      .agg(graft.functions.HeavyHitters.mg_candidates(5)($"tok").as("c"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("mg_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val cands = spark.table("mg_stream")
+      .selectExpr("explode(c) AS tok").as[String].collect().toSet
+    // n=100, k=5: anything above 100/6 must survive the streamed fold
+    assert(cands.contains("hot") && cands.contains("warm"), cands.toString)
+    assert(cands.size <= 5)
+  }
+
   test("oovRate matches the frequency model on random corpora") {
     val vocabAll = Vector("a", "b", "c", "d", "e", "f", "g", "h")
     val rnd = new Random(31)
