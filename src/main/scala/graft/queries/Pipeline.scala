@@ -1110,6 +1110,37 @@ object Pipeline {
     s"""$dupClusterCtes
        |SELECT doc_id, cluster FROM clus ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+  // Quality-aware canonical selection: within each q63 duplicate
+  // cluster keep the BEST copy (longest text, ties to low id) instead
+  // of the smallest id — the curation choice that preserves the most
+  // complete variant of a duplicated page. The argmax is one
+  // max(struct(quality, -id)) partial-aggregable fold per cluster — no
+  // per-cluster window sort.
+  private def q179BestOfCluster(s: SparkSession, dir: String): DataFrame =
+    dupClusters(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("q"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster"), (-col("b.nid")).as("keep_id"),
+        col("n_members"), col("b.q").as("keep_chars"))
+      .orderBy(col("cluster"))
+
+  private val q179Sql =
+    s"""$dupClusterCtes,
+       |j AS (SELECT c.cluster, c.doc_id, d.n_chars
+       |      FROM clus c JOIN documents d USING (doc_id)),
+       |r AS (SELECT cluster, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY cluster
+       |                       ORDER BY n_chars DESC, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS nm
+       |  FROM j)
+       |SELECT cluster, doc_id AS keep_id, CAST(nm AS BIGINT) AS n_members,
+       |  n_chars AS keep_chars
+       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   // ---------------------------------------------------------------- q64
   // Corpus length distribution: EXACT per-language p50/p90 via
   // row_number selection with pure-integer rank formulas — reproducible
@@ -3135,6 +3166,7 @@ object Pipeline {
       |FROM p GROUP BY lang ORDER BY lang""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_best_of_cluster" -> q179BestOfCluster _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3328,5 +3360,6 @@ object Pipeline {
     "q176_langid_confusion" -> q176Sql,
     "q177_psi_drift" -> q177Sql,
     "q178_pack_efficiency" -> q178Sql,
+    "q179_best_of_cluster" -> q179Sql,
   )
 }
