@@ -1030,4 +1030,84 @@ object Curation {
       .withColumn("novelty",
         round(col("n_unique").cast("double") / col("n_shingles"), 6))
   }
+
+  /** Class-based TF-IDF keyword extraction (the BERTopic c-TF-IDF
+    * shape): treat each class (language, source, cluster) as one
+    * concatenated document and surface the `k` terms most distinctive
+    * of it — the label line of a dataset card, or the cheap topic label
+    * for a dup-cluster. The idf stays RATIONAL (tf × corpusTokens / tf
+    * across classes, no ln) so scores are bit-reproducible on any
+    * engine, the q65 discipline.
+    *
+    * Scale shape: one hash shuffle of (class, token) partial counts
+    * (map-side combined, cardinality = vocab × classes, NOT corpus
+    * tokens), a vocab-sized global-frequency join on the token key, a
+    * one-row corpus-total ride, and a per-class window over
+    * vocab-sized partitions. Nothing corpus-sized moves twice.
+    * Returns (classCol, w, score, rn). */
+  def classTfidf(docs: DataFrame, classCol: String, textCol: String,
+                 k: Int): DataFrame = {
+    val words = docs.select(col(classCol),
+      explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tfc = words.groupBy(col(classCol), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds both the term-total aggregate and the score
+    val ft = tfc.groupBy(col("w")).agg(sum(col("tf")).as("ft"))
+    val total = tfc.agg(sum(col("tf")).as("t"))
+    tfc.join(ft, Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("score", (col("tf") * col("t")).cast("double") / col("ft"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(classCol))
+          .orderBy(col("score").desc, col("w"))).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(classCol), col("w"), col("score"), col("rn"))
+  }
+
+  /** High-entropy credential detector — the leaked-API-key/secret scrub
+    * gate every code/web training corpus needs (the detect-secrets
+    * heuristic): candidate tokens are long unbroken base62 runs, and a
+    * candidate counts as a secret when it mixes digits with letters AND
+    * its character entropy clears `entropyBits` (random keys sit near
+    * the log2(len) ceiling; natural long words sit well under). Entropy
+    * uses the decimal-stable q153 fold, so the flag is bit-reproducible.
+    * Map-only until the per-doc rollup; cost is linear in candidate
+    * characters, and docs without candidates short-circuit entirely.
+    * Returns (idCol, n_candidates, n_secrets, max_entropy, has_secret)
+    * for every input doc. */
+  def secretScan(docs: DataFrame, idCol: String, textCol: String,
+                 minLen: Int = 20, entropyBits: Double = 3.5): DataFrame = {
+    val cands = docs.select(col(idCol),
+        explode(regexp_extract_all(col(textCol),
+          lit(s"[A-Za-z0-9]{$minLen,}"), lit(0))).as("tok"))
+      .distinct() // per-doc distinct candidates: repeats add no evidence
+      .withColumn("has_mix",
+        col("tok").rlike("[0-9]") && col("tok").rlike("[A-Za-z]"))
+    val ent = cands
+      .select(col(idCol), col("tok"), col("has_mix"),
+        explode(split(col("tok"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col(idCol), col("tok"), col("has_mix"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col(idCol), col("tok"))))
+      .select(col(idCol), col("tok"), col("has_mix"),
+        round(-(col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("n")) / log(lit(2.0)), 6)
+          .cast("decimal(28,6)").as("term"))
+      .groupBy(col(idCol), col("tok"), col("has_mix"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("entropy"))
+      .withColumn("is_secret", col("has_mix") && col("entropy") >= entropyBits)
+    docs.select(col(idCol)).join(
+        ent.groupBy(col(idCol)).agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("is_secret"), 1L).otherwise(0L)).as("n_secrets"),
+          round(max(col("entropy")), 6).as("max_entropy")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_secrets"), lit(0L)).as("n_secrets"),
+        col("max_entropy"),
+        (coalesce(col("n_secrets"), lit(0L)) > 0).as("has_secret"))
+  }
 }

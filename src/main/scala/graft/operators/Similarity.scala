@@ -509,6 +509,34 @@ object Similarity {
       .select(col("query_id"), explode(col("hits")).as("hit"))
       .select(col("query_id"), col("hit._1").cast(idType).as(idCol), col("hit._2").as("sim"))
 
+  /** Hard-negative mining for embedding-model training: for each
+    * anchor, the `k` MOST similar corpus vectors whose similarity still
+    * sits BELOW `negThreshold` — close enough to be informative
+    * negatives, far enough to not be latent positives (the near-dup
+    * band a [[semanticDedup]] pass would have flagged). This is the
+    * contrastive-training data step: anchors come from the current
+    * training batch, negatives from the whole corpus.
+    *
+    * Scale shape: the ANCHOR set is batch-sized by the operator's own
+    * premise, so it broadcasts ([[knnJoin]]'s direction — the q73
+    * seed-set family) while the corpus streams; the threshold filter
+    * runs map-side BEFORE the bounded top-k partial aggregate, so the
+    * only shuffle is O(anchors × k). Same rounding and (sim desc, id)
+    * tiebreaks as every ranking here. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    embCol: String, negThreshold: Double, k: Int): DataFrame = {
+    val idType = integralIdType(corpus, idCol)
+    val q = broadcast(anchors.select(
+      col(idCol).as("query_id"), col(embCol).as("qv")))
+    val scored = corpus
+      .join(q, col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        round(graft.functions.VectorFunctions.cosine_sim(col(embCol), col("qv")), 6)
+          .as("sim"))
+      .filter(col("sim") < negThreshold)
+    rankTopK(scored, idCol, idType, k)
+  }
+
   /** k-NN label propagation: predict a label for every `unlabeled` row
     * by majority vote over its `k` nearest `labeled` neighbors (cosine,
     * the [[knnJoin]] ranking) — the label-bootstrapping step that turns

@@ -1466,6 +1466,67 @@ object Pipeline {
       |SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 10
       |ORDER BY query_id, sim DESC, vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q182
+  // Hard-negative mining (Similarity.hardNegatives): for each anchor of
+  // the q73 query split, the 5 most similar corpus vectors still BELOW
+  // the near-positive threshold — the contrastive-training negatives
+  // step. Anchors broadcast (batch-sized by premise, the q73 seed-set
+  // family); the corpus streams through the map-side threshold filter
+  // into the bounded TopK aggregate.
+  private def q182HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb.filter(col("vec_id") >= 5),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", 0.25, 5)
+      .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+  }
+
+  private val q182Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, len(c.embedding)),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+      |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))), 6) AS sim
+      |  FROM c, q),
+      |ranked AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      |  FROM scored WHERE sim < 0.25)
+      |SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 5
+      |ORDER BY query_id, sim DESC, vec_id""".stripMargin
+
+  // --------------------------------------------------------------- q183
+  // Class-based TF-IDF keywords (Curation.classTfidf, the BERTopic
+  // c-TF-IDF shape): the 5 terms most distinctive of each language —
+  // the dataset-card label line. Rational idf, bit-reproducible.
+  private def q183ClassKeywords(s: SparkSession, dir: String): DataFrame =
+    Curation.classTfidf(t(s, dir, "documents"), "lang", "text", 5)
+      .orderBy(col("lang"), col("rn"))
+
+  private val q183Sql =
+    """WITH words AS (
+      |  SELECT lang, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |tfc AS (SELECT lang, w, COUNT(*) AS tf FROM words
+      |        WHERE length(w) > 0 GROUP BY lang, w),
+      |ft AS (SELECT w, SUM(tf) AS ft FROM tfc GROUP BY w),
+      |total AS (SELECT SUM(tf) AS t FROM tfc),
+      |scored AS (
+      |  SELECT lang, tfc.w, CAST(tf * t AS DOUBLE) / ft AS score
+      |  FROM tfc JOIN ft USING (w), total),
+      |ranked AS (
+      |  SELECT lang, w, score,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, w)
+      |         AS BIGINT) AS rn
+      |  FROM scored)
+      |SELECT lang, w, score, rn FROM ranked WHERE rn <= 5
+      |ORDER BY lang, rn""".stripMargin
+
   // ---------------------------------------------------------------- q74
   // Segment-level exact dedup: 10-token windows, first occurrence by
   // (doc_id, idx) kept, repeats flagged — per-doc audit counts.
@@ -3167,6 +3228,8 @@ object Pipeline {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_best_of_cluster" -> q179BestOfCluster _,
+    "q182_hard_negatives" -> q182HardNegatives _,
+    "q183_class_keywords" -> q183ClassKeywords _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3361,5 +3424,7 @@ object Pipeline {
     "q177_psi_drift" -> q177Sql,
     "q178_pack_efficiency" -> q178Sql,
     "q179_best_of_cluster" -> q179Sql,
+    "q182_hard_negatives" -> q182Sql,
+    "q183_class_keywords" -> q183Sql,
   )
 }

@@ -2519,7 +2519,69 @@ object Relational {
       |WHERE o_orderpriority >= '2-HIGH' AND o_orderpriority <= '3-MEDIUM'
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q180
+  // Z-order layout (SkippingStore.writeZOrder): lineitem laid out on
+  // the Morton interleave of (l_partkey, l_suppkey), so per-file value
+  // ranges stay narrow on BOTH columns and a range query on EITHER can
+  // skip files — Delta/Iceberg's OPTIMIZE ZORDER BY, over the same
+  // `_zonemap_multi` sidecar q156 reads. The gate drives range-pass ->
+  // Morton write -> sidecar -> coverage check -> prune -> residual;
+  // pruning effectiveness vs a single-column sort is spec'd in
+  // ZOrderSpec, correctness here is the oracle's plain filter.
+  private def q180Zorder(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("q180", dir, "lineitem")
+    graft.sinks.SkippingStore.writeZOrder(
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey", tmp, 16)
+    val (_, _, hit) = graft.sinks.SkippingStore.readPrunedOn(
+      s, tmp, "l_suppkey", 2.0, 5.0)
+    hit.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      // (orderkey, linenumber) is not unique in the synthetic data —
+      // order by the full tuple for a deterministic dump
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+  }
+
+  private val q180Sql =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+      |WHERE CAST(l_suppkey AS DOUBLE) >= 2.0 AND CAST(l_suppkey AS DOUBLE) <= 5.0
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  // --------------------------------------------------------------- q181
+  // Snapshot time travel (VersionedStore): commit v1 (a third of
+  // orders), commit v2 appending another third, then read BOTH —
+  // v1 resolved from its manifest AFTER v2 exists, proving snapshots
+  // pin their file set against later commits (the Delta/Iceberg
+  // commit-log core). Atomicity/vacuum/diff are spec'd in
+  // VersionedStoreSpec; the oracle is the two set reconstructions.
+  private def q181TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedStore
+    val tmp = scratchDir("q181", dir, "orders_versioned")
+    VersionedStore.destroy(s, tmp) // full lifecycle per run
+    val orders = t(s, dir, "orders")
+    val v1 = VersionedStore.commit(orders.filter(col("o_orderkey") % 3 === 0), tmp, 4)
+    val v2 = VersionedStore.commit(orders.filter(col("o_orderkey") % 3 === 1), tmp, 4)
+    def summary(v: Long): DataFrame =
+      VersionedStore.read(s, tmp, v)
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
+    summary(v1).unionByName(summary(v2)).orderBy(col("version"))
+  }
+
+  private val q181Sql =
+    """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |ORDER BY version""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_time_travel" -> q181TimeTravel _,
+    "q180_zorder" -> q180Zorder _,
     "q156_multi_zone" -> q156MultiZone _,
     "q158_zone_string" -> q158ZoneString _,
     "q146_expire" -> q146Expire _,
@@ -2608,6 +2670,8 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q156_multi_zone" -> q156Sql,
     "q158_zone_string" -> q158Sql,
+    "q180_zorder" -> q180Sql,
+    "q181_time_travel" -> q181Sql,
     "q146_expire" -> q146Sql,
     "q145_dense_ids" -> q145Sql,
     "q1_agg" -> q1Sql,

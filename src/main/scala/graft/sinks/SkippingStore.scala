@@ -195,6 +195,71 @@ object SkippingStore {
         .write.mode("append").parquet(s"$dir/_zonemap_multi")
   }
 
+  // ------------------------------------------------------------------
+  // Z-order layout — the multi-dimensional generalization of the sorted
+  // layout: interleave the bits of TWO skipping columns into one Morton
+  // key and range-partition/sort by that, so file value-ranges stay
+  // narrow on BOTH columns at once (Delta/Iceberg's OPTIMIZE ZORDER BY).
+  // A single-column sort gives tight zones on the sort column and
+  // layout-luck zones on everything else; the Z-curve trades a little
+  // tightness on the first column for real tightness on both. The
+  // sidecar is the ordinary `_zonemap_multi`, so [[readPrunedOn]] /
+  // [[readPrunedOnString]] work unchanged — Z-order is purely a better
+  // WRITER for the same index.
+
+  /** Spread the low 16 bits of `c` to even bit positions 0,2,..,30
+    * (binary-magic-numbers interleave step) — pure bitwise expressions,
+    * whole-stage-codegen'd. */
+  private def spread16(c: Column): Column = {
+    val a = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (d.bitwiseOR(shiftleft(d, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton key from two numeric columns, each linearly scaled
+    * to a 16-bit bucket over its [min, max] range. The ranges ride in
+    * as plain doubles (driver-held, 4 values — bounded by construction);
+    * nulls and degenerate ranges clamp to bucket 0. */
+  private def mortonKey(x: Column, xMin: Double, xMax: Double,
+                        y: Column, yMin: Double, yMax: Double): Column = {
+    def bucket(c: Column, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(greatest(
+        floor((coalesce(c.cast("double"), lit(lo)) - lo) / span * 65535.0), lit(0.0)),
+        lit(65535.0)).cast("long")
+    }
+    spread16(bucket(x, xMin, xMax))
+      .bitwiseOR(shiftleft(spread16(bucket(y, yMin, yMax)), 1))
+  }
+
+  /** Write `df` Z-ordered on `(zColA, zColB)` with per-file (min, max)
+    * recorded for every column in `statsCols` (default: the two Z
+    * columns) in the standard `_zonemap_multi` sidecar. One tiny
+    * pre-pass computes the two global ranges (4 doubles to the driver);
+    * the key itself is pure bitwise codegen, and the shuffle is the
+    * same single range-partition an ordinary sorted write pays. Read
+    * back with [[readPrunedOn]] on EITHER column. */
+  def writeZOrder(df: DataFrame, zColA: String, zColB: String, dir: String,
+                  nFiles: Int, statsCols: Seq[String] = Nil): Unit = {
+    require(nFiles >= 1, "need at least one file")
+    val stats = if (statsCols.nonEmpty) statsCols else Seq(zColA, zColB)
+    val Array(r) = df.agg(
+      min(col(zColA).cast("double")), max(col(zColA).cast("double")),
+      min(col(zColB).cast("double")), max(col(zColB).cast("double")))
+      .collect()
+    val key = mortonKey(col(zColA), r.getDouble(0), r.getDouble(1),
+      col(zColB), r.getDouble(2), r.getDouble(3))
+    df.withColumn("_zkey", key)
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(dir)
+    multiZoneRows(df.sparkSession.read.parquet(dir), stats)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_zonemap_multi")
+  }
+
   /** Shared prune-then-residual tail for the multi-zone readers:
     * coverage check, per-column zone intersection, survivor-file read,
     * residual filter. `zonePred` runs over the sidecar rows of

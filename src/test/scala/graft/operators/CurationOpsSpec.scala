@@ -525,4 +525,25 @@ class CurationOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("secretScan flags planted high-entropy keys, passes natural text") {
+    val docs = Seq(
+      (1L, "deploy with token sk4Jx9Qw2ZpLm7Rv3TyBh8Nd please"), // random-ish key
+      (2L, "the quick brown fox jumps over the lazy dog again"), // short words only
+      (3L, "aaaaaaaaaaaaaaaaaaaaaaaa1 padded run"), // long but near-zero entropy
+      (4L, "incomprehensibilities notwithstanding deinstitutionalization"), // long words, no digits
+      (5L, "")).toDF("doc_id", "text")
+    val got = Curation.secretScan(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(got(1L) == ((1L, 1L, true)), s"planted key must flag: ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, false)))
+    // long repeated run: a candidate, but entropy stays near zero
+    assert(got(3L)._1 == 1L && got(3L)._2 == 0L && !got(3L)._3)
+    // long natural words: candidates without digit mix never flag
+    assert(got(4L)._2 == 0L && !got(4L)._3)
+    assert(got(5L) == ((0L, 0L, false)))
+    // every input doc gets a row
+    assert(got.size == 5)
+  }
 }

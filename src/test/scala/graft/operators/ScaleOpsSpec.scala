@@ -433,6 +433,33 @@ class ScaleOpsSpec extends SparkSpec {
       delta.filter($"size" <= 10500).select($"ts").as[Int].collect().toSet)
   }
 
+  test("Z-order layout prunes on BOTH columns; single-column sort only on its own") {
+    import graft.sinks.SkippingStore
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    // a full 32x32 grid: x and y are perfectly uncorrelated, the
+    // worst case for a single-column sort's secondary-column zones
+    val df = Seq.tabulate(1024)(i => (i, i / 32, i % 32)).toDF("id", "x", "y")
+    SkippingStore.writeMulti(df, "x", Seq("x", "y"), s"$base/sorted", nFiles = 16)
+    SkippingStore.writeZOrder(df, "x", "y", s"$base/zorder", nFiles = 16)
+    val want = df.filter($"y" >= 0 && $"y" <= 7).select($"id").as[Int].collect().toSet
+    // sorted-by-x: every file spans all of y — nothing skips
+    val (keptS, totalS, hitS) =
+      SkippingStore.readPrunedOn(spark, s"$base/sorted", "y", 0.0, 7.0)
+    assert(totalS == 16 && keptS == totalS)
+    assert(hitS.select($"id").as[Int].collect().toSet == want)
+    // z-order: the same y range lives in a quarter of the curve
+    val (keptZ, totalZ, hitZ) =
+      SkippingStore.readPrunedOn(spark, s"$base/zorder", "y", 0.0, 7.0)
+    assert(totalZ == 16 && keptZ < totalS / 2, s"kept $keptZ of $totalZ")
+    assert(hitZ.select($"id").as[Int].collect().toSet == want)
+    // and x still prunes too — both dimensions carry real zones
+    val (keptX, _, hitX) =
+      SkippingStore.readPrunedOn(spark, s"$base/zorder", "x", 0.0, 7.0)
+    assert(keptX < totalZ, s"kept $keptX of $totalZ on x")
+    assert(hitX.select($"id").as[Int].collect().toSet ==
+      df.filter($"x" <= 7).select($"id").as[Int].collect().toSet)
+  }
+
   test("string and datetime zone stats: lexicographic prune, ANSI-safe epoch widening") {
     import graft.sinks.SkippingStore
     val dir = java.nio.file.Files.createTempDirectory("szone").toString + "/store"

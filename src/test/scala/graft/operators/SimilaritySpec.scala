@@ -306,4 +306,27 @@ class SimilaritySpec extends SparkSpec {
     // 3-4-5 prefix: exactly (0.6, 0.8)
     assert(got(1L).get == Seq(0.6, 0.8))
   }
+
+  test("hardNegatives: closest candidates strictly below the positive band") {
+    import org.apache.spark.sql.functions.{col, broadcast => _}
+    val anchors = emb.filter(col("vec_id") < 2)
+    val corpus = emb.filter(col("vec_id") >= 2)
+    val thr = 0.8
+    val got = Similarity.hardNegatives(corpus, anchors,
+      "vec_id", "embedding", thr, 3)
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall(_._3 < thr), "a hard negative must sit below the band")
+    // brute force from the plain knnJoin with a post-filter: same rows
+    val want = Similarity.knnJoin(corpus, anchors, "vec_id", "embedding", 1000)
+      .filter(col("sim") < thr)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).toSeq
+      }.toSet
+    assert(got.toSet == want && got.nonEmpty)
+    // near-dup cluster mates (sim >= thr) were genuinely excluded
+    val all = Similarity.knnJoin(corpus, anchors, "vec_id", "embedding", 1000)
+      .as[(Long, Long, Double)].collect()
+    assert(all.exists(_._3 >= thr), "fixture must contain near-positives to exclude")
+  }
 }
