@@ -199,6 +199,18 @@ object GraftCli {
     case "bloomquery" :: dir :: keyCol :: value :: out :: Nil =>
       bloomQuery(dir, keyCol, value, out)
     case "bloomappend" :: dir :: keyCol :: Nil => bloomAppend(dir, keyCol)
+    case "zorderwrite" :: in :: dir :: colA :: colB :: rest if rest.size <= 1 =>
+      zorderWrite(in, dir, colA, colB, rest.headOption.map(_.toInt).getOrElse(32))
+    case "zorderappend" :: in :: dir :: rest if rest.size <= 1 =>
+      zorderAppend(in, dir, rest.headOption.map(_.toInt).getOrElse(8))
+    case "vcommit" :: in :: dir :: mode :: rest if rest.size <= 1 =>
+      vCommit(in, dir, mode, rest.headOption.map(_.toInt).getOrElse(8))
+    case "vread" :: dir :: out :: rest if rest.size <= 1 =>
+      vRead(dir, out, rest.headOption.map(_.toLong).getOrElse(-1L))
+    case "vdiff" :: dir :: from :: to :: out :: Nil =>
+      vDiff(dir, from.toLong, to.toLong, out)
+    case "vvacuum" :: dir :: keepLast :: Nil =>
+      vVacuum(dir, keepLast.toInt)
     case "corpusbuckets" :: in :: Nil => corpusBuckets(in)
     case "knnlabel" :: labeled :: unlabeled :: out :: rest if rest.size <= 1 =>
       knnLabel(labeled, unlabeled, out, rest.headOption.map(_.toInt).getOrElse(5))
@@ -272,6 +284,12 @@ object GraftCli {
            |store:     zonewrite <parquet> <storedir> <sortcol> [files]
            |           zoneappend <parquet> <storedir> <sortcol> [files]
            |           zonequery <storedir> <sortcol> <lo> <hi> <outdir>
+           |           zorderwrite <parquet> <storedir> <colA> <colB> [files]
+           |           zorderappend <parquet> <storedir> [files]
+           |           vcommit <parquet> <storedir> <append|overwrite> [files]
+           |           vread <storedir> <outdir> [version]
+           |           vdiff <storedir> <from_v> <to_v> <outdir>
+           |           vvacuum <storedir> <keep_last>
            |           bloomindex <storedir> <keycol> [nbits] [hashes]
            |           bloomappend <storedir> <keycol>
            |           bloomquery <storedir> <keycol> <value> <outdir>
@@ -1522,16 +1540,106 @@ object GraftCli {
   private def zoneQuery(dir: String, sortCol: String, lo: String, hi: String,
                         out: String): Unit = {
     val spark = GraftSession.local()
-    // cast the CLI bounds to the store column's own type — comparing
-    // against bare string literals would coerce the COLUMN to string
-    // and prune lexicographically (wrong for ints and timestamps).
-    // zmin IS min(sortCol), so the manifest-sized zone map carries the
-    // type; never open the data files just to learn it
-    val t = graft.sinks.SkippingStore.zoneMap(spark, dir).schema("zmin").dataType
-    val (kept, total, pruned) = graft.sinks.SkippingStore
-      .readPruned(spark, dir, sortCol, lit(lo).cast(t), lit(hi).cast(t))
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    val (kept, total, pruned) =
+      if (!exists(s"$dir/_zonemap") && exists(s"$dir/_zonemap_multi")) {
+        // multi-zone / z-order store: route by the column's stat slots
+        val zm = spark.read.parquet(s"$dir/_zonemap_multi")
+        val isString = zm.filter(col("col") === sortCol &&
+          col("zmin_str").isNotNull).limit(1).count() > 0
+        if (isString)
+          graft.sinks.SkippingStore.readPrunedOnString(spark, dir, sortCol, lo, hi)
+        else {
+          // numeric/datetime stats widen to double (datetimes as epoch
+          // micros — accept ISO date or timestamp bounds)
+          def num(s: String): Double =
+            try s.toDouble catch {
+              case _: NumberFormatException =>
+                java.sql.Timestamp
+                  .valueOf(if (s.length == 10) s + " 00:00:00" else s)
+                  .getTime * 1000.0
+            }
+          graft.sinks.SkippingStore.readPrunedOn(spark, dir, sortCol,
+            num(lo), num(hi))
+        }
+      } else {
+        // cast the CLI bounds to the store column's own type — comparing
+        // against bare string literals would coerce the COLUMN to string
+        // and prune lexicographically (wrong for ints and timestamps).
+        // zmin IS min(sortCol), so the manifest-sized zone map carries the
+        // type; never open the data files just to learn it
+        val t = graft.sinks.SkippingStore.zoneMap(spark, dir).schema("zmin").dataType
+        graft.sinks.SkippingStore
+          .readPruned(spark, dir, sortCol, lit(lo).cast(t), lit(hi).cast(t))
+      }
     pruned.write.mode("overwrite").parquet(out)
     println(s"zone query [$lo, $hi] on $sortCol: opened $kept of $total files -> $out")
+    spark.stop()
+  }
+
+  /** zorderwrite / zorderappend: the two-column Z-order layout
+    * (SkippingStore.writeZOrder) on the CLI — zonequery-style pruning
+    * then works on EITHER column via the shared `_zonemap_multi`
+    * sidecar (q180 semantics); appends reuse the persisted curve
+    * geometry and index only the new files. */
+  private def zorderWrite(in: String, dir: String, colA: String,
+                          colB: String, nFiles: Int): Unit = {
+    val spark = GraftSession.local()
+    graft.sinks.SkippingStore.writeZOrder(spark.read.parquet(in), colA, colB,
+      dir, nFiles)
+    println(s"wrote $dir z-ordered on ($colA, $colB), $nFiles files")
+    spark.stop()
+  }
+
+  private def zorderAppend(in: String, dir: String, nFiles: Int): Unit = {
+    val spark = GraftSession.local()
+    graft.sinks.SkippingStore.appendZOrder(spark.read.parquet(in), dir, nFiles)
+    println(s"appended to z-order store $dir ($nFiles files)")
+    spark.stop()
+  }
+
+  /** vcommit / vread / vdiff / vvacuum: the snapshot-versioned store
+    * lifecycle (sinks/VersionedStore) on the CLI — atomic manifest
+    * commits, pinned time-travel reads, row-level CDC between
+    * versions, and retention vacuum (q181/q184 semantics). */
+  private def vCommit(in: String, dir: String, mode: String,
+                      nFiles: Int): Unit = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got $mode")
+    val spark = GraftSession.local()
+    val v = graft.sinks.VersionedStore.commit(spark.read.parquet(in), dir,
+      nFiles, overwrite = mode == "overwrite")
+    println(s"committed version $v to $dir ($mode)")
+    spark.stop()
+  }
+
+  private def vRead(dir: String, out: String, version: Long): Unit = {
+    val spark = GraftSession.local()
+    val df = graft.sinks.VersionedStore.read(spark, dir, version)
+    df.write.mode("overwrite").parquet(out)
+    val shown = if (version < 0)
+      graft.sinks.VersionedStore.versions(spark, dir).last else version
+    println(s"read version $shown of $dir -> $out")
+    spark.stop()
+  }
+
+  private def vDiff(dir: String, from: Long, to: Long, out: String): Unit = {
+    val spark = GraftSession.local()
+    val d = graft.sinks.VersionedStore.rowDiff(spark, dir, from, to)
+    d.write.mode("overwrite").parquet(out)
+    val byChange = spark.read.parquet(out).groupBy(col("change")).count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+    println(s"diff v$from -> v$to of $dir: ${byChange.mkString(" ")} -> $out")
+    spark.stop()
+  }
+
+  private def vVacuum(dir: String, keepLast: Int): Unit = {
+    val spark = GraftSession.local()
+    val (vs, fs) = graft.sinks.VersionedStore.vacuum(spark, dir, keepLast)
+    println(s"vacuumed $dir: dropped $vs versions, deleted $fs data files")
     spark.stop()
   }
 

@@ -1064,6 +1064,32 @@ object Curation {
       .select(col(classCol), col("w"), col("score"), col("rn"))
   }
 
+  /** Deterministic weighted sampling without replacement (the
+    * Efraimidis–Spirakis A-ES scheme): each row draws a reproducible
+    * uniform from pure integer arithmetic on its id (a Knuth
+    * multiplicative hash mod a prime — no RNG, identical on any
+    * engine) and ranks by ln(u)/w, the log-space form of the u^(1/w)
+    * key; the global top `n` IS a weight-proportional sample. This is
+    * the quality-weighted corpus subsample step (w = quality score,
+    * token count, dedup-cluster mass).
+    *
+    * Scale shape: key assignment is map-only codegen; the top-n is
+    * Spark's TakeOrderedAndProject (per-partition heaps, driver merges
+    * n rows), so nothing sorts globally. Keys round to 6 decimals with
+    * id tiebreaks, the cross-engine float discipline. Weights must be
+    * strictly positive; non-positive-weight rows are excluded.
+    * Returns (idCol, weightCol, skey). */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    val u = ((col(idCol).cast("long") * lit(2654435761L)) % lit(1000003L) + 1L)
+      .cast("double") / lit(1000004.0)
+    docs.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol),
+        round(log(u) / col(weightCol).cast("double"), 6).as("skey"))
+      .orderBy(col("skey").desc, col(idCol))
+      .limit(n)
+  }
+
   /** High-entropy credential detector — the leaked-API-key/secret scrub
     * gate every code/web training corpus needs (the detect-secrets
     * heuristic): candidate tokens are long unbroken base62 runs, and a

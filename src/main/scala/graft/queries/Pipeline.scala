@@ -1527,6 +1527,24 @@ object Pipeline {
       |SELECT lang, w, score, rn FROM ranked WHERE rn <= 5
       |ORDER BY lang, rn""".stripMargin
 
+  // --------------------------------------------------------------- q185
+  // Weighted sampling without replacement (Curation.weightedSample,
+  // Efraimidis–Spirakis): 50 docs drawn proportional to n_chars via
+  // the deterministic integer-hash uniform — the quality-weighted
+  // subsample step. Map-only key, TakeOrderedAndProject top-n.
+  private def q185WeightedSample(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", 50)
+      .orderBy(col("skey").desc, col("doc_id"))
+
+  private val q185Sql =
+    """WITH k AS (
+      |  SELECT doc_id, n_chars,
+      |    round(ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+      |          / CAST(n_chars AS DOUBLE), 6) AS skey
+      |  FROM documents WHERE n_chars > 0)
+      |SELECT doc_id, n_chars, skey FROM k
+      |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin
+
   // ---------------------------------------------------------------- q74
   // Segment-level exact dedup: 10-token windows, first occurrence by
   // (doc_id, idx) kept, repeats flagged — per-doc audit counts.
@@ -3230,6 +3248,7 @@ object Pipeline {
     "q179_best_of_cluster" -> q179BestOfCluster _,
     "q182_hard_negatives" -> q182HardNegatives _,
     "q183_class_keywords" -> q183ClassKeywords _,
+    "q185_weighted_sample" -> q185WeightedSample _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3426,5 +3445,6 @@ object Pipeline {
     "q179_best_of_cluster" -> q179Sql,
     "q182_hard_negatives" -> q182Sql,
     "q183_class_keywords" -> q183Sql,
+    "q185_weighted_sample" -> q185Sql,
   )
 }

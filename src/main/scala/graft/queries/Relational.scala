@@ -2579,7 +2579,34 @@ object Relational {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q184
+  // Snapshot CDC (VersionedStore.rowDiff): three commits — v1 a third
+  // of orders, v2 appends another third, v3 OVERWRITES with the last
+  // third — then the row-level change set v2 → v3. Immutable files
+  // mean only the file-level manifest delta is read (cost ∝ changed
+  // files, not the table); exceptAll cancels rows that merely moved.
+  private def q184SnapshotCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedStore
+    val tmp = scratchDir("q184", dir, "orders_cdc")
+    VersionedStore.destroy(s, tmp)
+    val orders = t(s, dir, "orders")
+    VersionedStore.commit(orders.filter(col("o_orderkey") % 3 === 0), tmp, 4)
+    val v2 = VersionedStore.commit(orders.filter(col("o_orderkey") % 3 === 1), tmp, 4)
+    val v3 = VersionedStore.commit(orders.filter(col("o_orderkey") % 3 === 2), tmp, 4,
+      overwrite = true)
+    VersionedStore.rowDiff(s, tmp, v2, v3)
+      .select(col("o_orderkey"), col("change"))
+      .orderBy(col("change"), col("o_orderkey"))
+  }
+
+  private val q184Sql =
+    """SELECT o_orderkey, 'added' AS change FROM orders WHERE o_orderkey % 3 = 2
+      |UNION ALL
+      |SELECT o_orderkey, 'removed' FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |ORDER BY change, o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_snapshot_cdc" -> q184SnapshotCdc _,
     "q181_time_travel" -> q181TimeTravel _,
     "q180_zorder" -> q180Zorder _,
     "q156_multi_zone" -> q156MultiZone _,
@@ -2672,6 +2699,7 @@ object Relational {
     "q158_zone_string" -> q158Sql,
     "q180_zorder" -> q180Sql,
     "q181_time_travel" -> q181Sql,
+    "q184_snapshot_cdc" -> q184Sql,
     "q146_expire" -> q146Sql,
     "q145_dense_ids" -> q145Sql,
     "q1_agg" -> q1Sql,

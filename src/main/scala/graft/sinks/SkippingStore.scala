@@ -258,6 +258,49 @@ object SkippingStore {
     multiZoneRows(df.sparkSession.read.parquet(dir), stats)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_zonemap_multi")
+    // persist the curve geometry so appends interleave consistently
+    val sp = df.sparkSession
+    import sp.implicits._
+    Seq((zColA, zColB, r.getDouble(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3)))
+      .toDF("col_a", "col_b", "a_min", "a_max", "b_min", "b_max")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_zorder_meta")
+  }
+
+  /** Append to a [[writeZOrder]] store: the delta is Morton-sorted with
+    * the ORIGINAL curve geometry (read from `_zorder_meta` — values
+    * outside the recorded ranges clamp to the edge buckets, which only
+    * loosens those files' zones, never correctness, since per-file
+    * stats are always recomputed from the actual data), and the
+    * `_zonemap_multi` sidecar is extended by scanning ONLY the new
+    * files — the [[appendMulti]] cost model on the two-column layout.
+    * Periodic [[writeZOrder]] re-layout restores curve tightness after
+    * the value domain drifts. */
+  def appendZOrder(df: DataFrame, dir: String, nFiles: Int): Unit = {
+    require(nFiles >= 1, "need at least one file")
+    val spark = df.sparkSession
+    require(pathExists(spark, s"$dir/_zorder_meta"),
+      s"$dir has no _zorder_meta — build it with writeZOrder first")
+    val m = spark.read.parquet(s"$dir/_zorder_meta").collect().head
+    val zm = spark.read.parquet(s"$dir/_zonemap_multi")
+    val statsCols = zm.select(col("col")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val known = zm.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    checkCoverage(listDataFileNames(spark, dir).toSet, known, dir)
+    val key = mortonKey(col(m.getString(0)), m.getDouble(2), m.getDouble(3),
+      col(m.getString(1)), m.getDouble(4), m.getDouble(5))
+    df.withColumn("_zkey", key)
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("append").parquet(dir)
+    val newFiles = listDataFileNames(spark, dir).filterNot(known)
+    if (newFiles.nonEmpty)
+      multiZoneRows(spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*), statsCols)
+        .coalesce(1)
+        .write.mode("append").parquet(s"$dir/_zonemap_multi")
   }
 
   /** Shared prune-then-residual tail for the multi-zone readers:

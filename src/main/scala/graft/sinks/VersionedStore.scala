@@ -59,6 +59,12 @@ object VersionedStore {
       .sorted.toSeq
   }
 
+  /** Schema identity up to nullability/metadata (parquet round-trips
+    * every column as nullable, so exact StructType equality would
+    * reject a re-commit of the store's own data). */
+  private def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+    s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+
   private def manifestPath(dir: String, v: Long): String =
     f"$dir/$VersionsDir/$VPrefix$v%010d"
 
@@ -79,6 +85,16 @@ object VersionedStore {
     val base: Set[String] =
       if (overwrite || prior.isEmpty) Set.empty
       else manifestFiles(spark, dir, prior.last)
+    // append commits must match the live schema (an overwrite may
+    // evolve it — old versions keep their own schema); catching this at
+    // commit time beats a planner error in some later reader
+    if (!overwrite && prior.nonEmpty && base.nonEmpty) {
+      val live = read(spark, dir, prior.last).schema
+      require(shape(df.schema) == shape(live),
+        s"append commit schema ${df.schema.simpleString} does not match " +
+          s"version ${prior.last}'s ${live.simpleString} — commit with " +
+          "overwrite to evolve the schema")
+    }
     val before = dataFileNames(spark, dir)
     df.repartition(nFiles).write.mode("append").parquet(dir)
     val added = dataFileNames(spark, dir) -- before
@@ -128,6 +144,32 @@ object VersionedStore {
     ((b -- a).toSeq.sorted.map(f => (f, "added")) ++
       (a -- b).toSeq.sorted.map(f => (f, "removed")))
       .toDF("file", "change")
+  }
+
+  /** Row-level change set between two snapshots — the CDC export shape.
+    * Because data files are immutable, rows in files PRESENT IN BOTH
+    * manifests cannot have changed, so only the file-level delta is
+    * read: cost is proportional to the files that changed between the
+    * versions, not the table (at 100 TB an append-heavy table diffs in
+    * seconds). Within the delta, `exceptAll` cancels rows that merely
+    * moved between files (compaction), leaving true adds/removes with
+    * multiplicity. Returns the data columns plus `change` =
+    * added/removed (w.r.t. `from` → `to`). */
+  def rowDiff(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
+    val a = manifestFiles(spark, dir, from)
+    val b = manifestFiles(spark, dir, to)
+    def readSet(files: Set[String]): DataFrame =
+      if (files.isEmpty) read(spark, dir, to).limit(0)
+      else spark.read.parquet(files.toSeq.sorted.map(n => s"$dir/$n"): _*)
+    val addedRows = readSet(b -- a)
+    val removedRows = readSet(a -- b)
+    require(shape(addedRows.schema) == shape(removedRows.schema),
+      s"cannot row-diff across a schema change: v$from has " +
+        s"${removedRows.schema.simpleString}, v$to has " +
+        s"${addedRows.schema.simpleString} — use diff() for the file-level view")
+    addedRows.exceptAll(removedRows).withColumn("change", lit("added"))
+      .unionByName(
+        removedRows.exceptAll(addedRows).withColumn("change", lit("removed")))
   }
 
   /** Reclaim storage: drop all but the newest `keepLast` versions, then

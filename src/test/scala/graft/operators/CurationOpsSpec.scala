@@ -526,6 +526,27 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample matches the A-ES model; weight scales inclusion odds") {
+    val docs = Seq.tabulate(500)(i => (i.toLong, if (i < 50) 1000L else 10L))
+      .toDF("doc_id", "w")
+      .unionByName(Seq((999L, 0L), (998L, -5L)).toDF("doc_id", "w"))
+    val got = Curation.weightedSample(docs, "doc_id", "w", 40)
+      .as[(Long, Long, Double)].collect()
+    // model: same arithmetic in plain Scala
+    val model = (0 until 500).map { i =>
+      val w = if (i < 50) 1000.0 else 10.0
+      val u = ((i.toLong * 2654435761L) % 1000003L + 1).toDouble / 1000004.0
+      (i.toLong, BigDecimal(math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, k) => (-k, id) }.take(40).map(_._1).toSet
+    assert(got.map(_._1).toSet == model)
+    // non-positive weights never sampled
+    assert(!got.exists(r => r._1 == 999L || r._1 == 998L))
+    // the 10% heavy rows (100x weight) dominate the sample
+    val heavy = got.count(_._1 < 50)
+    assert(heavy > 25, s"expected heavy-weight dominance, got $heavy/40")
+  }
+
   test("secretScan flags planted high-entropy keys, passes natural text") {
     val docs = Seq(
       (1L, "deploy with token sk4Jx9Qw2ZpLm7Rv3TyBh8Nd please"), // random-ish key

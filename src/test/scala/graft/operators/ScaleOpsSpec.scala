@@ -458,6 +458,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(keptX < totalZ, s"kept $keptX of $totalZ on x")
     assert(hitX.select($"id").as[Int].collect().toSet ==
       df.filter($"x" <= 7).select($"id").as[Int].collect().toSet)
+    // incremental append: original curve geometry reused, sidecar
+    // extended for the new files only, pruning stays exact on both cols
+    val delta = Seq.tabulate(128)(i => (2000 + i, i / 16, 16 + i % 16))
+      .toDF("id", "x", "y")
+    SkippingStore.appendZOrder(delta, s"$base/zorder", nFiles = 2)
+    val (keptA, totalA, hitA) =
+      SkippingStore.readPrunedOn(spark, s"$base/zorder", "y", 0.0, 7.0)
+    assert(totalA == 18 && keptA < totalA, s"kept $keptA of $totalA")
+    // delta rows all have y >= 16: the y<=7 result is unchanged
+    assert(hitA.select($"id").as[Int].collect().toSet == want)
+    val (_, _, hitB) =
+      SkippingStore.readPrunedOn(spark, s"$base/zorder", "y", 16.0, 20.0)
+    assert(hitB.select($"id").as[Int].collect().toSet ==
+      (df.filter($"y" >= 16 && $"y" <= 20).select($"id").as[Int].collect().toSet ++
+        delta.filter($"y" <= 20).select($"id").as[Int].collect().toSet))
+    // appending to a non-z-order store refuses loudly
+    val e2 = intercept[IllegalArgumentException] {
+      SkippingStore.appendZOrder(delta, s"$base/sorted", nFiles = 2)
+    }
+    assert(e2.getMessage.contains("_zorder_meta"))
   }
 
   test("string and datetime zone stats: lexicographic prune, ANSI-safe epoch widening") {

@@ -54,6 +54,43 @@ class VersionedStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("rowDiff reads only the manifest delta; compaction moves cancel out") {
+    val dir = store("vcdc")
+    VersionedStore.commit(Seq(1, 2, 3).toDF("n"), dir, 2)
+    VersionedStore.commit(Seq(4).toDF("n"), dir, 1)
+    val d12 = VersionedStore.rowDiff(spark, dir, 1, 2)
+      .as[(Int, String)].collect().toSet
+    assert(d12 == Set((4, "added")))
+    // "compaction": rewrite the same logical rows into new files
+    VersionedStore.commit(Seq(1, 2, 3, 4).toDF("n"), dir, 1, overwrite = true)
+    assert(VersionedStore.rowDiff(spark, dir, 2, 3).count() == 0,
+      "rows that only moved between files must cancel")
+    VersionedStore.commit(Seq(9).toDF("n"), dir, 1, overwrite = true)
+    val d34 = VersionedStore.rowDiff(spark, dir, 3, 4)
+      .as[(Int, String)].collect().toSet
+    assert(d34 == Set((9, "added"), (1, "removed"), (2, "removed"),
+      (3, "removed"), (4, "removed")))
+    // identical versions diff to nothing
+    assert(VersionedStore.rowDiff(spark, dir, 4, 4).count() == 0)
+  }
+
+  test("schema evolves only via overwrite; cross-schema rowDiff refuses") {
+    val dir = store("vschema")
+    VersionedStore.commit(Seq(1).toDF("n"), dir, 1)
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.commit(Seq(("a", 2)).toDF("s", "n"), dir, 1)
+    }
+    assert(e.getMessage.contains("overwrite to evolve"))
+    VersionedStore.commit(Seq(("a", 2)).toDF("s", "n"), dir, 1, overwrite = true)
+    // both versions readable, each under its own schema
+    assert(VersionedStore.read(spark, dir, 1).columns.toSeq == Seq("n"))
+    assert(VersionedStore.read(spark, dir, 2).columns.toSeq == Seq("s", "n"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedStore.rowDiff(spark, dir, 1, 2)
+    }
+    assert(e2.getMessage.contains("schema change"))
+  }
+
   test("a stray temp manifest is not a committed version; empty store refuses") {
     val dir = store("vtmp")
     val e = intercept[IllegalArgumentException] {
