@@ -1064,6 +1064,47 @@ object Curation {
       .select(col(classCol), col("w"), col("score"), col("rn"))
   }
 
+  /** Contrastive training triples (anchor, positive, negative) from a
+    * duplicate-cluster map: every member of a near-dup cluster anchors
+    * one triple, its POSITIVE is the smallest other member of the same
+    * cluster (near-dups are semantic paraphrases — exactly the positive
+    * pair contrastive embedding training wants), and its NEGATIVE draws
+    * from the [[negativeSample]] md5-ranked candidate pool with the
+    * anchor's OWN cluster excluded — the correctness detail that stops
+    * latent positives from poisoning the negatives.
+    *
+    * Scale shape: positives shuffle once on the cluster key; the pool
+    * is LIMIT-bounded and broadcasts (the q84 k-bounded family); the
+    * cluster-exclusion check is a pool-sized left join; the per-anchor
+    * pick folds through the bounded TopK aggregate. Nothing all-pairs.
+    * Returns (anchor_id, pos_id, neg_id). */
+  def trainingTriples(clusters: DataFrame, docs: DataFrame, idCol: String,
+                      poolSize: Int): DataFrame = {
+    val pos = clusters.select(col("cluster"), col("doc_id").as("anchor_id"))
+      .join(clusters.select(col("cluster"), col("doc_id").as("other_id")),
+        Seq("cluster"))
+      .filter(col("other_id") =!= col("anchor_id"))
+      .groupBy(col("cluster"), col("anchor_id"))
+      .agg(min(col("other_id")).as("pos_id"))
+    val pool = broadcast(
+      docs.select(col(idCol).cast("long").as("neg_id"))
+        .orderBy(md5(col("neg_id").cast("string")), col("neg_id"))
+        .limit(poolSize))
+    val candClusters = clusters
+      .select(col("doc_id").as("neg_id"), col("cluster").as("neg_cluster"))
+    pos.join(pool, col("neg_id") =!= col("anchor_id"))
+      .join(candClusters, Seq("neg_id"), "left")
+      .filter(col("neg_cluster").isNull || col("neg_cluster") =!= col("cluster"))
+      .withColumn("score",
+        -conv(substring(md5(concat_ws(":", col("anchor_id"), col("neg_id"))), 1, 8),
+          16, 10).cast("double"))
+      .groupBy(col("anchor_id"), col("pos_id"))
+      .agg(graft.functions.TopK.top_k(1)(col("neg_id"), col("score")).as("hits"))
+      .select(col("anchor_id"), col("pos_id"),
+        explode(col("hits")).as("h"))
+      .select(col("anchor_id"), col("pos_id"), col("h._1").as("neg_id"))
+  }
+
   /** Deterministic weighted sampling without replacement (the
     * Efraimidis–Spirakis A-ES scheme): each row draws a reproducible
     * uniform from pure integer arithmetic on its id (a Knuth

@@ -1141,6 +1141,37 @@ object Pipeline {
        |  n_chars AS keep_chars
        |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  // --------------------------------------------------------------- q186
+  // Contrastive training triples (Curation.trainingTriples): q63's
+  // near-dup clusters supply the positives (smallest other member),
+  // the q84 md5-ranked pool supplies negatives with the anchor's own
+  // cluster EXCLUDED — the anti-poisoning detail. Pool broadcast is
+  // LIMIT-bounded; the pick is the bounded TopK fold.
+  private def q186TrainTriples(s: SparkSession, dir: String): DataFrame =
+    Curation.trainingTriples(dupClusters(s, dir), t(s, dir, "documents"),
+        "doc_id", 64)
+      .orderBy(col("anchor_id"))
+
+  private val q186Sql =
+    s"""$dupClusterCtes,
+       |pos AS (SELECT a.cluster, a.doc_id AS anchor_id, MIN(b.doc_id) AS pos_id
+       |        FROM clus a JOIN clus b
+       |          ON a.cluster = b.cluster AND b.doc_id <> a.doc_id
+       |        GROUP BY a.cluster, a.doc_id),
+       |pool AS (SELECT doc_id AS neg_id FROM documents
+       |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64),
+       |cand AS (
+       |  SELECT p.anchor_id, p.pos_id, o.neg_id,
+       |    row_number() OVER (PARTITION BY p.anchor_id
+       |      ORDER BY substring(md5(p.anchor_id || ':' || o.neg_id), 1, 8),
+       |               o.neg_id) AS rn
+       |  FROM pos p
+       |  JOIN pool o ON o.neg_id <> p.anchor_id
+       |  LEFT JOIN clus c2 ON c2.doc_id = o.neg_id
+       |  WHERE c2.cluster IS NULL OR c2.cluster <> p.cluster)
+       |SELECT anchor_id, pos_id, neg_id FROM cand WHERE rn = 1
+       |ORDER BY anchor_id""".stripMargin
+
   // ---------------------------------------------------------------- q64
   // Corpus length distribution: EXACT per-language p50/p90 via
   // row_number selection with pure-integer rank formulas — reproducible
@@ -3249,6 +3280,7 @@ object Pipeline {
     "q182_hard_negatives" -> q182HardNegatives _,
     "q183_class_keywords" -> q183ClassKeywords _,
     "q185_weighted_sample" -> q185WeightedSample _,
+    "q186_train_triples" -> q186TrainTriples _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3446,5 +3478,6 @@ object Pipeline {
     "q182_hard_negatives" -> q182Sql,
     "q183_class_keywords" -> q183Sql,
     "q185_weighted_sample" -> q185Sql,
+    "q186_train_triples" -> q186Sql,
   )
 }

@@ -78,7 +78,7 @@ object VersionedStore {
     * first; the snapshot exists only once the manifest rename — the
     * atomic commit point — succeeds. */
   def commit(df: DataFrame, dir: String, nFiles: Int,
-             overwrite: Boolean = false): Long = {
+             overwrite: Boolean = false, tag: Option[Long] = None): Long = {
     require(nFiles >= 1, "need at least one file")
     val spark = df.sparkSession
     val prior = versions(spark, dir)
@@ -101,11 +101,13 @@ object VersionedStore {
     val snapshot = (base ++ added).toSeq.sorted
     val v = prior.lastOption.getOrElse(0L) + 1
     val tmp = s"$dir/$VersionsDir/_tmp-${java.util.UUID.randomUUID()}"
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     spark.createDataFrame(
-      spark.sparkContext.parallelize(snapshot.map(org.apache.spark.sql.Row(_)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("file",
-          org.apache.spark.sql.types.StringType, nullable = false))))
+      spark.sparkContext.parallelize(
+        snapshot.map(f => org.apache.spark.sql.Row(f, tag.map(Long.box).orNull)), 1),
+      StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("tag", LongType, nullable = true))))
       .write.mode("overwrite").parquet(tmp)
     val f = fs(spark, dir)
     require(f.rename(new Path(tmp), new Path(manifestPath(dir, v))),
@@ -144,6 +146,35 @@ object VersionedStore {
     ((b -- a).toSeq.sorted.map(f => (f, "added")) ++
       (a -- b).toSeq.sorted.map(f => (f, "removed")))
       .toDF("file", "change")
+  }
+
+  /** The commit tag of the LATEST version (None when untagged or the
+    * store predates tags). Tags carry the streaming sink's micro-batch
+    * id INSIDE the atomic manifest rename, so the exactly-once gate and
+    * the data commit cannot drift — the lake-format `txn` record. */
+  def lastTag(spark: SparkSession, dir: String): Option[Long] = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return None
+    val m = spark.read.parquet(manifestPath(dir, vs.last))
+    if (!m.columns.contains("tag")) None
+    else m.select(col("tag")).limit(1).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+  }
+
+  /** Commit history, manifest-sized: one row per version with its file
+    * count and tag (Delta's DESCRIBE HISTORY shape). Never reads data
+    * files. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, dir).map { v =>
+      val m = spark.read.parquet(manifestPath(dir, v))
+      val nFiles = m.count()
+      val tag =
+        if (!m.columns.contains("tag")) None
+        else m.select(col("tag")).limit(1).collect()
+          .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      (v, nFiles, tag)
+    }.toDF("version", "n_files", "tag")
   }
 
   /** Row-level change set between two snapshots — the CDC export shape.

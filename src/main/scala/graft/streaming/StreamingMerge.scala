@@ -141,6 +141,54 @@ object StreamingMerge {
       }
       .start()
 
+  /** Exactly-once streaming ingest into a snapshot-versioned store
+    * ([[graft.sinks.VersionedStore]]): each micro-batch commits as one
+    * append version TAGGED with its batch id, and the tag travels
+    * inside the atomic manifest rename — so unlike the `_applied_batch`
+    * column gate, the replay gate and the data commit are literally the
+    * same filesystem operation and cannot drift. A crash after the data
+    * append but before the manifest rename leaves only orphan files no
+    * snapshot references (vacuum sweeps them); the replayed batch then
+    * commits cleanly. Downstream readers pin versions, so they never
+    * see a torn batch.
+    *
+    * `checkpointDir` is REQUIRED and pairs lifetimes with the store
+    * (see [[aggMaintain]]): a reset micro-batch-id lineage is detected
+    * from the tags and refused loudly. */
+  def versionedIngest(spark: SparkSession, inDir: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      storeDir: String, checkpointDir: String,
+                      nFiles: Int = 4):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyVersionedBatch(batch, batchId, storeDir, nFiles): Unit
+      }
+      .start()
+
+  /** One versioned-ingest commit, replay-safe; factored out so the
+    * idempotence contract is directly testable. Returns false when the
+    * batch's tag already heads the store (the one legitimate
+    * at-least-once replay); refuses loudly on a reset id lineage. */
+  def applyVersionedBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                          nFiles: Int): Boolean = {
+    import graft.sinks.VersionedStore
+    VersionedStore.lastTag(batch.sparkSession, storeDir) match {
+      case Some(last) if batchId == last => false // replayed batch
+      case Some(last) if batchId < last => throw new IllegalStateException(
+        s"versioned ingest: store $storeDir is at batch tag $last but the " +
+          s"stream delivered batch $batchId — checkpoint and store " +
+          "lifetimes diverged (wiped/ephemeral checkpoint over an old " +
+          "store). Restore the original checkpointDir or rebuild the store.")
+      case _ =>
+        VersionedStore.commit(batch, storeDir, nFiles, tag = Some(batchId))
+        true
+    }
+  }
+
   /** The `_applied_batch` replay gate shared by [[applyDedupBatch]] and
     * [[applyAggBatch]]: the highest batch id recorded in the parquet
     * store at `storeDir`, or None when the store (or the marker column

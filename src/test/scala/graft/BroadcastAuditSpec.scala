@@ -90,6 +90,7 @@ class BroadcastAuditSpec extends SparkSpec {
       "frames capped by an explicit LIMIT in the same plan (negative-sample pool, top-N anchors) — the cap is the boundedness proof",
       Map(
         "q84_neg_sample" -> Set(Set("neg_id")),
+        "q186_train_triples" -> Set(Set("neg_id")),
         "q90_range_join" -> Set(Set("anchor_key", "anchor_price", "hi", "lo")),
         "q157_mrl_rerank" -> Set(Set("vec_id")),
         // Misra-Gries candidate set: sketchK-capped by construction

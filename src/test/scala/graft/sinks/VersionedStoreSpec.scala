@@ -91,6 +91,43 @@ class VersionedStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("schema change"))
   }
 
+  test("versioned streaming ingest: one tagged version per batch, replay-safe") {
+    import graft.streaming.StreamingMerge
+    val dir = store("ving")
+    // direct-apply contract: commit, skip-on-replay, refuse on reset ids
+    assert(StreamingMerge.applyVersionedBatch(Seq(1, 2).toDF("n"), 0L, dir, 1))
+    assert(StreamingMerge.applyVersionedBatch(Seq(3).toDF("n"), 1L, dir, 1))
+    assert(!StreamingMerge.applyVersionedBatch(Seq(3).toDF("n"), 1L, dir, 1),
+      "replayed batch must skip")
+    assert(VersionedStore.versions(spark, dir) == Seq(1L, 2L))
+    assert(VersionedStore.lastTag(spark, dir).contains(1L))
+    val e = intercept[IllegalStateException] {
+      StreamingMerge.applyVersionedBatch(Seq(9).toDF("n"), 0L, dir, 1)
+    }
+    assert(e.getMessage.contains("lifetimes diverged"))
+    assert(VersionedStore.read(spark, dir).as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3))
+    // history never reads data files: versions, file counts, tags
+    assert(VersionedStore.history(spark, dir)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+      == Seq((1L, 1L, Some(0L)), (2L, 2L, Some(1L))))
+    // a real stream over the same gate
+    val in = java.nio.file.Files.createTempDirectory("ving-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ving-ckpt").toString
+    val sdir = store("ving2")
+    val schema = Seq((1L, "a")).toDF("id", "v").schema
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(in)
+    val q = StreamingMerge.versionedIngest(spark, in, schema, sdir, ckpt, 1)
+    q.processAllAvailable()
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    assert(VersionedStore.versions(spark, sdir).size == 2)
+    assert(VersionedStore.read(spark, sdir).count() == 2)
+    // snapshot pinning: version 1 still sees only the first batch
+    assert(VersionedStore.read(spark, sdir, 1).count() == 1)
+  }
+
   test("a stray temp manifest is not a committed version; empty store refuses") {
     val dir = store("vtmp")
     val e = intercept[IllegalArgumentException] {
