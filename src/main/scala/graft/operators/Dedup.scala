@@ -266,6 +266,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs — the quote/boilerplate-wrap
+    * detector Jaccard structurally misses: a short doc fully quoted
+    * inside a long one has |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0.
+    * Returns both directions (`cont_a` = share of A's shingles found
+    * in B, `cont_b` symmetric) for pairs where EITHER clears
+    * `minContainment`. Same inverted-index core, df cap, and exact
+    * pre-cap sizes as [[jaccardPairsFromDocs]] — candidate generation
+    * is identical, only the score differs, so the 100 TB cost model
+    * carries over unchanged. */
+  def containmentPairsFromDocs(docs: DataFrame, idCol: String, textCol: String,
+                               n: Int, minContainment: Double,
+                               maxDf: Long = 1000): DataFrame = {
+    val base = shingleArrayBase(docs, idCol, textCol, n)
+    val sizes = base.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"))
+    val sh = base.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val rare = sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("shingle")),
+      Seq("shingle"), "left_semi")
+    val hashed = rare.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val inter = hashed.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(hashed.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("cont_a", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("n_inter").cast("double") / col("n_b"))
+      .filter(col("cont_a") >= minContainment || col("cont_b") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
+  }
+
   /** [[jaccardPairs]] straight from the document table: the per-doc
     * shingle count comes from `size(array_distinct(...))` BEFORE the
     * explode — map-only — so the only aggregations left are the df cap

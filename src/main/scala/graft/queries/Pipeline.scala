@@ -96,6 +96,60 @@ object Pipeline {
        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.35
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------------------------------------------- q187
+  // Per-language quantile normalization (the FineWeb-style fair
+  // cross-lingual thresholding): each doc's length maps to its rank
+  // share WITHIN its language, so one global cutoff keeps the same
+  // fraction of every language instead of starving low-resource ones.
+  // Explicit rn/cnt (not percent_rank) — engine-independent at n = 1.
+  private def q187ScoreNorm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val cw = Window.partitionBy(col("lang"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("qnorm",
+        round(row_number().over(w).cast("double") /
+          count(lit(1)).over(cw), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q187Sql =
+    """SELECT doc_id, lang, n_chars,
+      |  round(CAST(row_number() OVER (PARTITION BY lang
+      |                                ORDER BY n_chars, doc_id) AS DOUBLE) /
+      |        COUNT(*) OVER (PARTITION BY lang), 6) AS qnorm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q188
+  // Asymmetric containment (Dedup.containmentPairsFromDocs): the
+  // quote/boilerplate-wrap detector — a short doc fully embedded in a
+  // long one scores cont ≈ 1 where Jaccard ≈ 0. Same inverted-index
+  // candidate core and df cap as q29, different score.
+  private def q188Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairsFromDocs(t(s, dir, "documents"), "doc_id", "text",
+        3, 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q188Sql =
+    s"""WITH ${shingleCte(3)},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |rare AS (SELECT * FROM sh WHERE s IN (
+       |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000)),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / sa.n_sh AS cont_a,
+       |  CAST(n_inter AS DOUBLE) / sb.n_sh AS cont_b
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / sa.n_sh >= 0.6
+       |   OR CAST(n_inter AS DOUBLE) / sb.n_sh >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- q30
   // SimHash fingerprint (16 bits, one md5 nibble per bit).
   private def q30Simhash(s: SparkSession, dir: String): DataFrame =
@@ -3281,6 +3335,8 @@ object Pipeline {
     "q183_class_keywords" -> q183ClassKeywords _,
     "q185_weighted_sample" -> q185WeightedSample _,
     "q186_train_triples" -> q186TrainTriples _,
+    "q187_score_norm" -> q187ScoreNorm _,
+    "q188_containment" -> q188Containment _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3479,5 +3535,7 @@ object Pipeline {
     "q183_class_keywords" -> q183Sql,
     "q185_weighted_sample" -> q185Sql,
     "q186_train_triples" -> q186Sql,
+    "q187_score_norm" -> q187Sql,
+    "q188_containment" -> q188Sql,
   )
 }

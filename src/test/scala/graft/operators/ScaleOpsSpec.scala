@@ -225,6 +225,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("containment finds the quoted-inside pair that Jaccard misses") {
+    val quote = "the original passage reads verbatim like this exact text"
+    val docs = Seq(
+      (1L, quote), // the short original
+      (2L, ("filler words around " * 10) + quote + (" and much more commentary" * 10)),
+      (3L, "entirely unrelated content with different words throughout here now"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairsFromDocs(docs, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    // doc 1's shingles all appear in doc 2: containment of A in B ≈ 1
+    assert(cont.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(cont.head._3 == 1.0 && cont.head._4 < 0.5)
+    // the same pair is invisible to Jaccard at any useful threshold
+    val jac = Dedup.jaccardPairsFromDocs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(r => r._1 == 1L && r._2 == 2L))
+  }
+
   test("stratified sample keeps n per stratum, deterministically") {
     val df = (1 to 20).map(i => (if (i % 2 == 0) "en" else "de", i.toLong))
       .toDF("lang", "doc_id")
