@@ -44,6 +44,26 @@ object IncrementalAgg {
         sum(col("pcnt")).as("pcnt"))
   }
 
+  /** CDC-driven refresh: fold a [[graft.sinks.VersionedStore.rowDiff]]
+    * change set into existing partials — `added` rows fold forward,
+    * `removed` rows fold as EXACT retractions (negated decimal
+    * partials; decimals make retraction exact where float partials
+    * would drift), and keys whose row count returns to zero drop out
+    * of the store entirely. The refresh touches (change set ∪
+    * key-cardinality partials): at 100 TB the view updates at CDC
+    * cost, never by re-aggregating a snapshot. */
+  def applyChanges(partials: DataFrame, changes: DataFrame, keys: Seq[String],
+                   valueCol: String, changeCol: String = "change"): DataFrame = {
+    val added = partial(
+      changes.filter(col(changeCol) === "added"), keys, valueCol)
+    val removed = partial(
+        changes.filter(col(changeCol) === "removed"), keys, valueCol)
+      .select(keys.map(col) :+
+        (-col("psum")).cast("decimal(38,2)").as("psum") :+
+        (-col("pcnt")).as("pcnt"): _*)
+    merge(Seq(partials, added, removed), keys).filter(col("pcnt") =!= 0)
+  }
+
   /** Final user-facing shape: (keys..., sum_value DOUBLE, n_rows). */
   def finish(merged: DataFrame, keys: Seq[String]): DataFrame =
     merged.select(keys.map(col) :+

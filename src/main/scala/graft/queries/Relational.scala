@@ -2605,7 +2605,41 @@ object Relational {
       |SELECT o_orderkey, 'removed' FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY change, o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q189
+  // CDC-driven materialized-view refresh: the q79 partial-aggregate
+  // store maintained from the q184 snapshot change set — added rows
+  // fold forward, removed rows fold as exact decimal RETRACTIONS, and
+  // the refreshed view must equal the direct aggregate over the new
+  // snapshot (which is what the oracle computes). View updates at CDC
+  // cost; the snapshot is never re-aggregated.
+  private def q189CdcRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    import graft.sinks.VersionedStore
+    val tmp = scratchDir("q189", dir, "orders_view")
+    VersionedStore.destroy(s, tmp)
+    val orders = t(s, dir, "orders")
+    val keys = Seq("o_orderpriority")
+    val v1 = VersionedStore.commit(
+      orders.filter(col("o_orderkey") % 3 <= 1), tmp, 4)
+    val view1 = IncrementalAgg.partial(
+      VersionedStore.read(s, tmp, v1), keys, "o_totalprice").localCheckpoint()
+    val v2 = VersionedStore.commit(
+      orders.filter(col("o_orderkey") % 3 >= 1), tmp, 4, overwrite = true)
+    val view2 = IncrementalAgg.applyChanges(
+      view1, VersionedStore.rowDiff(s, tmp, v1, v2), keys, "o_totalprice")
+    IncrementalAgg.finish(view2, keys).orderBy(col("o_orderpriority"))
+  }
+
+  private val q189Sql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS n_rows
+      |FROM orders WHERE o_orderkey % 3 >= 1
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_cdc_refresh" -> q189CdcRefresh _,
     "q184_snapshot_cdc" -> q184SnapshotCdc _,
     "q181_time_travel" -> q181TimeTravel _,
     "q180_zorder" -> q180Zorder _,
@@ -2700,6 +2734,7 @@ object Relational {
     "q180_zorder" -> q180Sql,
     "q181_time_travel" -> q181Sql,
     "q184_snapshot_cdc" -> q184Sql,
+    "q189_cdc_refresh" -> q189Sql,
     "q146_expire" -> q146Sql,
     "q145_dense_ids" -> q145Sql,
     "q1_agg" -> q1Sql,

@@ -200,6 +200,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(Seq(c, a, b)) == full) // order-insensitive (decimal-exact)
   }
 
+  test("incremental agg: CDC retractions are exact, emptied keys drop out") {
+    val before = Seq(("a", 1.5), ("a", 2.25), ("b", 4.0), ("c", 7.0))
+      .toDF("k", "v")
+    val after = Seq(("a", 1.5), ("b", 4.0), ("b", 9.75), ("d", 3.0))
+      .toDF("k", "v")
+    val changes = // what VersionedStore.rowDiff(before -> after) reports
+      Seq(("b", 9.75, "added"), ("d", 3.0, "added"),
+        ("a", 2.25, "removed"), ("c", 7.0, "removed"))
+        .toDF("k", "v", "change")
+    val refreshed = IncrementalAgg.finish(
+      IncrementalAgg.applyChanges(
+        IncrementalAgg.partial(before, Seq("k"), "v"), changes, Seq("k"), "v"),
+      Seq("k")).as[(String, Double, Long)].collect().toSet
+    val direct = IncrementalAgg.finish(
+      IncrementalAgg.merge(Seq(IncrementalAgg.partial(after, Seq("k"), "v")),
+        Seq("k")), Seq("k")).as[(String, Double, Long)].collect().toSet
+    assert(refreshed == direct)
+    assert(!refreshed.exists(_._1 == "c"), "fully-retracted key must drop out")
+  }
+
   test("corpusmix composition: scrub -> resample -> shard-partitioned write") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val w = Map("en" -> 0.25, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.2)
