@@ -1064,6 +1064,54 @@ object Curation {
       .select(col(classCol), col("w"), col("score"), col("rn"))
   }
 
+  /** Curriculum schedule: order the corpus by a difficulty column,
+    * accumulate a token budget along that order, and assign each doc
+    * the phase whose cumulative budget bound it falls under (budgets
+    * are cumulative upper bounds; spill past the last bound lands in
+    * the overflow phase budgets.size + 1) — the
+    * short-to-long / easy-to-hard data schedule.
+    *
+    * Scale shape: the global running sum uses NO global window — the
+    * corpus range-partitions on (difficulty, id), each partition runs
+    * a partition-local window, and the per-partition totals (one long
+    * per partition) prefix-sum on the driver and ride back as a
+    * literal map keyed by partition id (the IdAllocate discipline).
+    * The ranged frame is checkpointed once so the two consumers (the
+    * totals pass and the final projection) cannot re-sample different
+    * range boundaries. Returns (idCol, difficultyCol, tokenCol,
+    * cum_tokens, phase). */
+  def curriculumPhases(docs: DataFrame, idCol: String, difficultyCol: String,
+                       tokenCol: String, budgets: Seq[Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets == budgets.sorted,
+      "budgets must be ascending cumulative bounds")
+    val ranged = docs
+      .select(col(idCol), col(difficultyCol), col(tokenCol))
+      .repartitionByRange(col(difficultyCol), col(idCol))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col(difficultyCol), col(idCol))
+    val counts = ranged.groupBy(col("__pid"))
+      .agg(sum(col(tokenCol).cast("long")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = counts.keys.toSeq.sorted.map { pid =>
+      val off = acc; acc += counts(pid); pid -> off
+    }
+    val offsetMap =
+      if (offsets.isEmpty) map(lit(0L), lit(0L))
+      else map(offsets.flatMap { case (pid, off) => Seq(lit(pid), lit(off)) }: _*)
+    val cum = coalesce(element_at(offsetMap, col("__pid")), lit(0L)) +
+      sum(col(tokenCol).cast("long")).over(w)
+    val phase = budgets.zipWithIndex.foldRight(
+        lit(budgets.size + 1): org.apache.spark.sql.Column) {
+      case ((bound, i), rest) => when(col("cum_tokens") <= bound, i + 1).otherwise(rest)
+    }
+    ranged.withColumn("cum_tokens", cum)
+      .withColumn("phase", phase.cast("long"))
+      .drop("__pid")
+  }
+
   /** Contrastive training triples (anchor, positive, negative) from a
     * duplicate-cluster map: every member of a near-dup cluster anchors
     * one triple, its POSITIVE is the smallest other member of the same

@@ -150,6 +150,30 @@ object Pipeline {
        |   OR CAST(n_inter AS DOUBLE) / sb.n_sh >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------------------------------------------- q190
+  // Curriculum schedule (Curation.curriculumPhases): short-to-long
+  // ordering with cumulative char budgets 40k/100k — phase 1 trains
+  // first. The global running sum is partition-local windows + a
+  // driver prefix over per-partition totals (IdAllocate discipline,
+  // NO global window); the oracle is the straightforward window form.
+  private def q190Curriculum(s: SparkSession, dir: String): DataFrame =
+    Curation.curriculumPhases(t(s, dir, "documents"), "doc_id", "n_chars",
+        "n_chars", Seq(40000L, 100000L))
+      .select(col("doc_id"), col("cum_tokens"), col("phase"))
+      .orderBy(col("doc_id"))
+
+  private val q190Sql =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    SUM(n_chars) OVER (ORDER BY n_chars, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM documents)
+      |SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST(CASE WHEN cum_tokens <= 40000 THEN 1
+      |            WHEN cum_tokens <= 100000 THEN 2
+      |            ELSE 3 END AS BIGINT) AS phase
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q30
   // SimHash fingerprint (16 bits, one md5 nibble per bit).
   private def q30Simhash(s: SparkSession, dir: String): DataFrame =
@@ -3337,6 +3361,7 @@ object Pipeline {
     "q186_train_triples" -> q186TrainTriples _,
     "q187_score_norm" -> q187ScoreNorm _,
     "q188_containment" -> q188Containment _,
+    "q190_curriculum" -> q190Curriculum _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3537,5 +3562,6 @@ object Pipeline {
     "q186_train_triples" -> q186Sql,
     "q187_score_norm" -> q187Sql,
     "q188_containment" -> q188Sql,
+    "q190_curriculum" -> q190Sql,
   )
 }
