@@ -17,88 +17,7 @@ class BroadcastAuditSpec extends SparkSpec {
 
   /** Documented forced-broadcast families: family -> (why bounded,
     * query -> the exact column sets it may force-broadcast). */
-  private val families: Seq[(String, String, Map[String, Set[Set[String]]])] = Seq(
-    ("one-row-ride",
-      "exactly ONE row by construction: a corpus-level aggregate (count/total/threshold) or the probe's own vector riding along a cross join",
-      Map(
-        "q31_cosine_topk" -> Set(Set("qv")),
-        "q32_ann_bucket" -> Set(Set("qv")),
-        "q171_multiprobe" -> Set(Set("qv")),
-        "q44_ann_ivf" -> Set(Set("qv")),
-        "q50_ann_nprobe" -> Set(Set("qv")),
-        "q80_filtered_ann" -> Set(Set("qv")),
-        "q149_matryoshka" -> Set(Set("qv")),
-        "q157_mrl_rerank" -> Set(Set("qv")),
-        "q144_recall" -> Set(Set("qv")),
-        "q65_tfidf" -> Set(Set("n")),
-        "q175_heavy_hitters" -> Set(Set("n")),
-        "q183_class_keywords" -> Set(Set("t")),
-        "q97_lm_score" -> Set(Set("n", "v")),
-        "q133_bm25" -> Set(Set("avgdl", "n")),
-        "q172_rrf_fusion" -> Set(Set("avgdl", "n"), Set("qv")),
-        "q141_shard_budget" -> Set(Set("total")),
-        "q177_psi_drift" -> Set(Set("tb", "tc")),
-        "q163_temperature_mix" -> Set(Set("total")),
-        "q166_curation_v3" -> Set(Set("total")),
-        "q161_sq8_topk" -> Set(Set("q_scale", "q_codes")),
-        "q165_sq8_recall" -> Set(Set("q_scale", "q_codes"), Set("qv")),
-        "q148_lm_buckets" -> Set(Set("t1", "t2")),
-        "q71_mixture" -> Set(Set("nstar")),
-        "q85_curation_v2" -> Set(Set("nstar")))),
-    ("probe-keys",
-      "nprobe-/band-bounded key sets derived from the probe side (the cells or buckets ONE query hashes into), never the corpus's keys",
-      Map(
-        "q32_ann_bucket" -> Set(Set("bucket")),
-        "q171_multiprobe" -> Set(Set("bucket")),
-        "q44_ann_ivf" -> Set(Set("cell")),
-        "q50_ann_nprobe" -> Set(Set("cell")),
-        "q144_recall" -> Set(Set("cell")))),
-    ("dimension-table",
-      "a genuine dimension/reference table or slice (region, nation, ontology terms, id maps, tag vocab, robots rules) — cardinality fixed by the domain, not the corpus",
-      Map(
-        "q2_multijoin" -> Set(Set("r_name", "r_regionkey"),
-          Set("n_name", "n_nationkey", "n_regionkey")),
-        "q14_pipe_fold" -> Set(Set("r_name", "r_regionkey")),
-        "q58_idmap" -> Set(Set("n_name", "n_nationkey", "n_regionkey")),
-        "q21_fanout" -> Set(Set("status", "tag")),
-        "q114_gaf_validity" -> Set(Set("cv_name", "go_id"),
-          Set("feature_uniquename", "gene_id")),
-        "q136_robots" -> Set(Set("_host", "prefix")))),
-    ("model-state",
-      "trained model / vocabulary frames whose size is the MODEL's (classifier weights, LM bigram table, IDF table, per-stratum rates, cell representatives), trained once and reused",
-      Map(
-        "q95_classifier_score" -> Set(Set("tok", "weight")),
-        "q168_calibration" -> Set(Set("tok", "weight")),
-        "q97_lm_score" -> Set(Set("bg", "logp")),
-        "q133_bm25" -> Set(Set("df", "w")),
-        "q172_rrf_fusion" -> Set(Set("df", "w")),
-        "q71_mixture" -> Set(Set("lang", "rate")),
-        "q85_curation_v2" -> Set(Set("lang", "rate")),
-        "q96_semantic_dedup" -> Set(Set("cell", "rep_id", "rv")),
-        "q162_oov_rate" -> Set(Set("tok", "in_vocab")),
-        "q163_temperature_mix" -> Set(Set("lang", "weight", "alloc")),
-        "q166_curation_v3" -> Set(Set("tok", "in_vocab"),
-          Set("lang", "weight", "alloc")))),
-    ("seed-set",
-      "small-by-premise hand-curated/eval frames: labeled seeds, eval query sets, benchmark shingles — the operator's contract says this side is the sample, the corpus streams (J9/IdStash discipline)",
-      Map(
-        "q150_knn_classify" -> Set(Set("cand_id", "cv"), Set("label", "vec_id")),
-        "q73_knn_join" -> Set(Set("query_id", "qv")),
-        "q182_hard_negatives" -> Set(Set("query_id", "qv")),
-        "q52_decontaminate" -> Set(Set("shingle")))),
-    ("k-bounded",
-      "frames capped by an explicit LIMIT in the same plan (negative-sample pool, top-N anchors) — the cap is the boundedness proof",
-      Map(
-        "q84_neg_sample" -> Set(Set("neg_id")),
-        "q186_train_triples" -> Set(Set("neg_id")),
-        "q90_range_join" -> Set(Set("anchor_key", "anchor_price", "hi", "lo")),
-        "q157_mrl_rerank" -> Set(Set("vec_id")),
-        // Misra-Gries candidate set: sketchK-capped by construction
-        "q175_heavy_hitters" -> Set(Set("tok")))))
-    // NOT documented (and deliberately un-hinted): groupQuota's keep
-    // set (q159/q166) is groups-proportional — at web-scale host counts
-    // it is not broadcastable, so the operator lets AQE pick the join
-    // strategy instead of forcing a hint this audit would have to bless.
+private val families = BoundedFamilies.families
 
   test("every forced broadcast hint belongs to a documented bounded family") {
     val actual: Seq[(String, Set[String])] =
