@@ -214,8 +214,9 @@ object GraftCli {
     case "corpusbuckets" :: in :: Nil => corpusBuckets(in)
     case "knnlabel" :: labeled :: unlabeled :: out :: rest if rest.size <= 1 =>
       knnLabel(labeled, unlabeled, out, rest.headOption.map(_.toInt).getOrElse(5))
-    case "annbuild" :: emb :: indexDir :: rest if rest.size <= 1 =>
-      annBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(16))
+    case "annbuild" :: emb :: indexDir :: rest if rest.size <= 2 =>
+      annBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(16),
+        rest.drop(1).headOption.map(_.toInt).getOrElse(1))
     case "annquery" :: indexDir :: emb :: id :: k :: rest if rest.size <= 1 =>
       annQuery(indexDir, emb, id.toLong, k.toInt,
         rest.headOption.map(_.toInt).getOrElse(1))
@@ -269,7 +270,7 @@ object GraftCli {
            |corpus:    corpusdedup decontaminate corpusstats corpussplit corpusmix
            |           dedupingest <batch> <sigstore> <dupes_out> [--compact]
            |           corpusimport corpusingest corpusexport <parquet> <out> <fmt> [shards]
-           |ann:       annbuild <emb> <indexdir> [cells]
+           |ann:       annbuild <emb> <indexdir> [cells] [lloyd_iters]
            |           annquery <indexdir> <emb> <id> <k> [nprobe]
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
@@ -1716,14 +1717,19 @@ object GraftCli {
     spark.stop()
   }
 
-  private def annBuild(emb: String, indexDir: String, cells: Int): Unit = {
+  private def annBuild(emb: String, indexDir: String, cells: Int,
+                       iters: Int = 1): Unit = {
     val spark = GraftSession.local()
     val corpus = spark.read.parquet(emb)
-    val index = graft.operators.Similarity
-      .trainIvf(corpus, "vec_id", "embedding", cells)
+    val index =
+      if (iters <= 1)
+        graft.operators.Similarity.trainIvf(corpus, "vec_id", "embedding", cells)
+      else graft.operators.Similarity
+        .trainIvfIterated(corpus, "vec_id", "embedding", cells, iters)
     graft.operators.Similarity.saveIndex(spark, index, indexDir)
     println(s"index written to $indexDir (${index.cids.size} cells, " +
-      s"dim ${index.centroids.headOption.map(_.size).getOrElse(0)})")
+      s"dim ${index.centroids.headOption.map(_.size).getOrElse(0)}, " +
+      s"$iters Lloyd iteration budget)")
     spark.stop()
   }
 

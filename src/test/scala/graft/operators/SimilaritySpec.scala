@@ -307,6 +307,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L).get == Seq(0.6, 0.8))
   }
 
+  test("trainIvfIterated: objective non-increasing, fixpoint reached, 1 iter == trainIvf") {
+    import org.apache.spark.sql.functions.col
+    val data = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def objective(ix: Similarity.IvfIndex): Double = {
+      def d2(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      data.map { case (_, v) => ix.centroids.map(c => d2(v, c)).min }.sum / data.length
+    }
+    val one = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
+    val oneIt = Similarity.trainIvfIterated(emb, "vec_id", "embedding", 4, 1)
+    assert(oneIt.cids == one.cids && oneIt.centroids == one.centroids)
+    val objs = (1 to 6).map(i =>
+      objective(Similarity.trainIvfIterated(emb, "vec_id", "embedding", 4, i)))
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"objective must not increase: $objs")
+    }
+    // the clustered fixture converges quickly: later rounds are a fixpoint
+    assert(objs(4) == objs(5), s"fixpoint not reached: $objs")
+  }
+
   test("hardNegatives: closest candidates strictly below the positive band") {
     import org.apache.spark.sql.functions.{col, broadcast => _}
     val anchors = emb.filter(col("vec_id") < 2)
