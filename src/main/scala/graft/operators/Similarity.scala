@@ -206,6 +206,17 @@ object Similarity {
     index
   }
 
+  /** Every row's trained-cell assignment — the public face of the
+    * map-only argmin projection ([[IvfIndex.cellCol]]): one codegen'd
+    * expression over driver-held centroids, no join, no shuffle.
+    * Feeds the q191 index audit and any caller that wants to bucket a
+    * corpus by semantic cell (partitioned writes, per-cell stats). */
+  def cellAssignments(emb: DataFrame, idCol: String, embCol: String,
+                      index: IvfIndex): DataFrame =
+    emb.select(col(idCol), col(embCol).as("e"))
+      .withColumn("cell", index.cellCol)
+      .drop("e")
+
   /** Persist a trained [[IvfIndex]] as parquet (cell_id, centroid) —
     * train once on the corpus, reuse across every retrieval job, the
     * lifecycle of any production index/model artifact. */

@@ -1084,6 +1084,32 @@ object Pipeline {
   private val q44Sql = ivfSql(1)
   private val q50Sql = ivfSql(2)
 
+  // --------------------------------------------------------------- q191
+  // ANN index audit (Similarity.cellAssignments): per-cell member
+  // counts and corpus share for the trained IVF index — the balance
+  // report that predicts probe cost (a hot cell = a slow probe; IVF
+  // throughput is only as good as its worst cell). Assignment is the
+  // map-only argmin projection; the share rides a one-row total.
+  private def q191IndexStats(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+    val assigned = Similarity.cellAssignments(emb, "vec_id", "embedding", ix)
+    val total = assigned.agg(count(lit(1)).as("t"))
+    assigned.groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_members"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(col("n_members").cast("double") / col("t"), 6))
+      .select(col("cell"), col("n_members"), col("share"))
+      .orderBy(col("cell"))
+  }
+
+  private val q191Sql =
+    s"""WITH $ivfCtes,
+       |tot AS (SELECT COUNT(*) AS t FROM a1)
+       |SELECT cell, COUNT(*) AS n_members,
+       |  round(CAST(COUNT(*) AS DOUBLE) / t, 6) AS share
+       |FROM a1, tot GROUP BY cell, t ORDER BY cell""".stripMargin
+
   // ---------------------------------------------------------------- q52
   // Benchmark decontamination: corpus docs sharing any 3-gram with the
   // "benchmark" slice (doc_id < 50) are flagged with their overlap
@@ -1653,6 +1679,59 @@ object Pipeline {
       |  FROM documents WHERE n_chars > 0)
       |SELECT doc_id, n_chars, skey FROM k
       |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin
+
+  // --------------------------------------------------------------- q192
+  // Bitext mining by margin score (the LASER/CCMatrix criterion,
+  // forward direction): for each English anchor, its best German
+  // candidate scored as cos / mean(top-k cos) — the ratio margin that
+  // separates true translations from hubs that are merely close to
+  // everything. Anchors are an id-bounded seed batch (the q73
+  // broadcast shape); candidate scoring streams the target-language
+  // corpus through the bounded TopK; the margin folds over the k-row
+  // per-anchor frame with a decimal-stable mean.
+  private def q192BitextMargin(s: SparkSession, dir: String): DataFrame = {
+    val withLang = t(s, dir, "embeddings").join(
+      t(s, dir, "documents").select(col("doc_id").as("vec_id"), col("lang")),
+      Seq("vec_id"))
+    val anchors = withLang.filter(col("lang") === "en" && col("vec_id") < 20)
+    val corpusB = withLang.filter(col("lang") === "de")
+    Similarity.knnJoin(corpusB.select(col("vec_id"), col("embedding")),
+        anchors.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 4)
+      .groupBy(col("query_id"))
+      .agg(
+        max(struct(col("sim"), (-col("vec_id")).as("nid"))).as("b"),
+        round(sum(col("sim").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("denom"))
+      .select(col("query_id"), (-col("b.nid")).as("vec_id"),
+        col("b.sim").as("sim"),
+        round(col("b.sim") / col("denom"), 6).as("margin"))
+      .orderBy(col("query_id"))
+  }
+
+  private val q192Sql =
+    s"""WITH wl AS (
+       |  SELECT e.vec_id, e.embedding, d.lang
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM wl WHERE lang = 'en' AND vec_id < 20),
+       |c AS (SELECT vec_id, embedding FROM wl WHERE lang = 'de'),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    ${cosSql("c.embedding", "q.qv")} AS sim
+       |  FROM c, q WHERE c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, vec_id) AS rn
+       |  FROM scored),
+       |top AS (SELECT * FROM ranked WHERE rn <= 4),
+       |agg AS (SELECT query_id,
+       |    round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+       |      AS denom
+       |  FROM top GROUP BY query_id),
+       |best AS (SELECT query_id, vec_id, sim FROM top WHERE rn = 1)
+       |SELECT b.query_id, b.vec_id, b.sim, round(b.sim / a.denom, 6) AS margin
+       |FROM best b JOIN agg a USING (query_id) ORDER BY b.query_id""".stripMargin
 
   // ---------------------------------------------------------------- q74
   // Segment-level exact dedup: 10-token windows, first occurrence by
@@ -3362,6 +3441,8 @@ object Pipeline {
     "q187_score_norm" -> q187ScoreNorm _,
     "q188_containment" -> q188Containment _,
     "q190_curriculum" -> q190Curriculum _,
+    "q191_index_stats" -> q191IndexStats _,
+    "q192_bitext_margin" -> q192BitextMargin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3563,5 +3644,7 @@ object Pipeline {
     "q187_score_norm" -> q187Sql,
     "q188_containment" -> q188Sql,
     "q190_curriculum" -> q190Sql,
+    "q191_index_stats" -> q191Sql,
+    "q192_bitext_margin" -> q192Sql,
   )
 }

@@ -23,6 +23,7 @@ object BoundedFamilies {
         "q65_tfidf" -> Set(Set("n")),
         "q175_heavy_hitters" -> Set(Set("n")),
         "q183_class_keywords" -> Set(Set("t")),
+        "q191_index_stats" -> Set(Set("t")),
         "q97_lm_score" -> Set(Set("n", "v")),
         "q133_bm25" -> Set(Set("avgdl", "n")),
         "q172_rrf_fusion" -> Set(Set("avgdl", "n"), Set("qv")),
@@ -75,6 +76,7 @@ object BoundedFamilies {
         "q150_knn_classify" -> Set(Set("cand_id", "cv"), Set("label", "vec_id")),
         "q73_knn_join" -> Set(Set("query_id", "qv")),
         "q182_hard_negatives" -> Set(Set("query_id", "qv")),
+        "q192_bitext_margin" -> Set(Set("query_id", "qv")),
         "q52_decontaminate" -> Set(Set("shingle")))),
     ("k-bounded",
       "frames capped by an explicit LIMIT in the same plan (negative-sample pool, top-N anchors) — the cap is the boundedness proof",
