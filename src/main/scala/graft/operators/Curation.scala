@@ -1064,6 +1064,35 @@ object Curation {
       .select(col(classCol), col("w"), col("score"), col("rn"))
   }
 
+  /** Positional-inverted-index phrase search: documents containing the
+    * exact token sequence `phrase`, with occurrence counts — the
+    * adjacency query a bag-of-words index (BM25, q133) cannot answer.
+    * Each phrase token filters the (doc, pos, tok) occurrence stream
+    * down to its own postings list BEFORE any join (the filters reach
+    * the scan), then n−1 equi-joins on (doc, startPos) align the
+    * positions; join inputs are postings-list-sized, never the corpus.
+    * This is how phrase queries run against a real positional index —
+    * at 100 TB the postings would be the stored artifact and the scan
+    * skipped entirely; the shapes downstream of the scan are the same.
+    * Returns (idCol, n_occurrences) for matching docs. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a 1-token phrase is a plain term lookup")
+    val toks = docs.select(col(idCol),
+      posexplode(filter(split(col(textCol), "\\s+"), w => length(w) > 0))
+        .as(Seq("pos", "tok")))
+    val first = toks.filter(col("tok") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(
+          toks.filter(col("tok") === w)
+            .select(col(idCol), (col("pos") - i).as("pos")),
+          Seq(idCol, "pos"))
+    }
+    matched.groupBy(col(idCol)).agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Curriculum schedule: order the corpus by a difficulty column,
     * accumulate a token budget along that order, and assign each doc
     * the phase whose cumulative budget bound it falls under (budgets

@@ -1733,6 +1733,28 @@ object Pipeline {
        |SELECT b.query_id, b.vec_id, b.sim, round(b.sim / a.denom, 6) AS margin
        |FROM best b JOIN agg a USING (query_id) ORDER BY b.query_id""".stripMargin
 
+  // --------------------------------------------------------------- q193
+  // Positional phrase search (Curation.phraseSearch): docs containing
+  // the exact token sequence "table scan" with occurrence counts —
+  // the adjacency query BM25's bag-of-words index can't answer. Each
+  // term's filter reaches the scan; joins are postings-sized.
+  private def q193PhraseIndex(s: SparkSession, dir: String): DataFrame =
+    Curation.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        Seq("table", "scan"))
+      .orderBy(col("doc_id"))
+
+  private val q193Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS toks
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |    len(list_filter(range(1, len(toks)),
+      |      i -> toks[i] = 'table' AND toks[i + 1] = 'scan')) AS n_occurrences
+      |  FROM t)
+      |SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+      |FROM m WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q74
   // Segment-level exact dedup: 10-token windows, first occurrence by
   // (doc_id, idx) kept, repeats flagged — per-doc audit counts.
@@ -3443,6 +3465,7 @@ object Pipeline {
     "q190_curriculum" -> q190Curriculum _,
     "q191_index_stats" -> q191IndexStats _,
     "q192_bitext_margin" -> q192BitextMargin _,
+    "q193_phrase_index" -> q193PhraseIndex _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3646,5 +3669,6 @@ object Pipeline {
     "q190_curriculum" -> q190Sql,
     "q191_index_stats" -> q191Sql,
     "q192_bitext_margin" -> q192Sql,
+    "q193_phrase_index" -> q193Sql,
   )
 }

@@ -567,6 +567,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(heavy > 25, s"expected heavy-weight dominance, got $heavy/40")
   }
 
+  test("phraseSearch counts overlapping exact-adjacency occurrences") {
+    val docs = Seq(
+      (1L, "the table scan is slow but the table scan works"),
+      (2L, "table of scans and a scan table"), // terms present, never adjacent
+      (3L, "a a a a"), // overlapping starts: "a a a" twice
+      (4L, "")).toDF("doc_id", "text")
+    val two = Curation.phraseSearch(docs, "doc_id", "text", Seq("table", "scan"))
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 2L))
+    val three = Curation.phraseSearch(docs, "doc_id", "text", Seq("a", "a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(three == Map(3L -> 2L))
+  }
+
   test("secretScan flags planted high-entropy keys, passes natural text") {
     val docs = Seq(
       (1L, "deploy with token sk4Jx9Qw2ZpLm7Rv3TyBh8Nd please"), // random-ish key
