@@ -14,6 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // transparent zone-map file pruning over SkippingStore sidecars —
+    // plain spark.read.parquet(store).filter(...) opens only surviving
+    // files (plans/ZonePrune.scala)
+    ext.injectOptimizerRule(graft.plans.ZonePruneRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -2638,7 +2638,30 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- q194
+  // TRANSPARENT zone pruning (plans/ZonePruneRule via GraftExtensions):
+  // after writeMulti, a PLAIN spark.read.parquet(store).filter(...) —
+  // no graft reader API anywhere — opens only surviving files, because
+  // the optimizer rule consults the sidecar and swaps the file index.
+  // The residual filter stays, so rows are exact either way; pruning
+  // effectiveness and idempotence are ZonePruneSpec's job.
+  private def q194ZoneRule(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("q194", dir, "orders")
+    graft.sinks.SkippingStore.writeMulti(t(s, dir, "orders"),
+      "o_orderdate", Seq("o_orderkey", "o_totalprice"), tmp, 8)
+    s.read.parquet(tmp)
+      .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 90000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q194Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 90000.0
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_zone_rule" -> q194ZoneRule _,
     "q189_cdc_refresh" -> q189CdcRefresh _,
     "q184_snapshot_cdc" -> q184SnapshotCdc _,
     "q181_time_travel" -> q181TimeTravel _,
@@ -2735,6 +2758,7 @@ object Relational {
     "q181_time_travel" -> q181Sql,
     "q184_snapshot_cdc" -> q184Sql,
     "q189_cdc_refresh" -> q189Sql,
+    "q194_zone_rule" -> q194Sql,
     "q146_expire" -> q146Sql,
     "q145_dense_ids" -> q145Sql,
     "q1_agg" -> q1Sql,

@@ -330,6 +330,48 @@ object SkippingStore {
     } finally zm.unpersist()
   }
 
+  /** Optimizer-rule entry ([[graft.plans.ZonePruneRule]]): the file
+    * names of `dir` whose recorded zone for `statsCol` intersects
+    * [lo, hi] (a `None` bound is unbounded). Returns None — meaning
+    * "cannot prune, scan everything" — when the store carries no multi
+    * sidecar, the column is unindexed, or the bound types don't match
+    * the column's stat slots. Same loud coverage check as every other
+    * reader: a stale index must never silently drop rows. */
+  def pruneFileNames(spark: SparkSession, dir: String, statsCol: String,
+                     lo: Option[Any], hi: Option[Any]): Option[Seq[String]] = {
+    if (!pathExists(spark, s"$dir/_zonemap_multi")) return None
+    val zm = spark.read.parquet(s"$dir/_zonemap_multi")
+    val mapped = zm.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    checkCoverage(listDataFileNames(spark, dir).toSet, mapped, dir)
+    val forCol = zm.filter(col("col") === statsCol).cache()
+    try {
+      if (forCol.limit(1).count() == 0) return None
+      val isString =
+        forCol.filter(col("zmin_str").isNotNull).limit(1).count() > 0
+      def num(v: Any): Option[Double] = v match {
+        case n: Number => Some(n.doubleValue)
+        case _ => None
+      }
+      val pred: Option[Column] =
+        if (isString) {
+          if (lo.exists(!_.isInstanceOf[String]) || hi.exists(!_.isInstanceOf[String]))
+            None
+          else Some(
+            lo.map(v => col("zmax_str") >= v.toString).getOrElse(lit(true)) &&
+              hi.map(v => col("zmin_str") <= v.toString).getOrElse(lit(true)))
+        } else {
+          val loD = lo.map(num); val hiD = hi.map(num)
+          if (loD.exists(_.isEmpty) || hiD.exists(_.isEmpty)) None
+          else Some(
+            loD.flatten.map(v => col("zmax") >= v).getOrElse(lit(true)) &&
+              hiD.flatten.map(v => col("zmin") <= v).getOrElse(lit(true)))
+        }
+      pred.map(p => forCol.filter(p).select(col("file"))
+        .collect().map(_.getString(0)).toSeq.sorted)
+    } finally forCol.unpersist(): Unit
+  }
+
   /** Prune a [[writeMulti]] store on any NUMERIC or DATE/TIMESTAMP
     * indexed column: open only the files whose recorded [zmin, zmax]
     * for `statsCol` intersects [lo, hi] (widened doubles — datetimes
