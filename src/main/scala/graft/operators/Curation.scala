@@ -756,6 +756,55 @@ object Curation {
           .as("avg_logp"))
   }
 
+  /** DSIR importance score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log-importance weight log p_target(d)/p_raw(d) under two
+    * hashed-unigram bag-of-words models — the cheap distribution-
+    * matching selector that upweights raw-corpus documents resembling
+    * a small in-domain target set. `isTarget` marks the target rows
+    * (they stay part of the raw corpus, as in the paper).
+    *
+    * Features are words hashed into 256 buckets via the md5-prefix
+    * (engine-portable, like every hash in [[graft.operators.Dedup]]);
+    * both models are add-one smoothed over the fixed 256-bucket space,
+    * and per-bucket log-ratios are rounded to 6 decimals and carried
+    * as DECIMAL(28,6) so the per-doc fold is order-independent (the
+    * [[lmScore]] determinism discipline).
+    *
+    * Scale shape: one tokenize+explode pass collapses to per-(doc,
+    * bucket) counts (map-side combine), materialized once for both the
+    * model build and the scorer; the model is ≤256 rows and rides a
+    * broadcast join. Nothing shuffles except the (doc, bucket) partial
+    * aggregate — at 100 TB the shuffled frame is vocabulary-bounded
+    * per doc, not token-sized. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                isTarget: Column): DataFrame = {
+    val occ = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("in_target"),
+        explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("in_target"),
+        substring(md5(col("w")), 1, 2).as("b"))
+      .groupBy(col("doc_id"), col("in_target"), col("b"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // feeds the model AND the scorer (q86/q65 rule)
+    val buckets = occ.groupBy(col("b")).agg(
+      sum(col("k")).as("cr"),
+      sum(when(col("in_target"), col("k")).otherwise(0L)).as("ct"))
+    val tot = buckets.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lw = buckets.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(
+          ((col("ct") + 1).cast("double") / (col("nt") + 256).cast("double")) /
+            ((col("cr") + 1).cast("double") / (col("nr") + 256).cast("double"))), 6)
+          .cast("decimal(28,6)").as("lw"))
+    occ.join(broadcast(lw), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_toks"),
+        sum(col("lw") * col("k")).cast("double").as("log_weight"))
+      .withColumn("selected", col("log_weight") > 0)
+  }
+
   /** Per-group document quota (the Common-Crawl "host cap"): flag the
     * top `cap` docs per group by (`orderCol` desc, id asc); everything
     * else in the group is over-quota. The anti-over-representation

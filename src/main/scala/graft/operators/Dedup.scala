@@ -633,4 +633,51 @@ object Dedup {
         round(col("dist").cast("double") / col("maxlen"), 6).as("edit_ratio"))
       .withColumn("dup", col("edit_ratio") <= maxRatio)
   }
+
+  /** Robust winnowing fingerprints (the MOSS local fingerprinting
+    * algorithm, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every
+    * POSITIONAL word `k`-gram, slide a window of `w` consecutive
+    * hashes, and keep each window's minimum — ties broken toward the
+    * LEFTMOST position. The selected set is the document fingerprint;
+    * it guarantees any shared run of `k + w - 1` tokens between two
+    * documents yields at least one common fingerprint (the property
+    * min/max sampling like [[graft.queries.Pipeline]] q36 cannot give),
+    * at expected density 2/(w+1).
+    *
+    * Determinism & oracle form: the window minimum is taken over the
+    * STRING `md5(gram) || lpad(pos, 10, '0')` — md5 hex is fixed-width,
+    * so lexicographic order on the concatenation is exactly (hash,
+    * position) order, giving the leftmost-min tie-break without struct
+    * comparison, identically in any engine with md5.
+    *
+    * Scale shape: tokenize + gram expansion are map-only; the only
+    * shuffle is the per-document window (partitioned by doc id — never
+    * global), and the output is fingerprint-sized (~2/(w+1) of grams).
+    * Incomplete trailing windows are excluded (`pos <= n_grams - w`),
+    * the standard winnowing contract. */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val gram = (0 until k).map(j => s"toks[i + $j]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k + w - 1) // at least one complete window
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(toks) - $k), i -> $gram)")))
+      .toDF("doc_id", "pos", "gram")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams
+      .withColumn("key",
+        concat(md5(col("gram")), lpad(col("pos").cast("string"), 10, "0")))
+      .withColumn("n_grams", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("sel", min(col("key")).over(win.rowsBetween(0, w - 1)))
+      .filter(col("pos") <= col("n_grams") - w)
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"),
+        substring(col("sel"), 1, 32).as("fp"),
+        expr("CAST(substring(sel, 33, 10) AS BIGINT)").as("pos"))
+  }
 }

@@ -18,6 +18,13 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Per-input-dir scratch path: hashing `dir` in keeps concurrent
+    * sessions on different SFs from expiring each other's store
+    * mid-query (the q146 collision fix, applied store-wide). */
+  private def scratch(tag: String, dir: String): String =
+    sys.props("java.io.tmpdir") +
+      s"/graft_${tag}_store_${java.lang.Integer.toHexString(dir.hashCode)}"
+
   /** Shared oracle fragment: distinct word n-gram shingles per doc. */
   private def shingleCte(n: Int): String = {
     val parts = (0 until n).map(j => s"t[i + $j]").mkString(" || ' ' || ")
@@ -1755,6 +1762,103 @@ object Pipeline {
       |SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
       |FROM m WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q196
+  // Robust winnowing fingerprints (Dedup.winnow, MOSS SIGMOD'03):
+  // positional 4-gram hashes, window-of-8 minima with leftmost-min
+  // tie-break — the coverage-guaranteed fingerprint set q36's min/max
+  // sampling cannot give. Per-doc windows only; output fingerprint-
+  // sized (~2/(w+1) of grams).
+  private def q196Winnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnow(t(s, dir, "documents"), "doc_id", "text", 4, 8)
+      .orderBy(col("doc_id"), col("pos"))
+
+  private val q196Sql =
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |           FROM documents
+      |           WHERE len(string_split_regex(text, '\s+')) >= 11),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |        md5(array_to_string(list_slice(toks, i, i + 3), ' ')) AS h,
+      |        len(toks) - 3 AS ng
+      |      FROM (SELECT doc_id, toks,
+      |              unnest(generate_series(1, len(toks) - 3)) AS i
+      |            FROM t)),
+      |sel AS (SELECT doc_id, pos, ng,
+      |          min(h || lpad(CAST(pos AS VARCHAR), 10, '0'))
+      |            OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS s
+      |        FROM g)
+      |SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp,
+      |  CAST(substr(s, 33, 10) AS BIGINT) AS pos
+      |FROM sel WHERE pos <= ng - 8 ORDER BY doc_id, pos""".stripMargin
+
+  // --------------------------------------------------------------- q197
+  // DSIR importance resampling score (Curation.dsirScore): hashed-
+  // unigram log p_target/p_raw with lang='en' as the target set —
+  // the distribution-matching data selector. 256-bucket md5 features,
+  // decimal-stable per-doc fold, model broadcast.
+  private def q197Dsir(s: SparkSession, dir: String): DataFrame =
+    Curation.dsirScore(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  private val q197Sql =
+    """WITH w AS (SELECT doc_id, lang = 'en' AS tgt,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                       x -> length(x) > 0)) AS w
+      |  FROM documents),
+      |occ AS (SELECT doc_id, tgt, substr(md5(w), 1, 2) AS b, COUNT(*) AS k
+      |        FROM w GROUP BY doc_id, tgt, b),
+      |bk AS (SELECT b, SUM(k) AS cr,
+      |         SUM(CASE WHEN tgt THEN k ELSE 0 END) AS ct
+      |       FROM occ GROUP BY b),
+      |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM bk),
+      |lw AS (SELECT b,
+      |         CAST(round(ln(((ct + 1) / CAST(nt + 256 AS DOUBLE)) /
+      |                       ((cr + 1) / CAST(nr + 256 AS DOUBLE))), 6)
+      |              AS DECIMAL(28,6)) AS lw
+      |       FROM bk CROSS JOIN tot)
+      |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_toks,
+      |  CAST(SUM(lw * k) AS DOUBLE) AS log_weight,
+      |  CAST(SUM(lw * k) AS DOUBLE) > 0 AS selected
+      |FROM occ JOIN lw USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q198
+  // JSONL corpus round-trip (sources/JsonlCorpus): documents written
+  // as one-object-per-line, read back under an EXPLICIT schema (no
+  // inference pass) with two planted malformed lines ROUTED to the
+  // rejects frame — the quarantine discipline of the reference's
+  // GAF/GFF3 invalid-row logging on the format web corpora ship in.
+  private def q198Jsonl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import s.implicits._
+    val tmp = scratch("q198", dir) + "/docs_jsonl"
+    graft.sources.JsonlCorpus.write(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text")), tmp)
+    Seq("{\"doc_id\": oops", "[3, 4").toDF("value")
+      .coalesce(1).write.mode("append").text(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("text", StringType)))
+    val (valid, rejects) = graft.sources.JsonlCorpus.read(s, tmp, schema)
+    valid.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .unionByName(rejects
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("_rejected").as("lang"), col("n_docs"),
+          lit(null).cast("long").as("sum_chars")))
+      .orderBy(col("lang"))
+  }
+
+  private val q198Sql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang
+      |UNION ALL
+      |SELECT '_rejected', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+      |ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q74
   // Segment-level exact dedup: 10-token windows, first occurrence by
   // (doc_id, idx) kept, repeats flagged — per-doc audit counts.
@@ -2646,7 +2750,7 @@ object Pipeline {
   // — the bloom sidecar must (require(kept < total) proves it in-plan,
   // the q128 pattern). The oracle sees only the relational result.
   private def q140BloomSkip(s: SparkSession, dir: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") + "/graft_q140_store"
+    val out = scratch("q140", dir)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("key"),
         col("n_chars"))
@@ -2707,7 +2811,7 @@ object Pipeline {
   // the store and its canonical prior copy. Batch-sized cost, not
   // corpus-sized — the continuous-crawl dedup shape.
   private def q142DedupDelta(s: SparkSession, dir: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") + "/graft_q142_store"
+    val out = scratch("q142", dir)
     val docs = t(s, dir, "documents")
     Dedup.bandSignatures(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", 3, 8, 4)
@@ -3466,6 +3570,9 @@ object Pipeline {
     "q191_index_stats" -> q191IndexStats _,
     "q192_bitext_margin" -> q192BitextMargin _,
     "q193_phrase_index" -> q193PhraseIndex _,
+    "q196_winnow" -> q196Winnow _,
+    "q197_dsir" -> q197Dsir _,
+    "q198_jsonl" -> q198Jsonl _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3670,5 +3777,8 @@ object Pipeline {
     "q191_index_stats" -> q191Sql,
     "q192_bitext_margin" -> q192Sql,
     "q193_phrase_index" -> q193Sql,
+    "q196_winnow" -> q196Sql,
+    "q197_dsir" -> q197Sql,
+    "q198_jsonl" -> q198Sql,
   )
 }
