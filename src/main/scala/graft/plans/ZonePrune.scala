@@ -2,30 +2,39 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Transparent zone-map file pruning as a Catalyst optimizer rule —
-  * the piece that turns the [[graft.sinks.SkippingStore]] sidecar from
-  * an explicit reader API into an ambient property of the session:
-  * `spark.read.parquet(store).filter($"x" between (a, b))` opens only
-  * the surviving files, with no graft-specific call site, exactly as
+/** Transparent sidecar-driven file pruning as a Catalyst optimizer
+  * rule — the piece that turns the [[graft.sinks.SkippingStore]]
+  * sidecars from an explicit reader API into an ambient property of
+  * the session: `spark.read.parquet(store).filter(...)` opens only the
+  * surviving files, with no graft-specific call site, exactly as
   * Delta's data-skipping integrates. Registered through
   * [[graft.GraftExtensions]] (`injectOptimizerRule`).
   *
   * Mechanics: a `Filter` directly over a V1 parquet `LogicalRelation`
-  * whose root directory carries a `_zonemap_multi` sidecar has its
-  * conjunctive range predicates (attr ⋈ literal, with the numeric-cast
-  * shapes type coercion inserts) evaluated against the sidecar
-  * driver-side; the relation's file index is replaced by an
-  * [[InMemoryFileIndex]] over the surviving files only. The original
-  * Filter stays on top as the exact residual, so the rewrite can only
-  * ever REMOVE provably-empty files — correctness rides on the zone
-  * intersection logic the SkippingStore specs pin down, plus its loud
-  * stale-index coverage check.
+  * whose root directory carries a `_zonemap_multi` and/or `_bloommap`
+  * sidecar has its conjunctive predicates evaluated against the
+  * sidecars driver-side; the relation's file index is replaced by an
+  * [[InMemoryFileIndex]] over the surviving files only. Three
+  * predicate families prune:
+  *  - range comparisons (attr ⋈ literal, either side, with the
+  *    numeric-cast shapes type coercion inserts) → zone intersection;
+  *  - equality → zone ∩ Bloom (the Bloom side covers hash-scattered
+  *    columns zones can't, and only engages when the sidecar's
+  *    `keycol` marker proves it indexes that column);
+  *  - IN-lists (`In` and the set-converted `InSet`) → the union of the
+  *    per-value equality survivor sets.
+  * The original Filter stays on top as the exact residual, so the
+  * rewrite can only ever REMOVE provably-empty files — correctness
+  * rides on the zone-intersection and no-false-negative properties the
+  * SkippingStore specs pin down, plus its loud stale-index coverage
+  * check.
   *
   * Idempotent under Catalyst's fixed-point batches: once pruned, the
   * recomputed survivor set equals the relation's current file list and
@@ -34,7 +43,8 @@ import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, Times
   * shape) falls back to the unpruned plan — the rule may only ever
   * make a query faster, never break it. DATE literals are skipped
   * (their internal days encoding does not match the sidecar's
-  * epoch-micros widening); timestamp literals carry micros and prune.
+  * epoch-micros widening); timestamp literals carry micros and prune
+  * zones (never Bloom probes — the cast would reread them as seconds).
   */
 case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -44,48 +54,92 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       try prune(f, cond, l) catch { case scala.util.control.NonFatal(_) => f }
   }
 
-  /** Conjunctive (column, lo, hi) bounds from the filter condition;
-    * one entry per comparison — survivor sets intersect across them. */
-  private def ranges(cond: Expression): Seq[(String, Option[Any], Option[Any])] = {
-    def attrName(e: Expression): Option[String] = e match {
-      case a: AttributeReference => Some(a.name)
-      case Cast(a: AttributeReference, _, _, _) => Some(a.name)
-      case _ => None
-    }
-    def litVal(e: Expression): Option[Any] = e match {
-      case Literal(v, DateType) => None // days encoding ≠ micros widening
-      case Literal(v, StringType) => Option(v).map(_.toString)
-      case Literal(v, TimestampType) => Option(v) // micros Long
-      case Literal(v, TimestampNTZType) => Option(v)
-      case Literal(v, _) => Option(v)
-      case Cast(Literal(v, StringType), TimestampType, _, _) => None // not folded yet
-      case _ => None
-    }
-    cond match {
-      case And(a, b) => ranges(a) ++ ranges(b)
-      case GreaterThanOrEqual(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
-        Seq((attrName(a).get, litVal(v), None))
-      case GreaterThan(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
-        Seq((attrName(a).get, litVal(v), None))
-      case LessThanOrEqual(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
-        Seq((attrName(a).get, None, litVal(v)))
-      case LessThan(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
-        Seq((attrName(a).get, None, litVal(v)))
-      case EqualTo(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
-        Seq((attrName(a).get, litVal(v), litVal(v)))
-      // flipped literal-first forms
-      case GreaterThanOrEqual(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
-        Seq((attrName(a).get, None, litVal(v)))
-      case GreaterThan(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
-        Seq((attrName(a).get, None, litVal(v)))
-      case LessThanOrEqual(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
-        Seq((attrName(a).get, litVal(v), None))
-      case LessThan(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
-        Seq((attrName(a).get, litVal(v), None))
-      case EqualTo(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
-        Seq((attrName(a).get, litVal(v), litVal(v)))
-      case _ => Seq.empty
-    }
+  /** Per-value survivor computation runs driver-side sidecar jobs —
+    * bound the IN-list size so planning stays O(small), the same
+    * reasoning as Spark's own optimizer IN thresholds. */
+  private val MaxInValues = 32
+
+  private sealed trait Pred
+  private case class RangeP(col: String, lo: Option[Any], hi: Option[Any]) extends Pred
+  private case class EqP(col: String, value: Any) extends Pred
+  private case class InP(col: String, values: Seq[Any]) extends Pred
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case Cast(a: AttributeReference, _, _, _) => Some(a.name)
+    case _ => None
+  }
+
+  private def litVal(e: Expression): Option[Any] = e match {
+    case Literal(_, DateType) => None // days encoding ≠ micros widening
+    case Literal(v, StringType) => Option(v).map(_.toString)
+    case Literal(v, TimestampType) => Option(v) // micros Long
+    case Literal(v, TimestampNTZType) => Option(v)
+    case Literal(v, _) => Option(v)
+    case _ => None
+  }
+
+  /** Conjunctive prunable predicates; survivor sets intersect across
+    * them. */
+  private def preds(cond: Expression): Seq[Pred] = cond match {
+    case And(a, b) => preds(a) ++ preds(b)
+    case EqualTo(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
+      Seq(EqP(attrName(a).get, litVal(v).get))
+    case EqualTo(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
+      Seq(EqP(attrName(a).get, litVal(v).get))
+    case In(a, list) if attrName(a).isDefined &&
+        list.nonEmpty && list.length <= MaxInValues =>
+      val vals = list.map(litVal)
+      if (vals.forall(_.isDefined)) Seq(InP(attrName(a).get, vals.flatten))
+      else Seq.empty
+    case InSet(a, hset) if attrName(a).isDefined &&
+        hset.nonEmpty && hset.size <= MaxInValues &&
+        !a.dataType.isInstanceOf[DateType] =>
+      val vals = hset.toSeq.map {
+        case s: UTF8String => s.toString
+        case v => v
+      }
+      if (vals.forall(_ != null)) Seq(InP(attrName(a).get, vals)) else Seq.empty
+    case GreaterThanOrEqual(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
+      Seq(RangeP(attrName(a).get, litVal(v), None))
+    case GreaterThan(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
+      Seq(RangeP(attrName(a).get, litVal(v), None))
+    case LessThanOrEqual(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
+      Seq(RangeP(attrName(a).get, None, litVal(v)))
+    case LessThan(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
+      Seq(RangeP(attrName(a).get, None, litVal(v)))
+    // flipped literal-first forms
+    case GreaterThanOrEqual(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
+      Seq(RangeP(attrName(a).get, None, litVal(v)))
+    case GreaterThan(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
+      Seq(RangeP(attrName(a).get, None, litVal(v)))
+    case LessThanOrEqual(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
+      Seq(RangeP(attrName(a).get, litVal(v), None))
+    case LessThan(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
+      Seq(RangeP(attrName(a).get, litVal(v), None))
+    case _ => Seq.empty
+  }
+
+  /** The files that might satisfy `p`, or None when the sidecars can't
+    * say. Equality intersects zone and Bloom evidence when both
+    * exist; an IN-list can only prune when EVERY value is prunable
+    * (one unprunable value could live anywhere). */
+  private def survivors(dir: String, p: Pred): Option[Set[String]] = p match {
+    case RangeP(c, lo, hi) =>
+      graft.sinks.SkippingStore.pruneFileNames(spark, dir, c, lo, hi).map(_.toSet)
+    case EqP(c, v) =>
+      val z = graft.sinks.SkippingStore
+        .pruneFileNames(spark, dir, c, Some(v), Some(v)).map(_.toSet)
+      val b = graft.sinks.SkippingStore
+        .bloomFileNames(spark, dir, c, v).map(_.toSet)
+      (z, b) match {
+        case (Some(x), Some(y)) => Some(x intersect y)
+        case (x, y) => x.orElse(y)
+      }
+    case InP(c, vs) =>
+      val sets = vs.map(v => survivors(dir, EqP(c, v)))
+      if (sets.exists(_.isEmpty)) None
+      else Some(sets.flatten.foldLeft(Set.empty[String])(_ union _))
   }
 
   private def prune(f: Filter, cond: Expression, l: LogicalRelation): LogicalPlan = {
@@ -100,19 +154,18 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         roots.head.toString
       else roots.head.getParent.toString
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(s"$dir/_zonemap_multi"))) return f
-    val bounds = ranges(cond)
-    if (bounds.isEmpty) return f
-    val survivorSets = bounds.flatMap { case (c, lo, hi) =>
-      graft.sinks.SkippingStore.pruneFileNames(spark, dir, c, lo, hi)
-    }
+    if (!fs.exists(new Path(s"$dir/_zonemap_multi")) &&
+      !fs.exists(new Path(s"$dir/_bloommap"))) return f
+    val ps = preds(cond)
+    if (ps.isEmpty) return f
+    val survivorSets = ps.flatMap(p => survivors(dir, p))
     if (survivorSets.isEmpty) return f
-    val survivors = survivorSets.map(_.toSet).reduce(_ intersect _)
+    val surviving = survivorSets.reduce(_ intersect _)
     val current = rel.location.inputFiles
       .map(p => new Path(p).getName).toSet
-    if (survivors == current) return f // fixed point
+    if (surviving == current) return f // fixed point
     val idx = new InMemoryFileIndex(spark,
-      survivors.toSeq.sorted.map(n => new Path(s"$dir/$n")),
+      surviving.toSeq.sorted.map(n => new Path(s"$dir/$n")),
       Map.empty, Some(rel.dataSchema))
     Filter(cond, l.copy(relation = rel.copy(location = idx)(spark)))
   }

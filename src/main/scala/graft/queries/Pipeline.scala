@@ -2772,6 +2772,39 @@ object Pipeline {
       |WHERE md5(CAST(doc_id AS VARCHAR)) = md5('42')
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q195
+  // TRANSPARENT bloom pruning (plans/ZonePruneRule): q140's point
+  // lookup with NO graft reader API anywhere — a plain
+  // spark.read.parquet(store).filter(key = ...) consults the keycol-
+  // marked _bloommap sidecar inside the optimizer and opens only the
+  // candidate files. The in-plan require proves files were skipped.
+  private def q195BloomRule(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q195", dir)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("key"),
+        col("n_chars"))
+    graft.sinks.SkippingStore.write(docs, "doc_id", out, nFiles = 12)
+    graft.sinks.SkippingStore.bloomIndex(s, out, "key", nbits = 1 << 17, k = 5)
+    val target = java.security.MessageDigest.getInstance("MD5")
+      .digest("42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = s.read.parquet(out).filter(col("key") === target)
+      .select(col("doc_id"), col("key"), col("n_chars"))
+      .orderBy(col("doc_id"))
+    val scanned = got.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.relation.location.inputFiles.length
+    }.sum
+    require(scanned < 12,
+      s"the optimizer rule must bloom-prune the plain read ($scanned of 12 files)")
+    got
+  }
+
+  private val q195Sql =
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key, n_chars
+      |FROM documents
+      |WHERE md5(CAST(doc_id AS VARCHAR)) = md5('42')
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -3573,6 +3606,7 @@ object Pipeline {
     "q196_winnow" -> q196Winnow _,
     "q197_dsir" -> q197Dsir _,
     "q198_jsonl" -> q198Jsonl _,
+    "q195_bloom_rule" -> q195BloomRule _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3780,5 +3814,6 @@ object Pipeline {
     "q196_winnow" -> q196Sql,
     "q197_dsir" -> q197Sql,
     "q198_jsonl" -> q198Sql,
+    "q195_bloom_rule" -> q195Sql,
   )
 }

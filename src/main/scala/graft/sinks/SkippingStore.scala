@@ -372,6 +372,57 @@ object SkippingStore {
     } finally forCol.unpersist(): Unit
   }
 
+  /** Optimizer-rule entry ([[graft.plans.ZonePruneRule]]): the file
+    * names of `dir` whose Bloom filter might contain `value` in
+    * `keyCol` — the equality-skipping path for columns whose values
+    * scatter uniformly so zones can't help. Returns None — "cannot
+    * prune" — when the store has no `_bloommap`, the sidecar predates
+    * the `keycol` marker (the rule can't verify WHICH column it
+    * indexes), it indexes a different column, geometries are mixed, or
+    * the literal isn't a string/number/boolean (a long-encoded
+    * timestamp literal must NOT be cast-probed: `CAST(long AS
+    * TIMESTAMP)` reads seconds, not the micros the index hashed).
+    * Same distributive probe and loud coverage check as
+    * [[readBloomEq]]; false negatives impossible, so the rule may only
+    * drop files that provably lack the value. */
+  def bloomFileNames(spark: SparkSession, dir: String, keyCol: String,
+                     value: Any): Option[Seq[String]] = {
+    if (!pathExists(spark, s"$dir/_bloommap")) return None
+    value match {
+      case _: String | _: java.lang.Number | _: java.lang.Boolean => ()
+      case _ => return None
+    }
+    val bm = bloomMap(spark, dir)
+    if (!bm.columns.contains("keycol")) return None
+    val geom = bm.select(col("nbits"), col("k"), col("keycol"))
+      .distinct().collect()
+    if (geom.length != 1 || geom.head.getString(2) != keyCol) return None
+    val nbits = geom.head.getInt(0)
+    val k = geom.head.getInt(1)
+    val mapped = bm.select(col("file")).collect().map(_.getString(0)).toSet
+    checkCoverage(listDataFileNames(spark, dir).toSet, mapped, dir)
+    val keyType = spark.read.parquet(dir).schema(keyCol).dataType
+    keyType match {
+      // a rule-extracted timestamp literal arrives as micros-Long;
+      // CAST(long AS TIMESTAMP) reads seconds — never probe datetimes
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => return None
+      case _ => ()
+    }
+    val probeCols = (0 until k).map(i =>
+      pmod(xxhash64(lit(value).cast(keyType), lit(i)), lit(nbits.toLong)))
+    val probe = spark.range(1).select(probeCols: _*).head()
+    val want = (0 until k).map(i => probe.getLong(i))
+    val iw = map_from_arrays(col("idxs"), col("words"))
+    val hasAllBits = want.map { p =>
+      coalesce(element_at(iw, lit((p / 64).toInt)), lit(0L))
+        .bitwiseAND(lit(1L << (p % 64).toInt)) =!= lit(0L)
+    }.reduce(_ && _)
+    Some(bm.filter(hasAllBits)
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted)
+  }
+
   /** Prune a [[writeMulti]] store on any NUMERIC or DATE/TIMESTAMP
     * indexed column: open only the files whose recorded [zmin, zmax]
     * for `statsCol` intersects [lo, hi] (widened doubles — datetimes
@@ -458,9 +509,14 @@ object SkippingStore {
       .write.mode("overwrite").parquet(s"$dir/_bloommap")
   }
 
-  /** One (file, idxs, words, nbits, k) sidecar row per data file of
-    * `data` — the distributive two-level bit_or packing shared by
-    * [[bloomIndex]] and [[bloomAppend]]. */
+  /** One (file, idxs, words, nbits, k, keycol) sidecar row per data
+    * file of `data` — the distributive two-level bit_or packing shared
+    * by [[bloomIndex]] and [[bloomAppend]]. `keycol` records WHICH
+    * column the filter indexes, so the transparent optimizer rule
+    * ([[graft.plans.ZonePruneRule]]) can verify a predicate targets
+    * the indexed column before trusting the sidecar; pre-keycol
+    * sidecars are simply not rule-prunable ([[bloomFileNames]] returns
+    * None for them). */
   private def bloomRows(data: DataFrame, keyCol: String,
                         nbits: Int, k: Int): DataFrame = {
     val probes = (0 until k).map(i =>
@@ -474,7 +530,7 @@ object SkippingStore {
       .agg(sort_array(collect_list(struct(col("idx"), col("word")))).as("iw"))
       .select(col("file"),
         col("iw.idx").as("idxs"), col("iw.word").as("words"),
-        lit(nbits).as("nbits"), lit(k).as("k"))
+        lit(nbits).as("nbits"), lit(k).as("k"), lit(keyCol).as("keycol"))
   }
 
   /** Extend the bloom sidecar to cover files appended since the last
@@ -492,13 +548,22 @@ object SkippingStore {
       s"$dir/_bloommap mixes filter geometries — rebuild with bloomIndex")
     val nbits = geom.head.getInt(0)
     val k = geom.head.getInt(1)
+    if (bm.columns.contains("keycol")) {
+      val kc = bm.select(col("keycol")).distinct().collect().map(_.getString(0))
+      require(kc.sameElements(Array(keyCol)),
+        s"$dir/_bloommap indexes ${kc.mkString(",")}, not $keyCol — rebuild with bloomIndex")
+    }
     val mapped = bm.select(col("file")).collect().map(_.getString(0)).toSet
     val newFiles = listDataFileNames(spark, dir).filterNot(mapped)
-    if (newFiles.nonEmpty)
-      bloomRows(spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*),
-          keyCol, nbits, k)
+    if (newFiles.nonEmpty) {
+      val rows = bloomRows(spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*),
+        keyCol, nbits, k)
+      // a pre-keycol sidecar keeps its schema — mixed parquet footers
+      // would make the unmerged sidecar read schema-dependent
+      (if (bm.columns.contains("keycol")) rows else rows.drop("keycol"))
         .coalesce(1)
         .write.mode("append").parquet(s"$dir/_bloommap")
+    }
   }
 
   /** The bloom sidecar as a DataFrame (one row per data file). */

@@ -169,6 +169,65 @@ object StreamingMerge {
       }
       .start()
 
+  /** Streaming ingest into an INDEXED [[graft.sinks.SkippingStore]]:
+    * each micro-batch appends zone-sorted data files AND extends the
+    * `_zonemap_multi` (and optionally `keycol`-marked `_bloommap`)
+    * sidecars incrementally — so the store stays prunable, by the
+    * explicit readers and by the transparent
+    * [[graft.plans.ZonePruneRule]], while the stream runs. Sidecar
+    * maintenance per batch scans only the batch's NEW files
+    * (appendMulti/bloomAppend), so indexing cost is batch-sized, never
+    * store-sized.
+    *
+    * Replay safety: rows carry `_applied_batch` in the same append
+    * (the [[dedupIngest]] gate); `checkpointDir` is REQUIRED and pairs
+    * lifetimes with the store ([[aggMaintain]]). Crash between the
+    * data append and the sidecar extension leaves unmapped files;
+    * every pruned reader then REFUSES loudly (the coverage check)
+    * rather than silently dropping rows, and the next applied batch
+    * heals the hole — appendMulti/bloomAppend index every unmapped
+    * file, not just their own. */
+  def indexedIngest(spark: SparkSession, inDir: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    storeDir: String, checkpointDir: String,
+                    sortCol: String, statsCols: Seq[String],
+                    bloomCol: Option[String] = None, nFiles: Int = 4):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIndexedBatch(batch, batchId, storeDir, sortCol, statsCols,
+          bloomCol, nFiles): Unit
+      }
+      .start()
+
+  /** One indexed-store commit, replay-safe; factored out so the
+    * idempotence contract is directly testable. Returns false when the
+    * batch was already applied; refuses loudly on a reset id lineage
+    * ([[replayGateSkips]]). */
+  def applyIndexedBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                        sortCol: String, statsCols: Seq[String],
+                        bloomCol: Option[String], nFiles: Int): Boolean = {
+    import graft.sinks.SkippingStore
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val exists = p.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(p)
+    val marked = batch.withColumn("_applied_batch", lit(batchId))
+    if (!exists) {
+      SkippingStore.writeMulti(marked, sortCol, statsCols, storeDir, nFiles)
+      bloomCol.foreach(c => SkippingStore.bloomIndex(spark, storeDir, c))
+    } else {
+      if (replayGateSkips(spark, storeDir, batchId))
+        return false // replayed batch
+      SkippingStore.appendMulti(marked, sortCol, storeDir, nFiles)
+      bloomCol.foreach(c => SkippingStore.bloomAppend(spark, storeDir, c))
+    }
+    true
+  }
+
   /** One versioned-ingest commit, replay-safe; factored out so the
     * idempotence contract is directly testable. Returns false when the
     * batch's tag already heads the store (the one legitimate

@@ -34,6 +34,7 @@ object BoundedFamilies {
         "q161_sq8_topk" -> Set(Set("q_scale", "q_codes")),
         "q165_sq8_recall" -> Set(Set("q_scale", "q_codes"), Set("qv")),
         "q148_lm_buckets" -> Set(Set("t1", "t2")),
+        "q197_dsir" -> Set(Set("nr", "nt")),
         "q71_mixture" -> Set(Set("nstar")),
         "q85_curation_v2" -> Set(Set("nstar")))),
     ("probe-keys",
@@ -67,6 +68,8 @@ object BoundedFamilies {
         "q85_curation_v2" -> Set(Set("lang", "rate")),
         "q96_semantic_dedup" -> Set(Set("cell", "rep_id", "rv")),
         "q162_oov_rate" -> Set(Set("tok", "in_vocab")),
+        // the 256-bucket hashed-unigram log-ratio table (fixed feature space)
+        "q197_dsir" -> Set(Set("b", "lw")),
         "q163_temperature_mix" -> Set(Set("lang", "weight", "alloc")),
         "q166_curation_v3" -> Set(Set("tok", "in_vocab"),
           Set("lang", "weight", "alloc")))),

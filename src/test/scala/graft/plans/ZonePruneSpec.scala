@@ -73,4 +73,51 @@ class ZonePruneSpec extends SparkSpec {
     assert(scannedFiles(got).size == 4) // w carries no zones
     assert(got.count() == df.filter($"w" === 3).count())
   }
+
+  // a key that scatters uniformly across every file's range: zones are
+  // useless, only the Bloom sidecar can prune the point lookup
+  private lazy val bloomStore: (String, DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory("zpbloom").toString + "/s"
+    val df = Seq.tabulate(400)(i => (i, s"h${i % 97}x${i}"))
+      .toDF("k", "key")
+    SkippingStore.write(df, "k", dir, nFiles = 8)
+    SkippingStore.bloomIndex(spark, dir, "key", nbits = 1 << 14, k = 5)
+    (dir, df)
+  }
+
+  test("equality on a bloom-indexed hash column prunes a plain read") {
+    val (dir, df) = bloomStore
+    val got = spark.read.parquet(dir).filter($"key" === "h5x102")
+    assert(scannedFiles(got).size < 8,
+      s"bloom must prune a point lookup, scanned ${scannedFiles(got).size} of 8")
+    assert(got.select($"k").as[Int].collect().toSeq == Seq(102))
+    // absent value: provably-empty everywhere is allowed to scan nothing
+    val miss = spark.read.parquet(dir).filter($"key" === "nope")
+    assert(miss.count() == 0)
+  }
+
+  test("IN-lists prune to the union of per-value survivor sets") {
+    val (dir, _) = bloomStore
+    val got = spark.read.parquet(dir).filter($"key".isin("h5x102", "h12x206"))
+    assert(scannedFiles(got).size < 8)
+    assert(got.select($"k").as[Int].collect().toSet == Set(102, 206))
+    // zone-side IN on the sorted store column
+    val (zdir, zdf) = store
+    val zi = spark.read.parquet(zdir).filter($"k".isin(3, 397))
+    assert(scannedFiles(zi).size == 2) // first and last file only
+    assert(zi.select($"v").as[Int].collect().toSet ==
+      zdf.filter($"k".isin(3, 397)).select($"v").as[Int].collect().toSet)
+  }
+
+  test("a pre-keycol bloom sidecar is not rule-prunable but stays correct") {
+    val (dir, df) = bloomStore
+    val legacy = java.nio.file.Files.createTempDirectory("zplegacy").toString + "/s"
+    df.write.parquet(legacy)
+    // simulate a legacy sidecar: today's map minus the keycol marker
+    spark.read.parquet(s"$dir/_bloommap").drop("keycol")
+      .write.parquet(s"$legacy/_bloommap")
+    val got = spark.read.parquet(legacy).filter($"key" === "h5x102")
+    assert(got.select($"k").as[Int].collect().toSeq == Seq(102))
+    assert(SkippingStore.bloomFileNames(spark, legacy, "key", "h5x102").isEmpty)
+  }
 }
