@@ -193,6 +193,10 @@ object GraftCli {
     case "pagerank" :: edges :: out :: rest if rest.size <= 2 =>
       pageRank(edges, out, rest.headOption.map(_.toInt).getOrElse(10),
         rest.drop(1).headOption.map(_.toDouble).getOrElse(0.85))
+    case "indexedingest" :: batch :: dir :: sortCol :: statsCols :: rest
+        if rest.size <= 1 =>
+      indexedIngestCmd(batch, dir, sortCol, statsCols.split(',').toSeq,
+        rest.headOption)
     case "bloomindex" :: dir :: keyCol :: rest if rest.size <= 2 =>
       bloomIndex(dir, keyCol, rest.headOption.map(_.toInt).getOrElse(1 << 17),
         rest.drop(1).headOption.map(_.toInt).getOrElse(5))
@@ -291,6 +295,7 @@ object GraftCli {
            |           vread <storedir> <outdir> [version]
            |           vdiff <storedir> <from_v> <to_v> <outdir>
            |           vvacuum <storedir> <keep_last>
+           |           indexedingest <batch.parquet> <storedir> <sortcol> <statscol,...> [bloomcol]
            |           bloomindex <storedir> <keycol> [nbits] [hashes]
            |           bloomappend <storedir> <keycol>
            |           bloomquery <storedir> <keycol> <value> <outdir>
@@ -1665,6 +1670,34 @@ object GraftCli {
     * lookups on scattered keys (hashes, URLs) where min/max zones can't
     * prune — index any parquet store once, then serve point lookups
     * that open only the files whose filter holds the probe bits. */
+  /** Manually apply one batch to an indexed store (the batch arm of
+    * [[graft.streaming.StreamingMerge.indexedIngest]]): appends
+    * zone-sorted files and extends the multi-zone (and optional bloom)
+    * sidecars, batch-sized. The batch id continues the store's
+    * `_applied_batch` lineage so a later stream attach sees a
+    * consistent gate. */
+  private def indexedIngestCmd(batch: String, dir: String, sortCol: String,
+                               statsCols: Seq[String],
+                               bloomCol: Option[String]): Unit = {
+    val spark = GraftSession.local()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nextId =
+      if (!fs.exists(p)) 0L
+      else spark.read.option("mergeSchema", "true").parquet(dir)
+        .agg(max(col("_applied_batch"))).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long] + 1L))
+        .getOrElse(0L)
+    val applied = graft.streaming.StreamingMerge.applyIndexedBatch(
+      spark.read.parquet(batch), nextId, dir, sortCol, statsCols,
+      bloomCol, nFiles = 8)
+    val files = spark.read.parquet(s"$dir/_zonemap_multi")
+      .select(col("file")).distinct().count()
+    println(s"batch=$nextId applied=$applied store=$dir files=$files" +
+      bloomCol.map(c => s" bloom=$c").getOrElse(""))
+    spark.stop()
+  }
+
   private def bloomIndex(dir: String, keyCol: String, nbits: Int,
                          k: Int): Unit = {
     val spark = GraftSession.local()
