@@ -11,6 +11,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A/B knob for the transparent pruning rule's planning overhead
+      .config("spark.graft.zoneprune.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ZONEPRUNE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: session/codegen/file-index init lands here, not in q1

@@ -805,6 +805,64 @@ object Curation {
       .withColumn("selected", col("log_weight") > 0)
   }
 
+  /** Zipf power-law fit: least-squares slope/intercept of ln(freq) on
+    * ln(rank) over the top-`topRanks` tokens — the classic corpus
+    * health diagnostic (natural language sits near slope -1; heavy
+    * boilerplate, templated spam, or synthetic text bends the line).
+    *
+    * Scale shape: token counting is one map-side-combined aggregate;
+    * the shortlist is `orderBy().limit(topRanks)` (TakeOrderedAndProject
+    * — a bounded top-k, NOT a global sort), and the only partition-less
+    * window assigns ranks over that LIMIT-bounded frame. The whole
+    * regression stays in EXACT bounded-precision DECIMAL arithmetic —
+    * 6-decimal terms, closed-form numerators/denominators as decimal
+    * products that provably fit precision 38 — so each output is ONE
+    * division of two engine-identical exact decimals: no intermediate
+    * double whose last ulp could flip the 6-decimal rounding (the
+    * failure mode a naive double pipeline hits at rounding-boundary
+    * corpora). */
+  def zipfFit(docs: DataFrame, textCol: String, topRanks: Int): DataFrame = {
+    require(topRanks >= 2 && topRanks <= 1000,
+      "topRanks in [2, 1000] (decimal precision budget)")
+    val tf = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val top = tf.orderBy(col("f").desc, col("w")).limit(topRanks)
+    val ranked = top
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("f").desc, col("w"))))
+      .select(
+        round(log(col("rk").cast("double")), 6).cast("decimal(10,6)").as("x"),
+        round(log(col("f").cast("double")), 6).cast("decimal(10,6)").as("y"))
+    val s = ranked.agg(
+      count(lit(1)).cast("decimal(4,0)").as("n"),
+      sum(col("x")).cast("decimal(10,6)").as("sx"),
+      sum(col("y")).cast("decimal(10,6)").as("sy"),
+      sum(col("x") * col("x")).cast("decimal(17,12)").as("sxx"),
+      sum(col("x") * col("y")).cast("decimal(17,12)").as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy") // exact (23,12)
+    val den = col("n") * col("sxx") - col("sx") * col("sx") // exact (23,12)
+    s.select(col("n").cast("long").as("n_ranks"),
+      round(num.cast("double") / den.cast("double"), 6).as("slope"),
+      round((col("sy") * den - num * col("sx")).cast("double") /
+        (col("n") * den).cast("double"), 6).as("intercept"))
+  }
+
+  /** Deterministic hash-threshold sampling: keep a row iff the first
+    * `hexDigits` of md5(id) sort below `below` — membership is a pure
+    * function of the id, so the sample is REPRODUCIBLE across runs,
+    * machines, and engines, and STABLE under corpus growth (a doc
+    * never flips in or out as neighbors arrive), the properties
+    * `rand()`-based sampling lacks and the reason eval holdouts are
+    * carved this way. Map-only; fraction ≈ below/16^hexDigits. */
+  def consistentSample(docs: DataFrame, idCol: String,
+                       hexDigits: Int, below: String): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 32, "hexDigits in [1, 32]")
+    docs.filter(
+      substring(md5(col(idCol).cast("string")), 1, hexDigits) < below)
+  }
+
   /** Per-group document quota (the Common-Crawl "host cap"): flag the
     * top `cap` docs per group by (`orderCol` desc, id asc); everything
     * else in the group is over-quota. The anti-over-representation

@@ -48,10 +48,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, l: LogicalRelation)
-        if l.relation.isInstanceOf[HadoopFsRelation] =>
-      try prune(f, cond, l) catch { case scala.util.control.NonFatal(_) => f }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // operational kill-switch (the Delta data-skipping flag shape):
+    // spark.graft.zoneprune.enabled=false restores stock planning
+    if (!spark.conf.get("spark.graft.zoneprune.enabled", "true").toBoolean)
+      return plan
+    plan.transform {
+      case f @ Filter(cond, l: LogicalRelation)
+          if l.relation.isInstanceOf[HadoopFsRelation] =>
+        try prune(f, cond, l) catch { case scala.util.control.NonFatal(_) => f }
+    }
   }
 
   /** Per-value survivor computation runs driver-side sidecar jobs —

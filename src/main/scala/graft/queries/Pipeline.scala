@@ -1859,6 +1859,55 @@ object Pipeline {
       |SELECT '_rejected', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
       |ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q199
+  // Zipf power-law fit (Curation.zipfFit): least-squares slope of
+  // ln(freq) vs ln(rank) over the top-200 token shortlist — the
+  // standard corpus-health diagnostic (natural text ≈ -1; synthetic /
+  // boilerplate-heavy corpora drift). Rank rides a LIMIT-bounded
+  // 200-row frame; regression terms are 6-decimal DECIMALs so the fold
+  // is order-independent and the closed-form slope is engine-exact.
+  private def q199Zipf(s: SparkSession, dir: String): DataFrame =
+    Curation.zipfFit(t(s, dir, "documents"), "text", topRanks = 200)
+
+  private val q199Sql =
+    """WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                  x -> length(x) > 0)) AS w FROM documents),
+      |tf AS (SELECT w, COUNT(*) AS f FROM w GROUP BY w),
+      |top AS (SELECT w, f FROM tf ORDER BY f DESC, w LIMIT 200),
+      |r AS (SELECT
+      |    CAST(round(ln(CAST(row_number() OVER (ORDER BY f DESC, w) AS DOUBLE)), 6)
+      |         AS DECIMAL(10,6)) AS x,
+      |    CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(10,6)) AS y
+      |  FROM top),
+      |s AS (SELECT CAST(COUNT(*) AS DECIMAL(4,0)) AS n,
+      |             CAST(SUM(x) AS DECIMAL(10,6)) AS sx,
+      |             CAST(SUM(y) AS DECIMAL(10,6)) AS sy,
+      |             CAST(SUM(x*x) AS DECIMAL(17,12)) AS sxx,
+      |             CAST(SUM(x*y) AS DECIMAL(17,12)) AS sxy FROM r),
+      |f2 AS (SELECT n, sx, sy,
+      |         n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s)
+      |SELECT CAST(n AS BIGINT) AS n_ranks,
+      |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope,
+      |  round(CAST(sy*den - num*sx AS DOUBLE) / CAST(n*den AS DOUBLE), 6)
+      |    AS intercept
+      |FROM f2""".stripMargin
+
+  // --------------------------------------------------------------- q200
+  // Consistent hash-threshold sampling (Curation.consistentSample):
+  // membership is a pure function of the id, so the sample is stable
+  // across runs, machines, and corpus growth — the property rand()
+  // sampling lacks, and what makes eval holdouts reproducible.
+  // Map-only; first hex digit '0' ≈ 1/16 of the corpus.
+  private def q200Sample(s: SparkSession, dir: String): DataFrame =
+    Curation.consistentSample(t(s, dir, "documents"), "doc_id", 1, "1")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val q200Sql =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '1'
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q74
   // Segment-level exact dedup: 10-token windows, first occurrence by
   // (doc_id, idx) kept, repeats flagged — per-doc audit counts.
@@ -3607,6 +3656,8 @@ object Pipeline {
     "q197_dsir" -> q197Dsir _,
     "q198_jsonl" -> q198Jsonl _,
     "q195_bloom_rule" -> q195BloomRule _,
+    "q199_zipf" -> q199Zipf _,
+    "q200_sample" -> q200Sample _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3815,5 +3866,7 @@ object Pipeline {
     "q197_dsir" -> q197Sql,
     "q198_jsonl" -> q198Sql,
     "q195_bloom_rule" -> q195Sql,
+    "q199_zipf" -> q199Sql,
+    "q200_sample" -> q200Sql,
   )
 }

@@ -23,6 +23,9 @@ class GlobalWindowAuditSpec extends SparkSpec {
       "over language strata — dimension-sized by construction"),
     "q166_curation_v3" -> ("composed pipeline ends in the same allocateBudget " +
       "largest-remainder step over language strata"),
+    "q199_zipf" -> ("rank assignment over the LIMIT(200)-bounded token " +
+      "shortlist — the window's input is top-k-bounded by construction " +
+      "(Curation.zipfFit)"),
     // NOT exempt: q118_stock_lines — its strainLines path takes
     // pre-assigned ids, so no global window reaches its plan; the
     // StockExport DSC_G%07d helper (dimension-sized legacy semantics)
