@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plain spark.read.parquet(store).filter(...) opens only surviving
     // files (plans/ZonePrune.scala)
     ext.injectOptimizerRule(graft.plans.ZonePruneRule)
+    // metadata-only count(*) from the same sidecar's per-file nrows
+    ext.injectOptimizerRule(graft.plans.MetadataCountRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -193,6 +193,9 @@ object GraftCli {
     case "pagerank" :: edges :: out :: rest if rest.size <= 2 =>
       pageRank(edges, out, rest.headOption.map(_.toInt).getOrElse(10),
         rest.drop(1).headOption.map(_.toDouble).getOrElse(0.85))
+    case "compactstore" :: dir :: sortCol :: rest if rest.size <= 1 =>
+      compactStore(dir, sortCol,
+        rest.headOption.map(_.toLong << 20).getOrElse(64L << 20))
     case "indexedingest" :: batch :: dir :: sortCol :: statsCols :: rest
         if rest.size <= 1 =>
       indexedIngestCmd(batch, dir, sortCol, statsCols.split(',').toSeq,
@@ -296,6 +299,7 @@ object GraftCli {
            |           vdiff <storedir> <from_v> <to_v> <outdir>
            |           vvacuum <storedir> <keep_last>
            |           indexedingest <batch.parquet> <storedir> <sortcol> <statscol,...> [bloomcol]
+           |           compactstore <storedir> <sortcol> [target_mb]
            |           bloomindex <storedir> <keycol> [nbits] [hashes]
            |           bloomappend <storedir> <keycol>
            |           bloomquery <storedir> <keycol> <value> <outdir>
@@ -1670,6 +1674,19 @@ object GraftCli {
     * lookups on scattered keys (hashes, URLs) where min/max zones can't
     * prune — index any parquet store once, then serve point lookups
     * that open only the files whose filter holds the probe bits. */
+  /** Compact an indexed store to ≈targetBytes files, rebuilding both
+    * sidecars against the new layout (SkippingStore.compactIndexed) —
+    * the periodic maintenance pass after [[indexedIngestCmd]]/the
+    * streaming ingest accrete batch-sized files. */
+  private def compactStore(dir: String, sortCol: String,
+                           targetBytes: Long): Unit = {
+    val spark = GraftSession.local()
+    val (before, after) =
+      graft.sinks.SkippingStore.compactIndexed(spark, dir, sortCol, targetBytes)
+    println(s"compacted $dir: $before -> $after files (sidecars rebuilt)")
+    spark.stop()
+  }
+
   /** Manually apply one batch to an indexed store (the batch arm of
     * [[graft.streaming.StreamingMerge.indexedIngest]]): appends
     * zone-sorted files and extends the multi-zone (and optional bloom)

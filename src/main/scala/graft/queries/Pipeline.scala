@@ -2854,6 +2854,26 @@ object Pipeline {
       |WHERE md5(CAST(doc_id AS VARCHAR)) = md5('42')
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q201
+  // Metadata-only count (plans/MetadataCountRule): a bare count(*)
+  // over a plain read of an nrows-carrying store answers from the
+  // sidecar manifest — the Delta/Iceberg metadata count. The in-plan
+  // require proves NO data file was opened (AQE-aware probe).
+  private def q201MetaCount(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q201", dir)
+    graft.sinks.SkippingStore.writeMulti(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", Seq("doc_id", "n_chars"), out, 8)
+    val cnt = s.read.parquet(out).groupBy().count()
+      .select(col("count").as("n_docs"))
+    require(!graft.plans.PlanProbe.scansFiles(cnt),
+      "count(*) over the store must answer from the sidecar manifest")
+    cnt
+  }
+
+  private val q201Sql =
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents"
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -3658,6 +3678,7 @@ object Pipeline {
     "q195_bloom_rule" -> q195BloomRule _,
     "q199_zipf" -> q199Zipf _,
     "q200_sample" -> q200Sample _,
+    "q201_meta_count" -> q201MetaCount _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3868,5 +3889,6 @@ object Pipeline {
     "q195_bloom_rule" -> q195Sql,
     "q199_zipf" -> q199Sql,
     "q200_sample" -> q200Sql,
+    "q201_meta_count" -> q201Sql,
   )
 }

@@ -129,26 +129,33 @@ object SkippingStore {
     }
   }
 
-  /** One (file, col, zmin, zmax, zmin_str, zmax_str) row per data file
-    * × stats column — numeric/datetime stats in the double slots,
-    * string stats in the lexicographic slots, the other pair null.
-    * Shared by [[writeMulti]] and [[appendMulti]] so the two can never
-    * diverge on widening rules. */
+  /** One (file, col, zmin, zmax, zmin_str, zmax_str, nrows) row per
+    * data file × stats column — numeric/datetime stats in the double
+    * slots, string stats in the lexicographic slots, the other pair
+    * null; `nrows` is the file's exact row count (identical across a
+    * file's rows), which makes the sidecar a row-count manifest too —
+    * the [[graft.plans.MetadataCountRule]] answers a bare `count(*)`
+    * from it without opening a data file, the Delta metadata-only
+    * count. Shared by every multi-sidecar writer (writeMulti,
+    * appendMulti, the Z-order pair) so they can never diverge on
+    * widening rules or counts. */
   private def multiZoneRows(data: DataFrame, statsCols: Seq[String]): DataFrame =
     statsCols.map { c =>
       val by = data.groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
       widenedNumeric(col(c), data.schema(c).dataType) match {
         case Some(w) =>
-          by.agg(min(w).as("zmin"), max(w).as("zmax"))
+          by.agg(min(w).as("zmin"), max(w).as("zmax"),
+              count(lit(1)).as("nrows"))
             .select(col("file"), lit(c).as("col"), col("zmin"), col("zmax"),
               lit(null).cast("string").as("zmin_str"),
-              lit(null).cast("string").as("zmax_str"))
+              lit(null).cast("string").as("zmax_str"), col("nrows"))
         case None =>
-          by.agg(min(col(c)).as("zmin_str"), max(col(c)).as("zmax_str"))
+          by.agg(min(col(c)).as("zmin_str"), max(col(c)).as("zmax_str"),
+              count(lit(1)).as("nrows"))
             .select(col("file"), lit(c).as("col"),
               lit(null).cast("double").as("zmin"),
               lit(null).cast("double").as("zmax"),
-              col("zmin_str"), col("zmax_str"))
+              col("zmin_str"), col("zmax_str"), col("nrows"))
       }
     }.reduce(_ unionByName _)
 
@@ -189,10 +196,99 @@ object SkippingStore {
       .sortWithinPartitions(sortCol)
       .write.mode("append").parquet(dir)
     val newFiles = listDataFileNames(spark, dir).filterNot(known)
-    if (newFiles.nonEmpty)
-      multiZoneRows(spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*), statsCols)
+    if (newFiles.nonEmpty) {
+      val rows = multiZoneRows(
+        spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*), statsCols)
+      // a pre-nrows sidecar keeps its schema (mixed parquet footers
+      // would make the unmerged sidecar read schema-dependent)
+      (if (zm.columns.contains("nrows")) rows else rows.drop("nrows"))
         .coalesce(1)
         .write.mode("append").parquet(s"$dir/_zonemap_multi")
+    }
+  }
+
+  /** Compact a multi-indexed store WITHOUT losing its indexing: the
+    * generic [[StoreMaintenance.compact]] rewrite drops sidecar
+    * subdirectories (correctly — stale maps must not survive a
+    * rewrite), which leaves a SkippingStore unindexed. This variant
+    * rewrites the data re-sorted by `sortCol` into ≈`targetBytes`
+    * files in a temp sibling, rebuilds the `_zonemap_multi` (same
+    * stats columns) and, when present, the `_bloommap` (same keycol
+    * and geometry) against the NEW layout, and only then swaps the
+    * whole directory in — the [[StoreMaintenance.overwriteViaSwap]]
+    * crash discipline: a complete indexed copy exists on disk at every
+    * instant, and the only crash window leaves the old store intact
+    * under a deterministic `.old-*` name.
+    *
+    * Streaming context: [[graft.streaming.StreamingMerge.indexedIngest]]
+    * accretes batch-sized files; periodic compaction here restores
+    * scan efficiency while keeping every reader and both optimizer
+    * rules engaged. A Z-order store loses its curve layout (re-sorted
+    * linear) — re-layout those with [[writeZOrder]] instead. Returns
+    * (filesBefore, filesAfter). */
+  def compactIndexed(spark: SparkSession, dir: String, sortCol: String,
+                     targetBytes: Long = 64L << 20): (Int, Int) = {
+    require(pathExists(spark, s"$dir/_zonemap_multi"),
+      s"$dir has no _zonemap_multi — compact unindexed stores with StoreMaintenance.compact")
+    val zm = spark.read.parquet(s"$dir/_zonemap_multi")
+    val statsCols = zm.select(col("col")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val bloomGeom: Option[(String, Int, Int)] =
+      if (!pathExists(spark, s"$dir/_bloommap")) None
+      else {
+        val bm = bloomMap(spark, dir)
+        if (!bm.columns.contains("keycol")) None // legacy: cannot rebuild faithfully
+        else {
+          val g = bm.select(col("keycol"), col("nbits"), col("k"))
+            .distinct().collect()
+          if (g.length == 1) Some((g.head.getString(0), g.head.getInt(1),
+            g.head.getInt(2)))
+          else None
+        }
+      }
+    def parquetFiles(d: String): Int = listDataFileNames(spark, d).length
+    val before = parquetFiles(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = hfs.listStatus(p).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val stamp = java.lang.System.nanoTime()
+    val tmp = dir + ".rewrite-" + stamp
+    val aside = dir + ".old-" + stamp
+    // localCheckpoint: the rewrite reads the live dir it will replace —
+    // materialize before any rename touches the source
+    val data = spark.read.parquet(dir).localCheckpoint()
+    writeMulti(data, sortCol, statsCols, tmp, nFiles)
+    bloomGeom.foreach { case (kc, nbits, k) => bloomIndex(spark, tmp, kc, nbits, k) }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(aside))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(dir))
+    rm(new java.io.File(aside))
+    (before, parquetFiles(dir))
+  }
+
+  /** Exact store row count from the `_zonemap_multi` sidecar alone —
+    * no data file opened (the Delta metadata-only count; the
+    * [[graft.plans.MetadataCountRule]] entry). None when the store
+    * carries no multi sidecar, the sidecar predates per-file `nrows`,
+    * or a file's rows disagree across its stat columns (corrupt
+    * sidecar). The loud coverage check still applies: a data file the
+    * sidecar doesn't map throws rather than under-counting. */
+  def metadataCount(spark: SparkSession, dir: String): Option[Long] = {
+    if (!pathExists(spark, s"$dir/_zonemap_multi")) return None
+    val zm = spark.read.parquet(s"$dir/_zonemap_multi")
+    if (!zm.columns.contains("nrows")) return None
+    val perFile = zm.select(col("file"), col("nrows")).distinct()
+      .collect()
+    val files = perFile.map(_.getString(0))
+    if (files.length != files.distinct.length) return None // conflicting counts
+    checkCoverage(listDataFileNames(spark, dir).toSet, files.toSet, dir)
+    Some(perFile.map(_.getLong(1)).sum)
   }
 
   // ------------------------------------------------------------------
@@ -297,10 +393,13 @@ object SkippingStore {
       .drop("_zkey")
       .write.mode("append").parquet(dir)
     val newFiles = listDataFileNames(spark, dir).filterNot(known)
-    if (newFiles.nonEmpty)
-      multiZoneRows(spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*), statsCols)
+    if (newFiles.nonEmpty) {
+      val rows = multiZoneRows(
+        spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*), statsCols)
+      (if (zm.columns.contains("nrows")) rows else rows.drop("nrows"))
         .coalesce(1)
         .write.mode("append").parquet(s"$dir/_zonemap_multi")
+    }
   }
 
   /** Shared prune-then-residual tail for the multi-zone readers:

@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sinks.SkippingStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The metadata-only count rule: a bare count(*) over a plain read of
+  * an nrows-carrying store must plan NO data-file scan and return the
+  * exact count; anything that could change the answer (filters,
+  * count(col), foreign files, legacy sidecars) must fall back to the
+  * stock scan and stay correct. */
+class MetadataCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** AQE-aware scan detection: aggregate plans wrap in
+    * AdaptiveSparkPlanExec whose children are hidden from collect — a
+    * naive collectFirst is vacuously scan-free for EVERY aggregate. */
+  private def scansData(df: DataFrame): Boolean = {
+    df.collect() // finalize AQE
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(s.plan)
+      case _: FileSourceScanExec => true
+      case other => other.children.exists(find)
+    }
+    find(df.queryExecution.executedPlan)
+  }
+
+  private lazy val store: (String, DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory("metacount").toString + "/s"
+    val df = Seq.tabulate(400)(i => (i, i * 10)).toDF("k", "v")
+    SkippingStore.writeMulti(df, "k", Seq("k", "v"), dir, nFiles = 8)
+    (dir, df)
+  }
+
+  test("bare count(*) answers from the sidecar with no data scan") {
+    val (dir, _) = store
+    val cnt = spark.read.parquet(dir).groupBy().count()
+    assert(!scansData(cnt), "count should come from the sidecar manifest")
+    assert(cnt.as[Long].head() == 400L)
+    // ds.count() goes through the same plan shape
+    assert(spark.read.parquet(dir).count() == 400L)
+    // append extends the manifest; the count stays metadata-only
+    SkippingStore.appendMulti(Seq((1000, 1)).toDF("k", "v"), "k", dir, 1)
+    val cnt2 = spark.read.parquet(dir).groupBy().count()
+    assert(!scansData(cnt2))
+    assert(cnt2.as[Long].head() == 401L)
+  }
+
+  test("filters, count(col), and grouped counts scan normally") {
+    val (dir, _) = store
+    val filtered = spark.read.parquet(dir).filter($"v" >= 1000).groupBy().count()
+    assert(scansData(filtered), "a filter changes the answer — must scan")
+    assert(filtered.as[Long].head() == 300L)
+    // 401 rows: the first test's append is part of the shared store
+    val countCol = spark.read.parquet(dir).agg(count($"v"))
+    assert(scansData(countCol), "count(col) skips nulls — must scan")
+    assert(countCol.as[Long].head() == 401L)
+    val grouped = spark.read.parquet(dir)
+      .groupBy(($"k" % 2).as("p")).count()
+    assert(scansData(grouped))
+    assert(grouped.agg(sum($"count")).as[Long].head() == 401L)
+  }
+
+  test("foreign data files and legacy sidecars fall back loudly-correct") {
+    val (dir, df) = store
+    // clone the store, then drop a foreign file in: coverage check
+    // refuses the manifest, the stock scan answers
+    val dir2 = java.nio.file.Files.createTempDirectory("metacount2").toString + "/s"
+    SkippingStore.writeMulti(df, "k", Seq("k"), dir2, nFiles = 4)
+    df.limit(7).write.mode("append").parquet(dir2)
+    val cnt = spark.read.parquet(dir2).groupBy().count()
+    assert(scansData(cnt))
+    assert(cnt.as[Long].head() == 407L)
+    // legacy sidecar: no nrows column -> not rule-answerable
+    val dir3 = java.nio.file.Files.createTempDirectory("metacount3").toString + "/s"
+    df.write.parquet(dir3)
+    spark.read.parquet(s"$dir/_zonemap_multi").drop("nrows")
+      .write.parquet(s"$dir3/_zonemap_multi")
+    assert(SkippingStore.metadataCount(spark, dir3).isEmpty)
+  }
+}

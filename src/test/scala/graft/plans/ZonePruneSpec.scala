@@ -109,6 +109,21 @@ class ZonePruneSpec extends SparkSpec {
       zdf.filter($"k".isin(3, 397)).select($"v").as[Int].collect().toSet)
   }
 
+  test("a stale sidecar (foreign data file) falls back to the full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("zpstale").toString + "/s"
+    val df = Seq.tabulate(100)(i => (i, i * 10)).toDF("k", "v")
+    SkippingStore.writeMulti(df, "k", Seq("k", "v"), dir, nFiles = 4)
+    // a foreign writer drops a file the sidecar doesn't map: the
+    // coverage check throws inside the rule, which must swallow it and
+    // leave the plan unpruned — rows exact, nothing silently dropped
+    Seq((500, 5000)).toDF("k", "v").write.mode("append").parquet(dir)
+    val got = spark.read.parquet(dir).filter($"v" >= 4000)
+    assert(scannedFiles(got).size == 5, "stale sidecar must not prune")
+    // only the foreign row matches — pruning on the stale map would
+    // have dropped exactly this row
+    assert(got.select($"k").as[Int].collect().toSeq == Seq(500))
+  }
+
   test("a pre-keycol bloom sidecar is not rule-prunable but stays correct") {
     val (dir, df) = bloomStore
     val legacy = java.nio.file.Files.createTempDirectory("zplegacy").toString + "/s"

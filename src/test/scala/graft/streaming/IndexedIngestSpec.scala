@@ -59,5 +59,23 @@ class IndexedIngestSpec extends SparkSpec {
         "k", Seq("k", "v"), Some("key"), nFiles = 4)
     }
     assert(ex.getMessage.contains("diverged"))
+
+    // compaction completes the lifecycle: fewer files, both sidecars
+    // rebuilt against the new layout, every pruning path still engaged
+    val (was, now) = SkippingStore.compactIndexed(spark, dir, "k",
+      targetBytes = 1L << 30)
+    assert(was == 8 && now == 1, s"$was -> $now")
+    assert(spark.read.parquet(dir).count() == 400) // metadata-count path
+    assert(SkippingStore.metadataCount(spark, dir).contains(400L))
+    val (kept2, total2, pruned2) =
+      SkippingStore.readPrunedOn(spark, dir, "v", 990, 2010)
+    assert(total2 == 1 && kept2 == 1)
+    assert(pruned2.count() == 103)
+    val b2 = spark.read.parquet(dir).filter($"key" === "h30x321")
+    assert(b2.select($"k").as[Int].collect().toSeq == Seq(321))
+    // and the stream can keep appending after the rewrite
+    assert(StreamingMerge.applyIndexedBatch(batchDf(400, 450), 2L, dir,
+      "k", Seq("k", "v"), Some("key"), nFiles = 1))
+    assert(SkippingStore.metadataCount(spark, dir).contains(450L))
   }
 }
