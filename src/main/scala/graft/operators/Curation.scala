@@ -863,6 +863,41 @@ object Curation {
       substring(md5(col(idCol).cast("string")), 1, hexDigits) < below)
   }
 
+  /** Fractional-epoch corpus expansion — the trainer-input mixing step
+    * ("repeat books 3 epochs, web 0.8") materialized as rows: each doc
+    * in group g appears floor(epochs(g)) times, plus once more iff its
+    * md5 draw falls under the fractional part. Membership in the
+    * fractional epoch is a pure function of the doc id (the
+    * [[consistentSample]] discipline: the cutoff is the fraction as a
+    * fixed-width hex string against the hash's first 8 hex chars), so
+    * the expanded corpus is bit-reproducible across runs and engines —
+    * what `rand() < frac` cannot give a resumable training pipeline.
+    *
+    * Scale shape: the per-group (floor, cutoff) table is
+    * strata-sized and rides a broadcast join; expansion is a map-side
+    * `explode(sequence)` — output rows ≈ Σ docs·epochs, no shuffle.
+    * Groups without a weight are EXCLUDED (an absent mixture entry is
+    * "don't train on this", matching [[allocateBudget]]'s contract). */
+  def epochExpand(docs: DataFrame, idCol: String, groupCol: String,
+                  epochs: Map[String, Double]): DataFrame = {
+    require(epochs.nonEmpty, "need at least one group weight")
+    require(epochs.values.forall(w => w >= 0 && w < 1000),
+      "epochs in [0, 1000)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lookup = epochs.toSeq.map { case (g, w) =>
+      val full = math.floor(w).toLong
+      (g, full, f"${((w - full) * 4294967296.0).toLong}%08x")
+    }.toDF(groupCol, "_full", "_cut")
+    docs.join(broadcast(lookup), Seq(groupCol))
+      .withColumn("n_copies", col("_full") +
+        when(substring(md5(col(idCol).cast("string")), 1, 8) < col("_cut"),
+          1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch", explode(expr("sequence(1, n_copies)")))
+      .drop("_full", "_cut", "n_copies")
+  }
+
   /** Per-group document quota (the Common-Crawl "host cap"): flag the
     * top `cap` docs per group by (`orderCol` desc, id asc); everything
     * else in the group is over-quota. The anti-over-representation

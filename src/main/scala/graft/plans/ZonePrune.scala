@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -106,6 +106,23 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case v => v
       }
       if (vals.forall(_ != null)) Seq(InP(attrName(a).get, vals)) else Seq.empty
+    // prefix match as a string range: p <= s < nextPrefix(p), the
+    // Delta startsWith translation. The upper bound increments the
+    // last char (an all-￿ prefix gets no upper bound); the zone
+    // test is inclusive, which can only keep one marginal extra file.
+    case StartsWith(a, Literal(p, StringType))
+        if attrName(a).isDefined && p != null =>
+      val prefix = p.toString
+      // ASCII prefixes only: beyond ASCII, the incremented UTF-16
+      // bound can disagree with UTF8String's binary order (surrogates,
+      // multi-byte edges). URLs, hashes, hosts — the columns this
+      // exists for — are ASCII; anything else simply doesn't prune.
+      if (prefix.isEmpty || prefix.exists(_ > '~')) Seq.empty
+      else {
+        val i = prefix.length - 1
+        val hi = prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar
+        Seq(RangeP(attrName(a).get, Some(prefix), Some(hi)))
+      }
     case GreaterThanOrEqual(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
       Seq(RangeP(attrName(a).get, litVal(v), None))
     case GreaterThan(a, v) if attrName(a).isDefined && litVal(v).isDefined =>

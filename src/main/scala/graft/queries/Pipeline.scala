@@ -1908,6 +1908,37 @@ object Pipeline {
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '1'
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q202
+  // Fractional-epoch corpus expansion (Curation.epochExpand): the
+  // trainer-input mixing step as rows — en 2.25 epochs, es 3, zh 1,
+  // de 0.5, fr absent (excluded). Fractional membership is an
+  // md5-threshold function of the doc id, so the expansion is
+  // bit-reproducible; the strata lookup rides a broadcast join and the
+  // explode is map-side.
+  private val q202Epochs =
+    Map("en" -> 2.25, "zh" -> 1.0, "de" -> 0.5, "es" -> 3.0)
+
+  private def q202EpochMix(s: SparkSession, dir: String): DataFrame =
+    Curation.epochExpand(t(s, dir, "documents"), "doc_id", "lang", q202Epochs)
+      .select(col("doc_id"), col("lang"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+
+  private val q202Sql = {
+    val rows = q202Epochs.toSeq.sortBy(_._1).map { case (g, w) =>
+      val full = math.floor(w).toLong
+      s"('$g', $full, '${f"${((w - full) * 4294967296.0).toLong}%08x"}')"
+    }.mkString(", ")
+    s"""WITH lk AS (SELECT * FROM (VALUES $rows) v(lang, fulln, cut)),
+       |j AS (SELECT d.doc_id, d.lang, fulln +
+       |        CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < cut
+       |             THEN 1 ELSE 0 END AS n_copies
+       |      FROM documents d JOIN lk USING (lang))
+       |SELECT doc_id, lang, CAST(u AS BIGINT) AS epoch
+       |FROM (SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS u
+       |      FROM j WHERE n_copies > 0)
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q74
   // Segment-level exact dedup: 10-token windows, first occurrence by
   // (doc_id, idx) kept, repeats flagged — per-doc audit counts.
@@ -3679,6 +3710,7 @@ object Pipeline {
     "q199_zipf" -> q199Zipf _,
     "q200_sample" -> q200Sample _,
     "q201_meta_count" -> q201MetaCount _,
+    "q202_epoch_mix" -> q202EpochMix _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3890,5 +3922,6 @@ object Pipeline {
     "q199_zipf" -> q199Sql,
     "q200_sample" -> q200Sql,
     "q201_meta_count" -> q201Sql,
+    "q202_epoch_mix" -> q202Sql,
   )
 }

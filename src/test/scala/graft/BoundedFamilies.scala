@@ -55,7 +55,9 @@ object BoundedFamilies {
         "q21_fanout" -> Set(Set("status", "tag")),
         "q114_gaf_validity" -> Set(Set("cv_name", "go_id"),
           Set("feature_uniquename", "gene_id")),
-        "q136_robots" -> Set(Set("_host", "prefix")))),
+        "q136_robots" -> Set(Set("_host", "prefix")),
+        // the per-language (floor epochs, fractional hex cutoff) table
+        "q202_epoch_mix" -> Set(Set("lang", "_full", "_cut")))),
     ("model-state",
       "trained model / vocabulary frames whose size is the MODEL's (classifier weights, LM bigram table, IDF table, per-stratum rates, cell representatives), trained once and reused",
       Map(

@@ -109,6 +109,23 @@ class ZonePruneSpec extends SparkSpec {
       zdf.filter($"k".isin(3, 397)).select($"v").as[Int].collect().toSet)
   }
 
+  test("startsWith prunes string zones as a prefix range") {
+    val dir = java.nio.file.Files.createTempDirectory("zppfx").toString + "/s"
+    val df = Seq.tabulate(400)(i => (i, f"https://h${i / 50}%d.example/p$i%03d"))
+      .toDF("k", "url")
+    SkippingStore.writeMulti(df, "url", Seq("url"), dir, nFiles = 8)
+    val got = spark.read.parquet(dir).filter($"url".startsWith("https://h3."))
+    assert(scannedFiles(got).size < 8,
+      s"prefix must prune, scanned ${scannedFiles(got).size} of 8")
+    assert(got.count() == 50)
+    // boundary correctness: a prefix equal to a whole value still finds it
+    val one = spark.read.parquet(dir)
+      .filter($"url".startsWith("https://h0.example/p000"))
+    assert(one.select($"k").as[Int].collect().toSeq == Seq(0))
+    // non-ASCII prefix: unpruned but correct
+    assert(spark.read.parquet(dir).filter($"url".startsWith("https://ü")).count() == 0)
+  }
+
   test("a stale sidecar (foreign data file) falls back to the full scan") {
     val dir = java.nio.file.Files.createTempDirectory("zpstale").toString + "/s"
     val df = Seq.tabulate(100)(i => (i, i * 10)).toDF("k", "v")
