@@ -29,7 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    columns zones can't, and only engages when the sidecar's
   *    `keycol` marker proves it indexes that column);
   *  - IN-lists (`In` and the set-converted `InSet`) → the union of the
-  *    per-value equality survivor sets.
+  *    per-value equality survivor sets;
+  *  - startsWith(ASCII prefix) → the string range [prefix, nextPrefix);
+  *  - arbitrary AND/OR trees over the above: AND intersects (opaque
+  *    conjuncts are neutral), OR unions (every disjunct must be
+  *    judgeable, or the whole OR is unprunable).
   * The original Filter stays on top as the exact residual, so the
   * rewrite can only ever REMOVE provably-empty files — correctness
   * rides on the zone-intersection and no-false-negative properties the
@@ -84,6 +88,25 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case Literal(v, _) => Option(v)
     case _ => None
   }
+
+  /** The files that might satisfy `cond`, evaluated over the boolean
+    * structure: AND intersects (a side the sidecars can't judge is
+    * simply neutral), OR unions (BOTH sides must be judgeable — one
+    * opaque disjunct could match anywhere). None = cannot prune. */
+  private def fileSet(dir: String, cond: Expression): Option[Set[String]] =
+    cond match {
+      case And(a, b) =>
+        (fileSet(dir, a), fileSet(dir, b)) match {
+          case (Some(x), Some(y)) => Some(x intersect y)
+          case (x, y) => x.orElse(y)
+        }
+      case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
+        for (x <- fileSet(dir, a); y <- fileSet(dir, b)) yield x union y
+      case leaf =>
+        val ps = preds(leaf)
+        val sets = ps.flatMap(p => survivors(dir, p))
+        if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    }
 
   /** Conjunctive prunable predicates; survivor sets intersect across
     * them. */
@@ -179,11 +202,10 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$dir/_zonemap_multi")) &&
       !fs.exists(new Path(s"$dir/_bloommap"))) return f
-    val ps = preds(cond)
-    if (ps.isEmpty) return f
-    val survivorSets = ps.flatMap(p => survivors(dir, p))
-    if (survivorSets.isEmpty) return f
-    val surviving = survivorSets.reduce(_ intersect _)
+    val surviving = fileSet(dir, cond) match {
+      case Some(s) => s
+      case None => return f
+    }
     val current = rel.location.inputFiles
       .map(p => new Path(p).getName).toSet
     if (surviving == current) return f // fixed point

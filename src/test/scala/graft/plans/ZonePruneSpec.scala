@@ -109,6 +109,21 @@ class ZonePruneSpec extends SparkSpec {
       zdf.filter($"k".isin(3, 397)).select($"v").as[Int].collect().toSet)
   }
 
+  test("OR trees prune to the union; an opaque disjunct disables pruning") {
+    val (dir, df) = store
+    val ends = spark.read.parquet(dir)
+      .filter($"v" <= 400 || $"v" >= 3500)
+    assert(scannedFiles(ends).size == 2, "first and last file only")
+    assert(ends.count() ==
+      df.filter($"v" <= 400 || $"v" >= 3500).count())
+    // one disjunct the sidecars can't judge: the whole OR must scan
+    val opaque = spark.read.parquet(dir)
+      .filter($"v" <= 400 || $"v" % 7 === 0)
+    assert(scannedFiles(opaque).size == 8)
+    assert(opaque.count() ==
+      df.filter($"v" <= 400 || $"v" % 7 === 0).count())
+  }
+
   test("startsWith prunes string zones as a prefix range") {
     val dir = java.nio.file.Files.createTempDirectory("zppfx").toString + "/s"
     val df = Seq.tabulate(400)(i => (i, f"https://h${i / 50}%d.example/p$i%03d"))
