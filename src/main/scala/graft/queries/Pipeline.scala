@@ -2905,6 +2905,41 @@ object Pipeline {
   private val q201Sql =
     "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents"
 
+  // --------------------------------------------------------------- q203
+  // Dynamic file pruning for a dimension join (SkippingStore
+  // .joinPruned): the 3-key dimension's values probe every file's
+  // bloom filter in ONE sidecar pass and only candidate files open —
+  // file-granularity dynamic partition pruning for a store partitioned
+  // by nothing. The in-plan require proves files were skipped.
+  private def q203DimJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("q203", dir)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("key"),
+        col("n_chars"))
+    graft.sinks.SkippingStore.write(docs, "doc_id", out, nFiles = 12)
+    graft.sinks.SkippingStore.bloomIndex(s, out, "key")
+    def h(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dim = Seq((h("7"), "alpha"), (h("42"), "beta"), (h("99"), "gamma"))
+      .toDF("key", "label")
+    val (kept, total, _) = graft.sinks.SkippingStore.readBloomIn(
+      s, out, "key", Seq(h("7"), h("42"), h("99")))
+    require(kept < total,
+      s"the dimension probe must skip files ($kept of $total kept)")
+    graft.sinks.SkippingStore.joinPruned(out, dim, "key")
+      .select(col("doc_id"), col("key"), col("label"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q203Sql =
+    """SELECT d.doc_id, md5(CAST(d.doc_id AS VARCHAR)) AS key, v.label, d.n_chars
+      |FROM documents d
+      |JOIN (VALUES (md5('7'), 'alpha'), (md5('42'), 'beta'),
+      |             (md5('99'), 'gamma')) v(key, label)
+      |  ON md5(CAST(d.doc_id AS VARCHAR)) = v.key
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -3711,6 +3746,7 @@ object Pipeline {
     "q200_sample" -> q200Sample _,
     "q201_meta_count" -> q201MetaCount _,
     "q202_epoch_mix" -> q202EpochMix _,
+    "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
     "q177_psi_drift" -> q177PsiDrift _,
@@ -3923,5 +3959,6 @@ object Pipeline {
     "q200_sample" -> q200Sql,
     "q201_meta_count" -> q201Sql,
     "q202_epoch_mix" -> q202Sql,
+    "q203_dim_join" -> q203Sql,
   )
 }

@@ -716,6 +716,80 @@ object SkippingStore {
     } finally bm.unpersist()
   }
 
+  /** Multi-value equality lookup through the bloom sidecar in ONE
+    * sidecar pass — the dynamic-file-pruning shape for star joins: the
+    * small side's distinct keys probe every file's filter together
+    * (an OR over per-value AND-of-bit-tests, evaluated as a column
+    * predicate inside the sidecar scan), and only files that might
+    * hold ANY key are opened. Driver memory stays O(survivor names);
+    * probe positions for all values come from one bounded local job.
+    * Returns (survivingFiles, totalFiles, frame filtered to
+    * keyCol ∈ values). `values` is capped: a fact-sized key list means
+    * the caller's join is not dimension-shaped and must shuffle
+    * instead. */
+  def readBloomIn(spark: SparkSession, dir: String, keyCol: String,
+                  values: Seq[String], maxValues: Int = 256):
+      (Long, Long, DataFrame) = {
+    require(values.nonEmpty, "need at least one probe value")
+    require(values.length <= maxValues,
+      s"${values.length} probe values exceed the $maxValues cap — " +
+        "a key list this large is not dimension-shaped; shuffle-join instead")
+    val bm = bloomMap(spark, dir).cache()
+    try {
+      val geom = bm.select(col("nbits"), col("k")).distinct().collect()
+      require(geom.nonEmpty, s"$dir/_bloommap is empty — rebuild with bloomIndex")
+      require(geom.length == 1,
+        s"$dir/_bloommap mixes filter geometries — rebuild with bloomIndex")
+      val nbits = geom.head.getInt(0)
+      val k = geom.head.getInt(1)
+      val mapped = bm.select(col("file")).collect().map(_.getString(0)).toSet
+      checkCoverage(listDataFileNames(spark, dir).toSet, mapped, dir)
+      val keyType = spark.read.parquet(dir).schema(keyCol).dataType
+      import spark.implicits._
+      val probeCols = (0 until k).map(i =>
+        pmod(xxhash64(col("value").cast(keyType), lit(i)), lit(nbits.toLong))
+          .as(s"p$i"))
+      val probes = values.toDF("value").select(probeCols: _*).collect()
+        .map(r => (0 until k).map(r.getLong))
+      val iw = map_from_arrays(col("idxs"), col("words"))
+      val anyValue = probes.map { want =>
+        want.map { p =>
+          coalesce(element_at(iw, lit((p / 64).toInt)), lit(0L))
+            .bitwiseAND(lit(1L << (p % 64).toInt)) =!= lit(0L)
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+      val files = bm.filter(anyValue)
+        .select(col("file")).collect().map(r => s"$dir/${r.getString(0)}")
+      val residual = (d: DataFrame) =>
+        d.filter(col(keyCol).isin(values.map(lit(_).cast(keyType)): _*))
+      if (files.isEmpty)
+        (0L, mapped.size.toLong, residual(spark.read.parquet(dir)).limit(0))
+      else
+        (files.length.toLong, mapped.size.toLong,
+          residual(spark.read.parquet(files.toIndexedSeq: _*)))
+    } finally bm.unpersist()
+  }
+
+  /** Dimension-join against an indexed store with dynamic file
+    * pruning: collect the dimension's distinct join keys (cap-checked
+    * — the premise IS that this side is small), [[readBloomIn]]-prune
+    * the store to candidate files, then join only the survivors. The
+    * star-schema shape where a 100 TB fact store joins a
+    * thousand-row dimension by opening a handful of files instead of
+    * scanning the table — Spark's dynamic partition pruning, at file
+    * granularity, for stores partitioned by nothing. */
+  def joinPruned(store: String, dim: DataFrame, keyCol: String,
+                 maxKeys: Int = 256): DataFrame = {
+    val spark = dim.sparkSession
+    val keys = dim.select(col(keyCol).cast("string")).distinct()
+      .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq
+    require(keys.length <= maxKeys,
+      s"dimension has more than $maxKeys distinct keys — not " +
+        "dimension-shaped; shuffle-join the store instead")
+    val (_, _, facts) = readBloomIn(spark, store, keyCol, keys)
+    facts.join(broadcast(dim), Seq(keyCol))
+  }
+
   /** Loud drift check: rows must never silently vanish because a file
     * missed indexing (crash between data and map write, foreign
     * writer), nor double-count because the map lists a file twice. */

@@ -57,7 +57,9 @@ object BoundedFamilies {
           Set("feature_uniquename", "gene_id")),
         "q136_robots" -> Set(Set("_host", "prefix")),
         // the per-language (floor epochs, fractional hex cutoff) table
-        "q202_epoch_mix" -> Set(Set("lang", "_full", "_cut")))),
+        "q202_epoch_mix" -> Set(Set("lang", "_full", "_cut")),
+        // the 3-key probe dimension of the dynamic-file-pruned join
+        "q203_dim_join" -> Set(Set("key", "label")))),
     ("model-state",
       "trained model / vocabulary frames whose size is the MODEL's (classifier weights, LM bigram table, IDF table, per-stratum rates, cell representatives), trained once and reused",
       Map(
