@@ -193,12 +193,14 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (rel.partitionSchema.nonEmpty) return f
     val roots = rel.location.rootPaths
     if (roots.isEmpty) return f
-    // full read: root IS the store dir; already-pruned read: roots are
-    // the surviving data files and the store dir is their parent
-    val dir =
-      if (roots.length == 1 && !roots.head.getName.endsWith(".parquet"))
-        roots.head.toString
-      else roots.head.getParent.toString
+    // only DIRECTORY-rooted reads prune. File-list roots are already a
+    // curated subset — this rule's own previous output, or an explicit
+    // SkippingStore reader's — and re-deriving their survivor set
+    // would re-run the driver-side sidecar jobs on EVERY optimizer
+    // pass (measured: +2-3 s per store query in the bench). Skipping
+    // them IS the fixed point, for free.
+    if (roots.length != 1 || roots.head.getName.endsWith(".parquet")) return f
+    val dir = roots.head.toString
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$dir/_zonemap_multi")) &&
       !fs.exists(new Path(s"$dir/_bloommap"))) return f
@@ -208,7 +210,7 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val current = rel.location.inputFiles
       .map(p => new Path(p).getName).toSet
-    if (surviving == current) return f // fixed point
+    if (surviving == current) return f // no file provably empty
     val idx = new InMemoryFileIndex(spark,
       surviving.toSeq.sorted.map(n => new Path(s"$dir/$n")),
       Map.empty, Some(rel.dataSchema))

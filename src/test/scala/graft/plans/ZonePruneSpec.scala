@@ -109,6 +109,18 @@ class ZonePruneSpec extends SparkSpec {
       zdf.filter($"k".isin(3, 397)).select($"v").as[Int].collect().toSet)
   }
 
+  test("the SQL surface prunes too: spark.sql over a view of the store") {
+    val (dir, df) = store
+    spark.read.parquet(dir).createOrReplaceTempView("zp_store")
+    val got = spark.sql(
+      "SELECT k, v FROM zp_store WHERE v >= 1000 AND v <= 1500")
+    assert(scannedFiles(got).size < 8, "SQL filter must prune like the API")
+    assert(got.count() == df.filter($"v" >= 1000 && $"v" <= 1500).count())
+    val in = spark.sql("SELECT v FROM zp_store WHERE k IN (3, 397)")
+    assert(scannedFiles(in).size == 2)
+    assert(in.as[Int].collect().toSet == Set(30, 3970))
+  }
+
   test("OR trees prune to the union; an opaque disjunct disables pruning") {
     val (dir, df) = store
     val ends = spark.read.parquet(dir)
