@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(graft.plans.ZonePruneRule)
     // metadata-only count(*) from the same sidecar's per-file nrows
     ext.injectOptimizerRule(graft.plans.MetadataCountRule)
+    // metadata-only min/max over sidecar-indexed columns (exactness-
+    // guarded: int/float/double/string always; long/timestamp under
+    // 2^53; NTZ only in UTC sessions; never DECIMAL)
+    ext.injectOptimizerRule(graft.plans.MetadataMinMaxRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -2940,6 +2940,44 @@ object Pipeline {
       |  ON md5(CAST(d.doc_id AS VARCHAR)) = v.key
       |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q204
+  // Metadata-only min/max (plans/MetadataMinMaxRule): a global extrema
+  // aggregate over a multi-indexed store reduces from the per-file zone
+  // stats — bigint via the exactness-guarded (< 2^53) double slots,
+  // doubles directly, strings via the lexicographic slots, timestamps
+  // as epoch micros, and count(*) riding the same manifest. The
+  // in-plan require proves NO data file was opened (AQE-aware probe).
+  private def q204MetaMinMax(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q204", dir)
+    graft.sinks.SkippingStore.writeMulti(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_shipdate")),
+      "l_orderkey",
+      Seq("l_orderkey", "l_extendedprice", "l_returnflag", "l_shipdate"),
+      out, 8)
+    val agg = s.read.parquet(out).agg(
+      min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      min(col("l_returnflag")).as("min_flag"),
+      max(col("l_returnflag")).as("max_flag"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"),
+      count(lit(1)).as("n"))
+    require(!graft.plans.PlanProbe.scansFiles(agg),
+      "global min/max over the store must answer from the zone sidecar")
+    agg
+  }
+
+  private val q204Sql =
+    """SELECT CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+      |  CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+      |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+      |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -3746,6 +3784,7 @@ object Pipeline {
     "q200_sample" -> q200Sample _,
     "q201_meta_count" -> q201MetaCount _,
     "q202_epoch_mix" -> q202EpochMix _,
+    "q204_meta_minmax" -> q204MetaMinMax _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -3958,6 +3997,7 @@ object Pipeline {
     "q199_zipf" -> q199Sql,
     "q200_sample" -> q200Sql,
     "q201_meta_count" -> q201Sql,
+    "q204_meta_minmax" -> q204Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

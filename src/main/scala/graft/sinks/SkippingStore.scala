@@ -291,6 +291,48 @@ object SkippingStore {
     Some(perFile.map(_.getLong(1)).sum)
   }
 
+  /** The global (min, max) of one stats column reduced from the
+    * `_zonemap_multi` sidecar alone — both slot families, so the caller
+    * (who knows the column's Catalyst type) picks the right one. A
+    * `None` field means the column is entirely null in that slot. */
+  final case class SidecarMinMax(zmin: Option[Double], zmax: Option[Double],
+                                 zminStr: Option[String], zmaxStr: Option[String])
+
+  /** Exact global min/max of `statsCol` from the `_zonemap_multi`
+    * sidecar — no data file opened (the Delta metadata-only min/max;
+    * the [[graft.plans.MetadataMinMaxRule]] entry). Per-file (min, max)
+    * already ignore nulls, so `min(file mins)` / `max(file maxes)` IS
+    * the SQL aggregate. Doubles reduce under `java.lang.Double.compare`
+    * and strings under UTF-8 byte order — both exactly Spark's own
+    * min/max orderings (NaN greatest, -0.0 < 0.0; binary collation).
+    * None when the store has no multi sidecar, the column isn't
+    * indexed, or a file carries conflicting rows; an unmapped data
+    * file throws loudly (never a silently narrower range). */
+  def metadataMinMax(spark: SparkSession, dir: String,
+                     statsCol: String): Option[SidecarMinMax] = {
+    if (!pathExists(spark, s"$dir/_zonemap_multi")) return None
+    val rows = spark.read.parquet(s"$dir/_zonemap_multi")
+      .filter(col("col") === statsCol)
+      .select(col("file"), col("zmin"), col("zmax"),
+        col("zmin_str"), col("zmax_str"))
+      .collect() // file-count-sized by construction
+    if (rows.isEmpty) return None // column not indexed (or empty store)
+    val files = rows.map(_.getString(0))
+    if (files.length != files.distinct.length) return None // conflicting stats
+    checkCoverage(listDataFileNames(spark, dir).toSet, files.toSet, dir)
+    def d(i: Int) = rows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i))
+    def s(i: Int) = rows.iterator.filterNot(_.isNullAt(i)).map(_.getString(i))
+    val byBytes = Ordering.comparatorToOrdering(
+      java.util.Comparator.comparing[String, org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.unsafe.types.UTF8String.fromString,
+        java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]()))
+    Some(SidecarMinMax(
+      d(1).reduceOption((a, b) => if (java.lang.Double.compare(a, b) <= 0) a else b),
+      d(2).reduceOption((a, b) => if (java.lang.Double.compare(a, b) >= 0) a else b),
+      s(3).reduceOption((a, b) => byBytes.min(a, b)),
+      s(4).reduceOption((a, b) => byBytes.max(a, b))))
+  }
+
   // ------------------------------------------------------------------
   // Z-order layout — the multi-dimensional generalization of the sorted
   // layout: interleave the bits of TWO skipping columns into one Morton
