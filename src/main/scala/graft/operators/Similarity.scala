@@ -585,6 +585,39 @@ object Similarity {
     rankTopK(scored, idCol, idType, k)
   }
 
+  /** Semantic decontamination: flag every corpus vector whose cosine
+    * similarity to ANY benchmark vector reaches `threshold`, returning
+    * (idCol, bench_id, sim) with the single best-matching benchmark
+    * item per contaminated doc — the embedding-space complement of the
+    * n-gram decontaminator (q52): n-grams catch verbatim leakage,
+    * embeddings catch paraphrased eval items that share no shingle.
+    *
+    * Scale shape: the BENCHMARK is eval-suite-sized by the operator's
+    * own premise, so it broadcasts while the corpus STREAMS (the
+    * seed-set discipline of [[knnJoinSeedBroadcast]]); the threshold
+    * filter runs map-side BEFORE the bounded top-1 partial aggregate,
+    * so the only shuffle is O(contaminated docs) — on a clean corpus,
+    * near-zero. Filter-then-argmax equals argmax-then-filter here:
+    * max(sim) >= t  iff  some sim >= t, and the argmax within the
+    * filtered set is the global argmax whenever the max clears t.
+    * Same rounding and (sim desc, id) tiebreaks as every ranking. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, embCol: String,
+                            threshold: Double): DataFrame = {
+    val idType = integralIdType(corpus, idCol)
+    val b = broadcast(bench.select(
+      col(idCol).as("cand_id"), col(embCol).as("cv")))
+    val scored = corpus
+      .select(col(idCol).as("query_id"), col(embCol).as("qv"))
+      .join(b, col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(graft.functions.VectorFunctions.cosine_sim(col("cv"), col("qv")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+    rankTopK(scored, idCol, idType, 1)
+      .select(col("query_id").as(idCol), col(idCol).as("bench_id"), col("sim"))
+  }
+
   /** k-NN label propagation: predict a label for every `unlabeled` row
     * by majority vote over its `k` nearest `labeled` neighbors (cosine,
     * the [[knnJoin]] ranking) — the label-bootstrapping step that turns

@@ -2978,6 +2978,41 @@ object Pipeline {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM lineitem""".stripMargin
 
+  // --------------------------------------------------------------- q205
+  // Semantic decontamination (Similarity.semanticDecontaminate): every
+  // corpus vector within cosine 0.3 of ANY benchmark vector (vec_id <
+  // 50 plays the eval suite), with its best-matching benchmark item —
+  // the embedding-space complement of the n-gram decontaminator q52.
+  // The benchmark broadcasts, the corpus streams, the threshold filter
+  // runs map-side before the bounded top-1 aggregate.
+  private def q205SemanticDecon(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val out = Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+      "vec_id", "embedding", 0.3)
+    out.orderBy(col("vec_id"))
+  }
+
+  private val q205Sql =
+    """WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
+      |scored AS (
+      |  SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 6) AS sim
+      |  FROM c, b),
+      |hits AS (SELECT * FROM scored WHERE sim >= 0.3),
+      |best AS (SELECT vec_id, bench_id, sim,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn
+      |  FROM hits)
+      |SELECT vec_id, CAST(bench_id AS BIGINT) AS bench_id, sim
+      |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -3785,6 +3820,7 @@ object Pipeline {
     "q201_meta_count" -> q201MetaCount _,
     "q202_epoch_mix" -> q202EpochMix _,
     "q204_meta_minmax" -> q204MetaMinMax _,
+    "q205_semantic_decon" -> q205SemanticDecon _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -3998,6 +4034,7 @@ object Pipeline {
     "q200_sample" -> q200Sql,
     "q201_meta_count" -> q201Sql,
     "q204_meta_minmax" -> q204Sql,
+    "q205_semantic_decon" -> q205Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -81,6 +81,8 @@ object BoundedFamilies {
       "small-by-premise hand-curated/eval frames: labeled seeds, eval query sets, benchmark shingles — the operator's contract says this side is the sample, the corpus streams (J9/IdStash discipline)",
       Map(
         "q150_knn_classify" -> Set(Set("cand_id", "cv"), Set("label", "vec_id")),
+        // the benchmark/eval suite broadcasts; the corpus streams
+        "q205_semantic_decon" -> Set(Set("cand_id", "cv")),
         "q73_knn_join" -> Set(Set("query_id", "qv")),
         "q182_hard_negatives" -> Set(Set("query_id", "qv")),
         "q192_bitext_margin" -> Set(Set("query_id", "qv")),
