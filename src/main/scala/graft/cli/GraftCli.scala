@@ -227,6 +227,14 @@ object GraftCli {
     case "annquery" :: indexDir :: emb :: id :: k :: rest if rest.size <= 1 =>
       annQuery(indexDir, emb, id.toLong, k.toInt,
         rest.headOption.map(_.toInt).getOrElse(1))
+    case "annstorebuild" :: emb :: indexDir :: storeDir :: Nil =>
+      annStoreBuild(emb, indexDir, storeDir, append = false)
+    case "annstoreappend" :: emb :: indexDir :: storeDir :: Nil =>
+      annStoreBuild(emb, indexDir, storeDir, append = true)
+    case "annstorequery" :: indexDir :: storeDir :: emb :: id :: k :: rest
+        if rest.size <= 1 =>
+      annStoreQuery(indexDir, storeDir, emb, id.toLong, k.toInt,
+        rest.headOption.map(_.toInt).getOrElse(1))
     case "pqbuild" :: emb :: indexDir :: rest if rest.size <= 2 =>
       pqBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(2),
         rest.drop(1).headOption.map(_.toInt).getOrElse(8))
@@ -279,6 +287,9 @@ object GraftCli {
            |           corpusimport corpusingest corpusexport <parquet> <out> <fmt> [shards]
            |ann:       annbuild <emb> <indexdir> [cells] [lloyd_iters]
            |           annquery <indexdir> <emb> <id> <k> [nprobe]
+           |           annstorebuild <emb> <indexdir> <storedir>
+           |           annstoreappend <emb> <indexdir> <storedir>
+           |           annstorequery <indexdir> <storedir> <emb> <id> <k> [nprobe]
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -1797,6 +1808,45 @@ object GraftCli {
       .collect()
     hits.foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
     println(s"${hits.length} neighbors of $id (nprobe $nprobe of ${index.cids.size} cells)")
+    spark.stop()
+  }
+
+  /** annstorebuild / annstoreappend: the IVF POSTINGS-store lifecycle
+    * (Similarity.ivfStoreBuild/Append) — materialize every vector's
+    * frozen-index cell assignment partitioned by cell, then stream
+    * later batches in WITHOUT retraining; annstorequery serves from
+    * the store opening only the probed cells' partitions. */
+  private def annStoreBuild(emb: String, indexDir: String, storeDir: String,
+                            append: Boolean): Unit = {
+    val spark = GraftSession.local()
+    val index = graft.operators.Similarity.loadIndex(spark, indexDir)
+    val batch = spark.read.parquet(emb)
+    if (append)
+      graft.operators.Similarity
+        .ivfStoreAppend(batch, "vec_id", "embedding", index, storeDir)
+    else
+      graft.operators.Similarity
+        .ivfStoreBuild(batch, "vec_id", "embedding", index, storeDir)
+    val cells = spark.read.parquet(storeDir)
+      .select(col("cell")).distinct().count()
+    println(s"${if (append) "appended to" else "wrote"} postings store " +
+      s"$storeDir ($cells of ${index.cids.size} cells populated)")
+    spark.stop()
+  }
+
+  private def annStoreQuery(indexDir: String, storeDir: String, emb: String,
+                            id: Long, k: Int, nprobe: Int): Unit = {
+    val spark = GraftSession.local()
+    val index = graft.operators.Similarity.loadIndex(spark, indexDir)
+    val qv = spark.read.parquet(emb).filter(col("vec_id") === id)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val hits = graft.operators.Similarity
+      .ivfStoreTopK(spark, storeDir, "vec_id", "embedding", qv, index,
+        k, nprobe, excludeId = Some(id))
+      .collect()
+    hits.foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
+    println(s"${hits.length} neighbors of $id from the postings store " +
+      s"(nprobe $nprobe of ${index.cids.size} cells)")
     spark.stop()
   }
 

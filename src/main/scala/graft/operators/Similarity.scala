@@ -279,6 +279,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF POSTINGS store: every vector with its frozen-index
+    * cell assignment, written `partitionBy(cell)` so each cell is its
+    * own directory partition — the inverted-list layout every serving
+    * IVF index uses, expressed as Spark partition pruning. Build once;
+    * [[ivfStoreAppend]] streams new arrivals in WITHOUT retraining
+    * (assignment is the same map-only argmin against the frozen
+    * centroids, so appended postings land in the correct lists and a
+    * probe needs no knowledge of when a vector arrived); serve with
+    * [[ivfStoreTopK]], which opens ONLY the probed cells' partitions.
+    * At 100 TB this is the difference between a probe scanning
+    * nprobe/numCells of the corpus and re-assigning all of it per
+    * query (the [[ivfProbe]] demo shape). */
+  def ivfStoreBuild(emb: DataFrame, idCol: String, embCol: String,
+                    index: IvfIndex, storeDir: String): Unit =
+    emb.select(col(idCol), col(embCol).as("e"))
+      .withColumn("cell", index.cellCol)
+      .withColumnRenamed("e", embCol)
+      .write.partitionBy("cell").mode("overwrite").parquet(storeDir)
+
+  /** Append new vectors to an [[ivfStoreBuild]] store with the SAME
+    * frozen index — the incremental arm of the lifecycle: only the
+    * batch is assigned (map-only) and written; existing postings are
+    * untouched. Retraining would move centroids and silently orphan
+    * every already-written posting, so the index is a parameter, never
+    * re-derived here. */
+  def ivfStoreAppend(newEmb: DataFrame, idCol: String, embCol: String,
+                     index: IvfIndex, storeDir: String): Unit =
+    newEmb.select(col(idCol), col(embCol).as("e"))
+      .withColumn("cell", index.cellCol)
+      .withColumnRenamed("e", embCol)
+      .write.partitionBy("cell").mode("append").parquet(storeDir)
+
+  /** Serve a top-k from the postings store: probe cells come from ONE
+    * row through the index's own [[IvfIndex.probeCellsCol]] expression
+    * (so the (distance, cell id) order is bit-identical to assignment),
+    * then the store scan partition-prunes to exactly those cells before
+    * the exact cosine ranking. `excludeId` drops the query's own row
+    * when it lives in the store. */
+  def ivfStoreTopK(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                   idCol: String, embCol: String, qv: Seq[Float],
+                   index: IvfIndex, k: Int, nprobe: Int = 1,
+                   excludeId: Option[Long] = None): DataFrame = {
+    val qcol = typedLit(qv)
+    val cells = spark.range(1)
+      .select(explode(index.probeCellsCol(qcol, nprobe)).as("cell"))
+      .collect().map(_.getInt(0)).toSeq // nprobe-sized
+    val store = spark.read.parquet(storeDir)
+      .filter(col("cell").isin(cells: _*))
+    val base = excludeId.fold(store)(q => store.filter(col(idCol) =!= q))
+    base.select(col(idCol),
+        round(graft.functions.VectorFunctions.cosine_sim(col(embCol), qcol), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Sign-bucket LSH: bucket key = sign bits of the first `bits` dims.
     * Probes only the query's bucket, then exact cosine within it. */
   def signBucketTopK(emb: DataFrame, idCol: String, embCol: String,

@@ -15,12 +15,22 @@ object PlanProbe {
     * first so AQE's final plan is the one inspected. */
   def scansFiles(df: DataFrame): Boolean = {
     df.collect(): Unit // finalize AQE
-    def find(p: SparkPlan): Boolean = p match {
-      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
-      case s: QueryStageExec => find(s.plan)
-      case _: FileSourceScanExec => true
-      case other => other.children.exists(find)
-    }
+    find(df.queryExecution.executedPlan).nonEmpty
+  }
+
+  /** How many data files did `df`'s scans actually open? Partition- and
+    * file-pruning both land in the scan's `numFiles` metric, so this is
+    * the probe for "only the probed partitions were read" proofs. */
+  def scannedFileCount(df: DataFrame): Long = {
+    df.collect(): Unit // run, so the metrics are populated
     find(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  private def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+    case s: QueryStageExec => find(s.plan)
+    case sc: FileSourceScanExec => Seq(sc)
+    case other => other.children.flatMap(find)
   }
 }

@@ -1053,13 +1053,18 @@ object Pipeline {
   /** Shared oracle fragment: the deterministic 1-Lloyd-step IVF training
     * ([[Similarity.trainIvf]]) replayed in SQL; ends at `a1(vid, ev,
     * cell)` — every vector with its trained-cell assignment. */
-  private val ivfCtes: String = {
+  /** The shared IVF train+assign CTE chain; `trainWhere` restricts the
+    * TRAINING corpus (seed assignment + Lloyd means) while d1/a1 still
+    * assign EVERY vector with the trained centroids — which is exactly
+    * build-then-append with a frozen index, since assignment is
+    * per-row (the q206 incremental-store oracle). */
+  private def ivfCtesTrainedOn(trainWhere: String): String = {
     def l2(a: String, b: String) = l2Sql(a, b)
     s"""init AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
        |d0 AS (
        |  SELECT e.vec_id AS vid, init.cid, ${l2("e.embedding", "init.cv")} AS d2
-       |  FROM embeddings e CROSS JOIN init),
+       |  FROM embeddings e CROSS JOIN init WHERE $trainWhere),
        |a0 AS (SELECT vid, cid AS cell0 FROM (
        |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn FROM d0) WHERE rn = 1),
        |dims AS (
@@ -1076,6 +1081,8 @@ object Pipeline {
        |a1 AS (SELECT vid, ev, cid AS cell FROM (
        |  SELECT vid, ev, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1)""".stripMargin
   }
+
+  private val ivfCtes: String = ivfCtesTrainedOn("TRUE")
 
   private def ivfSql(nprobe: Int): String =
     s"""WITH $ivfCtes,
@@ -3013,6 +3020,46 @@ object Pipeline {
       |SELECT vec_id, CAST(bench_id AS BIGINT) AS bench_id, sim
       |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q206
+  // Incremental IVF postings store (Similarity.ivfStoreBuild/Append/
+  // TopK): train the coarse quantizer on the base corpus, persist the
+  // postings partitioned by cell, stream a later batch in with the
+  // FROZEN index (map-only assignment, no retrain), then serve a
+  // top-10 probe that opens only the nprobe probed cells' partitions.
+  // The in-plan require proves the partition pruning; the oracle
+  // trains on the base slice but assigns everything — exactly
+  // build-then-append with a frozen index, since assignment is
+  // per-row.
+  private def q206IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q206", dir)
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val ix = Similarity.trainIvf(base, "vec_id", "embedding", 8)
+    Similarity.ivfStoreBuild(base, "vec_id", "embedding", ix, out)
+    Similarity.ivfStoreAppend(batch, "vec_id", "embedding", ix, out)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val res = Similarity.ivfStoreTopK(s, out, "vec_id", "embedding", qv,
+      ix, k = 10, nprobe = 2, excludeId = Some(0L))
+    val total = new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    require(graft.plans.PlanProbe.scannedFileCount(res) < total,
+      s"the probe must open only the probed cells' partitions (of $total)")
+    res
+  }
+
+  private val q206Sql =
+    s"""WITH ${ivfCtesTrainedOn("e.vec_id < 400")},
+       |q AS (SELECT ev AS qv FROM a1 WHERE vid = 0),
+       |probes AS (SELECT cid AS cell FROM (
+       |  SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn FROM d1 WHERE vid = 0) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT vid AS vec_id,
+       |    ${cosSql("ev", "qv")} AS sim
+       |  FROM a1 JOIN probes ON a1.cell = probes.cell CROSS JOIN q WHERE a1.vid <> 0)
+       |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -3821,6 +3868,7 @@ object Pipeline {
     "q202_epoch_mix" -> q202EpochMix _,
     "q204_meta_minmax" -> q204MetaMinMax _,
     "q205_semantic_decon" -> q205SemanticDecon _,
+    "q206_ivf_append" -> q206IvfAppend _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4035,6 +4083,7 @@ object Pipeline {
     "q201_meta_count" -> q201Sql,
     "q204_meta_minmax" -> q204Sql,
     "q205_semantic_decon" -> q205Sql,
+    "q206_ivf_append" -> q206Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )
