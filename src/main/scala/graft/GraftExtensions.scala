@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // guarded: int/float/double/string always; long/timestamp under
     // 2^53; NTZ only in UTC sessions; never DECIMAL)
     ext.injectOptimizerRule(graft.plans.MetadataMinMaxRule)
+    // left-outer joins to a declared-unique store key vanish when only
+    // fact-side columns are read (plans/JoinElimination.scala)
+    ext.injectOptimizerRule(graft.plans.JoinEliminationRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -227,6 +227,8 @@ object GraftCli {
     case "annquery" :: indexDir :: emb :: id :: k :: rest if rest.size <= 1 =>
       annQuery(indexDir, emb, id.toLong, k.toInt,
         rest.headOption.map(_.toInt).getOrElse(1))
+    case "declareunique" :: dir :: keyCol :: Nil =>
+      declareUnique(dir, keyCol)
     case "annstorebuild" :: emb :: indexDir :: storeDir :: Nil =>
       annStoreBuild(emb, indexDir, storeDir, append = false)
     case "annstoreappend" :: emb :: indexDir :: storeDir :: Nil =>
@@ -287,6 +289,7 @@ object GraftCli {
            |           corpusimport corpusingest corpusexport <parquet> <out> <fmt> [shards]
            |ann:       annbuild <emb> <indexdir> [cells] [lloyd_iters]
            |           annquery <indexdir> <emb> <id> <k> [nprobe]
+           |           declareunique <dir> <keycol>
            |           annstorebuild <emb> <indexdir> <storedir>
            |           annstoreappend <emb> <indexdir> <storedir>
            |           annstorequery <indexdir> <storedir> <emb> <id> <k> [nprobe]
@@ -1808,6 +1811,18 @@ object GraftCli {
       .collect()
     hits.foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
     println(s"${hits.length} neighbors of $id (nprobe $nprobe of ${index.cids.size} cells)")
+    spark.stop()
+  }
+
+  /** declareunique: verify + declare a unique key on a parquet store
+    * (sinks/Constraints) — arms plans/JoinEliminationRule for joins
+    * against it; any later append/compact self-invalidates the
+    * declaration until it is re-run. */
+  private def declareUnique(dir: String, keyCol: String): Unit = {
+    val spark = GraftSession.local()
+    graft.sinks.Constraints.declareUnique(spark, dir, keyCol)
+    println(s"declared unique($keyCol) on $dir " +
+      "(valid until the file set changes; re-run after maintenance)")
     spark.stop()
   }
 

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo}
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Join elimination over a declared-unique key — the classic
+  * unique-constraint optimization no stock Spark rule performs
+  * (Catalyst has no table constraints to trust): a LEFT OUTER join to
+  * a parquet store on a key with a CURRENTLY-VALID `unique`
+  * declaration ([[graft.sinks.Constraints]]) preserves the left side's
+  * rows exactly — every left row matches at most one right row, and a
+  * non-match just null-extends columns nobody reads — so when the
+  * projection above references ONLY left-side columns, the join (and
+  * the store's whole scan + shuffle/broadcast) is dropped from the
+  * plan. At 100 TB that is an entire join stage for free whenever a
+  * query joins a dimension "just in case" — the view-expansion /
+  * generated-SQL pattern ORMs and BI layers emit constantly.
+  *
+  * Every condition is correctness-bearing:
+  *  - LEFT OUTER only (an inner join filters unmatched left rows and
+  *    could only be eliminated under a declared-and-verified foreign
+  *    key, which this engine does not claim);
+  *  - the condition is a single bare-attribute equality whose right
+  *    side resolves through alias-only Projects to the store column
+  *    with the declaration;
+  *  - the declaration must be VALID NOW: its stamped file set must
+  *    equal the store's current data files, so any append/compact
+  *    since declaration self-invalidates (the sidecar-coverage
+  *    discipline of every store read here);
+  *  - the projection's references must sit entirely in the LEFT
+  *    output (duplicate-attribute ambiguity cannot arise — the right
+  *    side's attributes are gone from the result).
+  * Kill-switched by `spark.graft.joinelim.enabled`; any failure falls
+  * back to the stock join, so the rule can only remove work. */
+case class JoinEliminationRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.get("spark.graft.joinelim.enabled", "true").toBoolean)
+      return plan
+    plan.transform {
+      case p @ Project(projList,
+          Join(left, right, LeftOuter, Some(EqualTo(a, b)), _))
+          if projList.flatMap(_.references).forall(left.outputSet.contains) =>
+        try {
+          orient(a, b, left, right) match {
+            case Some((_, rk)) if uniqueStoreDir(rk, right).isDefined =>
+              Project(projList, left)
+            case _ => p
+          }
+        } catch { case scala.util.control.NonFatal(_) => p }
+    }
+  }
+
+  /** Orient the equality: which side is the left key, which the right. */
+  private def orient(a: org.apache.spark.sql.catalyst.expressions.Expression,
+                     b: org.apache.spark.sql.catalyst.expressions.Expression,
+                     left: LogicalPlan, right: LogicalPlan)
+      : Option[(Attribute, Attribute)] = (a, b) match {
+    case (x: AttributeReference, y: AttributeReference) =>
+      if (left.outputSet.contains(x) && right.outputSet.contains(y)) Some((x, y))
+      else if (left.outputSet.contains(y) && right.outputSet.contains(x)) Some((y, x))
+      else None
+    case _ => None
+  }
+
+  /** The store dir when `rk` resolves (through alias-only Projects /
+    * Filters are NOT allowed — a filtered dimension is still unique,
+    * but keep the match minimal and auditable) to a relation column
+    * carrying a currently-valid unique declaration. */
+  private def uniqueStoreDir(rk: Attribute, plan: LogicalPlan): Option[String] = {
+    def resolve(attr: Attribute, p: LogicalPlan): Option[(LogicalRelation, String)] =
+      p match {
+        case l: LogicalRelation =>
+          l.output.find(_.exprId == attr.exprId).map(c => (l, c.name))
+        case Project(projList, child) =>
+          projList.find(_.exprId == attr.exprId) match {
+            case Some(x: AttributeReference) => resolve(x, child)
+            case Some(Alias(x: AttributeReference, _)) => resolve(x, child)
+            case _ => None
+          }
+        case _ => None
+      }
+    resolve(rk, plan).flatMap { case (l, colName) =>
+      val rel = l.relation match {
+        case r: HadoopFsRelation => r
+        case _ => return None
+      }
+      if (rel.partitionSchema.nonEmpty) return None
+      val roots = rel.location.rootPaths
+      if (roots.length != 1 || roots.head.getName.endsWith(".parquet")) return None
+      val dir = roots.head.toString
+      if (graft.sinks.Constraints.verifiedUnique(spark, dir, colName)) Some(dir)
+      else None
+    }
+  }
+}

@@ -3060,6 +3060,44 @@ object Pipeline {
        |  FROM a1 JOIN probes ON a1.cell = probes.cell CROSS JOIN q WHERE a1.vid <> 0)
        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------- q207
+  // Join elimination over a declared-unique key (plans/
+  // JoinEliminationRule + sinks/Constraints): the fact table
+  // left-joins an orders dimension store whose o_orderkey carries a
+  // verified unique declaration, but the aggregate reads only fact
+  // columns — so the optimizer drops the join (and the dimension scan)
+  // entirely. The in-plan require proves no Join survives; the oracle
+  // RUNS the join, which must be answer-identical by the uniqueness
+  // argument the rule rests on.
+  private def q207JoinElim(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q207", dir)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(out)
+    graft.sinks.Constraints.declareUnique(s, out, "o_orderkey")
+    val li = t(s, dir, "lineitem")
+    val dim = s.read.parquet(out)
+    val res = li.join(dim, li("l_orderkey") === dim("o_orderkey"), "left_outer")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    val joins = res.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    require(joins.isEmpty,
+      "the unique-key left join must be eliminated from the plan")
+    res
+  }
+
+  private val q207Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -3869,6 +3907,7 @@ object Pipeline {
     "q204_meta_minmax" -> q204MetaMinMax _,
     "q205_semantic_decon" -> q205SemanticDecon _,
     "q206_ivf_append" -> q206IvfAppend _,
+    "q207_join_elim" -> q207JoinElim _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4084,6 +4123,7 @@ object Pipeline {
     "q204_meta_minmax" -> q204Sql,
     "q205_semantic_decon" -> q205Sql,
     "q206_ivf_append" -> q206Sql,
+    "q207_join_elim" -> q207Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

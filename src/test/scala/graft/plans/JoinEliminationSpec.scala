@@ -1,0 +1,105 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sinks.Constraints
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+
+/** The unique-key join-elimination rule: a left-outer join to a
+  * declared-unique store key whose columns nobody reads must vanish
+  * from the optimized plan with an identical answer; every condition
+  * the rule rests on (outer-ness, declaration validity, projection
+  * scope, bare-attribute equality) must keep the join when violated. */
+class JoinEliminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plansJoin(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty
+
+  private lazy val stores: (String, DataFrame, DataFrame) = {
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "label")
+    val dir = java.nio.file.Files.createTempDirectory("joinelim").toString + "/dim"
+    dim.write.parquet(dir)
+    Constraints.declareUnique(spark, dir, "k")
+    val fact = Seq((1L, 10), (1L, 20), (2L, 30), (9L, 40))
+      .toDF("fk", "v")
+    (dir, fact, dim)
+  }
+
+  test("fact-only projection over a unique-key left join drops the join") {
+    val (dir, fact, _) = stores
+    val dim = spark.read.parquet(dir)
+    val q = fact.join(dim, fact("fk") === dim("k"), "left_outer")
+      .groupBy($"fk").agg(sum($"v").as("s"))
+      .orderBy($"fk")
+    assert(!plansJoin(q), "unique-key left join should be eliminated")
+    // identical to the actually-joined answer (kill-switch = ground truth)
+    spark.conf.set("spark.graft.joinelim.enabled", "false")
+    try {
+      val ref = fact.join(dim, fact("fk") === dim("k"), "left_outer")
+        .groupBy($"fk").agg(sum($"v").as("s")).orderBy($"fk")
+      assert(plansJoin(ref))
+      assert(q.collect().toSeq == ref.collect().toSeq)
+    } finally spark.conf.set("spark.graft.joinelim.enabled", "true")
+  }
+
+  test("reading a dimension column keeps the join") {
+    val (dir, fact, _) = stores
+    val dim = spark.read.parquet(dir)
+    val q = fact.join(dim, fact("fk") === dim("k"), "left_outer")
+      .select($"fk", $"v", $"label")
+    assert(plansJoin(q))
+    assert(q.count() == 4L)
+  }
+
+  test("inner joins keep the join (they filter unmatched fact rows)") {
+    val (dir, fact, _) = stores
+    val dim = spark.read.parquet(dir)
+    val q = fact.join(dim, fact("fk") === dim("k"))
+      .groupBy($"fk").agg(sum($"v").as("s"))
+    assert(plansJoin(q))
+    assert(q.count() == 2L) // fk=9 filtered by the inner join
+  }
+
+  test("an append after declaration self-invalidates the constraint") {
+    val (_, fact, dim) = stores
+    val dir2 = java.nio.file.Files.createTempDirectory("joinelim2").toString + "/dim"
+    dim.write.parquet(dir2)
+    Constraints.declareUnique(spark, dir2, "k")
+    // the append even REBREAKS uniqueness — elimination here would be wrong
+    Seq((1L, "dup")).toDF("k", "label").write.mode("append").parquet(dir2)
+    val d2 = spark.read.parquet(dir2)
+    val q = fact.join(d2, fact("fk") === d2("k"), "left_outer")
+      .groupBy($"fk").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .orderBy($"fk")
+    assert(plansJoin(q), "stamped file set drifted — must not eliminate")
+    // fk=1 fans out to 2 rows per fact row through the duplicate key
+    assert(q.filter($"fk" === 1L).select($"n").as[Long].head() == 4L)
+  }
+
+  test("declareUnique refuses duplicate non-null keys, allows null dups") {
+    val dupDir = java.nio.file.Files.createTempDirectory("joinelim3").toString + "/d"
+    Seq((1L, "x"), (1L, "y")).toDF("k", "label").write.parquet(dupDir)
+    intercept[IllegalArgumentException] {
+      Constraints.declareUnique(spark, dupDir, "k")
+    }
+    val nullDir = java.nio.file.Files.createTempDirectory("joinelim4").toString + "/d"
+    Seq[(Option[Long], String)]((None, "x"), (None, "y"), (Some(1L), "z"))
+      .toDF("k", "label").write.parquet(nullDir)
+    Constraints.declareUnique(spark, nullDir, "k") // null dups never match
+    assert(Constraints.verifiedUnique(spark, nullDir, "k"))
+  }
+
+  test("kill-switch keeps the join") {
+    val (dir, fact, _) = stores
+    val dim = spark.read.parquet(dir)
+    spark.conf.set("spark.graft.joinelim.enabled", "false")
+    try {
+      val q = fact.join(dim, fact("fk") === dim("k"), "left_outer")
+        .groupBy($"fk").agg(sum($"v").as("s"))
+      assert(plansJoin(q))
+    } finally spark.conf.set("spark.graft.joinelim.enabled", "true")
+  }
+}
