@@ -1259,6 +1259,80 @@ object Pipeline {
        |  n_chars AS keep_chars
        |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  // --------------------------------------------------------------- q208
+  // Split-leakage audit: q63's near-dup clusters joined to q45's
+  // deterministic split assignment — any cluster spanning more than
+  // one split means a near-duplicate of a training doc sits in
+  // val/test and inflates eval (exact dups can't leak here, identical
+  // text hashes to the same split; this catches the NEAR-dups). The
+  // cluster frame is candidate-pair-sized, the split column is one
+  // map-side hash, and the spanning test is a partial-aggregable
+  // count(distinct-of-3).
+  private def q208SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val splits = t(s, dir, "documents")
+      .withColumn("b", expr("substring(md5(text), 1, 1)"))
+      .withColumn("split",
+        when(col("b") < "c", "train")
+          .when(col("b") < "e", "val").otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    dupClusters(s, dir)
+      .join(splits, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("split")).as("n_splits"),
+        concat_ws(",", sort_array(collect_set(col("split")))).as("splits"))
+      .filter(col("n_splits") > 1)
+      .select(col("cluster"), col("n_members"), col("splits"))
+      .orderBy(col("cluster"))
+  }
+
+  private val q208Sql =
+    s"""$dupClusterCtes,
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN substring(md5(text), 1, 1) < 'c' THEN 'train'
+       |         WHEN substring(md5(text), 1, 1) < 'e' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |j AS (SELECT c.cluster, c.doc_id, sp.split
+       |      FROM clus c JOIN sp USING (doc_id))
+       |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+       |FROM j GROUP BY cluster HAVING COUNT(DISTINCT split) > 1
+       |ORDER BY cluster""".stripMargin
+
+  // --------------------------------------------------------------- q209
+  // Tokenizer fertility by language: chars-per-token and
+  // bytes-per-token over the whitespace tokenization (the q35
+  // convention) — the multilingual budgeting metric that says how far
+  // a token budget stretches per language (UTF-8-heavy scripts cost
+  // more bytes per token; fragmenting tokenizers cost more tokens per
+  // char). One map-side projection, one partial-aggregable sum per
+  // language; divisions are exact-long ratios, bit-stable on any
+  // engine.
+  private def q209TokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("tok"),
+        length(col("text")).cast("long").as("ch"),
+        octet_length(col("text")).cast("long").as("by"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("tokens"),
+        (sum(col("ch")).cast("double") / sum(col("tok")))
+          .as("chars_per_token"),
+        (sum(col("by")).cast("double") / sum(col("tok")))
+          .as("bytes_per_token"))
+      .orderBy(col("lang"))
+
+  private val q209Sql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tokens,
+      |  CAST(SUM(length(text)) AS DOUBLE)
+      |    / SUM(len(string_split_regex(text, '\s+'))) AS chars_per_token,
+      |  CAST(SUM(strlen(text)) AS DOUBLE)
+      |    / SUM(len(string_split_regex(text, '\s+'))) AS bytes_per_token
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // --------------------------------------------------------------- q186
   // Contrastive training triples (Curation.trainingTriples): q63's
   // near-dup clusters supply the positives (smallest other member),
@@ -3908,6 +3982,8 @@ object Pipeline {
     "q205_semantic_decon" -> q205SemanticDecon _,
     "q206_ivf_append" -> q206IvfAppend _,
     "q207_join_elim" -> q207JoinElim _,
+    "q208_split_leakage" -> q208SplitLeakage _,
+    "q209_tokenizer_fertility" -> q209TokenizerFertility _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4124,6 +4200,8 @@ object Pipeline {
     "q205_semantic_decon" -> q205Sql,
     "q206_ivf_append" -> q206Sql,
     "q207_join_elim" -> q207Sql,
+    "q208_split_leakage" -> q208Sql,
+    "q209_tokenizer_fertility" -> q209Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )
