@@ -290,12 +290,11 @@ object Similarity {
     * [[ivfStoreTopK]], which opens ONLY the probed cells' partitions.
     * At 100 TB this is the difference between a probe scanning
     * nprobe/numCells of the corpus and re-assigning all of it per
-    * query (the [[ivfProbe]] demo shape). */
+    * query (the [[ivfProbe]] demo shape). Rider columns (metadata,
+    * the streaming `_applied_batch` marker) persist unchanged. */
   def ivfStoreBuild(emb: DataFrame, idCol: String, embCol: String,
                     index: IvfIndex, storeDir: String): Unit =
-    emb.select(col(idCol), col(embCol).as("e"))
-      .withColumn("cell", index.cellCol)
-      .withColumnRenamed("e", embCol)
+    emb.withColumn("cell", index.cellColFor(col(embCol)))
       .write.partitionBy("cell").mode("overwrite").parquet(storeDir)
 
   /** Append new vectors to an [[ivfStoreBuild]] store with the SAME
@@ -306,9 +305,7 @@ object Similarity {
     * re-derived here. */
   def ivfStoreAppend(newEmb: DataFrame, idCol: String, embCol: String,
                      index: IvfIndex, storeDir: String): Unit =
-    newEmb.select(col(idCol), col(embCol).as("e"))
-      .withColumn("cell", index.cellCol)
-      .withColumnRenamed("e", embCol)
+    newEmb.withColumn("cell", index.cellColFor(col(embCol)))
       .write.partitionBy("cell").mode("append").parquet(storeDir)
 
   /** Serve a top-k from the postings store: probe cells come from ONE

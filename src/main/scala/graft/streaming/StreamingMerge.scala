@@ -203,6 +203,60 @@ object StreamingMerge {
       }
       .start()
 
+  /** Streaming ingest into an IVF POSTINGS store
+    * ([[graft.operators.Similarity.ivfStoreBuild]]/Append): each
+    * micro-batch assigns its vectors against the FROZEN index at
+    * `indexDir` (map-only argmin — no retrain, so existing postings
+    * stay valid) and appends them `partitionBy(cell)`, keeping the
+    * serving path's partition pruning intact while the stream runs —
+    * the embedding-pipeline shape where a trained index serves
+    * queries while new corpus embeddings arrive continuously.
+    *
+    * Replay safety: rows carry `_applied_batch` in the same append
+    * (the shared gate); `checkpointDir` is REQUIRED and pairs
+    * lifetimes with the store ([[aggMaintain]]). The batch frame must
+    * carry `vec_id` and `embedding` (the embeddings-table
+    * convention, as [[dedupIngest]] fixes doc_id/text). */
+  def annIngest(spark: SparkSession, inDir: String,
+                schema: org.apache.spark.sql.types.StructType,
+                storeDir: String, checkpointDir: String,
+                indexDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAnnBatch(batch, batchId, storeDir, indexDir): Unit
+      }
+      .start()
+
+  /** One postings-store commit, replay-safe; factored out so the
+    * idempotence contract is directly testable. Returns false when the
+    * batch was already applied; refuses loudly on a reset id lineage
+    * ([[replayGateSkips]]). The index loads per batch — it is a
+    * cell-count-sized artifact, and re-reading it means an index
+    * RETRAIN mid-stream (new artifact at `indexDir`) would corrupt
+    * the store's lists, so retrains must pair with a store rebuild. */
+  def applyAnnBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                    indexDir: String): Boolean = {
+    import graft.operators.Similarity
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val exists = p.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(p)
+    val index = Similarity.loadIndex(spark, indexDir)
+    val marked = batch.withColumn("_applied_batch", lit(batchId))
+    if (!exists) {
+      Similarity.ivfStoreBuild(marked, "vec_id", "embedding", index, storeDir)
+    } else {
+      if (replayGateSkips(spark, storeDir, batchId))
+        return false // replayed batch
+      Similarity.ivfStoreAppend(marked, "vec_id", "embedding", index, storeDir)
+    }
+    true
+  }
+
   /** One indexed-store commit, replay-safe; factored out so the
     * idempotence contract is directly testable. Returns false when the
     * batch was already applied; refuses loudly on a reset id lineage
