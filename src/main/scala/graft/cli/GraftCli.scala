@@ -237,6 +237,9 @@ object GraftCli {
         if rest.size <= 1 =>
       annStoreQuery(indexDir, storeDir, emb, id.toLong, k.toInt,
         rest.headOption.map(_.toInt).getOrElse(1))
+    case "annstorecompact" :: storeDir :: rest if rest.size <= 1 =>
+      annStoreCompact(storeDir,
+        rest.headOption.map(_.toLong).getOrElse(0L))
     case "pqbuild" :: emb :: indexDir :: rest if rest.size <= 2 =>
       pqBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(2),
         rest.drop(1).headOption.map(_.toInt).getOrElse(8))
@@ -293,6 +296,7 @@ object GraftCli {
            |           annstorebuild <emb> <indexdir> <storedir>
            |           annstoreappend <emb> <indexdir> <storedir>
            |           annstorequery <indexdir> <storedir> <emb> <id> <k> [nprobe]
+           |           annstorecompact <storedir> [max_records_per_file]
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -1846,6 +1850,14 @@ object GraftCli {
       .select(col("cell")).distinct().count()
     println(s"${if (append) "appended to" else "wrote"} postings store " +
       s"$storeDir ($cells of ${index.cids.size} cells populated)")
+    spark.stop()
+  }
+
+  private def annStoreCompact(storeDir: String, maxRecords: Long): Unit = {
+    val spark = GraftSession.local()
+    val (was, now) =
+      graft.operators.Similarity.compactIvfStore(spark, storeDir, maxRecords)
+    println(s"compacted postings store $storeDir: $was -> $now files")
     spark.stop()
   }
 

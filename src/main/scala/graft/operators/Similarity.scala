@@ -308,6 +308,50 @@ object Similarity {
     newEmb.withColumn("cell", index.cellColFor(col(embCol)))
       .write.partitionBy("cell").mode("append").parquet(storeDir)
 
+  /** Compact a postings store: streaming ingest writes one file per
+    * cell per batch, so a long-running [[graft.streaming.StreamingMerge
+    * .annIngest]] accumulates small files in every list — the classic
+    * small-files decay of any streaming sink. The rewrite shuffles
+    * each cell wholly into one task (`repartition(cell)`), writes ONE
+    * file per cell (bounded by `maxRecordsPerFile` when set) into a
+    * temp sibling, then swaps directories rename-aside, the
+    * [[graft.sinks.StoreMaintenance]] crash discipline: a failure
+    * mid-compact leaves either the old store or the new one, never a
+    * mix. Rows (and the `_applied_batch` replay marker) are preserved
+    * verbatim, so serving results and the streaming gate are
+    * unchanged. Returns (files before, files after). */
+  def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String,
+                      maxRecordsPerFile: Long = 0L): (Int, Int) = {
+    def dataFiles(d: String): Int = {
+      val root = new java.io.File(d)
+      if (!root.exists) 0
+      else root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.listFiles().count(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))).sum
+    }
+    val before = dataFiles(storeDir)
+    val tmp = storeDir + "_compact_tmp"
+    val aside = storeDir + "_compact_old"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(tmp)); rm(new java.io.File(aside))
+    val w = spark.read.parquet(storeDir)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+    (if (maxRecordsPerFile > 0L)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(tmp)
+    java.nio.file.Files.move(java.nio.file.Paths.get(storeDir),
+      java.nio.file.Paths.get(aside))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(storeDir))
+    rm(new java.io.File(aside))
+    (before, dataFiles(storeDir))
+  }
+
   /** Serve a top-k from the postings store: probe cells come from ONE
     * row through the index's own [[IvfIndex.probeCellsCol]] expression
     * (so the (distance, cell id) order is bit-identical to assignment),

@@ -3172,6 +3172,37 @@ object Pipeline {
       |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q210
+  // Postings-store compaction (Similarity.compactIvfStore): same
+  // build + frozen-index append as q206, then the small-files rewrite
+  // (one file per cell, rename-aside swap) BEFORE serving — the
+  // answer must be byte-identical to q206's, proving compaction
+  // preserves postings, markers, and partition pruning. The in-plan
+  // requires prove both the file-count drop and the pruned probe.
+  private def q210IvfCompact(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q210", dir)
+    val emb = t(s, dir, "embeddings")
+    val ix = Similarity.trainIvf(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", 8)
+    Similarity.ivfStoreBuild(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", ix, out)
+    Similarity.ivfStoreAppend(emb.filter(col("vec_id") >= 400),
+      "vec_id", "embedding", ix, out)
+    val (was, now) = Similarity.compactIvfStore(s, out)
+    require(now <= was && now <= ix.cids.size,
+      s"compaction must leave at most one file per cell ($was -> $now)")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val res = Similarity.ivfStoreTopK(s, out, "vec_id", "embedding", qv,
+      ix, k = 10, nprobe = 2, excludeId = Some(0L))
+    require(graft.plans.PlanProbe.scannedFileCount(res) < now,
+      "the probe must still partition-prune after compaction")
+    res
+  }
+
+  // identical oracle to q206: compaction must not change the answer
+  private val q210Sql = q206Sql
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -3984,6 +4015,7 @@ object Pipeline {
     "q207_join_elim" -> q207JoinElim _,
     "q208_split_leakage" -> q208SplitLeakage _,
     "q209_tokenizer_fertility" -> q209TokenizerFertility _,
+    "q210_ivf_compact" -> q210IvfCompact _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4202,6 +4234,7 @@ object Pipeline {
     "q207_join_elim" -> q207Sql,
     "q208_split_leakage" -> q208Sql,
     "q209_tokenizer_fertility" -> q209Sql,
+    "q210_ivf_compact" -> q210Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -59,5 +59,22 @@ class AnnIngestSpec extends SparkSpec {
       StreamingMerge.applyAnnBatch(batchDf(0, 64), 0L, dir, ixDir)
     }
     assert(ex.getMessage.contains("diverged"))
+
+    // compaction heals small-files decay: one file per cell, identical
+    // serving results, replay gate still armed, stream keeps appending
+    val beforeServe = Similarity.ivfStoreTopK(spark, dir, "vec_id",
+      "embedding", qv, index, k = 5, nprobe = 4, excludeId = Some(5L))
+      .collect().toSeq
+    val (was, now) = Similarity.compactIvfStore(spark, dir)
+    assert(was > cells && now == cells, s"$was files -> $now (cells=$cells)")
+    val afterServe = Similarity.ivfStoreTopK(spark, dir, "vec_id",
+      "embedding", qv, index, k = 5, nprobe = 4, excludeId = Some(5L))
+      .collect().toSeq
+    assert(afterServe == beforeServe)
+    intercept[IllegalStateException] {
+      StreamingMerge.applyAnnBatch(batchDf(0, 64), 0L, dir, ixDir)
+    }
+    assert(StreamingMerge.applyAnnBatch(batchDf(128, 140), 2L, dir, ixDir))
+    assert(spark.read.parquet(dir).count() == 140)
   }
 }
