@@ -13,12 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.sinks.SkippingStore
 import graft.sinks.SkippingStore.SidecarMinMax
 
-/** Metadata-only `min`/`max` (and mixed `count(*)`) over a
-  * [[graft.sinks.SkippingStore]] multi sidecar — the companion of
+/** Metadata-only `min`/`max`/`count(col)` (and mixed `count(*)`) over
+  * a [[graft.sinks.SkippingStore]] multi sidecar — the companion of
   * [[MetadataCountRule]]: a global aggregate whose every expression is
-  * a bare `min(col)`/`max(col)` on a sidecar-indexed column (or a bare
-  * `count(*)`) collapses to a [[LocalRelation]] reduced from the
-  * per-file zone stats. Per-file (min, max) already ignore nulls, so
+  * a bare `min(col)`/`max(col)`/`count(col)` on a sidecar-indexed
+  * column (or a bare `count(*)`) collapses to a [[LocalRelation]]
+  * reduced from the per-file zone stats — `count(col)` skips nulls,
+  * answered exactly as sum(nrows - nnulls) when the sidecar carries
+  * the null-count stat (older sidecars fall back). Per-file (min, max) already ignore nulls, so
   * the file-level reduction IS the SQL aggregate; no data file opens.
   * Registered through [[graft.GraftExtensions]], kill-switched by
   * `spark.graft.metaminmax.enabled`. Pure-count aggregates stay with
@@ -64,16 +66,21 @@ case class MetadataMinMaxRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def supported(e: NamedExpression): Boolean = e match {
     case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
-      case Count(Seq(Literal(_, _)))    => true
-      case Min(_: AttributeReference)   => true
-      case Max(_: AttributeReference)   => true
-      case _                            => false
+      case Count(Seq(Literal(_, _)))           => true
+      case Count(Seq(_: AttributeReference))   => true
+      case Min(_: AttributeReference)          => true
+      case Max(_: AttributeReference)          => true
+      case _                                   => false
     }
     case _ => false
   }
 
+  /** At least one aggregate only THIS rule answers — pure count(*)
+    * plans stay with [[MetadataCountRule]]. */
   private def isMinMax(e: NamedExpression): Boolean = e match {
     case Alias(AggregateExpression(Min(_) | Max(_), _, _, _, _), _) => true
+    case Alias(AggregateExpression(
+      Count(Seq(_: AttributeReference)), _, _, _, _), _) => true
     case _ => false
   }
 
@@ -154,6 +161,10 @@ case class MetadataMinMaxRule(spark: SparkSession) extends Rule[LogicalPlan] {
       stats.getOrElseUpdate(c, SkippingStore.metadataMinMax(spark, dir, c))
     val values = a.aggregateExpressions.map {
       case Alias(AggregateExpression(fn, _, _, _, _), _) => fn match {
+        case Count(Seq(attr: AttributeReference)) => // skips nulls
+          val c = resolveColumn(attr, child).getOrElse(return a)
+          SkippingStore.metadataNonNullCount(spark, dir, c.name)
+            .getOrElse(return a)
         case Count(_) =>
           SkippingStore.metadataCount(spark, dir).getOrElse(return a)
         case Min(attr: AttributeReference) =>

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -31,6 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - IN-lists (`In` and the set-converted `InSet`) → the union of the
   *    per-value equality survivor sets;
   *  - startsWith(ASCII prefix) → the string range [prefix, nextPrefix);
+  *  - IS NULL / IS NOT NULL → the sidecar's per-file null counts
+  *    (files with nnulls = 0 die for IS NULL; all-null files die for
+  *    IS NOT NULL — including the implicit isnotnull conjunct Spark
+  *    adds beside every comparison);
   *  - arbitrary AND/OR trees over the above: AND intersects (opaque
   *    conjuncts are neutral), OR unions (every disjunct must be
   *    judgeable, or the whole OR is unprunable).
@@ -73,6 +77,7 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class RangeP(col: String, lo: Option[Any], hi: Option[Any]) extends Pred
   private case class EqP(col: String, value: Any) extends Pred
   private case class InP(col: String, values: Seq[Any]) extends Pred
+  private case class NullP(col: String, wantNull: Boolean) extends Pred
 
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
@@ -146,6 +151,14 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val hi = prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar
         Seq(RangeP(attrName(a).get, Some(prefix), Some(hi)))
       }
+    // IS NULL must see the BARE column: IsNull(Cast(a)) also matches
+    // rows where the cast fails on non-null input, which a zero-nnulls
+    // file can still hold. IsNotNull(Cast(a)) ⊆ IsNotNull(a), so the
+    // cast shape stays prunable there.
+    case IsNull(a: AttributeReference) =>
+      Seq(NullP(a.name, wantNull = true))
+    case IsNotNull(a) if attrName(a).isDefined =>
+      Seq(NullP(attrName(a).get, wantNull = false))
     case GreaterThanOrEqual(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
       Seq(RangeP(attrName(a).get, litVal(v), None))
     case GreaterThan(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
@@ -186,6 +199,9 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val sets = vs.map(v => survivors(dir, EqP(c, v)))
       if (sets.exists(_.isEmpty)) None
       else Some(sets.flatten.foldLeft(Set.empty[String])(_ union _))
+    case NullP(c, wantNull) =>
+      graft.sinks.SkippingStore
+        .nullFileNames(spark, dir, c, wantNull).map(_.toSet)
   }
 
   private def prune(f: Filter, cond: Expression, l: LogicalRelation): LogicalPlan = {

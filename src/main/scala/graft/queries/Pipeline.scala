@@ -3203,6 +3203,43 @@ object Pipeline {
   // identical oracle to q206: compaction must not change the answer
   private val q210Sql = q206Sql
 
+  // --------------------------------------------------------------- q211
+  // Null-count statistics end to end: a store whose stats column
+  // carries real nulls answers count(*) / count(col) / min / max from
+  // the sidecar alone (count(col) = sum(nrows - nnulls), the Delta
+  // nullCount stat), and an IS NULL read opens only the null-bearing
+  // files. Both proved in-plan; the null totals cross-check each
+  // other.
+  private def q211NullStats(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q211", dir)
+    val src = t(s, dir, "events")
+      .select(when(col("value") < 2.0, lit(null).cast("double"))
+        .otherwise(col("value")).as("v"))
+    graft.sinks.SkippingStore.writeMulti(src, "v", Seq("v"), out, 8)
+    val store = s.read.parquet(out)
+    val agg = store.agg(count(lit(1)).as("n"), count(col("v")).as("n_v"),
+      min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    require(!graft.plans.PlanProbe.scansFiles(agg),
+      "count(*)/count(v)/min/max must answer from the null-count sidecar")
+    val head = agg.head()
+    val nNull = head.getLong(0) - head.getLong(1)
+    val nulls = store.filter(col("v").isNull)
+    require(graft.plans.PlanProbe.scannedFileCount(nulls) < 8,
+      "IS NULL must open only the null-bearing files (of 8)")
+    require(nulls.count() == nNull,
+      "the pruned IS NULL read must agree with the sidecar null total")
+    agg.withColumn("n_null", lit(nNull))
+  }
+
+  private val q211Sql =
+    """WITH s AS (
+      |  SELECT CASE WHEN value < 2.0 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(v) AS BIGINT) AS n_v,
+      |  min(v) AS min_v, max(v) AS max_v,
+      |  CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4016,6 +4053,7 @@ object Pipeline {
     "q208_split_leakage" -> q208SplitLeakage _,
     "q209_tokenizer_fertility" -> q209TokenizerFertility _,
     "q210_ivf_compact" -> q210IvfCompact _,
+    "q211_null_stats" -> q211NullStats _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4235,6 +4273,7 @@ object Pipeline {
     "q208_split_leakage" -> q208Sql,
     "q209_tokenizer_fertility" -> q209Sql,
     "q210_ivf_compact" -> q210Sql,
+    "q211_null_stats" -> q211Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

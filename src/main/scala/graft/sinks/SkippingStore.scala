@@ -129,11 +129,14 @@ object SkippingStore {
     }
   }
 
-  /** One (file, col, zmin, zmax, zmin_str, zmax_str, nrows) row per
-    * data file × stats column — numeric/datetime stats in the double
-    * slots, string stats in the lexicographic slots, the other pair
-    * null; `nrows` is the file's exact row count (identical across a
-    * file's rows), which makes the sidecar a row-count manifest too —
+  /** One (file, col, zmin, zmax, zmin_str, zmax_str, nrows, nnulls)
+    * row per data file × stats column — numeric/datetime stats in the
+    * double slots, string stats in the lexicographic slots, the other
+    * pair null; `nrows` is the file's exact row count (identical
+    * across a file's rows) and `nnulls` the column's null count (the
+    * Delta nullCount stat: metadata-only `count(col)` and IS [NOT]
+    * NULL file pruning), which makes the sidecar a row-count manifest
+    * too —
     * the [[graft.plans.MetadataCountRule]] answers a bare `count(*)`
     * from it without opening a data file, the Delta metadata-only
     * count. Shared by every multi-sidecar writer (writeMulti,
@@ -142,20 +145,22 @@ object SkippingStore {
   private def multiZoneRows(data: DataFrame, statsCols: Seq[String]): DataFrame =
     statsCols.map { c =>
       val by = data.groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      val nn = sum(when(col(c).isNull, 1L).otherwise(0L)).as("nnulls")
       widenedNumeric(col(c), data.schema(c).dataType) match {
         case Some(w) =>
           by.agg(min(w).as("zmin"), max(w).as("zmax"),
-              count(lit(1)).as("nrows"))
+              count(lit(1)).as("nrows"), nn)
             .select(col("file"), lit(c).as("col"), col("zmin"), col("zmax"),
               lit(null).cast("string").as("zmin_str"),
-              lit(null).cast("string").as("zmax_str"), col("nrows"))
+              lit(null).cast("string").as("zmax_str"), col("nrows"),
+              col("nnulls"))
         case None =>
           by.agg(min(col(c)).as("zmin_str"), max(col(c)).as("zmax_str"),
-              count(lit(1)).as("nrows"))
+              count(lit(1)).as("nrows"), nn)
             .select(col("file"), lit(c).as("col"),
               lit(null).cast("double").as("zmin"),
               lit(null).cast("double").as("zmax"),
-              col("zmin_str"), col("zmax_str"), col("nrows"))
+              col("zmin_str"), col("zmax_str"), col("nrows"), col("nnulls"))
       }
     }.reduce(_ unionByName _)
 
@@ -199,9 +204,11 @@ object SkippingStore {
     if (newFiles.nonEmpty) {
       val rows = multiZoneRows(
         spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*), statsCols)
-      // a pre-nrows sidecar keeps its schema (mixed parquet footers
-      // would make the unmerged sidecar read schema-dependent)
-      (if (zm.columns.contains("nrows")) rows else rows.drop("nrows"))
+      // a pre-nrows/-nnulls sidecar keeps its schema (mixed parquet
+      // footers would make the unmerged sidecar read schema-dependent)
+      Seq("nrows", "nnulls")
+        .foldLeft(rows)((r, c) =>
+          if (zm.columns.contains(c)) r else r.drop(c))
         .coalesce(1)
         .write.mode("append").parquet(s"$dir/_zonemap_multi")
     }
@@ -289,6 +296,56 @@ object SkippingStore {
     if (files.length != files.distinct.length) return None // conflicting counts
     checkCoverage(listDataFileNames(spark, dir).toSet, files.toSet, dir)
     Some(perFile.map(_.getLong(1)).sum)
+  }
+
+  /** Exact NON-NULL count of `statsCol` (SQL `count(col)` semantics)
+    * from the `_zonemap_multi` sidecar alone — sum over files of
+    * (nrows - nnulls), the Delta nullCount stat. None when the store
+    * has no multi sidecar, the sidecar predates `nnulls`, the column
+    * isn't indexed, or a file carries conflicting rows; an unmapped
+    * data file throws loudly. */
+  def metadataNonNullCount(spark: SparkSession, dir: String,
+                           statsCol: String): Option[Long] = {
+    if (!pathExists(spark, s"$dir/_zonemap_multi")) return None
+    val zm = spark.read.parquet(s"$dir/_zonemap_multi")
+    if (!zm.columns.contains("nnulls") || !zm.columns.contains("nrows"))
+      return None
+    val rows = zm.filter(col("col") === statsCol)
+      .select(col("file"), col("nrows"), col("nnulls"))
+      .collect() // file-count-sized
+    if (rows.isEmpty) return None // column not indexed
+    val files = rows.map(_.getString(0))
+    if (files.length != files.distinct.length) return None // conflicting stats
+    checkCoverage(listDataFileNames(spark, dir).toSet, files.toSet, dir)
+    Some(rows.map(r => r.getLong(1) - r.getLong(2)).sum)
+  }
+
+  /** Optimizer-rule entry ([[graft.plans.ZonePruneRule]]): the file
+    * names of `dir` that might hold a row where `statsCol` IS NULL
+    * (`wantNull = true`: files with nnulls > 0) or IS NOT NULL
+    * (`wantNull = false`: files with nnulls < nrows) — Delta's
+    * null-count skipping. All-null files die under any comparison
+    * predicate already (null zone stats fail every range test); this
+    * is the complementary evidence that kills them for IS NOT NULL
+    * and keeps ONLY them for IS NULL. None when the sidecar predates
+    * `nnulls` or the column isn't indexed; same loud coverage check
+    * as every reader. */
+  def nullFileNames(spark: SparkSession, dir: String, statsCol: String,
+                    wantNull: Boolean): Option[Seq[String]] = {
+    if (!pathExists(spark, s"$dir/_zonemap_multi")) return None
+    val zm = spark.read.parquet(s"$dir/_zonemap_multi")
+    if (!zm.columns.contains("nnulls") || !zm.columns.contains("nrows"))
+      return None
+    val rows = zm.filter(col("col") === statsCol)
+      .select(col("file"), col("nrows"), col("nnulls"))
+      .collect()
+    if (rows.isEmpty) return None
+    val files = rows.map(_.getString(0))
+    if (files.length != files.distinct.length) return None
+    checkCoverage(listDataFileNames(spark, dir).toSet, files.toSet, dir)
+    Some(rows.filter(r =>
+        if (wantNull) r.getLong(2) > 0L else r.getLong(2) < r.getLong(1))
+      .map(_.getString(0)).toSeq.sorted)
   }
 
   /** The global (min, max) of one stats column reduced from the
@@ -438,7 +495,9 @@ object SkippingStore {
     if (newFiles.nonEmpty) {
       val rows = multiZoneRows(
         spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*), statsCols)
-      (if (zm.columns.contains("nrows")) rows else rows.drop("nrows"))
+      Seq("nrows", "nnulls")
+        .foldLeft(rows)((r, c) =>
+          if (zm.columns.contains(c)) r else r.drop(c))
         .coalesce(1)
         .write.mode("append").parquet(s"$dir/_zonemap_multi")
     }

@@ -56,9 +56,13 @@ class MetadataCountSpec extends SparkSpec {
     val filtered = spark.read.parquet(dir).filter($"v" >= 1000).groupBy().count()
     assert(scansData(filtered), "a filter changes the answer — must scan")
     assert(filtered.as[Long].head() == 300L)
-    // 401 rows: the first test's append is part of the shared store
+    // 401 rows: the first test's append is part of the shared store.
+    // count(col) skips nulls, so THIS rule leaves it alone — but the
+    // companion MetadataMinMaxRule answers it from the nnulls stat,
+    // so it is metadata-only too (and correct: v is never null here)
     val countCol = spark.read.parquet(dir).agg(count($"v"))
-    assert(scansData(countCol), "count(col) skips nulls — must scan")
+    assert(!scansData(countCol),
+      "count(col) should answer from the null-count stat")
     assert(countCol.as[Long].head() == 401L)
     val grouped = spark.read.parquet(dir)
       .groupBy(($"k" % 2).as("p")).count()

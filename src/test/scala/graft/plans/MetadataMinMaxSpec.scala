@@ -82,6 +82,12 @@ class MetadataMinMaxSpec extends SparkSpec {
     assert(!scansData(agg))
     val r = agg.head()
     assert(r.getInt(0) == 3 && r.getInt(1) == 7 && r.isNullAt(2))
+    // count(col) = sum(nrows - nnulls): null-skipping, metadata-only
+    val cnt = spark.read.parquet(dir)
+      .agg(count($"v").as("nv"), count($"w").as("nw"),
+        count(lit(1)).as("n"))
+    assert(!scansData(cnt))
+    assert(cnt.head() == org.apache.spark.sql.Row(2L, 0L, 4L))
   }
 
   test("a long beyond 2^53 is not provably exact — must scan") {

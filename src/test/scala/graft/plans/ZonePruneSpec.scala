@@ -121,6 +121,24 @@ class ZonePruneSpec extends SparkSpec {
     assert(in.as[Int].collect().toSet == Set(30, 3970))
   }
 
+  test("IS NULL / IS NOT NULL prune on the sidecar's null counts") {
+    val dir = java.nio.file.Files.createTempDirectory("zpnull").toString + "/s"
+    // nulls live only in the low-k half of the sorted layout
+    val df = Seq.tabulate(200)(i =>
+      (i, if (i < 100) None else Some(i * 10))).toDF("k", "v")
+    graft.sinks.SkippingStore.writeMulti(df, "k", Seq("k", "v"), dir, 4)
+    val nulls = spark.read.parquet(dir).filter($"v".isNull)
+    assert(scannedFiles(nulls).size == 2, "IS NULL opens only null-bearing files")
+    assert(nulls.count() == 100)
+    val notNulls = spark.read.parquet(dir).filter($"v".isNotNull)
+    assert(scannedFiles(notNulls).size == 2, "IS NOT NULL skips all-null files")
+    assert(notNulls.count() == 100)
+    // the implicit isnotnull beside a comparison composes with the range
+    val range = spark.read.parquet(dir).filter($"v" >= 1500 && $"v" <= 1700)
+    assert(scannedFiles(range).size == 1)
+    assert(range.count() == 21)
+  }
+
   test("OR trees prune to the union; an opaque disjunct disables pruning") {
     val (dir, df) = store
     val ends = spark.read.parquet(dir)
