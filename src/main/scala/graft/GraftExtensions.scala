@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // left-outer joins to a declared-unique store key vanish when only
     // fact-side columns are read (plans/JoinElimination.scala)
     ext.injectOptimizerRule(graft.plans.JoinEliminationRule)
+    // DISTINCT/dropDuplicates over a declared-unique null-free key is
+    // a no-op — the whole shuffle disappears
+    ext.injectOptimizerRule(graft.plans.DistinctEliminationRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -72,6 +72,11 @@ case class MetadataMinMaxRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Max(_: AttributeReference)          => true
       case _                                   => false
     }
+    // count(DISTINCT col): answerable only when the column is declared
+    // unique (checked in rewrite) — then distinct non-null values ARE
+    // the non-null rows and the nnulls stat answers it
+    case Alias(AggregateExpression(
+      Count(Seq(_: AttributeReference)), _, true, None, _), _) => true
     case _ => false
   }
 
@@ -160,9 +165,15 @@ case class MetadataMinMaxRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def statFor(c: String): Option[SidecarMinMax] =
       stats.getOrElseUpdate(c, SkippingStore.metadataMinMax(spark, dir, c))
     val values = a.aggregateExpressions.map {
-      case Alias(AggregateExpression(fn, _, _, _, _), _) => fn match {
-        case Count(Seq(attr: AttributeReference)) => // skips nulls
+      case Alias(AggregateExpression(fn, _, isDistinct, _, _), _) => fn match {
+        case Count(Seq(attr: AttributeReference)) =>
+          // count(col) skips nulls; count(DISTINCT col) additionally
+          // needs a currently-valid unique declaration — then distinct
+          // non-null values are exactly the non-null rows
           val c = resolveColumn(attr, child).getOrElse(return a)
+          if (isDistinct &&
+              !graft.sinks.Constraints.verifiedUnique(spark, dir, c.name))
+            return a
           SkippingStore.metadataNonNullCount(spark, dir, c.name)
             .getOrElse(return a)
         case Count(_) =>

@@ -3240,6 +3240,42 @@ object Pipeline {
       |  CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q212
+  // DISTINCT elimination + metadata count(DISTINCT) (plans/
+  // DistinctEliminationRule + Constraints): the orders store's
+  // o_orderkey carries a verified unique, null-free declaration, so
+  // SELECT DISTINCT (o_orderkey, o_orderstatus) is a no-op — no
+  // Aggregate, no shuffle — and count(DISTINCT o_orderkey) answers
+  // from the sidecar's null-count stat without opening a file. The
+  // oracle RUNS the distinct, answer-identical by the uniqueness
+  // argument.
+  private def q212DistinctElim(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q212", dir)
+    graft.sinks.SkippingStore.writeMulti(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+      "o_orderkey", Seq("o_orderkey"), out, 4)
+    graft.sinks.Constraints.declareUnique(s, out, "o_orderkey")
+    val dim = s.read.parquet(out)
+    val cd = dim.agg(count_distinct(col("o_orderkey")).as("n"))
+    require(!graft.plans.PlanProbe.scansFiles(cd),
+      "count(DISTINCT unique-key) must answer from the sidecar")
+    val res = dim.select(col("o_orderkey"), col("o_orderstatus")).distinct()
+    val aggs = res.queryExecution.optimizedPlan.collect {
+      case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ag
+    }
+    require(aggs.isEmpty,
+      "DISTINCT containing the unique null-free key must be eliminated")
+    res.withColumn("n_keys", lit(cd.head().getLong(0)))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q212Sql =
+    """WITH d AS (SELECT DISTINCT o_orderkey, o_orderstatus FROM orders),
+      |n AS (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+      |      FROM orders)
+      |SELECT o_orderkey, o_orderstatus, n_keys
+      |FROM d CROSS JOIN n ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4054,6 +4090,7 @@ object Pipeline {
     "q209_tokenizer_fertility" -> q209TokenizerFertility _,
     "q210_ivf_compact" -> q210IvfCompact _,
     "q211_null_stats" -> q211NullStats _,
+    "q212_distinct_elim" -> q212DistinctElim _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4274,6 +4311,7 @@ object Pipeline {
     "q209_tokenizer_fertility" -> q209Sql,
     "q210_ivf_compact" -> q210Sql,
     "q211_null_stats" -> q211Sql,
+    "q212_distinct_elim" -> q212Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

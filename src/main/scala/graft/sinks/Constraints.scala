@@ -31,10 +31,14 @@ object Constraints {
       .filter(col("n") > 1).limit(1).count()
     require(dup == 0L,
       s"declareUnique($dir, $keyCol): duplicate non-null keys present")
+    // null keys at declaration time: uniqueness tolerates them (SQL
+    // equality never matches NULL), but DISTINCT elimination does not
+    // (null = null in grouping), so the count rides the declaration
+    val nnulls = df.filter(col(keyCol).isNull).count()
     import spark.implicits._
     dataFileNames(spark, dir).toSeq.sorted
-      .map(f => ("unique", keyCol, f))
-      .toDF("constraint", "col", "file")
+      .map(f => ("unique", keyCol, f, nnulls))
+      .toDF("constraint", "col", "file", "nnulls")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_constraints")
   }
@@ -51,6 +55,22 @@ object Constraints {
       .filter(col("constraint") === "unique" && col("col") === keyCol)
       .select(col("file")).collect().map(_.getString(0)).toSet
     stamped.nonEmpty && stamped == dataFileNames(spark, dir)
+  }
+
+  /** [[verifiedUnique]] AND the declaration recorded ZERO null keys —
+    * the stronger property DISTINCT elimination needs: a unique
+    * non-null key makes every row pairwise distinct on any column set
+    * containing it, whereas duplicate NULL keys would still collapse
+    * under DISTINCT (grouping treats null = null). Declarations
+    * written before the null count existed answer false. */
+  def verifiedUniqueNoNulls(spark: SparkSession, dir: String,
+                            keyCol: String): Boolean = {
+    if (!verifiedUnique(spark, dir, keyCol)) return false
+    val sc = spark.read.parquet(s"$dir/_constraints")
+    if (!sc.columns.contains("nnulls")) return false
+    val ns = sc.filter(col("constraint") === "unique" && col("col") === keyCol)
+      .select(col("nnulls")).distinct().collect().map(_.getLong(0))
+    ns.length == 1 && ns.head == 0L
   }
 
   private def dataFileNames(spark: SparkSession, dir: String): Set[String] = {
