@@ -229,6 +229,8 @@ object GraftCli {
         rest.headOption.map(_.toInt).getOrElse(1))
     case "declareunique" :: dir :: keyCol :: Nil =>
       declareUnique(dir, keyCol)
+    case "extendunique" :: dir :: keyCol :: Nil =>
+      extendUnique(dir, keyCol)
     case "annstorebuild" :: emb :: indexDir :: storeDir :: Nil =>
       annStoreBuild(emb, indexDir, storeDir, append = false)
     case "annstoreappend" :: emb :: indexDir :: storeDir :: Nil =>
@@ -293,6 +295,7 @@ object GraftCli {
            |ann:       annbuild <emb> <indexdir> [cells] [lloyd_iters]
            |           annquery <indexdir> <emb> <id> <k> [nprobe]
            |           declareunique <dir> <keycol>
+           |           extendunique <dir> <keycol>
            |           annstorebuild <emb> <indexdir> <storedir>
            |           annstoreappend <emb> <indexdir> <storedir>
            |           annstorequery <indexdir> <storedir> <emb> <id> <k> [nprobe]
@@ -1827,6 +1830,14 @@ object GraftCli {
     graft.sinks.Constraints.declareUnique(spark, dir, keyCol)
     println(s"declared unique($keyCol) on $dir " +
       "(valid until the file set changes; re-run after maintenance)")
+    spark.stop()
+  }
+
+  private def extendUnique(dir: String, keyCol: String): Unit = {
+    val spark = GraftSession.local()
+    graft.sinks.Constraints.extendUnique(spark, dir, keyCol)
+    println(s"extended unique($keyCol) on $dir over the appended files " +
+      "(batch-sized verification; stamp refreshed)")
     spark.stop()
   }
 

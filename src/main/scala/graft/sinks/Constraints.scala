@@ -36,11 +36,37 @@ object Constraints {
     // (null = null in grouping), so the count rides the declaration
     val nnulls = df.filter(col(keyCol).isNull).count()
     import spark.implicits._
-    dataFileNames(spark, dir).toSeq.sorted
-      .map(f => ("unique", keyCol, f, nnulls))
-      .toDF("constraint", "col", "file", "nnulls")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/_constraints")
+    writeSidecar(spark, dir, keyCol,
+      dataFileNames(spark, dir).toSeq.sorted
+        .map(f => ("unique", keyCol, f, nnulls))
+        .toDF("constraint", "col", "file", "nnulls"))
+  }
+
+  /** Rewrite the `_constraints` sidecar with `rows` for `keyCol`,
+    * carrying other columns' declarations over verbatim (their stamps
+    * keep their own validity lifecycle). */
+  private def writeSidecar(spark: SparkSession, dir: String, keyCol: String,
+                           rows: org.apache.spark.sql.DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_constraints")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val others =
+      if (!fs.exists(p)) None
+      else {
+        val sc = spark.read.parquet(s"$dir/_constraints")
+        if (!sc.columns.contains("nnulls")) None // legacy schema: drop it
+        else Some(sc.filter(col("col") =!= keyCol).collect().toSeq)
+      }
+    val all = others match {
+      case Some(rest) if rest.nonEmpty =>
+        import spark.implicits._
+        rows.unionByName(rest.map(r => (r.getString(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toDF("constraint", "col", "file", "nnulls"))
+      case _ => rows
+    }
+    val tmp = s"$dir/_constraints_tmp"
+    all.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p): Unit
   }
 
   /** Is there a CURRENTLY-VALID unique declaration for `keyCol`? True
@@ -55,6 +81,61 @@ object Constraints {
       .filter(col("constraint") === "unique" && col("col") === keyCol)
       .select(col("file")).collect().map(_.getString(0)).toSet
     stamped.nonEmpty && stamped == dataFileNames(spark, dir)
+  }
+
+  /** Extend a unique declaration after an append instead of paying the
+    * full re-verification: only the NEW files' keys are checked —
+    * internally unique, and disjoint from the stamped files' keys via
+    * a key-column-only left-semi join (batch-sized build side; the old
+    * side reads one column, not the store) — then the declaration is
+    * restamped over the full current file set with the null count
+    * rolled forward. Cost is O(batch) + one key-column scan, vs the
+    * full groupBy over n+m keys of [[declareUnique]] — the difference
+    * between constraint maintenance being per-batch and per-store
+    * under streaming appends. Refusals leave the OLD stamp in place,
+    * which no longer matches the current files, so the constraint
+    * correctly reads invalid until the conflict is fixed or the store
+    * re-declared. Pre-null-count declarations must re-declare. */
+  def extendUnique(spark: SparkSession, dir: String, keyCol: String): Unit = {
+    val scPath = new org.apache.hadoop.fs.Path(s"$dir/_constraints")
+    val fs = scPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(scPath), s"extendUnique($dir, $keyCol): no declaration")
+    val sc = spark.read.parquet(s"$dir/_constraints")
+      .filter(col("constraint") === "unique" && col("col") === keyCol)
+    require(sc.columns.contains("nnulls"),
+      s"extendUnique($dir, $keyCol): declaration predates the null-count " +
+        "stamp — re-run declareUnique once")
+    val rows = sc.select(col("file"), col("nnulls")).collect()
+    require(rows.nonEmpty, s"extendUnique($dir, $keyCol): no unique($keyCol)")
+    val stamped = rows.map(_.getString(0)).toSet
+    val oldNnulls = rows.map(_.getLong(1)).distinct
+    require(oldNnulls.length == 1,
+      s"extendUnique($dir, $keyCol): conflicting null-count stamps")
+    val current = dataFileNames(spark, dir)
+    require(stamped.subsetOf(current),
+      s"extendUnique($dir, $keyCol): stamped files missing — the store " +
+        "was rewritten, re-run declareUnique")
+    val newFiles = (current -- stamped).toSeq.sorted
+    if (newFiles.isEmpty) return // nothing appended
+    val newDf = spark.read.parquet(newFiles.map(f => s"$dir/$f"): _*)
+    val dupNew = newDf.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count()
+    require(dupNew == 0L,
+      s"extendUnique($dir, $keyCol): duplicate keys within the appended files")
+    val oldDf = spark.read.parquet(stamped.toSeq.sorted.map(f => s"$dir/$f"): _*)
+    val clash = oldDf.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .join(newDf.select(col(keyCol)).filter(col(keyCol).isNotNull),
+        Seq(keyCol), "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      s"extendUnique($dir, $keyCol): appended keys collide with the store")
+    val nnulls = oldNnulls.head + newDf.filter(col(keyCol).isNull).count()
+    import spark.implicits._
+    writeSidecar(spark, dir, keyCol,
+      current.toSeq.sorted
+        .map(f => ("unique", keyCol, f, nnulls))
+        .toDF("constraint", "col", "file", "nnulls"))
   }
 
   /** [[verifiedUnique]] AND the declaration recorded ZERO null keys —

@@ -92,6 +92,40 @@ class JoinEliminationSpec extends SparkSpec {
     assert(Constraints.verifiedUnique(spark, nullDir, "k"))
   }
 
+  test("extendUnique re-arms the constraint batch-sized after appends") {
+    val (_, fact, dim) = stores
+    val dir = java.nio.file.Files.createTempDirectory("joinelim5").toString + "/dim"
+    dim.write.parquet(dir)
+    Constraints.declareUnique(spark, dir, "k")
+    // clean append: new keys, extend instead of full re-verify
+    Seq((10L, "j"), (11L, "m")).toDF("k", "label")
+      .write.mode("append").parquet(dir)
+    assert(!Constraints.verifiedUnique(spark, dir, "k"), "stamp stale")
+    Constraints.extendUnique(spark, dir, "k")
+    assert(Constraints.verifiedUnique(spark, dir, "k"))
+    assert(Constraints.verifiedUniqueNoNulls(spark, dir, "k"))
+    val d = spark.read.parquet(dir)
+    val q = fact.join(d, fact("fk") === d("k"), "left_outer")
+      .groupBy($"fk").agg(sum($"v").as("s"))
+    assert(!plansJoin(q), "extended declaration must re-arm elimination")
+    // colliding append: extend refuses, constraint stays invalid
+    Seq((10L, "dup")).toDF("k", "label").write.mode("append").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Constraints.extendUnique(spark, dir, "k")
+    }
+    assert(ex.getMessage.contains("collide"))
+    assert(!Constraints.verifiedUnique(spark, dir, "k"))
+    // null keys in an append roll the null count forward
+    val dir2 = java.nio.file.Files.createTempDirectory("joinelim6").toString + "/dim"
+    dim.write.parquet(dir2)
+    Constraints.declareUnique(spark, dir2, "k")
+    Seq[(Option[Long], String)]((None, "x"), (Some(7L), "y")).toDF("k", "label")
+      .write.mode("append").parquet(dir2)
+    Constraints.extendUnique(spark, dir2, "k")
+    assert(Constraints.verifiedUnique(spark, dir2, "k"))
+    assert(!Constraints.verifiedUniqueNoNulls(spark, dir2, "k"))
+  }
+
   test("kill-switch keeps the join") {
     val (dir, fact, _) = stores
     val dim = spark.read.parquet(dir)
