@@ -231,6 +231,8 @@ object GraftCli {
       declareUnique(dir, keyCol)
     case "extendunique" :: dir :: keyCol :: Nil =>
       extendUnique(dir, keyCol)
+    case "declarefk" :: factDir :: fkCol :: dimDir :: keyCol :: Nil =>
+      declareFk(factDir, fkCol, dimDir, keyCol)
     case "annstorebuild" :: emb :: indexDir :: storeDir :: Nil =>
       annStoreBuild(emb, indexDir, storeDir, append = false)
     case "annstoreappend" :: emb :: indexDir :: storeDir :: Nil =>
@@ -296,6 +298,7 @@ object GraftCli {
            |           annquery <indexdir> <emb> <id> <k> [nprobe]
            |           declareunique <dir> <keycol>
            |           extendunique <dir> <keycol>
+           |           declarefk <factdir> <fkcol> <dimdir> <keycol>
            |           annstorebuild <emb> <indexdir> <storedir>
            |           annstoreappend <emb> <indexdir> <storedir>
            |           annstorequery <indexdir> <storedir> <emb> <id> <k> [nprobe]
@@ -1830,6 +1833,16 @@ object GraftCli {
     graft.sinks.Constraints.declareUnique(spark, dir, keyCol)
     println(s"declared unique($keyCol) on $dir " +
       "(valid until the file set changes; re-run after maintenance)")
+    spark.stop()
+  }
+
+  private def declareFk(factDir: String, fkCol: String, dimDir: String,
+                        keyCol: String): Unit = {
+    val spark = GraftSession.local()
+    graft.sinks.Constraints.declareForeignKey(spark, factDir, fkCol,
+      dimDir, keyCol)
+    println(s"declared fk $factDir.$fkCol -> $dimDir.$keyCol " +
+      "(valid until either store's file set changes)")
     spark.stop()
   }
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo}
-import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -21,9 +21,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * generated-SQL pattern ORMs and BI layers emit constantly.
   *
   * Every condition is correctness-bearing:
-  *  - LEFT OUTER only (an inner join filters unmatched left rows and
-  *    could only be eliminated under a declared-and-verified foreign
-  *    key, which this engine does not claim);
+  *  - LEFT OUTER under a unique declaration alone; INNER additionally
+  *    requires a currently-valid FOREIGN KEY declaration on the fact
+  *    side ([[graft.sinks.Constraints.declareForeignKey]] — totality +
+  *    non-null verified, both stores' file sets stamped), because an
+  *    inner join drops unmatched fact rows;
   *  - the condition is a single bare-attribute equality whose right
   *    side resolves through alias-only Projects to the store column
   *    with the declaration;
@@ -52,6 +54,47 @@ case class JoinEliminationRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => p
           }
         } catch { case scala.util.control.NonFatal(_) => p }
+      // INNER join to the declared referent of a fact store's foreign
+      // key: the FK's totality + non-null stamp says no fact row drops,
+      // the dim key's uniqueness says none duplicates — so with only
+      // fact columns read, the join is the identity on the fact side.
+      // The fact store may sit on either side of the join.
+      case p @ Project(projList,
+          Join(left, right, Inner, Some(EqualTo(a, b)), _)) =>
+        try {
+          val factLeft = projList.flatMap(_.references)
+            .forall(left.outputSet.contains)
+          val factRight = !factLeft && projList.flatMap(_.references)
+            .forall(right.outputSet.contains)
+          val elim =
+            if (factLeft) fkEliminates(a, b, left, right)
+            else if (factRight) fkEliminates(a, b, right, left)
+            else false
+          if (elim) Project(projList, if (factLeft) left else right) else p
+        } catch { case scala.util.control.NonFatal(_) => p }
+    }
+  }
+
+  /** Does the fact side's join attribute carry a currently-valid FK
+    * declaration whose referent is exactly the dim side's store and
+    * column? Both stamps and the dim's unique declaration re-verify
+    * per query ([[graft.sinks.Constraints.verifiedForeignKey]]). */
+  private def fkEliminates(a: org.apache.spark.sql.catalyst.expressions.Expression,
+                           b: org.apache.spark.sql.catalyst.expressions.Expression,
+                           fact: LogicalPlan, dim: LogicalPlan): Boolean = {
+    orient(a, b, fact, dim) match {
+      case Some((fk, dk)) =>
+        (storeColumn(fk, fact), storeColumn(dk, dim)) match {
+          case (Some((factDir, fkCol)), Some((dimDir, dimCol))) =>
+            graft.sinks.Constraints.verifiedForeignKey(spark, factDir, fkCol)
+              .exists { case (refDir, refCol) =>
+                refCol == dimCol &&
+                  graft.sinks.Constraints.qualified(spark, refDir) ==
+                    graft.sinks.Constraints.qualified(spark, dimDir)
+              }
+          case _ => false
+        }
+      case None => false
     }
   }
 
@@ -67,34 +110,40 @@ case class JoinEliminationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The store dir when `rk` resolves (through alias-only Projects /
-    * Filters are NOT allowed — a filtered dimension is still unique,
-    * but keep the match minimal and auditable) to a relation column
-    * carrying a currently-valid unique declaration. */
-  private def uniqueStoreDir(rk: Attribute, plan: LogicalPlan): Option[String] = {
-    def resolve(attr: Attribute, p: LogicalPlan): Option[(LogicalRelation, String)] =
+  /** Resolve `attr` (through alias-only Projects; Filters are NOT
+    * allowed — keep the match minimal and auditable) to its store's
+    * (directory, column name). */
+  private def storeColumn(attr: Attribute,
+                          plan: LogicalPlan): Option[(String, String)] = {
+    def resolve(a: Attribute, p: LogicalPlan): Option[(LogicalRelation, String)] =
       p match {
         case l: LogicalRelation =>
-          l.output.find(_.exprId == attr.exprId).map(c => (l, c.name))
+          l.output.find(_.exprId == a.exprId).map(c => (l, c.name))
         case Project(projList, child) =>
-          projList.find(_.exprId == attr.exprId) match {
+          projList.find(_.exprId == a.exprId) match {
             case Some(x: AttributeReference) => resolve(x, child)
             case Some(Alias(x: AttributeReference, _)) => resolve(x, child)
             case _ => None
           }
         case _ => None
       }
-    resolve(rk, plan).flatMap { case (l, colName) =>
-      val rel = l.relation match {
-        case r: HadoopFsRelation => r
-        case _ => return None
+    resolve(attr, plan).flatMap { case (l, colName) =>
+      l.relation match {
+        case rel: HadoopFsRelation if rel.partitionSchema.isEmpty =>
+          val roots = rel.location.rootPaths
+          if (roots.length == 1 && !roots.head.getName.endsWith(".parquet"))
+            Some((roots.head.toString, colName))
+          else None
+        case _ => None
       }
-      if (rel.partitionSchema.nonEmpty) return None
-      val roots = rel.location.rootPaths
-      if (roots.length != 1 || roots.head.getName.endsWith(".parquet")) return None
-      val dir = roots.head.toString
+    }
+  }
+
+  /** The store dir when `rk` resolves to a relation column carrying a
+    * currently-valid unique declaration. */
+  private def uniqueStoreDir(rk: Attribute, plan: LogicalPlan): Option[String] =
+    storeColumn(rk, plan).flatMap { case (dir, colName) =>
       if (graft.sinks.Constraints.verifiedUnique(spark, dir, colName)) Some(dir)
       else None
     }
-  }
 }

@@ -3276,6 +3276,49 @@ object Pipeline {
       |SELECT o_orderkey, o_orderstatus, n_keys
       |FROM d CROSS JOIN n ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q213
+  // FK inner-join elimination (Constraints.declareForeignKey + the
+  // Inner arm of JoinEliminationRule): lineitem's l_orderkey carries
+  // a verified, both-sides-stamped foreign key into the orders store,
+  // so the INNER join — which without the declaration could drop or
+  // duplicate fact rows — is the identity on the fact side and leaves
+  // the plan when only fact columns are read. The oracle RUNS the
+  // join; TPC-H's referential integrity is what the declaration
+  // verified.
+  private def q213FkElim(s: SparkSession, dir: String): DataFrame = {
+    val factOut = scratch("q213f", dir)
+    val dimOut = scratch("q213d", dir)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .write.mode("overwrite").parquet(factOut)
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(dimOut)
+    graft.sinks.Constraints.declareUnique(s, dimOut, "o_orderkey")
+    graft.sinks.Constraints.declareForeignKey(
+      s, factOut, "l_orderkey", dimOut, "o_orderkey")
+    val fact = s.read.parquet(factOut)
+    val dim = s.read.parquet(dimOut)
+    val res = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    val joins = res.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    require(joins.isEmpty,
+      "the declared-FK inner join must be eliminated from the plan")
+    res
+  }
+
+  private val q213Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4091,6 +4134,7 @@ object Pipeline {
     "q210_ivf_compact" -> q210IvfCompact _,
     "q211_null_stats" -> q211NullStats _,
     "q212_distinct_elim" -> q212DistinctElim _,
+    "q213_fk_elim" -> q213FkElim _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4312,6 +4356,7 @@ object Pipeline {
     "q210_ivf_compact" -> q210Sql,
     "q211_null_stats" -> q211Sql,
     "q212_distinct_elim" -> q212Sql,
+    "q213_fk_elim" -> q213Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -154,6 +154,83 @@ object Constraints {
     ns.length == 1 && ns.head == 0L
   }
 
+  /** Declare a VERIFIED foreign key: every `fkCol` value in the fact
+    * store is non-null and present in `dimDir.keyCol`, which must
+    * already carry a currently-valid unique declaration (the dim half
+    * of the integrity argument — without uniqueness an inner join
+    * could duplicate fact rows; without totality it could drop them).
+    * Verification is one anti-join (batch the fact's key column
+    * against the dim's); the declaration stamps BOTH stores' file
+    * sets, so an append to EITHER side self-invalidates. Powers
+    * inner-join elimination in [[graft.plans.JoinEliminationRule]]. */
+  def declareForeignKey(spark: SparkSession, factDir: String, fkCol: String,
+                        dimDir: String, keyCol: String): Unit = {
+    require(verifiedUnique(spark, dimDir, keyCol),
+      s"declareForeignKey: $dimDir.$keyCol needs a valid unique declaration first")
+    val fact = spark.read.parquet(factDir)
+    require(fact.filter(col(fkCol).isNull).limit(1).count() == 0L,
+      s"declareForeignKey($factDir.$fkCol): null keys would drop under an inner join")
+    val orphans = fact.select(col(fkCol))
+      .join(spark.read.parquet(dimDir).select(col(keyCol).as(fkCol)),
+        Seq(fkCol), "left_anti")
+      .limit(1).count()
+    require(orphans == 0L,
+      s"declareForeignKey($factDir.$fkCol): values missing from $dimDir.$keyCol")
+    val refDir = qualified(spark, dimDir)
+    import spark.implicits._
+    val rows =
+      dataFileNames(spark, factDir).toSeq.sorted
+        .map(f => (fkCol, refDir, keyCol, "fact", f)) ++
+      dataFileNames(spark, dimDir).toSeq.sorted
+        .map(f => (fkCol, refDir, keyCol, "dim", f))
+    val p = new org.apache.hadoop.fs.Path(s"$factDir/_constraints_fk")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val others =
+      if (!fs.exists(p))
+        Seq.empty[(String, String, String, String, String)]
+      else spark.read.parquet(s"$factDir/_constraints_fk")
+        .filter(col("fkcol") =!= fkCol).collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4)))
+    val tmp = s"$factDir/_constraints_fk_tmp"
+    (rows ++ others).toDF("fkcol", "refdir", "refcol", "side", "file")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p): Unit
+  }
+
+  /** The (dimDir, keyCol) a CURRENTLY-VALID foreign-key declaration on
+    * `factDir.fkCol` references: both stamped file sets must match the
+    * stores' current files AND the dim key's unique declaration must
+    * itself still verify. None otherwise. */
+  def verifiedForeignKey(spark: SparkSession, factDir: String,
+                         fkCol: String): Option[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$factDir/_constraints_fk")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val rows = spark.read.parquet(s"$factDir/_constraints_fk")
+      .filter(col("fkcol") === fkCol).collect()
+    if (rows.isEmpty) return None
+    val refs = rows.map(r => (r.getString(1), r.getString(2))).distinct
+    if (refs.length != 1) return None
+    val (refDir, refCol) = refs.head
+    val factStamp = rows.filter(_.getString(3) == "fact").map(_.getString(4)).toSet
+    val dimStamp = rows.filter(_.getString(3) == "dim").map(_.getString(4)).toSet
+    if (factStamp != dataFileNames(spark, factDir)) return None
+    if (dimStamp != dataFileNames(spark, refDir)) return None
+    if (!verifiedUnique(spark, refDir, refCol)) return None
+    Some((refDir, refCol))
+  }
+
+  /** Scheme-qualified canonical form of a store path, so paths
+    * recorded at declaration compare equal to the `file:`-qualified
+    * roots Catalyst relations report. */
+  def qualified(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
   private def dataFileNames(spark: SparkSession, dir: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

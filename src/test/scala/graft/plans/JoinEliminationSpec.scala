@@ -126,6 +126,44 @@ class JoinEliminationSpec extends SparkSpec {
     assert(!Constraints.verifiedUniqueNoNulls(spark, dir2, "k"))
   }
 
+  test("declared foreign keys eliminate INNER joins; drift disarms them") {
+    val root = java.nio.file.Files.createTempDirectory("fkelim").toString
+    val (factDir, dimDir) = (s"$root/fact", s"$root/dim")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "label")
+      .write.parquet(dimDir)
+    Constraints.declareUnique(spark, dimDir, "k")
+    Seq((1L, 10), (1L, 20), (2L, 30)).toDF("fk", "v")
+      .write.parquet(factDir)
+    Constraints.declareForeignKey(spark, factDir, "fk", dimDir, "k")
+    val (fact, dim) = (spark.read.parquet(factDir), spark.read.parquet(dimDir))
+    val q = fact.join(dim, fact("fk") === dim("k"))
+      .groupBy($"fk").agg(sum($"v").as("s")).orderBy($"fk")
+    assert(!plansJoin(q), "total+unique FK makes the inner join the identity")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 30L), (2L, 30L)))
+    // fact on the RIGHT side of the join eliminates too
+    val q2 = dim.join(fact, fact("fk") === dim("k"))
+      .groupBy($"fk").agg(count(lit(1)).as("n"))
+    assert(!plansJoin(q2))
+    // reading a dim column keeps the join
+    val q3 = fact.join(dim, fact("fk") === dim("k")).select($"v", $"label")
+    assert(plansJoin(q3))
+    // appending to the DIM side disarms the FK (its stamp covers both)
+    Seq((9L, "z")).toDF("k", "label").write.mode("append").parquet(dimDir)
+    val d2 = spark.read.parquet(dimDir)
+    val q4 = fact.join(d2, fact("fk") === d2("k"))
+      .groupBy($"fk").agg(sum($"v").as("s"))
+    assert(plansJoin(q4), "dim stamp drifted — must not eliminate")
+    // an orphan fk refuses at declaration time
+    val orphanDir = s"$root/fact2"
+    Seq((1L, 1), (7L, 2)).toDF("fk", "v").write.parquet(orphanDir)
+    val ex = intercept[IllegalArgumentException] {
+      Constraints.declareForeignKey(spark, orphanDir, "fk", dimDir, "k")
+    }
+    assert(ex.getMessage.contains("unique declaration first") ||
+      ex.getMessage.contains("missing"))
+  }
+
   test("kill-switch keeps the join") {
     val (dir, fact, _) = stores
     val dim = spark.read.parquet(dir)
