@@ -233,6 +233,7 @@ object GraftCli {
       extendUnique(dir, keyCol)
     case "declarefk" :: factDir :: fkCol :: dimDir :: keyCol :: Nil =>
       declareFk(factDir, fkCol, dimDir, keyCol)
+    case "storestats" :: dir :: Nil => storeStats(dir)
     case "annstorebuild" :: emb :: indexDir :: storeDir :: Nil =>
       annStoreBuild(emb, indexDir, storeDir, append = false)
     case "annstoreappend" :: emb :: indexDir :: storeDir :: Nil =>
@@ -299,6 +300,7 @@ object GraftCli {
            |           declareunique <dir> <keycol>
            |           extendunique <dir> <keycol>
            |           declarefk <factdir> <fkcol> <dimdir> <keycol>
+           |           storestats <dir>
            |           annstorebuild <emb> <indexdir> <storedir>
            |           annstoreappend <emb> <indexdir> <storedir>
            |           annstorequery <indexdir> <storedir> <emb> <id> <k> [nprobe]
@@ -1833,6 +1835,79 @@ object GraftCli {
     graft.sinks.Constraints.declareUnique(spark, dir, keyCol)
     println(s"declared unique($keyCol) on $dir " +
       "(valid until the file set changes; re-run after maintenance)")
+    spark.stop()
+  }
+
+  /** storestats: one metadata-only report over a store's sidecars —
+    * files, rows, per-column zones/null counts, bloom geometry,
+    * constraint validity. Never opens a data file (everything it
+    * prints is what the optimizer rules read), so it is safe against
+    * a 100 TB store. */
+  private def storeStats(dir: String): Unit = {
+    val spark = GraftSession.local()
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    val nFiles = {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) 0
+      else fs.listStatus(hp).count(s => s.isFile &&
+        s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+    }
+    println(s"$dir: $nFiles data files")
+    if (exists(s"$dir/_zonemap_multi")) {
+      val zm = spark.read.parquet(s"$dir/_zonemap_multi")
+      val hasN = zm.columns.contains("nrows")
+      val hasNu = zm.columns.contains("nnulls")
+      graft.sinks.SkippingStore.metadataCount(spark, dir)
+        .foreach(n => println(s"  rows (manifest): $n"))
+      zm.select(col("col")).distinct().collect().map(_.getString(0)).sorted
+        .foreach { c =>
+          val mm = graft.sinks.SkippingStore.metadataMinMax(spark, dir, c)
+          val nn = if (hasNu)
+            graft.sinks.SkippingStore.metadataNonNullCount(spark, dir, c)
+          else None
+          val range = mm.map { s =>
+            val num = for (a <- s.zmin; b <- s.zmax) yield s"[$a, $b]"
+            val str = for (a <- s.zminStr; b <- s.zmaxStr) yield s"[$a, $b]"
+            num.orElse(str).getOrElse("[all null]")
+          }.getOrElse("?")
+          val nulls = nn.map(v => s", non-null $v").getOrElse("")
+          println(s"  zone $c: $range$nulls")
+        }
+      if (!hasN) println("  (legacy sidecar: no nrows/nnulls)")
+    }
+    if (exists(s"$dir/_bloommap")) {
+      val bm = spark.read.parquet(s"$dir/_bloommap")
+      val geom = bm.select(col("nbits"), col("k"),
+        (if (bm.columns.contains("keycol")) col("keycol")
+         else lit("?")).as("keycol")).distinct().collect()
+      geom.foreach(g => println(
+        s"  bloom ${g.get(2)}: ${g.getInt(0)} bits, k=${g.getInt(1)}"))
+    }
+    if (exists(s"$dir/_constraints")) {
+      val sc = spark.read.parquet(s"$dir/_constraints")
+      sc.select(col("col")).distinct().collect().map(_.getString(0)).sorted
+        .foreach { c =>
+          val ok = graft.sinks.Constraints.verifiedUnique(spark, dir, c)
+          val nn = graft.sinks.Constraints.verifiedUniqueNoNulls(spark, dir, c)
+          println(s"  unique($c): ${if (ok) "VALID" else "stale"}" +
+            (if (ok && nn) ", null-free" else ""))
+        }
+    }
+    if (exists(s"$dir/_constraints_fk")) {
+      val fk = spark.read.parquet(s"$dir/_constraints_fk")
+      fk.select(col("fkcol"), col("refdir"), col("refcol")).distinct()
+        .collect().foreach { r =>
+          val ok = graft.sinks.Constraints
+            .verifiedForeignKey(spark, dir, r.getString(0)).isDefined
+          println(s"  fk ${r.getString(0)} -> ${r.getString(1)}." +
+            s"${r.getString(2)}: ${if (ok) "VALID" else "stale"}")
+        }
+    }
     spark.stop()
   }
 
