@@ -98,20 +98,41 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * structure: AND intersects (a side the sidecars can't judge is
     * simply neutral), OR unions (BOTH sides must be judgeable — one
     * opaque disjunct could match anywhere). None = cannot prune. */
-  private def fileSet(dir: String, cond: Expression): Option[Set[String]] =
+  private def fileSet(dir: String, cond: Expression,
+                      skipNotNull: Set[String]): Option[Set[String]] =
     cond match {
       case And(a, b) =>
-        (fileSet(dir, a), fileSet(dir, b)) match {
+        (fileSet(dir, a, skipNotNull), fileSet(dir, b, skipNotNull)) match {
           case (Some(x), Some(y)) => Some(x intersect y)
           case (x, y) => x.orElse(y)
         }
       case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
-        for (x <- fileSet(dir, a); y <- fileSet(dir, b)) yield x union y
+        for (x <- fileSet(dir, a, skipNotNull);
+             y <- fileSet(dir, b, skipNotNull)) yield x union y
       case leaf =>
         val ps = preds(leaf)
-        val sets = ps.flatMap(p => survivors(dir, p))
+        val sets = ps.flatMap(p => survivors(dir, p, skipNotNull))
         if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }
+
+  /** Columns some comparison/IN/prefix predicate touches anywhere in
+    * the condition: their `IS NOT NULL` conjuncts are REDUNDANT for
+    * pruning (all-null files already fail every zone test, since null
+    * stats fail the range predicate), and Spark plants one implicit
+    * isnotnull beside every comparison — evaluating it would add a
+    * pure-cost sidecar pass to virtually every store filter (the
+    * bench caught +38% on q194). Skipping only loses pruning power on
+    * shapes the ranges already covered, never correctness. */
+  private def comparisonCols(cond: Expression): Set[String] = cond match {
+    case And(a, b) => comparisonCols(a) ++ comparisonCols(b)
+    case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
+      comparisonCols(a) ++ comparisonCols(b)
+    case leaf => preds(leaf).collect {
+      case RangeP(c, _, _) => c
+      case EqP(c, _) => c
+      case InP(c, _) => c
+    }.toSet
+  }
 
   /** Conjunctive prunable predicates; survivor sets intersect across
     * them. */
@@ -183,7 +204,8 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * say. Equality intersects zone and Bloom evidence when both
     * exist; an IN-list can only prune when EVERY value is prunable
     * (one unprunable value could live anywhere). */
-  private def survivors(dir: String, p: Pred): Option[Set[String]] = p match {
+  private def survivors(dir: String, p: Pred,
+                        skipNotNull: Set[String]): Option[Set[String]] = p match {
     case RangeP(c, lo, hi) =>
       graft.sinks.SkippingStore.pruneFileNames(spark, dir, c, lo, hi).map(_.toSet)
     case EqP(c, v) =>
@@ -196,9 +218,11 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case (x, y) => x.orElse(y)
       }
     case InP(c, vs) =>
-      val sets = vs.map(v => survivors(dir, EqP(c, v)))
+      val sets = vs.map(v => survivors(dir, EqP(c, v), skipNotNull))
       if (sets.exists(_.isEmpty)) None
       else Some(sets.flatten.foldLeft(Set.empty[String])(_ union _))
+    case NullP(c, false) if skipNotNull(c) =>
+      None // redundant beside a comparison on the same column
     case NullP(c, wantNull) =>
       graft.sinks.SkippingStore
         .nullFileNames(spark, dir, c, wantNull).map(_.toSet)
@@ -220,7 +244,7 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$dir/_zonemap_multi")) &&
       !fs.exists(new Path(s"$dir/_bloommap"))) return f
-    val surviving = fileSet(dir, cond) match {
+    val surviving = fileSet(dir, cond, comparisonCols(cond)) match {
       case Some(s) => s
       case None => return f
     }
