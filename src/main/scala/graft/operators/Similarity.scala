@@ -361,14 +361,20 @@ object Similarity {
   def ivfStoreTopK(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                    idCol: String, embCol: String, qv: Seq[Float],
                    index: IvfIndex, k: Int, nprobe: Int = 1,
-                   excludeId: Option[Long] = None): DataFrame = {
+                   excludeId: Option[Long] = None,
+                   where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val qcol = typedLit(qv)
     val cells = spark.range(1)
       .select(explode(index.probeCellsCol(qcol, nprobe)).as("cell"))
       .collect().map(_.getInt(0)).toSeq // nprobe-sized
     val store = spark.read.parquet(storeDir)
       .filter(col("cell").isin(cells: _*))
-    val base = excludeId.fold(store)(q => store.filter(col(idCol) =!= q))
+    // metadata predicate (filtered ANN, the q80 semantics served from
+    // the store): applied INSIDE the probed partitions, so it rides
+    // parquet pushdown on the rider columns — partition pruning first,
+    // filter pushdown second, exact cosine only on what survives both
+    val gated = where.fold(store)(store.filter)
+    val base = excludeId.fold(gated)(q => gated.filter(col(idCol) =!= q))
     base.select(col(idCol),
         round(graft.functions.VectorFunctions.cosine_sim(col(embCol), qcol), 6)
           .as("sim"))

@@ -3319,6 +3319,44 @@ object Pipeline {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q214
+  // Filtered ANN served from the postings store: the q80 semantics
+  // (top-k under a metadata predicate) against the q206 layout — the
+  // probe partition-prunes to the nprobe cells FIRST, the rider-column
+  // predicate pushes into the surviving parquet second, and the exact
+  // cosine ranks only what passed both. Rider columns persisting
+  // through the store writers is what makes the filter serveable at
+  // all.
+  private def q214StoreFilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q214", dir)
+    val emb = t(s, dir, "embeddings")
+      .withColumn("bucket", (col("vec_id") % 7).cast("int"))
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+    Similarity.ivfStoreBuild(emb, "vec_id", "embedding", ix, out)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val res = Similarity.ivfStoreTopK(s, out, "vec_id", "embedding", qv,
+      ix, k = 10, nprobe = 2, excludeId = Some(0L),
+      where = Some(col("bucket") === 3))
+    val total = new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    require(graft.plans.PlanProbe.scannedFileCount(res) < total,
+      s"the filtered probe must still open only probed cells (of $total)")
+    res
+  }
+
+  private val q214Sql =
+    s"""WITH $ivfCtes,
+       |q AS (SELECT ev AS qv FROM a1 WHERE vid = 0),
+       |probes AS (SELECT cid AS cell FROM (
+       |  SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn FROM d1 WHERE vid = 0) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT vid AS vec_id,
+       |    ${cosSql("ev", "qv")} AS sim
+       |  FROM a1 JOIN probes ON a1.cell = probes.cell CROSS JOIN q
+       |  WHERE a1.vid <> 0 AND a1.vid % 7 = 3)
+       |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4135,6 +4173,7 @@ object Pipeline {
     "q211_null_stats" -> q211NullStats _,
     "q212_distinct_elim" -> q212DistinctElim _,
     "q213_fk_elim" -> q213FkElim _,
+    "q214_store_filtered_ann" -> q214StoreFilteredAnn _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4357,6 +4396,7 @@ object Pipeline {
     "q211_null_stats" -> q211Sql,
     "q212_distinct_elim" -> q212Sql,
     "q213_fk_elim" -> q213Sql,
+    "q214_store_filtered_ann" -> q214Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )
