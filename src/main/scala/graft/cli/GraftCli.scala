@@ -245,6 +245,12 @@ object GraftCli {
     case "annstorecompact" :: storeDir :: rest if rest.size <= 1 =>
       annStoreCompact(storeDir,
         rest.headOption.map(_.toLong).getOrElse(0L))
+    case "annsq8build" :: emb :: indexDir :: storeDir :: Nil =>
+      annSq8Build(emb, indexDir, storeDir)
+    case "annsq8query" :: indexDir :: storeDir :: emb :: id :: k :: rest
+        if rest.size <= 1 =>
+      annSq8Query(indexDir, storeDir, emb, id.toLong, k.toInt,
+        rest.headOption.map(_.toInt).getOrElse(1))
     case "pqbuild" :: emb :: indexDir :: rest if rest.size <= 2 =>
       pqBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(2),
         rest.drop(1).headOption.map(_.toInt).getOrElse(8))
@@ -305,6 +311,8 @@ object GraftCli {
            |           annstoreappend <emb> <indexdir> <storedir>
            |           annstorequery <indexdir> <storedir> <emb> <id> <k> [nprobe]
            |           annstorecompact <storedir> [max_records_per_file]
+           |           annsq8build <emb> <indexdir> <storedir>
+           |           annsq8query <indexdir> <storedir> <emb> <id> <k> [nprobe]
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -1957,6 +1965,39 @@ object GraftCli {
     val (was, now) =
       graft.operators.Similarity.compactIvfStore(spark, storeDir, maxRecords)
     println(s"compacted postings store $storeDir: $was -> $now files")
+    spark.stop()
+  }
+
+  /** annsq8build / annsq8query: the IVF-SQ8 postings lifecycle —
+    * int8 codes in the inverted lists (~4x smaller than the float
+    * postings of annstorebuild), assignment and probing still on the
+    * exact float vectors. */
+  private def annSq8Build(emb: String, indexDir: String,
+                          storeDir: String): Unit = {
+    val spark = GraftSession.local()
+    val index = graft.operators.Similarity.loadIndex(spark, indexDir)
+    graft.operators.Similarity.ivfSq8StoreBuild(
+      spark.read.parquet(emb), "vec_id", "embedding", index, storeDir)
+    val cells = spark.read.parquet(storeDir)
+      .select(col("cell")).distinct().count()
+    println(s"wrote IVF-SQ8 postings store $storeDir " +
+      s"($cells of ${index.cids.size} cells populated, codes only)")
+    spark.stop()
+  }
+
+  private def annSq8Query(indexDir: String, storeDir: String, emb: String,
+                          id: Long, k: Int, nprobe: Int): Unit = {
+    val spark = GraftSession.local()
+    val index = graft.operators.Similarity.loadIndex(spark, indexDir)
+    val qv = spark.read.parquet(emb).filter(col("vec_id") === id)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val hits = graft.operators.Similarity
+      .ivfSq8StoreTopK(spark, storeDir, "vec_id", qv, index, k, nprobe,
+        excludeId = Some(id))
+      .collect()
+    hits.foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
+    println(s"${hits.length} SQ8 neighbors of $id from the postings store " +
+      s"(nprobe $nprobe of ${index.cids.size} cells)")
     spark.stop()
   }
 

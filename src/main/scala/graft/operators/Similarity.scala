@@ -1023,18 +1023,22 @@ object Similarity {
   // arithmetic — order-independent, so partial aggregation cannot
   // reassociate it into a different answer.
 
-  /** Encode: (id, vec double[], sq_scale, sq_codes int[]). Map-only —
-    * zero shuffle; at serve time only `sq_codes` (4x smaller) and one
-    * double ride per row. Zero vectors get scale 0 / all-zero codes. */
+  /** Encode: rider columns + (vec double[], sq_scale, sq_codes int[]),
+    * the raw `embCol` dropped. Map-only — zero shuffle; at serve time
+    * only `sq_codes` (4x smaller) and one double ride per row. Zero
+    * vectors get scale 0 / all-zero codes. Riders persisting is what
+    * lets [[ivfSq8StoreBuild]] carry the cell assignment through. */
   def sq8Encode(emb: DataFrame, idCol: String, embCol: String): DataFrame = {
     val e = col(embCol).cast("array<double>")
-    emb.select(col(idCol), e.as("vec"),
-        (array_max(transform(e, x => abs(x))) / 127.0).as("sq_scale"))
+    emb.withColumn("vec", e)
+      .withColumn("sq_scale",
+        array_max(transform(col("vec"), x => abs(x))) / 127.0)
       .withColumn("sq_codes",
         when(col("sq_scale") > 0.0,
           transform(col("vec"),
             x => floor(x / col("sq_scale") + 0.5).cast("int")))
           .otherwise(transform(col("vec"), _ => lit(0))))
+      .drop(embCol)
   }
 
   /** Per-vector quantization quality: (id, sq_scale, rmse) — the
@@ -1063,6 +1067,53 @@ object Similarity {
   def sq8TopK(emb: DataFrame, idCol: String, embCol: String,
               queryId: Long, k: Int): DataFrame =
     sq8TopKFromCodes(sq8Encode(emb, idCol, embCol), idCol, queryId, k)
+
+  /** IVF-SQ8 postings store: the q206 layout with the float vectors
+    * REPLACED by int8 codes — cell assignment still runs on the exact
+    * float vectors (quantizing before assignment would move vectors
+    * across cell boundaries), but the store persists only
+    * (id, sq_scale, sq_codes, cell), so the inverted lists are ~4x
+    * smaller and a probe's IO drops with them. This is the memory
+    * layout production IVF serving actually ships (FAISS IVF-SQ8). */
+  def ivfSq8StoreBuild(emb: DataFrame, idCol: String, embCol: String,
+                       index: IvfIndex, storeDir: String): Unit =
+    sq8Encode(emb.withColumn("cell", index.cellColFor(col(embCol))),
+        idCol, embCol)
+      .drop("vec")
+      .write.partitionBy("cell").mode("overwrite").parquet(storeDir)
+
+  /** Serve from the IVF-SQ8 store: probe cells from the FLOAT query
+    * vector (the same expression as assignment), partition-prune to
+    * them, then rank by the dequantized int64 dot product against the
+    * query's own driver-encoded codes — identical arithmetic to
+    * [[sq8Encode]]/[[sq8TopKFromCodes]] (IEEE max/divide/floor, tie
+    * half-toward-+inf), so the ranking is bit-stable with the
+    * unpartitioned SQ8 serve. */
+  def ivfSq8StoreTopK(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String, idCol: String, qv: Seq[Float],
+                      index: IvfIndex, k: Int, nprobe: Int = 1,
+                      excludeId: Option[Long] = None): DataFrame = {
+    val d = qv.map(_.toDouble)
+    val qs = if (d.isEmpty) 0.0 else d.map(math.abs).max / 127.0
+    val qc: Seq[Long] =
+      if (qs > 0.0) d.map(x => math.floor(x / qs + 0.5).toLong)
+      else d.map(_ => 0L)
+    val cells = spark.range(1)
+      .select(explode(index.probeCellsCol(typedLit(qv), nprobe)).as("cell"))
+      .collect().map(_.getInt(0)).toSeq
+    val store = spark.read.parquet(storeDir)
+      .filter(col("cell").isin(cells: _*))
+    val base = excludeId.fold(store)(q => store.filter(col(idCol) =!= q))
+    base.select(col(idCol),
+        round(aggregate(
+            zip_with(col("sq_codes"), typedLit(qc),
+              (a, b) => a.cast("long") * b),
+            lit(0L), (acc, x) => acc + x)
+          .cast("double") * col("sq_scale") * lit(qs), 6).as("qsim"))
+      .filter(col("qsim").isNotNull)
+      .orderBy(col("qsim").desc, col(idCol))
+      .limit(k)
+  }
 
   /** Serve from an ALREADY-ENCODED codes frame (idCol, sq_scale,
     * sq_codes) — the persisted-store path (cli:sq8build/sq8query): the

@@ -3357,6 +3357,50 @@ object Pipeline {
        |  WHERE a1.vid <> 0 AND a1.vid % 7 = 3)
        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------- q215
+  // IVF-SQ8 postings store (Similarity.ivfSq8StoreBuild/TopK): the
+  // q206 inverted-list layout with int8 codes instead of float
+  // vectors — assignment on the exact floats, ~4x smaller lists, the
+  // FAISS IVF-SQ8 memory layout. Serve probes with the float query,
+  // partition-prunes, then ranks by the dequantized int64 dot against
+  // driver-encoded query codes. The in-plan requires prove the pruned
+  // scan AND that no float-vector column survives in the store.
+  private def q215IvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q215", dir)
+    val emb = t(s, dir, "embeddings")
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+    Similarity.ivfSq8StoreBuild(emb, "vec_id", "embedding", ix, out)
+    val stored = s.read.parquet(out)
+    require(!stored.columns.contains("embedding") &&
+        !stored.columns.contains("vec"),
+      "the IVF-SQ8 store must hold codes only, never the float vectors")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val res = Similarity.ivfSq8StoreTopK(s, out, "vec_id", qv, ix,
+      k = 10, nprobe = 2, excludeId = Some(0L))
+    val total = new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    require(graft.plans.PlanProbe.scannedFileCount(res) < total,
+      s"the SQ8 probe must open only probed cells (of $total)")
+    res
+  }
+
+  // lazy: sq8Ctes is declared later in the object; a strict val here
+  // would interpolate null at initialization order
+  private lazy val q215Sql =
+    s"""WITH $ivfCtes,
+       |$sq8Ctes,
+       |q AS (SELECT s AS qs, codes AS qc FROM cd WHERE vec_id = 0),
+       |probes AS (SELECT cid AS cell FROM (
+       |  SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn FROM d1 WHERE vid = 0) WHERE rn <= 2)
+       |SELECT cd.vec_id,
+       |  round(CAST(list_sum(list_transform(generate_series(1, len(codes)),
+       |    i -> codes[i] * qc[i])) AS DOUBLE) * s * qs, 6) AS qsim
+       |FROM cd JOIN a1 ON cd.vec_id = a1.vid
+       |  JOIN probes ON a1.cell = probes.cell CROSS JOIN q
+       |WHERE cd.vec_id <> 0
+       |ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4174,6 +4218,7 @@ object Pipeline {
     "q212_distinct_elim" -> q212DistinctElim _,
     "q213_fk_elim" -> q213FkElim _,
     "q214_store_filtered_ann" -> q214StoreFilteredAnn _,
+    "q215_ivf_sq8" -> q215IvfSq8 _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4397,6 +4442,7 @@ object Pipeline {
     "q212_distinct_elim" -> q212Sql,
     "q213_fk_elim" -> q213Sql,
     "q214_store_filtered_ann" -> q214Sql,
+    "q215_ivf_sq8" -> q215Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )
