@@ -75,8 +75,15 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private sealed trait Pred
   private case class RangeP(col: String, lo: Option[Any], hi: Option[Any]) extends Pred
-  private case class EqP(col: String, value: Any) extends Pred
-  private case class InP(col: String, values: Seq[Any]) extends Pred
+  /** `bare` = the attribute appeared WITHOUT a coercion cast. Only
+    * bare equalities may consult the Bloom sidecar: when type coercion
+    * wrapped the column (`CAST(strcol AS DOUBLE) = 123.0`), the
+    * comparison happens in the coerced domain, but the index hashed
+    * the RAW column values — probing it with the literal would prune
+    * files that DO satisfy the cast-equality ("123" = 123.0). Zones
+    * stay safe either way: pruneFileNames type-guards the slot. */
+  private case class EqP(col: String, value: Any, bare: Boolean) extends Pred
+  private case class InP(col: String, values: Seq[Any], bare: Boolean) extends Pred
   private case class NullP(col: String, wantNull: Boolean) extends Pred
 
   private def attrName(e: Expression): Option[String] = e match {
@@ -84,6 +91,9 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case Cast(a: AttributeReference, _, _, _) => Some(a.name)
     case _ => None
   }
+
+  private def isBareAttr(e: Expression): Boolean =
+    e.isInstanceOf[AttributeReference]
 
   private def litVal(e: Expression): Option[Any] = e match {
     case Literal(_, DateType) => None // days encoding ≠ micros widening
@@ -129,8 +139,8 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       comparisonCols(a) ++ comparisonCols(b)
     case leaf => preds(leaf).collect {
       case RangeP(c, _, _) => c
-      case EqP(c, _) => c
-      case InP(c, _) => c
+      case EqP(c, _, _) => c
+      case InP(c, _, _) => c
     }.toSet
   }
 
@@ -139,13 +149,14 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def preds(cond: Expression): Seq[Pred] = cond match {
     case And(a, b) => preds(a) ++ preds(b)
     case EqualTo(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
-      Seq(EqP(attrName(a).get, litVal(v).get))
+      Seq(EqP(attrName(a).get, litVal(v).get, isBareAttr(a)))
     case EqualTo(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
-      Seq(EqP(attrName(a).get, litVal(v).get))
+      Seq(EqP(attrName(a).get, litVal(v).get, isBareAttr(a)))
     case In(a, list) if attrName(a).isDefined &&
         list.nonEmpty && list.length <= MaxInValues =>
       val vals = list.map(litVal)
-      if (vals.forall(_.isDefined)) Seq(InP(attrName(a).get, vals.flatten))
+      if (vals.forall(_.isDefined))
+        Seq(InP(attrName(a).get, vals.flatten, isBareAttr(a)))
       else Seq.empty
     case InSet(a, hset) if attrName(a).isDefined &&
         hset.nonEmpty && hset.size <= MaxInValues &&
@@ -154,7 +165,9 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case s: UTF8String => s.toString
         case v => v
       }
-      if (vals.forall(_ != null)) Seq(InP(attrName(a).get, vals)) else Seq.empty
+      if (vals.forall(_ != null))
+        Seq(InP(attrName(a).get, vals, isBareAttr(a)))
+      else Seq.empty
     // prefix match as a string range: p <= s < nextPrefix(p), the
     // Delta startsWith translation. The upper bound increments the
     // last char (an all-￿ prefix gets no upper bound); the zone
@@ -208,17 +221,20 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
                         skipNotNull: Set[String]): Option[Set[String]] = p match {
     case RangeP(c, lo, hi) =>
       graft.sinks.SkippingStore.pruneFileNames(spark, dir, c, lo, hi).map(_.toSet)
-    case EqP(c, v) =>
+    case EqP(c, v, bare) =>
       val z = graft.sinks.SkippingStore
         .pruneFileNames(spark, dir, c, Some(v), Some(v)).map(_.toSet)
-      val b = graft.sinks.SkippingStore
-        .bloomFileNames(spark, dir, c, v).map(_.toSet)
+      // cast-wrapped attrs never touch the Bloom index: the index
+      // hashed raw column values, the equality lives in the coerced
+      // domain — a probe there invents false negatives (see EqP doc)
+      val b = if (bare) graft.sinks.SkippingStore
+        .bloomFileNames(spark, dir, c, v).map(_.toSet) else None
       (z, b) match {
         case (Some(x), Some(y)) => Some(x intersect y)
         case (x, y) => x.orElse(y)
       }
-    case InP(c, vs) =>
-      val sets = vs.map(v => survivors(dir, EqP(c, v), skipNotNull))
+    case InP(c, vs, bare) =>
+      val sets = vs.map(v => survivors(dir, EqP(c, v, bare), skipNotNull))
       if (sets.exists(_.isEmpty)) None
       else Some(sets.flatten.foldLeft(Set.empty[String])(_ union _))
     case NullP(c, false) if skipNotNull(c) =>

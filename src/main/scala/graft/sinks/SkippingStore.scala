@@ -610,6 +610,18 @@ object SkippingStore {
            org.apache.spark.sql.types.TimestampNTZType => return None
       case _ => ()
     }
+    // the literal's RUNTIME type must live in the key column's type
+    // family: the index hashed raw column values, so a cross-family
+    // probe (numeric literal vs string index — "123.0" vs "123") would
+    // hash a value the writer never saw and prune files that DO hold
+    // matching rows. Within-family numeric casts (5L → int) are exact.
+    val familyOk = (keyType, value) match {
+      case (org.apache.spark.sql.types.StringType, _: String) => true
+      case (_: org.apache.spark.sql.types.NumericType, _: java.lang.Number) => true
+      case (org.apache.spark.sql.types.BooleanType, _: java.lang.Boolean) => true
+      case _ => false
+    }
+    if (!familyOk) return None
     val probeCols = (0 until k).map(i =>
       pmod(xxhash64(lit(value).cast(keyType), lit(i)), lit(nbits.toLong)))
     val probe = spark.range(1).select(probeCols: _*).head()

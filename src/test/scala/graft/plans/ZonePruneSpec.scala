@@ -186,6 +186,29 @@ class ZonePruneSpec extends SparkSpec {
     assert(got.select($"k").as[Int].collect().toSeq == Seq(500))
   }
 
+  test("a coercion-cast equality never probes the bloom index") {
+    // string-typed keys that LOOK numeric: `key = 123` coerces to
+    // CAST(key AS DOUBLE) = 123.0, so a bloom probe would hash "123.0"
+    // while the index hashed the raw strings ("123", "05", ...) and
+    // prune the very files that match — the silent-wrong-results shape
+    val dir = java.nio.file.Files.createTempDirectory("zpcast").toString + "/s"
+    val df = Seq.tabulate(400)(i => (i, f"$i%03d")).toDF("k", "key")
+    SkippingStore.write(df, "k", dir, nFiles = 8)
+    SkippingStore.bloomIndex(spark, dir, "key", nbits = 1 << 14, k = 5)
+    val got = spark.read.parquet(dir).filter($"key" === 123)
+    // the cast-equality matches "123" (CAST("123" AS DOUBLE) = 123.0)
+    assert(got.select($"k").as[Int].collect().toSeq == Seq(123),
+      "cast-coerced equality must keep its matching rows")
+    // and the guard itself: a cross-family probe refuses at the source
+    assert(SkippingStore.bloomFileNames(spark, dir, "key",
+      java.lang.Double.valueOf(123.0)).isEmpty,
+      "bloomFileNames must refuse a numeric probe of a string index")
+    // bare string equality still prunes through the bloom
+    val bare = spark.read.parquet(dir).filter($"key" === "123")
+    assert(scannedFiles(bare).size < 8)
+    assert(bare.select($"k").as[Int].collect().toSeq == Seq(123))
+  }
+
   test("a pre-keycol bloom sidecar is not rule-prunable but stays correct") {
     val (dir, df) = bloomStore
     val legacy = java.nio.file.Files.createTempDirectory("zplegacy").toString + "/s"
