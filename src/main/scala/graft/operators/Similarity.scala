@@ -323,32 +323,30 @@ object Similarity {
   def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
                       storeDir: String,
                       maxRecordsPerFile: Long = 0L): (Int, Int) = {
+    import graft.sinks.HadoopSwap
     def dataFiles(d: String): Int = {
-      val root = new java.io.File(d)
-      if (!root.exists) 0
-      else root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
-        .map(_.listFiles().count(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))).sum
+      val f = HadoopSwap.fs(spark, d)
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (!f.exists(p)) 0
+      else f.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .map(cd => f.listStatus(cd.getPath).count { s =>
+          val n = s.getPath.getName
+          s.isFile && n.startsWith("part-") && n.endsWith(".parquet")
+        }).sum
     }
     val before = dataFiles(storeDir)
     val tmp = storeDir + "_compact_tmp"
     val aside = storeDir + "_compact_old"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(tmp)); rm(new java.io.File(aside))
+    HadoopSwap.deleteRecursive(spark, tmp)
+    HadoopSwap.deleteRecursive(spark, aside)
     val w = spark.read.parquet(storeDir)
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
     (if (maxRecordsPerFile > 0L)
        w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).parquet(tmp)
-    java.nio.file.Files.move(java.nio.file.Paths.get(storeDir),
-      java.nio.file.Paths.get(aside))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(storeDir))
-    rm(new java.io.File(aside))
+    HadoopSwap.swapInto(spark, tmp, storeDir, aside)
     (before, dataFiles(storeDir))
   }
 

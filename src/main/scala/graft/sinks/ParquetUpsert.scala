@@ -14,7 +14,7 @@ object ParquetUpsert {
   def apply(spark: SparkSession, df: DataFrame, path: String,
             keys: Seq[String]): Long = {
     val live =
-      if (new java.io.File(path).exists()) spark.read.parquet(path)
+      if (HadoopSwap.exists(spark, path)) spark.read.parquet(path)
       else df.limit(0)
     // in-batch dedup first: a key repeated WITHIN the input (a corrected
     // row appended to a curation TSV rather than edited) must not

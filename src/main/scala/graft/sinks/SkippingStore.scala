@@ -268,14 +268,7 @@ object SkippingStore {
     val data = spark.read.parquet(dir).localCheckpoint()
     writeMulti(data, sortCol, statsCols, tmp, nFiles)
     bloomGeom.foreach { case (kc, nbits, k) => bloomIndex(spark, tmp, kc, nbits, k) }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
-      java.nio.file.Paths.get(aside))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(dir))
-    rm(new java.io.File(aside))
+    HadoopSwap.swapInto(spark, tmp, dir, aside)
     (before, parquetFiles(dir))
   }
 

@@ -17,18 +17,13 @@ import org.apache.spark.sql.functions._
   * Both write the rewritten table to a sibling temp directory first and
   * swap it into place only after the write completes — the source
   * directory stays intact (and readable) until the replacement is fully
-  * on disk, so a crash mid-rewrite can never lose the table. The same
-  * new-directory + swap is how the rewrite lands on a cluster
-  * (HDFS/object-store rename).
+  * on disk, so a crash mid-rewrite can never lose the table. All
+  * filesystem work goes through the Hadoop `FileSystem` API
+  * ([[HadoopSwap]]), so the same code runs against `file:` and `hdfs:`
+  * roots; object stores without atomic rename should route rewrites
+  * through [[VersionedStore]] manifest commits instead.
   */
 object StoreMaintenance {
-
-  private def dirBytes(dir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-    walk(new java.io.File(dir))
-  }
 
   /** Write `df` (which may read from `dir`) to a temp sibling, then swap
     * it in: rename the live dir aside, move the replacement in, delete
@@ -39,38 +34,22 @@ object StoreMaintenance {
     * would instead leave NO live store, and a crash there silently
     * rebuilds from the next delta alone). */
   private[graft] def overwriteViaSwap(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
     val stamp = System.nanoTime()
     val tmp = dir + ".rewrite-" + stamp
     val aside = dir + ".old-" + stamp
     df.write.mode("overwrite").parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    // first materialization: nothing live yet, the swap is one rename
-    if (new java.io.File(dir).exists()) {
-      java.nio.file.Files.move(java.nio.file.Paths.get(dir),
-        java.nio.file.Paths.get(aside))
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-        java.nio.file.Paths.get(dir))
-      rm(new java.io.File(aside))
-    } else
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-        java.nio.file.Paths.get(dir))
+    HadoopSwap.swapInto(spark, tmp, dir, aside)
   }
 
   /** Rewrite the store at `dir` into ≈ `targetBytes`-sized files.
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
-    def parquetFiles(d: String): Int = {
-      def walk(f: java.io.File): Int =
-        if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
-        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-      walk(new java.io.File(d))
-    }
-    val before = parquetFiles(dir)
-    val nFiles = math.max(1L, (dirBytes(dir) + targetBytes - 1) / targetBytes).toInt
+    val before = HadoopSwap.parquetFileCount(spark, dir)
+    val bytes = HadoopSwap.dirBytes(spark, dir)
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     overwriteViaSwap(spark.read.parquet(dir).repartition(nFiles), dir)
-    (before, parquetFiles(dir))
+    (before, HadoopSwap.parquetFileCount(spark, dir))
   }
 
   /** Retention rewrite: keep only rows whose `tsCol` is at or after

@@ -28,7 +28,7 @@ object StreamingMerge {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val novel =
-          if (new java.io.File(storeDir).exists()) {
+          if (graft.sinks.HadoopSwap.exists(batch.sparkSession, storeDir)) {
             val live = batch.sparkSession.read.parquet(storeDir)
             batch.dropDuplicates(keys)
               .join(live.select(keys.map(col): _*).dropDuplicates(), keys, "left_anti")
@@ -67,7 +67,7 @@ object StreamingMerge {
         val survivors = latest.filter(col(opCol) =!= "D")
           .drop(opCol, seqCol)
         val merged =
-          if (new java.io.File(storeDir).exists()) {
+          if (graft.sinks.HadoopSwap.exists(batch.sparkSession, storeDir)) {
             val live = batch.sparkSession.read.parquet(storeDir).localCheckpoint()
             live.join(latest.select(keys.map(col): _*), keys, "left_anti")
               .unionByName(survivors)
