@@ -380,6 +380,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED serve from the postings store — the bulk-retrieval shape
+    * (dedup sweeps, corpus-scale hard-negative mining) that a
+    * per-query [[ivfStoreTopK]] loop cannot reach: one job retrieves
+    * top-k for a whole query FRAME against the persisted inverted
+    * lists, instead of a driver round-trip per query vector.
+    *
+    * Plan shape: every query is assigned its `nprobe` probe cells
+    * map-side ([[IvfIndex.probeCellsCol]] — the same expression the
+    * store's assignment used, so probe order is bit-identical), the
+    * store scan partition-prunes to the UNION of probed cells (a
+    * cell-count-bounded driver collect, the file-name-sized prune
+    * discipline), and the probed partitions join the broadcast
+    * (query, cell) pairs ON cell — each probed partition is read once
+    * for ALL the queries probing it, never once per query. Ranking
+    * runs through the bounded [[graft.functions.TopK]] aggregator, so
+    * no per-query candidate list ever materializes unbounded.
+    *
+    * Direction note: the QUERY side broadcasts (retrieval: bounded
+    * query set, unbounded corpus); `nprobe = numCells` reproduces the
+    * exact [[knnJoin]] answer over the store. Per query-id, results
+    * are bit-identical to [[ivfStoreTopK]] with `excludeId` (same
+    * rounding, same (sim desc, id) tiebreak) — the property the q216
+    * oracle pins. */
+  def knnJoinIvfStore(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String, queries: DataFrame,
+                      idCol: String, embCol: String, k: Int,
+                      index: IvfIndex, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= index.cids.size, "1 <= nprobe <= cells")
+    val idType = integralIdType(queries, idCol)
+    // one assignment pass feeds BOTH the probed-cell collect and the
+    // join side — localCheckpoint stops the probe expression running
+    // twice (and hides the query lineage from the store scan's plan)
+    val qcells = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(index.probeCellsCol(col("qv"), nprobe)).as("cell"))
+      .localCheckpoint()
+    // union of probed cells: ≤ numCells ints, driver-held by design
+    val cells = qcells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val store = spark.read.parquet(storeDir)
+      .filter(col("cell").isin(cells: _*))
+    val scored = store
+      .join(broadcast(qcells), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).cast("long").as("cand_id"),
+        round(graft.functions.VectorFunctions.cosine_sim(col(embCol), col("qv")), 6)
+          .as("sim"))
+    scored.filter(col("sim").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(k)(col("cand_id"), col("sim")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"),
+        col("hit._1").cast(idType).as(idCol), col("hit._2").as("sim"))
+  }
+
   /** Sign-bucket LSH: bucket key = sign bits of the first `bits` dims.
     * Probes only the query's bucket, then exact cosine within it. */
   def signBucketTopK(emb: DataFrame, idCol: String, embCol: String,

@@ -3401,6 +3401,48 @@ object Pipeline {
        |WHERE cd.vec_id <> 0
        |ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------- q216
+  // Batched store-served kNN join (Similarity.knnJoinIvfStore): a
+  // whole query FRAME retrieves top-k from the q206 postings layout in
+  // ONE job — probe cells assigned map-side per query, the store scan
+  // partition-pruned to the UNION of probed cells, each probed
+  // partition read once for ALL queries probing it. Per query-id the
+  // answer is bit-identical to the per-query ivfStoreTopK loop (same
+  // rounding, same tiebreaks) — the property the oracle replays in
+  // SQL. The in-plan require proves the union prune.
+  private def q216StoreKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q216", dir)
+    val emb = t(s, dir, "embeddings")
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+    Similarity.ivfStoreBuild(emb, "vec_id", "embedding", ix, out)
+    val queries = emb.filter(col("vec_id") < 3)
+    val res = Similarity.knnJoinIvfStore(s, out, queries,
+      "vec_id", "embedding", k = 10, index = ix, nprobe = 1)
+      .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+    val total = new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    require(graft.plans.PlanProbe.scannedFileCount(res) < total,
+      s"the batched serve must scan only the probed-cell union (of $total)")
+    res
+  }
+
+  private val q216Sql =
+    s"""WITH $ivfCtes,
+       |q AS (SELECT vid AS query_id, ev AS qv FROM a1 WHERE vid < 3),
+       |probes AS (SELECT vid AS query_id, cid AS cell FROM (
+       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+       |  FROM d1 WHERE vid < 3) WHERE rn <= 1),
+       |scored AS (
+       |  SELECT probes.query_id, a1.vid AS vec_id, ${cosSql("a1.ev", "q.qv")} AS sim
+       |  FROM a1 JOIN probes ON a1.cell = probes.cell
+       |    JOIN q ON q.query_id = probes.query_id
+       |  WHERE a1.vid <> probes.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 10
+       |ORDER BY query_id, sim DESC, vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4219,6 +4261,7 @@ object Pipeline {
     "q213_fk_elim" -> q213FkElim _,
     "q214_store_filtered_ann" -> q214StoreFilteredAnn _,
     "q215_ivf_sq8" -> q215IvfSq8 _,
+    "q216_store_knn_join" -> q216StoreKnnJoin _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4443,6 +4486,7 @@ object Pipeline {
     "q213_fk_elim" -> q213Sql,
     "q214_store_filtered_ann" -> q214Sql,
     "q215_ivf_sq8" -> q215Sql,
+    "q216_store_knn_join" -> q216Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -58,6 +58,47 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 > 0.0 && r2 >= r1, s"recall must not degrade with nprobe: $r1 $r2")
   }
 
+  test("knnJoinIvfStore == per-query ivfStoreTopK loop; scan prunes to the probed union") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("knnstore").toString + "/s"
+    val index = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
+    Similarity.ivfStoreBuild(emb, "vec_id", "embedding", index, dir)
+    // one cluster's queries: the nprobe=1 union leaves cells unprobed
+    val queries = emb.filter($"vec_id".isin(0L, 4L, 8L))
+    for (nprobe <- Seq(1, 2, 4)) {
+      val batched = Similarity.knnJoinIvfStore(spark, dir, queries,
+        "vec_id", "embedding", k = 5, index = index, nprobe = nprobe)
+        .as[(Long, Long, Double)].collect().toSet
+      val looped = Seq(0L, 4L, 8L).flatMap { qid =>
+        val qv = emb.filter($"vec_id" === qid)
+          .select($"embedding").head().getSeq[Float](0)
+        Similarity.ivfStoreTopK(spark, dir, "vec_id", "embedding", qv,
+          index, k = 5, nprobe = nprobe, excludeId = Some(qid))
+          .as[(Long, Double)].collect().map(r => (qid, r._1, r._2))
+      }.toSet
+      assert(batched == looped,
+        s"batched serve must equal the per-query loop at nprobe=$nprobe")
+    }
+    // the store scan opens exactly the probed-cell union's files
+    val probedCells = queries
+      .select(explode(graft.functions.VectorFunctions.nearest_cells(
+        $"embedding", index.cids, index.centroids, 1)).as("cell"))
+      .distinct().as[Int].collect().toSet
+    val fs = graft.sinks.HadoopSwap.fs(spark, dir)
+    val unionFiles = probedCells.toSeq.map { c =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/cell=$c"))
+        .count(s => s.getPath.getName.endsWith(".parquet"))
+    }.sum
+    val narrow = Similarity.knnJoinIvfStore(spark, dir, queries,
+      "vec_id", "embedding", k = 5, index = index, nprobe = 1)
+    assert(graft.plans.PlanProbe.scannedFileCount(narrow) == unionFiles,
+      "the store scan must partition-prune to the union of probed cells")
+    val allCells = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    assert(probedCells.size < allCells,
+      "fixture must leave at least one unprobed cell for the prune to bite")
+  }
+
   test("IvfIndex round-trips through parquet; loaded index answers identically") {
     val index = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
     val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
