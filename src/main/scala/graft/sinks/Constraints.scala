@@ -177,12 +177,20 @@ object Constraints {
     require(orphans == 0L,
       s"declareForeignKey($factDir.$fkCol): values missing from $dimDir.$keyCol")
     val refDir = qualified(spark, dimDir)
-    import spark.implicits._
     val rows =
       dataFileNames(spark, factDir).toSeq.sorted
         .map(f => (fkCol, refDir, keyCol, "fact", f)) ++
       dataFileNames(spark, dimDir).toSeq.sorted
         .map(f => (fkCol, refDir, keyCol, "dim", f))
+    writeFkSidecar(spark, factDir, fkCol, rows)
+  }
+
+  /** Rewrite the `_constraints_fk` sidecar with `rows` for `fkCol`,
+    * carrying other fk columns' declarations over verbatim. */
+  private def writeFkSidecar(spark: SparkSession, factDir: String,
+                             fkCol: String,
+                             rows: Seq[(String, String, String, String, String)]): Unit = {
+    import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(s"$factDir/_constraints_fk")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val others =
@@ -197,6 +205,62 @@ object Constraints {
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     fs.delete(p, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p): Unit
+  }
+
+  /** Extend a foreign-key declaration after a FACT-side append instead
+    * of paying the full anti-join re-verification: only the NEW fact
+    * files' keys are checked — non-null, and present in the dim — then
+    * the declaration restamps over the current fact file set. The
+    * [[extendUnique]] discipline applied to referential integrity:
+    * O(batch) + one dim key-column scan, vs re-anti-joining the whole
+    * store, which is what makes FK maintenance per-batch under
+    * streaming appends.
+    *
+    * The DIM side must be untouched: its stamp must still match and
+    * its unique declaration still verify (a dim append can't orphan
+    * fact keys, but it CAN break uniqueness, and a dim rewrite can
+    * remove referenced keys — both refuse here and require a full
+    * [[declareForeignKey]]). Refusals leave the old stamp in place,
+    * which no longer matches the current fact files, so the constraint
+    * correctly reads invalid until re-declared. */
+  def extendForeignKey(spark: SparkSession, factDir: String, fkCol: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$factDir/_constraints_fk")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"extendForeignKey($factDir, $fkCol): no declaration")
+    val rows = spark.read.parquet(s"$factDir/_constraints_fk")
+      .filter(col("fkcol") === fkCol).collect()
+    require(rows.nonEmpty, s"extendForeignKey($factDir, $fkCol): no fk($fkCol)")
+    val refs = rows.map(r => (r.getString(1), r.getString(2))).distinct
+    require(refs.length == 1,
+      s"extendForeignKey($factDir, $fkCol): conflicting references")
+    val (refDir, refCol) = refs.head
+    val dimStamp = rows.filter(_.getString(3) == "dim").map(_.getString(4)).toSet
+    require(dimStamp == dataFileNames(spark, refDir),
+      s"extendForeignKey($factDir, $fkCol): the dim side changed — " +
+        "re-run declareForeignKey")
+    require(verifiedUnique(spark, refDir, refCol),
+      s"extendForeignKey($factDir, $fkCol): $refDir.$refCol uniqueness " +
+        "no longer verifies — re-declare both sides")
+    val factStamp = rows.filter(_.getString(3) == "fact").map(_.getString(4)).toSet
+    val current = dataFileNames(spark, factDir)
+    require(factStamp.subsetOf(current),
+      s"extendForeignKey($factDir, $fkCol): stamped fact files missing — " +
+        "the store was rewritten, re-run declareForeignKey")
+    val newFiles = (current -- factStamp).toSeq.sorted
+    if (newFiles.isEmpty) return // nothing appended
+    val newDf = spark.read.parquet(newFiles.map(f => s"$factDir/$f"): _*)
+    require(newDf.filter(col(fkCol).isNull).limit(1).count() == 0L,
+      s"extendForeignKey($factDir.$fkCol): null keys in the appended files")
+    val orphans = newDf.select(col(fkCol))
+      .join(spark.read.parquet(refDir).select(col(refCol).as(fkCol)),
+        Seq(fkCol), "left_anti")
+      .limit(1).count()
+    require(orphans == 0L,
+      s"extendForeignKey($factDir.$fkCol): appended values missing from " +
+        s"$refDir.$refCol")
+    writeFkSidecar(spark, factDir, fkCol,
+      current.toSeq.sorted.map(f => (fkCol, refDir, refCol, "fact", f)) ++
+        dimStamp.toSeq.sorted.map(f => (fkCol, refDir, refCol, "dim", f)))
   }
 
   /** The (dimDir, keyCol) a CURRENTLY-VALID foreign-key declaration on

@@ -164,6 +164,58 @@ class JoinEliminationSpec extends SparkSpec {
       ex.getMessage.contains("missing"))
   }
 
+  test("extendForeignKey re-arms FK elimination batch-sized after fact appends") {
+    val root = java.nio.file.Files.createTempDirectory("fkext").toString
+    val (factDir, dimDir) = (s"$root/fact", s"$root/dim")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "label").write.parquet(dimDir)
+    Constraints.declareUnique(spark, dimDir, "k")
+    Seq((1L, 10), (2L, 30)).toDF("fk", "v").write.parquet(factDir)
+    Constraints.declareForeignKey(spark, factDir, "fk", dimDir, "k")
+    // clean fact append: new rows reference existing dim keys
+    Seq((3L, 40), (1L, 50)).toDF("fk", "v").write.mode("append").parquet(factDir)
+    assert(Constraints.verifiedForeignKey(spark, factDir, "fk").isEmpty,
+      "fact stamp must be stale after the append")
+    Constraints.extendForeignKey(spark, factDir, "fk")
+    assert(Constraints.verifiedForeignKey(spark, factDir, "fk").isDefined)
+    val (fact, dim) = (spark.read.parquet(factDir), spark.read.parquet(dimDir))
+    val q = fact.join(dim, fact("fk") === dim("k"))
+      .groupBy($"fk").agg(sum($"v").as("s")).orderBy($"fk")
+    assert(!plansJoin(q), "extended FK must re-arm inner-join elimination")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 60L), (2L, 30L), (3L, 40L)))
+    // an orphan append refuses; constraint stays invalid
+    Seq((99L, 1)).toDF("fk", "v").write.mode("append").parquet(factDir)
+    val ex = intercept[IllegalArgumentException] {
+      Constraints.extendForeignKey(spark, factDir, "fk")
+    }
+    assert(ex.getMessage.contains("missing from"))
+    assert(Constraints.verifiedForeignKey(spark, factDir, "fk").isEmpty)
+    // dim-side drift refuses the extension outright (full re-declare)
+    val (factDir2, dimDir2) = (s"$root/fact2", s"$root/dim2")
+    Seq((1L, "a")).toDF("k", "label").write.parquet(dimDir2)
+    Constraints.declareUnique(spark, dimDir2, "k")
+    Seq((1L, 10)).toDF("fk", "v").write.parquet(factDir2)
+    Constraints.declareForeignKey(spark, factDir2, "fk", dimDir2, "k")
+    Seq((2L, "b")).toDF("k", "label").write.mode("append").parquet(dimDir2)
+    Seq((1L, 20)).toDF("fk", "v").write.mode("append").parquet(factDir2)
+    val ex2 = intercept[IllegalArgumentException] {
+      Constraints.extendForeignKey(spark, factDir2, "fk")
+    }
+    assert(ex2.getMessage.contains("dim side changed"))
+    // null fk in the appended batch refuses
+    val (factDir3, dimDir3) = (s"$root/fact3", s"$root/dim3")
+    Seq((1L, "a")).toDF("k", "label").write.parquet(dimDir3)
+    Constraints.declareUnique(spark, dimDir3, "k")
+    Seq((1L, 10)).toDF("fk", "v").write.parquet(factDir3)
+    Constraints.declareForeignKey(spark, factDir3, "fk", dimDir3, "k")
+    Seq[(Option[Long], Int)]((None, 7)).toDF("fk", "v")
+      .write.mode("append").parquet(factDir3)
+    val ex3 = intercept[IllegalArgumentException] {
+      Constraints.extendForeignKey(spark, factDir3, "fk")
+    }
+    assert(ex3.getMessage.contains("null keys"))
+  }
+
   test("kill-switch keeps the join") {
     val (dir, fact, _) = stores
     val dim = spark.read.parquet(dir)

@@ -117,4 +117,40 @@ class RulePropertySpec extends SparkSpec {
       assert(gotD == wantD, s"trial $trial distinct")
     }
   }
+
+  test("FK elimination after extendForeignKey equals the executed twin") {
+    val rnd = new Random(53)
+    for (trial <- 1 to 3) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"fkextprop$trial").toString
+      val (factDir, dimDir) = (s"$root/fact", s"$root/dim")
+      val nd = 20 + rnd.nextInt(30)
+      val keys = rnd.shuffle((0L until 200L).toList).take(nd)
+      keys.map(k => (k, s"l${rnd.nextInt(9)}")).toDF("k", "label")
+        .write.parquet(dimDir)
+      Constraints.declareUnique(spark, dimDir, "k")
+      def factBatch(n: Int) = (0 until n).map(_ =>
+        (keys(rnd.nextInt(keys.length)), rnd.nextInt(100))).toDF("fk", "x")
+      factBatch(40).write.parquet(factDir)
+      Constraints.declareForeignKey(spark, factDir, "fk", dimDir, "k")
+      // two appended batches, extended (not re-declared) after each
+      factBatch(15).write.mode("append").parquet(factDir)
+      Constraints.extendForeignKey(spark, factDir, "fk")
+      factBatch(15).write.mode("append").parquet(factDir)
+      Constraints.extendForeignKey(spark, factDir, "fk")
+      val (fact, d) = (spark.read.parquet(factDir), spark.read.parquet(dimDir))
+      val q = fact.join(d, fact("fk") === d("k"))
+        .groupBy($"fk").agg(sum($"x").as("s"), count(lit(1)).as("n"))
+      assert(q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty, s"trial $trial: extended FK must eliminate the inner join")
+      val got = q.collect().toSet
+      val want = withConf("spark.graft.joinelim.enabled") {
+        fact.join(d, fact("fk") === d("k"))
+          .groupBy($"fk").agg(sum($"x").as("s"), count(lit(1)).as("n"))
+          .collect().toSet
+      }
+      assert(got == want, s"trial $trial fk-extend")
+    }
+  }
 }
