@@ -49,10 +49,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * the plan returns unchanged. Defensive by construction: any
   * analysis failure (stale sidecar, foreign layout, unexpected plan
   * shape) falls back to the unpruned plan — the rule may only ever
-  * make a query faster, never break it. DATE literals are skipped
-  * (their internal days encoding does not match the sidecar's
-  * epoch-micros widening); timestamp literals carry micros and prune
-  * zones (never Bloom probes — the cast would reread them as seconds).
+  * make a query faster, never break it. DATE literals translate
+  * days→session-tz-midnight micros (the exact widening the sidecar
+  * writer recorded) and prune zones; timestamp literals carry micros
+  * and prune zones too. Neither ever Bloom-probes — the cast would
+  * reread the micros as seconds.
   */
 case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -95,8 +96,22 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def isBareAttr(e: Expression): Boolean =
     e.isInstanceOf[AttributeReference]
 
+  /** A DATE literal's internal Int-days encoding, translated to the
+    * epoch micros the sidecar recorded — the writer widens date
+    * columns as `unix_micros(cast(c AS TIMESTAMP))`, i.e. session-tz
+    * midnight, so the literal must cross the SAME days→micros boundary
+    * (`DateTimeUtils.daysToMicros` is exactly what Cast uses). All
+    * widened date values are midnights, so range/equality tests on the
+    * translated literal are exact, never lossy. */
+  private def dateDaysToMicros(days: Int): Long =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.daysToMicros(days,
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+        spark.sessionState.conf.sessionLocalTimeZone))
+
   private def litVal(e: Expression): Option[Any] = e match {
-    case Literal(_, DateType) => None // days encoding ≠ micros widening
+    case Literal(v, DateType) =>
+      Option(v).map(d => java.lang.Long.valueOf(
+        dateDaysToMicros(d.asInstanceOf[Int])))
     case Literal(v, StringType) => Option(v).map(_.toString)
     case Literal(v, TimestampType) => Option(v) // micros Long
     case Literal(v, TimestampNTZType) => Option(v)
@@ -159,10 +174,12 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Seq(InP(attrName(a).get, vals.flatten, isBareAttr(a)))
       else Seq.empty
     case InSet(a, hset) if attrName(a).isDefined &&
-        hset.nonEmpty && hset.size <= MaxInValues &&
-        !a.dataType.isInstanceOf[DateType] =>
+        hset.nonEmpty && hset.size <= MaxInValues =>
+      val isDate = a.dataType.isInstanceOf[DateType]
       val vals = hset.toSeq.map {
         case s: UTF8String => s.toString
+        case d: java.lang.Integer if isDate => // Int-days → epoch micros
+          java.lang.Long.valueOf(dateDaysToMicros(d.intValue()))
         case v => v
       }
       if (vals.forall(_ != null))

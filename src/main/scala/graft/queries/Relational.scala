@@ -2660,7 +2660,45 @@ object Relational {
       |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 90000.0
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q217
+  // DATE-literal pruning through the transparent zone rule: a store
+  // sorted and indexed on a DATE column — the single most common
+  // skipping predicate on a date-partitioned crawl corpus — pruned by
+  // a plain read with a DATE range. The rule translates the literal's
+  // Int-days encoding to the sidecar's session-tz-midnight micros
+  // widening; the in-plan require proves files were actually skipped,
+  // and the oracle runs the unpruned filter.
+  private def q217DatePrune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("q217", dir, "orders_by_day")
+    graft.sinks.SkippingStore.writeMulti(
+      t(s, dir, "orders").withColumn("o_day", to_date(col("o_orderdate"))),
+      "o_day", Seq("o_day"), tmp, 8)
+    val res = s.read.parquet(tmp)
+      .filter(col("o_day") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+        col("o_day") <= lit(java.sql.Date.valueOf("1996-12-31")))
+      .groupBy(col("o_day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .select(date_format(col("o_day"), "yyyy-MM-dd").as("o_day"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("o_day"))
+    require(graft.plans.PlanProbe.scannedFileCount(res) < 8,
+      "a DATE-literal range must prune the date-sorted store in-plan")
+    res
+  }
+
+  private val q217Sql =
+    """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_day,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) <= DATE '1996-12-31'
+      |GROUP BY 1 ORDER BY o_day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_date_prune" -> q217DatePrune _,
     "q194_zone_rule" -> q194ZoneRule _,
     "q189_cdc_refresh" -> q189CdcRefresh _,
     "q184_snapshot_cdc" -> q184SnapshotCdc _,
@@ -2759,6 +2797,7 @@ object Relational {
     "q184_snapshot_cdc" -> q184Sql,
     "q189_cdc_refresh" -> q189Sql,
     "q194_zone_rule" -> q194Sql,
+    "q217_date_prune" -> q217Sql,
     "q146_expire" -> q146Sql,
     "q145_dense_ids" -> q145Sql,
     "q1_agg" -> q1Sql,

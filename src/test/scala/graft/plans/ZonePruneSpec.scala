@@ -186,6 +186,38 @@ class ZonePruneSpec extends SparkSpec {
     assert(got.select($"k").as[Int].collect().toSeq == Seq(500))
   }
 
+  test("DATE literals prune a date-sorted store, both polarities + boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("zpdate").toString + "/s"
+    // 200 days from 2024-01-01, date-sorted: the crawl-store shape
+    val df = Seq.tabulate(200)(i =>
+      (i, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))))
+      .toDF("k", "dt")
+    SkippingStore.writeMulti(df, "dt", Seq("dt"), dir, nFiles = 8)
+    def d(s: String) = lit(java.sql.Date.valueOf(s))
+    // lower-bound polarity: late dates live in the last files only
+    val late = spark.read.parquet(dir).filter($"dt" >= d("2024-06-19"))
+    assert(scannedFiles(late).size < 8,
+      s"dt >= DATE must prune, scanned ${scannedFiles(late).size} of 8")
+    assert(late.count() == df.filter($"dt" >= d("2024-06-19")).count())
+    // upper-bound polarity (strict < keeps at most one marginal
+    // boundary file: the zone test is inclusive by design)
+    val early = spark.read.parquet(dir).filter($"dt" < d("2024-01-26"))
+    assert(scannedFiles(early).size <= 2)
+    assert(early.select($"k").as[Int].collect().toSet == (0 until 25).toSet)
+    // boundary: equality on a file-edge date keeps exactly its row
+    val edge = spark.read.parquet(dir).filter($"dt" === d("2024-01-26"))
+    assert(scannedFiles(edge).size <= 2)
+    assert(edge.select($"k").as[Int].collect().toSeq == Seq(25))
+    // IN-list of dates prunes to the union of survivor sets
+    val in = spark.read.parquet(dir)
+      .filter($"dt".isin(java.sql.Date.valueOf("2024-01-02"),
+        java.sql.Date.valueOf("2024-07-15")))
+    assert(scannedFiles(in).size <= 2)
+    assert(in.select($"k").as[Int].collect().toSet == Set(1, 196))
+    // a range with no matching zone scans nothing yet returns 0 rows
+    assert(spark.read.parquet(dir).filter($"dt" > d("2025-01-01")).count() == 0)
+  }
+
   test("a coercion-cast equality never probes the bloom index") {
     // string-typed keys that LOOK numeric: `key = 123` coerces to
     // CAST(key AS DOUBLE) = 123.0, so a bloom probe would hash "123.0"
