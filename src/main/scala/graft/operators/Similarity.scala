@@ -1083,8 +1083,14 @@ object Similarity {
     * vectors get scale 0 / all-zero codes. Riders persisting is what
     * lets [[ivfSq8StoreBuild]] carry the cell assignment through. */
   def sq8Encode(emb: DataFrame, idCol: String, embCol: String): DataFrame = {
+    // "vec" is this encoder's output slot: a pre-existing rider by
+    // that name would be silently clobbered, and when embCol itself is
+    // "vec" the final drop would remove the just-computed column
+    require(embCol == "vec" || !emb.columns.contains("vec"),
+      s"sq8Encode: rider column 'vec' would be clobbered by the encoder " +
+        "output — rename it first")
     val e = col(embCol).cast("array<double>")
-    emb.withColumn("vec", e)
+    val enc = emb.withColumn("vec", e)
       .withColumn("sq_scale",
         array_max(transform(col("vec"), x => abs(x))) / 127.0)
       .withColumn("sq_codes",
@@ -1092,7 +1098,7 @@ object Similarity {
           transform(col("vec"),
             x => floor(x / col("sq_scale") + 0.5).cast("int")))
           .otherwise(transform(col("vec"), _ => lit(0))))
-      .drop(embCol)
+    if (embCol == "vec") enc else enc.drop(embCol)
   }
 
   /** Per-vector quantization quality: (id, sq_scale, rmse) — the

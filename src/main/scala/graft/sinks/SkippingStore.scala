@@ -244,14 +244,19 @@ object SkippingStore {
       if (!pathExists(spark, s"$dir/_bloommap")) None
       else {
         val bm = bloomMap(spark, dir)
-        if (!bm.columns.contains("keycol")) None // legacy: cannot rebuild faithfully
-        else {
-          val g = bm.select(col("keycol"), col("nbits"), col("k"))
-            .distinct().collect()
-          if (g.length == 1) Some((g.head.getString(0), g.head.getInt(1),
-            g.head.getInt(2)))
-          else None
-        }
+        // a legacy (pre-keycol) or mixed-geometry bloom cannot be
+        // rebuilt faithfully — refuse rather than silently swap in a
+        // DE-indexed store whose readBloomEq/bloomAppend callers then
+        // fail on a store that was bloom-indexed before compaction
+        require(bm.columns.contains("keycol"),
+          s"compactIndexed($dir): the _bloommap predates the keycol " +
+            "marker — rebuild it with bloomIndex before compacting")
+        val g = bm.select(col("keycol"), col("nbits"), col("k"))
+          .distinct().collect()
+        require(g.length == 1,
+          s"compactIndexed($dir): mixed bloom geometries — rebuild with " +
+            "bloomIndex before compacting")
+        Some((g.head.getString(0), g.head.getInt(1), g.head.getInt(2)))
       }
     def parquetFiles(d: String): Int = listDataFileNames(spark, d).length
     val before = parquetFiles(dir)
@@ -846,6 +851,15 @@ object SkippingStore {
       require(geom.nonEmpty, s"$dir/_bloommap is empty — rebuild with bloomIndex")
       require(geom.length == 1,
         s"$dir/_bloommap mixes filter geometries — rebuild with bloomIndex")
+      // the sidecar must index THIS column: probing a filter built on a
+      // different key would silently prune wrong files and drop rows
+      // (the same check bloomAppend and bloomFileNames perform)
+      if (bm.columns.contains("keycol")) {
+        val kc = bm.select(col("keycol")).distinct().collect()
+        require(kc.length == 1 && kc.head.getString(0) == keyCol,
+          s"$dir/_bloommap indexes '${kc.map(_.getString(0)).mkString(",")}', " +
+            s"not '$keyCol' — rebuild with bloomIndex on the probe column")
+      }
       val nbits = geom.head.getInt(0)
       val k = geom.head.getInt(1)
       val mapped = bm.select(col("file")).collect().map(_.getString(0)).toSet

@@ -95,9 +95,26 @@ object VersionedStore {
           s"version ${prior.last}'s ${live.simpleString} — commit with " +
           "overwrite to evolve the schema")
     }
-    val before = dataFileNames(spark, dir)
-    df.repartition(nFiles).write.mode("append").parquet(dir)
-    val added = dataFileNames(spark, dir) -- before
+    // stage under a commit-private directory and move EXACTLY those
+    // files in: a shared-directory diff (list-write-list) would absorb
+    // any file a concurrent committer lands between the two listings
+    // into THIS commit's manifest — its rows would then surface twice
+    // once the loser retries. Part-file names carry write-job UUIDs,
+    // so the moves can't collide; a crash before the manifest rename
+    // leaves only orphaned data files for vacuum, never a torn
+    // snapshot.
+    val staging = s"$dir/$VersionsDir/_staging-${java.util.UUID.randomUUID()}"
+    df.repartition(nFiles).write.mode("overwrite").parquet(staging)
+    val f0 = fs(spark, dir)
+    val added = f0.listStatus(new Path(staging)).filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .toSet
+    added.foreach { n =>
+      require(f0.rename(new Path(s"$staging/$n"), new Path(s"$dir/$n")),
+        s"commit staging move of $n failed — retry the commit")
+    }
+    f0.delete(new Path(staging), true)
     val snapshot = (base ++ added).toSeq.sorted
     val v = prior.lastOption.getOrElse(0L) + 1
     val tmp = s"$dir/$VersionsDir/_tmp-${java.util.UUID.randomUUID()}"

@@ -28,6 +28,25 @@ class QuantQuotaSpec extends SparkSpec {
     assert(enc.forall(_._3.forall(c => c >= -127 && c <= 127)))
   }
 
+  test("sq8Encode: an embedding column literally named 'vec' encodes; rider 'vec' refuses") {
+    import org.apache.spark.sql.functions.col
+    // embCol == "vec": the output slot IS the input — drop must not fire
+    val named = embFrame(0L -> Seq(1.0f, -0.5f), 1L -> Seq(0.5f, 0.5f))
+      .withColumnRenamed("embedding", "vec")
+    val enc = Similarity.sq8Encode(named, "vec_id", "vec")
+    assert(enc.columns.contains("vec") && enc.columns.contains("sq_codes"))
+    assert(enc.select(col("sq_codes")).as[Seq[Int]].collect()
+      .forall(_.nonEmpty))
+    // a RIDER named "vec" beside a differently-named embedding would be
+    // silently clobbered — refuse loudly instead
+    val rider = embFrame(0L -> Seq(1.0f, -0.5f))
+      .withColumn("vec", col("vec_id").cast("string"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.sq8Encode(rider, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("clobbered"))
+  }
+
   test("sq8Error: rmse bounded by half an SQ8 step (the scheme's max per-dim error)") {
     val emb = embFrame(
       0L -> Seq(0.9f, -0.3f, 0.111f, 0.777f),

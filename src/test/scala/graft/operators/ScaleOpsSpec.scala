@@ -585,6 +585,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("out of sync"))
   }
 
+  test("readBloomIn refuses a bloom built on a different key column") {
+    import graft.sinks.SkippingStore
+    val dir = java.nio.file.Files.createTempDirectory("bloomwrongcol").toString + "/s"
+    Seq((1, "a", "x1"), (2, "b", "x2")).toDF("k", "key", "other")
+      .write.parquet(dir)
+    SkippingStore.bloomIndex(spark, dir, "other")
+    // probing 'key' against a filter that indexed 'other' would prune
+    // wrong files and silently drop join rows — must refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      SkippingStore.readBloomIn(spark, dir, "key", Seq("a"))
+    }
+    assert(e.getMessage.contains("indexes"))
+    // probing the indexed column works
+    val (_, _, got) = SkippingStore.readBloomIn(spark, dir, "other", Seq("x2"))
+    assert(got.select($"k").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("compactIndexed refuses a legacy (pre-keycol) bloom instead of de-indexing") {
+    import graft.sinks.SkippingStore
+    val dir = java.nio.file.Files.createTempDirectory("legacycompact").toString + "/s"
+    val df = Seq.tabulate(40)(i => (i, s"h$i")).toDF("k", "key")
+    SkippingStore.writeMulti(df, "k", Seq("k"), dir, 4)
+    SkippingStore.bloomIndex(spark, dir, "key")
+    // simulate a legacy sidecar: strip the keycol marker in place
+    val legacy = spark.read.parquet(s"$dir/_bloommap").drop("keycol")
+      .localCheckpoint()
+    legacy.write.mode("overwrite").parquet(s"$dir/_bloommap")
+    val e = intercept[IllegalArgumentException] {
+      SkippingStore.compactIndexed(spark, dir, "k")
+    }
+    assert(e.getMessage.contains("keycol"))
+    // the store is untouched: still readable, bloom sidecar still there
+    assert(spark.read.parquet(dir).count() == 40)
+  }
+
   test("gzip FASTA write produces compressed part files (K8)") {
     val out = java.nio.file.Files.createTempDirectory("fagz").toString + "/fa"
     graft.sources.Fasta.write(Seq(("s1", "ACGT")).toDF("id", "seq"), "id", "seq",

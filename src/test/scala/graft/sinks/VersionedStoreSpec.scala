@@ -128,6 +128,22 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.read(spark, sdir, 1).count() == 1)
   }
 
+  test("a commit records only its own staged files, not concurrent arrivals") {
+    val dir = store("vconc")
+    VersionedStore.commit(Seq(1, 2).toDF("n"), dir, 1)
+    // a concurrent writer's file lands in the shared directory right
+    // before this commit lists/writes: a directory-diff commit would
+    // absorb it into the manifest and surface its rows twice after the
+    // other committer retries — staged commits must not see it
+    Seq(777).toDF("n").write.mode("append").parquet(dir)
+    val v2 = VersionedStore.commit(Seq(3, 4).toDF("n"), dir, 1)
+    assert(VersionedStore.read(spark, dir, v2).as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3, 4), "the foreign file must not join the snapshot")
+    // the foreign file is an orphan: vacuum reclaims it
+    val (_, orphans) = VersionedStore.vacuum(spark, dir, keepLast = 2)
+    assert(orphans == 1, "the concurrent arrival is swept as an orphan")
+  }
+
   test("a stray temp manifest is not a committed version; empty store refuses") {
     val dir = store("vtmp")
     val e = intercept[IllegalArgumentException] {
