@@ -139,11 +139,53 @@ case class JoinEliminationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** A version-pinned [[graft.sinks.VersionedStore]] read: the relation
+    * roots are an explicit `part-*.parquet` FILE LIST sharing one
+    * parent directory that carries a `_versions/` commit log. Resolves
+    * to (store dir, column, the exact file names read) so a constraint
+    * stamped with a snapshot manifest can match against precisely the
+    * files this plan reads — the immutability argument that lets
+    * elimination fire on time travel. */
+  private def pinnedStoreColumn(attr: Attribute, plan: LogicalPlan)
+      : Option[(String, String, Set[String])] = {
+    def resolve(a: Attribute, p: LogicalPlan): Option[(LogicalRelation, String)] =
+      p match {
+        case l: LogicalRelation =>
+          l.output.find(_.exprId == a.exprId).map(c => (l, c.name))
+        case Project(projList, child) =>
+          projList.find(_.exprId == a.exprId) match {
+            case Some(x: AttributeReference) => resolve(x, child)
+            case Some(Alias(x: AttributeReference, _)) => resolve(x, child)
+            case _ => None
+          }
+        case _ => None
+      }
+    resolve(attr, plan).flatMap { case (l, colName) =>
+      l.relation match {
+        case rel: HadoopFsRelation if rel.partitionSchema.isEmpty =>
+          val roots = rel.location.rootPaths
+          val parents = roots.map(_.getParent).distinct
+          if (roots.nonEmpty && roots.forall(_.getName.endsWith(".parquet")) &&
+              parents.length == 1 &&
+              graft.sinks.VersionedStore.isVersioned(spark, parents.head.toString))
+            Some((parents.head.toString, colName,
+              roots.map(_.getName).toSet))
+          else None
+        case _ => None
+      }
+    }
+  }
+
   /** The store dir when `rk` resolves to a relation column carrying a
-    * currently-valid unique declaration. */
+    * currently-valid unique declaration — directory reads check the
+    * live file set, version-pinned reads check the exact files read. */
   private def uniqueStoreDir(rk: Attribute, plan: LogicalPlan): Option[String] =
     storeColumn(rk, plan).flatMap { case (dir, colName) =>
       if (graft.sinks.Constraints.verifiedUnique(spark, dir, colName)) Some(dir)
       else None
-    }
+    }.orElse(pinnedStoreColumn(rk, plan).flatMap { case (dir, colName, files) =>
+      if (graft.sinks.Constraints.verifiedUniqueFor(spark, dir, colName, files))
+        Some(dir)
+      else None
+    })
 }

@@ -21,11 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object Constraints {
 
-  /** Verify `keyCol` is unique (among non-null values) in the parquet
-    * dir and persist the declaration stamped with the current file
-    * set. Throws on duplicates; overwrites any previous declaration. */
-  def declareUnique(spark: SparkSession, dir: String, keyCol: String): Unit = {
-    val df = spark.read.parquet(dir)
+  /** Verify `keyCol` is unique (among non-null values) and persist the
+    * declaration stamped with the store's file identity. Throws on
+    * duplicates; overwrites any previous declaration for the column.
+    *
+    * On a PLAIN store the stamp is the current `part-*.parquet` set,
+    * so any append/compact/overwrite self-invalidates. On a
+    * [[VersionedStore]] (a `_versions/` commit log exists) the
+    * verification runs over a PINNED snapshot (`version`, latest when
+    * -1) and the stamp is that version's manifest file set — snapshots
+    * are immutable, so the declaration stays valid for pinned reads of
+    * that version FOREVER, across any number of later commits, while a
+    * read of any other version (different file set) refuses. That is
+    * what lets join/DISTINCT elimination fire on time-travel reads. */
+  def declareUnique(spark: SparkSession, dir: String, keyCol: String,
+                    version: Long = -1L): Unit = {
+    val versioned = VersionedStore.isVersioned(spark, dir)
+    require(versioned || version < 0,
+      s"declareUnique($dir, $keyCol): version pinning needs a versioned store")
+    val (df, stampFiles) =
+      if (versioned) {
+        val v = if (version < 0) VersionedStore.versions(spark, dir).last
+                else version
+        (VersionedStore.read(spark, dir, v),
+          VersionedStore.snapshotFiles(spark, dir, v))
+      } else (spark.read.parquet(dir), dataFileNames(spark, dir))
     val dup = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).count()
@@ -37,7 +57,7 @@ object Constraints {
     val nnulls = df.filter(col(keyCol).isNull).count()
     import spark.implicits._
     writeSidecar(spark, dir, keyCol,
-      dataFileNames(spark, dir).toSeq.sorted
+      stampFiles.toSeq.sorted
         .map(f => ("unique", keyCol, f, nnulls))
         .toDF("constraint", "col", "file", "nnulls"))
   }
@@ -73,14 +93,23 @@ object Constraints {
     * only when the sidecar exists, carries the column, and its stamped
     * file set exactly matches the store's data files (any drift —
     * appends, compaction, overwrite — reads as "not declared"). */
-  def verifiedUnique(spark: SparkSession, dir: String, keyCol: String): Boolean = {
+  def verifiedUnique(spark: SparkSession, dir: String, keyCol: String): Boolean =
+    verifiedUniqueFor(spark, dir, keyCol, dataFileNames(spark, dir))
+
+  /** [[verifiedUnique]] against an EXPLICIT file set — the pinned-read
+    * form: a version-pinned [[VersionedStore]] read is an explicit
+    * file list, and its constraint is valid exactly when the stamped
+    * set equals the files actually being read (the snapshot's
+    * manifest). Any other version's file set differs and refuses. */
+  def verifiedUniqueFor(spark: SparkSession, dir: String, keyCol: String,
+                        files: Set[String]): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_constraints")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return false
     val stamped = spark.read.parquet(s"$dir/_constraints")
       .filter(col("constraint") === "unique" && col("col") === keyCol)
       .select(col("file")).collect().map(_.getString(0)).toSet
-    stamped.nonEmpty && stamped == dataFileNames(spark, dir)
+    stamped.nonEmpty && stamped == files
   }
 
   /** Extend a unique declaration after an append instead of paying the
@@ -100,6 +129,12 @@ object Constraints {
     val scPath = new org.apache.hadoop.fs.Path(s"$dir/_constraints")
     val fs = scPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(scPath), s"extendUnique($dir, $keyCol): no declaration")
+    // versioned stores stamp a snapshot manifest, not the raw dir: the
+    // "new files" diff below would read OTHER versions' files — declare
+    // on the new pinned version instead
+    require(!VersionedStore.isVersioned(spark, dir),
+      s"extendUnique($dir, $keyCol): versioned store — re-declare on the " +
+        "new version (declareUnique with the version pin)")
     val sc = spark.read.parquet(s"$dir/_constraints")
       .filter(col("constraint") === "unique" && col("col") === keyCol)
     require(sc.columns.contains("nnulls"),

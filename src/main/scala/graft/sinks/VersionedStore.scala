@@ -72,6 +72,19 @@ object VersionedStore {
     spark.read.parquet(manifestPath(dir, v))
       .select(col("file")).collect().map(_.getString(0)).toSet
 
+  /** The data-file names a committed version's manifest records —
+    * the immutable identity of the snapshot ([[graft.sinks.Constraints]]
+    * stamps it for version-pinned constraint declarations). */
+  def snapshotFiles(spark: SparkSession, dir: String, version: Long): Set[String] = {
+    require(versions(spark, dir).contains(version),
+      s"version $version does not exist in $dir")
+    manifestFiles(spark, dir, version)
+  }
+
+  /** Does `dir` carry a VersionedStore commit log? */
+  def isVersioned(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(s"$dir/$VersionsDir"))
+
   /** Commit `df` as a new version: `overwrite = false` appends to the
     * latest snapshot's file set, `true` replaces it (old versions stay
     * readable). Returns the new version number. The data write lands

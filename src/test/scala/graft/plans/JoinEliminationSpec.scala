@@ -216,6 +216,38 @@ class JoinEliminationSpec extends SparkSpec {
     assert(ex3.getMessage.contains("null keys"))
   }
 
+  test("a constraint declared on a pinned version survives later commits") {
+    import graft.sinks.VersionedStore
+    val dir = java.nio.file.Files.createTempDirectory("vconstraint").toString + "/d"
+    VersionedStore.commit(Seq((1L, "a")).toDF("k", "label"), dir, 1)
+    val v2 = VersionedStore.commit(Seq((2L, "b"), (3L, "c")).toDF("k", "label"), dir, 1)
+    Constraints.declareUnique(spark, dir, "k", version = v2)
+    val fact = Seq((1L, 10), (2L, 20), (9L, 30)).toDF("fk", "v")
+    def agg(d: DataFrame) =
+      fact.join(d, fact("fk") === d("k"), "left_outer")
+        .groupBy($"fk").agg(sum($"v").as("s")).orderBy($"fk")
+    // pinned v2 read: elimination fires
+    val q2 = agg(VersionedStore.read(spark, dir, v2))
+    assert(!plansJoin(q2), "snapshot-stamped constraint must eliminate on v2")
+    assert(q2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (9L, 30L)))
+    // a LATER commit (even one that breaks uniqueness going forward)
+    // does not invalidate the immutable v2 snapshot's constraint
+    val v3 = VersionedStore.commit(Seq((2L, "dup")).toDF("k", "label"), dir, 1)
+    assert(!plansJoin(agg(VersionedStore.read(spark, dir, v2))),
+      "v2 is immutable — its constraint outlives v3")
+    // v3's file set differs from the stamp: refuses, join survives
+    val q3 = agg(VersionedStore.read(spark, dir, v3))
+    assert(plansJoin(q3), "v3 read must not borrow v2's constraint")
+    // k=2 fans out through v3's duplicate — proof elimination would be wrong
+    assert(q3.filter($"fk" === 2L).select($"s").as[Long].head() == 40L)
+    // extendUnique on a versioned store refuses (snapshot discipline)
+    val ex = intercept[IllegalArgumentException] {
+      Constraints.extendUnique(spark, dir, "k")
+    }
+    assert(ex.getMessage.contains("versioned store"))
+  }
+
   test("kill-switch keeps the join") {
     val (dir, fact, _) = stores
     val dim = spark.read.parquet(dir)
