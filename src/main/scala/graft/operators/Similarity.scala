@@ -397,12 +397,21 @@ object Similarity {
     * runs through the bounded [[graft.functions.TopK]] aggregator, so
     * no per-query candidate list ever materializes unbounded.
     *
-    * Direction note: the QUERY side broadcasts (retrieval: bounded
-    * query set, unbounded corpus); `nprobe = numCells` reproduces the
-    * exact [[knnJoin]] answer over the store. Per query-id, results
-    * are bit-identical to [[ivfStoreTopK]] with `excludeId` (same
-    * rounding, same (sim desc, id) tiebreak) — the property the q216
-    * oracle pins. */
+    * Direction note: the query side carries NO forced hint — the
+    * frame is localCheckpointed, so the planner sees its real size
+    * and broadcasts a bounded retrieval set while a corpus-sized
+    * sweep (the query frame IS the corpus, the q218 shape) falls
+    * back to a shuffle join on `cell`. Both directions of the join
+    * are therefore safe at 100 TB: a forced `broadcast(qcells)`
+    * here would OOM exactly the bulk shapes the operator exists for
+    * (the r6 knnClassify lesson, re-caught by BroadcastAuditSpec in
+    * r8). `nprobe = numCells` reproduces the exact [[knnJoin]]
+    * answer over the store. Per query-id, results are bit-identical
+    * to [[ivfStoreTopK]] with `excludeId` (same rounding, same
+    * (sim desc, id) tiebreak) — the property the q216 oracle pins.
+    * Skew note: `cell` has at most numCells distinct values, so the
+    * shuffle fan-out is list-count-bounded; AQE's skew-join split
+    * re-balances a hot cell's partitions at runtime. */
   def knnJoinIvfStore(spark: org.apache.spark.sql.SparkSession,
                       storeDir: String, queries: DataFrame,
                       idCol: String, embCol: String, k: Int,
@@ -423,7 +432,7 @@ object Similarity {
     val store = spark.read.parquet(storeDir)
       .filter(col("cell").isin(cells: _*))
     val scored = store
-      .join(broadcast(qcells), Seq("cell"))
+      .join(qcells, Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).cast("long").as("cand_id"),
         round(graft.functions.VectorFunctions.cosine_sim(col(embCol), col("qv")), 6)

@@ -1277,15 +1277,20 @@ object Relational {
           .as("residues"))
     val out = sys.props("java.io.tmpdir") + "/graft_q120_fa"
     graft.sources.Fasta.write(recs, "id", "residues", out, gzip = true)
-    val parts = Option(new java.io.File(out).listFiles()).getOrElse(Array())
-      .filter(f => f.getName.startsWith("part-") && f.length > 0)
-    require(parts.nonEmpty && parts.forall(_.getName.endsWith(".gz")),
+    // part listing + magic-byte probe through the Hadoop FileSystem so
+    // the assert works on qualified (file:/hdfs:) roots like the engine
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
+        st.getLen > 0)
+    require(parts.nonEmpty && parts.forall(_.getPath.getName.endsWith(".gz")),
       s"K8 gzip sink must emit .gz part files under $out")
-    require(parts.forall { f =>
-      val in = new java.io.FileInputStream(f)
+    require(parts.forall { st =>
+      val in = fs.open(st.getPath)
       try {
         val m = new Array[Byte](2)
-        in.read(m) == 2 && m(0) == 0x1f.toByte && m(1) == 0x8b.toByte
+        in.readFully(0L, m)
+        m(0) == 0x1f.toByte && m(1) == 0x8b.toByte
       } finally in.close()
     }, "every part file must start with the gzip magic bytes")
     graft.sources.Fasta.read(s, out)

@@ -99,6 +99,31 @@ class SimilaritySpec extends SparkSpec {
       "fixture must leave at least one unprobed cell for the prune to bite")
   }
 
+  test("knnJoinIvfStore corpus sweep at full probe == exact knnJoin; no forced hint") {
+    // the q218 shape: the query frame IS the corpus. This only scales
+    // because the operator plans NO forced broadcast of the query side
+    // (the r8 BroadcastAuditSpec finding) — the planner shuffles on
+    // `cell` when the localCheckpoint's stats say the frame is big.
+    val dir = java.nio.file.Files.createTempDirectory("knnsweep").toString + "/s"
+    val index = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
+    Similarity.ivfStoreBuild(emb, "vec_id", "embedding", index, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"vec_id", $"sim")
+        .as[(Long, Long, Double)].collect().toSet
+    val sweep = Similarity.knnJoinIvfStore(spark, dir, emb,
+      "vec_id", "embedding", k = 5, index = index, nprobe = 4)
+    val exact = rows(Similarity.knnJoin(emb, emb, "vec_id", "embedding", 5))
+    assert(rows(sweep) == exact,
+      "probing every cell must reproduce the exact all-pairs kNN join")
+    val hints = sweep.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+        if h.hints.strategy.nonEmpty => h
+    }
+    assert(hints.isEmpty,
+      "the batched serve must not force a join strategy — AQE decides " +
+        "from the checkpointed query frame's real statistics")
+  }
+
   test("IvfIndex round-trips through parquet; loaded index answers identically") {
     val index = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
     val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
