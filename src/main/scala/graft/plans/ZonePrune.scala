@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast,
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
-import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, StringType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Transparent sidecar-driven file pruning as a Catalyst optimizer
@@ -21,8 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * whose root directory carries a `_zonemap_multi` and/or `_bloommap`
   * sidecar has its conjunctive predicates evaluated against the
   * sidecars driver-side; the relation's file index is replaced by an
-  * [[InMemoryFileIndex]] over the surviving files only. Three
-  * predicate families prune:
+  * [[InMemoryFileIndex]] over the surviving files only. The
+  * `_zonemap_multi` sidecar is loaded ONCE per relation per optimizer
+  * pass ([[graft.sinks.SkippingStore.loadMultiSidecar]]) and every
+  * predicate evaluates against the in-memory stats — the
+  * per-predicate sidecar re-read this replaced cost a driver-side
+  * Spark job per conjunct (the r8 q194 planning-cost regression).
+  * Bloom probes stay distributive (a bitset row is 16 KiB × files —
+  * never collected). Predicate families that prune:
   *  - range comparisons (attr ⋈ literal, either side, with the
   *    numeric-cast shapes type coercion inserts) → zone intersection;
   *  - equality → zone ∩ Bloom (the Bloom side covers hash-scattered
@@ -44,16 +50,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * SkippingStore specs pin down, plus its loud stale-index coverage
   * check.
   *
+  * Datetime discipline (the silent-wrong-prune minefield):
+  *  - A bare DATE column prunes against DATE literals translated
+  *    days→session-tz-midnight micros (the exact widening the writer
+  *    recorded) — but ONLY when the sidecar's stamped writer time
+  *    zone equals the read session's: the widening is zone-dependent,
+  *    and a zone delta would shift every boundary file into the void.
+  *    Unstamped (pre-tz) or mixed-zone sidecars never date-prune.
+  *  - `CAST(tsCol AS DATE) ⋈ DATE'd'` compares whole DAYS of a raw
+  *    timestamp column, so the literal widens to the day's closed
+  *    micros interval [midnight(d), midnight(d+1)-1] — a point
+  *    translation would prune files whose timestamps sit INSIDE the
+  *    literal's day. The boundaries use the READ session's zone,
+  *    which is exactly what the runtime cast uses, and the stored
+  *    timestamp stats are zone-independent — no stamp needed.
+  *  - TIMESTAMP literals carry micros and prune timestamp columns
+  *    directly (zone-independent both sides).
+  *  - TIMESTAMP_NTZ columns never prune transparently: their stats
+  *    were shifted by the writer's zone while the column's own values
+  *    are wall-clock — the comparison is unsound even same-zone
+  *    unless that zone is UTC, so the rule opts out entirely.
+  *  - Neither dates nor timestamps ever Bloom-probe — the cast would
+  *    reread the micros as seconds.
+  *
   * Idempotent under Catalyst's fixed-point batches: once pruned, the
   * recomputed survivor set equals the relation's current file list and
   * the plan returns unchanged. Defensive by construction: any
   * analysis failure (stale sidecar, foreign layout, unexpected plan
   * shape) falls back to the unpruned plan — the rule may only ever
-  * make a query faster, never break it. DATE literals translate
-  * days→session-tz-midnight micros (the exact widening the sidecar
-  * writer recorded) and prune zones; timestamp literals carry micros
-  * and prune zones too. Neither ever Bloom-probes — the cast would
-  * reread the micros as seconds.
+  * make a query faster, never break it.
   */
 case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -69,10 +94,18 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Per-value survivor computation runs driver-side sidecar jobs —
-    * bound the IN-list size so planning stays O(small), the same
-    * reasoning as Spark's own optimizer IN thresholds. */
+  /** Per-value survivor computation is driver-side — bound the IN-list
+    * size so planning stays O(small), the same reasoning as Spark's
+    * own optimizer IN thresholds. */
   private val MaxInValues = 32
+
+  /** Everything one optimizer pass needs about a store, resolved ONCE
+    * per relation: the in-memory zone sidecar, whether a bloom sidecar
+    * exists, and whether the writer's stamped time zone matches this
+    * session's (the date-translation soundness gate). */
+  private case class Ctx(dir: String,
+                         sidecar: Option[graft.sinks.SkippingStore.MultiSidecar],
+                         hasBloom: Boolean, tzOk: Boolean)
 
   private sealed trait Pred
   private case class RangeP(col: String, lo: Option[Any], hi: Option[Any]) extends Pred
@@ -82,63 +115,137 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * comparison happens in the coerced domain, but the index hashed
     * the RAW column values — probing it with the literal would prune
     * files that DO satisfy the cast-equality ("123" = 123.0). Zones
-    * stay safe either way: pruneFileNames type-guards the slot. */
+    * stay safe either way: the survivor lookup type-guards the slot. */
   private case class EqP(col: String, value: Any, bare: Boolean) extends Pred
   private case class InP(col: String, values: Seq[Any], bare: Boolean) extends Pred
   private case class NullP(col: String, wantNull: Boolean) extends Pred
 
-  private def attrName(e: Expression): Option[String] = e match {
-    case a: AttributeReference => Some(a.name)
-    case Cast(a: AttributeReference, _, _, _) => Some(a.name)
-    case _ => None
-  }
+  /** The underlying attribute of a (possibly coercion-cast) comparison
+    * side, plus whether it appeared bare. */
+  private def aside(e: Expression): Option[(AttributeReference, Boolean)] =
+    e match {
+      case a: AttributeReference => Some((a, true))
+      case Cast(a: AttributeReference, _, _, _) => Some((a, false))
+      case _ => None
+    }
 
-  private def isBareAttr(e: Expression): Boolean =
-    e.isInstanceOf[AttributeReference]
+  private def attrName(e: Expression): Option[String] = aside(e).map(_._1.name)
 
-  /** A DATE literal's internal Int-days encoding, translated to the
-    * epoch micros the sidecar recorded — the writer widens date
-    * columns as `unix_micros(cast(c AS TIMESTAMP))`, i.e. session-tz
-    * midnight, so the literal must cross the SAME days→micros boundary
-    * (`DateTimeUtils.daysToMicros` is exactly what Cast uses). All
-    * widened date values are midnights, so range/equality tests on the
-    * translated literal are exact, never lossy. */
+  /** A DATE literal's internal Int-days encoding, translated to epoch
+    * micros at this session's zone (`DateTimeUtils.daysToMicros` is
+    * exactly what Cast uses). For a bare DATE column this reproduces
+    * the sidecar's widening (gated on the writer-zone stamp); for a
+    * `CAST(ts AS DATE)` shape it is the day's lower boundary under the
+    * runtime cast's own semantics. */
   private def dateDaysToMicros(days: Int): Long =
     org.apache.spark.sql.catalyst.util.DateTimeUtils.daysToMicros(days,
       org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
         spark.sessionState.conf.sessionLocalTimeZone))
 
-  private def litVal(e: Expression): Option[Any] = e match {
-    case Literal(v, DateType) =>
-      Option(v).map(d => java.lang.Long.valueOf(
-        dateDaysToMicros(d.asInstanceOf[Int])))
-    case Literal(v, StringType) => Option(v).map(_.toString)
-    case Literal(v, TimestampType) => Option(v) // micros Long
-    case Literal(v, TimestampNTZType) => Option(v)
-    case Literal(v, _) => Option(v)
-    case _ => None
+  /** Point-exact literal translation for a comparison against a column
+    * whose UNDERLYING type is `under` (casts stripped) — None where no
+    * sound point translation exists (then nothing is emitted and the
+    * shape simply doesn't prune). The `CAST(ts AS DATE)` day-interval
+    * widening is handled by [[cmp]] before this is consulted. */
+  private def simpleVal(under: DataType, v: Any, vt: DataType,
+                        tzOk: Boolean): Option[Any] =
+    if (v == null) None
+    else (under, vt) match {
+      // bare-ish DATE column: stored stats are writer-zone midnights;
+      // the translated literal is a read-zone midnight — sound only
+      // when the stamp proves the zones equal
+      case (DateType, DateType) if tzOk =>
+        Some(java.lang.Long.valueOf(dateDaysToMicros(v.asInstanceOf[Int])))
+      // CAST(date AS TIMESTAMP) ⋈ ts-literal: runtime cast values ARE
+      // the stored stats when zones match; literal micros compare raw
+      case (DateType, TimestampType) if tzOk => Some(v)
+      case (TimestampType, TimestampType) => Some(v) // micros, zone-free
+      // every other datetime-involved combination is unsound (NTZ
+      // wall-clock vs shifted stats; seconds-vs-micros long casts;
+      // string-domain casts of datetimes) — emit nothing
+      case (DateType, _) | (TimestampType, _) | (TimestampNTZType, _) => None
+      case (_, DateType) | (_, TimestampType) | (_, TimestampNTZType) => None
+      case (_, StringType) => Some(v.toString)
+      case _ => Some(v)
+    }
+
+  private sealed trait Op
+  private case object OpEq extends Op
+  private case object OpGe extends Op
+  private case object OpGt extends Op
+  private case object OpLe extends Op
+  private case object OpLt extends Op
+
+  /** Predicates for `attrExpr OP literalExpr` (attr-side orientation —
+    * flipped comparisons are normalized by the caller). */
+  private def cmp(aE: Expression, vE: Expression, op: Op,
+                  tzOk: Boolean): Seq[Pred] = {
+    val (attr, bare) = aside(aE) match {
+      case Some(s) => s
+      case None => return Seq.empty
+    }
+    val (raw, vt) = vE match {
+      case Literal(x, t) => (x, t)
+      case _ => return Seq.empty
+    }
+    if (raw == null) return Seq.empty
+    (attr.dataType, vt) match {
+      case (TimestampType, DateType) =>
+        // CAST(ts AS DATE) ⋈ DATE'd': the predicate constrains whole
+        // DAYS of the raw micros column — widen to the day interval
+        // [midnight(d), midnight(d+1)-1] at the READ zone (what the
+        // runtime cast uses; stored ts stats are zone-independent)
+        val d = raw.asInstanceOf[Int]
+        def m(x: Int): Long = dateDaysToMicros(x)
+        val preds = op match {
+          case OpEq => RangeP(attr.name, Some(m(d)), Some(m(d + 1) - 1L))
+          case OpGe => RangeP(attr.name, Some(m(d)), None)
+          case OpGt => RangeP(attr.name, Some(m(d + 1)), None)
+          case OpLe => RangeP(attr.name, None, Some(m(d + 1) - 1L))
+          case OpLt => RangeP(attr.name, None, Some(m(d) - 1L))
+        }
+        Seq(preds)
+      case _ =>
+        simpleVal(attr.dataType, raw, vt, tzOk) match {
+          case None => Seq.empty
+          case Some(v) => op match {
+            case OpEq => Seq(EqP(attr.name, v, bare))
+            // the zone test is inclusive, so strict bounds reuse the
+            // non-strict survivor set (at most one marginal extra file)
+            case OpGe | OpGt => Seq(RangeP(attr.name, Some(v), None))
+            case OpLe | OpLt => Seq(RangeP(attr.name, None, Some(v)))
+          }
+        }
+    }
   }
 
-  /** The files that might satisfy `cond`, evaluated over the boolean
-    * structure: AND intersects (a side the sidecars can't judge is
-    * simply neutral), OR unions (BOTH sides must be judgeable — one
-    * opaque disjunct could match anywhere). None = cannot prune. */
-  private def fileSet(dir: String, cond: Expression,
-                      skipNotNull: Set[String]): Option[Set[String]] =
-    cond match {
-      case And(a, b) =>
-        (fileSet(dir, a, skipNotNull), fileSet(dir, b, skipNotNull)) match {
-          case (Some(x), Some(y)) => Some(x intersect y)
-          case (x, y) => x.orElse(y)
-        }
-      case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
-        for (x <- fileSet(dir, a, skipNotNull);
-             y <- fileSet(dir, b, skipNotNull)) yield x union y
-      case leaf =>
-        val ps = preds(leaf)
-        val sets = ps.flatMap(p => survivors(dir, p, skipNotNull))
-        if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  /** IN-list predicates. On a `CAST(ts AS DATE)` attribute the
+    * per-value point sets are unsound (same widening argument as
+    * equality), so the list collapses to its contiguous day-interval
+    * HULL — a correct over-approximation. */
+  private def inPred(aE: Expression, vals: Seq[(Any, DataType)],
+                     tzOk: Boolean): Seq[Pred] = {
+    val (attr, bare) = aside(aE) match {
+      case Some(s) => s
+      case None => return Seq.empty
     }
+    if (vals.exists(_._1 == null)) return Seq.empty
+    (attr.dataType, aE.dataType) match {
+      case (TimestampType, DateType) =>
+        val ds = vals.map(_._1).collect { case i: java.lang.Integer => i.intValue }
+        if (ds.size != vals.size) Seq.empty
+        else Seq(RangeP(attr.name,
+          Some(dateDaysToMicros(ds.min)),
+          Some(dateDaysToMicros(ds.max + 1) - 1L)))
+      case _ =>
+        val vs = vals.map { case (v, t) =>
+          simpleVal(attr.dataType,
+            v match { case s: UTF8String => s.toString; case x => x }, t, tzOk)
+        }
+        if (vs.exists(_.isEmpty)) Seq.empty
+        else Seq(InP(attr.name, vs.flatten, bare))
+    }
+  }
 
   /** Columns some comparison/IN/prefix predicate touches anywhere in
     * the condition: their `IS NOT NULL` conjuncts are REDUNDANT for
@@ -148,43 +255,33 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * pure-cost sidecar pass to virtually every store filter (the
     * bench caught +38% on q194). Skipping only loses pruning power on
     * shapes the ranges already covered, never correctness. */
-  private def comparisonCols(cond: Expression): Set[String] = cond match {
-    case And(a, b) => comparisonCols(a) ++ comparisonCols(b)
-    case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
-      comparisonCols(a) ++ comparisonCols(b)
-    case leaf => preds(leaf).collect {
-      case RangeP(c, _, _) => c
-      case EqP(c, _, _) => c
-      case InP(c, _, _) => c
-    }.toSet
-  }
+  private def comparisonCols(cond: Expression, tzOk: Boolean): Set[String] =
+    cond match {
+      case And(a, b) => comparisonCols(a, tzOk) ++ comparisonCols(b, tzOk)
+      case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
+        comparisonCols(a, tzOk) ++ comparisonCols(b, tzOk)
+      case leaf => preds(leaf, tzOk).collect {
+        case RangeP(c, _, _) => c
+        case EqP(c, _, _) => c
+        case InP(c, _, _) => c
+      }.toSet
+    }
 
   /** Conjunctive prunable predicates; survivor sets intersect across
     * them. */
-  private def preds(cond: Expression): Seq[Pred] = cond match {
-    case And(a, b) => preds(a) ++ preds(b)
-    case EqualTo(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
-      Seq(EqP(attrName(a).get, litVal(v).get, isBareAttr(a)))
-    case EqualTo(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
-      Seq(EqP(attrName(a).get, litVal(v).get, isBareAttr(a)))
-    case In(a, list) if attrName(a).isDefined &&
-        list.nonEmpty && list.length <= MaxInValues =>
-      val vals = list.map(litVal)
-      if (vals.forall(_.isDefined))
-        Seq(InP(attrName(a).get, vals.flatten, isBareAttr(a)))
-      else Seq.empty
-    case InSet(a, hset) if attrName(a).isDefined &&
+  private def preds(cond: Expression, tzOk: Boolean): Seq[Pred] = cond match {
+    case And(a, b) => preds(a, tzOk) ++ preds(b, tzOk)
+    case EqualTo(a, v: Literal) if aside(a).isDefined => cmp(a, v, OpEq, tzOk)
+    case EqualTo(v: Literal, a) if aside(a).isDefined => cmp(a, v, OpEq, tzOk)
+    case In(a, list) if aside(a).isDefined &&
+        list.nonEmpty && list.length <= MaxInValues &&
+        list.forall(_.isInstanceOf[Literal]) =>
+      inPred(a, list.map { case Literal(v, t) => (v, t) }, tzOk)
+    case InSet(a, hset) if aside(a).isDefined &&
         hset.nonEmpty && hset.size <= MaxInValues =>
-      val isDate = a.dataType.isInstanceOf[DateType]
-      val vals = hset.toSeq.map {
-        case s: UTF8String => s.toString
-        case d: java.lang.Integer if isDate => // Int-days → epoch micros
-          java.lang.Long.valueOf(dateDaysToMicros(d.intValue()))
-        case v => v
-      }
-      if (vals.forall(_ != null))
-        Seq(InP(attrName(a).get, vals, isBareAttr(a)))
-      else Seq.empty
+      // set elements carry the EXPRESSION's type (the cast target for
+      // a coercion-cast attribute — the InSet hole of ADVICE r8)
+      inPred(a, hset.toSeq.map(v => (v, a.dataType)), tzOk)
     // prefix match as a string range: p <= s < nextPrefix(p), the
     // Delta startsWith translation. The upper bound increments the
     // last char (an all-￿ prefix gets no upper bound); the zone
@@ -210,55 +307,129 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Seq(NullP(a.name, wantNull = true))
     case IsNotNull(a) if attrName(a).isDefined =>
       Seq(NullP(attrName(a).get, wantNull = false))
-    case GreaterThanOrEqual(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
-      Seq(RangeP(attrName(a).get, litVal(v), None))
-    case GreaterThan(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
-      Seq(RangeP(attrName(a).get, litVal(v), None))
-    case LessThanOrEqual(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
-      Seq(RangeP(attrName(a).get, None, litVal(v)))
-    case LessThan(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
-      Seq(RangeP(attrName(a).get, None, litVal(v)))
-    // flipped literal-first forms
-    case GreaterThanOrEqual(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
-      Seq(RangeP(attrName(a).get, None, litVal(v)))
-    case GreaterThan(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
-      Seq(RangeP(attrName(a).get, None, litVal(v)))
-    case LessThanOrEqual(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
-      Seq(RangeP(attrName(a).get, litVal(v), None))
-    case LessThan(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
-      Seq(RangeP(attrName(a).get, litVal(v), None))
+    case GreaterThanOrEqual(a, v: Literal) if aside(a).isDefined =>
+      cmp(a, v, OpGe, tzOk)
+    case GreaterThan(a, v: Literal) if aside(a).isDefined =>
+      cmp(a, v, OpGt, tzOk)
+    case LessThanOrEqual(a, v: Literal) if aside(a).isDefined =>
+      cmp(a, v, OpLe, tzOk)
+    case LessThan(a, v: Literal) if aside(a).isDefined =>
+      cmp(a, v, OpLt, tzOk)
+    // flipped literal-first forms normalize to attr-side orientation
+    case GreaterThanOrEqual(v: Literal, a) if aside(a).isDefined =>
+      cmp(a, v, OpLe, tzOk)
+    case GreaterThan(v: Literal, a) if aside(a).isDefined =>
+      cmp(a, v, OpLt, tzOk)
+    case LessThanOrEqual(v: Literal, a) if aside(a).isDefined =>
+      cmp(a, v, OpGe, tzOk)
+    case LessThan(v: Literal, a) if aside(a).isDefined =>
+      cmp(a, v, OpGt, tzOk)
     case _ => Seq.empty
+  }
+
+  /** The files that might satisfy `cond`, evaluated over the boolean
+    * structure: AND intersects (a side the sidecars can't judge is
+    * simply neutral), OR unions (BOTH sides must be judgeable — one
+    * opaque disjunct could match anywhere). None = cannot prune. */
+  private def fileSet(ctx: Ctx, cond: Expression,
+                      skipNotNull: Set[String]): Option[Set[String]] =
+    cond match {
+      case And(a, b) =>
+        (fileSet(ctx, a, skipNotNull), fileSet(ctx, b, skipNotNull)) match {
+          case (Some(x), Some(y)) => Some(x intersect y)
+          case (x, y) => x.orElse(y)
+        }
+      case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
+        for (x <- fileSet(ctx, a, skipNotNull);
+             y <- fileSet(ctx, b, skipNotNull)) yield x union y
+      case leaf =>
+        val ps = preds(leaf, ctx.tzOk)
+        val sets = ps.flatMap(p => survivors(ctx, p, skipNotNull))
+        if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    }
+
+  /** SQL double comparison over zone stats: `-0.0 == 0.0` (the `+ 0.0`
+    * normalizes the sign) and NaN greatest — exactly Spark's ordering,
+    * so the in-memory test can never disagree with the DataFrame
+    * filter it replaced. */
+  private def cmpD(a: Double, b: Double): Int =
+    java.lang.Double.compare(a + 0.0, b + 0.0)
+
+  private def cmpS(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  /** Zone survivors of `col` over the in-memory sidecar — the same
+    * semantics as the DataFrame-side probe it replaced: per-file
+    * inclusive intersection, all-null files fail every bound, a bound
+    * whose type doesn't match the column's stat slots disables the
+    * prune (None), duplicate per-file stats disable it too. */
+  private def zoneSurvivors(ctx: Ctx, c: String, lo: Option[Any],
+                            hi: Option[Any]): Option[Set[String]] = {
+    val sc = ctx.sidecar.getOrElse(return None)
+    val stats = sc.byCol.getOrElse(c, return None)
+    if (stats.map(_.file).distinct.size != stats.size) return None
+    val isString = stats.exists(_.zminStr.isDefined)
+    if (isString) {
+      if (lo.exists(!_.isInstanceOf[String]) ||
+          hi.exists(!_.isInstanceOf[String])) return None
+      Some(stats.filter(st =>
+          lo.forall(v => st.zmaxStr.exists(x => cmpS(x, v.toString) >= 0)) &&
+            hi.forall(v => st.zminStr.exists(x => cmpS(x, v.toString) <= 0)))
+        .map(_.file).toSet)
+    } else {
+      def num(v: Any): Option[Double] = v match {
+        case n: Number => Some(n.doubleValue)
+        case _ => None
+      }
+      val loD = lo.map(num); val hiD = hi.map(num)
+      if (loD.exists(_.isEmpty) || hiD.exists(_.isEmpty)) return None
+      Some(stats.filter(st =>
+          loD.flatten.forall(v => st.zmax.exists(x => cmpD(x, v) >= 0)) &&
+            hiD.flatten.forall(v => st.zmin.exists(x => cmpD(x, v) <= 0)))
+        .map(_.file).toSet)
+    }
+  }
+
+  /** Null-count survivors (Delta null-count skipping) from the
+    * in-memory sidecar; None when the sidecar predates the stats, the
+    * column is unindexed, or any per-file stat is missing. */
+  private def nullSurvivors(ctx: Ctx, c: String,
+                            wantNull: Boolean): Option[Set[String]] = {
+    val sc = ctx.sidecar.getOrElse(return None)
+    if (!sc.hasNullStats) return None
+    val stats = sc.byCol.getOrElse(c, return None)
+    if (stats.map(_.file).distinct.size != stats.size) return None
+    if (stats.exists(st => st.nrows.isEmpty || st.nnulls.isEmpty)) return None
+    Some(stats.filter(st =>
+        if (wantNull) st.nnulls.get > 0L else st.nnulls.get < st.nrows.get)
+      .map(_.file).toSet)
   }
 
   /** The files that might satisfy `p`, or None when the sidecars can't
     * say. Equality intersects zone and Bloom evidence when both
     * exist; an IN-list can only prune when EVERY value is prunable
     * (one unprunable value could live anywhere). */
-  private def survivors(dir: String, p: Pred,
+  private def survivors(ctx: Ctx, p: Pred,
                         skipNotNull: Set[String]): Option[Set[String]] = p match {
-    case RangeP(c, lo, hi) =>
-      graft.sinks.SkippingStore.pruneFileNames(spark, dir, c, lo, hi).map(_.toSet)
+    case RangeP(c, lo, hi) => zoneSurvivors(ctx, c, lo, hi)
     case EqP(c, v, bare) =>
-      val z = graft.sinks.SkippingStore
-        .pruneFileNames(spark, dir, c, Some(v), Some(v)).map(_.toSet)
+      val z = zoneSurvivors(ctx, c, Some(v), Some(v))
       // cast-wrapped attrs never touch the Bloom index: the index
       // hashed raw column values, the equality lives in the coerced
       // domain — a probe there invents false negatives (see EqP doc)
-      val b = if (bare) graft.sinks.SkippingStore
-        .bloomFileNames(spark, dir, c, v).map(_.toSet) else None
+      val b = if (bare && ctx.hasBloom) graft.sinks.SkippingStore
+        .bloomFileNames(spark, ctx.dir, c, v).map(_.toSet) else None
       (z, b) match {
         case (Some(x), Some(y)) => Some(x intersect y)
         case (x, y) => x.orElse(y)
       }
     case InP(c, vs, bare) =>
-      val sets = vs.map(v => survivors(dir, EqP(c, v, bare), skipNotNull))
+      val sets = vs.map(v => survivors(ctx, EqP(c, v, bare), skipNotNull))
       if (sets.exists(_.isEmpty)) None
       else Some(sets.flatten.foldLeft(Set.empty[String])(_ union _))
     case NullP(c, false) if skipNotNull(c) =>
       None // redundant beside a comparison on the same column
-    case NullP(c, wantNull) =>
-      graft.sinks.SkippingStore
-        .nullFileNames(spark, dir, c, wantNull).map(_.toSet)
+    case NullP(c, wantNull) => nullSurvivors(ctx, c, wantNull)
   }
 
   private def prune(f: Filter, cond: Expression, l: LogicalRelation): LogicalPlan = {
@@ -275,9 +446,19 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (roots.length != 1 || roots.head.getName.endsWith(".parquet")) return f
     val dir = roots.head.toString
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(s"$dir/_zonemap_multi")) &&
-      !fs.exists(new Path(s"$dir/_bloommap"))) return f
-    val surviving = fileSet(dir, cond, comparisonCols(cond)) match {
+    val hasZone = fs.exists(new Path(s"$dir/_zonemap_multi"))
+    val hasBloom = fs.exists(new Path(s"$dir/_bloommap"))
+    if (!hasZone && !hasBloom) return f
+    // ONE sidecar load serves every predicate of this pass; its loud
+    // coverage check throws on drift, which the caller's catch turns
+    // into the unpruned fallback
+    val sidecar =
+      if (hasZone) graft.sinks.SkippingStore.loadMultiSidecar(spark, dir)
+      else None
+    val tzOk = sidecar.exists(sc =>
+      sc.tzs == Set(spark.sessionState.conf.sessionLocalTimeZone))
+    val ctx = Ctx(dir, sidecar, hasBloom, tzOk)
+    val surviving = fileSet(ctx, cond, comparisonCols(cond, tzOk)) match {
       case Some(s) => s
       case None => return f
     }

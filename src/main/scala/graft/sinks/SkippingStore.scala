@@ -129,20 +129,27 @@ object SkippingStore {
     }
   }
 
-  /** One (file, col, zmin, zmax, zmin_str, zmax_str, nrows, nnulls)
-    * row per data file × stats column — numeric/datetime stats in the
-    * double slots, string stats in the lexicographic slots, the other
-    * pair null; `nrows` is the file's exact row count (identical
+  /** One (file, col, zmin, zmax, zmin_str, zmax_str, nrows, nnulls,
+    * tz) row per data file × stats column — numeric/datetime stats in
+    * the double slots, string stats in the lexicographic slots, the
+    * other pair null; `nrows` is the file's exact row count (identical
     * across a file's rows) and `nnulls` the column's null count (the
     * Delta nullCount stat: metadata-only `count(col)` and IS [NOT]
     * NULL file pruning), which makes the sidecar a row-count manifest
     * too —
     * the [[graft.plans.MetadataCountRule]] answers a bare `count(*)`
     * from it without opening a data file, the Delta metadata-only
-    * count. Shared by every multi-sidecar writer (writeMulti,
-    * appendMulti, the Z-order pair) so they can never diverge on
-    * widening rules or counts. */
-  private def multiZoneRows(data: DataFrame, statsCols: Seq[String]): DataFrame =
+    * count. `tz` records the WRITER session's time zone: the datetime
+    * widening (`cast(c AS TIMESTAMP)`) shifts DATE and TIMESTAMP_NTZ
+    * values by the session zone, so a reader in a different zone must
+    * not compare its own translated literals against these stats —
+    * [[graft.plans.ZonePruneRule]] refuses to prune those shapes on a
+    * zone mismatch instead of shifting boundary files into the void.
+    * Shared by every multi-sidecar writer (writeMulti, appendMulti,
+    * the Z-order pair) so they can never diverge on widening rules or
+    * counts. */
+  private def multiZoneRows(data: DataFrame, statsCols: Seq[String]): DataFrame = {
+    val writerTz = data.sparkSession.sessionState.conf.sessionLocalTimeZone
     statsCols.map { c =>
       val by = data.groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
       val nn = sum(when(col(c).isNull, 1L).otherwise(0L)).as("nnulls")
@@ -153,16 +160,18 @@ object SkippingStore {
             .select(col("file"), lit(c).as("col"), col("zmin"), col("zmax"),
               lit(null).cast("string").as("zmin_str"),
               lit(null).cast("string").as("zmax_str"), col("nrows"),
-              col("nnulls"))
+              col("nnulls"), lit(writerTz).as("tz"))
         case None =>
           by.agg(min(col(c)).as("zmin_str"), max(col(c)).as("zmax_str"),
               count(lit(1)).as("nrows"), nn)
             .select(col("file"), lit(c).as("col"),
               lit(null).cast("double").as("zmin"),
               lit(null).cast("double").as("zmax"),
-              col("zmin_str"), col("zmax_str"), col("nrows"), col("nnulls"))
+              col("zmin_str"), col("zmax_str"), col("nrows"), col("nnulls"),
+              lit(writerTz).as("tz"))
       }
     }.reduce(_ unionByName _)
+  }
 
   /** Write `df` range-partitioned/sorted by `sortCol` with per-file
     * (min, max) recorded for every column in `statsCols` — numeric and
@@ -204,9 +213,9 @@ object SkippingStore {
     if (newFiles.nonEmpty) {
       val rows = multiZoneRows(
         spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*), statsCols)
-      // a pre-nrows/-nnulls sidecar keeps its schema (mixed parquet
+      // a pre-nrows/-nnulls/-tz sidecar keeps its schema (mixed parquet
       // footers would make the unmerged sidecar read schema-dependent)
-      Seq("nrows", "nnulls")
+      Seq("nrows", "nnulls", "tz")
         .foldLeft(rows)((r, c) =>
           if (zm.columns.contains(c)) r else r.drop(c))
         .coalesce(1)
@@ -344,6 +353,59 @@ object SkippingStore {
     Some(rows.filter(r =>
         if (wantNull) r.getLong(2) > 0L else r.getLong(2) < r.getLong(1))
       .map(_.getString(0)).toSeq.sorted)
+  }
+
+  /** One data file's recorded stats for one column — the in-memory row
+    * of [[loadMultiSidecar]]. Numeric/datetime stats in the double
+    * slots, string stats in the lexicographic slots; `None` where the
+    * slot family doesn't apply, the column was all-null in the file,
+    * or the sidecar predates the stat. */
+  final case class ZoneStat(file: String,
+                            zmin: Option[Double], zmax: Option[Double],
+                            zminStr: Option[String], zmaxStr: Option[String],
+                            nrows: Option[Long], nnulls: Option[Long])
+
+  /** The whole `_zonemap_multi` sidecar, loaded driver-side in ONE
+    * read: per-column stats, the distinct writer time zones
+    * ([[multiZoneRows]] stamps; empty for pre-tz sidecars), and
+    * whether null stats exist. File-count-sized by construction — the
+    * same driver footprint every lake format's manifest scan pays. */
+  final case class MultiSidecar(byCol: Map[String, Seq[ZoneStat]],
+                                tzs: Set[String], hasNullStats: Boolean)
+
+  /** Load `dir`'s `_zonemap_multi` sidecar into driver memory, with
+    * the standard loud coverage check against the store's actual data
+    * files. One sidecar read serves EVERY predicate of an optimizer
+    * pass ([[graft.plans.ZonePruneRule]]) — the per-predicate
+    * re-read this replaces cost a driver-side job per conjunct. None
+    * when the store carries no multi sidecar. */
+  def loadMultiSidecar(spark: SparkSession, dir: String): Option[MultiSidecar] = {
+    if (!pathExists(spark, s"$dir/_zonemap_multi")) return None
+    val zm = spark.read.parquet(s"$dir/_zonemap_multi")
+    val cols = zm.columns.toSet
+    def optD(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+      if (!cols(c) || r.isNullAt(r.fieldIndex(c))) None
+      else Some(r.getDouble(r.fieldIndex(c)))
+    def optS(r: org.apache.spark.sql.Row, c: String): Option[String] =
+      if (!cols(c) || r.isNullAt(r.fieldIndex(c))) None
+      else Some(r.getString(r.fieldIndex(c)))
+    def optL(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      if (!cols(c) || r.isNullAt(r.fieldIndex(c))) None
+      else Some(r.getLong(r.fieldIndex(c)))
+    val rows = zm.collect() // files × columns — sidecar-sized
+    def fileOf(r: org.apache.spark.sql.Row) = r.getString(r.fieldIndex("file"))
+    val byCol = rows.groupBy(r => r.getString(r.fieldIndex("col"))).map {
+      case (c, rs) =>
+        c -> rs.map(r => ZoneStat(fileOf(r),
+          optD(r, "zmin"), optD(r, "zmax"),
+          optS(r, "zmin_str"), optS(r, "zmax_str"),
+          optL(r, "nrows"), optL(r, "nnulls"))).toSeq
+    }
+    checkCoverage(listDataFileNames(spark, dir).toSet,
+      rows.map(fileOf).toSet, dir)
+    Some(MultiSidecar(byCol,
+      rows.flatMap(r => optS(r, "tz")).toSet,
+      cols("nrows") && cols("nnulls")))
   }
 
   /** The global (min, max) of one stats column reduced from the
@@ -493,7 +555,7 @@ object SkippingStore {
     if (newFiles.nonEmpty) {
       val rows = multiZoneRows(
         spark.read.parquet(newFiles.map(n => s"$dir/$n"): _*), statsCols)
-      Seq("nrows", "nnulls")
+      Seq("nrows", "nnulls", "tz")
         .foldLeft(rows)((r, c) =>
           if (zm.columns.contains(c)) r else r.drop(c))
         .coalesce(1)

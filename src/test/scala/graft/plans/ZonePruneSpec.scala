@@ -218,6 +218,74 @@ class ZonePruneSpec extends SparkSpec {
     assert(spark.read.parquet(dir).filter($"dt" > d("2025-01-01")).count() == 0)
   }
 
+  test("CAST(ts AS DATE) predicates widen to day intervals — no in-day false prune") {
+    // ADVICE r8 (high): a point translation of the DATE literal prunes
+    // files whose timestamps sit strictly INSIDE the literal's day
+    // (zmin > midnight). Every row here lives inside 2024-03-07 but
+    // none at midnight, so the old point-equality zone test killed
+    // every file and returned zero rows.
+    val dir = java.nio.file.Files.createTempDirectory("zpcastdate").toString + "/s"
+    val df = Seq.tabulate(50)(i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-03-07 ${1 + i % 20}%02d:15:00")))
+      .toDF("k", "ts")
+    SkippingStore.writeMulti(df, "ts", Seq("ts"), dir, nFiles = 4)
+    def d(s: String) = lit(java.sql.Date.valueOf(s))
+    val eq = spark.read.parquet(dir).filter($"ts".cast("date") === d("2024-03-07"))
+    assert(eq.count() == 50, "every in-day row satisfies the cast-equality")
+    val le = spark.read.parquet(dir).filter($"ts".cast("date") <= d("2024-03-07"))
+    assert(le.count() == 50, "upper day bound must widen to end-of-day")
+    val in = spark.read.parquet(dir)
+      .filter($"ts".cast("date").isin(java.sql.Date.valueOf("2024-03-07"),
+        java.sql.Date.valueOf("2024-03-09")))
+    assert(in.count() == 50, "IN over cast-dates must widen to the day hull")
+    // and the widened form still PRUNES a multi-day store: days 1..100
+    // at noon, ts-sorted — one day's files are a strict subset
+    val dir2 = java.nio.file.Files.createTempDirectory("zpcastdate2").toString + "/s"
+    val many = Seq.tabulate(100)(i =>
+      (i, java.sql.Timestamp.from(java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+        .atTime(12, 0).toInstant(java.time.ZoneOffset.UTC))))
+      .toDF("k", "ts")
+    SkippingStore.writeMulti(many, "ts", Seq("ts"), dir2, nFiles = 8)
+    val one = spark.read.parquet(dir2).filter($"ts".cast("date") === d("2024-02-14"))
+    assert(scannedFiles(one).size < 8,
+      s"day equality must prune the multi-day store, scanned ${scannedFiles(one).size}")
+    assert(one.select($"k").as[Int].collect().toSeq == Seq(44))
+    val range = spark.read.parquet(dir2).filter($"ts".cast("date") < d("2024-01-14"))
+    assert(scannedFiles(range).size <= 2)
+    assert(range.count() == 13)
+  }
+
+  test("a writer-zone mismatch disables date pruning instead of shifting it") {
+    // ADVICE r8 (medium): the sidecar's midnight-micros widening is
+    // session-zone-dependent; the writer stamps its zone and a reader
+    // in any other zone must fall back to the full scan — never
+    // compare its own midnights against shifted stats.
+    val dir = java.nio.file.Files.createTempDirectory("zptz").toString + "/s"
+    val df = Seq.tabulate(120)(i =>
+      (i, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))))
+      .toDF("k", "dt")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try SkippingStore.writeMulti(df, "dt", Seq("k", "dt"), dir, nFiles = 4)
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val got = spark.read.parquet(dir)
+      .filter($"dt" >= lit(java.sql.Date.valueOf("2024-04-01")))
+    assert(scannedFiles(got).size == 4,
+      "a zone-mismatched stamp must not prune date predicates")
+    assert(got.count() == 29) // 2024-04-01 .. 2024-04-29
+    // non-datetime predicates on the same store still prune (the gate
+    // is per-shape, not per-store)
+    val num = spark.read.parquet(dir).filter($"k" < 30)
+    assert(scannedFiles(num).size <= 2) // strict bound keeps <= 1 marginal file
+    assert(num.count() == 30)
+    // and a matching-zone store (written in this session's UTC) prunes
+    val dir2 = java.nio.file.Files.createTempDirectory("zptz2").toString + "/s"
+    SkippingStore.writeMulti(df, "dt", Seq("dt"), dir2, nFiles = 4)
+    val ok = spark.read.parquet(dir2)
+      .filter($"dt" >= lit(java.sql.Date.valueOf("2024-04-01")))
+    assert(scannedFiles(ok).size == 1)
+    assert(ok.count() == 29)
+  }
+
   test("a coercion-cast equality never probes the bloom index") {
     // string-typed keys that LOOK numeric: `key = 123` coerces to
     // CAST(key AS DOUBLE) = 123.0, so a bloom probe would hash "123.0"
