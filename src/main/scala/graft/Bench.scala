@@ -48,16 +48,25 @@ object Bench {
               None
           }
         }
-        (name, times.minOption, err)
+        (name, times.minOption, err, times)
       }
-    val results = attempts.collect { case (n, Some(t), _) => n -> t }.toMap
-    val failed = attempts.collect { case (n, None, err) => n -> err.getOrElse("error") }
+    val results = attempts.collect { case (n, Some(t), _, _) => n -> t }.toMap
+    val failed = attempts.collect { case (n, None, err, _) => n -> err.getOrElse("error") }
     // a query that failed SOME repeats but succeeded others keeps its
     // timing yet is surfaced as flaky — not silently laundered clean
-    val flaky = attempts.collect { case (n, Some(_), Some(e)) => n -> e }
+    val flaky = attempts.collect { case (n, Some(_), Some(e), _) => n -> e }
     val qs = (results.map { case (k, v) => s"\"" + k + "\":" + v } ++
       failed.map { case (k, e) => s"\"" + k + "\":{\"err\":\"" + e + "\"}" })
       .mkString("{", ",", "}")
+    // per-query [min, max] across the repeats: the spread separates a
+    // real regression (tight spread, higher floor) from box contention
+    // (one repeat 2-3x the min) — tools/bench_diff.py classifies
+    // high-spread rows as contended instead of gating on them
+    val spreadStr =
+      if (repeat <= 1) ""
+      else attempts.collect { case (n, Some(_), _, ts) if ts.nonEmpty =>
+        s"\"" + n + s"\":[${ts.min},${ts.max}]"
+      }.mkString(",\"spread\":{", ",", "}")
     val flakyStr =
       if (flaky.isEmpty) ""
       else flaky.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
@@ -71,7 +80,7 @@ object Bench {
       (if (flaky.nonEmpty) List(s""""n_flaky":${flaky.size}""") else Nil)
     val modeStr = if (mode.isEmpty) "" else mode.mkString(",", ",", "")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$flakyStr$modeStr}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$flakyStr$spreadStr$modeStr}"""
     // The driver captures only the tail of stdout, so the ~4 KB per-query
     // map must not ride on the final line: the full JSON goes to a file,
     // and the last stdout line is a short parseable summary.

@@ -30,7 +30,9 @@ def load(path):
             errs[q] = v.get("err", "error")
         else:
             timings[q] = float(v)
-    return timings, errs
+    spread = {q: (float(v[0]), float(v[1]))
+              for q, v in d.get("spread", {}).items()}
+    return timings, errs, spread
 
 
 def main():
@@ -41,17 +43,29 @@ def main():
                     help="relative slowdown that counts as regression (default 0.3)")
     ap.add_argument("--min-sec", type=float, default=0.25,
                     help="ignore deltas smaller than this many seconds (default 0.25)")
+    ap.add_argument("--spread-ratio", type=float, default=1.0,
+                    help="a query whose repeats spread wider than min*(1+ratio) "
+                         "on either side is classified contended, not regressed "
+                         "(default 1.0, i.e. max >= 2x min)")
     args = ap.parse_args()
 
-    old, old_err = load(args.old)
-    new, new_err = load(args.new)
+    old, old_err, old_spread = load(args.old)
+    new, new_err, new_spread = load(args.new)
     shared = sorted(set(old) & set(new))
 
-    regressions, improvements = [], []
+    def contended(q):
+        # high min..max spread across the repeats on EITHER side means
+        # the box, not the code, moved — the q63/q196 false-alarm shape
+        for sp in (old_spread.get(q), new_spread.get(q)):
+            if sp and sp[0] > 0 and sp[1] > sp[0] * (1 + args.spread_ratio):
+                return True
+        return False
+
+    regressions, improvements, noisy = [], [], []
     for q in shared:
         delta = new[q] - old[q]
         if new[q] > old[q] * (1 + args.threshold) and delta > args.min_sec:
-            regressions.append((q, old[q], new[q]))
+            (noisy if contended(q) else regressions).append((q, old[q], new[q]))
         elif old[q] > new[q] * (1 + args.threshold) and -delta > args.min_sec:
             improvements.append((q, old[q], new[q]))
 
@@ -60,6 +74,7 @@ def main():
             print(f"{tag} {q}: {o:.3f}s -> {n:.3f}s ({(n - o) / o * 100:+.0f}%)")
 
     show(regressions, "REGRESSED")
+    show(noisy, "CONTENDED")
     show(improvements, "improved ")
     for q in sorted(set(new) - set(old)):
         print(f"added     {q}: {new[q]:.3f}s")
@@ -71,7 +86,8 @@ def main():
     t_old = sum(old[q] for q in shared)
     t_new = sum(new[q] for q in shared)
     print(f"shared total ({len(shared)} queries): {t_old:.1f}s -> {t_new:.1f}s; "
-          f"{len(regressions)} regressed, {len(improvements)} improved, "
+          f"{len(regressions)} regressed, {len(noisy)} contended, "
+          f"{len(improvements)} improved, "
           f"{len(new) - len(shared)} added, {len(old) - len(shared)} removed, "
           f"{len(new_err)} failed")
     sys.exit(1 if regressions else 0)
