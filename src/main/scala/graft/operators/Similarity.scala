@@ -308,6 +308,36 @@ object Similarity {
     newEmb.withColumn("cell", index.cellColFor(col(embCol)))
       .write.partitionBy("cell").mode("append").parquet(storeDir)
 
+  /** [[ivfStoreBuild]] with RIDER-CLUSTERED lists: rows are
+    * range-partitioned and sorted by (cell, riders…) before the
+    * partitionBy(cell) write, so each cell's inverted list splits into
+    * ~`filesPerCell` files each covering a narrow rider range, and a
+    * root `_zonemap_multi` sidecar (partition-relative file keys —
+    * [[graft.sinks.SkippingStore.indexPartitioned]]) records per-file
+    * rider zones. A filtered-ANN serve then composes BOTH prunes
+    * transparently: partition pruning opens only the probed cells, and
+    * the zone rule ([[graft.plans.ZonePruneRule]]) skips the
+    * rider-mismatched files INSIDE them — at 100 TB a metadata-gated
+    * probe (freshness window, source bucket, quality tier) reads
+    * nprobe/numCells × riderSelectivity of the corpus instead of whole
+    * probed lists. Costs one extra metadata pass at build; appends via
+    * [[ivfStoreAppend]] + re-running `indexPartitioned` (new files
+    * only). */
+  def ivfStoreBuildClustered(emb: DataFrame, idCol: String, embCol: String,
+                             index: IvfIndex, storeDir: String,
+                             riderCols: Seq[String],
+                             filesPerCell: Int): Unit = {
+    require(riderCols.nonEmpty && filesPerCell >= 1,
+      "need at least one rider column and one file per cell")
+    val keys = col("cell") +: riderCols.map(col)
+    emb.withColumn("cell", index.cellColFor(col(embCol)))
+      .repartitionByRange(index.cids.size * filesPerCell, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.partitionBy("cell").mode("overwrite").parquet(storeDir)
+    graft.sinks.SkippingStore.indexPartitioned(
+      emb.sparkSession, storeDir, riderCols)
+  }
+
   /** Compact a postings store: streaming ingest writes one file per
     * cell per batch, so a long-running [[graft.streaming.StreamingMerge
     * .annIngest]] accumulates small files in every list — the classic

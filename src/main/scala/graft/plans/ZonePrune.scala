@@ -432,9 +432,26 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case NullP(c, wantNull) => nullSurvivors(ctx, c, wantNull)
   }
 
+  /** Trailing `k=v` segments + name — the partitioned stores' relative
+    * file key (matches [[graft.sinks.SkippingStore.indexPartitioned]]
+    * and [[PrunedFileIndex]]). At a store root this is just the name. */
+  private def relKey(p: Path): String = {
+    var segs = List(p.getName)
+    var cur = p.getParent
+    while (cur != null && cur.getName.contains("=")) {
+      segs = cur.getName :: segs
+      cur = cur.getParent
+    }
+    segs.mkString("/")
+  }
+
   private def prune(f: Filter, cond: Expression, l: LogicalRelation): LogicalPlan = {
     val rel = l.relation.asInstanceOf[HadoopFsRelation]
-    if (rel.partitionSchema.nonEmpty) return f
+    // a PrunedFileIndex is this rule's own partitioned output — the
+    // partitioned fixed point (the flat path reaches its fixed point
+    // via the file-list-root check below)
+    if (rel.location.isInstanceOf[PrunedFileIndex]) return f
+    val partitioned = rel.partitionSchema.nonEmpty
     val roots = rel.location.rootPaths
     if (roots.isEmpty) return f
     // only DIRECTORY-rooted reads prune. File-list roots are already a
@@ -447,14 +464,19 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val dir = roots.head.toString
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasZone = fs.exists(new Path(s"$dir/_zonemap_multi"))
-    val hasBloom = fs.exists(new Path(s"$dir/_bloommap"))
+    // the bloom sidecar keys files by bare name, which is ambiguous
+    // under dynamic partitioning (the same part- name can appear in
+    // several partition dirs) — partitioned stores are zone-only
+    val hasBloom = !partitioned && fs.exists(new Path(s"$dir/_bloommap"))
     if (!hasZone && !hasBloom) return f
     // ONE sidecar load serves every predicate of this pass; its loud
     // coverage check throws on drift, which the caller's catch turns
     // into the unpruned fallback
     val sidecar =
-      if (hasZone) graft.sinks.SkippingStore.loadMultiSidecar(spark, dir)
+      if (hasZone) graft.sinks.SkippingStore
+        .loadMultiSidecar(spark, dir, relative = partitioned)
       else None
+    if (partitioned && sidecar.isEmpty) return f
     val tzOk = sidecar.exists(sc =>
       sc.tzs == Set(spark.sessionState.conf.sessionLocalTimeZone))
     val ctx = Ctx(dir, sidecar, hasBloom, tzOk)
@@ -463,8 +485,14 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case None => return f
     }
     val current = rel.location.inputFiles
-      .map(p => new Path(p).getName).toSet
+      .map(p => relKey(new Path(p))).toSet
     if (surviving == current) return f // no file provably empty
+    if (partitioned) {
+      // wrap, don't replace: partition pruning must keep running on
+      // the underlying index; the survivor set intersects on top
+      val idx = new PrunedFileIndex(rel.location, surviving)
+      return Filter(cond, l.copy(relation = rel.copy(location = idx)(spark)))
+    }
     val idx = new InMemoryFileIndex(spark,
       surviving.toSeq.sorted.map(n => new Path(s"$dir/$n")),
       Map.empty, Some(rel.dataSchema))

@@ -3489,6 +3489,49 @@ object Pipeline {
        |SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 10
        |ORDER BY query_id, sim DESC, vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q219
+  // Filtered ANN over a RIDER-CLUSTERED postings store
+  // (Similarity.ivfStoreBuildClustered): the q214 semantics — serve a
+  // metadata-gated probe from the persisted inverted lists — but the
+  // lists are range-clustered by the rider column and carry a
+  // partition-relative _zonemap_multi sidecar, so the serve composes
+  // BOTH prunes transparently: partition pruning opens only the
+  // probed cells, the zone rule skips rider-mismatched files INSIDE
+  // them (plans/PrunedFileIndex). The in-plan require proves the
+  // composition: fewer files scanned than the probed cells hold.
+  // Results are bit-identical to the unclustered q214 path; the
+  // oracle replays the same ranking.
+  private def q219ClusteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q219", dir)
+    val emb = t(s, dir, "embeddings")
+      .withColumn("bucket", (col("vec_id") % 7).cast("int"))
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+    Similarity.ivfStoreBuildClustered(emb, "vec_id", "embedding", ix, out,
+      riderCols = Seq("bucket"), filesPerCell = 3)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val res = Similarity.ivfStoreTopK(s, out, "vec_id", "embedding", qv,
+      ix, k = 10, nprobe = 2, excludeId = Some(0L),
+      where = Some(col("bucket") === 3))
+    val probed = s.range(1)
+      .select(explode(graft.functions.VectorFunctions.nearest_cells(
+        typedLit(qv), ix.cids, ix.centroids, 2)).as("cell"))
+      .collect().map(_.getInt(0))
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    val filesInProbed = probed.map { c =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/cell=$c"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    require(graft.plans.PlanProbe.scannedFileCount(res) < filesInProbed,
+      s"the rider-clustered serve must skip files INSIDE the probed " +
+        s"cells (opened all $filesInProbed)")
+    res
+  }
+
+  // same relational answer as q214 — the clustering changes the files
+  // opened, never the rows returned
+  private lazy val q219Sql = q214Sql
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4309,6 +4352,7 @@ object Pipeline {
     "q215_ivf_sq8" -> q215IvfSq8 _,
     "q216_store_knn_join" -> q216StoreKnnJoin _,
     "q218_store_knn_sweep" -> q218StoreKnnSweep _,
+    "q219_clustered_ann" -> q219ClusteredAnn _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4535,6 +4579,7 @@ object Pipeline {
     "q215_ivf_sq8" -> q215Sql,
     "q216_store_knn_join" -> q216Sql,
     "q218_store_knn_sweep" -> q218Sql,
+    "q219_clustered_ann" -> q219Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -148,10 +148,13 @@ object SkippingStore {
     * Shared by every multi-sidecar writer (writeMulti, appendMulti,
     * the Z-order pair) so they can never diverge on widening rules or
     * counts. */
-  private def multiZoneRows(data: DataFrame, statsCols: Seq[String]): DataFrame = {
+  private def multiZoneRows(data: DataFrame, statsCols: Seq[String],
+                            fileKey: Column =
+                              regexp_extract(input_file_name(), "[^/]+$", 0))
+      : DataFrame = {
     val writerTz = data.sparkSession.sessionState.conf.sessionLocalTimeZone
     statsCols.map { c =>
-      val by = data.groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      val by = data.groupBy(fileKey.as("file"))
       val nn = sum(when(col(c).isNull, 1L).otherwise(0L)).as("nnulls")
       widenedNumeric(col(c), data.schema(c).dataType) match {
         case Some(w) =>
@@ -355,6 +358,90 @@ object SkippingStore {
       .map(_.getString(0)).toSeq.sorted)
   }
 
+  // ------------------------------------------------------------------
+  // Partitioned stores (write.partitionBy layouts, e.g. the IVF
+  // postings store): partition pruning handles the partition columns
+  // for free, but a rider-column predicate still reads EVERY file of
+  // every surviving partition. The same `_zonemap_multi` sidecar
+  // covers this when files are keyed by their PARTITION-RELATIVE path
+  // ("cell=3/part-....parquet") — a bare file name is NOT unique
+  // across partition directories (dynamic partitioning reuses the
+  // task's part- prefix in each partition it writes). The transparent
+  // rule then intersects partition pruning with per-file rider zones
+  // (graft.plans.PrunedFileIndex), so a filtered probe opens only the
+  // rider-matching files INSIDE the probed partitions.
+
+  /** Relative-path trailing segments of a partitioned data file: the
+    * `k=v` directory chain plus the file name ("cell=3/part-….parquet";
+    * just the name at the store root). */
+  private def relPathOf(p: org.apache.hadoop.fs.Path): String = {
+    var segs = List(p.getName)
+    var cur = p.getParent
+    while (cur != null && cur.getName.contains("=")) {
+      segs = cur.getName :: segs
+      cur = cur.getParent
+    }
+    segs.mkString("/")
+  }
+
+  /** Partition-relative paths of every data file under `dir`,
+    * recursing through `k=v` partition directories and skipping
+    * underscore-prefixed sidecars — the partitioned-store analog of
+    * [[listDataFileNames]]. */
+  def listDataFileRelPaths(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) {
+          if (n.contains("=")) walk(st.getPath) else Seq.empty
+        } else if (n.startsWith("part-") && n.endsWith(".parquet"))
+          Seq(relPathOf(st.getPath))
+        else Seq.empty
+      }
+    walk(root)
+  }
+
+  /** Build — or incrementally EXTEND — the `_zonemap_multi` sidecar of
+    * a PARTITIONED store, keyed by partition-relative file path. Only
+    * files the sidecar doesn't map yet are scanned (the appendMulti
+    * cost model: per-batch, not per-store), so the postings-store
+    * lifecycle is build → index → append → index → … with each index
+    * pass touching just the new files. Stats cols must be DATA
+    * columns (partition columns prune via the directory layout
+    * already, and leaf-file reads don't carry them). A compaction
+    * rewrite drops the sidecar with the old directory — re-run this
+    * afterwards. */
+  def indexPartitioned(spark: SparkSession, dir: String,
+                       statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "need at least one stats column")
+    val side = s"$dir/_zonemap_multi"
+    val (known, cols) =
+      if (!pathExists(spark, side)) (Set.empty[String], statsCols.sorted)
+      else {
+        val zm = spark.read.parquet(side)
+        val existing = zm.select(col("col")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        require(existing == statsCols.sorted,
+          s"$side already indexes ${existing.mkString(",")} — " +
+            "extend with the same column set or rebuild")
+        (zm.select(col("file")).distinct()
+          .collect().map(_.getString(0)).toSet, existing)
+      }
+    val newFiles = listDataFileRelPaths(spark, dir).filterNot(known)
+    if (newFiles.isEmpty) return
+    // leaf-file read: data columns only, which is exactly what rider
+    // stats need; the trailing-segments regexp recovers the relative key
+    val data = spark.read.parquet(newFiles.map(f => s"$dir/$f"): _*)
+    multiZoneRows(data, cols,
+        regexp_extract(input_file_name(), "((?:[^/]+=[^/]*/)*[^/]+)$", 1))
+      .coalesce(1)
+      .write.mode(if (known.isEmpty) "overwrite" else "append").parquet(side)
+  }
+
   /** One data file's recorded stats for one column — the in-memory row
     * of [[loadMultiSidecar]]. Numeric/datetime stats in the double
     * slots, string stats in the lexicographic slots; `None` where the
@@ -378,8 +465,11 @@ object SkippingStore {
     * files. One sidecar read serves EVERY predicate of an optimizer
     * pass ([[graft.plans.ZonePruneRule]]) — the per-predicate
     * re-read this replaces cost a driver-side job per conjunct. None
-    * when the store carries no multi sidecar. */
-  def loadMultiSidecar(spark: SparkSession, dir: String): Option[MultiSidecar] = {
+    * when the store carries no multi sidecar. `relative = true` for
+    * partitioned stores ([[indexPartitioned]] layouts): file keys and
+    * the coverage listing are partition-relative paths. */
+  def loadMultiSidecar(spark: SparkSession, dir: String,
+                       relative: Boolean = false): Option[MultiSidecar] = {
     if (!pathExists(spark, s"$dir/_zonemap_multi")) return None
     val zm = spark.read.parquet(s"$dir/_zonemap_multi")
     val cols = zm.columns.toSet
@@ -401,8 +491,9 @@ object SkippingStore {
           optS(r, "zmin_str"), optS(r, "zmax_str"),
           optL(r, "nrows"), optL(r, "nnulls"))).toSeq
     }
-    checkCoverage(listDataFileNames(spark, dir).toSet,
-      rows.map(fileOf).toSet, dir)
+    val actual = if (relative) listDataFileRelPaths(spark, dir)
+                 else listDataFileNames(spark, dir)
+    checkCoverage(actual.toSet, rows.map(fileOf).toSet, dir)
     Some(MultiSidecar(byCol,
       rows.flatMap(r => optS(r, "tz")).toSet,
       cols("nrows") && cols("nnulls")))

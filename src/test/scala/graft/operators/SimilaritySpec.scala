@@ -124,6 +124,44 @@ class SimilaritySpec extends SparkSpec {
         "from the checkpointed query frame's real statistics")
   }
 
+  test("clustered postings store: rider filter skips files inside probed cells") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("knnclust").toString + "/s"
+    val withRider = emb.withColumn("bucket", ($"vec_id" % 5).cast("int"))
+    val index = Similarity.trainIvf(withRider, "vec_id", "embedding", 4)
+    Similarity.ivfStoreBuildClustered(withRider, "vec_id", "embedding",
+      index, dir, riderCols = Seq("bucket"), filesPerCell = 3)
+    val qv = withRider.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    // the serve composes partition pruning (probed cells) with the
+    // transparent rider-zone skip — no new reader API
+    val res = Similarity.ivfStoreTopK(spark, dir, "vec_id", "embedding", qv,
+      index, k = 5, nprobe = 2, excludeId = Some(0L),
+      where = Some(col("bucket") === 2))
+    // answers equal an UNCLUSTERED store's filtered serve bit-for-bit
+    val plain = java.nio.file.Files.createTempDirectory("knnplain").toString + "/s"
+    Similarity.ivfStoreBuild(withRider, "vec_id", "embedding", index, plain)
+    val want = Similarity.ivfStoreTopK(spark, plain, "vec_id", "embedding", qv,
+      index, k = 5, nprobe = 2, excludeId = Some(0L),
+      where = Some(col("bucket") === 2))
+    assert(res.as[(Long, Double)].collect().toSeq ==
+      want.as[(Long, Double)].collect().toSeq)
+    // and the scan proof: fewer files than the probed cells hold
+    val probed = spark.range(1)
+      .select(explode(graft.functions.VectorFunctions.nearest_cells(
+        typedLit(qv), index.cids, index.centroids, 2)).as("cell"))
+      .collect().map(_.getInt(0))
+    val fs = graft.sinks.HadoopSwap.fs(spark, dir)
+    val filesInProbed = probed.map { c =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/cell=$c"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    assert(filesInProbed > 2, s"fixture needs several files per cell ($filesInProbed)")
+    val scanned = graft.plans.PlanProbe.scannedFileCount(res)
+    assert(scanned < filesInProbed,
+      s"rider-clustered serve must skip inside probed cells: $scanned of $filesInProbed")
+  }
+
   test("IvfIndex round-trips through parquet; loaded index answers identically") {
     val index = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
     val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"

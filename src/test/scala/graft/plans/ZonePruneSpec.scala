@@ -286,6 +286,49 @@ class ZonePruneSpec extends SparkSpec {
     assert(ok.count() == 29)
   }
 
+  test("partitioned stores: rider zones skip files INSIDE surviving partitions") {
+    // the postings-store shape: directory partitioning on p, files
+    // within each partition clustered by the rider column r — both
+    // prunes must compose (partition pruning from the layout, file
+    // skipping from the relative-path sidecar)
+    val dir = java.nio.file.Files.createTempDirectory("zppart").toString + "/s"
+    val df = Seq.tabulate(400)(i => (i, i % 4, i)).toDF("k", "p", "r")
+    df.repartitionByRange(16, $"p", $"r").sortWithinPartitions("p", "r")
+      .write.partitionBy("p").parquet(dir)
+    SkippingStore.indexPartitioned(spark, dir, Seq("r"))
+    val fs = graft.sinks.HadoopSwap.fs(spark, dir)
+    val filesInP1 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/p=1"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(filesInP1 > 1, s"fixture needs several files per partition, got $filesInP1")
+    val got = spark.read.parquet(dir)
+      .filter($"p" === 1 && $"r" >= 100 && $"r" <= 140)
+    assert(got.select($"k").as[Int].collect().toSet ==
+      (100 to 140).filter(_ % 4 == 1).toSet, "pruned rows must be exact")
+    // the composed effect needs the real scan metric: partition
+    // pruning (p=1) AND the sidecar survivor intersection land in the
+    // executed scan's numFiles, not in the index's static listing
+    val scanned = graft.plans.PlanProbe.scannedFileCount(got)
+    assert(scanned < filesInP1,
+      s"rider zones must skip files inside p=1: scanned $scanned of $filesInP1")
+    // rows survive with their partition-column values intact
+    assert(got.select($"p").distinct().as[Int].collect().toSeq == Seq(1))
+    // fixed point: the rule recognizes its own PrunedFileIndex output
+    val once = got.queryExecution.optimizedPlan
+    val twice = spark.sessionState.optimizer.execute(once)
+    assert(once == twice, "partitioned prune must reach a fixed point")
+    // incremental index extension: append files, re-index, still exact
+    Seq((1000, 1, 1000), (1001, 2, 1001)).toDF("k", "p", "r")
+      .write.partitionBy("p").mode("append").parquet(dir)
+    // stale sidecar (unmapped appended files): full scan, rows exact
+    val stale = spark.read.parquet(dir).filter($"r" >= 1000)
+    assert(stale.select($"k").as[Int].collect().toSet == Set(1000, 1001),
+      "a stale partitioned sidecar must not drop appended rows")
+    SkippingStore.indexPartitioned(spark, dir, Seq("r"))
+    val fresh = spark.read.parquet(dir).filter($"r" >= 1000)
+    assert(fresh.select($"k").as[Int].collect().toSet == Set(1000, 1001))
+    assert(scannedFiles(fresh).size == 2, "re-indexed append prunes to the 2 new files")
+  }
+
   test("a coercion-cast equality never probes the bloom index") {
     // string-typed keys that LOOK numeric: `key = 123` coerces to
     // CAST(key AS DOUBLE) = 123.0, so a bloom probe would hash "123.0"
