@@ -23,7 +23,9 @@ object Constraints {
 
   /** Verify `keyCol` is unique (among non-null values) and persist the
     * declaration stamped with the store's file identity. Throws on
-    * duplicates; overwrites any previous declaration for the column.
+    * duplicates; overwrites only a previous declaration with the SAME
+    * declaration id (the plain store's live stamp, or the same pinned
+    * version).
     *
     * On a PLAIN store the stamp is the current `part-*.parquet` set,
     * so any append/compact/overwrite self-invalidates. On a
@@ -32,20 +34,24 @@ object Constraints {
     * -1) and the stamp is that version's manifest file set — snapshots
     * are immutable, so the declaration stays valid for pinned reads of
     * that version FOREVER, across any number of later commits, while a
-    * read of any other version (different file set) refuses. That is
-    * what lets join/DISTINCT elimination fire on time-travel reads. */
+    * read of any other version (different file set) refuses. Stamps
+    * are KEYED by version (`decl` = v<n>), so declaring on a later
+    * snapshot coexists with earlier versions' declarations instead of
+    * disarming them — every declared version stays armed at once.
+    * That is what lets join/DISTINCT elimination fire on time-travel
+    * reads. */
   def declareUnique(spark: SparkSession, dir: String, keyCol: String,
                     version: Long = -1L): Unit = {
     val versioned = VersionedStore.isVersioned(spark, dir)
     require(versioned || version < 0,
       s"declareUnique($dir, $keyCol): version pinning needs a versioned store")
-    val (df, stampFiles) =
+    val (df, stampFiles, decl) =
       if (versioned) {
         val v = if (version < 0) VersionedStore.versions(spark, dir).last
                 else version
         (VersionedStore.read(spark, dir, v),
-          VersionedStore.snapshotFiles(spark, dir, v))
-      } else (spark.read.parquet(dir), dataFileNames(spark, dir))
+          VersionedStore.snapshotFiles(spark, dir, v), s"v$v")
+      } else (spark.read.parquet(dir), dataFileNames(spark, dir), LiveDecl)
     val dup = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).count()
@@ -56,16 +62,25 @@ object Constraints {
     // (null = null in grouping), so the count rides the declaration
     val nnulls = df.filter(col(keyCol).isNull).count()
     import spark.implicits._
-    writeSidecar(spark, dir, keyCol,
+    writeSidecar(spark, dir, keyCol, decl,
       stampFiles.toSeq.sorted
-        .map(f => ("unique", keyCol, f, nnulls))
-        .toDF("constraint", "col", "file", "nnulls"))
+        .map(f => ("unique", keyCol, decl, f, nnulls))
+        .toDF("constraint", "col", "decl", "file", "nnulls"))
   }
 
-  /** Rewrite the `_constraints` sidecar with `rows` for `keyCol`,
-    * carrying other columns' declarations over verbatim (their stamps
-    * keep their own validity lifecycle). */
+  /** The declaration id of a PLAIN (unversioned) store's stamp — one
+    * live declaration per column, overwritten on re-declare. Versioned
+    * stores key declarations by their pinned version (`v<n>`), so
+    * declaring on a later snapshot COEXISTS with earlier versions'
+    * stamps — each stays armed for pinned reads of its own version. */
+  private val LiveDecl = "live"
+
+  /** Rewrite the `_constraints` sidecar with `rows` for
+    * (`keyCol`, `decl`), carrying every OTHER (column, declaration)
+    * pair over verbatim — their stamps keep their own validity
+    * lifecycle, including other versions' stamps on the same column. */
   private def writeSidecar(spark: SparkSession, dir: String, keyCol: String,
+                           decl: String,
                            rows: org.apache.spark.sql.DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_constraints")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -73,14 +88,20 @@ object Constraints {
       if (!fs.exists(p)) None
       else {
         val sc = spark.read.parquet(s"$dir/_constraints")
-        if (!sc.columns.contains("nnulls")) None // legacy schema: drop it
-        else Some(sc.filter(col("col") =!= keyCol).collect().toSeq)
+        // legacy schemas (pre-nnulls or pre-decl): drop and rebuild
+        if (!sc.columns.contains("nnulls") || !sc.columns.contains("decl")) None
+        else Some(sc
+          .filter(!(col("col") === keyCol && col("decl") === decl))
+          .select(col("constraint"), col("col"), col("decl"), col("file"),
+            col("nnulls"))
+          .collect().toSeq)
       }
     val all = others match {
       case Some(rest) if rest.nonEmpty =>
         import spark.implicits._
         rows.unionByName(rest.map(r => (r.getString(0), r.getString(1),
-          r.getString(2), r.getLong(3))).toDF("constraint", "col", "file", "nnulls"))
+            r.getString(2), r.getString(3), r.getLong(4)))
+          .toDF("constraint", "col", "decl", "file", "nnulls"))
       case _ => rows
     }
     val tmp = s"$dir/_constraints_tmp"
@@ -89,28 +110,47 @@ object Constraints {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p): Unit
   }
 
+  /** Every unique declaration recorded for `keyCol`, one entry per
+    * declaration id: its stamped file set and null count (None when
+    * the stamps conflict within the declaration). Pre-decl sidecars
+    * read as a single declaration. */
+  private def uniqueDecls(spark: SparkSession, dir: String,
+                          keyCol: String): Seq[(Set[String], Option[Long])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_constraints")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val sc = spark.read.parquet(s"$dir/_constraints")
+    if (!sc.columns.contains("nnulls")) return Seq.empty // legacy: re-declare
+    val hasDecl = sc.columns.contains("decl")
+    val rows = sc.filter(col("constraint") === "unique" && col("col") === keyCol)
+      .select(col("file"), col("nnulls"),
+        (if (hasDecl) col("decl") else lit(LiveDecl)).as("decl"))
+      .collect()
+    rows.groupBy(_.getString(2)).values.map { rs =>
+      val ns = rs.map(_.getLong(1)).distinct
+      (rs.map(_.getString(0)).toSet,
+        if (ns.length == 1) Some(ns.head) else None)
+    }.toSeq
+  }
+
   /** Is there a CURRENTLY-VALID unique declaration for `keyCol`? True
-    * only when the sidecar exists, carries the column, and its stamped
-    * file set exactly matches the store's data files (any drift —
-    * appends, compaction, overwrite — reads as "not declared"). */
+    * only when the sidecar exists, carries the column, and one
+    * declaration's stamped file set exactly matches the store's data
+    * files (any drift — appends, compaction, overwrite — reads as
+    * "not declared"). */
   def verifiedUnique(spark: SparkSession, dir: String, keyCol: String): Boolean =
     verifiedUniqueFor(spark, dir, keyCol, dataFileNames(spark, dir))
 
   /** [[verifiedUnique]] against an EXPLICIT file set — the pinned-read
     * form: a version-pinned [[VersionedStore]] read is an explicit
-    * file list, and its constraint is valid exactly when the stamped
-    * set equals the files actually being read (the snapshot's
-    * manifest). Any other version's file set differs and refuses. */
+    * file list, and its constraint is valid exactly when SOME stamped
+    * declaration equals the files actually being read (the snapshot's
+    * manifest). Declarations are keyed per version, so stamping a
+    * later snapshot never disarms an earlier one. */
   def verifiedUniqueFor(spark: SparkSession, dir: String, keyCol: String,
-                        files: Set[String]): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_constraints")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return false
-    val stamped = spark.read.parquet(s"$dir/_constraints")
-      .filter(col("constraint") === "unique" && col("col") === keyCol)
-      .select(col("file")).collect().map(_.getString(0)).toSet
-    stamped.nonEmpty && stamped == files
-  }
+                        files: Set[String]): Boolean =
+    files.nonEmpty &&
+      uniqueDecls(spark, dir, keyCol).exists(_._1 == files)
 
   /** Extend a unique declaration after an append instead of paying the
     * full re-verification: only the NEW files' keys are checked —
@@ -135,12 +175,14 @@ object Constraints {
     require(!VersionedStore.isVersioned(spark, dir),
       s"extendUnique($dir, $keyCol): versioned store — re-declare on the " +
         "new version (declareUnique with the version pin)")
-    val sc = spark.read.parquet(s"$dir/_constraints")
-      .filter(col("constraint") === "unique" && col("col") === keyCol)
-    require(sc.columns.contains("nnulls"),
-      s"extendUnique($dir, $keyCol): declaration predates the null-count " +
-        "stamp — re-run declareUnique once")
-    val rows = sc.select(col("file"), col("nnulls")).collect()
+    val scAll = spark.read.parquet(s"$dir/_constraints")
+    require(scAll.columns.contains("nnulls") && scAll.columns.contains("decl"),
+      s"extendUnique($dir, $keyCol): declaration predates the null-count/" +
+        "decl stamps — re-run declareUnique once")
+    val rows = scAll
+      .filter(col("constraint") === "unique" && col("col") === keyCol &&
+        col("decl") === LiveDecl)
+      .select(col("file"), col("nnulls")).collect()
     require(rows.nonEmpty, s"extendUnique($dir, $keyCol): no unique($keyCol)")
     val stamped = rows.map(_.getString(0)).toSet
     val oldNnulls = rows.map(_.getLong(1)).distinct
@@ -167,10 +209,10 @@ object Constraints {
       s"extendUnique($dir, $keyCol): appended keys collide with the store")
     val nnulls = oldNnulls.head + newDf.filter(col(keyCol).isNull).count()
     import spark.implicits._
-    writeSidecar(spark, dir, keyCol,
+    writeSidecar(spark, dir, keyCol, LiveDecl,
       current.toSeq.sorted
-        .map(f => ("unique", keyCol, f, nnulls))
-        .toDF("constraint", "col", "file", "nnulls"))
+        .map(f => ("unique", keyCol, LiveDecl, f, nnulls))
+        .toDF("constraint", "col", "decl", "file", "nnulls"))
   }
 
   /** [[verifiedUnique]] AND the declaration recorded ZERO null keys —
@@ -181,12 +223,11 @@ object Constraints {
     * written before the null count existed answer false. */
   def verifiedUniqueNoNulls(spark: SparkSession, dir: String,
                             keyCol: String): Boolean = {
-    if (!verifiedUnique(spark, dir, keyCol)) return false
-    val sc = spark.read.parquet(s"$dir/_constraints")
-    if (!sc.columns.contains("nnulls")) return false
-    val ns = sc.filter(col("constraint") === "unique" && col("col") === keyCol)
-      .select(col("nnulls")).distinct().collect().map(_.getLong(0))
-    ns.length == 1 && ns.head == 0L
+    val files = dataFileNames(spark, dir)
+    // the null count must come from the MATCHING declaration — other
+    // versions' stamps on the same column carry their own counts
+    files.nonEmpty && uniqueDecls(spark, dir, keyCol)
+      .exists(d => d._1 == files && d._2.contains(0L))
   }
 
   /** Declare a VERIFIED foreign key: every `fkCol` value in the fact

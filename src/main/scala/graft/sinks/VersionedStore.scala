@@ -233,6 +233,32 @@ object VersionedStore {
         removedRows.exceptAll(addedRows).withColumn("change", lit("removed")))
   }
 
+  /** Compact the LATEST snapshot through the manifest route: rewrite
+    * its rows into `nFiles` fresh data files and commit them as a new
+    * OVERWRITE version. No directory is ever renamed or swapped — the
+    * commit point is the one manifest rename the store already relies
+    * on — so this is the compaction discipline for object stores,
+    * where [[HadoopSwap]]'s rename-aside swap degrades to copy+delete
+    * with a visible window ([[StoreMaintenance]]/compactIvfStore are
+    * the HDFS/local-FS fast path). Every earlier version stays
+    * time-travel-readable (superseded files are retained until
+    * [[vacuum]]), the row set is identical by construction
+    * ([[rowDiff]] across the compaction is empty — immutable files
+    * mean moved rows cancel), and a crash at any point leaves either
+    * the old latest or the new one, never a torn store. Returns
+    * (newVersion, filesBefore, filesAfter). */
+  def compactVersioned(spark: SparkSession, dir: String,
+                       nFiles: Int): (Long, Int, Int) = {
+    require(nFiles >= 1, "need at least one file")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir has no committed versions to compact")
+    val before = manifestFiles(spark, dir, vs.last).size
+    // reading the latest snapshot while committing is safe: member
+    // files are immutable and the commit stages into a private dir
+    val v = commit(read(spark, dir, vs.last), dir, nFiles, overwrite = true)
+    (v, before, manifestFiles(spark, dir, v).size)
+  }
+
   /** Reclaim storage: drop all but the newest `keepLast` versions, then
     * delete data files no surviving manifest references. Manifests go
     * first so no retained version can ever point at a deleted file; a

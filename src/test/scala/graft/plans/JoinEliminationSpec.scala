@@ -246,6 +246,16 @@ class JoinEliminationSpec extends SparkSpec {
       Constraints.extendUnique(spark, dir, "k")
     }
     assert(ex.getMessage.contains("versioned store"))
+    // declarations are KEYED by version: declaring on another version
+    // must not disarm v2's stamp (r8 ADVICE — the sidecar used to keep
+    // one declaration per column, so the latest declare won)
+    val v4 = VersionedStore.commit(
+      Seq((7L, "x"), (8L, "y")).toDF("k", "label"), dir, 1, overwrite = true)
+    Constraints.declareUnique(spark, dir, "k", version = v4)
+    assert(!plansJoin(agg(VersionedStore.read(spark, dir, v4))),
+      "v4's fresh declaration must arm v4")
+    assert(!plansJoin(agg(VersionedStore.read(spark, dir, v2))),
+      "v2's earlier declaration must STAY armed after declaring on v4")
   }
 
   test("kill-switch keeps the join") {

@@ -91,6 +91,34 @@ class VersionedStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("schema change"))
   }
 
+  test("compactVersioned: manifest-route compaction, time travel intact, vacuum reclaims") {
+    val dir = store("vcompact")
+    // five append commits of 3 files each: the small-files decay shape
+    for (b <- 0 until 5)
+      VersionedStore.commit(
+        Seq.tabulate(6)(i => b * 6 + i).toDF("n"), dir, 3)
+    val vs = VersionedStore.versions(spark, dir)
+    assert(vs.size == 5)
+    val (cv, before, after) = VersionedStore.compactVersioned(spark, dir, 2)
+    assert(cv == 6L && before == 15 && after == 2,
+      s"15 accreted files must compact to 2 (got $before -> $after)")
+    // identical rows, and the CDC view across the compaction is EMPTY
+    // (moved rows cancel — compaction is invisible to row-level diff)
+    assert(VersionedStore.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      (0 until 30).toSeq)
+    assert(VersionedStore.rowDiff(spark, dir, 5L, cv).count() == 0)
+    // every pre-compaction version still time-travels
+    assert(VersionedStore.read(spark, dir, 2).as[Int].collect().sorted.toSeq ==
+      (0 until 12).toSeq)
+    // no directory was renamed: the store root never stopped being the
+    // same path, and vacuum now reclaims the superseded files
+    val (dropped, deleted) = VersionedStore.vacuum(spark, dir, keepLast = 1)
+    assert(dropped == 5 && deleted == 15,
+      s"vacuum must drop the 5 old manifests and their 15 files ($dropped, $deleted)")
+    assert(VersionedStore.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      (0 until 30).toSeq)
+  }
+
   test("versioned streaming ingest: one tagged version per batch, replay-safe") {
     import graft.streaming.StreamingMerge
     val dir = store("ving")
