@@ -105,7 +105,8 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * session's (the date-translation soundness gate). */
   private case class Ctx(dir: String,
                          sidecar: Option[graft.sinks.SkippingStore.MultiSidecar],
-                         hasBloom: Boolean, tzOk: Boolean)
+                         bloom: Option[graft.sinks.SkippingStore.BloomCtx],
+                         tzOk: Boolean)
 
   private sealed trait Pred
   private case class RangeP(col: String, lo: Option[Any], hi: Option[Any]) extends Pred
@@ -417,8 +418,8 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // cast-wrapped attrs never touch the Bloom index: the index
       // hashed raw column values, the equality lives in the coerced
       // domain — a probe there invents false negatives (see EqP doc)
-      val b = if (bare && ctx.hasBloom) graft.sinks.SkippingStore
-        .bloomFileNames(spark, ctx.dir, c, v).map(_.toSet) else None
+      val b = if (bare) ctx.bloom.flatMap(bc => graft.sinks.SkippingStore
+        .bloomProbe(spark, bc, c, v)).map(_.toSet) else None
       (z, b) match {
         case (Some(x), Some(y)) => Some(x intersect y)
         case (x, y) => x.orElse(y)
@@ -469,17 +470,21 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // several partition dirs) — partitioned stores are zone-only
     val hasBloom = !partitioned && fs.exists(new Path(s"$dir/_bloommap"))
     if (!hasZone && !hasBloom) return f
-    // ONE sidecar load serves every predicate of this pass; its loud
-    // coverage check throws on drift, which the caller's catch turns
-    // into the unpruned fallback
+    // ONE load per sidecar serves every predicate of this pass; the
+    // loud coverage checks throw on drift, which the caller's catch
+    // turns into the unpruned fallback
     val sidecar =
       if (hasZone) graft.sinks.SkippingStore
         .loadMultiSidecar(spark, dir, relative = partitioned)
       else None
     if (partitioned && sidecar.isEmpty) return f
+    val bloom =
+      if (hasBloom) graft.sinks.SkippingStore.loadBloomCtx(spark, dir)
+      else None
+    if (sidecar.isEmpty && bloom.isEmpty) return f
     val tzOk = sidecar.exists(sc =>
       sc.tzs == Set(spark.sessionState.conf.sessionLocalTimeZone))
-    val ctx = Ctx(dir, sidecar, hasBloom, tzOk)
+    val ctx = Ctx(dir, sidecar, bloom, tzOk)
     val surviving = fileSet(ctx, cond, comparisonCols(cond, tzOk)) match {
       case Some(s) => s
       case None => return f

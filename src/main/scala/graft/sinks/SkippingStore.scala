@@ -723,67 +723,90 @@ object SkippingStore {
     } finally forCol.unpersist(): Unit
   }
 
-  /** Optimizer-rule entry ([[graft.plans.ZonePruneRule]]): the file
-    * names of `dir` whose Bloom filter might contain `value` in
-    * `keyCol` — the equality-skipping path for columns whose values
-    * scatter uniformly so zones can't help. Returns None — "cannot
-    * prune" — when the store has no `_bloommap`, the sidecar predates
-    * the `keycol` marker (the rule can't verify WHICH column it
-    * indexes), it indexes a different column, geometries are mixed, or
-    * the literal isn't a string/number/boolean (a long-encoded
-    * timestamp literal must NOT be cast-probed: `CAST(long AS
+  /** A bloom sidecar resolved ONCE for a whole optimizer pass: the
+    * sidecar frame, its (verified single) geometry and indexed column,
+    * and the key column's store type. Coverage is checked at load, so
+    * per-value probes ([[bloomProbe]]) cost only the probe-position
+    * job plus the distributive bitset filter — never a re-read of the
+    * sidecar or a re-listing of the store. The bitsets themselves stay
+    * in the frame (16 KiB × files is never collected). */
+  final case class BloomCtx private[SkippingStore] (
+      bm: DataFrame, nbits: Int, k: Int, keycol: String,
+      keyType: org.apache.spark.sql.types.DataType)
+
+  /** Resolve `dir`'s `_bloommap` for rule probing — None when absent,
+    * pre-keycol (the rule can't verify WHICH column it indexes),
+    * mixed-geometry, or keyed on a datetime column (a rule-extracted
+    * timestamp literal arrives as micros-Long; `CAST(long AS
     * TIMESTAMP)` reads seconds, not the micros the index hashed).
-    * Same distributive probe and loud coverage check as
-    * [[readBloomEq]]; false negatives impossible, so the rule may only
-    * drop files that provably lack the value. */
-  def bloomFileNames(spark: SparkSession, dir: String, keyCol: String,
-                     value: Any): Option[Seq[String]] = {
+    * Throws on coverage drift (the caller's fallback discipline). */
+  def loadBloomCtx(spark: SparkSession, dir: String): Option[BloomCtx] = {
     if (!pathExists(spark, s"$dir/_bloommap")) return None
-    value match {
-      case _: String | _: java.lang.Number | _: java.lang.Boolean => ()
-      case _ => return None
-    }
     val bm = bloomMap(spark, dir)
     if (!bm.columns.contains("keycol")) return None
     val geom = bm.select(col("nbits"), col("k"), col("keycol"))
       .distinct().collect()
-    if (geom.length != 1 || geom.head.getString(2) != keyCol) return None
-    val nbits = geom.head.getInt(0)
-    val k = geom.head.getInt(1)
+    if (geom.length != 1) return None
+    val keyCol = geom.head.getString(2)
     val mapped = bm.select(col("file")).collect().map(_.getString(0)).toSet
     checkCoverage(listDataFileNames(spark, dir).toSet, mapped, dir)
     val keyType = spark.read.parquet(dir).schema(keyCol).dataType
     keyType match {
-      // a rule-extracted timestamp literal arrives as micros-Long;
-      // CAST(long AS TIMESTAMP) reads seconds — never probe datetimes
       case org.apache.spark.sql.types.DateType |
            org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType => return None
-      case _ => ()
+           org.apache.spark.sql.types.TimestampNTZType => None
+      case _ =>
+        Some(BloomCtx(bm, geom.head.getInt(0), geom.head.getInt(1),
+          keyCol, keyType))
     }
-    // the literal's RUNTIME type must live in the key column's type
-    // family: the index hashed raw column values, so a cross-family
-    // probe (numeric literal vs string index — "123.0" vs "123") would
-    // hash a value the writer never saw and prune files that DO hold
-    // matching rows. Within-family numeric casts (5L → int) are exact.
-    val familyOk = (keyType, value) match {
+  }
+
+  /** The file names whose Bloom filter might contain `value` in
+    * `keyCol`, probed through a pre-resolved [[BloomCtx]]. None when
+    * the context indexes a different column or the literal's runtime
+    * type falls outside the key column's type family: the index
+    * hashed raw column values, so a cross-family probe (numeric
+    * literal vs string index — "123.0" vs "123") would hash a value
+    * the writer never saw and prune files that DO hold matching rows.
+    * Within-family numeric casts (5L → int) are exact. False
+    * negatives impossible, so a caller may only drop files that
+    * provably lack the value. */
+  def bloomProbe(spark: SparkSession, ctx: BloomCtx, keyCol: String,
+                 value: Any): Option[Seq[String]] = {
+    if (ctx.keycol != keyCol) return None
+    val familyOk = (ctx.keyType, value) match {
       case (org.apache.spark.sql.types.StringType, _: String) => true
       case (_: org.apache.spark.sql.types.NumericType, _: java.lang.Number) => true
       case (org.apache.spark.sql.types.BooleanType, _: java.lang.Boolean) => true
       case _ => false
     }
     if (!familyOk) return None
-    val probeCols = (0 until k).map(i =>
-      pmod(xxhash64(lit(value).cast(keyType), lit(i)), lit(nbits.toLong)))
+    val probeCols = (0 until ctx.k).map(i =>
+      pmod(xxhash64(lit(value).cast(ctx.keyType), lit(i)), lit(ctx.nbits.toLong)))
     val probe = spark.range(1).select(probeCols: _*).head()
-    val want = (0 until k).map(i => probe.getLong(i))
+    val want = (0 until ctx.k).map(i => probe.getLong(i))
     val iw = map_from_arrays(col("idxs"), col("words"))
     val hasAllBits = want.map { p =>
       coalesce(element_at(iw, lit((p / 64).toInt)), lit(0L))
         .bitwiseAND(lit(1L << (p % 64).toInt)) =!= lit(0L)
     }.reduce(_ && _)
-    Some(bm.filter(hasAllBits)
+    Some(ctx.bm.filter(hasAllBits)
       .select(col("file")).collect().map(_.getString(0)).toSeq.sorted)
+  }
+
+  /** One-shot [[bloomProbe]] (kept for spec/direct callers — the rule
+    * resolves a [[BloomCtx]] once per pass instead): the file names of
+    * `dir` whose Bloom filter might contain `value` in `keyCol`.
+    * Returns None on every "cannot prune" condition of the two-step
+    * path. */
+  def bloomFileNames(spark: SparkSession, dir: String, keyCol: String,
+                     value: Any): Option[Seq[String]] = {
+    value match {
+      case _: String | _: java.lang.Number | _: java.lang.Boolean => ()
+      case _ => return None
+    }
+    loadBloomCtx(spark, dir).flatMap(ctx =>
+      bloomProbe(spark, ctx, keyCol, value))
   }
 
   /** Prune a [[writeMulti]] store on any NUMERIC or DATE/TIMESTAMP
