@@ -218,6 +218,8 @@ object GraftCli {
       vDiff(dir, from.toLong, to.toLong, out)
     case "vvacuum" :: dir :: keepLast :: Nil =>
       vVacuum(dir, keepLast.toInt)
+    case "vcompact" :: dir :: nFiles :: Nil =>
+      vCompact(dir, nFiles.toInt)
     case "corpusbuckets" :: in :: Nil => corpusBuckets(in)
     case "knnlabel" :: labeled :: unlabeled :: out :: rest if rest.size <= 1 =>
       knnLabel(labeled, unlabeled, out, rest.headOption.map(_.toInt).getOrElse(5))
@@ -245,6 +247,14 @@ object GraftCli {
     case "annstorecompact" :: storeDir :: rest if rest.size <= 1 =>
       annStoreCompact(storeDir,
         rest.headOption.map(_.toLong).getOrElse(0L))
+    case "annstoreclustered" :: emb :: indexDir :: storeDir :: rider :: rest
+        if rest.size <= 1 =>
+      annStoreClustered(emb, indexDir, storeDir, rider,
+        rest.headOption.map(_.toInt).getOrElse(4))
+    case "annstoreknn" :: indexDir :: storeDir :: queries :: out :: k :: rest
+        if rest.size <= 1 =>
+      annStoreKnn(indexDir, storeDir, queries, out, k.toInt,
+        rest.headOption.map(_.toInt).getOrElse(1))
     case "annsq8build" :: emb :: indexDir :: storeDir :: Nil =>
       annSq8Build(emb, indexDir, storeDir)
     case "annsq8query" :: indexDir :: storeDir :: emb :: id :: k :: rest
@@ -311,6 +321,8 @@ object GraftCli {
            |           annstoreappend <emb> <indexdir> <storedir>
            |           annstorequery <indexdir> <storedir> <emb> <id> <k> [nprobe]
            |           annstorecompact <storedir> [max_records_per_file]
+           |           annstoreclustered <emb> <indexdir> <storedir> <ridercol> [files_per_cell]
+           |           annstoreknn <indexdir> <storedir> <queries> <out> <k> [nprobe]
            |           annsq8build <emb> <indexdir> <storedir>
            |           annsq8query <indexdir> <storedir> <emb> <id> <k> [nprobe]
            |           pqbuild <emb> <indexdir> [m] [k]
@@ -332,6 +344,7 @@ object GraftCli {
            |           vread <storedir> <outdir> [version]
            |           vdiff <storedir> <from_v> <to_v> <outdir>
            |           vvacuum <storedir> <keep_last>
+           |           vcompact <storedir> <n_files>
            |           indexedingest <batch.parquet> <storedir> <sortcol> <statscol,...> [bloomcol]
            |           compactstore <storedir> <sortcol> [target_mb]
            |           bloomindex <storedir> <keycol> [nbits] [hashes]
@@ -1687,6 +1700,18 @@ object GraftCli {
     spark.stop()
   }
 
+  /** vcompact: manifest-route compaction — rewrite the latest snapshot
+    * into fewer files and commit as a new overwrite version (no
+    * directory rename; the object-store-safe path). */
+  private def vCompact(dir: String, nFiles: Int): Unit = {
+    val spark = GraftSession.local()
+    val (v, was, now) =
+      graft.sinks.VersionedStore.compactVersioned(spark, dir, nFiles)
+    println(s"compacted $dir: $was -> $now files at version $v " +
+      "(older versions still time-travel; vvacuum reclaims)")
+    spark.stop()
+  }
+
   /** pagerank: iterative authority ranking over an edge-list parquet
     * (src, dst[, w]) — the crawl-frontier scorer (operators/Graph).
     * Missing weights default to 1. */
@@ -1965,6 +1990,42 @@ object GraftCli {
     val (was, now) =
       graft.operators.Similarity.compactIvfStore(spark, storeDir, maxRecords)
     println(s"compacted postings store $storeDir: $was -> $now files")
+    spark.stop()
+  }
+
+  /** annstoreclustered: the rider-clustered postings layout — lists
+    * split into rider-range files with a partition-relative zone
+    * sidecar, so a filtered annstorequery skips files INSIDE probed
+    * cells (the transparent rule composes both prunes). */
+  private def annStoreClustered(emb: String, indexDir: String,
+                                storeDir: String, rider: String,
+                                filesPerCell: Int): Unit = {
+    val spark = GraftSession.local()
+    val index = graft.operators.Similarity.loadIndex(spark, indexDir)
+    graft.operators.Similarity.ivfStoreBuildClustered(
+      spark.read.parquet(emb), "vec_id", "embedding", index, storeDir,
+      riderCols = Seq(rider), filesPerCell = filesPerCell)
+    val files = graft.sinks.SkippingStore
+      .listDataFileRelPaths(spark, storeDir).size
+    println(s"wrote clustered postings store $storeDir " +
+      s"($files files across ${index.cids.size} cells, rider '$rider' indexed)")
+    spark.stop()
+  }
+
+  /** annstoreknn: batched store-served kNN join — one job retrieves
+    * top-k for a whole query FRAME from the postings store (no forced
+    * broadcast: bounded query sets broadcast by statistics, corpus
+    * sweeps shuffle on cell). */
+  private def annStoreKnn(indexDir: String, storeDir: String, queries: String,
+                          out: String, k: Int, nprobe: Int): Unit = {
+    val spark = GraftSession.local()
+    val index = graft.operators.Similarity.loadIndex(spark, indexDir)
+    val res = graft.operators.Similarity.knnJoinIvfStore(spark, storeDir,
+      spark.read.parquet(queries), "vec_id", "embedding", k, index, nprobe)
+    res.write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    println(s"$n (query, neighbor) rows -> $out " +
+      s"(k=$k, nprobe $nprobe of ${index.cids.size} cells)")
     spark.stop()
   }
 
