@@ -465,22 +465,25 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val dir = roots.head.toString
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasZone = fs.exists(new Path(s"$dir/_zonemap_multi"))
-    // the bloom sidecar keys files by bare name, which is ambiguous
-    // under dynamic partitioning (the same part- name can appear in
-    // several partition dirs) — partitioned stores are zone-only
-    val hasBloom = !partitioned && fs.exists(new Path(s"$dir/_bloommap"))
+    val hasBloom = fs.exists(new Path(s"$dir/_bloommap"))
     if (!hasZone && !hasBloom) return f
     // ONE load per sidecar serves every predicate of this pass; the
-    // loud coverage checks throw on drift, which the caller's catch
-    // turns into the unpruned fallback
+    // zone sidecar's loud coverage check throws on drift, which the
+    // caller's catch turns into the unpruned fallback. A STALE BLOOM
+    // alone must not disable a still-valid zone prune, so its load
+    // failure degrades to bloom-off instead of propagating. On a
+    // partitioned store both sidecars key files by partition-relative
+    // path (bare part- names are ambiguous under dynamic partitioning).
     val sidecar =
       if (hasZone) graft.sinks.SkippingStore
         .loadMultiSidecar(spark, dir, relative = partitioned)
       else None
-    if (partitioned && sidecar.isEmpty) return f
+    if (partitioned && hasZone && sidecar.isEmpty) return f
     val bloom =
-      if (hasBloom) graft.sinks.SkippingStore.loadBloomCtx(spark, dir)
-      else None
+      if (!hasBloom) None
+      else scala.util.Try(graft.sinks.SkippingStore
+        .loadBloomCtx(spark, dir, relative = partitioned))
+        .toOption.flatten
     if (sidecar.isEmpty && bloom.isEmpty) return f
     val tzOk = sidecar.exists(sc =>
       sc.tzs == Set(spark.sessionState.conf.sessionLocalTimeZone))

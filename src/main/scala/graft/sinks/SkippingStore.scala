@@ -740,7 +740,8 @@ object SkippingStore {
     * timestamp literal arrives as micros-Long; `CAST(long AS
     * TIMESTAMP)` reads seconds, not the micros the index hashed).
     * Throws on coverage drift (the caller's fallback discipline). */
-  def loadBloomCtx(spark: SparkSession, dir: String): Option[BloomCtx] = {
+  def loadBloomCtx(spark: SparkSession, dir: String,
+                   relative: Boolean = false): Option[BloomCtx] = {
     if (!pathExists(spark, s"$dir/_bloommap")) return None
     val bm = bloomMap(spark, dir)
     if (!bm.columns.contains("keycol")) return None
@@ -749,7 +750,9 @@ object SkippingStore {
     if (geom.length != 1) return None
     val keyCol = geom.head.getString(2)
     val mapped = bm.select(col("file")).collect().map(_.getString(0)).toSet
-    checkCoverage(listDataFileNames(spark, dir).toSet, mapped, dir)
+    val actual = if (relative) listDataFileRelPaths(spark, dir)
+                 else listDataFileNames(spark, dir)
+    checkCoverage(actual.toSet, mapped, dir)
     val keyType = spark.read.parquet(dir).schema(keyCol).dataType
     keyType match {
       case org.apache.spark.sql.types.DateType |
@@ -904,11 +907,14 @@ object SkippingStore {
     * sidecars are simply not rule-prunable ([[bloomFileNames]] returns
     * None for them). */
   private def bloomRows(data: DataFrame, keyCol: String,
-                        nbits: Int, k: Int): DataFrame = {
+                        nbits: Int, k: Int,
+                        fileKey: Column =
+                          regexp_extract(input_file_name(), "[^/]+$", 0))
+      : DataFrame = {
     val probes = (0 until k).map(i =>
       pmod(xxhash64(col(keyCol), lit(i)), lit(nbits.toLong)).as(s"p$i"))
     data
-      .select((regexp_extract(input_file_name(), "[^/]+$", 0).as("file") +: probes): _*)
+      .select((fileKey.as("file") +: probes): _*)
       .select(col("file"), explode(array((0 until k).map(i => col(s"p$i")): _*)).as("pos"))
       .groupBy(col("file"), (col("pos") / 64).cast("int").as("idx"))
       .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("word"))
@@ -950,6 +956,40 @@ object SkippingStore {
         .coalesce(1)
         .write.mode("append").parquet(s"$dir/_bloommap")
     }
+  }
+
+  /** Build — or incrementally EXTEND — the `_bloommap` of a
+    * PARTITIONED store, keyed by partition-relative file path (the
+    * [[indexPartitioned]] convention: bare part- names are ambiguous
+    * across partition dirs). Only unmapped files are scanned. This is
+    * the point-lookup prune INSIDE surviving partitions — e.g. fetch
+    * or delete ONE vector's posting from a cell-partitioned store by
+    * its id without reading the whole probed list. */
+  def bloomIndexPartitioned(spark: SparkSession, dir: String, keyCol: String,
+                            nbits: Int = 1 << 17, k: Int = 5): Unit = {
+    require(nbits % 64 == 0 && nbits > 0, "nbits must be a positive multiple of 64")
+    require(k >= 1, "need at least one hash")
+    val side = s"$dir/_bloommap"
+    val (known, nb, kk) =
+      if (!pathExists(spark, side)) (Set.empty[String], nbits, k)
+      else {
+        val bm = bloomMap(spark, dir)
+        require(bm.columns.contains("keycol"),
+          s"$side predates the keycol marker — rebuild with bloomIndexPartitioned")
+        val geom = bm.select(col("nbits"), col("k"), col("keycol"))
+          .distinct().collect()
+        require(geom.length == 1 && geom.head.getString(2) == keyCol,
+          s"$side geometry/key mismatch — rebuild with bloomIndexPartitioned")
+        (bm.select(col("file")).collect().map(_.getString(0)).toSet,
+          geom.head.getInt(0), geom.head.getInt(1))
+      }
+    val newFiles = listDataFileRelPaths(spark, dir).filterNot(known)
+    if (newFiles.isEmpty) return
+    bloomRows(spark.read.parquet(newFiles.map(f => s"$dir/$f"): _*),
+        keyCol, nb, kk,
+        regexp_extract(input_file_name(), "((?:[^/]+=[^/]*/)*[^/]+)$", 1))
+      .coalesce(1)
+      .write.mode(if (known.isEmpty) "overwrite" else "append").parquet(side)
   }
 
   /** The bloom sidecar as a DataFrame (one row per data file). */

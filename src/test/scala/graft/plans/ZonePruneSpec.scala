@@ -286,6 +286,33 @@ class ZonePruneSpec extends SparkSpec {
     assert(ok.count() == 29)
   }
 
+  test("partitioned stores: bloom point lookups skip files inside partitions") {
+    // a hash-scattered key no zone can prune: only the relative-path
+    // bloom sidecar can narrow a point lookup inside the partitions
+    val dir = java.nio.file.Files.createTempDirectory("zppbloom").toString + "/s"
+    val df = Seq.tabulate(400)(i => (i, i % 4, s"h${i % 97}x$i")).toDF("k", "p", "key")
+    df.repartition(16).write.partitionBy("p").parquet(dir)
+    SkippingStore.bloomIndexPartitioned(spark, dir, "key", nbits = 1 << 14, k = 5)
+    val total = SkippingStore.listDataFileRelPaths(spark, dir).size
+    assert(total > 4, s"fixture needs several files ($total)")
+    val got = spark.read.parquet(dir).filter($"key" === "h5x102")
+    assert(got.select($"k").as[Int].collect().toSeq == Seq(102))
+    assert(graft.plans.PlanProbe.scannedFileCount(got) < total,
+      "the partitioned bloom must prune the point lookup")
+    // composed with a partition filter: both prunes in one scan
+    val comp = spark.read.parquet(dir).filter($"p" === 2 && $"key" === "h5x102")
+    assert(comp.select($"k").as[Int].collect().toSeq == Seq(102))
+    // a stale bloom (unmapped append) must not drop rows — and must
+    // not disable correctness anywhere
+    Seq((9999, 1, "zzz")).toDF("k", "p", "key")
+      .write.partitionBy("p").mode("append").parquet(dir)
+    val stale = spark.read.parquet(dir).filter($"key" === "zzz")
+    assert(stale.select($"k").as[Int].collect().toSeq == Seq(9999))
+    SkippingStore.bloomIndexPartitioned(spark, dir, "key")
+    val fresh = spark.read.parquet(dir).filter($"key" === "zzz")
+    assert(fresh.select($"k").as[Int].collect().toSeq == Seq(9999))
+  }
+
   test("partitioned stores: rider zones skip files INSIDE surviving partitions") {
     // the postings-store shape: directory partitioning on p, files
     // within each partition clustered by the rider column r — both
