@@ -349,11 +349,17 @@ object Similarity {
     * mid-compact leaves either the old store or the new one, never a
     * mix. Rows (and the `_applied_batch` replay marker) are preserved
     * verbatim, so serving results and the streaming gate are
-    * unchanged. Returns (files before, files after). */
+    * unchanged. A CLUSTERED store's sidecars
+    * ([[ivfStoreBuildClustered]]) survive the rewrite: the compacted
+    * lists re-sort by (cell, riders) and both the relative-path zone
+    * sidecar and, when present, the bloom sidecar (same key and
+    * geometry) are rebuilt against the NEW layout BEFORE the swap —
+    * an indexed copy exists on disk at every instant, never a
+    * silently de-indexed store. Returns (files before, files after). */
   def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
                       storeDir: String,
                       maxRecordsPerFile: Long = 0L): (Int, Int) = {
-    import graft.sinks.HadoopSwap
+    import graft.sinks.{HadoopSwap, SkippingStore}
     def dataFiles(d: String): Int = {
       val f = HadoopSwap.fs(spark, d)
       val p = new org.apache.hadoop.fs.Path(d)
@@ -365,17 +371,40 @@ object Similarity {
           s.isFile && n.startsWith("part-") && n.endsWith(".parquet")
         }).sum
     }
+    val statsCols: Seq[String] =
+      if (!HadoopSwap.exists(spark, s"$storeDir/_zonemap_multi")) Nil
+      else spark.read.parquet(s"$storeDir/_zonemap_multi")
+        .select(col("col")).distinct().collect().map(_.getString(0)).toSeq.sorted
+    val bloomGeom: Option[(String, Int, Int)] =
+      if (!HadoopSwap.exists(spark, s"$storeDir/_bloommap")) None
+      else {
+        val bm = spark.read.parquet(s"$storeDir/_bloommap")
+        require(bm.columns.contains("keycol"),
+          s"compactIvfStore($storeDir): the _bloommap predates the keycol " +
+            "marker — rebuild it before compacting")
+        val g = bm.select(col("keycol"), col("nbits"), col("k"))
+          .distinct().collect()
+        require(g.length == 1,
+          s"compactIvfStore($storeDir): mixed bloom geometries — rebuild first")
+        Some((g.head.getString(0), g.head.getInt(1), g.head.getInt(2)))
+      }
     val before = dataFiles(storeDir)
     val tmp = storeDir + "_compact_tmp"
     val aside = storeDir + "_compact_old"
     HadoopSwap.deleteRecursive(spark, tmp)
     HadoopSwap.deleteRecursive(spark, aside)
+    val sortKeys = col("cell") +: statsCols.map(col)
     val w = spark.read.parquet(storeDir)
       .repartition(col("cell"))
+      .sortWithinPartitions(sortKeys: _*)
       .write.partitionBy("cell").mode("overwrite")
     (if (maxRecordsPerFile > 0L)
        w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).parquet(tmp)
+    if (statsCols.nonEmpty)
+      SkippingStore.indexPartitioned(spark, tmp, statsCols)
+    bloomGeom.foreach { case (kc, nb, k) =>
+      SkippingStore.bloomIndexPartitioned(spark, tmp, kc, nb, k) }
     HadoopSwap.swapInto(spark, tmp, storeDir, aside)
     (before, dataFiles(storeDir))
   }

@@ -3532,6 +3532,56 @@ object Pipeline {
   // opened, never the rows returned
   private lazy val q219Sql = q214Sql
 
+  // --------------------------------------------------------------- q220
+  // The WHOLE clustered-postings lifecycle in one row: build the
+  // rider-clustered store on a base slice (frozen index), stream a
+  // later batch in (ivfStoreAppend — map-only assignment), extend the
+  // relative-path sidecar over ONLY the new files (indexPartitioned),
+  // serve a filtered probe (both prunes compose), then COMPACT — the
+  // rewrite re-sorts each list by (cell, rider) and rebuilds the
+  // sidecar against the new layout before the swap — and serve again.
+  // The two serves must be bit-identical and the compact must shrink
+  // the store; the oracle replays the ranking trained on the base
+  // slice (assignment is per-row, so append == build-then-append).
+  private def q220ClusteredLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q220", dir)
+    val emb = t(s, dir, "embeddings")
+      .withColumn("bucket", (col("vec_id") % 7).cast("int"))
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val ix = Similarity.trainIvf(base, "vec_id", "embedding", 8)
+    Similarity.ivfStoreBuildClustered(base, "vec_id", "embedding", ix, out,
+      riderCols = Seq("bucket"), filesPerCell = 3)
+    Similarity.ivfStoreAppend(batch, "vec_id", "embedding", ix, out)
+    // per-batch sidecar maintenance: only the appended files scan
+    graft.sinks.SkippingStore.indexPartitioned(s, out, Seq("bucket"))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    def serve() = Similarity.ivfStoreTopK(s, out, "vec_id", "embedding", qv,
+      ix, k = 10, nprobe = 2, excludeId = Some(0L),
+      where = Some(col("bucket") === 3))
+    val first = serve().collect().toSeq
+    val (was, now) = Similarity.compactIvfStore(s, out)
+    require(now < was,
+      s"compaction must shrink the appended store ($was -> $now files)")
+    val res = serve()
+    require(res.collect().toSeq == first,
+      "the compacted store must serve bit-identical results")
+    res
+  }
+
+  private lazy val q220Sql =
+    s"""WITH ${ivfCtesTrainedOn("e.vec_id < 400")},
+       |q AS (SELECT ev AS qv FROM a1 WHERE vid = 0),
+       |probes AS (SELECT cid AS cell FROM (
+       |  SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn FROM d1 WHERE vid = 0) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT vid AS vec_id,
+       |    ${cosSql("ev", "qv")} AS sim
+       |  FROM a1 JOIN probes ON a1.cell = probes.cell CROSS JOIN q
+       |  WHERE a1.vid <> 0 AND a1.vid % 7 = 3)
+       |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4353,6 +4403,7 @@ object Pipeline {
     "q216_store_knn_join" -> q216StoreKnnJoin _,
     "q218_store_knn_sweep" -> q218StoreKnnSweep _,
     "q219_clustered_ann" -> q219ClusteredAnn _,
+    "q220_clustered_lifecycle" -> q220ClusteredLifecycle _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4580,6 +4631,7 @@ object Pipeline {
     "q216_store_knn_join" -> q216Sql,
     "q218_store_knn_sweep" -> q218Sql,
     "q219_clustered_ann" -> q219Sql,
+    "q220_clustered_lifecycle" -> q220Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )
