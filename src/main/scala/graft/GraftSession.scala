@@ -31,6 +31,15 @@ object GraftSession {
     // gate's max(_applied_batch) stays a column-pruned scan of one
     // RLE-compressed long column (its mergeSchema read would preclude
     // pushdown anyway); don't size restart budgets assuming O(files)
+    // bounded-buffer typed aggregators (TopK, the kNN-join spine) hold
+    // thousands of SMALL per-group buffers per map task; Spark's default
+    // ObjectHashAggregate fallback threshold (128 in-memory groups)
+    // degrades them to sort-based aggregation with per-row buffer
+    // serialization — measured 2x+ on corpus-scale sweeps (q218). The
+    // buffers here are k-bounded, so holding thousands is cheap; truly
+    // unbounded collect_list shapes in this engine group by file and
+    // stay far below this count anyway.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4096",
     "spark.sql.parquet.aggregatePushdown" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")
@@ -50,6 +59,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

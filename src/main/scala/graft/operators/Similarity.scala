@@ -479,24 +479,35 @@ object Similarity {
     val idType = integralIdType(queries, idCol)
     // one assignment pass feeds BOTH the probed-cell collect and the
     // join side — localCheckpoint stops the probe expression running
-    // twice (and hides the query lineage from the store scan's plan)
+    // twice (and hides the query lineage from the store scan's plan).
+    // The round-robin repartition BEFORE the checkpoint spreads the
+    // frame across the session's shuffle partitions: a query frame
+    // read from one parquet file would otherwise stream the ENTIRE
+    // scoring join through a single task under a broadcast store side
+    // (measured 8 s single-task vs sub-second parallel on the q218
+    // sweep). The null filter here makes cosine non-null downstream
+    // (cosine_sim is null-safe, NaN on zero norms), so no isNotNull
+    // residual has to re-evaluate it inside the join condition.
     val qcells = queries
       .select(col(idCol).as("query_id"), col(embCol).as("qv"))
+      .filter(col("qv").isNotNull)
       .select(col("query_id"), col("qv"),
         explode(index.probeCellsCol(col("qv"), nprobe)).as("cell"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .localCheckpoint()
     // union of probed cells: ≤ numCells ints, driver-held by design
     val cells = qcells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val store = spark.read.parquet(storeDir)
       .filter(col("cell").isin(cells: _*))
+      .filter(col(embCol).isNotNull)
     val scored = store
       .join(qcells, Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).cast("long").as("cand_id"),
         round(graft.functions.VectorFunctions.cosine_sim(col(embCol), col("qv")), 6)
           .as("sim"))
-    scored.filter(col("sim").isNotNull)
+    scored
       .groupBy(col("query_id"))
       .agg(graft.functions.TopK.top_k(k)(col("cand_id"), col("sim")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("hit"))

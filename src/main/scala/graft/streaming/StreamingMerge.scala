@@ -220,14 +220,15 @@ object StreamingMerge {
   def annIngest(spark: SparkSession, inDir: String,
                 schema: org.apache.spark.sql.types.StructType,
                 storeDir: String, checkpointDir: String,
-                indexDir: String):
+                indexDir: String,
+                riderCols: Seq[String] = Nil):
       org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyAnnBatch(batch, batchId, storeDir, indexDir): Unit
+        applyAnnBatch(batch, batchId, storeDir, indexDir, riderCols): Unit
       }
       .start()
 
@@ -237,9 +238,18 @@ object StreamingMerge {
     * ([[replayGateSkips]]). The index loads per batch — it is a
     * cell-count-sized artifact, and re-reading it means an index
     * RETRAIN mid-stream (new artifact at `indexDir`) would corrupt
-    * the store's lists, so retrains must pair with a store rebuild. */
+    * the store's lists, so retrains must pair with a store rebuild.
+    *
+    * `riderCols` non-empty maintains the clustered store's
+    * relative-path zone sidecar per batch
+    * ([[graft.sinks.SkippingStore.indexPartitioned]] — only unmapped
+    * files scan). The extension runs on the REPLAY path too: a crash
+    * between the data append and the sidecar write leaves the sidecar
+    * stale (the transparent rule falls back, correct), and the
+    * replayed batch heals it instead of skipping past the gap. */
   def applyAnnBatch(batch: DataFrame, batchId: Long, storeDir: String,
-                    indexDir: String): Boolean = {
+                    indexDir: String,
+                    riderCols: Seq[String] = Nil): Boolean = {
     import graft.operators.Similarity
     val spark = batch.sparkSession
     val p = new org.apache.hadoop.fs.Path(storeDir)
@@ -247,13 +257,19 @@ object StreamingMerge {
       spark.sparkContext.hadoopConfiguration).exists(p)
     val index = Similarity.loadIndex(spark, indexDir)
     val marked = batch.withColumn("_applied_batch", lit(batchId))
+    def extendSidecar(): Unit =
+      if (riderCols.nonEmpty)
+        graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, riderCols)
     if (!exists) {
       Similarity.ivfStoreBuild(marked, "vec_id", "embedding", index, storeDir)
     } else {
-      if (replayGateSkips(spark, storeDir, batchId))
+      if (replayGateSkips(spark, storeDir, batchId)) {
+        extendSidecar() // heal a crash between data append and sidecar write
         return false // replayed batch
+      }
       Similarity.ivfStoreAppend(marked, "vec_id", "embedding", index, storeDir)
     }
+    extendSidecar()
     true
   }
 

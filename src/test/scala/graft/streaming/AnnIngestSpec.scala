@@ -17,6 +17,53 @@ class AnnIngestSpec extends SparkSpec {
   private def batchDf(from: Int, until: Int): DataFrame =
     (from until until).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
 
+  test("riderCols ingest keeps the clustered sidecar current per batch") {
+    import graft.sinks.SkippingStore
+    val root = java.nio.file.Files.createTempDirectory("anningr").toString
+    val (ixDir, dir) = (s"$root/ix", s"$root/store")
+    def withBucket(df: DataFrame) =
+      df.withColumn("bucket", ($"vec_id" % 3).cast("int"))
+    val base = withBucket(batchDf(0, 64))
+    val index = Similarity.trainIvf(base, "vec_id", "embedding", 4)
+    Similarity.saveIndex(spark, index, ixDir)
+    assert(StreamingMerge.applyAnnBatch(base, 0L, dir, ixDir, Seq("bucket")))
+    assert(StreamingMerge.applyAnnBatch(withBucket(batchDf(64, 128)), 1L,
+      dir, ixDir, Seq("bucket")))
+    // the sidecar covers every file of both batches (coverage check is
+    // the assertion: a gap would make the load throw)
+    val sc = SkippingStore.loadMultiSidecar(spark, dir, relative = true)
+    assert(sc.isDefined && sc.get.byCol.contains("bucket"))
+    assert(sc.get.byCol("bucket").size ==
+      SkippingStore.listDataFileRelPaths(spark, dir).size)
+    // filtered serve across the maintained store is exact
+    val qv = vec(9)
+    val got = Similarity.ivfStoreTopK(spark, dir, "vec_id", "embedding",
+      qv, index, k = 5, nprobe = 4, excludeId = Some(9L),
+      where = Some($"bucket" === 1))
+    val want = withBucket(batchDf(0, 128))
+      .filter($"vec_id" =!= 9L && $"bucket" === 1)
+      .select($"vec_id",
+        round(graft.functions.VectorFunctions
+          .cosine_sim($"embedding", typedLit(qv)), 6).as("sim"))
+      .orderBy($"sim".desc, $"vec_id").limit(5)
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // crash window: data appended + marker committed, sidecar write
+    // lost — the REPLAY of that batch heals the sidecar instead of
+    // skipping past the gap
+    Similarity.ivfStoreAppend(
+      withBucket(batchDf(128, 160)).withColumn("_applied_batch", lit(2L)),
+      "vec_id", "embedding", index, dir)
+    assert(scala.util.Try(
+      SkippingStore.loadMultiSidecar(spark, dir, relative = true)).isFailure,
+      "fixture: the sidecar must be torn before the replay")
+    assert(!StreamingMerge.applyAnnBatch(withBucket(batchDf(128, 160)), 2L,
+      dir, ixDir, Seq("bucket")), "replay must be skipped (data landed)")
+    val healed = SkippingStore.loadMultiSidecar(spark, dir, relative = true)
+    assert(healed.isDefined && healed.get.byCol("bucket").size ==
+      SkippingStore.listDataFileRelPaths(spark, dir).size,
+      "the replayed batch must heal the torn sidecar")
+  }
+
   test("streamed batches keep the store servable; replay gate holds") {
     val root = java.nio.file.Files.createTempDirectory("anning").toString
     val (ixDir, dir) = (s"$root/ix", s"$root/store")
