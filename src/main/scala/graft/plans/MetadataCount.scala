@@ -26,8 +26,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *  - the child is the relation under zero or more [[Project]]s (a
   *    Project never changes row count — a Filter does, and does NOT
   *    match);
-  *  - V1 parquet relation, non-partitioned, whose root is the store
-  *    dir.
+  *  - V1 parquet relation whose root is the store dir (partitioned
+  *    stores qualify: their relative-path sidecar covers every
+  *    partition's files, and the bare-count shape excludes partition
+  *    filters).
   * The sidecar sum itself ([[graft.sinks.SkippingStore.metadataCount]])
   * refuses when any data file is unmapped (coverage check), a file's
   * recorded counts disagree, or the sidecar predates `nrows` — any
@@ -67,7 +69,10 @@ case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(a: Aggregate, l: LogicalRelation): LogicalPlan = {
     val rel = l.relation.asInstanceOf[HadoopFsRelation]
-    if (rel.partitionSchema.nonEmpty) return a
+    // partitioned stores count too: the relative-path sidecar
+    // (indexPartitioned) covers every file of every partition, and a
+    // bare global count has no partition filter by the matched shape
+    if (rel.location.isInstanceOf[PrunedFileIndex]) return a
     val roots = rel.location.rootPaths
     if (roots.length != 1 || roots.head.getName.endsWith(".parquet")) return a
     val dir = roots.head.toString

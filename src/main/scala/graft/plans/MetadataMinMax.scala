@@ -157,7 +157,11 @@ case class MetadataMinMaxRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(a: Aggregate, l: LogicalRelation,
                       child: LogicalPlan): LogicalPlan = {
     val rel = l.relation.asInstanceOf[HadoopFsRelation]
-    if (rel.partitionSchema.nonEmpty) return a
+    // partitioned stores answer too — a partition COLUMN is absent
+    // from the sidecar (statFor -> None) and falls back to the scan,
+    // while data columns and bare count(*) resolve from the
+    // relative-path sidecar exactly as on a flat store
+    if (rel.location.isInstanceOf[PrunedFileIndex]) return a
     val roots = rel.location.rootPaths
     if (roots.length != 1 || roots.head.getName.endsWith(".parquet")) return a
     val dir = roots.head.toString

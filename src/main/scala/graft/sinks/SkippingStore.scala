@@ -304,7 +304,7 @@ object SkippingStore {
       .collect()
     val files = perFile.map(_.getString(0))
     if (files.length != files.distinct.length) return None // conflicting counts
-    checkCoverage(listDataFileNames(spark, dir).toSet, files.toSet, dir)
+    checkCoverageAuto(spark, dir, files.toSet)
     Some(perFile.map(_.getLong(1)).sum)
   }
 
@@ -326,7 +326,7 @@ object SkippingStore {
     if (rows.isEmpty) return None // column not indexed
     val files = rows.map(_.getString(0))
     if (files.length != files.distinct.length) return None // conflicting stats
-    checkCoverage(listDataFileNames(spark, dir).toSet, files.toSet, dir)
+    checkCoverageAuto(spark, dir, files.toSet)
     Some(rows.map(r => r.getLong(1) - r.getLong(2)).sum)
   }
 
@@ -527,7 +527,7 @@ object SkippingStore {
     if (rows.isEmpty) return None // column not indexed (or empty store)
     val files = rows.map(_.getString(0))
     if (files.length != files.distinct.length) return None // conflicting stats
-    checkCoverage(listDataFileNames(spark, dir).toSet, files.toSet, dir)
+    checkCoverageAuto(spark, dir, files.toSet)
     def d(i: Int) = rows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i))
     def s(i: Int) = rows.iterator.filterNot(_.isNullAt(i)).map(_.getString(i))
     val byBytes = Ordering.comparatorToOrdering(
@@ -1138,6 +1138,18 @@ object SkippingStore {
         s"unindexed ${unindexed.take(3).mkString("(", ",", ")")}, " +
         s"${phantom.size} indexed files missing " +
         s"${phantom.take(3).mkString("(", ",", ")")} — rewrite the store")
+  }
+
+  /** Coverage check that infers the store layout from the sidecar's
+    * own keys: relative paths (contain '/') mean a partitioned store
+    * ([[indexPartitioned]]), bare names a flat one. Lets the
+    * metadata-only readers serve BOTH layouts without a caller flag. */
+  private def checkCoverageAuto(spark: SparkSession, dir: String,
+                                mapped: Set[String]): Unit = {
+    val actual =
+      if (mapped.exists(_.contains("/"))) listDataFileRelPaths(spark, dir)
+      else listDataFileNames(spark, dir)
+    checkCoverage(actual.toSet, mapped, dir)
   }
 
   private def mappedFileNames(spark: SparkSession, dir: String): Set[String] =

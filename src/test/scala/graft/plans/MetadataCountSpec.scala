@@ -51,6 +51,31 @@ class MetadataCountSpec extends SparkSpec {
     assert(cnt2.as[Long].head() == 401L)
   }
 
+  test("partitioned stores answer count(*)/min/max metadata-only too") {
+    val dir = java.nio.file.Files.createTempDirectory("metapart").toString + "/s"
+    val df = Seq.tabulate(300)(i => (i, i % 3, i * 2)).toDF("k", "p", "r")
+    df.repartitionByRange(6, $"p", $"r").sortWithinPartitions("p", "r")
+      .write.partitionBy("p").parquet(dir)
+    SkippingStore.indexPartitioned(spark, dir, Seq("k", "r"))
+    val cnt = spark.read.parquet(dir).groupBy().count()
+    assert(!scansData(cnt), "partitioned count must come from the sidecar")
+    assert(cnt.as[Long].head() == 300L)
+    // min/max of an INDEXED data column: metadata-only
+    val mm = spark.read.parquet(dir).agg(min($"r"), max($"r"))
+    assert(!scansData(mm))
+    assert(mm.as[(Int, Int)].head() == ((0, 598)))
+    // min of the PARTITION column is not in the sidecar: scans, correct
+    val pm = spark.read.parquet(dir).agg(min($"p"))
+    assert(scansData(pm), "partition columns fall back to the scan")
+    assert(pm.as[Int].head() == 0)
+    // an unmapped append (stale sidecar): falls back, stays correct
+    Seq((9999, 1, 9999)).toDF("k", "p", "r")
+      .write.partitionBy("p").mode("append").parquet(dir)
+    val stale = spark.read.parquet(dir).groupBy().count()
+    assert(scansData(stale), "stale partitioned sidecar must scan")
+    assert(stale.as[Long].head() == 301L)
+  }
+
   test("filters, count(col), and grouped counts scan normally") {
     val (dir, _) = store
     val filtered = spark.read.parquet(dir).filter($"v" >= 1000).groupBy().count()
