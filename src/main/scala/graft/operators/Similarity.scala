@@ -470,11 +470,21 @@ object Similarity {
     * (sim desc, id) tiebreak) — the property the q216 oracle pins.
     * Skew note: `cell` has at most numCells distinct values, so the
     * shuffle fan-out is list-count-bounded; AQE's skew-join split
-    * re-balances a hot cell's partitions at runtime. */
+    * re-balances a hot cell's partitions at runtime.
+    *
+    * `where` gates the STORE side before scoring (filtered ANN,
+    * batched): the predicate runs inside the probed partitions via
+    * parquet pushdown, and on a rider-clustered store
+    * ([[ivfStoreBuildClustered]]) the transparent zone rule also
+    * skips rider-mismatched FILES — mining hard negatives inside one
+    * quality tier reads probed-cells × rider-selectivity of the
+    * corpus. */
   def knnJoinIvfStore(spark: org.apache.spark.sql.SparkSession,
                       storeDir: String, queries: DataFrame,
                       idCol: String, embCol: String, k: Int,
-                      index: IvfIndex, nprobe: Int): DataFrame = {
+                      index: IvfIndex, nprobe: Int,
+                      where: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     require(nprobe >= 1 && nprobe <= index.cids.size, "1 <= nprobe <= cells")
     val idType = integralIdType(queries, idCol)
     // one assignment pass feeds BOTH the probed-cell collect and the
@@ -498,9 +508,14 @@ object Similarity {
     // union of probed cells: ≤ numCells ints, driver-held by design
     val cells = qcells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val store = spark.read.parquet(storeDir)
+    val base = spark.read.parquet(storeDir)
       .filter(col("cell").isin(cells: _*))
       .filter(col(embCol).isNotNull)
+    // metadata gate (the q80/q214 filtered-ANN semantics, batched):
+    // applied INSIDE the probed partitions so it rides parquet
+    // pushdown — and, on a rider-clustered store, the transparent
+    // zone rule's file skipping — BEFORE any pair is scored
+    val store = where.fold(base)(base.filter)
     val scored = store
       .join(qcells, Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))

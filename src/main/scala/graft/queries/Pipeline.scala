@@ -3582,6 +3582,60 @@ object Pipeline {
        |  WHERE a1.vid <> 0 AND a1.vid % 7 = 3)
        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------- q221
+  // Filtered BATCHED sweep: a query frame retrieves top-k from the
+  // rider-clustered postings store under a metadata gate — the
+  // hard-negative-mining-within-a-quality-tier shape. One job; per
+  // query the store scan partition-prunes to the probed-cell union,
+  // the transparent zone rule skips rider-mismatched files INSIDE
+  // those cells, and the residual bucket predicate rides parquet
+  // pushdown — the in-plan require proves the file count is below the
+  // probed union's. Per query-id the answer equals the per-query
+  // filtered serve (q219's semantics, batched).
+  private def q221FilteredSweep(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q221", dir)
+    val emb = t(s, dir, "embeddings")
+      .withColumn("bucket", (col("vec_id") % 7).cast("int"))
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+    Similarity.ivfStoreBuildClustered(emb, "vec_id", "embedding", ix, out,
+      riderCols = Seq("bucket"), filesPerCell = 3)
+    val queries = emb.filter(col("vec_id") < 5)
+    val res = Similarity.knnJoinIvfStore(s, out, queries,
+      "vec_id", "embedding", k = 10, index = ix, nprobe = 2,
+      where = Some(col("bucket") === 3))
+      .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+    val probedUnion = queries
+      .select(explode(graft.functions.VectorFunctions.nearest_cells(
+        col("embedding"), ix.cids, ix.centroids, 2)).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    val filesInUnion = probedUnion.map { c =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/cell=$c"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    require(graft.plans.PlanProbe.scannedFileCount(res) < filesInUnion,
+      s"the filtered sweep must skip rider-mismatched files inside the " +
+        s"probed union (opened all $filesInUnion)")
+    res
+  }
+
+  private val q221Sql =
+    s"""WITH $ivfCtes,
+       |q AS (SELECT vid AS query_id, ev AS qv FROM a1 WHERE vid < 5),
+       |probes AS (SELECT vid AS query_id, cid AS cell FROM (
+       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+       |  FROM d1 WHERE vid < 5) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT probes.query_id, a1.vid AS vec_id, ${cosSql("a1.ev", "q.qv")} AS sim
+       |  FROM a1 JOIN probes ON a1.cell = probes.cell
+       |    JOIN q ON q.query_id = probes.query_id
+       |  WHERE a1.vid <> probes.query_id AND a1.vid % 7 = 3),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 10
+       |ORDER BY query_id, sim DESC, vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4404,6 +4458,7 @@ object Pipeline {
     "q218_store_knn_sweep" -> q218StoreKnnSweep _,
     "q219_clustered_ann" -> q219ClusteredAnn _,
     "q220_clustered_lifecycle" -> q220ClusteredLifecycle _,
+    "q221_filtered_sweep" -> q221FilteredSweep _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4632,6 +4687,7 @@ object Pipeline {
     "q218_store_knn_sweep" -> q218Sql,
     "q219_clustered_ann" -> q219Sql,
     "q220_clustered_lifecycle" -> q220Sql,
+    "q221_filtered_sweep" -> q221Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )
