@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted full-text postings store + store-served Okapi BM25 — the
+  * text-retrieval sibling of the IVF postings store
+  * ([[Similarity.ivfStoreBuild]]). [[Curation.bm25TopK]] re-tokenizes
+  * and re-scans the corpus per query: the right shape for one ad-hoc
+  * ranking, the wrong one for a retrieval SERVICE — at 100 TB every
+  * query would pay a full corpus pass for a handful of terms.
+  *
+  * Here tokenization is paid ONCE at [[build]]: postings
+  * `(w, doc_id, tf, dl)` land partitioned by
+  * `tb = pmod(xxhash64(w), nBuckets)` and range-clustered by
+  * `(tb, w)`, with the standard `_zonemap_multi` rider sidecar on `w`
+  * ([[graft.sinks.SkippingStore.indexPartitioned]]) and a one-row
+  * `_corpus_stats` sidecar `(n, sdl, nbuckets)` holding the exact
+  * BIGINT document count and token-count sum. A [[topK]] serve then
+  * composes THREE prunes before any posting is scored: partition
+  * pruning opens only the query terms' buckets, the transparent zone
+  * rule ([[graft.plans.ZonePruneRule]]) skips w-range-mismatched files
+  * INSIDE them, and the residual `w IN (…)` rides parquet pushdown in
+  * the survivors. Corpus stats come from the sidecar and are inlined
+  * as literals (no stats frame, no join), so scoring touches terms'
+  * postings only — never the corpus.
+  *
+  * Scoring math is [[Curation.bm25TopK]]'s verbatim (idf and per-term
+  * contributions rounded to 6 decimals, summed as DECIMAL(28,6), avgdl
+  * from the exact BIGINT sum), so a store-served answer is bit-stable
+  * with the scan-everything path and with the SQL oracle. `df` is
+  * derivable from the READ postings alone — a term's postings live
+  * entirely inside its bucket — so no global df table is maintained.
+  *
+  * Lifecycle mirrors the IVF store: [[append]] tokenizes only the
+  * batch, appends into the same `tb=` layout (the bucket hash is
+  * frozen in `_corpus_stats` — re-deriving it would orphan every
+  * existing posting), extends the zone sidecar over the new files
+  * only, and bumps the corpus stats; serve needs no rebuild. Appends
+  * decay file counts per bucket exactly like the IVF lists;
+  * [[graft.sinks.StoreMaintenance]]-style compaction applies
+  * unchanged (rewrite clustered by (tb, w), re-index, swap).
+  */
+object TextIndex {
+
+  /** [[Curation.bm25TopK]]'s tokenizer, verbatim — the store and the
+    * scan-everything path must agree on `dl` or scores drift. */
+  private val TOK = "\\s+"
+
+  private def statsPath(dir: String) = s"$dir/_corpus_stats"
+
+  /** Per-(doc, term) postings with the frozen bucket key. */
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+                       nBuckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), TOK).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nBuckets)).cast("int"))
+
+  /** Exact corpus stats over ALL docs (matching [[Curation.bm25TopK]]'s
+    * `stats` aggregate): document count and BIGINT token-count sum. */
+  private def docStats(docs: DataFrame, idCol: String,
+                       textCol: String): (Long, Long) = {
+    val r = docs
+      .select(size(split(col(textCol), TOK)).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Rewrite the `_corpus_stats` sidecar (one row; rename-aside like
+    * the constraints sidecar). Ordering contract: data files land
+    * BEFORE the stats bump, so a crash in between leaves a servable
+    * store whose scores lag the tail batch — never a stats row
+    * describing postings that don't exist. */
+  private def writeStats(spark: SparkSession, dir: String,
+                         n: Long, sdl: Long, nBuckets: Int): Unit = {
+    import spark.implicits._
+    val fs = graft.sinks.HadoopSwap.fs(spark, dir)
+    val tmp = s"$dir/_corpus_stats_tmp"
+    Seq((n, sdl, nBuckets)).toDF("n", "sdl", "nbuckets")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(statsPath(dir))
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"rename $tmp -> $p failed")
+  }
+
+  /** The store's `(n, sdl, nbuckets)` — total docs, total tokens, and
+    * the frozen bucket count every append and serve must reuse. */
+  private[graft] def readStats(spark: SparkSession,
+                               dir: String): (Long, Long, Int) = {
+    val r = spark.read.parquet(statsPath(dir)).head()
+    (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("sdl")),
+      r.getInt(r.fieldIndex("nbuckets")))
+  }
+
+  /** Build the postings store: one tokenize pass, range-clustered by
+    * (tb, w) into ~`nBuckets × filesPerBucket` files so each bucket's
+    * files cover narrow term ranges (file-level w-zones stay
+    * selective), w-zone sidecar, corpus-stats sidecar. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            storeDir: String, nBuckets: Int,
+            filesPerBucket: Int = 1): Unit = {
+    require(nBuckets >= 1 && filesPerBucket >= 1,
+      "need at least one bucket and one file per bucket")
+    val spark = docs.sparkSession
+    postings(docs, idCol, textCol, nBuckets)
+      .repartitionByRange(nBuckets * filesPerBucket, col("tb"), col("w"))
+      .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
+      .write.partitionBy("tb").mode("overwrite").parquet(storeDir)
+    graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    val (n, sdl) = docStats(docs, idCol, textCol)
+    writeStats(spark, storeDir, n, sdl, nBuckets)
+  }
+
+  /** Append a document batch: tokenize ONLY the batch, land postings
+    * into the same frozen-bucket layout, extend the w-zone sidecar
+    * over the new files only, bump `(n, sdl)`. Existing postings are
+    * untouched — the batched cost is the batch's, like
+    * [[Similarity.ivfStoreAppend]]. */
+  def append(newDocs: DataFrame, idCol: String, textCol: String,
+             storeDir: String, filesPerBucket: Int = 1): Unit = {
+    require(filesPerBucket >= 1, "need at least one file per bucket")
+    val spark = newDocs.sparkSession
+    val (n0, sdl0, nb) = readStats(spark, storeDir)
+    postings(newDocs, idCol, textCol, nb)
+      .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
+      .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
+      .write.partitionBy("tb").mode("append").parquet(storeDir)
+    graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    val (n1, sdl1) = docStats(newDocs, idCol, textCol)
+    writeStats(spark, storeDir, n0 + n1, sdl0 + sdl1, nb)
+  }
+
+  /** Store-served BM25 top-k for a driver-held term set — bit-stable
+    * with `Curation.bm25TopK(corpus, …)` over the store's documents.
+    * Reads only the query terms' buckets (partition pruning; the
+    * bucket keys come from the engine evaluating the writer's own
+    * hash over the terms-sized frame, never a driver
+    * reimplementation), then only the w-zone-surviving files inside
+    * them. The only broadcast is the terms-sized `df` table (q133's
+    * documented model-state family); the sidecar's corpus stats are
+    * driver-held longs, so `n`/`avgdl` inline as literals through the
+    * SAME round/divide expressions the scan path evaluates — constant
+    * folding runs the identical Catalyst math once at plan time. */
+  def topK(spark: SparkSession, storeDir: String, terms: Seq[String],
+           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    import spark.implicits._
+    val (n, sdl, nb) = readStats(spark, storeDir)
+    val buckets = terms.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tf = spark.read.parquet(storeDir)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("w").isin(terms: _*))
+    // a term's postings live entirely inside its bucket, so df over the
+    // READ postings is the exact corpus df
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
+    tf.join(broadcast(dfT), Seq("w"))
+      .withColumn("idf", round(
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 6))
+      .withColumn("c", round(
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / avgdl)),
+        6).cast("decimal(28,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Components, Curation, Dedup, Graph, Similarity}
+import graft.operators.{Components, Curation, Dedup, Graph, Similarity, TextIndex}
 
 /** Training-data-pipeline operators (builder brief: dedup, similarity
   * search, text analysis, multimodal metadata) over the `documents` and
@@ -3636,6 +3636,71 @@ object Pipeline {
        |SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 10
        |ORDER BY query_id, sim DESC, vec_id""".stripMargin
 
+  /** Shared oracle fragment: Okapi BM25 top-`k` over `documents` for a
+    * literal term set — q133's CTE parameterized, reused verbatim by
+    * the postings-store serves (q222/q223), which must equal the
+    * scan-everything answer bit-for-bit. */
+  private def bm25Sql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT COUNT(*) AS n,
+       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+       |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+       |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+       |  WHERE w IN ($inList) GROUP BY doc_id, dl, w),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |contrib AS (SELECT doc_id,
+       |    CAST(round(
+       |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+       |      * (tf * (1.2e0 + 1)) /
+       |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+       |  FROM tf JOIN df USING (w) CROSS JOIN stats)
+       |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
+       |FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q222
+  // Store-served BM25: build the term-bucket-partitioned postings
+  // store once (tokenize pass, (tb, w)-clustered files, w-zone +
+  // corpus-stats sidecars), then serve a 3-term query from it. The
+  // serve reads only the terms' tb= buckets (partition pruning on the
+  // engine-evaluated writer hash) and only the w-zone-surviving files
+  // inside them — the in-plan require pins the scan below the store's
+  // data-file count. Scores are bit-stable with the scan-everything
+  // bm25TopK (q133 math), which is exactly what the oracle computes.
+  private def q222TextStore(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q222", dir)
+    TextIndex.build(t(s, dir, "documents"), "doc_id", "text", out,
+      nBuckets = 8, filesPerBucket = 2)
+    val res = TextIndex.topK(s, out, Seq("vector", "stream", "window"), 15)
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"store-served BM25 must not read the whole postings store " +
+        s"($dataFiles data files)")
+    res
+  }
+
+  private val q222Sql = bm25Sql(Seq("vector", "stream", "window"), 15)
+
+  // --------------------------------------------------------------- q223
+  // Postings-store lifecycle: build on two-thirds of the corpus,
+  // append the remaining third (batch-only tokenize, frozen bucket
+  // hash, sidecar extension over the new files, stats bump), then
+  // serve. The oracle scores the FULL corpus — bit-equality proves
+  // build+append == rebuild, i.e. appends never skew df/avgdl/N.
+  private def q223TextLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q223", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+      out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+      out, filesPerBucket = 2)
+    TextIndex.topK(s, out, Seq("filter", "sort", "batch"), 12)
+  }
+
+  private val q223Sql = bm25Sql(Seq("filter", "sort", "batch"), 12)
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4459,6 +4524,8 @@ object Pipeline {
     "q219_clustered_ann" -> q219ClusteredAnn _,
     "q220_clustered_lifecycle" -> q220ClusteredLifecycle _,
     "q221_filtered_sweep" -> q221FilteredSweep _,
+    "q222_text_store" -> q222TextStore _,
+    "q223_text_lifecycle" -> q223TextLifecycle _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4688,6 +4755,8 @@ object Pipeline {
     "q219_clustered_ann" -> q219Sql,
     "q220_clustered_lifecycle" -> q220Sql,
     "q221_filtered_sweep" -> q221Sql,
+    "q222_text_store" -> q222Sql,
+    "q223_text_lifecycle" -> q223Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -67,6 +67,11 @@ object BoundedFamilies {
         "q168_calibration" -> Set(Set("tok", "weight")),
         "q97_lm_score" -> Set(Set("bg", "logp")),
         "q133_bm25" -> Set(Set("df", "w")),
+        // terms-sized df tables of the store-served BM25 (exact df is
+        // derivable from the read postings — a term's postings live
+        // entirely inside its bucket)
+        "q222_text_store" -> Set(Set("df", "w")),
+        "q223_text_lifecycle" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Contracts of the persisted BM25 postings store: a store-served
+  * answer is bit-identical to the scan-everything [[Curation.bm25TopK]],
+  * the append lifecycle equals a full rebuild, the serve prunes to the
+  * query terms' buckets (and inside them, to w-zone-surviving files),
+  * and the frozen bucket count survives appends.
+  */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+
+  // deterministic synthetic corpus: 60 docs, 5-12 words each
+  private lazy val docs = {
+    val rnd = new Random(11)
+    (0L until 60L).map { i =>
+      val n = 5 + rnd.nextInt(8)
+      (i, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def tmp(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_tix_$tag")
+    d.toFile.deleteOnExit()
+    d.resolve("store").toString
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"doc_id", $"n_terms", $"score")
+      .as[(Long, Long, Double)].collect().toSeq
+
+  test("store-served topK is bit-identical to the scan-everything bm25TopK") {
+    val dir = tmp("serve")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    val terms = Seq("alpha", "kappa")
+    val served = rows(TextIndex.topK(spark, dir, terms, 10))
+    val scanned = rows(Curation.bm25TopK(docs, "doc_id", "text", terms, 10))
+    assert(served == scanned,
+      "the store must reproduce the corpus-scan ranking exactly")
+  }
+
+  test("build + append == rebuild over the union (df/avgdl/N never skew)") {
+    val dirInc = tmp("inc")
+    val dirFull = tmp("full")
+    TextIndex.build(docs.filter($"doc_id" < 40), "doc_id", "text", dirInc,
+      nBuckets = 4, filesPerBucket = 2)
+    TextIndex.append(docs.filter($"doc_id" >= 40), "doc_id", "text", dirInc,
+      filesPerBucket = 2)
+    TextIndex.build(docs, "doc_id", "text", dirFull, nBuckets = 4,
+      filesPerBucket = 2)
+    val terms = Seq("beta", "mu", "theta")
+    assert(rows(TextIndex.topK(spark, dirInc, terms, 12)) ==
+      rows(TextIndex.topK(spark, dirFull, terms, 12)),
+      "an appended store must serve the rebuilt store's answer")
+    // the frozen bucket layout and the stats bump both survived
+    val (n, _, nb) = TextIndex.readStats(spark, dirInc)
+    assert(n == 60L && nb == 4, s"stats sidecar after append: n=$n nb=$nb")
+  }
+
+  test("serve prunes to the query terms' buckets and w-zone survivors") {
+    val dir = tmp("prune")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    val served = TextIndex.topK(spark, dir, Seq("gamma"), 5)
+    served.collect(): Unit
+    val dataFiles =
+      graft.sinks.SkippingStore.listDataFileRelPaths(spark, dir).size
+    val opened = graft.plans.PlanProbe.scannedFileCount(served)
+    // one term hashes to ONE bucket; with 4 buckets x 2 files the scan
+    // must open at most that bucket's files — strictly below the store
+    assert(opened < dataFiles,
+      s"opened $opened of $dataFiles — no pruning happened")
+    assert(opened <= 2,
+      s"a single term's serve must stay inside its own bucket ($opened files)")
+  }
+}
