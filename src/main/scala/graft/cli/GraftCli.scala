@@ -261,6 +261,14 @@ object GraftCli {
         if rest.size <= 1 =>
       annSq8Query(indexDir, storeDir, emb, id.toLong, k.toInt,
         rest.headOption.map(_.toInt).getOrElse(1))
+    case "textbuild" :: docs :: storeDir :: rest if rest.size <= 2 =>
+      textBuild(docs, storeDir, rest.headOption.map(_.toInt).getOrElse(64),
+        rest.drop(1).headOption.map(_.toInt).getOrElse(1))
+    case "textappend" :: docs :: storeDir :: rest if rest.size <= 1 =>
+      textAppend(docs, storeDir, rest.headOption.map(_.toInt).getOrElse(1))
+    case "textquery" :: storeDir :: terms :: k :: out :: Nil =>
+      textQuery(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
+        k.toInt, out)
     case "pqbuild" :: emb :: indexDir :: rest if rest.size <= 2 =>
       pqBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(2),
         rest.drop(1).headOption.map(_.toInt).getOrElse(8))
@@ -325,6 +333,9 @@ object GraftCli {
            |           annstoreknn <indexdir> <storedir> <queries> <out> <k> [nprobe]
            |           annsq8build <emb> <indexdir> <storedir>
            |           annsq8query <indexdir> <storedir> <emb> <id> <k> [nprobe]
+           |           textbuild <docs> <storedir> [buckets] [files_per_bucket]
+           |           textappend <docs> <storedir> [files_per_bucket]
+           |           textquery <storedir> <term,term,...> <k> <outdir>
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -2059,6 +2070,47 @@ object GraftCli {
     hits.foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
     println(s"${hits.length} SQ8 neighbors of $id from the postings store " +
       s"(nprobe $nprobe of ${index.cids.size} cells)")
+    spark.stop()
+  }
+
+  /** textbuild / textappend / textquery: the BM25 postings-store
+    * lifecycle ([[graft.operators.TextIndex]]) — tokenize once into
+    * term-bucket partitions with w-zone + corpus-stats sidecars,
+    * append batches into the frozen layout, serve top-k reading only
+    * the query terms' buckets. Expects a `documents`-shaped parquet
+    * (doc_id, text). */
+  private def textBuild(docs: String, storeDir: String, nBuckets: Int,
+                        filesPerBucket: Int): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.build(spark.read.parquet(docs),
+      "doc_id", "text", storeDir, nBuckets, filesPerBucket)
+    val (n, sdl, nb) = graft.operators.TextIndex.readStats(spark, storeDir)
+    println(s"wrote text postings store $storeDir " +
+      s"($n docs, $sdl tokens, $nb buckets)")
+    spark.stop()
+  }
+
+  private def textAppend(docs: String, storeDir: String,
+                         filesPerBucket: Int): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.append(spark.read.parquet(docs),
+      "doc_id", "text", storeDir, filesPerBucket)
+    val (n, sdl, nb) = graft.operators.TextIndex.readStats(spark, storeDir)
+    println(s"appended to text postings store $storeDir " +
+      s"(now $n docs, $sdl tokens, $nb buckets)")
+    spark.stop()
+  }
+
+  private def textQuery(storeDir: String, terms: Seq[String], k: Int,
+                        out: String): Unit = {
+    val spark = GraftSession.local()
+    val hits = graft.operators.TextIndex.topK(spark, storeDir, terms, k)
+    hits.write.mode("overwrite").parquet(out)
+    val shown = spark.read.parquet(out)
+      .orderBy(col("score").desc, col("doc_id")).collect()
+    shown.foreach(r => println(s"${r.get(0)}\t${r.get(1)}\t${r.get(2)}"))
+    println(s"${shown.length} BM25 hits for [${terms.mkString(", ")}] " +
+      s"from $storeDir -> $out")
     spark.stop()
   }
 
