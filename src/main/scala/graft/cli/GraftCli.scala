@@ -269,6 +269,8 @@ object GraftCli {
     case "textquery" :: storeDir :: terms :: k :: out :: Nil =>
       textQuery(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
         k.toInt, out)
+    case "textcompact" :: storeDir :: rest if rest.size <= 1 =>
+      textCompact(storeDir, rest.headOption.map(_.toInt).getOrElse(1))
     case "pqbuild" :: emb :: indexDir :: rest if rest.size <= 2 =>
       pqBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(2),
         rest.drop(1).headOption.map(_.toInt).getOrElse(8))
@@ -336,6 +338,7 @@ object GraftCli {
            |           textbuild <docs> <storedir> [buckets] [files_per_bucket]
            |           textappend <docs> <storedir> [files_per_bucket]
            |           textquery <storedir> <term,term,...> <k> <outdir>
+           |           textcompact <storedir> [files_per_bucket]
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -2098,6 +2101,14 @@ object GraftCli {
     val (n, sdl, nb) = graft.operators.TextIndex.readStats(spark, storeDir)
     println(s"appended to text postings store $storeDir " +
       s"(now $n docs, $sdl tokens, $nb buckets)")
+    spark.stop()
+  }
+
+  private def textCompact(storeDir: String, filesPerBucket: Int): Unit = {
+    val spark = GraftSession.local()
+    val (was, now) =
+      graft.operators.TextIndex.compact(spark, storeDir, filesPerBucket)
+    println(s"compacted text postings store $storeDir: $was -> $now files")
     spark.stop()
   }
 

@@ -135,6 +135,38 @@ object TextIndex {
     writeStats(spark, storeDir, n0 + n1, sdl0 + sdl1, nb)
   }
 
+  /** Compact the postings store: rewrite every bucket re-clustered by
+    * (tb, w) into ~`nBuckets × filesPerBucket` files, REBUILD the
+    * w-zone sidecar over the new files, carry the corpus stats over
+    * verbatim (compaction moves postings, never changes N/Σdl/the
+    * bucket hash), and swap rename-aside ([[graft.sinks.HadoopSwap]];
+    * object stores route through a VersionedStore manifest commit
+    * instead, same caveat as the IVF store). Heals [[append]]'s
+    * one-file-per-bucket-per-batch decay AND restores narrow per-file
+    * w ranges — append files span each batch's whole term range, so
+    * their zones are wide and the zone rule can't skip them; after
+    * compaction single-term serves are back to ~1/filesPerBucket of
+    * their bucket. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, storeDir: String,
+              filesPerBucket: Int = 1): (Int, Int) = {
+    require(filesPerBucket >= 1, "need at least one file per bucket")
+    import graft.sinks.{HadoopSwap, SkippingStore}
+    val (n, sdl, nb) = readStats(spark, storeDir)
+    val before = SkippingStore.listDataFileRelPaths(spark, storeDir).size
+    val tmp = storeDir + "_compact_tmp"
+    val aside = storeDir + "_compact_old"
+    HadoopSwap.deleteRecursive(spark, tmp)
+    HadoopSwap.deleteRecursive(spark, aside)
+    spark.read.parquet(storeDir)
+      .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
+      .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
+      .write.partitionBy("tb").mode("overwrite").parquet(tmp)
+    SkippingStore.indexPartitioned(spark, tmp, Seq("w"))
+    writeStats(spark, tmp, n, sdl, nb)
+    HadoopSwap.swapInto(spark, tmp, storeDir, aside)
+    (before, SkippingStore.listDataFileRelPaths(spark, storeDir).size)
+  }
+
   /** Store-served BM25 top-k for a driver-held term set — bit-stable
     * with `Curation.bm25TopK(corpus, …)` over the store's documents.
     * Reads only the query terms' buckets (partition pruning; the

@@ -3701,6 +3701,30 @@ object Pipeline {
 
   private val q223Sql = bm25Sql(Seq("filter", "sort", "batch"), 12)
 
+  // --------------------------------------------------------------- q224
+  // Postings-store compaction: two appends decay the store to
+  // one-wide-zoned-file-per-bucket-per-batch; compact re-clusters by
+  // (tb, w), rebuilds the w-zone sidecar, carries the corpus stats
+  // verbatim, and swaps rename-aside. The in-query require pins the
+  // file-count shrink; the oracle (full-corpus BM25) pins that the
+  // rewrite moved every posting and skewed no stat.
+  private def q224TextCompact(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q224", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs.filter(col("doc_id") % 4 < 2), "doc_id", "text",
+      out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.append(docs.filter(col("doc_id") % 4 === 2), "doc_id", "text",
+      out, filesPerBucket = 2)
+    TextIndex.append(docs.filter(col("doc_id") % 4 === 3), "doc_id", "text",
+      out, filesPerBucket = 2)
+    val (was, now) = TextIndex.compact(s, out, filesPerBucket = 2)
+    require(now < was,
+      s"compaction must shrink the appended store ($was -> $now files)")
+    TextIndex.topK(s, out, Seq("query", "group"), 10)
+  }
+
+  private val q224Sql = bm25Sql(Seq("query", "group"), 10)
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4526,6 +4550,7 @@ object Pipeline {
     "q221_filtered_sweep" -> q221FilteredSweep _,
     "q222_text_store" -> q222TextStore _,
     "q223_text_lifecycle" -> q223TextLifecycle _,
+    "q224_text_compact" -> q224TextCompact _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4757,6 +4782,7 @@ object Pipeline {
     "q221_filtered_sweep" -> q221Sql,
     "q222_text_store" -> q222Sql,
     "q223_text_lifecycle" -> q223Sql,
+    "q224_text_compact" -> q224Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

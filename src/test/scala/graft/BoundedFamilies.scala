@@ -72,6 +72,7 @@ object BoundedFamilies {
         // entirely inside its bucket)
         "q222_text_store" -> Set(Set("df", "w")),
         "q223_text_lifecycle" -> Set(Set("df", "w")),
+        "q224_text_compact" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),

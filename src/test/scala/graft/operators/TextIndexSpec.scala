@@ -64,6 +64,25 @@ class TextIndexSpec extends SparkSpec {
     assert(n == 60L && nb == 4, s"stats sidecar after append: n=$n nb=$nb")
   }
 
+  test("compaction shrinks an appended store and serves bit-identically") {
+    val dir = tmp("compact")
+    TextIndex.build(docs.filter($"doc_id" < 20), "doc_id", "text", dir,
+      nBuckets = 4, filesPerBucket = 2)
+    TextIndex.append(docs.filter($"doc_id" >= 20 && $"doc_id" < 40),
+      "doc_id", "text", dir, filesPerBucket = 2)
+    TextIndex.append(docs.filter($"doc_id" >= 40), "doc_id", "text", dir,
+      filesPerBucket = 2)
+    val terms = Seq("delta", "iota")
+    val beforeRows = rows(TextIndex.topK(spark, dir, terms, 10))
+    val (was, now) = TextIndex.compact(spark, dir, filesPerBucket = 2)
+    assert(now < was, s"decayed store must shrink: $was -> $now")
+    assert(rows(TextIndex.topK(spark, dir, terms, 10)) == beforeRows,
+      "compaction must never change a serve")
+    val (n, _, nb) = TextIndex.readStats(spark, dir)
+    assert(n == 60L && nb == 4,
+      s"corpus stats must survive the rewrite: n=$n nb=$nb")
+  }
+
   test("serve prunes to the query terms' buckets and w-zone survivors") {
     val dir = tmp("prune")
     TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
