@@ -70,31 +70,43 @@ object TextIndex {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Rewrite the `_corpus_stats` sidecar (one row; rename-aside like
-    * the constraints sidecar). Ordering contract: data files land
-    * BEFORE the stats bump, so a crash in between leaves a servable
-    * store whose scores lag the tail batch — never a stats row
-    * describing postings that don't exist. */
-  private def writeStats(spark: SparkSession, dir: String,
-                         n: Long, sdl: Long, nBuckets: Int): Unit = {
+  /** `_corpus_stats` is APPEND-ONLY: one row `(bid, n, sdl, nbuckets)`
+    * per build/append (bid = -1 for batch-API writes, the micro-batch
+    * id for streaming ingest), summed at read. Appending a row instead
+    * of rewriting a total kills the read-modify-write (no lost update
+    * between concurrent appenders) and makes the streaming replay-heal
+    * idempotent: a replayed batch re-adds its row only if its bid is
+    * absent. Ordering contract: data files land BEFORE the stats row,
+    * so a crash in between leaves a servable store whose scores lag
+    * the tail batch — never a stats row describing postings that
+    * don't exist (streaming replays heal the gap; see [[healBatch]]). */
+  private def appendStatsRow(spark: SparkSession, dir: String, bid: Long,
+                             n: Long, sdl: Long, nBuckets: Int): Unit = {
     import spark.implicits._
-    val fs = graft.sinks.HadoopSwap.fs(spark, dir)
-    val tmp = s"$dir/_corpus_stats_tmp"
-    Seq((n, sdl, nBuckets)).toDF("n", "sdl", "nbuckets")
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(statsPath(dir))
-    fs.delete(p, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"rename $tmp -> $p failed")
+    Seq((bid, n, sdl, nBuckets)).toDF("bid", "n", "sdl", "nbuckets")
+      .coalesce(1).write.mode("append").parquet(statsPath(dir))
   }
 
-  /** The store's `(n, sdl, nbuckets)` — total docs, total tokens, and
-    * the frozen bucket count every append and serve must reuse. */
+  /** Whether batch `bid`'s stats row already landed (the replay-heal
+    * guard; bid-row reads prune to one tiny sidecar column). */
+  private def statsRowExists(spark: SparkSession, dir: String,
+                             bid: Long): Boolean =
+    graft.sinks.HadoopSwap.exists(spark, statsPath(dir)) &&
+      spark.read.parquet(statsPath(dir))
+        .filter(col("bid") === bid).limit(1).count() > 0
+
+  /** The store's `(n, sdl, nbuckets)` — total docs, total tokens
+    * (summed over every applied batch's row), and the frozen bucket
+    * count every append and serve must reuse. */
   private[graft] def readStats(spark: SparkSession,
                                dir: String): (Long, Long, Int) = {
-    val r = spark.read.parquet(statsPath(dir)).head()
-    (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("sdl")),
-      r.getInt(r.fieldIndex("nbuckets")))
+    val df = spark.read.parquet(statsPath(dir))
+    val nbs = df.select(col("nbuckets")).distinct()
+      .collect().map(_.getInt(0))
+    require(nbs.length == 1,
+      s"${statsPath(dir)}: inconsistent bucket counts ${nbs.mkString(",")}")
+    val r = df.agg(sum(col("n")), sum(col("sdl"))).head()
+    (r.getLong(0), r.getLong(1), nbs.head)
   }
 
   /** Build the postings store: one tokenize pass, range-clustered by
@@ -103,17 +115,19 @@ object TextIndex {
     * selective), w-zone sidecar, corpus-stats sidecar. */
   def build(docs: DataFrame, idCol: String, textCol: String,
             storeDir: String, nBuckets: Int,
-            filesPerBucket: Int = 1): Unit = {
+            filesPerBucket: Int = 1,
+            marker: Option[Long] = None): Unit = {
     require(nBuckets >= 1 && filesPerBucket >= 1,
       "need at least one bucket and one file per bucket")
     val spark = docs.sparkSession
-    postings(docs, idCol, textCol, nBuckets)
+    val post = postings(docs, idCol, textCol, nBuckets)
+    marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
       .repartitionByRange(nBuckets * filesPerBucket, col("tb"), col("w"))
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("overwrite").parquet(storeDir)
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
     val (n, sdl) = docStats(docs, idCol, textCol)
-    writeStats(spark, storeDir, n, sdl, nBuckets)
+    appendStatsRow(spark, storeDir, marker.getOrElse(-1L), n, sdl, nBuckets)
   }
 
   /** Append a document batch: tokenize ONLY the batch, land postings
@@ -122,17 +136,47 @@ object TextIndex {
     * untouched — the batched cost is the batch's, like
     * [[Similarity.ivfStoreAppend]]. */
   def append(newDocs: DataFrame, idCol: String, textCol: String,
-             storeDir: String, filesPerBucket: Int = 1): Unit = {
+             storeDir: String, filesPerBucket: Int = 1,
+             marker: Option[Long] = None): Unit = {
     require(filesPerBucket >= 1, "need at least one file per bucket")
     val spark = newDocs.sparkSession
-    val (n0, sdl0, nb) = readStats(spark, storeDir)
-    postings(newDocs, idCol, textCol, nb)
+    val (_, _, nb) = readStats(spark, storeDir)
+    val post = postings(newDocs, idCol, textCol, nb)
+    marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
       .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("append").parquet(storeDir)
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
     val (n1, sdl1) = docStats(newDocs, idCol, textCol)
-    writeStats(spark, storeDir, n0 + n1, sdl0 + sdl1, nb)
+    appendStatsRow(spark, storeDir, marker.getOrElse(-1L), n1, sdl1, nb)
+  }
+
+  /** Streaming replay-heal ([[graft.streaming.StreamingMerge]]): batch
+    * `batchId`'s DATA is in the store (the `_applied_batch` gate said
+    * so) but a crash may have lost the sidecar work that follows the
+    * data append — re-extend the w-zone sidecar over any unmapped
+    * files and re-add the batch's stats row iff its bid is absent.
+    * Idempotent; the batch frame is the stream's redelivery, identical
+    * by the checkpoint contract, so the recomputed stats row equals
+    * the lost one. `nBuckets` comes from the ingest's configuration
+    * (the frozen layout) for the corner where the stats sidecar
+    * doesn't exist yet at all (crash inside the very first build). */
+  private[graft] def healBatch(batch: DataFrame, idCol: String,
+                               textCol: String, storeDir: String,
+                               batchId: Long, nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    if (!statsRowExists(spark, storeDir, batchId)) {
+      val nb =
+        if (graft.sinks.HadoopSwap.exists(spark, statsPath(storeDir)))
+          readStats(spark, storeDir)._3
+        else nBuckets
+      require(nb == nBuckets,
+        s"healBatch($storeDir): ingest configured $nBuckets buckets but " +
+          s"the store froze $nb — checkpoint and store are not a pair")
+      val (n, sdl) = docStats(batch, idCol, textCol)
+      appendStatsRow(spark, storeDir, batchId, n, sdl, nb)
+    }
   }
 
   /** Compact the postings store: rewrite every bucket re-clustered by
@@ -151,18 +195,25 @@ object TextIndex {
               filesPerBucket: Int = 1): (Int, Int) = {
     require(filesPerBucket >= 1, "need at least one file per bucket")
     import graft.sinks.{HadoopSwap, SkippingStore}
-    val (n, sdl, nb) = readStats(spark, storeDir)
+    val (_, _, nb) = readStats(spark, storeDir)
     val before = SkippingStore.listDataFileRelPaths(spark, storeDir).size
     val tmp = storeDir + "_compact_tmp"
     val aside = storeDir + "_compact_old"
     HadoopSwap.deleteRecursive(spark, tmp)
     HadoopSwap.deleteRecursive(spark, aside)
-    spark.read.parquet(storeDir)
+    // mergeSchema: batch-API files carry no _applied_batch column while
+    // streaming-ingested files do — the rewrite must preserve every
+    // marker (null for batch rows) or compaction would reset the gate
+    spark.read.option("mergeSchema", "true").parquet(storeDir)
       .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("overwrite").parquet(tmp)
     SkippingStore.indexPartitioned(spark, tmp, Seq("w"))
-    writeStats(spark, tmp, n, sdl, nb)
+    // stats rows carry VERBATIM (bids included): totals are unchanged
+    // by construction, and a streaming replay arriving right after the
+    // swap still finds its bid row — the heal guard survives
+    spark.read.parquet(statsPath(storeDir))
+      .coalesce(1).write.mode("overwrite").parquet(statsPath(tmp))
     HadoopSwap.swapInto(spark, tmp, storeDir, aside)
     (before, SkippingStore.listDataFileRelPaths(spark, storeDir).size)
   }

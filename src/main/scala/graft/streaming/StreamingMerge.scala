@@ -232,6 +232,65 @@ object StreamingMerge {
       }
       .start()
 
+  /** Streaming ingest into the BM25 text postings store
+    * ([[graft.operators.TextIndex]]): each micro-batch of
+    * (doc_id, text) documents tokenizes ONCE into the store's frozen
+    * term-bucket layout (batch-sized cost, existing postings
+    * untouched), extends the w-zone sidecar over the new files only,
+    * and appends its own `_corpus_stats` row — so BM25 serves stay
+    * exact (df/avgdl/N include every applied batch) while the stream
+    * runs. The corpus-indexing shape: a retrieval service stays live
+    * while crawl batches arrive continuously.
+    *
+    * Replay safety: postings carry `_applied_batch` in the same
+    * append (the shared gate); `checkpointDir` is REQUIRED and pairs
+    * lifetimes with the store. A crash between the data append and
+    * the sidecar/stats work leaves a servable-but-lagging store; the
+    * replayed batch HEALS both (zone extension over unmapped files,
+    * stats row re-added iff its bid is absent) instead of skipping
+    * past the gap. */
+  def textIngest(spark: SparkSession, inDir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 storeDir: String, checkpointDir: String,
+                 nBuckets: Int = 64, filesPerBucket: Int = 1):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTextBatch(batch, batchId, storeDir, nBuckets,
+          filesPerBucket): Unit
+      }
+      .start()
+
+  /** One text-store commit, replay-safe; factored out so the
+    * idempotence contract is directly testable. Returns false when
+    * the batch was already applied (after healing — see
+    * [[graft.operators.TextIndex.healBatch]]); refuses loudly on a
+    * reset id lineage ([[replayGateSkips]]). */
+  def applyTextBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                     nBuckets: Int, filesPerBucket: Int = 1): Boolean = {
+    import graft.operators.TextIndex
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val exists = p.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(p)
+    if (!exists) {
+      TextIndex.build(batch, "doc_id", "text", storeDir, nBuckets,
+        filesPerBucket, marker = Some(batchId))
+      return true
+    }
+    if (replayGateSkips(spark, storeDir, batchId)) {
+      TextIndex.healBatch(batch, "doc_id", "text", storeDir, batchId,
+        nBuckets)
+      return false // replayed batch (data landed; sidecars healed)
+    }
+    TextIndex.append(batch, "doc_id", "text", storeDir, filesPerBucket,
+      marker = Some(batchId))
+    true
+  }
+
   /** One postings-store commit, replay-safe; factored out so the
     * idempotence contract is directly testable. Returns false when the
     * batch was already applied; refuses loudly on a reset id lineage
