@@ -341,24 +341,30 @@ object Similarity {
   /** Compact a postings store: streaming ingest writes one file per
     * cell per batch, so a long-running [[graft.streaming.StreamingMerge
     * .annIngest]] accumulates small files in every list — the classic
-    * small-files decay of any streaming sink. The rewrite shuffles
-    * each cell wholly into one task (`repartition(cell)`), writes ONE
-    * file per cell (bounded by `maxRecordsPerFile` when set) into a
-    * temp sibling, then swaps directories rename-aside, the
+    * small-files decay of any streaming sink. The rewrite
+    * range-partitions on (cell, riders…) into ~cells × `filesPerCell`
+    * tasks (bounded further by `maxRecordsPerFile` when set), writes
+    * into a temp sibling, then swaps directories rename-aside, the
     * [[graft.sinks.StoreMaintenance]] crash discipline: a failure
     * mid-compact leaves either the old store or the new one, never a
-    * mix. Rows (and the `_applied_batch` replay marker) are preserved
-    * verbatim, so serving results and the streaming gate are
-    * unchanged. A CLUSTERED store's sidecars
-    * ([[ivfStoreBuildClustered]]) survive the rewrite: the compacted
-    * lists re-sort by (cell, riders) and both the relative-path zone
-    * sidecar and, when present, the bloom sidecar (same key and
-    * geometry) are rebuilt against the NEW layout BEFORE the swap —
-    * an indexed copy exists on disk at every instant, never a
-    * silently de-indexed store. Returns (files before, files after). */
+    * mix. The read merges schemas across files: batch-API files carry
+    * no `_applied_batch` column while streaming-ingested files do, and
+    * the rewrite must preserve every replay marker (null for batch
+    * rows) or compaction would silently reset the streaming gate.
+    * A CLUSTERED store's layout ([[ivfStoreBuildClustered]]) survives
+    * the rewrite: pass the build's `filesPerCell` so each cell's list
+    * re-splits into narrow rider ranges (a single wide file per cell
+    * would leave the rebuilt zones unable to skip anything inside a
+    * probed cell), and both the relative-path zone sidecar and, when
+    * present, the bloom sidecar (same key and geometry) are rebuilt
+    * against the NEW layout BEFORE the swap — an indexed copy exists
+    * on disk at every instant, never a silently de-indexed store.
+    * Returns (files before, files after). */
   def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
                       storeDir: String,
-                      maxRecordsPerFile: Long = 0L): (Int, Int) = {
+                      maxRecordsPerFile: Long = 0L,
+                      filesPerCell: Int = 1): (Int, Int) = {
+    require(filesPerCell >= 1, "need at least one file per cell")
     import graft.sinks.{HadoopSwap, SkippingStore}
     def dataFiles(d: String): Int = {
       val f = HadoopSwap.fs(spark, d)
@@ -389,13 +395,18 @@ object Similarity {
         Some((g.head.getString(0), g.head.getInt(1), g.head.getInt(2)))
       }
     val before = dataFiles(storeDir)
+    val numCells = {
+      val f = HadoopSwap.fs(spark, storeDir)
+      f.listStatus(new org.apache.hadoop.fs.Path(storeDir))
+        .count(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    }.max(1)
     val tmp = storeDir + "_compact_tmp"
     val aside = storeDir + "_compact_old"
     HadoopSwap.deleteRecursive(spark, tmp)
     HadoopSwap.deleteRecursive(spark, aside)
     val sortKeys = col("cell") +: statsCols.map(col)
-    val w = spark.read.parquet(storeDir)
-      .repartition(col("cell"))
+    val w = spark.read.option("mergeSchema", "true").parquet(storeDir)
+      .repartitionByRange(numCells * filesPerCell, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
       .write.partitionBy("cell").mode("overwrite")
     (if (maxRecordsPerFile > 0L)

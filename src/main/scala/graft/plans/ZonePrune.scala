@@ -467,18 +467,19 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val hasZone = fs.exists(new Path(s"$dir/_zonemap_multi"))
     val hasBloom = fs.exists(new Path(s"$dir/_bloommap"))
     if (!hasZone && !hasBloom) return f
-    // ONE load per sidecar serves every predicate of this pass; the
-    // zone sidecar's loud coverage check throws on drift, which the
-    // caller's catch turns into the unpruned fallback. A STALE BLOOM
-    // alone must not disable a still-valid zone prune, so its load
-    // failure degrades to bloom-off instead of propagating. On a
-    // partitioned store both sidecars key files by partition-relative
-    // path (bare part- names are ambiguous under dynamic partitioning).
+    // ONE load per sidecar serves every predicate of this pass. Each
+    // sidecar's loud coverage check (unmapped append, foreign writer)
+    // degrades to that sidecar being OFF, never to killing the other:
+    // a stale bloom keeps a valid zone prune, and a stale zone keeps a
+    // valid bloom prune — symmetric, and always safe because "off"
+    // means the full scan on that dimension. On a partitioned store
+    // both sidecars key files by partition-relative path (bare part-
+    // names are ambiguous under dynamic partitioning).
     val sidecar =
-      if (hasZone) graft.sinks.SkippingStore
-        .loadMultiSidecar(spark, dir, relative = partitioned)
-      else None
-    if (partitioned && hasZone && sidecar.isEmpty) return f
+      if (!hasZone) None
+      else scala.util.Try(graft.sinks.SkippingStore
+        .loadMultiSidecar(spark, dir, relative = partitioned))
+        .toOption.flatten
     val bloom =
       if (!hasBloom) None
       else scala.util.Try(graft.sinks.SkippingStore

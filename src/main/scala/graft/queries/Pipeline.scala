@@ -3561,12 +3561,29 @@ object Pipeline {
       ix, k = 10, nprobe = 2, excludeId = Some(0L),
       where = Some(col("bucket") === 3))
     val first = serve().collect().toSeq
-    val (was, now) = Similarity.compactIvfStore(s, out)
+    val (was, now) = Similarity.compactIvfStore(s, out, filesPerCell = 3)
     require(now < was,
       s"compaction must shrink the appended store ($was -> $now files)")
     val res = serve()
     require(res.collect().toSeq == first,
       "the compacted store must serve bit-identical results")
+    // the clustered layout must SURVIVE the rewrite: compacted with the
+    // build's filesPerCell, the rebuilt zones still skip rider-
+    // mismatched files inside the probed cells (a one-wide-file-per-
+    // cell rewrite would pass the bit-identical check yet silently
+    // lose the filtered-ANN prune)
+    val probed = s.range(1)
+      .select(explode(graft.functions.VectorFunctions.nearest_cells(
+        typedLit(qv), ix.cids, ix.centroids, 2)).as("cell"))
+      .collect().map(_.getInt(0)).toSeq
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    val filesInProbed = probed.map { c =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/cell=$c"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    require(graft.plans.PlanProbe.scannedFileCount(res) < filesInProbed,
+      s"the compacted clustered store must still skip files inside " +
+        s"probed cells (opened all $filesInProbed)")
     res
   }
 

@@ -1146,6 +1146,14 @@ object SkippingStore {
     * metadata-only readers serve BOTH layouts without a caller flag. */
   private def checkCoverageAuto(spark: SparkSession, dir: String,
                                 mapped: Set[String]): Unit = {
+    // an EMPTY mapped set defeats the layout inference: on a
+    // partitioned store the flat listing below is also empty, so the
+    // check would pass vacuously and a metadata-only reader could
+    // answer 0 for a non-empty store. No current writer produces a
+    // zero-row sidecar — fail loud, not silent.
+    require(mapped.nonEmpty,
+      s"zone map for $dir maps no files — cannot verify coverage; " +
+        "rebuild the sidecar")
     val actual =
       if (mapped.exists(_.contains("/"))) listDataFileRelPaths(spark, dir)
       else listDataFileNames(spark, dir)
