@@ -420,6 +420,24 @@ object Similarity {
     (before, dataFiles(storeDir))
   }
 
+  /** SELECTIVE compaction of the IVF postings store: rewrite only the
+    * cells whose inverted list exceeds `maxFilesPerCell` files —
+    * streaming decay concentrates in the hot cells, and at 100 TB
+    * healing them must not rewrite the cold ones. Delegates to the
+    * generic partitioned-store pass
+    * ([[graft.sinks.SkippingStore.compactPartitionsSelective]]): the
+    * decayed lists re-cluster by (cell, riders…) into ~`filesPerCell`
+    * files each, every other cell's files keep their paths and
+    * mtimes, and the zone/bloom sidecars are reconciled — rows for
+    * replaced files dropped, fresh rows over only the new files.
+    * Serving is bit-identical across it. Returns (rewritten cell
+    * dirs, filesBefore, filesAfter). */
+  def compactIvfStoreSelective(spark: org.apache.spark.sql.SparkSession,
+                               storeDir: String, maxFilesPerCell: Int,
+                               filesPerCell: Int = 1): (Seq[String], Int, Int) =
+    graft.sinks.SkippingStore.compactPartitionsSelective(
+      spark, storeDir, "cell", maxFilesPerCell, filesPerCell)
+
   /** Serve a top-k from the postings store: probe cells come from ONE
     * row through the index's own [[IvfIndex.probeCellsCol]] expression
     * (so the (distance, cell id) order is bit-identical to assignment),

@@ -218,6 +218,26 @@ object TextIndex {
     (before, SkippingStore.listDataFileRelPaths(spark, storeDir).size)
   }
 
+  /** SELECTIVE compaction: rewrite only the term buckets whose file
+    * count exceeds `maxFilesPerBucket` — append decay is term-skewed
+    * (a batch's heavy terms land more files in their buckets), so at
+    * scale healing the decayed buckets must not rewrite the rest of
+    * the postings. Delegates to the generic partitioned-store pass
+    * ([[graft.sinks.SkippingStore.compactPartitionsSelective]]):
+    * decayed buckets re-cluster by (tb, w, doc_id) into
+    * ~`filesPerBucket` files each, untouched buckets keep their
+    * paths and mtimes, the w-zone sidecar is reconciled (replaced
+    * files' rows dropped, fresh rows over only the new files), and
+    * `_corpus_stats` is untouched — compaction moves postings, never
+    * changes N/Σdl/the bucket hash. Serves are bit-identical across
+    * it. Returns (rewritten bucket dirs, filesBefore, filesAfter). */
+  def compactSelective(spark: SparkSession, storeDir: String,
+                       maxFilesPerBucket: Int,
+                       filesPerBucket: Int = 1): (Seq[String], Int, Int) =
+    graft.sinks.SkippingStore.compactPartitionsSelective(
+      spark, storeDir, "tb", maxFilesPerBucket, filesPerBucket,
+      extraSortCols = Seq("doc_id"))
+
   /** Store-served BM25 top-k for a driver-held term set — bit-stable
     * with `Curation.bm25TopK(corpus, …)` over the store's documents.
     * Reads only the query terms' buckets (partition pruning; the

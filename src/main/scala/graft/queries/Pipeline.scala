@@ -3657,9 +3657,10 @@ object Pipeline {
     * literal term set — q133's CTE parameterized, reused verbatim by
     * the postings-store serves (q222/q223), which must equal the
     * scan-everything answer bit-for-bit. */
-  private def bm25Sql(terms: Seq[String], k: Int): String = {
+  private def bm25Sql(terms: Seq[String], k: Int,
+                      corpus: String = "documents"): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM $corpus),
        |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
        |stats AS (SELECT COUNT(*) AS n,
        |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
@@ -3741,6 +3742,121 @@ object Pipeline {
   }
 
   private val q224Sql = bm25Sql(Seq("query", "group"), 10)
+
+  // --------------------------------------------------------------- q225
+  // SELECTIVE compaction (SkippingStore.compactPartitionsSelective):
+  // the delta-sized maintenance op — a partitioned store whose decay
+  // is concentrated in ONE hot partition (three single-partition
+  // appends, the per-source-ingest shape) heals by rewriting ONLY
+  // that partition. In-query requires pin the whole contract: exactly
+  // the hot partition rewrote, every untouched partition's files kept
+  // their paths/mtimes/sizes byte-identically, and the post-compact
+  // serve composes partition pruning with the REBUILT in-partition
+  // zone skipping. The oracle replays the corpus predicate — the
+  // rewrite moved rows, never changed them.
+  private def q225SelectiveCompact(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q225", dir)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("cat"),
+        size(split(col("text"), "\\s+")).cast("long").as("dl"))
+    docs.filter(col("doc_id") % 10 < 7).coalesce(1)
+      .write.partitionBy("cat").mode("overwrite").parquet(out)
+    graft.sinks.SkippingStore.indexPartitioned(s, out, Seq("doc_id"))
+    // cat=1 docs are doc_id ≡ 1 (mod 4): odd, so the %10 ∈ {7, 9} tail
+    // classes are exactly the cat-1 docs the base write skipped —
+    // restricted to cat=1 the store holds EVERY cat-1 doc
+    Seq(7, 9).foreach { m =>
+      docs.filter(col("doc_id") % 10 === m && col("cat") === 1).coalesce(1)
+        .write.partitionBy("cat").mode("append").parquet(out)
+      graft.sinks.SkippingStore.indexPartitioned(s, out, Seq("doc_id"))
+    }
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    def state(): Map[String, (Long, Long)] =
+      graft.sinks.SkippingStore.listDataFileRelPaths(s, out).map { rel =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$out/$rel"))
+        rel -> (st.getModificationTime, st.getLen)
+      }.toMap
+    val cold0 = state().filterNot(_._1.startsWith("cat=1/"))
+    val (rewritten, was, now) = graft.sinks.SkippingStore
+      .compactPartitionsSelective(s, out, "cat",
+        maxFilesPerPartition = 2, filesPerPartition = 2)
+    require(rewritten == Seq("cat=1"),
+      s"only the hot partition may rewrite, got $rewritten")
+    require(now < was,
+      s"selective compaction must shrink the hot partition ($was -> $now)")
+    require(state().filterNot(_._1.startsWith("cat=1/")) == cold0,
+      "untouched partitions must keep exact paths, mtimes, and sizes")
+    val res = s.read.parquet(out)
+      .filter(col("cat") === 1 && col("doc_id").between(101, 181))
+      .select(col("doc_id"), col("dl")).orderBy(col("doc_id"))
+    val inHot = state().keys.count(_.startsWith("cat=1/"))
+    require(graft.plans.PlanProbe.scannedFileCount(res) < inHot,
+      s"post-compact serve must skip files inside the hot partition " +
+        s"(opened all $inHot)")
+    res
+  }
+
+  // the store holds (doc_id%10<7) ∪ (tail ∧ cat=1); restricted to
+  // cat=1 that union is ALL cat-1 docs, so the oracle needs no
+  // store-membership clause
+  private val q225Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+      |FROM documents
+      |WHERE doc_id % 4 = 1 AND doc_id BETWEEN 101 AND 181
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q226
+  // Selective compaction of the TEXT postings store: append decay is
+  // term-skewed (three appended batches carry a two-token hot string,
+  // so their postings land in at most two buckets), and
+  // TextIndex.compactSelective heals ONLY those buckets — rewritten
+  // bytes proportional to the decay, cold buckets byte-untouched,
+  // corpus stats carried verbatim because the rewrite never touches
+  // them. The serve after compaction still opens only the query
+  // terms' buckets and the w-zone survivors inside them; the oracle
+  // scores the SAME modified corpus from scratch.
+  private def q226TextSelective(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q226", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+      out, nBuckets = 8, filesPerBucket = 2)
+    Seq(0L, 3L, 6L).foreach { m =>
+      TextIndex.append(
+        docs.filter(col("doc_id") % 9 === m)
+          .withColumn("text", lit("zetahot omegahot")),
+        "doc_id", "text", out, filesPerBucket = 2)
+    }
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    def state(): Map[String, (Long, Long)] =
+      graft.sinks.SkippingStore.listDataFileRelPaths(s, out).map { rel =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$out/$rel"))
+        rel -> (st.getModificationTime, st.getLen)
+      }.toMap
+    val before = state()
+    val (rewritten, was, now) =
+      TextIndex.compactSelective(s, out, maxFilesPerBucket = 3,
+        filesPerBucket = 2)
+    require(rewritten.nonEmpty && rewritten.size < 8,
+      s"term-skewed appends must decay a strict subset of buckets, " +
+        s"got $rewritten")
+    require(now < was,
+      s"selective compaction must shrink the hot buckets ($was -> $now)")
+    val cold = (rel: String) => !rewritten.exists(r => rel.startsWith(r + "/"))
+    require(state().view.filterKeys(cold).toMap ==
+        before.view.filterKeys(cold).toMap,
+      "cold buckets must keep exact paths, mtimes, and sizes")
+    val res = TextIndex.topK(s, out, Seq("vector", "zetahot", "stream"), 12)
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"store-served BM25 must not read the whole postings store " +
+        s"($dataFiles data files)")
+    res
+  }
+
+  private val q226Sql = bm25Sql(Seq("vector", "zetahot", "stream"), 12,
+    corpus = "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+      "THEN 'zetahot omegahot' ELSE text END AS text FROM documents)")
 
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
@@ -4568,6 +4684,8 @@ object Pipeline {
     "q222_text_store" -> q222TextStore _,
     "q223_text_lifecycle" -> q223TextLifecycle _,
     "q224_text_compact" -> q224TextCompact _,
+    "q225_selective_compact" -> q225SelectiveCompact _,
+    "q226_text_selective" -> q226TextSelective _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4800,6 +4918,8 @@ object Pipeline {
     "q222_text_store" -> q222Sql,
     "q223_text_lifecycle" -> q223Sql,
     "q224_text_compact" -> q224Sql,
+    "q225_selective_compact" -> q225Sql,
+    "q226_text_selective" -> q226Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -442,6 +442,171 @@ object SkippingStore {
       .write.mode(if (known.isEmpty) "overwrite" else "append").parquet(side)
   }
 
+  /** The partition-relative file key expression shared by every
+    * partitioned-sidecar writer. */
+  private val relFileKey: Column =
+    regexp_extract(input_file_name(), "((?:[^/]+=[^/]*/)*[^/]+)$", 1)
+
+  /** SELECTIVE compaction of a single-level-PARTITIONED store — the
+    * delta-sized maintenance arm the full rewrites
+    * ([[graft.operators.Similarity.compactIvfStore]],
+    * [[graft.operators.TextIndex.compact]], [[compactIndexed]]) lack:
+    * those heal append decay by rewriting the ENTIRE store, an
+    * O(corpus) pass that at 100 TB rewrites everything to fix a few
+    * hot partitions. Here only partitions whose data-file count
+    * exceeds `maxFilesPerPartition` are rewritten (re-clustered by
+    * the sidecar's stats columns + `extraSortCols` into
+    * ~`filesPerPartition` files each); every other partition's files
+    * are BYTE-UNTOUCHED — same paths, same mtimes. Rewritten bytes
+    * are proportional to the decayed partitions, never the store.
+    *
+    * One job reads all decayed partitions together and writes the
+    * replacement layout into an underscore-prefixed (reader-invisible)
+    * temp root; each partition then swaps in rename-aside, and the
+    * zone/bloom sidecars are RECONCILED at the end — rows for
+    * replaced files dropped, fresh rows computed over only the new
+    * files ([[reconcilePartitionedSidecars]]).
+    *
+    * Crash discipline: every individual step leaves a valid store. A
+    * crash mid-swap leaves some partitions compacted and some not —
+    * both layouts serve identically. A crash between the data swaps
+    * and the sidecar reconcile leaves a stale sidecar, which reads
+    * DETECT (the loud coverage check / the transparent rule's
+    * degrade-to-scan), never silently mis-serve; re-running this
+    * function heals it (the rewritten partitions are no longer
+    * decayed, so the re-run skips straight to the reconcile).
+    * Object stores without atomic rename route rewrites through
+    * [[VersionedStore]] manifest commits instead, same caveat as the
+    * full rewrites.
+    *
+    * Returns (rewritten partition dir names, filesBefore, filesAfter). */
+  def compactPartitionsSelective(spark: SparkSession, dir: String,
+                                 partCol: String,
+                                 maxFilesPerPartition: Int,
+                                 filesPerPartition: Int = 1,
+                                 extraSortCols: Seq[String] = Nil)
+      : (Seq[String], Int, Int) = {
+    require(maxFilesPerPartition >= 1 && filesPerPartition >= 1,
+      "thresholds must be at least one file per partition")
+    val hfs = HadoopSwap.fs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    def partDirs(): Seq[org.apache.hadoop.fs.Path] =
+      hfs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+        .map(_.getPath)
+    def filesIn(p: org.apache.hadoop.fs.Path): Seq[String] =
+      hfs.listStatus(p).toSeq.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.startsWith("part-") && n.endsWith(".parquet")
+      }.map(_.getPath.toString)
+    def totalFiles(): Int = partDirs().map(filesIn(_).size).sum
+    val before = totalFiles()
+    val decayed = partDirs().filter(filesIn(_).size > maxFilesPerPartition)
+    val tmpRoot = s"$dir/_selcompact_tmp"
+    val asideRoot = s"$dir/_selcompact_old"
+    HadoopSwap.deleteRecursive(spark, tmpRoot)
+    HadoopSwap.deleteRecursive(spark, asideRoot)
+    if (decayed.nonEmpty) {
+      // sort keys come from the store's own index, like the full
+      // rewrites: a clustered store re-clusters, a plain one just merges
+      val statsCols: Seq[String] =
+        if (!pathExists(spark, s"$dir/_zonemap_multi")) Nil
+        else spark.read.parquet(s"$dir/_zonemap_multi")
+          .select(col("col")).distinct().collect()
+          .map(_.getString(0)).toSeq.sorted
+      val sortCols = ((partCol +: statsCols) ++ extraSortCols).distinct
+      // ONE job over the decayed partitions only: basePath recovers the
+      // partition column, partitionBy lays the replacement dirs out
+      // under the reader-invisible temp root; mergeSchema keeps
+      // batch-vs-streaming rider columns (`_applied_batch`) intact
+      spark.read.option("basePath", dir).option("mergeSchema", "true")
+        .parquet(decayed.map(_.toString): _*)
+        .repartitionByRange(decayed.size * filesPerPartition,
+          sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.partitionBy(partCol).mode("overwrite").parquet(tmpRoot)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(asideRoot))
+      decayed.foreach { pd =>
+        val name = pd.getName
+        HadoopSwap.swapInto(spark, s"$tmpRoot/$name", pd.toString,
+          s"$asideRoot/$name")
+      }
+      HadoopSwap.deleteRecursive(spark, tmpRoot)
+      HadoopSwap.deleteRecursive(spark, asideRoot)
+    }
+    reconcilePartitionedSidecars(spark, dir)
+    (decayed.map(_.getName), before, totalFiles())
+  }
+
+  /** Bring a partitioned store's zone and bloom sidecars back in sync
+    * with its CURRENT data files: drop rows for files that no longer
+    * exist, compute fresh rows over only the unmapped ones (the
+    * incremental [[indexPartitioned]] cost model), and swap each
+    * rewritten sidecar in rename-aside. Idempotent — a clean store is
+    * a no-op; this is both the tail of
+    * [[compactPartitionsSelective]] and its crash heal. */
+  private[graft] def reconcilePartitionedSidecars(spark: SparkSession,
+                                                  dir: String): Unit = {
+    val current = listDataFileRelPaths(spark, dir).toSet
+    def swapSidecar(side: String, frame: DataFrame): Unit = {
+      val stamp = java.lang.System.nanoTime()
+      val tmp = side + ".rewrite-" + stamp
+      frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+      HadoopSwap.swapInto(spark, tmp, side, side + ".old-" + stamp)
+    }
+    val zside = s"$dir/_zonemap_multi"
+    if (pathExists(spark, zside)) {
+      val zm = spark.read.parquet(zside)
+      val mapped = zm.select(col("file")).distinct().collect()
+        .map(_.getString(0)).toSet
+      val phantom = mapped -- current
+      val unmapped = (current -- mapped).toSeq.sorted
+      if (phantom.nonEmpty || unmapped.nonEmpty) {
+        val statsCols = zm.select(col("col")).distinct().collect()
+          .map(_.getString(0)).toSeq.sorted
+        val kept =
+          if (phantom.isEmpty) zm
+          else zm.filter(!col("file").isin(phantom.toSeq: _*))
+        val fresh =
+          if (unmapped.isEmpty) None
+          else Some(Seq("nrows", "nnulls", "tz").foldLeft(
+            multiZoneRows(
+              spark.read.parquet(unmapped.map(f => s"$dir/$f"): _*),
+              statsCols, relFileKey))((r, c) =>
+            if (zm.columns.contains(c)) r else r.drop(c)))
+        swapSidecar(zside, fresh.fold(kept)(kept.unionByName(_)))
+      }
+    }
+    val bside = s"$dir/_bloommap"
+    if (pathExists(spark, bside)) {
+      val bm = bloomMap(spark, dir)
+      require(bm.columns.contains("keycol"),
+        s"$bside predates the keycol marker — rebuild with " +
+          "bloomIndexPartitioned before selective compaction")
+      val geom = bm.select(col("keycol"), col("nbits"), col("k"))
+        .distinct().collect()
+      require(geom.length == 1,
+        s"$bside mixes filter geometries — rebuild before selective compaction")
+      val (kc, nbits, k) =
+        (geom.head.getString(0), geom.head.getInt(1), geom.head.getInt(2))
+      val mapped = bm.select(col("file")).distinct().collect()
+        .map(_.getString(0)).toSet
+      val phantom = mapped -- current
+      val unmapped = (current -- mapped).toSeq.sorted
+      if (phantom.nonEmpty || unmapped.nonEmpty) {
+        val kept =
+          if (phantom.isEmpty) bm
+          else bm.filter(!col("file").isin(phantom.toSeq: _*))
+        val fresh =
+          if (unmapped.isEmpty) None
+          else Some(bloomRows(
+            spark.read.parquet(unmapped.map(f => s"$dir/$f"): _*),
+            kc, nbits, k, relFileKey))
+        swapSidecar(bside, fresh.fold(kept)(kept.unionByName(_)))
+      }
+    }
+  }
+
   /** One data file's recorded stats for one column — the in-memory row
     * of [[loadMultiSidecar]]. Numeric/datetime stats in the double
     * slots, string stats in the lexicographic slots; `None` where the
