@@ -349,6 +349,129 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }
 
+  // ------------------------------------------------------------------
+  // Distributed evaluation — the same predicate algebra as fileSet/
+  // survivors, but expressed as per-file boolean aggregates over the
+  // sidecar FRAME, for stores whose file count exceeds
+  // spark.graft.zoneprune.maxDriverFiles. The columns-sized
+  // SidecarMeta makes every "can this predicate prune?" decision
+  // up front (slot family, dup corruption, null-stat completeness,
+  // tz gate) — those decisions never depend on per-file data — and
+  // ONE aggregation job evaluates the boolean structure; only the
+  // surviving file names reach the driver. Spark's own double
+  // comparison semantics (NaN greatest, -0.0 == 0.0) and binary
+  // string order make the cluster-side tests agree exactly with
+  // cmpD/cmpS below; the equivalence is pinned by
+  // ZonePruneDistributedSpec, which runs both paths over the same
+  // stores and predicates.
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{coalesce, col => fcol, lit => flit, max => fmax, when => fwhen}
+
+  /** Registers one per-file boolean aggregate per leaf test and hands
+    * back the post-aggregation column that reads it. */
+  private class AggReg {
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    def flag(rowTest: Column, onCol: String): Column = {
+      val id = s"_zp${aggs.size}"
+      aggs += fmax(fwhen(fcol("col") === flit(onCol),
+        coalesce(rowTest, flit(false))).otherwise(flit(false))).as(id)
+      fcol(id)
+    }
+  }
+
+  /** [[zoneSurvivors]]'s per-file test as a row expression — same
+    * guards (unindexed column, duplicate stats, slot/bound type
+    * mismatch → None), same null behavior (a null stat fails the
+    * bound via the coalesce in [[AggReg.flag]]). */
+  private def distZoneTest(meta: graft.sinks.SkippingStore.SidecarMeta,
+                           reg: AggReg, c: String,
+                           lo: Option[Any], hi: Option[Any]): Option[Column] = {
+    val cm = meta.cols.getOrElse(c, return None)
+    if (cm.dupFiles) return None
+    if (cm.anyStr) {
+      if (lo.exists(!_.isInstanceOf[String]) ||
+          hi.exists(!_.isInstanceOf[String])) return None
+      val tests = lo.map(v => fcol("zmax_str") >= flit(v.toString)).toSeq ++
+        hi.map(v => fcol("zmin_str") <= flit(v.toString)).toSeq
+      Some(reg.flag(tests.reduceOption(_ && _).getOrElse(flit(true)), c))
+    } else {
+      def num(v: Any): Option[Double] = v match {
+        case n: Number => Some(n.doubleValue)
+        case _ => None
+      }
+      val loD = lo.map(num); val hiD = hi.map(num)
+      if (loD.exists(_.isEmpty) || hiD.exists(_.isEmpty)) return None
+      val tests = loD.flatten.map(v => fcol("zmax") >= flit(v)).toSeq ++
+        hiD.flatten.map(v => fcol("zmin") <= flit(v)).toSeq
+      Some(reg.flag(tests.reduceOption(_ && _).getOrElse(flit(true)), c))
+    }
+  }
+
+  /** [[nullSurvivors]] as a row expression, same guards. */
+  private def distNullTest(meta: graft.sinks.SkippingStore.SidecarMeta,
+                           reg: AggReg, c: String,
+                           wantNull: Boolean): Option[Column] = {
+    if (!meta.hasNullStats) return None
+    val cm = meta.cols.getOrElse(c, return None)
+    if (cm.dupFiles || !cm.nullStatsComplete) return None
+    val t = if (wantNull) fcol("nnulls") > flit(0L)
+            else fcol("nnulls") < fcol("nrows")
+    Some(reg.flag(t, c))
+  }
+
+  /** [[survivors]] mirrored: equality is zone-only (the bloom sidecar
+    * is driver-file-count-sized and stays off in distributed mode —
+    * a superset survivor set, never a wrong one). */
+  private def distPred(meta: graft.sinks.SkippingStore.SidecarMeta,
+                       reg: AggReg, p: Pred,
+                       skipNotNull: Set[String]): Option[Column] = p match {
+    case RangeP(c, lo, hi) => distZoneTest(meta, reg, c, lo, hi)
+    case EqP(c, v, _) => distZoneTest(meta, reg, c, Some(v), Some(v))
+    case InP(c, vs, bare) =>
+      val ts = vs.map(v => distPred(meta, reg, EqP(c, v, bare), skipNotNull))
+      if (ts.exists(_.isEmpty)) None else Some(ts.flatten.reduce(_ || _))
+    case NullP(c, false) if skipNotNull(c) => None
+    case NullP(c, wantNull) => distNullTest(meta, reg, c, wantNull)
+  }
+
+  /** [[fileSet]] mirrored over boolean columns: AND neutral on an
+    * unjudgeable side, OR requires both. */
+  private def distBool(meta: graft.sinks.SkippingStore.SidecarMeta,
+                       tzOk: Boolean, reg: AggReg, cond: Expression,
+                       skipNotNull: Set[String]): Option[Column] = cond match {
+    case And(a, b) =>
+      (distBool(meta, tzOk, reg, a, skipNotNull),
+        distBool(meta, tzOk, reg, b, skipNotNull)) match {
+        case (Some(x), Some(y)) => Some(x && y)
+        case (x, y) => x.orElse(y)
+      }
+    case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
+      for (x <- distBool(meta, tzOk, reg, a, skipNotNull);
+           y <- distBool(meta, tzOk, reg, b, skipNotNull)) yield x || y
+    case leaf =>
+      val ts = preds(leaf, tzOk).flatMap(p =>
+        distPred(meta, reg, p, skipNotNull))
+      if (ts.isEmpty) None else Some(ts.reduce(_ && _))
+  }
+
+  /** ONE aggregation job: group the sidecar by file, evaluate every
+    * registered leaf flag, filter on the combined boolean, collect
+    * only the surviving names. */
+  private def distributedFileSet(dir: String, cond: Expression,
+                                 meta: graft.sinks.SkippingStore.SidecarMeta,
+                                 tzOk: Boolean,
+                                 skipNotNull: Set[String]): Option[Set[String]] = {
+    val reg = new AggReg
+    val boolExpr = distBool(meta, tzOk, reg, cond, skipNotNull)
+      .getOrElse(return None)
+    if (reg.aggs.isEmpty) return None
+    val zm = spark.read.parquet(s"$dir/_zonemap_multi")
+    Some(zm.groupBy(fcol("file")).agg(reg.aggs.head, reg.aggs.tail.toSeq: _*)
+      .filter(boolExpr).select(fcol("file"))
+      .collect().map(_.getString(0)).toSet)
+  }
+
   /** SQL double comparison over zone stats: `-0.0 == 0.0` (the `+ 0.0`
     * normalizes the sign) and NaN greatest — exactly Spark's ordering,
     * so the in-memory test can never disagree with the DataFrame
@@ -467,7 +590,9 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val hasZone = fs.exists(new Path(s"$dir/_zonemap_multi"))
     val hasBloom = fs.exists(new Path(s"$dir/_bloommap"))
     if (!hasZone && !hasBloom) return f
-    // ONE load per sidecar serves every predicate of this pass. Each
+    // ONE load per sidecar serves every predicate of this pass, and a
+    // cross-query cache keyed by the sidecar's fingerprint makes
+    // repeated queries skip the parquet collect entirely. Each
     // sidecar's loud coverage check (unmapped append, foreign writer)
     // degrades to that sidecar being OFF, never to killing the other:
     // a stale bloom keeps a valid zone prune, and a stale zone keeps a
@@ -475,21 +600,51 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // means the full scan on that dimension. On a partitioned store
     // both sidecars key files by partition-relative path (bare part-
     // names are ambiguous under dynamic partitioning).
+    //
+    // ABOVE the driver-file threshold the in-memory path would hold
+    // files × columns stat rows on the driver — the lake-manifest
+    // memory hazard of a small-file-decayed store. There the rule
+    // switches to the DISTRIBUTED evaluation: a columns-sized
+    // metadata summary decides which predicates are evaluable, ONE
+    // aggregation job per relation evaluates the whole predicate
+    // algebra over the sidecar frame, and only surviving file names
+    // reach the driver. The bloom sidecar (file-count × bitset bytes
+    // driver-side) is skipped above the threshold for the same
+    // reason — survivors degrade to the zone-only superset, never
+    // wrong.
+    val actual = graft.sinks.SkippingStore
+      .dataFiles(spark, dir, relative = partitioned)
+    val maxDriverFiles = spark.conf
+      .get("spark.graft.zoneprune.maxDriverFiles", "100000").toInt
+    val distributed = actual.size > maxDriverFiles
     val sidecar =
-      if (!hasZone) None
+      if (!hasZone || distributed) None
       else scala.util.Try(graft.sinks.SkippingStore
-        .loadMultiSidecar(spark, dir, relative = partitioned))
+        .loadMultiSidecarCached(spark, dir, actual))
         .toOption.flatten
     val bloom =
-      if (!hasBloom) None
+      if (!hasBloom || distributed) None
       else scala.util.Try(graft.sinks.SkippingStore
         .loadBloomCtx(spark, dir, relative = partitioned))
         .toOption.flatten
-    if (sidecar.isEmpty && bloom.isEmpty) return f
-    val tzOk = sidecar.exists(sc =>
-      sc.tzs == Set(spark.sessionState.conf.sessionLocalTimeZone))
-    val ctx = Ctx(dir, sidecar, bloom, tzOk)
-    val surviving = fileSet(ctx, cond, comparisonCols(cond, tzOk)) match {
+    if (!distributed && sidecar.isEmpty && bloom.isEmpty) return f
+    val surviving = (if (distributed) {
+      if (!hasZone) None
+      else graft.sinks.SkippingStore.loadSidecarMetaCached(spark, dir)
+        .filter(m => m.nFiles == actual.size &&
+          m.fileXor == graft.sinks.SkippingStore.fileListXor(actual))
+        .flatMap { meta =>
+          val tzOk =
+            meta.tzs == Set(spark.sessionState.conf.sessionLocalTimeZone)
+          distributedFileSet(dir, cond, meta, tzOk,
+            comparisonCols(cond, tzOk))
+        }
+    } else {
+      val tzOk = sidecar.exists(sc =>
+        sc.tzs == Set(spark.sessionState.conf.sessionLocalTimeZone))
+      val ctx = Ctx(dir, sidecar, bloom, tzOk)
+      fileSet(ctx, cond, comparisonCols(cond, tzOk))
+    }) match {
       case Some(s) => s
       case None => return f
     }

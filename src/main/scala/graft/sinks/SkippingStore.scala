@@ -634,7 +634,18 @@ object SkippingStore {
     * partitioned stores ([[indexPartitioned]] layouts): file keys and
     * the coverage listing are partition-relative paths. */
   def loadMultiSidecar(spark: SparkSession, dir: String,
-                       relative: Boolean = false): Option[MultiSidecar] = {
+                       relative: Boolean = false): Option[MultiSidecar] =
+    loadMultiSidecarRows(spark, dir).map { case (sc, mapped) =>
+      checkCoverage(dataFiles(spark, dir, relative).toSet, mapped, dir)
+      sc
+    }
+
+  /** The sidecar rows in driver memory WITHOUT the coverage check —
+    * the cacheable half of [[loadMultiSidecar]]: the rows depend only
+    * on the sidecar's bytes, while coverage depends on the store's
+    * current data files and must re-check per query. */
+  private def loadMultiSidecarRows(spark: SparkSession, dir: String)
+      : Option[(MultiSidecar, Set[String])] = {
     if (!pathExists(spark, s"$dir/_zonemap_multi")) return None
     val zm = spark.read.parquet(s"$dir/_zonemap_multi")
     val cols = zm.columns.toSet
@@ -656,13 +667,139 @@ object SkippingStore {
           optS(r, "zmin_str"), optS(r, "zmax_str"),
           optL(r, "nrows"), optL(r, "nnulls"))).toSeq
     }
-    val actual = if (relative) listDataFileRelPaths(spark, dir)
-                 else listDataFileNames(spark, dir)
-    checkCoverage(actual.toSet, rows.map(fileOf).toSet, dir)
-    Some(MultiSidecar(byCol,
-      rows.flatMap(r => optS(r, "tz")).toSet,
-      cols("nrows") && cols("nnulls")))
+    Some((MultiSidecar(byCol,
+        rows.flatMap(r => optS(r, "tz")).toSet,
+        cols("nrows") && cols("nnulls")),
+      rows.map(fileOf).toSet))
   }
+
+  /** The store's current data-file keys in the layout the sidecars
+    * use: partition-relative paths for partitioned stores, bare names
+    * for flat ones. */
+  private[graft] def dataFiles(spark: SparkSession, dir: String,
+                               relative: Boolean): Seq[String] =
+    if (relative) listDataFileRelPaths(spark, dir)
+    else listDataFileNames(spark, dir)
+
+  // ------------------------------------------------------------------
+  // Cross-query sidecar cache: repeated queries over the same store
+  // must not re-read and re-collect the sidecar parquet every
+  // optimizer pass. Entries are keyed by the sidecar directory's
+  // FINGERPRINT (per-file name/length/mtime), so any append,
+  // reconcile, or compaction that touches the sidecar produces a new
+  // key and the stale entry simply ages out of the small LRU. The
+  // loud coverage check still runs per query against the store's
+  // CURRENT data files — a data append that bypassed indexing is
+  // detected even on a cache hit.
+
+  private val SidecarCacheMax = 64
+  private val sidecarCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String, Long), AnyRef](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String, Long), AnyRef]): Boolean =
+          size() > SidecarCacheMax
+      })
+
+  /** Order-independent fingerprint of a sidecar directory's file
+    * statuses; None when the sidecar doesn't exist. */
+  private def sidecarFingerprint(spark: SparkSession,
+                                 side: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(side)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    var acc = 0L
+    fs.listStatus(p).foreach { st =>
+      acc ^= scala.util.hashing.MurmurHash3.stringHash(st.getPath.getName)
+        .toLong * 1000003L + st.getLen * 31L + st.getModificationTime
+    }
+    Some(acc)
+  }
+
+  /** [[loadMultiSidecar]] through the cross-query cache: the
+    * sidecar-rows collect runs once per sidecar VERSION, the coverage
+    * check against `actual` runs on every call. `actual` is the
+    * caller's listing in the sidecar's key layout ([[dataFiles]]) —
+    * the optimizer rule already holds it for its threshold decision,
+    * so the store is listed once per query, not once per sidecar
+    * consumer. */
+  private[graft] def loadMultiSidecarCached(spark: SparkSession, dir: String,
+                                            actual: Seq[String])
+      : Option[MultiSidecar] = {
+    val fp = sidecarFingerprint(spark, s"$dir/_zonemap_multi")
+      .getOrElse(return None)
+    val key = (dir, "zone", fp)
+    val hit = sidecarCache.get(key)
+    val (sc, mapped) =
+      if (hit != null) hit.asInstanceOf[(MultiSidecar, Set[String])]
+      else {
+        val loaded = loadMultiSidecarRows(spark, dir).getOrElse(return None)
+        sidecarCache.put(key, loaded)
+        loaded
+      }
+    checkCoverage(actual.toSet, mapped, dir)
+    Some(sc)
+  }
+
+  /** Per-column metadata of a sidecar, reduced ON THE CLUSTER —
+    * columns-sized, never files-sized. Everything the distributed
+    * zone evaluation ([[graft.plans.ZonePruneRule]] above its
+    * driver-file threshold) needs to decide which predicates are
+    * evaluable: slot family, duplicate-file corruption, null-stat
+    * completeness, the writer time zones, and an order-independent
+    * (count, xor-of-xxhash64) coverage fingerprint of the mapped
+    * files that replaces the driver-side mapped set. */
+  final case class ColMeta(dupFiles: Boolean, anyStr: Boolean,
+                           nullStatsComplete: Boolean)
+  final case class SidecarMeta(cols: Map[String, ColMeta],
+                               tzs: Set[String], hasNullStats: Boolean,
+                               nFiles: Long, fileXor: Long)
+
+  private[graft] def loadSidecarMetaCached(spark: SparkSession,
+                                           dir: String): Option[SidecarMeta] = {
+    val fp = sidecarFingerprint(spark, s"$dir/_zonemap_multi")
+      .getOrElse(return None)
+    val key = (dir, "meta", fp)
+    val hit = sidecarCache.get(key)
+    if (hit != null) return Some(hit.asInstanceOf[SidecarMeta])
+    val zm = spark.read.parquet(s"$dir/_zonemap_multi")
+    val hasNull = zm.columns.contains("nrows") && zm.columns.contains("nnulls")
+    val nullMissing =
+      if (hasNull)
+        sum(when(col("nrows").isNull || col("nnulls").isNull, 1L)
+          .otherwise(0L))
+      else sum(lit(1L)) // no null stats at all: never "complete"
+    val per = zm.groupBy(col("col")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("file")).as("nf"),
+      max(col("zmin_str").isNotNull).as("anyStr"),
+      nullMissing.as("nullMissing")).collect()
+    val cols = per.map(r => r.getString(0) -> ColMeta(
+      dupFiles = r.getLong(1) != r.getLong(2),
+      anyStr = r.getBoolean(3),
+      nullStatsComplete = hasNull && r.getLong(4) == 0L)).toMap
+    val fm = zm.select(col("file")).distinct()
+      .agg(count(lit(1)).as("nf"),
+        expr("coalesce(bit_xor(xxhash64(file)), 0L)").as("fx")).head()
+    val tzs =
+      if (!zm.columns.contains("tz")) Set.empty[String]
+      else zm.select(col("tz")).filter(col("tz").isNotNull).distinct()
+        .collect().map(_.getString(0)).toSet
+    val meta = SidecarMeta(cols, tzs, hasNull, fm.getLong(0), fm.getLong(1))
+    sidecarCache.put(key, meta)
+    Some(meta)
+  }
+
+  /** The xor-of-xxhash64 fingerprint of a driver-held file listing —
+    * must combine exactly like the cluster side's
+    * `bit_xor(xxhash64(file))` so [[SidecarMeta.fileXor]] coverage
+    * compares are sound. */
+  private[graft] def fileListXor(names: Seq[String]): Long =
+    names.foldLeft(0L)((acc, n) => acc ^
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(n),
+        org.apache.spark.sql.types.StringType, 42L))
 
   /** The global (min, max) of one stats column reduced from the
     * `_zonemap_multi` sidecar alone — both slot families, so the caller
