@@ -271,6 +271,16 @@ object GraftCli {
         k.toInt, out)
     case "textcompact" :: storeDir :: rest if rest.size <= 1 =>
       textCompact(storeDir, rest.headOption.map(_.toInt).getOrElse(1))
+    case "textcompactsel" :: storeDir :: maxFiles :: rest if rest.size <= 1 =>
+      textCompactSelective(storeDir, maxFiles.toInt,
+        rest.headOption.map(_.toInt).getOrElse(1))
+    case "textbuildpos" :: docs :: storeDir :: rest if rest.size <= 2 =>
+      textBuildPos(docs, storeDir, rest.headOption.map(_.toInt).getOrElse(64),
+        rest.drop(1).headOption.map(_.toInt).getOrElse(1))
+    case "textappendpos" :: docs :: storeDir :: rest if rest.size <= 1 =>
+      textAppendPos(docs, storeDir, rest.headOption.map(_.toInt).getOrElse(1))
+    case "textphrase" :: storeDir :: phrase :: out :: Nil =>
+      textPhrase(storeDir, phrase.split(",").toSeq.filter(_.nonEmpty), out)
     case "pqbuild" :: emb :: indexDir :: rest if rest.size <= 2 =>
       pqBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(2),
         rest.drop(1).headOption.map(_.toInt).getOrElse(8))
@@ -339,6 +349,10 @@ object GraftCli {
            |           textappend <docs> <storedir> [files_per_bucket]
            |           textquery <storedir> <term,term,...> <k> <outdir>
            |           textcompact <storedir> [files_per_bucket]
+           |           textcompactsel <storedir> <max_files_per_bucket> [files_per_bucket]
+           |           textbuildpos <docs> <storedir> [buckets] [files_per_bucket]
+           |           textappendpos <docs> <storedir> [files_per_bucket]
+           |           textphrase <storedir> <w1,w2,...> <outdir>
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -2109,6 +2123,54 @@ object GraftCli {
     val (was, now) =
       graft.operators.TextIndex.compact(spark, storeDir, filesPerBucket)
     println(s"compacted text postings store $storeDir: $was -> $now files")
+    spark.stop()
+  }
+
+  private def textCompactSelective(storeDir: String, maxFilesPerBucket: Int,
+                                   filesPerBucket: Int): Unit = {
+    val spark = GraftSession.local()
+    val (rewritten, was, now) = graft.operators.TextIndex
+      .compactSelective(spark, storeDir, maxFilesPerBucket, filesPerBucket)
+    println(s"selectively compacted $storeDir: $was -> $now files " +
+      s"(${rewritten.size} decayed buckets rewritten: " +
+      s"${rewritten.mkString(",")})")
+    spark.stop()
+  }
+
+  /** textbuildpos / textappendpos / textphrase: the POSITIONAL
+    * postings-store lifecycle — same layout with per-posting position
+    * lists, serving exact phrase adjacency from the terms' buckets
+    * ([[graft.operators.TextIndex.phraseSearch]]). */
+  private def textBuildPos(docs: String, storeDir: String, nBuckets: Int,
+                           filesPerBucket: Int): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.buildPositional(spark.read.parquet(docs),
+      "doc_id", "text", storeDir, nBuckets, filesPerBucket)
+    val (n, sdl, nb) = graft.operators.TextIndex.readStats(spark, storeDir)
+    println(s"wrote positional postings store $storeDir " +
+      s"($n docs, $sdl tokens, $nb buckets)")
+    spark.stop()
+  }
+
+  private def textAppendPos(docs: String, storeDir: String,
+                            filesPerBucket: Int): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.appendPositional(spark.read.parquet(docs),
+      "doc_id", "text", storeDir, filesPerBucket)
+    val (n, sdl, nb) = graft.operators.TextIndex.readStats(spark, storeDir)
+    println(s"appended to positional postings store $storeDir " +
+      s"(now $n docs, $sdl tokens, $nb buckets)")
+    spark.stop()
+  }
+
+  private def textPhrase(storeDir: String, phrase: Seq[String],
+                         out: String): Unit = {
+    val spark = GraftSession.local()
+    val hits = graft.operators.TextIndex.phraseSearch(spark, storeDir, phrase)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+    hits.write.mode("overwrite").parquet(out)
+    println(s"phrase '${phrase.mkString(" ")}': " +
+      s"${spark.read.parquet(out).count()} matching docs -> $out")
     spark.stop()
   }
 

@@ -140,6 +140,8 @@ object TextIndex {
              marker: Option[Long] = None): Unit = {
     require(filesPerBucket >= 1, "need at least one file per bucket")
     val spark = newDocs.sparkSession
+    require(!isPositional(spark, storeDir),
+      s"$storeDir is a positional store — append with appendPositional")
     val (_, _, nb) = readStats(spark, storeDir)
     val post = postings(newDocs, idCol, textCol, nb)
     marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
@@ -214,8 +216,133 @@ object TextIndex {
     // swap still finds its bid row — the heal guard survives
     spark.read.parquet(statsPath(storeDir))
       .coalesce(1).write.mode("overwrite").parquet(statsPath(tmp))
+    // the positional marker is part of the layout — carry it or the
+    // compacted store would silently refuse phrase serves
+    if (isPositional(spark, storeDir)) writeMarker(spark, tmp)
     HadoopSwap.swapInto(spark, tmp, storeDir, aside)
     (before, SkippingStore.listDataFileRelPaths(spark, storeDir).size)
+  }
+
+  // ------------------------------------------------------------------
+  // POSITIONAL postings — the phrase-search extension of the store.
+  // [[graft.operators.Curation.phraseSearch]] (q193) re-tokenizes the
+  // whole corpus per query, exactly the shape this store exists to
+  // kill: here each posting carries its sorted in-document position
+  // list `(tb, w, doc_id, tf, dl, pos)`, so exact adjacency is served
+  // from the terms' buckets alone — same bucket hash, same (tb, w)
+  // clustering, same w-zone sidecar and corpus-stats discipline as
+  // the bag-of-terms store. Tokenization matches phraseSearch
+  // verbatim (whitespace split, empty tokens dropped, 0-based
+  // posexplode positions); tf/dl derive from the SAME filtered token
+  // stream so the positional store is internally consistent. A
+  // `_positional` marker file keeps the two posting schemas from
+  // silently mixing: [[append]] refuses a positional store and
+  // [[appendPositional]] refuses a bag-of-terms one.
+
+  private def positionalMarker(dir: String) = s"$dir/_positional"
+
+  private def writeMarker(spark: SparkSession, dir: String): Unit = {
+    val fs = graft.sinks.HadoopSwap.fs(spark, dir)
+    fs.create(new org.apache.hadoop.fs.Path(positionalMarker(dir)), true)
+      .close()
+  }
+
+  private[graft] def isPositional(spark: SparkSession, dir: String): Boolean =
+    graft.sinks.HadoopSwap.exists(spark, positionalMarker(dir))
+
+  /** Per-(doc, term) postings with the frozen bucket key AND the
+    * sorted position list — [[Curation.phraseSearch]]'s tokenizer,
+    * verbatim, so store-served adjacency is bit-stable with the
+    * scan-everything path. */
+  private def positionalPostings(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 nBuckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), TOK), w => length(w) > 0).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("toks")).as(Seq("p", "w")))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p"))).as("pos"))
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nBuckets)).cast("int"))
+
+  /** Build the positional postings store — [[build]]'s layout with the
+    * position list riding each posting. */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String,
+                      storeDir: String, nBuckets: Int,
+                      filesPerBucket: Int = 1): Unit = {
+    require(nBuckets >= 1 && filesPerBucket >= 1,
+      "need at least one bucket and one file per bucket")
+    val spark = docs.sparkSession
+    positionalPostings(docs, idCol, textCol, nBuckets)
+      .repartitionByRange(nBuckets * filesPerBucket, col("tb"), col("w"))
+      .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
+      .write.partitionBy("tb").mode("overwrite").parquet(storeDir)
+    writeMarker(spark, storeDir)
+    graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    val (n, sdl) = docStats(docs, idCol, textCol)
+    appendStatsRow(spark, storeDir, -1L, n, sdl, nBuckets)
+  }
+
+  /** Append a batch to a positional store — batch-only tokenize,
+    * frozen bucket hash, sidecar extension, stats bump; the
+    * [[append]] cost model with positions. */
+  def appendPositional(newDocs: DataFrame, idCol: String, textCol: String,
+                       storeDir: String, filesPerBucket: Int = 1): Unit = {
+    require(filesPerBucket >= 1, "need at least one file per bucket")
+    val spark = newDocs.sparkSession
+    require(isPositional(spark, storeDir),
+      s"$storeDir is a bag-of-terms store — append with TextIndex.append")
+    val (_, _, nb) = readStats(spark, storeDir)
+    positionalPostings(newDocs, idCol, textCol, nb)
+      .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
+      .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
+      .write.partitionBy("tb").mode("append").parquet(storeDir)
+    graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    val (n1, sdl1) = docStats(newDocs, idCol, textCol)
+    appendStatsRow(spark, storeDir, -1L, n1, sdl1, nb)
+  }
+
+  /** Store-served EXACT phrase search — bit-stable with
+    * [[graft.operators.Curation.phraseSearch]] over the store's
+    * documents, without touching a document: reads only the phrase
+    * terms' buckets (partition pruning on the writer's own hash, like
+    * [[topK]]) and the w-zone-surviving files inside them, then
+    * intersects shifted position lists per document —
+    * `pos(w_i) - i` across the phrase — so a surviving position IS a
+    * phrase start. Joins are postings-list-sized; the corpus never
+    * appears in the plan. Returns (doc_id, n_occurrences), matching
+    * docs only. */
+  def phraseSearch(spark: SparkSession, storeDir: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a 1-token phrase is a plain term lookup")
+    require(isPositional(spark, storeDir),
+      s"$storeDir carries no positions — build with buildPositional")
+    import spark.implicits._
+    val (_, _, nb) = readStats(spark, storeDir)
+    val terms = phrase.distinct
+    val buckets = terms.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val post = spark.read.parquet(storeDir)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("w").isin(terms: _*))
+      .select(col("w"), col("doc_id"), col("pos"))
+    val first = post.filter(col("w") === phrase.head)
+      .select(col("doc_id"), col("pos").as("acc"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(post.filter(col("w") === w)
+            .select(col("doc_id"),
+              transform(col("pos"), p => p - i).as("shifted")),
+            Seq("doc_id"))
+          .select(col("doc_id"),
+            array_intersect(col("acc"), col("shifted")).as("acc"))
+          .filter(size(col("acc")) > 0)
+    }
+    matched.select(col("doc_id"),
+      size(col("acc")).cast("long").as("n_occurrences"))
   }
 
   /** SELECTIVE compaction: rewrite only the term buckets whose file

@@ -3858,6 +3858,36 @@ object Pipeline {
     corpus = "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
       "THEN 'zetahot omegahot' ELSE text END AS text FROM documents)")
 
+  // --------------------------------------------------------------- q227
+  // STORE-SERVED positional phrase search: q193's exact-adjacency
+  // semantics, but from the persisted positional postings store
+  // (TextIndex.buildPositional) instead of re-tokenizing the corpus
+  // per query. Lifecycle exercised build + append (batch-only
+  // tokenize, frozen hash); the serve intersects shifted per-term
+  // position lists inside only the phrase terms' buckets — the
+  // in-plan require pins the file skipping. The oracle is q193's
+  // scan-everything SQL verbatim: store-served adjacency must be
+  // bit-identical to the corpus scan.
+  private def q227PhraseStore(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q227", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", out, filesPerBucket = 2)
+    val res = TextIndex.phraseSearch(s, out, Seq("table", "scan"))
+      .orderBy(col("doc_id"))
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"store-served phrase search must not read the whole postings " +
+        s"store ($dataFiles data files)")
+    res
+  }
+
+  // q193's oracle verbatim — the whole point: the store serves the
+  // same answer the corpus scan computes
+  private lazy val q227Sql = q193Sql
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4686,6 +4716,7 @@ object Pipeline {
     "q224_text_compact" -> q224TextCompact _,
     "q225_selective_compact" -> q225SelectiveCompact _,
     "q226_text_selective" -> q226TextSelective _,
+    "q227_phrase_store" -> q227PhraseStore _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4920,6 +4951,7 @@ object Pipeline {
     "q224_text_compact" -> q224Sql,
     "q225_selective_compact" -> q225Sql,
     "q226_text_selective" -> q226Sql,
+    "q227_phrase_store" -> q227Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -99,4 +99,55 @@ class TextIndexSpec extends SparkSpec {
     assert(opened <= 2,
       s"a single term's serve must stay inside its own bucket ($opened files)")
   }
+
+  test("positional store serves exact adjacency == phraseSearch scan") {
+    val dir = tmp("pos")
+    TextIndex.buildPositional(docs.filter($"doc_id" < 40), "doc_id", "text",
+      dir, nBuckets = 4, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter($"doc_id" >= 40), "doc_id", "text",
+      dir, filesPerBucket = 2)
+    for (phrase <- Seq(Seq("alpha", "beta"), Seq("gamma", "gamma"),
+        Seq("beta", "alpha", "mu"))) {
+      val served = TextIndex.phraseSearch(spark, dir, phrase)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val scanned = Curation.phraseSearch(docs, "doc_id", "text", phrase)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(served == scanned,
+        s"phrase ${phrase.mkString(" ")}: store $served vs scan $scanned")
+    }
+    // the serve must stay inside the phrase terms' buckets
+    val q = TextIndex.phraseSearch(spark, dir, Seq("alpha", "beta"))
+    val dataFiles =
+      graft.sinks.SkippingStore.listDataFileRelPaths(spark, dir).size
+    assert(graft.plans.PlanProbe.scannedFileCount(q) < dataFiles)
+  }
+
+  test("posting schemas never mix: append guards both directions") {
+    val dir = tmp("guard")
+    TextIndex.buildPositional(docs, "doc_id", "text", dir, nBuckets = 4)
+    intercept[IllegalArgumentException] {
+      TextIndex.append(docs.limit(5), "doc_id", "text", dir)
+    }
+    val dir2 = tmp("guard2")
+    TextIndex.build(docs, "doc_id", "text", dir2, nBuckets = 4)
+    intercept[IllegalArgumentException] {
+      TextIndex.appendPositional(docs.limit(5), "doc_id", "text", dir2)
+    }
+  }
+
+  test("full compaction carries the positional marker; phrase serves survive") {
+    val dir = tmp("poscomp")
+    TextIndex.buildPositional(docs.filter($"doc_id" < 40), "doc_id", "text",
+      dir, nBuckets = 4, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter($"doc_id" >= 40), "doc_id", "text",
+      dir, filesPerBucket = 2)
+    val before = TextIndex.phraseSearch(spark, dir, Seq("alpha", "beta"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val (was, now) = TextIndex.compact(spark, dir, filesPerBucket = 2)
+    assert(now < was)
+    val after = TextIndex.phraseSearch(spark, dir, Seq("alpha", "beta"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(after == before,
+      "compaction must preserve positions and the positional marker")
+  }
 }
