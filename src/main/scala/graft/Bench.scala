@@ -17,6 +17,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_ZONEPRUNE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.silenceSidecarListingNoise()
     // warm-up: session/codegen/file-index init lands here, not in q1
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }

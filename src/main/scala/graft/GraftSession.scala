@@ -44,6 +44,18 @@ object GraftSession {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
+  /** Every read of a sidecar-bearing store makes Spark's DataSource
+    * log `All paths were ignored: .../_zonemap_multi` at WARN — one
+    * line per sidecar dir per read, hundreds per bench, burying real
+    * warnings. The underscore prefix is Spark's own "not data"
+    * convention and the skip is exactly what we want, so the category
+    * is noise by construction for this engine; raise just that logger
+    * to ERROR. */
+  def silenceSidecarListingNoise(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.datasources.DataSource",
+      org.apache.logging.log4j.Level.ERROR)
+
   /** Builder pre-loaded with [[clusterConf]] + engine extensions; the
     * caller adds master/deploy settings. */
   def clusterBuilder(): SparkSession.Builder =
@@ -65,6 +77,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceSidecarListingNoise()
     spark
   }
 }

@@ -17,6 +17,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.silenceSidecarListingNoise()
     new java.io.File(outDir).mkdirs()
     // local-iteration knob (mirrors Bench): SPARK_GRAFT_ONLY=q1_agg,q2_…
     // restricts the dump + oracle json to a subset. The driver sets no
