@@ -52,6 +52,36 @@ final class TopKAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
 }
 
+/** [[TopKAggregator]] with an opaque long payload per pair. The
+  * comparator is IDENTICAL — (score desc, NaN first, id asc); the tag
+  * is cargo, never a sort key, so a caller gets the same k rows in the
+  * same order as the untagged aggregator plus its annotation. */
+final class TopKTaggedAggregator(k: Int)
+    extends Aggregator[(Long, Double, Long), (Int, List[(Long, Double, Long)]), Seq[(Long, Double, Long)]] {
+  require(k > 0, "k must be positive")
+
+  private def best(b: List[(Long, Double, Long)]): List[(Long, Double, Long)] =
+    b.sortBy { case (id, s, _) => (!s.isNaN, -s, id) }.take(k)
+
+  def zero: (Int, List[(Long, Double, Long)]) = (0, Nil)
+  def reduce(b: (Int, List[(Long, Double, Long)]),
+             a: (Long, Double, Long)): (Int, List[(Long, Double, Long)]) = {
+    val (n, xs) = b
+    if (n + 1 > 2 * k) (k, best(a :: xs)) else (n + 1, a :: xs)
+  }
+  def merge(l: (Int, List[(Long, Double, Long)]),
+            r: (Int, List[(Long, Double, Long)])): (Int, List[(Long, Double, Long)]) = {
+    val m = best(l._2 ::: r._2)
+    (m.length, m)
+  }
+  def finish(b: (Int, List[(Long, Double, Long)])): Seq[(Long, Double, Long)] =
+    best(b._2)
+  def bufferEncoder: Encoder[(Int, List[(Long, Double, Long)])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, List[(Long, Double, Long)])]()
+  def outputEncoder: Encoder[Seq[(Long, Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double, Long)]]()
+}
+
 object TopK {
   /** `top_k(id, score)` aggregate column: array of the k best
     * (id, score) structs, score desc / id asc. Explode the result to
@@ -65,4 +95,18 @@ object TopK {
     udaf(new TopKAggregator(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
       .apply(id, score)
+
+  /** `top_k_tagged(id, score, tag)`: [[top_k]] with an opaque long
+    * payload riding each pair — the tag NEVER participates in the
+    * (score desc, id asc) ordering, it just travels with its row.
+    * Exists so a serve that needs a per-hit annotation (e.g. BM25's
+    * matched-term count) keeps the bounded-aggregator shape instead of
+    * re-joining the winners back to the scored frame — that back-join
+    * re-shuffles (and under a file-source, re-scans) the whole scored
+    * subtree for k rows per group. */
+  def top_k_tagged(k: Int)(id: Column, score: Column, tag: Column): Column =
+    udaf(new TopKTaggedAggregator(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+        Encoders.scalaLong))
+      .apply(id, score, tag)
 }

@@ -304,9 +304,79 @@ object Similarity {
     * every already-written posting, so the index is a parameter, never
     * re-derived here. */
   def ivfStoreAppend(newEmb: DataFrame, idCol: String, embCol: String,
-                     index: IvfIndex, storeDir: String): Unit =
+                     index: IvfIndex, storeDir: String): Unit = {
+    readIvfTombstones(newEmb.sparkSession, storeDir).foreach { tb =>
+      val clash = newEmb.select(col(idCol).as(tombIdCol(tb)))
+        .join(tb, Seq(tombIdCol(tb)), "left_semi").limit(1).count()
+      require(clash == 0L,
+        s"$storeDir: batch re-appends tombstoned ids — a pending " +
+          "tombstone would mask the new rows; compactIvfStore() first")
+    }
     newEmb.withColumn("cell", index.cellColFor(col(embCol)))
       .write.partitionBy("cell").mode("append").parquet(storeDir)
+  }
+
+  // ------------------------------------------------------------------
+  // Tombstoned deletes — the churn lifecycle op for the vector store
+  // (takedowns, re-embeddings) without the 100 TB anti-pattern of
+  // rewriting inverted lists per removal. A delete appends the ids to
+  // an `_tombstones` sidecar (one coalesced file per call — atomic
+  // visibility); every serve anti-joins the deleted-ids-sized set (AQE
+  // broadcasts it in the dimension direction); [[compactIvfStore]]
+  // physically purges the rows and clears the sidecar in the same
+  // atomic swap. Unlike the text store there are no corpus stats to
+  // reverse: a kNN answer over the survivors needs nothing but the
+  // survivors, so deleting an unknown id is a harmless no-op and no
+  // `_doclen`-style pricing sidecar is required.
+
+  private def ivfTombPath(dir: String) = s"$dir/_tombstones"
+  private def tombIdCol(tb: DataFrame): String = tb.columns.head
+
+  /** The deduped tombstone set (single column named by the deleting
+    * call's idCol — the same name serves pass), or None. */
+  private def readIvfTombstones(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Option[DataFrame] =
+    if (!graft.sinks.HadoopSwap.exists(spark, ivfTombPath(dir))) None
+    else {
+      val df = spark.read.parquet(ivfTombPath(dir))
+      Some(df.select(col(df.columns.head)).distinct())
+    }
+
+  /** Anti-join `base` against the store's tombstones (no-op when none
+    * exist). `idCol` must match the name the deletes were issued
+    * under — enforced loud, never a silently-skipped filter. */
+  private def ivfMinusTombstones(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, base: DataFrame,
+                                 idCol: String): DataFrame =
+    readIvfTombstones(spark, dir).fold(base) { tb =>
+      require(tombIdCol(tb) == idCol,
+        s"$dir: tombstones are keyed by '${tombIdCol(tb)}' but the serve " +
+          s"asked for '$idCol' — id columns must match")
+      base.join(tb, Seq(idCol), "left_anti")
+    }
+
+  /** DELETE vectors from the postings store: append their ids to the
+    * `_tombstones` sidecar. Ids already tombstoned are skipped (a
+    * re-delete never grows the set); unknown ids are accepted — they
+    * exclude nothing and vanish at the next purge. Returns the number
+    * of ids newly tombstoned. */
+  def ivfStoreDelete(spark: org.apache.spark.sql.SparkSession,
+                     storeDir: String, ids: DataFrame,
+                     idCol: String): Long = {
+    val want0 = ids.select(col(idCol)).distinct()
+    val want = readIvfTombstones(spark, storeDir).fold(want0) { tb =>
+      require(tombIdCol(tb) == idCol,
+        s"$storeDir: tombstones are keyed by '${tombIdCol(tb)}' — " +
+          s"delete with the same id column, not '$idCol'")
+      want0.join(tb, Seq(idCol), "left_anti")
+    }.persist()
+    try {
+      val nDel = want.count()
+      if (nDel > 0L)
+        want.coalesce(1).write.mode("append").parquet(ivfTombPath(storeDir))
+      nDel
+    } finally want.unpersist()
+  }
 
   /** [[ivfStoreBuild]] with RIDER-CLUSTERED lists: rows are
     * range-partitioned and sorted by (cell, riders…) before the
@@ -405,7 +475,14 @@ object Similarity {
     HadoopSwap.deleteRecursive(spark, tmp)
     HadoopSwap.deleteRecursive(spark, aside)
     val sortKeys = col("cell") +: statsCols.map(col)
-    val w = spark.read.option("mergeSchema", "true").parquet(storeDir)
+    // tombstoned rows are PURGED here (anti-join against the deduped
+    // id set, keyed by the sidecar's own column); the sidecar is not
+    // copied into tmp, so the swap clears it in the same atomic step
+    val purged = readIvfTombstones(spark, storeDir).fold(
+        spark.read.option("mergeSchema", "true").parquet(storeDir))(tb =>
+      spark.read.option("mergeSchema", "true").parquet(storeDir)
+        .join(tb, Seq(tombIdCol(tb)), "left_anti"))
+    val w = purged
       .repartitionByRange(numCells * filesPerCell, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
       .write.partitionBy("cell").mode("overwrite")
@@ -453,8 +530,9 @@ object Similarity {
     val cells = spark.range(1)
       .select(explode(index.probeCellsCol(qcol, nprobe)).as("cell"))
       .collect().map(_.getInt(0)).toSeq // nprobe-sized
-    val store = spark.read.parquet(storeDir)
-      .filter(col("cell").isin(cells: _*))
+    val store = ivfMinusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("cell").isin(cells: _*)), idCol)
     // metadata predicate (filtered ANN, the q80 semantics served from
     // the store): applied INSIDE the probed partitions, so it rides
     // parquet pushdown on the rider columns — partition pruning first,
@@ -537,9 +615,10 @@ object Similarity {
     // union of probed cells: ≤ numCells ints, driver-held by design
     val cells = qcells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val base = spark.read.parquet(storeDir)
-      .filter(col("cell").isin(cells: _*))
-      .filter(col(embCol).isNotNull)
+    val base = ivfMinusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("cell").isin(cells: _*))
+        .filter(col(embCol).isNotNull), idCol)
     // metadata gate (the q80/q214 filtered-ANN semantics, batched):
     // applied INSIDE the probed partitions so it rides parquet
     // pushdown — and, on a rider-clustered store, the transparent

@@ -48,6 +48,8 @@ object TextIndex {
   private val TOK = "\\s+"
 
   private def statsPath(dir: String) = s"$dir/_corpus_stats"
+  private def doclenPath(dir: String) = s"$dir/_doclen"
+  private def tombPath(dir: String) = s"$dir/_tombstones"
 
   /** Per-(doc, term) postings with the frozen bucket key. */
   private def postings(docs: DataFrame, idCol: String, textCol: String,
@@ -70,21 +72,88 @@ object TextIndex {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** `_corpus_stats` is APPEND-ONLY: one row `(bid, n, sdl, nbuckets)`
-    * per build/append (bid = -1 for batch-API writes, the micro-batch
-    * id for streaming ingest), summed at read. Appending a row instead
-    * of rewriting a total kills the read-modify-write (no lost update
-    * between concurrent appenders) and makes the streaming replay-heal
-    * idempotent: a replayed batch re-adds its row only if its bid is
-    * absent. Ordering contract: data files land BEFORE the stats row,
-    * so a crash in between leaves a servable store whose scores lag
-    * the tail batch — never a stats row describing postings that
-    * don't exist (streaming replays heal the gap; see [[healBatch]]). */
+  /** `_corpus_stats` is APPEND-ONLY: one row
+    * `(bid, n, sdl, nbuckets, tf_bits)` per build/append (bid = -1
+    * for batch-API writes, the micro-batch id for streaming ingest),
+    * summed at read. Appending a row instead of rewriting a total
+    * kills the read-modify-write (no lost update between concurrent
+    * appenders) and makes the streaming replay-heal idempotent: a
+    * replayed batch re-adds its row only if its bid is absent.
+    * Ordering contract: data files land BEFORE the stats row, so a
+    * crash in between leaves a servable store whose scores lag the
+    * tail batch — never a stats row describing postings that don't
+    * exist (streaming replays heal the gap; see [[healBatch]]).
+    * `tf_bits` is the batch's term-presence Bloom bitset
+    * ([[termFilterBits]]) — per-batch bitsets OR at read, so the
+    * union filter stays append-only too. */
   private def appendStatsRow(spark: SparkSession, dir: String, bid: Long,
-                             n: Long, sdl: Long, nBuckets: Int): Unit = {
+                             n: Long, sdl: Long, nBuckets: Int,
+                             tfBits: Array[Long]): Unit = {
     import spark.implicits._
-    Seq((bid, n, sdl, nBuckets)).toDF("bid", "n", "sdl", "nbuckets")
+    Seq((bid, n, sdl, nBuckets, tfBits.toSeq))
+      .toDF("bid", "n", "sdl", "nbuckets", "tf_bits")
       .coalesce(1).write.mode("append").parquet(statsPath(dir))
+  }
+
+  // Term-presence filter geometry — frozen like the bucket hash: the
+  // serve probes with the same expressions every writer used. 2^17
+  // bits = 16 KiB per batch row; at ~100k distinct terms per batch and
+  // k=4 the false-positive rate is ~5% — a false positive only opens
+  // one bucket needlessly, never changes an answer.
+  private val TermFilterBits = 1 << 17
+  private val TermFilterK = 4
+
+  private def termProbes: org.apache.spark.sql.Column =
+    array((0 until TermFilterK).map(i =>
+      pmod(xxhash64(col("w"), lit(i)), lit(TermFilterBits.toLong))): _*)
+
+  /** The batch's term-presence bitset, reduced ON THE CLUSTER into
+    * ≤ nbits/64 (word, bits) rows — never vocab-sized driver
+    * traffic. Input is the postings frame, so tokenization is never
+    * repeated for the filter. */
+  private def termFilterBits(post: DataFrame): Array[Long] = {
+    val rows = post.select(col("w")).distinct()
+      .select(explode(termProbes).as("p"))
+      .groupBy((col("p") / 64).cast("int").as("word"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 64 AS int)))").as("bits"))
+      .collect()
+    val arr = new Array[Long](TermFilterBits / 64)
+    rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** OR of every applied batch's bitset; None when any stats row
+    * predates the filter (a store with pre-filter batches cannot
+    * prove absence — the serve falls back to opening every query
+    * term's bucket, never to a wrong skip). */
+  private def readTermFilter(spark: SparkSession,
+                             dir: String): Option[Array[Long]] = {
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(statsPath(dir))
+    if (!df.columns.contains("tf_bits")) return None
+    val rows = df.select(col("tf_bits")).collect()
+    val acc = new Array[Long](TermFilterBits / 64)
+    rows.foreach { r =>
+      if (r.isNullAt(0)) return None
+      val a = r.getSeq[Long](0)
+      if (a.length != acc.length) return None // foreign geometry
+      var i = 0
+      while (i < acc.length) { acc(i) |= a(i); i += 1 }
+    }
+    Some(acc)
+  }
+
+  /** The query terms that MIGHT exist in the store — Bloom semantics:
+    * a dropped term provably has df = 0, so dropping it changes no
+    * score and no match; it only skips opening that term's bucket.
+    * Probes are engine-evaluated with the writer's own expressions. */
+  private def presentTerms(spark: SparkSession, terms: Seq[String],
+                           bits: Array[Long]): Seq[String] = {
+    import spark.implicits._
+    terms.toDF("w").select(col("w"), termProbes.as("ps")).collect()
+      .filter(r => r.getSeq[Long](1).forall(p =>
+        (bits((p / 64).toInt) & (1L << (p % 64).toInt)) != 0L))
+      .map(_.getString(0)).toSeq
   }
 
   /** Whether batch `bid`'s stats row already landed (the replay-heal
@@ -95,9 +164,54 @@ object TextIndex {
       spark.read.parquet(statsPath(dir))
         .filter(col("bid") === bid).limit(1).count() > 0
 
+  /** The per-doc `(doc_id, dl)` sidecar — written at every
+    * build/append so a later [[delete]] can price the removed docs
+    * WITHOUT scanning the store (a doc's postings are scattered across
+    * every bucket its terms hash to, so deriving dl from postings at
+    * delete time would be a full-store read). Deduped by doc_id at
+    * read: a streaming heal may land a batch's rows twice, with
+    * identical dl — max() makes the duplicate invisible. `dl` is the
+    * UNfiltered whitespace token count, matching [[docStats]] (what
+    * the `_corpus_stats` rows counted), so a delete's subtraction is
+    * exact against the stats it reverses. */
+  private def readDoclen(spark: SparkSession,
+                         dir: String): Option[DataFrame] =
+    if (!graft.sinks.HadoopSwap.exists(spark, doclenPath(dir))) None
+    else Some(spark.read.parquet(doclenPath(dir))
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
+
+  private def writeDoclen(docs: DataFrame, idCol: String, textCol: String,
+                          dir: String): Unit =
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), TOK)).cast("long").as("dl"))
+      .write.mode("append").parquet(doclenPath(dir))
+
+  /** The deduped tombstone set `(doc_id, dl)`, or None when the store
+    * has none. Dedup by doc_id (max dl — rows for one doc are
+    * identical by the [[delete]] guard; dedup only defends a
+    * concurrent-deleter race) so a doc can never be subtracted twice
+    * no matter how the sidecar was written. */
+  private def readTombstones(spark: SparkSession,
+                             dir: String): Option[DataFrame] =
+    if (!graft.sinks.HadoopSwap.exists(spark, tombPath(dir))) None
+    else Some(spark.read.parquet(tombPath(dir))
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
+
+  /** Anti-join `post` against the store's tombstones (no-op when none
+    * exist). The tombstone side is deleted-docs-sized — AQE broadcasts
+    * it in the dimension direction; the postings side streams. */
+  private def minusTombstones(spark: SparkSession, dir: String,
+                              post: DataFrame): DataFrame =
+    readTombstones(spark, dir).fold(post)(tb =>
+      post.join(tb.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+
   /** The store's `(n, sdl, nbuckets)` — total docs, total tokens
-    * (summed over every applied batch's row), and the frozen bucket
-    * count every append and serve must reuse. */
+    * (summed over every applied batch's row, MINUS the tombstoned
+    * docs' exact counts), and the frozen bucket count every append and
+    * serve must reuse. Deletes never touch `_corpus_stats`: the
+    * subtraction derives from the tombstone rows themselves, so a
+    * delete is a single atomic sidecar append with no
+    * stats-out-of-sync crash window. */
   private[graft] def readStats(spark: SparkSession,
                                dir: String): (Long, Long, Int) = {
     val df = spark.read.parquet(statsPath(dir))
@@ -106,7 +220,57 @@ object TextIndex {
     require(nbs.length == 1,
       s"${statsPath(dir)}: inconsistent bucket counts ${nbs.mkString(",")}")
     val r = df.agg(sum(col("n")), sum(col("sdl"))).head()
-    (r.getLong(0), r.getLong(1), nbs.head)
+    val (dn, dsdl) = readTombstones(spark, dir).fold((0L, 0L)) { tb =>
+      val t = tb.agg(count(lit(1)), sum(col("dl"))).head()
+      if (t.getLong(0) == 0L) (0L, 0L) else (t.getLong(0), t.getLong(1))
+    }
+    (r.getLong(0) - dn, r.getLong(1) - dsdl, nbs.head)
+  }
+
+  /** DELETE documents from the store — the lifecycle op a churning
+    * corpus needs (takedowns, re-crawls, license revocations) WITHOUT
+    * the 100 TB anti-pattern of rewriting postings per removal.
+    *
+    * A delete appends `(doc_id, dl)` rows to the `_tombstones`
+    * sidecar — one coalesced file per call, so the delete becomes
+    * visible ATOMICALLY: readers see either the store before the
+    * delete or after it, never postings excluded with stats
+    * unadjusted (the dl rides the tombstone precisely so
+    * [[readStats]] derives the exact `(n, Σdl)` subtraction from the
+    * same rows that drive the serve-side anti-join). Serves
+    * ([[topK]]/[[topKBatch]]/[[phraseSearch]]) anti-join the
+    * tombstone set; `df` is computed from the surviving postings, so
+    * every BM25 input (df, n, avgdl) is exactly what a rebuild on the
+    * surviving corpus would produce — bit-stable, which is what the
+    * q231 oracle pins. Postings are physically purged only by the
+    * next [[compact]] (atomic swap), after which the tombstone set is
+    * cleared.
+    *
+    * Ids are validated against `_doclen` (unknown ids are ignored)
+    * and against existing tombstones (a re-delete is a no-op, never a
+    * double subtraction). A tombstoned id stays dead until a purging
+    * compaction removes it; [[append]] refuses a batch that re-uses a
+    * tombstoned id — resurrect via compact-then-append, not by
+    * shadowing a pending tombstone. Returns the number of docs newly
+    * deleted. */
+  def delete(spark: SparkSession, storeDir: String,
+             ids: DataFrame, idCol: String): Long = {
+    require(graft.sinks.HadoopSwap.exists(spark, doclenPath(storeDir)),
+      s"$storeDir predates delete support (no _doclen sidecar) — " +
+        "compact() materializes it for bag-of-terms stores")
+    val want = ids.select(col(idCol).as("doc_id")).distinct()
+    val dl = readDoclen(spark, storeDir).get
+    val doomed0 = dl.join(want, Seq("doc_id"), "left_semi")
+    val doomed = readTombstones(spark, storeDir)
+      .fold(doomed0)(tb =>
+        doomed0.join(tb.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      .persist()
+    try {
+      val nDel = doomed.count()
+      if (nDel > 0L)
+        doomed.coalesce(1).write.mode("append").parquet(tombPath(storeDir))
+      nDel
+    } finally doomed.unpersist()
   }
 
   /** Build the postings store: one tokenize pass, range-clustered by
@@ -126,8 +290,12 @@ object TextIndex {
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("overwrite").parquet(storeDir)
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    writeDoclen(docs, idCol, textCol, storeDir)
     val (n, sdl) = docStats(docs, idCol, textCol)
-    appendStatsRow(spark, storeDir, marker.getOrElse(-1L), n, sdl, nBuckets)
+    // bits from the WRITTEN postings' w column — column-pruned read,
+    // no second tokenize pass over the corpus
+    appendStatsRow(spark, storeDir, marker.getOrElse(-1L), n, sdl, nBuckets,
+      termFilterBits(spark.read.parquet(storeDir)))
   }
 
   /** Append a document batch: tokenize ONLY the batch, land postings
@@ -142,6 +310,7 @@ object TextIndex {
     val spark = newDocs.sparkSession
     require(!isPositional(spark, storeDir),
       s"$storeDir is a positional store — append with appendPositional")
+    requireNoTombstoneClash(newDocs, idCol, storeDir)
     val (_, _, nb) = readStats(spark, storeDir)
     val post = postings(newDocs, idCol, textCol, nb)
     marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
@@ -149,9 +318,28 @@ object TextIndex {
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("append").parquet(storeDir)
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    writeDoclen(newDocs, idCol, textCol, storeDir)
     val (n1, sdl1) = docStats(newDocs, idCol, textCol)
-    appendStatsRow(spark, storeDir, marker.getOrElse(-1L), n1, sdl1, nb)
+    appendStatsRow(spark, storeDir, marker.getOrElse(-1L), n1, sdl1, nb,
+      termFilterBits(post))
   }
+
+  /** A batch that re-uses a TOMBSTONED id would be silently shadowed
+    * by the pending tombstone (the serve-side anti-join masks the
+    * doc_id, old postings and new alike) — fail loud instead. The
+    * check is batch × tombstone-set, broadcast-sized, and skipped
+    * entirely on stores with no tombstones. Resurrection path:
+    * [[compact]] (purges the tombstones) then append. */
+  private def requireNoTombstoneClash(newDocs: DataFrame, idCol: String,
+                                      storeDir: String): Unit =
+    readTombstones(newDocs.sparkSession, storeDir).foreach { tb =>
+      val clash = newDocs.select(col(idCol).as("doc_id"))
+        .join(tb.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"$storeDir: batch re-appends tombstoned doc ids — a pending " +
+          "tombstone would mask the new rows; compact() first")
+    }
 
   /** Streaming replay-heal ([[graft.streaming.StreamingMerge]]): batch
     * `batchId`'s DATA is in the store (the `_applied_batch` gate said
@@ -176,8 +364,13 @@ object TextIndex {
       require(nb == nBuckets,
         s"healBatch($storeDir): ingest configured $nBuckets buckets but " +
           s"the store froze $nb — checkpoint and store are not a pair")
+      // doclen heals WITH the stats row: a crash after doclen but
+      // before the stats row re-lands the doclen rows on replay —
+      // identical (doc_id, dl) pairs, invisible under the read dedup
+      writeDoclen(batch, idCol, textCol, storeDir)
       val (n, sdl) = docStats(batch, idCol, textCol)
-      appendStatsRow(spark, storeDir, batchId, n, sdl, nb)
+      appendStatsRow(spark, storeDir, batchId, n, sdl, nb,
+        termFilterBits(postings(batch, idCol, textCol, nb)))
     }
   }
 
@@ -205,17 +398,44 @@ object TextIndex {
     HadoopSwap.deleteRecursive(spark, aside)
     // mergeSchema: batch-API files carry no _applied_batch column while
     // streaming-ingested files do — the rewrite must preserve every
-    // marker (null for batch rows) or compaction would reset the gate
-    spark.read.option("mergeSchema", "true").parquet(storeDir)
+    // marker (null for batch rows) or compaction would reset the gate.
+    // Tombstoned docs are PURGED here (left_anti against the deduped
+    // tombstone set): compaction is the delete lifecycle's physical
+    // arm, and the swap below makes purge + tombstone-clear atomic.
+    val tomb = readTombstones(spark, storeDir)
+    minusTombstones(spark, storeDir,
+        spark.read.option("mergeSchema", "true").parquet(storeDir))
       .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("overwrite").parquet(tmp)
     SkippingStore.indexPartitioned(spark, tmp, Seq("w"))
     // stats rows carry VERBATIM (bids included): totals are unchanged
     // by construction, and a streaming replay arriving right after the
-    // swap still finds its bid row — the heal guard survives
+    // swap still finds its bid row — the heal guard survives. When
+    // tombstones are being purged, ONE adjustment row (bid = -1,
+    // negative n/Σdl, zero term bits) bakes their subtraction into the
+    // stats the instant the tombstone rows stop existing — readStats
+    // answers identically on both sides of the swap.
     spark.read.parquet(statsPath(storeDir))
       .coalesce(1).write.mode("overwrite").parquet(statsPath(tmp))
+    tomb.foreach { tb =>
+      val t = tb.agg(count(lit(1)), sum(col("dl"))).head()
+      if (t.getLong(0) > 0L)
+        appendStatsRow(spark, tmp, -1L, -t.getLong(0), -t.getLong(1), nb,
+          new Array[Long](TermFilterBits / 64))
+    }
+    // `_doclen` carries over MINUS the purged docs (so a later delete
+    // still prices removals exactly); a bag-of-terms store that
+    // predates the sidecar materializes it here from the rewritten
+    // postings — every doc has at least one posting row under the
+    // unfiltered tokenizer, so the rebuild covers the corpus.
+    val dlNext = readDoclen(spark, storeDir)
+      .map(dl => tomb.fold(dl)(tb =>
+        dl.join(tb.select(col("doc_id")), Seq("doc_id"), "left_anti")))
+      .orElse(if (isPositional(spark, storeDir)) None
+        else Some(spark.read.parquet(tmp)
+          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))))
+    dlNext.foreach(_.write.mode("overwrite").parquet(doclenPath(tmp)))
     // the positional marker is part of the layout — carry it or the
     // compacted store would silently refuse phrase serves
     if (isPositional(spark, storeDir)) writeMarker(spark, tmp)
@@ -281,8 +501,12 @@ object TextIndex {
       .write.partitionBy("tb").mode("overwrite").parquet(storeDir)
     writeMarker(spark, storeDir)
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    writeDoclen(docs, idCol, textCol, storeDir)
     val (n, sdl) = docStats(docs, idCol, textCol)
-    appendStatsRow(spark, storeDir, -1L, n, sdl, nBuckets)
+    // bits from the WRITTEN postings' w column — column-pruned read,
+    // no second tokenize pass over the corpus
+    appendStatsRow(spark, storeDir, -1L, n, sdl, nBuckets,
+      termFilterBits(spark.read.parquet(storeDir)))
   }
 
   /** Append a batch to a positional store — batch-only tokenize,
@@ -294,14 +518,17 @@ object TextIndex {
     val spark = newDocs.sparkSession
     require(isPositional(spark, storeDir),
       s"$storeDir is a bag-of-terms store — append with TextIndex.append")
+    requireNoTombstoneClash(newDocs, idCol, storeDir)
     val (_, _, nb) = readStats(spark, storeDir)
     positionalPostings(newDocs, idCol, textCol, nb)
       .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("append").parquet(storeDir)
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    writeDoclen(newDocs, idCol, textCol, storeDir)
     val (n1, sdl1) = docStats(newDocs, idCol, textCol)
-    appendStatsRow(spark, storeDir, -1L, n1, sdl1, nb)
+    appendStatsRow(spark, storeDir, -1L, n1, sdl1, nb,
+      termFilterBits(positionalPostings(newDocs, idCol, textCol, nb)))
   }
 
   /** Store-served EXACT phrase search — bit-stable with
@@ -322,13 +549,21 @@ object TextIndex {
     import spark.implicits._
     val (_, _, nb) = readStats(spark, storeDir)
     val terms = phrase.distinct
+    // ANY provably-absent term means zero phrase matches — answer
+    // without opening a single bucket
+    val live = readTermFilter(spark, storeDir)
+      .fold(terms)(bits => presentTerms(spark, terms, bits)).toSet
+    if (terms.exists(t => !live(t)))
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("n_occurrences", lit(0L))
     val buckets = terms.toDF("w")
       .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val post = spark.read.parquet(storeDir)
-      .filter(col("tb").isin(buckets: _*))
-      .filter(col("w").isin(terms: _*))
-      .select(col("w"), col("doc_id"), col("pos"))
+    val post = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .filter(col("w").isin(terms: _*))
+        .select(col("doc_id"), col("w"), col("pos")))
     val first = post.filter(col("w") === phrase.head)
       .select(col("doc_id"), col("pos").as("acc"))
     val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
@@ -343,6 +578,105 @@ object TextIndex {
     }
     matched.select(col("doc_id"),
       size(col("acc")).cast("long").as("n_occurrences"))
+  }
+
+  /** BATCHED store-served BM25 — top-k per query for a whole query
+    * FRAME `(idCol, termsCol: array<string>)` against the postings
+    * store, the text analog of
+    * [[graft.operators.Similarity.knnJoinIvfStore]]: one job serves
+    * every query, instead of a driver round-trip per term set.
+    *
+    * Plan shape: per-query distinct terms explode and hash to their
+    * buckets map-side (the writer's own frozen expressions), the
+    * store scan partition-prunes to the UNION of probed buckets (a
+    * bucket-count-bounded driver collect), and each probed bucket is
+    * read ONCE for all the queries probing it — the postings join the
+    * localCheckpointed (query, term) frame on `w` with NO forced
+    * hint, so AQE broadcasts a bounded query set and shuffle-joins a
+    * corpus-sized sweep (the q218 direction discipline; hot terms are
+    * skewed keys, AQE's skew split re-balances them). Per-(doc, term)
+    * contributions are computed once and REUSED by every query
+    * sharing the term; ranking runs through the bounded
+    * [[graft.functions.TopK]] aggregator, so no per-query candidate
+    * list materializes unbounded. Per query, rows are bit-identical
+    * to [[topK]] with the same term set (same rounding, DECIMAL
+    * accumulation, and (score desc, doc_id) tiebreak).
+    *
+    * The term-presence filter prunes engine-side: the OR'd store
+    * bitset rides the frame as one literal array, so provably-absent
+    * terms drop BEFORE the bucket union is collected — a batch of
+    * out-of-domain queries probes nothing. */
+  def topKBatch(spark: SparkSession, storeDir: String, queries: DataFrame,
+                idCol: String, termsCol: String, k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val (n, sdl, nb) = readStats(spark, storeDir)
+    val exploded = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(array_distinct(col(termsCol))).as("w"))
+      .filter(col("w").isNotNull)
+    // drop provably-absent terms engine-side: the store's OR'd bitset
+    // is ONE literal array column, probed with the writer's own hash
+    // expressions — Bloom semantics, a false positive only reads a
+    // bucket for nothing, never moves a score
+    val livePairs = readTermFilter(spark, storeDir).fold(exploded) { bits =>
+      exploded.withColumn("_tfb", typedLit(bits.toSeq))
+        .filter(expr(
+          s"""forall(array(${(0 until TermFilterK)
+            // int literal $i matches termProbes' lit(i) — xxhash64
+            // hashes depend on the argument TYPE, not just the value
+            .map(i => s"pmod(xxhash64(w, $i), ${TermFilterBits}L)")
+            .mkString(", ")}),
+             |  p -> (element_at(_tfb, cast(p / 64 AS int) + 1)
+             |        & shiftleft(1L, cast(p % 64 AS int))) != 0L)""".stripMargin))
+        .drop("_tfb")
+    }
+    val qt = livePairs
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
+    // union of probed buckets: ≤ nBuckets ints, driver-held by design
+    val buckets = qt.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_terms"),
+        col("id").cast("double").as("score"))
+    val wanted = qt.select(col("w")).distinct()
+    val tf = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .drop("tb")
+        .join(wanted, Seq("w")))
+    // a term's postings live entirely inside its bucket, so df over
+    // the READ postings is the exact corpus df — shared by every query
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
+    val contrib = tf.join(broadcast(dfT), Seq("w"))
+      .withColumn("idf", round(
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 6))
+      .withColumn("c", round(
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / avgdl)),
+        6).cast("decimal(28,6)"))
+      .select(col("w"), col("doc_id"), col("c"))
+    val scored = contrib
+      .join(qt.select(col("query_id"), col("w")), Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).cast("double").as("score"))
+    // bounded per-query top-k (map-side partials, k tuples per task);
+    // n_terms rides THROUGH the aggregator as the tag, so no winners
+    // back-join re-shuffles (and re-scans) the scored subtree
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k_tagged(k)(col("doc_id"),
+        col("score"), col("n_terms")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit._1").as("doc_id"),
+        col("hit._3").as("n_terms"), col("hit._2").as("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 
   /** SELECTIVE compaction: rewrite only the term buckets whose file
@@ -381,12 +715,25 @@ object TextIndex {
     require(terms.nonEmpty, "need at least one query term")
     import spark.implicits._
     val (n, sdl, nb) = readStats(spark, storeDir)
-    val buckets = terms.toDF("w")
+    // the term-presence filter drops provably-absent terms BEFORE any
+    // bucket opens: a df=0 term contributes no posting and no score,
+    // so dropping it is free correctness-wise and saves its bucket's
+    // whole read. All terms absent → the exact empty answer, zero
+    // data files opened.
+    val live = readTermFilter(spark, storeDir)
+      .fold(terms)(bits => presentTerms(spark, terms, bits))
+    if (live.isEmpty)
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("n_terms", lit(0L)).withColumn("score", lit(0.0))
+    val buckets = live.toDF("w")
       .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val tf = spark.read.parquet(storeDir)
-      .filter(col("tb").isin(buckets: _*))
-      .filter(col("w").isin(terms: _*))
+    // tombstoned docs drop BEFORE df: every BM25 input (df, n, avgdl)
+    // is exactly what a rebuild on the surviving corpus would produce
+    val tf = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .filter(col("w").isin(live: _*)))
     // a term's postings live entirely inside its bucket, so df over the
     // READ postings is the exact corpus df
     val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))

@@ -3888,6 +3888,167 @@ object Pipeline {
   // same answer the corpus scan computes
   private lazy val q227Sql = q193Sql
 
+  // --------------------------------------------------------------- q228
+  // Term-presence planning: `_corpus_stats` carries a per-batch Bloom
+  // bitset over the batch's distinct terms (append-only — bitsets OR
+  // at read), and a serve drops provably-absent query terms BEFORE
+  // any bucket opens. A df=0 term contributes no posting and no
+  // score, so the drop can never move an answer — it only skips the
+  // dead term's bucket read. The in-plan require pins exactly that:
+  // the serve with a garbage term opens no more files than the live
+  // terms' buckets hold. The oracle scores the same three terms from
+  // scratch; DuckDB's `w IN (…)` naturally matches nothing for the
+  // garbage term, so bit-equality proves the skip is free.
+  private def q228TermFilter(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q228", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.append(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      out, filesPerBucket = 2)
+    val res = TextIndex.topK(s, out,
+      Seq("vector", "qqzzabsent", "stream"), 10)
+    // files the LIVE terms' buckets hold — the garbage term's bucket
+    // must not be opened even when it differs from both live buckets
+    val liveBuckets = s.range(1)
+      .select(explode(array(
+        pmod(xxhash64(lit("vector")), lit(8)).cast("int"),
+        pmod(xxhash64(lit("stream")), lit(8)).cast("int"))).as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val deadBucket = s.range(1)
+      .select(pmod(xxhash64(lit("qqzzabsent")), lit(8)).cast("int").as("tb"))
+      .head().getInt(0)
+    require(!liveBuckets.contains(deadBucket),
+      "test setup: the garbage term must hash to its own bucket")
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    val filesInLive = liveBuckets.map { b =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/tb=$b"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= filesInLive,
+      s"an absent term must not open its bucket (live terms hold " +
+        s"$filesInLive files)")
+    res
+  }
+
+  private lazy val q228Sql = bm25Sql(Seq("vector", "qqzzabsent", "stream"), 10)
+
+  // --------------------------------------------------------------- q229
+  // Hybrid retrieval SERVED FROM STORES: the q172 pipeline (BM25
+  // lexical + dense cosine, reciprocal-rank fused) with both legs
+  // answered by persisted indexes instead of corpus scans — the text
+  // postings store serves the lexical top-20 (bucket pruning + w-zone
+  // skipping, file-skip require in-plan), the IVF postings store
+  // serves the dense top-20 at nprobe = numCells (full probe == exact
+  // cosine, the q218 exactness argument, so no recall caveat), and
+  // rrfFuse folds the two k-sized lists. The oracle is q172's SQL
+  // verbatim: two stores + fusion must reproduce the scan pipeline's
+  // answer bit-for-bit. At 100 TB this is the RAG serving shape: the
+  // corpus is tokenized and cell-assigned ONCE at build; a query
+  // touches |terms| buckets + nprobe cells, never the corpus.
+  private def q229HybridStore(s: SparkSession, dir: String): DataFrame = {
+    val outT = scratch("q229t", dir)
+    val outV = scratch("q229v", dir)
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    TextIndex.build(docs, "doc_id", "text", outT, nBuckets = 8,
+      filesPerBucket = 2)
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+    Similarity.ivfStoreBuild(emb, "vec_id", "embedding", ix, outV)
+    val lex = TextIndex.topK(s, outT, Seq("spark", "join", "merge"), 20)
+      .select(col("doc_id"), col("score"))
+    val textFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, outT).size
+    require(graft.plans.PlanProbe.scannedFileCount(lex) < textFiles,
+      s"the lexical leg must stay inside its terms' buckets " +
+        s"($textFiles data files)")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val dense = Similarity.ivfStoreTopK(s, outV, "vec_id", "embedding", qv,
+        ix, k = 20, nprobe = ix.cids.size, excludeId = Some(0L))
+      .select(col("vec_id").as("doc_id"), col("sim").as("score"))
+    Similarity.rrfFuse(Seq(lex, dense), "doc_id", c = 60, k = 10)
+  }
+
+  // q172's oracle verbatim — the whole point: the stores serve the
+  // scan pipeline's exact answer
+  private lazy val q229Sql = q172Sql
+
+  // --------------------------------------------------------------- q230
+  // BATCHED store-served BM25 (TextIndex.topKBatch): top-k per query
+  // for a whole query frame in ONE job — the text analog of the q216
+  // batched ANN serve. Per-query terms hash to buckets map-side, the
+  // store partition-prunes to the union of probed buckets, each
+  // bucket is read once for every query probing it, per-(doc, term)
+  // contributions are shared across queries, and ranking runs through
+  // the bounded TopK aggregator. Query 2 carries one absent term
+  // (scored over its live term only), query 3 is ALL absent (no
+  // output rows — the engine-side term filter drops it before any
+  // bucket is probed). The oracle replays the same four VALUES-frame
+  // queries over the corpus from scratch.
+  private def q230TextBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q230", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    import s.implicits._
+    val queries = Seq(
+      (0L, Seq("vector", "stream")),
+      (1L, Seq("join", "merge", "filter")),
+      (2L, Seq("window", "qqzzabsent")),
+      (3L, Seq("qqzznope1", "qqzznope2"))).toDF("query_id", "terms")
+    val res = TextIndex.topKBatch(s, out, queries, "query_id", "terms", 5)
+    // exact scan budget: the serve reads each probed bucket TWICE (one
+    // pass for df, one to score — the same two-pass discipline as the
+    // per-query serve) and must never touch an unprobed bucket. Probed
+    // buckets recomputed here with the writer's own hash for the six
+    // live terms; the two absent-term queries must add nothing.
+    val live = Seq("vector", "stream", "join", "merge", "filter", "window")
+    import s.implicits._
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out)
+    val filesInProbed =
+      allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+    require(filesInProbed < allFiles.size,
+      "test setup: some bucket must stay unprobed")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= 2L * filesInProbed,
+      s"the batched serve must stay inside the probed buckets " +
+        s"(2 passes x $filesInProbed probed files; store holds " +
+        s"${allFiles.size})")
+    res
+  }
+
+  private val q230Sql =
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT COUNT(*) AS n,
+       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+       |qs(query_id, w) AS (SELECT * FROM (VALUES
+       |  (0, 'vector'), (0, 'stream'),
+       |  (1, 'join'), (1, 'merge'), (1, 'filter'),
+       |  (2, 'window'), (2, 'qqzzabsent'),
+       |  (3, 'qqzznope1'), (3, 'qqzznope2'))),
+       |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+       |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+       |  WHERE w IN (SELECT w FROM qs) GROUP BY doc_id, dl, w),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |contrib AS (SELECT w, doc_id,
+       |    CAST(round(
+       |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+       |      * (tf * (1.2e0 + 1)) /
+       |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+       |  FROM tf JOIN df USING (w) CROSS JOIN stats),
+       |scored AS (SELECT qs.query_id, c.doc_id,
+       |    COUNT(*) AS n_terms, CAST(SUM(c.c) AS DOUBLE) AS score
+       |  FROM contrib c JOIN qs ON qs.w = c.w GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_terms, score
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY query_id, score DESC, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4717,6 +4878,9 @@ object Pipeline {
     "q225_selective_compact" -> q225SelectiveCompact _,
     "q226_text_selective" -> q226TextSelective _,
     "q227_phrase_store" -> q227PhraseStore _,
+    "q228_term_filter" -> q228TermFilter _,
+    "q229_hybrid_store" -> q229HybridStore _,
+    "q230_text_batch" -> q230TextBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -4952,6 +5116,9 @@ object Pipeline {
     "q225_selective_compact" -> q225Sql,
     "q226_text_selective" -> q226Sql,
     "q227_phrase_store" -> q227Sql,
+    "q228_term_filter" -> q228Sql,
+    "q229_hybrid_store" -> q229Sql,
+    "q230_text_batch" -> q230Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

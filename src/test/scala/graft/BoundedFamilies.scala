@@ -73,6 +73,10 @@ object BoundedFamilies {
         "q222_text_store" -> Set(Set("df", "w")),
         "q223_text_lifecycle" -> Set(Set("df", "w")),
         "q224_text_compact" -> Set(Set("df", "w")),
+        "q226_text_selective" -> Set(Set("df", "w")),
+        "q228_term_filter" -> Set(Set("df", "w")),
+        "q229_hybrid_store" -> Set(Set("df", "w")),
+        "q230_text_batch" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),
@@ -124,5 +128,7 @@ object BoundedFamilies {
   val nestedLoopOnly: Set[(String, Set[String])] = Set(
     "q154_lsh_recall" -> Set("n_found"),
     "q165_sq8_recall" -> Set("n_hit"),
-    "q172_rrf_fusion" -> Set("id2", "s2"))
+    "q172_rrf_fusion" -> Set("id2", "s2"),
+    // same k-bounded better-than rank join, store-served legs
+    "q229_hybrid_store" -> Set("id2", "s2"))
 }

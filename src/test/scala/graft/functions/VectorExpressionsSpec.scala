@@ -77,6 +77,26 @@ class TopKNullSpec extends graft.SparkSpec {
     assert(got == Seq((1L, 0.9), (3L, 0.5)))
   }
 
+  test("top_k_tagged: same ranking as top_k (NaN first, id tiebreak); tag is cargo") {
+    // ties + NaN, and tags chosen so sorting BY tag would reorder —
+    // proving the tag never participates in the comparator
+    val df = Seq((1L, 0.5, 99L), (2L, Double.NaN, 1L), (3L, 0.5, 0L),
+      (4L, 0.9, 50L), (5L, 0.1, 7L)).toDF("id", "score", "tag")
+    val tagged = df.groupBy()
+      .agg(TopK.top_k_tagged(4)($"id", $"score", $"tag").as("hits"))
+      .selectExpr("explode(hits) as h").select("h._1", "h._2", "h._3")
+      .as[(Long, Double, Long)].collect().toSeq
+    val plain = df.groupBy()
+      .agg(TopK.top_k(4)($"id", $"score").as("hits"))
+      .selectExpr("explode(hits) as h").select("h._1", "h._2")
+      .as[(Long, Double)].collect().toSeq
+    assert(tagged.map(t => (t._1, t._2)).map { case (i, s) =>
+      (i, if (s.isNaN) -1.0 else s) } ==
+      plain.map { case (i, s) => (i, if (s.isNaN) -1.0 else s) })
+    assert(tagged.map(t => t._1 -> t._3).toMap ==
+      Map(1L -> 99L, 2L -> 1L, 3L -> 0L, 4L -> 50L))
+  }
+
   test("NearestCellBroadcast at 4096 cells: same assignment, no codegen fallback, flat expression payload") {
     val nCells = 4096
     val dim = 8

@@ -135,6 +135,86 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("absent query terms drop before any bucket opens; answers unchanged") {
+    val dir = tmp("tfilter")
+    TextIndex.build(docs.filter($"doc_id" < 40), "doc_id", "text", dir,
+      nBuckets = 4, filesPerBucket = 2)
+    TextIndex.append(docs.filter($"doc_id" >= 40), "doc_id", "text", dir,
+      filesPerBucket = 2)
+    // a garbage term contributes no posting and no score — dropping it
+    // must be invisible in the answer
+    val withGarbage =
+      rows(TextIndex.topK(spark, dir, Seq("alpha", "qqzzneverseen"), 10))
+    val liveOnly = rows(TextIndex.topK(spark, dir, Seq("alpha"), 10))
+    assert(withGarbage == liveOnly,
+      "a provably-absent term must not move the ranking")
+    // ...and must not widen the scan beyond the live term's bucket
+    val probe = TextIndex.topK(spark, dir, Seq("alpha", "qqzzneverseen"), 10)
+    assert(graft.plans.PlanProbe.scannedFileCount(probe) <=
+      graft.plans.PlanProbe.scannedFileCount(
+        TextIndex.topK(spark, dir, Seq("alpha"), 10)),
+      "the dead term's bucket must not be opened")
+    // every term absent -> the exact empty answer, zero data files read
+    val empty = TextIndex.topK(spark, dir, Seq("qqzz1", "qqzz2"), 10)
+    assert(empty.count() == 0L)
+    assert(graft.plans.PlanProbe.scannedFileCount(empty) == 0L,
+      "an all-absent serve must answer without opening a single file")
+  }
+
+  test("phrase with any absent term answers empty without opening files") {
+    val dir = tmp("tfilterpos")
+    TextIndex.buildPositional(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    val q = TextIndex.phraseSearch(spark, dir, Seq("alpha", "qqzznever"))
+    assert(q.count() == 0L)
+    assert(graft.plans.PlanProbe.scannedFileCount(q) == 0L,
+      "one absent term means zero matches — no bucket may open")
+  }
+
+  test("batched serve is bit-identical to a per-query topK loop") {
+    val dir = tmp("batch")
+    TextIndex.build(docs.filter($"doc_id" < 40), "doc_id", "text", dir,
+      nBuckets = 4, filesPerBucket = 2)
+    TextIndex.append(docs.filter($"doc_id" >= 40), "doc_id", "text", dir,
+      filesPerBucket = 2)
+    val qsets = Seq(
+      10L -> Seq("alpha", "kappa"),
+      11L -> Seq("beta"),
+      12L -> Seq("mu", "qqzzneverseen"),
+      13L -> Seq("qqzz1", "qqzz2")) // all absent -> no rows at all
+    val queries = qsets.toDF("query_id", "terms")
+    val batch = TextIndex.topKBatch(spark, dir, queries, "query_id", "terms", 5)
+      .select($"query_id", $"doc_id", $"n_terms", $"score")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4))).toMap
+    for ((qid, terms) <- qsets) {
+      val single = rows(TextIndex.topK(spark, dir, terms, 5))
+      assert(batch.getOrElse(qid, Seq.empty) == single,
+        s"query $qid (${terms.mkString(",")}): batch ${batch.get(qid)} " +
+          s"vs per-query $single")
+    }
+  }
+
+  test("stores predating the term filter degrade to filter-off, never a wrong skip") {
+    val dir = tmp("prefilter")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    // rewrite `_corpus_stats` WITHOUT the tf_bits column — the exact
+    // footprint of a store written before the filter existed
+    val statsDir = s"$dir/_corpus_stats"
+    val legacy = spark.read.parquet(statsDir)
+      .select($"bid", $"n", $"sdl", $"nbuckets").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    spark.createDataFrame(legacy.toSeq)
+      .toDF("bid", "n", "sdl", "nbuckets")
+      .coalesce(1).write.mode("overwrite").parquet(statsDir)
+    val served = rows(TextIndex.topK(spark, dir, Seq("alpha", "qqzz"), 10))
+    val scanned =
+      rows(Curation.bm25TopK(docs, "doc_id", "text", Seq("alpha", "qqzz"), 10))
+    assert(served == scanned,
+      "a pre-filter store must fall back to opening every term's bucket")
+  }
+
   test("full compaction carries the positional marker; phrase serves survive") {
     val dir = tmp("poscomp")
     TextIndex.buildPositional(docs.filter($"doc_id" < 40), "doc_id", "text",
