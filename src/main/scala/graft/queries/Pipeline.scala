@@ -4049,6 +4049,151 @@ object Pipeline {
        |FROM ranked WHERE rn <= 5
        |ORDER BY query_id, score DESC, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q231
+  // Tombstoned DELETE from the text postings store — document removal
+  // (takedowns, re-crawls, license revocations) WITHOUT rewriting a
+  // single posting: the delete appends (doc_id, dl) rows to the
+  // `_tombstones` sidecar in one atomic file, the serve anti-joins the
+  // deleted-ids-sized set, df is computed from the SURVIVING postings,
+  // and n/avgdl subtract exactly from the dl the tombstone rows carry.
+  // The oracle rebuilds BM25 from scratch on the surviving corpus —
+  // bit-equality proves every scoring input (df, n, avgdl) is exactly
+  // what a full rebuild would produce. The re-delete must be a no-op
+  // (a double subtraction would skew avgdl and break the equality),
+  // and serving must stay bucket-pruned through the anti-join.
+  private def q231TextDelete(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q231", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    val doomed = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    require(TextIndex.delete(s, out, doomed, "doc_id") > 0L,
+      "the delete must tombstone something")
+    require(TextIndex.delete(s, out, doomed, "doc_id") == 0L,
+      "re-deleting the same ids must be a no-op")
+    val res = TextIndex.topK(s, out, Seq("vector", "stream", "window"), 15)
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"the serve must stay inside the terms' buckets through the " +
+        s"tombstone anti-join ($dataFiles data files)")
+    res
+  }
+
+  private val q231Sql = bm25Sql(Seq("vector", "stream", "window"), 15,
+    corpus = "(SELECT * FROM documents WHERE doc_id % 5 <> 0)")
+
+  // --------------------------------------------------------------- q232
+  // Tombstone PURGE: compaction is the delete lifecycle's physical
+  // arm — the rewrite anti-joins the tombstone set, bakes the exact
+  // (n, Σdl) subtraction into one stats adjustment row, carries
+  // `_doclen` minus the purged docs, and the atomic swap clears the
+  // tombstones in the same step. Serves must be bit-identical on both
+  // sides of the purge (pinned in-query), the purged ids must be
+  // physically gone from the postings (raw-read semi-join empty), and
+  // the oracle pins the absolute answer on the surviving corpus.
+  private def q232TextPurge(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q232", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    val doomed = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    TextIndex.delete(s, out, doomed, "doc_id")
+    def serve() = TextIndex.topK(s, out, Seq("filter", "sort", "batch"), 12)
+    val first = serve().collect().toSeq
+    TextIndex.compact(s, out, filesPerBucket = 2)
+    require(!graft.sinks.HadoopSwap.exists(s, s"$out/_tombstones"),
+      "a purging compaction must clear the tombstone sidecar")
+    require(s.read.parquet(out)
+        .join(doomed, Seq("doc_id"), "left_semi").limit(1).count() == 0L,
+      "purged docs must be physically gone from the postings")
+    val res = serve()
+    require(res.collect().toSeq == first,
+      "the purge must serve bit-identical results")
+    res
+  }
+
+  private val q232Sql = bm25Sql(Seq("filter", "sort", "batch"), 12,
+    corpus = "(SELECT * FROM documents WHERE doc_id % 5 <> 0)")
+
+  // --------------------------------------------------------------- q233
+  // Tombstoned delete + purge for the IVF postings store: the vector
+  // sibling of q231/q232 — ids append to `_tombstones` atomically,
+  // serves anti-join the deleted-ids-sized set (no stats to reverse:
+  // a kNN over the survivors needs nothing but the survivors), and
+  // compactIvfStore physically purges + clears in one swap, serving
+  // bit-identically across it. Full probe (nprobe = numCells) makes
+  // the serve EXACT, so the oracle is brute-force cosine top-k over
+  // the surviving embeddings — no recall caveat, the q218 argument.
+  private def q233IvfDelete(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q233", dir)
+    val emb = t(s, dir, "embeddings")
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+    Similarity.ivfStoreBuild(emb, "vec_id", "embedding", ix, out)
+    val doomed = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    require(Similarity.ivfStoreDelete(s, out, doomed, "vec_id") > 0L,
+      "the delete must tombstone something")
+    require(Similarity.ivfStoreDelete(s, out, doomed, "vec_id") == 0L,
+      "re-deleting the same ids must be a no-op")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    def serve() = Similarity.ivfStoreTopK(s, out, "vec_id", "embedding", qv,
+      ix, k = 10, nprobe = ix.cids.size, excludeId = Some(0L))
+    val first = serve().collect().toSeq
+    Similarity.compactIvfStore(s, out)
+    require(!graft.sinks.HadoopSwap.exists(s, s"$out/_tombstones"),
+      "a purging compaction must clear the tombstone sidecar")
+    require(s.read.parquet(out)
+        .join(doomed, Seq("vec_id"), "left_semi").limit(1).count() == 0L,
+      "purged vectors must be physically gone from the lists")
+    val res = serve()
+    require(res.collect().toSeq == first,
+      "the purge must serve bit-identical results")
+    res
+  }
+
+  private val q233Sql =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+       |FROM embeddings CROSS JOIN q
+       |WHERE vec_id <> 0 AND vec_id % 7 <> 3
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------- q234
+  // UPDATE through the delete lifecycle: re-ingesting a changed doc is
+  // delete -> purge -> append. The middle step is load-bearing — a
+  // pending tombstone masks its doc_id entirely (old postings and any
+  // shadowing re-append alike), so append REFUSES a batch that re-uses
+  // a tombstoned id (pinned in-query: the refused attempt leaves the
+  // store untouched because the guard runs before any write). After
+  // the purge the updated docs append normally; the oracle scores the
+  // corpus with the SAME textual update applied in SQL — bit-equality
+  // proves the three-step update composes to exactly a rebuild on the
+  // updated corpus (n and Σdl track the edit, df counts each doc
+  // once, no stale posting survives).
+  private def q234TextUpdate(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q234", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    val upd = docs.filter(col("doc_id") % 11 === 3)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" graftupdated graftupdated vector"))
+          .as("text"))
+    TextIndex.delete(s, out, upd.select("doc_id"), "doc_id")
+    require(scala.util.Try(
+        TextIndex.append(upd, "doc_id", "text", out, filesPerBucket = 2))
+      .isFailure,
+      "appending tombstoned ids must fail loud, not shadow the tombstone")
+    TextIndex.compact(s, out, filesPerBucket = 2)
+    TextIndex.append(upd, "doc_id", "text", out, filesPerBucket = 2)
+    TextIndex.topK(s, out, Seq("vector", "graftupdated"), 12)
+  }
+
+  private val q234Sql = bm25Sql(Seq("vector", "graftupdated"), 12,
+    corpus = "(SELECT doc_id, CASE WHEN doc_id % 11 = 3 " +
+      "THEN text || ' graftupdated graftupdated vector' ELSE text END " +
+      "AS text FROM documents)")
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -4881,6 +5026,10 @@ object Pipeline {
     "q228_term_filter" -> q228TermFilter _,
     "q229_hybrid_store" -> q229HybridStore _,
     "q230_text_batch" -> q230TextBatch _,
+    "q231_text_delete" -> q231TextDelete _,
+    "q232_text_purge" -> q232TextPurge _,
+    "q233_ivf_delete" -> q233IvfDelete _,
+    "q234_text_update" -> q234TextUpdate _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -5119,6 +5268,10 @@ object Pipeline {
     "q228_term_filter" -> q228Sql,
     "q229_hybrid_store" -> q229Sql,
     "q230_text_batch" -> q230Sql,
+    "q231_text_delete" -> q231Sql,
+    "q232_text_purge" -> q232Sql,
+    "q233_ivf_delete" -> q233Sql,
+    "q234_text_update" -> q234Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -77,6 +77,12 @@ object BoundedFamilies {
         "q228_term_filter" -> Set(Set("df", "w")),
         "q229_hybrid_store" -> Set(Set("df", "w")),
         "q230_text_batch" -> Set(Set("df", "w")),
+        // delete-lifecycle rows serve through the same topK (their
+        // tombstone anti-joins are deliberately UN-hinted — AQE
+        // broadcasts the deleted-ids-sized set or falls back)
+        "q231_text_delete" -> Set(Set("df", "w")),
+        "q232_text_purge" -> Set(Set("df", "w")),
+        "q234_text_update" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),

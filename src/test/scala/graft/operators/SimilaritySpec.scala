@@ -454,4 +454,96 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(all.exists(_._3 >= thr), "fixture must contain near-positives to exclude")
   }
+
+  test("ivfStoreDelete: serves == a store built on the survivors; batched serve agrees") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfdel")
+      .resolve("store").toString
+    val dirSurv = java.nio.file.Files.createTempDirectory("graft_ivfdelsurv")
+      .resolve("store").toString
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
+    Similarity.ivfStoreBuild(emb, "vec_id", "embedding", ix, dir)
+    val doomed = Seq(2L, 9L, 17L, 999L).toDF("vec_id") // 999 unknown
+    assert(Similarity.ivfStoreDelete(spark, dir, doomed, "vec_id") == 4L,
+      "unknown ids are accepted (no stats to skew) but deduped")
+    assert(Similarity.ivfStoreDelete(spark, dir, doomed, "vec_id") == 0L,
+      "re-delete must be a no-op")
+    Similarity.ivfStoreBuild(emb.filter(!$"vec_id".isin(2L, 9L, 17L)),
+      "vec_id", "embedding", ix, dirSurv)
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Array[Float]].head().toSeq
+    def serve(d: String) =
+      Similarity.ivfStoreTopK(spark, d, "vec_id", "embedding", qv, ix,
+        k = 8, nprobe = ix.cids.size, excludeId = Some(0L))
+        .as[(Long, Double)].collect().toSeq
+    assert(serve(dir) == serve(dirSurv),
+      "a deleted store must serve exactly a rebuild on the survivors")
+    // the batched serve anti-joins the same tombstones
+    val queries = emb.filter($"vec_id" < 3L)
+    def batched(d: String) =
+      Similarity.knnJoinIvfStore(spark, d, queries, "vec_id", "embedding",
+        k = 5, ix, nprobe = ix.cids.size)
+        .collect().map(_.toSeq).toSeq
+    assert(batched(dir) == batched(dirSurv),
+      "the batched serve must agree on a deleted store")
+  }
+
+  test("ivfStore tombstones: selective compaction keeps them, full compaction purges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpurge")
+      .resolve("store").toString
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
+    Similarity.ivfStoreBuild(emb.filter($"vec_id" < 30L),
+      "vec_id", "embedding", ix, dir)
+    Similarity.ivfStoreAppend(emb.filter($"vec_id" >= 30L),
+      "vec_id", "embedding", ix, dir)
+    Similarity.ivfStoreDelete(spark, dir, Seq(5L, 6L).toDF("vec_id"),
+      "vec_id")
+    // appends must refuse tombstoned ids — the pending tombstone would
+    // silently mask the new rows
+    assertThrows[IllegalArgumentException](Similarity.ivfStoreAppend(
+      emb.filter($"vec_id" === 5L), "vec_id", "embedding", ix, dir))
+    val qv = emb.filter($"vec_id" === 1L)
+      .select($"embedding").as[Array[Float]].head().toSeq
+    // k = 12 comfortably covers the query's whole home cluster, so the
+    // resurrected in-cluster id 5 must reappear after the final append
+    def serve() =
+      Similarity.ivfStoreTopK(spark, dir, "vec_id", "embedding", qv, ix,
+        k = 12, nprobe = ix.cids.size, excludeId = Some(1L))
+        .as[(Long, Double)].collect().toSeq
+    val first = serve()
+    assert(!first.exists(r => r._1 == 5L || r._1 == 6L))
+    // selective compaction heals decay but does NOT purge: tombstones
+    // survive and keep masking
+    Similarity.compactIvfStoreSelective(spark, dir, maxFilesPerCell = 1)
+    assert(graft.sinks.HadoopSwap.exists(spark, s"$dir/_tombstones"),
+      "selective compaction must leave the tombstones in place")
+    assert(serve() == first, "serves are bit-identical across it")
+    // full compaction purges physically and clears the sidecar
+    Similarity.compactIvfStore(spark, dir)
+    assert(!graft.sinks.HadoopSwap.exists(spark, s"$dir/_tombstones"))
+    assert(spark.read.parquet(dir).filter($"vec_id".isin(5L, 6L))
+      .limit(1).count() == 0L, "purged rows must be physically gone")
+    assert(serve() == first, "the purge must serve bit-identically")
+    // the cleared store accepts the previously-refused id again
+    Similarity.ivfStoreAppend(emb.filter($"vec_id" === 5L),
+      "vec_id", "embedding", ix, dir)
+    assert(serve().exists(_._1 == 5L),
+      "a resurrected id must be servable after the purge")
+  }
+
+  test("ivfStore tombstone id-column mismatch fails loud, never a skipped filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfmis")
+      .resolve("store").toString
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
+    Similarity.ivfStoreBuild(emb, "vec_id", "embedding", ix, dir)
+    Similarity.ivfStoreDelete(spark, dir, Seq(3L).toDF("vec_id"), "vec_id")
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Array[Float]].head().toSeq
+    assertThrows[IllegalArgumentException](
+      Similarity.ivfStoreDelete(spark, dir,
+        Seq(4L).toDF("other_id"), "other_id"))
+    val renamed = emb.withColumnRenamed("vec_id", "other_id")
+    assertThrows[IllegalArgumentException](
+      Similarity.knnJoinIvfStore(spark, dir, renamed.limit(1),
+        "other_id", "embedding", 3, ix, nprobe = 1).collect())
+  }
 }

@@ -230,4 +230,80 @@ class TextIndexSpec extends SparkSpec {
     assert(after == before,
       "compaction must preserve positions and the positional marker")
   }
+
+  test("delete == rebuild on the survivors; unknown ids are ignored") {
+    val dirDel = tmp("del")
+    val dirSurv = tmp("delsurv")
+    TextIndex.build(docs, "doc_id", "text", dirDel, nBuckets = 4,
+      filesPerBucket = 2)
+    // 999 doesn't exist — must not skew the subtraction
+    val ids = Seq(3L, 7L, 21L, 999L).toDF("doc_id")
+    assert(TextIndex.delete(spark, dirDel, ids, "doc_id") == 3L,
+      "unknown ids must not be tombstoned")
+    TextIndex.build(docs.filter(!$"doc_id".isin(3L, 7L, 21L)),
+      "doc_id", "text", dirSurv, nBuckets = 4, filesPerBucket = 2)
+    val terms = Seq("alpha", "kappa", "mu")
+    assert(rows(TextIndex.topK(spark, dirDel, terms, 12)) ==
+      rows(TextIndex.topK(spark, dirSurv, terms, 12)),
+      "a deleted store must serve exactly a rebuild on the survivors")
+  }
+
+  test("batched serve anti-joins tombstones identically to the per-query serve") {
+    val dir = tmp("delbatch")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    TextIndex.delete(spark, dir, Seq(1L, 2L, 4L).toDF("doc_id"), "doc_id")
+    val qs = Seq((0L, Seq("alpha", "beta")), (1L, Seq("mu", "iota")))
+      .toDF("qid", "terms")
+    val batched = TextIndex.topKBatch(spark, dir, qs, "qid", "terms", 8)
+      .select($"query_id", $"doc_id", $"n_terms", $"score")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val looped = Seq(Seq("alpha", "beta"), Seq("mu", "iota"))
+      .zipWithIndex.flatMap { case (ts, i) =>
+        rows(TextIndex.topK(spark, dir, ts, 8))
+          .map { case (d, nt, sc) => (i.toLong, d, nt, sc) }
+      }
+    assert(batched == looped,
+      "batched and per-query serves must agree on a deleted store")
+  }
+
+  test("positional delete: phraseSearch excludes tombstoned docs; purge preserves it") {
+    val dir = tmp("delpos")
+    TextIndex.buildPositional(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    val all = TextIndex.phraseSearch(spark, dir, Seq("alpha", "beta"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assume(all.nonEmpty, "corpus must contain the phrase")
+    val victim = all.head._1
+    TextIndex.delete(spark, dir, Seq(victim).toDF("doc_id"), "doc_id")
+    val masked = TextIndex.phraseSearch(spark, dir, Seq("alpha", "beta"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(masked == all.filterNot(_._1 == victim),
+      "a tombstoned doc must not match a phrase")
+    TextIndex.compact(spark, dir, filesPerBucket = 2)
+    val purged = TextIndex.phraseSearch(spark, dir, Seq("alpha", "beta"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(purged == masked, "the purge must serve bit-identically")
+    assert(TextIndex.isPositional(spark, dir),
+      "the purge must carry the positional marker")
+  }
+
+  test("delete without _doclen fails loud; compact materializes it") {
+    val dir = tmp("nodoclen")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    // simulate a store written before the sidecar existed
+    graft.sinks.HadoopSwap.deleteRecursive(spark, s"$dir/_doclen")
+    val ids = Seq(5L).toDF("doc_id")
+    assertThrows[IllegalArgumentException](
+      TextIndex.delete(spark, dir, ids, "doc_id"))
+    TextIndex.compact(spark, dir, filesPerBucket = 2)
+    assert(TextIndex.delete(spark, dir, ids, "doc_id") == 1L,
+      "compaction must materialize _doclen for bag-of-terms stores")
+    val terms = Seq("alpha", "kappa")
+    assert(rows(TextIndex.topK(spark, dir, terms, 10)) ==
+      rows(Curation.bm25TopK(docs.filter($"doc_id" =!= 5L),
+        "doc_id", "text", terms, 10)),
+      "the rebuilt sidecar must price the delete exactly")
+  }
 }
