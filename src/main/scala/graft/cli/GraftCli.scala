@@ -281,6 +281,12 @@ object GraftCli {
       textAppendPos(docs, storeDir, rest.headOption.map(_.toInt).getOrElse(1))
     case "textphrase" :: storeDir :: phrase :: out :: Nil =>
       textPhrase(storeDir, phrase.split(",").toSeq.filter(_.nonEmpty), out)
+    case "textdelete" :: storeDir :: ids :: Nil =>
+      textDelete(storeDir,
+        ids.split(",").toSeq.filter(_.nonEmpty).map(_.toLong))
+    case "anndelete" :: storeDir :: ids :: Nil =>
+      annDelete(storeDir,
+        ids.split(",").toSeq.filter(_.nonEmpty).map(_.toLong))
     case "pqbuild" :: emb :: indexDir :: rest if rest.size <= 2 =>
       pqBuild(emb, indexDir, rest.headOption.map(_.toInt).getOrElse(2),
         rest.drop(1).headOption.map(_.toInt).getOrElse(8))
@@ -341,6 +347,8 @@ object GraftCli {
            |           annstoreappend <emb> <indexdir> <storedir>
            |           annstorequery <indexdir> <storedir> <emb> <id> <k> [nprobe]
            |           annstorecompact <storedir> [max_records_per_file]
+           |           anndelete <storedir> <id,id,...>
+           |           textdelete <storedir> <id,id,...>
            |           annstoreclustered <emb> <indexdir> <storedir> <ridercol> [files_per_cell]
            |           annstoreknn <indexdir> <storedir> <queries> <out> <k> [nprobe]
            |           annsq8build <emb> <indexdir> <storedir>
@@ -2134,6 +2142,33 @@ object GraftCli {
     println(s"selectively compacted $storeDir: $was -> $now files " +
       s"(${rewritten.size} decayed buckets rewritten: " +
       s"${rewritten.mkString(",")})")
+    spark.stop()
+  }
+
+  /** textdelete / anndelete: tombstoned removal from a postings store
+    * — one atomic `_tombstones` sidecar append; serves mask the ids
+    * immediately, the next (full) compaction purges physically and
+    * clears the sidecar ([[graft.operators.TextIndex.delete]] /
+    * [[graft.operators.Similarity.ivfStoreDelete]]). Re-running the
+    * same delete prints 0 — the idempotence contract every loader
+    * verb shares. */
+  private def textDelete(storeDir: String, ids: Seq[Long]): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val n = graft.operators.TextIndex.delete(spark, storeDir,
+      ids.toDF("doc_id"), "doc_id")
+    val (nDocs, _, _) = graft.operators.TextIndex.readStats(spark, storeDir)
+    println(s"tombstoned $n docs in $storeDir (now $nDocs live docs; " +
+      "textcompact purges)")
+    spark.stop()
+  }
+
+  private def annDelete(storeDir: String, ids: Seq[Long]): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val n = graft.operators.Similarity.ivfStoreDelete(spark, storeDir,
+      ids.toDF("vec_id"), "vec_id")
+    println(s"tombstoned $n vectors in $storeDir (annstorecompact purges)")
     spark.stop()
   }
 
