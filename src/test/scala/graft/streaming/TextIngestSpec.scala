@@ -120,4 +120,39 @@ class TextIngestSpec extends SparkSpec {
       rows(Curation.bm25TopK(batchDf(0, 70), "doc_id", "text", terms, 10)),
       "the compacted-then-extended store must serve the full corpus")
   }
+
+  test("tombstones compose with the stream: masks persist across batches, replays, and the gate") {
+    val root = java.nio.file.Files.createTempDirectory("textingestdel").toString
+    val dir = s"$root/store"
+    assert(StreamingMerge.applyTextBatch(batchDf(0, 30), 0L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    // mid-stream takedown of two already-ingested docs
+    assert(TextIndex.delete(spark, dir, Seq(3L, 7L).toDF("doc_id"),
+      "doc_id") == 2L)
+    // later batches keep applying (no id overlap with the tombstones)
+    assert(StreamingMerge.applyTextBatch(batchDf(30, 60), 1L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    val terms = Seq("oak", "fir")
+    val want = rows(Curation.bm25TopK(
+      batchDf(0, 60).filter(!$"doc_id".isin(3L, 7L)),
+      "doc_id", "text", terms, 10))
+    assert(rows(TextIndex.topK(spark, dir, terms, 10)) == want,
+      "the streamed store must serve the survivors exactly")
+    // an at-least-once replay neither resurrects nor double-counts
+    assert(!StreamingMerge.applyTextBatch(batchDf(30, 60), 1L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    assert(rows(TextIndex.topK(spark, dir, terms, 10)) == want,
+      "a skipped replay must not disturb the tombstone mask")
+    assert(TextIndex.readStats(spark, dir)._1 == 58L,
+      "live doc count must reflect batches minus tombstones")
+    // a NEW batch colliding with a pending tombstone refuses loudly
+    // BEFORE any write — the stream surfaces the conflict instead of
+    // silently shadowing the takedown
+    intercept[IllegalArgumentException] {
+      StreamingMerge.applyTextBatch(batchDf(3, 4), 2L, dir,
+        nBuckets = 4, filesPerBucket = 2)
+    }
+    assert(rows(TextIndex.topK(spark, dir, terms, 10)) == want,
+      "the refused batch must leave the store untouched")
+  }
 }
