@@ -1363,8 +1363,11 @@ object Similarity {
     val cells = spark.range(1)
       .select(explode(index.probeCellsCol(typedLit(qv), nprobe)).as("cell"))
       .collect().map(_.getInt(0)).toSeq
-    val store = spark.read.parquet(storeDir)
-      .filter(col("cell").isin(cells: _*))
+    // honors [[ivfStoreDelete]] tombstones like every store serve — a
+    // delete issued against an SQ8 store must never be silently ignored
+    val store = ivfMinusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("cell").isin(cells: _*)), idCol)
     val base = excludeId.fold(store)(q => store.filter(col(idCol) =!= q))
     base.select(col(idCol),
         round(aggregate(

@@ -530,6 +530,27 @@ class SimilaritySpec extends SparkSpec {
       "a resurrected id must be servable after the purge")
   }
 
+  test("SQ8 store serve honors tombstones — a delete is never silently ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8del")
+      .resolve("store").toString
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 4)
+    Similarity.ivfSq8StoreBuild(emb, "vec_id", "embedding", ix, dir)
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Array[Float]].head().toSeq
+    def serve() = Similarity.ivfSq8StoreTopK(spark, dir, "vec_id", qv, ix,
+      k = 12, nprobe = ix.cids.size, excludeId = Some(0L))
+      .as[(Long, Double)].collect().toSeq
+    val before = serve()
+    val victims = before.take(2).map(_._1)
+    Similarity.ivfStoreDelete(spark, dir, victims.toDF("vec_id"), "vec_id")
+    val after = serve()
+    assert(victims.forall(v => !after.exists(_._1 == v)),
+      "tombstoned ids must vanish from the SQ8 serve")
+    assert(after == before.filterNot(r => victims.contains(r._1)) ||
+      after.size == 12,
+      "survivors keep their order; the tail refills from the next ranks")
+  }
+
   test("ivfStore tombstone id-column mismatch fails loud, never a skipped filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfmis")
       .resolve("store").toString
