@@ -122,6 +122,75 @@ object Dedup {
     lshBands(minhashSignatureDirect(docs, idCol, textCol, n, numHashes),
       numHashes, rowsPerBand)
 
+  // ------------------------------------------------------------------
+  // Tombstoned deletes for the signature store — the takedown shape for
+  // continuous-crawl dedup: a removed document's signatures must stop
+  // flagging future near-dups (otherwise a takedown keeps its whole
+  // near-dup cluster out of the corpus forever), and the removal must
+  // not rewrite the store (O(deleted) event, not O(corpus)). Same
+  // sidecar discipline as the text/IVF postings stores: one atomic
+  // `_tombstones` append, reads anti-join the deleted-ids-sized set,
+  // physical purge rides the compaction the store needs anyway.
+
+  private def sigTombPath(dir: String) = s"$dir/_tombstones"
+
+  private def readSigTombstones(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Option[DataFrame] =
+    if (!graft.sinks.HadoopSwap.exists(spark, sigTombPath(dir))) None
+    else Some(spark.read.parquet(sigTombPath(dir))
+      .select(col("doc_id")).distinct())
+
+  /** The signature store's LIVE rows — every reader goes through this
+    * (never a raw `spark.read.parquet(storeDir)`), so a tombstoned
+    * doc's signatures are invisible the instant the delete lands.
+    * mergeSchema keeps the streaming `_applied_batch` marker across
+    * mixed batch/streaming files. */
+  def readSignatureStore(spark: org.apache.spark.sql.SparkSession, storeDir: String): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(storeDir)
+    readSigTombstones(spark, storeDir).fold(raw)(tb =>
+      raw.join(tb, Seq("doc_id"), "left_anti"))
+  }
+
+  /** DELETE documents' signatures from the store: append their ids to
+    * the `_tombstones` sidecar (one coalesced file — atomic
+    * visibility). Already-tombstoned ids are skipped; unknown ids are
+    * accepted (they mask nothing and vanish at the next purge).
+    * Returns the number of ids newly tombstoned. Purge via
+    * [[purgeSignatureStore]] or [[ingestBatch]]'s compact arm — NOT
+    * via the generic [[graft.sinks.StoreMaintenance.compact]], whose
+    * whole-dir swap would drop the sidecar without purging the rows. */
+  def signatureStoreDelete(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                           ids: DataFrame, idCol: String): Long = {
+    val want0 = ids.select(col(idCol).as("doc_id")).distinct()
+    val want = readSigTombstones(spark, storeDir)
+      .fold(want0)(tb => want0.join(tb, Seq("doc_id"), "left_anti"))
+      .persist()
+    try {
+      val nDel = want.count()
+      if (nDel > 0L)
+        want.coalesce(1).write.mode("append").parquet(sigTombPath(storeDir))
+      nDel
+    } finally { want.unpersist(); () }
+  }
+
+  /** Compact the signature store into ≈ `targetBytes`-sized files AND
+    * physically purge any tombstoned rows, clearing the sidecar in the
+    * same atomic swap (the rewrite lands in a temp sibling with no
+    * `_tombstones`, so readers see masked-then-purged, never a
+    * resurrection). mergeSchema preserves the streaming replay markers
+    * across mixed batch/streaming files — a compaction must never
+    * reset the gate. Returns (filesBefore, filesAfter). */
+  def purgeSignatureStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                          targetBytes: Long): (Int, Int) = {
+    import graft.sinks.{HadoopSwap, StoreMaintenance}
+    val before = HadoopSwap.parquetFileCount(spark, storeDir)
+    val bytes = HadoopSwap.dirBytes(spark, storeDir)
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    StoreMaintenance.overwriteViaSwap(
+      readSignatureStore(spark, storeDir).repartition(nFiles), storeDir)
+    (before, HadoopSwap.parquetFileCount(spark, storeDir))
+  }
+
   /** Incremental (delta-vs-store) dedup: for each incoming doc, the
     * number of its bands whose bucket already exists in the signature
     * store, plus the smallest matching store doc id as the canonical
@@ -166,8 +235,20 @@ object Dedup {
     try {
       val p = new org.apache.hadoop.fs.Path(storeDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val exists = fs.exists(p)
+      // a batch re-using a TOMBSTONED id would have its new signatures
+      // silently masked by the pending tombstone — fail loud before any
+      // write (the text/IVF append discipline); purge-then-reingest is
+      // the resurrection path
+      if (exists) readSigTombstones(spark, storeDir).foreach { tb =>
+        val clash = sigs.select(col("doc_id")).distinct()
+          .join(tb, Seq("doc_id"), "left_semi").limit(1).count()
+        require(clash == 0L,
+          s"$storeDir: batch re-uses tombstoned doc ids — purge " +
+            "(purgeSignatureStore / the compact arm) first")
+      }
       val store0 =
-        if (fs.exists(p)) spark.read.parquet(storeDir)
+        if (exists) readSignatureStore(spark, storeDir)
         else sigs.limit(0) // first batch: empty store, same schema
       incrementalDuplicates(sigs, store0)
         .write.mode("overwrite").parquet(dupesOut)
@@ -178,7 +259,9 @@ object Dedup {
       markerBatch.fold(novel)(b => novel.withColumn("_applied_batch", lit(b)))
         .write.mode("append").parquet(storeDir)
       val after = compactTargetBytes match {
-        case Some(t) => graft.sinks.StoreMaintenance.compact(spark, storeDir, t)._2
+        // the tombstone-aware purge (NOT the generic compactor, whose
+        // whole-dir swap would drop the sidecar without purging rows)
+        case Some(t) => purgeSignatureStore(spark, storeDir, t)._2
         case None => -1
       }
       (docs.count(), dupIds.count(), after)

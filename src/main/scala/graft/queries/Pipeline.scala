@@ -4194,6 +4194,59 @@ object Pipeline {
       "THEN text || ' graftupdated graftupdated vector' ELSE text END " +
       "AS text FROM documents)")
 
+  // --------------------------------------------------------------- q235
+  // Tombstoned delete for the LSH SIGNATURE store — the takedown shape
+  // for continuous-crawl dedup: a removed document's signatures must
+  // stop flagging future near-dups (otherwise a takedown keeps its
+  // whole near-dup cluster out of the corpus forever), without
+  // rewriting the store. Even docs are the ingested history, a
+  // takedown tombstones every 9th of them, odd docs arrive as the next
+  // batch through the PRODUCTION ingest (ingestBatch: tombstone-aware
+  // store read -> dupes report -> novel append -> compact arm, which
+  // purges the tombstones and clears the sidecar in the same swap).
+  // The oracle replays the LSH pipeline with the takedown applied as a
+  // WHERE on the store side; in-query requires pin the physical purge.
+  private def q235LshDelete(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q235", dir)
+    val dupes = scratch("q235d", dir)
+    val docs = t(s, dir, "documents")
+    Dedup.bandSignatures(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", 3, 8, 4)
+      .write.mode("overwrite").parquet(out)
+    val doomed = docs
+      .filter(col("doc_id") % 2 === 0 && col("doc_id") % 9 === 2)
+      .select("doc_id")
+    require(Dedup.signatureStoreDelete(s, out, doomed, "doc_id") > 0L,
+      "the takedown must tombstone something")
+    require(Dedup.signatureStoreDelete(s, out, doomed, "doc_id") == 0L,
+      "re-deleting the same ids must be a no-op")
+    Dedup.ingestBatch(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", out, dupes, compactTargetBytes = Some(1L << 20))
+    require(!graft.sinks.HadoopSwap.exists(s, s"$out/_tombstones"),
+      "the compact arm must purge the tombstones")
+    require(s.read.parquet(out)
+        .join(doomed, Seq("doc_id"), "left_semi").limit(1).count() == 0L,
+      "purged signatures must be physically gone")
+    s.read.parquet(dupes).orderBy(col("doc_id"))
+  }
+
+  private val q235Sql = {
+    val mins = (0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+    s"""WITH ${shingleCte(3)},
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig),
+       |store AS (SELECT * FROM bands
+       |  WHERE doc_id % 2 = 0 AND NOT (doc_id % 9 = 2)),
+       |inc AS (SELECT * FROM bands WHERE doc_id % 2 = 1)
+       |SELECT i.doc_id AS doc_id, CAST(COUNT(DISTINCT i.band) AS BIGINT) AS n_bands_hit,
+       |  MIN(s.doc_id) AS first_match
+       |FROM inc i JOIN store s ON i.band = s.band AND i.bucket = s.bucket
+       |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5030,6 +5083,7 @@ object Pipeline {
     "q232_text_purge" -> q232TextPurge _,
     "q233_ivf_delete" -> q233IvfDelete _,
     "q234_text_update" -> q234TextUpdate _,
+    "q235_lsh_delete" -> q235LshDelete _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -5272,6 +5326,7 @@ object Pipeline {
     "q232_text_purge" -> q232Sql,
     "q233_ivf_delete" -> q233Sql,
     "q234_text_update" -> q234Sql,
+    "q235_lsh_delete" -> q235Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )
