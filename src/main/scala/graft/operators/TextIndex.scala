@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted full-text postings store + store-served Okapi BM25 — the
@@ -51,16 +51,38 @@ object TextIndex {
   private def doclenPath(dir: String) = s"$dir/_doclen"
   private def tombPath(dir: String) = s"$dir/_tombstones"
 
-  /** Per-(doc, term) postings with the frozen bucket key. */
-  private def postings(docs: DataFrame, idCol: String, textCol: String,
-                       nBuckets: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+  /** One row per document `(doc_id, toks, dl)` — the pre-explode stage
+    * every ingest derives from. When `obs` is given, the exact corpus
+    * metrics `(n, sdl)` are collected DURING whatever action consumes
+    * this frame (Spark's CollectMetrics node rides the map side of the
+    * first shuffle, which executes exactly once per ingest even though
+    * the range-partitioned write runs a sampling job first — shuffle
+    * map stages are reused, not re-run), so the stats row costs no
+    * second corpus pass. */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String,
+                        obs: Option[Observation]): DataFrame = {
+    val pre = docs.select(col(idCol).as("doc_id"),
         split(col(textCol), TOK).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+    obs.fold(pre)(o =>
+      pre.observe(o, count(lit(1)).as("n"), sum(col("dl")).as("sdl")))
+  }
+
+  private def postingsFrom(pre: DataFrame, nBuckets: Int): DataFrame =
+    pre.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(xxhash64(col("w")), lit(nBuckets)).cast("int"))
+
+  /** Per-(doc, term) postings with the frozen bucket key — the
+    * un-observed form [[healBatch]] uses (replay heal re-derives the
+    * lost sidecars from the redelivered batch; the batch-sized 3-pass
+    * cost is acceptable on that rare path and keeps the heal
+    * independent of the files the crashed ingest may have half
+    * written). */
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+                       nBuckets: Int): DataFrame =
+    postingsFrom(tokenized(docs, idCol, textCol, None), nBuckets)
 
   /** Exact corpus stats over ALL docs (matching [[Curation.bm25TopK]]'s
     * `stats` aggregate): document count and BIGINT token-count sum. */
@@ -186,6 +208,115 @@ object TextIndex {
         size(split(col(textCol), TOK)).cast("long").as("dl"))
       .write.mode("append").parquet(doclenPath(dir))
 
+  /** The corpus metrics collected during the write — with one escape
+    * hatch: when the ingest produced ZERO postings rows, AQE's
+    * empty-relation propagation can replace the plan subtree that
+    * carried the CollectMetrics node, and the observation completes
+    * with an empty row. Only in that degenerate case (a batch of
+    * nothing but token-free docs) does `fallback` re-derive the
+    * metrics with an explicit batch pass. */
+  private def observed(obs: Observation,
+                       fallback: () => (Long, Long)): (Long, Long) = {
+    val m = obs.get
+    if (m.contains("n"))
+      (m("n").asInstanceOf[Long],
+        Option(m("sdl")).fold(0L)(_.asInstanceOf[Long]))
+    else fallback()
+  }
+
+  /** SINGLE-PASS sidecar derivation — the ingest's corpus pass is the
+    * postings write itself; everything else derives from what that
+    * pass already produced:
+    *
+    *  - `(n, sdl)` were observed DURING the write ([[tokenized]]), so
+    *    the stats row re-reads nothing.
+    *  - `_doclen` comes from a column-pruned `(doc_id, dl)` read of
+    *    only the files the ingest just WROTE (postings carry `dl` on
+    *    every row, deduped per doc) — never from re-tokenizing the
+    *    source, and on appends never from re-reading old files.
+    *  - the term-presence bitset reads the same written files pruned
+    *    to `w` (dictionary-encoded; positions/tf stay on disk).
+    *
+    * Docs that produced ZERO postings rows are invisible in the
+    * written files — under the unfiltered tokenizer that is exactly
+    * the null-text docs (`split(NULL) = NULL` explodes to nothing;
+    * empty text still yields the one `""` token), and for positional
+    * stores also docs whose every token is empty. The doclen write's
+    * own observed count exposes them: only when it disagrees with the
+    * corpus count does the `residual` pass run (for bag-of-terms a
+    * null-check scan with no tokenize — parquet answers `IS NULL`
+    * from row-group null counts, so a null-free corpus reads ~nothing;
+    * positional residuals re-split, but only on a corpus that
+    * actually contains token-free docs). Exactness assumes the store
+    * key contract (unique doc_id per corpus), which every serve and
+    * the tombstone lifecycle already require. */
+  private def deriveSidecars(spark: SparkSession, dir: String,
+                             written: Option[DataFrame], bid: Long,
+                             n: Long, sdl: Long, nBuckets: Int,
+                             bits: Array[Long],
+                             residual: () => DataFrame): Unit = {
+    val nSeen = written.fold(0L) { w =>
+      val dlObs = Observation()
+      w.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+        .observe(dlObs, count(lit(1)).as("n"))
+        .write.mode("append").parquet(doclenPath(dir))
+      dlObs.get("n").asInstanceOf[Long]
+    }
+    if (nSeen != n || nSeen == 0L)
+      residual().write.mode("append").parquet(doclenPath(dir))
+    appendStatsRow(spark, dir, bid, n, sdl, nBuckets, bits)
+  }
+
+  /** The term-presence bitset observed during the write
+    * ([[graft.functions.BitsetOrAggregator]] over [[termProbes]] —
+    * OR-idempotent, so the range sampler's re-execution of the
+    * observed stage is harmless). Falls back to reading the written
+    * files' `w` column only when AQE empty-propagation swallowed the
+    * metrics node (which implies an empty or degenerate write). */
+  private def observedBits(obs: Observation,
+                           fallback: () => Array[Long]): Array[Long] =
+    obs.get.get("tf_bits") match {
+      case Some(s: Seq[_]) => s.asInstanceOf[Seq[Long]].toArray
+      case Some(a: Array[Long]) => a
+      case _ => fallback()
+    }
+
+  private def withBitsObserve(post: DataFrame,
+                              obs: Observation): DataFrame =
+    post.observe(obs, graft.functions.Bitset
+      .bitset_or(TermFilterBits / 64)(termProbes).as("tf_bits"))
+
+  /** The files the just-finished append landed, as a pruned frame —
+    * None when the batch produced no postings at all. A concurrent
+    * appender's files arriving between the two listings would only
+    * widen this set: its doclen rows land twice with identical values
+    * (invisible under the read-side dedup) and its terms OR into a
+    * superset bitset (Bloom-safe). */
+  private def newlyWritten(spark: SparkSession, dir: String,
+                           before: Set[String]): Option[DataFrame] = {
+    val fresh = graft.sinks.SkippingStore.listDataFileRelPaths(spark, dir)
+      .filterNot(before).map(rel => s"$dir/$rel")
+    if (fresh.isEmpty) None else Some(spark.read.parquet(fresh: _*))
+  }
+
+  /** Zero-posting docs of the bag-of-terms tokenizer: null text only. */
+  private def nullTextDocs(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs.filter(col(textCol).isNull)
+      .select(col(idCol).as("doc_id"), lit(null).cast("long").as("dl"))
+
+  /** Zero-posting docs of the positional tokenizer: null text or a
+    * token list that filters to empty — `dl` stays the UNfiltered
+    * count so the stats subtraction a later delete derives from these
+    * rows is exact against what [[tokenized]] observed. */
+  private def tokenFreeDocs(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), TOK).as("toks"))
+      .filter(col("toks").isNull ||
+        size(filter(col("toks"), w => length(w) > 0)) === 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+
   /** The deduped tombstone set `(doc_id, dl)`, or None when the store
     * has none. Dedup by doc_id (max dl — rows for one doc are
     * identical by the [[delete]] guard; dedup only defends a
@@ -222,7 +353,10 @@ object TextIndex {
     val r = df.agg(sum(col("n")), sum(col("sdl"))).head()
     val (dn, dsdl) = readTombstones(spark, dir).fold((0L, 0L)) { tb =>
       val t = tb.agg(count(lit(1)), sum(col("dl"))).head()
-      if (t.getLong(0) == 0L) (0L, 0L) else (t.getLong(0), t.getLong(1))
+      // null-text docs carry a null dl (they contributed nothing to
+      // sdl), so the sum can be null even with tombstones present
+      if (t.getLong(0) == 0L) (0L, 0L)
+      else (t.getLong(0), if (t.isNullAt(1)) 0L else t.getLong(1))
     }
     (r.getLong(0) - dn, r.getLong(1) - dsdl, nbs.head)
   }
@@ -273,10 +407,13 @@ object TextIndex {
     } finally doomed.unpersist()
   }
 
-  /** Build the postings store: one tokenize pass, range-clustered by
-    * (tb, w) into ~`nBuckets × filesPerBucket` files so each bucket's
-    * files cover narrow term ranges (file-level w-zones stay
-    * selective), w-zone sidecar, corpus-stats sidecar. */
+  /** Build the postings store: ONE tokenize pass (the postings write,
+    * with `(n, sdl)` observed in-flight), range-clustered by (tb, w)
+    * into ~`nBuckets × filesPerBucket` files so each bucket's files
+    * cover narrow term ranges (file-level w-zones stay selective),
+    * w-zone sidecar, `_doclen` and the corpus-stats row derived from
+    * the WRITTEN files ([[deriveSidecars]]) — at 100 TB the
+    * difference between a 1-pass and a 3-pass ingest. */
   def build(docs: DataFrame, idCol: String, textCol: String,
             storeDir: String, nBuckets: Int,
             filesPerBucket: Int = 1,
@@ -284,18 +421,23 @@ object TextIndex {
     require(nBuckets >= 1 && filesPerBucket >= 1,
       "need at least one bucket and one file per bucket")
     val spark = docs.sparkSession
-    val post = postings(docs, idCol, textCol, nBuckets)
+    val obs = Observation()
+    val obsBits = Observation()
+    val post = withBitsObserve(
+      postingsFrom(tokenized(docs, idCol, textCol, Some(obs)), nBuckets),
+      obsBits)
     marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
       .repartitionByRange(nBuckets * filesPerBucket, col("tb"), col("w"))
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("overwrite").parquet(storeDir)
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
-    writeDoclen(docs, idCol, textCol, storeDir)
-    val (n, sdl) = docStats(docs, idCol, textCol)
-    // bits from the WRITTEN postings' w column — column-pruned read,
-    // no second tokenize pass over the corpus
-    appendStatsRow(spark, storeDir, marker.getOrElse(-1L), n, sdl, nBuckets,
-      termFilterBits(spark.read.parquet(storeDir)))
+    val (n, sdl) = observed(obs, () => docStats(docs, idCol, textCol))
+    val written = newlyWritten(spark, storeDir, Set.empty)
+    deriveSidecars(spark, storeDir, written, marker.getOrElse(-1L),
+      n, sdl, nBuckets,
+      observedBits(obsBits, () => written
+        .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
+      () => nullTextDocs(docs, idCol, textCol))
   }
 
   /** Append a document batch: tokenize ONLY the batch, land postings
@@ -312,16 +454,28 @@ object TextIndex {
       s"$storeDir is a positional store — append with appendPositional")
     requireNoTombstoneClash(newDocs, idCol, storeDir)
     val (_, _, nb) = readStats(spark, storeDir)
-    val post = postings(newDocs, idCol, textCol, nb)
+    val obs = Observation()
+    val obsBits = Observation()
+    val post = withBitsObserve(
+      postingsFrom(tokenized(newDocs, idCol, textCol, Some(obs)), nb),
+      obsBits)
+    val before = graft.sinks.SkippingStore
+      .listDataFileRelPaths(spark, storeDir).toSet
     marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
       .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("append").parquet(storeDir)
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
-    writeDoclen(newDocs, idCol, textCol, storeDir)
-    val (n1, sdl1) = docStats(newDocs, idCol, textCol)
-    appendStatsRow(spark, storeDir, marker.getOrElse(-1L), n1, sdl1, nb,
-      termFilterBits(post))
+    val (n1, sdl1) = observed(obs,
+      () => docStats(newDocs, idCol, textCol))
+    // doclen + stats + bitset from the BATCH's write only — the
+    // appended cost stays the batch's, never the store's
+    val written = newlyWritten(spark, storeDir, before)
+    deriveSidecars(spark, storeDir, written,
+      marker.getOrElse(-1L), n1, sdl1, nb,
+      observedBits(obsBits, () => written
+        .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
+      () => nullTextDocs(newDocs, idCol, textCol))
   }
 
   /** A batch that re-uses a TOMBSTONED id would be silently shadowed
@@ -421,7 +575,8 @@ object TextIndex {
     tomb.foreach { tb =>
       val t = tb.agg(count(lit(1)), sum(col("dl"))).head()
       if (t.getLong(0) > 0L)
-        appendStatsRow(spark, tmp, -1L, -t.getLong(0), -t.getLong(1), nb,
+        appendStatsRow(spark, tmp, -1L, -t.getLong(0),
+          -(if (t.isNullAt(1)) 0L else t.getLong(1)), nb,
           new Array[Long](TermFilterBits / 64))
     }
     // `_doclen` carries over MINUS the purged docs (so a later delete
@@ -451,10 +606,11 @@ object TextIndex {
   // list `(tb, w, doc_id, tf, dl, pos)`, so exact adjacency is served
   // from the terms' buckets alone — same bucket hash, same (tb, w)
   // clustering, same w-zone sidecar and corpus-stats discipline as
-  // the bag-of-terms store. Tokenization matches phraseSearch
+  // the bag-of-terms store. Position lists match phraseSearch
   // verbatim (whitespace split, empty tokens dropped, 0-based
-  // posexplode positions); tf/dl derive from the SAME filtered token
-  // stream so the positional store is internally consistent. A
+  // posexplode positions); `dl` is the UNFILTERED token count shared
+  // with the bag-of-terms store and the `_doclen`/`_corpus_stats`
+  // discipline (see [[tokenizedPositional]]). A
   // `_positional` marker file keeps the two posting schemas from
   // silently mixing: [[append]] refuses a positional store and
   // [[appendPositional]] refuses a bag-of-terms one.
@@ -470,22 +626,38 @@ object TextIndex {
   private[graft] def isPositional(spark: SparkSession, dir: String): Boolean =
     graft.sinks.HadoopSwap.exists(spark, positionalMarker(dir))
 
-  /** Per-(doc, term) postings with the frozen bucket key AND the
-    * sorted position list — [[Curation.phraseSearch]]'s tokenizer,
-    * verbatim, so store-served adjacency is bit-stable with the
-    * scan-everything path. */
-  private def positionalPostings(docs: DataFrame, idCol: String,
-                                 textCol: String,
-                                 nBuckets: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        filter(split(col(textCol), TOK), w => length(w) > 0).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("long"))
-      .select(col("doc_id"), col("dl"),
+  /** One row per document for the positional path. Positions come
+    * from the FILTERED token stream ([[Curation.phraseSearch]]'s
+    * tokenizer, verbatim — empty tokens dropped before posexplode, so
+    * store-served adjacency is bit-stable with the scan-everything
+    * path), but `dl` is the UNFILTERED whitespace token count: the
+    * same value [[tokenized]] observes, the `_doclen` sidecar prices
+    * deletes with, and the bag-of-terms store carries — so the
+    * written positional postings are a valid single-pass source for
+    * `_doclen` too. (BM25 never serves from a positional store — the
+    * [[topK]]/[[topKBatch]] guards refuse one — so the filtered-tf /
+    * unfiltered-dl pairing inside a posting feeds no score.) */
+  private def tokenizedPositional(docs: DataFrame, idCol: String,
+                                  textCol: String,
+                                  obs: Option[Observation]): DataFrame =
+    tokenized(docs, idCol, textCol, obs)
+      .withColumn("toks", filter(col("toks"), w => length(w) > 0))
+
+  private def positionalFrom(pre: DataFrame, nBuckets: Int): DataFrame =
+    pre.select(col("doc_id"), col("dl"),
         posexplode(col("toks")).as(Seq("p", "w")))
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("p"))).as("pos"))
       .withColumn("tb", pmod(xxhash64(col("w")), lit(nBuckets)).cast("int"))
+
+  /** Per-(doc, term) positional postings with the frozen bucket key —
+    * the un-observed form, for callers outside the ingest hot path. */
+  private def positionalPostings(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 nBuckets: Int): DataFrame =
+    positionalFrom(tokenizedPositional(docs, idCol, textCol, None),
+      nBuckets)
 
   /** Build the positional postings store — [[build]]'s layout with the
     * position list riding each posting. */
@@ -495,18 +667,23 @@ object TextIndex {
     require(nBuckets >= 1 && filesPerBucket >= 1,
       "need at least one bucket and one file per bucket")
     val spark = docs.sparkSession
-    positionalPostings(docs, idCol, textCol, nBuckets)
+    val obs = Observation()
+    val obsBits = Observation()
+    withBitsObserve(
+        positionalFrom(
+          tokenizedPositional(docs, idCol, textCol, Some(obs)), nBuckets),
+        obsBits)
       .repartitionByRange(nBuckets * filesPerBucket, col("tb"), col("w"))
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("overwrite").parquet(storeDir)
     writeMarker(spark, storeDir)
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
-    writeDoclen(docs, idCol, textCol, storeDir)
-    val (n, sdl) = docStats(docs, idCol, textCol)
-    // bits from the WRITTEN postings' w column — column-pruned read,
-    // no second tokenize pass over the corpus
-    appendStatsRow(spark, storeDir, -1L, n, sdl, nBuckets,
-      termFilterBits(spark.read.parquet(storeDir)))
+    val (n, sdl) = observed(obs, () => docStats(docs, idCol, textCol))
+    val written = newlyWritten(spark, storeDir, Set.empty)
+    deriveSidecars(spark, storeDir, written, -1L, n, sdl, nBuckets,
+      observedBits(obsBits, () => written
+        .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
+      () => tokenFreeDocs(docs, idCol, textCol))
   }
 
   /** Append a batch to a positional store — batch-only tokenize,
@@ -520,15 +697,26 @@ object TextIndex {
       s"$storeDir is a bag-of-terms store — append with TextIndex.append")
     requireNoTombstoneClash(newDocs, idCol, storeDir)
     val (_, _, nb) = readStats(spark, storeDir)
-    positionalPostings(newDocs, idCol, textCol, nb)
+    val obs = Observation()
+    val obsBits = Observation()
+    val before = graft.sinks.SkippingStore
+      .listDataFileRelPaths(spark, storeDir).toSet
+    withBitsObserve(
+        positionalFrom(
+          tokenizedPositional(newDocs, idCol, textCol, Some(obs)), nb),
+        obsBits)
       .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("append").parquet(storeDir)
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
-    writeDoclen(newDocs, idCol, textCol, storeDir)
-    val (n1, sdl1) = docStats(newDocs, idCol, textCol)
-    appendStatsRow(spark, storeDir, -1L, n1, sdl1, nb,
-      termFilterBits(positionalPostings(newDocs, idCol, textCol, nb)))
+    val (n1, sdl1) = observed(obs,
+      () => docStats(newDocs, idCol, textCol))
+    val written = newlyWritten(spark, storeDir, before)
+    deriveSidecars(spark, storeDir, written,
+      -1L, n1, sdl1, nb,
+      observedBits(obsBits, () => written
+        .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
+      () => tokenFreeDocs(newDocs, idCol, textCol))
   }
 
   /** Store-served EXACT phrase search — bit-stable with
@@ -609,6 +797,11 @@ object TextIndex {
   def topKBatch(spark: SparkSession, storeDir: String, queries: DataFrame,
                 idCol: String, termsCol: String, k: Int,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(!isPositional(spark, storeDir),
+      s"$storeDir is a positional store — its postings carry " +
+        "filtered-token tf (and no bag-of-terms rows for empty " +
+        "tokens), so BM25 served from it could silently drift from " +
+        "the scan path; serve BM25 from a TextIndex.build store")
     import spark.implicits._
     val (n, sdl, nb) = readStats(spark, storeDir)
     val exploded = queries
@@ -713,6 +906,11 @@ object TextIndex {
   def topK(spark: SparkSession, storeDir: String, terms: Seq[String],
            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
+    require(!isPositional(spark, storeDir),
+      s"$storeDir is a positional store — its postings carry " +
+        "filtered-token tf (and no bag-of-terms rows for empty " +
+        "tokens), so BM25 served from it could silently drift from " +
+        "the scan path; serve BM25 from a TextIndex.build store")
     import spark.implicits._
     val (n, sdl, nb) = readStats(spark, storeDir)
     // the term-presence filter drops provably-absent terms BEFORE any

@@ -306,4 +306,76 @@ class TextIndexSpec extends SparkSpec {
         "doc_id", "text", terms, 10)),
       "the rebuilt sidecar must price the delete exactly")
   }
+
+  // docs ∪ {null text, empty text, whitespace-only text} — the
+  // zero-/degenerate-posting edges the single-pass ingest must still
+  // count: null text explodes to nothing (invisible in the written
+  // postings, caught by the observed-count residual); "" yields the
+  // one "" token (dl = 1, a real posting); "  " splits to two empty
+  // tokens (dl = 2; real postings in a bag store, token-free in a
+  // positional one).
+  private lazy val edgy = docs.unionByName(
+    Seq((100L, null.asInstanceOf[String]), (101L, ""), (102L, "  "))
+      .toDF("doc_id", "text"))
+
+  test("single-pass ingest counts null/empty-text docs exactly (stats, doclen, delete)") {
+    val dir = tmp("edge")
+    TextIndex.build(edgy.filter($"doc_id" =!= 102L), "doc_id", "text", dir,
+      nBuckets = 4, filesPerBucket = 2)
+    TextIndex.append(edgy.filter($"doc_id" === 102L), "doc_id", "text", dir,
+      filesPerBucket = 2)
+    val (n, sdl, _) = TextIndex.readStats(spark, dir)
+    // n counts all 63 docs; null text adds 0 tokens, "" adds 1, "  " 2
+    val want = docs.select(sum(size(split($"text", "\\s+")).cast("long")))
+      .head().getLong(0)
+    assert(n == 63L && sdl == want + 3L, s"stats after edge ingest: $n/$sdl")
+    val terms = Seq("alpha", "kappa")
+    assert(rows(TextIndex.topK(spark, dir, terms, 10)) ==
+      rows(Curation.bm25TopK(edgy, "doc_id", "text", terms, 10)),
+      "store and scan must agree on the degenerate corpus")
+    // the null-text doc made it into _doclen (the residual pass), so
+    // its delete prices exactly: n drops by one, sdl is untouched
+    assert(TextIndex.delete(spark, dir, Seq(100L).toDF("doc_id"),
+      "doc_id") == 1L, "the null-text doc must be deletable")
+    val (n2, sdl2, _) = TextIndex.readStats(spark, dir)
+    assert(n2 == 62L && sdl2 == sdl, s"after null-doc delete: $n2/$sdl2")
+    assert(rows(TextIndex.topK(spark, dir, terms, 10)) ==
+      rows(Curation.bm25TopK(edgy.filter($"doc_id" =!= 100L),
+        "doc_id", "text", terms, 10)),
+      "the delete must serve the rebuilt-on-survivors answer")
+  }
+
+  test("positional ingest counts token-free docs; BM25 refuses positional stores") {
+    val dir = tmp("edgepos")
+    TextIndex.buildPositional(edgy.filter($"doc_id" < 102L), "doc_id",
+      "text", dir, nBuckets = 4, filesPerBucket = 2)
+    TextIndex.appendPositional(edgy.filter($"doc_id" === 102L), "doc_id",
+      "text", dir, filesPerBucket = 2)
+    val (n, sdl, _) = TextIndex.readStats(spark, dir)
+    val base = docs.select(sum(size(split($"text", "\\s+")).cast("long")))
+      .head().getLong(0)
+    // dl stays the UNfiltered count: "" is 1 token, "  " is 2
+    assert(n == 63L && sdl == base + 3L,
+      s"positional stats must match the bag tokenizer's: $n/$sdl")
+    // token-free docs ride the residual into _doclen: deleting the
+    // whitespace-only doc subtracts its exact unfiltered dl
+    assert(TextIndex.delete(spark, dir, Seq(102L).toDF("doc_id"),
+      "doc_id") == 1L)
+    val (n2, sdl2, _) = TextIndex.readStats(spark, dir)
+    assert(n2 == 62L && sdl2 == base + 1L,
+      s"after whitespace-doc delete: $n2/$sdl2")
+    // a phrase serve is untouched by the degenerate docs
+    val hits = TextIndex.phraseSearch(spark, dir, Seq("alpha", "beta"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(hits == Curation.phraseSearch(docs, "doc_id", "text",
+      Seq("alpha", "beta")).as[(Long, Long)].collect().toSeq.sorted)
+    // BM25 from a positional store would silently drift (filtered tf,
+    // no "" postings) — it must refuse loud instead
+    assertThrows[IllegalArgumentException](
+      TextIndex.topK(spark, dir, Seq("alpha"), 5))
+    assertThrows[IllegalArgumentException](
+      TextIndex.topKBatch(spark, dir,
+        Seq((1L, Seq("alpha"))).toDF("query_id", "terms"),
+        "query_id", "terms", 5))
+  }
 }
