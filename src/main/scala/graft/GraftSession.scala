@@ -48,13 +48,40 @@ object GraftSession {
     * log `All paths were ignored: .../_zonemap_multi` at WARN — one
     * line per sidecar dir per read, hundreds per bench, burying real
     * warnings. The underscore prefix is Spark's own "not data"
-    * convention and the skip is exactly what we want, so the category
-    * is noise by construction for this engine; raise just that logger
-    * to ERROR. */
-  def silenceSidecarListingNoise(): Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.datasources.DataSource",
-      org.apache.logging.log4j.Level.ERROR)
+    * convention and the skip is exactly what we want — but ONLY for
+    * this engine's own sidecar names: a blanket level raise on the
+    * DataSource logger would also swallow its other WARNs (provider
+    * fallback, schema warnings). So attach a message-matching DENY
+    * filter for ignore lists naming the engine's sidecars, and leave
+    * the logger's level alone. Idempotent across sessions. */
+  def silenceSidecarListingNoise(): Unit = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{Filter, LoggerContext}
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.RegexFilter
+    val name = "org.apache.spark.sql.execution.datasources.DataSource"
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val conf = ctx.getConfiguration
+    val existing = conf.getLoggerConfig(name)
+    val lc =
+      if (existing.getName == name) existing
+      else {
+        val fresh = new LoggerConfig(name, existing.getLevel, true)
+        conf.addLogger(name, fresh)
+        fresh
+      }
+    if (lc.getFilter == null) {
+      // full-match regex (RegexFilter semantics) over the multi-line
+      // message — DOTALL so the path list after the colon is covered
+      lc.addFilter(RegexFilter.createFilter(
+        "All paths were ignored.*/_(zonemap(_multi)?|bloommap|" +
+          "corpus_stats|doclen|tombstones|positional|zorder_meta|" +
+          "selcompact_(tmp|old)|constraints(_fk)?(_tmp)?|checkpoint).*",
+        Array("DOTALL"), java.lang.Boolean.FALSE,
+        Filter.Result.DENY, Filter.Result.NEUTRAL))
+      ctx.updateLoggers()
+    }
+  }
 
   /** Builder pre-loaded with [[clusterConf]] + engine extensions; the
     * caller adds master/deploy settings. */

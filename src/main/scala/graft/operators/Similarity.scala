@@ -306,8 +306,13 @@ object Similarity {
   def ivfStoreAppend(newEmb: DataFrame, idCol: String, embCol: String,
                      index: IvfIndex, storeDir: String): Unit = {
     readIvfTombstones(newEmb.sparkSession, storeDir).foreach { tb =>
-      val clash = newEmb.select(col(idCol).as(tombIdCol(tb)))
-        .join(tb, Seq(tombIdCol(tb)), "left_semi").limit(1).count()
+      // same loud id-space check as the serves and ivfStoreDelete — a
+      // silent rename here would compare ids across two key columns
+      require(tombIdCol(tb) == idCol,
+        s"$storeDir: tombstones are keyed by '${tombIdCol(tb)}' but the " +
+          s"append uses '$idCol' — store and batch are not a pair")
+      val clash = newEmb.select(col(idCol))
+        .join(tb, Seq(idCol), "left_semi").limit(1).count()
       require(clash == 0L,
         s"$storeDir: batch re-appends tombstoned ids — a pending " +
           "tombstone would mask the new rows; compactIvfStore() first")

@@ -467,9 +467,14 @@ object SkippingStore {
     * replaced files dropped, fresh rows computed over only the new
     * files ([[reconcilePartitionedSidecars]]).
     *
-    * Crash discipline: every individual step leaves a valid store. A
-    * crash mid-swap leaves some partitions compacted and some not —
-    * both layouts serve identically. A crash between the data swaps
+    * Crash discipline: every individual step leaves a RECOVERABLE
+    * store. A crash mid-swap leaves some partitions compacted and some
+    * not — both layouts serve identically — except the one narrow
+    * window INSIDE a partition's swap (old renamed aside, replacement
+    * not yet renamed in), where that partition is temporarily missing
+    * from the store; the re-run's first act restores any such
+    * partition from the scaffolding roots before clearing them, so the
+    * heal never destroys the only copy. A crash between the data swaps
     * and the sidecar reconcile leaves a stale sidecar, which reads
     * DETECT (the loud coverage check / the transparent rule's
     * degrade-to-scan), never silently mis-serve; re-running this
@@ -500,12 +505,38 @@ object SkippingStore {
         s.isFile && n.startsWith("part-") && n.endsWith(".parquet")
       }.map(_.getPath.toString)
     def totalFiles(): Int = partDirs().map(filesIn(_).size).sum
-    val before = totalFiles()
-    val decayed = partDirs().filter(filesIn(_).size > maxFilesPerPartition)
     val tmpRoot = s"$dir/_selcompact_tmp"
     val asideRoot = s"$dir/_selcompact_old"
+    // CRASH HEAL before clearing scaffolding: a prior run that died
+    // between swapInto's two renames (live→aside done, tmp→live not)
+    // left that partition's ONLY copies under the scaffolding roots —
+    // deleting them first would turn the crash window into silent data
+    // loss (the reconcile below would then drop the partition's
+    // sidecar rows too). Restore any scaffolding partition whose live
+    // dir is missing: the aside copy is the complete pre-compaction
+    // data (it was renamed atomically out of the store), so it wins;
+    // tmp is only consulted when aside has no copy (not reachable from
+    // swapInto's ordering, kept as a belt-and-braces restore — a live
+    // dir can only go missing after the tmp write completed).
+    def restoreMissing(fromRoot: String): Unit = {
+      val rp = new org.apache.hadoop.fs.Path(fromRoot)
+      if (hfs.exists(rp))
+        hfs.listStatus(rp).toSeq.filter(_.isDirectory).foreach { st =>
+          val target = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+          if (!hfs.exists(target))
+            require(hfs.rename(st.getPath, target),
+              s"crash-heal restore ${st.getPath} -> $target failed — " +
+                "refusing to clear scaffolding holding the only copy")
+        }
+    }
+    restoreMissing(asideRoot)
+    restoreMissing(tmpRoot)
     HadoopSwap.deleteRecursive(spark, tmpRoot)
     HadoopSwap.deleteRecursive(spark, asideRoot)
+    // decay is measured AFTER the heal — a restored partition is still
+    // decayed and re-compacts in this very run
+    val before = totalFiles()
+    val decayed = partDirs().filter(filesIn(_).size > maxFilesPerPartition)
     if (decayed.nonEmpty) {
       // sort keys come from the store's own index, like the full
       // rewrites: a clustered store re-clusters, a plain one just merges

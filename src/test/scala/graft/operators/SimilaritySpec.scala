@@ -566,5 +566,11 @@ class SimilaritySpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Similarity.knnJoinIvfStore(spark, dir, renamed.limit(1),
         "other_id", "embedding", 3, ix, nprobe = 1).collect())
+    // the append's clash check must fail the same way, never silently
+    // rename the batch's id column into the tombstone's id space
+    assertThrows[IllegalArgumentException](
+      Similarity.ivfStoreAppend(
+        renamed.filter($"other_id" >= 40L && $"other_id" < 42L),
+        "other_id", "embedding", ix, dir))
   }
 }

@@ -112,6 +112,39 @@ class SelectiveCompactSpec extends SparkSpec {
       "healed store must serve the new file")
   }
 
+  test("mid-swap crash (partition renamed aside, not yet replaced) restores, never destroys") {
+    val dir = tmpDir("selswap")
+    buildStore(dir)
+    val beforeRows = spark.read.parquet(dir)
+      .collect().map(_.toString).sorted.toSeq
+    // simulate a crash INSIDE swapInto for cat=1: the live dir was
+    // renamed to the aside root and the replacement never renamed in —
+    // the partition's only copies now sit under the scaffolding roots
+    val fs = HadoopSwap.fs(spark, dir)
+    fs.mkdirs(new Path(s"$dir/_selcompact_old"))
+    assert(fs.rename(new Path(s"$dir/cat=1"),
+      new Path(s"$dir/_selcompact_old/cat=1")))
+    // a half-written replacement under tmp (what the crashed run left)
+    Seq((9999L, 1, "half")).toDF("id", "cat", "v").coalesce(1)
+      .write.partitionBy("cat").mode("overwrite")
+      .parquet(s"$dir/_selcompact_tmp")
+    // the re-run heals: restores cat=1 from the aside copy, discards
+    // the half replacement, re-compacts (cat=1 is still decayed), and
+    // reconciles the sidecar — no row lost, no scaffolding left
+    val (rewritten, _, _) =
+      SkippingStore.compactPartitionsSelective(spark, dir, "cat", 2)
+    assert(rewritten == Seq("cat=1"),
+      s"the restored partition must re-compact, got $rewritten")
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+      == beforeRows, "the heal must restore every pre-crash row")
+    assert(spark.read.parquet(dir).filter(col("v") === "half").count() == 0L,
+      "the crashed run's half-written replacement must not leak in")
+    val leftovers = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.contains("selcompact"))
+    assert(leftovers.isEmpty, s"scaffolding debris: ${leftovers.mkString(",")}")
+    assert(SkippingStore.loadMultiSidecar(spark, dir, relative = true).nonEmpty)
+  }
+
   test("IVF wrapper: bit-identical serves, cold cells untouched") {
     val dir = tmpDir("selivf")
     val emb = (0L until 600L).map { i =>
