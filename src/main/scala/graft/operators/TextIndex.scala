@@ -125,6 +125,12 @@ object TextIndex {
   private val TermFilterBits = 1 << 17
   private val TermFilterK = 4
 
+  /** Stats-sidecar file count above which the ingest folds it to one
+    * row ([[maybeFoldStats]]) — high enough that folds are rare
+    * (every ~64 applied batches), low enough that serve-side stats
+    * reads stay a bounded footer merge forever. */
+  private val StatsFoldThreshold = 64
+
   private def termProbes: org.apache.spark.sql.Column =
     array((0 until TermFilterK).map(i =>
       pmod(xxhash64(col("w"), lit(i)), lit(TermFilterBits.toLong))): _*)
@@ -178,13 +184,20 @@ object TextIndex {
       .map(_.getString(0)).toSeq
   }
 
-  /** Whether batch `bid`'s stats row already landed (the replay-heal
-    * guard; bid-row reads prune to one tiny sidecar column). */
+  /** Whether batch `bid`'s stats contribution already landed (the
+    * replay-heal guard; bid-row reads prune to one tiny sidecar
+    * column). The check is `any bid >= wanted`, not equality: stream
+    * bids are monotone and batch B+1 only runs after B committed —
+    * and B's stats row lands inside B's own foreachBatch before that
+    * commit — so ANY row at or past `bid` proves `bid`'s contribution
+    * is in the sums. That is also what makes [[maybeFoldStats]] safe:
+    * a fold row carries the max folded bid, which answers for every
+    * bid it swallowed. */
   private def statsRowExists(spark: SparkSession, dir: String,
                              bid: Long): Boolean =
     graft.sinks.HadoopSwap.exists(spark, statsPath(dir)) &&
       spark.read.parquet(statsPath(dir))
-        .filter(col("bid") === bid).limit(1).count() > 0
+        .filter(col("bid") >= bid).limit(1).count() > 0
 
   /** The per-doc `(doc_id, dl)` sidecar — written at every
     * build/append so a later [[delete]] can price the removed docs
@@ -265,6 +278,68 @@ object TextIndex {
     if (nSeen != n || nSeen == 0L)
       residual().write.mode("append").parquet(doclenPath(dir))
     appendStatsRow(spark, dir, bid, n, sdl, nBuckets, bits)
+    maybeFoldStats(spark, dir)
+  }
+
+  /** `_corpus_stats` stays append-only between folds, but an
+    * append-per-batch sidecar grows one file per applied batch — a
+    * long-lived streaming store would pay a footer-merge over
+    * thousands of files on EVERY serve. Once the sidecar exceeds
+    * `threshold` files, the append's tail step folds every row into
+    * ONE: summed `(n, sdl)`, OR'd term bitset (null if any folded row
+    * predates the filter or mixes geometry — "cannot prove absence"
+    * survives the fold), and `bid = max(folded bids)` so the
+    * [[statsRowExists]] replay guard (`any bid >= wanted`) still
+    * answers for every swallowed batch. The fold swaps in
+    * rename-aside, atomic like every store maintenance op, and shares
+    * their single-maintainer discipline (a batch appender racing the
+    * fold could land a stats file inside the swap window — folds run
+    * inside the ingest path itself precisely so a single pipeline
+    * never races its own maintenance). */
+  private[graft] def maybeFoldStats(spark: SparkSession, dir: String,
+                                    threshold: Int = StatsFoldThreshold)
+      : Boolean = {
+    val side = statsPath(dir)
+    val p = new org.apache.hadoop.fs.Path(side)
+    val fs = graft.sinks.HadoopSwap.fs(spark, side)
+    if (!fs.exists(p)) return false
+    val nFiles = fs.listStatus(p)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (nFiles <= threshold) return false
+    val df = spark.read.option("mergeSchema", "true").parquet(side)
+    val hasBits = df.columns.contains("tf_bits")
+    val rows = df.collect() // batch-count bounded — ≈ threshold rows
+    val nbs = rows.map(_.getAs[Int]("nbuckets")).distinct
+    require(nbs.length == 1,
+      s"$side: inconsistent bucket counts ${nbs.mkString(",")}")
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val sdl = rows.map(_.getAs[Long]("sdl")).sum
+    val hwm = rows.map(_.getAs[Long]("bid")).max
+    val bits: Option[Array[Long]] =
+      if (!hasBits) None
+      else rows.foldLeft(Option(new Array[Long](TermFilterBits / 64))) {
+        case (None, _) => None
+        case (Some(acc), r) =>
+          val i = r.fieldIndex("tf_bits")
+          if (r.isNullAt(i)) None
+          else {
+            val a = r.getSeq[Long](i)
+            if (a.length != acc.length) None
+            else { var j = 0
+              while (j < acc.length) { acc(j) |= a(j); j += 1 }
+              Some(acc) }
+          }
+      }
+    import spark.implicits._
+    val folded = Seq((hwm, n, sdl, nbs.head))
+      .toDF("bid", "n", "sdl", "nbuckets")
+      .withColumn("tf_bits", bits.fold(
+        lit(null).cast("array<bigint>"))(b => typedLit(b.toSeq)))
+    val stamp = java.lang.System.nanoTime()
+    val tmp = side + ".fold-" + stamp
+    folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+    graft.sinks.HadoopSwap.swapInto(spark, tmp, side, side + ".old-" + stamp)
+    true
   }
 
   /** The term-presence bitset observed during the write

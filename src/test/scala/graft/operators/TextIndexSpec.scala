@@ -378,4 +378,41 @@ class TextIndexSpec extends SparkSpec {
         Seq((1L, Seq("alpha"))).toDF("query_id", "terms"),
         "query_id", "terms", 5))
   }
+
+  test("_corpus_stats folds on the file-count threshold; totals, filter, and replay gate survive") {
+    val dir = tmp("fold")
+    val mk = (i: Long) => Seq((i, s"alpha beta w$i")).toDF("doc_id", "text")
+    TextIndex.build(mk(0L), "doc_id", "text", dir, nBuckets = 4,
+      marker = Some(0L))
+    // 70 marker appends cross the 64-file threshold mid-stream — the
+    // ingest folds the sidecar itself; later appends stay append-only
+    (1L to 70L).foreach(i =>
+      TextIndex.append(mk(i), "doc_id", "text", dir, marker = Some(i)))
+    val fs = graft.sinks.HadoopSwap.fs(spark, dir)
+    val statFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/_corpus_stats"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(statFiles <= 10,
+      s"71 applied batches must fold to a bounded stats read ($statFiles files)")
+    // exact totals and the frozen bucket count survive the fold
+    val (n, sdl, nb) = TextIndex.readStats(spark, dir)
+    assert(n == 71L && sdl == 3 * 71L && nb == 4, s"after fold: $n/$sdl/$nb")
+    // the OR'd term filter survives: present terms found, absent pruned
+    val hit = TextIndex.topK(spark, dir, Seq("w33"), 3).collect()
+    assert(hit.length == 1 && hit.head.getLong(0) == 33L)
+    assert(TextIndex.topK(spark, dir, Seq("nosuchterm"), 3).count() == 0L)
+    // replay gate: a redelivery of ANY folded bid must skip, not
+    // double-count (the fold row's hwm answers for every swallowed bid)
+    TextIndex.healBatch(mk(33L), "doc_id", "text", dir, batchId = 33L,
+      nBuckets = 4)
+    TextIndex.healBatch(mk(70L), "doc_id", "text", dir, batchId = 70L,
+      nBuckets = 4)
+    assert(TextIndex.readStats(spark, dir) == ((71L, 3 * 71L, 4)),
+      "replays of folded bids must not re-add their stats rows")
+    // and the serve is still the rebuild-on-everything answer
+    val all = (0L to 70L).map(i => (i, s"alpha beta w$i"))
+      .toDF("doc_id", "text")
+    assert(rows(TextIndex.topK(spark, dir, Seq("alpha", "w7"), 5)) ==
+      rows(Curation.bm25TopK(all, "doc_id", "text", Seq("alpha", "w7"), 5)))
+  }
 }
