@@ -843,6 +843,88 @@ object TextIndex {
       size(col("acc")).cast("long").as("n_occurrences"))
   }
 
+  /** BATCHED store-served phrase search — exact adjacency for a whole
+    * query FRAME `(idCol, phraseCol: array<string>)` against the
+    * positional store, [[topKBatch]]'s one-job shape for
+    * [[phraseSearch]]: per query the answer is bit-identical to the
+    * per-phrase loop, but every probed bucket is read ONCE for all the
+    * queries probing it.
+    *
+    * Plan shape: phrases posexplode to (query, slot, term) map-side
+    * and hash to buckets with the writer's frozen expressions; any
+    * query with a provably-absent term (the OR'd store bitset rides
+    * the frame as one literal) drops WHOLE before the bucket union is
+    * collected — zero matches by Bloom semantics, zero buckets opened
+    * for it. The store scan partition-prunes to the union of surviving
+    * buckets; postings join the localCheckpointed slot frame on `w`
+    * with no forced hint (the q218 direction discipline). Adjacency is
+    * the same shifted-position algebra as the single-phrase serve —
+    * slot i's positions shift by -i — evaluated per (query, doc) as a
+    * fold over the collected slot arrays; a doc must cover EVERY slot
+    * (count == phrase length) before the intersect runs, so partial
+    * matches never reach the fold. Returns
+    * (query_id, doc_id, n_occurrences), matching docs only. */
+  def phraseSearchBatch(spark: SparkSession, storeDir: String,
+                        queries: DataFrame, idCol: String,
+                        phraseCol: String): DataFrame = {
+    require(isPositional(spark, storeDir),
+      s"$storeDir carries no positions — build with buildPositional")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(phraseCol).as("phrase"))
+    require(q.filter(size(col("phrase")) < 2).limit(1).count() == 0L,
+      "a 1-token phrase is a plain term lookup — every phrase needs " +
+        "at least two tokens")
+    val (_, _, nb) = readStats(spark, storeDir)
+    val slots = q.select(col("query_id"), size(col("phrase")).as("plen"),
+      posexplode(col("phrase")).as(Seq("i", "w")))
+    // drop WHOLE queries with any provably-absent term, engine-side
+    val qslots = (readTermFilter(spark, storeDir) match {
+      case None => slots
+      case Some(bits) =>
+        val dead = slots.withColumn("_tfb", typedLit(bits.toSeq))
+          .filter(!expr(
+            s"""forall(array(${(0 until TermFilterK)
+              .map(i => s"pmod(xxhash64(w, $i), ${TermFilterBits}L)")
+              .mkString(", ")}),
+               |  p -> (element_at(_tfb, cast(p / 64 AS int) + 1)
+               |        & shiftleft(1L, cast(p % 64 AS int))) != 0L)"""
+              .stripMargin))
+          .select(col("query_id")).distinct()
+        slots.join(dead, Seq("query_id"), "left_anti")
+    }).withColumn("tb",
+        pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .localCheckpoint()
+    val buckets = qslots.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty)
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("query_id", lit(0L))
+        .withColumn("n_occurrences", lit(0L))
+        .select(col("query_id"), col("doc_id"), col("n_occurrences"))
+    val terms = qslots.select(col("w")).distinct()
+    val post = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .drop("tb")
+        .join(terms, Seq("w"))
+        .select(col("doc_id"), col("w"), col("pos")))
+    post.join(qslots.select(col("query_id"), col("plen"), col("i"),
+        col("w")), Seq("w"))
+      .select(col("query_id"), col("doc_id"), col("plen"),
+        transform(col("pos"), p => p - col("i")).as("shifted"))
+      .groupBy(col("query_id"), col("doc_id"), col("plen"))
+      .agg(count(lit(1)).as("nslots"),
+        collect_list(col("shifted")).as("arrs"))
+      .filter(col("nslots") === col("plen"))
+      .withColumn("acc", expr(
+        "aggregate(slice(arrs, 2, size(arrs) - 1), arrs[0], " +
+          "(acc, x) -> array_intersect(acc, x))"))
+      .filter(size(col("acc")) > 0)
+      .select(col("query_id"), col("doc_id"),
+        size(col("acc")).cast("long").as("n_occurrences"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** BATCHED store-served BM25 — top-k per query for a whole query
     * FRAME `(idCol, termsCol: array<string>)` against the postings
     * store, the text analog of

@@ -4247,6 +4247,80 @@ object Pipeline {
        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q236
+  // BATCHED store-served phrase search (TextIndex.phraseSearchBatch):
+  // a query frame of phrases served in ONE job — q230's batched shape
+  // for exact adjacency. Per-phrase slots hash to buckets map-side,
+  // the store partition-prunes to the union of the surviving queries'
+  // buckets, each probed bucket is read once for every query probing
+  // it, and the per-(query, doc) shifted-position intersect only runs
+  // on docs covering every slot. Query 4 carries a provably-absent
+  // term: the engine-side term filter drops the WHOLE query before
+  // the bucket union is collected, so it adds no files to the scan —
+  // which is exactly what the in-plan require pins. The oracle
+  // replays each phrase with q193's scan-everything adjacency SQL and
+  // unions the arms.
+  private def q236PhraseBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q236", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", out, filesPerBucket = 2)
+    import s.implicits._
+    val queries = Seq(
+      (1L, Seq("table", "hash")),
+      (2L, Seq("merge", "group")),
+      (3L, Seq("part", "filter")),
+      (4L, Seq("table", "qqzzabsent"))).toDF("query_id", "phrase")
+    val res = TextIndex.phraseSearchBatch(s, out, queries,
+      "query_id", "phrase")
+    // the scan must stay inside the LIVE phrases' buckets — the
+    // absent-term query contributes nothing, and unprobed buckets are
+    // never opened
+    val live = Seq("table", "hash", "merge", "group", "part", "filter")
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    val filesInProbed = probed.map { b =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/tb=$b"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(filesInProbed < allFiles,
+      "test setup: the live phrases must not cover every bucket")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= filesInProbed,
+      s"the batched phrase serve must stay inside the live buckets " +
+        s"($filesInProbed files; store holds $allFiles)")
+    res
+  }
+
+  /** q193's per-phrase adjacency SQL, one UNION ALL arm per query of
+    * the batch — the absent-term arm matches nothing by construction. */
+  private val q236Sql = {
+    val phrases = Seq(
+      (1, Seq("table", "hash")),
+      (2, Seq("merge", "group")),
+      (3, Seq("part", "filter")),
+      (4, Seq("table", "qqzzabsent")))
+    val arms = phrases.map { case (qid, ph) =>
+      val conds = ph.zipWithIndex
+        .map { case (w, j) => s"toks[i + $j] = '$w'" }.mkString(" AND ")
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |    CAST(len(list_filter(range(1, len(toks)),
+         |      i -> $conds)) AS BIGINT) AS n_occurrences
+         |  FROM t""".stripMargin
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS toks
+       |  FROM documents),
+       |m AS (${arms.mkString("\n  UNION ALL\n")})
+       |SELECT query_id, doc_id, n_occurrences FROM m
+       |WHERE n_occurrences > 0 ORDER BY query_id, doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5084,6 +5158,7 @@ object Pipeline {
     "q233_ivf_delete" -> q233IvfDelete _,
     "q234_text_update" -> q234TextUpdate _,
     "q235_lsh_delete" -> q235LshDelete _,
+    "q236_phrase_batch" -> q236PhraseBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -5327,6 +5402,7 @@ object Pipeline {
     "q233_ivf_delete" -> q233Sql,
     "q234_text_update" -> q234Sql,
     "q235_lsh_delete" -> q235Sql,
+    "q236_phrase_batch" -> q236Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -150,7 +150,21 @@ object VersionedStore {
     * manifest's files, independent of anything committed since. Fails
     * loudly if a member file is missing (vacuumed too aggressively or
     * foreign delete) instead of silently dropping rows. */
+  /** The versioned-manifest and tombstoned-delete disciplines must not
+    * silently compose: a manifest read knows nothing about a pending
+    * `_tombstones` sidecar (TextIndex/Similarity deletes), so serving
+    * a snapshot from such a dir would resurrect every tombstoned row.
+    * Nothing in this engine writes both into one dir — this guard
+    * catches the foreign/mis-pointed case loud instead of wrong. */
+  private def requireNoTombstones(spark: SparkSession, dir: String,
+                                  op: String): Unit =
+    require(!fs(spark, dir).exists(new Path(s"$dir/_tombstones")),
+      s"$dir carries a _tombstones sidecar — $op would silently ignore " +
+        "pending tombstoned deletes; purge via the owning store's " +
+        "compact() before versioned reads")
+
   def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    requireNoTombstones(spark, dir, "a versioned read")
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"$dir has no committed versions")
     val v = if (version < 0) vs.last else version
@@ -217,6 +231,7 @@ object VersionedStore {
     * multiplicity. Returns the data columns plus `change` =
     * added/removed (w.r.t. `from` → `to`). */
   def rowDiff(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
+    requireNoTombstones(spark, dir, "rowDiff")
     val a = manifestFiles(spark, dir, from)
     val b = manifestFiles(spark, dir, to)
     def readSet(files: Set[String]): DataFrame =

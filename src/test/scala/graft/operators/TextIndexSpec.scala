@@ -379,6 +379,42 @@ class TextIndexSpec extends SparkSpec {
         "query_id", "terms", 5))
   }
 
+  test("batched phrase serve == per-phrase loop; absent-term queries drop whole") {
+    val dir = tmp("phbatch")
+    TextIndex.buildPositional(docs.filter($"doc_id" < 40), "doc_id", "text",
+      dir, nBuckets = 4, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter($"doc_id" >= 40), "doc_id",
+      "text", dir, filesPerBucket = 2)
+    val phrases = Seq(
+      (1L, Seq("alpha", "beta")),
+      (2L, Seq("gamma", "gamma")),
+      (3L, Seq("beta", "alpha", "mu")),
+      (4L, Seq("alpha", "qqzzabsent"))) // provably absent term
+    val batched = TextIndex.phraseSearchBatch(spark, dir,
+        phrases.toDF("query_id", "phrase"), "query_id", "phrase")
+      .as[(Long, Long, Long)].collect().toSeq
+    val looped = phrases.flatMap { case (qid, ph) =>
+      if (ph.contains("qqzzabsent")) Seq.empty
+      else TextIndex.phraseSearch(spark, dir, ph)
+        .as[(Long, Long)].collect().toSeq.map(r => (qid, r._1, r._2))
+    }.sorted
+    assert(batched == looped,
+      "the batched serve must equal the per-phrase loop, query by query")
+    assert(looped.nonEmpty, "fixture must produce at least one match")
+    // a tombstoned doc drops from every query of the batch
+    val victim = looped.head._2
+    TextIndex.delete(spark, dir, Seq(victim).toDF("doc_id"), "doc_id")
+    val afterDel = TextIndex.phraseSearchBatch(spark, dir,
+        phrases.toDF("query_id", "phrase"), "query_id", "phrase")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(afterDel == looped.filterNot(_._2 == victim))
+    // 1-token phrases refuse, like the single-phrase API
+    assertThrows[IllegalArgumentException](
+      TextIndex.phraseSearchBatch(spark, dir,
+        Seq((9L, Seq("alpha"))).toDF("query_id", "phrase"),
+        "query_id", "phrase"))
+  }
+
   test("_corpus_stats folds on the file-count threshold; totals, filter, and replay gate survive") {
     val dir = tmp("fold")
     val mk = (i: Long) => Seq((i, s"alpha beta w$i")).toDF("doc_id", "text")

@@ -197,4 +197,24 @@ class VersionedStoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("missing data files"))
   }
+
+  test("a dir carrying _tombstones refuses versioned reads loud") {
+    val dir = store("vtomb")
+    VersionedStore.commit(Seq(1, 2, 3).toDF("n"), dir, 1)
+    VersionedStore.commit(Seq(4, 5).toDF("n"), dir, 1)
+    // a tombstoned-delete sidecar (the TextIndex/Similarity delete
+    // discipline) landing in a versioned dir must not silently compose:
+    // manifests know nothing about pending deletes
+    Seq(2L).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_tombstones")
+    val e1 = intercept[IllegalArgumentException](
+      VersionedStore.read(spark, dir).count())
+    assert(e1.getMessage.contains("_tombstones"))
+    val e2 = intercept[IllegalArgumentException](
+      VersionedStore.rowDiff(spark, dir, 1, 2).count())
+    assert(e2.getMessage.contains("_tombstones"))
+    // purging the sidecar restores service
+    HadoopSwap.deleteRecursive(spark, s"$dir/_tombstones")
+    assert(VersionedStore.read(spark, dir).count() == 5L)
+  }
 }
