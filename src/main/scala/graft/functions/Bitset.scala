@@ -50,9 +50,49 @@ final class BitsetOrAggregator(nWords: Int)
     ExpressionEncoder[Seq[Long]]()
 }
 
+/** Sum-reduce of counter indexes into a fixed counter array — the
+  * count-min-sketch accumulation behind the text store's per-term df
+  * sketch. Input is the engine-evaluated absolute counter-index array
+  * for one row; each index bumps its counter by one.
+  *
+  * NOT idempotent (sums, unlike [[BitsetOrAggregator]]'s OR) — so it
+  * may only be observed BELOW the first shuffle, where map-stage reuse
+  * guarantees exactly-once execution even under a downstream range
+  * sampler. The text ingest attaches it to the one-row-per-document
+  * pre-explode frame for exactly that reason. */
+final class CounterSumAggregator(nCounters: Int)
+    extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+  require(nCounters > 0, "need at least one counter")
+
+  def zero: Array[Long] = new Array[Long](nCounters)
+
+  def reduce(b: Array[Long], idxs: Seq[Long]): Array[Long] = {
+    if (idxs != null) idxs.foreach(i => b(i.toInt) += 1L)
+    b
+  }
+
+  def merge(l: Array[Long], r: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < l.length) { l(i) += r(i); i += 1 }
+    l
+  }
+
+  def finish(b: Array[Long]): Seq[Long] = b.toSeq
+
+  def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
 object Bitset {
   /** `bitset_or(nWords)(probes)` — aggregate a probe-position column
     * (array<long>, each in `[0, nWords*64)`) into one packed bitset. */
   def bitset_or(nWords: Int)(probes: Column): Column =
     udaf(new BitsetOrAggregator(nWords)).apply(probes)
+
+  /** `counter_sum(n)(idxs)` — aggregate an absolute counter-index
+    * column (array<long>, each in `[0, n)`) into one counter array. */
+  def counter_sum(n: Int)(idxs: Column): Column =
+    udaf(new CounterSumAggregator(n)).apply(idxs)
 }

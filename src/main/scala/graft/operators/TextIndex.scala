@@ -65,7 +65,12 @@ object TextIndex {
         split(col(textCol), TOK).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     obs.fold(pre)(o =>
-      pre.observe(o, count(lit(1)).as("n"), sum(col("dl")).as("sdl")))
+      pre.observe(o, count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+        // per-term df: each doc bumps the counters of its DISTINCT
+        // terms once — additive count-min, map-side exactly-once
+        graft.functions.Bitset.counter_sum(DfSketchW * DfSketchD)(
+          flatten(transform(array_distinct(col("toks")),
+            w => dfSketchProbes(w)))).as("df_sketch")))
   }
 
   private def postingsFrom(pre: DataFrame, nBuckets: Int): DataFrame =
@@ -110,10 +115,13 @@ object TextIndex {
     * union filter stays append-only too. */
   private def appendStatsRow(spark: SparkSession, dir: String, bid: Long,
                              n: Long, sdl: Long, nBuckets: Int,
-                             tfBits: Array[Long]): Unit = {
+                             tfBits: Array[Long],
+                             dfSketch: Option[Array[Long]] = None): Unit = {
     import spark.implicits._
     Seq((bid, n, sdl, nBuckets, tfBits.toSeq))
       .toDF("bid", "n", "sdl", "nbuckets", "tf_bits")
+      .withColumn("df_sketch", dfSketch.fold(
+        lit(null).cast("array<bigint>"))(a => typedLit(a.toSeq)))
       .coalesce(1).write.mode("append").parquet(statsPath(dir))
   }
 
@@ -130,6 +138,25 @@ object TextIndex {
     * (every ~64 applied batches), low enough that serve-side stats
     * reads stay a bounded footer merge forever. */
   private val StatsFoldThreshold = 64
+
+  // Per-term df count-min sketch geometry — frozen like the bucket
+  // hash and the term-filter geometry. depth x width longs per batch
+  // row (128 KiB); rows SUM at read (count-min is additive) and fold
+  // with the stats. Estimates only ever drive PLAN ORDERING
+  // (rarest-term-first phrase folds) — never an answer — so sketch
+  // collisions, post-delete staleness, and null rows from pre-sketch
+  // batches all degrade to a worse join order, not a wrong row.
+  private val DfSketchW = 8192
+  private val DfSketchD = 2
+
+  /** Absolute counter indexes for one term: row d probes segment
+    * `[d*W, (d+1)*W)` with an xxhash64 seed-column disjoint from
+    * [[termProbes]]'. */
+  private def dfSketchProbes(w: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array((0 until DfSketchD).map(d =>
+      lit(d.toLong * DfSketchW) +
+        pmod(xxhash64(w, lit(101 + d)), lit(DfSketchW.toLong))): _*)
 
   private def termProbes: org.apache.spark.sql.Column =
     array((0 until TermFilterK).map(i =>
@@ -169,6 +196,41 @@ object TextIndex {
       while (i < acc.length) { acc(i) |= a(i); i += 1 }
     }
     Some(acc)
+  }
+
+  /** Summed per-term df sketch over every applied batch's non-null
+    * row — None when no row carries one (pre-sketch store, healed
+    * batches). Additive count-min: a PARTIAL sum (some rows null) is
+    * a usable underestimate, because estimates only order plans. */
+  private def readDfSketch(spark: SparkSession,
+                           dir: String): Option[Array[Long]] = {
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(statsPath(dir))
+    if (!df.columns.contains("df_sketch")) return None
+    val rows = df.filter(col("df_sketch").isNotNull)
+      .select(col("df_sketch")).collect()
+    if (rows.isEmpty) return None
+    val acc = new Array[Long](DfSketchW * DfSketchD)
+    rows.foreach { r =>
+      val a = r.getSeq[Long](0)
+      if (a.length == acc.length) {
+        var i = 0
+        while (i < acc.length) { acc(i) += a(i); i += 1 }
+      }
+    }
+    Some(acc)
+  }
+
+  /** Estimated df per term (count-min: min over the depth probes),
+    * engine-evaluated with the writer's own hash expressions. */
+  private def estimatedDf(spark: SparkSession, terms: Seq[String],
+                          sketch: Array[Long]): Map[String, Long] = {
+    import spark.implicits._
+    terms.toDF("w").select(col("w"), dfSketchProbes(col("w")).as("ps"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](1).map(p => sketch(p.toInt)).min)
+      .toMap
   }
 
   /** The query terms that MIGHT exist in the store — Bloom semantics:
@@ -237,6 +299,16 @@ object TextIndex {
     else fallback()
   }
 
+  /** The df sketch observed during the write; None when AQE
+    * empty-propagation swallowed the metrics node (degenerate write —
+    * a null sketch row only weakens plan ordering, never an answer). */
+  private def observedCounters(obs: Observation): Option[Array[Long]] =
+    obs.get.get("df_sketch") match {
+      case Some(sq: Seq[_]) => Some(sq.asInstanceOf[Seq[Long]].toArray)
+      case Some(a: Array[Long]) => Some(a)
+      case _ => None
+    }
+
   /** SINGLE-PASS sidecar derivation — the ingest's corpus pass is the
     * postings write itself; everything else derives from what that
     * pass already produced:
@@ -267,6 +339,7 @@ object TextIndex {
                              written: Option[DataFrame], bid: Long,
                              n: Long, sdl: Long, nBuckets: Int,
                              bits: Array[Long],
+                             dfSketch: Option[Array[Long]],
                              residual: () => DataFrame): Unit = {
     val nSeen = written.fold(0L) { w =>
       val dlObs = Observation()
@@ -277,7 +350,7 @@ object TextIndex {
     }
     if (nSeen != n || nSeen == 0L)
       residual().write.mode("append").parquet(doclenPath(dir))
-    appendStatsRow(spark, dir, bid, n, sdl, nBuckets, bits)
+    appendStatsRow(spark, dir, bid, n, sdl, nBuckets, bits, dfSketch)
     maybeFoldStats(spark, dir)
   }
 
@@ -330,11 +403,33 @@ object TextIndex {
               Some(acc) }
           }
       }
+    // the df sketch SUMS across folded rows (count-min is additive);
+    // null rows just don't contribute — a partial sum still orders
+    val sketch: Option[Array[Long]] =
+      if (!df.columns.contains("df_sketch")) None
+      else {
+        val accS = new Array[Long](DfSketchW * DfSketchD)
+        var any = false
+        rows.foreach { r =>
+          val i = r.fieldIndex("df_sketch")
+          if (!r.isNullAt(i)) {
+            val a = r.getSeq[Long](i)
+            if (a.length == accS.length) {
+              any = true
+              var j = 0
+              while (j < accS.length) { accS(j) += a(j); j += 1 }
+            }
+          }
+        }
+        if (any) Some(accS) else None
+      }
     import spark.implicits._
     val folded = Seq((hwm, n, sdl, nbs.head))
       .toDF("bid", "n", "sdl", "nbuckets")
       .withColumn("tf_bits", bits.fold(
         lit(null).cast("array<bigint>"))(b => typedLit(b.toSeq)))
+      .withColumn("df_sketch", sketch.fold(
+        lit(null).cast("array<bigint>"))(a => typedLit(a.toSeq)))
     val stamp = java.lang.System.nanoTime()
     val tmp = side + ".fold-" + stamp
     folded.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -512,6 +607,7 @@ object TextIndex {
       n, sdl, nBuckets,
       observedBits(obsBits, () => written
         .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
+      observedCounters(obs),
       () => nullTextDocs(docs, idCol, textCol))
   }
 
@@ -550,6 +646,7 @@ object TextIndex {
       marker.getOrElse(-1L), n1, sdl1, nb,
       observedBits(obsBits, () => written
         .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
+      observedCounters(obs),
       () => nullTextDocs(newDocs, idCol, textCol))
   }
 
@@ -758,6 +855,7 @@ object TextIndex {
     deriveSidecars(spark, storeDir, written, -1L, n, sdl, nBuckets,
       observedBits(obsBits, () => written
         .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
+      observedCounters(obs),
       () => tokenFreeDocs(docs, idCol, textCol))
   }
 
@@ -791,6 +889,7 @@ object TextIndex {
       -1L, n1, sdl1, nb,
       observedBits(obsBits, () => written
         .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
+      observedCounters(obs),
       () => tokenFreeDocs(newDocs, idCol, textCol))
   }
 
@@ -827,20 +926,50 @@ object TextIndex {
         .filter(col("tb").isin(buckets: _*))
         .filter(col("w").isin(terms: _*))
         .select(col("doc_id"), col("w"), col("pos")))
-    val first = post.filter(col("w") === phrase.head)
-      .select(col("doc_id"), col("pos").as("acc"))
-    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
-      case (acc, (w, i)) =>
-        acc.join(post.filter(col("w") === w)
-            .select(col("doc_id"),
-              transform(col("pos"), p => p - i).as("shifted")),
-            Seq("doc_id"))
-          .select(col("doc_id"),
-            array_intersect(col("acc"), col("shifted")).as("acc"))
-          .filter(size(col("acc")) > 0)
-    }
+    // RAREST-FIRST fold order: each slot's contribution is the set
+    // {pos(w_i) - i} and set intersection commutes, so the fold may
+    // run in any slot order — starting at the sketch-estimated
+    // rarest term makes the FIRST frame (and every intermediate
+    // join) rarest-df-sized instead of first-term-sized. Estimates
+    // only pick the order; a missing/stale sketch degrades to the
+    // written phrase order, never a different answer.
+    val matched = phraseFold(spark, storeDir, post, phrase)
     matched.select(col("doc_id"),
       size(col("acc")).cast("long").as("n_occurrences"))
+  }
+
+  /** The slot evaluation order for a phrase fold: ascending estimated
+    * df (count-min read from `_corpus_stats`), slot index breaking
+    * ties; the written order when the store carries no sketch.
+    * Exposed for the spec — the ORDER is plan shape, the answer is
+    * order-invariant. */
+  private[graft] def phraseSlotOrder(spark: SparkSession, storeDir: String,
+                                     phrase: Seq[String]): Seq[(String, Int)] = {
+    val slots = phrase.zipWithIndex
+    readDfSketch(spark, storeDir).fold(slots) { sk =>
+      val est = estimatedDf(spark, phrase.distinct, sk)
+      slots.sortBy { case (w, i) => (est(w), i) }
+    }
+  }
+
+  /** Fold the shifted-position intersection over the phrase slots in
+    * [[phraseSlotOrder]]'s order; `acc` ends as the phrase-start set. */
+  private def phraseFold(spark: SparkSession, storeDir: String,
+                         post: DataFrame, phrase: Seq[String]): DataFrame = {
+    val order = phraseSlotOrder(spark, storeDir, phrase)
+    val (w0, i0) = order.head
+    val first = post.filter(col("w") === w0)
+      .select(col("doc_id"),
+        transform(col("pos"), p => p - i0).as("acc"))
+    order.drop(1).foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(post.filter(col("w") === w)
+          .select(col("doc_id"),
+            transform(col("pos"), p => p - i).as("shifted")),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          array_intersect(col("acc"), col("shifted")).as("acc"))
+        .filter(size(col("acc")) > 0)
+    }
   }
 
   /** BATCHED store-served phrase search — exact adjacency for a whole

@@ -415,6 +415,31 @@ class TextIndexSpec extends SparkSpec {
         "query_id", "phrase"))
   }
 
+  test("phrase fold runs rarest-term-first from the df sketch; answers unchanged") {
+    val dir = tmp("rarest")
+    // skewed fixture: 'alpha' in every doc, 'raretok' in two
+    val docs2 = (0L until 50L).map(i =>
+      (i, if (i < 2) "alpha raretok tail" else "alpha beta tail"))
+      .toDF("doc_id", "text")
+    TextIndex.buildPositional(docs2.filter($"doc_id" < 30), "doc_id",
+      "text", dir, nBuckets = 4, filesPerBucket = 2)
+    TextIndex.appendPositional(docs2.filter($"doc_id" >= 30), "doc_id",
+      "text", dir, filesPerBucket = 2)
+    // the sketch orders the fold: the rare slot leads even though the
+    // phrase writes the common term first
+    val order = TextIndex.phraseSlotOrder(spark, dir,
+      Seq("alpha", "raretok"))
+    assert(order.map(_._1) == Seq("raretok", "alpha"),
+      s"fold must start at the estimated-rarest term, got $order")
+    // and the reordered fold is bit-identical to the corpus scan
+    val served = TextIndex.phraseSearch(spark, dir, Seq("alpha", "raretok"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val scanned = Curation.phraseSearch(docs2, "doc_id", "text",
+        Seq("alpha", "raretok"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(served == scanned && served.map(_._1) == Seq(0L, 1L))
+  }
+
   test("_corpus_stats folds on the file-count threshold; totals, filter, and replay gate survive") {
     val dir = tmp("fold")
     val mk = (i: Long) => Seq((i, s"alpha beta w$i")).toDF("doc_id", "text")
