@@ -739,6 +739,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED reciprocal-rank fusion — [[rrfFuse]] for a whole query
+    * frame: each input ranking carries `(query_id, idCol, score)` rows
+    * (the batched serves' shape — [[TextIndex.topKBatch]],
+    * [[knnJoinIvfStore]]), already per-query-k bounded. Ranks are the
+    * same better-than self-join count scoped per query; per query the
+    * fused rows are bit-identical to [[rrfFuse]] over that query's
+    * legs. The per-query top-k rides the bounded
+    * [[graft.functions.TopK]] aggregator (map-side partials, k tuples
+    * per task) — no partition-less window, no per-query driver loop.
+    * Everything is (queries × k)-sized; at 100 TB the cost lives in
+    * the upstream retrieval, never the fusion. */
+  def rrfFuseBatch(rankings: Seq[DataFrame], idCol: String, c: Int,
+                   k: Int): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val ranked = rankings.zipWithIndex.map { case (df, j) =>
+      val x = df.select(col("query_id").cast("long").as("query_id"),
+        col(idCol).cast("long").as("id"),
+        col("score").cast("double").as("s"))
+      val y = x.select(col("query_id").as("q2"), col("id").as("id2"),
+        col("s").as("s2"))
+      x.join(y, col("q2") === col("query_id") &&
+          (col("s2") > col("s") ||
+            (col("s2") === col("s") && col("id2") < col("id"))),
+          "left_outer")
+        .groupBy(col("query_id"), col("id"))
+        .agg((count(col("id2")) + 1).as(s"r$j"))
+    }
+    val joined = ranked.reduce((a, b) =>
+      a.join(b, Seq("query_id", "id"), "full_outer"))
+    val fused = ranked.indices
+      .map(j => coalesce(lit(1.0) / (lit(c.toDouble) + col(s"r$j")), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col("query_id"), col("id"), round(fused, 6).as("rrf"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(k)(col("id"), col("rrf")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit._1").as(idCol),
+        col("hit._2").as("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col(idCol))
+  }
+
   /** Exact k-NN *join*: every query vector's top-k cosine neighbors in
     * the corpus — the retrieval/eval primitive (embed an eval set,
     * fetch neighbors for every probe at once). Returns

@@ -938,6 +938,56 @@ object TextIndex {
       size(col("acc")).cast("long").as("n_occurrences"))
   }
 
+  /** Store-served PROXIMITY (NEAR) search — docs where `a` and `b`
+    * co-occur within `slop` token positions, from the positional
+    * store's postings alone: the Lucene SpanNear shape, served like
+    * [[phraseSearch]] (two terms' buckets partition-prune, w-zone
+    * survivors inside them, corpus never in the plan). `ordered`
+    * demands `b` AFTER `a` (gap 1..slop — slop 1 is exact adjacency);
+    * unordered counts either direction. Returns (doc_id, n_pairs)
+    * with n_pairs = the number of qualifying position pairs, matching
+    * docs only — the per-doc pair scan is tf(a)×tf(b) bounded, never
+    * corpus-shaped. Either term provably absent answers empty without
+    * opening a bucket. */
+  def nearSearch(spark: SparkSession, storeDir: String,
+                 a: String, b: String, slop: Int,
+                 ordered: Boolean = false): DataFrame = {
+    require(slop >= 1, "slop is a positive token distance")
+    require(a != b,
+      "NEAR of a term with itself is a tf lookup, not a proximity query")
+    require(isPositional(spark, storeDir),
+      s"$storeDir carries no positions — build with buildPositional")
+    val (_, _, nb) = readStats(spark, storeDir)
+    import spark.implicits._
+    val live = readTermFilter(spark, storeDir)
+      .fold(Seq(a, b))(bits => presentTerms(spark, Seq(a, b), bits)).toSet
+    if (!(live(a) && live(b)))
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("n_pairs", lit(0L))
+    val buckets = Seq(a, b).toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val post = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .filter(col("w").isin(a, b))
+        .select(col("doc_id"), col("w"), col("pos")))
+    val pa = post.filter(col("w") === a)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val pb = post.filter(col("w") === b)
+      .select(col("doc_id"), col("pos").as("pb"))
+    val cond: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column =
+      if (ordered) (x, y) => y > x && y - x <= slop
+      else (x, y) => abs(y - x) <= slop
+    pa.join(pb, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(flatten(transform(col("pa"),
+          x => filter(col("pb"), y => cond(x, y)))))
+          .cast("long").as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+  }
+
   /** The slot evaluation order for a phrase fold: ascending estimated
     * df (count-min read from `_corpus_stats`), slot index breaking
     * ties; the written order when the store carries no sketch.

@@ -4321,6 +4321,143 @@ object Pipeline {
        |WHERE n_occurrences > 0 ORDER BY query_id, doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q237
+  // Store-served PROXIMITY search (TextIndex.nearSearch): docs where
+  // two terms co-occur within a slop window — the Lucene SpanNear
+  // shape, served from the positional postings store with the same
+  // three-layer pruning as the phrase serve (the two terms' buckets,
+  // w-zone survivors inside them, corpus never in the plan). The
+  // per-doc pair count is tf×tf bounded. The oracle recomputes the
+  // windowed pair count from the corpus with DuckDB list algebra —
+  // store-served proximity must equal the scan.
+  private def q237NearSearch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q237", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", out, filesPerBucket = 2)
+    val res = TextIndex.nearSearch(s, out, "vector", "stream", slop = 5)
+      .orderBy(col("doc_id"))
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"store-served proximity search must not read the whole postings " +
+        s"store ($dataFiles data files)")
+    res
+  }
+
+  private val q237Sql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id,
+      |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'vector') AS pa,
+      |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'stream') AS pb
+      |  FROM t),
+      |m AS (SELECT doc_id,
+      |    CAST(len(flatten(list_transform(pa,
+      |      x -> list_filter(pb, y -> abs(y - x) <= 5)))) AS BIGINT) AS n_pairs
+      |  FROM p WHERE len(pa) > 0 AND len(pb) > 0)
+      |SELECT doc_id, n_pairs FROM m WHERE n_pairs > 0 ORDER BY doc_id"""
+      .stripMargin
+
+  // --------------------------------------------------------------- q238
+  // BATCHED hybrid retrieval (Similarity.rrfFuseBatch over
+  // TextIndex.topKBatch + Similarity.knnJoinIvfStore): a query frame
+  // where EACH query has a term set and a query vector, served as
+  // exactly three jobs — one batched lexical serve, one batched dense
+  // serve, one (queries x k)-sized fusion — instead of a per-query
+  // driver loop over q229's single-query hybrid. Query ids are the
+  // query vectors' ids, so the dense leg's built-in self-exclusion
+  // matches the oracle's. Per query the fused rows are bit-identical
+  // to rrfFuse over that query's legs; the oracle replays q172's
+  // lexical/dense/fusion SQL once per query and unions the arms.
+  private def q238HybridBatch(s: SparkSession, dir: String): DataFrame = {
+    val outT = scratch("q238t", dir)
+    val outV = scratch("q238v", dir)
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    TextIndex.build(docs, "doc_id", "text", outT, nBuckets = 8,
+      filesPerBucket = 2)
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+    Similarity.ivfStoreBuild(emb, "vec_id", "embedding", ix, outV)
+    import s.implicits._
+    val qterms = Seq(
+      (0L, Seq("spark", "join", "merge")),
+      (3L, Seq("vector", "stream")),
+      (7L, Seq("filter", "sort"))).toDF("query_id", "terms")
+    val lex = TextIndex.topKBatch(s, outT, qterms, "query_id", "terms", 20)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    // the lexical leg's q230 scan budget: 2 passes (df + score) over
+    // only the probed buckets' files
+    val live = Seq("spark", "join", "merge", "vector", "stream",
+      "filter", "sort")
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, outT)
+    val filesInProbed =
+      allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+    require(filesInProbed < allFiles.size,
+      "test setup: some bucket must stay unprobed")
+    require(graft.plans.PlanProbe.scannedFileCount(lex) <= 2L * filesInProbed,
+      s"the batched lexical leg must stay inside the probed buckets " +
+        s"(2 passes x $filesInProbed probed files; store holds " +
+        s"${allFiles.size})")
+    val qvecs = emb.filter(col("vec_id").isin(0L, 3L, 7L))
+    val dense = Similarity.knnJoinIvfStore(s, outV, qvecs,
+        "vec_id", "embedding", k = 20, index = ix, nprobe = ix.cids.size)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("sim").as("score"))
+    Similarity.rrfFuseBatch(Seq(lex, dense), "doc_id", c = 60, k = 10)
+  }
+
+  // q172's lexical/dense/fusion SQL, one arm per query of the batch
+  private val q238Sql = {
+    val queries = Seq(
+      (0, Seq("spark", "join", "merge")),
+      (3, Seq("vector", "stream")),
+      (7, Seq("filter", "sort")))
+    val arms = queries.map { case (vid, terms) =>
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""tf$vid AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+         |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+         |  WHERE w IN ($inList) GROUP BY doc_id, dl, w),
+         |dfx$vid AS (SELECT w, COUNT(*) AS df FROM tf$vid GROUP BY w),
+         |contrib$vid AS (SELECT doc_id,
+         |    CAST(round(
+         |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+         |      * (tf * (1.2e0 + 1)) /
+         |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+         |  FROM tf$vid JOIN dfx$vid USING (w) CROSS JOIN stats),
+         |lex$vid AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+         |  FROM contrib$vid GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+         |fq$vid AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $vid),
+         |dense$vid AS (SELECT e.vec_id AS doc_id,
+         |    ${cosSql("e.embedding", s"fq$vid.qv")} AS score
+         |  FROM embeddings e CROSS JOIN fq$vid WHERE e.vec_id <> $vid
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |lr$vid AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |       FROM lex$vid),
+         |dr$vid AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |       FROM dense$vid),
+         |top$vid AS (SELECT CAST($vid AS BIGINT) AS query_id, doc_id,
+         |    round(COALESCE(1.0 / (60.0 + lr$vid.r), 0.0) +
+         |          COALESCE(1.0 / (60.0 + dr$vid.r), 0.0), 6) AS rrf
+         |  FROM lr$vid FULL JOIN dr$vid USING (doc_id)
+         |  ORDER BY rrf DESC, doc_id LIMIT 10)""".stripMargin
+    }
+    val union = queries.map { case (vid, _) => s"SELECT * FROM top$vid" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT COUNT(*) AS n,
+       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+       |${arms.mkString(",\n")}
+       |$union
+       |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5159,6 +5296,8 @@ object Pipeline {
     "q234_text_update" -> q234TextUpdate _,
     "q235_lsh_delete" -> q235LshDelete _,
     "q236_phrase_batch" -> q236PhraseBatch _,
+    "q237_near_search" -> q237NearSearch _,
+    "q238_hybrid_batch" -> q238HybridBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -5403,6 +5542,8 @@ object Pipeline {
     "q234_text_update" -> q234Sql,
     "q235_lsh_delete" -> q235Sql,
     "q236_phrase_batch" -> q236Sql,
+    "q237_near_search" -> q237Sql,
+    "q238_hybrid_batch" -> q238Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -573,4 +573,31 @@ class SimilaritySpec extends SparkSpec {
         renamed.filter($"other_id" >= 40L && $"other_id" < 42L),
         "other_id", "embedding", ix, dir))
   }
+
+  test("rrfFuseBatch == per-query rrfFuse, query by query") {
+    val rnd = new scala.util.Random(7)
+    // two legs per query, overlapping doc sets, deliberate score ties
+    def leg(qids: Seq[Long], seed: Int) = qids.flatMap { q =>
+      (0 until 12).map(i =>
+        (q, (rnd.nextInt(20)).toLong, (rnd.nextInt(6) / 2.0)))
+    }.distinct.toDF("query_id", "doc_id", "score")
+      .groupBy($"query_id", $"doc_id")
+      .agg(org.apache.spark.sql.functions.max($"score").as("score"))
+    val qids = Seq(1L, 2L, 3L)
+    val legA = leg(qids, 1).cache()
+    val legB = leg(qids, 2).cache()
+    val batched = Similarity.rrfFuseBatch(Seq(legA, legB), "doc_id",
+        c = 60, k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val looped = qids.flatMap { q =>
+      Similarity.rrfFuse(
+        Seq(legA.filter($"query_id" === q).drop("query_id"),
+          legB.filter($"query_id" === q).drop("query_id")),
+        "doc_id", c = 60, k = 5)
+        .as[(Long, Double)].collect().toSeq.map(r => (q, r._1, r._2))
+    }
+    assert(batched == looped,
+      "the batched fusion must equal the per-query loop, bit for bit")
+    assert(batched.nonEmpty && batched.map(_._1).distinct == qids)
+  }
 }

@@ -415,6 +415,41 @@ class TextIndexSpec extends SparkSpec {
         "query_id", "phrase"))
   }
 
+  test("nearSearch: windowed pair counts, ordered gaps, absent terms, tombstones") {
+    val dir = tmp("near")
+    // hand-built corpus with known position geometry
+    val docs2 = Seq(
+      (0L, "a x b"),        // |a-b| = 2
+      (1L, "b x x a"),      // |a-b| = 3, b BEFORE a
+      (2L, "a b x a x b"),  // pairs within 2: (0,1),(3,5); within 3: +(1,3)... counted below
+      (3L, "a x x x x b"),  // |a-b| = 5
+      (4L, "c d")).toDF("doc_id", "text")
+    TextIndex.buildPositional(docs2, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    def near(slop: Int, ordered: Boolean = false) =
+      TextIndex.nearSearch(spark, dir, "a", "b", slop, ordered)
+        .as[(Long, Long)].collect().toSeq.sorted
+    // unordered slop 2: doc0 (1 pair); doc2 positions a@{0,3} b@{1,5}:
+    // |0-1|=1, |3-5|=2, |3-1|=2 -> 3 pairs
+    assert(near(2) == Seq((0L, 1L), (2L, 3L)), near(2).toString)
+    // unordered slop 3 adds doc1 (|3-0|=3) and doc2's |0-1|,|3-1|,|3-5| stay 3
+    assert(near(3) == Seq((0L, 1L), (1L, 1L), (2L, 3L)))
+    // ordered (b after a): doc1's b-before-a pair drops; doc2 keeps
+    // a@0->b@1 and a@3->b@5; doc3 needs slop 5
+    assert(near(3, ordered = true) == Seq((0L, 1L), (2L, 2L)))
+    assert(near(5, ordered = true) == Seq((0L, 1L), (2L, 3L), (3L, 1L)))
+    // a provably-absent term answers empty without error
+    assert(TextIndex.nearSearch(spark, dir, "a", "qqzzabsent", 5).count() == 0L)
+    // tombstoned docs drop from the serve
+    TextIndex.delete(spark, dir, Seq(2L).toDF("doc_id"), "doc_id")
+    assert(near(2) == Seq((0L, 1L)))
+    // degenerate shapes refuse loud
+    assertThrows[IllegalArgumentException](
+      TextIndex.nearSearch(spark, dir, "a", "a", 2))
+    assertThrows[IllegalArgumentException](
+      TextIndex.nearSearch(spark, dir, "a", "b", 0))
+  }
+
   test("phrase fold runs rarest-term-first from the df sketch; answers unchanged") {
     val dir = tmp("rarest")
     // skewed fixture: 'alpha' in every doc, 'raretok' in two
