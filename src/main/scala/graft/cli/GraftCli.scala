@@ -281,6 +281,14 @@ object GraftCli {
       textAppendPos(docs, storeDir, rest.headOption.map(_.toInt).getOrElse(1))
     case "textphrase" :: storeDir :: phrase :: out :: Nil =>
       textPhrase(storeDir, phrase.split(",").toSeq.filter(_.nonEmpty), out)
+    case "textphrasebatch" :: storeDir :: phrases :: out :: Nil =>
+      textPhraseBatch(storeDir,
+        phrases.split(";").toSeq.filter(_.nonEmpty)
+          .map(_.split(",").toSeq.filter(_.nonEmpty)), out)
+    case "textnear" :: storeDir :: a :: b :: slop :: out :: rest
+        if rest.size <= 1 =>
+      textNear(storeDir, a, b, slop.toInt,
+        rest.headOption.contains("ordered"), out)
     case "textdelete" :: storeDir :: ids :: Nil =>
       textDelete(storeDir,
         ids.split(",").toSeq.filter(_.nonEmpty).map(_.toLong))
@@ -361,6 +369,8 @@ object GraftCli {
            |           textbuildpos <docs> <storedir> [buckets] [files_per_bucket]
            |           textappendpos <docs> <storedir> [files_per_bucket]
            |           textphrase <storedir> <w1,w2,...> <outdir>
+           |           textphrasebatch <storedir> <w1,w2;w3,w4;...> <outdir>
+           |           textnear <storedir> <a> <b> <slop> <outdir> [ordered]
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -2206,6 +2216,37 @@ object GraftCli {
     hits.write.mode("overwrite").parquet(out)
     println(s"phrase '${phrase.mkString(" ")}': " +
       s"${spark.read.parquet(out).count()} matching docs -> $out")
+    spark.stop()
+  }
+
+  /** textnear: store-served proximity (SpanNear) —
+    * [[graft.operators.TextIndex.nearSearch]]. */
+  private def textNear(storeDir: String, a: String, b: String, slop: Int,
+                       ordered: Boolean, out: String): Unit = {
+    val spark = GraftSession.local()
+    val hits = graft.operators.TextIndex
+      .nearSearch(spark, storeDir, a, b, slop, ordered)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+    hits.write.mode("overwrite").parquet(out)
+    println(s"NEAR($a, $b, slop=$slop${if (ordered) ", ordered" else ""}): " +
+      s"${spark.read.parquet(out).count()} matching docs -> $out")
+    spark.stop()
+  }
+
+  /** textphrasebatch: one job for a whole phrase frame —
+    * [[graft.operators.TextIndex.phraseSearchBatch]]; query ids are
+    * the 0-based positions of the semicolon-separated phrases. */
+  private def textPhraseBatch(storeDir: String, phrases: Seq[Seq[String]],
+                              out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val queries = phrases.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("query_id", "phrase")
+    val hits = graft.operators.TextIndex.phraseSearchBatch(spark, storeDir,
+      queries, "query_id", "phrase")
+    hits.write.mode("overwrite").parquet(out)
+    println(s"${phrases.size} phrases batched: " +
+      s"${spark.read.parquet(out).count()} (query, doc) matches -> $out")
     spark.stop()
   }
 
