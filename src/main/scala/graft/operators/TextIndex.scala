@@ -679,8 +679,15 @@ object TextIndex {
     * doesn't exist yet at all (crash inside the very first build). */
   private[graft] def healBatch(batch: DataFrame, idCol: String,
                                textCol: String, storeDir: String,
-                               batchId: Long, nBuckets: Int): Unit = {
+                               batchId: Long, nBuckets: Int,
+                               positional: Boolean = false): Unit = {
     val spark = batch.sparkSession
+    // a crash between the positional data write and the marker file
+    // leaves a store that refuses phrase serves and appends — the
+    // marker is part of the layout, so the heal restores it
+    // (idempotent create)
+    if (positional && !isPositional(spark, storeDir))
+      writeMarker(spark, storeDir)
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
     if (!statsRowExists(spark, storeDir, batchId)) {
       val nb =
@@ -692,11 +699,15 @@ object TextIndex {
           s"the store froze $nb — checkpoint and store are not a pair")
       // doclen heals WITH the stats row: a crash after doclen but
       // before the stats row re-lands the doclen rows on replay —
-      // identical (doc_id, dl) pairs, invisible under the read dedup
+      // identical (doc_id, dl) pairs, invisible under the read dedup.
+      // (writeDoclen/docStats use the UNfiltered count for both store
+      // kinds — the positional sidecar discipline is the same.)
       writeDoclen(batch, idCol, textCol, storeDir)
       val (n, sdl) = docStats(batch, idCol, textCol)
       appendStatsRow(spark, storeDir, batchId, n, sdl, nb,
-        termFilterBits(postings(batch, idCol, textCol, nb)))
+        termFilterBits(
+          if (positional) positionalPostings(batch, idCol, textCol, nb)
+          else postings(batch, idCol, textCol, nb)))
     }
   }
 
@@ -835,16 +846,18 @@ object TextIndex {
     * position list riding each posting. */
   def buildPositional(docs: DataFrame, idCol: String, textCol: String,
                       storeDir: String, nBuckets: Int,
-                      filesPerBucket: Int = 1): Unit = {
+                      filesPerBucket: Int = 1,
+                      marker: Option[Long] = None): Unit = {
     require(nBuckets >= 1 && filesPerBucket >= 1,
       "need at least one bucket and one file per bucket")
     val spark = docs.sparkSession
     val obs = Observation()
     val obsBits = Observation()
-    withBitsObserve(
-        positionalFrom(
-          tokenizedPositional(docs, idCol, textCol, Some(obs)), nBuckets),
-        obsBits)
+    val post = withBitsObserve(
+      positionalFrom(
+        tokenizedPositional(docs, idCol, textCol, Some(obs)), nBuckets),
+      obsBits)
+    marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
       .repartitionByRange(nBuckets * filesPerBucket, col("tb"), col("w"))
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("overwrite").parquet(storeDir)
@@ -852,7 +865,8 @@ object TextIndex {
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
     val (n, sdl) = observed(obs, () => docStats(docs, idCol, textCol))
     val written = newlyWritten(spark, storeDir, Set.empty)
-    deriveSidecars(spark, storeDir, written, -1L, n, sdl, nBuckets,
+    deriveSidecars(spark, storeDir, written, marker.getOrElse(-1L),
+      n, sdl, nBuckets,
       observedBits(obsBits, () => written
         .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
       observedCounters(obs),
@@ -863,7 +877,8 @@ object TextIndex {
     * frozen bucket hash, sidecar extension, stats bump; the
     * [[append]] cost model with positions. */
   def appendPositional(newDocs: DataFrame, idCol: String, textCol: String,
-                       storeDir: String, filesPerBucket: Int = 1): Unit = {
+                       storeDir: String, filesPerBucket: Int = 1,
+                       marker: Option[Long] = None): Unit = {
     require(filesPerBucket >= 1, "need at least one file per bucket")
     val spark = newDocs.sparkSession
     require(isPositional(spark, storeDir),
@@ -874,10 +889,11 @@ object TextIndex {
     val obsBits = Observation()
     val before = graft.sinks.SkippingStore
       .listDataFileRelPaths(spark, storeDir).toSet
-    withBitsObserve(
-        positionalFrom(
-          tokenizedPositional(newDocs, idCol, textCol, Some(obs)), nb),
-        obsBits)
+    val post = withBitsObserve(
+      positionalFrom(
+        tokenizedPositional(newDocs, idCol, textCol, Some(obs)), nb),
+      obsBits)
+    marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
       .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
       .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
       .write.partitionBy("tb").mode("append").parquet(storeDir)
@@ -886,7 +902,7 @@ object TextIndex {
       () => docStats(newDocs, idCol, textCol))
     val written = newlyWritten(spark, storeDir, before)
     deriveSidecars(spark, storeDir, written,
-      -1L, n1, sdl1, nb,
+      marker.getOrElse(-1L), n1, sdl1, nb,
       observedBits(obsBits, () => written
         .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
       observedCounters(obs),

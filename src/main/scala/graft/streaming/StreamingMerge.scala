@@ -252,7 +252,8 @@ object StreamingMerge {
   def textIngest(spark: SparkSession, inDir: String,
                  schema: org.apache.spark.sql.types.StructType,
                  storeDir: String, checkpointDir: String,
-                 nBuckets: Int = 64, filesPerBucket: Int = 1):
+                 nBuckets: Int = 64, filesPerBucket: Int = 1,
+                 positional: Boolean = false):
       org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
@@ -260,7 +261,7 @@ object StreamingMerge {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyTextBatch(batch, batchId, storeDir, nBuckets,
-          filesPerBucket): Unit
+          filesPerBucket, positional): Unit
       }
       .start()
 
@@ -270,24 +271,33 @@ object StreamingMerge {
     * [[graft.operators.TextIndex.healBatch]]); refuses loudly on a
     * reset id lineage ([[replayGateSkips]]). */
   def applyTextBatch(batch: DataFrame, batchId: Long, storeDir: String,
-                     nBuckets: Int, filesPerBucket: Int = 1): Boolean = {
+                     nBuckets: Int, filesPerBucket: Int = 1,
+                     positional: Boolean = false): Boolean = {
     import graft.operators.TextIndex
     val spark = batch.sparkSession
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val exists = p.getFileSystem(
       spark.sparkContext.hadoopConfiguration).exists(p)
     if (!exists) {
-      TextIndex.build(batch, "doc_id", "text", storeDir, nBuckets,
-        filesPerBucket, marker = Some(batchId))
+      if (positional)
+        TextIndex.buildPositional(batch, "doc_id", "text", storeDir,
+          nBuckets, filesPerBucket, marker = Some(batchId))
+      else
+        TextIndex.build(batch, "doc_id", "text", storeDir, nBuckets,
+          filesPerBucket, marker = Some(batchId))
       return true
     }
     if (replayGateSkips(spark, storeDir, batchId)) {
       TextIndex.healBatch(batch, "doc_id", "text", storeDir, batchId,
-        nBuckets)
+        nBuckets, positional)
       return false // replayed batch (data landed; sidecars healed)
     }
-    TextIndex.append(batch, "doc_id", "text", storeDir, filesPerBucket,
-      marker = Some(batchId))
+    if (positional)
+      TextIndex.appendPositional(batch, "doc_id", "text", storeDir,
+        filesPerBucket, marker = Some(batchId))
+    else
+      TextIndex.append(batch, "doc_id", "text", storeDir, filesPerBucket,
+        marker = Some(batchId))
     true
   }
 

@@ -155,4 +155,44 @@ class TextIngestSpec extends SparkSpec {
     assert(rows(TextIndex.topK(spark, dir, terms, 10)) == want,
       "the refused batch must leave the store untouched")
   }
+  test("positional streaming ingest: phrase serves stay exact; replays heal the marker") {
+    val root = java.nio.file.Files.createTempDirectory("posingest").toString
+    val dir = s"$root/store"
+    assert(StreamingMerge.applyTextBatch(batchDf(0, 30), 0L, dir,
+      nBuckets = 4, filesPerBucket = 2, positional = true))
+    assert(StreamingMerge.applyTextBatch(batchDf(30, 60), 1L, dir,
+      nBuckets = 4, filesPerBucket = 2, positional = true))
+    assert(TextIndex.isPositional(spark, dir))
+    def phrase() = TextIndex.phraseSearch(spark, dir, Seq("oak", "fir"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val want = Curation.phraseSearch(batchDf(0, 60), "doc_id", "text",
+      Seq("oak", "fir")).as[(Long, Long)].collect().toSeq.sorted
+    assert(phrase() == want,
+      "the streamed positional store must serve the corpus-scan adjacency")
+    // replay skips; stats not double-counted
+    assert(!StreamingMerge.applyTextBatch(batchDf(30, 60), 1L, dir,
+      nBuckets = 4, filesPerBucket = 2, positional = true))
+    assert(TextIndex.readStats(spark, dir)._1 == 60L)
+    // crash window: batch 2's data landed but the stats row was lost
+    // AND (worse) the positional marker vanished — the replay heals
+    // both, and the store serves the 90-doc answer
+    assert(StreamingMerge.applyTextBatch(batchDf(60, 90), 2L, dir,
+      nBuckets = 4, filesPerBucket = 2, positional = true))
+    val fs = graft.sinks.HadoopSwap.fs(spark, dir)
+    val statFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/_corpus_stats"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getModificationTime)
+    assert(fs.delete(statFiles.last.getPath, false)) // lose batch 2's row
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/_positional"), false))
+    assert(!StreamingMerge.applyTextBatch(batchDf(60, 90), 2L, dir,
+      nBuckets = 4, filesPerBucket = 2, positional = true),
+      "the replayed batch heals, never re-appends data")
+    assert(TextIndex.isPositional(spark, dir),
+      "the heal must restore the positional marker")
+    assert(TextIndex.readStats(spark, dir)._1 == 90L)
+    assert(phrase() == Curation.phraseSearch(batchDf(0, 90), "doc_id",
+      "text", Seq("oak", "fir")).as[(Long, Long)].collect().toSeq.sorted)
+  }
 }
