@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
   * ranking, the wrong one for a retrieval SERVICE — at 100 TB every
   * query would pay a full corpus pass for a handful of terms.
   *
-  * Here tokenization is paid ONCE at [[build]]: postings
-  * `(w, doc_id, tf, dl)` land partitioned by
+  * Here tokenization is paid ONCE at [[build]] — and exactly once:
+  * postings `(w, doc_id, tf, dl)` land partitioned by
   * `tb = pmod(xxhash64(w), nBuckets)` and range-clustered by
   * `(tb, w)`, with the standard `_zonemap_multi` rider sidecar on `w`
-  * ([[graft.sinks.SkippingStore.indexPartitioned]]) and a one-row
-  * `_corpus_stats` sidecar `(n, sdl, nbuckets)` holding the exact
-  * BIGINT document count and token-count sum. A [[topK]] serve then
+  * ([[graft.sinks.SkippingStore.indexPartitioned]]); the
+  * `_corpus_stats` sidecar (per-batch rows of exact BIGINT `(n, sdl)`
+  * plus the term-presence bitset and df sketch, folded to one row
+  * past a file threshold) and the `_doclen` sidecar both DERIVE from
+  * that same write — observed in-flight metrics and a column-pruned
+  * read of the written files ([[deriveSidecars]]) — so the ingest
+  * never re-reads the corpus. A [[topK]] serve then
   * composes THREE prunes before any posting is scored: partition
   * pruning opens only the query terms' buckets, the transparent zone
   * rule ([[graft.plans.ZonePruneRule]]) skips w-range-mismatched files
