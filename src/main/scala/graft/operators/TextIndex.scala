@@ -958,6 +958,41 @@ object TextIndex {
       size(col("acc")).cast("long").as("n_occurrences"))
   }
 
+  /** Store-served BM25 with PSEUDO-RELEVANCE-FEEDBACK expansion — the
+    * RM/Rocchio family's deterministic core: serve the original terms
+    * ([[topK]]), take the top `fbDocs` documents as assumed-relevant
+    * feedback, mine their `fbTerms` strongest NEW terms (total term
+    * frequency across the feedback docs, ties by term ascending;
+    * original terms and empty tokens excluded), and re-serve the
+    * expanded term set. Two store serves plus one fbDocs-sized corpus
+    * probe — the feedback docs' texts come from `corpus` via a
+    * left-semi join on the id (postings are term-major, so mining a
+    * doc's terms from the STORE would be a full-store scan; the
+    * corpus row lookup is the scale-correct access path, and rides
+    * whatever id skipping the corpus layout carries). The expansion
+    * set is fbTerms-bounded and driver-held, like every query term
+    * set. Deterministic end to end, so the scan oracle reproduces the
+    * expansion AND the final ranking exactly. */
+  def topKExpanded(spark: SparkSession, storeDir: String,
+                   corpus: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String], k: Int,
+                   fbDocs: Int = 5, fbTerms: Int = 3,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0,
+      "need at least one feedback doc and a non-negative expansion size")
+    val fb = topK(spark, storeDir, terms, fbDocs, k1, b)
+      .select(col("doc_id"))
+    val expansion = corpus
+      .join(fb, corpus(idCol) === fb("doc_id"), "left_semi")
+      .select(explode(split(col(textCol), TOK)).as("w"))
+      .filter(col("w") =!= "" && !col("w").isin(terms: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("w"))
+      .limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq
+    topK(spark, storeDir, terms ++ expansion, k, k1, b)
+  }
+
   /** Store-served PROXIMITY (NEAR) search — docs where `a` and `b`
     * co-occur within `slop` token positions, from the positional
     * store's postings alone: the Lucene SpanNear shape, served like

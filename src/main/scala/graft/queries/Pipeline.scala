@@ -4458,6 +4458,71 @@ object Pipeline {
        |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q239
+  // Pseudo-relevance-feedback expansion (TextIndex.topKExpanded): the
+  // RM/Rocchio family's deterministic core — serve the seed terms,
+  // mine the top feedback docs' strongest new terms (total tf, ties
+  // by term), re-serve the expanded set. Two store serves (each with
+  // the full bucket/zone/pushdown pruning stack) + one fbDocs-sized
+  // corpus probe; postings are term-major, so feedback-doc term
+  // mining goes through the corpus row lookup, never a store scan.
+  // The oracle replays seed ranking, expansion mining, and expanded
+  // ranking from the corpus — the data-dependent term set rides a
+  // CTE join, so engine and oracle derive the SAME expansion or the
+  // hashes differ.
+  private def q239PrfExpand(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q239", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    val res = TextIndex.topKExpanded(s, out, docs, "doc_id", "text",
+      Seq("vector", "stream"), k = 12, fbDocs = 5, fbTerms = 3)
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"the expanded serve must still prune to its terms' buckets " +
+        s"($dataFiles data files)")
+    res
+  }
+
+  private val q239Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+      |tf0 AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN ('vector', 'stream') GROUP BY doc_id, dl, w),
+      |df0 AS (SELECT w, COUNT(*) AS df FROM tf0 GROUP BY w),
+      |contrib0 AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf0 JOIN df0 USING (w) CROSS JOIN stats),
+      |fb AS (SELECT doc_id FROM (
+      |  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+      |  FROM contrib0 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 5)),
+      |expn AS (SELECT w FROM (
+      |  SELECT w, COUNT(*) AS tf
+      |  FROM (SELECT unnest(toks) AS w FROM b2 JOIN fb USING (doc_id))
+      |  WHERE w <> '' AND w NOT IN ('vector', 'stream')
+      |  GROUP BY w ORDER BY tf DESC, w LIMIT 3)),
+      |qt AS (SELECT 'vector' AS w UNION ALL SELECT 'stream' UNION ALL
+      |       SELECT w FROM expn),
+      |tf1 AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN (SELECT w FROM qt) GROUP BY doc_id, dl, w),
+      |df1 AS (SELECT w, COUNT(*) AS df FROM tf1 GROUP BY w),
+      |contrib1 AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf1 JOIN df1 USING (w) CROSS JOIN stats)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
+      |FROM contrib1 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12"""
+      .stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5298,6 +5363,7 @@ object Pipeline {
     "q236_phrase_batch" -> q236PhraseBatch _,
     "q237_near_search" -> q237NearSearch _,
     "q238_hybrid_batch" -> q238HybridBatch _,
+    "q239_prf_expand" -> q239PrfExpand _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -5544,6 +5610,7 @@ object Pipeline {
     "q236_phrase_batch" -> q236Sql,
     "q237_near_search" -> q237Sql,
     "q238_hybrid_batch" -> q238Sql,
+    "q239_prf_expand" -> q239Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -415,6 +415,31 @@ class TextIndexSpec extends SparkSpec {
         "query_id", "phrase"))
   }
 
+  test("topKExpanded: PRF expansion is deterministic; fbTerms=0 is plain topK") {
+    val dir = tmp("prf")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    val terms = Seq("alpha", "kappa")
+    // zero expansion terms degenerates to the plain serve
+    assert(rows(TextIndex.topKExpanded(spark, dir, docs, "doc_id", "text",
+        terms, 10, fbDocs = 5, fbTerms = 0)) ==
+      rows(TextIndex.topK(spark, dir, terms, 10)))
+    // the expansion equals a hand-derived scan recomputation: top-5
+    // feedback docs' most frequent non-seed terms, (tf desc, w) ties
+    val fbIds = TextIndex.topK(spark, dir, terms, 5)
+      .select($"doc_id").as[Long].collect().toSet
+    val expTerms = docs.filter($"doc_id".isin(fbIds.toSeq: _*))
+      .select(explode(split($"text", "\\s+")).as("w"))
+      .filter($"w" =!= "" && !$"w".isin(terms: _*))
+      .groupBy($"w").agg(count(lit(1)).as("tf"))
+      .orderBy($"tf".desc, $"w").limit(2)
+      .as[(String, Long)].collect().map(_._1).toSeq
+    assert(rows(TextIndex.topKExpanded(spark, dir, docs, "doc_id", "text",
+        terms, 10, fbDocs = 5, fbTerms = 2)) ==
+      rows(TextIndex.topK(spark, dir, terms ++ expTerms, 10)),
+      "the expanded serve must equal topK over seed + mined terms")
+  }
+
   test("nearSearch: windowed pair counts, ordered gaps, absent terms, tombstones") {
     val dir = tmp("near")
     // hand-built corpus with known position geometry
