@@ -1203,6 +1203,58 @@ object Similarity {
           .as("recall"))
   }
 
+  /** nDCG@k — the graded-relevance ranking metric ([[recallAtK]]'s
+    * order-aware sibling): per query,
+    * `DCG@k = Σ_{i<=k} (2^rel_i - 1) / log2(i + 1)` over the system
+    * ranking (`scoreCol` desc, doc asc — ties pinned), normalized by
+    * the ideal DCG from the qrels themselves (rel desc, doc asc).
+    * Unjudged retrieved docs contribute rel = 0; a query with no
+    * positive qrels scores 0 (never NULL/divide-by-zero).
+    *
+    * Cross-engine float parity (the repo-wide oracle rules): each
+    * gain term rounds to 6 decimals, per-query sums accumulate as
+    * DECIMAL(28,6), the final ratio is a rounded double. Everything
+    * is (queries × k)-sized — windows partition by query, and at eval
+    * scale the qrels side broadcasts. */
+  def ndcgAtK(results: DataFrame, qrels: DataFrame, queryCol: String,
+              idCol: String, scoreCol: String, relCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val gain = (rel: org.apache.spark.sql.Column,
+                rank: org.apache.spark.sql.Column) =>
+      round((pow(lit(2.0), rel.cast("double")) - 1.0) /
+        (log(rank.cast("double") + 1.0) / log(lit(2.0))), 6)
+        .cast("decimal(28,6)")
+    val sysW = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val dcg = results
+      .select(col(queryCol), col(idCol), col(scoreCol))
+      .withColumn("rank", row_number().over(sysW))
+      .filter(col("rank") <= k)
+      .join(qrels.select(col(queryCol), col(idCol),
+        col(relCol).as("_rel")), Seq(queryCol, idCol), "left_outer")
+      .withColumn("_rel", coalesce(col("_rel"), lit(0)))
+      .groupBy(col(queryCol))
+      .agg(sum(gain(col("_rel"), col("rank"))).as("dcg"))
+    val idealW = Window.partitionBy(col(queryCol))
+      .orderBy(col(relCol).desc, col(idCol))
+    val idcg = qrels
+      .filter(col(relCol) > 0)
+      .withColumn("rank", row_number().over(idealW))
+      .filter(col("rank") <= k)
+      .groupBy(col(queryCol))
+      .agg(sum(gain(col(relCol), col("rank"))).as("idcg"))
+    dcg.join(idcg, Seq(queryCol), "full_outer")
+      .select(col(queryCol),
+        when(coalesce(col("idcg"), lit(0).cast("decimal(28,6)")) >
+            lit(0).cast("decimal(28,6)"),
+          round(coalesce(col("dcg"), lit(0).cast("decimal(28,6)"))
+            .cast("double") / col("idcg").cast("double"), 6))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy(col(queryCol))
+  }
+
   /** Persist a trained product quantizer: one row per (subspace,
     * centroid), the same dimension-sized parquet layout as [[saveIndex]]. */
   def savePqIndex(spark: org.apache.spark.sql.SparkSession, index: PqIndex,

@@ -4523,6 +4523,64 @@ object Pipeline {
       |FROM contrib1 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12"""
       .stripMargin
 
+  // --------------------------------------------------------------- q240
+  // nDCG@k ranking eval (Similarity.ndcgAtK): the graded-relevance,
+  // order-aware retrieval metric next to q144's recall@k — per query,
+  // DCG over the system ranking (md5-pseudo scores here, determinism
+  // over realism) normalized by the ideal DCG from the qrels. Gain
+  // terms round to 6 decimals and sum as DECIMAL(28,6) (the repo
+  // float-parity rules), so the oracle reproduces every ratio
+  // bit-for-bit. Windows partition by query; everything after the
+  // rank filter is (queries x k)-sized.
+  private def q240NdcgEval(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(typedLit(Seq(0L, 1L, 2L, 3L))).as("query_id"))
+    val results = base.withColumn("score",
+      expr("substring(md5(concat(CAST(query_id AS STRING), ':', " +
+        "CAST(doc_id AS STRING))), 1, 8)"))
+    val qrels = base.withColumn("rel",
+      when((col("doc_id") + col("query_id")) % 11 === 0, 2)
+        .when((col("doc_id") + col("query_id")) % 7 === 0, 1)
+        .otherwise(0))
+    Similarity.ndcgAtK(results, qrels, "query_id", "doc_id",
+      "score", "rel", k = 10)
+  }
+
+  private val q240Sql =
+    """WITH b AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS query_id
+      |           FROM documents),
+      |r AS (SELECT query_id, doc_id,
+      |    substring(md5(concat(CAST(query_id AS VARCHAR), ':',
+      |                         CAST(doc_id AS VARCHAR))), 1, 8) AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY substring(md5(concat(CAST(query_id AS VARCHAR), ':',
+      |        CAST(doc_id AS VARCHAR))), 1, 8) DESC, doc_id) AS rank
+      |  FROM b),
+      |g AS (SELECT query_id, doc_id,
+      |    CASE WHEN (doc_id + query_id) % 11 = 0 THEN 2
+      |         WHEN (doc_id + query_id) % 7 = 0 THEN 1 ELSE 0 END AS rel
+      |  FROM b),
+      |dcg AS (SELECT r.query_id,
+      |    SUM(CAST(round((pow(2, COALESCE(g.rel, 0)) - 1)
+      |      / (ln(r.rank + 1) / ln(2)), 6) AS DECIMAL(28,6))) AS dcg
+      |  FROM r LEFT JOIN g ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+      |  WHERE r.rank <= 10 GROUP BY r.query_id),
+      |ideal AS (SELECT query_id, rel,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rel DESC, doc_id) AS rank
+      |  FROM g WHERE rel > 0),
+      |idcg AS (SELECT query_id,
+      |    SUM(CAST(round((pow(2, rel) - 1)
+      |      / (ln(rank + 1) / ln(2)), 6) AS DECIMAL(28,6))) AS idcg
+      |  FROM ideal WHERE rank <= 10 GROUP BY query_id)
+      |SELECT dcg.query_id,
+      |  CASE WHEN COALESCE(idcg.idcg, 0) > 0
+      |       THEN round(CAST(dcg.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6)
+      |       ELSE 0.0 END AS ndcg
+      |FROM dcg FULL JOIN idcg USING (query_id)
+      |ORDER BY query_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5364,6 +5422,7 @@ object Pipeline {
     "q237_near_search" -> q237NearSearch _,
     "q238_hybrid_batch" -> q238HybridBatch _,
     "q239_prf_expand" -> q239PrfExpand _,
+    "q240_ndcg_eval" -> q240NdcgEval _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -5611,6 +5670,7 @@ object Pipeline {
     "q237_near_search" -> q237Sql,
     "q238_hybrid_batch" -> q238Sql,
     "q239_prf_expand" -> q239Sql,
+    "q240_ndcg_eval" -> q240Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -574,6 +574,41 @@ class SimilaritySpec extends SparkSpec {
         "other_id", "embedding", ix, dir))
   }
 
+  test("ndcgAtK: perfect ranking scores 1, no positives scores 0, order matters") {
+    // q1: perfect (system order == ideal); q2: worst order of the same
+    // docs; q3: no positive qrels at all
+    val results = Seq(
+      (1L, 10L, 3.0), (1L, 11L, 2.0), (1L, 12L, 1.0),
+      (2L, 10L, 1.0), (2L, 11L, 2.0), (2L, 12L, 3.0),
+      (3L, 10L, 3.0), (3L, 11L, 2.0))
+      .toDF("query_id", "doc_id", "score")
+    val qrels = Seq(
+      (1L, 10L, 2), (1L, 11L, 1), (1L, 12L, 0),
+      (2L, 10L, 2), (2L, 11L, 1), (2L, 12L, 0),
+      (3L, 10L, 0), (3L, 11L, 0))
+      .toDF("query_id", "doc_id", "rel")
+    val out = Similarity.ndcgAtK(results, qrels, "query_id", "doc_id",
+        "score", "rel", k = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0, s"ideal order must score 1.0, got ${out(1L)}")
+    assert(out(3L) == 0.0, "a query with no positives must score 0")
+    // worst order: rel-1 doc at rank 2, rel-2 doc at rank 3 of the
+    // same judged set — strictly below 1
+    assert(out(2L) > 0.0 && out(2L) < 1.0, s"got ${out(2L)}")
+    // hand value: dcg = 0/log2(2) + 1/log2(3) + 3/log2(4) rounded
+    // per-term; idcg = 3/log2(2) + 1/log2(3)
+    val dcg = BigDecimal((math.pow(2, 1) - 1) / (math.log(3) / math.log(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal((math.pow(2, 2) - 1) / (math.log(4) / math.log(2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val idcg = BigDecimal(3.0).setScale(6) +
+      BigDecimal(1.0 / (math.log(3) / math.log(2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L) == want, s"got ${out(2L)}, want $want")
+  }
+
   test("rrfFuseBatch == per-query rrfFuse, query by query") {
     val rnd = new scala.util.Random(7)
     // two legs per query, overlapping doc sets, deliberate score ties
