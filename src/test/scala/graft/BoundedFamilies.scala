@@ -83,6 +83,10 @@ object BoundedFamilies {
         "q231_text_delete" -> Set(Set("df", "w")),
         "q232_text_purge" -> Set(Set("df", "w")),
         "q234_text_update" -> Set(Set("df", "w")),
+        // the batched hybrid's lexical leg and the PRF expansion's two
+        // serves reach the same terms-sized df broadcast
+        "q238_hybrid_batch" -> Set(Set("df", "w")),
+        "q239_prf_expand" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),
