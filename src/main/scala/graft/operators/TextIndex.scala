@@ -1043,6 +1043,52 @@ object TextIndex {
       .filter(col("n_pairs") > 0)
   }
 
+  /** CONTEXT-WINDOW extraction around a term's matches — the
+    * training-data span shape (retrieval-pair mining, span redaction
+    * review, concordance/KWIC views): for every occurrence of `term`,
+    * the ±`width`-token window of the document's (filtered) token
+    * stream, clipped at the edges.
+    *
+    * The POSITIONAL STORE finds the occurrences (the term's bucket
+    * only — the corpus is never scanned for matches); the window TEXT
+    * comes from `corpus` via an id join of only the matching docs
+    * (postings are term-major; document reconstruction is the corpus
+    * row lookup's job, and rides whatever id skipping its layout
+    * carries). Cost: one bucket read + a matching-docs-sized corpus
+    * probe + per-occurrence slicing. Returns (doc_id, pos, snippet),
+    * pos = the 0-based match position in the filtered token stream. */
+  def contextWindows(spark: SparkSession, storeDir: String,
+                     corpus: DataFrame, idCol: String, textCol: String,
+                     term: String, width: Int): DataFrame = {
+    require(width >= 0, "width is a non-negative token radius")
+    require(isPositional(spark, storeDir),
+      s"$storeDir carries no positions — build with buildPositional")
+    val (_, _, nb) = readStats(spark, storeDir)
+    val live = readTermFilter(spark, storeDir)
+      .fold(Seq(term))(bits => presentTerms(spark, Seq(term), bits))
+    if (live.isEmpty)
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("pos", lit(0L)).withColumn("snippet", lit(""))
+    val bucket = pmod(xxhash64(lit(term)), lit(nb)).cast("int")
+    val hits = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb") === bucket && col("w") === term)
+        .select(col("doc_id"), col("pos")))
+    hits
+      .join(corpus.select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), TOK), w => length(w) > 0).as("toks")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("toks"), explode(col("pos")).as("_p"))
+      .withColumn("pos", col("_p").cast("long"))
+      .withColumn("_s0", greatest(lit(0L), col("pos") - width))
+      .withColumn("_e0",
+        least(size(col("toks")).cast("long") - 1L, col("pos") + width))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("toks"), (col("_s0") + 1L).cast("int"),
+          (col("_e0") - col("_s0") + 1L).cast("int")), " ").as("snippet"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** The slot evaluation order for a phrase fold: ascending estimated
     * df (count-min read from `_corpus_stats`), slot index breaking
     * ties; the written order when the store carries no sketch.

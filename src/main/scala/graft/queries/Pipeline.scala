@@ -4581,6 +4581,42 @@ object Pipeline {
       |FROM dcg FULL JOIN idcg USING (query_id)
       |ORDER BY query_id""".stripMargin
 
+  // --------------------------------------------------------------- q241
+  // Context-window extraction (TextIndex.contextWindows): ±3-token
+  // KWIC windows around every match of a term — the training-data
+  // span shape (retrieval-pair mining, redaction review). The
+  // positional store finds occurrences from the term's ONE bucket
+  // (in-plan require); window text comes from a matching-docs-sized
+  // corpus probe, never a corpus scan for matches. The oracle
+  // re-derives positions and windows with DuckDB list algebra.
+  private def q241ContextWindows(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q241", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", out, filesPerBucket = 2)
+    val res = TextIndex.contextWindows(s, out, docs, "doc_id", "text",
+      "vector", width = 3)
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"window extraction must read only the term's bucket " +
+        s"($dataFiles data files)")
+    res
+  }
+
+  private val q241Sql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS toks
+      |  FROM documents),
+      |m AS (SELECT doc_id, toks,
+      |    unnest(list_filter(range(1, len(toks) + 1), i -> toks[i] = 'vector')) AS q
+      |  FROM t)
+      |SELECT doc_id, CAST(q - 1 AS BIGINT) AS pos,
+      |  array_to_string(list_slice(toks, greatest(1, q - 3),
+      |    least(len(toks), q + 3)), ' ') AS snippet
+      |FROM m ORDER BY doc_id, pos""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5423,6 +5459,7 @@ object Pipeline {
     "q238_hybrid_batch" -> q238HybridBatch _,
     "q239_prf_expand" -> q239PrfExpand _,
     "q240_ndcg_eval" -> q240NdcgEval _,
+    "q241_context_windows" -> q241ContextWindows _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -5671,6 +5708,7 @@ object Pipeline {
     "q238_hybrid_batch" -> q238Sql,
     "q239_prf_expand" -> q239Sql,
     "q240_ndcg_eval" -> q240Sql,
+    "q241_context_windows" -> q241Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -415,6 +415,28 @@ class TextIndexSpec extends SparkSpec {
         "query_id", "phrase"))
   }
 
+  test("contextWindows: edge clipping, absent terms, tombstones") {
+    val dir = tmp("kwic")
+    val docs2 = Seq(
+      (0L, "hit a b c"),          // match at 0: left edge clips
+      (1L, "a b c hit"),          // match at 3: right edge clips
+      (2L, "a hit b hit c")).toDF("doc_id", "text") // two matches
+    TextIndex.buildPositional(docs2, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    def win() = TextIndex.contextWindows(spark, dir, docs2, "doc_id",
+      "text", "hit", width = 2).as[(Long, Long, String)].collect().toSeq
+    assert(win() == Seq(
+      (0L, 0L, "hit a b"),
+      (1L, 3L, "b c hit"),
+      (2L, 1L, "a hit b hit"),
+      (2L, 3L, "hit b hit c")), win().toString)
+    assert(TextIndex.contextWindows(spark, dir, docs2, "doc_id", "text",
+      "qqzzabsent", 2).count() == 0L)
+    TextIndex.delete(spark, dir, Seq(2L).toDF("doc_id"), "doc_id")
+    assert(win().map(_._1).toSet == Set(0L, 1L),
+      "tombstoned docs must not produce windows")
+  }
+
   test("topKExpanded: PRF expansion is deterministic; fbTerms=0 is plain topK") {
     val dir = tmp("prf")
     TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
