@@ -1103,6 +1103,45 @@ object TextIndex {
     }
   }
 
+  /** Conjunctive (boolean AND) containment — the docs holding EVERY
+    * query term, from either store kind's postings (both carry
+    * (doc_id, w) rows). The term chain intersects via left-semi joins
+    * ordered rarest-first by the df sketch, so every intermediate
+    * frame is bounded by the rarest term's postings — the classic
+    * inverted-index intersection discipline; a missing sketch
+    * degrades to the given order, never a different answer. Any
+    * provably-absent term answers empty with zero buckets opened.
+    * Returns matching doc_ids, ascending. */
+  def containingAll(spark: SparkSession, storeDir: String,
+                    terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val distinct = terms.distinct
+    import spark.implicits._
+    val live = readTermFilter(spark, storeDir)
+      .fold(distinct)(bits => presentTerms(spark, distinct, bits)).toSet
+    if (distinct.exists(t => !live(t)))
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+    val (_, _, nb) = readStats(spark, storeDir)
+    val buckets = distinct.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val post = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .filter(col("w").isin(distinct: _*))
+        .select(col("doc_id"), col("w")))
+    val order = readDfSketch(spark, storeDir).fold(distinct) { sk =>
+      val est = estimatedDf(spark, distinct, sk)
+      distinct.sortBy(w => (est(w), w))
+    }
+    order.tail.foldLeft(
+        post.filter(col("w") === order.head).select(col("doc_id"))) {
+      (acc, w) =>
+        acc.join(post.filter(col("w") === w).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+    }.orderBy(col("doc_id"))
+  }
+
   /** Fold the shifted-position intersection over the phrase slots in
     * [[phraseSlotOrder]]'s order; `acc` ends as the phrase-start set. */
   private def phraseFold(spark: SparkSession, storeDir: String,

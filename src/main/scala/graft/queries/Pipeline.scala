@@ -4617,6 +4617,38 @@ object Pipeline {
       |    least(len(toks), q + 3)), ' ') AS snippet
       |FROM m ORDER BY doc_id, pos""".stripMargin
 
+  // --------------------------------------------------------------- q242
+  // Conjunctive containment (TextIndex.containingAll): docs holding
+  // ALL query terms — the boolean-AND retrieval primitive, served as
+  // rarest-first left-semi intersections over the terms' buckets (the
+  // df sketch orders the chain, so every intermediate frame is
+  // bounded by the rarest term's postings). The oracle recomputes
+  // containment from the corpus; the in-plan require pins the
+  // bucket-only scan.
+  private def q242ContainsAll(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q242", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.append(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      out, filesPerBucket = 2)
+    val res = TextIndex.containingAll(s, out,
+      Seq("vector", "stream", "window"))
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"conjunctive containment must stay inside the terms' buckets " +
+        s"($dataFiles data files)")
+    res
+  }
+
+  private val q242Sql =
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |           FROM documents)
+      |SELECT doc_id FROM t
+      |WHERE list_contains(toks, 'vector') AND list_contains(toks, 'stream')
+      |  AND list_contains(toks, 'window')
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5460,6 +5492,7 @@ object Pipeline {
     "q239_prf_expand" -> q239PrfExpand _,
     "q240_ndcg_eval" -> q240NdcgEval _,
     "q241_context_windows" -> q241ContextWindows _,
+    "q242_contains_all" -> q242ContainsAll _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -5709,6 +5742,7 @@ object Pipeline {
     "q239_prf_expand" -> q239Sql,
     "q240_ndcg_eval" -> q240Sql,
     "q241_context_windows" -> q241Sql,
+    "q242_contains_all" -> q242Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

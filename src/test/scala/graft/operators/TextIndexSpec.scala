@@ -415,6 +415,29 @@ class TextIndexSpec extends SparkSpec {
         "query_id", "phrase"))
   }
 
+  test("containingAll: AND semantics on both store kinds; absent term empties; tombstones mask") {
+    val dir = tmp("conj")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    val want = docs
+      .filter(array_contains(split($"text", "\\s+"), "alpha") &&
+        array_contains(split($"text", "\\s+"), "kappa"))
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(want.nonEmpty, "fixture must have conjunctive matches")
+    def got() = TextIndex.containingAll(spark, dir, Seq("alpha", "kappa"))
+      .as[Long].collect().toSeq
+    assert(got() == want)
+    assert(TextIndex.containingAll(spark, dir,
+      Seq("alpha", "qqzzabsent")).count() == 0L)
+    TextIndex.delete(spark, dir, Seq(want.head).toDF("doc_id"), "doc_id")
+    assert(got() == want.tail, "tombstoned docs must not match")
+    // the positional store's postings serve the same AND
+    val posDir = tmp("conjpos")
+    TextIndex.buildPositional(docs, "doc_id", "text", posDir, nBuckets = 4)
+    assert(TextIndex.containingAll(spark, posDir, Seq("alpha", "kappa"))
+      .as[Long].collect().toSeq == want)
+  }
+
   test("contextWindows: edge clipping, absent terms, tombstones") {
     val dir = tmp("kwic")
     val docs2 = Seq(
