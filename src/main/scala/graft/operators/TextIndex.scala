@@ -350,7 +350,12 @@ object TextIndex {
       w.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
         .observe(dlObs, count(lit(1)).as("n"))
         .write.mode("append").parquet(doclenPath(dir))
-      dlObs.get("n").asInstanceOf[Long]
+      // same AQE escape hatch as observed(): written is non-empty
+      // here, so a swallowed metrics node should be unreachable — but
+      // a miscount would silently skip the residual, so recount
+      // rather than assume
+      dlObs.get.get("n").map(_.asInstanceOf[Long])
+        .getOrElse(w.select(col("doc_id")).distinct().count())
     }
     if (nSeen != n || nSeen == 0L)
       residual().write.mode("append").parquet(doclenPath(dir))
