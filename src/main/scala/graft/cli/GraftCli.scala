@@ -289,6 +289,16 @@ object GraftCli {
         if rest.size <= 1 =>
       textNear(storeDir, a, b, slop.toInt,
         rest.headOption.contains("ordered"), out)
+    case "textcontains" :: storeDir :: terms :: out :: Nil =>
+      textContains(storeDir, terms.split(",").toSeq.filter(_.nonEmpty), out)
+    case "textkwic" :: storeDir :: docs :: term :: width :: out :: Nil =>
+      textKwic(storeDir, docs, term, width.toInt, out)
+    case "textexpand" :: storeDir :: docs :: terms :: k :: out :: rest
+        if rest.size <= 2 =>
+      textExpand(storeDir, docs,
+        terms.split(",").toSeq.filter(_.nonEmpty), k.toInt,
+        rest.headOption.map(_.toInt).getOrElse(5),
+        rest.drop(1).headOption.map(_.toInt).getOrElse(3), out)
     case "textdelete" :: storeDir :: ids :: Nil =>
       textDelete(storeDir,
         ids.split(",").toSeq.filter(_.nonEmpty).map(_.toLong))
@@ -371,6 +381,9 @@ object GraftCli {
            |           textphrase <storedir> <w1,w2,...> <outdir>
            |           textphrasebatch <storedir> <w1,w2;w3,w4;...> <outdir>
            |           textnear <storedir> <a> <b> <slop> <outdir> [ordered]
+           |           textcontains <storedir> <w1,w2,...> <outdir>
+           |           textkwic <storedir> <docs> <term> <width> <outdir>
+           |           textexpand <storedir> <docs> <w1,w2,...> <k> <outdir> [fbdocs] [fbterms]
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -2247,6 +2260,45 @@ object GraftCli {
     hits.write.mode("overwrite").parquet(out)
     println(s"${phrases.size} phrases batched: " +
       s"${spark.read.parquet(out).count()} (query, doc) matches -> $out")
+    spark.stop()
+  }
+
+  /** textcontains: conjunctive (AND) containment —
+    * [[graft.operators.TextIndex.containingAll]]. */
+  private def textContains(storeDir: String, terms: Seq[String],
+                           out: String): Unit = {
+    val spark = GraftSession.local()
+    val hits = graft.operators.TextIndex.containingAll(spark, storeDir, terms)
+    hits.write.mode("overwrite").parquet(out)
+    println(s"AND[${terms.mkString(", ")}]: " +
+      s"${spark.read.parquet(out).count()} matching docs -> $out")
+    spark.stop()
+  }
+
+  /** textkwic: context windows around a term's matches —
+    * [[graft.operators.TextIndex.contextWindows]]. */
+  private def textKwic(storeDir: String, docs: String, term: String,
+                       width: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    val wins = graft.operators.TextIndex.contextWindows(spark, storeDir,
+      spark.read.parquet(docs), "doc_id", "text", term, width)
+    wins.write.mode("overwrite").parquet(out)
+    println(s"KWIC($term, +/-$width): " +
+      s"${spark.read.parquet(out).count()} windows -> $out")
+    spark.stop()
+  }
+
+  /** textexpand: BM25 with pseudo-relevance-feedback expansion —
+    * [[graft.operators.TextIndex.topKExpanded]]. */
+  private def textExpand(storeDir: String, docs: String,
+                         terms: Seq[String], k: Int, fbDocs: Int,
+                         fbTerms: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    val hits = graft.operators.TextIndex.topKExpanded(spark, storeDir,
+      spark.read.parquet(docs), "doc_id", "text", terms, k, fbDocs, fbTerms)
+    hits.write.mode("overwrite").parquet(out)
+    println(s"PRF[${terms.mkString(", ")}] (+$fbTerms terms from top " +
+      s"$fbDocs): ${spark.read.parquet(out).count()} hits -> $out")
     spark.stop()
   }
 
