@@ -1255,6 +1255,35 @@ object Similarity {
       .orderBy(col(queryCol))
   }
 
+  /** MRR@k — mean-reciprocal-rank's per-query core ([[ndcgAtK]]'s
+    * binary-relevance sibling): the reciprocal rank of the FIRST
+    * relevant document (any `relCol` > 0) inside the top-k system
+    * ranking ((score desc, doc) ties pinned); 0 when no relevant doc
+    * makes the cut. Every query of `results` appears in the output,
+    * so the caller's mean is over the full query set. Rounded to 6
+    * decimals — exact on any engine (ranks are small ints). */
+  def mrrAtK(results: DataFrame, qrels: DataFrame, queryCol: String,
+             idCol: String, scoreCol: String, relCol: String,
+             k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sysW = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val firstHit = results
+      .select(col(queryCol), col(idCol), col(scoreCol))
+      .withColumn("rank", row_number().over(sysW))
+      .filter(col("rank") <= k)
+      .join(qrels.filter(col(relCol) > 0).select(col(queryCol), col(idCol)),
+        Seq(queryCol, idCol), "left_semi")
+      .groupBy(col(queryCol)).agg(min(col("rank")).as("first_rank"))
+    results.select(col(queryCol)).distinct()
+      .join(firstHit, Seq(queryCol), "left_outer")
+      .select(col(queryCol),
+        coalesce(round(lit(1.0) / col("first_rank"), 6), lit(0.0))
+          .as("rr"))
+      .orderBy(col(queryCol))
+  }
+
   /** Persist a trained product quantizer: one row per (subspace,
     * centroid), the same dimension-sized parquet layout as [[saveIndex]]. */
   def savePqIndex(spark: org.apache.spark.sql.SparkSession, index: PqIndex,

@@ -4649,6 +4649,44 @@ object Pipeline {
       |  AND list_contains(toks, 'window')
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q243
+  // MRR@k ranking eval (Similarity.mrrAtK): q240's binary-relevance
+  // sibling — per query, the reciprocal rank of the first relevant
+  // doc inside the top-10 of the same md5-pseudo ranking; 0 when none
+  // makes the cut, and every query appears so the caller's mean is
+  // over the full set. Pure-integer ranks keep the ratio exact on any
+  // engine.
+  private def q243MrrEval(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(typedLit(Seq(0L, 1L, 2L, 3L))).as("query_id"))
+    val results = base.withColumn("score",
+      expr("substring(md5(concat(CAST(query_id AS STRING), ':', " +
+        "CAST(doc_id AS STRING))), 1, 8)"))
+    val qrels = base.withColumn("rel",
+      when((col("doc_id") + col("query_id")) % 37 === 0, 1).otherwise(0))
+    Similarity.mrrAtK(results, qrels, "query_id", "doc_id",
+      "score", "rel", k = 10)
+  }
+
+  private val q243Sql =
+    """WITH b AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS query_id
+      |           FROM documents),
+      |r AS (SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY substring(md5(concat(CAST(query_id AS VARCHAR), ':',
+      |        CAST(doc_id AS VARCHAR))), 1, 8) DESC, doc_id) AS rank
+      |  FROM b),
+      |hit AS (SELECT r.query_id, MIN(r.rank) AS first_rank
+      |  FROM r JOIN b ON r.query_id = b.query_id AND r.doc_id = b.doc_id
+      |  WHERE r.rank <= 10 AND (b.doc_id + b.query_id) % 37 = 0
+      |  GROUP BY r.query_id)
+      |SELECT q.query_id,
+      |  COALESCE(round(1.0 / hit.first_rank, 6), 0.0) AS rr
+      |FROM (SELECT DISTINCT query_id FROM b) q
+      |LEFT JOIN hit USING (query_id)
+      |ORDER BY query_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5493,6 +5531,7 @@ object Pipeline {
     "q240_ndcg_eval" -> q240NdcgEval _,
     "q241_context_windows" -> q241ContextWindows _,
     "q242_contains_all" -> q242ContainsAll _,
+    "q243_mrr_eval" -> q243MrrEval _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -5743,6 +5782,7 @@ object Pipeline {
     "q240_ndcg_eval" -> q240Sql,
     "q241_context_windows" -> q241Sql,
     "q242_contains_all" -> q242Sql,
+    "q243_mrr_eval" -> q243Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -609,6 +609,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == want, s"got ${out(2L)}, want $want")
   }
 
+  test("mrrAtK: first relevant rank, misses score 0, cut at k") {
+    val results = Seq(
+      (1L, 10L, 3.0), (1L, 11L, 2.0), (1L, 12L, 1.0),
+      (2L, 10L, 3.0), (2L, 11L, 2.0), (2L, 12L, 1.0),
+      (3L, 10L, 3.0), (3L, 11L, 2.0))
+      .toDF("query_id", "doc_id", "score")
+    val qrels = Seq(
+      (1L, 11L, 1),            // first (and only) hit at rank 2
+      (2L, 12L, 1),            // hit at rank 3 — outside k=2
+      (3L, 99L, 1))            // relevant doc never retrieved
+      .toDF("query_id", "doc_id", "rel")
+    val out = Similarity.mrrAtK(results, qrels, "query_id", "doc_id",
+        "score", "rel", k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 0.5, 2L -> 0.0, 3L -> 0.0), out.toString)
+  }
+
   test("rrfFuseBatch == per-query rrfFuse, query by query") {
     val rnd = new scala.util.Random(7)
     // two legs per query, overlapping doc sets, deliberate score ties
