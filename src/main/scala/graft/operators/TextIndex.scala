@@ -259,6 +259,47 @@ object TextIndex {
     * is in the sums. That is also what makes [[maybeFoldStats]] safe:
     * a fold row carries the max folded bid, which answers for every
     * bid it swallowed. */
+  /** The fold's aside/tmp dirs sitting next to the stats sidecar —
+    * `.old-<stamp>` (the live history renamed aside by swapInto) and
+    * `.fold-<stamp>` (the folded replacement not yet renamed in). */
+  private def statsAsides(fs: org.apache.hadoop.fs.FileSystem,
+                          side: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    Seq(".old-*", ".fold-*").flatMap(suf =>
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(side + suf)))
+        .fold(Seq.empty[org.apache.hadoop.fs.FileStatus])(_.toSeq))
+
+  /** Crash-heal for [[maybeFoldStats]]'s swap window: a fold that died
+    * between swapInto's two renames leaves NO live `_corpus_stats` but
+    * the complete history under `.old-<stamp>` (and the folded copy
+    * under `.fold-<stamp>`). Without a restore, [[readStats]] fails and
+    * — far worse — a streaming replay's [[healBatch]] would quietly
+    * re-create the sidecar containing ONLY the replayed batch's row,
+    * making BM25's N/Σdl silently wrong for every serve. Restore the
+    * newest `.old-` aside (it is always the verbatim history at the
+    * moment the live dir was renamed away; `.fold-` is a
+    * belt-and-braces fallback, unreachable from swapInto's ordering),
+    * then drop the superseded asides. No-op when the live sidecar
+    * exists or the store is genuinely fresh. Same single-maintainer
+    * discipline as the fold itself. */
+  private def restoreStatsAside(spark: SparkSession, dir: String): Unit = {
+    val side = statsPath(dir)
+    val fs = graft.sinks.HadoopSwap.fs(spark, side)
+    val live = new org.apache.hadoop.fs.Path(side)
+    if (fs.exists(live)) return
+    val asides = statsAsides(fs, side)
+    if (asides.isEmpty) return
+    def stamp(st: org.apache.hadoop.fs.FileStatus): Long =
+      st.getPath.getName.split("-").last.toLong
+    val (olds, folds) = asides.partition(_.getPath.getName
+      .contains(".old-"))
+    val pick = (if (olds.nonEmpty) olds else folds).maxBy(stamp)
+    require(fs.rename(pick.getPath, live),
+      s"crash-heal restore ${pick.getPath} -> $side failed — refusing " +
+        "to proceed against a store whose only stats copy is an aside")
+    statsAsides(fs, side).foreach(st => fs.delete(st.getPath, true))
+  }
+
   private def statsRowExists(spark: SparkSession, dir: String,
                              bid: Long): Boolean =
     graft.sinks.HadoopSwap.exists(spark, statsPath(dir)) &&
@@ -384,6 +425,17 @@ object TextIndex {
     val side = statsPath(dir)
     val p = new org.apache.hadoop.fs.Path(side)
     val fs = graft.sinks.HadoopSwap.fs(spark, side)
+    // crash-heal BEFORE judging file counts: a prior fold that died
+    // between swapInto's two renames left the live sidecar under an
+    // aside name — restore it, or this run would fold nothing and a
+    // replay heal would re-seed `_corpus_stats` with one batch's row
+    restoreStatsAside(spark, dir)
+    // a fold that died AFTER the swap (before the aside delete) or
+    // before the swap started leaves stale aside/tmp dirs next to a
+    // healthy live sidecar — clear them so a later crash-restore can
+    // only ever resurrect current history
+    if (fs.exists(p)) statsAsides(fs, side).foreach(st =>
+      fs.delete(st.getPath, true))
     if (!fs.exists(p)) return false
     val nFiles = fs.listStatus(p)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -524,6 +576,7 @@ object TextIndex {
     * stats-out-of-sync crash window. */
   private[graft] def readStats(spark: SparkSession,
                                dir: String): (Long, Long, Int) = {
+    restoreStatsAside(spark, dir) // fold-crash heal; no-op when live
     val df = spark.read.parquet(statsPath(dir))
     val nbs = df.select(col("nbuckets")).distinct()
       .collect().map(_.getInt(0))
@@ -698,6 +751,11 @@ object TextIndex {
     if (positional && !isPositional(spark, storeDir))
       writeMarker(spark, storeDir)
     graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    // fold-crash heal BEFORE the replay gate: with the live sidecar
+    // missing but its history parked under a fold aside, the gate
+    // would say "no row" and this heal would re-seed `_corpus_stats`
+    // with only this batch's row — stranding every prior batch's stats
+    restoreStatsAside(spark, storeDir)
     if (!statsRowExists(spark, storeDir, batchId)) {
       val nb =
         if (graft.sinks.HadoopSwap.exists(spark, statsPath(storeDir)))
@@ -1195,9 +1253,13 @@ object TextIndex {
       s"$storeDir carries no positions — build with buildPositional")
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(phraseCol).as("phrase"))
-    require(q.filter(size(col("phrase")) < 2).limit(1).count() == 0L,
+    // size(NULL) is NULL, not < 2 — a null phrase must refuse loudly
+    // like every other degenerate shape, not posexplode to nothing and
+    // silently vanish from the output
+    require(q.filter(col("phrase").isNull || size(col("phrase")) < 2)
+        .limit(1).count() == 0L,
       "a 1-token phrase is a plain term lookup — every phrase needs " +
-        "at least two tokens")
+        "at least two tokens (and none may be NULL)")
     val (_, _, nb) = readStats(spark, storeDir)
     val slots = q.select(col("query_id"), size(col("phrase")).as("plen"),
       posexplode(col("phrase")).as(Seq("i", "w")))

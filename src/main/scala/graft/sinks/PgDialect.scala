@@ -77,7 +77,11 @@ object PgDialect {
       case null => "\\N"
       case v =>
         val s = v.toString
-        if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        // a non-null field whose VALUE is exactly the null sentinel
+        // must be quoted: COPY parses an unquoted \N as SQL NULL,
+        // silently corrupting the value; "\N" round-trips the string
+        if (s == "\\N" ||
+            s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
           "\"" + s.replace("\"", "\"\"") + "\""
         else s
     }.mkString(",")

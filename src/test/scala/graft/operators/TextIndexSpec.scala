@@ -413,6 +413,12 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.phraseSearchBatch(spark, dir,
         Seq((9L, Seq("alpha"))).toDF("query_id", "phrase"),
         "query_id", "phrase"))
+    // a NULL phrase refuses loudly too (size(NULL) is NULL, which
+    // would slip an unguarded < 2 check and silently drop the query)
+    assertThrows[IllegalArgumentException](
+      TextIndex.phraseSearchBatch(spark, dir,
+        Seq((9L, null: Seq[String])).toDF("query_id", "phrase"),
+        "query_id", "phrase"))
   }
 
   test("containingAll: AND semantics on both store kinds; absent term empties; tombstones mask") {
@@ -580,5 +586,47 @@ class TextIndexSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(rows(TextIndex.topK(spark, dir, Seq("alpha", "w7"), 5)) ==
       rows(Curation.bm25TopK(all, "doc_id", "text", Seq("alpha", "w7"), 5)))
+  }
+
+  test("fold crash between swap renames heals: stats restore, replays never re-seed") {
+    val dir = tmp("foldcrash")
+    TextIndex.build(docs.filter($"doc_id" < 30), "doc_id", "text", dir,
+      nBuckets = 4, marker = Some(0L))
+    TextIndex.append(docs.filter($"doc_id" >= 30), "doc_id", "text", dir,
+      marker = Some(1L))
+    val want = TextIndex.readStats(spark, dir)
+    val side = new org.apache.hadoop.fs.Path(s"$dir/_corpus_stats")
+    val fs = graft.sinks.HadoopSwap.fs(spark, dir)
+    def crash(stamp: Long): Unit = {
+      // simulate maybeFoldStats dying between swapInto's two renames:
+      // the folded tmp is fully written, the live dir renamed aside,
+      // the tmp NOT yet renamed in — no live `_corpus_stats` remains
+      val fold = new org.apache.hadoop.fs.Path(s"$dir/_corpus_stats.fold-$stamp")
+      org.apache.hadoop.fs.FileUtil.copy(fs, side, fs, fold, false, false,
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(side, new org.apache.hadoop.fs.Path(
+        s"$dir/_corpus_stats.old-$stamp")))
+      assert(!fs.exists(side))
+    }
+    crash(100L)
+    // readStats restores the aside history and answers unchanged
+    assert(TextIndex.readStats(spark, dir) == want,
+      "readStats must heal the fold-crash window from the aside dir")
+    assert(fs.exists(side), "the live sidecar must be restored in place")
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/_corpus_stats.{old,fold}-*")).isEmpty,
+      "superseded asides must be cleared after the restore")
+    // the serve is unaffected
+    val served = rows(TextIndex.topK(spark, dir, Seq("alpha", "kappa"), 10))
+    assert(served == rows(Curation.bm25TopK(docs, "doc_id", "text",
+      Seq("alpha", "kappa"), 10)))
+    // a streaming replay arriving INTO the crash window must heal the
+    // sidecar first, see its bid row, and skip — never re-seed
+    // `_corpus_stats` with only the replayed batch's row
+    crash(200L)
+    TextIndex.healBatch(docs.filter($"doc_id" >= 30), "doc_id", "text",
+      dir, batchId = 1L, nBuckets = 4)
+    assert(TextIndex.readStats(spark, dir) == want,
+      "a replay heal during the crash window must restore, not re-seed")
   }
 }

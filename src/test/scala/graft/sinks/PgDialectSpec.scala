@@ -39,6 +39,9 @@ class PgDialectSpec extends SparkSpec {
     assert(PgDialect.copyEncode(Seq(1, "plain", null)) == "1,plain,\\N")
     assert(PgDialect.copyEncode(Seq("a,b", "say \"hi\"", "two\nlines")) ==
       "\"a,b\",\"say \"\"hi\"\"\",\"two\nlines\"")
+    // a non-null field whose VALUE is the null sentinel must quote:
+    // unquoted \N would load as SQL NULL and corrupt the value
+    assert(PgDialect.copyEncode(Seq("\\N", null)) == "\"\\N\",\\N")
   }
 
   test("pg-only statements pin the reference's merge shapes") {
