@@ -135,10 +135,14 @@ object Dedup {
   private def sigTombPath(dir: String) = s"$dir/_tombstones"
 
   private def readSigTombstones(spark: org.apache.spark.sql.SparkSession,
-                                dir: String): Option[DataFrame] =
+                                dir: String): Option[DataFrame] = {
+    // fold-crash heal FIRST: a tombstone sidecar parked under a fold
+    // aside must never read as "no deletes" (silent resurrection)
+    graft.sinks.SidecarFold.restoreAside(spark, sigTombPath(dir))
     if (!graft.sinks.HadoopSwap.exists(spark, sigTombPath(dir))) None
     else Some(spark.read.parquet(sigTombPath(dir))
       .select(col("doc_id")).distinct())
+  }
 
   /** The signature store's LIVE rows — every reader goes through this
     * (never a raw `spark.read.parquet(storeDir)`), so a tombstoned
@@ -167,8 +171,15 @@ object Dedup {
       .persist()
     try {
       val nDel = want.count()
-      if (nDel > 0L)
+      if (nDel > 0L) {
         want.coalesce(1).write.mode("append").parquet(sigTombPath(storeDir))
+        // fold-on-threshold: every store read anti-joins this sidecar —
+        // thousands of one-file deletes must stay a bounded read. The
+        // fold rewrites through the read-side distinct (same set).
+        graft.sinks.SidecarFold.foldIfDecayed(spark,
+          sigTombPath(storeDir), 64)(
+          _.select(col("doc_id")).distinct())
+      }
       nDel
     } finally { want.unpersist(); () }
   }

@@ -340,12 +340,16 @@ object Similarity {
   /** The deduped tombstone set (single column named by the deleting
     * call's idCol — the same name serves pass), or None. */
   private def readIvfTombstones(spark: org.apache.spark.sql.SparkSession,
-                                dir: String): Option[DataFrame] =
+                                dir: String): Option[DataFrame] = {
+    // fold-crash heal FIRST: a tombstone sidecar parked under a fold
+    // aside must never read as "no deletes" (silent resurrection)
+    graft.sinks.SidecarFold.restoreAside(spark, ivfTombPath(dir))
     if (!graft.sinks.HadoopSwap.exists(spark, ivfTombPath(dir))) None
     else {
       val df = spark.read.parquet(ivfTombPath(dir))
       Some(df.select(col(df.columns.head)).distinct())
     }
+  }
 
   /** Anti-join `base` against the store's tombstones (no-op when none
     * exist). `idCol` must match the name the deletes were issued
@@ -377,8 +381,15 @@ object Similarity {
     }.persist()
     try {
       val nDel = want.count()
-      if (nDel > 0L)
+      if (nDel > 0L) {
         want.coalesce(1).write.mode("append").parquet(ivfTombPath(storeDir))
+        // fold-on-threshold: every serve anti-joins this sidecar —
+        // thousands of one-file deletes must stay a bounded read. The
+        // fold rewrites through the read-side distinct (same set).
+        graft.sinks.SidecarFold.foldIfDecayed(spark,
+          ivfTombPath(storeDir), 64)(df =>
+          df.select(col(df.columns.head)).distinct())
+      }
       nDel
     } finally want.unpersist()
   }

@@ -143,6 +143,27 @@ object TextIndex {
     * reads stay a bounded footer merge forever. */
   private val StatsFoldThreshold = 64
 
+  /** File-count threshold for the `_tombstones` / `_doclen` folds —
+    * the stats fold's siblings. A delete appends one file per call and
+    * an append lands a handful of doclen files, so a high-churn store
+    * (thousands of deletes between compactions) would otherwise pay a
+    * growing small-file listing+merge on EVERY serve's tombstone
+    * anti-join. Folding rewrites through the sidecar's own read-side
+    * dedup (a no-op to every reader) into byte-targeted files —
+    * O(tombstone set) per ~64 deletes, O(doclen) per ~64 appends,
+    * bounded by churn cadence, never by corpus size. */
+  private val SidecarFoldThreshold = 64
+
+  /** Fold `_doclen` when decayed — through [[readDoclen]]'s own
+    * per-doc dedup (max over identical dl rows; null dl for null-text
+    * docs survives the max, matching the read). */
+  private def maybeFoldDoclen(spark: SparkSession, dir: String): Unit = {
+    graft.sinks.SidecarFold.foldIfDecayed(spark, doclenPath(dir),
+      SidecarFoldThreshold)(
+      _.groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
+    ()
+  }
+
   // Per-term df count-min sketch geometry — frozen like the bucket
   // hash and the term-filter geometry. depth x width longs per batch
   // row (128 KiB); rows SUM at read (count-min is additive) and fold
@@ -259,46 +280,16 @@ object TextIndex {
     * is in the sums. That is also what makes [[maybeFoldStats]] safe:
     * a fold row carries the max folded bid, which answers for every
     * bid it swallowed. */
-  /** The fold's aside/tmp dirs sitting next to the stats sidecar —
-    * `.old-<stamp>` (the live history renamed aside by swapInto) and
-    * `.fold-<stamp>` (the folded replacement not yet renamed in). */
-  private def statsAsides(fs: org.apache.hadoop.fs.FileSystem,
-                          side: String)
-      : Seq[org.apache.hadoop.fs.FileStatus] =
-    Seq(".old-*", ".fold-*").flatMap(suf =>
-      Option(fs.globStatus(new org.apache.hadoop.fs.Path(side + suf)))
-        .fold(Seq.empty[org.apache.hadoop.fs.FileStatus])(_.toSeq))
-
   /** Crash-heal for [[maybeFoldStats]]'s swap window: a fold that died
     * between swapInto's two renames leaves NO live `_corpus_stats` but
-    * the complete history under `.old-<stamp>` (and the folded copy
-    * under `.fold-<stamp>`). Without a restore, [[readStats]] fails and
-    * — far worse — a streaming replay's [[healBatch]] would quietly
-    * re-create the sidecar containing ONLY the replayed batch's row,
-    * making BM25's N/Σdl silently wrong for every serve. Restore the
-    * newest `.old-` aside (it is always the verbatim history at the
-    * moment the live dir was renamed away; `.fold-` is a
-    * belt-and-braces fallback, unreachable from swapInto's ordering),
-    * then drop the superseded asides. No-op when the live sidecar
-    * exists or the store is genuinely fresh. Same single-maintainer
-    * discipline as the fold itself. */
-  private def restoreStatsAside(spark: SparkSession, dir: String): Unit = {
-    val side = statsPath(dir)
-    val fs = graft.sinks.HadoopSwap.fs(spark, side)
-    val live = new org.apache.hadoop.fs.Path(side)
-    if (fs.exists(live)) return
-    val asides = statsAsides(fs, side)
-    if (asides.isEmpty) return
-    def stamp(st: org.apache.hadoop.fs.FileStatus): Long =
-      st.getPath.getName.split("-").last.toLong
-    val (olds, folds) = asides.partition(_.getPath.getName
-      .contains(".old-"))
-    val pick = (if (olds.nonEmpty) olds else folds).maxBy(stamp)
-    require(fs.rename(pick.getPath, live),
-      s"crash-heal restore ${pick.getPath} -> $side failed — refusing " +
-        "to proceed against a store whose only stats copy is an aside")
-    statsAsides(fs, side).foreach(st => fs.delete(st.getPath, true))
-  }
+    * the complete history under `.old-<stamp>`. Without a restore,
+    * [[readStats]] fails and — far worse — a streaming replay's
+    * [[healBatch]] would quietly re-create the sidecar containing ONLY
+    * the replayed batch's row, making BM25's N/Σdl silently wrong for
+    * every serve. Delegates to [[graft.sinks.SidecarFold.restoreAside]]
+    * (the shared aside-wins discipline). */
+  private def restoreStatsAside(spark: SparkSession, dir: String): Unit =
+    graft.sinks.SidecarFold.restoreAside(spark, statsPath(dir))
 
   private def statsRowExists(spark: SparkSession, dir: String,
                              bid: Long): Boolean =
@@ -318,9 +309,14 @@ object TextIndex {
     * exact against the stats it reverses. */
   private def readDoclen(spark: SparkSession,
                          dir: String): Option[DataFrame] =
+    {
+    // fold-crash heal first: a missing sidecar with fold scaffolding
+    // must restore, not read as "predates delete support"
+    graft.sinks.SidecarFold.restoreAside(spark, doclenPath(dir))
     if (!graft.sinks.HadoopSwap.exists(spark, doclenPath(dir))) None
     else Some(spark.read.parquet(doclenPath(dir))
       .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
+    }
 
   private def writeDoclen(docs: DataFrame, idCol: String, textCol: String,
                           dir: String): Unit =
@@ -402,6 +398,7 @@ object TextIndex {
       residual().write.mode("append").parquet(doclenPath(dir))
     appendStatsRow(spark, dir, bid, n, sdl, nBuckets, bits, dfSketch)
     maybeFoldStats(spark, dir)
+    maybeFoldDoclen(spark, dir)
   }
 
   /** `_corpus_stats` stays append-only between folds, but an
@@ -421,26 +418,9 @@ object TextIndex {
     * never races its own maintenance). */
   private[graft] def maybeFoldStats(spark: SparkSession, dir: String,
                                     threshold: Int = StatsFoldThreshold)
-      : Boolean = {
+      : Boolean = graft.sinks.SidecarFold.foldIfDecayed(spark,
+      statsPath(dir), threshold, mergeSchema = true) { df =>
     val side = statsPath(dir)
-    val p = new org.apache.hadoop.fs.Path(side)
-    val fs = graft.sinks.HadoopSwap.fs(spark, side)
-    // crash-heal BEFORE judging file counts: a prior fold that died
-    // between swapInto's two renames left the live sidecar under an
-    // aside name — restore it, or this run would fold nothing and a
-    // replay heal would re-seed `_corpus_stats` with one batch's row
-    restoreStatsAside(spark, dir)
-    // a fold that died AFTER the swap (before the aside delete) or
-    // before the swap started leaves stale aside/tmp dirs next to a
-    // healthy live sidecar — clear them so a later crash-restore can
-    // only ever resurrect current history
-    if (fs.exists(p)) statsAsides(fs, side).foreach(st =>
-      fs.delete(st.getPath, true))
-    if (!fs.exists(p)) return false
-    val nFiles = fs.listStatus(p)
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (nFiles <= threshold) return false
-    val df = spark.read.option("mergeSchema", "true").parquet(side)
     val hasBits = df.columns.contains("tf_bits")
     val rows = df.collect() // batch-count bounded — ≈ threshold rows
     val nbs = rows.map(_.getAs[Int]("nbuckets")).distinct
@@ -485,17 +465,12 @@ object TextIndex {
         if (any) Some(accS) else None
       }
     import spark.implicits._
-    val folded = Seq((hwm, n, sdl, nbs.head))
+    Seq((hwm, n, sdl, nbs.head))
       .toDF("bid", "n", "sdl", "nbuckets")
       .withColumn("tf_bits", bits.fold(
         lit(null).cast("array<bigint>"))(b => typedLit(b.toSeq)))
       .withColumn("df_sketch", sketch.fold(
         lit(null).cast("array<bigint>"))(a => typedLit(a.toSeq)))
-    val stamp = java.lang.System.nanoTime()
-    val tmp = side + ".fold-" + stamp
-    folded.coalesce(1).write.mode("overwrite").parquet(tmp)
-    graft.sinks.HadoopSwap.swapInto(spark, tmp, side, side + ".old-" + stamp)
-    true
   }
 
   /** The term-presence bitset observed during the write
@@ -554,10 +529,15 @@ object TextIndex {
     * concurrent-deleter race) so a doc can never be subtracted twice
     * no matter how the sidecar was written. */
   private def readTombstones(spark: SparkSession,
-                             dir: String): Option[DataFrame] =
+                             dir: String): Option[DataFrame] = {
+    // fold-crash heal FIRST: a tombstone sidecar parked under a fold
+    // aside must never read as "no deletes" — that would silently
+    // resurrect every masked doc
+    graft.sinks.SidecarFold.restoreAside(spark, tombPath(dir))
     if (!graft.sinks.HadoopSwap.exists(spark, tombPath(dir))) None
     else Some(spark.read.parquet(tombPath(dir))
       .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
+  }
 
   /** Anti-join `post` against the store's tombstones (no-op when none
     * exist). The tombstone side is deleted-docs-sized — AQE broadcasts
@@ -633,8 +613,16 @@ object TextIndex {
       .persist()
     try {
       val nDel = doomed.count()
-      if (nDel > 0L)
+      if (nDel > 0L) {
         doomed.coalesce(1).write.mode("append").parquet(tombPath(storeDir))
+        // fold-on-threshold: serves anti-join this sidecar on every
+        // query — thousands of one-file deletes must not become a
+        // thousand-file listing+merge. The fold rewrites through the
+        // read-side dedup (same rows, same answers).
+        graft.sinks.SidecarFold.foldIfDecayed(spark, tombPath(storeDir),
+          SidecarFoldThreshold)(
+          _.groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
+      }
       nDel
     } finally doomed.unpersist()
   }
@@ -775,6 +763,7 @@ object TextIndex {
         termFilterBits(
           if (positional) positionalPostings(batch, idCol, textCol, nb)
           else postings(batch, idCol, textCol, nb)))
+      maybeFoldDoclen(spark, storeDir)
     }
   }
 
@@ -1106,6 +1095,78 @@ object TextIndex {
       .filter(col("n_pairs") > 0)
   }
 
+  /** BATCHED proximity search — [[nearSearch]] for a whole query FRAME
+    * `(idCol, aCol, bCol, slopCol)`, served in ONE job: per query the
+    * rows are bit-identical to the per-query loop, but every probed
+    * bucket is read once for all the queries probing it (the
+    * [[topKBatch]]/[[phraseSearchBatch]] family shape). Plan: the two
+    * terms per query unpivot to role-tagged slots map-side, a query
+    * with EITHER term provably absent drops whole before the bucket
+    * union is collected ([[dropBloomDeadQueries]]), the store scan
+    * partition-prunes to the surviving union, postings join the
+    * localCheckpointed slot frame on `w` with no forced hint, and the
+    * per-(query, doc) pair count runs the same position algebra as the
+    * single serve with each query's own slop — tf(a)×tf(b) bounded,
+    * never corpus-shaped. `ordered` applies to the whole batch,
+    * matching the single API's flag. Returns
+    * (query_id, doc_id, n_pairs), matching docs only. */
+  def nearSearchBatch(spark: SparkSession, storeDir: String,
+                      queries: DataFrame, idCol: String, aCol: String,
+                      bCol: String, slopCol: String,
+                      ordered: Boolean = false): DataFrame = {
+    require(isPositional(spark, storeDir),
+      s"$storeDir carries no positions — build with buildPositional")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(aCol).as("a"), col(bCol).as("b"),
+      col(slopCol).cast("int").as("slop"))
+    // degenerate rows refuse loudly, matching the single-query API —
+    // a NULL term would silently vanish from the output instead
+    require(q.filter(col("a").isNull || col("b").isNull ||
+        col("slop").isNull || col("slop") < 1 || col("a") === col("b"))
+        .limit(1).count() == 0L,
+      "every NEAR query needs two distinct non-null terms and slop >= 1")
+    val (_, _, nb) = readStats(spark, storeDir)
+    val slots = q.select(col("query_id"), col("slop"),
+      explode(map(lit("a"), col("a"), lit("b"), col("b")))
+        .as(Seq("role", "w")))
+    val qslots = dropBloomDeadQueries(spark, storeDir, slots)
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .localCheckpoint()
+    val buckets = qslots.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty)
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("query_id", lit(0L))
+        .withColumn("n_pairs", lit(0L))
+        .select(col("query_id"), col("doc_id"), col("n_pairs"))
+    val terms = qslots.select(col("w")).distinct()
+    val post = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .drop("tb")
+        .join(terms, Seq("w"))
+        .select(col("doc_id"), col("w"), col("pos")))
+    val cond: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      if (ordered) (x, y, s) => y > x && y - x <= s
+      else (x, y, s) => abs(y - x) <= s
+    post.join(qslots.select(col("query_id"), col("slop"), col("role"),
+        col("w")), Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"), col("slop"))
+      .agg(
+        first(when(col("role") === "a", col("pos")), ignoreNulls = true)
+          .as("pa"),
+        first(when(col("role") === "b", col("pos")), ignoreNulls = true)
+          .as("pb"))
+      .filter(col("pa").isNotNull && col("pb").isNotNull)
+      .select(col("query_id"), col("doc_id"),
+        size(flatten(transform(col("pa"),
+          x => filter(col("pb"), y => cond(x, y, col("slop"))))))
+          .cast("long").as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** CONTEXT-WINDOW extraction around a term's matches — the
     * training-data span shape (retrieval-pair mining, span redaction
     * review, concordance/KWIC views): for every occurrence of `term`,
@@ -1150,6 +1211,65 @@ object TextIndex {
         array_join(slice(col("toks"), (col("_s0") + 1L).cast("int"),
           (col("_e0") - col("_s0") + 1L).cast("int")), " ").as("snippet"))
       .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** BATCHED context-window extraction — [[contextWindows]] for a
+    * whole query FRAME `(idCol, termCol, widthCol)`, served in ONE
+    * job: per query the rows are bit-identical to the per-query loop,
+    * but every probed bucket is read once for all the queries probing
+    * it and the corpus probe is ONE matching-docs-sized join for the
+    * whole batch (the [[phraseSearchBatch]] family shape). A query
+    * whose term is provably absent drops whole before the bucket
+    * union is collected ([[dropBloomDeadQueries]]); the window slice
+    * runs with each query's own width. Returns
+    * (query_id, doc_id, pos, snippet). */
+  def kwicBatch(spark: SparkSession, storeDir: String,
+                corpus: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qidCol: String, termCol: String,
+                widthCol: String): DataFrame = {
+    require(isPositional(spark, storeDir),
+      s"$storeDir carries no positions — build with buildPositional")
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      col(termCol).as("w"), col(widthCol).cast("int").as("width"))
+    // degenerate rows refuse loudly, matching the single-query API —
+    // a NULL term would silently vanish from the output instead
+    require(q.filter(col("w").isNull || col("width").isNull ||
+        col("width") < 0).limit(1).count() == 0L,
+      "every KWIC query needs a non-null term and width >= 0")
+    val (_, _, nb) = readStats(spark, storeDir)
+    val qslots = dropBloomDeadQueries(spark, storeDir, q)
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .localCheckpoint()
+    val buckets = qslots.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty)
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("query_id", lit(0L))
+        .withColumn("pos", lit(0L)).withColumn("snippet", lit(""))
+        .select(col("query_id"), col("doc_id"), col("pos"),
+          col("snippet"))
+    val terms = qslots.select(col("w")).distinct()
+    val hits = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .drop("tb")
+        .join(terms, Seq("w"))
+        .select(col("doc_id"), col("w"), col("pos")))
+    hits.join(qslots.select(col("query_id"), col("w"), col("width")),
+        Seq("w"))
+      .join(corpus.select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), TOK), w => length(w) > 0).as("toks")),
+        Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("toks"), col("width"),
+        explode(col("pos")).as("_p"))
+      .withColumn("pos", col("_p").cast("long"))
+      .withColumn("_s0", greatest(lit(0L), col("pos") - col("width")))
+      .withColumn("_e0",
+        least(size(col("toks")).cast("long") - 1L, col("pos") + col("width")))
+      .select(col("query_id"), col("doc_id"), col("pos"),
+        array_join(slice(col("toks"), (col("_s0") + 1L).cast("int"),
+          (col("_e0") - col("_s0") + 1L).cast("int")), " ").as("snippet"))
+      .orderBy(col("query_id"), col("doc_id"), col("pos"))
   }
 
   /** The slot evaluation order for a phrase fold: ascending estimated
@@ -1246,6 +1366,31 @@ object TextIndex {
     * (count == phrase length) before the intersect runs, so partial
     * matches never reach the fold. Returns
     * (query_id, doc_id, n_occurrences), matching docs only. */
+  /** Drop WHOLE queries any of whose slot terms is provably absent,
+    * engine-side: the OR'd store bitset rides the slot frame
+    * `(query_id, …, w)` as ONE literal array, so a dead query is gone
+    * before any bucket union is collected — zero matches by Bloom
+    * semantics, zero buckets opened for it. Shared by every batched
+    * serve ([[phraseSearchBatch]]/[[nearSearchBatch]]/[[kwicBatch]]);
+    * a store predating the filter passes everything through (cannot
+    * prove absence — degrade to filter-off, never a wrong skip). */
+  private def dropBloomDeadQueries(spark: SparkSession, storeDir: String,
+                                   slots: DataFrame): DataFrame =
+    readTermFilter(spark, storeDir) match {
+      case None => slots
+      case Some(bits) =>
+        val dead = slots.withColumn("_tfb", typedLit(bits.toSeq))
+          .filter(!expr(
+            s"""forall(array(${(0 until TermFilterK)
+              .map(i => s"pmod(xxhash64(w, $i), ${TermFilterBits}L)")
+              .mkString(", ")}),
+               |  p -> (element_at(_tfb, cast(p / 64 AS int) + 1)
+               |        & shiftleft(1L, cast(p % 64 AS int))) != 0L)"""
+              .stripMargin))
+          .select(col("query_id")).distinct()
+        slots.join(dead, Seq("query_id"), "left_anti")
+    }
+
   def phraseSearchBatch(spark: SparkSession, storeDir: String,
                         queries: DataFrame, idCol: String,
                         phraseCol: String): DataFrame = {
@@ -1263,21 +1408,8 @@ object TextIndex {
     val (_, _, nb) = readStats(spark, storeDir)
     val slots = q.select(col("query_id"), size(col("phrase")).as("plen"),
       posexplode(col("phrase")).as(Seq("i", "w")))
-    // drop WHOLE queries with any provably-absent term, engine-side
-    val qslots = (readTermFilter(spark, storeDir) match {
-      case None => slots
-      case Some(bits) =>
-        val dead = slots.withColumn("_tfb", typedLit(bits.toSeq))
-          .filter(!expr(
-            s"""forall(array(${(0 until TermFilterK)
-              .map(i => s"pmod(xxhash64(w, $i), ${TermFilterBits}L)")
-              .mkString(", ")}),
-               |  p -> (element_at(_tfb, cast(p / 64 AS int) + 1)
-               |        & shiftleft(1L, cast(p % 64 AS int))) != 0L)"""
-              .stripMargin))
-          .select(col("query_id")).distinct()
-        slots.join(dead, Seq("query_id"), "left_anti")
-    }).withColumn("tb",
+    val qslots = dropBloomDeadQueries(spark, storeDir, slots)
+      .withColumn("tb",
         pmod(xxhash64(col("w")), lit(nb)).cast("int"))
       .localCheckpoint()
     val buckets = qslots.select(col("tb")).distinct()

@@ -4687,6 +4687,146 @@ object Pipeline {
       |LEFT JOIN hit USING (query_id)
       |ORDER BY query_id""".stripMargin
 
+  // --------------------------------------------------------------- q244
+  // BATCHED proximity search (TextIndex.nearSearchBatch): a query
+  // frame (query_id, a, b, slop) served in ONE job — q236's batched
+  // shape for q237's NEAR semantics, completing the batched family.
+  // Each query carries its own slop; query 3's provably-absent term
+  // drops the WHOLE query before the bucket union is collected, so it
+  // adds no files to the scan (the in-plan require pins the
+  // live-buckets bound). The oracle replays q237's windowed pair
+  // count once per query and unions the arms.
+  private def q244NearBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q244", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", out, filesPerBucket = 2)
+    import s.implicits._
+    val queries = Seq(
+      (1L, "vector", "stream", 5),
+      (2L, "merge", "sort", 3),
+      (3L, "table", "qqzzabsent", 4)).toDF("query_id", "a", "b", "slop")
+    val res = TextIndex.nearSearchBatch(s, out, queries,
+      "query_id", "a", "b", "slop")
+    // the scan must stay inside the LIVE queries' buckets — the
+    // absent-term query contributes nothing
+    val live = Seq("vector", "stream", "merge", "sort")
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    val filesInProbed = probed.map { b =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/tb=$b"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(filesInProbed < allFiles,
+      "test setup: the live queries must not cover every bucket")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= filesInProbed,
+      s"the batched NEAR serve must stay inside the live buckets " +
+        s"($filesInProbed files; store holds $allFiles)")
+    res
+  }
+
+  /** q237's pair-count SQL, one UNION ALL arm per query of the batch
+    * with that query's terms and slop — the absent-term arm matches
+    * nothing by construction. */
+  private val q244Sql = {
+    val qs = Seq((1, "vector", "stream", 5), (2, "merge", "sort", 3),
+      (3, "table", "qqzzabsent", 4))
+    val arms = qs.map { case (qid, a, b, slop) =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |    CAST(len(flatten(list_transform(
+         |      list_filter(range(1, len(toks) + 1), i -> toks[i] = '$a'),
+         |      x -> list_filter(
+         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = '$b'),
+         |        y -> abs(y - x) <= $slop)))) AS BIGINT) AS n_pairs
+         |  FROM t""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS toks
+       |  FROM documents),
+       |m AS (${arms.mkString("\n  UNION ALL\n")})
+       |SELECT query_id, doc_id, n_pairs FROM m
+       |WHERE n_pairs > 0 ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q245
+  // BATCHED context-window extraction (TextIndex.kwicBatch): a query
+  // frame (query_id, term, width) served in ONE job — q236's batched
+  // shape for q241's KWIC semantics; each query slices with its own
+  // width, the corpus probe is one matching-docs-sized join for the
+  // whole batch, and the absent-term query drops whole before the
+  // bucket union (in-plan require pins the live-buckets bound). The
+  // oracle replays q241's window SQL once per query and unions the
+  // arms.
+  private def q245KwicBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q245", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", out, filesPerBucket = 2)
+    import s.implicits._
+    val queries = Seq(
+      (1L, "vector", 3),
+      (2L, "stream", 2),
+      (3L, "qqzzabsent", 4)).toDF("query_id", "term", "width")
+    val res = TextIndex.kwicBatch(s, out, docs, "doc_id", "text",
+      queries, "query_id", "term", "width")
+    val live = Seq("vector", "stream")
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    val filesInProbed = probed.map { b =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/tb=$b"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(filesInProbed < allFiles,
+      "test setup: the live queries must not cover every bucket")
+    // the plan holds TWO scans: the store (bounded by the live
+    // buckets) and the corpus probe for window text (all corpus files,
+    // column-pruned — matching docs is a join, not file pruning)
+    val corpusFiles = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val cfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (cfs.getFileStatus(p).isFile) 1
+      else cfs.listStatus(p)
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }
+    require(graft.plans.PlanProbe.scannedFileCount(res) <=
+        filesInProbed + corpusFiles,
+      s"the batched KWIC serve must stay inside the live buckets plus " +
+        s"the corpus probe ($filesInProbed + $corpusFiles files; " +
+        s"store holds $allFiles)")
+    res
+  }
+
+  /** q241's window SQL, one UNION ALL arm per query with that query's
+    * term and width — the absent-term arm matches nothing. */
+  private val q245Sql = {
+    val qs = Seq((1, "vector", 3), (2, "stream", 2), (3, "qqzzabsent", 4))
+    val arms = qs.map { case (qid, term, width) =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |    CAST(q - 1 AS BIGINT) AS pos,
+         |    array_to_string(list_slice(toks, greatest(1, q - $width),
+         |      least(len(toks), q + $width)), ' ') AS snippet
+         |  FROM (SELECT doc_id, toks,
+         |      unnest(list_filter(range(1, len(toks) + 1),
+         |        i -> toks[i] = '$term')) AS q
+         |    FROM t)""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS toks
+       |  FROM documents)
+       |${arms.map(a => s"($a)").mkString("\nUNION ALL\n")}
+       |ORDER BY query_id, doc_id, pos""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5532,6 +5672,8 @@ object Pipeline {
     "q241_context_windows" -> q241ContextWindows _,
     "q242_contains_all" -> q242ContainsAll _,
     "q243_mrr_eval" -> q243MrrEval _,
+    "q244_near_batch" -> q244NearBatch _,
+    "q245_kwic_batch" -> q245KwicBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -5783,6 +5925,8 @@ object Pipeline {
     "q241_context_windows" -> q241Sql,
     "q242_contains_all" -> q242Sql,
     "q243_mrr_eval" -> q243Sql,
+    "q244_near_batch" -> q244Sql,
+    "q245_kwic_batch" -> q245Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

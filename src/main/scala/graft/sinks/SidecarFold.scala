@@ -1,0 +1,96 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fold-on-threshold maintenance for append-only sidecar directories
+  * (`_corpus_stats`, `_tombstones`, `_doclen`, and the IVF/LSH stores'
+  * tombstone sidecars). Append-only sidecars are what make deletes and
+  * stats bumps O(event) instead of O(store) — but one file per event
+  * means a high-churn store (thousands of deletes between compactions)
+  * pays a growing small-file listing+footer-merge on EVERY read. Once a
+  * sidecar exceeds a file-count threshold, the maintaining op folds it:
+  * rewrite through the sidecar's own idempotent dedup/aggregate into
+  * byte-targeted files, swap rename-aside ([[HadoopSwap.swapInto]]).
+  *
+  * Crash discipline: the only window (between swapInto's two renames)
+  * leaves the live sidecar parked under `.old-<stamp>` — and a missing
+  * TOMBSTONE sidecar reads as "no deletes", silently resurrecting
+  * every masked row. So every sidecar READER must call [[restoreAside]]
+  * before its existence check (one metadata RPC when the sidecar is
+  * healthy; globs only run on the miss path). Same single-maintainer
+  * assumption as every store rewrite: folds run inside the op that owns
+  * the sidecar (delete, ingest), so a pipeline never races its own
+  * maintenance. Object stores route rewrites through a VersionedStore
+  * manifest instead (see [[HadoopSwap]]'s caveat).
+  */
+object SidecarFold {
+
+  /** Fold scaffolding next to a sidecar: `.old-<stamp>` (live history
+    * renamed aside by swapInto) and `.fold-<stamp>` (the folded
+    * replacement not yet renamed in). Both start with the sidecar's
+    * `_` prefix, so data reads never see them. */
+  private def asides(fs: org.apache.hadoop.fs.FileSystem,
+                     side: String): Seq[FileStatus] =
+    Seq(".old-*", ".fold-*").flatMap(suf =>
+      Option(fs.globStatus(new Path(side + suf)))
+        .fold(Seq.empty[FileStatus])(_.toSeq))
+
+  /** Crash-heal the swap window: when the live sidecar is missing but
+    * fold scaffolding exists, restore the newest `.old-` aside (always
+    * the verbatim history at the instant the live dir was renamed away;
+    * `.fold-` is a belt-and-braces fallback, unreachable from
+    * swapInto's ordering), then drop the superseded scaffolding. No-op
+    * when the sidecar exists or the store is genuinely fresh. */
+  def restoreAside(spark: SparkSession, side: String): Unit = {
+    val fs = HadoopSwap.fs(spark, side)
+    val live = new Path(side)
+    if (fs.exists(live)) return
+    val found = asides(fs, side)
+    if (found.isEmpty) return
+    def stamp(st: FileStatus): Long =
+      st.getPath.getName.split("-").last.toLong
+    val (olds, folds) = found.partition(_.getPath.getName.contains(".old-"))
+    val pick = (if (olds.nonEmpty) olds else folds).maxBy(stamp)
+    require(fs.rename(pick.getPath, live),
+      s"crash-heal restore ${pick.getPath} -> $side failed — refusing " +
+        "to proceed against a store whose only sidecar copy is an aside")
+    asides(fs, side).foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Fold `side` when it holds more than `threshold` parquet files:
+    * `rewrite` (the sidecar's own read-side dedup/aggregate — folding
+    * through it is a no-op to every reader by construction) lands in
+    * `ceil(bytes / targetFileBytes)` files and swaps in atomically.
+    * Heals a prior fold's crash window first, and clears stale
+    * scaffolding sitting next to a healthy live sidecar (a crash after
+    * the swap completed, before the aside delete) so a later restore
+    * can only ever resurrect current history. Returns whether a fold
+    * ran. */
+  def foldIfDecayed(spark: SparkSession, side: String, threshold: Int,
+                    mergeSchema: Boolean = false,
+                    targetFileBytes: Long = 128L << 20)
+                   (rewrite: DataFrame => DataFrame): Boolean = {
+    require(threshold >= 1, "fold threshold must be at least one file")
+    restoreAside(spark, side)
+    val fs = HadoopSwap.fs(spark, side)
+    val p = new Path(side)
+    if (!fs.exists(p)) return false
+    asides(fs, side).foreach(st => fs.delete(st.getPath, true))
+    val nFiles = fs.listStatus(p)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (nFiles <= threshold) return false
+    // byte-targeted output: a corpus-sized sidecar (_doclen) must not
+    // funnel through one task; pre-fold bytes over-estimate the deduped
+    // size, which only errs toward a few extra (still bounded) files
+    val target = math.max(1L, (fs.getContentSummary(p).getLength +
+      targetFileBytes - 1) / targetFileBytes).toInt
+    val stamp = java.lang.System.nanoTime()
+    val tmp = side + ".fold-" + stamp
+    rewrite(spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(side))
+      .coalesce(target).write.mode("overwrite").parquet(tmp)
+    HadoopSwap.swapInto(spark, tmp, side, side + ".old-" + stamp)
+    true
+  }
+}

@@ -157,11 +157,15 @@ object VersionedStore {
     * Nothing in this engine writes both into one dir — this guard
     * catches the foreign/mis-pointed case loud instead of wrong. */
   private def requireNoTombstones(spark: SparkSession, dir: String,
-                                  op: String): Unit =
+                                  op: String): Unit = {
+    // a tombstone sidecar parked under a fold-crash aside must still
+    // trip this guard — restore before the existence check
+    SidecarFold.restoreAside(spark, s"$dir/_tombstones")
     require(!fs(spark, dir).exists(new Path(s"$dir/_tombstones")),
       s"$dir carries a _tombstones sidecar — $op would silently ignore " +
         "pending tombstoned deletes; purge via the owning store's " +
         "compact() before versioned reads")
+  }
 
   def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
     requireNoTombstones(spark, dir, "a versioned read")

@@ -526,6 +526,104 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.nearSearch(spark, dir, "a", "b", 0))
   }
 
+  test("batched NEAR == per-query loop; absent-term queries drop; degenerates refuse") {
+    val dir = tmp("nearbatch")
+    val docs2 = Seq(
+      (0L, "a x b"),
+      (1L, "b x x a"),
+      (2L, "a b x a x b"),
+      (3L, "a x x x x b"),
+      (4L, "c d x a b")).toDF("doc_id", "text")
+    TextIndex.buildPositional(docs2, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    val qs = Seq(
+      (1L, "a", "b", 2),
+      (2L, "a", "b", 3),
+      (3L, "c", "d", 1),
+      (4L, "a", "qqzzabsent", 5)) // provably absent — drops whole
+    val batched = TextIndex.nearSearchBatch(spark, dir,
+        qs.toDF("query_id", "a", "b", "slop"),
+        "query_id", "a", "b", "slop")
+      .as[(Long, Long, Long)].collect().toSeq
+    val looped = qs.flatMap { case (qid, a, b, slop) =>
+      if (b == "qqzzabsent") Seq.empty
+      else TextIndex.nearSearch(spark, dir, a, b, slop)
+        .as[(Long, Long)].collect().toSeq.map(r => (qid, r._1, r._2))
+    }.sorted
+    assert(batched == looped,
+      "the batched NEAR serve must equal the per-query loop")
+    assert(looped.nonEmpty, "fixture must produce at least one match")
+    // ordered flag applies batch-wide, matching the single API
+    val bOrd = TextIndex.nearSearchBatch(spark, dir,
+        qs.take(2).toDF("query_id", "a", "b", "slop"),
+        "query_id", "a", "b", "slop", ordered = true)
+      .as[(Long, Long, Long)].collect().toSeq
+    val lOrd = qs.take(2).flatMap { case (qid, a, b, slop) =>
+      TextIndex.nearSearch(spark, dir, a, b, slop, ordered = true)
+        .as[(Long, Long)].collect().toSeq.map(r => (qid, r._1, r._2))
+    }.sorted
+    assert(bOrd == lOrd)
+    // tombstones mask every query of the batch
+    TextIndex.delete(spark, dir, Seq(2L).toDF("doc_id"), "doc_id")
+    assert(TextIndex.nearSearchBatch(spark, dir,
+        qs.toDF("query_id", "a", "b", "slop"),
+        "query_id", "a", "b", "slop")
+      .as[(Long, Long, Long)].collect().toSeq ==
+      looped.filterNot(_._2 == 2L))
+    // degenerate rows refuse loud: same-term, slop < 1, NULL term
+    assertThrows[IllegalArgumentException](
+      TextIndex.nearSearchBatch(spark, dir,
+        Seq((9L, "a", "a", 2)).toDF("query_id", "a", "b", "slop"),
+        "query_id", "a", "b", "slop"))
+    assertThrows[IllegalArgumentException](
+      TextIndex.nearSearchBatch(spark, dir,
+        Seq((9L, "a", "b", 0)).toDF("query_id", "a", "b", "slop"),
+        "query_id", "a", "b", "slop"))
+    assertThrows[IllegalArgumentException](
+      TextIndex.nearSearchBatch(spark, dir,
+        Seq((9L, "a", null: String, 2)).toDF("query_id", "a", "b", "slop"),
+        "query_id", "a", "b", "slop"))
+  }
+
+  test("batched KWIC == per-query loop; per-query widths; absent terms drop; tombstones mask") {
+    val dir = tmp("kwicbatch")
+    val docs2 = Seq(
+      (0L, "hit a b c"),
+      (1L, "a b c hit"),
+      (2L, "a hit b hit c"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    TextIndex.buildPositional(docs2, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    val qs = Seq((1L, "hit", 2), (2L, "hit", 1), (3L, "b", 0),
+      (4L, "qqzzabsent", 3))
+    def batched() = TextIndex.kwicBatch(spark, dir, docs2, "doc_id",
+        "text", qs.toDF("query_id", "term", "width"),
+        "query_id", "term", "width")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val looped = qs.flatMap { case (qid, term, width) =>
+      if (term == "qqzzabsent") Seq.empty
+      else TextIndex.contextWindows(spark, dir, docs2, "doc_id", "text",
+          term, width)
+        .as[(Long, Long, String)].collect().toSeq
+        .map(r => (qid, r._1, r._2, r._3))
+    }.sorted
+    assert(batched() == looped,
+      "the batched KWIC serve must equal the per-query loop")
+    assert(looped.nonEmpty, "fixture must produce at least one match")
+    // tombstones mask every query of the batch
+    TextIndex.delete(spark, dir, Seq(2L).toDF("doc_id"), "doc_id")
+    assert(batched() == looped.filterNot(_._2 == 2L))
+    // degenerate rows refuse loud: NULL term, negative width
+    assertThrows[IllegalArgumentException](
+      TextIndex.kwicBatch(spark, dir, docs2, "doc_id", "text",
+        Seq((9L, null: String, 2)).toDF("query_id", "term", "width"),
+        "query_id", "term", "width"))
+    assertThrows[IllegalArgumentException](
+      TextIndex.kwicBatch(spark, dir, docs2, "doc_id", "text",
+        Seq((9L, "hit", -1)).toDF("query_id", "term", "width"),
+        "query_id", "term", "width"))
+  }
+
   test("phrase fold runs rarest-term-first from the df sketch; answers unchanged") {
     val dir = tmp("rarest")
     // skewed fixture: 'alpha' in every doc, 'raretok' in two
