@@ -34,24 +34,37 @@ object Bench {
     // crashed attempt would rank it among the fastest rows and silently
     // shrink the total (a deleted testdata column must make the bench
     // loudly report n_failed=1, not emit a 60 ms entry).
-    val attempts = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-        var err: Option[String] = None
-        val times = (1 to repeat).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
-              None
-          }
+    // INTERLEAVED suite-level rounds: the whole subset runs once per
+    // round and a query's published time is its min ACROSS rounds —
+    // repeats of one query never run back-to-back. min-of-N only
+    // defends against contention bursts SHORTER than N×(query time);
+    // back-to-back repeats let one multi-minute burst poison every
+    // sample of the alphabetically adjacent queries (the r11 driver
+    // artifact's phantom 13.7x on a query whose same-box floor was
+    // flat). Interleaved, a burst costs each query at most one of its
+    // N samples.
+    val timesAcc = scala.collection.mutable.Map.empty[String, List[Double]]
+    val errAcc = scala.collection.mutable.Map.empty[String, String]
+    (1 to repeat).foreach { _ =>
+      queryList.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          timesAcc(name) =
+            ((System.nanoTime() - t0) / 1e9) :: timesAcc.getOrElse(name, Nil)
+        } catch {
+          case e: Throwable =>
+            errAcc(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
         }
-        (name, times.minOption, err, times)
       }
+    }
+    val attempts = queryList.map { case (name, _) =>
+      val times = timesAcc.getOrElse(name, Nil).reverse
+      (name, times.minOption, errAcc.get(name), times)
+    }
     val results = attempts.collect { case (n, Some(t), _, _) => n -> t }.toMap
     val failed = attempts.collect { case (n, None, err, _) => n -> err.getOrElse("error") }
     // a query that failed SOME repeats but succeeded others keeps its

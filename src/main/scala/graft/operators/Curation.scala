@@ -1255,8 +1255,12 @@ object Curation {
                        tokenCol: String, budgets: Seq[Long]): DataFrame = {
     require(budgets.nonEmpty && budgets == budgets.sorted,
       "budgets must be ascending cumulative bounds")
+    // dedup the projection when difficulty IS the token column (chars
+    // as both order and budget): a duplicate-name column inside the
+    // checkpointed schema is exactly the frame a future
+    // column-resolution change breaks on
     val ranged = docs
-      .select(col(idCol), col(difficultyCol), col(tokenCol))
+      .select(Seq(idCol, difficultyCol, tokenCol).distinct.map(col): _*)
       .repartitionByRange(col(difficultyCol), col(idCol))
       .withColumn("__pid", spark_partition_id().cast("long"))
       .localCheckpoint()
