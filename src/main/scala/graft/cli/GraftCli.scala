@@ -289,10 +289,28 @@ object GraftCli {
         if rest.size <= 1 =>
       textNear(storeDir, a, b, slop.toInt,
         rest.headOption.contains("ordered"), out)
+    case "textnearbatch" :: storeDir :: queries :: out :: rest
+        if rest.size <= 1 =>
+      textNearBatch(storeDir,
+        queries.split(";").toSeq.filter(_.nonEmpty).map { spec =>
+          val p = spec.split(",")
+          require(p.length == 3,
+            s"NEAR query '$spec' is not a,b,slop")
+          (p(0), p(1), p(2).toInt)
+        },
+        rest.headOption.contains("ordered"), out)
     case "textcontains" :: storeDir :: terms :: out :: Nil =>
       textContains(storeDir, terms.split(",").toSeq.filter(_.nonEmpty), out)
     case "textkwic" :: storeDir :: docs :: term :: width :: out :: Nil =>
       textKwic(storeDir, docs, term, width.toInt, out)
+    case "textkwicbatch" :: storeDir :: docs :: queries :: out :: Nil =>
+      textKwicBatch(storeDir, docs,
+        queries.split(";").toSeq.filter(_.nonEmpty).map { spec =>
+          val p = spec.split(",")
+          require(p.length == 2,
+            s"KWIC query '$spec' is not term,width")
+          (p(0), p(1).toInt)
+        }, out)
     case "textexpand" :: storeDir :: docs :: terms :: k :: out :: rest
         if rest.size <= 2 =>
       textExpand(storeDir, docs,
@@ -381,8 +399,10 @@ object GraftCli {
            |           textphrase <storedir> <w1,w2,...> <outdir>
            |           textphrasebatch <storedir> <w1,w2;w3,w4;...> <outdir>
            |           textnear <storedir> <a> <b> <slop> <outdir> [ordered]
+           |           textnearbatch <storedir> <a,b,slop;a,b,slop;...> <outdir> [ordered]
            |           textcontains <storedir> <w1,w2,...> <outdir>
            |           textkwic <storedir> <docs> <term> <width> <outdir>
+           |           textkwicbatch <storedir> <docs> <term,width;term,width;...> <outdir>
            |           textexpand <storedir> <docs> <w1,w2,...> <k> <outdir> [fbdocs] [fbterms]
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
@@ -2260,6 +2280,47 @@ object GraftCli {
     hits.write.mode("overwrite").parquet(out)
     println(s"${phrases.size} phrases batched: " +
       s"${spark.read.parquet(out).count()} (query, doc) matches -> $out")
+    spark.stop()
+  }
+
+  /** textnearbatch: one job for a whole NEAR query frame —
+    * [[graft.operators.TextIndex.nearSearchBatch]]; query ids are
+    * the 0-based positions of the semicolon-separated a,b,slop
+    * triples. */
+  private def textNearBatch(storeDir: String,
+                            specs: Seq[(String, String, Int)],
+                            ordered: Boolean, out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val queries = specs.zipWithIndex
+      .map { case ((a, b, slop), i) => (i.toLong, a, b, slop) }
+      .toDF("query_id", "a", "b", "slop")
+    val hits = graft.operators.TextIndex.nearSearchBatch(spark, storeDir,
+      queries, "query_id", "a", "b", "slop", ordered)
+    hits.write.mode("overwrite").parquet(out)
+    println(s"${specs.size} NEAR queries batched" +
+      s"${if (ordered) " (ordered)" else ""}: " +
+      s"${spark.read.parquet(out).count()} (query, doc) matches -> $out")
+    spark.stop()
+  }
+
+  /** textkwicbatch: one job for a whole KWIC query frame —
+    * [[graft.operators.TextIndex.kwicBatch]]; query ids are the
+    * 0-based positions of the semicolon-separated term,width pairs. */
+  private def textKwicBatch(storeDir: String, docs: String,
+                            specs: Seq[(String, Int)],
+                            out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val queries = specs.zipWithIndex
+      .map { case ((term, width), i) => (i.toLong, term, width) }
+      .toDF("query_id", "term", "width")
+    val wins = graft.operators.TextIndex.kwicBatch(spark, storeDir,
+      spark.read.parquet(docs), "doc_id", "text",
+      queries, "query_id", "term", "width")
+    wins.write.mode("overwrite").parquet(out)
+    println(s"${specs.size} KWIC queries batched: " +
+      s"${spark.read.parquet(out).count()} windows -> $out")
     spark.stop()
   }
 

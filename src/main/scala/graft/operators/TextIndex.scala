@@ -63,18 +63,52 @@ object TextIndex {
     * the range-partitioned write runs a sampling job first — shuffle
     * map stages are reused, not re-run), so the stats row costs no
     * second corpus pass. */
+  /** A/B kill-switches for the ingest's optional in-flight observes
+    * (default ON; set the env var or system property to "false").
+    * Both are ANSWER-preserving by construction: the df sketch only
+    * orders plans (a null sketch row degrades fold order, never a
+    * row), and the bitset observe falls back to reading the written
+    * files' `w` column (same bits, one extra column-pruned read).
+    * They exist to price each observe's ingest cost in isolation
+    * (SCALE.md's per-feature attribution) — not a tuning surface. */
+  /** Wall-clock per ingest phase, accumulated across calls — the
+    * attribution ledger behind SCALE.md's per-feature ingest cost
+    * table ([[graft.tools.IngestProfile]] clears, runs, reads). Two
+    * nanoTime calls per phase; always on. */
+  private[graft] val phaseSeconds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def timed[T](phase: String)(f: => T): T = {
+    val t0 = java.lang.System.nanoTime()
+    val r = f
+    phaseSeconds.merge(phase,
+      Double.box((java.lang.System.nanoTime() - t0) / 1e9),
+      (a, b) => Double.box(a.doubleValue + b.doubleValue))
+    r
+  }
+
+  private def ingestFlag(name: String): Boolean =
+    !sys.env.get(name).orElse(Option(java.lang.System.getProperty(name)))
+      .exists(_.equalsIgnoreCase("false"))
+  private def dfSketchEnabled: Boolean =
+    ingestFlag("GRAFT_INGEST_DFSKETCH")
+  private def bitsObserveEnabled: Boolean =
+    ingestFlag("GRAFT_INGEST_BITSOBSERVE")
+
   private def tokenized(docs: DataFrame, idCol: String, textCol: String,
                         obs: Option[Observation]): DataFrame = {
     val pre = docs.select(col(idCol).as("doc_id"),
         split(col(textCol), TOK).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     obs.fold(pre)(o =>
-      pre.observe(o, count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
-        // per-term df: each doc bumps the counters of its DISTINCT
-        // terms once — additive count-min, map-side exactly-once
-        graft.functions.Bitset.counter_sum(DfSketchW * DfSketchD)(
-          flatten(transform(array_distinct(col("toks")),
-            w => dfSketchProbes(w)))).as("df_sketch")))
+      if (!dfSketchEnabled)
+        pre.observe(o, count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      else
+        pre.observe(o, count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+          // per-term df: each doc bumps the counters of its DISTINCT
+          // terms once — additive count-min, map-side exactly-once
+          graft.functions.Bitset.counter_sum(DfSketchW * DfSketchD)(
+            flatten(transform(array_distinct(col("toks")),
+              w => dfSketchProbes(w)))).as("df_sketch")))
   }
 
   private def postingsFrom(pre: DataFrame, nBuckets: Int): DataFrame =
@@ -384,9 +418,11 @@ object TextIndex {
                              residual: () => DataFrame): Unit = {
     val nSeen = written.fold(0L) { w =>
       val dlObs = Observation()
-      w.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
-        .observe(dlObs, count(lit(1)).as("n"))
-        .write.mode("append").parquet(doclenPath(dir))
+      timed("doclen_write") {
+        w.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+          .observe(dlObs, count(lit(1)).as("n"))
+          .write.mode("append").parquet(doclenPath(dir))
+      }
       // same AQE escape hatch as observed(): written is non-empty
       // here, so a swallowed metrics node should be unreachable — but
       // a miscount would silently skip the residual, so recount
@@ -395,10 +431,16 @@ object TextIndex {
         .getOrElse(w.select(col("doc_id")).distinct().count())
     }
     if (nSeen != n || nSeen == 0L)
-      residual().write.mode("append").parquet(doclenPath(dir))
-    appendStatsRow(spark, dir, bid, n, sdl, nBuckets, bits, dfSketch)
-    maybeFoldStats(spark, dir)
-    maybeFoldDoclen(spark, dir)
+      timed("doclen_residual") {
+        residual().write.mode("append").parquet(doclenPath(dir))
+      }
+    timed("stats_row") {
+      appendStatsRow(spark, dir, bid, n, sdl, nBuckets, bits, dfSketch)
+    }
+    timed("sidecar_folds") {
+      maybeFoldStats(spark, dir)
+      maybeFoldDoclen(spark, dir)
+    }
   }
 
   /** `_corpus_stats` stays append-only between folds, but an
@@ -481,7 +523,10 @@ object TextIndex {
     * metrics node (which implies an empty or degenerate write). */
   private def observedBits(obs: Observation,
                            fallback: () => Array[Long]): Array[Long] =
-    obs.get.get("tf_bits") match {
+    // kill-switch OFF means the observation was never attached —
+    // obs.get would block forever, so go straight to the files read
+    if (!bitsObserveEnabled) fallback()
+    else obs.get.get("tf_bits") match {
       case Some(s: Seq[_]) => s.asInstanceOf[Seq[Long]].toArray
       case Some(a: Array[Long]) => a
       case _ => fallback()
@@ -489,7 +534,8 @@ object TextIndex {
 
   private def withBitsObserve(post: DataFrame,
                               obs: Observation): DataFrame =
-    post.observe(obs, graft.functions.Bitset
+    if (!bitsObserveEnabled) post
+    else post.observe(obs, graft.functions.Bitset
       .bitset_or(TermFilterBits / 64)(termProbes).as("tf_bits"))
 
   /** The files the just-finished append landed, as a pruned frame —
@@ -646,13 +692,19 @@ object TextIndex {
     val post = withBitsObserve(
       postingsFrom(tokenized(docs, idCol, textCol, Some(obs)), nBuckets),
       obsBits)
-    marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
-      .repartitionByRange(nBuckets * filesPerBucket, col("tb"), col("w"))
-      .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
-      .write.partitionBy("tb").mode("overwrite").parquet(storeDir)
-    graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    timed("postings_write") {
+      marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
+        .repartitionByRange(nBuckets * filesPerBucket, col("tb"), col("w"))
+        .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
+        .write.partitionBy("tb").mode("overwrite").parquet(storeDir)
+    }
+    timed("zone_index") {
+      graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    }
     val (n, sdl) = observed(obs, () => docStats(docs, idCol, textCol))
-    val written = newlyWritten(spark, storeDir, Set.empty)
+    val written = timed("list_written") {
+      newlyWritten(spark, storeDir, Set.empty)
+    }
     deriveSidecars(spark, storeDir, written, marker.getOrElse(-1L),
       n, sdl, nBuckets,
       observedBits(obsBits, () => written
@@ -673,25 +725,35 @@ object TextIndex {
     val spark = newDocs.sparkSession
     require(!isPositional(spark, storeDir),
       s"$storeDir is a positional store — append with appendPositional")
-    requireNoTombstoneClash(newDocs, idCol, storeDir)
+    timed("tombstone_clash_check") {
+      requireNoTombstoneClash(newDocs, idCol, storeDir)
+    }
     val (_, _, nb) = readStats(spark, storeDir)
     val obs = Observation()
     val obsBits = Observation()
     val post = withBitsObserve(
       postingsFrom(tokenized(newDocs, idCol, textCol, Some(obs)), nb),
       obsBits)
-    val before = graft.sinks.SkippingStore
-      .listDataFileRelPaths(spark, storeDir).toSet
-    marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
-      .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
-      .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
-      .write.partitionBy("tb").mode("append").parquet(storeDir)
-    graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    val before = timed("list_written") {
+      graft.sinks.SkippingStore
+        .listDataFileRelPaths(spark, storeDir).toSet
+    }
+    timed("postings_write") {
+      marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
+        .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
+        .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
+        .write.partitionBy("tb").mode("append").parquet(storeDir)
+    }
+    timed("zone_index") {
+      graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    }
     val (n1, sdl1) = observed(obs,
       () => docStats(newDocs, idCol, textCol))
     // doclen + stats + bitset from the BATCH's write only — the
     // appended cost stays the batch's, never the store's
-    val written = newlyWritten(spark, storeDir, before)
+    val written = timed("list_written") {
+      newlyWritten(spark, storeDir, before)
+    }
     deriveSidecars(spark, storeDir, written,
       marker.getOrElse(-1L), n1, sdl1, nb,
       observedBits(obsBits, () => written
@@ -913,14 +975,20 @@ object TextIndex {
       positionalFrom(
         tokenizedPositional(docs, idCol, textCol, Some(obs)), nBuckets),
       obsBits)
-    marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
-      .repartitionByRange(nBuckets * filesPerBucket, col("tb"), col("w"))
-      .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
-      .write.partitionBy("tb").mode("overwrite").parquet(storeDir)
+    timed("postings_write") {
+      marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
+        .repartitionByRange(nBuckets * filesPerBucket, col("tb"), col("w"))
+        .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
+        .write.partitionBy("tb").mode("overwrite").parquet(storeDir)
+    }
     writeMarker(spark, storeDir)
-    graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    timed("zone_index") {
+      graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    }
     val (n, sdl) = observed(obs, () => docStats(docs, idCol, textCol))
-    val written = newlyWritten(spark, storeDir, Set.empty)
+    val written = timed("list_written") {
+      newlyWritten(spark, storeDir, Set.empty)
+    }
     deriveSidecars(spark, storeDir, written, marker.getOrElse(-1L),
       n, sdl, nBuckets,
       observedBits(obsBits, () => written
@@ -939,24 +1007,34 @@ object TextIndex {
     val spark = newDocs.sparkSession
     require(isPositional(spark, storeDir),
       s"$storeDir is a bag-of-terms store — append with TextIndex.append")
-    requireNoTombstoneClash(newDocs, idCol, storeDir)
+    timed("tombstone_clash_check") {
+      requireNoTombstoneClash(newDocs, idCol, storeDir)
+    }
     val (_, _, nb) = readStats(spark, storeDir)
     val obs = Observation()
     val obsBits = Observation()
-    val before = graft.sinks.SkippingStore
-      .listDataFileRelPaths(spark, storeDir).toSet
+    val before = timed("list_written") {
+      graft.sinks.SkippingStore
+        .listDataFileRelPaths(spark, storeDir).toSet
+    }
     val post = withBitsObserve(
       positionalFrom(
         tokenizedPositional(newDocs, idCol, textCol, Some(obs)), nb),
       obsBits)
-    marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
-      .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
-      .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
-      .write.partitionBy("tb").mode("append").parquet(storeDir)
-    graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    timed("postings_write") {
+      marker.fold(post)(b => post.withColumn("_applied_batch", lit(b)))
+        .repartitionByRange(nb * filesPerBucket, col("tb"), col("w"))
+        .sortWithinPartitions(col("tb"), col("w"), col("doc_id"))
+        .write.partitionBy("tb").mode("append").parquet(storeDir)
+    }
+    timed("zone_index") {
+      graft.sinks.SkippingStore.indexPartitioned(spark, storeDir, Seq("w"))
+    }
     val (n1, sdl1) = observed(obs,
       () => docStats(newDocs, idCol, textCol))
-    val written = newlyWritten(spark, storeDir, before)
+    val written = timed("list_written") {
+      newlyWritten(spark, storeDir, before)
+    }
     deriveSidecars(spark, storeDir, written,
       marker.getOrElse(-1L), n1, sdl1, nb,
       observedBits(obsBits, () => written

@@ -4827,6 +4827,120 @@ object Pipeline {
        |ORDER BY query_id, doc_id, pos""".stripMargin
   }
 
+  // --------------------------------------------------------------- q246
+  // End-to-end retrieval-eval pipeline: the whole round-11 text
+  // surface composed into ONE oracle-checked row — (1) SERVE: q239's
+  // PRF-expanded BM25 top-12 from the postings store (two store
+  // serves + an fbDocs-sized corpus probe); (2) WINDOWS: q241's ±4
+  // KWIC windows around every 'vector' match from the positional
+  // store; (3) JUDGE: a doc is relevant iff SOME window also carries
+  // 'stream' — proximity-judged pseudo-qrels derived from the
+  // windows, not the corpus; (4) EVAL: q240's nDCG@10 and q243's
+  // MRR@10 of the served ranking against those qrels. Every stage is
+  // a store-served operator; the corpus is only touched by the
+  // component serves' own bounded probes. The oracle replays the PRF
+  // chain, the window judge, and both metrics in DuckDB — the
+  // data-dependent expansion terms and qrels ride CTE joins, so
+  // engine and oracle derive the SAME intermediate sets or the
+  // hashes differ.
+  private def q246RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val outBag = scratch("q246b", dir)
+    val outPos = scratch("q246p", dir)
+    val docs = t(s, dir, "documents")
+    val seed = Seq("vector", "stream")
+    TextIndex.build(docs, "doc_id", "text", outBag, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.buildPositional(docs, "doc_id", "text", outPos,
+      nBuckets = 8, filesPerBucket = 2)
+    // (1) serve: PRF-expanded ranking
+    val ranking = TextIndex.topKExpanded(s, outBag, docs, "doc_id",
+        "text", seed, k = 12, fbDocs = 5, fbTerms = 3)
+      .withColumn("query_id", lit(0L))
+    // (2) windows + (3) judge: relevant = 'stream' inside a ±4 window
+    // of some 'vector' occurrence
+    val qrels = TextIndex.contextWindows(s, outPos, docs, "doc_id",
+        "text", "vector", width = 4)
+      .filter(array_contains(split(col("snippet"), " "), "stream"))
+      .select(col("doc_id")).distinct()
+      .withColumn("query_id", lit(0L)).withColumn("rel", lit(1))
+    // (4) eval: both ranking metrics over the same serve
+    val ndcg = Similarity.ndcgAtK(ranking, qrels, "query_id", "doc_id",
+      "score", "rel", k = 10)
+    val mrr = Similarity.mrrAtK(ranking, qrels, "query_id", "doc_id",
+      "score", "rel", k = 10)
+    ndcg.join(mrr, Seq("query_id")).orderBy(col("query_id"))
+  }
+
+  /** q239's PRF chain + a window-judge qrel CTE + q240/q243's metric
+    * algebra, single query (query_id 0). */
+  private val q246Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+      |tf0 AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN ('vector', 'stream') GROUP BY doc_id, dl, w),
+      |df0 AS (SELECT w, COUNT(*) AS df FROM tf0 GROUP BY w),
+      |contrib0 AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf0 JOIN df0 USING (w) CROSS JOIN stats),
+      |fb AS (SELECT doc_id FROM (
+      |  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+      |  FROM contrib0 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 5)),
+      |expn AS (SELECT w FROM (
+      |  SELECT w, COUNT(*) AS tf
+      |  FROM (SELECT unnest(toks) AS w FROM b2 JOIN fb USING (doc_id))
+      |  WHERE w <> '' AND w NOT IN ('vector', 'stream')
+      |  GROUP BY w ORDER BY tf DESC, w LIMIT 3)),
+      |qt AS (SELECT 'vector' AS w UNION ALL SELECT 'stream' UNION ALL
+      |       SELECT w FROM expn),
+      |tf1 AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN (SELECT w FROM qt) GROUP BY doc_id, dl, w),
+      |df1 AS (SELECT w, COUNT(*) AS df FROM tf1 GROUP BY w),
+      |contrib1 AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf1 JOIN df1 USING (w) CROSS JOIN stats),
+      |ranked AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      |  FROM (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+      |        FROM contrib1 GROUP BY doc_id
+      |        ORDER BY score DESC, doc_id LIMIT 12)),
+      |ft AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS toks
+      |  FROM documents),
+      |rel AS (SELECT doc_id FROM ft
+      |  WHERE len(list_filter(range(1, len(toks) + 1),
+      |    i -> toks[i] = 'vector' AND len(list_filter(
+      |      range(greatest(1, i - 4), least(len(toks), i + 4) + 1),
+      |      j -> toks[j] = 'stream')) > 0)) > 0),
+      |dcg AS (SELECT
+      |    SUM(CAST(round((pow(2, CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END) - 1)
+      |      / (ln(ranked.rank + 1) / ln(2)), 6) AS DECIMAL(28,6))) AS dcg
+      |  FROM ranked LEFT JOIN rel ON ranked.doc_id = rel.doc_id
+      |  WHERE ranked.rank <= 10),
+      |ideal AS (SELECT row_number() OVER (ORDER BY doc_id) AS rank FROM rel),
+      |idcg AS (SELECT
+      |    SUM(CAST(round((pow(2, 1) - 1)
+      |      / (ln(rank + 1) / ln(2)), 6) AS DECIMAL(28,6))) AS idcg
+      |  FROM ideal WHERE rank <= 10),
+      |hit AS (SELECT MIN(ranked.rank) AS first_rank
+      |  FROM ranked JOIN rel ON ranked.doc_id = rel.doc_id
+      |  WHERE ranked.rank <= 10)
+      |SELECT CAST(0 AS BIGINT) AS query_id,
+      |  CASE WHEN COALESCE(idcg.idcg, 0) > 0
+      |       THEN round(CAST(dcg.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6)
+      |       ELSE 0.0 END AS ndcg,
+      |  COALESCE(round(1.0 / hit.first_rank, 6), 0.0) AS rr
+      |FROM dcg, idcg, hit""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5674,6 +5788,7 @@ object Pipeline {
     "q243_mrr_eval" -> q243MrrEval _,
     "q244_near_batch" -> q244NearBatch _,
     "q245_kwic_batch" -> q245KwicBatch _,
+    "q246_retrieval_eval" -> q246RetrievalEval _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -5927,6 +6042,7 @@ object Pipeline {
     "q243_mrr_eval" -> q243Sql,
     "q244_near_batch" -> q244Sql,
     "q245_kwic_batch" -> q245Sql,
+    "q246_retrieval_eval" -> q246Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

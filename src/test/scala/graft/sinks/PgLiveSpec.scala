@@ -1,0 +1,210 @@
+package graft.sinks
+
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import scala.sys.process._
+
+/** [[PgDialect]]'s Postgres-only statements (`UPDATE … FROM`,
+  * `ON CONFLICT … DO UPDATE`, `COPY … FROM STDIN`) EXECUTED against a
+  * real PostgreSQL server — the statements Derby's portable arm can't
+  * prove ([[PgDialectSpec]] covers that arm; golden strings alone are
+  * exactly where a typo lives undetected). The suite boots a
+  * throwaway single-user cluster on a private unix socket (no TCP, no
+  * shared state), drives it through `psql` with ON_ERROR_STOP, and
+  * runs the WHOLE [[PgDialect.mergePlan]] — TEMP staging DDL, the
+  * inline COPY stream in [[PgDialect.copyEncode]]'s encoding,
+  * update-matches, insert-novelties — inside one session and one
+  * BEGIN/COMMIT, the same one-connection transactional discipline
+  * [[JdbcStore.mergeTransaction]] enforces. When the environment
+  * carries no Postgres install the tests cancel with the reason
+  * recorded (COVERAGE.md documents the constraint); they never pass
+  * vacuously. */
+class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val port = 54399
+  private def bin(name: String): Option[String] =
+    Seq("/usr/local/bin/", "/usr/bin/", "/usr/lib/postgresql/15/bin/")
+      .map(_ + name).find(p => new java.io.File(p).canExecute)
+
+  private var baseDir: java.io.File = _
+  private var up = false
+  private var whyDown = "not started"
+
+  private def sh(cmd: Seq[String], input: Option[String] = None)
+      : (Int, String) = {
+    val out = new StringBuilder
+    val log = ProcessLogger(s => { out.append(s).append('\n'); () },
+      s => { out.append(s).append('\n'); () })
+    val code = input match {
+      case Some(in) => (Process(cmd) #<
+        new java.io.ByteArrayInputStream(
+          in.getBytes(java.nio.charset.StandardCharsets.UTF_8))).!(log)
+      case None => Process(cmd).!(log)
+    }
+    (code, out.toString)
+  }
+
+  // the server refuses root — when the suite runs as root (the usual
+  // container case), hop to the postgres system user for server-side
+  // commands; the psql CLIENT runs fine as anyone
+  private def asPg(cmd: Seq[String]): Seq[String] =
+    if (sh(Seq("id", "-u"))._2.trim == "0")
+      Seq("runuser", "-u", "postgres", "--") ++ cmd
+    else cmd
+
+  private def psqlBase: Seq[String] =
+    Seq(bin("psql").get, "-h", baseDir.getAbsolutePath,
+      "-p", port.toString, "-U", "postgres", "-d", "postgres",
+      "-v", "ON_ERROR_STOP=1", "-qtA")
+
+  /** Run a psql script (stdin, ON_ERROR_STOP) against the throwaway
+    * cluster; returns (exitCode, combined output). */
+  private def psql(script: String): (Int, String) =
+    sh(psqlBase ++ Seq("-f", "-"), Some(script))
+
+  /** Run ONE `COPY … FROM STDIN` with the data fed on psql's stdin —
+    * EOF terminates the stream, so the data never rides the script
+    * scanner (whose `\.` detection is line-oriented and cannot see a
+    * CSV record spanning physical lines through a quoted newline). */
+  private def psqlCopy(copySql: String, data: String): (Int, String) =
+    sh(psqlBase ++ Seq("-c", copySql), Some(data + "\n"))
+
+  private def query(sql: String): Seq[String] = {
+    val (code, out) = psql(sql)
+    assert(code == 0, s"query failed: $sql\n$out")
+    out.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  override def beforeAll(): Unit = {
+    val need = Seq("initdb", "pg_ctl", "psql").map(b => b -> bin(b))
+    need.collect { case (b, None) => b } match {
+      case missing if missing.nonEmpty =>
+        whyDown = s"no Postgres install (missing: ${missing.mkString(", ")})"
+        return
+      case _ => ()
+    }
+    baseDir = java.nio.file.Files
+      .createTempDirectory("graft_pglive").toFile
+    val data = new java.io.File(baseDir, "data").getAbsolutePath
+    sh(Seq("chown", "-R", "postgres:postgres", baseDir.getAbsolutePath))
+    val (ic, iout) = sh(asPg(Seq(bin("initdb").get, "-D", data,
+      "-A", "trust", "--no-sync")))
+    if (ic != 0) { whyDown = s"initdb failed: ${iout.take(300)}"; return }
+    val (sc, sout) = sh(asPg(Seq(bin("pg_ctl").get, "-D", data,
+      "-o", s"-k ${baseDir.getAbsolutePath} -p $port -c listen_addresses=''",
+      "-l", s"${baseDir.getAbsolutePath}/pg.log", "-w", "start")))
+    if (sc != 0) { whyDown = s"pg_ctl start failed: ${sout.take(300)}"; return }
+    up = psql("SELECT 1")._1 == 0
+    if (!up) whyDown = "server started but psql cannot connect"
+  }
+
+  override def afterAll(): Unit = {
+    if (baseDir != null) {
+      if (up) sh(asPg(Seq(bin("pg_ctl").get, "-D",
+        new java.io.File(baseDir, "data").getAbsolutePath,
+        "stop", "-m", "immediate")))
+      sh(Seq("rm", "-rf", baseDir.getAbsolutePath))
+    }
+  }
+
+  private def live() = assume(up, s"live-Postgres checks skipped: $whyDown")
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = true)))
+
+  test("mergePlan executes end-to-end on a live Postgres in one transaction") {
+    live()
+    // seed the target with one stale row and one survivor
+    assert(psql(
+      """CREATE TABLE live_m (k INTEGER NOT NULL, name TEXT);
+        |INSERT INTO live_m VALUES (1, 'stale'), (2, 'keep');""".stripMargin)
+      ._1 == 0)
+    val plan = PgDialect.mergePlan("live_m", "stage_m", schema, Seq("k"))
+    val rows = Seq(Seq(1, "fresh"), Seq(3, "new"), Seq(4, null))
+      .map(PgDialect.copyEncode).mkString("\n")
+    // the EXACT generated statements, one session, one BEGIN/COMMIT —
+    // the COPY stream rides inline and terminates with \.
+    val script =
+      s"""BEGIN;
+         |${plan.head};
+         |${plan(1)};
+         |$rows
+         |\\.
+         |${plan(2)};
+         |${plan(3)};
+         |COMMIT;""".stripMargin
+    val (code, out) = psql(script)
+    assert(code == 0, s"mergePlan failed on live Postgres:\n$out")
+    assert(query("SELECT k || ':' || coalesce(name, '<null>') " +
+        "FROM live_m ORDER BY k") ==
+      Seq("1:fresh", "2:keep", "3:new", "4:<null>"),
+      "update-matches + insert-novelties must land exactly")
+  }
+
+  test("mergePlan aborts atomically: a failing statement rolls the COPY back") {
+    live()
+    assert(psql("CREATE TABLE live_r (k INTEGER NOT NULL, name TEXT);" +
+      "INSERT INTO live_r VALUES (1, 'orig');")._1 == 0)
+    val plan = PgDialect.mergePlan("live_r", "stage_r", schema, Seq("k"))
+    val script =
+      s"""BEGIN;
+         |${plan.head};
+         |${plan(1)};
+         |${PgDialect.copyEncode(Seq(1, "poison"))}
+         |\\.
+         |${plan(2)};
+         |INSERT INTO no_such_table VALUES (1);
+         |COMMIT;""".stripMargin
+    val (code, _) = psql(script)
+    assert(code != 0, "the poisoned plan must fail")
+    assert(query("SELECT name FROM live_r") == Seq("orig"),
+      "ON_ERROR_STOP without COMMIT must leave the target untouched")
+  }
+
+  test("onConflictUpsert executes and is idempotent on re-run") {
+    live()
+    assert(psql(
+      """CREATE TABLE live_u (k INTEGER PRIMARY KEY, name TEXT);
+        |INSERT INTO live_u VALUES (1, 'old');
+        |CREATE TABLE stage_u (k INTEGER NOT NULL, name TEXT);
+        |INSERT INTO stage_u VALUES (1, 'upd'), (2, 'ins');""".stripMargin)
+      ._1 == 0)
+    val upsert = PgDialect.onConflictUpsert("live_u", "stage_u",
+      Seq("k"), Seq("name"))
+    assert(psql(upsert + ";")._1 == 0, "the generated upsert must parse and run")
+    val want = Seq("1:upd", "2:ins")
+    assert(query(
+      "SELECT k || ':' || name FROM live_u ORDER BY k") == want)
+    assert(psql(upsert + ";")._1 == 0)
+    assert(query(
+      "SELECT k || ':' || name FROM live_u ORDER BY k") == want,
+      "re-running the upsert must change nothing")
+  }
+
+  test("copyEncode round-trips hostile values through a real COPY") {
+    live()
+    assert(psql("CREATE TABLE live_c (k INTEGER NOT NULL, v TEXT);")._1 == 0)
+    val hostile = Seq(
+      1 -> "plain",
+      2 -> null,
+      3 -> "\\N", // the null sentinel AS A VALUE — must round-trip
+      4 -> "a,b",
+      5 -> "say \"hi\"",
+      6 -> "two\nlines")
+    val rows = hostile.map { case (k, v) => PgDialect.copyEncode(Seq(k, v)) }
+      .mkString("\n")
+    val (code, out) = psqlCopy(PgDialect.copyFrom("live_c", Seq("k", "v")),
+      rows)
+    assert(code == 0, s"COPY failed:\n$out")
+    // embedded newlines would split psql's line-oriented output —
+    // compare through a visible marker instead
+    val got = query("SELECT k || '=' || " +
+      "coalesce(replace(v, E'\\n', '<nl>'), '<null>') " +
+      "FROM live_c ORDER BY k")
+    assert(got == Seq("1=plain", "2=<null>", "3=\\N", "4=a,b",
+      "5=say \"hi\"", "6=two<nl>lines"),
+      s"every hostile value must round-trip exactly: $got")
+  }
+}
