@@ -301,6 +301,10 @@ object GraftCli {
         rest.headOption.contains("ordered"), out)
     case "textcontains" :: storeDir :: terms :: out :: Nil =>
       textContains(storeDir, terms.split(",").toSeq.filter(_.nonEmpty), out)
+    case "textcontainsbatch" :: storeDir :: queries :: out :: Nil =>
+      textContainsBatch(storeDir,
+        queries.split(";").toSeq.filter(_.nonEmpty)
+          .map(_.split(",").toSeq.filter(_.nonEmpty)), out)
     case "textkwic" :: storeDir :: docs :: term :: width :: out :: Nil =>
       textKwic(storeDir, docs, term, width.toInt, out)
     case "textkwicbatch" :: storeDir :: docs :: queries :: out :: Nil =>
@@ -401,6 +405,7 @@ object GraftCli {
            |           textnear <storedir> <a> <b> <slop> <outdir> [ordered]
            |           textnearbatch <storedir> <a,b,slop;a,b,slop;...> <outdir> [ordered]
            |           textcontains <storedir> <w1,w2,...> <outdir>
+           |           textcontainsbatch <storedir> <w1,w2;w3,w4;...> <outdir>
            |           textkwic <storedir> <docs> <term> <width> <outdir>
            |           textkwicbatch <storedir> <docs> <term,width;term,width;...> <outdir>
            |           textexpand <storedir> <docs> <w1,w2,...> <k> <outdir> [fbdocs] [fbterms]
@@ -2333,6 +2338,23 @@ object GraftCli {
     hits.write.mode("overwrite").parquet(out)
     println(s"AND[${terms.mkString(", ")}]: " +
       s"${spark.read.parquet(out).count()} matching docs -> $out")
+    spark.stop()
+  }
+
+  /** textcontainsbatch: one job for a whole AND-containment frame —
+    * [[graft.operators.TextIndex.containingAllBatch]]; query ids are
+    * the 0-based positions of the semicolon-separated term lists. */
+  private def textContainsBatch(storeDir: String, specs: Seq[Seq[String]],
+                                out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val queries = specs.zipWithIndex
+      .map { case (terms, i) => (i.toLong, terms) }.toDF("query_id", "terms")
+    val hits = graft.operators.TextIndex.containingAllBatch(spark, storeDir,
+      queries, "query_id", "terms")
+    hits.write.mode("overwrite").parquet(out)
+    println(s"${specs.size} AND queries batched: " +
+      s"${spark.read.parquet(out).count()} (query, doc) matches -> $out")
     spark.stop()
   }
 

@@ -1403,6 +1403,56 @@ object TextIndex {
     }.orderBy(col("doc_id"))
   }
 
+  /** BATCHED conjunctive containment — [[containingAll]] for a whole
+    * query FRAME `(idCol, termsCol: array<string>)`, served in ONE
+    * job; per query the rows are identical to the per-query serve.
+    * The per-query rarest-first semi-join chain does not batch (each
+    * query would need its own chain), so the batched plan uses the
+    * cover-every-slot discipline of [[phraseSearchBatch]] instead: a
+    * doc matches when its distinct matched terms COUNT the query's
+    * distinct term count. Still bucket-pruned to the batch's union,
+    * still Bloom-dropping dead queries whole, still tombstone-masked;
+    * the trade is reading every query term's postings (not just the
+    * rarest chain's survivors) in exchange for one pass over the
+    * probed buckets for the whole batch. Returns (query_id, doc_id),
+    * ascending. */
+  def containingAllBatch(spark: SparkSession, storeDir: String,
+                         queries: DataFrame, idCol: String,
+                         termsCol: String): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      array_distinct(col(termsCol)).as("terms"))
+    // size(NULL)/empty guards refuse loudly, matching the single API
+    require(q.filter(col("terms").isNull || size(col("terms")) < 1)
+        .limit(1).count() == 0L,
+      "every containment query needs at least one term (none may be NULL)")
+    val (_, _, nb) = readStats(spark, storeDir)
+    val slots = q.select(col("query_id"), size(col("terms")).as("tcount"),
+      explode(col("terms")).as("w"))
+    val qslots = dropBloomDeadQueries(spark, storeDir, slots)
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .localCheckpoint()
+    val buckets = qslots.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty)
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("query_id", lit(0L))
+        .select(col("query_id"), col("doc_id"))
+    val terms = qslots.select(col("w")).distinct()
+    val post = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .drop("tb")
+        .join(terms, Seq("w"))
+        .select(col("doc_id"), col("w")))
+    post.join(qslots.select(col("query_id"), col("tcount"), col("w")),
+        Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"), col("tcount"))
+      .agg(count(lit(1)).as("nmatched"))
+      .filter(col("nmatched") === col("tcount"))
+      .select(col("query_id"), col("doc_id"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** Fold the shifted-position intersection over the phrase slots in
     * [[phraseSlotOrder]]'s order; `acc` ends as the phrase-start set. */
   private def phraseFold(spark: SparkSession, storeDir: String,

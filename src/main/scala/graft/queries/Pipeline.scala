@@ -4941,6 +4941,65 @@ object Pipeline {
       |  COALESCE(round(1.0 / hit.first_rank, 6), 0.0) AS rr
       |FROM dcg, idcg, hit""".stripMargin
 
+  // --------------------------------------------------------------- q247
+  // BATCHED conjunctive containment (TextIndex.containingAllBatch):
+  // a query frame (query_id, terms[]) served in ONE job — the last
+  // single-query text serve gains its batched form, completing the
+  // family (BM25 q230, phrase q236, NEAR q244, KWIC q245, AND q247).
+  // Per query identical to q242's serve; the batched plan trades the
+  // rarest-first chain for the cover-every-term count so one pass
+  // over the probed-bucket union serves every query. The absent-term
+  // query drops whole (in-plan live-buckets require). The oracle
+  // replays q242's containment SQL once per query and unions arms.
+  private def q247ContainsBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q247", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.append(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      out, filesPerBucket = 2)
+    import s.implicits._
+    val queries = Seq(
+      (1L, Seq("vector", "stream", "window")),
+      (2L, Seq("merge", "sort")),
+      (3L, Seq("table", "qqzzabsent"))).toDF("query_id", "terms")
+    val res = TextIndex.containingAllBatch(s, out, queries,
+      "query_id", "terms")
+    val live = Seq("vector", "stream", "window", "merge", "sort")
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    val filesInProbed = probed.map { b =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/tb=$b"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(filesInProbed < allFiles,
+      "test setup: the live queries must not cover every bucket")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= filesInProbed,
+      s"the batched containment serve must stay inside the live " +
+        s"buckets ($filesInProbed files; store holds $allFiles)")
+    res
+  }
+
+  /** q242's containment SQL, one UNION ALL arm per query — the
+    * absent-term arm matches nothing by construction. */
+  private val q247Sql = {
+    val qs = Seq((1, Seq("vector", "stream", "window")),
+      (2, Seq("merge", "sort")), (3, Seq("table", "qqzzabsent")))
+    val arms = qs.map { case (qid, terms) =>
+      val conds = terms.map(w => s"list_contains(toks, '$w')")
+        .mkString(" AND ")
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id
+         |  FROM t WHERE $conds""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |           FROM documents)
+       |${arms.map(a => s"($a)").mkString("\nUNION ALL\n")}
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5789,6 +5848,7 @@ object Pipeline {
     "q244_near_batch" -> q244NearBatch _,
     "q245_kwic_batch" -> q245KwicBatch _,
     "q246_retrieval_eval" -> q246RetrievalEval _,
+    "q247_contains_batch" -> q247ContainsBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -6043,6 +6103,7 @@ object Pipeline {
     "q244_near_batch" -> q244Sql,
     "q245_kwic_batch" -> q245Sql,
     "q246_retrieval_eval" -> q246Sql,
+    "q247_contains_batch" -> q247Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

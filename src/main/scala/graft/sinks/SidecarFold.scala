@@ -52,9 +52,13 @@ object SidecarFold {
       st.getPath.getName.split("-").last.toLong
     val (olds, folds) = found.partition(_.getPath.getName.contains(".old-"))
     val pick = (if (olds.nonEmpty) olds else folds).maxBy(stamp)
-    require(fs.rename(pick.getPath, live),
-      s"crash-heal restore ${pick.getPath} -> $side failed — refusing " +
-        "to proceed against a store whose only sidecar copy is an aside")
+    if (!fs.rename(pick.getPath, live))
+      // two concurrent readers can race this heal; the loser's rename
+      // fails AFTER the winner restored — only refuse when the live
+      // sidecar is still missing (a genuinely failed restore)
+      require(fs.exists(live),
+        s"crash-heal restore ${pick.getPath} -> $side failed — refusing " +
+          "to proceed against a store whose only sidecar copy is an aside")
     asides(fs, side).foreach(st => fs.delete(st.getPath, true))
   }
 

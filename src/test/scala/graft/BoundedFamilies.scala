@@ -87,6 +87,8 @@ object BoundedFamilies {
         // serves reach the same terms-sized df broadcast
         "q238_hybrid_batch" -> Set(Set("df", "w")),
         "q239_prf_expand" -> Set(Set("df", "w")),
+        // the retrieval-eval pipeline serves through q239's expansion
+        "q246_retrieval_eval" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),
@@ -140,5 +142,13 @@ object BoundedFamilies {
     "q165_sq8_recall" -> Set("n_hit"),
     "q172_rrf_fusion" -> Set("id2", "s2"),
     // same k-bounded better-than rank join, store-served legs
-    "q229_hybrid_store" -> Set("id2", "s2"))
+    "q229_hybrid_store" -> Set("id2", "s2"),
+    // q246's single-query eval: the literal query_id constant-folds
+    // the metric joins' equi-keys away, so the one-row-per-query
+    // aggregate frames (idcg, first-hit rank, the mrr row) surface as
+    // nested-loop build sides — each is <= #queries rows (here 1) by
+    // the groupBy(query_id) above it
+    "q246_retrieval_eval" -> Set("query_id", "idcg"),
+    "q246_retrieval_eval" -> Set("first_rank"),
+    "q246_retrieval_eval" -> Set("rr"))
 }

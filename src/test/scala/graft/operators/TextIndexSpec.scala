@@ -624,6 +624,45 @@ class TextIndexSpec extends SparkSpec {
         "query_id", "term", "width"))
   }
 
+  test("batched containingAll == per-query loop on both store kinds; tombstones mask") {
+    val dir = tmp("conjbatch")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    val qs = Seq(
+      (1L, Seq("alpha", "kappa")),
+      (2L, Seq("beta", "mu", "theta")),
+      (3L, Seq("alpha", "alpha")), // dup terms collapse, like the single API
+      (4L, Seq("alpha", "qqzzabsent")))
+    def batched(d: String) = TextIndex.containingAllBatch(spark, d,
+        qs.toDF("query_id", "terms"), "query_id", "terms")
+      .as[(Long, Long)].collect().toSeq
+    def looped(d: String) = qs.flatMap { case (qid, terms) =>
+      if (terms.contains("qqzzabsent")) Seq.empty
+      else TextIndex.containingAll(spark, d, terms)
+        .as[Long].collect().toSeq.map(doc => (qid, doc))
+    }.sorted
+    assert(batched(dir) == looped(dir),
+      "the batched containment serve must equal the per-query loop")
+    assert(looped(dir).nonEmpty, "fixture must produce matches")
+    // positional stores serve containment identically
+    val posDir = tmp("conjbatchpos")
+    TextIndex.buildPositional(docs, "doc_id", "text", posDir, nBuckets = 4)
+    assert(batched(posDir) == looped(posDir))
+    // tombstones mask every query of the batch
+    val victim = looped(dir).head._2
+    TextIndex.delete(spark, dir, Seq(victim).toDF("doc_id"), "doc_id")
+    assert(batched(dir) == looped(dir).filterNot(_._2 == victim))
+    // degenerate rows refuse loud: NULL terms, empty terms
+    assertThrows[IllegalArgumentException](
+      TextIndex.containingAllBatch(spark, dir,
+        Seq((9L, null: Seq[String])).toDF("query_id", "terms"),
+        "query_id", "terms"))
+    assertThrows[IllegalArgumentException](
+      TextIndex.containingAllBatch(spark, dir,
+        Seq((9L, Seq.empty[String])).toDF("query_id", "terms"),
+        "query_id", "terms"))
+  }
+
   test("phrase fold runs rarest-term-first from the df sketch; answers unchanged") {
     val dir = tmp("rarest")
     // skewed fixture: 'alpha' in every doc, 'raretok' in two

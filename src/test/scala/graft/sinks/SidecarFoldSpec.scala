@@ -123,6 +123,15 @@ class SidecarFoldSpec extends SparkSpec {
         .as[(Long, Double)].collect().toSeq
     assert(serve(dir) == serve(dirSurv),
       "a churned IVF store must serve the survivor rebuild's answer")
+    // fold crash window: tombstones parked aside must heal on the
+    // next serve, never read as "no deletes"
+    val fs = HadoopSwap.fs(spark, dir)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/_tombstones"),
+      new org.apache.hadoop.fs.Path(s"$dir/_tombstones.old-777")))
+    assert(serve(dir) == serve(dirSurv),
+      "a fold-crash window must never resurrect tombstoned vectors")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_tombstones")))
   }
 
   test("signature store: 70 delete calls fold the tombstone sidecar; live rows exact") {
@@ -141,5 +150,16 @@ class SidecarFoldSpec extends SparkSpec {
         .select($"doc_id").distinct().as[Long].collect().toSet ==
       (10L until 50L).toSet,
       "exactly the surviving docs' signatures remain visible")
+    // fold crash window: tombstones parked aside must heal on the
+    // next read, never resurrect the deleted docs' signatures
+    val fs = HadoopSwap.fs(spark, dir)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/_tombstones"),
+      new org.apache.hadoop.fs.Path(s"$dir/_tombstones.old-777")))
+    assert(Dedup.readSignatureStore(spark, dir)
+        .select($"doc_id").distinct().as[Long].collect().toSet ==
+      (10L until 50L).toSet,
+      "a fold-crash window must never resurrect tombstoned signatures")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_tombstones")))
   }
 }
