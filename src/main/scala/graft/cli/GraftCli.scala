@@ -315,6 +315,13 @@ object GraftCli {
             s"KWIC query '$spec' is not term,width")
           (p(0), p(1).toInt)
         }, out)
+    case "textexpandbatch" :: storeDir :: docs :: queries :: k :: out :: rest
+        if rest.size <= 2 =>
+      textExpandBatch(storeDir, docs,
+        queries.split(";").toSeq.filter(_.nonEmpty)
+          .map(_.split(",").toSeq.filter(_.nonEmpty)), k.toInt,
+        rest.headOption.map(_.toInt).getOrElse(5),
+        rest.lift(1).map(_.toInt).getOrElse(3), out)
     case "textexpand" :: storeDir :: docs :: terms :: k :: out :: rest
         if rest.size <= 2 =>
       textExpand(storeDir, docs,
@@ -409,6 +416,7 @@ object GraftCli {
            |           textkwic <storedir> <docs> <term> <width> <outdir>
            |           textkwicbatch <storedir> <docs> <term,width;term,width;...> <outdir>
            |           textexpand <storedir> <docs> <w1,w2,...> <k> <outdir> [fbdocs] [fbterms]
+           |           textexpandbatch <storedir> <docs> <w1,w2;w3,w4;...> <k> <outdir> [fbdocs] [fbterms]
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -2373,6 +2381,27 @@ object GraftCli {
 
   /** textexpand: BM25 with pseudo-relevance-feedback expansion —
     * [[graft.operators.TextIndex.topKExpanded]]. */
+  /** textexpandbatch: one four-job PRF serve for a whole query frame —
+    * [[graft.operators.TextIndex.topKExpandedBatch]]; query ids are
+    * the 0-based positions of the semicolon-separated seed lists. */
+  private def textExpandBatch(storeDir: String, docs: String,
+                              specs: Seq[Seq[String]], k: Int,
+                              fbDocs: Int, fbTerms: Int,
+                              out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val queries = specs.zipWithIndex
+      .map { case (terms, i) => (i.toLong, terms) }.toDF("query_id", "terms")
+    val hits = graft.operators.TextIndex.topKExpandedBatch(spark, storeDir,
+      spark.read.parquet(docs), "doc_id", "text",
+      queries, "query_id", "terms", k, fbDocs, fbTerms)
+    hits.write.mode("overwrite").parquet(out)
+    println(s"${specs.size} PRF queries batched (+$fbTerms terms from " +
+      s"top $fbDocs docs each): " +
+      s"${spark.read.parquet(out).count()} (query, doc) rows -> $out")
+    spark.stop()
+  }
+
   private def textExpand(storeDir: String, docs: String,
                          terms: Seq[String], k: Int, fbDocs: Int,
                          fbTerms: Int, out: String): Unit = {

@@ -1123,6 +1123,56 @@ object TextIndex {
     topK(spark, storeDir, terms ++ expansion, k, k1, b)
   }
 
+  /** BATCHED pseudo-relevance-feedback expansion — [[topKExpanded]]
+    * for a whole query FRAME `(qidCol, termsCol: array<string>)`,
+    * served as FOUR jobs for the entire batch (vs 2×N store serves +
+    * N driver round-trips for a per-query loop): one batched seed
+    * serve ([[topKBatch]], k = fbDocs), one corpus probe sized by the
+    * batch's union of feedback docs, the per-query top-fbTerms mined
+    * with a query-partitioned window (tf desc, term — the single
+    * API's exact tiebreak), and one batched expanded serve. Unlike
+    * the single API the expansion never touches the driver: each
+    * query's seed exclusion is an anti-join on (query_id, term) and
+    * the mined terms union back engine-side. Per query the rows are
+    * bit-identical to [[topKExpanded]] with the same parameters.
+    * Returns (query_id, doc_id, n_terms, score). */
+  def topKExpandedBatch(spark: SparkSession, storeDir: String,
+                        corpus: DataFrame, idCol: String, textCol: String,
+                        queries: DataFrame, qidCol: String,
+                        termsCol: String, k: Int,
+                        fbDocs: Int = 5, fbTerms: Int = 3,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0,
+      "need at least one feedback doc and a non-negative expansion size")
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      array_distinct(col(termsCol)).as("terms"))
+    require(q.filter(col("terms").isNull || size(col("terms")) < 1)
+        .limit(1).count() == 0L,
+      "every PRF query needs at least one seed term (none may be NULL)")
+    // three consumers (seed serve, exclusion anti-join, final union) —
+    // checkpoint so they cannot diverge
+    val qc = q.localCheckpoint()
+    val fb = topKBatch(spark, storeDir, qc, "query_id", "terms", fbDocs,
+        k1, b)
+      .select(col("query_id"), col("doc_id"))
+    val seedPairs = qc.select(col("query_id"), explode(col("terms")).as("w"))
+    val wExp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("tf").desc, col("w"))
+    val expanded = fb
+      .join(corpus.select(col(idCol).as("doc_id"),
+        split(col(textCol), TOK).as("toks")), Seq("doc_id"))
+      .select(col("query_id"), explode(col("toks")).as("w"))
+      .filter(col("w") =!= "")
+      .join(seedPairs, Seq("query_id", "w"), "left_anti")
+      .groupBy(col("query_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .withColumn("_r", row_number().over(wExp))
+      .filter(col("_r") <= fbTerms)
+      .select(col("query_id"), col("w"))
+    val finalTerms = seedPairs.union(expanded)
+      .groupBy(col("query_id")).agg(collect_set(col("w")).as("terms"))
+    topKBatch(spark, storeDir, finalTerms, "query_id", "terms", k, k1, b)
+  }
+
   /** Store-served PROXIMITY (NEAR) search — docs where `a` and `b`
     * co-occur within `slop` token positions, from the positional
     * store's postings alone: the Lucene SpanNear shape, served like

@@ -5000,6 +5000,88 @@ object Pipeline {
        |ORDER BY query_id, doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q248
+  // BATCHED PRF expansion (TextIndex.topKExpandedBatch): q239's
+  // RM/Rocchio core for a whole query frame in FOUR jobs — batched
+  // seed serve, ONE union-of-feedback-docs corpus probe, per-query
+  // window-mined top-fbTerms (engine-side: unlike the single API the
+  // expansion never touches the driver), batched expanded serve. Per
+  // query bit-identical to topKExpanded. The oracle replays the whole
+  // per-query PRF chain (seed ranking, expansion mining, expanded
+  // ranking) once per arm with arm-scoped CTEs — the data-dependent
+  // expansion rides CTE joins, so engine and oracle derive the SAME
+  // term sets or the hashes differ.
+  private def q248PrfBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q248", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    import s.implicits._
+    val queries = Seq(
+      (1L, Seq("vector", "stream")),
+      (2L, Seq("merge", "sort")),
+      (3L, Seq("table", "group"))).toDF("query_id", "terms")
+    TextIndex.topKExpandedBatch(s, out, docs, "doc_id", "text",
+      queries, "query_id", "terms", k = 10, fbDocs = 5, fbTerms = 3)
+  }
+
+  /** One PRF chain per arm, arm-scoped CTE names, shared corpus/stats
+    * CTEs — q239's SQL parameterized by (qid, seeds). */
+  private def prfArmSql(qid: Int, seeds: Seq[String], k: Int,
+                        fbDocs: Int, fbTerms: Int): String = {
+    val inSeeds = seeds.map(w => s"'$w'").mkString(", ")
+    val contrib =
+      """CAST(round(
+        |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+        |      * (tf * (1.2e0 + 1)) /
+        |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c"""
+        .stripMargin
+    s"""tf0_$qid AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+       |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+       |  WHERE w IN ($inSeeds) GROUP BY doc_id, dl, w),
+       |df0_$qid AS (SELECT w, COUNT(*) AS df FROM tf0_$qid GROUP BY w),
+       |contrib0_$qid AS (SELECT doc_id, $contrib
+       |  FROM tf0_$qid JOIN df0_$qid USING (w) CROSS JOIN stats),
+       |fb_$qid AS (SELECT doc_id FROM (
+       |  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+       |  FROM contrib0_$qid GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT $fbDocs)),
+       |expn_$qid AS (SELECT w FROM (
+       |  SELECT w, COUNT(*) AS tf
+       |  FROM (SELECT unnest(toks) AS w FROM b2 JOIN fb_$qid USING (doc_id))
+       |  WHERE w <> '' AND w NOT IN ($inSeeds)
+       |  GROUP BY w ORDER BY tf DESC, w LIMIT $fbTerms)),
+       |qt_$qid AS (${seeds.map(w => s"SELECT '$w' AS w")
+          .mkString(" UNION ALL ")} UNION ALL SELECT w FROM expn_$qid),
+       |tf1_$qid AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+       |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+       |  WHERE w IN (SELECT w FROM qt_$qid) GROUP BY doc_id, dl, w),
+       |df1_$qid AS (SELECT w, COUNT(*) AS df FROM tf1_$qid GROUP BY w),
+       |contrib1_$qid AS (SELECT doc_id, $contrib
+       |  FROM tf1_$qid JOIN df1_$qid USING (w) CROSS JOIN stats),
+       |arm_$qid AS (SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+       |    n_terms, score FROM (
+       |  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
+       |  FROM contrib1_$qid GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT $k))""".stripMargin
+  }
+
+  private val q248Sql = {
+    val qs = Seq((1, Seq("vector", "stream")), (2, Seq("merge", "sort")),
+      (3, Seq("table", "group")))
+    val arms = qs.map { case (qid, seeds) =>
+      prfArmSql(qid, seeds, k = 10, fbDocs = 5, fbTerms = 3) }
+    val union = qs.map { case (qid, _) => s"SELECT * FROM arm_$qid" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT COUNT(*) AS n,
+       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+       |${arms.mkString(",\n")}
+       |SELECT query_id, doc_id, n_terms, score FROM ($union)
+       |ORDER BY query_id, score DESC, doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5849,6 +5931,7 @@ object Pipeline {
     "q245_kwic_batch" -> q245KwicBatch _,
     "q246_retrieval_eval" -> q246RetrievalEval _,
     "q247_contains_batch" -> q247ContainsBatch _,
+    "q248_prf_batch" -> q248PrfBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -6104,6 +6187,7 @@ object Pipeline {
     "q245_kwic_batch" -> q245Sql,
     "q246_retrieval_eval" -> q246Sql,
     "q247_contains_batch" -> q247Sql,
+    "q248_prf_batch" -> q248Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -89,6 +89,8 @@ object BoundedFamilies {
         "q239_prf_expand" -> Set(Set("df", "w")),
         // the retrieval-eval pipeline serves through q239's expansion
         "q246_retrieval_eval" -> Set(Set("df", "w")),
+        // the batched PRF's two topKBatch serves
+        "q248_prf_batch" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),

@@ -663,6 +663,46 @@ class TextIndexSpec extends SparkSpec {
         "query_id", "terms"))
   }
 
+  test("batched PRF == per-query topKExpanded loop; expansion never hits the driver") {
+    val dir = tmp("prfbatch")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    val qs = Seq(
+      (1L, Seq("alpha", "kappa")),
+      (2L, Seq("beta", "mu")),
+      (3L, Seq("theta")))
+    val batched = TextIndex.topKExpandedBatch(spark, dir, docs, "doc_id",
+        "text", qs.toDF("query_id", "terms"), "query_id", "terms",
+        k = 8, fbDocs = 4, fbTerms = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val looped = qs.flatMap { case (qid, terms) =>
+      TextIndex.topKExpanded(spark, dir, docs, "doc_id", "text", terms,
+          k = 8, fbDocs = 4, fbTerms = 2)
+        .select($"doc_id", $"n_terms", $"score")
+        .as[(Long, Long, Double)].collect().toSeq
+        .map(r => (qid, r._1, r._2, r._3))
+    }
+    // same rows per query; the loop's order within a query is already
+    // (score desc, doc_id), the batch orders by query first
+    assert(batched == looped.sortBy(r => (r._1, -r._4, r._2)),
+      "the batched PRF serve must equal the per-query loop")
+    assert(looped.nonEmpty, "fixture must produce matches")
+    // fbTerms=0 degrades to plain batched BM25, like the single API
+    val plain = TextIndex.topKExpandedBatch(spark, dir, docs, "doc_id",
+        "text", qs.toDF("query_id", "terms"), "query_id", "terms",
+        k = 8, fbDocs = 4, fbTerms = 0)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val plainWant = TextIndex.topKBatch(spark, dir,
+        qs.toDF("query_id", "terms"), "query_id", "terms", 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(plain == plainWant, "fbTerms=0 must be plain batched BM25")
+    // degenerate rows refuse loud
+    assertThrows[IllegalArgumentException](
+      TextIndex.topKExpandedBatch(spark, dir, docs, "doc_id", "text",
+        Seq((9L, Seq.empty[String])).toDF("query_id", "terms"),
+        "query_id", "terms", 5))
+  }
+
   test("phrase fold runs rarest-term-first from the df sketch; answers unchanged") {
     val dir = tmp("rarest")
     // skewed fixture: 'alpha' in every doc, 'raretok' in two
