@@ -463,10 +463,13 @@ object Similarity {
           s.isFile && n.startsWith("part-") && n.endsWith(".parquet")
         }).sum
     }
-    val statsCols: Seq[String] =
+    val statsCols: Seq[String] = {
+      graft.sinks.SidecarFold.restoreAside(spark,
+        s"$storeDir/_zonemap_multi") // fold-crash heal before the gate
       if (!HadoopSwap.exists(spark, s"$storeDir/_zonemap_multi")) Nil
       else spark.read.parquet(s"$storeDir/_zonemap_multi")
         .select(col("col")).distinct().collect().map(_.getString(0)).toSeq.sorted
+    }
     val bloomGeom: Option[(String, Int, Int)] =
       if (!HadoopSwap.exists(spark, s"$storeDir/_bloommap")) None
       else {

@@ -587,6 +587,11 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (roots.length != 1 || roots.head.getName.endsWith(".parquet")) return f
     val dir = roots.head.toString
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fold-crash heal: a zonemap parked under a fold aside reads as
+    // "no sidecar" — only a lost prune, never a wrong row, but the
+    // restore costs one exists call and keeps the prune alive
+    graft.sinks.SidecarFold.restoreAside(spark, s"$dir/_zonemap_multi")
+    graft.sinks.SidecarFold.restoreAside(spark, s"$dir/_bloommap")
     val hasZone = fs.exists(new Path(s"$dir/_zonemap_multi"))
     val hasBloom = fs.exists(new Path(s"$dir/_bloommap"))
     if (!hasZone && !hasBloom) return f

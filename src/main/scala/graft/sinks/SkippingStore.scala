@@ -201,6 +201,7 @@ object SkippingStore {
                   nFiles: Int): Unit = {
     require(nFiles >= 1, "need at least one file")
     val spark = df.sparkSession
+    SidecarFold.restoreAside(spark, s"$dir/_zonemap_multi")
     require(pathExists(spark, s"$dir/_zonemap_multi"),
       s"$dir has no _zonemap_multi — build it with writeMulti first")
     val zm = spark.read.parquet(s"$dir/_zonemap_multi")
@@ -247,12 +248,14 @@ object SkippingStore {
     * (filesBefore, filesAfter). */
   def compactIndexed(spark: SparkSession, dir: String, sortCol: String,
                      targetBytes: Long = 64L << 20): (Int, Int) = {
+    SidecarFold.restoreAside(spark, s"$dir/_zonemap_multi")
     require(pathExists(spark, s"$dir/_zonemap_multi"),
       s"$dir has no _zonemap_multi — compact unindexed stores with StoreMaintenance.compact")
     val zm = spark.read.parquet(s"$dir/_zonemap_multi")
     val statsCols = zm.select(col("col")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    val bloomGeom: Option[(String, Int, Int)] =
+    val bloomGeom: Option[(String, Int, Int)] = {
+      SidecarFold.restoreAside(spark, s"$dir/_bloommap")
       if (!pathExists(spark, s"$dir/_bloommap")) None
       else {
         val bm = bloomMap(spark, dir)
@@ -270,6 +273,7 @@ object SkippingStore {
             "bloomIndex before compacting")
         Some((g.head.getString(0), g.head.getInt(1), g.head.getInt(2)))
       }
+    }
     def parquetFiles(d: String): Int = listDataFileNames(spark, d).length
     val before = parquetFiles(dir)
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -419,6 +423,9 @@ object SkippingStore {
                        statsCols: Seq[String]): Unit = {
     require(statsCols.nonEmpty, "need at least one stats column")
     val side = s"$dir/_zonemap_multi"
+    // fold-crash heal: a zonemap parked under a fold aside would read
+    // as "unindexed store" and trigger a needless full rebuild
+    SidecarFold.restoreAside(spark, side)
     val (known, cols) =
       if (!pathExists(spark, side)) (Set.empty[String], statsCols.sorted)
       else {
@@ -440,6 +447,12 @@ object SkippingStore {
         regexp_extract(input_file_name(), "((?:[^/]+=[^/]*/)*[^/]+)$", 1))
       .coalesce(1)
       .write.mode(if (known.isEmpty) "overwrite" else "append").parquet(side)
+    // one appended zonemap file per ingest — fold on the same
+    // threshold as the tombstone/doclen sidecars so a long-appended
+    // store's EVERY zone-pruned serve keeps a bounded sidecar read
+    // (rows are unique per (file, col); the fold just re-packs files)
+    SidecarFold.foldIfDecayed(spark, side, 64)(identity)
+    ()
   }
 
   /** The partition-relative file key expression shared by every
@@ -1265,6 +1278,7 @@ object SkippingStore {
     * the existing sidecar so mixed-geometry maps can't arise. Fails
     * loudly when no sidecar exists (build with [[bloomIndex]] first). */
   def bloomAppend(spark: SparkSession, dir: String, keyCol: String): Unit = {
+    SidecarFold.restoreAside(spark, s"$dir/_bloommap")
     require(pathExists(spark, s"$dir/_bloommap"),
       s"$dir has no _bloommap — build it with bloomIndex before appending")
     val bm = bloomMap(spark, dir)
@@ -1288,6 +1302,11 @@ object SkippingStore {
       (if (bm.columns.contains("keycol")) rows else rows.drop("keycol"))
         .coalesce(1)
         .write.mode("append").parquet(s"$dir/_bloommap")
+      // same one-file-per-append decay as the zonemap — fold on the
+      // shared threshold so point-lookup plans keep a bounded read
+      // (NO mergeSchema: a pre-keycol sidecar keeps its own schema)
+      SidecarFold.foldIfDecayed(spark, s"$dir/_bloommap", 64)(identity)
+      ()
     }
   }
 

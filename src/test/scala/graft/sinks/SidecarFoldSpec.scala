@@ -65,9 +65,11 @@ class SidecarFoldSpec extends SparkSpec {
     val dl = filesIn(s"$dir/_doclen")
     val tb = filesIn(s"$dir/_tombstones")
     val st = filesIn(s"$dir/_corpus_stats")
+    val zm = filesIn(s"$dir/_zonemap_multi")
     assert(dl <= 70, s"_doclen must fold under churn ($dl files)")
     assert(tb <= 70, s"_tombstones must fold under churn ($tb files)")
     assert(st <= 70, s"_corpus_stats must fold under churn ($st files)")
+    assert(zm <= 70, s"_zonemap_multi must fold under churn ($zm files)")
     // stats and serve are exactly a rebuild on the survivors
     assert(TextIndex.readStats(spark, dir)._1 == 10L)
     val survivors = (100L to 109L).map(i => (i, s"alpha beta w$i"))
