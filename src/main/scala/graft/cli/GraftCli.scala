@@ -299,6 +299,12 @@ object GraftCli {
           (p(0), p(1), p(2).toInt)
         },
         rest.headOption.contains("ordered"), out)
+    case "textnotnear" :: storeDir :: a :: b :: slop :: out :: Nil =>
+      textNotNear(storeDir, a, b, slop.toInt, out)
+    case "textlmrank" :: storeDir :: terms :: k :: out :: rest
+        if rest.size <= 1 =>
+      textLmRank(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
+        k.toInt, rest.headOption.map(_.toDouble).getOrElse(2000.0), out)
     case "textcontains" :: storeDir :: terms :: out :: Nil =>
       textContains(storeDir, terms.split(",").toSeq.filter(_.nonEmpty), out)
     case "textcontainsbatch" :: storeDir :: queries :: out :: Nil =>
@@ -411,6 +417,8 @@ object GraftCli {
            |           textphrasebatch <storedir> <w1,w2;w3,w4;...> <outdir>
            |           textnear <storedir> <a> <b> <slop> <outdir> [ordered]
            |           textnearbatch <storedir> <a,b,slop;a,b,slop;...> <outdir> [ordered]
+           |           textnotnear <storedir> <a> <b> <slop> <outdir>
+           |           textlmrank <storedir> <w1,w2,...> <k> <outdir> [mu]
            |           textcontains <storedir> <w1,w2,...> <outdir>
            |           textcontainsbatch <storedir> <w1,w2;w3,w4;...> <outdir>
            |           textkwic <storedir> <docs> <term> <width> <outdir>
@@ -2334,6 +2342,32 @@ object GraftCli {
     wins.write.mode("overwrite").parquet(out)
     println(s"${specs.size} KWIC queries batched: " +
       s"${spark.read.parquet(out).count()} windows -> $out")
+    spark.stop()
+  }
+
+  /** textnotnear: SpanNot exclusion search —
+    * [[graft.operators.TextIndex.notNearSearch]]. */
+  private def textNotNear(storeDir: String, a: String, b: String,
+                          slop: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    val hits = graft.operators.TextIndex
+      .notNearSearch(spark, storeDir, a, b, slop)
+    hits.write.mode("overwrite").parquet(out)
+    println(s"NOT-NEAR($a, $b, slop=$slop): " +
+      s"${spark.read.parquet(out).count()} matching docs -> $out")
+    spark.stop()
+  }
+
+  /** textlmrank: Dirichlet query-likelihood ranking —
+    * [[graft.operators.TextIndex.lmTopK]]. */
+  private def textLmRank(storeDir: String, terms: Seq[String], k: Int,
+                         mu: Double, out: String): Unit = {
+    val spark = GraftSession.local()
+    val hits = graft.operators.TextIndex.lmTopK(spark, storeDir, terms,
+      k, mu)
+    hits.write.mode("overwrite").parquet(out)
+    println(s"LM[${terms.mkString(", ")}] (mu=$mu): " +
+      s"${spark.read.parquet(out).count()} docs -> $out")
     spark.stop()
   }
 

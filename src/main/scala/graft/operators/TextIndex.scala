@@ -1223,6 +1223,105 @@ object TextIndex {
       .filter(col("n_pairs") > 0)
   }
 
+  /** Store-served DIRICHLET query-likelihood ranking — the language-
+    * model ranker next to BM25 (Lucene's LMDirichletSimilarity shape):
+    * per matching (doc, term),
+    * `log(1 + tf/(mu*ctf/|C|)) + log(mu/(dl+mu))`, summed over the
+    * query terms the doc carries; matching docs only, ties
+    * (score desc, doc_id). Every input is already in the store:
+    * collection term frequency `ctf` is the SUM of tf over the term's
+    * bucket (a term's postings live entirely inside it — exact, like
+    * BM25's df), `|C|` and the doc count come from `_corpus_stats`,
+    * `dl` rides each posting. Same three-layer pruning, same
+    * tombstone discipline, same round-to-6/DECIMAL accumulation as
+    * [[topK]], so the oracle reproduces scores bit-for-bit. */
+  def lmTopK(spark: SparkSession, storeDir: String, terms: Seq[String],
+             k: Int, mu: Double = 2000.0): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(mu > 0, "the Dirichlet pseudo-count must be positive")
+    require(!isPositional(spark, storeDir),
+      s"$storeDir is a positional store — serve LM ranking from a " +
+        "TextIndex.build store, like BM25")
+    import spark.implicits._
+    val (_, sdl, nb) = readStats(spark, storeDir)
+    val live = readTermFilter(spark, storeDir)
+      .fold(terms)(bits => presentTerms(spark, terms, bits))
+    if (live.isEmpty)
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("n_terms", lit(0L)).withColumn("score", lit(0.0))
+    val buckets = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tf = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .filter(col("w").isin(live: _*)))
+    // exact collection term frequency from the read postings
+    val ctfT = tf.groupBy(col("w")).agg(sum(col("tf")).as("ctf"))
+    // round each log term to 6 decimals (never the tiny collection
+    // probability itself — a rare term's ctf/|C| would round to zero
+    // and blow the division); the sum of two 6-dec values is exact in
+    // DECIMAL, so the oracle reproduces every score bit-for-bit
+    tf.join(broadcast(ctfT), Seq("w"))
+      .withColumn("tfc", round(
+        log(lit(1.0) + col("tf").cast("double") * lit(sdl).cast("double") /
+          (lit(mu) * col("ctf").cast("double"))), 6)
+        .cast("decimal(28,6)"))
+      .withColumn("bg", round(
+        log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6)
+        .cast("decimal(28,6)"))
+      .withColumn("c", col("tfc") + col("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** SPAN-NOT search — occurrences of `a` NOT within `slop` positions
+    * of any `b` (the Lucene SpanNot shape, [[nearSearch]]'s exclusion
+    * sibling): per doc, the count of `a`'s positions with no `b` in
+    * their ±slop window; docs with at least one clear occurrence
+    * match. A `b` provably absent from the store means EVERY `a`
+    * occurrence is clear — only `a`'s bucket opens. Same three-layer
+    * pruning and tf(a)×tf(b)-bounded pair algebra as NEAR. Returns
+    * (doc_id, n_clear), matching docs only. */
+  def notNearSearch(spark: SparkSession, storeDir: String,
+                    a: String, b: String, slop: Int): DataFrame = {
+    require(slop >= 1, "slop is a positive token distance")
+    require(a != b, "SpanNot of a term with itself excludes everything")
+    require(isPositional(spark, storeDir),
+      s"$storeDir carries no positions — build with buildPositional")
+    val (_, _, nb) = readStats(spark, storeDir)
+    import spark.implicits._
+    val live = readTermFilter(spark, storeDir)
+      .fold(Seq(a, b))(bits => presentTerms(spark, Seq(a, b), bits)).toSet
+    if (!live(a))
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("n_clear", lit(0L))
+    val terms = Seq(a, b).filter(live)
+    val buckets = terms.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val post = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .filter(col("w").isin(terms: _*))
+        .select(col("doc_id"), col("w"), col("pos")))
+    val pa = post.filter(col("w") === a)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val pb = post.filter(col("w") === b)
+      .select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        size(filter(col("pa"), x =>
+          col("pb").isNull ||
+            size(filter(col("pb"), y => abs(y - x) <= slop)) === 0))
+          .cast("long").as("n_clear"))
+      .filter(col("n_clear") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** BATCHED proximity search — [[nearSearch]] for a whole query FRAME
     * `(idCol, aCol, bCol, slopCol)`, served in ONE job: per query the
     * rows are bit-identical to the per-query loop, but every probed

@@ -5082,6 +5082,89 @@ object Pipeline {
        |ORDER BY query_id, score DESC, doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q249
+  // SPAN-NOT search (TextIndex.notNearSearch): occurrences of a term
+  // CLEAR of another — q237's exclusion sibling (Lucene SpanNot),
+  // the negative-evidence primitive (redaction review, "X but not
+  // near Y" mining). Per doc the count of 'vector' positions with no
+  // 'stream' inside ±4; a provably-absent exclusion term means every
+  // occurrence is clear and only the kept term's bucket opens. The
+  // oracle recomputes clear counts with DuckDB list algebra.
+  private def q249NotNear(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q249", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", out, filesPerBucket = 2)
+    val res = TextIndex.notNearSearch(s, out, "vector", "stream", slop = 4)
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"SpanNot must stay inside the two terms' buckets " +
+        s"($dataFiles data files)")
+    res
+  }
+
+  private val q249Sql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id,
+      |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'vector') AS pa,
+      |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'stream') AS pb
+      |  FROM t),
+      |m AS (SELECT doc_id,
+      |    CAST(len(list_filter(pa, x ->
+      |      len(list_filter(pb, y -> abs(y - x) <= 4)) = 0)) AS BIGINT)
+      |      AS n_clear
+      |  FROM p WHERE len(pa) > 0)
+      |SELECT doc_id, n_clear FROM m WHERE n_clear > 0 ORDER BY doc_id"""
+      .stripMargin
+
+  // --------------------------------------------------------------- q250
+  // Store-served DIRICHLET query-likelihood ranking (TextIndex.lmTopK):
+  // the language-model ranker next to BM25 (Lucene LMDirichlet shape)
+  // from the SAME postings store — collection term frequency is the
+  // exact sum of tf inside each term's bucket, |C| and dl come from
+  // the stats/postings already read, so a second ranking family costs
+  // zero extra store surface. Same pruning, tombstones, and
+  // round-to-6/DECIMAL discipline as BM25; the oracle recomputes the
+  // smoothed scores from the corpus.
+  private def q250LmRank(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q250", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.append(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      out, filesPerBucket = 2)
+    val res = TextIndex.lmTopK(s, out,
+      Seq("vector", "stream", "window"), k = 15)
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"the LM serve must prune to its terms' buckets " +
+        s"($dataFiles data files)")
+    res
+  }
+
+  private val q250Sql =
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |           FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+      |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) AS c FROM b2),
+      |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN ('vector', 'stream', 'window') GROUP BY doc_id, dl, w),
+      |ctf AS (SELECT w, CAST(SUM(tf) AS DOUBLE) AS ctf FROM tf GROUP BY w),
+      |scored AS (SELECT doc_id,
+      |    CAST(round(ln(1.0e0 + CAST(tf AS DOUBLE) * c
+      |      / (2000.0e0 * ctf)), 6) AS DECIMAL(28,6))
+      |    + CAST(round(ln(2000.0e0 / (CAST(dl AS DOUBLE) + 2000.0e0)), 6)
+      |        AS DECIMAL(28,6)) AS cc
+      |  FROM tf JOIN ctf USING (w) CROSS JOIN stats)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(cc) AS DOUBLE) AS score
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -5932,6 +6015,8 @@ object Pipeline {
     "q246_retrieval_eval" -> q246RetrievalEval _,
     "q247_contains_batch" -> q247ContainsBatch _,
     "q248_prf_batch" -> q248PrfBatch _,
+    "q249_not_near" -> q249NotNear _,
+    "q250_lm_rank" -> q250LmRank _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -6188,6 +6273,8 @@ object Pipeline {
     "q246_retrieval_eval" -> q246Sql,
     "q247_contains_batch" -> q247Sql,
     "q248_prf_batch" -> q248Sql,
+    "q249_not_near" -> q249Sql,
+    "q250_lm_rank" -> q250Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -91,6 +91,9 @@ object BoundedFamilies {
         "q246_retrieval_eval" -> Set(Set("df", "w")),
         // the batched PRF's two topKBatch serves
         "q248_prf_batch" -> Set(Set("df", "w")),
+        // the LM ranker's terms-sized collection-frequency table
+        // (exact ctf from the read postings, like BM25's df)
+        "q250_lm_rank" -> Set(Set("ctf", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),

@@ -703,6 +703,76 @@ class TextIndexSpec extends SparkSpec {
         "query_id", "terms", 5))
   }
 
+  test("notNearSearch: clear-occurrence counts, absent exclusion, tombstones") {
+    val dir = tmp("spannot")
+    val docs2 = Seq(
+      (0L, "a x b"),            // a@0, b@2: within 2 -> not clear
+      (1L, "a x x x x x b"),    // a@0, b@6: clear at slop 2
+      (2L, "a b x x x a"),      // a@0 blocked, a@5 clear (b@1, slop 2)
+      (3L, "a a a"),            // no b: all 3 clear
+      (4L, "b c")).toDF("doc_id", "text")
+    TextIndex.buildPositional(docs2, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    def spanNot(slop: Int) =
+      TextIndex.notNearSearch(spark, dir, "a", "b", slop)
+        .as[(Long, Long)].collect().toSeq
+    assert(spanNot(2) == Seq((1L, 1L), (2L, 1L), (3L, 3L)), spanNot(2).toString)
+    // wider slop blocks doc1's (|0-6|=6) and doc2's (|5-1|=4) too
+    assert(spanNot(6) == Seq((3L, 3L)))
+    // an exclusion term provably absent means every occurrence is clear
+    assert(TextIndex.notNearSearch(spark, dir, "a", "qqzzabsent", 3)
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 3L)))
+    // an absent KEPT term answers empty
+    assert(TextIndex.notNearSearch(spark, dir, "qqzzabsent", "b", 3)
+      .count() == 0L)
+    // tombstones mask
+    TextIndex.delete(spark, dir, Seq(3L).toDF("doc_id"), "doc_id")
+    assert(spanNot(2) == Seq((1L, 1L), (2L, 1L)))
+    assertThrows[IllegalArgumentException](
+      TextIndex.notNearSearch(spark, dir, "a", "a", 2))
+  }
+
+  test("lmTopK: Dirichlet scores equal a corpus recomputation; tombstones rebuild stats") {
+    val dir = tmp("lmrank")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    val terms = Seq("alpha", "kappa")
+    val mu = 2000.0
+    // recompute the exact formula from the corpus frame
+    def want(corpus: org.apache.spark.sql.DataFrame) = {
+      val b2 = corpus.select($"doc_id",
+        split($"text", "\\s+").as("toks"))
+        .withColumn("dl", size($"toks").cast("long"))
+      val c = b2.agg(sum($"dl")).head().getLong(0).toDouble
+      val tf = b2.select($"doc_id", $"dl", explode($"toks").as("w"))
+        .filter($"w".isin(terms: _*))
+        .groupBy($"doc_id", $"dl", $"w").agg(count(lit(1)).as("tf"))
+      val ctf = tf.groupBy($"w").agg(sum($"tf").cast("double").as("ctf"))
+      tf.join(ctf, Seq("w"))
+        .withColumn("cc",
+          round(log(lit(1.0) + $"tf".cast("double") * c /
+            (lit(mu) * $"ctf")), 6).cast("decimal(28,6)") +
+          round(log(lit(mu) / ($"dl".cast("double") + mu)), 6)
+            .cast("decimal(28,6)"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum($"cc").cast("double").as("score"))
+        .orderBy($"score".desc, $"doc_id").limit(10)
+        .as[(Long, Long, Double)].collect().toSeq
+    }
+    def served() = TextIndex.lmTopK(spark, dir, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(served() == want(docs),
+      "the store-served LM ranking must equal the corpus recomputation")
+    // tombstoned docs drop AND their mass leaves ctf/|C| exactly
+    val victim = served().head._1
+    TextIndex.delete(spark, dir, Seq(victim).toDF("doc_id"), "doc_id")
+    assert(served() == want(docs.filter($"doc_id" =!= victim)),
+      "after a delete the LM stats must equal a survivor rebuild")
+    // absent terms prune; all-absent answers empty
+    assert(TextIndex.lmTopK(spark, dir, Seq("qqzzabsent"), 5).count() == 0L)
+  }
+
   test("phrase fold runs rarest-term-first from the df sketch; answers unchanged") {
     val dir = tmp("rarest")
     // skewed fixture: 'alpha' in every doc, 'raretok' in two
