@@ -46,7 +46,12 @@ object Bench {
     // flat). Interleaved, a burst costs each query at most one of its
     // N samples.
     val timesAcc = scala.collection.mutable.Map.empty[String, List[Double]]
-    val errAcc = scala.collection.mutable.Map.empty[String, String]
+    // (failed-round count, last message): a query that threw in 1 of N
+    // rounds must show n_failed_rounds in the artifact even though its
+    // floor comes from the rounds that passed — intermittent failures
+    // stay visible in the close artifact, not only in the driver's
+    // tail log
+    val errAcc = scala.collection.mutable.Map.empty[String, (Int, String)]
     (1 to repeat).foreach { _ =>
       queryList.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -56,8 +61,9 @@ object Bench {
             ((System.nanoTime() - t0) / 1e9) :: timesAcc.getOrElse(name, Nil)
         } catch {
           case e: Throwable =>
-            errAcc(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            errAcc(name) = (errAcc.get(name).fold(1)(_._1 + 1), msg)
         }
       }
     }
@@ -66,12 +72,14 @@ object Bench {
       (name, times.minOption, errAcc.get(name), times)
     }
     val results = attempts.collect { case (n, Some(t), _, _) => n -> t }.toMap
-    val failed = attempts.collect { case (n, None, err, _) => n -> err.getOrElse("error") }
+    val failed = attempts.collect { case (n, None, err, _) =>
+      n -> err.getOrElse((repeat, "error")) }
     // a query that failed SOME repeats but succeeded others keeps its
     // timing yet is surfaced as flaky — not silently laundered clean
     val flaky = attempts.collect { case (n, Some(_), Some(e), _) => n -> e }
     val qs = (results.map { case (k, v) => s"\"" + k + "\":" + v } ++
-      failed.map { case (k, e) => s"\"" + k + "\":{\"err\":\"" + e + "\"}" })
+      failed.map { case (k, (nf, e)) =>
+        s"\"" + k + "\":{\"err\":\"" + e + s"\",\"n_failed_rounds\":$nf}" })
       .mkString("{", ",", "}")
     // per-query [min, max] across the repeats: the spread separates a
     // real regression (tight spread, higher floor) from box contention
@@ -84,8 +92,23 @@ object Bench {
       }.mkString(",\"spread\":{", ",", "}")
     val flakyStr =
       if (flaky.isEmpty) ""
-      else flaky.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
+      else flaky.map { case (k, (nf, e)) =>
+        s"\"" + k + "\":{\"err\":\"" + e + s"\",\"n_failed_rounds\":$nf}" }
         .mkString(",\"flaky\":{", ",", "}")
+    // CONTROL floors: three cheap queries whose families were stable
+    // for 10+ rounds — ambient box drift moves them in lockstep with
+    // everything else, so a cross-round comparison should normalize
+    // per-query ratios by the control ratio before calling anything a
+    // regression (tools/bench_diff.py --controls does exactly that;
+    // the hand-built adjudication tables this replaces are in
+    // SCALE.md §r10-r12)
+    val controlNames = Seq("q1_agg", "q26_closure", "q97_lm_score")
+    val controlsStr = {
+      val cs = controlNames.flatMap(n => results.get(n).map(n -> _))
+      if (cs.isEmpty) ""
+      else cs.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString(",\"controls\":{", ",", "}")
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // mark subset/min-of-N runs so they can't be mistaken for the
     // published full-bench number
@@ -95,7 +118,7 @@ object Bench {
       (if (flaky.nonEmpty) List(s""""n_flaky":${flaky.size}""") else Nil)
     val modeStr = if (mode.isEmpty) "" else mode.mkString(",", ",", "")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$flakyStr$spreadStr$modeStr}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$controlsStr$flakyStr$spreadStr$modeStr}"""
     // The driver captures only the tail of stdout, so the ~4 KB per-query
     // map must not ride on the final line: the full JSON goes to a file,
     // and the last stdout line is a short parseable summary.

@@ -301,9 +301,23 @@ object GraftCli {
         rest.headOption.contains("ordered"), out)
     case "textnotnear" :: storeDir :: a :: b :: slop :: out :: Nil =>
       textNotNear(storeDir, a, b, slop.toInt, out)
+    case "textnotnearbatch" :: storeDir :: queries :: out :: Nil =>
+      textNotNearBatch(storeDir,
+        queries.split(";").toSeq.filter(_.nonEmpty).map { spec =>
+          val p = spec.split(",")
+          require(p.length == 3,
+            s"SpanNot query '$spec' is not a,b,slop")
+          (p(0), p(1), p(2).toInt)
+        }, out)
     case "textlmrank" :: storeDir :: terms :: k :: out :: rest
         if rest.size <= 1 =>
       textLmRank(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
+        k.toInt, rest.headOption.map(_.toDouble).getOrElse(2000.0), out)
+    case "textlmrankbatch" :: storeDir :: queries :: k :: out :: rest
+        if rest.size <= 1 =>
+      textLmRankBatch(storeDir,
+        queries.split(";").toSeq.filter(_.nonEmpty)
+          .map(_.split(",").toSeq.filter(_.nonEmpty)),
         k.toInt, rest.headOption.map(_.toDouble).getOrElse(2000.0), out)
     case "textcontains" :: storeDir :: terms :: out :: Nil =>
       textContains(storeDir, terms.split(",").toSeq.filter(_.nonEmpty), out)
@@ -418,7 +432,9 @@ object GraftCli {
            |           textnear <storedir> <a> <b> <slop> <outdir> [ordered]
            |           textnearbatch <storedir> <a,b,slop;a,b,slop;...> <outdir> [ordered]
            |           textnotnear <storedir> <a> <b> <slop> <outdir>
+           |           textnotnearbatch <storedir> <a,b,slop;a,b,slop;...> <outdir>
            |           textlmrank <storedir> <w1,w2,...> <k> <outdir> [mu]
+           |           textlmrankbatch <storedir> <w1,w2;w3,w4;...> <k> <outdir> [mu]
            |           textcontains <storedir> <w1,w2,...> <outdir>
            |           textcontainsbatch <storedir> <w1,w2;w3,w4;...> <outdir>
            |           textkwic <storedir> <docs> <term> <width> <outdir>
@@ -2355,6 +2371,44 @@ object GraftCli {
     hits.write.mode("overwrite").parquet(out)
     println(s"NOT-NEAR($a, $b, slop=$slop): " +
       s"${spark.read.parquet(out).count()} matching docs -> $out")
+    spark.stop()
+  }
+
+  /** textnotnearbatch: one job for a whole SpanNot query frame —
+    * [[graft.operators.TextIndex.notNearSearchBatch]]; query ids are
+    * the 0-based positions of the semicolon-separated a,b,slop
+    * triples. */
+  private def textNotNearBatch(storeDir: String,
+                               specs: Seq[(String, String, Int)],
+                               out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val queries = specs.zipWithIndex
+      .map { case ((a, b, slop), i) => (i.toLong, a, b, slop) }
+      .toDF("query_id", "a", "b", "slop")
+    val hits = graft.operators.TextIndex.notNearSearchBatch(spark,
+      storeDir, queries, "query_id", "a", "b", "slop")
+    hits.write.mode("overwrite").parquet(out)
+    println(s"${specs.size} SpanNot queries batched: " +
+      s"${spark.read.parquet(out).count()} (query, doc) matches -> $out")
+    spark.stop()
+  }
+
+  /** textlmrankbatch: one job for a whole LM-ranking query frame —
+    * [[graft.operators.TextIndex.lmTopKBatch]]; query ids are the
+    * 0-based positions of the semicolon-separated term lists. */
+  private def textLmRankBatch(storeDir: String, specs: Seq[Seq[String]],
+                              k: Int, mu: Double, out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val queries = specs.zipWithIndex
+      .map { case (terms, i) => (i.toLong, terms) }
+      .toDF("query_id", "terms")
+    val hits = graft.operators.TextIndex.lmTopKBatch(spark, storeDir,
+      queries, "query_id", "terms", k, mu)
+    hits.write.mode("overwrite").parquet(out)
+    println(s"${specs.size} LM queries batched (mu=$mu): " +
+      s"${spark.read.parquet(out).count()} ranked rows -> $out")
     spark.stop()
   }
 

@@ -40,15 +40,55 @@ object Gff3ToChado {
     "Note", "Gap", "Target", "Derives_from")
 
   def stage(spark: SparkSession, records: Dataset[GffRecord]): Staging = {
-    import spark.implicits._
     val rec = records.toDF()
       .withColumn("uniquename",
         coalesce(expr("element_at(attributes, 'ID')[0]"),
           // auto-name: the reference synthesizes ids for ID-less rows
           concat_ws(":", col("ftype"), col("seqId"), col("fmin"), col("fmax"))))
       .localCheckpoint() // staging reused by 9 branches; cut re-parse
+    buildStaging(rec, refCompat = false)
+  }
 
-    val feature = rec.select(
+  /** REFERENCE-EXACT staging (opt-in) — reproduces the three
+    * sequential-file semantics the default [[stage]] replaces with
+    * order-free, scale-native equivalents, so the reference's own
+    * golden-count acceptance fixture (t/test_data/gff3/test1.gff3 →
+    * t/lib/ChadoGFF3.pm:120-139) reproduces bit-for-bit:
+    *
+    *  - ID-less rows get `auto<N>` uniquenames numbered by FILE LINE
+    *    ORDER (the reference's per-row counter,
+    *    WithChadoGFF3Helper.pm:360-363) instead of coordinate-derived
+    *    ids — two ID-less rows with identical coordinates stay
+    *    DISTINCT features, exactly like the reference;
+    *  - a `Target=<id> <s> <e> <strand>` row ALSO stages the query
+    *    feature `<id>` itself (make_feature_stash's target_hashref,
+    *    WithChadoGFF3Helper.pm:95-110), with no rank-0 location;
+    *  - column-2 GFF_source xrefs are NOT staged as feature_dbxref
+    *    rows (the reference wires them into feature.dbxref_id at
+    *    staging time, so its golden dbxref counts exclude them).
+    *
+    * Input is [[graft.sources.Gff3.featuresWithLine]]'s frame (the
+    * GffRecord columns + `line_no`). The line-order window is one
+    * global sort over the ID-LESS subset only — the price of the
+    * reference's sequential-counter contract; the default [[stage]]
+    * stays the fully distributed path and the two modes are otherwise
+    * branch-for-branch identical ([[buildStaging]]). */
+  def stageRefCompat(spark: SparkSession, recsWithLine: DataFrame): Staging = {
+    val explicitId = expr("element_at(attributes, 'ID')[0]")
+    val idless = recsWithLine.filter(explicitId.isNull)
+      .withColumn("uniquename", concat(lit("auto"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("line_no")))))
+    val rec = recsWithLine.filter(explicitId.isNotNull)
+      .withColumn("uniquename", explicitId)
+      .unionByName(idless)
+      .drop("line_no")
+      .localCheckpoint()
+    buildStaging(rec, refCompat = true)
+  }
+
+  private def buildStaging(rec: DataFrame, refCompat: Boolean): Staging = {
+    val feature0 = rec.select(
       col("uniquename"),
       coalesce(expr("element_at(attributes, 'Name')[0]"), col("uniquename")).as("name"),
       col("ftype"),
@@ -60,10 +100,11 @@ object Gff3ToChado {
     // location (W2: rank-as-data, share/postgresql_gff3.lib:33-42).
     val loc0 = rec.select(col("uniquename"), col("seqId").as("srcfeature"),
       col("fmin"), col("fmax"), col("strand"), col("phase"), lit(0).as("rank"))
-    val loc1 = rec
+    val tgt = rec
       .withColumn("target", expr("element_at(attributes, 'Target')[0]"))
       .filter(col("target").isNotNull)
       .withColumn("t", split(col("target"), " "))
+    val loc1 = tgt
       .select(col("uniquename"), col("t").getItem(0).as("srcfeature"),
         (col("t").getItem(1).cast("int") - 1).as("fmin"),
         col("t").getItem(2).cast("int").as("fmax"),
@@ -71,6 +112,20 @@ object Gff3ToChado {
           .when(col("t").getItem(3) === "-", -1).as("strand"),
         lit(null).cast("int").as("phase"), lit(1).as("rank"))
     val featureloc = loc0.unionByName(loc1)
+
+    // refCompat: the Target's QUERY feature is staged too (the
+    // reference's target_hashref) — a feature row with no rank-0
+    // location, keyed by the target id
+    val feature =
+      if (!refCompat) feature0
+      else feature0.unionByName(tgt.select(
+          col("t").getItem(0).as("uniquename"),
+          col("t").getItem(0).as("name"),
+          lit("sequence_feature").as("ftype"),
+          (col("t").getItem(2).cast("int") -
+            col("t").getItem(1).cast("int") + 1).as("seqlen"),
+          lit(0).as("is_analysis")))
+        .dropDuplicates("uniquename")
 
     val analysisfeature = rec.filter(col("score").isNotNull)
       .select(col("uniquename"), col("score").as("rawscore"),
@@ -83,17 +138,20 @@ object Gff3ToChado {
 
     // column 2 (source) is preserved as a db='GFF_source' dbxref exactly
     // like the reference loader (WithChadoGFF3Helper.pm:347-351) — the
-    // dicty per-source exports filter on it
-    val sourceDbxref = rec.filter(col("source").isNotNull)
-      .select(col("uniquename"), lit("GFF_source").as("db"),
-        col("source").as("accession"))
-    val featureDbxref = rec
+    // dicty per-source exports filter on it. refCompat EXCLUDES these
+    // rows: the reference wires the source xref into feature.dbxref_id
+    // at staging time, so its golden dbxref counts never see them.
+    val attrDbxref = rec
       .select(col("uniquename"), explode(expr("element_at(attributes, 'Dbxref')")).as("xref"))
       .withColumn("db", substring_index(col("xref"), ":", 1))
       .withColumn("accession", substring_index(col("xref"), ":", -1))
       .drop("xref")
-      .unionByName(sourceDbxref)
-      .dropDuplicates()
+    val featureDbxref =
+      (if (refCompat) attrDbxref
+       else attrDbxref.unionByName(rec.filter(col("source").isNotNull)
+         .select(col("uniquename"), lit("GFF_source").as("db"),
+           col("source").as("accession"))))
+        .dropDuplicates()
     val dbxref = featureDbxref.select(col("db"), col("accession")).dropDuplicates()
 
     // Parent -> part_of, Derives_from -> derives_from
@@ -109,10 +167,19 @@ object Gff3ToChado {
     val featureRelationship = relParent.unionByName(relDerives).dropDuplicates()
 
     // Note + all non-reserved attributes -> featureprop, rank by value
-    // order within (feature, prop).
+    // order within (feature, prop). refCompat applies the reference's
+    // EXACT routing (make_featureprop_stash:193-240): Note and Gap
+    // explicitly, plus only attributes NOT starting with an uppercase
+    // letter — an unknown Capitalized attribute is dropped there,
+    // while the default mode keeps it (lossless is the better default;
+    // the golden counts need the reference's rule).
+    val propGate =
+      if (refCompat)
+        col("prop").isin("Note", "Gap") || !col("prop").rlike("^[A-Z]")
+      else !col("prop").isin(reserved.toSeq.filter(_ != "Note"): _*)
     val props = rec
       .select(col("uniquename"), explode(col("attributes")).as(Seq("prop", "vals")))
-      .filter(!col("prop").isin(reserved.toSeq.filter(_ != "Note"): _*))
+      .filter(propGate)
       .select(col("uniquename"), col("prop"), posexplode(col("vals")).as(Seq("rank", "value")))
       .select(col("uniquename"), col("prop"), col("value"), col("rank"))
 

@@ -398,16 +398,15 @@ object TextIndex {
     *    to `w` (dictionary-encoded; positions/tf stay on disk).
     *
     * Docs that produced ZERO postings rows are invisible in the
-    * written files — under the unfiltered tokenizer that is exactly
-    * the null-text docs (`split(NULL) = NULL` explodes to nothing;
-    * empty text still yields the one `""` token), and for positional
-    * stores also docs whose every token is empty. The doclen write's
-    * own observed count exposes them: only when it disagrees with the
-    * corpus count does the `residual` pass run (for bag-of-terms a
+    * written files — in BOTH store kinds that is exactly the
+    * null-text docs (`split(NULL) = NULL` explodes to nothing; empty
+    * text still yields the one `""` token, and the positional layout
+    * carries `""` postings too since the stats unification). The
+    * doclen write's own observed count exposes them: only when it
+    * disagrees with the corpus count does the `residual` pass run (a
     * null-check scan with no tokenize — parquet answers `IS NULL`
-    * from row-group null counts, so a null-free corpus reads ~nothing;
-    * positional residuals re-split, but only on a corpus that
-    * actually contains token-free docs). Exactness assumes the store
+    * from row-group null counts, so a null-free corpus reads
+    * ~nothing). Exactness assumes the store
     * key contract (unique doc_id per corpus), which every serve and
     * the tombstone lifecycle already require. */
   private def deriveSidecars(spark: SparkSession, dir: String,
@@ -556,18 +555,6 @@ object TextIndex {
                            textCol: String): DataFrame =
     docs.filter(col(textCol).isNull)
       .select(col(idCol).as("doc_id"), lit(null).cast("long").as("dl"))
-
-  /** Zero-posting docs of the positional tokenizer: null text or a
-    * token list that filters to empty — `dl` stays the UNfiltered
-    * count so the stats subtraction a later delete derives from these
-    * rows is exact against what [[tokenized]] observed. */
-  private def tokenFreeDocs(docs: DataFrame, idCol: String,
-                            textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        split(col(textCol), TOK).as("toks"))
-      .filter(col("toks").isNull ||
-        size(filter(col("toks"), w => length(w) > 0)) === 0)
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
 
   /** The deduped tombstone set `(doc_id, dl)`, or None when the store
     * has none. Dedup by doc_id (max dl — rows for one doc are
@@ -909,12 +896,15 @@ object TextIndex {
   // clustering, same w-zone sidecar and corpus-stats discipline as
   // the bag-of-terms store. Position lists match phraseSearch
   // verbatim (whitespace split, empty tokens dropped, 0-based
-  // posexplode positions); `dl` is the UNFILTERED token count shared
-  // with the bag-of-terms store and the `_doclen`/`_corpus_stats`
-  // discipline (see [[tokenizedPositional]]). A
-  // `_positional` marker file keeps the two posting schemas from
-  // silently mixing: [[append]] refuses a positional store and
-  // [[appendPositional]] refuses a bag-of-terms one.
+  // posexplode positions), and since the stats unification the
+  // postings ALSO carry the bag store's exact `(w, tf, dl)` contract
+  // (`""` postings included, dl unfiltered — see
+  // [[tokenizedPositional]]), so the ranking serves accept a
+  // positional store: one index serves BM25 + LM + phrase + NEAR +
+  // KWIC + SpanNot. A `_positional` marker file keeps the two posting
+  // schemas from silently mixing: [[append]] refuses a positional
+  // store and [[appendPositional]] refuses a bag-of-terms one (the
+  // position list is physical layout, not serve capability).
 
   private def positionalMarker(dir: String) = s"$dir/_positional"
 
@@ -931,18 +921,33 @@ object TextIndex {
     * from the FILTERED token stream ([[Curation.phraseSearch]]'s
     * tokenizer, verbatim — empty tokens dropped before posexplode, so
     * store-served adjacency is bit-stable with the scan-everything
-    * path), but `dl` is the UNFILTERED whitespace token count: the
-    * same value [[tokenized]] observes, the `_doclen` sidecar prices
-    * deletes with, and the bag-of-terms store carries — so the
-    * written positional postings are a valid single-pass source for
-    * `_doclen` too. (BM25 never serves from a positional store — the
-    * [[topK]]/[[topKBatch]] guards refuse one — so the filtered-tf /
-    * unfiltered-dl pairing inside a posting feeds no score.) */
+    * path) — but the postings carry the bag-of-terms store's FULL
+    * stats contract: `dl` is the UNFILTERED whitespace token count
+    * (the value [[tokenized]] observes and `_doclen` prices deletes
+    * with), and the empty tokens the position stream drops are
+    * re-appended at the ARRAY TAIL so their `""` term survives the
+    * same single-pass explode with its exact bag-contract `tf`
+    * ([[positionalFrom]] blanks its meaningless tail positions). With
+    * identical `(w, tf, dl)` semantics in both store kinds, ranking
+    * serves ([[topK]]/[[topKBatch]]/[[lmTopK]]) accept either layout
+    * — ONE positional store serves BM25 + LM + phrase + NEAR + KWIC +
+    * SpanNot, instead of a deployment paying 2× index storage for the
+    * two families. Non-empty tokens keep their exact filtered
+    * positions (the tail append is strictly after them), so every
+    * span serve is byte-identical to the previous layout.
+    *
+    * Positional stores written BEFORE this unification carry no `""`
+    * postings (and no `""` bit in the term filter): ranking serves on
+    * such a store are still exact for every non-empty query term —
+    * rebuild only if empty-string query terms matter. */
   private def tokenizedPositional(docs: DataFrame, idCol: String,
                                   textCol: String,
-                                  obs: Option[Observation]): DataFrame =
+                                  obs: Option[Observation]): DataFrame = {
+    val ft = filter(col("toks"), w => length(w) > 0)
     tokenized(docs, idCol, textCol, obs)
-      .withColumn("toks", filter(col("toks"), w => length(w) > 0))
+      .withColumn("toks",
+        concat(ft, array_repeat(lit(""), size(col("toks")) - size(ft))))
+  }
 
   private def positionalFrom(pre: DataFrame, nBuckets: Int): DataFrame =
     pre.select(col("doc_id"), col("dl"),
@@ -950,6 +955,13 @@ object TextIndex {
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("p"))).as("pos"))
+      // `""` rode the tail only so its tf survived the one explode —
+      // its tail indices are not positions in the filtered stream, so
+      // they must not feed span algebra: an empty list makes every
+      // phrase/NEAR/KWIC serve involving `""` answer exactly like the
+      // scan path (whose filtered stream never contains it)
+      .withColumn("pos", when(col("w") === "",
+        typedLit(Seq.empty[Int])).otherwise(col("pos")))
       .withColumn("tb", pmod(xxhash64(col("w")), lit(nBuckets)).cast("int"))
 
   /** Per-(doc, term) positional postings with the frozen bucket key —
@@ -994,7 +1006,7 @@ object TextIndex {
       observedBits(obsBits, () => written
         .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
       observedCounters(obs),
-      () => tokenFreeDocs(docs, idCol, textCol))
+      () => nullTextDocs(docs, idCol, textCol))
   }
 
   /** Append a batch to a positional store — batch-only tokenize,
@@ -1040,7 +1052,7 @@ object TextIndex {
       observedBits(obsBits, () => written
         .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
       observedCounters(obs),
-      () => tokenFreeDocs(newDocs, idCol, textCol))
+      () => nullTextDocs(newDocs, idCol, textCol))
   }
 
   /** Store-served EXACT phrase search — bit-stable with
@@ -1239,9 +1251,9 @@ object TextIndex {
              k: Int, mu: Double = 2000.0): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     require(mu > 0, "the Dirichlet pseudo-count must be positive")
-    require(!isPositional(spark, storeDir),
-      s"$storeDir is a positional store — serve LM ranking from a " +
-        "TextIndex.build store, like BM25")
+    // positional stores carry the same (w, tf, dl) contract since the
+    // stats unification ([[tokenizedPositional]]) — either layout
+    // serves LM ranking; the unused pos column is pruned at the scan
     import spark.implicits._
     val (_, sdl, nb) = readStats(spark, storeDir)
     val live = readTermFilter(spark, storeDir)
@@ -1276,6 +1288,76 @@ object TextIndex {
         sum(col("c")).cast("double").as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** BATCHED Dirichlet LM ranking — [[lmTopK]] for a whole query
+    * FRAME `(idCol, termsCol: array<string>)`, served in ONE job with
+    * the [[topKBatch]] shape: provably-absent terms drop engine-side
+    * before the bucket union is collected, every probed bucket is
+    * read once for all the queries probing it, the terms-sized `ctf`
+    * frame broadcasts once and is shared by every query carrying the
+    * term, and the per-query top-k runs through the bounded
+    * [[graft.functions.TopK]] aggregator. Per query, rows are
+    * bit-identical to [[lmTopK]] with the same term set (same
+    * rounding, DECIMAL accumulation, (score desc, doc_id) tiebreak).
+    * Returns (query_id, doc_id, n_terms, score). */
+  def lmTopKBatch(spark: SparkSession, storeDir: String,
+                  queries: DataFrame, idCol: String, termsCol: String,
+                  k: Int, mu: Double = 2000.0): DataFrame = {
+    require(mu > 0, "the Dirichlet pseudo-count must be positive")
+    import spark.implicits._
+    val (_, sdl, nb) = readStats(spark, storeDir)
+    val exploded = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(array_distinct(col(termsCol))).as("w"))
+      .filter(col("w").isNotNull)
+    // per-PAIR Bloom drop (not per-query): an absent term contributes
+    // no posting and no score in the single API either — LM sums over
+    // the query terms the doc carries
+    val livePairs = markBloomDead(spark, storeDir, exploded)
+      .filter(!col("_dead")).drop("_dead")
+    val qt = livePairs
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
+    val buckets = qt.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_terms"),
+        col("id").cast("double").as("score"))
+    val wanted = qt.select(col("w")).distinct()
+    val tf = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .drop("tb")
+        .join(wanted, Seq("w")))
+    // exact collection term frequency from the read postings (a term's
+    // postings live entirely inside its bucket) — shared by every query
+    val ctfT = tf.groupBy(col("w")).agg(sum(col("tf")).as("ctf"))
+    val contrib = tf.join(broadcast(ctfT), Seq("w"))
+      .withColumn("tfc", round(
+        log(lit(1.0) + col("tf").cast("double") * lit(sdl).cast("double") /
+          (lit(mu) * col("ctf").cast("double"))), 6)
+        .cast("decimal(28,6)"))
+      .withColumn("bg", round(
+        log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6)
+        .cast("decimal(28,6)"))
+      .withColumn("c", col("tfc") + col("bg"))
+      .select(col("w"), col("doc_id"), col("c"))
+    val scored = contrib
+      .join(qt.select(col("query_id"), col("w")), Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).cast("double").as("score"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k_tagged(k)(col("doc_id"),
+        col("score"), col("n_terms")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit._1").as("doc_id"),
+        col("hit._3").as("n_terms"), col("hit._2").as("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 
   /** SPAN-NOT search — occurrences of `a` NOT within `slop` positions
@@ -1320,6 +1402,77 @@ object TextIndex {
           .cast("long").as("n_clear"))
       .filter(col("n_clear") > 0)
       .orderBy(col("doc_id"))
+  }
+
+  /** BATCHED span-exclusion search — [[notNearSearch]] for a whole
+    * query FRAME `(idCol, aCol, bCol, slopCol)`, served in ONE job
+    * with the [[nearSearchBatch]] shape: role-tagged slots, one
+    * partition-pruned read of the batch's bucket union, per-(query,
+    * doc) position algebra with each query's own slop. Bloom pruning
+    * is ROLE-AWARE, matching the single API exactly: a query whose
+    * KEPT term `a` is provably absent drops whole (zero matches), but
+    * a provably-absent EXCLUSION term `b` drops only its slot — every
+    * `a` occurrence is clear and `b`'s bucket never opens
+    * ([[markBloomDead]]). Per query, rows are bit-identical to the
+    * per-query loop. Returns (query_id, doc_id, n_clear), matching
+    * docs only. */
+  def notNearSearchBatch(spark: SparkSession, storeDir: String,
+                         queries: DataFrame, idCol: String, aCol: String,
+                         bCol: String, slopCol: String): DataFrame = {
+    require(isPositional(spark, storeDir),
+      s"$storeDir carries no positions — build with buildPositional")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(aCol).as("a"), col(bCol).as("b"),
+      col(slopCol).cast("int").as("slop"))
+    // degenerate rows refuse loudly, matching the single-query API
+    require(q.filter(col("a").isNull || col("b").isNull ||
+        col("slop").isNull || col("slop") < 1 || col("a") === col("b"))
+        .limit(1).count() == 0L,
+      "every SpanNot query needs two distinct non-null terms and " +
+        "slop >= 1")
+    val (_, _, nb) = readStats(spark, storeDir)
+    val slots = q.select(col("query_id"), col("slop"),
+      explode(map(lit("a"), col("a"), lit("b"), col("b")))
+        .as(Seq("role", "w")))
+    val marked = markBloomDead(spark, storeDir, slots)
+    // dead KEPT term → whole query out; dead EXCLUSION term → only its
+    // slot out (the query stays, served from `a`'s bucket alone)
+    val deadQ = marked.filter(col("role") === "a" && col("_dead"))
+      .select(col("query_id")).distinct()
+    val qslots = marked.filter(!col("_dead")).drop("_dead")
+      .join(deadQ, Seq("query_id"), "left_anti")
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .localCheckpoint()
+    val buckets = qslots.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty)
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("query_id", lit(0L))
+        .withColumn("n_clear", lit(0L))
+        .select(col("query_id"), col("doc_id"), col("n_clear"))
+    val terms = qslots.select(col("w")).distinct()
+    val post = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .drop("tb")
+        .join(terms, Seq("w"))
+        .select(col("doc_id"), col("w"), col("pos")))
+    post.join(qslots.select(col("query_id"), col("slop"), col("role"),
+        col("w")), Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"), col("slop"))
+      .agg(
+        first(when(col("role") === "a", col("pos")), ignoreNulls = true)
+          .as("pa"),
+        first(when(col("role") === "b", col("pos")), ignoreNulls = true)
+          .as("pb"))
+      .filter(col("pa").isNotNull)
+      .select(col("query_id"), col("doc_id"),
+        size(filter(col("pa"), x =>
+          col("pb").isNull ||
+            size(filter(col("pb"), y => abs(y - x) <= col("slop"))) === 0))
+          .cast("long").as("n_clear"))
+      .filter(col("n_clear") > 0)
+      .orderBy(col("query_id"), col("doc_id"))
   }
 
   /** BATCHED proximity search — [[nearSearch]] for a whole query FRAME
@@ -1596,7 +1749,12 @@ object TextIndex {
     post.join(qslots.select(col("query_id"), col("tcount"), col("w")),
         Seq("w"))
       .groupBy(col("query_id"), col("doc_id"), col("tcount"))
-      .agg(count(lit(1)).as("nmatched"))
+      // DISTINCT matched terms, not matched posting rows: a doc_id
+      // re-appended after churn can carry duplicate (doc_id, w) rows,
+      // and row counting would false-positive a doc holding only a
+      // subset of the query terms — the single-query API's semi-join
+      // chain is set-based, so the batch must be too
+      .agg(countDistinct(col("w")).as("nmatched"))
       .filter(col("nmatched") === col("tcount"))
       .select(col("query_id"), col("doc_id"))
       .orderBy(col("query_id"), col("doc_id"))
@@ -1652,20 +1810,35 @@ object TextIndex {
     * a store predating the filter passes everything through (cannot
     * prove absence — degrade to filter-off, never a wrong skip). */
   private def dropBloomDeadQueries(spark: SparkSession, storeDir: String,
-                                   slots: DataFrame): DataFrame =
+                                   slots: DataFrame): DataFrame = {
+    val m = markBloomDead(spark, storeDir, slots)
+    val dead = m.filter(col("_dead")).select(col("query_id")).distinct()
+    m.drop("_dead").join(dead, Seq("query_id"), "left_anti")
+  }
+
+  /** Tag each slot row with `_dead` = its term is PROVABLY absent from
+    * the store (Bloom semantics over the OR'd term bitset, engine-
+    * evaluated with the writer's own hash expressions; all-false on a
+    * store predating the filter — cannot prove absence). The per-slot
+    * form exists because absence semantics are ROLE-dependent:
+    * conjunctive serves drop the whole query ([[dropBloomDeadQueries]])
+    * while SpanNot's exclusion term drops only its own slot — an
+    * absent `b` makes every `a` occurrence clear, not the query dead
+    * ([[notNearSearchBatch]]). */
+  private def markBloomDead(spark: SparkSession, storeDir: String,
+                            slots: DataFrame): DataFrame =
     readTermFilter(spark, storeDir) match {
-      case None => slots
+      case None => slots.withColumn("_dead", lit(false))
       case Some(bits) =>
-        val dead = slots.withColumn("_tfb", typedLit(bits.toSeq))
-          .filter(!expr(
+        slots.withColumn("_tfb", typedLit(bits.toSeq))
+          .withColumn("_dead", !expr(
             s"""forall(array(${(0 until TermFilterK)
               .map(i => s"pmod(xxhash64(w, $i), ${TermFilterBits}L)")
               .mkString(", ")}),
                |  p -> (element_at(_tfb, cast(p / 64 AS int) + 1)
                |        & shiftleft(1L, cast(p % 64 AS int))) != 0L)"""
               .stripMargin))
-          .select(col("query_id")).distinct()
-        slots.join(dead, Seq("query_id"), "left_anti")
+          .drop("_tfb")
     }
 
   def phraseSearchBatch(spark: SparkSession, storeDir: String,
@@ -1749,11 +1922,9 @@ object TextIndex {
   def topKBatch(spark: SparkSession, storeDir: String, queries: DataFrame,
                 idCol: String, termsCol: String, k: Int,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(!isPositional(spark, storeDir),
-      s"$storeDir is a positional store — its postings carry " +
-        "filtered-token tf (and no bag-of-terms rows for empty " +
-        "tokens), so BM25 served from it could silently drift from " +
-        "the scan path; serve BM25 from a TextIndex.build store")
+    // either store layout serves BM25 since the stats unification —
+    // positional postings carry the bag contract's exact (w, tf, dl)
+    // ([[tokenizedPositional]]); the pos column is pruned at the scan
     import spark.implicits._
     val (n, sdl, nb) = readStats(spark, storeDir)
     val exploded = queries
@@ -1858,11 +2029,9 @@ object TextIndex {
   def topK(spark: SparkSession, storeDir: String, terms: Seq[String],
            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    require(!isPositional(spark, storeDir),
-      s"$storeDir is a positional store — its postings carry " +
-        "filtered-token tf (and no bag-of-terms rows for empty " +
-        "tokens), so BM25 served from it could silently drift from " +
-        "the scan path; serve BM25 from a TextIndex.build store")
+    // either store layout serves BM25 since the stats unification —
+    // positional postings carry the bag contract's exact (w, tf, dl)
+    // ([[tokenizedPositional]]); the pos column is pruned at the scan
     import spark.implicits._
     val (n, sdl, nb) = readStats(spark, storeDir)
     // the term-presence filter drops provably-absent terms BEFORE any

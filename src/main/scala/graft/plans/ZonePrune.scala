@@ -587,13 +587,21 @@ case class ZonePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (roots.length != 1 || roots.head.getName.endsWith(".parquet")) return f
     val dir = roots.head.toString
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // fold-crash heal: a zonemap parked under a fold aside reads as
-    // "no sidecar" — only a lost prune, never a wrong row, but the
-    // restore costs one exists call and keeps the prune alive
-    graft.sinks.SidecarFold.restoreAside(spark, s"$dir/_zonemap_multi")
-    graft.sinks.SidecarFold.restoreAside(spark, s"$dir/_bloommap")
-    val hasZone = fs.exists(new Path(s"$dir/_zonemap_multi"))
-    val hasBloom = fs.exists(new Path(s"$dir/_bloommap"))
+    // fold-crash heal, MISS PATH ONLY: a zonemap parked under a fold
+    // aside reads as "no sidecar" — only a lost prune, never a wrong
+    // row — so a healthy sidecar costs exactly its existence check and
+    // plain non-graft parquet dirs pay no extra metadata calls. This
+    // runs inside an optimizer rule: any heal failure (read-only
+    // mount, foreign scaffolding next to someone else's data) must
+    // degrade to "no prune", never fail the query's planning.
+    def healedExists(side: String): Boolean =
+      fs.exists(new Path(side)) || {
+        try graft.sinks.SidecarFold.restoreAside(spark, side)
+        catch { case scala.util.control.NonFatal(_) => }
+        fs.exists(new Path(side))
+      }
+    val hasZone = healedExists(s"$dir/_zonemap_multi")
+    val hasBloom = healedExists(s"$dir/_bloommap")
     if (!hasZone && !hasBloom) return f
     // ONE load per sidecar serves every predicate of this pass, and a
     // cross-query cache keyed by the sidecar's fingerprint makes

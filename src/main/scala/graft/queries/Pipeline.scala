@@ -5165,6 +5165,236 @@ object Pipeline {
       |FROM scored GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
+  // --------------------------------------------------------------- q251
+  // UNIFIED-LAYOUT serves (the r12 dual-store fix): ONE positional
+  // store — built once, positions riding each posting — serves THREE
+  // families from the same files: BM25 (q133's shape), Dirichlet LM
+  // (q250's shape), and exact phrase (q227's shape). Possible because
+  // the positional postings now carry the bag contract's exact
+  // (w, tf, dl) — dropped empty tokens land as '' postings with
+  // blanked position lists (TextIndex.tokenizedPositional) — so a
+  // 100 TB deployment wanting ranking AND span queries indexes the
+  // corpus ONCE instead of paying 2x index storage. Each family's
+  // serve carries its own in-plan bucket-prune require; the oracle
+  // replays all three families from the corpus and unions the arms.
+  private def q251UnifiedStore(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q251", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", out, filesPerBucket = 2)
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    val bm = TextIndex.topK(s, out, Seq("spark", "join", "merge"), 15)
+    val lm = TextIndex.lmTopK(s, out, Seq("vector", "stream", "window"), 15)
+    val ph = TextIndex.phraseSearch(s, out, Seq("table", "scan"))
+    Seq("bm25" -> bm, "lm" -> lm, "phrase" -> ph).foreach { case (f, r) =>
+      require(graft.plans.PlanProbe.scannedFileCount(r) < dataFiles,
+        s"the $f serve must prune to its terms' buckets " +
+          s"($dataFiles data files)")
+    }
+    bm.select(lit("bm25").as("family"), col("doc_id"),
+        col("n_terms").as("n"), col("score"))
+      .unionByName(lm.select(lit("lm").as("family"), col("doc_id"),
+        col("n_terms").as("n"), col("score")))
+      .unionByName(ph.select(lit("phrase").as("family"), col("doc_id"),
+        col("n_occurrences").as("n"),
+        col("n_occurrences").cast("double").as("score")))
+      .orderBy(col("family"), col("score").desc, col("doc_id"))
+  }
+
+  private val q251Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |              FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS nd,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl,
+      |    CAST(SUM(dl) AS DOUBLE) AS csz FROM b2),
+      |bmtf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN ('spark', 'join', 'merge') GROUP BY doc_id, dl, w),
+      |bmdf AS (SELECT w, COUNT(*) AS df FROM bmtf GROUP BY w),
+      |bmc AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (nd - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6)
+      |      AS DECIMAL(28,6)) AS c
+      |  FROM bmtf JOIN bmdf USING (w) CROSS JOIN stats),
+      |bm AS (SELECT doc_id, COUNT(*) AS n, CAST(SUM(c) AS DOUBLE) AS score
+      |  FROM bmc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15),
+      |lmtf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN ('vector', 'stream', 'window') GROUP BY doc_id, dl, w),
+      |lmctf AS (SELECT w, CAST(SUM(tf) AS DOUBLE) AS ctf
+      |  FROM lmtf GROUP BY w),
+      |lmsc AS (SELECT doc_id,
+      |    CAST(round(ln(1.0e0 + CAST(tf AS DOUBLE) * csz
+      |      / (2000.0e0 * ctf)), 6) AS DECIMAL(28,6))
+      |    + CAST(round(ln(2000.0e0 / (CAST(dl AS DOUBLE) + 2000.0e0)), 6)
+      |        AS DECIMAL(28,6)) AS cc
+      |  FROM lmtf JOIN lmctf USING (w) CROSS JOIN stats),
+      |lm AS (SELECT doc_id, COUNT(*) AS n, CAST(SUM(cc) AS DOUBLE) AS score
+      |  FROM lmsc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15),
+      |ft AS (SELECT doc_id,
+      |    list_filter(toks, w -> length(w) > 0) AS ftoks FROM base),
+      |ph AS (SELECT doc_id,
+      |    CAST(len(list_filter(range(1, len(ftoks)),
+      |      i -> ftoks[i] = 'table' AND ftoks[i + 1] = 'scan')) AS BIGINT)
+      |      AS n
+      |  FROM ft)
+      |SELECT 'bm25' AS family, doc_id, CAST(n AS BIGINT) AS n, score FROM bm
+      |UNION ALL
+      |SELECT 'lm' AS family, doc_id, CAST(n AS BIGINT) AS n, score FROM lm
+      |UNION ALL
+      |SELECT 'phrase' AS family, doc_id, n, CAST(n AS DOUBLE) AS score
+      |FROM ph WHERE n > 0
+      |ORDER BY family, score DESC, doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q252
+  // BATCHED span-exclusion search (TextIndex.notNearSearchBatch):
+  // q249's SpanNot for a whole query frame in ONE job, with
+  // ROLE-AWARE Bloom pruning — an absent EXCLUSION term keeps its
+  // query alive (every kept occurrence clear, only the kept term's
+  // bucket opens) while an absent KEPT term drops its query whole.
+  // The oracle replays q249's clear-count list algebra per arm.
+  private def q252SpanNotBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q252", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", out, filesPerBucket = 2)
+    import s.implicits._
+    val queries = Seq(
+      (1L, "vector", "stream", 4),
+      (2L, "merge", "sort", 2),
+      (3L, "table", "qqzzabsent", 3), // absent exclusion: query stays
+      (4L, "qqzzabsent", "table", 3)) // absent kept term: query drops
+      .toDF("query_id", "a", "b", "slop")
+    val res = TextIndex.notNearSearchBatch(s, out, queries,
+      "query_id", "a", "b", "slop")
+    // the scan must stay inside the LIVE slots' buckets: q3 opens only
+    // 'table' (its exclusion term is provably absent), q4 opens none
+    val live = Seq("vector", "stream", "merge", "sort", "table")
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    val filesInProbed = probed.map { b =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/tb=$b"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(filesInProbed < allFiles,
+      "test setup: the live slots must not cover every bucket")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= filesInProbed,
+      s"the batched SpanNot serve must stay inside the live buckets " +
+        s"($filesInProbed files; store holds $allFiles)")
+    res
+  }
+
+  /** q249's clear-count SQL, one UNION ALL arm per query of the batch
+    * — the absent-exclusion arm keeps every kept occurrence (its
+    * inner filter matches nothing), the absent-kept arm produces no
+    * rows (its pa list is empty everywhere). */
+  private val q252Sql = {
+    val qs = Seq((1, "vector", "stream", 4), (2, "merge", "sort", 2),
+      (3, "table", "qqzzabsent", 3), (4, "qqzzabsent", "table", 3))
+    val arms = qs.map { case (qid, a, b, slop) =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |    CAST(len(list_filter(
+         |      list_filter(range(1, len(toks) + 1), i -> toks[i] = '$a'),
+         |      x -> len(list_filter(
+         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = '$b'),
+         |        y -> abs(y - x) <= $slop)) = 0)) AS BIGINT) AS n_clear
+         |  FROM t""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS toks
+       |  FROM documents),
+       |m AS (${arms.mkString("\n  UNION ALL\n")})
+       |SELECT query_id, doc_id, n_clear FROM m
+       |WHERE n_clear > 0 ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q253
+  // BATCHED Dirichlet LM ranking (TextIndex.lmTopKBatch): q250's
+  // ranker for a whole query frame in ONE job — and served from a
+  // POSITIONAL store, proving the unified layout under the batched
+  // ranking family too (collection tf, |C|, dl all come from the same
+  // files the span serves read). The all-absent query drops before
+  // any bucket opens; the oracle replays q250's smoothed scores per
+  // arm with each arm's own top-15.
+  private def q253LmBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q253", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.appendPositional(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", out, filesPerBucket = 2)
+    import s.implicits._
+    val queries = Seq(
+      (1L, Seq("vector", "stream", "window")),
+      (2L, Seq("merge", "sort")),
+      (3L, Seq("qqzzabsent"))).toDF("query_id", "terms")
+    val res = TextIndex.lmTopKBatch(s, out, queries,
+      "query_id", "terms", k = 15)
+    // the serve reads the probed buckets twice (postings scoring +
+    // the exact collection-tf aggregate — distinct column pruning, so
+    // the two scans don't share an exchange); the budget is therefore
+    // 2x the LIVE buckets' files, still strictly inside the store
+    val live = Seq("vector", "stream", "window", "merge", "sort")
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    val filesInProbed = probed.map { b =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/tb=$b"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(filesInProbed < allFiles,
+      "test setup: the live terms must not cover every bucket")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= 2L * filesInProbed,
+      s"the batched LM serve must stay inside the live buckets " +
+        s"(2x$filesInProbed files; store holds $allFiles)")
+    res
+  }
+
+  /** q250's Dirichlet SQL, one CTE chain per query arm (each with its
+    * own term filter, collection-tf frame, and top-15), unioned. */
+  private val q253Sql = {
+    val qs = Seq((1, Seq("vector", "stream", "window")),
+      (2, Seq("merge", "sort")), (3, Seq("qqzzabsent")))
+    val armCtes = qs.map { case (qid, terms) =>
+      val inList = terms.map(w => s"'$w'").mkString(", ")
+      s"""tf$qid AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+         |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+         |  WHERE w IN ($inList) GROUP BY doc_id, dl, w),
+         |ctf$qid AS (SELECT w, CAST(SUM(tf) AS DOUBLE) AS ctf
+         |  FROM tf$qid GROUP BY w),
+         |sc$qid AS (SELECT doc_id,
+         |    CAST(round(ln(1.0e0 + CAST(tf AS DOUBLE) * csz
+         |      / (2000.0e0 * ctf)), 6) AS DECIMAL(28,6))
+         |    + CAST(round(ln(2000.0e0 / (CAST(dl AS DOUBLE) + 2000.0e0)), 6)
+         |        AS DECIMAL(28,6)) AS cc
+         |  FROM tf$qid JOIN ctf$qid USING (w) CROSS JOIN stats),
+         |top$qid AS (SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |    COUNT(*) AS n_terms, CAST(SUM(cc) AS DOUBLE) AS score
+         |  FROM sc$qid GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 15)""".stripMargin
+    }
+    val arms = qs.map { case (qid, _) => s"SELECT * FROM top$qid" }
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |           FROM documents),
+       |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) AS csz FROM b2),
+       |${armCtes.mkString(",\n")}
+       |${arms.mkString("\nUNION ALL ")}
+       |ORDER BY query_id, score DESC, doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -6017,6 +6247,9 @@ object Pipeline {
     "q248_prf_batch" -> q248PrfBatch _,
     "q249_not_near" -> q249NotNear _,
     "q250_lm_rank" -> q250LmRank _,
+    "q251_unified_store" -> q251UnifiedStore _,
+    "q252_spannot_batch" -> q252SpanNotBatch _,
+    "q253_lm_batch" -> q253LmBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -6275,6 +6508,9 @@ object Pipeline {
     "q248_prf_batch" -> q248Sql,
     "q249_not_near" -> q249Sql,
     "q250_lm_rank" -> q250Sql,
+    "q251_unified_store" -> q251Sql,
+    "q252_spannot_batch" -> q252Sql,
+    "q253_lm_batch" -> q253Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

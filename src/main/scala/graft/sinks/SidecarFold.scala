@@ -40,18 +40,34 @@ object SidecarFold {
     * fold scaffolding exists, restore the newest `.old-` aside (always
     * the verbatim history at the instant the live dir was renamed away;
     * `.fold-` is a belt-and-braces fallback, unreachable from
-    * swapInto's ordering), then drop the superseded scaffolding. No-op
-    * when the sidecar exists or the store is genuinely fresh. */
+    * swapInto's ordering). No-op when the sidecar exists or the store
+    * is genuinely fresh.
+    *
+    * Readers are HEAL-ONLY: the restore renames the aside into place
+    * and deletes NOTHING — scaffolding cleanup belongs to the
+    * maintainer ([[foldIfDecayed]] clears residue on its next run). A
+    * cross-job reader that hits a live fold's swap window can still
+    * abort that fold (its rename of `.old-` back to live makes the
+    * maintainer's swapInto fail loudly, after the data append already
+    * landed — answers stay correct, the fold just didn't happen), but
+    * heal-only readers can never destroy the maintainer's in-flight
+    * `.fold-` output. The documented single-maintainer discipline
+    * covers WRITES; concurrent cross-job readers are safe because the
+    * only mutation they perform is the aside-wins restore, which is
+    * idempotent and race-tolerant (loser's rename fails after the
+    * winner restored). Scaffolding stamps that don't parse as numbers
+    * (a foreign `<side>.old-junk` path) are skipped, never restored
+    * and never a parse crash. */
   def restoreAside(spark: SparkSession, side: String): Unit = {
     val fs = HadoopSwap.fs(spark, side)
     val live = new Path(side)
     if (fs.exists(live)) return
-    val found = asides(fs, side)
+    def stamp(st: FileStatus): Option[Long] =
+      st.getPath.getName.split("-").last.toLongOption
+    val found = asides(fs, side).filter(stamp(_).isDefined)
     if (found.isEmpty) return
-    def stamp(st: FileStatus): Long =
-      st.getPath.getName.split("-").last.toLong
     val (olds, folds) = found.partition(_.getPath.getName.contains(".old-"))
-    val pick = (if (olds.nonEmpty) olds else folds).maxBy(stamp)
+    val pick = (if (olds.nonEmpty) olds else folds).maxBy(stamp(_).get)
     if (!fs.rename(pick.getPath, live))
       // two concurrent readers can race this heal; the loser's rename
       // fails AFTER the winner restored — only refuse when the live
@@ -59,7 +75,6 @@ object SidecarFold {
       require(fs.exists(live),
         s"crash-heal restore ${pick.getPath} -> $side failed — refusing " +
           "to proceed against a store whose only sidecar copy is an aside")
-    asides(fs, side).foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Fold `side` when it holds more than `threshold` parquet files:

@@ -103,6 +103,30 @@ object Gff3 {
     }
   }
 
+  /** [[features]] plus each record's 0-based FILE LINE NUMBER — the
+    * deterministic ordering key the reference-exact staging mode
+    * ([[graft.etl.Gff3ToChado.stageRefCompat]]) numbers its `auto<N>`
+    * ids by. `zipWithIndex` follows partition order, which for a text
+    * file is byte order, so the index is stable across runs and
+    * parallelism levels; the parse gate (directive/FASTA/column
+    * filtering) is [[parse]]'s, applied per partition. */
+  def featuresWithLine(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path).rdd.zipWithIndex.toDS()
+      .mapPartitions { it =>
+        var inFasta = false
+        it.flatMap { case (line, no) =>
+          if (inFasta || line.startsWith("#")) {
+            if (line.startsWith("##FASTA")) inFasta = true
+            None
+          } else if (line.isEmpty || line.count(_ == '\t') < 8) None
+          else parseLine(line).map(r => (r, no))
+        }
+      }
+      .toDF("rec", "line_no")
+      .select(col("rec.*"), col("line_no"))
+  }
+
   /** Directive lines (`##gff-version`, `##sequence-region`, ...). */
   def directives(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

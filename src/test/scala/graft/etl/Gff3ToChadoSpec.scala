@@ -63,6 +63,29 @@ class Gff3ToChadoSpec extends SparkSpec {
     assert(counts2.values.forall(_ == 0L), s"expected all-zero, got $counts2")
   }
 
+  test("refCompat staging reproduces the reference's OWN golden counts on test1.gff3") {
+    val ref = "/root/reference/t/test_data/gff3/test1.gff3"
+    assume(new java.io.File(ref).canRead,
+      "reference fixture not present in this environment")
+    // the reference's acceptance contract, t/lib/ChadoGFF3.pm:120-139
+    val golden = Map(
+      "feature" -> 53L, "featureloc" -> 51L, "featureloc_target" -> 2L,
+      "analysisfeature" -> 6L, "synonym" -> 3L, "feature_synonym" -> 4L,
+      "feature_relationship" -> 39L, "dbxref" -> 5L,
+      "feature_dbxref" -> 6L, "featureprop" -> 12L)
+    val staging = Gff3ToChado.stageRefCompat(spark,
+      Gff3.featuresWithLine(spark, ref))
+    val (store, counts) =
+      Gff3ToChado.merge(staging, Gff3ToChado.Store.emptyLike(staging))
+    assert(counts == golden, s"expected the reference's golden hash, got $counts")
+    // the reference's idempotence gate: identical re-stage (auto ids
+    // re-derive from line order, so they collide exactly) inserts zero
+    val staging2 = Gff3ToChado.stageRefCompat(spark,
+      Gff3.featuresWithLine(spark, ref))
+    val (_, again) = Gff3ToChado.merge(staging2, store)
+    assert(again.values.forall(_ == 0L), s"expected all-zero, got $again")
+  }
+
   test("incremental load inserts only the delta") {
     val staging = Gff3ToChado.stage(spark, Gff3.features(spark, path))
     val (store, _) = Gff3ToChado.merge(staging, Gff3ToChado.Store.emptyLike(staging))

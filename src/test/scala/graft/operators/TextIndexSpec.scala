@@ -345,7 +345,7 @@ class TextIndexSpec extends SparkSpec {
       "the delete must serve the rebuilt-on-survivors answer")
   }
 
-  test("positional ingest counts token-free docs; BM25 refuses positional stores") {
+  test("positional ingest counts token-free docs; ranking serves from ONE positional store") {
     val dir = tmp("edgepos")
     TextIndex.buildPositional(edgy.filter($"doc_id" < 102L), "doc_id",
       "text", dir, nBuckets = 4, filesPerBucket = 2)
@@ -357,8 +357,9 @@ class TextIndexSpec extends SparkSpec {
     // dl stays the UNfiltered count: "" is 1 token, "  " is 2
     assert(n == 63L && sdl == base + 3L,
       s"positional stats must match the bag tokenizer's: $n/$sdl")
-    // token-free docs ride the residual into _doclen: deleting the
-    // whitespace-only doc subtracts its exact unfiltered dl
+    // token-free docs write `""` postings since the stats unification
+    // (so _doclen derives from the written files, no residual pass):
+    // deleting the whitespace-only doc subtracts its exact unfiltered dl
     assert(TextIndex.delete(spark, dir, Seq(102L).toDF("doc_id"),
       "doc_id") == 1L)
     val (n2, sdl2, _) = TextIndex.readStats(spark, dir)
@@ -369,14 +370,35 @@ class TextIndexSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq.sorted
     assert(hits == Curation.phraseSearch(docs, "doc_id", "text",
       Seq("alpha", "beta")).as[(Long, Long)].collect().toSeq.sorted)
-    // BM25 from a positional store would silently drift (filtered tf,
-    // no "" postings) — it must refuse loud instead
-    assertThrows[IllegalArgumentException](
-      TextIndex.topK(spark, dir, Seq("alpha"), 5))
-    assertThrows[IllegalArgumentException](
-      TextIndex.topKBatch(spark, dir,
-        Seq((1L, Seq("alpha"))).toDF("query_id", "terms"),
-        "query_id", "terms", 5))
+    // STATS UNIFICATION: the positional postings carry the bag
+    // contract's exact (w, tf, dl) — `""` postings included, with
+    // blanked position lists — so the ranking serves accept the
+    // positional store and answer bit-identically to the scan path
+    // and to a bag store over the same survivors. The `""` query term
+    // is the contract's sharpest edge: doc 101 ("") must score.
+    val survivors = edgy.filter($"doc_id" =!= 102L)
+    val terms = Seq("alpha", "beta", "")
+    assert(rows(TextIndex.topK(spark, dir, terms, 10)) ==
+      rows(Curation.bm25TopK(survivors, "doc_id", "text", terms, 10)),
+      "positional-store BM25 must match the scan path, '' term included")
+    assert(rows(TextIndex.topK(spark, dir, terms, 10))
+        .map(_._1).contains(101L),
+      "the empty-token doc must be reachable through its '' posting")
+    val bag = tmp("edgeposbag")
+    TextIndex.build(survivors, "doc_id", "text", bag,
+      nBuckets = 4, filesPerBucket = 2)
+    assert(TextIndex.lmTopK(spark, dir, terms, 10)
+        .as[(Long, Long, Double)].collect().toSeq ==
+      TextIndex.lmTopK(spark, bag, terms, 10)
+        .as[(Long, Long, Double)].collect().toSeq,
+      "positional-store LM ranking must match the bag store's")
+    val qs = Seq((1L, Seq("alpha", "beta")), (2L, Seq("", "mu")))
+      .toDF("query_id", "terms")
+    assert(TextIndex.topKBatch(spark, dir, qs, "query_id", "terms", 5)
+        .as[(Long, Long, Long, Double)].collect().toSeq ==
+      TextIndex.topKBatch(spark, bag, qs, "query_id", "terms", 5)
+        .as[(Long, Long, Long, Double)].collect().toSeq,
+      "batched BM25 must be layout-independent")
   }
 
   test("batched phrase serve == per-phrase loop; absent-term queries drop whole") {
@@ -771,6 +793,86 @@ class TextIndexSpec extends SparkSpec {
       "after a delete the LM stats must equal a survivor rebuild")
     // absent terms prune; all-absent answers empty
     assert(TextIndex.lmTopK(spark, dir, Seq("qqzzabsent"), 5).count() == 0L)
+  }
+
+  test("batched SpanNot == per-query loop; role-aware Bloom; tombstones mask; degenerates refuse") {
+    val dir = tmp("spannotbatch")
+    val docs2 = Seq(
+      (0L, "a x b"),
+      (1L, "a x x x x x b"),
+      (2L, "a b x x x a"),
+      (3L, "a a a"),
+      (4L, "b c")).toDF("doc_id", "text")
+    TextIndex.buildPositional(docs2, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    val qs = Seq(
+      (1L, "a", "b", 2),
+      (2L, "a", "b", 6),
+      (3L, "a", "qqzzabsent", 3), // absent EXCLUSION: all a clear
+      (4L, "qqzzabsent", "b", 3), // absent KEPT term: query drops whole
+      (5L, "c", "a", 1))
+    def batched() = TextIndex.notNearSearchBatch(spark, dir,
+        qs.toDF("query_id", "a", "b", "slop"),
+        "query_id", "a", "b", "slop")
+      .as[(Long, Long, Long)].collect().toSeq
+    def looped() = qs.flatMap { case (qid, a, b, slop) =>
+      TextIndex.notNearSearch(spark, dir, a, b, slop)
+        .as[(Long, Long)].collect().toSeq.map(r => (qid, r._1, r._2))
+    }.sorted
+    assert(batched() == looped(),
+      "the batched SpanNot serve must equal the per-query loop")
+    assert(batched().exists(_._1 == 3L),
+      "an absent exclusion term must keep its query alive (role-aware)")
+    assert(!batched().exists(_._1 == 4L))
+    // tombstones mask every query of the batch
+    TextIndex.delete(spark, dir, Seq(3L).toDF("doc_id"), "doc_id")
+    assert(batched() == looped())
+    // degenerate rows refuse loud: same-term, slop < 1, NULL term
+    assertThrows[IllegalArgumentException](
+      TextIndex.notNearSearchBatch(spark, dir,
+        Seq((9L, "a", "a", 2)).toDF("query_id", "a", "b", "slop"),
+        "query_id", "a", "b", "slop"))
+    assertThrows[IllegalArgumentException](
+      TextIndex.notNearSearchBatch(spark, dir,
+        Seq((9L, "a", "b", 0)).toDF("query_id", "a", "b", "slop"),
+        "query_id", "a", "b", "slop"))
+    assertThrows[IllegalArgumentException](
+      TextIndex.notNearSearchBatch(spark, dir,
+        Seq((9L, null: String, "b", 2)).toDF("query_id", "a", "b", "slop"),
+        "query_id", "a", "b", "slop"))
+  }
+
+  test("batched LM ranking == per-query lmTopK loop on both store kinds; tombstones mask") {
+    val dir = tmp("lmbatch")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    val qs = Seq(
+      (1L, Seq("alpha", "kappa")),
+      (2L, Seq("beta", "mu", "theta")),
+      (3L, Seq("qqzzabsent"))) // all-absent query serves no rows
+    def batched(d: String) = TextIndex.lmTopKBatch(spark, d,
+        qs.toDF("query_id", "terms"), "query_id", "terms", 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    def looped(d: String) = qs.flatMap { case (qid, terms) =>
+      TextIndex.lmTopK(spark, d, terms, 10)
+        .as[(Long, Long, Double)].collect().toSeq
+        .map(r => (qid, r._1, r._2, r._3))
+    }.sortBy(r => (r._1, -r._4, r._2))
+    assert(batched(dir) == looped(dir),
+      "the batched LM serve must equal the per-query loop")
+    assert(batched(dir).nonEmpty, "fixture must produce matches")
+    assert(!batched(dir).exists(_._1 == 3L))
+    // a positional store serves LM identically (stats unification)
+    val posDir = tmp("lmbatchpos")
+    TextIndex.buildPositional(docs, "doc_id", "text", posDir, nBuckets = 4)
+    assert(batched(posDir) == looped(dir),
+      "batched LM must be layout-independent")
+    // tombstones mask AND the collection stats follow the survivors
+    val victim = batched(dir).head._2
+    TextIndex.delete(spark, dir, Seq(victim).toDF("doc_id"), "doc_id")
+    assert(batched(dir) == looped(dir),
+      "after a delete the batched LM must equal the per-query loop " +
+        "on the survivors")
   }
 
   test("phrase fold runs rarest-term-first from the df sketch; answers unchanged") {

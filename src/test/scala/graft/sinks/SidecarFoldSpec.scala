@@ -51,6 +51,38 @@ class SidecarFoldSpec extends SparkSpec {
     assert(filesIn(side) == 1)
   }
 
+  test("readers are heal-only: restore never deletes .fold scaffolding; non-numeric stamps are skipped, never a crash") {
+    val side = tmp("healonly") + "/_tombstones"
+    val fs = HadoopSwap.fs(spark, side)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    Seq((1L, 10L)).toDF("doc_id", "dl")
+      .coalesce(1).write.parquet(side + ".old-777")
+    Seq((2L, 10L)).toDF("doc_id", "dl")
+      .coalesce(1).write.parquet(side + ".fold-888")
+    // a foreign path matching the aside glob with a junk stamp must be
+    // skipped (previously a NumberFormatException on every read)
+    fs.mkdirs(p(side + ".old-junk"))
+    SidecarFold.restoreAside(spark, side)
+    assert(fs.exists(p(side)), "newest numeric .old aside restores")
+    assert(spark.read.parquet(side).as[(Long, Long)].head() == ((1L, 10L)),
+      ".old wins over .fold (verbatim history at rename-away instant)")
+    assert(fs.exists(p(side + ".fold-888")),
+      "a reader must never delete the maintainer's in-flight .fold")
+    assert(fs.exists(p(side + ".old-junk")), "readers delete nothing")
+    // the maintainer's next fold attempt clears the residue
+    SidecarFold.foldIfDecayed(spark, side, 1000)(identity)
+    assert(!fs.exists(p(side + ".fold-888")) &&
+      !fs.exists(p(side + ".old-junk")),
+      "scaffolding cleanup belongs to the maintainer")
+    // only-junk asides: heal is a no-op, not a restore of foreign data
+    val side2 = tmp("junkonly") + "/_tombstones"
+    val fs2 = HadoopSwap.fs(spark, side2)
+    fs2.mkdirs(p(side2 + ".old-junk"))
+    SidecarFold.restoreAside(spark, side2)
+    assert(!fs2.exists(p(side2)),
+      "a junk-stamped foreign dir must never be renamed into the store")
+  }
+
   test("high-churn text store: 100+ appends and 100+ deletes keep bounded sidecars; serves == rebuild; fold crash never resurrects") {
     val dir = tmp("textchurn")
     val mk = (i: Long) => Seq((i, s"alpha beta w$i")).toDF("doc_id", "text")
