@@ -20,95 +20,7 @@ import scala.sys.process._
   * carries no Postgres install the tests cancel with the reason
   * recorded (COVERAGE.md documents the constraint); they never pass
   * vacuously. */
-class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private val port = 54399
-  private def bin(name: String): Option[String] =
-    Seq("/usr/local/bin/", "/usr/bin/", "/usr/lib/postgresql/15/bin/")
-      .map(_ + name).find(p => new java.io.File(p).canExecute)
-
-  private var baseDir: java.io.File = _
-  private var up = false
-  private var whyDown = "not started"
-
-  private def sh(cmd: Seq[String], input: Option[String] = None)
-      : (Int, String) = {
-    val out = new StringBuilder
-    val log = ProcessLogger(s => { out.append(s).append('\n'); () },
-      s => { out.append(s).append('\n'); () })
-    val code = input match {
-      case Some(in) => (Process(cmd) #<
-        new java.io.ByteArrayInputStream(
-          in.getBytes(java.nio.charset.StandardCharsets.UTF_8))).!(log)
-      case None => Process(cmd).!(log)
-    }
-    (code, out.toString)
-  }
-
-  // the server refuses root — when the suite runs as root (the usual
-  // container case), hop to the postgres system user for server-side
-  // commands; the psql CLIENT runs fine as anyone
-  private def asPg(cmd: Seq[String]): Seq[String] =
-    if (sh(Seq("id", "-u"))._2.trim == "0")
-      Seq("runuser", "-u", "postgres", "--") ++ cmd
-    else cmd
-
-  private def psqlBase: Seq[String] =
-    Seq(bin("psql").get, "-h", baseDir.getAbsolutePath,
-      "-p", port.toString, "-U", "postgres", "-d", "postgres",
-      "-v", "ON_ERROR_STOP=1", "-qtA")
-
-  /** Run a psql script (stdin, ON_ERROR_STOP) against the throwaway
-    * cluster; returns (exitCode, combined output). */
-  private def psql(script: String): (Int, String) =
-    sh(psqlBase ++ Seq("-f", "-"), Some(script))
-
-  /** Run ONE `COPY … FROM STDIN` with the data fed on psql's stdin —
-    * EOF terminates the stream, so the data never rides the script
-    * scanner (whose `\.` detection is line-oriented and cannot see a
-    * CSV record spanning physical lines through a quoted newline). */
-  private def psqlCopy(copySql: String, data: String): (Int, String) =
-    sh(psqlBase ++ Seq("-c", copySql), Some(data + "\n"))
-
-  private def query(sql: String): Seq[String] = {
-    val (code, out) = psql(sql)
-    assert(code == 0, s"query failed: $sql\n$out")
-    out.linesIterator.filter(_.nonEmpty).toSeq
-  }
-
-  override def beforeAll(): Unit = {
-    val need = Seq("initdb", "pg_ctl", "psql").map(b => b -> bin(b))
-    need.collect { case (b, None) => b } match {
-      case missing if missing.nonEmpty =>
-        whyDown = s"no Postgres install (missing: ${missing.mkString(", ")})"
-        return
-      case _ => ()
-    }
-    baseDir = java.nio.file.Files
-      .createTempDirectory("graft_pglive").toFile
-    val data = new java.io.File(baseDir, "data").getAbsolutePath
-    sh(Seq("chown", "-R", "postgres:postgres", baseDir.getAbsolutePath))
-    val (ic, iout) = sh(asPg(Seq(bin("initdb").get, "-D", data,
-      "-A", "trust", "--no-sync")))
-    if (ic != 0) { whyDown = s"initdb failed: ${iout.take(300)}"; return }
-    val (sc, sout) = sh(asPg(Seq(bin("pg_ctl").get, "-D", data,
-      "-o", s"-k ${baseDir.getAbsolutePath} -p $port -c listen_addresses=''",
-      "-l", s"${baseDir.getAbsolutePath}/pg.log", "-w", "start")))
-    if (sc != 0) { whyDown = s"pg_ctl start failed: ${sout.take(300)}"; return }
-    up = psql("SELECT 1")._1 == 0
-    if (!up) whyDown = "server started but psql cannot connect"
-  }
-
-  override def afterAll(): Unit = {
-    if (baseDir != null) {
-      if (up) sh(asPg(Seq(bin("pg_ctl").get, "-D",
-        new java.io.File(baseDir, "data").getAbsolutePath,
-        "stop", "-m", "immediate")))
-      sh(Seq("rm", "-rf", baseDir.getAbsolutePath))
-    }
-  }
-
-  private def live() = assume(up, s"live-Postgres checks skipped: $whyDown")
+class PgLiveSpec extends AnyFunSuite with PgLiveHarness {
 
   private val schema = StructType(Seq(
     StructField("k", IntegerType, nullable = false),
