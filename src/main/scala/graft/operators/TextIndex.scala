@@ -241,7 +241,8 @@ object TextIndex {
     * prove absence — the serve falls back to opening every query
     * term's bucket, never to a wrong skip). */
   private def readTermFilter(spark: SparkSession,
-                             dir: String): Option[Array[Long]] = {
+                             dir: String): Option[Array[Long]] =
+      graft.sinks.SidecarFold.withReadRetry() {
     val df = spark.read.option("mergeSchema", "true")
       .parquet(statsPath(dir))
     if (!df.columns.contains("tf_bits")) return None
@@ -262,7 +263,8 @@ object TextIndex {
     * batches). Additive count-min: a PARTIAL sum (some rows null) is
     * a usable underestimate, because estimates only order plans. */
   private def readDfSketch(spark: SparkSession,
-                           dir: String): Option[Array[Long]] = {
+                           dir: String): Option[Array[Long]] =
+      graft.sinks.SidecarFold.withReadRetry() {
     val df = spark.read.option("mergeSchema", "true")
       .parquet(statsPath(dir))
     if (!df.columns.contains("df_sketch")) return None
@@ -588,7 +590,8 @@ object TextIndex {
     * delete is a single atomic sidecar append with no
     * stats-out-of-sync crash window. */
   private[graft] def readStats(spark: SparkSession,
-                               dir: String): (Long, Long, Int) = {
+                               dir: String): (Long, Long, Int) =
+      graft.sinks.SidecarFold.withReadRetry() {
     restoreStatsAside(spark, dir) // fold-crash heal; no-op when live
     val df = spark.read.parquet(statsPath(dir))
     val nbs = df.select(col("nbuckets")).distinct()

@@ -5395,6 +5395,121 @@ object Pipeline {
        |ORDER BY query_id, score DESC, doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q254
+  // THREE-ARM batched hybrid fusion (Similarity.rrfFuseBatch over
+  // BM25 + Dirichlet LM + dense ANN): q238's two-leg composition
+  // extended with q250's second ranking family — and BOTH text legs
+  // serve from ONE unified positional store (q251's layout), so the
+  // whole three-family hybrid costs a single text index plus the IVF
+  // store. Exactly four jobs for the batch: batched BM25, batched LM,
+  // batched dense serve, one (queries x k)-sized fusion. The oracle
+  // replays all three legs per query and fuses with the same
+  // argument-order COALESCE sum and round-to-6.
+  private def q254TriHybrid(s: SparkSession, dir: String): DataFrame = {
+    val outT = scratch("q254t", dir)
+    val outV = scratch("q254v", dir)
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    TextIndex.buildPositional(docs, "doc_id", "text", outT, nBuckets = 8,
+      filesPerBucket = 2)
+    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+    Similarity.ivfStoreBuild(emb, "vec_id", "embedding", ix, outV)
+    import s.implicits._
+    val qterms = Seq(
+      (0L, Seq("spark", "join", "merge")),
+      (3L, Seq("vector", "stream")),
+      (7L, Seq("filter", "sort"))).toDF("query_id", "terms")
+    val lex = TextIndex.topKBatch(s, outT, qterms, "query_id", "terms", 20)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val lm = TextIndex.lmTopKBatch(s, outT, qterms, "query_id", "terms", 20)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    // both text legs stay inside the probed buckets (2 passes each:
+    // df/ctf aggregate + scoring) of the ONE positional store
+    val live = Seq("spark", "join", "merge", "vector", "stream",
+      "filter", "sort")
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, outT)
+    val filesInProbed =
+      allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+    require(filesInProbed < allFiles.size,
+      "test setup: some bucket must stay unprobed")
+    Seq("BM25" -> lex, "LM" -> lm).foreach { case (leg, r) =>
+      require(graft.plans.PlanProbe.scannedFileCount(r) <= 2L * filesInProbed,
+        s"the batched $leg leg must stay inside the probed buckets " +
+          s"(2 passes x $filesInProbed files; store holds ${allFiles.size})")
+    }
+    val qvecs = emb.filter(col("vec_id").isin(0L, 3L, 7L))
+    val dense = Similarity.knnJoinIvfStore(s, outV, qvecs,
+        "vec_id", "embedding", k = 20, index = ix, nprobe = ix.cids.size)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("sim").as("score"))
+    Similarity.rrfFuseBatch(Seq(lex, lm, dense), "doc_id", c = 60, k = 10)
+  }
+
+  // q238's per-arm SQL plus an LM chain per arm and a three-way fusion
+  private val q254Sql = {
+    val queries = Seq(
+      (0, Seq("spark", "join", "merge")),
+      (3, Seq("vector", "stream")),
+      (7, Seq("filter", "sort")))
+    val arms = queries.map { case (vid, terms) =>
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""htf$vid AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+         |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+         |  WHERE w IN ($inList) GROUP BY doc_id, dl, w),
+         |hdf$vid AS (SELECT w, COUNT(*) AS df FROM htf$vid GROUP BY w),
+         |hcb$vid AS (SELECT doc_id,
+         |    CAST(round(
+         |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+         |      * (tf * (1.2e0 + 1)) /
+         |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6)
+         |      AS DECIMAL(28,6)) AS c
+         |  FROM htf$vid JOIN hdf$vid USING (w) CROSS JOIN stats),
+         |hlex$vid AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+         |  FROM hcb$vid GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+         |hctf$vid AS (SELECT w, CAST(SUM(tf) AS DOUBLE) AS ctf
+         |  FROM htf$vid GROUP BY w),
+         |hls$vid AS (SELECT doc_id,
+         |    CAST(round(ln(1.0e0 + CAST(tf AS DOUBLE) * csz
+         |      / (2000.0e0 * ctf)), 6) AS DECIMAL(28,6))
+         |    + CAST(round(ln(2000.0e0 / (CAST(dl AS DOUBLE) + 2000.0e0)), 6)
+         |        AS DECIMAL(28,6)) AS cc
+         |  FROM htf$vid JOIN hctf$vid USING (w) CROSS JOIN stats),
+         |hlm$vid AS (SELECT doc_id, CAST(SUM(cc) AS DOUBLE) AS score
+         |  FROM hls$vid GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+         |hfq$vid AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $vid),
+         |hdn$vid AS (SELECT e.vec_id AS doc_id,
+         |    ${cosSql("e.embedding", s"hfq$vid.qv")} AS score
+         |  FROM embeddings e CROSS JOIN hfq$vid WHERE e.vec_id <> $vid
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |hlr$vid AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |       FROM hlex$vid),
+         |hmr$vid AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |       FROM hlm$vid),
+         |hdr$vid AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |       FROM hdn$vid),
+         |htop$vid AS (SELECT CAST($vid AS BIGINT) AS query_id, doc_id,
+         |    round(COALESCE(1.0 / (60.0 + hlr$vid.r), 0.0) +
+         |          COALESCE(1.0 / (60.0 + hmr$vid.r), 0.0) +
+         |          COALESCE(1.0 / (60.0 + hdr$vid.r), 0.0), 6) AS rrf
+         |  FROM hlr$vid FULL JOIN hmr$vid USING (doc_id)
+         |    FULL JOIN hdr$vid USING (doc_id)
+         |  ORDER BY rrf DESC, doc_id LIMIT 10)""".stripMargin
+    }
+    val union = queries.map { case (vid, _) => s"SELECT * FROM htop$vid" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT COUNT(*) AS n,
+       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl,
+       |    CAST(SUM(dl) AS DOUBLE) AS csz FROM b2),
+       |${arms.mkString(",\n")}
+       |$union
+       |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -6250,6 +6365,7 @@ object Pipeline {
     "q251_unified_store" -> q251UnifiedStore _,
     "q252_spannot_batch" -> q252SpanNotBatch _,
     "q253_lm_batch" -> q253LmBatch _,
+    "q254_tri_hybrid" -> q254TriHybrid _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -6511,6 +6627,7 @@ object Pipeline {
     "q251_unified_store" -> q251Sql,
     "q252_spannot_batch" -> q252Sql,
     "q253_lm_batch" -> q253Sql,
+    "q254_tri_hybrid" -> q254Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -26,6 +26,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SidecarFold {
 
+  /** Bounded re-plan retry for EAGER sidecar reads racing a fold's
+    * atomic swap: a reader that lists the sidecar's files just before
+    * the swap executes against names that no longer exist and fails
+    * with Spark's FAILED_READ_FILE / FileNotFound — a STALE PLAN, not
+    * lost data (the folded replacement holds the same logical rows by
+    * construction). Retrying re-lists and answers exactly. Never use
+    * ignoreMissingFiles for this: during the swap window EVERY listed
+    * file vanishes at once, and a silently-empty sidecar read turns
+    * into silently-zero corpus stats. Rethrows after `attempts`
+    * genuine failures (a sidecar that is truly gone keeps failing —
+    * loud, like every store-corruption path). Lazy sidecar frames
+    * that ride inside a bigger serve plan (the tombstone anti-join)
+    * are NOT covered — there the retry belongs to whoever runs the
+    * action; tombstone folds fire only inside delete(), which the
+    * single-maintainer discipline already serializes against other
+    * maintenance. */
+  @annotation.tailrec
+  def withReadRetry[T](attempts: Int = 5)(f: => T): T = {
+    val r =
+      try Right(f)
+      catch {
+        case e: Throwable if attempts > 1 && vanishedFile(e) => Left(())
+      }
+    r match {
+      case Right(v) => v
+      case Left(_) => withReadRetry(attempts - 1)(f)
+    }
+  }
+
+  private def vanishedFile(e: Throwable): Boolean =
+    e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+      Option(e.getMessage).exists(m =>
+        m.contains("FAILED_READ_FILE") || m.contains("does not exist")) ||
+      vanishedFile(e.getCause))
+
   /** Fold scaffolding next to a sidecar: `.old-<stamp>` (live history
     * renamed aside by swapInto) and `.fold-<stamp>` (the folded
     * replacement not yet renamed in). Both start with the sidecar's

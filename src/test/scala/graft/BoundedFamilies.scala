@@ -94,6 +94,13 @@ object BoundedFamilies {
         // the LM ranker's terms-sized collection-frequency table
         // (exact ctf from the read postings, like BM25's df)
         "q250_lm_rank" -> Set(Set("ctf", "w")),
+        // the unified positional store serves BM25 (df) AND LM (ctf)
+        // from one index — both tables stay terms-sized
+        "q251_unified_store" -> Set(Set("df", "w"), Set("ctf", "w")),
+        // the batched LM serve's shared collection-frequency table
+        "q253_lm_batch" -> Set(Set("ctf", "w")),
+        // the three-arm hybrid's BM25 and LM legs from the one store
+        "q254_tri_hybrid" -> Set(Set("df", "w"), Set("ctf", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),

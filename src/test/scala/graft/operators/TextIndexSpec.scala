@@ -962,9 +962,16 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.readStats(spark, dir) == want,
       "readStats must heal the fold-crash window from the aside dir")
     assert(fs.exists(side), "the live sidecar must be restored in place")
+    // readers are HEAL-ONLY (ADVICE r12): the restore renames the
+    // aside into place but leaves the maintainer's .fold scaffolding
+    // untouched; the next MAINTAINER pass clears the residue
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/_corpus_stats.fold-100")),
+      "a reader must never delete the maintainer's .fold scaffolding")
+    TextIndex.maybeFoldStats(spark, dir, threshold = 10000)
     assert(fs.globStatus(new org.apache.hadoop.fs.Path(
         s"$dir/_corpus_stats.{old,fold}-*")).isEmpty,
-      "superseded asides must be cleared after the restore")
+      "the maintainer's next pass must clear superseded scaffolding")
     // the serve is unaffected
     val served = rows(TextIndex.topK(spark, dir, Seq("alpha", "kappa"), 10))
     assert(served == rows(Curation.bm25TopK(docs, "doc_id", "text",

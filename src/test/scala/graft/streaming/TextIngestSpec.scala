@@ -155,6 +155,85 @@ class TextIngestSpec extends SparkSpec {
     assert(rows(TextIndex.topK(spark, dir, terms, 10)) == want,
       "the refused batch must leave the store untouched")
   }
+  test("positional stream crosses the fold threshold mid-stream: sidecars stay bounded, concurrent phrase readers exact across the folds") {
+    // vocabulary split makes the concurrent assertion deterministic:
+    // docs 0-39 carry the probed phrase, docs 40-69 use a DISJOINT
+    // vocabulary — so the phrase answer is FIXED while late batches
+    // append and the `_corpus_stats`/`_doclen` folds fire (threshold
+    // 64 is crossed at batch ~64 of 70), and a reader racing an
+    // in-flight append can only ever see postings that cannot move
+    // its answer. phraseSearch reads corpus stats only for the frozen
+    // bucket count, so it exercises the fold-heal read path on every
+    // serve without depending on n/sdl mid-bump.
+    val root = java.nio.file.Files.createTempDirectory("posfold").toString
+    val dir = s"$root/store"
+    def early(i: Long) = (i, s"alpha beta gamma w$i")
+    def late(i: Long) = (i, s"zeta eta theta z$i")
+    (0L until 40L).foreach { i =>
+      assert(StreamingMerge.applyTextBatch(Seq(early(i)).toDF("doc_id", "text"),
+        i, dir, nBuckets = 4, filesPerBucket = 1, positional = true))
+    }
+    val want = TextIndex.phraseSearch(spark, dir, Seq("alpha", "beta"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(want == (0L until 40L).map(i => (i, 1L)),
+      "fixture: every early doc carries exactly one phrase occurrence")
+    // concurrent readers hammer the store while the stream crosses
+    // the fold threshold: every serve must be EXACT — a fold-swap
+    // window read heals and answers, never errors, never drops docs
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (1 to 2).map(_ => new Thread(() => {
+      while (!stop) {
+        try {
+          val got = TextIndex.phraseSearch(spark, dir, Seq("alpha", "beta"))
+            .as[(Long, Long)].collect().toSeq.sorted
+          if (got != want)
+            failures.add(s"phrase drifted under fold/append: $got")
+        } catch {
+          case e: Throwable => failures.add(s"reader threw: $e")
+        }
+      }
+    }))
+    readers.foreach(_.start())
+    try {
+      (40L until 70L).foreach { i =>
+        assert(StreamingMerge.applyTextBatch(Seq(late(i)).toDF("doc_id", "text"),
+          i, dir, nBuckets = 4, filesPerBucket = 1, positional = true))
+      }
+    } finally {
+      stop = true
+      readers.foreach(_.join(60000))
+    }
+    assert(failures.isEmpty, s"concurrent serves must stay exact: " +
+      s"${failures.toArray.take(3).mkString("; ")}")
+    // the folds really fired mid-stream: 70 one-file appends, bounded
+    // sidecar file counts at the end
+    val fs = graft.sinks.HadoopSwap.fs(spark, dir)
+    def filesIn(side: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(side))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(filesIn(s"$dir/_corpus_stats") <= 64,
+      "the stats sidecar must have folded mid-stream")
+    assert(filesIn(s"$dir/_doclen") <= 64,
+      "the doclen sidecar must have folded mid-stream")
+    // after the storm: stats exact, phrase unchanged, AND the unified
+    // ranking serves answer from the same positional store
+    assert(TextIndex.readStats(spark, dir)._1 == 70L)
+    assert(TextIndex.phraseSearch(spark, dir, Seq("alpha", "beta"))
+      .as[(Long, Long)].collect().toSeq.sorted == want)
+    val corpus = ((0L until 40L).map(early) ++ (40L until 70L).map(late))
+      .toDF("doc_id", "text")
+    assert(rows(TextIndex.topK(spark, dir, Seq("alpha", "zeta"), 10)) ==
+      rows(Curation.bm25TopK(corpus, "doc_id", "text",
+        Seq("alpha", "zeta"), 10)),
+      "post-fold BM25 from the positional store must equal the scan path")
+    // the replay gate survived the folds: the last bid still skips
+    // (its stats row was swallowed into the fold's hwm row)
+    assert(!StreamingMerge.applyTextBatch(Seq(late(69L)).toDF("doc_id", "text"),
+      69L, dir, nBuckets = 4, filesPerBucket = 1, positional = true))
+    assert(TextIndex.readStats(spark, dir)._1 == 70L)
+  }
+
   test("positional streaming ingest: phrase serves stay exact; replays heal the marker") {
     val root = java.nio.file.Files.createTempDirectory("posingest").toString
     val dir = s"$root/store"
