@@ -72,13 +72,22 @@ object Gff3ToChado {
     * global sort over the ID-LESS subset only — the price of the
     * reference's sequential-counter contract; the default [[stage]]
     * stays the fully distributed path and the two modes are otherwise
-    * branch-for-branch identical ([[buildStaging]]). */
-  def stageRefCompat(spark: SparkSession, recsWithLine: DataFrame): Staging = {
+    * branch-for-branch identical ([[buildStaging]]).
+    *
+    * `autoIdFrom` continues the counter across loads the way the
+    * reference's session-scoped `get_unique_feature_id` does — the
+    * UPDATE contract (ChadoGFF3UpdateRunner.pm: test1 then test2 in
+    * one session) depends on the second file's ID-less rows NOT
+    * colliding with the first's autos; pass 1 + the prior loads'
+    * ID-less row count. */
+  def stageRefCompat(spark: SparkSession, recsWithLine: DataFrame,
+                     autoIdFrom: Long = 1L): Staging = {
     val explicitId = expr("element_at(attributes, 'ID')[0]")
     val idless = recsWithLine.filter(explicitId.isNull)
       .withColumn("uniquename", concat(lit("auto"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("line_no")))))
+        lit(autoIdFrom - 1L) + row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("line_no")))))
     val rec = recsWithLine.filter(explicitId.isNotNull)
       .withColumn("uniquename", explicitId)
       .unionByName(idless)

@@ -146,5 +146,32 @@ class ChadoGff3PgLiveSpec extends SparkSpec with PgLiveHarness {
     assert(again.values.forall(_ == 0L),
       s"identical re-load must insert zero rows everywhere, got $again")
     assert(query("SELECT COUNT(*) FROM chado_feature") == Seq("53"))
+
+    // the reference's UPDATE contract (ChadoGFF3UpdateRunner.pm:
+    // test2.gff3 into the store test1 built, auto-id counter
+    // continuing across loads; updated hash ChadoGFF3.pm:141-162)
+    val fixture2 = "/root/reference/t/test_data/gff3/test2.gff3"
+    assume(new java.io.File(fixture2).canRead,
+      "reference update fixture not present")
+    val goldenUpdate = Map(
+      "feature" -> 21L, "featureloc" -> 21L, "featureloc_target" -> 0L,
+      "analysisfeature" -> 0L, "synonym" -> 0L, "feature_synonym" -> 0L,
+      "feature_relationship" -> 19L, "dbxref" -> 0L,
+      "feature_dbxref" -> 0L, "featureprop" -> 10L)
+    val recs1 = Gff3.featuresWithLine(spark, fixture)
+    val idless1 = recs1.filter(
+      org.apache.spark.sql.functions
+        .expr("element_at(attributes, 'ID')[0]").isNull).count()
+    val st2 = Gff3ToChado.stageRefCompat(spark,
+      Gff3.featuresWithLine(spark, fixture2), autoIdFrom = idless1 + 1L)
+    assert(psql(tables.map(t => s"TRUNCATE temp_${t._1};").mkString("\n"))
+      ._1 == 0)
+    copyStaging(st2)
+    val updated = runMerge()
+    assert(updated == goldenUpdate,
+      s"live-Postgres update load must match the reference's updated " +
+        s"hash, got $updated")
+    assert(query("SELECT COUNT(*) FROM chado_feature") == Seq("74"),
+      "53 first-load + 21 update features")
   }
 }

@@ -3,6 +3,7 @@ package graft.etl
 import java.nio.file.Files
 import graft.SparkSpec
 import graft.sources.Gff3
+import org.apache.spark.sql.functions.expr
 
 /** Golden-count + idempotence gates mirroring the reference's own test
   * strategy (t/lib/ChadoGFF3.pm:120-162): exact per-table insert counts
@@ -84,6 +85,33 @@ class Gff3ToChadoSpec extends SparkSpec {
       Gff3.featuresWithLine(spark, ref))
     val (_, again) = Gff3ToChado.merge(staging2, store)
     assert(again.values.forall(_ == 0L), s"expected all-zero, got $again")
+  }
+
+  test("refCompat update load (test1 then test2) reproduces the reference's updated golden counts") {
+    val ref1 = "/root/reference/t/test_data/gff3/test1.gff3"
+    val ref2 = "/root/reference/t/test_data/gff3/test2.gff3"
+    assume(new java.io.File(ref1).canRead && new java.io.File(ref2).canRead,
+      "reference fixtures not present in this environment")
+    // the reference's UPDATE contract, t/lib/ChadoGFF3.pm:141-162 —
+    // test2 loaded into the store test1 built, auto-id counter
+    // CONTINUING across the loads (ChadoGFF3UpdateRunner.pm:34-44);
+    // the one shared id (ctg123) is the 22nd staged feature that is
+    // not new
+    val goldenUpdate = Map(
+      "feature" -> 21L, "featureloc" -> 21L, "featureloc_target" -> 0L,
+      "analysisfeature" -> 0L, "synonym" -> 0L, "feature_synonym" -> 0L,
+      "feature_relationship" -> 19L, "dbxref" -> 0L,
+      "feature_dbxref" -> 0L, "featureprop" -> 10L)
+    val recs1 = Gff3.featuresWithLine(spark, ref1)
+    val st1 = Gff3ToChado.stageRefCompat(spark, recs1)
+    val (store, _) = Gff3ToChado.merge(st1, Gff3ToChado.Store.emptyLike(st1))
+    val idless1 = recs1
+      .filter(expr("element_at(attributes, 'ID')[0]").isNull).count()
+    val st2 = Gff3ToChado.stageRefCompat(spark,
+      Gff3.featuresWithLine(spark, ref2), autoIdFrom = idless1 + 1L)
+    val (_, counts) = Gff3ToChado.merge(st2, store)
+    assert(counts == goldenUpdate,
+      s"expected the reference's updated hash, got $counts")
   }
 
   test("incremental load inserts only the delta") {
