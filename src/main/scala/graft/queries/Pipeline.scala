@@ -4844,16 +4844,18 @@ object Pipeline {
   // engine and oracle derive the SAME intermediate sets or the
   // hashes differ.
   private def q246RetrievalEval(s: SparkSession, dir: String): DataFrame = {
-    val outBag = scratch("q246b", dir)
     val outPos = scratch("q246p", dir)
     val docs = t(s, dir, "documents")
     val seed = Seq("vector", "stream")
-    TextIndex.build(docs, "doc_id", "text", outBag, nBuckets = 8,
-      filesPerBucket = 2)
+    // ONE unified positional store serves the whole pipeline — the
+    // PRF ranking (BM25 family) and the KWIC window judge (span
+    // family) read the same index; until the r13 stats unification
+    // this row had to build a second, bag-layout store for the
+    // ranking serves (the exact 2x-index cost the unification kills)
     TextIndex.buildPositional(docs, "doc_id", "text", outPos,
       nBuckets = 8, filesPerBucket = 2)
     // (1) serve: PRF-expanded ranking
-    val ranking = TextIndex.topKExpanded(s, outBag, docs, "doc_id",
+    val ranking = TextIndex.topKExpanded(s, outPos, docs, "doc_id",
         "text", seed, k = 12, fbDocs = 5, fbTerms = 3)
       .withColumn("query_id", lit(0L))
     // (2) windows + (3) judge: relevant = 'stream' inside a ±4 window
