@@ -1881,10 +1881,16 @@ object TextIndex {
         .select(col("doc_id"), col("w"), col("pos")))
     post.join(qslots.select(col("query_id"), col("plen"), col("i"),
         col("w")), Seq("w"))
-      .select(col("query_id"), col("doc_id"), col("plen"),
+      .select(col("query_id"), col("doc_id"), col("plen"), col("i"),
         transform(col("pos"), p => p - col("i")).as("shifted"))
       .groupBy(col("query_id"), col("doc_id"), col("plen"))
-      .agg(count(lit(1)).as("nslots"),
+      // DISTINCT covered slots, not matched posting rows: a doc_id
+      // re-ingested after churn can carry duplicate (doc_id, w) rows,
+      // and row counting would let a doc covering only a SUBSET of
+      // the slots pass the gate (the intersect over the present
+      // arrays could then false-match) — the containingAllBatch
+      // set-semantics rule, applied to the slot index
+      .agg(countDistinct(col("i")).as("nslots"),
         collect_list(col("shifted")).as("arrs"))
       .filter(col("nslots") === col("plen"))
       .withColumn("acc", expr(
