@@ -70,6 +70,14 @@ object IngestProfile {
       TextIndex.append(docs.filter(col("doc_id") % 3 === 0), "doc_id",
         "text", dir, filesPerBucket = 2)
     })
+    // the unified layout's ingest: position lists + the bag-contract
+    // tail-append ride the same single pass — this arm prices the
+    // whole positional premium against the bag build above
+    runArm("positional build (q251 unified shape)", () => {
+      val dir = tmp()
+      TextIndex.buildPositional(docs, "doc_id", "text", dir,
+        nBuckets = 8, filesPerBucket = 2)
+    })
     spark.stop()
   }
 }
