@@ -75,7 +75,7 @@ object GraftSession {
       // message — DOTALL so the path list after the colon is covered
       lc.addFilter(RegexFilter.createFilter(
         "All paths were ignored.*/_(zonemap(_multi)?|bloommap|" +
-          "corpus_stats|doclen|tombstones|positional|zorder_meta|" +
+          "corpus_stats|doclen|tombstones|positional|vocab|zorder_meta|" +
           "selcompact_(tmp|old)|constraints(_fk)?(_tmp)?|checkpoint).*",
         Array("DOTALL"), java.lang.Boolean.FALSE,
         Filter.Result.DENY, Filter.Result.NEUTRAL))

@@ -335,6 +335,38 @@ object GraftCli {
             s"KWIC query '$spec' is not term,width")
           (p(0), p(1).toInt)
         }, out)
+    case "textvocab" :: storeDir :: Nil =>
+      textVocab(storeDir)
+    case "textwildcard" :: storeDir :: prefix :: k :: out :: rest
+        if rest.size <= 1 =>
+      textWildcard(storeDir, prefix, k.toInt,
+        rest.headOption.map(_.toInt).getOrElse(64), out)
+    case "textwildcardbatch" :: storeDir :: prefixes :: k :: out :: rest
+        if rest.size <= 1 =>
+      textWildcardBatch(storeDir,
+        prefixes.split(";").toSeq.filter(_.nonEmpty), k.toInt,
+        rest.headOption.map(_.toInt).getOrElse(64), out)
+    case "textfuzzy" :: storeDir :: term :: maxDist :: k :: out :: rest
+        if rest.size <= 1 =>
+      textFuzzy(storeDir, term, maxDist.toInt, k.toInt,
+        rest.headOption.map(_.toInt).getOrElse(16), out)
+    case "textfuzzybatch" :: storeDir :: queries :: k :: out :: rest
+        if rest.size <= 1 =>
+      textFuzzyBatch(storeDir,
+        queries.split(";").toSeq.filter(_.nonEmpty).map { spec =>
+          val p = spec.split(",")
+          require(p.length == 2, s"fuzzy query '$spec' is not term,maxdist")
+          (p(0), p(1).toInt)
+        }, k.toInt, rest.headOption.map(_.toInt).getOrElse(16), out)
+    case "textregexp" :: storeDir :: pattern :: k :: out :: rest
+        if rest.size <= 1 =>
+      textRegexp(storeDir, pattern, k.toInt,
+        rest.headOption.map(_.toInt).getOrElse(64), out)
+    case "textregexpbatch" :: storeDir :: patterns :: k :: out :: rest
+        if rest.size <= 1 =>
+      textRegexpBatch(storeDir,
+        patterns.split(";").toSeq.filter(_.nonEmpty), k.toInt,
+        rest.headOption.map(_.toInt).getOrElse(64), out)
     case "textexpandbatch" :: storeDir :: docs :: queries :: k :: out :: rest
         if rest.size <= 2 =>
       textExpandBatch(storeDir, docs,
@@ -441,6 +473,13 @@ object GraftCli {
            |           textkwicbatch <storedir> <docs> <term,width;term,width;...> <outdir>
            |           textexpand <storedir> <docs> <w1,w2,...> <k> <outdir> [fbdocs] [fbterms]
            |           textexpandbatch <storedir> <docs> <w1,w2;w3,w4;...> <k> <outdir> [fbdocs] [fbterms]
+           |           textvocab <storedir>
+           |           textwildcard <storedir> <prefix> <k> <outdir> [max_terms]
+           |           textwildcardbatch <storedir> <prefix;prefix;...> <k> <outdir> [max_terms]
+           |           textfuzzy <storedir> <term> <max_dist> <k> <outdir> [max_terms]
+           |           textfuzzybatch <storedir> <term,maxdist;term,maxdist;...> <k> <outdir> [max_terms]
+           |           textregexp <storedir> <pattern> <k> <outdir> [max_terms]
+           |           textregexpbatch <storedir> <pattern;pattern;...> <k> <outdir> [max_terms]
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -2499,6 +2538,94 @@ object GraftCli {
     hits.write.mode("overwrite").parquet(out)
     println(s"PRF[${terms.mkString(", ")}] (+$fbTerms terms from top " +
       s"$fbDocs): ${spark.read.parquet(out).count()} hits -> $out")
+    spark.stop()
+  }
+
+  private def textVocab(storeDir: String): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.buildVocab(spark, storeDir)
+    val n = graft.operators.TextIndex.vocabulary(spark, storeDir).count()
+    println(s"_vocab sidecar built for $storeDir ($n terms); " +
+      "appends maintain it from now on")
+    spark.stop()
+  }
+
+  private def textWildcard(storeDir: String, prefix: String, k: Int,
+                           maxTerms: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    val exp = graft.operators.TextIndex.expandPrefix(spark, storeDir,
+      prefix, maxTerms)
+    graft.operators.TextIndex.wildcardTopK(spark, storeDir, prefix, k,
+      maxTerms).write.mode("overwrite").parquet(out)
+    println(s"wildcard '$prefix*' -> [${exp.mkString(", ")}]: " +
+      s"${spark.read.parquet(out).count()} BM25 hits -> $out")
+    spark.stop()
+  }
+
+  private def textWildcardBatch(storeDir: String, prefixes: Seq[String],
+                                k: Int, maxTerms: Int,
+                                out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val queries = prefixes.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("query_id", "prefix")
+    graft.operators.TextIndex.wildcardTopKBatch(spark, storeDir, queries,
+      "query_id", "prefix", k, maxTerms).write.mode("overwrite").parquet(out)
+    println(s"${prefixes.size} wildcard queries (one batched serve): " +
+      s"${spark.read.parquet(out).count()} hits -> $out")
+    spark.stop()
+  }
+
+  private def textFuzzy(storeDir: String, term: String, maxDist: Int,
+                        k: Int, maxTerms: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    val exp = graft.operators.TextIndex.expandFuzzy(spark, storeDir,
+      term, maxDist, maxTerms)
+    graft.operators.TextIndex.fuzzyTopK(spark, storeDir, term, maxDist,
+      k, maxTerms).write.mode("overwrite").parquet(out)
+    println(s"fuzzy '$term'~$maxDist -> [${exp.mkString(", ")}]: " +
+      s"${spark.read.parquet(out).count()} BM25 hits -> $out")
+    spark.stop()
+  }
+
+  private def textRegexp(storeDir: String, pattern: String, k: Int,
+                         maxTerms: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    val exp = graft.operators.TextIndex.expandRegexp(spark, storeDir,
+      pattern, maxTerms)
+    graft.operators.TextIndex.regexpTopK(spark, storeDir, pattern, k,
+      maxTerms).write.mode("overwrite").parquet(out)
+    println(s"regexp /$pattern/ -> [${exp.mkString(", ")}]: " +
+      s"${spark.read.parquet(out).count()} BM25 hits -> $out")
+    spark.stop()
+  }
+
+  private def textFuzzyBatch(storeDir: String, specs: Seq[(String, Int)],
+                             k: Int, maxTerms: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val queries = specs.zipWithIndex
+      .map { case ((t, d), i) => (i.toLong, t, d) }
+      .toDF("query_id", "term", "maxd")
+    graft.operators.TextIndex.fuzzyTopKBatch(spark, storeDir, queries,
+        "query_id", "term", "maxd", k, maxTerms)
+      .write.mode("overwrite").parquet(out)
+    println(s"${specs.size} fuzzy queries (one batched serve): " +
+      s"${spark.read.parquet(out).count()} hits -> $out")
+    spark.stop()
+  }
+
+  private def textRegexpBatch(storeDir: String, patterns: Seq[String],
+                              k: Int, maxTerms: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val queries = patterns.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("query_id", "pat")
+    graft.operators.TextIndex.regexpTopKBatch(spark, storeDir, queries,
+        "query_id", "pat", k, maxTerms)
+      .write.mode("overwrite").parquet(out)
+    println(s"${patterns.size} regexp queries (one batched serve): " +
+      s"${spark.read.parquet(out).count()} hits -> $out")
     spark.stop()
   }
 

@@ -750,6 +750,8 @@ object TextIndex {
         .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
       observedCounters(obs),
       () => nullTextDocs(newDocs, idCol, textCol))
+    maybeExtendVocab(newDocs, idCol, textCol, storeDir,
+      marker.getOrElse(-1L))
   }
 
   /** A batch that re-uses a TOMBSTONED id would be silently shadowed
@@ -817,6 +819,15 @@ object TextIndex {
           else postings(batch, idCol, textCol, nb)))
       maybeFoldDoclen(spark, storeDir)
     }
+    // vocab heals under ITS OWN replay guard — a crash can land
+    // between the stats row and the vocab extension, so "stats row
+    // exists" must not skip the vocab re-extend (and vice versa: the
+    // extension is gated on its own bid high-water mark, so a
+    // redelivery after a successful extend adds nothing)
+    graft.sinks.SidecarFold.restoreAside(spark, vocabPath(storeDir))
+    if (graft.sinks.HadoopSwap.exists(spark, vocabPath(storeDir)) &&
+        !vocabRowExists(spark, storeDir, batchId))
+      maybeExtendVocab(batch, idCol, textCol, storeDir, batchId)
   }
 
   /** Compact the postings store: rewrite every bucket re-clustered by
@@ -882,6 +893,19 @@ object TextIndex {
         else Some(spark.read.parquet(tmp)
           .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))))
     dlNext.foreach(_.write.mode("overwrite").parquet(doclenPath(tmp)))
+    // a vocab sidecar is REBUILT from the rewritten postings — the
+    // compaction purges tombstones, so this is the moment a stale-high
+    // df snaps back to exact; bid carries the applied-batch high-water
+    // mark so the streaming replay guard keeps answering
+    graft.sinks.SidecarFold.restoreAside(spark, vocabPath(storeDir))
+    if (graft.sinks.HadoopSwap.exists(spark, vocabPath(storeDir))) {
+      val hwm = spark.read.parquet(vocabPath(storeDir))
+        .agg(max(col("bid"))).head().getLong(0)
+      spark.read.parquet(tmp).select(col("doc_id"), col("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .select(lit(hwm).as("bid"), col("w"), col("df"))
+        .coalesce(1).write.mode("overwrite").parquet(vocabPath(tmp))
+    }
     // the positional marker is part of the layout — carry it or the
     // compacted store would silently refuse phrase serves
     if (isPositional(spark, storeDir)) writeMarker(spark, tmp)
@@ -1056,6 +1080,10 @@ object TextIndex {
         .fold(new Array[Long](TermFilterBits / 64))(termFilterBits)),
       observedCounters(obs),
       () => nullTextDocs(newDocs, idCol, textCol))
+    // the vocab extension derives from the batch alone, either layout
+    // (bag and positional postings agree on per-(doc, w) df)
+    maybeExtendVocab(newDocs, idCol, textCol, storeDir,
+      marker.getOrElse(-1L))
   }
 
   /** Store-served EXACT phrase search — bit-stable with
@@ -2079,5 +2107,278 @@ object TextIndex {
         sum(col("c")).cast("double").as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // VOCABULARY sidecar + multi-term expansion (wildcard / fuzzy /
+  // regexp term queries — the Lucene PrefixQuery / FuzzyQuery /
+  // RegexpQuery family, re-expressed against the postings store).
+  // Expansion needs the store's term STRINGS, which live only inside
+  // the postings themselves: without a sidecar every `pre*` expansion
+  // would be a full-store distinct scan — the 100 TB anti-pattern this
+  // store exists to kill. The OPT-IN `_vocab` sidecar holds per-batch
+  // `(bid, w, df)` rows (df = this batch's docs containing w — exact
+  // when summed across batches because a live doc_id is ingested at
+  // most once, and compaction rebuilds before a purged id can
+  // reappear), is extended FROM THE BATCH ONLY by every append once
+  // it exists, folds on the shared file threshold through its own
+  // read-side aggregate (per-term sum, bid = max so the replay guard
+  // keeps answering for swallowed batches — [[maybeFoldStats]]'s
+  // discipline), and is rebuilt exactly by [[compact]] from the
+  // rewritten postings. [[delete]] leaves it STALE-HIGH by design (df
+  // keeps counting tombstoned docs until the next compaction):
+  // expansion uses the vocab only to CHOOSE candidate terms, and
+  // every serve re-reads live postings minus tombstones, so ranked
+  // answers stay exact — the only drift a stale vocab can cause is
+  // candidate ORDER inside the delete-to-compaction window, the same
+  // staleness contract the df sketch already carries.
+
+  private def vocabPath(dir: String) = s"$dir/_vocab"
+
+  /** Applied-batch high-water mark over the stats sidecar — the bid
+    * a vocab REBUILD must carry so [[healBatch]]'s replay guard keeps
+    * answering "already applied" for every batch the rebuild folded
+    * in. */
+  private def statsBidHwm(spark: SparkSession, dir: String): Long = {
+    restoreStatsAside(spark, dir)
+    spark.read.parquet(statsPath(dir)).agg(max(col("bid"))).head().getLong(0)
+  }
+
+  /** Create (or exactly rebuild) the `_vocab` sidecar from the LIVE
+    * postings: one column-pruned pass over `(doc_id, w)` minus
+    * tombstones — postings are one row per (doc_id, w), so a per-term
+    * row count IS the exact document frequency of the surviving
+    * corpus. Lands scaffold-then-swap (the shared sidecar crash
+    * discipline: readers heal a parked aside, a half-written rebuild
+    * is never visible). From then on every [[append]] /
+    * [[appendPositional]] extends it from the batch alone. */
+  def buildVocab(spark: SparkSession, storeDir: String): Unit = {
+    val v = minusTombstones(spark, storeDir,
+        spark.read.option("mergeSchema", "true").parquet(storeDir)
+          .select(col("doc_id"), col("w")))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .select(lit(statsBidHwm(spark, storeDir)).as("bid"),
+        col("w"), col("df"))
+    val stamp = System.nanoTime()
+    val side = vocabPath(storeDir)
+    graft.sinks.SidecarFold.restoreAside(spark, side)
+    v.coalesce(1).write.mode("overwrite").parquet(s"$side.fold-$stamp")
+    graft.sinks.HadoopSwap.swapInto(spark, s"$side.fold-$stamp", side,
+      s"$side.old-$stamp")
+  }
+
+  private def vocabRowExists(spark: SparkSession, dir: String,
+                             bid: Long): Boolean =
+    spark.read.parquet(vocabPath(dir))
+      .filter(col("bid") >= bid).limit(1).count() > 0
+
+  /** Batch-only vocab extension — a no-op on stores that never opted
+    * in ([[buildVocab]] creates the sidecar). One aggregate over the
+    * batch's postings, one appended file, fold on the shared
+    * threshold: the appended cost stays the batch's, never the
+    * store's. */
+  private def maybeExtendVocab(newDocs: DataFrame, idCol: String,
+                               textCol: String, dir: String,
+                               bid: Long): Unit = {
+    val spark = newDocs.sparkSession
+    graft.sinks.SidecarFold.restoreAside(spark, vocabPath(dir))
+    if (!graft.sinks.HadoopSwap.exists(spark, vocabPath(dir))) return
+    timed("vocab_extend") {
+      postings(newDocs, idCol, textCol, 1)
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .select(lit(bid).as("bid"), col("w"), col("df"))
+        .coalesce(1).write.mode("append").parquet(vocabPath(dir))
+    }
+    graft.sinks.SidecarFold.foldIfDecayed(spark, vocabPath(dir),
+      SidecarFoldThreshold)(
+      _.groupBy(col("w")).agg(max(col("bid")).as("bid"),
+          sum(col("df")).as("df"))
+        .select(col("bid"), col("w"), col("df")))
+    ()
+  }
+
+  /** The store's term dictionary `(w, df)` — vocab-sized, never
+    * corpus-sized. df is exact on a store with no pending tombstones
+    * (fresh build, post-compaction) and stale-high inside a
+    * delete-to-compaction window (see the section note). */
+  def vocabulary(spark: SparkSession, storeDir: String): DataFrame =
+    graft.sinks.SidecarFold.withReadRetry() {
+      graft.sinks.SidecarFold.restoreAside(spark, vocabPath(storeDir))
+      require(graft.sinks.HadoopSwap.exists(spark, vocabPath(storeDir)),
+        s"$storeDir has no _vocab sidecar — buildVocab() creates it " +
+          "(appends maintain it from then on)")
+      spark.read.parquet(vocabPath(storeDir))
+        .groupBy(col("w")).agg(sum(col("df")).cast("long").as("df"))
+    }
+
+  /** Expand a term prefix against the vocabulary: highest-df terms
+    * first (Lucene's top-terms blending rule), ties broken by the
+    * term itself so the expansion is deterministic. The collect is
+    * maxTerms-bounded by construction (TakeOrderedAndProject). */
+  def expandPrefix(spark: SparkSession, storeDir: String, prefix: String,
+                   maxTerms: Int = 64): Seq[String] = {
+    require(prefix != null && prefix.nonEmpty,
+      "an empty prefix would expand the whole vocabulary")
+    require(maxTerms >= 1, "need at least one expansion slot")
+    vocabulary(spark, storeDir)
+      .filter(col("w").startsWith(lit(prefix)))
+      .orderBy(col("df").desc, col("w"))
+      .limit(maxTerms)
+      .select(col("w")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Expand a term within `maxDist` Levenshtein edits: nearest first,
+    * then highest df, then the term (deterministic). The length band
+    * prunes the vocab scan before any distance is computed — plain
+    * `levenshtein` (not the thresholded form) keeps the value
+    * oracle-replayable. */
+  def expandFuzzy(spark: SparkSession, storeDir: String, term: String,
+                  maxDist: Int = 1, maxTerms: Int = 16): Seq[String] = {
+    require(term != null && term.nonEmpty, "need a non-empty term")
+    require(maxDist >= 0 && maxTerms >= 1,
+      "need a non-negative distance and at least one expansion slot")
+    vocabulary(spark, storeDir)
+      .filter(length(col("w"))
+        .between(term.length - maxDist, term.length + maxDist))
+      .withColumn("d", levenshtein(col("w"), lit(term)))
+      .filter(col("d") <= maxDist)
+      .orderBy(col("d"), col("df").desc, col("w"))
+      .limit(maxTerms)
+      .select(col("w")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Expand terms matching a regexp (Java `rlike` find semantics —
+    * anchor explicitly). Highest-df first, like [[expandPrefix]]. */
+  def expandRegexp(spark: SparkSession, storeDir: String, pattern: String,
+                   maxTerms: Int = 64): Seq[String] = {
+    require(pattern != null && pattern.nonEmpty, "need a pattern")
+    require(maxTerms >= 1, "need at least one expansion slot")
+    vocabulary(spark, storeDir)
+      .filter(col("w").rlike(pattern))
+      .orderBy(col("df").desc, col("w"))
+      .limit(maxTerms)
+      .select(col("w")).collect().map(_.getString(0)).toSeq
+  }
+
+  private def emptyTopK(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+      .withColumn("n_terms", lit(0L)).withColumn("score", lit(0.0))
+
+  /** Prefix-expanded BM25: expand against the vocab sidecar, score the
+    * expanded terms through [[topK]] (summed per-term contributions —
+    * multi-term OR semantics). Zero matching terms → the exact empty
+    * answer, zero data files opened. */
+  def wildcardTopK(spark: SparkSession, storeDir: String, prefix: String,
+                   k: Int, maxTerms: Int = 64, k1: Double = 1.2,
+                   b: Double = 0.75): DataFrame = {
+    val ts = expandPrefix(spark, storeDir, prefix, maxTerms)
+    if (ts.isEmpty) emptyTopK(spark, storeDir)
+    else topK(spark, storeDir, ts, k, k1, b)
+  }
+
+  /** Fuzzy-expanded BM25 — [[expandFuzzy]] then [[topK]]. */
+  def fuzzyTopK(spark: SparkSession, storeDir: String, term: String,
+                maxDist: Int, k: Int, maxTerms: Int = 16,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ts = expandFuzzy(spark, storeDir, term, maxDist, maxTerms)
+    if (ts.isEmpty) emptyTopK(spark, storeDir)
+    else topK(spark, storeDir, ts, k, k1, b)
+  }
+
+  /** Regexp-expanded BM25 — [[expandRegexp]] then [[topK]]. */
+  def regexpTopK(spark: SparkSession, storeDir: String, pattern: String,
+                 k: Int, maxTerms: Int = 64, k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val ts = expandRegexp(spark, storeDir, pattern, maxTerms)
+    if (ts.isEmpty) emptyTopK(spark, storeDir)
+    else topK(spark, storeDir, ts, k, k1, b)
+  }
+
+  /** BATCHED wildcard BM25 — a whole `(idCol, prefixCol)` query frame
+    * in the [[topKBatch]] job count: the expansion is ONE vocab-sized
+    * join (queries broadcast against the `(w, df)` dictionary), each
+    * query keeps its own top-`maxTerms` terms by (df desc, w) through
+    * a query-partitioned rank, and the expanded frame delegates to
+    * [[topKBatch]] (per-query rows bit-identical to the
+    * [[wildcardTopK]] loop). A query matching no term drops whole —
+    * the batched family's dead-query convention. */
+  def wildcardTopKBatch(spark: SparkSession, storeDir: String,
+                        queries: DataFrame, idCol: String,
+                        prefixCol: String, k: Int, maxTerms: Int = 64,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(maxTerms >= 1, "need at least one expansion slot")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(prefixCol).as("prefix"))
+    // degenerate rows refuse loudly, matching the single-query API —
+    // an empty prefix would silently expand the whole vocabulary
+    require(q.filter(col("prefix").isNull ||
+        length(col("prefix")) === 0).limit(1).count() == 0L,
+      "every wildcard query needs a non-empty prefix")
+    val wExp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("df").desc, col("w"))
+    val expanded = vocabulary(spark, storeDir)
+      .join(broadcast(q), col("w").startsWith(col("prefix")))
+      .withColumn("_r", row_number().over(wExp))
+      .filter(col("_r") <= maxTerms)
+      .groupBy(col("query_id"))
+      .agg(collect_list(col("w")).as("terms"))
+    topKBatch(spark, storeDir, expanded, "query_id", "terms", k, k1, b)
+  }
+
+  /** BATCHED fuzzy BM25 — a whole `(idCol, termCol, distCol)` query
+    * frame in the [[topKBatch]] job count. The expansion join carries
+    * only the LENGTH BAND (a term outside it cannot be within maxd),
+    * so each vocab row pays one subtraction before any distance is
+    * computed; per-query candidates rank (distance, df desc, w) like
+    * [[expandFuzzy]]. Zero-match queries drop whole. */
+  def fuzzyTopKBatch(spark: SparkSession, storeDir: String,
+                     queries: DataFrame, idCol: String, termCol: String,
+                     distCol: String, k: Int, maxTerms: Int = 16,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(maxTerms >= 1, "need at least one expansion slot")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(termCol).as("qw"), col(distCol).cast("int").as("maxd"))
+    require(q.filter(col("qw").isNull || length(col("qw")) === 0 ||
+        col("maxd").isNull || col("maxd") < 0).limit(1).count() == 0L,
+      "every fuzzy query needs a non-empty term and maxDist >= 0")
+    val wExp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d"), col("df").desc, col("w"))
+    val expanded = vocabulary(spark, storeDir)
+      .join(broadcast(q), length(col("w")).between(
+        length(col("qw")) - col("maxd"), length(col("qw")) + col("maxd")))
+      .withColumn("d", levenshtein(col("w"), col("qw")))
+      .filter(col("d") <= col("maxd"))
+      .withColumn("_r", row_number().over(wExp))
+      .filter(col("_r") <= maxTerms)
+      .groupBy(col("query_id"))
+      .agg(collect_list(col("w")).as("terms"))
+    topKBatch(spark, storeDir, expanded, "query_id", "terms", k, k1, b)
+  }
+
+  /** BATCHED regexp BM25 — a whole `(idCol, patternCol)` query frame
+    * in the [[topKBatch]] job count; per-query candidates rank
+    * (df desc, w) like [[expandRegexp]]. The per-row pattern rides
+    * SQL RLike (non-foldable right side), one vocab-sized pass for
+    * the whole batch. Zero-match queries drop whole. */
+  def regexpTopKBatch(spark: SparkSession, storeDir: String,
+                      queries: DataFrame, idCol: String,
+                      patternCol: String, k: Int, maxTerms: Int = 64,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(maxTerms >= 1, "need at least one expansion slot")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(patternCol).as("pat"))
+    require(q.filter(col("pat").isNull ||
+        length(col("pat")) === 0).limit(1).count() == 0L,
+      "every regexp query needs a non-empty pattern")
+    val wExp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("df").desc, col("w"))
+    val expanded = vocabulary(spark, storeDir)
+      .join(broadcast(q), expr("w rlike pat"))
+      .withColumn("_r", row_number().over(wExp))
+      .filter(col("_r") <= maxTerms)
+      .groupBy(col("query_id"))
+      .agg(collect_list(col("w")).as("terms"))
+    topKBatch(spark, storeDir, expanded, "query_id", "terms", k, k1, b)
   }
 }

@@ -5512,6 +5512,360 @@ object Pipeline {
        |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q255
+  // WILDCARD (prefix-expanded) BM25 — Lucene's PrefixQuery family
+  // against the postings store. Term expansion needs the store's term
+  // STRINGS, which live only inside the postings: the opt-in `_vocab`
+  // sidecar (per-batch (bid, w, df) rows, batch-only extension on
+  // every append, fold-on-threshold, exact rebuild at compaction)
+  // keeps every expansion VOCAB-sized instead of store-sized. The
+  // lifecycle proves the sidecar end to end: build two-thirds,
+  // buildVocab, append the last third — the batch-only extension must
+  // land the union's exact df, because expansion ORDER depends on it
+  // — then expand 's*' to the top-4 terms by (df desc, w) and serve
+  // summed BM25 through the existing bucket-pruned topK. The oracle
+  // replays expansion + ranking from the raw corpus.
+  private def q255WildcardRank(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q255", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs.filter(col("doc_id") % 3 =!= 0), "doc_id",
+      "text", out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.buildVocab(s, out)
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 0), "doc_id",
+      "text", out, filesPerBucket = 2)
+    val res = TextIndex.wildcardTopK(s, out, "s", 12, maxTerms = 4)
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"the expanded serve must prune to the expansion's buckets " +
+        s"($dataFiles data files)")
+    res
+  }
+
+  private val q255Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+      |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2) GROUP BY w),
+      |exp AS (SELECT w FROM vocab WHERE w LIKE 's%'
+      |  ORDER BY vdf DESC, w LIMIT 4),
+      |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN (SELECT w FROM exp) GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |contrib AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf JOIN df USING (w) CROSS JOIN stats)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
+      |FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin
+
+  // --------------------------------------------------------------- q256
+  // FUZZY (edit-distance-expanded) BM25 — Lucene's FuzzyQuery: expand
+  // 'bat' to vocabulary terms within 2 Levenshtein edits (nearest
+  // first, then df desc, then the term — deterministic), serve from a
+  // UNIFIED POSITIONAL store (the vocab sidecar is layout-independent
+  // like every other sidecar). The length band prunes the vocab scan
+  // engine-side; the oracle skips it (a term outside the band cannot
+  // be within maxDist anyway) and replays plain levenshtein.
+  private def q256FuzzyRank(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q256", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.buildVocab(s, out)
+    val res = TextIndex.fuzzyTopK(s, out, "bat", maxDist = 2, k = 12,
+      maxTerms = 4)
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"the fuzzy serve must prune to the expansion's buckets " +
+        s"($dataFiles data files)")
+    res
+  }
+
+  private val q256Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+      |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2) GROUP BY w),
+      |exp AS (SELECT w FROM vocab WHERE levenshtein(w, 'bat') <= 2
+      |  ORDER BY levenshtein(w, 'bat'), vdf DESC, w LIMIT 4),
+      |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN (SELECT w FROM exp) GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |contrib AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf JOIN df USING (w) CROSS JOIN stats)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
+      |FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin
+
+  // --------------------------------------------------------------- q257
+  // BATCHED wildcard BM25 — a whole prefix-query frame in the
+  // topKBatch job count: the expansion is ONE vocab-sized join
+  // (queries broadcast against the (w, df) dictionary), each query
+  // keeps its own top-maxTerms by (df desc, w) through a
+  // query-partitioned rank, and the expanded frame delegates to the
+  // batched serve — per-query rows bit-identical to the wildcardTopK
+  // loop, every probed bucket read once for the whole batch. A query
+  // matching no term drops whole (the batched family's dead-query
+  // convention); the in-plan budget pins the 2-pass probed-bucket
+  // read.
+  private def q257WildcardBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q257", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.buildVocab(s, out)
+    import s.implicits._
+    val queries = Seq((0L, "s"), (1L, "w"), (2L, "qqzz"))
+      .toDF("query_id", "prefix")
+    val res = TextIndex.wildcardTopKBatch(s, out, queries,
+      "query_id", "prefix", 5, maxTerms = 3)
+    // the deterministic expansion at any SF: the top-3 's' terms plus
+    // 'window' — recompute their buckets with the writer's own hash
+    val live = TextIndex.expandPrefix(s, out, "s", maxTerms = 3) ++
+      TextIndex.expandPrefix(s, out, "w", maxTerms = 3)
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out)
+    val filesInProbed =
+      allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+    require(filesInProbed < allFiles.size,
+      "test setup: some bucket must stay unprobed")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= 2L * filesInProbed,
+      s"the batched expanded serve must stay inside the probed buckets " +
+        s"(2 passes x $filesInProbed files; store holds ${allFiles.size})")
+    res
+  }
+
+  private val q257Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+      |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2) GROUP BY w),
+      |pref(query_id, p) AS (SELECT * FROM (VALUES
+      |  (0, 's'), (1, 'w'), (2, 'qqzz'))),
+      |cand AS (SELECT query_id, w, vdf FROM pref
+      |  JOIN vocab ON w LIKE p || '%'),
+      |qs AS (SELECT query_id, w FROM (SELECT query_id, w,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY vdf DESC, w) AS rn FROM cand) WHERE rn <= 3),
+      |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN (SELECT w FROM qs) GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |contrib AS (SELECT w, doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf JOIN df USING (w) CROSS JOIN stats),
+      |scored AS (SELECT qs.query_id, c.doc_id,
+      |    COUNT(*) AS n_terms, CAST(SUM(c.c) AS DOUBLE) AS score
+      |  FROM contrib c JOIN qs ON qs.w = c.w GROUP BY 1, 2),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_terms, score
+      |FROM ranked WHERE rn <= 5
+      |ORDER BY query_id, score DESC, doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q258
+  // REGEXP term expansion (Lucene's RegexpQuery): vocabulary terms
+  // matching an anchored pattern, df-ranked, served through the same
+  // bucket-pruned BM25. rlike (Java find) and DuckDB regexp_matches
+  // share partial-match semantics, so the anchored pattern means the
+  // same thing to both engines.
+  private def q258RegexpRank(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q258", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.buildVocab(s, out)
+    val res = TextIndex.regexpTopK(s, out, "^[bf]a.+", 12)
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"the regexp serve must prune to the expansion's buckets " +
+        s"($dataFiles data files)")
+    res
+  }
+
+  private val q258Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+      |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2) GROUP BY w),
+      |exp AS (SELECT w FROM vocab WHERE regexp_matches(w, '^[bf]a.+')
+      |  ORDER BY vdf DESC, w LIMIT 64),
+      |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN (SELECT w FROM exp) GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |contrib AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf JOIN df USING (w) CROSS JOIN stats)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
+      |FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin
+
+  // --------------------------------------------------------------- q259
+  // BATCHED fuzzy BM25 (TextIndex.fuzzyTopKBatch): a whole
+  // (term, maxDist) query frame in the topKBatch job count, served
+  // from a UNIFIED POSITIONAL store. The expansion join carries only
+  // the length band (a term outside it cannot be within maxDist), the
+  // per-query rank is (distance, df desc, w), and zero-match queries
+  // drop whole. The oracle replays the expansion windows and each
+  // arm's BM25 from the raw corpus.
+  private def q259FuzzyBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q259", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.buildVocab(s, out)
+    import s.implicits._
+    val queries = Seq((0L, "bat", 2), (1L, "quer", 1), (2L, "qqzzno", 1))
+      .toDF("query_id", "term", "maxd")
+    val res = TextIndex.fuzzyTopKBatch(s, out, queries,
+      "query_id", "term", "maxd", 5, maxTerms = 3)
+    // the live expansions' buckets, recomputed with the writer's hash —
+    // the batched serve reads each probed bucket twice (df + scoring),
+    // never an unprobed one
+    val live = TextIndex.expandFuzzy(s, out, "bat", 2, maxTerms = 3) ++
+      TextIndex.expandFuzzy(s, out, "quer", 1, maxTerms = 3)
+    import s.implicits._
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out)
+    val filesInProbed =
+      allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+    require(filesInProbed < allFiles.size,
+      "test setup: some bucket must stay unprobed")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= 2L * filesInProbed,
+      s"the batched fuzzy serve must stay inside the probed buckets " +
+        s"(2 passes x $filesInProbed files; store holds ${allFiles.size})")
+    res
+  }
+
+  private val q259Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+      |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2) GROUP BY w),
+      |fq(query_id, t, maxd) AS (SELECT * FROM (VALUES
+      |  (0, 'bat', 2), (1, 'quer', 1), (2, 'qqzzno', 1))),
+      |cand AS (SELECT query_id, w, vdf, levenshtein(w, t) AS d
+      |  FROM fq JOIN vocab ON levenshtein(w, t) <= maxd),
+      |qs AS (SELECT query_id, w FROM (SELECT query_id, w,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY d, vdf DESC, w) AS rn FROM cand) WHERE rn <= 3),
+      |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN (SELECT w FROM qs) GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |contrib AS (SELECT w, doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf JOIN df USING (w) CROSS JOIN stats),
+      |scored AS (SELECT qs.query_id, c.doc_id,
+      |    COUNT(*) AS n_terms, CAST(SUM(c.c) AS DOUBLE) AS score
+      |  FROM contrib c JOIN qs ON qs.w = c.w GROUP BY 1, 2),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_terms, score
+      |FROM ranked WHERE rn <= 5
+      |ORDER BY query_id, score DESC, doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q260
+  // BATCHED regexp BM25 (TextIndex.regexpTopKBatch): a whole pattern
+  // frame in the topKBatch job count — the per-row pattern rides SQL
+  // RLike over ONE vocab-sized pass, per-query candidates rank
+  // (df desc, w), dead patterns drop whole. Patterns stay in the
+  // Java/RE2-common subset so the oracle's regexp_matches means the
+  // same thing.
+  private def q260RegexpBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q260", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.buildVocab(s, out)
+    import s.implicits._
+    val queries = Seq((0L, "^[bf]a.+"), (1L, "^s.*m$"), (2L, "^qqzz"))
+      .toDF("query_id", "pat")
+    val res = TextIndex.regexpTopKBatch(s, out, queries,
+      "query_id", "pat", 5, maxTerms = 3)
+    val live = TextIndex.expandRegexp(s, out, "^[bf]a.+", maxTerms = 3) ++
+      TextIndex.expandRegexp(s, out, "^s.*m$", maxTerms = 3)
+    import s.implicits._
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out)
+    val filesInProbed =
+      allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+    require(filesInProbed < allFiles.size,
+      "test setup: some bucket must stay unprobed")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= 2L * filesInProbed,
+      s"the batched regexp serve must stay inside the probed buckets " +
+        s"(2 passes x $filesInProbed files; store holds ${allFiles.size})")
+    res
+  }
+
+  private val q260Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+      |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2) GROUP BY w),
+      |pq(query_id, p) AS (SELECT * FROM (VALUES
+      |  (0, '^[bf]a.+'), (1, '^s.*m$'), (2, '^qqzz'))),
+      |cand AS (SELECT query_id, w, vdf FROM pq
+      |  JOIN vocab ON regexp_matches(w, p)),
+      |qs AS (SELECT query_id, w FROM (SELECT query_id, w,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY vdf DESC, w) AS rn FROM cand) WHERE rn <= 3),
+      |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN (SELECT w FROM qs) GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |contrib AS (SELECT w, doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf JOIN df USING (w) CROSS JOIN stats),
+      |scored AS (SELECT qs.query_id, c.doc_id,
+      |    COUNT(*) AS n_terms, CAST(SUM(c.c) AS DOUBLE) AS score
+      |  FROM contrib c JOIN qs ON qs.w = c.w GROUP BY 1, 2),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_terms, score
+      |FROM ranked WHERE rn <= 5
+      |ORDER BY query_id, score DESC, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -6368,6 +6722,12 @@ object Pipeline {
     "q252_spannot_batch" -> q252SpanNotBatch _,
     "q253_lm_batch" -> q253LmBatch _,
     "q254_tri_hybrid" -> q254TriHybrid _,
+    "q255_wildcard_rank" -> q255WildcardRank _,
+    "q256_fuzzy_rank" -> q256FuzzyRank _,
+    "q257_wildcard_batch" -> q257WildcardBatch _,
+    "q258_regexp_rank" -> q258RegexpRank _,
+    "q259_fuzzy_batch" -> q259FuzzyBatch _,
+    "q260_regexp_batch" -> q260RegexpBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -6630,6 +6990,12 @@ object Pipeline {
     "q252_spannot_batch" -> q252Sql,
     "q253_lm_batch" -> q253Sql,
     "q254_tri_hybrid" -> q254Sql,
+    "q255_wildcard_rank" -> q255Sql,
+    "q256_fuzzy_rank" -> q256Sql,
+    "q257_wildcard_batch" -> q257Sql,
+    "q258_regexp_rank" -> q258Sql,
+    "q259_fuzzy_batch" -> q259Sql,
+    "q260_regexp_batch" -> q260Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -101,6 +101,14 @@ object BoundedFamilies {
         "q253_lm_batch" -> Set(Set("ctf", "w")),
         // the three-arm hybrid's BM25 and LM legs from the one store
         "q254_tri_hybrid" -> Set(Set("df", "w"), Set("ctf", "w")),
+        // the expansion serves (wildcard/fuzzy/regexp) delegate to the
+        // same topK/topKBatch, reaching its terms-sized df table
+        "q255_wildcard_rank" -> Set(Set("df", "w")),
+        "q256_fuzzy_rank" -> Set(Set("df", "w")),
+        "q257_wildcard_batch" -> Set(Set("df", "w")),
+        "q258_regexp_rank" -> Set(Set("df", "w")),
+        "q259_fuzzy_batch" -> Set(Set("df", "w")),
+        "q260_regexp_batch" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),
@@ -121,6 +129,13 @@ object BoundedFamilies {
         "q182_hard_negatives" -> Set(Set("query_id", "qv")),
         "q192_bitext_margin" -> Set(Set("query_id", "qv")),
         "q52_decontaminate" -> Set(Set("shingle")))),
+    // NOT visible to this audit (and deliberately so): the batched
+    // term-expansion serves (q257/q259/q260) force-broadcast their
+    // caller-held query frames (prefixes/terms/patterns — seed-set
+    // bounded by the batched-API contract) against the vocab-sized
+    // dictionary, but that join runs UPSTREAM of topKBatch's
+    // localCheckpoint, so the final plan the audit walks starts after
+    // it. The boundedness argument is the same as q73's query frame.
     ("k-bounded",
       "frames capped by an explicit LIMIT in the same plan (negative-sample pool, top-N anchors) — the cap is the boundedness proof",
       Map(
