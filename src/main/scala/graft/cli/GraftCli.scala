@@ -367,6 +367,11 @@ object GraftCli {
       textRegexpBatch(storeDir,
         patterns.split(";").toSeq.filter(_.nonEmpty), k.toInt,
         rest.headOption.map(_.toInt).getOrElse(64), out)
+    case "textwildphrase" :: storeDir :: slots :: out :: rest
+        if rest.size <= 1 =>
+      textWildPhrase(storeDir,
+        slots.split(";").toSeq.filter(_.nonEmpty),
+        rest.headOption.map(_.toInt).getOrElse(64), out)
     case "textexpandbatch" :: storeDir :: docs :: queries :: k :: out :: rest
         if rest.size <= 2 =>
       textExpandBatch(storeDir, docs,
@@ -480,6 +485,7 @@ object GraftCli {
            |           textfuzzybatch <storedir> <term,maxdist;term,maxdist;...> <k> <outdir> [max_terms]
            |           textregexp <storedir> <pattern> <k> <outdir> [max_terms]
            |           textregexpbatch <storedir> <pattern;pattern;...> <k> <outdir> [max_terms]
+           |           textwildphrase <storedir> <slot;slot;...> <outdir> [max_terms]  (slot = term or pre*)
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -2612,6 +2618,17 @@ object GraftCli {
       .write.mode("overwrite").parquet(out)
     println(s"${specs.size} fuzzy queries (one batched serve): " +
       s"${spark.read.parquet(out).count()} hits -> $out")
+    spark.stop()
+  }
+
+  private def textWildPhrase(storeDir: String, slots: Seq[String],
+                             maxTerms: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.phraseSearchWildcard(spark, storeDir,
+        slots, maxTerms)
+      .orderBy(col("doc_id")).write.mode("overwrite").parquet(out)
+    println(s"wildcard phrase [${slots.mkString(" ")}]: " +
+      s"${spark.read.parquet(out).count()} matching docs -> $out")
     spark.stop()
   }
 

@@ -2325,6 +2325,96 @@ object TextIndex {
     topKBatch(spark, storeDir, expanded, "query_id", "terms", k, k1, b)
   }
 
+  /** MULTI-PHRASE search (Lucene's MultiPhraseQuery): exact adjacency
+    * where each slot accepts ANY of its alternative terms — the
+    * operator behind wildcard-slot phrases ([[phraseSearchWildcard]]).
+    * Slot `i`'s contribution is the UNION over its alternatives of
+    * the anchor-shifted position sets `{pos(t) - i}`, and a document
+    * matches where every slot's set intersects — [[phraseSearch]]'s
+    * algebra with a union folded in per slot. A slot whose EVERY
+    * alternative is provably absent answers empty with zero buckets
+    * opened; dead alternatives inside a live slot just drop. The fold
+    * runs rarest-slot-first (sketch-estimated df sum per slot — set
+    * intersection commutes, so the order only sizes the
+    * intermediates). Returns (doc_id, n_occurrences). */
+  def phraseSearchMulti(spark: SparkSession, storeDir: String,
+                        slots: Seq[Seq[String]]): DataFrame = {
+    require(slots.size >= 2, "a 1-slot phrase is a plain term lookup")
+    require(slots.forall(_.nonEmpty),
+      "every slot needs at least one alternative term")
+    require(isPositional(spark, storeDir),
+      s"$storeDir carries no positions — build with buildPositional")
+    import spark.implicits._
+    val (_, _, nb) = readStats(spark, storeDir)
+    val distinctSlots = slots.map(_.distinct)
+    val terms = distinctSlots.flatten.distinct
+    val live = readTermFilter(spark, storeDir)
+      .fold(terms)(bits => presentTerms(spark, terms, bits)).toSet
+    if (distinctSlots.exists(_.forall(t => !live(t))))
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("n_occurrences", lit(0L))
+    val liveSlots = distinctSlots.map(_.filter(live))
+    val liveTerms = liveSlots.flatten.distinct
+    val buckets = liveTerms.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val post = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .filter(col("w").isin(liveTerms: _*))
+        .select(col("doc_id"), col("w"), col("pos")))
+    // per-(doc, slot) union of anchor-shifted positions; the
+    // (w -> slot) map is slots-sized (a term may serve several slots)
+    val slotMap = liveSlots.zipWithIndex
+      .flatMap { case (ws, i) => ws.map(w => (w, i)) }.toDF("w", "i")
+    val slotSets = post.join(broadcast(slotMap), Seq("w"))
+      .select(col("doc_id"), col("i"),
+        transform(col("pos"), p => p - col("i")).as("shifted"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(array_sort(array_distinct(flatten(
+        collect_list(col("shifted"))))).as("s"))
+    val order: Seq[Int] = readDfSketch(spark, storeDir)
+      .fold[Seq[Int]](liveSlots.indices.toList) { sk =>
+        val est = estimatedDf(spark, liveTerms, sk)
+        liveSlots.indices.toList
+          .sortBy(i => (liveSlots(i).map(est).sum, i))
+      }
+    val first = slotSets.filter(col("i") === order.head)
+      .select(col("doc_id"), col("s").as("acc"))
+    val matched = order.drop(1).foldLeft(first) { (acc, idx) =>
+      acc.join(slotSets.filter(col("i") === idx)
+          .select(col("doc_id"), col("s")), Seq("doc_id"))
+        .select(col("doc_id"),
+          array_intersect(col("acc"), col("s")).as("acc"))
+        .filter(size(col("acc")) > 0)
+    }
+    matched.select(col("doc_id"),
+      size(col("acc")).cast("long").as("n_occurrences"))
+  }
+
+  /** WILDCARD-SLOT phrase: each slot spec is either a literal term or
+    * a `pre*` prefix pattern expanded against the vocab sidecar
+    * ([[expandPrefix]], df-ranked, maxTerms-bounded); the expanded
+    * slots serve through [[phraseSearchMulti]]. A pattern matching no
+    * vocabulary term answers empty (that slot can never be filled);
+    * a bare `*` refuses loudly (whole-vocabulary slots are a corpus
+    * scan in disguise). */
+  def phraseSearchWildcard(spark: SparkSession, storeDir: String,
+                           slots: Seq[String],
+                           maxTerms: Int = 64): DataFrame = {
+    require(slots.size >= 2, "a 1-slot phrase is a plain term lookup")
+    val expanded = slots.map { s =>
+      require(s != null && s.nonEmpty, "empty phrase slot")
+      if (s.endsWith("*"))
+        expandPrefix(spark, storeDir, s.dropRight(1), maxTerms)
+      else Seq(s)
+    }
+    if (expanded.exists(_.isEmpty))
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("n_occurrences", lit(0L))
+    phraseSearchMulti(spark, storeDir, expanded)
+  }
+
   /** BATCHED fuzzy BM25 — a whole `(idCol, termCol, distCol)` query
     * frame in the [[topKBatch]] job count. The expansion join carries
     * only the LENGTH BAND (a term outside it cannot be within maxd),

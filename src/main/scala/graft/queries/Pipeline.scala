@@ -5866,6 +5866,48 @@ object Pipeline {
       |FROM ranked WHERE rn <= 5
       |ORDER BY query_id, score DESC, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q261
+  // WILDCARD-SLOT phrase (Lucene's MultiPhraseQuery, built by prefix
+  // expansion): 'table s*' — exact adjacency where the second slot
+  // accepts ANY vocabulary term starting with 's'. Slot i contributes
+  // the UNION over its alternatives of anchor-shifted position sets;
+  // a doc matches where every slot's set intersects (phraseSearch's
+  // algebra with a per-slot union folded in). maxTerms = 8 exceeds
+  // the matching-term count at every SF, so the oracle's expansion
+  // list is rank-order-insensitive by construction. Serve stays
+  // inside the slots' buckets.
+  private def q261WildcardPhrase(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q261", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.buildVocab(s, out)
+    val res = TextIndex.phraseSearchWildcard(s, out, Seq("table", "s*"),
+      maxTerms = 8).orderBy(col("doc_id"))
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"the multi-phrase serve must prune to the slots' buckets " +
+        s"($dataFiles data files)")
+    res
+  }
+
+  private val q261Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |ft AS (SELECT doc_id,
+      |    list_filter(toks, w -> length(w) > 0) AS ftoks FROM base),
+      |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
+      |    (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY w),
+      |exp1 AS (SELECT w FROM vocab WHERE w LIKE 's%'
+      |  ORDER BY vdf DESC, w LIMIT 8),
+      |es AS (SELECT (SELECT list(w) FROM exp1) AS s1),
+      |ph AS (SELECT doc_id,
+      |    CAST(len(list_filter(range(1, len(ftoks)),
+      |      i -> ftoks[i] = 'table' AND list_contains(s1, ftoks[i + 1])))
+      |      AS BIGINT) AS n_occurrences
+      |  FROM ft CROSS JOIN es)
+      |SELECT doc_id, n_occurrences FROM ph
+      |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -6728,6 +6770,7 @@ object Pipeline {
     "q258_regexp_rank" -> q258RegexpRank _,
     "q259_fuzzy_batch" -> q259FuzzyBatch _,
     "q260_regexp_batch" -> q260RegexpBatch _,
+    "q261_wildcard_phrase" -> q261WildcardPhrase _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -6996,6 +7039,7 @@ object Pipeline {
     "q258_regexp_rank" -> q258Sql,
     "q259_fuzzy_batch" -> q259Sql,
     "q260_regexp_batch" -> q260Sql,
+    "q261_wildcard_phrase" -> q261Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -44,7 +44,11 @@ object BoundedFamilies {
         "q171_multiprobe" -> Set(Set("bucket")),
         "q44_ann_ivf" -> Set(Set("cell")),
         "q50_ann_nprobe" -> Set(Set("cell")),
-        "q144_recall" -> Set(Set("cell")))),
+        "q144_recall" -> Set(Set("cell")),
+        // the multi-phrase (w -> slot index) map: bounded by the
+        // expanded slots (<= maxTerms alternatives per slot), never
+        // the corpus's terms
+        "q261_wildcard_phrase" -> Set(Set("i", "w")))),
     ("dimension-table",
       "a genuine dimension/reference table or slice (region, nation, ontology terms, id maps, tag vocab, robots rules) — cardinality fixed by the domain, not the corpus",
       Map(

@@ -182,6 +182,47 @@ class TextVocabSpec extends SparkSpec {
     }
   }
 
+  test("multi-phrase == window recompute; wildcard slots expand; " +
+      "degenerate forms match phraseSearch") {
+    val dir = tmp("mphrase")
+    TextIndex.buildPositional(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    TextIndex.buildVocab(spark, dir)
+    def brute(slots: Seq[Set[String]]): Seq[(Long, Long)] =
+      docs.as[(Long, String)].collect().toSeq.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val n = (0 to toks.length - slots.length).count(p =>
+          slots.indices.forall(i => slots(i).contains(toks(p + i))))
+        if (n > 0) Some((id, n.toLong)) else None
+      }.sortBy(_._1)
+    def got(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    val slots = Seq(Set("alpha", "alias", "alphabet"), Set("beta", "mu"))
+    assert(got(TextIndex.phraseSearchMulti(spark, dir,
+      slots.map(_.toSeq))) == brute(slots))
+    assert(brute(slots).nonEmpty, "test setup: the phrase must occur")
+    // single-alternative slots degenerate to the plain phrase serve
+    assert(got(TextIndex.phraseSearchMulti(spark, dir,
+        Seq(Seq("alpha"), Seq("beta")))) ==
+      got(TextIndex.phraseSearch(spark, dir, Seq("alpha", "beta"))))
+    // wildcard slot == the same slots via expandPrefix
+    val alSet = TextIndex.expandPrefix(spark, dir, "al").toSet
+    assert(got(TextIndex.phraseSearchWildcard(spark, dir,
+        Seq("al*", "beta"))) ==
+      brute(Seq(alSet, Set("beta"))))
+    // dead alternatives drop; an all-dead slot answers empty
+    assert(got(TextIndex.phraseSearchMulti(spark, dir,
+        Seq(Seq("alpha", "qqzznope"), Seq("beta")))) ==
+      got(TextIndex.phraseSearch(spark, dir, Seq("alpha", "beta"))))
+    assert(got(TextIndex.phraseSearchMulti(spark, dir,
+      Seq(Seq("qqzznope"), Seq("beta")))).isEmpty)
+    assert(got(TextIndex.phraseSearchWildcard(spark, dir,
+      Seq("qqzznope*", "beta"))).isEmpty)
+    intercept[IllegalArgumentException] {
+      TextIndex.phraseSearchWildcard(spark, dir, Seq("*", "beta"))
+    }
+  }
+
   test("delete leaves vocab stale-high without moving served answers; " +
       "compact snaps df exact") {
     val dir = tmp("del")
