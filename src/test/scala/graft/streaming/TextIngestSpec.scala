@@ -96,6 +96,61 @@ class TextIngestSpec extends SparkSpec {
     assert(TextIndex.readStats(spark, dir)._1 == 50L)
   }
 
+  test("streamed appends maintain the vocab sidecar: extensions are " +
+      "batch-only, replays heal lost vocab rows, folds keep the gate") {
+    val root = java.nio.file.Files.createTempDirectory("textvocab").toString
+    val dir = s"$root/store"
+    def recompute(d: DataFrame): Seq[(String, Long)] =
+      d.select($"doc_id", explode(split($"text", "\\s+")).as("w"))
+        .distinct().groupBy($"w").agg(count(lit(1)).as("df"))
+        .orderBy($"w").as[(String, Long)].collect().toSeq
+    def vocabRows(): Seq[(String, Long)] =
+      TextIndex.vocabulary(spark, dir)
+        .orderBy($"w").as[(String, Long)].collect().toSeq
+    assert(StreamingMerge.applyTextBatch(batchDf(0, 30), 0L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    TextIndex.buildVocab(spark, dir)
+    assert(StreamingMerge.applyTextBatch(batchDf(30, 45), 1L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    assert(StreamingMerge.applyTextBatch(batchDf(45, 60), 2L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    assert(vocabRows() == recompute(batchDf(0, 60)),
+      "streamed batch-only extensions must land the union's exact df")
+    // expansion-served BM25 == the scan answer on the full corpus
+    val exp = TextIndex.expandPrefix(spark, dir, "p")
+    assert(rows(TextIndex.wildcardTopK(spark, dir, "p", 10)) ==
+      rows(Curation.bm25TopK(batchDf(0, 60), "doc_id", "text", exp, 10)))
+    // legitimate replay: skipped, vocab not double-counted
+    assert(!StreamingMerge.applyTextBatch(batchDf(45, 60), 2L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    assert(vocabRows() == recompute(batchDf(0, 60)))
+    // crash window: batch 2's data + stats landed but its vocab rows
+    // were lost — tear them, then the replay's heal must re-extend
+    val keep = spark.read.parquet(s"$dir/_vocab")
+      .filter($"bid" =!= 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    graft.sinks.HadoopSwap.deleteRecursive(spark, s"$dir/_vocab")
+    keep.toSeq.toDF("bid", "w", "df")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_vocab")
+    assert(vocabRows() != recompute(batchDf(0, 60)),
+      "fixture: batch 2's vocab rows must be torn before the replay")
+    assert(!StreamingMerge.applyTextBatch(batchDf(45, 60), 2L, dir,
+      nBuckets = 4, filesPerBucket = 2), "replay must be skipped")
+    assert(vocabRows() == recompute(batchDf(0, 60)),
+      "the heal must re-extend exactly the lost batch")
+    // fold mid-stream, then another batch and its replay: the folded
+    // bid high-water mark keeps the replay guard answering
+    assert(graft.sinks.SidecarFold.foldIfDecayed(spark, s"$dir/_vocab", 1)(
+      _.groupBy($"w").agg(max($"bid").as("bid"), sum($"df").as("df"))
+        .select($"bid", $"w", $"df")))
+    assert(StreamingMerge.applyTextBatch(batchDf(60, 70), 3L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    assert(!StreamingMerge.applyTextBatch(batchDf(60, 70), 3L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    assert(vocabRows() == recompute(batchDf(0, 70)),
+      "post-fold appends and replays must stay exactly-once")
+  }
+
   test("compaction preserves gate markers and stats bids mid-stream") {
     val root = java.nio.file.Files.createTempDirectory("textcmp").toString
     val dir = s"$root/store"
