@@ -2162,9 +2162,11 @@ object TextIndex {
     val stamp = System.nanoTime()
     val side = vocabPath(storeDir)
     graft.sinks.SidecarFold.restoreAside(spark, side)
-    v.coalesce(1).write.mode("overwrite").parquet(s"$side.fold-$stamp")
-    graft.sinks.HadoopSwap.swapInto(spark, s"$side.fold-$stamp", side,
-      s"$side.old-$stamp")
+    timed("vocab_build") {
+      v.coalesce(1).write.mode("overwrite").parquet(s"$side.fold-$stamp")
+      graft.sinks.HadoopSwap.swapInto(spark, s"$side.fold-$stamp", side,
+        s"$side.old-$stamp")
+    }
   }
 
   private def vocabRowExists(spark: SparkSession, dir: String,

@@ -78,6 +78,19 @@ object IngestProfile {
       TextIndex.buildPositional(docs, "doc_id", "text", dir,
         nBuckets = 8, filesPerBucket = 2)
     })
+    // the vocab sidecar's opt-in price: same q223 lifecycle with the
+    // sidecar maintained — buildVocab's one column-pruned store pass
+    // plus the append's batch-sized vocab_extend phase (compare
+    // against the arm above; stores that never opt in pay one
+    // existence probe per append)
+    runArm("build 2/3 + vocab + append 1/3 (q255 shape)", () => {
+      val dir = tmp()
+      TextIndex.build(docs.filter(col("doc_id") % 3 =!= 0), "doc_id",
+        "text", dir, nBuckets = 8, filesPerBucket = 2)
+      TextIndex.buildVocab(spark, dir)
+      TextIndex.append(docs.filter(col("doc_id") % 3 === 0), "doc_id",
+        "text", dir, filesPerBucket = 2)
+    })
     spark.stop()
   }
 }
