@@ -372,6 +372,9 @@ object GraftCli {
       textWildPhrase(storeDir,
         slots.split(";").toSeq.filter(_.nonEmpty),
         rest.headOption.map(_.toInt).getOrElse(64), out)
+    case "textfacets" :: storeDir :: terms :: docs :: facetCol :: out :: Nil =>
+      textFacets(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
+        docs, facetCol, out)
     case "textexpandbatch" :: storeDir :: docs :: queries :: k :: out :: rest
         if rest.size <= 2 =>
       textExpandBatch(storeDir, docs,
@@ -486,6 +489,7 @@ object GraftCli {
            |           textregexp <storedir> <pattern> <k> <outdir> [max_terms]
            |           textregexpbatch <storedir> <pattern;pattern;...> <k> <outdir> [max_terms]
            |           textwildphrase <storedir> <slot;slot;...> <outdir> [max_terms]  (slot = term or pre*)
+           |           textfacets <storedir> <w1,w2,...> <docs> <facetcol> <outdir>
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -2618,6 +2622,21 @@ object GraftCli {
       .write.mode("overwrite").parquet(out)
     println(s"${specs.size} fuzzy queries (one batched serve): " +
       s"${spark.read.parquet(out).count()} hits -> $out")
+    spark.stop()
+  }
+
+  private def textFacets(storeDir: String, terms: Seq[String],
+                         docs: String, facetCol: String,
+                         out: String): Unit = {
+    val spark = GraftSession.local()
+    val corpus = spark.read.parquet(docs)
+    graft.operators.TextIndex.facetCounts(spark, storeDir, terms,
+        corpus, "doc_id", facetCol)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .orderBy(col("n_docs").desc, col("facet")).collect()
+      .foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
+    println(s"facets over [${terms.mkString(", ")}] by $facetCol -> $out")
     spark.stop()
   }
 

@@ -1707,7 +1707,14 @@ object TextIndex {
     * provably-absent term answers empty with zero buckets opened.
     * Returns matching doc_ids, ascending. */
   def containingAll(spark: SparkSession, storeDir: String,
-                    terms: Seq[String]): DataFrame = {
+                    terms: Seq[String]): DataFrame =
+    containingAllMatches(spark, storeDir, terms).orderBy(col("doc_id"))
+
+  /** [[containingAll]]'s match set without the presentation sort —
+    * the composable form ([[facetCounts]] feeds it straight into a
+    * join, where a pre-sort would only add an exchange). */
+  private def containingAllMatches(spark: SparkSession, storeDir: String,
+                                   terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     val distinct = terms.distinct
     import spark.implicits._
@@ -1733,8 +1740,28 @@ object TextIndex {
       (acc, w) =>
         acc.join(post.filter(col("w") === w).select(col("doc_id")),
           Seq("doc_id"), "left_semi")
-    }.orderBy(col("doc_id"))
+    }
   }
+
+  /** FACETED search (the Solr/Elasticsearch facet-count shape): the
+    * documents holding EVERY query term ([[containingAll]]'s
+    * rarest-first semi-join chain — bucket-pruned, tombstone-exact),
+    * bucketed by a corpus metadata column with per-facet doc counts.
+    * The metadata join touches the corpus table once, filtered to the
+    * matches; the facet aggregate is partial-before-shuffle. Join
+    * strategy is AQE's call — the match set is corpus-proportional
+    * for common terms, so forcing a broadcast here would be the
+    * knnClassify anti-pattern (VERDICT r6). Returns
+    * (facet, n_docs), most-populated facet first. */
+  def facetCounts(spark: SparkSession, storeDir: String,
+                  terms: Seq[String], corpus: DataFrame, idCol: String,
+                  facetCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("doc_id"),
+        col(facetCol).as("facet"))
+      .join(containingAllMatches(spark, storeDir, terms), Seq("doc_id"))
+      .groupBy(col("facet"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("facet"))
 
   /** BATCHED conjunctive containment — [[containingAll]] for a whole
     * query FRAME `(idCol, termsCol: array<string>)`, served in ONE

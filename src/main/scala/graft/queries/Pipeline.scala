@@ -5908,6 +5908,57 @@ object Pipeline {
       |SELECT doc_id, n_occurrences FROM ph
       |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q262
+  // FACETED search (the Solr/Elasticsearch facet-count shape): the
+  // docs holding EVERY query term — containingAll's rarest-first
+  // semi-join chain, bucket-pruned — bucketed by a corpus metadata
+  // column with per-facet doc counts. The metadata join touches the
+  // corpus table ONCE filtered to the matches (AQE picks the
+  // strategy: the match set is corpus-proportional for common terms,
+  // so no forced broadcast), and the facet aggregate is
+  // partial-before-shuffle. The in-plan budget pins the store side to
+  // the two terms' probed buckets plus the one corpus pass.
+  private def q262Facets(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q262", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    val res = TextIndex.facetCounts(s, out, Seq("join", "merge"),
+      docs, "doc_id", "lang")
+    import s.implicits._
+    val probed = Seq("join", "merge").toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out)
+    val filesInProbed =
+      allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+    require(filesInProbed < allFiles.size,
+      "test setup: some bucket must stay unprobed")
+    val fs = graft.sinks.HadoopSwap.fs(s, dir)
+    val cp = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val corpusFiles =
+      if (fs.getFileStatus(cp).isFile) 1
+      else fs.listStatus(cp).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    require(graft.plans.PlanProbe.scannedFileCount(res) <=
+        2L * filesInProbed + corpusFiles,
+      s"the facet serve must stay inside the terms' buckets plus one " +
+        s"corpus pass (2 x $filesInProbed + $corpusFiles; store holds " +
+        s"${allFiles.size})")
+    res
+  }
+
+  private val q262Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |m AS (SELECT doc_id FROM (
+      |    SELECT doc_id, COUNT(DISTINCT w) AS c FROM
+      |      (SELECT doc_id, unnest(toks) AS w FROM base)
+      |    WHERE w IN ('join', 'merge') GROUP BY doc_id)
+      |  WHERE c = 2)
+      |SELECT lang AS facet, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM documents JOIN m USING (doc_id)
+      |GROUP BY 1 ORDER BY n_docs DESC, facet""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -6771,6 +6822,7 @@ object Pipeline {
     "q259_fuzzy_batch" -> q259FuzzyBatch _,
     "q260_regexp_batch" -> q260RegexpBatch _,
     "q261_wildcard_phrase" -> q261WildcardPhrase _,
+    "q262_facets" -> q262Facets _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7040,6 +7092,7 @@ object Pipeline {
     "q259_fuzzy_batch" -> q259Sql,
     "q260_regexp_batch" -> q260Sql,
     "q261_wildcard_phrase" -> q261Sql,
+    "q262_facets" -> q262Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

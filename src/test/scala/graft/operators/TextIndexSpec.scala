@@ -985,4 +985,31 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.readStats(spark, dir) == want,
       "a replay heal during the crash window must restore, not re-seed")
   }
+
+  test("facetCounts == corpus recompute; tombstoned docs leave the facets") {
+    val dir = tmp("facet")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    val meta = docs.withColumn("cat",
+      concat(lit("c"), (col("doc_id") % 3).cast("string")))
+    val terms = Seq("alpha", "beta")
+    def brute(d: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      d.filter(terms.map(t =>
+          array_contains(split(col("text"), "\\s+"), t)).reduce(_ && _))
+        .groupBy($"cat").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"n_docs".desc, $"cat")
+        .as[(String, Long)].collect().toSeq
+    def got(): Seq[(String, Long)] =
+      TextIndex.facetCounts(spark, dir, terms, meta, "doc_id", "cat")
+        .as[(String, Long)].collect().toSeq
+    assert(got() == brute(meta) && got().nonEmpty)
+    // an absent term means zero matches, hence zero facets
+    assert(TextIndex.facetCounts(spark, dir, Seq("alpha", "qqzznope"),
+      meta, "doc_id", "cat").isEmpty)
+    // deletes: the match set is tombstone-exact, so facets follow
+    assert(TextIndex.delete(spark, dir,
+      docs.filter($"doc_id" % 4 === 0).select($"doc_id"), "doc_id") > 0L)
+    assert(got() == brute(meta.filter($"doc_id" % 4 =!= 0)),
+      "facets must count only surviving matches")
+  }
 }
