@@ -375,6 +375,13 @@ object GraftCli {
     case "textfacets" :: storeDir :: terms :: docs :: facetCol :: out :: Nil =>
       textFacets(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
         docs, facetCol, out)
+    case "textbm25f" :: fields :: terms :: k :: out :: Nil =>
+      textBm25f(fields.split(";").toSeq.filter(_.nonEmpty).map { spec =>
+        val p = spec.split(":")
+        require(p.length == 4,
+          s"field spec '$spec' is not field:storedir:boost:b")
+        (p(0), p(1), p(2).toDouble, p(3).toDouble)
+      }, terms.split(",").toSeq.filter(_.nonEmpty), k.toInt, out)
     case "textexpandbatch" :: storeDir :: docs :: queries :: k :: out :: rest
         if rest.size <= 2 =>
       textExpandBatch(storeDir, docs,
@@ -490,6 +497,7 @@ object GraftCli {
            |           textregexpbatch <storedir> <pattern;pattern;...> <k> <outdir> [max_terms]
            |           textwildphrase <storedir> <slot;slot;...> <outdir> [max_terms]  (slot = term or pre*)
            |           textfacets <storedir> <w1,w2,...> <docs> <facetcol> <outdir>
+           |           textbm25f <field:storedir:boost:b;...> <w1,w2,...> <k> <outdir>
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -2621,6 +2629,17 @@ object GraftCli {
         "query_id", "term", "maxd", k, maxTerms)
       .write.mode("overwrite").parquet(out)
     println(s"${specs.size} fuzzy queries (one batched serve): " +
+      s"${spark.read.parquet(out).count()} hits -> $out")
+    spark.stop()
+  }
+
+  private def textBm25f(fields: Seq[(String, String, Double, Double)],
+                        terms: Seq[String], k: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.bm25fTopK(spark, fields, terms, k)
+      .write.mode("overwrite").parquet(out)
+    println(s"BM25F[${terms.mkString(", ")}] over " +
+      s"${fields.map(_._1).mkString("+")}: " +
       s"${spark.read.parquet(out).count()} hits -> $out")
     spark.stop()
   }

@@ -2354,6 +2354,91 @@ object TextIndex {
     topKBatch(spark, storeDir, expanded, "query_id", "terms", k, k1, b)
   }
 
+  /** MULTI-FIELD BM25F ranking (Robertson et al.'s simple BM25F —
+    * the Lucene field axis): each field is its OWN standard postings
+    * store (full lifecycle: append/delete/compact/sidecars, all
+    * unchanged), and the serve combines them with per-field boosts
+    * and length normalization BEFORE tf saturation:
+    *
+    *   wtf(t,d) = Σ_f boost_f · tf(t,f,d) / (1 − b_f + b_f·dl_f/avgdl_f)
+    *   score(d) = Σ_t idf(t) · wtf / (k1 + wtf)
+    *
+    * (idf from the ANY-field document frequency — a term's saturation
+    * is shared across fields, which is exactly what per-field BM25
+    * summing gets wrong). Every per-store read keeps the single-store
+    * prunes: term-filter drops, bucket partition pruning, w-zones,
+    * tombstone anti-joins — so a 100 TB two-field deployment reads
+    * the terms' buckets of each field store and nothing else. Rounding
+    * discipline matches [[topK]]: per-(field,term,doc) wtf parts
+    * round to 6 and sum as DECIMAL(28,6) (field-order-insensitive),
+    * the per-term contribution rounds to 6 and sums as DECIMAL(28,6)
+    * (term-order-insensitive), the final score casts to DOUBLE.
+    *
+    * `fields`: (field, storeDir, boost, b_f) per field — a Seq so the
+    * serve is deterministic. All stores must hold the SAME document
+    * set (n is required equal; fields of one corpus by construction).
+    * Returns (doc_id, n_terms, score) top-k. */
+  def bm25fTopK(spark: SparkSession,
+                fields: Seq[(String, String, Double, Double)],
+                terms: Seq[String], k: Int,
+                k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "need at least one field store")
+    require(terms.nonEmpty, "need at least one query term")
+    import spark.implicits._
+    val distinct = terms.distinct
+    val stats = fields.map { case (f, dir, _, _) =>
+      f -> readStats(spark, dir)
+    }
+    val ns = stats.map(_._2._1).distinct
+    require(ns.size == 1,
+      s"field stores must hold the same corpus (n per field: " +
+        s"${stats.map { case (f, (n, _, _)) => s"$f=$n" }.mkString(", ")})")
+    val n = ns.head
+    // per-field probed postings with the field's own normalization
+    // folded in — each read is the single-store serve's pruned shape
+    val parts = fields.zip(stats).flatMap {
+      case ((_, dir, boost, bf), (_, (_, sdlF, nbF))) =>
+        val live = readTermFilter(spark, dir)
+          .fold(distinct)(bits => presentTerms(spark, distinct, bits))
+        if (live.isEmpty) None
+        else {
+          val buckets = live.toDF("w")
+            .select(pmod(xxhash64(col("w")), lit(nbF)).cast("int").as("tb"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val avgdlF = round(lit(sdlF).cast("double") / lit(n), 6)
+          Some(minusTombstones(spark, dir,
+              spark.read.parquet(dir)
+                .filter(col("tb").isin(buckets: _*))
+                .filter(col("w").isin(live: _*)))
+            .select(col("doc_id"), col("w"),
+              round(lit(boost) * col("tf") /
+                (lit(1.0 - bf) + lit(bf) * col("dl") / avgdlF), 6)
+                .cast("decimal(28,6)").as("wtfp")))
+        }
+    }
+    if (parts.isEmpty)
+      return spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_terms"), col("id").cast("double").as("score"))
+    val union = parts.reduce(_.unionByName(_))
+    // ANY-field document frequency — the shared-saturation idf input
+    val dfT = union.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val wtf = union.groupBy(col("doc_id"), col("w"))
+      .agg(sum(col("wtfp")).as("wtf"))
+    wtf.join(broadcast(dfT), Seq("w"))
+      .withColumn("idf", round(
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 6))
+      .withColumn("c", round(
+        col("idf") * col("wtf").cast("double") /
+          (lit(k1) + col("wtf").cast("double")), 6)
+        .cast("decimal(28,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** MULTI-PHRASE search (Lucene's MultiPhraseQuery): exact adjacency
     * where each slot accepts ANY of its alternative terms — the
     * operator behind wildcard-slot phrases ([[phraseSearchWildcard]]).

@@ -5959,6 +5959,83 @@ object Pipeline {
       |FROM documents JOIN m USING (doc_id)
       |GROUP BY 1 ORDER BY n_docs DESC, facet""".stripMargin
 
+  // --------------------------------------------------------------- q263
+  // MULTI-FIELD BM25F (Robertson's simple BM25F — the Lucene field
+  // axis): title (first 3 tokens, boost 2.0, b 0.5) and body (the
+  // rest, boost 1.0, b 0.75) are each their OWN standard postings
+  // store; the serve combines per-field boosted, length-normalized
+  // tf BEFORE saturation and takes idf from the ANY-field df — the
+  // shared-saturation property per-field BM25 summing gets wrong.
+  // Every per-store read keeps the single-store prunes (term filter,
+  // bucket partitions, w-zones, tombstones); the in-plan budget pins
+  // 2 passes over each store's probed buckets.
+  private def q263Bm25f(s: SparkSession, dir: String): DataFrame = {
+    val outT = scratch("q263t", dir)
+    val outB = scratch("q263b", dir)
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val fielded = docs.select(col("doc_id"),
+      array_join(slice(toks, lit(1), lit(3)), " ").as("title"),
+      array_join(slice(toks, lit(4), size(toks) - 3), " ").as("body"))
+    TextIndex.build(fielded, "doc_id", "title", outT, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.build(fielded, "doc_id", "body", outB, nBuckets = 8,
+      filesPerBucket = 2)
+    val terms = Seq("join", "merge", "vector")
+    val res = TextIndex.bm25fTopK(s,
+      Seq(("title", outT, 2.0, 0.5), ("body", outB, 1.0, 0.75)),
+      terms, 15)
+    import s.implicits._
+    val probed = terms.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val budget = Seq(outT, outB).map { out =>
+      val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out)
+      val inProbed =
+        allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+      require(inProbed < allFiles.size,
+        "test setup: some bucket must stay unprobed")
+      inProbed
+    }.sum
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= 2L * budget,
+      s"the BM25F serve must stay inside both stores' probed buckets " +
+        s"(2 passes x $budget files)")
+    res
+  }
+
+  private val q263Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |fld AS (SELECT doc_id, toks[1:3] AS tt, toks[4:] AS bt FROM base),
+      |st AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(len(tt)) AS DOUBLE) / COUNT(*), 6) AS avt,
+      |    round(CAST(SUM(len(bt)) AS DOUBLE) / COUNT(*), 6) AS avb FROM fld),
+      |tft AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, CAST(len(tt) AS BIGINT) AS dl, unnest(tt) AS w
+      |     FROM fld)
+      |  WHERE w IN ('join', 'merge', 'vector') GROUP BY 1, 2, 3),
+      |tfb AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, CAST(len(bt) AS BIGINT) AS dl, unnest(bt) AS w
+      |     FROM fld)
+      |  WHERE w IN ('join', 'merge', 'vector') GROUP BY 1, 2, 3),
+      |u AS (
+      |  SELECT doc_id, w, CAST(round(2.0e0 * tf /
+      |      (0.5e0 + 0.5e0 * dl / avt), 6) AS DECIMAL(28,6)) AS wtfp
+      |    FROM tft CROSS JOIN st
+      |  UNION ALL
+      |  SELECT doc_id, w, CAST(round(1.0e0 * tf /
+      |      (0.25e0 + 0.75e0 * dl / avb), 6) AS DECIMAL(28,6)) AS wtfp
+      |    FROM tfb CROSS JOIN st),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM u GROUP BY w),
+      |wt AS (SELECT doc_id, w, SUM(wtfp) AS wtf FROM u GROUP BY 1, 2),
+      |c AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * CAST(wtf AS DOUBLE) / (1.2e0 + CAST(wtf AS DOUBLE)), 6)
+      |      AS DECIMAL(28,6)) AS c
+      |  FROM wt JOIN df USING (w) CROSS JOIN st)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
+      |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -6823,6 +6900,7 @@ object Pipeline {
     "q260_regexp_batch" -> q260RegexpBatch _,
     "q261_wildcard_phrase" -> q261WildcardPhrase _,
     "q262_facets" -> q262Facets _,
+    "q263_bm25f" -> q263Bm25f _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7093,6 +7171,7 @@ object Pipeline {
     "q260_regexp_batch" -> q260Sql,
     "q261_wildcard_phrase" -> q261Sql,
     "q262_facets" -> q262Sql,
+    "q263_bm25f" -> q263Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

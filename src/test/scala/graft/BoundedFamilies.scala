@@ -113,6 +113,9 @@ object BoundedFamilies {
         "q258_regexp_rank" -> Set(Set("df", "w")),
         "q259_fuzzy_batch" -> Set(Set("df", "w")),
         "q260_regexp_batch" -> Set(Set("df", "w")),
+        // BM25F's any-field document-frequency table — terms-sized,
+        // exact from the fields' probed postings
+        "q263_bm25f" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),

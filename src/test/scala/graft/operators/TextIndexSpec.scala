@@ -1012,4 +1012,70 @@ class TextIndexSpec extends SparkSpec {
     assert(got() == brute(meta.filter($"doc_id" % 4 =!= 0)),
       "facets must count only surviving matches")
   }
+
+  test("bm25f == scan-path recompute; deletes compose; mismatched " +
+      "field corpora refuse") {
+    val dirA = tmp("bm25fa")
+    val dirB = tmp("bm25fb")
+    val toksC = split(col("text"), "\\s+")
+    val fielded = docs.select(col("doc_id"),
+      array_join(slice(toksC, lit(1), lit(2)), " ").as("fa"),
+      array_join(slice(toksC, lit(3), size(toksC) - 2), " ").as("fb"))
+    TextIndex.build(fielded, "doc_id", "fa", dirA, nBuckets = 4,
+      filesPerBucket = 2)
+    TextIndex.build(fielded, "doc_id", "fb", dirB, nBuckets = 4,
+      filesPerBucket = 2)
+    val terms = Seq("alpha", "kappa", "mu")
+    // the scan-everything recompute of the same math (the store must
+    // reproduce it bit-for-bit through all its prunes)
+    def scan(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] = {
+      val n = d.count()
+      def part(c: String, boost: Double, bf: Double) = {
+        val tok = split(col(c), "\\s+")
+        val sdl = d.select(sum(size(tok)).cast("long")).head().getLong(0)
+        val av = round(lit(sdl).cast("double") / lit(n), 6)
+        d.select(col("doc_id"), size(tok).cast("long").as("dl"),
+            explode(tok).as("w"))
+          .filter(col("w").isin(terms: _*))
+          .groupBy(col("doc_id"), col("dl"), col("w"))
+          .agg(count(lit(1)).as("tf"))
+          .select(col("doc_id"), col("w"),
+            round(lit(boost) * col("tf") /
+              (lit(1.0 - bf) + lit(bf) * col("dl") / av), 6)
+              .cast("decimal(28,6)").as("wtfp"))
+      }
+      val u = part("fa", 1.5, 0.4).unionByName(part("fb", 1.0, 0.75))
+      val dfT = u.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      u.groupBy(col("doc_id"), col("w")).agg(sum(col("wtfp")).as("wtf"))
+        .join(dfT, Seq("w"))
+        .withColumn("idf", round(log(lit(1.0) +
+          (lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 6))
+        .withColumn("c", round(col("idf") * col("wtf").cast("double") /
+            (lit(1.2) + col("wtf").cast("double")), 6)
+          .cast("decimal(28,6)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("c")).cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(12)
+        .as[(Long, Long, Double)].collect().toSeq
+    }
+    val fields = Seq(("fa", dirA, 1.5, 0.4), ("fb", dirB, 1.0, 0.75))
+    assert(rows(TextIndex.bm25fTopK(spark, fields, terms, 12)) ==
+      scan(fielded))
+    // deletes applied to BOTH stores == survivor recompute
+    val doomed = docs.filter($"doc_id" % 5 === 0).select($"doc_id")
+    assert(TextIndex.delete(spark, dirA, doomed, "doc_id") > 0L)
+    assert(TextIndex.delete(spark, dirB, doomed, "doc_id") > 0L)
+    assert(rows(TextIndex.bm25fTopK(spark, fields, terms, 12)) ==
+      scan(fielded.filter($"doc_id" % 5 =!= 0)))
+    // a field store missing docs the others have = not one corpus
+    val dirC = tmp("bm25fc")
+    TextIndex.build(fielded.filter($"doc_id" < 30), "doc_id", "fb", dirC,
+      nBuckets = 4, filesPerBucket = 2)
+    intercept[IllegalArgumentException] {
+      TextIndex.bm25fTopK(spark,
+        Seq(("fa", dirA, 1.5, 0.4), ("fb", dirC, 1.0, 0.75)), terms, 12)
+    }
+  }
 }
