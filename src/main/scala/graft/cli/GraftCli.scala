@@ -382,6 +382,18 @@ object GraftCli {
           s"field spec '$spec' is not field:storedir:boost:b")
         (p(0), p(1), p(2).toDouble, p(3).toDouble)
       }, terms.split(",").toSeq.filter(_.nonEmpty), k.toInt, out)
+    case "textbm25fbatch" :: fields :: queries :: k :: out :: Nil =>
+      textBm25fBatch(fields.split(";").toSeq.filter(_.nonEmpty).map { spec =>
+        val p = spec.split(":")
+        require(p.length == 4,
+          s"field spec '$spec' is not field:storedir:boost:b")
+        (p(0), p(1), p(2).toDouble, p(3).toDouble)
+      }, queries.split("\\|").toSeq.filter(_.nonEmpty)
+        .map(_.split(",").toSeq.filter(_.nonEmpty)), k.toInt, out)
+    case "textfacetsbatch" :: storeDir :: queries :: docs :: facetCol :: out :: Nil =>
+      textFacetsBatch(storeDir,
+        queries.split(";").toSeq.filter(_.nonEmpty)
+          .map(_.split(",").toSeq.filter(_.nonEmpty)), docs, facetCol, out)
     case "textexpandbatch" :: storeDir :: docs :: queries :: k :: out :: rest
         if rest.size <= 2 =>
       textExpandBatch(storeDir, docs,
@@ -498,6 +510,8 @@ object GraftCli {
            |           textwildphrase <storedir> <slot;slot;...> <outdir> [max_terms]  (slot = term or pre*)
            |           textfacets <storedir> <w1,w2,...> <docs> <facetcol> <outdir>
            |           textbm25f <field:storedir:boost:b;...> <w1,w2,...> <k> <outdir>
+           |           textbm25fbatch <field:storedir:boost:b;...> <w1,w2|w3,w4|...> <k> <outdir>
+           |           textfacetsbatch <storedir> <w1,w2;w3;...> <docs> <facetcol> <outdir>
            |           pqbuild <emb> <indexdir> [m] [k]
            |           pqquery <indexdir> <emb> <id> <topk>
            |           sq8build <emb> <storedir>
@@ -2641,6 +2655,37 @@ object GraftCli {
     println(s"BM25F[${terms.mkString(", ")}] over " +
       s"${fields.map(_._1).mkString("+")}: " +
       s"${spark.read.parquet(out).count()} hits -> $out")
+    spark.stop()
+  }
+
+  private def textBm25fBatch(fields: Seq[(String, String, Double, Double)],
+                             queries: Seq[Seq[String]], k: Int,
+                             out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val q = queries.zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts) }.toDF("query_id", "terms")
+    graft.operators.TextIndex.bm25fTopKBatch(spark, fields, q,
+        "query_id", "terms", k)
+      .write.mode("overwrite").parquet(out)
+    println(s"${queries.size} BM25F queries (one batched serve) over " +
+      s"${fields.map(_._1).mkString("+")}: " +
+      s"${spark.read.parquet(out).count()} hits -> $out")
+    spark.stop()
+  }
+
+  private def textFacetsBatch(storeDir: String, queries: Seq[Seq[String]],
+                              docs: String, facetCol: String,
+                              out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val q = queries.zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts) }.toDF("query_id", "terms")
+    graft.operators.TextIndex.facetCountsBatch(spark, storeDir, q,
+        "query_id", "terms", spark.read.parquet(docs), "doc_id", facetCol)
+      .write.mode("overwrite").parquet(out)
+    println(s"${queries.size} facet queries (one batched serve) by " +
+      s"$facetCol: ${spark.read.parquet(out).count()} rows -> $out")
     spark.stop()
   }
 

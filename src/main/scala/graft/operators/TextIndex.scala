@@ -1778,7 +1778,17 @@ object TextIndex {
     * ascending. */
   def containingAllBatch(spark: SparkSession, storeDir: String,
                          queries: DataFrame, idCol: String,
-                         termsCol: String): DataFrame = {
+                         termsCol: String): DataFrame =
+    containingAllBatchMatches(spark, storeDir, queries, idCol, termsCol)
+      .orderBy(col("query_id"), col("doc_id"))
+
+  /** [[containingAllBatch]]'s match set without the presentation sort
+    * — the composable form ([[facetCountsBatch]] feeds it straight
+    * into a join). */
+  private def containingAllBatchMatches(spark: SparkSession,
+                                        storeDir: String,
+                                        queries: DataFrame, idCol: String,
+                                        termsCol: String): DataFrame = {
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       array_distinct(col(termsCol)).as("terms"))
     // size(NULL)/empty guards refuse loudly, matching the single API
@@ -1815,8 +1825,27 @@ object TextIndex {
       .agg(countDistinct(col("w")).as("nmatched"))
       .filter(col("nmatched") === col("tcount"))
       .select(col("query_id"), col("doc_id"))
-      .orderBy(col("query_id"), col("doc_id"))
   }
+
+  /** BATCHED faceted search — [[facetCounts]] for a whole
+    * `(idCol, termsCol)` query frame: the batched conjunctive match
+    * set ([[containingAllBatch]]'s one-bucket-union-read shape) joins
+    * the corpus metadata ONCE for every query, and the facet rollup
+    * aggregates per (query, facet) partial-before-shuffle. Dead
+    * queries drop whole; no forced broadcast (the match set is
+    * corpus-proportional for common terms). Returns
+    * (query_id, facet, n_docs). */
+  def facetCountsBatch(spark: SparkSession, storeDir: String,
+                       queries: DataFrame, idCol: String,
+                       termsCol: String, corpus: DataFrame,
+                       docIdCol: String, facetCol: String): DataFrame =
+    corpus.select(col(docIdCol).cast("long").as("doc_id"),
+        col(facetCol).as("facet"))
+      .join(containingAllBatchMatches(spark, storeDir, queries, idCol,
+        termsCol), Seq("doc_id"))
+      .groupBy(col("query_id"), col("facet"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("query_id"), col("n_docs").desc, col("facet"))
 
   /** Fold the shifted-position intersection over the phrase slots in
     * [[phraseSlotOrder]]'s order; `acc` ends as the phrase-start set. */
@@ -2437,6 +2466,101 @@ object TextIndex {
         sum(col("c")).cast("double").as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Drop rows whose `w` is provably absent from `dir`'s term filter,
+    * ENGINE-side (the [[topKBatch]] bits expression, factored for the
+    * multi-store serves): Bloom semantics — a false positive only
+    * reads a bucket for nothing, never moves a score. */
+  private def dropAbsentTermRows(spark: SparkSession, dir: String,
+                                 rows: DataFrame): DataFrame =
+    readTermFilter(spark, dir).fold(rows) { bits =>
+      rows.withColumn("_tfb", typedLit(bits.toSeq))
+        .filter(expr(
+          s"""forall(array(${(0 until TermFilterK)
+            .map(i => s"pmod(xxhash64(w, $i), ${TermFilterBits}L)")
+            .mkString(", ")}),
+             |  p -> (element_at(_tfb, cast(p / 64 AS int) + 1)
+             |        & shiftleft(1L, cast(p % 64 AS int))) != 0L)""".stripMargin))
+        .drop("_tfb")
+    }
+
+  /** BATCHED multi-field BM25F — [[bm25fTopK]] for a whole
+    * `(idCol, termsCol: array<string>)` query frame in the batched
+    * job count: per field, the batch's distinct terms filter through
+    * THAT store's term bits in-plan, its probed buckets read ONCE for
+    * all queries, and the per-(doc, term) weighted-tf parts union
+    * across fields exactly like the single-query serve. df and wtf
+    * are query-independent (a term's any-field df is the same number
+    * whichever queries ask), so the whole batch shares one dfT/wtf
+    * computation; per-query top-k rides the bounded TopK aggregator.
+    * Dead queries drop whole. */
+  def bm25fTopKBatch(spark: SparkSession,
+                     fields: Seq[(String, String, Double, Double)],
+                     queries: DataFrame, idCol: String, termsCol: String,
+                     k: Int, k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "need at least one field store")
+    val stats = fields.map { case (f, dir, _, _) =>
+      f -> readStats(spark, dir)
+    }
+    val ns = stats.map(_._2._1).distinct
+    require(ns.size == 1,
+      s"field stores must hold the same corpus (n per field: " +
+        s"${stats.map { case (f, (nf, _, _)) => s"$f=$nf" }.mkString(", ")})")
+    val n = ns.head
+    val qt = queries.select(col(idCol).cast("long").as("query_id"),
+        explode(array_distinct(col(termsCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .localCheckpoint()
+    val wanted = qt.select(col("w")).distinct().localCheckpoint()
+    val parts = fields.zip(stats).flatMap {
+      case ((_, dir, boost, bf), (_, (_, sdlF, nbF))) =>
+        val wantedF = dropAbsentTermRows(spark, dir, wanted)
+        val buckets = wantedF
+          .select(pmod(xxhash64(col("w")), lit(nbF)).cast("int").as("tb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (buckets.isEmpty) None
+        else {
+          val avgdlF = round(lit(sdlF).cast("double") / lit(n), 6)
+          Some(minusTombstones(spark, dir,
+              spark.read.parquet(dir)
+                .filter(col("tb").isin(buckets: _*))
+                .drop("tb")
+                .join(wantedF, Seq("w")))
+            .select(col("doc_id"), col("w"),
+              round(lit(boost) * col("tf") /
+                (lit(1.0 - bf) + lit(bf) * col("dl") / avgdlF), 6)
+                .cast("decimal(28,6)").as("wtfp")))
+        }
+    }
+    if (parts.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_terms"),
+        col("id").cast("double").as("score"))
+    val union = parts.reduce(_.unionByName(_))
+    val dfT = union.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val wtf = union.groupBy(col("doc_id"), col("w"))
+      .agg(sum(col("wtfp")).as("wtf"))
+    val contrib = wtf.join(broadcast(dfT), Seq("w"))
+      .withColumn("idf", round(
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 6))
+      .withColumn("c", round(
+        col("idf") * col("wtf").cast("double") /
+          (lit(k1) + col("wtf").cast("double")), 6)
+        .cast("decimal(28,6)"))
+      .select(col("w"), col("doc_id"), col("c"))
+    contrib.join(qt, Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).cast("double").as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k_tagged(k)(col("doc_id"),
+        col("score"), col("n_terms")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit._1").as("doc_id"),
+        col("hit._3").as("n_terms"), col("hit._2").as("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 
   /** MULTI-PHRASE search (Lucene's MultiPhraseQuery): exact adjacency

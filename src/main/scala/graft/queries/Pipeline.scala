@@ -6036,6 +6036,152 @@ object Pipeline {
       |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
       |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
+  // --------------------------------------------------------------- q264
+  // BATCHED multi-field BM25F: q263's ranker for a whole query frame
+  // in the batched job count — per field the batch's terms filter
+  // through that store's bits in-plan and its probed buckets read
+  // once for ALL queries; df/wtf are query-independent so the batch
+  // shares one computation; per-query top-k rides the bounded TopK
+  // aggregator. The dead query drops whole. Oracle replays the shared
+  // BM25F tables and each arm's own top-10.
+  private def q264Bm25fBatch(s: SparkSession, dir: String): DataFrame = {
+    val outT = scratch("q264t", dir)
+    val outB = scratch("q264b", dir)
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val fielded = docs.select(col("doc_id"),
+      array_join(slice(toks, lit(1), lit(3)), " ").as("title"),
+      array_join(slice(toks, lit(4), size(toks) - 3), " ").as("body"))
+    TextIndex.build(fielded, "doc_id", "title", outT, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.build(fielded, "doc_id", "body", outB, nBuckets = 8,
+      filesPerBucket = 2)
+    import s.implicits._
+    val queries = Seq(
+      (0L, Seq("join", "merge")),
+      (3L, Seq("vector", "stream")),
+      (7L, Seq("qqzznope"))).toDF("query_id", "terms")
+    val res = TextIndex.bm25fTopKBatch(s,
+      Seq(("title", outT, 2.0, 0.5), ("body", outB, 1.0, 0.75)),
+      queries, "query_id", "terms", 10)
+    val live = Seq("join", "merge", "vector", "stream")
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val budget = Seq(outT, outB).map { out =>
+      val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out)
+      val inProbed =
+        allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+      require(inProbed < allFiles.size,
+        "test setup: some bucket must stay unprobed")
+      inProbed
+    }.sum
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= 2L * budget,
+      s"the batched BM25F serve must stay inside both stores' probed " +
+        s"buckets (2 passes x $budget files)")
+    res
+  }
+
+  private val q264Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |fld AS (SELECT doc_id, toks[1:3] AS tt, toks[4:] AS bt FROM base),
+      |st AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(len(tt)) AS DOUBLE) / COUNT(*), 6) AS avt,
+      |    round(CAST(SUM(len(bt)) AS DOUBLE) / COUNT(*), 6) AS avb FROM fld),
+      |qs(query_id, w) AS (SELECT * FROM (VALUES
+      |  (0, 'join'), (0, 'merge'),
+      |  (3, 'vector'), (3, 'stream'), (7, 'qqzznope'))),
+      |tft AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, CAST(len(tt) AS BIGINT) AS dl, unnest(tt) AS w
+      |     FROM fld)
+      |  WHERE w IN (SELECT w FROM qs) GROUP BY 1, 2, 3),
+      |tfb AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, CAST(len(bt) AS BIGINT) AS dl, unnest(bt) AS w
+      |     FROM fld)
+      |  WHERE w IN (SELECT w FROM qs) GROUP BY 1, 2, 3),
+      |u AS (
+      |  SELECT doc_id, w, CAST(round(2.0e0 * tf /
+      |      (0.5e0 + 0.5e0 * dl / avt), 6) AS DECIMAL(28,6)) AS wtfp
+      |    FROM tft CROSS JOIN st
+      |  UNION ALL
+      |  SELECT doc_id, w, CAST(round(1.0e0 * tf /
+      |      (0.25e0 + 0.75e0 * dl / avb), 6) AS DECIMAL(28,6)) AS wtfp
+      |    FROM tfb CROSS JOIN st),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM u GROUP BY w),
+      |wt AS (SELECT doc_id, w, SUM(wtfp) AS wtf FROM u GROUP BY 1, 2),
+      |c AS (SELECT w, doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * CAST(wtf AS DOUBLE) / (1.2e0 + CAST(wtf AS DOUBLE)), 6)
+      |      AS DECIMAL(28,6)) AS c
+      |  FROM wt JOIN df USING (w) CROSS JOIN st),
+      |scored AS (SELECT qs.query_id, c.doc_id,
+      |    COUNT(*) AS n_terms, CAST(SUM(c.c) AS DOUBLE) AS score
+      |  FROM c JOIN qs ON qs.w = c.w GROUP BY 1, 2),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_terms, score
+      |FROM ranked WHERE rn <= 10
+      |ORDER BY query_id, score DESC, doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q265
+  // BATCHED faceted search: q262's facet rollup for a whole
+  // conjunctive query frame — the batched containment match set (one
+  // bucket-union read for all queries, set-semantic countDistinct
+  // gate) joins the corpus metadata ONCE, per-(query, facet) counts
+  // aggregate partial-before-shuffle. The query with an absent term
+  // drops whole (conjunctive semantics); in-plan budget pins one
+  // store pass over the probed buckets plus one corpus pass.
+  private def q265FacetsBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q265", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    import s.implicits._
+    val queries = Seq(
+      (0L, Seq("join", "merge")),
+      (1L, Seq("vector")),
+      (2L, Seq("qqzznope", "join"))).toDF("query_id", "terms")
+    val res = TextIndex.facetCountsBatch(s, out, queries,
+      "query_id", "terms", docs, "doc_id", "lang")
+    val probed = Seq("join", "merge", "vector").toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out)
+    val filesInProbed =
+      allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+    require(filesInProbed < allFiles.size,
+      "test setup: some bucket must stay unprobed")
+    val fs = graft.sinks.HadoopSwap.fs(s, dir)
+    val cp = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val corpusFiles =
+      if (fs.getFileStatus(cp).isFile) 1
+      else fs.listStatus(cp).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    require(graft.plans.PlanProbe.scannedFileCount(res) <=
+        filesInProbed + corpusFiles,
+      s"the batched facet serve must stay inside the probed buckets " +
+        s"plus one corpus pass ($filesInProbed + $corpusFiles)")
+    res
+  }
+
+  private val q265Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |qs(query_id, w) AS (SELECT * FROM (VALUES
+      |  (0, 'join'), (0, 'merge'), (1, 'vector'),
+      |  (2, 'qqzznope'), (2, 'join'))),
+      |qc AS (SELECT query_id, COUNT(*) AS tcount FROM qs GROUP BY 1),
+      |m0 AS (SELECT q.query_id, t.doc_id, COUNT(DISTINCT t.w) AS nm
+      |  FROM (SELECT doc_id, unnest(toks) AS w FROM base) t
+      |  JOIN qs q ON q.w = t.w GROUP BY 1, 2),
+      |m AS (SELECT query_id, doc_id FROM m0 JOIN qc USING (query_id)
+      |  WHERE nm = tcount)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, lang AS facet,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM documents JOIN m USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY query_id, n_docs DESC, facet""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -6901,6 +7047,8 @@ object Pipeline {
     "q261_wildcard_phrase" -> q261WildcardPhrase _,
     "q262_facets" -> q262Facets _,
     "q263_bm25f" -> q263Bm25f _,
+    "q264_bm25f_batch" -> q264Bm25fBatch _,
+    "q265_facets_batch" -> q265FacetsBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7172,6 +7320,8 @@ object Pipeline {
     "q261_wildcard_phrase" -> q261Sql,
     "q262_facets" -> q262Sql,
     "q263_bm25f" -> q263Sql,
+    "q264_bm25f_batch" -> q264Sql,
+    "q265_facets_batch" -> q265Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -116,6 +116,7 @@ object BoundedFamilies {
         // BM25F's any-field document-frequency table — terms-sized,
         // exact from the fields' probed postings
         "q263_bm25f" -> Set(Set("df", "w")),
+        "q264_bm25f_batch" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),

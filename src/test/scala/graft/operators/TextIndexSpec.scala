@@ -1078,4 +1078,47 @@ class TextIndexSpec extends SparkSpec {
         Seq(("fa", dirA, 1.5, 0.4), ("fb", dirC, 1.0, 0.75)), terms, 12)
     }
   }
+
+  test("batched bm25f and batched facets == their per-query loops") {
+    val dirA = tmp("bfba")
+    val dirB = tmp("bfbb")
+    val toksC = split(col("text"), "\\s+")
+    val fielded = docs.select(col("doc_id"),
+      array_join(slice(toksC, lit(1), lit(2)), " ").as("fa"),
+      array_join(slice(toksC, lit(3), size(toksC) - 2), " ").as("fb"))
+    TextIndex.build(fielded, "doc_id", "fa", dirA, nBuckets = 4,
+      filesPerBucket = 2)
+    TextIndex.build(fielded, "doc_id", "fb", dirB, nBuckets = 4,
+      filesPerBucket = 2)
+    val fields = Seq(("fa", dirA, 1.5, 0.4), ("fb", dirB, 1.0, 0.75))
+    val qf = Seq((0L, Seq("alpha", "kappa")), (1L, Seq("beta", "mu")),
+      (2L, Seq("qqzznope"))).toDF("query_id", "terms")
+    val got = TextIndex.bm25fTopKBatch(spark, fields, qf,
+        "query_id", "terms", 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = Seq(0L -> Seq("alpha", "kappa"), 1L -> Seq("beta", "mu"))
+      .flatMap { case (qid, ts) =>
+        rows(TextIndex.bm25fTopK(spark, fields, ts, 8))
+          .map { case (d, nt, sc) => (qid, d, nt, sc) }
+      }
+    assert(got == want)
+    assert(!got.exists(_._1 == 2L), "a dead query must drop whole")
+    // batched facets == the per-query facetCounts loop
+    val dirS = tmp("bfbs")
+    TextIndex.build(docs, "doc_id", "text", dirS, nBuckets = 4,
+      filesPerBucket = 2)
+    val meta = docs.withColumn("cat",
+      concat(lit("c"), (col("doc_id") % 3).cast("string")))
+    val fgot = TextIndex.facetCountsBatch(spark, dirS, qf,
+        "query_id", "terms", meta, "doc_id", "cat")
+      .as[(Long, String, Long)].collect().toSeq
+    val fwant = Seq(0L -> Seq("alpha", "kappa"), 1L -> Seq("beta", "mu"))
+      .flatMap { case (qid, ts) =>
+        TextIndex.facetCounts(spark, dirS, ts, meta, "doc_id", "cat")
+          .as[(String, Long)].collect().toSeq
+          .map { case (f, c) => (qid, f, c) }
+      }
+    assert(fgot == fwant)
+    assert(!fgot.exists(_._1 == 2L))
+  }
 }
