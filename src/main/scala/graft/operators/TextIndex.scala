@@ -896,11 +896,19 @@ object TextIndex {
     // a vocab sidecar is REBUILT from the rewritten postings — the
     // compaction purges tombstones, so this is the moment a stale-high
     // df snaps back to exact; bid carries the applied-batch high-water
-    // mark so the streaming replay guard keeps answering
+    // mark so the streaming replay guard keeps answering. The hwm is
+    // the GREATER of the vocab's own max(bid) and the stats sidecar's:
+    // the rewritten postings reflect every batch whose STATS row
+    // landed, including one whose vocab extension was lost in the
+    // crash window healBatch covers — stamping only the vocab's max
+    // would let that batch pass !vocabRowExists on redelivery and
+    // re-extend df the rebuild already counted.
     graft.sinks.SidecarFold.restoreAside(spark, vocabPath(storeDir))
     if (graft.sinks.HadoopSwap.exists(spark, vocabPath(storeDir))) {
-      val hwm = spark.read.parquet(vocabPath(storeDir))
-        .agg(max(col("bid"))).head().getLong(0)
+      val vh = spark.read.parquet(vocabPath(storeDir))
+        .agg(max(col("bid"))).head()
+      val hwm = math.max(if (vh.isNullAt(0)) -1L else vh.getLong(0),
+        statsBidHwm(spark, storeDir))
       spark.read.parquet(tmp).select(col("doc_id"), col("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("df"))
         .select(lit(hwm).as("bid"), col("w"), col("df"))
@@ -2197,7 +2205,8 @@ object TextIndex {
     * in. */
   private def statsBidHwm(spark: SparkSession, dir: String): Long = {
     restoreStatsAside(spark, dir)
-    spark.read.parquet(statsPath(dir)).agg(max(col("bid"))).head().getLong(0)
+    val h = spark.read.parquet(statsPath(dir)).agg(max(col("bid"))).head()
+    if (h.isNullAt(0)) -1L else h.getLong(0)
   }
 
   /** Create (or exactly rebuild) the `_vocab` sidecar from the LIVE
@@ -2258,7 +2267,13 @@ object TextIndex {
   /** The store's term dictionary `(w, df)` — vocab-sized, never
     * corpus-sized. df is exact on a store with no pending tombstones
     * (fresh build, post-compaction) and stale-high inside a
-    * delete-to-compaction window (see the section note). */
+    * delete-to-compaction window (see the section note). The empty
+    * string is EXCLUDED: postings deliberately carry `""` rows (the
+    * bag-stats contract for docs with leading/trailing/double
+    * whitespace), but it is a tokenizer stats artifact, not a term —
+    * Lucene never surfaces it, and without the filter a fuzzy length
+    * band reaching 0 (or a regexp matching "") would burn a maxTerms
+    * slot scoring whitespace postings. */
   def vocabulary(spark: SparkSession, storeDir: String): DataFrame =
     graft.sinks.SidecarFold.withReadRetry() {
       graft.sinks.SidecarFold.restoreAside(spark, vocabPath(storeDir))
@@ -2266,6 +2281,7 @@ object TextIndex {
         s"$storeDir has no _vocab sidecar — buildVocab() creates it " +
           "(appends maintain it from then on)")
       spark.read.parquet(vocabPath(storeDir))
+        .filter(length(col("w")) > 0)
         .groupBy(col("w")).agg(sum(col("df")).cast("long").as("df"))
     }
 

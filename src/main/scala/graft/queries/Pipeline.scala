@@ -5547,7 +5547,8 @@ object Pipeline {
       |stats AS (SELECT COUNT(*) AS n,
       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
       |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
-      |    (SELECT doc_id, unnest(toks) AS w FROM b2) GROUP BY w),
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2)
+      |  WHERE len(w) > 0 GROUP BY w),
       |exp AS (SELECT w FROM vocab WHERE w LIKE 's%'
       |  ORDER BY vdf DESC, w LIMIT 4),
       |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
@@ -5592,7 +5593,8 @@ object Pipeline {
       |stats AS (SELECT COUNT(*) AS n,
       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
       |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
-      |    (SELECT doc_id, unnest(toks) AS w FROM b2) GROUP BY w),
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2)
+      |  WHERE len(w) > 0 GROUP BY w),
       |exp AS (SELECT w FROM vocab WHERE levenshtein(w, 'bat') <= 2
       |  ORDER BY levenshtein(w, 'bat'), vdf DESC, w LIMIT 4),
       |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
@@ -5654,7 +5656,8 @@ object Pipeline {
       |stats AS (SELECT COUNT(*) AS n,
       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
       |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
-      |    (SELECT doc_id, unnest(toks) AS w FROM b2) GROUP BY w),
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2)
+      |  WHERE len(w) > 0 GROUP BY w),
       |pref(query_id, p) AS (SELECT * FROM (VALUES
       |  (0, 's'), (1, 'w'), (2, 'qqzz'))),
       |cand AS (SELECT query_id, w, vdf FROM pref
@@ -5708,7 +5711,8 @@ object Pipeline {
       |stats AS (SELECT COUNT(*) AS n,
       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
       |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
-      |    (SELECT doc_id, unnest(toks) AS w FROM b2) GROUP BY w),
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2)
+      |  WHERE len(w) > 0 GROUP BY w),
       |exp AS (SELECT w FROM vocab WHERE regexp_matches(w, '^[bf]a.+')
       |  ORDER BY vdf DESC, w LIMIT 64),
       |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
@@ -5769,7 +5773,8 @@ object Pipeline {
       |stats AS (SELECT COUNT(*) AS n,
       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
       |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
-      |    (SELECT doc_id, unnest(toks) AS w FROM b2) GROUP BY w),
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2)
+      |  WHERE len(w) > 0 GROUP BY w),
       |fq(query_id, t, maxd) AS (SELECT * FROM (VALUES
       |  (0, 'bat', 2), (1, 'quer', 1), (2, 'qqzzno', 1))),
       |cand AS (SELECT query_id, w, vdf, levenshtein(w, t) AS d
@@ -5838,7 +5843,8 @@ object Pipeline {
       |stats AS (SELECT COUNT(*) AS n,
       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
       |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
-      |    (SELECT doc_id, unnest(toks) AS w FROM b2) GROUP BY w),
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2)
+      |  WHERE len(w) > 0 GROUP BY w),
       |pq(query_id, p) AS (SELECT * FROM (VALUES
       |  (0, '^[bf]a.+'), (1, '^s.*m$'), (2, '^qqzz'))),
       |cand AS (SELECT query_id, w, vdf FROM pq
@@ -5896,7 +5902,8 @@ object Pipeline {
       |ft AS (SELECT doc_id,
       |    list_filter(toks, w -> length(w) > 0) AS ftoks FROM base),
       |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
-      |    (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY w),
+      |    (SELECT doc_id, unnest(toks) AS w FROM base)
+      |  WHERE len(w) > 0 GROUP BY w),
       |exp1 AS (SELECT w FROM vocab WHERE w LIKE 's%'
       |  ORDER BY vdf DESC, w LIMIT 8),
       |es AS (SELECT (SELECT list(w) FROM exp1) AS s1),
@@ -5976,7 +5983,8 @@ object Pipeline {
     val toks = split(col("text"), "\\s+")
     val fielded = docs.select(col("doc_id"),
       array_join(slice(toks, lit(1), lit(3)), " ").as("title"),
-      array_join(slice(toks, lit(4), size(toks) - 3), " ").as("body"))
+      array_join(slice(toks, lit(4), greatest(size(toks) - 3, lit(0))),
+        " ").as("body"))
     TextIndex.build(fielded, "doc_id", "title", outT, nBuckets = 8,
       filesPerBucket = 2)
     TextIndex.build(fielded, "doc_id", "body", outB, nBuckets = 8,
@@ -6051,7 +6059,8 @@ object Pipeline {
     val toks = split(col("text"), "\\s+")
     val fielded = docs.select(col("doc_id"),
       array_join(slice(toks, lit(1), lit(3)), " ").as("title"),
-      array_join(slice(toks, lit(4), size(toks) - 3), " ").as("body"))
+      array_join(slice(toks, lit(4), greatest(size(toks) - 3, lit(0))),
+        " ").as("body"))
     TextIndex.build(fielded, "doc_id", "title", outT, nBuckets = 8,
       filesPerBucket = 2)
     TextIndex.build(fielded, "doc_id", "body", outB, nBuckets = 8,

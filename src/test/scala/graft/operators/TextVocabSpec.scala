@@ -276,4 +276,29 @@ class TextVocabSpec extends SparkSpec {
     assert(vocabRows(dir) == recompute(docs),
       "a replay after the fold must still see batch 1 as applied")
   }
+
+  test("the empty-string stats artifact never becomes a term: excluded " +
+      "from vocabulary() and every expansion, postings keep it") {
+    val dir = tmp("empty")
+    // leading / double / trailing whitespace → "" tokens in the
+    // postings (the bag-stats contract) — but Lucene never surfaces
+    // an empty query term, so the dictionary must not either
+    val messy = Seq(
+      (0L, " alpha  beta"), (1L, "beta gamma "), (2L, "a  ab alpha"))
+      .toDF("doc_id", "text")
+    TextIndex.build(messy, "doc_id", "text", dir, nBuckets = 4)
+    TextIndex.buildVocab(spark, dir)
+    // the contract split: postings carry "", the dictionary does not
+    assert(spark.read.parquet(dir).filter($"w" === "").count() > 0,
+      "fixture: the store must hold empty-token postings")
+    val vocab = vocabRows(dir).map(_._1)
+    assert(!vocab.contains(""), s"vocabulary must drop the artifact: $vocab")
+    assert(vocab.contains("a") && vocab.contains("alpha"))
+    // fuzzy's length band reaches 0 for a 1-char term at maxDist 1 —
+    // the artifact must not burn an expansion slot
+    assert(!TextIndex.expandFuzzy(spark, dir, "a", maxDist = 1,
+      maxTerms = 16).contains(""))
+    // a regexp that matches "" must not surface it either
+    assert(!TextIndex.expandRegexp(spark, dir, "^a*$").contains(""))
+  }
 }

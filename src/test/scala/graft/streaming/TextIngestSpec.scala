@@ -151,6 +151,50 @@ class TextIngestSpec extends SparkSpec {
       "post-fold appends and replays must stay exactly-once")
   }
 
+  test("compaction inside the lost-vocab-row window: the rebuilt " +
+      "vocab's hwm covers every stats-applied batch, so the replay " +
+      "does not re-extend df the rebuild already counted") {
+    val root = java.nio.file.Files.createTempDirectory("textvcmp").toString
+    val dir = s"$root/store"
+    def recompute(d: DataFrame): Seq[(String, Long)] =
+      d.select($"doc_id", explode(split($"text", "\\s+")).as("w"))
+        .distinct().groupBy($"w").agg(count(lit(1)).as("df"))
+        .orderBy($"w").as[(String, Long)].collect().toSeq
+    def vocabRows(): Seq[(String, Long)] =
+      TextIndex.vocabulary(spark, dir)
+        .orderBy($"w").as[(String, Long)].collect().toSeq
+    assert(StreamingMerge.applyTextBatch(batchDf(0, 30), 0L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    TextIndex.buildVocab(spark, dir)
+    assert(StreamingMerge.applyTextBatch(batchDf(30, 45), 1L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    assert(StreamingMerge.applyTextBatch(batchDf(45, 60), 2L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    // the healBatch crash window: batch 2's data + stats row landed
+    // but its vocab extension was lost …
+    val keep = spark.read.parquet(s"$dir/_vocab")
+      .filter($"bid" =!= 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    graft.sinks.HadoopSwap.deleteRecursive(spark, s"$dir/_vocab")
+    keep.toSeq.toDF("bid", "w", "df")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_vocab")
+    // … and compaction runs BEFORE the redelivery: the rebuild counts
+    // batch 2's docs from the rewritten postings, so its bid stamp
+    // must cover batch 2 (stats hwm), not just the torn vocab's max
+    TextIndex.compact(spark, dir, filesPerBucket = 2)
+    assert(vocabRows() == recompute(batchDf(0, 60)),
+      "the rebuild itself must land the exact corpus df")
+    assert(!StreamingMerge.applyTextBatch(batchDf(45, 60), 2L, dir,
+      nBuckets = 4, filesPerBucket = 2), "replay must be skipped")
+    assert(vocabRows() == recompute(batchDf(0, 60)),
+      "the redelivered batch must not re-extend df the compaction " +
+        "rebuild already counted")
+    // the stream continues normally past the healed window
+    assert(StreamingMerge.applyTextBatch(batchDf(60, 70), 3L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    assert(vocabRows() == recompute(batchDf(0, 70)))
+  }
+
   test("compaction preserves gate markers and stats bids mid-stream") {
     val root = java.nio.file.Files.createTempDirectory("textcmp").toString
     val dir = s"$root/store"
