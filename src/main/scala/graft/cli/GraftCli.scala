@@ -337,6 +337,11 @@ object GraftCli {
         }, out)
     case "textvocab" :: storeDir :: Nil =>
       textVocab(storeDir)
+    case "textblockmax" :: storeDir :: Nil =>
+      textBlockmax(storeDir)
+    case "textqueryp" :: storeDir :: terms :: k :: out :: Nil =>
+      textQueryPruned(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
+        k.toInt, out)
     case "textwildcard" :: storeDir :: prefix :: k :: out :: rest
         if rest.size <= 1 =>
       textWildcard(storeDir, prefix, k.toInt,
@@ -501,6 +506,8 @@ object GraftCli {
            |           textexpand <storedir> <docs> <w1,w2,...> <k> <outdir> [fbdocs] [fbterms]
            |           textexpandbatch <storedir> <docs> <w1,w2;w3,w4;...> <k> <outdir> [fbdocs] [fbterms]
            |           textvocab <storedir>
+           |           textblockmax <storedir>
+           |           textqueryp <storedir> <w1,w2,...> <k> <outdir>
            |           textwildcard <storedir> <prefix> <k> <outdir> [max_terms]
            |           textwildcardbatch <storedir> <prefix;prefix;...> <k> <outdir> [max_terms]
            |           textfuzzy <storedir> <term> <max_dist> <k> <outdir> [max_terms]
@@ -2579,6 +2586,28 @@ object GraftCli {
     val n = graft.operators.TextIndex.vocabulary(spark, storeDir).count()
     println(s"_vocab sidecar built for $storeDir ($n terms); " +
       "appends maintain it from now on")
+    spark.stop()
+  }
+
+  private def textBlockmax(storeDir: String): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.buildBlockStats(spark, storeDir)
+    println(s"_blockmax sidecar built for $storeDir; appends maintain " +
+      "it from now on (textqueryp serves block-max pruned)")
+    spark.stop()
+  }
+
+  private def textQueryPruned(storeDir: String, terms: Seq[String],
+                              k: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.topKPruned(spark, storeDir, terms, k)
+      .write.mode("overwrite").parquet(out)
+    val st = graft.operators.TextIndex.lastPruneStats
+      .map(s => if (s.delegated) "delegated (pending tombstones)"
+        else s"skipped ${s.skipped}/${s.relevantFiles} files")
+      .getOrElse("n/a")
+    println(s"BM25[${terms.mkString(", ")}] block-max pruned " +
+      s"($st): ${spark.read.parquet(out).count()} hits -> $out")
     spark.stop()
   }
 

@@ -752,6 +752,7 @@ object TextIndex {
       () => nullTextDocs(newDocs, idCol, textCol))
     maybeExtendVocab(newDocs, idCol, textCol, storeDir,
       marker.getOrElse(-1L))
+    maybeExtendBlockStats(spark, storeDir)
   }
 
   /** A batch that re-uses a TOMBSTONED id would be silently shadowed
@@ -828,6 +829,9 @@ object TextIndex {
     if (graft.sinks.HadoopSwap.exists(spark, vocabPath(storeDir)) &&
         !vocabRowExists(spark, storeDir, batchId))
       maybeExtendVocab(batch, idCol, textCol, storeDir, batchId)
+    // block stats are file-coverage-keyed: the heal is just "cover
+    // any file the lost extension left unmapped"
+    maybeExtendBlockStats(spark, storeDir)
   }
 
   /** Compact the postings store: rewrite every bucket re-clustered by
@@ -914,6 +918,16 @@ object TextIndex {
         .select(lit(hwm).as("bid"), col("w"), col("df"))
         .coalesce(1).write.mode("overwrite").parquet(vocabPath(tmp))
     }
+    // a block-max sidecar is REBUILT from the rewritten files INTO the
+    // scaffold (rel file keys are path-prefix-independent, so rows
+    // derived under tmp stay valid after the rename) — pre-swap, so a
+    // crash can never leave a compacted store whose caps describe
+    // files that no longer exist
+    graft.sinks.SidecarFold.restoreAside(spark, blockmaxPath(storeDir))
+    if (graft.sinks.HadoopSwap.exists(spark, blockmaxPath(storeDir)))
+      deriveBlockRows(spark, tmp,
+          graft.sinks.SkippingStore.listDataFileRelPaths(spark, tmp))
+        .coalesce(1).write.mode("overwrite").parquet(blockmaxPath(tmp))
     // the positional marker is part of the layout — carry it or the
     // compacted store would silently refuse phrase serves
     if (isPositional(spark, storeDir)) writeMarker(spark, tmp)
@@ -1092,6 +1106,7 @@ object TextIndex {
     // (bag and positional postings agree on per-(doc, w) df)
     maybeExtendVocab(newDocs, idCol, textCol, storeDir,
       marker.getOrElse(-1L))
+    maybeExtendBlockStats(spark, storeDir)
   }
 
   /** Store-served EXACT phrase search — bit-stable with
@@ -2724,5 +2739,260 @@ object TextIndex {
       .groupBy(col("query_id"))
       .agg(collect_list(col("w")).as("terms"))
     topKBatch(spark, storeDir, expanded, "query_id", "terms", k, k1, b)
+  }
+
+  // ------------------------------------------------------------------
+  // BLOCK-MAX dynamic pruning (Ding & Suel's block-max WAND / Lucene's
+  // MaxScore, re-expressed for a file-blocked store). [[topK]] scores
+  // EVERY matching posting in the probed buckets: correct,
+  // partial-aggregated, bucket-bounded — but a COMMON term's match set
+  // is corpus-proportional, so at 100 TB a ranked serve pays the full
+  // posting list of a term that cannot crack the top-k. The classic
+  // fix is per-block score upper bounds + skipping; here the "block"
+  // is the data FILE (the store's native skip unit — the same
+  // granularity the w-zone sidecar prunes on), and the serve is
+  // two-phase: a cap-based candidate prune over the survivor files,
+  // then an exact completion of the bounded candidate set against the
+  // skipped files (page-pruned point lookups — postings are sorted by
+  // (tb, w, doc_id), so a doc_id IN (…) residual skips pages inside a
+  // term's run, the parquet analog of Lucene's skip pointers).
+  //
+  // The opt-in `_blockmax` sidecar holds one row per (file, w):
+  // `(file, w, cnt, maxtf, mindl, sumtf)`. BM25's per-posting
+  // contribution is increasing in tf and decreasing in dl, and
+  // round(…, 6) is monotone, so the contribution expression evaluated
+  // at (maxtf, mindl) upper-bounds every posting of w in the file
+  // EXACTLY (same expressions, no float slop — all threshold
+  // comparisons run in micros-scaled integer arithmetic). `cnt` sums
+  // to the exact corpus df per term, so the pruned serve's df pass
+  // opens ZERO data files (the unpruned serve's first full bucket
+  // pass). Maintenance mirrors `_vocab`: [[buildBlockStats]] opts in,
+  // appends extend it file-coverage-keyed (idempotent, crash-healing
+  // by construction), [[compact]] rebuilds it into the rewrite, and
+  // selective compaction's replaced files are dropped at read and
+  // purged by the fold.
+  //
+  // EXACTNESS CONTRACT ([[topKPruned]] == [[topK]], row-for-row):
+  //   - θ is the k-th best PARTIAL score over probe files (one file
+  //     per term, the term's best cap). Partials are lower bounds, so
+  //     θ ≤ the true k-th score s_k.
+  //   - a file is skipped iff ∀w in it: cap(w,f) + Σ_{w'≠w} capG(w')
+  //     < θ (strict). Any doc with ANY posting in a skipped file then
+  //     has exact score < θ ≤ s_k — so every true top-k doc has ALL
+  //     its postings in survivor files and surfaces as a COMPLETE
+  //     candidate with its exact score. (This is stronger than
+  //     classic per-posting WAND: the skip bound already carries the
+  //     full rest-mass of the other terms, so no candidate ever needs
+  //     a second look at a skipped file. Formally: a candidate unseen
+  //     for term w has c(w,d) ≤ capOut(w) < θ − rest(w), hence
+  //     ub(d) = partial + Σ_unseen capOut < θ for ANY number of
+  //     unseen terms, because partial ≤ Σ_seen capG and θ ≤ Σ capG.)
+  //   - candidates with an unseen skipped term are therefore dropped
+  //     outright; the survivors' DECIMAL partial sums are
+  //     order-independent, so scores are bit-identical to the
+  //     one-pass serve.
+  //   - pending tombstones would make sidecar df stale-high (idf
+  //     under-estimated → caps too LOW → over-pruning): the serve
+  //     delegates to [[topK]] until the next compaction purges them.
+
+  private def blockmaxPath(dir: String) = s"$dir/_blockmax"
+
+  /** Per-(file, w) block stats derived from a column-pruned leaf read
+    * of exactly `relFiles` — the appendMulti cost model (per-batch,
+    * never per-store). Works on either layout (positional files carry
+    * the same (w, tf, dl) contract since the stats unification). */
+  private def deriveBlockRows(spark: SparkSession, dir: String,
+                              relFiles: Seq[String]): DataFrame =
+    spark.read.parquet(relFiles.map(f => s"$dir/$f"): _*)
+      .select(
+        regexp_extract(input_file_name(),
+          "((?:[^/]+=[^/]*/)*[^/]+)$", 1).as("file"),
+        col("w"), col("tf"), col("dl"))
+      .groupBy(col("file"), col("w"))
+      .agg(count(lit(1)).as("cnt"), max(col("tf")).as("maxtf"),
+        min(col("dl")).as("mindl"), sum(col("tf")).cast("long").as("sumtf"))
+
+  /** Create (or exactly rebuild) the `_blockmax` sidecar over every
+    * live data file. Opt-in, like [[buildVocab]]: once it exists,
+    * appends/heals extend it from the new files alone. Lands
+    * scaffold-then-swap (the shared sidecar crash discipline). */
+  def buildBlockStats(spark: SparkSession, storeDir: String): Unit = {
+    val files = graft.sinks.SkippingStore
+      .listDataFileRelPaths(spark, storeDir)
+    require(files.nonEmpty, s"$storeDir holds no data files")
+    val side = blockmaxPath(storeDir)
+    graft.sinks.SidecarFold.restoreAside(spark, side)
+    val stamp = java.lang.System.nanoTime()
+    timed("blockmax_build") {
+      deriveBlockRows(spark, storeDir, files)
+        .coalesce(1).write.mode("overwrite").parquet(s"$side.fold-$stamp")
+      graft.sinks.HadoopSwap.swapInto(spark, s"$side.fold-$stamp", side,
+        s"$side.old-$stamp")
+    }
+  }
+
+  /** File-coverage-keyed extension — a no-op on stores that never
+    * opted in. Only uncovered files are scanned, so the appended cost
+    * stays the batch's; replays re-cover idempotently (rows are
+    * unique per (file, w), and a lost extension is just uncovered
+    * files again). The fold drops rows of files a selective
+    * compaction replaced. */
+  private[graft] def maybeExtendBlockStats(spark: SparkSession,
+                                           dir: String): Unit = {
+    val side = blockmaxPath(dir)
+    graft.sinks.SidecarFold.restoreAside(spark, side)
+    if (!graft.sinks.HadoopSwap.exists(spark, side)) return
+    timed("blockmax_extend") {
+      val live = graft.sinks.SkippingStore.listDataFileRelPaths(spark, dir)
+      val covered = spark.read.parquet(side)
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val missing = live.filterNot(covered)
+      if (missing.nonEmpty)
+        deriveBlockRows(spark, dir, missing)
+          .coalesce(1).write.mode("append").parquet(side)
+      val liveSet = live.toSet
+      graft.sinks.SidecarFold.foldIfDecayed(spark, side,
+        SidecarFoldThreshold)(
+        _.filter(col("file").isInCollection(liveSet)))
+    }
+    ()
+  }
+
+  /** Instrumentation for the last [[topKPruned]] call — the ledger
+    * specs and oracle rows use to prove files were actually skipped
+    * (the [[phaseSeconds]] precedent). Never feeds an answer. */
+  final case class PruneStats(relevantFiles: Int, survivors: Int,
+                              skipped: Int, thetaMicros: Option[Long],
+                              delegated: Boolean)
+  @volatile private[graft] var lastPruneStats: Option[PruneStats] = None
+
+  /** Block-max-pruned store-served BM25 — row-for-row identical to
+    * [[topK]] (see the section contract), in ONE pass over the
+    * SURVIVOR files instead of two passes over every probed bucket:
+    * df comes from the sidecar (zero data files), the θ probe reads
+    * one file per term, and the final plan scans survivor files only
+    * (candidates touching any skipped file are provably sub-θ and
+    * drop without a second look). Stores must opt in with
+    * [[buildBlockStats]]; pending tombstones delegate to [[topK]]. */
+  def topKPruned(spark: SparkSession, storeDir: String,
+                 terms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k >= 1, "need at least one result slot")
+    import spark.implicits._
+    lastPruneStats = None
+    def delegate(): DataFrame = {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      topK(spark, storeDir, terms, k, k1, b)
+    }
+    if (readTombstones(spark, storeDir)
+          .exists(_.limit(1).count() > 0L)) return delegate()
+    val (n, sdl, _) = readStats(spark, storeDir)
+    val live = readTermFilter(spark, storeDir)
+      .fold(terms)(bits => presentTerms(spark, terms, bits))
+    if (live.isEmpty) return emptyTopK(spark, storeDir)
+    require(graft.sinks.HadoopSwap.exists(spark, blockmaxPath(storeDir)),
+      s"$storeDir has no _blockmax sidecar — buildBlockStats() creates " +
+        "it (appends maintain it from then on); topK() serves unpruned")
+    maybeExtendBlockStats(spark, storeDir) // heal file coverage
+    val liveFiles = graft.sinks.SkippingStore
+      .listDataFileRelPaths(spark, storeDir).toSet
+    // block rows for the query terms, minus rows of replaced files
+    val bs = graft.sinks.SidecarFold.withReadRetry() {
+      spark.read.parquet(blockmaxPath(storeDir))
+        .filter(col("w").isin(live: _*))
+        .select(col("file"), col("w"), col("cnt"), col("maxtf"),
+          col("mindl"))
+        .collect()
+    }.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .filter(t => liveFiles(t._1))
+    if (bs.isEmpty) return emptyTopK(spark, storeDir)
+    // exact corpus df per term from the sidecar — zero data files
+    val dfMap: Map[String, Long] =
+      bs.groupBy(_._2).map { case (w, rs) => w -> rs.map(_._3).sum }
+    val dfFrame = broadcast(dfMap.toSeq.toDF("w", "df"))
+    val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
+    // the scoring expressions, verbatim from [[topK]] — caps evaluate
+    // the SAME tree at (maxtf, mindl), so monotone-rounded bounds and
+    // served contributions can never disagree on rounding
+    def scoreOf(post: DataFrame): DataFrame =
+      post.join(dfFrame, Seq("w"))
+        .withColumn("idf", round(
+          log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)),
+          6))
+        .withColumn("c", round(
+          col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl") / avgdl)),
+          6).cast("decimal(28,6)"))
+    // per-(file, w) caps, computed in-plan over the tiny collected
+    // frame (files×terms rows) and pulled back as exact micros longs
+    val caps = scoreOf(bs.toSeq
+        .toDF("file", "w", "cnt", "tf", "dl").drop("cnt"))
+      .select(col("file"), col("w"), col("c")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getDecimal(2).movePointRight(6).longValueExact()))
+    val capG: Map[String, Long] =
+      caps.groupBy(_._2).map { case (w, rs) => w -> rs.map(_._3).max }
+    val totalCap = capG.values.sum
+    val rest: Map[String, Long] = capG.map { case (w, c) => w -> (totalCap - c) }
+    val relevantFiles = caps.map(_._1).distinct.toSeq
+    // θ probe: each term's best-cap file (ties by file name for
+    // determinism); partial scores are lower bounds, so the k-th best
+    // is a valid threshold — fewer than k docs means no pruning
+    val probeFiles = capG.keys.map { w =>
+      caps.filter(_._2 == w).maxBy(t => (t._3, t._1))._1
+    }.toSeq.distinct.sorted
+    val thetaRows = scoreOf(
+        spark.read.option("basePath", storeDir)
+          .parquet(probeFiles.map(f => s"$storeDir/$f"): _*)
+          .filter(col("w").isin(live: _*)))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(k)
+      .select(col("s")).collect()
+    val theta: Option[Long] =
+      if (thetaRows.length < k) None
+      else Some(thetaRows.last.getDecimal(0)
+        .movePointRight(6).longValueExact())
+    // survivor rule (strict skip): keep f iff ∃w: cap(w,f)+rest(w) ≥ θ
+    val survivors = theta.fold(relevantFiles)(t =>
+      relevantFiles.filter(f => caps.exists(c =>
+        c._1 == f && c._3 + rest(c._2) >= t))).sorted
+    val skipped = relevantFiles.filterNot(survivors.toSet).sorted
+    // terms with mass left in a skipped file: a candidate UNSEEN for
+    // one of these might be incomplete — but its exact score is
+    // provably < θ (section contract), so it drops outright. The
+    // incomplete-candidate filter needs only the per-term skipped
+    // mass, never a skipped-file read.
+    val capOut: Map[String, Long] = capG.keys.map { w =>
+      w -> caps.filter(c => c._2 == w && skipped.contains(c._1))
+        .map(_._3).maxOption.getOrElse(0L)
+    }.toMap
+    val outTerms = capOut.filter(_._2 > 0L).keys.toSeq
+    lastPruneStats = Some(PruneStats(relevantFiles.size,
+      survivors.size, skipped.size, theta, delegated = false))
+    val scored = scoreOf(
+      spark.read.option("basePath", storeDir)
+        .parquet(survivors.map(f => s"$storeDir/$f"): _*)
+        .filter(col("w").isin(live: _*)))
+    val complete =
+      if (outTerms.isEmpty)
+        // nothing skipped can hide a posting: every candidate complete
+        scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("s"))
+      else
+        // a candidate unseen for a skipped-mass term is provably
+        // sub-θ whether the doc lacks the term or its posting hides
+        // in a skipped file (section contract) — drop it
+        scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("s"),
+            collect_set(col("w")).as("ws"))
+          .filter(size(array_except(typedLit(outTerms), col("ws"))) === 0)
+    complete
+      .select(col("doc_id"), col("n_terms"),
+        col("s").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 }

@@ -6191,6 +6191,86 @@ object Pipeline {
       |FROM documents JOIN m USING (doc_id)
       |GROUP BY 1, 2 ORDER BY query_id, n_docs DESC, facet""".stripMargin
 
+  // --------------------------------------------------------------- q266
+  // BLOCK-MAX pruned BM25 (Ding & Suel's block-max WAND / Lucene's
+  // MaxScore, file-blocked): the `_blockmax` sidecar carries per-
+  // (file, term) cnt/maxtf/mindl, so the serve takes df from the
+  // sidecar (ZERO data files for the unpruned serve's whole first
+  // pass), sets θ from one probe file per term, and scans ONLY the
+  // files whose cap can crack the top-k — row-for-row identical to
+  // the unpruned topK, which is exactly what the shared oracle pins.
+  // The corpus lands in tf/dl BANDS (build = dense short docs,
+  // appends = sparse and long ones) so per-file caps actually vary —
+  // the in-plan requires prove files were skipped AND the final plan
+  // read survivors only. Single-term serve: the purest MaxScore case
+  // (rest-mass zero, skip iff cap(w, f) < θ).
+  private def q266PrunedRank(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q266", dir)
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val jtf = size(filter(toks, w => w === "join"))
+    val dl = size(toks)
+    TextIndex.build(docs.filter(jtf >= 3), "doc_id", "text", out,
+      nBuckets = 8, filesPerBucket = 2)
+    TextIndex.buildBlockStats(s, out)
+    TextIndex.append(docs.filter(jtf.between(1, 2) && dl < 50),
+      "doc_id", "text", out, filesPerBucket = 2)
+    TextIndex.append(docs.filter(jtf === 0 || (jtf.between(1, 2)
+      && dl >= 50)), "doc_id", "text", out, filesPerBucket = 2)
+    val res = TextIndex.topKPruned(s, out, Seq("join"), 5)
+    val st = TextIndex.lastPruneStats.get
+    require(!st.delegated && st.skipped > 0,
+      s"the banded corpus must skip low-cap files: $st")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= st.survivors,
+      s"the final plan must read survivor files only: $st")
+    res
+  }
+
+  private val q266Sql = bm25Sql(Seq("join"), 5)
+
+  // --------------------------------------------------------------- q267
+  // Multi-term block-max pruning: with >1 term a file is skipped only
+  // when its best cap PLUS the other terms' global caps stays under θ
+  // — so θ must come from docs packing every term near its cap. A
+  // deterministic rewrite makes every 11th document a short dense
+  // join/merge doc (the oracle replays the same CASE expression);
+  // those set θ, and the naturals' sparse/long band gets skipped. The
+  // skip bound already carries the full rest-mass, so candidates
+  // touching a skipped file are provably sub-θ and the final plan
+  // still reads survivors only — no second pass, no completion.
+  private def q267PrunedMulti(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q267", dir)
+    val dense = "join join join join merge merge merge"
+    val docs = t(s, dir, "documents")
+      .withColumn("text", when(col("doc_id") % 11 === 0, lit(dense))
+        .otherwise(col("text")))
+    val toks = split(col("text"), "\\s+")
+    val jtf = size(filter(toks, w => w === "join"))
+    val mtf = size(filter(toks, w => w === "merge"))
+    val dl = size(toks)
+    val sparse = col("doc_id") % 11 =!= 0 && jtf <= 1 && mtf <= 1 &&
+      dl >= 50
+    TextIndex.build(docs.filter(col("doc_id") % 11 === 0), "doc_id",
+      "text", out, nBuckets = 8, filesPerBucket = 2)
+    TextIndex.buildBlockStats(s, out)
+    TextIndex.append(docs.filter(sparse), "doc_id", "text", out,
+      filesPerBucket = 2)
+    TextIndex.append(docs.filter(col("doc_id") % 11 =!= 0 && !sparse),
+      "doc_id", "text", out, filesPerBucket = 2)
+    val res = TextIndex.topKPruned(s, out, Seq("join", "merge"), 4)
+    val st = TextIndex.lastPruneStats.get
+    require(!st.delegated && st.skipped > 0,
+      s"the sparse band must skip under the dense θ: $st")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= st.survivors,
+      s"the final plan must read survivor files only: $st")
+    res
+  }
+
+  private val q267Sql = bm25Sql(Seq("join", "merge"), 4,
+    corpus = "(SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN " +
+      "'join join join join merge merge merge' ELSE text END AS text " +
+      "FROM documents)")
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -7058,6 +7138,8 @@ object Pipeline {
     "q263_bm25f" -> q263Bm25f _,
     "q264_bm25f_batch" -> q264Bm25fBatch _,
     "q265_facets_batch" -> q265FacetsBatch _,
+    "q266_pruned_rank" -> q266PrunedRank _,
+    "q267_pruned_multi" -> q267PrunedMulti _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7331,6 +7413,8 @@ object Pipeline {
     "q263_bm25f" -> q263Sql,
     "q264_bm25f_batch" -> q264Sql,
     "q265_facets_batch" -> q265Sql,
+    "q266_pruned_rank" -> q266Sql,
+    "q267_pruned_multi" -> q267Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Contracts of the `_blockmax` sidecar and the block-max-pruned BM25
+  * serve (Ding & Suel's block-max WAND / MaxScore, file-blocked):
+  *   - topKPruned == topK row-for-row, on EITHER store layout, across
+  *     the whole lifecycle (build, appends, compaction, selective
+  *     compaction) and across randomized corpora/term sets (the
+  *     exactness proof is algebraic; the randomized sweep pins the
+  *     implementation to it);
+  *   - on a cap-skewed corpus the serve provably SKIPS files: the
+  *     final plan reads fewer files than the probed buckets hold, and
+  *     the instrumentation ledger records skipped > 0;
+  *   - the candidate-completion path (upper-bound survivors missing a
+  *     skipped term's mass) re-ranks exactly;
+  *   - pending tombstones delegate to the unpruned serve (sidecar df
+  *     would be stale-high → caps under-estimated → over-pruning);
+  *   - appends extend the sidecar from the new files alone; compact
+  *     rebuilds it; a coverage gap heals at serve time.
+  */
+class TextPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_prune_$tag")
+    d.toFile.deleteOnExit()
+    d.resolve("store").toString
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Double)] =
+    df.select($"doc_id", $"n_terms", $"score")
+      .as[(Long, Long, Double)].collect().toSeq
+
+  /** The skewed fixture: batch A holds high-tf/short docs for both
+    * query terms (high caps), batches B and C hold tf=1/long docs for
+    * one term each (low caps) — θ from A's partials strictly exceeds
+    * every B/C file's best-case bound, so B/C files are skipped. */
+  private def skewDocs(aN: Int = 10, bN: Int = 25, cN: Int = 25) = {
+    val filler = (i: Long, n: Int) =>
+      Seq.tabulate(n)(j => s"f${(i + j) % 7}").mkString(" ")
+    val a = (0L until aN).map(i =>
+      (i, "x x x x x y y y y y"))
+    val b = (aN.toLong until (aN + bN)).map(i =>
+      (i, s"x ${filler(i, 39)}"))
+    val c = ((aN + bN).toLong until (aN + bN + cN)).map(i =>
+      (i, s"y ${filler(i, 39)}"))
+    (a.toDF("doc_id", "text"), b.toDF("doc_id", "text"),
+      c.toDF("doc_id", "text"))
+  }
+
+  test("skewed corpus: pruned == unpruned, files skipped, plan bounded") {
+    val dir = tmp("skew")
+    val (a, b, c) = skewDocs()
+    TextIndex.build(a, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, dir)
+    TextIndex.append(b, "doc_id", "text", dir, filesPerBucket = 1)
+    TextIndex.append(c, "doc_id", "text", dir, filesPerBucket = 1)
+    val terms = Seq("x", "y")
+    val want = rows(TextIndex.topK(spark, dir, terms, 5))
+    val res = TextIndex.topKPruned(spark, dir, terms, 5)
+    assert(rows(res) == want, "pruned serve must equal the unpruned one")
+    val st = TextIndex.lastPruneStats.get
+    assert(!st.delegated && st.skipped > 0,
+      s"the skew must actually skip files: $st")
+    assert(st.survivors + st.skipped == st.relevantFiles)
+    // the final plan reads at most the survivor files (completion adds
+    // skipped-file lookups only when candidates need them)
+    val scanned = graft.plans.PlanProbe.scannedFileCount(
+      TextIndex.topKPruned(spark, dir, terms, 5))
+    assert(scanned < st.relevantFiles,
+      s"final plan must beat a full probed read: $scanned vs $st")
+  }
+
+  test("randomized sweep: pruned == unpruned on both layouts, " +
+      "appends + compaction + selective compaction") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new Random(71)
+    def mkDocs(from: Long, until: Long): DataFrame =
+      (from until until).map { i =>
+        val n = 3 + rnd.nextInt(30)
+        (i, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+    for (positional <- Seq(false, true)) {
+      val dir = tmp(if (positional) "rndpos" else "rndbag")
+      val d0 = mkDocs(0, 40)
+      if (positional)
+        TextIndex.buildPositional(d0, "doc_id", "text", dir,
+          nBuckets = 4, filesPerBucket = 1)
+      else
+        TextIndex.build(d0, "doc_id", "text", dir, nBuckets = 4,
+          filesPerBucket = 1)
+      TextIndex.buildBlockStats(spark, dir)
+      if (positional)
+        TextIndex.appendPositional(mkDocs(40, 70), "doc_id", "text", dir)
+      else
+        TextIndex.append(mkDocs(40, 70), "doc_id", "text", dir)
+      for (trial <- 0 until 6) {
+        val nt = 1 + rnd.nextInt(3)
+        val terms = Seq.fill(nt)(words(rnd.nextInt(words.size))).distinct
+        val k = 1 + rnd.nextInt(8)
+        assert(rows(TextIndex.topKPruned(spark, dir, terms, k)) ==
+          rows(TextIndex.topK(spark, dir, terms, k)),
+          s"trial $trial positional=$positional terms=$terms k=$k")
+        assert(!TextIndex.lastPruneStats.get.delegated)
+      }
+      // compaction rebuilds the sidecar into the rewrite
+      TextIndex.compact(spark, dir, filesPerBucket = 1)
+      assert(rows(TextIndex.topKPruned(spark, dir,
+          Seq("alpha", "kappa"), 7)) ==
+        rows(TextIndex.topK(spark, dir, Seq("alpha", "kappa"), 7)),
+        s"post-compact positional=$positional")
+      // selective compaction replaces some buckets' files; the serve
+      // drops the replaced files' rows and heals coverage on the fly
+      if (positional)
+        TextIndex.appendPositional(mkDocs(70, 90), "doc_id", "text", dir)
+      else
+        TextIndex.append(mkDocs(70, 90), "doc_id", "text", dir)
+      TextIndex.compactSelective(spark, dir, maxFilesPerBucket = 1)
+      assert(rows(TextIndex.topKPruned(spark, dir,
+          Seq("beta", "gamma", "iota"), 9)) ==
+        rows(TextIndex.topK(spark, dir, Seq("beta", "gamma", "iota"), 9)),
+        s"post-selective positional=$positional")
+    }
+  }
+
+  test("incomplete candidates drop exactly: docs straddling survivor " +
+      "and skipped files never surface with a partial score") {
+    // The section contract's sharpest edge: a doc whose x posting is
+    // read from a survivor file while its y posting sits in a skipped
+    // file is scored INCOMPLETELY by the survivor pass — the serve
+    // must drop it (its exact score is provably < θ), never rank its
+    // partial. Batch D's docs are exactly that shape: x-heavy (their
+    // x file may survive) with a tf=1 y posting in D's own low-cap y
+    // file. Sweep k so θ crosses every cap boundary.
+    val dir = tmp("straddle")
+    val filler = (i: Long, n: Int) =>
+      Seq.tabulate(n)(j => s"f${(i + j) % 7}").mkString(" ")
+    val a = (0L until 10L).map(i => (i, "x x x x x y y y y y"))
+    val c = (10L until 20L).map(i => (i, "y y y y y " + filler(i, 5)))
+    val d = (20L until 50L).map(i =>
+      (i, s"x x x x y ${filler(i, 35)}"))
+    TextIndex.build(a.toDF("doc_id", "text"), "doc_id", "text", dir,
+      nBuckets = 4, filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, dir)
+    TextIndex.append(c.toDF("doc_id", "text"), "doc_id", "text", dir)
+    TextIndex.append(d.toDF("doc_id", "text"), "doc_id", "text", dir)
+    var skippedTotal = 0
+    for (k <- Seq(1, 3, 5, 10, 20, 40)) {
+      assert(rows(TextIndex.topKPruned(spark, dir, Seq("x", "y"), k)) ==
+        rows(TextIndex.topK(spark, dir, Seq("x", "y"), k)), s"k=$k")
+      val st = TextIndex.lastPruneStats.get
+      assert(!st.delegated)
+      skippedTotal += st.skipped
+    }
+    assert(skippedTotal > 0,
+      "fixture must actually skip files for at least one k")
+  }
+
+  test("tombstones delegate; absent terms answer empty with no files") {
+    val dir = tmp("delegate")
+    val (a, b, _) = skewDocs()
+    TextIndex.build(a.unionAll(b), "doc_id", "text", dir, nBuckets = 4)
+    TextIndex.buildBlockStats(spark, dir)
+    assert(TextIndex.delete(spark, dir, Seq(3L).toDF("doc_id"),
+      "doc_id") == 1L)
+    val want = rows(TextIndex.topK(spark, dir, Seq("x", "y"), 5))
+    assert(rows(TextIndex.topKPruned(spark, dir, Seq("x", "y"), 5)) ==
+      want, "delegation must stay exact under tombstones")
+    assert(TextIndex.lastPruneStats.get.delegated)
+    // compaction purges the tombstones and rebuilds the caps: the
+    // pruned path resumes
+    TextIndex.compact(spark, dir, filesPerBucket = 1)
+    assert(rows(TextIndex.topKPruned(spark, dir, Seq("x", "y"), 5)) ==
+      rows(TextIndex.topK(spark, dir, Seq("x", "y"), 5)))
+    assert(!TextIndex.lastPruneStats.get.delegated)
+    // provably-absent terms: the exact empty answer
+    assert(rows(TextIndex.topKPruned(spark, dir, Seq("zzz"), 5)).isEmpty)
+  }
+}
