@@ -342,6 +342,14 @@ object GraftCli {
     case "textqueryp" :: storeDir :: terms :: k :: out :: Nil =>
       textQueryPruned(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
         k.toInt, out)
+    case "textlmrankp" :: storeDir :: terms :: k :: out :: rest
+        if rest.size <= 1 =>
+      textLmRankPruned(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
+        k.toInt, rest.headOption.map(_.toDouble).getOrElse(2000.0), out)
+    case "textquerypbatch" :: storeDir :: queries :: k :: out :: Nil =>
+      textQueryPrunedBatch(storeDir,
+        queries.split(";").toSeq.filter(_.nonEmpty)
+          .map(_.split(",").toSeq.filter(_.nonEmpty)), k.toInt, out)
     case "textwildcard" :: storeDir :: prefix :: k :: out :: rest
         if rest.size <= 1 =>
       textWildcard(storeDir, prefix, k.toInt,
@@ -508,6 +516,8 @@ object GraftCli {
            |           textvocab <storedir>
            |           textblockmax <storedir>
            |           textqueryp <storedir> <w1,w2,...> <k> <outdir>
+           |           textlmrankp <storedir> <w1,w2,...> <k> <outdir> [mu]
+           |           textquerypbatch <storedir> <w1,w2;w3,w4;...> <k> <outdir>
            |           textwildcard <storedir> <prefix> <k> <outdir> [max_terms]
            |           textwildcardbatch <storedir> <prefix;prefix;...> <k> <outdir> [max_terms]
            |           textfuzzy <storedir> <term> <max_dist> <k> <outdir> [max_terms]
@@ -2602,12 +2612,40 @@ object GraftCli {
     val spark = GraftSession.local()
     graft.operators.TextIndex.topKPruned(spark, storeDir, terms, k)
       .write.mode("overwrite").parquet(out)
-    val st = graft.operators.TextIndex.lastPruneStats
+    println(s"BM25[${terms.mkString(", ")}] block-max pruned " +
+      s"(${pruneNote()}): ${spark.read.parquet(out).count()} hits -> $out")
+    spark.stop()
+  }
+
+  private def pruneNote(): String =
+    graft.operators.TextIndex.lastPruneStats
       .map(s => if (s.delegated) "delegated (pending tombstones)"
         else s"skipped ${s.skipped}/${s.relevantFiles} files")
       .getOrElse("n/a")
-    println(s"BM25[${terms.mkString(", ")}] block-max pruned " +
-      s"($st): ${spark.read.parquet(out).count()} hits -> $out")
+
+  private def textLmRankPruned(storeDir: String, terms: Seq[String],
+                               k: Int, mu: Double, out: String): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.lmTopKPruned(spark, storeDir, terms, k, mu)
+      .write.mode("overwrite").parquet(out)
+    println(s"LM-Dirichlet[${terms.mkString(", ")}] mu=$mu block-max " +
+      s"pruned (${pruneNote()}): ${spark.read.parquet(out).count()} " +
+      s"hits -> $out")
+    spark.stop()
+  }
+
+  private def textQueryPrunedBatch(storeDir: String,
+                                   queries: Seq[Seq[String]], k: Int,
+                                   out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val q = queries.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toDF("query_id", "terms")
+    graft.operators.TextIndex.topKPrunedBatch(spark, storeDir, q,
+      "query_id", "terms", k).write.mode("overwrite").parquet(out)
+    println(s"BM25 batch of ${queries.size} block-max pruned " +
+      s"(${pruneNote()}): ${spark.read.parquet(out).count()} " +
+      s"(query, doc) rows -> $out")
     spark.stop()
   }
 

@@ -2810,7 +2810,8 @@ object TextIndex {
         col("w"), col("tf"), col("dl"))
       .groupBy(col("file"), col("w"))
       .agg(count(lit(1)).as("cnt"), max(col("tf")).as("maxtf"),
-        min(col("dl")).as("mindl"), sum(col("tf")).cast("long").as("sumtf"))
+        min(col("dl")).as("mindl"), max(col("dl")).as("maxdl"),
+        sum(col("tf")).cast("long").as("sumtf"))
 
   /** Create (or exactly rebuild) the `_blockmax` sidecar over every
     * live data file. Opt-in, like [[buildVocab]]: once it exists,
@@ -2867,6 +2868,127 @@ object TextIndex {
                               delegated: Boolean)
   @volatile private[graft] var lastPruneStats: Option[PruneStats] = None
 
+  /** One sidecar block row: per-(file, w) posting count, tf/dl
+    * extremes, and summed tf. `cnt` sums to exact df, `sumtf` to
+    * exact ctf (tombstone-free store). */
+  private[graft] final case class BlockRow(file: String, w: String,
+    cnt: Long, maxtf: Long, mindl: Long, maxdl: Long, sumtf: Long)
+
+  /** Heal coverage, read the sidecar's rows for `live` terms, drop
+    * rows of files a selective compaction replaced. */
+  private def readBlockRows(spark: SparkSession, storeDir: String,
+                            live: Seq[String]): Seq[BlockRow] = {
+    require(graft.sinks.HadoopSwap.exists(spark, blockmaxPath(storeDir)),
+      s"$storeDir has no _blockmax sidecar — buildBlockStats() creates " +
+        "it (appends maintain it from then on); unpruned serves work " +
+        "without one")
+    maybeExtendBlockStats(spark, storeDir) // heal file coverage
+    val liveFiles = graft.sinks.SkippingStore
+      .listDataFileRelPaths(spark, storeDir).toSet
+    graft.sinks.SidecarFold.withReadRetry() {
+      spark.read.parquet(blockmaxPath(storeDir))
+        .filter(col("w").isin(live: _*))
+        .select(col("file"), col("w"), col("cnt"), col("maxtf"),
+          col("mindl"), col("maxdl"), col("sumtf"))
+        .collect()
+    }.map(r => BlockRow(r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .filter(t => liveFiles(t.file)).toSeq
+  }
+
+  /** The generic block-max pruned serve: given the sidecar rows and
+    * the serve's OWN per-posting contribution expression (`scoreOf`
+    * adds a DECIMAL(28,6) `c` over (w, tf, dl) — the identical tree
+    * the unpruned serve scores with), run the cap/θ/survivor algebra
+    * and return the exact top-k frame.
+    *
+    * Caps evaluate `scoreOf` at (maxtf, mindl) — an upper bound for
+    * any scorer increasing in tf and decreasing in dl. FLOORS
+    * evaluate it at (1, maxdl-of-term) and contribute
+    * `Σ min(0, floor)` to θ: for a scorer with negative contributions
+    * (Dirichlet LM's length norm) a doc's exact score can sit BELOW
+    * its probe partial, so the k-th partial alone would over-prune;
+    * the floor adjustment restores `θ ≤ s_k`. For BM25 (contributions
+    * ≥ 0) the floors clamp to zero and the adjustment vanishes. The
+    * skip rule uses PLUS-truncated caps (`max(cap, 0)`), which keeps
+    * the incomplete-candidate drop safe for negative caps: whether a
+    * candidate's unseen term is absent from the doc or hiding in a
+    * skipped file, its exact score is provably < θ. All comparisons
+    * in micros-scaled integer math. */
+  private def prunedServe(spark: SparkSession, storeDir: String,
+                          live: Seq[String], k: Int, bs: Seq[BlockRow],
+                          scoreOf: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    def micros(d: java.math.BigDecimal): Long =
+      d.movePointRight(6).longValueExact()
+    // per-(file, w) caps + per-term floors, computed in-plan over
+    // tiny collected frames (files×terms / terms rows) and pulled
+    // back as exact micros longs
+    val caps = scoreOf(bs.map(r => (r.file, r.w, r.maxtf, r.mindl))
+        .toDF("file", "w", "tf", "dl"))
+      .select(col("file"), col("w"), col("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), micros(r.getDecimal(2))))
+    val negAdjust = scoreOf(bs.groupBy(_.w)
+        .map { case (w, rs) => (w, 1L, rs.map(_.maxdl).max) }.toSeq
+        .toDF("w", "tf", "dl"))
+      .select(col("c")).collect()
+      .map(r => math.min(0L, micros(r.getDecimal(0)))).sum
+    val capPlus: Map[String, Long] = caps.groupBy(_._2)
+      .map { case (w, rs) => w -> math.max(rs.map(_._3).max, 0L) }
+    val totalPlus = capPlus.values.sum
+    val restPlus: Map[String, Long] =
+      capPlus.map { case (w, c) => w -> (totalPlus - c) }
+    val relevantFiles = caps.map(_._1).distinct.toSeq
+    // θ probe: each term's best-cap file (ties by file name for
+    // determinism); probe partials plus the floor adjustment lower-
+    // bound the k-th exact score — fewer than k docs means no pruning
+    val probeFiles = capPlus.keys.map { w =>
+      caps.filter(_._2 == w).maxBy(t => (t._3, t._1))._1
+    }.toSeq.distinct.sorted
+    val thetaRows = scoreOf(
+        spark.read.option("basePath", storeDir)
+          .parquet(probeFiles.map(f => s"$storeDir/$f"): _*)
+          .filter(col("w").isin(live: _*)))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(k)
+      .select(col("s")).collect()
+    val theta: Option[Long] =
+      if (thetaRows.length < k) None
+      else Some(micros(thetaRows.last.getDecimal(0)) + negAdjust)
+    // survivor rule (strict skip): keep f iff ∃w in f:
+    // max(cap(w,f),0) + restPlus(w) ≥ θ
+    val survivors = theta.fold(relevantFiles)(t =>
+      relevantFiles.filter(f => caps.exists(c =>
+        c._1 == f && math.max(c._3, 0L) + restPlus(c._2) >= t))).sorted
+    val skipped = relevantFiles.filterNot(survivors.toSet).sorted
+    // terms with postings left in a skipped file: a candidate UNSEEN
+    // for one of these is provably sub-θ whether the doc lacks the
+    // term or its posting hides in a skipped file — drop it without
+    // a second look (never a skipped-file read)
+    val outTerms = caps.filter(c => skipped.contains(c._1))
+      .map(_._2).distinct.toSeq
+    lastPruneStats = Some(PruneStats(relevantFiles.size,
+      survivors.size, skipped.size, theta, delegated = false))
+    val scored = scoreOf(
+      spark.read.option("basePath", storeDir)
+        .parquet(survivors.map(f => s"$storeDir/$f"): _*)
+        .filter(col("w").isin(live: _*)))
+    val complete =
+      if (outTerms.isEmpty)
+        // nothing skipped can hide a posting: every candidate complete
+        scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("s"))
+      else
+        scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("s"),
+            collect_set(col("w")).as("ws"))
+          .filter(size(array_except(typedLit(outTerms), col("ws"))) === 0)
+    complete
+      .select(col("doc_id"), col("n_terms"),
+        col("s").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** Block-max-pruned store-served BM25 — row-for-row identical to
     * [[topK]] (see the section contract), in ONE pass over the
     * SURVIVOR files instead of two passes over every probed bucket:
@@ -2882,37 +3004,20 @@ object TextIndex {
     require(k >= 1, "need at least one result slot")
     import spark.implicits._
     lastPruneStats = None
-    def delegate(): DataFrame = {
-      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
-      topK(spark, storeDir, terms, k, k1, b)
-    }
     if (readTombstones(spark, storeDir)
-          .exists(_.limit(1).count() > 0L)) return delegate()
+          .exists(_.limit(1).count() > 0L)) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return topK(spark, storeDir, terms, k, k1, b)
+    }
     val (n, sdl, _) = readStats(spark, storeDir)
     val live = readTermFilter(spark, storeDir)
       .fold(terms)(bits => presentTerms(spark, terms, bits))
     if (live.isEmpty) return emptyTopK(spark, storeDir)
-    require(graft.sinks.HadoopSwap.exists(spark, blockmaxPath(storeDir)),
-      s"$storeDir has no _blockmax sidecar — buildBlockStats() creates " +
-        "it (appends maintain it from then on); topK() serves unpruned")
-    maybeExtendBlockStats(spark, storeDir) // heal file coverage
-    val liveFiles = graft.sinks.SkippingStore
-      .listDataFileRelPaths(spark, storeDir).toSet
-    // block rows for the query terms, minus rows of replaced files
-    val bs = graft.sinks.SidecarFold.withReadRetry() {
-      spark.read.parquet(blockmaxPath(storeDir))
-        .filter(col("w").isin(live: _*))
-        .select(col("file"), col("w"), col("cnt"), col("maxtf"),
-          col("mindl"))
-        .collect()
-    }.map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
-      .filter(t => liveFiles(t._1))
+    val bs = readBlockRows(spark, storeDir, live)
     if (bs.isEmpty) return emptyTopK(spark, storeDir)
     // exact corpus df per term from the sidecar — zero data files
-    val dfMap: Map[String, Long] =
-      bs.groupBy(_._2).map { case (w, rs) => w -> rs.map(_._3).sum }
-    val dfFrame = broadcast(dfMap.toSeq.toDF("w", "df"))
+    val dfFrame = broadcast(bs.groupBy(_.w)
+      .map { case (w, rs) => w -> rs.map(_.cnt).sum }.toSeq.toDF("w", "df"))
     val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
     // the scoring expressions, verbatim from [[topK]] — caps evaluate
     // the SAME tree at (maxtf, mindl), so monotone-rounded bounds and
@@ -2927,72 +3032,199 @@ object TextIndex {
             (col("tf") + lit(k1) *
               (lit(1.0 - b) + lit(b) * col("dl") / avgdl)),
           6).cast("decimal(28,6)"))
-    // per-(file, w) caps, computed in-plan over the tiny collected
-    // frame (files×terms rows) and pulled back as exact micros longs
-    val caps = scoreOf(bs.toSeq
-        .toDF("file", "w", "cnt", "tf", "dl").drop("cnt"))
-      .select(col("file"), col("w"), col("c")).collect()
-      .map(r => (r.getString(0), r.getString(1),
-        r.getDecimal(2).movePointRight(6).longValueExact()))
-    val capG: Map[String, Long] =
-      caps.groupBy(_._2).map { case (w, rs) => w -> rs.map(_._3).max }
-    val totalCap = capG.values.sum
-    val rest: Map[String, Long] = capG.map { case (w, c) => w -> (totalCap - c) }
-    val relevantFiles = caps.map(_._1).distinct.toSeq
-    // θ probe: each term's best-cap file (ties by file name for
-    // determinism); partial scores are lower bounds, so the k-th best
-    // is a valid threshold — fewer than k docs means no pruning
-    val probeFiles = capG.keys.map { w =>
-      caps.filter(_._2 == w).maxBy(t => (t._3, t._1))._1
-    }.toSeq.distinct.sorted
-    val thetaRows = scoreOf(
+    prunedServe(spark, storeDir, live, k, bs, scoreOf)
+  }
+
+  /** Block-max-pruned Dirichlet LM ranking — row-for-row identical to
+    * [[lmTopK]]. Collection term frequency comes from the sidecar's
+    * summed tf (exact on a tombstone-free store, zero data files);
+    * the LM length norm makes contributions NEGATIVE for long docs,
+    * which is exactly what [[prunedServe]]'s floor adjustment and
+    * plus-truncated caps exist for. Pending tombstones delegate. */
+  def lmTopKPruned(spark: SparkSession, storeDir: String,
+                   terms: Seq[String], k: Int,
+                   mu: Double = 2000.0): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k >= 1, "need at least one result slot")
+    require(mu > 0, "the Dirichlet pseudo-count must be positive")
+    import spark.implicits._
+    lastPruneStats = None
+    if (readTombstones(spark, storeDir)
+          .exists(_.limit(1).count() > 0L)) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return lmTopK(spark, storeDir, terms, k, mu)
+    }
+    val (_, sdl, _) = readStats(spark, storeDir)
+    val live = readTermFilter(spark, storeDir)
+      .fold(terms)(bits => presentTerms(spark, terms, bits))
+    if (live.isEmpty) return emptyTopK(spark, storeDir)
+    val bs = readBlockRows(spark, storeDir, live)
+    if (bs.isEmpty) return emptyTopK(spark, storeDir)
+    // exact collection term frequency from the sidecar's summed tf
+    val ctfFrame = broadcast(bs.groupBy(_.w)
+      .map { case (w, rs) => w -> rs.map(_.sumtf).sum }.toSeq
+      .toDF("w", "ctf"))
+    // the scoring expressions, verbatim from [[lmTopK]]
+    def scoreOf(post: DataFrame): DataFrame =
+      post.join(ctfFrame, Seq("w"))
+        .withColumn("tfc", round(
+          log(lit(1.0) + col("tf").cast("double") * lit(sdl).cast("double") /
+            (lit(mu) * col("ctf").cast("double"))), 6)
+          .cast("decimal(28,6)"))
+        .withColumn("bg", round(
+          log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6)
+          .cast("decimal(28,6)"))
+        .withColumn("c", col("tfc") + col("bg"))
+    prunedServe(spark, storeDir, live, k, bs, scoreOf)
+  }
+
+  /** BATCHED block-max-pruned BM25 — [[topKPruned]] for a whole query
+    * FRAME, per-query rows bit-identical to [[topKBatch]] (hence to
+    * [[topK]]). The prune algebra runs DISTRIBUTED over the sidecar
+    * frame (per-query θ via a window rank over the shared probe read,
+    * per-(query, term) rest-mass via a query-partitioned window, the
+    * survivor union via one caps×queries join), so the only
+    * driver-held sets remain file lists and bucket ids — never
+    * queries or postings. Every file the UNION of queries needs is
+    * read once; a file skipped by EVERY query is never opened, and a
+    * candidate unseen for a term whose postings hide outside the
+    * union is provably sub-θ for its query (the single-serve theorem,
+    * applied per query against the union's complement). Pending
+    * tombstones delegate to [[topKBatch]]. */
+  def topKPrunedBatch(spark: SparkSession, storeDir: String,
+                      queries: DataFrame, idCol: String, termsCol: String,
+                      k: Int, k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame = {
+    require(k >= 1, "need at least one result slot")
+    import spark.implicits._
+    lastPruneStats = None
+    if (readTombstones(spark, storeDir)
+          .exists(_.limit(1).count() > 0L)) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return topKBatch(spark, storeDir, queries, idCol, termsCol, k, k1, b)
+    }
+    val (n, sdl, _) = readStats(spark, storeDir)
+    val exploded = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(array_distinct(col(termsCol))).as("w"))
+      .filter(col("w").isNotNull)
+    val qt = markBloomDead(spark, storeDir, exploded)
+      .filter(!col("_dead")).drop("_dead")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
+    if (qt.limit(1).count() == 0L)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_terms"),
+        col("id").cast("double").as("score"))
+    require(graft.sinks.HadoopSwap.exists(spark, blockmaxPath(storeDir)),
+      s"$storeDir has no _blockmax sidecar — buildBlockStats() creates " +
+        "it; topKBatch() serves unpruned")
+    maybeExtendBlockStats(spark, storeDir)
+    val liveFiles = graft.sinks.SkippingStore
+      .listDataFileRelPaths(spark, storeDir)
+    val termsF = qt.select(col("w")).distinct()
+    val bsDF = graft.sinks.SidecarFold.withReadRetry() {
+      spark.read.parquet(blockmaxPath(storeDir))
+        .join(broadcast(termsF), Seq("w"))
+        .join(broadcast(liveFiles.toDF("file")), Seq("file"), "left_semi")
+        .localCheckpoint()
+    }
+    val dfFrame = broadcast(
+      bsDF.groupBy(col("w")).agg(sum(col("cnt")).as("df")))
+    val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
+    def scoreOf(post: DataFrame): DataFrame =
+      post.join(dfFrame, Seq("w"))
+        .withColumn("idf", round(
+          log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)),
+          6))
+        .withColumn("c", round(
+          col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl") / avgdl)),
+          6).cast("decimal(28,6)"))
+    val cm = (col("c") * 1000000L).cast("long")
+    val capsDF = scoreOf(bsDF.select(col("file"), col("w"),
+        col("maxtf").as("tf"), col("mindl").as("dl")))
+      .select(col("file"), col("w"), cm.as("cap"))
+      .localCheckpoint() // tiny: files×union-terms rows
+    val floors = scoreOf(bsDF.groupBy(col("w"))
+        .agg(max(col("maxdl")).as("dl")).withColumn("tf", lit(1L)))
+      .select(col("w"), least(cm, lit(0L)).as("floor"))
+    val capPlusG = capsDF.groupBy(col("w"))
+      .agg(greatest(max(col("cap")), lit(0L)).as("cap_plus"))
+    // per-(query, term) rest-mass + per-query floor adjustment
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    val qrest = qt.join(broadcast(capPlusG), Seq("w"))
+      .withColumn("rest_plus",
+        sum(col("cap_plus")).over(wq) - col("cap_plus"))
+    val negAdj = qt.join(broadcast(floors), Seq("w"))
+      .groupBy(col("query_id")).agg(sum(col("floor")).as("neg_adj"))
+    // probe: every term's best-cap file, one shared read
+    val wprobe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("cap").desc, col("file"))
+    val probeFiles = capsDF
+      .withColumn("_r", row_number().over(wprobe)).filter(col("_r") === 1)
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val wrank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    val thetaQ = scoreOf(
         spark.read.option("basePath", storeDir)
           .parquet(probeFiles.map(f => s"$storeDir/$f"): _*)
-          .filter(col("w").isin(live: _*)))
-      .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
-      .orderBy(col("s").desc, col("doc_id")).limit(k)
-      .select(col("s")).collect()
-    val theta: Option[Long] =
-      if (thetaRows.length < k) None
-      else Some(thetaRows.last.getDecimal(0)
-        .movePointRight(6).longValueExact())
-    // survivor rule (strict skip): keep f iff ∃w: cap(w,f)+rest(w) ≥ θ
-    val survivors = theta.fold(relevantFiles)(t =>
-      relevantFiles.filter(f => caps.exists(c =>
-        c._1 == f && c._3 + rest(c._2) >= t))).sorted
-    val skipped = relevantFiles.filterNot(survivors.toSet).sorted
-    // terms with mass left in a skipped file: a candidate UNSEEN for
-    // one of these might be incomplete — but its exact score is
-    // provably < θ (section contract), so it drops outright. The
-    // incomplete-candidate filter needs only the per-term skipped
-    // mass, never a skipped-file read.
-    val capOut: Map[String, Long] = capG.keys.map { w =>
-      w -> caps.filter(c => c._2 == w && skipped.contains(c._1))
-        .map(_._3).maxOption.getOrElse(0L)
-    }.toMap
-    val outTerms = capOut.filter(_._2 > 0L).keys.toSeq
-    lastPruneStats = Some(PruneStats(relevantFiles.size,
-      survivors.size, skipped.size, theta, delegated = false))
-    val scored = scoreOf(
-      spark.read.option("basePath", storeDir)
-        .parquet(survivors.map(f => s"$storeDir/$f"): _*)
-        .filter(col("w").isin(live: _*)))
-    val complete =
-      if (outTerms.isEmpty)
-        // nothing skipped can hide a posting: every candidate complete
-        scored.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("s"))
-      else
-        // a candidate unseen for a skipped-mass term is provably
-        // sub-θ whether the doc lacks the term or its posting hides
-        // in a skipped file (section contract) — drop it
-        scored.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("s"),
-            collect_set(col("w")).as("ws"))
-          .filter(size(array_except(typedLit(outTerms), col("ws"))) === 0)
-    complete
-      .select(col("doc_id"), col("n_terms"),
-        col("s").cast("double").as("score"))
-      .orderBy(col("score").desc, col("doc_id")).limit(k)
+          .join(broadcast(termsF), Seq("w")))
+      .join(qt.select(col("query_id"), col("w")), Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg((sum(col("c")) * 1000000L).cast("long").as("s"))
+      .withColumn("_r", row_number().over(wrank)).filter(col("_r") === k)
+      .join(negAdj, Seq("query_id"))
+      .select(col("query_id"), (col("s") + col("neg_adj")).as("theta"))
+    // survivor union: a file lives iff SOME query's bound reaches its θ
+    // (a query with no θ row — fewer than k probe docs — keeps all)
+    val survivors = capsDF
+      .join(qrest.select(col("query_id"), col("w"), col("rest_plus")),
+        Seq("w"))
+      .join(thetaQ, Seq("query_id"), "left")
+      .filter(col("theta").isNull ||
+        greatest(col("cap"), lit(0L)) + col("rest_plus") >= col("theta"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val relevant = capsDF.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val skipped = relevant.filterNot(survivors.toSet).sorted
+    lastPruneStats = Some(PruneStats(relevant.size, survivors.size,
+      skipped.size, None, delegated = false))
+    // per-query unseen-mass terms: postings left OUTSIDE the union
+    val outArr =
+      if (skipped.isEmpty) null
+      else capsDF.filter(col("file").isInCollection(skipped))
+        .select(col("w")).distinct()
+        .join(qt.select(col("query_id"), col("w")), Seq("w"))
+        .groupBy(col("query_id")).agg(collect_set(col("w")).as("outs"))
+    val contrib = scoreOf(
+        spark.read.option("basePath", storeDir)
+          .parquet(survivors.map(f => s"$storeDir/$f"): _*)
+          .join(broadcast(termsF), Seq("w")))
+      .select(col("w"), col("doc_id"), col("c"))
+    val scored0 = contrib
+      .join(qt.select(col("query_id"), col("w")), Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).cast("double").as("score"),
+        collect_set(col("w")).as("ws"))
+    val scored =
+      if (outArr == null) scored0
+      else scored0.join(outArr, Seq("query_id"), "left")
+        .filter(col("outs").isNull ||
+          size(array_except(col("outs"), col("ws"))) === 0)
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k_tagged(k)(col("doc_id"),
+        col("score"), col("n_terms")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit._1").as("doc_id"),
+        col("hit._3").as("n_terms"), col("hit._2").as("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 }

@@ -6271,6 +6271,119 @@ object Pipeline {
       "'join join join join merge merge merge' ELSE text END AS text " +
       "FROM documents)")
 
+  // --------------------------------------------------------------- q268
+  // Block-max pruned DIRICHLET LM: the sidecar's summed tf gives exact
+  // ctf with zero data files, and the LM length norm's NEGATIVE
+  // contributions exercise the serve's floor adjustment (θ drops by
+  // Σ min(0, per-term floor)) and plus-truncated caps — without them
+  // a long doc's exact score below its probe partial would over-prune.
+  // Same banded corpus as q266; the oracle replays q250's LM shape.
+  private def q268PrunedLm(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q268", dir)
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val jtf = size(filter(toks, w => w === "join"))
+    val dl = size(toks)
+    TextIndex.build(docs.filter(jtf >= 3), "doc_id", "text", out,
+      nBuckets = 8, filesPerBucket = 2)
+    TextIndex.buildBlockStats(s, out)
+    TextIndex.append(docs.filter(jtf.between(1, 2) && dl < 50),
+      "doc_id", "text", out, filesPerBucket = 2)
+    TextIndex.append(docs.filter(jtf === 0 || (jtf.between(1, 2)
+      && dl >= 50)), "doc_id", "text", out, filesPerBucket = 2)
+    val res = TextIndex.lmTopKPruned(s, out, Seq("join"), 5)
+    val st = TextIndex.lastPruneStats.get
+    require(!st.delegated && st.skipped > 0,
+      s"the banded corpus must skip low-cap files under LM too: $st")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= st.survivors,
+      s"the final plan must read survivor files only: $st")
+    res
+  }
+
+  private val q268Sql =
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |           FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+      |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) AS c FROM b2),
+      |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN ('join') GROUP BY doc_id, dl, w),
+      |ctf AS (SELECT w, CAST(SUM(tf) AS DOUBLE) AS ctf FROM tf GROUP BY w),
+      |scored AS (SELECT doc_id,
+      |    CAST(round(ln(1.0e0 + CAST(tf AS DOUBLE) * c
+      |      / (2000.0e0 * ctf)), 6) AS DECIMAL(28,6))
+      |    + CAST(round(ln(2000.0e0 / (CAST(dl AS DOUBLE) + 2000.0e0)), 6)
+      |        AS DECIMAL(28,6)) AS cc
+      |  FROM tf JOIN ctf USING (w) CROSS JOIN stats)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(cc) AS DOUBLE) AS score
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 5""".stripMargin
+
+  // --------------------------------------------------------------- q269
+  // BATCHED block-max pruned BM25: the prune algebra runs distributed
+  // (per-query θ via a window rank over ONE shared probe read,
+  // per-(query, term) rest-mass windows, one caps×queries survivor
+  // join), the union of survivor files is read once for every query,
+  // and a file every query agrees to skip is never opened. Per-query
+  // rows bit-identical to the unpruned batch — the oracle replays the
+  // per-query BM25 rankings from the raw corpus. Dead query drops
+  // whole (batched-family convention).
+  private def q269PrunedBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q269", dir)
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val jtf = size(filter(toks, w => w === "join"))
+    val stf = size(filter(toks, w => w === "scan"))
+    val gtf = greatest(jtf, stf)
+    val dl = size(toks)
+    TextIndex.build(docs.filter(gtf >= 3), "doc_id", "text", out,
+      nBuckets = 8, filesPerBucket = 2)
+    TextIndex.buildBlockStats(s, out)
+    TextIndex.append(docs.filter(gtf.between(1, 2) && dl < 50),
+      "doc_id", "text", out, filesPerBucket = 2)
+    TextIndex.append(docs.filter(gtf === 0 || (gtf.between(1, 2)
+      && dl >= 50)), "doc_id", "text", out, filesPerBucket = 2)
+    import s.implicits._
+    val queries = Seq(
+      (0L, Seq("join")), (1L, Seq("scan")),
+      (2L, Seq("qqzznope"))).toDF("query_id", "terms")
+    val res = TextIndex.topKPrunedBatch(s, out, queries,
+      "query_id", "terms", 5)
+    val st = TextIndex.lastPruneStats.get
+    require(!st.delegated && st.skipped > 0,
+      s"the union must still skip files every query rejects: $st")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= st.survivors,
+      s"the final plan must read the survivor union only: $st")
+    res
+  }
+
+  private val q269Sql =
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT COUNT(*) AS n,
+       |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+       |qs(query_id, w) AS (SELECT * FROM (VALUES
+       |  (0, 'join'), (1, 'scan'), (2, 'qqzznope'))),
+       |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+       |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+       |  WHERE w IN (SELECT w FROM qs) GROUP BY doc_id, dl, w),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |contrib AS (SELECT w, doc_id,
+       |    CAST(round(
+       |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+       |      * (tf * (1.2e0 + 1)) /
+       |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+       |  FROM tf JOIN df USING (w) CROSS JOIN stats),
+       |scored AS (SELECT qs.query_id, c.doc_id,
+       |    COUNT(*) AS n_terms, CAST(SUM(c.c) AS DOUBLE) AS score
+       |  FROM contrib c JOIN qs ON qs.w = c.w GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_terms, score
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY query_id, score DESC, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -7140,6 +7253,8 @@ object Pipeline {
     "q265_facets_batch" -> q265FacetsBatch _,
     "q266_pruned_rank" -> q266PrunedRank _,
     "q267_pruned_multi" -> q267PrunedMulti _,
+    "q268_pruned_lm" -> q268PrunedLm _,
+    "q269_pruned_batch" -> q269PrunedBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7415,6 +7530,8 @@ object Pipeline {
     "q265_facets_batch" -> q265Sql,
     "q266_pruned_rank" -> q266Sql,
     "q267_pruned_multi" -> q267Sql,
+    "q268_pruned_lm" -> q268Sql,
+    "q269_pruned_batch" -> q269Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -162,6 +162,85 @@ class TextPruneSpec extends SparkSpec {
       "fixture must actually skip files for at least one k")
   }
 
+  test("LM pruned == unpruned: negative length-norm contributions ride " +
+      "the floor adjustment and plus-truncated caps") {
+    // Dirichlet LM's bg term is negative and grows with dl: a doc's
+    // exact score sits BELOW its probe partial, so the k-th partial
+    // alone would over-prune — the floor adjustment (Σ min(0, floor))
+    // must restore θ ≤ s_k on corpora with wild dl variance.
+    val dir = tmp("lm")
+    val (a, b, c) = skewDocs()
+    TextIndex.build(a, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, dir)
+    TextIndex.append(b, "doc_id", "text", dir, filesPerBucket = 1)
+    TextIndex.append(c, "doc_id", "text", dir, filesPerBucket = 1)
+    for (k <- Seq(1, 3, 5, 12); mu <- Seq(50.0, 2000.0)) {
+      assert(rows(TextIndex.lmTopKPruned(spark, dir, Seq("x", "y"), k,
+          mu)) ==
+        rows(TextIndex.lmTopK(spark, dir, Seq("x", "y"), k, mu)),
+        s"k=$k mu=$mu")
+      assert(!TextIndex.lastPruneStats.get.delegated)
+    }
+    // randomized LM sweep on a mixed corpus
+    val words = Seq("pine", "oak", "fir", "elm", "ash", "yew")
+    val rnd = new Random(37)
+    val docs = (0L until 80L).map { i =>
+      val n = 2 + rnd.nextInt(40)
+      (i, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir2 = tmp("lmrnd")
+    TextIndex.build(docs.filter($"doc_id" < 50), "doc_id", "text", dir2,
+      nBuckets = 4, filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, dir2)
+    TextIndex.append(docs.filter($"doc_id" >= 50), "doc_id", "text", dir2)
+    for (trial <- 0 until 6) {
+      val terms = Seq.fill(1 + rnd.nextInt(3))(
+        words(rnd.nextInt(words.size))).distinct
+      val k = 1 + rnd.nextInt(8)
+      assert(rows(TextIndex.lmTopKPruned(spark, dir2, terms, k)) ==
+        rows(TextIndex.lmTopK(spark, dir2, terms, k)),
+        s"trial $trial terms=$terms k=$k")
+    }
+  }
+
+  test("batched pruned == per-query loop == unpruned batch; the union " +
+      "read skips files every query agrees to skip") {
+    val dir = tmp("batch")
+    val (a, b, c) = skewDocs()
+    TextIndex.build(a, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, dir)
+    TextIndex.append(b, "doc_id", "text", dir, filesPerBucket = 1)
+    TextIndex.append(c, "doc_id", "text", dir, filesPerBucket = 1)
+    val queries = Seq(
+      (0L, Seq("x", "y")), (1L, Seq("x")), (2L, Seq("f1", "f2")),
+      (3L, Seq("zzz"))).toDF("query_id", "terms")
+    def brows(df: DataFrame) =
+      df.select($"query_id", $"doc_id", $"n_terms", $"score")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    for (k <- Seq(1, 5, 12)) {
+      val got = brows(TextIndex.topKPrunedBatch(spark, dir, queries,
+        "query_id", "terms", k))
+      assert(got == brows(TextIndex.topKBatch(spark, dir, queries,
+        "query_id", "terms", k)), s"k=$k vs unpruned batch")
+      // and per query, the single pruned serve agrees
+      val loop = Seq(0L -> Seq("x", "y"), 1L -> Seq("x"),
+        2L -> Seq("f1", "f2")).flatMap { case (q, ts) =>
+        rows(TextIndex.topKPruned(spark, dir, ts, k))
+          .map(r => (q, r._1, r._2, r._3))
+      }
+      assert(got.sortBy(t => (t._1, -t._4, t._2)) ==
+        loop.sortBy(t => (t._1, -t._4, t._2)), s"k=$k vs loop")
+    }
+    // the all-term query frame still skips the low-cap bands when θ
+    // is dominated by the dense batch
+    brows(TextIndex.topKPrunedBatch(spark, dir,
+      Seq((0L, Seq("x", "y"))).toDF("query_id", "terms"),
+      "query_id", "terms", 5))
+    assert(TextIndex.lastPruneStats.get.skipped > 0)
+  }
+
   test("tombstones delegate; absent terms answer empty with no files") {
     val dir = tmp("delegate")
     val (a, b, _) = skewDocs()
