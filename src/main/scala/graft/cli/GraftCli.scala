@@ -342,6 +342,17 @@ object GraftCli {
     case "textqueryp" :: storeDir :: terms :: k :: out :: Nil =>
       textQueryPruned(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
         k.toInt, out)
+    case "textmultiphrasebatch" :: storeDir :: queries :: out :: Nil =>
+      textMultiPhraseBatch(storeDir,
+        queries.split(";").toSeq.filter(_.nonEmpty)
+          .map(_.split(" ").toSeq.filter(_.nonEmpty)
+            .map(_.split("\\|").toSeq.filter(_.nonEmpty))), out)
+    case "textwildphrasebatch" :: storeDir :: queries :: out :: rest
+        if rest.size <= 1 =>
+      textWildPhraseBatch(storeDir,
+        queries.split(";").toSeq.filter(_.nonEmpty)
+          .map(_.split(" ").toSeq.filter(_.nonEmpty)),
+        rest.headOption.map(_.toInt).getOrElse(64), out)
     case "textlmrankp" :: storeDir :: terms :: k :: out :: rest
         if rest.size <= 1 =>
       textLmRankPruned(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
@@ -525,6 +536,8 @@ object GraftCli {
            |           textregexp <storedir> <pattern> <k> <outdir> [max_terms]
            |           textregexpbatch <storedir> <pattern;pattern;...> <k> <outdir> [max_terms]
            |           textwildphrase <storedir> <slot;slot;...> <outdir> [max_terms]  (slot = term or pre*)
+           |           textmultiphrasebatch <storedir> <'a|b c;d e|f'> <outdir>  (space = slot, | = alternative)
+           |           textwildphrasebatch <storedir> <'table s*;vector w*'> <outdir> [max_terms]
            |           textfacets <storedir> <w1,w2,...> <docs> <facetcol> <outdir>
            |           textbm25f <field:storedir:boost:b;...> <w1,w2,...> <k> <outdir>
            |           textbm25fbatch <field:storedir:boost:b;...> <w1,w2|w3,w4|...> <k> <outdir>
@@ -2622,6 +2635,35 @@ object GraftCli {
       .map(s => if (s.delegated) "delegated (pending tombstones)"
         else s"skipped ${s.skipped}/${s.relevantFiles} files")
       .getOrElse("n/a")
+
+  private def textMultiPhraseBatch(storeDir: String,
+                                   queries: Seq[Seq[Seq[String]]],
+                                   out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val q = queries.zipWithIndex.map { case (slots, i) => (i.toLong, slots) }
+      .toDF("query_id", "slots")
+    graft.operators.TextIndex.phraseSearchMultiBatch(spark, storeDir, q,
+      "query_id", "slots").write.mode("overwrite").parquet(out)
+    println(s"multi-phrase batch of ${queries.size}: " +
+      s"${spark.read.parquet(out).count()} (query, doc) rows -> $out")
+    spark.stop()
+  }
+
+  private def textWildPhraseBatch(storeDir: String,
+                                  queries: Seq[Seq[String]],
+                                  maxTerms: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val q = queries.zipWithIndex.map { case (slots, i) => (i.toLong, slots) }
+      .toDF("query_id", "slots")
+    graft.operators.TextIndex.phraseSearchWildcardBatch(spark, storeDir,
+        q, "query_id", "slots", maxTerms)
+      .write.mode("overwrite").parquet(out)
+    println(s"wildcard-phrase batch of ${queries.size}: " +
+      s"${spark.read.parquet(out).count()} (query, doc) rows -> $out")
+    spark.stop()
+  }
 
   private def textLmRankPruned(storeDir: String, terms: Seq[String],
                                k: Int, mu: Double, out: String): Unit = {

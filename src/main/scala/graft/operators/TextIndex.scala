@@ -2684,6 +2684,150 @@ object TextIndex {
     phraseSearchMulti(spark, storeDir, expanded)
   }
 
+  /** The batched multi-phrase core over a slot-PAIR frame
+    * `(query_id, plen, i, w)` — one row per (query, slot, alternative
+    * term). Dead-query semantics are slot-conjunctive: a query drops
+    * WHOLE iff some slot's EVERY alternative is provably absent (one
+    * live alternative keeps the slot fillable). Slot i contributes
+    * the UNION over its live alternatives of anchor-shifted position
+    * sets; the per-(query, doc) intersect fold only runs for docs
+    * covering every slot ([[phraseSearchBatch]]'s gate, slot-indexed).
+    * Per query, rows are bit-identical to [[phraseSearchMulti]] (set
+    * intersection commutes, so the batch's collect-order fold and the
+    * single serve's rarest-first fold cannot disagree). */
+  private def phraseMultiBatchCore(spark: SparkSession, storeDir: String,
+                                   slotPairs: DataFrame): DataFrame = {
+    val (_, _, nb) = readStats(spark, storeDir)
+    val marked = markBloomDead(spark, storeDir, slotPairs)
+    val deadQueries = marked.groupBy(col("query_id"), col("i"))
+      .agg(min(col("_dead").cast("int")).as("alldead"))
+      .filter(col("alldead") === 1)
+      .select(col("query_id")).distinct()
+    val qslots = marked.filter(!col("_dead")).drop("_dead")
+      .join(deadQueries, Seq("query_id"), "left_anti")
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
+    val buckets = qslots.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty)
+      return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
+        .withColumn("query_id", lit(0L))
+        .withColumn("n_occurrences", lit(0L))
+        .select(col("query_id"), col("doc_id"), col("n_occurrences"))
+    val terms = qslots.select(col("w")).distinct()
+    val post = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .drop("tb")
+        .join(terms, Seq("w"))
+        .select(col("doc_id"), col("w"), col("pos")))
+    // per-(query, doc, slot): union of the slot's alternatives'
+    // anchor-shifted positions (a term may serve several slots or
+    // several queries — the postings row is read once and fans out
+    // through the join)
+    val slotSets = post.join(qslots.select(col("query_id"), col("plen"),
+        col("i"), col("w")), Seq("w"))
+      .select(col("query_id"), col("doc_id"), col("plen"), col("i"),
+        transform(col("pos"), p => p - col("i")).as("shifted"))
+      .groupBy(col("query_id"), col("doc_id"), col("plen"), col("i"))
+      .agg(array_sort(array_distinct(flatten(
+        collect_list(col("shifted"))))).as("s"))
+    slotSets
+      .groupBy(col("query_id"), col("doc_id"), col("plen"))
+      // one row per slot post-agg, so count(*) IS the covered-slot
+      // count — a doc covering only a subset never reaches the fold
+      .agg(count(lit(1)).as("nslots"), collect_list(col("s")).as("arrs"))
+      .filter(col("nslots") === col("plen"))
+      .withColumn("acc", expr(
+        "aggregate(slice(arrs, 2, size(arrs) - 1), arrs[0], " +
+          "(acc, x) -> array_intersect(acc, x))"))
+      .filter(size(col("acc")) > 0)
+      .select(col("query_id"), col("doc_id"),
+        size(col("acc")).cast("long").as("n_occurrences"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** BATCHED multi-phrase search — [[phraseSearchMulti]] for a whole
+    * query FRAME `(idCol, slotsCol: array<array<string>>)`: every
+    * probed bucket is read once for all the queries probing it, and
+    * per query the rows are bit-identical to the per-phrase loop.
+    * A query with an all-absent slot drops whole (the batched
+    * family's dead-query convention — that slot can never be
+    * filled). Returns (query_id, doc_id, n_occurrences). */
+  def phraseSearchMultiBatch(spark: SparkSession, storeDir: String,
+                             queries: DataFrame, idCol: String,
+                             slotsCol: String): DataFrame = {
+    require(isPositional(spark, storeDir),
+      s"$storeDir carries no positions — build with buildPositional")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(slotsCol).as("slots"))
+    require(q.filter(col("slots").isNull || size(col("slots")) < 2)
+        .limit(1).count() == 0L,
+      "every multi-phrase needs at least two slots")
+    require(q.filter(exists(col("slots"),
+        s => s.isNull || size(s) === 0)).limit(1).count() == 0L,
+      "every slot needs at least one alternative term")
+    val pairs = q
+      .select(col("query_id"), size(col("slots")).cast("long").as("plen"),
+        posexplode(col("slots")).as(Seq("i", "alts")))
+      .select(col("query_id"), col("plen"), col("i"),
+        explode(array_distinct(col("alts"))).as("w"))
+      .filter(col("w").isNotNull)
+    phraseMultiBatchCore(spark, storeDir, pairs)
+  }
+
+  /** BATCHED wildcard-slot phrase — [[phraseSearchWildcard]] for a
+    * whole query FRAME `(idCol, slotsCol: array<string>)` where each
+    * slot is a literal term or a `pre*` prefix: ONE vocab-sized join
+    * expands every pattern slot for the whole batch (per-(query,
+    * slot) candidates rank (df desc, w) like [[expandPrefix]],
+    * maxTerms-bounded), literals pass through, and a query whose
+    * pattern matches no vocabulary term drops whole (that slot can
+    * never be filled — the single serve's empty answer). The expanded
+    * pair frame rides [[phraseMultiBatchCore]]'s shared bucket-pruned
+    * read. */
+  def phraseSearchWildcardBatch(spark: SparkSession, storeDir: String,
+                                queries: DataFrame, idCol: String,
+                                slotsCol: String,
+                                maxTerms: Int = 64): DataFrame = {
+    require(isPositional(spark, storeDir),
+      s"$storeDir carries no positions — build with buildPositional")
+    require(maxTerms >= 1, "need at least one expansion slot")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(slotsCol).as("specs"))
+    require(q.filter(col("specs").isNull || size(col("specs")) < 2)
+        .limit(1).count() == 0L,
+      "every wildcard phrase needs at least two slots")
+    require(q.filter(exists(col("specs"), s =>
+        s.isNull || length(s) === 0 || s === "*")).limit(1).count() == 0L,
+      "empty slots and bare '*' (a whole-vocabulary slot) are refused")
+    val spec = q
+      .select(col("query_id"), size(col("specs")).cast("long").as("plen"),
+        posexplode(col("specs")).as(Seq("i", "spec")))
+    val lits = spec.filter(!col("spec").endsWith("*"))
+      .select(col("query_id"), col("plen"), col("i"),
+        col("spec").as("w"))
+    val pats = spec.filter(col("spec").endsWith("*"))
+      .withColumn("pre", expr("substring(spec, 1, length(spec) - 1)"))
+    val wExp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("i"))
+      .orderBy(col("df").desc, col("w"))
+    val expanded = vocabulary(spark, storeDir)
+      .join(broadcast(pats), col("w").startsWith(col("pre")))
+      .withColumn("_r", row_number().over(wExp))
+      .filter(col("_r") <= maxTerms)
+      .select(col("query_id"), col("plen"), col("i"), col("w"))
+    // queries with an unexpandable pattern slot drop whole
+    val unfillable = pats
+      .join(expanded.select(col("query_id"), col("i")).distinct(),
+        Seq("query_id", "i"), "left_anti")
+      .select(col("query_id")).distinct()
+    val pairs = lits.unionByName(expanded)
+      .join(unfillable, Seq("query_id"), "left_anti")
+    phraseMultiBatchCore(spark, storeDir, pairs)
+  }
+
   /** BATCHED fuzzy BM25 — a whole `(idCol, termCol, distCol)` query
     * frame in the [[topKBatch]] job count. The expansion join carries
     * only the LENGTH BAND (a term outside it cannot be within maxd),

@@ -6384,6 +6384,71 @@ object Pipeline {
        |FROM ranked WHERE rn <= 5
        |ORDER BY query_id, score DESC, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q270
+  // BATCHED wildcard-slot phrase (the last serves outside the batched
+  // family, closed): a whole slot-spec frame — literals and `pre*`
+  // patterns — expands through ONE vocab-sized join (per-(query,
+  // slot) candidates df-ranked, maxTerms-bounded), and the expanded
+  // pair frame rides the shared bucket-pruned positional read; per
+  // query, rows are bit-identical to the phraseSearchWildcard loop.
+  // The unfillable-pattern query drops whole; the in-plan budget pins
+  // the slots'-buckets prune.
+  private def q270WildPhraseBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q270", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.buildPositional(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.buildVocab(s, out)
+    import s.implicits._
+    val queries = Seq(
+      (0L, Seq("table", "s*")), (1L, Seq("vector", "w*")),
+      (2L, Seq("qqzznope*", "join"))).toDF("query_id", "slots")
+    val res = TextIndex.phraseSearchWildcardBatch(s, out, queries,
+      "query_id", "slots", maxTerms = 8)
+    val live = Seq("table", "vector") ++
+      TextIndex.expandPrefix(s, out, "s", maxTerms = 8) ++
+      TextIndex.expandPrefix(s, out, "w", maxTerms = 8)
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out)
+    val filesInProbed =
+      allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+    require(filesInProbed < allFiles.size,
+      "test setup: some bucket must stay unprobed")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= filesInProbed,
+      s"the batched wildcard phrase must stay inside the slots' " +
+        s"buckets ($filesInProbed files; store holds ${allFiles.size})")
+    res
+  }
+
+  private val q270Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |ft AS (SELECT doc_id,
+      |    list_filter(toks, w -> length(w) > 0) AS ftoks FROM base),
+      |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
+      |    (SELECT doc_id, unnest(toks) AS w FROM base)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |e0 AS (SELECT w FROM vocab WHERE w LIKE 's%'
+      |  ORDER BY vdf DESC, w LIMIT 8),
+      |l0 AS (SELECT (SELECT list(w) FROM e0) AS alts),
+      |p0 AS (SELECT 0 AS query_id, doc_id,
+      |    CAST(len(list_filter(range(1, len(ftoks)),
+      |      i -> ftoks[i] = 'table' AND list_contains(alts, ftoks[i + 1])))
+      |      AS BIGINT) AS n_occurrences
+      |  FROM ft CROSS JOIN l0),
+      |e1 AS (SELECT w FROM vocab WHERE w LIKE 'w%'
+      |  ORDER BY vdf DESC, w LIMIT 8),
+      |l1 AS (SELECT (SELECT list(w) FROM e1) AS alts),
+      |p1 AS (SELECT 1 AS query_id, doc_id,
+      |    CAST(len(list_filter(range(1, len(ftoks)),
+      |      i -> ftoks[i] = 'vector' AND list_contains(alts, ftoks[i + 1])))
+      |      AS BIGINT) AS n_occurrences
+      |  FROM ft CROSS JOIN l1)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_occurrences
+      |FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+      |WHERE n_occurrences > 0 ORDER BY query_id, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -7255,6 +7320,7 @@ object Pipeline {
     "q267_pruned_multi" -> q267PrunedMulti _,
     "q268_pruned_lm" -> q268PrunedLm _,
     "q269_pruned_batch" -> q269PrunedBatch _,
+    "q270_wildphrase_batch" -> q270WildPhraseBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7532,6 +7598,7 @@ object Pipeline {
     "q267_pruned_multi" -> q267Sql,
     "q268_pruned_lm" -> q268Sql,
     "q269_pruned_batch" -> q269Sql,
+    "q270_wildphrase_batch" -> q270Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

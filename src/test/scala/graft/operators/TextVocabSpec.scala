@@ -223,6 +223,62 @@ class TextVocabSpec extends SparkSpec {
     }
   }
 
+  test("batched multi-phrase / wildcard-phrase == their per-query " +
+      "loops; dead and unfillable queries drop whole") {
+    val dir = tmp("mpbatch")
+    TextIndex.buildPositional(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    TextIndex.buildVocab(spark, dir)
+    def got(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select($"query_id", $"doc_id", $"n_occurrences")
+        .as[(Long, Long, Long)].collect().toSeq
+    def single(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    // multi-phrase batch: mixed shapes, one with a dead alternative
+    // (drops the alternative, not the query), one fully dead slot
+    // (drops the query whole)
+    val mqs = Seq(
+      (0L, Seq(Seq("alpha", "alias", "alphabet"), Seq("beta", "mu"))),
+      (1L, Seq(Seq("alpha"), Seq("beta"))),
+      (2L, Seq(Seq("alpha", "qqzznope"), Seq("beta"))),
+      (3L, Seq(Seq("qqzzdead"), Seq("beta"))))
+      .toDF("query_id", "slots")
+    val batched = got(TextIndex.phraseSearchMultiBatch(spark, dir, mqs,
+      "query_id", "slots"))
+    val loop = Seq(
+      0L -> Seq(Seq("alpha", "alias", "alphabet"), Seq("beta", "mu")),
+      1L -> Seq(Seq("alpha"), Seq("beta")),
+      2L -> Seq(Seq("alpha", "qqzznope"), Seq("beta")),
+      3L -> Seq(Seq("qqzzdead"), Seq("beta"))
+    ).flatMap { case (q, slots) =>
+      single(TextIndex.phraseSearchMulti(spark, dir, slots))
+        .map(r => (q, r._1, r._2))
+    }
+    assert(batched == loop, "batched multi-phrase must equal the loop")
+    assert(!batched.exists(_._1 == 3L), "all-dead slot drops the query")
+    assert(batched.exists(_._1 == 0L), "test setup: matches must exist")
+    // wildcard batch: pattern + literal slots, one unfillable pattern
+    val wqs = Seq(
+      (0L, Seq("al*", "beta")), (1L, Seq("table", "s*")),
+      (2L, Seq("qqzznope*", "beta")))
+      .toDF("query_id", "slots")
+    val wb = got(TextIndex.phraseSearchWildcardBatch(spark, dir, wqs,
+      "query_id", "slots", maxTerms = 8))
+    val wloop = Seq(0L -> Seq("al*", "beta"), 1L -> Seq("table", "s*"),
+      2L -> Seq("qqzznope*", "beta")
+    ).flatMap { case (q, slots) =>
+      single(TextIndex.phraseSearchWildcard(spark, dir, slots,
+        maxTerms = 8)).map(r => (q, r._1, r._2))
+    }
+    assert(wb == wloop, "batched wildcard phrase must equal the loop")
+    assert(!wb.exists(_._1 == 2L), "unfillable pattern drops the query")
+    intercept[IllegalArgumentException] {
+      TextIndex.phraseSearchWildcardBatch(spark, dir,
+        Seq((0L, Seq("*", "beta"))).toDF("query_id", "slots"),
+        "query_id", "slots")
+    }
+  }
+
   test("delete leaves vocab stale-high without moving served answers; " +
       "compact snaps df exact") {
     val dir = tmp("del")
