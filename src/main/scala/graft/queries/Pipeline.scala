@@ -6449,6 +6449,100 @@ object Pipeline {
       |FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
       |WHERE n_occurrences > 0 ORDER BY query_id, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q271
+  // BM25F over UNIFIED POSITIONAL field stores — the single-layout
+  // story completed across the field axis: a two-field deployment
+  // that also wants phrase search keeps ONE positional store per
+  // field. Both field stores here are positional; the SAME body store
+  // serves the BM25F ranking leg (the unified (w, tf, dl) contract,
+  // ''-tail included for sub-4-token docs) AND an exact-adjacency
+  // phrase leg, joined into one answer. The oracle replays q263's
+  // shared-saturation BM25F plus the body-stream adjacency count.
+  private def q271Bm25fPositional(s: SparkSession, dir: String): DataFrame = {
+    val outT = scratch("q271t", dir)
+    val outB = scratch("q271b", dir)
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val fielded = docs.select(col("doc_id"),
+      array_join(slice(toks, lit(1), lit(3)), " ").as("title"),
+      array_join(slice(toks, lit(4), greatest(size(toks) - 3, lit(0))),
+        " ").as("body"))
+    TextIndex.buildPositional(fielded, "doc_id", "title", outT,
+      nBuckets = 8, filesPerBucket = 2)
+    TextIndex.buildPositional(fielded, "doc_id", "body", outB,
+      nBuckets = 8, filesPerBucket = 2)
+    val terms = Seq("join", "merge", "vector")
+    val ranked = TextIndex.bm25fTopK(s,
+      Seq(("title", outT, 2.0, 0.5), ("body", outB, 1.0, 0.75)),
+      terms, 15)
+    val phrase = TextIndex.phraseSearch(s, outB, Seq("join", "merge"))
+    val res = ranked.join(phrase, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_terms"), col("score"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))
+      .orderBy(col("score").desc, col("doc_id"))
+    import s.implicits._
+    val probed = terms.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val budget = Seq(outT, outB).map { out =>
+      val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out)
+      val inProbed =
+        allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+      require(inProbed < allFiles.size,
+        "test setup: some bucket must stay unprobed")
+      inProbed
+    }
+    // 2 ranking passes per store + the phrase leg's single pass over
+    // its terms' buckets in the body store (join/merge ⊆ terms)
+    require(graft.plans.PlanProbe.scannedFileCount(res) <=
+        2L * (budget.head + budget.last) + budget.last,
+      s"both legs must stay inside the probed buckets ($budget)")
+    res
+  }
+
+  private val q271Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |fld AS (SELECT doc_id, toks[1:3] AS tt, toks[4:] AS bt FROM base),
+      |st AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(len(tt)) AS DOUBLE) / COUNT(*), 6) AS avt,
+      |    round(CAST(SUM(len(bt)) AS DOUBLE) / COUNT(*), 6) AS avb FROM fld),
+      |tft AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, CAST(len(tt) AS BIGINT) AS dl, unnest(tt) AS w
+      |     FROM fld)
+      |  WHERE w IN ('join', 'merge', 'vector') GROUP BY 1, 2, 3),
+      |tfb AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, CAST(len(bt) AS BIGINT) AS dl, unnest(bt) AS w
+      |     FROM fld)
+      |  WHERE w IN ('join', 'merge', 'vector') GROUP BY 1, 2, 3),
+      |u AS (
+      |  SELECT doc_id, w, CAST(round(2.0e0 * tf /
+      |      (0.5e0 + 0.5e0 * dl / avt), 6) AS DECIMAL(28,6)) AS wtfp
+      |    FROM tft CROSS JOIN st
+      |  UNION ALL
+      |  SELECT doc_id, w, CAST(round(1.0e0 * tf /
+      |      (0.25e0 + 0.75e0 * dl / avb), 6) AS DECIMAL(28,6)) AS wtfp
+      |    FROM tfb CROSS JOIN st),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM u GROUP BY w),
+      |wt AS (SELECT doc_id, w, SUM(wtfp) AS wtf FROM u GROUP BY 1, 2),
+      |c AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * CAST(wtf AS DOUBLE) / (1.2e0 + CAST(wtf AS DOUBLE)), 6)
+      |      AS DECIMAL(28,6)) AS c
+      |  FROM wt JOIN df USING (w) CROSS JOIN st),
+      |rk AS (SELECT doc_id, COUNT(*) AS n_terms,
+      |    CAST(SUM(c) AS DOUBLE) AS score
+      |  FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15),
+      |fb AS (SELECT doc_id,
+      |    list_filter(bt, w -> length(w) > 0) AS ftoks FROM fld),
+      |ph AS (SELECT doc_id, CAST(len(list_filter(range(1, len(ftoks)),
+      |    i -> ftoks[i] = 'join' AND ftoks[i + 1] = 'merge'))
+      |    AS BIGINT) AS n_occurrences FROM fb)
+      |SELECT rk.doc_id, n_terms, score,
+      |    COALESCE(ph.n_occurrences, 0) AS n_occurrences
+      |FROM rk LEFT JOIN ph USING (doc_id)
+      |ORDER BY score DESC, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -7321,6 +7415,7 @@ object Pipeline {
     "q268_pruned_lm" -> q268PrunedLm _,
     "q269_pruned_batch" -> q269PrunedBatch _,
     "q270_wildphrase_batch" -> q270WildPhraseBatch _,
+    "q271_bm25f_positional" -> q271Bm25fPositional _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7599,6 +7694,7 @@ object Pipeline {
     "q268_pruned_lm" -> q268Sql,
     "q269_pruned_batch" -> q269Sql,
     "q270_wildphrase_batch" -> q270Sql,
+    "q271_bm25f_positional" -> q271Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

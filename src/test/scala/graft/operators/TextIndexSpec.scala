@@ -1079,6 +1079,64 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("bm25f over unified positional field stores == over bag field " +
+      "stores; phrase and BM25F serve from the SAME per-field stores") {
+    // the single-layout story across the field axis: a two-field
+    // deployment that also wants phrase search keeps ONE positional
+    // store per field — the unified layout's (w, tf, dl) contract
+    // (including the ''-tail for short fields) must make the ranking
+    // serves bit-equal to bag-of-terms field stores, while the same
+    // files answer positional queries
+    val dirPA = tmp("posfa")
+    val dirPB = tmp("posfb")
+    val dirBA = tmp("bagfa")
+    val dirBB = tmp("bagfb")
+    val toksC = split(col("text"), "\\s+")
+    // fa of a short doc is fine; fb can be EMPTY (dl-1 '' field) —
+    // exactly the tail contract the equality must survive
+    val fielded = docs.select(col("doc_id"),
+      array_join(slice(toksC, lit(1), lit(2)), " ").as("fa"),
+      array_join(slice(toksC, lit(3), greatest(size(toksC) - 2, lit(0))),
+        " ").as("fb"))
+    TextIndex.buildPositional(fielded, "doc_id", "fa", dirPA,
+      nBuckets = 4, filesPerBucket = 2)
+    TextIndex.buildPositional(fielded, "doc_id", "fb", dirPB,
+      nBuckets = 4, filesPerBucket = 2)
+    TextIndex.build(fielded, "doc_id", "fa", dirBA, nBuckets = 4,
+      filesPerBucket = 2)
+    TextIndex.build(fielded, "doc_id", "fb", dirBB, nBuckets = 4,
+      filesPerBucket = 2)
+    val terms = Seq("alpha", "kappa", "mu")
+    val pos = Seq(("fa", dirPA, 1.5, 0.4), ("fb", dirPB, 1.0, 0.75))
+    val bag = Seq(("fa", dirBA, 1.5, 0.4), ("fb", dirBB, 1.0, 0.75))
+    assert(rows(TextIndex.bm25fTopK(spark, pos, terms, 12)) ==
+      rows(TextIndex.bm25fTopK(spark, bag, terms, 12)),
+      "positional field stores must rank bit-equal to bag stores")
+    assert(rows(TextIndex.bm25fTopK(spark, pos, terms, 12)).nonEmpty)
+    // the batched form accepts the positional field stores too
+    val qf = Seq((0L, Seq("alpha", "kappa")), (1L, Seq("mu")))
+      .toDF("query_id", "terms")
+    assert(TextIndex.bm25fTopKBatch(spark, pos, qf, "query_id", "terms", 8)
+        .collect().toSeq ==
+      TextIndex.bm25fTopKBatch(spark, bag, qf, "query_id", "terms", 8)
+        .collect().toSeq)
+    // …and the SAME fb store answers exact adjacency: brute-force the
+    // fb token stream (filtered, like the positional tokenizer)
+    def brute(a: String, b: String): Seq[(Long, Long)] =
+      fielded.select($"doc_id", $"fb").as[(Long, String)].collect().toSeq
+        .flatMap { case (id, text) =>
+          val t = text.split("\\s+").filter(_.nonEmpty)
+          val n = (0 until math.max(t.length - 1, 0))
+            .count(p => t(p) == a && t(p + 1) == b)
+          if (n > 0) Some((id, n.toLong)) else None
+        }.sortBy(_._1)
+    val phr = TextIndex.phraseSearch(spark, dirPB, Seq("beta", "gamma"))
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(phr == brute("beta", "gamma"),
+      "the ranking field store must still serve exact phrase")
+    assert(phr.nonEmpty, "test setup: the phrase must occur in fb")
+  }
+
   test("batched bm25f and batched facets == their per-query loops") {
     val dirA = tmp("bfba")
     val dirB = tmp("bfbb")
