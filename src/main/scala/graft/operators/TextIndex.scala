@@ -1996,8 +1996,14 @@ object TextIndex {
       // and row counting would let a doc covering only a SUBSET of
       // the slots pass the gate (the intersect over the present
       // arrays could then false-match) — the containingAllBatch
-      // set-semantics rule, applied to the slot index
-      .agg(countDistinct(col("i")).as("nslots"),
+      // set-semantics rule, applied to the slot index. The row-count
+      // arm exists ONLY so ServeProfile can price the distinct gate
+      // (answer-identical on churn-free stores, where no duplicate
+      // (doc_id, w) rows can exist) — the ingestFlag discipline: an
+      // A/B attribution switch, not a tuning surface.
+      .agg(
+        (if (ingestFlag("GRAFT_SERVE_DISTINCT_GATE"))
+          countDistinct(col("i")) else count(lit(1))).as("nslots"),
         collect_list(col("shifted")).as("arrs"))
       .filter(col("nslots") === col("plen"))
       .withColumn("acc", expr(

@@ -1,0 +1,84 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.TextIndex
+import org.apache.spark.sql.functions._
+
+/** Serve-side wall-clock attribution for the round-13 adjudication
+  * residuals ([[IngestProfile]]'s discipline applied to the two
+  * close-bench rows the r13 judge flagged with "plausible but
+  * unpriced" causes):
+  *
+  *   - q236_phrase_batch +17%: the distinct-covered-slots correctness
+  *     gate (countDistinct where a row count was). Arms A/B run the
+  *     SAME batched phrase serve with the gate on and off (the
+  *     row-count arm is answer-identical on this churn-free store) —
+  *     the floor delta IS the gate's price.
+  *   - q237_near_search +15%: hypothesis "the unified layout's
+  *     ''-tail postings inflate the '' term's bucket that every span
+  *     serve's scan shares". The tool counts the store's actual ''
+  *     postings first: on whitespace-clean corpora (every driver SF)
+  *     the count is ZERO — no '' posting rows exist, so no bucket is
+  *     inflated and the hypothesis is structurally impossible; the
+  *     near-search floor is printed for the record.
+  *
+  * usage: runMain graft.tools.ServeProfile <sfDir> [repeat]
+  */
+object ServeProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val repeat = args.lift(1).flatMap(_.toIntOption).getOrElse(5)
+    val spark = GraftSession.local(
+      sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(32))
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count()
+
+    val dir = {
+      val d = java.nio.file.Files.createTempDirectory("graft_srvprof")
+      d.toFile.deleteOnExit()
+      d.resolve("store").toString
+    }
+    TextIndex.buildPositional(docs, "doc_id", "text", dir, nBuckets = 8,
+      filesPerBucket = 2)
+
+    val emptyPostings = spark.read.parquet(dir)
+      .filter(col("w") === "").count()
+    println(s"'' postings in the unified store: $emptyPostings " +
+      (if (emptyPostings == 0L)
+        "(zero — the ''-bucket-inflation hypothesis for q237 is " +
+          "structurally impossible on this corpus)"
+      else "(non-zero — '' shares its bucket's files with real terms)"))
+
+    def floor(name: String)(body: () => Long): Unit = {
+      val times = (1 to repeat).map { _ =>
+        val t0 = java.lang.System.nanoTime()
+        val n = body()
+        ((java.lang.System.nanoTime() - t0) / 1e9, n)
+      }
+      val best = times.map(_._1).min
+      println(f"== $name%-44s min of $repeat = $best%6.3f s " +
+        f"(${times.head._2} rows)")
+    }
+
+    // q237's shape: positional NEAR over the unified store
+    floor("near_search join~merge/3 (q237 shape)")(() =>
+      TextIndex.nearSearch(spark, dir, "join", "merge", 3).count())
+
+    // q236's shape: batched exact phrase, gate on vs off
+    val queries = Seq(
+      (0L, Seq("join", "merge")), (1L, Seq("vector", "stream")),
+      (2L, Seq("filter", "sort")), (3L, Seq("small", "batch")))
+      .toDF("query_id", "phrase")
+    floor("phrase_batch distinct-slot gate ON (q236)")(() =>
+      TextIndex.phraseSearchBatch(spark, dir, queries,
+        "query_id", "phrase").count())
+    java.lang.System.setProperty("GRAFT_SERVE_DISTINCT_GATE", "false")
+    try
+      floor("phrase_batch row-count gate OFF (A/B)")(() =>
+        TextIndex.phraseSearchBatch(spark, dir, queries,
+          "query_id", "phrase").count())
+    finally java.lang.System.clearProperty("GRAFT_SERVE_DISTINCT_GATE")
+    spark.stop()
+  }
+}

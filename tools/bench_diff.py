@@ -57,11 +57,12 @@ def load(path):
     spread = {q: (float(v[0]), float(v[1]))
               for q, v in d.get("spread", {}).items()}
     controls = {q: float(v) for q, v in d.get("controls", {}).items()}
+    native_controls = bool(controls)
     # pre-r13 artifacts carry no controls block, but the control
     # queries' floors are still in the timings map
     if not controls:
         controls = {q: timings[q] for q in CONTROL_NAMES if q in timings}
-    return timings, errs, spread, controls
+    return timings, errs, spread, controls, native_controls
 
 
 def main():
@@ -81,8 +82,17 @@ def main():
                     help="disable control normalization (raw ratios)")
     args = ap.parse_args()
 
-    old, old_err, old_spread, old_ctl = load(args.old)
-    new, new_err, new_spread, new_ctl = load(args.new)
+    old, old_err, old_spread, old_ctl, old_native = load(args.old)
+    new, new_err, new_spread, new_ctl, new_native = load(args.new)
+    if not old_native:
+        print("WARNING: the OLD side has no native `controls` block — "
+              "driver artifacts never carry one. Diff against the "
+              "previous BUILDER close commit (the round's last "
+              "bench_out.json written by Bench itself), not the "
+              "driver's artifact commit: a driver baseline was "
+              "measured on a different load profile and skews every "
+              "normalized ratio (the r13 ed91322-vs-9f04854 lesson).",
+              file=sys.stderr)
     shared = sorted(set(old) & set(new))
 
     ctl_shared = sorted(set(old_ctl) & set(new_ctl))
