@@ -365,6 +365,10 @@ object GraftCli {
         if rest.size <= 1 =>
       textWildcard(storeDir, prefix, k.toInt,
         rest.headOption.map(_.toInt).getOrElse(64), out)
+    case "textsuffix" :: storeDir :: suffix :: k :: out :: rest
+        if rest.size <= 1 =>
+      textSuffix(storeDir, suffix, k.toInt,
+        rest.headOption.map(_.toInt).getOrElse(64), out)
     case "textwildcardbatch" :: storeDir :: prefixes :: k :: out :: rest
         if rest.size <= 1 =>
       textWildcardBatch(storeDir,
@@ -530,6 +534,7 @@ object GraftCli {
            |           textlmrankp <storedir> <w1,w2,...> <k> <outdir> [mu]
            |           textquerypbatch <storedir> <w1,w2;w3,w4;...> <k> <outdir>
            |           textwildcard <storedir> <prefix> <k> <outdir> [max_terms]
+           |           textsuffix <storedir> <suffix> <k> <outdir> [max_terms]  (leading wildcard *fix)
            |           textwildcardbatch <storedir> <prefix;prefix;...> <k> <outdir> [max_terms]
            |           textfuzzy <storedir> <term> <max_dist> <k> <outdir> [max_terms]
            |           textfuzzybatch <storedir> <term,maxdist;term,maxdist;...> <k> <outdir> [max_terms]
@@ -2699,6 +2704,18 @@ object GraftCli {
     graft.operators.TextIndex.wildcardTopK(spark, storeDir, prefix, k,
       maxTerms).write.mode("overwrite").parquet(out)
     println(s"wildcard '$prefix*' -> [${exp.mkString(", ")}]: " +
+      s"${spark.read.parquet(out).count()} BM25 hits -> $out")
+    spark.stop()
+  }
+
+  private def textSuffix(storeDir: String, suffix: String, k: Int,
+                         maxTerms: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    val exp = graft.operators.TextIndex.expandSuffix(spark, storeDir,
+      suffix, maxTerms)
+    graft.operators.TextIndex.suffixTopK(spark, storeDir, suffix, k,
+      maxTerms).write.mode("overwrite").parquet(out)
+    println(s"suffix '*$suffix' -> [${exp.mkString(", ")}]: " +
       s"${spark.read.parquet(out).count()} BM25 hits -> $out")
     spark.stop()
   }

@@ -915,8 +915,10 @@ object TextIndex {
         statsBidHwm(spark, storeDir))
       spark.read.parquet(tmp).select(col("doc_id"), col("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("df"))
-        .select(lit(hwm).as("bid"), col("w"), col("df"))
-        .coalesce(1).write.mode("overwrite").parquet(vocabPath(tmp))
+        .select(lit(hwm).as("bid"), col("w"), col("df"),
+          reverse(col("w")).as("rw"))
+        .coalesce(1).sortWithinPartitions(col("rw"))
+        .write.mode("overwrite").parquet(vocabPath(tmp))
     }
     // a block-max sidecar is REBUILT from the rewritten files INTO the
     // scaffold (rel file keys are path-prefix-independent, so rows
@@ -2244,12 +2246,18 @@ object TextIndex {
           .select(col("doc_id"), col("w")))
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
       .select(lit(statsBidHwm(spark, storeDir)).as("bid"),
-        col("w"), col("df"))
+        col("w"), col("df"), reverse(col("w")).as("rw"))
     val stamp = System.nanoTime()
     val side = vocabPath(storeDir)
     graft.sinks.SidecarFold.restoreAside(spark, side)
     timed("vocab_build") {
-      v.coalesce(1).write.mode("overwrite").parquet(s"$side.fold-$stamp")
+      // sorted by the REVERSED term: parquet min/max stats then give
+      // leading-wildcard expansion (`*fix` → rw prefix 'xif') the
+      // same rowgroup-range cheapness a plain prefix enjoys on w —
+      // Lucene's ReverseWildcard trick as a sort order, not a second
+      // index
+      v.coalesce(1).sortWithinPartitions(col("rw"))
+        .write.mode("overwrite").parquet(s"$side.fold-$stamp")
       graft.sinks.HadoopSwap.swapInto(spark, s"$side.fold-$stamp", side,
         s"$side.old-$stamp")
     }
@@ -2274,14 +2282,18 @@ object TextIndex {
     timed("vocab_extend") {
       postings(newDocs, idCol, textCol, 1)
         .groupBy(col("w")).agg(count(lit(1)).as("df"))
-        .select(lit(bid).as("bid"), col("w"), col("df"))
-        .coalesce(1).write.mode("append").parquet(vocabPath(dir))
+        .select(lit(bid).as("bid"), col("w"), col("df"),
+          reverse(col("w")).as("rw"))
+        .coalesce(1).sortWithinPartitions(col("rw"))
+        .write.mode("append").parquet(vocabPath(dir))
     }
     graft.sinks.SidecarFold.foldIfDecayed(spark, vocabPath(dir),
-      SidecarFoldThreshold)(
+      SidecarFoldThreshold, mergeSchema = true)(
       _.groupBy(col("w")).agg(max(col("bid")).as("bid"),
           sum(col("df")).as("df"))
-        .select(col("bid"), col("w"), col("df")))
+        .select(col("bid"), col("w"), col("df"),
+          reverse(col("w")).as("rw"))
+        .sortWithinPartitions(col("rw")))
     ()
   }
 
@@ -2340,6 +2352,51 @@ object TextIndex {
       .orderBy(col("d"), col("df").desc, col("w"))
       .limit(maxTerms)
       .select(col("w")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Expand a term SUFFIX (the leading-wildcard `*fix` case) against
+    * the vocabulary — Lucene's ReverseWildcard parity: vocab files
+    * carry a reversed-term column and are SORTED by it, so the
+    * suffix filter is a PREFIX range on `rw` that parquet min/max
+    * stats can skip on (a leading wildcard costs what a trailing one
+    * does, instead of [[expandRegexp]]'s full vocab scan). Stores
+    * whose vocab predates the column degrade to computing the
+    * reverse on the fly — same answer, scan-shaped. Highest-df
+    * first, like [[expandPrefix]]. */
+  def expandSuffix(spark: SparkSession, storeDir: String, suffix: String,
+                   maxTerms: Int = 64): Seq[String] =
+    graft.sinks.SidecarFold.withReadRetry() {
+      require(suffix != null && suffix.nonEmpty,
+        "an empty suffix would expand the whole vocabulary")
+      require(maxTerms >= 1, "need at least one expansion slot")
+      graft.sinks.SidecarFold.restoreAside(spark, vocabPath(storeDir))
+      require(graft.sinks.HadoopSwap.exists(spark, vocabPath(storeDir)),
+        s"$storeDir has no _vocab sidecar — buildVocab() creates it")
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(vocabPath(storeDir))
+      val withRw =
+        if (!raw.columns.contains("rw"))
+          raw.withColumn("rw", reverse(col("w")))
+        else raw.withColumn("rw",
+          coalesce(col("rw"), reverse(col("w"))))
+      withRw
+        .filter(col("rw").startsWith(lit(suffix.reverse)))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(sum(col("df")).cast("long").as("df"))
+        .orderBy(col("df").desc, col("w"))
+        .limit(maxTerms)
+        .select(col("w")).collect().map(_.getString(0)).toSeq
+    }
+
+  /** Suffix-expanded BM25 (`*fix` queries): [[expandSuffix]] through
+    * the existing bucket-pruned [[topK]] — [[wildcardTopK]]'s
+    * leading-wildcard sibling. */
+  def suffixTopK(spark: SparkSession, storeDir: String, suffix: String,
+                 k: Int, maxTerms: Int = 64, k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val terms = expandSuffix(spark, storeDir, suffix, maxTerms)
+    if (terms.isEmpty) emptyTopK(spark, storeDir)
+    else topK(spark, storeDir, terms, k, k1, b)
   }
 
   /** Expand terms matching a regexp (Java `rlike` find semantics —

@@ -6543,6 +6543,53 @@ object Pipeline {
       |FROM rk LEFT JOIN ph USING (doc_id)
       |ORDER BY score DESC, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q272
+  // LEADING-wildcard BM25 (`*er` — Lucene's ReverseWildcard parity):
+  // the vocab sidecar carries a reversed-term column and is sorted by
+  // it, so suffix expansion is a PREFIX range on `rw` that parquet
+  // min/max stats can skip on — a leading wildcard costs what a
+  // trailing one does instead of the regexp path's full vocab scan.
+  // Expanded terms ride the existing bucket-pruned topK; the oracle
+  // replays expansion (LIKE '%er', df-ranked) + ranking from the raw
+  // corpus. maxTerms exceeds the match count at every SF, so the
+  // oracle's list is rank-order-insensitive.
+  private def q272SuffixRank(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q272", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.buildVocab(s, out)
+    val res = TextIndex.suffixTopK(s, out, "er", 12, maxTerms = 6)
+    val dataFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out).size
+    require(graft.plans.PlanProbe.scannedFileCount(res) < dataFiles,
+      s"the suffix-expanded serve must prune to the expansion's " +
+        s"buckets ($dataFiles data files)")
+    res
+  }
+
+  private val q272Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+      |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
+      |    (SELECT doc_id, unnest(toks) AS w FROM b2)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |exp AS (SELECT w FROM vocab WHERE w LIKE '%er'
+      |  ORDER BY vdf DESC, w LIMIT 6),
+      |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN (SELECT w FROM exp) GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |contrib AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf JOIN df USING (w) CROSS JOIN stats)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
+      |FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -7416,6 +7463,7 @@ object Pipeline {
     "q269_pruned_batch" -> q269PrunedBatch _,
     "q270_wildphrase_batch" -> q270WildPhraseBatch _,
     "q271_bm25f_positional" -> q271Bm25fPositional _,
+    "q272_suffix_rank" -> q272SuffixRank _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7695,6 +7743,7 @@ object Pipeline {
     "q269_pruned_batch" -> q269Sql,
     "q270_wildphrase_batch" -> q270Sql,
     "q271_bm25f_positional" -> q271Sql,
+    "q272_suffix_rank" -> q272Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

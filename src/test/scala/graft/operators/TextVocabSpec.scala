@@ -104,6 +104,30 @@ class TextVocabSpec extends SparkSpec {
     val rx = TextIndex.expandRegexp(spark, dir, "^al.+a$")
     assert(rx.toSet == all.keys.filter(w =>
       w.startsWith("al") && w.endsWith("a") && w.length > 3).toSet)
+    // suffix (leading wildcard *a): reversed-column expansion, same
+    // (df desc, w) ranking discipline as the prefix form
+    val sx = TextIndex.expandSuffix(spark, dir, "a", maxTerms = 3)
+    val wantSx = all.keys.filter(_.endsWith("a")).toSeq
+      .sortBy(w => (-all(w), w)).take(3)
+    assert(sx == wantSx, s"suffix expansion must rank (df desc, w): $sx")
+    assert(TextIndex.expandSuffix(spark, dir, "a").toSet ==
+      all.keys.filter(_.endsWith("a")).toSet)
+    assert(TextIndex.expandSuffix(spark, dir, "qzz").isEmpty)
+    intercept[IllegalArgumentException] {
+      TextIndex.expandSuffix(spark, dir, "")
+    }
+    // pre-rw vocab files (the sidecar format before the reversed
+    // column): expansion degrades to on-the-fly reverse, same answer
+    val keep = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/_vocab")
+      .select($"bid", $"w", $"df").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    graft.sinks.HadoopSwap.deleteRecursive(spark, s"$dir/_vocab")
+    keep.toSeq.toDF("bid", "w", "df")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_vocab")
+    assert(TextIndex.expandSuffix(spark, dir, "a").toSet ==
+      all.keys.filter(_.endsWith("a")).toSet,
+      "a pre-rw vocab must still answer suffix expansion exactly")
   }
 
   test("expanded serves == topK over the expansion == scan ranking") {
