@@ -403,6 +403,15 @@ object GraftCli {
     case "textfacets" :: storeDir :: terms :: docs :: facetCol :: out :: Nil =>
       textFacets(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
         docs, facetCol, out)
+    case "textfacetrange" :: storeDir :: terms :: docs :: numCol ::
+        bounds :: out :: Nil =>
+      textFacetRange(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
+        docs, numCol,
+        bounds.split(",").toSeq.filter(_.nonEmpty).map(_.toDouble), out)
+    case "textfacettop" :: storeDir :: terms :: docs :: facetCol :: k ::
+        out :: Nil =>
+      textFacetTop(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
+        docs, facetCol, k.toInt, out)
     case "textbm25f" :: fields :: terms :: k :: out :: Nil =>
       textBm25f(fields.split(";").toSeq.filter(_.nonEmpty).map { spec =>
         val p = spec.split(":")
@@ -544,6 +553,8 @@ object GraftCli {
            |           textmultiphrasebatch <storedir> <'a|b c;d e|f'> <outdir>  (space = slot, | = alternative)
            |           textwildphrasebatch <storedir> <'table s*;vector w*'> <outdir> [max_terms]
            |           textfacets <storedir> <w1,w2,...> <docs> <facetcol> <outdir>
+           |           textfacetrange <storedir> <w1,w2,...> <docs> <numcol> <b0,b1,...> <outdir>
+           |           textfacettop <storedir> <w1,w2,...> <docs> <facetcol> <k> <outdir>
            |           textbm25f <field:storedir:boost:b;...> <w1,w2,...> <k> <outdir>
            |           textbm25fbatch <field:storedir:boost:b;...> <w1,w2|w3,w4|...> <k> <outdir>
            |           textfacetsbatch <storedir> <w1,w2;w3;...> <docs> <facetcol> <outdir>
@@ -2812,6 +2823,33 @@ object GraftCli {
       .write.mode("overwrite").parquet(out)
     println(s"${queries.size} facet queries (one batched serve) by " +
       s"$facetCol: ${spark.read.parquet(out).count()} rows -> $out")
+    spark.stop()
+  }
+
+  private def textFacetRange(storeDir: String, terms: Seq[String],
+                             docs: String, numCol: String,
+                             bounds: Seq[Double], out: String): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.facetRangeCounts(spark, storeDir, terms,
+        spark.read.parquet(docs), "doc_id", numCol, bounds)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).orderBy(col("lo")).collect()
+      .foreach(r => println(s"[${r.get(0)}, ${r.get(1)})\t${r.get(2)}"))
+    println(s"range facets over [${terms.mkString(", ")}] by $numCol " +
+      s"-> $out")
+    spark.stop()
+  }
+
+  private def textFacetTop(storeDir: String, terms: Seq[String],
+                           docs: String, facetCol: String, k: Int,
+                           out: String): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.facetTopDocs(spark, storeDir, terms,
+        spark.read.parquet(docs), "doc_id", facetCol, k)
+      .write.mode("overwrite").parquet(out)
+    println(s"top-$k docs per $facetCol facet over " +
+      s"[${terms.mkString(", ")}]: " +
+      s"${spark.read.parquet(out).count()} rows -> $out")
     spark.stop()
   }
 

@@ -1788,6 +1788,102 @@ object TextIndex {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("facet"))
 
+  /** Numeric RANGE facets (Solr's `facet.range`): the conjunctive
+    * match set bucketed into `[lo, hi)` ranges over a numeric corpus
+    * column. Every requested range appears in the output — zero-count
+    * included (Solr parity); values outside
+    * `[bounds.head, bounds.last)` fall out. The ranges are a handful
+    * of driver literals, so the bucketing theta-join broadcasts them
+    * over the match set; the facet aggregate is
+    * partial-before-shuffle. Returns (lo, hi, n_docs) by lo. */
+  def facetRangeCounts(spark: SparkSession, storeDir: String,
+                       terms: Seq[String], corpus: DataFrame,
+                       idCol: String, numCol: String,
+                       bounds: Seq[Double]): DataFrame = {
+    require(bounds.size >= 2, "need at least one range (two bounds)")
+    require(bounds.zip(bounds.tail).forall { case (a, b) => a < b },
+      "range bounds must be strictly increasing")
+    import spark.implicits._
+    val ranges = bounds.zip(bounds.tail).toDF("lo", "hi")
+    val counts = corpus
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(numCol).cast("double").as("v"))
+      .join(containingAllMatches(spark, storeDir, terms), Seq("doc_id"))
+      .join(broadcast(ranges), col("v") >= col("lo") && col("v") < col("hi"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_docs"))
+    ranges.join(counts, Seq("lo", "hi"), "left")
+      .select(col("lo"), col("hi"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("lo"))
+  }
+
+  /** Per-facet TOP-K documents (Solr grouping / field collapse): the
+    * conjunctive match set ranked by its FULL BM25 score over the
+    * query terms, k best per facet. The per-facet ranking rides the
+    * bounded [[graft.functions.TopK]] aggregator (k tuples per task,
+    * map-side partial — a hot facet never funnels its whole match set
+    * through one sort), with the rank recomputed over the k-bounded
+    * survivors for the output. Scoring inputs (df, n, avgdl) are
+    * [[topK]]'s exactly, so a doc's score here equals its score in
+    * the plain ranked serve. Returns (facet, rnk, doc_id, score) by
+    * (facet, rnk). */
+  def facetTopDocs(spark: SparkSession, storeDir: String,
+                   terms: Seq[String], corpus: DataFrame, idCol: String,
+                   facetCol: String, k: Int, k1: Double = 1.2,
+                   b: Double = 0.75): DataFrame = {
+    require(k >= 1, "need at least one slot per facet")
+    import spark.implicits._
+    def empty() = corpus.select(col(facetCol).as("facet")).limit(0)
+      .withColumn("rnk", lit(0))
+      .withColumn("doc_id", lit(0L)).withColumn("score", lit(0.0))
+    val distinct = terms.distinct
+    val live = readTermFilter(spark, storeDir)
+      .fold(distinct)(bits => presentTerms(spark, distinct, bits))
+    // conjunctive semantics: a provably-absent term empties the match
+    // set before any bucket opens
+    if (live.size < distinct.size) return empty()
+    val (n, sdl, nb) = readStats(spark, storeDir)
+    val buckets = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tf = minusTombstones(spark, storeDir,
+      spark.read.parquet(storeDir)
+        .filter(col("tb").isin(buckets: _*))
+        .filter(col("w").isin(live: _*)))
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
+    // [[topK]]'s scoring expressions, verbatim
+    val scores = tf.join(broadcast(dfT), Seq("w"))
+      .withColumn("idf", round(
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 6))
+      .withColumn("c", round(
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / avgdl)),
+        6).cast("decimal(28,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("facet"))
+      .orderBy(col("score").desc, col("doc_id"))
+    corpus.select(col(idCol).cast("long").as("doc_id"),
+        col(facetCol).as("facet"))
+      .join(containingAllMatches(spark, storeDir, terms), Seq("doc_id"))
+      .join(scores, Seq("doc_id"))
+      .groupBy(col("facet"))
+      .agg(graft.functions.TopK.top_k(k)(col("doc_id"), col("score"))
+        .as("hits"))
+      .select(col("facet"), explode(col("hits")).as("hit"))
+      .select(col("facet"), col("hit._1").as("doc_id"),
+        col("hit._2").as("score"))
+      // the rank window runs over k-bounded survivors per facet, not
+      // the raw match set
+      .withColumn("rnk", row_number().over(wr))
+      .select(col("facet"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy(col("facet"), col("rnk"))
+  }
+
   /** BATCHED conjunctive containment — [[containingAll]] for a whole
     * query FRAME `(idCol, termsCol: array<string>)`, served in ONE
     * job; per query the rows are identical to the per-query serve.

@@ -6590,6 +6590,84 @@ object Pipeline {
       |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
       |FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin
 
+  // --------------------------------------------------------------- q273
+  // Numeric RANGE facets (Solr facet.range): the conjunctive match
+  // set bucketed into [lo, hi) ranges over the corpus's n_chars —
+  // every requested range in the output, zero-count included, values
+  // outside the outer bounds dropped. The ranges broadcast as a
+  // literal frame over the match set; counts aggregate partial-first.
+  private def q273FacetRange(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q273", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.facetRangeCounts(s, out, Seq("join", "merge"), docs,
+      "doc_id", "n_chars", Seq(0.0, 150.0, 300.0, 450.0, 2000.0, 9000.0))
+  }
+
+  private val q273Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |m AS (SELECT doc_id FROM (
+      |    SELECT doc_id, COUNT(DISTINCT w) AS c FROM
+      |      (SELECT doc_id, unnest(toks) AS w FROM base)
+      |    WHERE w IN ('join', 'merge') GROUP BY doc_id)
+      |  WHERE c = 2),
+      |ranges(lo, hi) AS (SELECT * FROM (VALUES
+      |  (0.0, 150.0), (150.0, 300.0), (300.0, 450.0),
+      |  (450.0, 2000.0), (2000.0, 9000.0))),
+      |cnt AS (SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents JOIN m USING (doc_id)
+      |  JOIN ranges ON CAST(n_chars AS DOUBLE) >= lo
+      |             AND CAST(n_chars AS DOUBLE) < hi
+      |  GROUP BY 1, 2)
+      |SELECT ranges.lo, ranges.hi, COALESCE(cnt.n_docs, 0) AS n_docs
+      |FROM ranges LEFT JOIN cnt USING (lo, hi) ORDER BY ranges.lo""".stripMargin
+
+  // --------------------------------------------------------------- q274
+  // Per-facet TOP-K docs (Solr grouping / field collapse): the
+  // conjunctive match set ranked by its full BM25 score, 3 best per
+  // lang facet — per-facet ranking through the bounded TopK
+  // aggregator (a hot facet never funnels its match set through one
+  // sort), rank recomputed over the k-bounded survivors. Scores equal
+  // the plain ranked serve's (same df/n/avgdl inputs), which the
+  // oracle replays.
+  private def q274FacetTopDocs(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q274", dir)
+    val docs = t(s, dir, "documents")
+    TextIndex.build(docs, "doc_id", "text", out, nBuckets = 8,
+      filesPerBucket = 2)
+    TextIndex.facetTopDocs(s, out, Seq("join", "merge"), docs,
+      "doc_id", "lang", 3)
+  }
+
+  private val q274Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+      |m AS (SELECT doc_id FROM (
+      |    SELECT doc_id, COUNT(DISTINCT w) AS c FROM
+      |      (SELECT doc_id, unnest(toks) AS w FROM base)
+      |    WHERE w IN ('join', 'merge') GROUP BY doc_id)
+      |  WHERE c = 2),
+      |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN ('join', 'merge') GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |contrib AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf JOIN df USING (w) CROSS JOIN stats),
+      |sc AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+      |  FROM contrib GROUP BY doc_id),
+      |rk AS (SELECT lang AS facet, doc_id, score, row_number() OVER (
+      |    PARTITION BY lang ORDER BY score DESC, doc_id) AS rnk
+      |  FROM documents JOIN m USING (doc_id) JOIN sc USING (doc_id))
+      |SELECT facet, CAST(rnk AS INT) AS rnk, doc_id, score
+      |FROM rk WHERE rnk <= 3 ORDER BY facet, rnk""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -7464,6 +7542,8 @@ object Pipeline {
     "q270_wildphrase_batch" -> q270WildPhraseBatch _,
     "q271_bm25f_positional" -> q271Bm25fPositional _,
     "q272_suffix_rank" -> q272SuffixRank _,
+    "q273_facet_range" -> q273FacetRange _,
+    "q274_facet_topdocs" -> q274FacetTopDocs _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7744,6 +7824,8 @@ object Pipeline {
     "q270_wildphrase_batch" -> q270Sql,
     "q271_bm25f_positional" -> q271Sql,
     "q272_suffix_rank" -> q272Sql,
+    "q273_facet_range" -> q273Sql,
+    "q274_facet_topdocs" -> q274Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -1013,6 +1013,58 @@ class TextIndexSpec extends SparkSpec {
       "facets must count only surviving matches")
   }
 
+  test("range facets emit every requested bucket (zeros included); " +
+      "per-facet top-k ranks with the plain serve's exact scores") {
+    val dir = tmp("facetx")
+    TextIndex.build(docs, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 2)
+    val meta = docs
+      .withColumn("cat", concat(lit("c"), (col("doc_id") % 3).cast("string")))
+      .withColumn("len", length(col("text")).cast("long"))
+    val terms = Seq("alpha", "beta")
+    val matchSet = docs.filter(terms.map(t =>
+        array_contains(split(col("text"), "\\s+"), t)).reduce(_ && _))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(matchSet.nonEmpty, "test setup: matches must exist")
+    // range facets vs driver-side recompute, zero buckets included
+    val bounds = Seq(0.0, 30.0, 60.0, 100.0, 10000.0)
+    val lens = meta.filter($"doc_id".isin(matchSet.toSeq: _*))
+      .select($"len").as[Long].collect().toSeq
+    val want = bounds.zip(bounds.tail).map { case (lo, hi) =>
+      (lo, hi, lens.count(v => v >= lo && v < hi).toLong)
+    }
+    val gotR = TextIndex.facetRangeCounts(spark, dir, terms, meta,
+        "doc_id", "len", bounds)
+      .as[(Double, Double, Long)].collect().toSeq
+    assert(gotR == want, s"range facets must match the recompute: $gotR")
+    assert(gotR.map(_._3).sum == matchSet.size.toLong,
+      "test setup: the outer bounds must cover every match")
+    assert(gotR.exists(_._3 == 0L),
+      "test setup: some bucket must be empty to pin the zero rows")
+    // per-facet top-k: scores equal the plain serve's, ranks per facet
+    val scores = rows(TextIndex.topK(spark, dir, terms, 1000))
+      .map(r => r._1 -> r._3).toMap
+    val wantTop = meta.filter($"doc_id".isin(matchSet.toSeq: _*))
+      .select($"doc_id", $"cat").as[(Long, String)].collect().toSeq
+      .map { case (id, cat) => (cat, id, scores(id)) }
+      .groupBy(_._1).toSeq.flatMap { case (cat, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(2).zipWithIndex
+          .map { case ((c, id, s), i) => (c, i + 1, id, s) }
+      }.sortBy(r => (r._1, r._2))
+    val gotTop = TextIndex.facetTopDocs(spark, dir, terms, meta,
+        "doc_id", "cat", 2)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(gotTop == wantTop,
+      s"per-facet top-k must rank the plain serve's scores: $gotTop")
+    // conjunctive: an absent term empties both extensions
+    assert(TextIndex.facetTopDocs(spark, dir, Seq("alpha", "qqzz"),
+      meta, "doc_id", "cat", 2).isEmpty)
+    assert(TextIndex.facetRangeCounts(spark, dir, Seq("alpha", "qqzz"),
+        meta, "doc_id", "len", bounds)
+      .as[(Double, Double, Long)].collect().forall(_._3 == 0L),
+      "absent term: every range bucket must be zero")
+  }
+
   test("bm25f == scan-path recompute; deletes compose; mismatched " +
       "field corpora refuse") {
     val dirA = tmp("bm25fa")
