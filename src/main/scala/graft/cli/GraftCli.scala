@@ -339,6 +339,9 @@ object GraftCli {
       textVocab(storeDir)
     case "textblockmax" :: storeDir :: Nil =>
       textBlockmax(storeDir)
+    case "textquerysharded" :: shards :: terms :: k :: out :: Nil =>
+      textQuerySharded(shards.split(";").toSeq.filter(_.nonEmpty),
+        terms.split(",").toSeq.filter(_.nonEmpty), k.toInt, out)
     case "textqueryp" :: storeDir :: terms :: k :: out :: Nil =>
       textQueryPruned(storeDir, terms.split(",").toSeq.filter(_.nonEmpty),
         k.toInt, out)
@@ -540,6 +543,7 @@ object GraftCli {
            |           textvocab <storedir>
            |           textblockmax <storedir>
            |           textqueryp <storedir> <w1,w2,...> <k> <outdir>
+           |           textquerysharded <dir1;dir2;...> <w1,w2,...> <k> <outdir>
            |           textlmrankp <storedir> <w1,w2,...> <k> <outdir> [mu]
            |           textquerypbatch <storedir> <w1,w2;w3,w4;...> <k> <outdir>
            |           textwildcard <storedir> <prefix> <k> <outdir> [max_terms]
@@ -2633,6 +2637,17 @@ object GraftCli {
     graft.operators.TextIndex.buildBlockStats(spark, storeDir)
     println(s"_blockmax sidecar built for $storeDir; appends maintain " +
       "it from now on (textqueryp serves block-max pruned)")
+    spark.stop()
+  }
+
+  private def textQuerySharded(shards: Seq[String], terms: Seq[String],
+                               k: Int, out: String): Unit = {
+    val spark = GraftSession.local()
+    graft.operators.TextIndex.topKSharded(spark, shards, terms, k)
+      .write.mode("overwrite").parquet(out)
+    println(s"BM25[${terms.mkString(", ")}] scatter-gather over " +
+      s"${shards.size} shards (global-df contract): " +
+      s"${spark.read.parquet(out).count()} hits -> $out")
     spark.stop()
   }
 

@@ -3044,6 +3044,84 @@ object TextIndex {
     topKBatch(spark, storeDir, expanded, "query_id", "terms", k, k1, b)
   }
 
+  /** SCATTER-GATHER BM25 across N store SHARDS — the serve topology a
+    * 100 TB deployment actually runs: the corpus is document-
+    * partitioned into many stores (per tenant / time window / ingest
+    * line), and one query must rank across all of them.
+    *
+    * IDF-CONSISTENCY CONTRACT: scores use GLOBAL statistics — df(w) =
+    * Σ per-shard df, n = Σ nᵢ, avgdl from Σ Σdlᵢ — so the answer is
+    * bit-identical to [[topK]] over ONE store holding the union
+    * (which is what the oracle replays). The tempting alternative
+    * (each shard ranks with its own local df) is rejected: a doc's
+    * score would depend on WHICH shard it landed in, re-sharding
+    * would reorder results, and cross-shard ranks would not compose.
+    * The price of the global contract is one terms-sized df exchange
+    * — nothing corpus-shaped moves.
+    *
+    * Plan shape: per shard, the standard three-layer prune (its OWN
+    * term bits, bucket partitions, w-zones, tombstone mask); the
+    * per-shard df counts union into one terms-sized global df frame
+    * (broadcast); each shard then scores ITS matching docs with the
+    * global constants and keeps only its top-k
+    * (TakeOrderedAndProject — a doc lives in exactly one shard, so
+    * the global top-k is the top-k of the per-shard top-k union; a
+    * k-bounded gather, never a doc-set gather). Shards must partition
+    * the corpus by document: a doc_id present in two shards would
+    * rank as two independent docs, exactly as it would double-count
+    * in one store. */
+  def topKSharded(spark: SparkSession, shardDirs: Seq[String],
+                  terms: Seq[String], k: Int, k1: Double = 1.2,
+                  b: Double = 0.75): DataFrame = {
+    require(shardDirs.nonEmpty, "need at least one shard")
+    require(terms.nonEmpty, "need at least one query term")
+    import spark.implicits._
+    val stats = shardDirs.map(d => readStats(spark, d))
+    val n = stats.map(_._1).sum
+    val sdl = stats.map(_._2).sum
+    val reads = shardDirs.zip(stats).flatMap { case (dir, (_, _, nb)) =>
+      val live = readTermFilter(spark, dir)
+        .fold(terms)(bits => presentTerms(spark, terms, bits))
+      if (live.isEmpty) None
+      else {
+        val buckets = live.toDF("w")
+          .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        Some(minusTombstones(spark, dir,
+          spark.read.parquet(dir)
+            .filter(col("tb").isin(buckets: _*))
+            .filter(col("w").isin(live: _*))
+            .select(col("doc_id"), col("w"), col("tf"), col("dl"))))
+      }
+    }
+    if (reads.isEmpty) return emptyTopK(spark, shardDirs.head)
+    // global df: per-shard terms-sized counts, one union, one sum —
+    // the only cross-shard exchange, and it is terms-sized
+    val dfT = reads.map(_.groupBy(col("w")).agg(count(lit(1)).as("df")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("w")).agg(sum(col("df")).as("df"))
+    val bdf = broadcast(dfT)
+    val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
+    val perShard = reads.map { tf =>
+      tf.join(bdf, Seq("w"))
+        .withColumn("idf", round(
+          log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)),
+          6))
+        .withColumn("c", round(
+          col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl") / avgdl)),
+          6).cast("decimal(28,6)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("c")).cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+    }
+    perShard.reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   // ------------------------------------------------------------------
   // BLOCK-MAX dynamic pruning (Ding & Suel's block-max WAND / Lucene's
   // MaxScore, re-expressed for a file-blocked store). [[topK]] scores

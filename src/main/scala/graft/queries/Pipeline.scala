@@ -6668,6 +6668,46 @@ object Pipeline {
       |SELECT facet, CAST(rnk AS INT) AS rnk, doc_id, score
       |FROM rk WHERE rnk <= 3 ORDER BY facet, rnk""".stripMargin
 
+  // --------------------------------------------------------------- q275
+  // SHARD-SCATTER BM25: the corpus document-partitioned into three
+  // stores (the 100 TB serve topology — per tenant / time window /
+  // ingest line), one query ranked across all of them under the
+  // GLOBAL-df contract: df/n/avgdl sum across shards, so the answer
+  // hash-matches ONE store over the union (the oracle's plain BM25) —
+  // re-sharding can never reorder results. The only cross-shard
+  // exchange is the terms-sized df union; each shard gathers only its
+  // k-bounded top (a doc lives in one shard). The in-plan budget pins
+  // the per-shard 2-pass probed-bucket shape.
+  private def q275ShardedRank(s: SparkSession, dir: String): DataFrame = {
+    val outs = Seq(scratch("q275a", dir), scratch("q275b", dir),
+      scratch("q275c", dir))
+    val docs = t(s, dir, "documents")
+    outs.zipWithIndex.foreach { case (out, i) =>
+      TextIndex.build(docs.filter(col("doc_id") % 3 === i), "doc_id",
+        "text", out, nBuckets = 8, filesPerBucket = 2)
+    }
+    val terms = Seq("vector", "stream", "window")
+    val res = TextIndex.topKSharded(s, outs, terms, 15)
+    import s.implicits._
+    val probed = terms.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val budget = outs.map { out =>
+      val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out)
+      val inProbed =
+        allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+      require(inProbed < allFiles.size,
+        "test setup: some bucket must stay unprobed")
+      inProbed
+    }.sum
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= 2L * budget,
+      s"the scatter must stay inside every shard's probed buckets " +
+        s"(2 passes x $budget files)")
+    res
+  }
+
+  private val q275Sql = bm25Sql(Seq("vector", "stream", "window"), 15)
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -7544,6 +7584,7 @@ object Pipeline {
     "q272_suffix_rank" -> q272SuffixRank _,
     "q273_facet_range" -> q273FacetRange _,
     "q274_facet_topdocs" -> q274FacetTopDocs _,
+    "q275_sharded_rank" -> q275ShardedRank _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7826,6 +7867,7 @@ object Pipeline {
     "q272_suffix_rank" -> q272Sql,
     "q273_facet_range" -> q273Sql,
     "q274_facet_topdocs" -> q274Sql,
+    "q275_sharded_rank" -> q275Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -1013,6 +1013,41 @@ class TextIndexSpec extends SparkSpec {
       "facets must count only surviving matches")
   }
 
+  test("sharded scatter-gather == one store over the union: global-df " +
+      "contract, mixed layouts, per-shard tombstones compose") {
+    val shards = Seq(tmp("shard0"), tmp("shard1"), tmp("shard2"))
+    val parts = Seq(
+      docs.filter($"doc_id" % 3 === 0),
+      docs.filter($"doc_id" % 3 === 1),
+      docs.filter($"doc_id" % 3 === 2))
+    // mixed layouts and bucket counts: the contract is per-document
+    // partitioning, not layout homogeneity
+    TextIndex.build(parts(0), "doc_id", "text", shards(0), nBuckets = 4,
+      filesPerBucket = 2)
+    TextIndex.buildPositional(parts(1), "doc_id", "text", shards(1),
+      nBuckets = 2)
+    TextIndex.build(parts(2), "doc_id", "text", shards(2), nBuckets = 8)
+    val whole = tmp("whole")
+    TextIndex.build(docs, "doc_id", "text", whole, nBuckets = 4,
+      filesPerBucket = 2)
+    val terms = Seq("alpha", "kappa", "mu")
+    for (k <- Seq(1, 5, 10, 25)) {
+      assert(rows(TextIndex.topKSharded(spark, shards, terms, k)) ==
+        rows(TextIndex.topK(spark, whole, terms, k)),
+        s"k=$k: sharded must equal the one-store union serve")
+    }
+    // a delete on ONE shard == the same delete on the union store
+    val doomed = docs.filter($"doc_id" % 6 === 0).select($"doc_id")
+    assert(TextIndex.delete(spark, shards(0), doomed, "doc_id") > 0L)
+    assert(TextIndex.delete(spark, whole, doomed, "doc_id") > 0L)
+    assert(rows(TextIndex.topKSharded(spark, shards, terms, 10)) ==
+      rows(TextIndex.topK(spark, whole, terms, 10)),
+      "per-shard tombstones must keep the global stats exact")
+    // absent terms: empty, no shard probed beyond its bits
+    assert(rows(TextIndex.topKSharded(spark, shards, Seq("qqzz"), 5))
+      .isEmpty)
+  }
+
   test("range facets emit every requested bucket (zeros included); " +
       "per-facet top-k ranks with the plain serve's exact scores") {
     val dir = tmp("facetx")
