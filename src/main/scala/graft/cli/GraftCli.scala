@@ -364,6 +364,12 @@ object GraftCli {
       textQueryPrunedBatch(storeDir,
         queries.split(";").toSeq.filter(_.nonEmpty)
           .map(_.split(",").toSeq.filter(_.nonEmpty)), k.toInt, out)
+    case "textlmrankpbatch" :: storeDir :: queries :: k :: out :: rest
+        if rest.size <= 1 =>
+      textLmRankPrunedBatch(storeDir,
+        queries.split(";").toSeq.filter(_.nonEmpty)
+          .map(_.split(",").toSeq.filter(_.nonEmpty)), k.toInt,
+        rest.headOption.map(_.toDouble).getOrElse(2000.0), out)
     case "textwildcard" :: storeDir :: prefix :: k :: out :: rest
         if rest.size <= 1 =>
       textWildcard(storeDir, prefix, k.toInt,
@@ -546,6 +552,7 @@ object GraftCli {
            |           textquerysharded <dir1;dir2;...> <w1,w2,...> <k> <outdir>
            |           textlmrankp <storedir> <w1,w2,...> <k> <outdir> [mu]
            |           textquerypbatch <storedir> <w1,w2;w3,w4;...> <k> <outdir>
+           |           textlmrankpbatch <storedir> <w1,w2;w3,w4;...> <k> <outdir> [mu]
            |           textwildcard <storedir> <prefix> <k> <outdir> [max_terms]
            |           textsuffix <storedir> <suffix> <k> <outdir> [max_terms]  (leading wildcard *fix)
            |           textwildcardbatch <storedir> <prefix;prefix;...> <k> <outdir> [max_terms]
@@ -2704,6 +2711,21 @@ object GraftCli {
     println(s"LM-Dirichlet[${terms.mkString(", ")}] mu=$mu block-max " +
       s"pruned (${pruneNote()}): ${spark.read.parquet(out).count()} " +
       s"hits -> $out")
+    spark.stop()
+  }
+
+  private def textLmRankPrunedBatch(storeDir: String,
+                                    queries: Seq[Seq[String]], k: Int,
+                                    mu: Double, out: String): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val q = queries.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toDF("query_id", "terms")
+    graft.operators.TextIndex.lmTopKPrunedBatch(spark, storeDir, q,
+      "query_id", "terms", k, mu).write.mode("overwrite").parquet(out)
+    println(s"LM-Dirichlet batch of ${queries.size} mu=$mu block-max " +
+      s"pruned (${pruneNote()}): ${spark.read.parquet(out).count()} " +
+      s"(query, doc) rows -> $out")
     spark.stop()
   }
 

@@ -3472,19 +3472,15 @@ object TextIndex {
     * union is provably sub-θ for its query (the single-serve theorem,
     * applied per query against the union's complement). Pending
     * tombstones delegate to [[topKBatch]]. */
-  def topKPrunedBatch(spark: SparkSession, storeDir: String,
-                      queries: DataFrame, idCol: String, termsCol: String,
-                      k: Int, k1: Double = 1.2,
-                      b: Double = 0.75): DataFrame = {
-    require(k >= 1, "need at least one result slot")
+  /** The batched prune prologue shared by the ranked batch serves:
+    * explode + Bloom-drop the query frame, heal sidecar coverage,
+    * and read the union terms' block rows. Left(empty frame) when no
+    * live (query, term) pair survives. */
+  private def prunedBatchFrames(spark: SparkSession, storeDir: String,
+                                queries: DataFrame, idCol: String,
+                                termsCol: String)
+      : Either[DataFrame, (DataFrame, DataFrame)] = {
     import spark.implicits._
-    lastPruneStats = None
-    if (readTombstones(spark, storeDir)
-          .exists(_.limit(1).count() > 0L)) {
-      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
-      return topKBatch(spark, storeDir, queries, idCol, termsCol, k, k1, b)
-    }
-    val (n, sdl, _) = readStats(spark, storeDir)
     val exploded = queries
       .select(col(idCol).cast("long").as("query_id"),
         explode(array_distinct(col(termsCol))).as("w"))
@@ -3494,12 +3490,12 @@ object TextIndex {
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .localCheckpoint()
     if (qt.limit(1).count() == 0L)
-      return spark.range(0).select(col("id").as("query_id"),
+      return Left(spark.range(0).select(col("id").as("query_id"),
         col("id").as("doc_id"), col("id").as("n_terms"),
-        col("id").cast("double").as("score"))
+        col("id").cast("double").as("score")))
     require(graft.sinks.HadoopSwap.exists(spark, blockmaxPath(storeDir)),
       s"$storeDir has no _blockmax sidecar — buildBlockStats() creates " +
-        "it; topKBatch() serves unpruned")
+        "it; the unpruned batch serves work without one")
     maybeExtendBlockStats(spark, storeDir)
     val liveFiles = graft.sinks.SkippingStore
       .listDataFileRelPaths(spark, storeDir)
@@ -3510,6 +3506,26 @@ object TextIndex {
         .join(broadcast(liveFiles.toDF("file")), Seq("file"), "left_semi")
         .localCheckpoint()
     }
+    Right((qt, bsDF))
+  }
+
+  def topKPrunedBatch(spark: SparkSession, storeDir: String,
+                      queries: DataFrame, idCol: String, termsCol: String,
+                      k: Int, k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame = {
+    require(k >= 1, "need at least one result slot")
+    lastPruneStats = None
+    if (readTombstones(spark, storeDir)
+          .exists(_.limit(1).count() > 0L)) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return topKBatch(spark, storeDir, queries, idCol, termsCol, k, k1, b)
+    }
+    val (n, sdl, _) = readStats(spark, storeDir)
+    val (qt, bsDF) =
+      prunedBatchFrames(spark, storeDir, queries, idCol, termsCol) match {
+        case Left(empty) => return empty
+        case Right(t) => t
+      }
     val dfFrame = broadcast(
       bsDF.groupBy(col("w")).agg(sum(col("cnt")).as("df")))
     val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
@@ -3523,6 +3539,56 @@ object TextIndex {
             (col("tf") + lit(k1) *
               (lit(1.0 - b) + lit(b) * col("dl") / avgdl)),
           6).cast("decimal(28,6)"))
+    prunedServeBatch(spark, storeDir, qt, k, bsDF, scoreOf)
+  }
+
+  /** Block-max-pruned BATCHED Dirichlet LM — [[lmTopKBatch]]'s rows
+    * through the distributed prune algebra: ctf from the sidecar's
+    * summed tf (zero data files), per-query floors for the negative
+    * length norm, shared probe read, survivor-union scan. Pending
+    * tombstones delegate. */
+  def lmTopKPrunedBatch(spark: SparkSession, storeDir: String,
+                        queries: DataFrame, idCol: String,
+                        termsCol: String, k: Int,
+                        mu: Double = 2000.0): DataFrame = {
+    require(k >= 1, "need at least one result slot")
+    require(mu > 0, "the Dirichlet pseudo-count must be positive")
+    lastPruneStats = None
+    if (readTombstones(spark, storeDir)
+          .exists(_.limit(1).count() > 0L)) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return lmTopKBatch(spark, storeDir, queries, idCol, termsCol, k, mu)
+    }
+    val (_, sdl, _) = readStats(spark, storeDir)
+    val (qt, bsDF) =
+      prunedBatchFrames(spark, storeDir, queries, idCol, termsCol) match {
+        case Left(empty) => return empty
+        case Right(t) => t
+      }
+    val ctfFrame = broadcast(
+      bsDF.groupBy(col("w")).agg(sum(col("sumtf")).as("ctf")))
+    def scoreOf(post: DataFrame): DataFrame =
+      post.join(ctfFrame, Seq("w"))
+        .withColumn("tfc", round(
+          log(lit(1.0) + col("tf").cast("double") * lit(sdl).cast("double") /
+            (lit(mu) * col("ctf").cast("double"))), 6)
+          .cast("decimal(28,6)"))
+        .withColumn("bg", round(
+          log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6)
+          .cast("decimal(28,6)"))
+        .withColumn("c", col("tfc") + col("bg"))
+    prunedServeBatch(spark, storeDir, qt, k, bsDF, scoreOf)
+  }
+
+  /** The distributed batched prune core (see [[topKPrunedBatch]]'s
+    * doc for the plan shape and [[prunedServe]]'s for the bound
+    * algebra, floors included). */
+  private def prunedServeBatch(spark: SparkSession, storeDir: String,
+                               qt: DataFrame, k: Int, bsDF: DataFrame,
+                               scoreOf: DataFrame => DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    val termsF = qt.select(col("w")).distinct()
     val cm = (col("c") * 1000000L).cast("long")
     val capsDF = scoreOf(bsDF.select(col("file"), col("w"),
         col("maxtf").as("tf"), col("mindl").as("dl")))

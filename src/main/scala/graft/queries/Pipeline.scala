@@ -6708,6 +6708,72 @@ object Pipeline {
 
   private val q275Sql = bm25Sql(Seq("vector", "stream", "window"), 15)
 
+  // --------------------------------------------------------------- q276
+  // BATCHED block-max pruned Dirichlet LM — the last ranked serve
+  // into the pruned family: ctf from the sidecar's summed tf, the
+  // distributed prune algebra with per-query floors for the negative
+  // length norm, one survivor-union read. Per-query rows
+  // bit-identical to the unpruned lmTopKBatch; the oracle replays
+  // q253's per-arm LM shape over the banded corpus.
+  private def q276PrunedLmBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q276", dir)
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val jtf = size(filter(toks, w => w === "join"))
+    val stf = size(filter(toks, w => w === "scan"))
+    val gtf = greatest(jtf, stf)
+    val dl = size(toks)
+    TextIndex.build(docs.filter(gtf >= 3), "doc_id", "text", out,
+      nBuckets = 8, filesPerBucket = 2)
+    TextIndex.buildBlockStats(s, out)
+    TextIndex.append(docs.filter(gtf.between(1, 2) && dl < 50),
+      "doc_id", "text", out, filesPerBucket = 2)
+    TextIndex.append(docs.filter(gtf === 0 || (gtf.between(1, 2)
+      && dl >= 50)), "doc_id", "text", out, filesPerBucket = 2)
+    import s.implicits._
+    val queries = Seq(
+      (0L, Seq("join")), (1L, Seq("scan")),
+      (2L, Seq("qqzznope"))).toDF("query_id", "terms")
+    val res = TextIndex.lmTopKPrunedBatch(s, out, queries,
+      "query_id", "terms", 5)
+    val st = TextIndex.lastPruneStats.get
+    require(!st.delegated && st.skipped > 0,
+      s"the banded corpus must skip under batched LM too: $st")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= st.survivors,
+      s"the final plan must read the survivor union only: $st")
+    res
+  }
+
+  private val q276Sql = {
+    val qs = Seq((0, Seq("join")), (1, Seq("scan")))
+    val armCtes = qs.map { case (qid, terms) =>
+      val inList = terms.map(w => s"'$w'").mkString(", ")
+      s"""tf$qid AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+         |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+         |  WHERE w IN ($inList) GROUP BY doc_id, dl, w),
+         |ctf$qid AS (SELECT w, CAST(SUM(tf) AS DOUBLE) AS ctf
+         |  FROM tf$qid GROUP BY w),
+         |sc$qid AS (SELECT doc_id,
+         |    CAST(round(ln(1.0e0 + CAST(tf AS DOUBLE) * csz
+         |      / (2000.0e0 * ctf)), 6) AS DECIMAL(28,6))
+         |    + CAST(round(ln(2000.0e0 / (CAST(dl AS DOUBLE) + 2000.0e0)), 6)
+         |        AS DECIMAL(28,6)) AS cc
+         |  FROM tf$qid JOIN ctf$qid USING (w) CROSS JOIN stats),
+         |top$qid AS (SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |    COUNT(*) AS n_terms, CAST(SUM(cc) AS DOUBLE) AS score
+         |  FROM sc$qid GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 5)""".stripMargin
+    }
+    val arms = qs.map { case (qid, _) => s"SELECT * FROM top$qid" }
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |           FROM documents),
+       |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) AS csz FROM b2),
+       |${armCtes.mkString(",\n")}
+       |${arms.mkString("\nUNION ALL ")}
+       |ORDER BY query_id, score DESC, doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -7585,6 +7651,7 @@ object Pipeline {
     "q273_facet_range" -> q273FacetRange _,
     "q274_facet_topdocs" -> q274FacetTopDocs _,
     "q275_sharded_rank" -> q275ShardedRank _,
+    "q276_pruned_lm_batch" -> q276PrunedLmBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7868,6 +7935,7 @@ object Pipeline {
     "q273_facet_range" -> q273Sql,
     "q274_facet_topdocs" -> q274Sql,
     "q275_sharded_rank" -> q275Sql,
+    "q276_pruned_lm_batch" -> q276Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

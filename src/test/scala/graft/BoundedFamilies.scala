@@ -117,7 +117,26 @@ object BoundedFamilies {
         // exact from the fields' probed postings
         "q263_bm25f" -> Set(Set("df", "w")),
         "q264_bm25f_batch" -> Set(Set("df", "w")),
+        // the block-max pruned serves inline the SIDECAR-derived df /
+        // ctf (exact on a tombstone-free store, still terms-sized);
+        // the batched form also broadcasts the union-terms frame into
+        // the sidecar read (query-terms-sized by construction)
+        "q266_pruned_rank" -> Set(Set("df", "w")),
+        "q267_pruned_multi" -> Set(Set("df", "w")),
+        "q268_pruned_lm" -> Set(Set("ctf", "w")),
+        "q269_pruned_batch" -> Set(Set("df", "w"), Set("w")),
+        // positional field stores serve the same BM25F df table
+        "q271_bm25f_positional" -> Set(Set("df", "w")),
+        // suffix expansion delegates to topK's terms-sized df table
+        "q272_suffix_rank" -> Set(Set("df", "w")),
+        // per-facet top-k ranks with topK's df table
+        "q274_facet_topdocs" -> Set(Set("df", "w")),
+        // the scatter-gather's GLOBAL df union — terms-sized, the
+        // only cross-shard exchange (idf-consistency contract)
+        "q275_sharded_rank" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
+        // the range-facet bucket list: a handful of driver literals
+        "q273_facet_range" -> Set(Set("lo", "hi")),
         "q71_mixture" -> Set(Set("lang", "rate")),
         "q85_curation_v2" -> Set(Set("lang", "rate")),
         "q96_semantic_dedup" -> Set(Set("cell", "rep_id", "rv")),

@@ -239,6 +239,14 @@ class TextPruneSpec extends SparkSpec {
       Seq((0L, Seq("x", "y"))).toDF("query_id", "terms"),
       "query_id", "terms", 5))
     assert(TextIndex.lastPruneStats.get.skipped > 0)
+    // the batched LM form: same frame, floors riding per query
+    for (k <- Seq(1, 5, 12)) {
+      assert(brows(TextIndex.lmTopKPrunedBatch(spark, dir, queries,
+          "query_id", "terms", k)) ==
+        brows(TextIndex.lmTopKBatch(spark, dir, queries,
+          "query_id", "terms", k)), s"LM batch k=$k")
+      assert(!TextIndex.lastPruneStats.get.delegated)
+    }
   }
 
   test("tombstones delegate; absent terms answer empty with no files") {
