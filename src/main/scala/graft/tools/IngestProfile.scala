@@ -91,6 +91,19 @@ object IngestProfile {
       TextIndex.append(docs.filter(col("doc_id") % 3 === 0), "doc_id",
         "text", dir, filesPerBucket = 2)
     })
+    // the block-max sidecar's opt-in price (q266 lifecycle):
+    // blockmax_build is one column-pruned pass over the written files,
+    // blockmax_extend covers only the append's new files — compare
+    // against the plain q223 arm; stores that never opt in pay one
+    // existence probe per append
+    runArm("build 2/3 + blockmax + append 1/3 (q266 shape)", () => {
+      val dir = tmp()
+      TextIndex.build(docs.filter(col("doc_id") % 3 =!= 0), "doc_id",
+        "text", dir, nBuckets = 8, filesPerBucket = 2)
+      TextIndex.buildBlockStats(spark, dir)
+      TextIndex.append(docs.filter(col("doc_id") % 3 === 0), "doc_id",
+        "text", dir, filesPerBucket = 2)
+    })
     spark.stop()
   }
 }

@@ -195,6 +195,48 @@ class TextIngestSpec extends SparkSpec {
     assert(vocabRows() == recompute(batchDf(0, 70)))
   }
 
+  test("streamed appends maintain the block-max sidecar: pruned serves " +
+      "stay exact mid-stream, torn coverage heals at serve time") {
+    val root = java.nio.file.Files.createTempDirectory("textbmx").toString
+    val dir = s"$root/store"
+    def check(terms: Seq[String], upto: Long): Unit = {
+      assert(rows(TextIndex.topKPruned(spark, dir, terms, 10)) ==
+        rows(Curation.bm25TopK(batchDf(0, upto), "doc_id", "text",
+          terms, 10)),
+        s"pruned serve must equal the scan answer at $upto docs")
+      assert(!TextIndex.lastPruneStats.get.delegated)
+    }
+    assert(StreamingMerge.applyTextBatch(batchDf(0, 30), 0L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    TextIndex.buildBlockStats(spark, dir)
+    assert(StreamingMerge.applyTextBatch(batchDf(30, 45), 1L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    check(Seq("oak", "fir"), 45)
+    // crash window: batch 2's data landed but the blockmax extension
+    // was lost — tear coverage down to batch 0/1's files, then the
+    // next pruned serve must re-cover (file-coverage heal) and stay
+    // exact
+    assert(StreamingMerge.applyTextBatch(batchDf(45, 60), 2L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    val live = graft.sinks.SkippingStore
+      .listDataFileRelPaths(spark, dir).toSet
+    val keep = spark.read.parquet(s"$dir/_blockmax")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .filter(t => live(t._1))
+    val torn = keep.take(keep.length / 2)
+    graft.sinks.HadoopSwap.deleteRecursive(spark, s"$dir/_blockmax")
+    torn.toSeq.toDF("file", "w", "cnt", "maxtf", "mindl", "maxdl",
+        "sumtf")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_blockmax")
+    check(Seq("cedar", "pine"), 60)
+    check(Seq("oak"), 60)
+    // replays add nothing (coverage-keyed idempotence)
+    assert(!StreamingMerge.applyTextBatch(batchDf(45, 60), 2L, dir,
+      nBuckets = 4, filesPerBucket = 2))
+    check(Seq("oak", "fir"), 60)
+  }
+
   test("compaction preserves gate markers and stats bids mid-stream") {
     val root = java.nio.file.Files.createTempDirectory("textcmp").toString
     val dir = s"$root/store"
