@@ -3122,6 +3122,110 @@ object TextIndex {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** [[topKSharded]] with per-shard BLOCK-MAX pruning — the two scale
+    * mechanisms compose: global statistics come from the shards'
+    * `_blockmax` sidecars (df = Σ per-shard sidecar df — ZERO data
+    * files for the global df pass, where [[topKSharded]] pays a
+    * per-shard counting read), and each shard then runs the full
+    * pruned serve ([[prunedServe]]: its own θ probe, caps against the
+    * GLOBAL idf, survivor-files-only scan) before the k-bounded
+    * gather. Exactness per shard follows from the single-store
+    * theorem with the global scoring expression; the global top-k is
+    * the top-k of per-shard tops as in the unpruned scatter. A shard
+    * with pending tombstones would make the GLOBAL df stale-high, so
+    * any pending tombstone delegates the whole serve to
+    * [[topKSharded]] (exact, unpruned) until compaction purges. */
+  def topKShardedPruned(spark: SparkSession, shardDirs: Seq[String],
+                        terms: Seq[String], k: Int, k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame = {
+    require(shardDirs.nonEmpty, "need at least one shard")
+    require(terms.nonEmpty, "need at least one query term")
+    require(k >= 1, "need at least one result slot")
+    import spark.implicits._
+    lastPruneStats = None
+    if (shardDirs.exists(d => readTombstones(spark, d)
+          .exists(_.limit(1).count() > 0L))) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return topKSharded(spark, shardDirs, terms, k, k1, b)
+    }
+    val stats = shardDirs.map(d => readStats(spark, d))
+    val n = stats.map(_._1).sum
+    val sdl = stats.map(_._2).sum
+    // per-shard live terms + block rows (sidecar-only so far)
+    val shardRows = shardDirs.map { dir =>
+      val live = readTermFilter(spark, dir)
+        .fold(terms)(bits => presentTerms(spark, terms, bits))
+      val bs = if (live.isEmpty) Seq.empty[BlockRow]
+        else readBlockRows(spark, dir, live)
+      (dir, live, bs)
+    }
+    if (shardRows.forall(_._3.isEmpty))
+      return emptyTopK(spark, shardDirs.head)
+    // GLOBAL df from the sidecars alone — the scatter's whole df pass
+    // costs zero data files
+    val dfMap: Map[String, Long] = shardRows.flatMap(_._3)
+      .groupBy(_.w).map { case (w, rs) => w -> rs.map(_.cnt).sum }
+    val dfFrame = broadcast(dfMap.toSeq.toDF("w", "df"))
+    val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
+    def scoreOf(post: DataFrame): DataFrame =
+      post.join(dfFrame, Seq("w"))
+        .withColumn("idf", round(
+          log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)),
+          6))
+        .withColumn("c", round(
+          col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl") / avgdl)),
+          6).cast("decimal(28,6)"))
+    // GLOBAL θ probe: every shard's per-term best-cap file, ONE union
+    // read, the k-th partial across ALL shards. Valid for every shard
+    // (the k-th of a superset dominates the global s_k's lower bound),
+    // and strictly stronger than shard-local probes — a shard holding
+    // only low-cap bands prunes against the DENSE shards' θ instead
+    // of its own weak one. BM25 contributions are non-negative, so no
+    // floor adjustment is owed here.
+    val probeByShard = shardRows.collect {
+      case (dir, live, bs) if bs.nonEmpty =>
+        val caps = scoreOf(bs.map(r => (r.file, r.w, r.maxtf, r.mindl))
+            .toDF("file", "w", "tf", "dl"))
+          .select(col("file"), col("w"), col("c")).collect()
+          .map(r => (r.getString(0), r.getString(1),
+            r.getDecimal(2).movePointRight(6).longValueExact()))
+        val files = caps.map(_._2).distinct.map { w =>
+          caps.filter(_._2 == w).maxBy(t => (t._3, t._1))._1
+        }.distinct.toSeq.sorted
+        (dir, live, files)
+    }
+    val probePartials = probeByShard.map { case (dir, live, files) =>
+      scoreOf(spark.read.option("basePath", dir)
+          .parquet(files.map(f => s"$dir/$f"): _*)
+          .filter(col("w").isin(live: _*)))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("s").desc, col("doc_id")).limit(k)
+      .select(col("s")).collect()
+    val thetaGlobal: Option[Long] =
+      if (probePartials.length < k) None
+      else Some(probePartials.last.getDecimal(0)
+        .movePointRight(6).longValueExact())
+    // per-shard pruned serves under the shared θ; the instrumentation
+    // ledger sums the shards' file counts so the caller sees the
+    // whole scatter's prune
+    var acc = PruneStats(0, 0, 0, thetaGlobal, delegated = false)
+    val perShard = shardRows.collect { case (dir, live, bs) if bs.nonEmpty =>
+      val served = prunedServe(spark, dir, live, k, bs, scoreOf,
+        sharedTheta = thetaGlobal)
+      lastPruneStats.foreach(s => acc = PruneStats(
+        acc.relevantFiles + s.relevantFiles,
+        acc.survivors + s.survivors,
+        acc.skipped + s.skipped, thetaGlobal, delegated = false))
+      served
+    }
+    lastPruneStats = Some(acc)
+    perShard.reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   // ------------------------------------------------------------------
   // BLOCK-MAX dynamic pruning (Ding & Suel's block-max WAND / Lucene's
   // MaxScore, re-expressed for a file-blocked store). [[topK]] scores
@@ -3217,8 +3321,11 @@ object TextIndex {
     * opted in. Only uncovered files are scanned, so the appended cost
     * stays the batch's; replays re-cover idempotently (rows are
     * unique per (file, w), and a lost extension is just uncovered
-    * files again). The fold drops rows of files a selective
-    * compaction replaced. */
+    * files again). Coverage is sound at FILE granularity because each
+    * extension lands as one atomic parquet job: a crash loses a data
+    * file's rows entirely (uncovered → healed here), never half of
+    * them — partial per-file coverage is physically unreachable. The
+    * fold drops rows of files a selective compaction replaced. */
   private[graft] def maybeExtendBlockStats(spark: SparkSession,
                                            dir: String): Unit = {
     val side = blockmaxPath(dir)
@@ -3296,9 +3403,15 @@ object TextIndex {
     * candidate's unseen term is absent from the doc or hiding in a
     * skipped file, its exact score is provably < θ. All comparisons
     * in micros-scaled integer math. */
+  /** `sharedTheta`: an EXTERNALLY-derived threshold (micros, floors
+    * already applied by the caller) that skips the local probe —
+    * [[topKShardedPruned]] passes the global cross-shard probe's k-th
+    * partial, which dominates any shard-local probe (the k-th of a
+    * superset). The caller owns its validity for the scorer. */
   private def prunedServe(spark: SparkSession, storeDir: String,
                           live: Seq[String], k: Int, bs: Seq[BlockRow],
-                          scoreOf: DataFrame => DataFrame): DataFrame = {
+                          scoreOf: DataFrame => DataFrame,
+                          sharedTheta: Option[Long] = None): DataFrame = {
     import spark.implicits._
     def micros(d: java.math.BigDecimal): Long =
       d.movePointRight(6).longValueExact()
@@ -3323,19 +3436,20 @@ object TextIndex {
     // θ probe: each term's best-cap file (ties by file name for
     // determinism); probe partials plus the floor adjustment lower-
     // bound the k-th exact score — fewer than k docs means no pruning
-    val probeFiles = capPlus.keys.map { w =>
-      caps.filter(_._2 == w).maxBy(t => (t._3, t._1))._1
-    }.toSeq.distinct.sorted
-    val thetaRows = scoreOf(
-        spark.read.option("basePath", storeDir)
-          .parquet(probeFiles.map(f => s"$storeDir/$f"): _*)
-          .filter(col("w").isin(live: _*)))
-      .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
-      .orderBy(col("s").desc, col("doc_id")).limit(k)
-      .select(col("s")).collect()
-    val theta: Option[Long] =
+    val theta: Option[Long] = sharedTheta.orElse {
+      val probeFiles = capPlus.keys.map { w =>
+        caps.filter(_._2 == w).maxBy(t => (t._3, t._1))._1
+      }.toSeq.distinct.sorted
+      val thetaRows = scoreOf(
+          spark.read.option("basePath", storeDir)
+            .parquet(probeFiles.map(f => s"$storeDir/$f"): _*)
+            .filter(col("w").isin(live: _*)))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(k)
+        .select(col("s")).collect()
       if (thetaRows.length < k) None
       else Some(micros(thetaRows.last.getDecimal(0)) + negAdjust)
+    }
     // survivor rule (strict skip): keep f iff ∃w in f:
     // max(cap(w,f),0) + restPlus(w) ≥ θ
     val survivors = theta.fold(relevantFiles)(t =>
@@ -3350,6 +3464,10 @@ object TextIndex {
       .map(_._2).distinct.toSeq
     lastPruneStats = Some(PruneStats(relevantFiles.size,
       survivors.size, skipped.size, theta, delegated = false))
+    // a LOCAL θ always keeps each term's best file, but a SHARED
+    // cross-shard θ can prove a whole weak shard sub-θ: the exact
+    // answer for this store is then empty
+    if (survivors.isEmpty) return emptyTopK(spark, storeDir)
     val scored = scoreOf(
       spark.read.option("basePath", storeDir)
         .parquet(survivors.map(f => s"$storeDir/$f"): _*)
@@ -3642,6 +3760,10 @@ object TextIndex {
     val skipped = relevant.filterNot(survivors.toSet).sorted
     lastPruneStats = Some(PruneStats(relevant.size, survivors.size,
       skipped.size, None, delegated = false))
+    if (survivors.isEmpty) // every query provably sub-θ everywhere
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_terms"),
+        col("id").cast("double").as("score"))
     // per-query unseen-mass terms: postings left OUTSIDE the union
     val outArr =
       if (skipped.isEmpty) null

@@ -6774,6 +6774,41 @@ object Pipeline {
        |ORDER BY query_id, score DESC, doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q277
+  // Sharding COMPOSES with block-max pruning: the q266 tf/dl bands
+  // become three SHARDS, global df sums from the shards' _blockmax
+  // sidecars (the scatter's whole df pass costs zero data files,
+  // where q275 pays a per-shard counting read), and each shard runs
+  // the full pruned serve against the GLOBAL idf before the k-bounded
+  // gather. Same oracle as q266 — the answer is ONE logical corpus
+  // however it is sharded or pruned.
+  private def q277ShardedPruned(s: SparkSession, dir: String): DataFrame = {
+    val outs = Seq(scratch("q277a", dir), scratch("q277b", dir),
+      scratch("q277c", dir))
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val jtf = size(filter(toks, w => w === "join"))
+    val dl = size(toks)
+    val bands = Seq(
+      docs.filter(jtf >= 3),
+      docs.filter(jtf.between(1, 2) && dl < 50),
+      docs.filter(jtf === 0 || (jtf.between(1, 2) && dl >= 50)))
+    outs.zip(bands).foreach { case (out, band) =>
+      TextIndex.build(band, "doc_id", "text", out, nBuckets = 8,
+        filesPerBucket = 2)
+      TextIndex.buildBlockStats(s, out)
+    }
+    val res = TextIndex.topKShardedPruned(s, outs, Seq("join"), 5)
+    val st = TextIndex.lastPruneStats.get
+    require(!st.delegated && st.skipped > 0,
+      s"the banded shards must skip under the global θ: $st")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= st.survivors,
+      s"the gathered plan must read survivor files only: $st")
+    res
+  }
+
+  private val q277Sql = bm25Sql(Seq("join"), 5)
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -7652,6 +7687,7 @@ object Pipeline {
     "q274_facet_topdocs" -> q274FacetTopDocs _,
     "q275_sharded_rank" -> q275ShardedRank _,
     "q276_pruned_lm_batch" -> q276PrunedLmBatch _,
+    "q277_sharded_pruned" -> q277ShardedPruned _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7936,6 +7972,7 @@ object Pipeline {
     "q274_facet_topdocs" -> q274Sql,
     "q275_sharded_rank" -> q275Sql,
     "q276_pruned_lm_batch" -> q276Sql,
+    "q277_sharded_pruned" -> q277Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

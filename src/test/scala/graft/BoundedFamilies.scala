@@ -125,6 +125,7 @@ object BoundedFamilies {
         "q267_pruned_multi" -> Set(Set("df", "w")),
         "q268_pruned_lm" -> Set(Set("ctf", "w")),
         "q269_pruned_batch" -> Set(Set("df", "w"), Set("w")),
+        "q276_pruned_lm_batch" -> Set(Set("ctf", "w"), Set("w")),
         // positional field stores serve the same BM25F df table
         "q271_bm25f_positional" -> Set(Set("df", "w")),
         // suffix expansion delegates to topK's terms-sized df table
@@ -134,6 +135,9 @@ object BoundedFamilies {
         // the scatter-gather's GLOBAL df union — terms-sized, the
         // only cross-shard exchange (idf-consistency contract)
         "q275_sharded_rank" -> Set(Set("df", "w")),
+        // sharding composed with pruning: the same global-df table,
+        // summed from the shards' sidecars
+        "q277_sharded_pruned" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         // the range-facet bucket list: a handful of driver literals
         "q273_facet_range" -> Set(Set("lo", "hi")),

@@ -249,6 +249,49 @@ class TextPruneSpec extends SparkSpec {
     }
   }
 
+  test("sharding composes with pruning: shardedPruned == sharded == " +
+      "one store over the union; per-shard skipping still happens") {
+    val (a, b, c) = skewDocs()
+    // shard 0 carries the cap VARIANCE (dense build + sparse append),
+    // shard 1 is the y band — pruning runs per shard against the
+    // GLOBAL df the sidecars sum to
+    val s0 = tmp("shp0")
+    val s1 = tmp("shp1")
+    TextIndex.build(a, "doc_id", "text", s0, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, s0)
+    TextIndex.append(b, "doc_id", "text", s0, filesPerBucket = 1)
+    TextIndex.build(c, "doc_id", "text", s1, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, s1)
+    val whole = tmp("shpw")
+    TextIndex.build(a.unionAll(b).unionAll(c), "doc_id", "text", whole,
+      nBuckets = 4, filesPerBucket = 1)
+    val shards = Seq(s0, s1)
+    var skippedTotal = 0
+    for (k <- Seq(1, 3, 5, 12)) {
+      val want = rows(TextIndex.topK(spark, whole, Seq("x", "y"), k))
+      assert(rows(TextIndex.topKShardedPruned(spark, shards,
+        Seq("x", "y"), k)) == want, s"k=$k vs one store")
+      val st = TextIndex.lastPruneStats.get
+      assert(!st.delegated)
+      skippedTotal += st.skipped
+      assert(rows(TextIndex.topKSharded(spark, shards,
+        Seq("x", "y"), k)) == want, s"k=$k unpruned scatter")
+    }
+    assert(skippedTotal > 0, "the banded shard must skip files")
+    // a pending tombstone on ANY shard delegates the whole scatter
+    // (global df from the sidecars would go stale-high)
+    assert(TextIndex.delete(spark, s1, Seq(36L).toDF("doc_id"),
+      "doc_id") == 1L)
+    assert(TextIndex.delete(spark, whole, Seq(36L).toDF("doc_id"),
+      "doc_id") == 1L)
+    assert(rows(TextIndex.topKShardedPruned(spark, shards,
+        Seq("x", "y"), 5)) ==
+      rows(TextIndex.topK(spark, whole, Seq("x", "y"), 5)))
+    assert(TextIndex.lastPruneStats.get.delegated)
+  }
+
   test("tombstones delegate; absent terms answer empty with no files") {
     val dir = tmp("delegate")
     val (a, b, _) = skewDocs()

@@ -213,9 +213,10 @@ class TextIngestSpec extends SparkSpec {
       nBuckets = 4, filesPerBucket = 2))
     check(Seq("oak", "fir"), 45)
     // crash window: batch 2's data landed but the blockmax extension
-    // was lost — tear coverage down to batch 0/1's files, then the
-    // next pruned serve must re-cover (file-coverage heal) and stay
-    // exact
+    // was lost — coverage tears by WHOLE FILES (each extension lands
+    // atomically as one parquet job; a crash loses it entirely, never
+    // half a file's rows), then the next pruned serve must re-cover
+    // (file-coverage heal) and stay exact
     assert(StreamingMerge.applyTextBatch(batchDf(45, 60), 2L, dir,
       nBuckets = 4, filesPerBucket = 2))
     val live = graft.sinks.SkippingStore
@@ -224,7 +225,11 @@ class TextIngestSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
       .filter(t => live(t._1))
-    val torn = keep.take(keep.length / 2)
+    val keepFiles = {
+      val fs = keep.map(_._1).distinct
+      fs.take(fs.length / 2).toSet
+    }
+    val torn = keep.filter(t => keepFiles(t._1))
     graft.sinks.HadoopSwap.deleteRecursive(spark, s"$dir/_blockmax")
     torn.toSeq.toDF("file", "w", "cnt", "maxtf", "mindl", "maxdl",
         "sumtf")
