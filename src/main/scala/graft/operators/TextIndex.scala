@@ -89,6 +89,15 @@ object TextIndex {
   private def ingestFlag(name: String): Boolean =
     !sys.env.get(name).orElse(Option(java.lang.System.getProperty(name)))
       .exists(_.equalsIgnoreCase("false"))
+
+  /** [[graft.tools.ServeProfile]]'s A/B attribution hook for the
+    * [[phraseSearchBatch]] covered-slots gate. UNLIKE the ingest
+    * flags this is NOT env-var/sysprop reachable: the row-count arm
+    * can false-match on stores carrying duplicate (doc_id, w) rows,
+    * so a stray environment variable must never be able to change a
+    * production serve's answers — only in-process profiler code
+    * (package-private) can flip it, and only around its own A/B. */
+  @volatile private[graft] var serveRowCountGate: Boolean = false
   private def dfSketchEnabled: Boolean =
     ingestFlag("GRAFT_INGEST_DFSKETCH")
   private def bitsObserveEnabled: Boolean =
@@ -2097,10 +2106,11 @@ object TextIndex {
       // set-semantics rule, applied to the slot index. The row-count
       // arm exists ONLY so ServeProfile can price the distinct gate
       // (answer-identical on churn-free stores, where no duplicate
-      // (doc_id, w) rows can exist) — the ingestFlag discipline: an
-      // A/B attribution switch, not a tuning surface.
+      // (doc_id, w) rows can exist) — reachable ONLY through the
+      // package-private [[serveRowCountGate]] the profiler sets
+      // in-process: an A/B attribution switch, not a tuning surface.
       .agg(
-        (if (ingestFlag("GRAFT_SERVE_DISTINCT_GATE"))
+        (if (!serveRowCountGate)
           countDistinct(col("i")) else count(lit(1))).as("nslots"),
         collect_list(col("shifted")).as("arrs"))
       .filter(col("nslots") === col("plen"))
@@ -2927,6 +2937,13 @@ object TextIndex {
     require(q.filter(exists(col("slots"),
         s => s.isNull || size(s) === 0)).limit(1).count() == 0L,
       "every slot needs at least one alternative term")
+    // a slot of [null] passes the size check but every alternative
+    // would drop post-explode — the query would silently answer empty
+    // instead of refusing like the single serve's per-slot require
+    require(q.filter(exists(col("slots"), s =>
+        size(org.apache.spark.sql.functions.filter(s,
+          a => a.isNotNull)) === 0)).limit(1).count() == 0L,
+      "every slot needs at least one NON-NULL alternative term")
     val pairs = q
       .select(col("query_id"), size(col("slots")).cast("long").as("plen"),
         posexplode(col("slots")).as(Seq("i", "alts")))
@@ -3134,7 +3151,15 @@ object TextIndex {
     * the top-k of per-shard tops as in the unpruned scatter. A shard
     * with pending tombstones would make the GLOBAL df stale-high, so
     * any pending tombstone delegates the whole serve to
-    * [[topKSharded]] (exact, unpruned) until compaction purges. */
+    * [[topKSharded]] (exact, unpruned) until compaction purges.
+    *
+    * PRECONDITION, soft: EVERY shard must carry a `_blockmax` sidecar
+    * (global df sums across all of them — one un-opted shard would
+    * leave its postings invisible to the df/cap algebra). A mixed
+    * fleet therefore delegates to [[topKSharded]] (exact, unpruned)
+    * rather than failing mid-scatter with a store-level error —
+    * the same delegation tombstones take; opt the stragglers in with
+    * [[buildBlockStats]] to restore the pruned path. */
   def topKShardedPruned(spark: SparkSession, shardDirs: Seq[String],
                         terms: Seq[String], k: Int, k1: Double = 1.2,
                         b: Double = 0.75): DataFrame = {
@@ -3144,7 +3169,10 @@ object TextIndex {
     import spark.implicits._
     lastPruneStats = None
     if (shardDirs.exists(d => readTombstones(spark, d)
-          .exists(_.limit(1).count() > 0L))) {
+          .exists(_.limit(1).count() > 0L)) ||
+        shardDirs.exists(d =>
+          !graft.sinks.HadoopSwap.exists(spark, blockmaxPath(d))) ||
+        shardDirs.exists(d => !tryEnsureBlockCoverage(spark, d))) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
       return topKSharded(spark, shardDirs, terms, k, k1, b)
     }
@@ -3328,6 +3356,7 @@ object TextIndex {
     * fold drops rows of files a selective compaction replaced. */
   private[graft] def maybeExtendBlockStats(spark: SparkSession,
                                            dir: String): Unit = {
+    import spark.implicits._
     val side = blockmaxPath(dir)
     graft.sinks.SidecarFold.restoreAside(spark, side)
     if (!graft.sinks.HadoopSwap.exists(spark, side)) return
@@ -3340,13 +3369,35 @@ object TextIndex {
       if (missing.nonEmpty)
         deriveBlockRows(spark, dir, missing)
           .coalesce(1).write.mode("append").parquet(side)
-      val liveSet = live.toSet
+      // the fold rewrite drops rows of replaced files through a
+      // LEFT-SEMI join against the live list (never a literal In —
+      // thousands of inlined file strings would bloat the plan at the
+      // store sizes this sidecar targets) and dedupes by (file, w):
+      // two serves racing the same heal can both land a coverage file,
+      // and duplicate rows would double-count cnt/df at read time.
+      // Duplicates are IDENTICAL rows (derived deterministically from
+      // the same data file), so keeping one is exact.
+      val liveDF = live.toDF("file")
       graft.sinks.SidecarFold.foldIfDecayed(spark, side,
         SidecarFoldThreshold)(
-        _.filter(col("file").isInCollection(liveSet)))
+        _.join(broadcast(liveDF), Seq("file"), "left_semi")
+          .dropDuplicates("file", "w"))
     }
     ()
   }
+
+  /** Serve-time coverage heal, TOLERANT of read-only mounts: a query
+    * against a store whose sidecar lags its data files tries to
+    * extend coverage (idempotent), but a failed WRITE — read-only
+    * filesystem, permissions, a dying disk — must degrade the serve
+    * to the unpruned path, not fail it. Returns false when coverage
+    * could not be ensured; callers delegate to the exact unpruned
+    * serve (an uncovered file's postings would be invisible to the
+    * cap algebra — pruning without full coverage is unsound). */
+  private def tryEnsureBlockCoverage(spark: SparkSession,
+                                     dir: String): Boolean =
+    try { maybeExtendBlockStats(spark, dir); true }
+    catch { case scala.util.control.NonFatal(_) => false }
 
   /** Instrumentation for the last [[topKPruned]] call — the ledger
     * specs and oracle rows use to prove files were actually skipped
@@ -3362,20 +3413,23 @@ object TextIndex {
   private[graft] final case class BlockRow(file: String, w: String,
     cnt: Long, maxtf: Long, mindl: Long, maxdl: Long, sumtf: Long)
 
-  /** Heal coverage, read the sidecar's rows for `live` terms, drop
-    * rows of files a selective compaction replaced. */
+  /** Read the sidecar's rows for `live` terms, drop rows of files a
+    * selective compaction replaced, and dedupe by (file, w) — racing
+    * serve-time heals can land duplicate coverage rows between folds,
+    * and summing cnt over duplicates would inflate df. Coverage must
+    * already be ensured by the caller ([[tryEnsureBlockCoverage]]). */
   private def readBlockRows(spark: SparkSession, storeDir: String,
                             live: Seq[String]): Seq[BlockRow] = {
     require(graft.sinks.HadoopSwap.exists(spark, blockmaxPath(storeDir)),
       s"$storeDir has no _blockmax sidecar — buildBlockStats() creates " +
         "it (appends maintain it from then on); unpruned serves work " +
         "without one")
-    maybeExtendBlockStats(spark, storeDir) // heal file coverage
     val liveFiles = graft.sinks.SkippingStore
       .listDataFileRelPaths(spark, storeDir).toSet
     graft.sinks.SidecarFold.withReadRetry() {
       spark.read.parquet(blockmaxPath(storeDir))
         .filter(col("w").isin(live: _*))
+        .dropDuplicates("file", "w")
         .select(col("file"), col("w"), col("cnt"), col("maxtf"),
           col("mindl"), col("maxdl"), col("sumtf"))
         .collect()
@@ -3512,6 +3566,12 @@ object TextIndex {
     val live = readTermFilter(spark, storeDir)
       .fold(terms)(bits => presentTerms(spark, terms, bits))
     if (live.isEmpty) return emptyTopK(spark, storeDir)
+    if (!tryEnsureBlockCoverage(spark, storeDir)) {
+      // read-only mount / failed heal write: pruning without full
+      // file coverage is unsound — serve exactly, unpruned
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return topK(spark, storeDir, terms, k, k1, b)
+    }
     val bs = readBlockRows(spark, storeDir, live)
     if (bs.isEmpty) return emptyTopK(spark, storeDir)
     // exact corpus df per term from the sidecar — zero data files
@@ -3557,6 +3617,10 @@ object TextIndex {
     val live = readTermFilter(spark, storeDir)
       .fold(terms)(bits => presentTerms(spark, terms, bits))
     if (live.isEmpty) return emptyTopK(spark, storeDir)
+    if (!tryEnsureBlockCoverage(spark, storeDir)) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return lmTopK(spark, storeDir, terms, k, mu)
+    }
     val bs = readBlockRows(spark, storeDir, live)
     if (bs.isEmpty) return emptyTopK(spark, storeDir)
     // exact collection term frequency from the sidecar's summed tf
@@ -3614,14 +3678,16 @@ object TextIndex {
     require(graft.sinks.HadoopSwap.exists(spark, blockmaxPath(storeDir)),
       s"$storeDir has no _blockmax sidecar — buildBlockStats() creates " +
         "it; the unpruned batch serves work without one")
-    maybeExtendBlockStats(spark, storeDir)
     val liveFiles = graft.sinks.SkippingStore
       .listDataFileRelPaths(spark, storeDir)
     val termsF = qt.select(col("w")).distinct()
+    // dedupe by (file, w): racing serve-time heals can land duplicate
+    // coverage rows between folds, and Σcnt over them would inflate df
     val bsDF = graft.sinks.SidecarFold.withReadRetry() {
       spark.read.parquet(blockmaxPath(storeDir))
         .join(broadcast(termsF), Seq("w"))
         .join(broadcast(liveFiles.toDF("file")), Seq("file"), "left_semi")
+        .dropDuplicates("file", "w")
         .localCheckpoint()
     }
     Right((qt, bsDF))
@@ -3635,6 +3701,10 @@ object TextIndex {
     lastPruneStats = None
     if (readTombstones(spark, storeDir)
           .exists(_.limit(1).count() > 0L)) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return topKBatch(spark, storeDir, queries, idCol, termsCol, k, k1, b)
+    }
+    if (!tryEnsureBlockCoverage(spark, storeDir)) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
       return topKBatch(spark, storeDir, queries, idCol, termsCol, k, k1, b)
     }
@@ -3674,6 +3744,10 @@ object TextIndex {
     lastPruneStats = None
     if (readTombstones(spark, storeDir)
           .exists(_.limit(1).count() > 0L)) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return lmTopKBatch(spark, storeDir, queries, idCol, termsCol, k, mu)
+    }
+    if (!tryEnsureBlockCoverage(spark, storeDir)) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
       return lmTopKBatch(spark, storeDir, queries, idCol, termsCol, k, mu)
     }

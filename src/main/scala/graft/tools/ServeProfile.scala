@@ -73,12 +73,15 @@ object ServeProfile {
     floor("phrase_batch distinct-slot gate ON (q236)")(() =>
       TextIndex.phraseSearchBatch(spark, dir, queries,
         "query_id", "phrase").count())
-    java.lang.System.setProperty("GRAFT_SERVE_DISTINCT_GATE", "false")
+    // package-private in-process hook — deliberately NOT an env var
+    // (a stray variable must never change production answers on
+    // churned stores; only this profiler flips it, around its own A/B)
+    TextIndex.serveRowCountGate = true
     try
       floor("phrase_batch row-count gate OFF (A/B)")(() =>
         TextIndex.phraseSearchBatch(spark, dir, queries,
           "query_id", "phrase").count())
-    finally java.lang.System.clearProperty("GRAFT_SERVE_DISTINCT_GATE")
+    finally TextIndex.serveRowCountGate = false
     spark.stop()
   }
 }

@@ -292,6 +292,54 @@ class TextPruneSpec extends SparkSpec {
     assert(TextIndex.lastPruneStats.get.delegated)
   }
 
+  test("racing-heal duplicate sidecar rows never inflate df: reads " +
+      "dedupe by (file, w) and the fold rewrite purges them") {
+    val dir = tmp("dup")
+    val (a, b, c) = skewDocs()
+    TextIndex.build(a, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, dir)
+    TextIndex.append(b, "doc_id", "text", dir, filesPerBucket = 1)
+    TextIndex.append(c, "doc_id", "text", dir, filesPerBucket = 1)
+    val want = rows(TextIndex.topK(spark, dir, Seq("x", "y"), 5))
+    assert(rows(TextIndex.topKPruned(spark, dir, Seq("x", "y"), 5)) ==
+      want)
+    // simulate two serves racing the same coverage heal: the whole
+    // sidecar lands again as a second append — every (file, w) row
+    // now exists twice; Σcnt without the read-side dedup would
+    // double df and move every idf
+    val side = s"$dir/_blockmax"
+    spark.read.parquet(side).write.mode("append").parquet(side)
+    assert(rows(TextIndex.topKPruned(spark, dir, Seq("x", "y"), 5)) ==
+      want, "duplicate coverage rows must not move answers")
+    assert(rows(TextIndex.topKPrunedBatch(spark, dir,
+        Seq((0L, Seq("x", "y"))).toDF("query_id", "terms"),
+        "query_id", "terms", 5)
+      .select($"doc_id", $"n_terms", $"score")) == want,
+      "the batched read path dedupes too")
+  }
+
+  test("a mixed fleet (one shard not opted into _blockmax) delegates " +
+      "the scatter instead of failing mid-serve") {
+    val (a, b, c) = skewDocs()
+    val s0 = tmp("mix0")
+    val s1 = tmp("mix1")
+    TextIndex.build(a.unionAll(b), "doc_id", "text", s0, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, s0)
+    TextIndex.build(c, "doc_id", "text", s1, nBuckets = 4,
+      filesPerBucket = 1) // never opted in
+    val whole = tmp("mixw")
+    TextIndex.build(a.unionAll(b).unionAll(c), "doc_id", "text", whole,
+      nBuckets = 4, filesPerBucket = 1)
+    assert(rows(TextIndex.topKShardedPruned(spark, Seq(s0, s1),
+        Seq("x", "y"), 5)) ==
+      rows(TextIndex.topK(spark, whole, Seq("x", "y"), 5)),
+      "the mixed fleet must still answer exactly")
+    assert(TextIndex.lastPruneStats.get.delegated,
+      "…through the unpruned scatter, not a store-level crash")
+  }
+
   test("tombstones delegate; absent terms answer empty with no files") {
     val dir = tmp("delegate")
     val (a, b, _) = skewDocs()

@@ -301,6 +301,14 @@ class TextVocabSpec extends SparkSpec {
         Seq((0L, Seq("*", "beta"))).toDF("query_id", "slots"),
         "query_id", "slots")
     }
+    // a slot of [null] must refuse loudly like the single serve's
+    // per-slot require — not silently answer empty
+    intercept[IllegalArgumentException] {
+      TextIndex.phraseSearchMultiBatch(spark, dir,
+        Seq((0L, Seq(Seq[String](null), Seq("beta"))))
+          .toDF("query_id", "slots"),
+        "query_id", "slots")
+    }
   }
 
   test("delete leaves vocab stale-high without moving served answers; " +
