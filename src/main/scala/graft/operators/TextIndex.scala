@@ -3870,4 +3870,267 @@ object TextIndex {
         col("hit._3").as("n_terms"), col("hit._2").as("score"))
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
+
+  // ------------------------------------------------------------------
+  // BLOCK-MAX pruning for the MULTI-FIELD serve (BM25F). The single-
+  // field algebra does not transfer verbatim: BM25F saturates the SUM
+  // of per-field length-normalized tfs
+  //   c(t,d) = round(idf(t) · wtf/(k1 + wtf), 6),
+  //   wtf(t,d) = Σ_f round(boost_f·tf/(1−b_f+b_f·dl_f/avgdl_f), 6)
+  // so a per-(field, file) cap bounds only ONE summand of wtf, and a
+  // doc straddling a skipped file of field f and survivor files of
+  // field f' is NOT observable as "unseen for t" the way a single-
+  // store candidate is. Three consequences shape [[bm25fTopKPruned]]:
+  //
+  //   1. CAPS fold across fields. For a file F of field f holding t:
+  //      capWtf(t,F) = capWtfp(t,f,F) + Σ_{f'≠f} capWtfpG(t,f'),
+  //      where capWtfp evaluates the field's own wtfp expression at
+  //      (maxtf, mindl) — monotone (boost ≥ 0, 0 ≤ b_f ≤ 1, dl ≥ 1),
+  //      so it bounds every posting of t-in-F; the other fields ride
+  //      their global per-field maxima. cap(t,F) then evaluates the
+  //      SHARED-saturation contribution at capWtf with idf at a df
+  //      LOWER bound (idf is decreasing in df; the any-field distinct
+  //      df is not derivable from per-field sidecars, but
+  //      df ≥ max_f df_f always — a per-field sidecar cnt).
+  //   2. θ comes from probe partials scored with idf at the df UPPER
+  //      bound (min(n, Σ_f df_f)) — partial wtf ≤ true wtf and
+  //      idf_lb ≤ idf, and the contribution is increasing in both, so
+  //      every probe partial lower-bounds the doc's true score and
+  //      the k-th partial lower-bounds s_k.
+  //   3. STRADDLERS drop by ORDER, not by detection. Skip rule: F is
+  //      skipped iff ∀t in F: cap(t,F) + Σ_{t'≠t} capG(t') < θ
+  //      (strict). Any doc with ANY posting in a skipped file then
+  //      has TRUE score < θ ≤ s_k; its survivor-computed score only
+  //      under-counts (missing wtf mass, monotone down), so computed
+  //      < θ too, while every true top-k doc is fully inside the
+  //      survivors (claim 1 applied contrapositively) and scores
+  //      EXACTLY. Sorting (score desc, doc_id) therefore yields the
+  //      true top-k rows bit-identically — no candidate filter is
+  //      needed, and none would be sound to base on observability.
+  //
+  // The one pass pruning cannot remove: the ANY-FIELD df must be
+  // exact for the surfaced scores (idf is not reconstructible from
+  // bounds), and a doc may carry t in several fields — so the serve
+  // keeps the unpruned serve's column-pruned (doc_id, w) df pass over
+  // the terms' buckets (the CHEAP pass: two columns, no decimal
+  // math). What pruning removes is the EXPENSIVE pass — the wide
+  // (doc_id, w, tf, dl) scoring read shrinks to survivor files only,
+  // which at 100 TB is where a title+body deployment actually pays.
+
+  /** Block-max-pruned BM25F — row-for-row identical to [[bm25fTopK]]
+    * (see the section contract above). Every field store must carry a
+    * `_blockmax` sidecar and be tombstone-free; otherwise the serve
+    * delegates to the exact unpruned [[bm25fTopK]] (the mixed-fleet /
+    * pending-tombstone discipline of [[topKShardedPruned]]).
+    * Monotonicity preconditions for the cap algebra: `boost ≥ 0`,
+    * `0 ≤ b_f ≤ 1`, `k1 > 0` — refused loudly, since a violated bound
+    * would prune unsoundly rather than answer wrong-but-visibly. */
+  def bm25fTopKPruned(spark: SparkSession,
+                      fields: Seq[(String, String, Double, Double)],
+                      terms: Seq[String], k: Int,
+                      k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "need at least one field store")
+    require(terms.nonEmpty, "need at least one query term")
+    require(k >= 1, "need at least one result slot")
+    require(k1 > 0, "k1 must be positive (saturation monotonicity)")
+    require(fields.forall { case (_, _, boost, bf) =>
+        boost >= 0 && bf >= 0 && bf <= 1 },
+      "caps are upper bounds only for boost >= 0 and 0 <= b_f <= 1")
+    import spark.implicits._
+    lastPruneStats = None
+    def delegate(): DataFrame = {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      bm25fTopK(spark, fields, terms, k, k1)
+    }
+    if (fields.exists { case (_, d, _, _) =>
+          readTombstones(spark, d).exists(_.limit(1).count() > 0L) } ||
+        fields.exists { case (_, d, _, _) =>
+          !graft.sinks.HadoopSwap.exists(spark, blockmaxPath(d)) } ||
+        fields.exists { case (_, d, _, _) =>
+          !tryEnsureBlockCoverage(spark, d) })
+      return delegate()
+    val distinct = terms.distinct
+    val stats = fields.map { case (f, dir, _, _) =>
+      f -> readStats(spark, dir)
+    }
+    val ns = stats.map(_._2._1).distinct
+    require(ns.size == 1,
+      s"field stores must hold the same corpus (n per field: " +
+        s"${stats.map { case (f, (nf, _, _)) => s"$f=$nf" }.mkString(", ")})")
+    val n = ns.head
+    // per-field live terms + sidecar rows (zero data files so far)
+    val fr = fields.zip(stats).map {
+      case ((f, dir, boost, bf), (_, (_, sdlF, nbF))) =>
+        val live = readTermFilter(spark, dir)
+          .fold(distinct)(bits => presentTerms(spark, distinct, bits))
+        val bs = if (live.isEmpty) Seq.empty[BlockRow]
+          else readBlockRows(spark, dir, live)
+        (f, dir, boost, bf, sdlF, nbF, live, bs)
+    }
+    if (fr.forall(_._8.isEmpty))
+      return spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_terms"), col("id").cast("double").as("score"))
+    def micros(d: java.math.BigDecimal): Long =
+      d.movePointRight(6).longValueExact()
+    // the field's own wtfp expression — caps evaluate the SAME tree at
+    // (maxtf, mindl), so bounds and served parts can never disagree on
+    // rounding
+    def wtfp(boost: Double, bf: Double, sdlF: Long) =
+      round(lit(boost) * col("tf") /
+          (lit(1.0 - bf) + lit(bf) * col("dl") /
+            round(lit(sdlF).cast("double") / lit(n), 6)), 6)
+        .cast("decimal(28,6)")
+    // per-(field, file, w) wtfp caps, in-plan over tiny frames
+    val wtfpCaps: Seq[(String, String, String, Long)] =
+      fr.flatMap { case (f, _, boost, bf, sdlF, _, _, bs) =>
+        if (bs.isEmpty) Nil
+        else bs.map(r => (r.file, r.w, r.maxtf, r.mindl))
+          .toDF("file", "w", "tf", "dl")
+          .select(col("file"), col("w"),
+            wtfp(boost, bf, sdlF).as("c")).collect()
+          .map(r => (f, r.getString(0), r.getString(1),
+            micros(r.getDecimal(2)))).toSeq
+      }
+    // per-(w, field) global wtfp maxima and per-w cross-field totals
+    val capWtfpG: Map[(String, String), Long] =
+      wtfpCaps.groupBy(t => (t._3, t._1))
+        .map { case (key, rs) => key -> rs.map(_._4).max }
+    val capWtfTotal: Map[String, Long] = capWtfpG.groupBy(_._1._1)
+      .map { case (w, m) => w -> m.values.sum }
+    // exact ANY-FIELD df — the column-pruned (doc_id, w) pass over the
+    // terms' buckets (see the section note: not derivable from
+    // per-field sidecars — a doc may carry the term in several
+    // fields, and per-field cnt sums over-count the overlap).
+    // Computed FIRST because the final scores need it regardless, and
+    // exact idf makes every cap/θ bound as tight as the single-field
+    // algebra (df bounds from sidecar sums were measured too loose to
+    // skip anything once a term lives in both fields of dense docs).
+    // Collected terms-sized, so the FINAL plan reads survivors only.
+    val dfParts = fr.collect {
+      case (_, dir, _, _, _, nbF, live, _) if live.nonEmpty =>
+        val buckets = live.toDF("w")
+          .select(pmod(xxhash64(col("w")), lit(nbF)).cast("int").as("tb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(dir)
+          .filter(col("tb").isin(buckets: _*))
+          .filter(col("w").isin(live: _*))
+          .select(col("doc_id"), col("w"))
+    }
+    val dfExact: Map[String, Long] = dfParts.reduce(_.unionByName(_))
+      .groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the shared-saturation contribution tree over (df, wtf-micros).
+    // wtf reconstructs as double(micros)/1e6: long→double is exact
+    // (< 2^53) and IEEE division is correctly rounded, so this is the
+    // nearest double of the exact 6-dp value — the same double
+    // DECIMAL(28,6).cast("double") yields — and nearest-rounding is
+    // monotone, so bound ordering survives the reconstruction.
+    def contribOf(rows: DataFrame): DataFrame =
+      rows
+        .withColumn("idf", round(
+          log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)),
+          6))
+        .withColumn("wtfd", col("wtf").cast("double") / lit(1e6))
+        .withColumn("c", round(
+          col("idf") * col("wtfd") / (lit(k1) + col("wtfd")), 6)
+          .cast("decimal(28,6)"))
+    // capG(w): the contribution bound no doc can exceed for w —
+    // exact idf, wtf at the cross-field total
+    val capG: Map[String, Long] = contribOf(capWtfTotal.toSeq
+        .map { case (w, m) => (w, dfExact(w), m) }.toDF("w", "df", "wtf"))
+      .select(col("w"), col("c")).collect()
+      .map(r => r.getString(0) -> micros(r.getDecimal(1))).toMap
+    val totalCapG = capG.values.sum
+    val restG: Map[String, Long] = capG.map { case (w, c) =>
+      w -> (totalCapG - c) }
+    // cap(t, F@f): field f's part from F's own cap, other fields from
+    // their global maxima — the bound for any doc touching F
+    val fileCaps: Seq[(String, String, String, Long)] = {
+      val in = wtfpCaps.map { case (f, file, w, cwf) =>
+        (f, file, w, dfExact(w),
+          cwf + (capWtfTotal(w) - capWtfpG((w, f))))
+      }.toDF("f", "file", "w", "df", "wtf")
+      contribOf(in).select(col("f"), col("file"), col("w"), col("c"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          micros(r.getDecimal(3)))).toSeq
+    }
+    // θ probe: per (w, field) best-wtfp-cap file (ties by file name),
+    // one read per field, scored with the exact idf — partial wtf
+    // ≤ true wtf and the contribution is increasing in it, so every
+    // probe partial lower-bounds the doc's true score
+    val probeByField: Map[String, Seq[String]] =
+      wtfpCaps.groupBy(t => (t._3, t._1)).toSeq
+        .map { case ((_, f), rs) => f -> rs.maxBy(t => (t._4, t._2))._2 }
+        .groupBy(_._1).map { case (f, rs) =>
+          f -> rs.map(_._2).distinct.sorted }
+    val dfT = broadcast(dfExact.toSeq.toDF("w", "df"))
+    val probeParts = fr.collect {
+      case (f, dir, boost, bf, sdlF, _, live, bs)
+          if bs.nonEmpty && probeByField.contains(f) =>
+        spark.read.option("basePath", dir)
+          .parquet(probeByField(f).map(p => s"$dir/$p"): _*)
+          .filter(col("w").isin(live: _*))
+          .select(col("doc_id"), col("w"),
+            wtfp(boost, bf, sdlF).as("wtfp"))
+    }
+    val theta: Option[Long] = {
+      val rows = probeParts.reduce(_.unionByName(_))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(sum(col("wtfp")).as("wtfdec"))
+        .join(dfT, Seq("w"))
+        .withColumn("idf", round(
+          log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)),
+          6))
+        .withColumn("c", round(
+          col("idf") * col("wtfdec").cast("double") /
+            (lit(k1) + col("wtfdec").cast("double")), 6)
+          .cast("decimal(28,6)"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(k)
+        .select(col("s")).collect()
+      if (rows.length < k) None
+      else Some(micros(rows.last.getDecimal(0)))
+    }
+    // survivor rule per (field, file), strict skip
+    val relevant = wtfpCaps.map(t => (t._1, t._2)).distinct
+    val fileCapsByFile = fileCaps.groupBy(t => (t._1, t._2))
+    val survivors = theta.fold(relevant)(t =>
+      relevant.filter { ff =>
+        fileCapsByFile(ff).exists(c => c._4 + restG(c._3) >= t) })
+    val skipped = relevant.filterNot(survivors.toSet)
+    lastPruneStats = Some(PruneStats(relevant.size, survivors.size,
+      skipped.size, theta, delegated = false))
+    if (survivors.isEmpty)
+      return spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_terms"), col("id").cast("double").as("score"))
+    // survivor-only scoring — the unpruned serve's expressions over
+    // the pruned read, with the exact any-field df broadcast
+    val survByField = survivors.groupBy(_._1)
+      .map { case (f, fs) => f -> fs.map(_._2).sorted }
+    val parts = fr.collect {
+      case (f, dir, boost, bf, sdlF, _, live, bs)
+          if bs.nonEmpty && survByField.contains(f) =>
+        spark.read.option("basePath", dir)
+          .parquet(survByField(f).map(p => s"$dir/$p"): _*)
+          .filter(col("w").isin(live: _*))
+          .select(col("doc_id"), col("w"),
+            wtfp(boost, bf, sdlF).as("wtfp"))
+    }
+    val union = parts.reduce(_.unionByName(_))
+    union.groupBy(col("doc_id"), col("w"))
+      .agg(sum(col("wtfp")).as("wtf"))
+      .join(dfT, Seq("w"))
+      .withColumn("idf", round(
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 6))
+      .withColumn("c", round(
+        col("idf") * col("wtf").cast("double") /
+          (lit(k1) + col("wtf").cast("double")), 6)
+        .cast("decimal(28,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -6809,6 +6809,94 @@ object Pipeline {
 
   private val q277Sql = bm25Sql(Seq("join"), 5)
 
+  // --------------------------------------------------------------- q278
+  // BLOCK-MAX pruned BM25F — the multi-field serve joins the pruning
+  // regime: per-(field, file, term) wtfp caps fold across fields
+  // through the SHARED-saturation expression (field f's part from the
+  // file's own (maxtf, mindl) cap, the other fields from their global
+  // maxima), θ comes from one probe file per (term, field) scored
+  // with the exact any-field idf, and straddling docs drop by ORDER
+  // (their survivor-computed score provably sits under θ — see the
+  // TextIndex BM25F-pruning section). The one unprunable pass is the
+  // column-pruned (doc_id, w) any-field df read; the WIDE scoring
+  // pass shrinks to survivor files only, which the in-plan requires
+  // pin. Every 11th doc is rewritten dense-in-every-term (the q267
+  // device, oracle-replayed) so θ is dominated and the sparse/long
+  // band skips; rows hash-match the unpruned q263-shape serve.
+  private def q278PrunedBm25f(s: SparkSession, dir: String): DataFrame = {
+    val outT = scratch("q278t", dir)
+    val outB = scratch("q278b", dir)
+    // all-query-term docs maximize the length-normalized cap (wtfp of
+    // an all-term doc INCREASES with dl), so the 100-token dense band
+    // provably out-caps every natural file at any SF — the oracle
+    // replays the same rewrite
+    val dense = Seq.fill(50)("join merge").mkString(" ")
+    val docs = t(s, dir, "documents")
+      .withColumn("text", when(col("doc_id") % 11 === 0, lit(dense))
+        .otherwise(col("text")))
+    val toks = split(col("text"), "\\s+")
+    val fielded = docs.select(col("doc_id"), size(toks).as("dl"),
+      array_join(slice(toks, lit(1), lit(3)), " ").as("title"),
+      array_join(slice(toks, lit(4), greatest(size(toks) - 3, lit(0))),
+        " ").as("body"))
+    val bandA = col("doc_id") % 11 === 0
+    val bandB = col("doc_id") % 11 =!= 0 && col("dl") >= 50
+    Seq(("title", outT), ("body", outB)).foreach { case (c, out) =>
+      TextIndex.build(fielded.filter(bandA), "doc_id", c, out,
+        nBuckets = 8, filesPerBucket = 2)
+      TextIndex.buildBlockStats(s, out)
+      TextIndex.append(fielded.filter(bandB), "doc_id", c, out,
+        filesPerBucket = 2)
+      TextIndex.append(fielded.filter(!bandA && !bandB), "doc_id", c,
+        out, filesPerBucket = 2)
+    }
+    val res = TextIndex.bm25fTopKPruned(s,
+      Seq(("title", outT, 2.0, 0.5), ("body", outB, 1.0, 0.75)),
+      Seq("join", "merge"), 10)
+    val st = TextIndex.lastPruneStats.get
+    require(!st.delegated && st.skipped > 0,
+      s"the sparse band must skip under the dense-doc θ: $st")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= st.survivors,
+      s"the final plan must read survivor files only: $st")
+    res
+  }
+
+  private val q278Sql =
+    """WITH rw AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN
+      |    trim(repeat('join merge ', 50)) ELSE text END AS text
+      |  FROM documents),
+      |base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM rw),
+      |fld AS (SELECT doc_id, toks[1:3] AS tt, toks[4:] AS bt FROM base),
+      |st AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(len(tt)) AS DOUBLE) / COUNT(*), 6) AS avt,
+      |    round(CAST(SUM(len(bt)) AS DOUBLE) / COUNT(*), 6) AS avb FROM fld),
+      |tft AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, CAST(len(tt) AS BIGINT) AS dl, unnest(tt) AS w
+      |     FROM fld)
+      |  WHERE w IN ('join', 'merge') GROUP BY 1, 2, 3),
+      |tfb AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, CAST(len(bt) AS BIGINT) AS dl, unnest(bt) AS w
+      |     FROM fld)
+      |  WHERE w IN ('join', 'merge') GROUP BY 1, 2, 3),
+      |u AS (
+      |  SELECT doc_id, w, CAST(round(2.0e0 * tf /
+      |      (0.5e0 + 0.5e0 * dl / avt), 6) AS DECIMAL(28,6)) AS wtfp
+      |    FROM tft CROSS JOIN st
+      |  UNION ALL
+      |  SELECT doc_id, w, CAST(round(1.0e0 * tf /
+      |      (0.25e0 + 0.75e0 * dl / avb), 6) AS DECIMAL(28,6)) AS wtfp
+      |    FROM tfb CROSS JOIN st),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM u GROUP BY w),
+      |wt AS (SELECT doc_id, w, SUM(wtfp) AS wtf FROM u GROUP BY 1, 2),
+      |c AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * CAST(wtf AS DOUBLE) / (1.2e0 + CAST(wtf AS DOUBLE)), 6)
+      |      AS DECIMAL(28,6)) AS c
+      |  FROM wt JOIN df USING (w) CROSS JOIN st)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
+      |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- q141
   // Largest-remainder token-budget apportionment: per-domain token
   // counts -> exact integer per-domain targets summing to the budget
@@ -7688,6 +7776,7 @@ object Pipeline {
     "q275_sharded_rank" -> q275ShardedRank _,
     "q276_pruned_lm_batch" -> q276PrunedLmBatch _,
     "q277_sharded_pruned" -> q277ShardedPruned _,
+    "q278_pruned_bm25f" -> q278PrunedBm25f _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -7973,6 +8062,7 @@ object Pipeline {
     "q275_sharded_rank" -> q275Sql,
     "q276_pruned_lm_batch" -> q276Sql,
     "q277_sharded_pruned" -> q277Sql,
+    "q278_pruned_bm25f" -> q278Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

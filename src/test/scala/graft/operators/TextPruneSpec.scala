@@ -292,6 +292,102 @@ class TextPruneSpec extends SparkSpec {
     assert(TextIndex.lastPruneStats.get.delegated)
   }
 
+  test("BM25F pruned == unpruned across field weights, k, and layout; " +
+      "banded field stores actually skip files") {
+    // two-field corpus with tf/dl BANDS per field: band A dense+short
+    // (sets θ), band B sparse+long (low caps — should skip), band C
+    // carries no query terms at all
+    val filler = (i: Long, n: Int) =>
+      Seq.tabulate(n)(j => s"f${(i + j) % 7}").mkString(" ")
+    val fdocs = ((0L until 10L).map(i =>
+        (i, "x x x x x y", "y y y y y x")) ++
+      (10L until 30L).map(i =>
+        (i, s"x ${filler(i, 30)}", s"y ${filler(i + 3, 30)}")) ++
+      (30L until 50L).map(i =>
+        (i, filler(i, 8), filler(i + 5, 20))))
+      .toDF("doc_id", "title", "body")
+    def banded(dir: String, c: String, positional: Boolean): Unit = {
+      val a = fdocs.filter($"doc_id" < 10)
+      val b = fdocs.filter($"doc_id" >= 10 && $"doc_id" < 30)
+      val rest = fdocs.filter($"doc_id" >= 30)
+      if (positional)
+        TextIndex.buildPositional(a, "doc_id", c, dir, nBuckets = 4,
+          filesPerBucket = 1)
+      else TextIndex.build(a, "doc_id", c, dir, nBuckets = 4,
+        filesPerBucket = 1)
+      TextIndex.buildBlockStats(spark, dir)
+      if (positional) {
+        TextIndex.appendPositional(b, "doc_id", c, dir, filesPerBucket = 1)
+        TextIndex.appendPositional(rest, "doc_id", c, dir,
+          filesPerBucket = 1)
+      } else {
+        TextIndex.append(b, "doc_id", c, dir, filesPerBucket = 1)
+        TextIndex.append(rest, "doc_id", c, dir, filesPerBucket = 1)
+      }
+    }
+    val dirT = tmp("f_t")
+    val dirB = tmp("f_b")
+    banded(dirT, "title", positional = false)
+    banded(dirB, "body", positional = true) // mixed layouts on purpose
+    var skippedTotal = 0
+    for ((bt, bb, boostT) <- Seq((0.5, 0.75, 2.0), (0.0, 1.0, 1.0),
+           (0.75, 0.25, 3.0), (1.0, 0.0, 0.5));
+         k <- Seq(1, 3, 5, 10)) {
+      val fields = Seq(("title", dirT, boostT, bt), ("body", dirB, 1.0, bb))
+      assert(rows(TextIndex.bm25fTopKPruned(spark, fields,
+          Seq("x", "y"), k)) ==
+        rows(TextIndex.bm25fTopK(spark, fields, Seq("x", "y"), k)),
+        s"bt=$bt bb=$bb boostT=$boostT k=$k")
+      val st = TextIndex.lastPruneStats.get
+      assert(!st.delegated)
+      skippedTotal += st.skipped
+    }
+    assert(skippedTotal > 0, "the banded field stores must skip files")
+    // randomized sweep: random terms, k, weights
+    val words = Seq("x", "y", "f0", "f1", "f2", "f3", "zzz")
+    val rnd = new Random(113)
+    for (trial <- 0 until 6) {
+      val ts = Seq.fill(1 + rnd.nextInt(3))(
+        words(rnd.nextInt(words.size))).distinct
+      val k = 1 + rnd.nextInt(8)
+      val fields = Seq(
+        ("title", dirT, rnd.nextDouble() * 3, rnd.nextDouble()),
+        ("body", dirB, rnd.nextDouble() * 3, rnd.nextDouble()))
+      assert(rows(TextIndex.bm25fTopKPruned(spark, fields, ts, k)) ==
+        rows(TextIndex.bm25fTopK(spark, fields, ts, k)),
+        s"trial $trial terms=$ts k=$k fields=$fields")
+    }
+    // a pending tombstone (the same doc deleted from BOTH field
+    // stores — fields of one corpus) delegates the serve, exactly
+    Seq(dirT, dirB).foreach { d =>
+      assert(TextIndex.delete(spark, d, Seq(17L).toDF("doc_id"),
+        "doc_id") == 1L)
+    }
+    val fields = Seq(("title", dirT, 2.0, 0.5), ("body", dirB, 1.0, 0.75))
+    assert(rows(TextIndex.bm25fTopKPruned(spark, fields,
+        Seq("x", "y"), 5)) ==
+      rows(TextIndex.bm25fTopK(spark, fields, Seq("x", "y"), 5)),
+      "tombstone delegation must stay exact")
+    assert(TextIndex.lastPruneStats.get.delegated)
+  }
+
+  test("BM25F pruned delegates on a field store without _blockmax") {
+    val (a, b, _) = skewDocs()
+    val docs = a.unionAll(b)
+    val d0 = tmp("fb0")
+    val d1 = tmp("fb1")
+    TextIndex.build(docs, "doc_id", "text", d0, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, d0)
+    TextIndex.build(docs, "doc_id", "text", d1, nBuckets = 4,
+      filesPerBucket = 1) // not opted in
+    val fields = Seq(("a", d0, 2.0, 0.5), ("b", d1, 1.0, 0.75))
+    assert(rows(TextIndex.bm25fTopKPruned(spark, fields,
+        Seq("x", "y"), 5)) ==
+      rows(TextIndex.bm25fTopK(spark, fields, Seq("x", "y"), 5)))
+    assert(TextIndex.lastPruneStats.get.delegated)
+  }
+
   test("racing-heal duplicate sidecar rows never inflate df: reads " +
       "dedupe by (file, w) and the fold rewrite purges them") {
     val dir = tmp("dup")
