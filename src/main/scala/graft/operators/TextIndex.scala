@@ -3254,6 +3254,374 @@ object TextIndex {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** SCATTER-GATHER Dirichlet LM — [[topKSharded]]'s contract for the
+    * language-model ranker: GLOBAL statistics (ctf = Σ per-shard
+    * collection term frequency, |C| = Σ per-shard Σdl), so the answer
+    * is bit-identical to [[lmTopK]] over one store holding the union
+    * and re-sharding can never reorder results. The only cross-shard
+    * exchange is the terms-sized ctf union; gathers are k-bounded. */
+  def lmTopKSharded(spark: SparkSession, shardDirs: Seq[String],
+                    terms: Seq[String], k: Int,
+                    mu: Double = 2000.0): DataFrame = {
+    require(shardDirs.nonEmpty, "need at least one shard")
+    require(terms.nonEmpty, "need at least one query term")
+    require(mu > 0, "the Dirichlet pseudo-count must be positive")
+    import spark.implicits._
+    val stats = shardDirs.map(d => readStats(spark, d))
+    val sdl = stats.map(_._2).sum
+    val reads = shardDirs.zip(stats).flatMap { case (dir, (_, _, nb)) =>
+      val live = readTermFilter(spark, dir)
+        .fold(terms)(bits => presentTerms(spark, terms, bits))
+      if (live.isEmpty) None
+      else {
+        val buckets = live.toDF("w")
+          .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        Some(minusTombstones(spark, dir,
+          spark.read.parquet(dir)
+            .filter(col("tb").isin(buckets: _*))
+            .filter(col("w").isin(live: _*))
+            .select(col("doc_id"), col("w"), col("tf"), col("dl"))))
+      }
+    }
+    if (reads.isEmpty) return emptyTopK(spark, shardDirs.head)
+    // global ctf: per-shard terms-sized sums, one union, one sum
+    val ctfT = reads.map(_.groupBy(col("w")).agg(sum(col("tf")).as("ctf")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("w")).agg(sum(col("ctf")).as("ctf"))
+    val bctf = broadcast(ctfT)
+    val perShard = reads.map { tf =>
+      tf.join(bctf, Seq("w"))
+        .withColumn("tfc", round(
+          log(lit(1.0) + col("tf").cast("double") * lit(sdl).cast("double") /
+            (lit(mu) * col("ctf").cast("double"))), 6)
+          .cast("decimal(28,6)"))
+        .withColumn("bg", round(
+          log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6)
+          .cast("decimal(28,6)"))
+        .withColumn("c", col("tfc") + col("bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("c")).cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+    }
+    perShard.reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** [[lmTopKSharded]] with per-shard BLOCK-MAX pruning — the
+    * [[topKShardedPruned]] composition for the LM ranker: global ctf
+    * from the shards' sidecars (Σ sumtf — zero data files), one
+    * cross-shard θ probe whose k-th partial dominates every
+    * shard-local probe, and GLOBAL floors (per-term max maxdl across
+    * every shard's sidecar) restoring θ ≤ s_k under the LM length
+    * norm's negative contributions. Pending tombstones, a shard
+    * without `_blockmax`, or a failed coverage heal delegate the
+    * whole scatter to [[lmTopKSharded]] (exact, unpruned). */
+  def lmTopKShardedPruned(spark: SparkSession, shardDirs: Seq[String],
+                          terms: Seq[String], k: Int,
+                          mu: Double = 2000.0): DataFrame = {
+    require(shardDirs.nonEmpty, "need at least one shard")
+    require(terms.nonEmpty, "need at least one query term")
+    require(k >= 1, "need at least one result slot")
+    require(mu > 0, "the Dirichlet pseudo-count must be positive")
+    import spark.implicits._
+    lastPruneStats = None
+    if (shardDirs.exists(d => readTombstones(spark, d)
+          .exists(_.limit(1).count() > 0L)) ||
+        shardDirs.exists(d =>
+          !graft.sinks.HadoopSwap.exists(spark, blockmaxPath(d))) ||
+        shardDirs.exists(d => !tryEnsureBlockCoverage(spark, d))) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return lmTopKSharded(spark, shardDirs, terms, k, mu)
+    }
+    val stats = shardDirs.map(d => readStats(spark, d))
+    val sdl = stats.map(_._2).sum
+    val shardRows = shardDirs.map { dir =>
+      val live = readTermFilter(spark, dir)
+        .fold(terms)(bits => presentTerms(spark, terms, bits))
+      val bs = if (live.isEmpty) Seq.empty[BlockRow]
+        else readBlockRows(spark, dir, live)
+      (dir, live, bs)
+    }
+    if (shardRows.forall(_._3.isEmpty))
+      return emptyTopK(spark, shardDirs.head)
+    // global ctf from the sidecars alone — zero data files
+    val ctfMap: Map[String, Long] = shardRows.flatMap(_._3)
+      .groupBy(_.w).map { case (w, rs) => w -> rs.map(_.sumtf).sum }
+    val ctfFrame = broadcast(ctfMap.toSeq.toDF("w", "ctf"))
+    def scoreOf(post: DataFrame): DataFrame =
+      post.join(ctfFrame, Seq("w"))
+        .withColumn("tfc", round(
+          log(lit(1.0) + col("tf").cast("double") * lit(sdl).cast("double") /
+            (lit(mu) * col("ctf").cast("double"))), 6)
+          .cast("decimal(28,6)"))
+        .withColumn("bg", round(
+          log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6)
+          .cast("decimal(28,6)"))
+        .withColumn("c", col("tfc") + col("bg"))
+    def micros(d: java.math.BigDecimal): Long =
+      d.movePointRight(6).longValueExact()
+    // GLOBAL floors: the LM length norm makes unseen contributions
+    // negative, so the shared θ carries Σ min(0, floor(w)) evaluated
+    // at the per-term max maxdl across EVERY shard's sidecar — more
+    // negative than any shard-local floor, hence safe for each
+    val negAdjust = scoreOf(shardRows.flatMap(_._3).groupBy(_.w)
+        .map { case (w, rs) => (w, 1L, rs.map(_.maxdl).max) }.toSeq
+        .toDF("w", "tf", "dl"))
+      .select(col("c")).collect()
+      .map(r => math.min(0L, micros(r.getDecimal(0)))).sum
+    // cross-shard θ probe: every shard's per-term best-cap file
+    val probeByShard = shardRows.collect {
+      case (dir, live, bs) if bs.nonEmpty =>
+        val caps = scoreOf(bs.map(r => (r.file, r.w, r.maxtf, r.mindl))
+            .toDF("file", "w", "tf", "dl"))
+          .select(col("file"), col("w"), col("c")).collect()
+          .map(r => (r.getString(0), r.getString(1),
+            micros(r.getDecimal(2))))
+        val files = caps.map(_._2).distinct.map { w =>
+          caps.filter(_._2 == w).maxBy(t => (t._3, t._1))._1
+        }.distinct.toSeq.sorted
+        (dir, live, files)
+    }
+    val probePartials = probeByShard.map { case (dir, live, files) =>
+      scoreOf(spark.read.option("basePath", dir)
+          .parquet(files.map(f => s"$dir/$f"): _*)
+          .filter(col("w").isin(live: _*)))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("s").desc, col("doc_id")).limit(k)
+      .select(col("s")).collect()
+    val thetaGlobal: Option[Long] =
+      if (probePartials.length < k) None
+      else Some(probePartials.last.getDecimal(0)
+        .movePointRight(6).longValueExact() + negAdjust)
+    var acc = PruneStats(0, 0, 0, thetaGlobal, delegated = false)
+    val perShard = shardRows.collect { case (dir, live, bs) if bs.nonEmpty =>
+      val served = prunedServe(spark, dir, live, k, bs, scoreOf,
+        sharedTheta = thetaGlobal)
+      lastPruneStats.foreach(s => acc = PruneStats(
+        acc.relevantFiles + s.relevantFiles,
+        acc.survivors + s.survivors,
+        acc.skipped + s.skipped, thetaGlobal, delegated = false))
+      served
+    }
+    lastPruneStats = Some(acc)
+    perShard.reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** BATCHED scatter-gather BM25 — [[topKSharded]] for a whole
+    * `(idCol, termsCol: array<string>)` query frame: per-query rows
+    * bit-identical to [[topKBatch]] over one store holding the union.
+    * Global df is the per-shard terms-sized counting union (one
+    * exchange for the WHOLE batch); each shard reads its probed
+    * buckets once for every query, keeps a k-bounded per-(query)
+    * top through the bounded TopK aggregator, and the gather re-ranks
+    * shards×k rows per query — never a doc-set. */
+  def topKShardedBatch(spark: SparkSession, shardDirs: Seq[String],
+                       queries: DataFrame, idCol: String,
+                       termsCol: String, k: Int, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    require(shardDirs.nonEmpty, "need at least one shard")
+    require(k >= 1, "need at least one result slot")
+    import spark.implicits._
+    val stats = shardDirs.map(d => readStats(spark, d))
+    val n = stats.map(_._1).sum
+    val sdl = stats.map(_._2).sum
+    val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
+    val qt = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(array_distinct(col(termsCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .localCheckpoint()
+    val wanted = qt.select(col("w")).distinct().localCheckpoint()
+    val reads = shardDirs.zip(stats).flatMap { case (dir, (_, _, nb)) =>
+      // per-shard Bloom drop: a term absent HERE may live elsewhere
+      val wantedS = dropAbsentTermRows(spark, dir, wanted)
+      val buckets = wantedS
+        .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (buckets.isEmpty) None
+      else Some(minusTombstones(spark, dir,
+        spark.read.parquet(dir)
+          .filter(col("tb").isin(buckets: _*))
+          .drop("tb")
+          .join(wantedS, Seq("w"))
+          .select(col("doc_id"), col("w"), col("tf"), col("dl"))))
+    }
+    if (reads.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_terms"),
+        col("id").cast("double").as("score"))
+    val dfT = reads.map(_.groupBy(col("w")).agg(count(lit(1)).as("df")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("w")).agg(sum(col("df")).as("df"))
+    val bdf = broadcast(dfT)
+    val perShard = reads.map { tf =>
+      tf.join(bdf, Seq("w"))
+        .withColumn("idf", round(
+          log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)),
+          6))
+        .withColumn("c", round(
+          col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl") / avgdl)),
+          6).cast("decimal(28,6)"))
+        .select(col("w"), col("doc_id"), col("c"))
+        .join(qt, Seq("w"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("c")).cast("double").as("score"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopK.top_k_tagged(k)(col("doc_id"),
+          col("score"), col("n_terms")).as("hits"))
+        .select(col("query_id"), explode(col("hits")).as("hit"))
+        .select(col("query_id"), col("hit._1").as("doc_id"),
+          col("hit._3").as("n_terms"), col("hit._2").as("score"))
+    }
+    perShard.reduce(_.unionByName(_))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k_tagged(k)(col("doc_id"),
+        col("score"), col("n_terms")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit._1").as("doc_id"),
+        col("hit._3").as("n_terms"), col("hit._2").as("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** [[topKShardedBatch]] with per-shard BLOCK-MAX pruning — the
+    * batched q277 composition: global df sums from the shards'
+    * sidecars (zero data files), ONE cross-shard probe union sets a
+    * per-QUERY global θ (the k-th partial over every shard's
+    * per-term best-cap files, which dominates any shard-local θ),
+    * and each shard then runs the distributed batched prune algebra
+    * under that shared θ frame before the k-bounded gather. Pending
+    * tombstones, an un-opted shard, or a failed heal delegate to
+    * [[topKShardedBatch]]. */
+  def topKShardedPrunedBatch(spark: SparkSession, shardDirs: Seq[String],
+                             queries: DataFrame, idCol: String,
+                             termsCol: String, k: Int, k1: Double = 1.2,
+                             b: Double = 0.75): DataFrame = {
+    require(shardDirs.nonEmpty, "need at least one shard")
+    require(k >= 1, "need at least one result slot")
+    import spark.implicits._
+    lastPruneStats = None
+    if (shardDirs.exists(d => readTombstones(spark, d)
+          .exists(_.limit(1).count() > 0L)) ||
+        shardDirs.exists(d =>
+          !graft.sinks.HadoopSwap.exists(spark, blockmaxPath(d))) ||
+        shardDirs.exists(d => !tryEnsureBlockCoverage(spark, d))) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return topKShardedBatch(spark, shardDirs, queries, idCol,
+        termsCol, k, k1, b)
+    }
+    val stats = shardDirs.map(d => readStats(spark, d))
+    val n = stats.map(_._1).sum
+    val sdl = stats.map(_._2).sum
+    val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
+    val qt = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(array_distinct(col(termsCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
+    if (qt.limit(1).count() == 0L)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_terms"),
+        col("id").cast("double").as("score"))
+    val termsF = qt.select(col("w")).distinct()
+    // per-shard sidecar frames for the union terms (live-file-pruned,
+    // raced-heal-deduped — the prunedBatchFrames read, per shard)
+    val bsByShard = shardDirs.map { dir =>
+      val liveFiles = graft.sinks.SkippingStore
+        .listDataFileRelPaths(spark, dir)
+      dir -> graft.sinks.SidecarFold.withReadRetry() {
+        spark.read.parquet(blockmaxPath(dir))
+          .join(broadcast(termsF), Seq("w"))
+          .join(broadcast(liveFiles.toDF("file")), Seq("file"),
+            "left_semi")
+          .dropDuplicates("file", "w")
+          .localCheckpoint()
+      }
+    }
+    // GLOBAL df from the sidecars alone — zero data files
+    val dfFrame = broadcast(
+      bsByShard.map(_._2.groupBy(col("w")).agg(sum(col("cnt")).as("df")))
+        .reduce(_.unionByName(_))
+        .groupBy(col("w")).agg(sum(col("df")).as("df")))
+    def scoreOf(post: DataFrame): DataFrame =
+      post.join(dfFrame, Seq("w"))
+        .withColumn("idf", round(
+          log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)),
+          6))
+        .withColumn("c", round(
+          col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl") / avgdl)),
+          6).cast("decimal(28,6)"))
+    val cm = (col("c") * 1000000L).cast("long")
+    // per-QUERY global θ: per-shard per-term best-cap probe files,
+    // one union read, per-query k-th partial, GLOBAL floors (BM25's
+    // are zero; kept general through the same least(cm, 0) fold)
+    val bsUnion = bsByShard.map(_._2).reduce(_.unionByName(_))
+    val floors = scoreOf(bsUnion.groupBy(col("w"))
+        .agg(max(col("maxdl")).as("dl")).withColumn("tf", lit(1L)))
+      .select(col("w"), least(cm, lit(0L)).as("floor"))
+    val negAdj = qt.join(broadcast(floors), Seq("w"))
+      .groupBy(col("query_id")).agg(sum(col("floor")).as("neg_adj"))
+    val wprobe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("cap").desc, col("file"))
+    val probeReads = bsByShard.flatMap { case (dir, bsDF) =>
+      val files = scoreOf(bsDF.select(col("file"), col("w"),
+          col("maxtf").as("tf"), col("mindl").as("dl")))
+        .select(col("file"), col("w"), cm.as("cap"))
+        .withColumn("_r", row_number().over(wprobe))
+        .filter(col("_r") === 1)
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (files.isEmpty) None
+      else Some(spark.read.option("basePath", dir)
+        .parquet(files.map(f => s"$dir/$f"): _*)
+        .join(broadcast(termsF), Seq("w")))
+    }
+    if (probeReads.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_terms"),
+        col("id").cast("double").as("score"))
+    val wrank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    val thetaQ = scoreOf(probeReads.reduce(_.unionByName(_)))
+      .join(qt.select(col("query_id"), col("w")), Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg((sum(col("c")) * 1000000L).cast("long").as("s"))
+      .withColumn("_r", row_number().over(wrank)).filter(col("_r") === k)
+      .join(negAdj, Seq("query_id"))
+      .select(col("query_id"), (col("s") + col("neg_adj")).as("theta"))
+      .localCheckpoint()
+    var acc = PruneStats(0, 0, 0, None, delegated = false)
+    val perShard = bsByShard.map { case (dir, bsDF) =>
+      val served = prunedServeBatch(spark, dir, qt, k, bsDF, scoreOf,
+        sharedThetaQ = Some(thetaQ))
+      lastPruneStats.foreach(s => acc = PruneStats(
+        acc.relevantFiles + s.relevantFiles,
+        acc.survivors + s.survivors,
+        acc.skipped + s.skipped, None, delegated = false))
+      served
+    }
+    lastPruneStats = Some(acc)
+    perShard.reduce(_.unionByName(_))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k_tagged(k)(col("doc_id"),
+        col("score"), col("n_terms")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit._1").as("doc_id"),
+        col("hit._3").as("n_terms"), col("hit._2").as("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
   // BLOCK-MAX dynamic pruning (Ding & Suel's block-max WAND / Lucene's
   // MaxScore, re-expressed for a file-blocked store). [[topK]] scores
@@ -3774,10 +4142,16 @@ object TextIndex {
 
   /** The distributed batched prune core (see [[topKPrunedBatch]]'s
     * doc for the plan shape and [[prunedServe]]'s for the bound
-    * algebra, floors included). */
+    * algebra, floors included). `sharedThetaQ`: an EXTERNALLY-derived
+    * per-query threshold frame `(query_id, theta)` (micros, floors
+    * already applied) that replaces the local probe —
+    * [[topKShardedPrunedBatch]] passes the cross-shard global θ,
+    * which dominates any shard-local probe. The caller owns its
+    * validity for the scorer. */
   private def prunedServeBatch(spark: SparkSession, storeDir: String,
                                qt: DataFrame, k: Int, bsDF: DataFrame,
-                               scoreOf: DataFrame => DataFrame)
+                               scoreOf: DataFrame => DataFrame,
+                               sharedThetaQ: Option[DataFrame] = None)
       : DataFrame = {
     import spark.implicits._
     val termsF = qt.select(col("w")).distinct()
@@ -3786,9 +4160,6 @@ object TextIndex {
         col("maxtf").as("tf"), col("mindl").as("dl")))
       .select(col("file"), col("w"), cm.as("cap"))
       .localCheckpoint() // tiny: files×union-terms rows
-    val floors = scoreOf(bsDF.groupBy(col("w"))
-        .agg(max(col("maxdl")).as("dl")).withColumn("tf", lit(1L)))
-      .select(col("w"), least(cm, lit(0L)).as("floor"))
     val capPlusG = capsDF.groupBy(col("w"))
       .agg(greatest(max(col("cap")), lit(0L)).as("cap_plus"))
     // per-(query, term) rest-mass + per-query floor adjustment
@@ -3797,28 +4168,35 @@ object TextIndex {
     val qrest = qt.join(broadcast(capPlusG), Seq("w"))
       .withColumn("rest_plus",
         sum(col("cap_plus")).over(wq) - col("cap_plus"))
-    val negAdj = qt.join(broadcast(floors), Seq("w"))
-      .groupBy(col("query_id")).agg(sum(col("floor")).as("neg_adj"))
-    // probe: every term's best-cap file, one shared read
-    val wprobe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("w")).orderBy(col("cap").desc, col("file"))
-    val probeFiles = capsDF
-      .withColumn("_r", row_number().over(wprobe)).filter(col("_r") === 1)
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val wrank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("s").desc, col("doc_id"))
-    val thetaQ = scoreOf(
-        spark.read.option("basePath", storeDir)
-          .parquet(probeFiles.map(f => s"$storeDir/$f"): _*)
-          .join(broadcast(termsF), Seq("w")))
-      .join(qt.select(col("query_id"), col("w")), Seq("w"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg((sum(col("c")) * 1000000L).cast("long").as("s"))
-      .withColumn("_r", row_number().over(wrank)).filter(col("_r") === k)
-      .join(negAdj, Seq("query_id"))
-      .select(col("query_id"), (col("s") + col("neg_adj")).as("theta"))
+    val thetaQ = sharedThetaQ.getOrElse {
+      val floors = scoreOf(bsDF.groupBy(col("w"))
+          .agg(max(col("maxdl")).as("dl")).withColumn("tf", lit(1L)))
+        .select(col("w"), least(cm, lit(0L)).as("floor"))
+      val negAdj = qt.join(broadcast(floors), Seq("w"))
+        .groupBy(col("query_id")).agg(sum(col("floor")).as("neg_adj"))
+      // probe: every term's best-cap file, one shared read
+      val wprobe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w")).orderBy(col("cap").desc, col("file"))
+      val probeFiles = capsDF
+        .withColumn("_r", row_number().over(wprobe))
+        .filter(col("_r") === 1)
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      val wrank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("s").desc, col("doc_id"))
+      scoreOf(
+          spark.read.option("basePath", storeDir)
+            .parquet(probeFiles.map(f => s"$storeDir/$f"): _*)
+            .join(broadcast(termsF), Seq("w")))
+        .join(qt.select(col("query_id"), col("w")), Seq("w"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg((sum(col("c")) * 1000000L).cast("long").as("s"))
+        .withColumn("_r", row_number().over(wrank))
+        .filter(col("_r") === k)
+        .join(negAdj, Seq("query_id"))
+        .select(col("query_id"), (col("s") + col("neg_adj")).as("theta"))
+    }
     // survivor union: a file lives iff SOME query's bound reaches its θ
     // (a query with no θ row — fewer than k probe docs — keeps all)
     val survivors = capsDF

@@ -6809,6 +6809,89 @@ object Pipeline {
 
   private val q277Sql = bm25Sql(Seq("join"), 5)
 
+  // --------------------------------------------------------------- q279
+  // The sharded family completed for the LM ranker: lmTopKSharded
+  // (global ctf = Σ per-shard ctf — one terms-sized exchange) and its
+  // block-max composition lmTopKShardedPruned (ctf from the shards'
+  // sidecars with ZERO data files, one global θ probe whose k-th
+  // partial dominates every shard-local probe, GLOBAL floors for the
+  // LM length norm's negative contributions). The q277 banded shards;
+  // both serves are pinned to EACH OTHER in-plan and to the q268 LM
+  // oracle by the driver — one logical corpus however sharded.
+  private def q279ShardedLm(s: SparkSession, dir: String): DataFrame = {
+    val outs = Seq(scratch("q279a", dir), scratch("q279b", dir),
+      scratch("q279c", dir))
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val jtf = size(filter(toks, w => w === "join"))
+    val dl = size(toks)
+    val bands = Seq(
+      docs.filter(jtf >= 3),
+      docs.filter(jtf.between(1, 2) && dl < 50),
+      docs.filter(jtf === 0 || (jtf.between(1, 2) && dl >= 50)))
+    outs.zip(bands).foreach { case (out, band) =>
+      TextIndex.build(band, "doc_id", "text", out, nBuckets = 8,
+        filesPerBucket = 2)
+      TextIndex.buildBlockStats(s, out)
+    }
+    val res = TextIndex.lmTopKShardedPruned(s, outs, Seq("join"), 5)
+    val st = TextIndex.lastPruneStats.get
+    require(!st.delegated && st.skipped > 0,
+      s"the banded shards must skip under the global LM θ: $st")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= st.survivors,
+      s"the gathered plan must read survivor files only: $st")
+    // the unpruned scatter answers identically — pinned in-plan
+    require(res.collect().toSeq ==
+        TextIndex.lmTopKSharded(s, outs, Seq("join"), 5).collect().toSeq,
+      "pruned and unpruned LM scatters must agree row-for-row")
+    res
+  }
+
+  // --------------------------------------------------------------- q280
+  // The sharded family completed for the BATCHED serve: a whole query
+  // frame scattered over the q269 tf/dl bands as shards. Global df
+  // sums from the shards' sidecars (zero data files), ONE cross-shard
+  // probe union sets a per-QUERY global θ, each shard runs the
+  // distributed batched prune algebra under that shared frame, and
+  // the gather re-ranks shards×k rows per query. Pinned in-plan to
+  // the unpruned batched scatter and by the driver to the q269
+  // per-query BM25 oracle.
+  private def q280ShardedBatch(s: SparkSession, dir: String): DataFrame = {
+    val outs = Seq(scratch("q280a", dir), scratch("q280b", dir),
+      scratch("q280c", dir))
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val jtf = size(filter(toks, w => w === "join"))
+    val stf = size(filter(toks, w => w === "scan"))
+    val gtf = greatest(jtf, stf)
+    val dl = size(toks)
+    val bands = Seq(
+      docs.filter(gtf >= 3),
+      docs.filter(gtf.between(1, 2) && dl < 50),
+      docs.filter(gtf === 0 || (gtf.between(1, 2) && dl >= 50)))
+    outs.zip(bands).foreach { case (out, band) =>
+      TextIndex.build(band, "doc_id", "text", out, nBuckets = 8,
+        filesPerBucket = 2)
+      TextIndex.buildBlockStats(s, out)
+    }
+    import s.implicits._
+    val queries = Seq(
+      (0L, Seq("join")), (1L, Seq("scan")),
+      (2L, Seq("qqzznope"))).toDF("query_id", "terms")
+    val res = TextIndex.topKShardedPrunedBatch(s, outs, queries,
+      "query_id", "terms", 5)
+    val st = TextIndex.lastPruneStats.get
+    require(!st.delegated && st.skipped > 0,
+      s"the banded shards must skip under the per-query global θ: $st")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= st.survivors,
+      s"the gathered plan must read the survivor unions only: $st")
+    require(res.collect().toSeq ==
+        TextIndex.topKShardedBatch(s, outs, queries,
+          "query_id", "terms", 5).collect().toSeq,
+      "pruned and unpruned batched scatters must agree row-for-row")
+    res
+  }
+
   // --------------------------------------------------------------- q278
   // BLOCK-MAX pruned BM25F — the multi-field serve joins the pruning
   // regime: per-(field, file, term) wtfp caps fold across fields
@@ -7777,6 +7860,8 @@ object Pipeline {
     "q276_pruned_lm_batch" -> q276PrunedLmBatch _,
     "q277_sharded_pruned" -> q277ShardedPruned _,
     "q278_pruned_bm25f" -> q278PrunedBm25f _,
+    "q279_sharded_lm" -> q279ShardedLm _,
+    "q280_sharded_batch" -> q280ShardedBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -8063,6 +8148,8 @@ object Pipeline {
     "q276_pruned_lm_batch" -> q276Sql,
     "q277_sharded_pruned" -> q277Sql,
     "q278_pruned_bm25f" -> q278Sql,
+    "q279_sharded_lm" -> q268Sql,
+    "q280_sharded_batch" -> q269Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -436,6 +436,93 @@ class TextPruneSpec extends SparkSpec {
       "…through the unpruned scatter, not a store-level crash")
   }
 
+  test("LM scatter: lmTopKSharded == lmTopK over the union; the pruned " +
+      "composition skips under the global θ with global floors") {
+    val (a, b, c) = skewDocs()
+    val s0 = tmp("lms0")
+    val s1 = tmp("lms1")
+    TextIndex.build(a, "doc_id", "text", s0, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, s0)
+    TextIndex.append(b, "doc_id", "text", s0, filesPerBucket = 1)
+    TextIndex.build(c, "doc_id", "text", s1, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, s1)
+    val whole = tmp("lmsw")
+    TextIndex.build(a.unionAll(b).unionAll(c), "doc_id", "text", whole,
+      nBuckets = 4, filesPerBucket = 1)
+    val shards = Seq(s0, s1)
+    var skippedTotal = 0
+    for (k <- Seq(1, 3, 5, 12); mu <- Seq(50.0, 2000.0)) {
+      val want = rows(TextIndex.lmTopK(spark, whole, Seq("x", "y"), k, mu))
+      assert(rows(TextIndex.lmTopKSharded(spark, shards,
+        Seq("x", "y"), k, mu)) == want, s"k=$k mu=$mu unpruned scatter")
+      assert(rows(TextIndex.lmTopKShardedPruned(spark, shards,
+        Seq("x", "y"), k, mu)) == want, s"k=$k mu=$mu pruned scatter")
+      val st = TextIndex.lastPruneStats.get
+      assert(!st.delegated)
+      skippedTotal += st.skipped
+    }
+    assert(skippedTotal > 0, "the banded shard must skip under LM too")
+    // tombstone on any shard delegates, exactly
+    assert(TextIndex.delete(spark, s1, Seq(36L).toDF("doc_id"),
+      "doc_id") == 1L)
+    assert(TextIndex.delete(spark, whole, Seq(36L).toDF("doc_id"),
+      "doc_id") == 1L)
+    assert(rows(TextIndex.lmTopKShardedPruned(spark, shards,
+        Seq("x", "y"), 5)) ==
+      rows(TextIndex.lmTopK(spark, whole, Seq("x", "y"), 5)))
+    assert(TextIndex.lastPruneStats.get.delegated)
+  }
+
+  test("batched scatter: topKShardedBatch and its pruned composition " +
+      "== topKBatch over the union, per query; the union still skips") {
+    val (a, b, c) = skewDocs()
+    val s0 = tmp("sb0")
+    val s1 = tmp("sb1")
+    TextIndex.build(a, "doc_id", "text", s0, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, s0)
+    TextIndex.append(b, "doc_id", "text", s0, filesPerBucket = 1)
+    TextIndex.build(c, "doc_id", "text", s1, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, s1)
+    val whole = tmp("sbw")
+    TextIndex.build(a.unionAll(b).unionAll(c), "doc_id", "text", whole,
+      nBuckets = 4, filesPerBucket = 1)
+    val shards = Seq(s0, s1)
+    val queries = Seq(
+      (0L, Seq("x", "y")), (1L, Seq("x")), (2L, Seq("f1", "f2")),
+      (3L, Seq("zzz"))).toDF("query_id", "terms")
+    def brows(df: DataFrame) =
+      df.select($"query_id", $"doc_id", $"n_terms", $"score")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    var skippedTotal = 0
+    for (k <- Seq(1, 5, 12)) {
+      val want = brows(TextIndex.topKBatch(spark, whole, queries,
+        "query_id", "terms", k))
+      assert(brows(TextIndex.topKShardedBatch(spark, shards, queries,
+        "query_id", "terms", k)) == want, s"k=$k unpruned batch scatter")
+      assert(brows(TextIndex.topKShardedPrunedBatch(spark, shards,
+        queries, "query_id", "terms", k)) == want,
+        s"k=$k pruned batch scatter")
+      val st = TextIndex.lastPruneStats.get
+      assert(!st.delegated)
+      skippedTotal += st.skipped
+    }
+    assert(skippedTotal > 0,
+      "the banded shard must skip under the per-query global θ")
+    // a shard without the sidecar delegates the batched scatter whole
+    val s2 = tmp("sb2")
+    TextIndex.build(Seq((1000L, "x f0 f1"), (1001L, "y f2"))
+      .toDF("doc_id", "text"), "doc_id", "text", s2, nBuckets = 4)
+    assert(brows(TextIndex.topKShardedPrunedBatch(spark,
+        shards :+ s2, queries, "query_id", "terms", 5)) ==
+      brows(TextIndex.topKShardedBatch(spark, shards :+ s2, queries,
+        "query_id", "terms", 5)))
+    assert(TextIndex.lastPruneStats.get.delegated)
+  }
+
   test("tombstones delegate; absent terms answer empty with no files") {
     val dir = tmp("delegate")
     val (a, b, _) = skewDocs()
