@@ -3767,6 +3767,42 @@ object TextIndex {
     try { maybeExtendBlockStats(spark, dir); true }
     catch { case scala.util.control.NonFatal(_) => false }
 
+  /** Pending-tombstone count above which the single-query pruned
+    * serves delegate to their unpruned forms: the exact df/ctf
+    * subtraction collects the tombstoned ids to push a `doc_id IN`
+    * residual into the parquet point lookup (page skipping inside
+    * each term's sorted run), so the id set must stay driver-sized.
+    * Package-private so specs can drive the crossover. */
+  @volatile private[graft] var tombstonePruneMaxIds: Long = 100000L
+
+  /** Exact per-term statistics subtraction for a store with PENDING
+    * tombstones — what lets the pruned serves keep pruning through a
+    * delete-to-compaction window instead of falling off a perf cliff:
+    * sidecar df/ctf are stale-high by exactly the tombstoned docs'
+    * postings, and those postings are a PAGE-PRUNED point lookup
+    * (postings sort by (tb, w, doc_id), the ids push down as an In
+    * residual — the parquet analog of Lucene's skip pointers), never
+    * a full bucket read. Returns w -> (tombstoned df, tombstoned ctf)
+    * for the live terms; absent keys mean no tombstoned postings. */
+  private def tombstoneTermAdjust(spark: SparkSession, storeDir: String,
+                                  live: Seq[String], nb: Int,
+                                  tomb: DataFrame)
+      : Map[String, (Long, Long)] = {
+    import spark.implicits._
+    val ids = tomb.select(col("doc_id")).collect().map(_.get(0)).toSeq
+    val buckets = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(storeDir)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("w").isin(live: _*))
+      .filter(col("doc_id").isin(ids: _*))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("tdf"), sum(col("tf")).cast("long").as("tctf"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
   /** Instrumentation for the last [[topKPruned]] call — the ledger
     * specs and oracle rows use to prove files were actually skipped
     * (the [[phaseSeconds]] precedent). Never feeds an answer. */
@@ -3830,10 +3866,15 @@ object TextIndex {
     * [[topKShardedPruned]] passes the global cross-shard probe's k-th
     * partial, which dominates any shard-local probe (the k-th of a
     * superset). The caller owns its validity for the scorer. */
+  /** `filterPost`: applied to every data-file read (probe and
+    * survivor scans) BEFORE scoring — the tombstone-aware serves pass
+    * the anti-join so pending deletes never reach θ or a score. */
   private def prunedServe(spark: SparkSession, storeDir: String,
                           live: Seq[String], k: Int, bs: Seq[BlockRow],
                           scoreOf: DataFrame => DataFrame,
-                          sharedTheta: Option[Long] = None): DataFrame = {
+                          sharedTheta: Option[Long] = None,
+                          filterPost: DataFrame => DataFrame = identity)
+      : DataFrame = {
     import spark.implicits._
     def micros(d: java.math.BigDecimal): Long =
       d.movePointRight(6).longValueExact()
@@ -3862,10 +3903,10 @@ object TextIndex {
       val probeFiles = capPlus.keys.map { w =>
         caps.filter(_._2 == w).maxBy(t => (t._3, t._1))._1
       }.toSeq.distinct.sorted
-      val thetaRows = scoreOf(
+      val thetaRows = scoreOf(filterPost(
           spark.read.option("basePath", storeDir)
             .parquet(probeFiles.map(f => s"$storeDir/$f"): _*)
-            .filter(col("w").isin(live: _*)))
+            .filter(col("w").isin(live: _*))))
         .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
         .orderBy(col("s").desc, col("doc_id")).limit(k)
         .select(col("s")).collect()
@@ -3890,10 +3931,10 @@ object TextIndex {
     // cross-shard θ can prove a whole weak shard sub-θ: the exact
     // answer for this store is then empty
     if (survivors.isEmpty) return emptyTopK(spark, storeDir)
-    val scored = scoreOf(
+    val scored = scoreOf(filterPost(
       spark.read.option("basePath", storeDir)
         .parquet(survivors.map(f => s"$storeDir/$f"): _*)
-        .filter(col("w").isin(live: _*)))
+        .filter(col("w").isin(live: _*))))
     val complete =
       if (outTerms.isEmpty)
         // nothing skipped can hide a posting: every candidate complete
@@ -3917,7 +3958,18 @@ object TextIndex {
     * one file per term, and the final plan scans survivor files only
     * (candidates touching any skipped file are provably sub-θ and
     * drop without a second look). Stores must opt in with
-    * [[buildBlockStats]]; pending tombstones delegate to [[topK]]. */
+    * [[buildBlockStats]].
+    *
+    * PENDING TOMBSTONES no longer delegate: sidecar df is stale-high
+    * by exactly the tombstoned docs' postings, and those are a
+    * page-pruned point lookup ([[tombstoneTermAdjust]]) — so the
+    * serve subtracts them for the EXACT post-delete df, anti-joins
+    * the tombstone set on the probe and survivor reads, and prunes as
+    * usual (sidecar maxtf/mindl extremes over the superset corpus are
+    * still upper bounds — caps can only loosen, never under-estimate,
+    * until compaction re-tightens them). Only a tombstone set larger
+    * than [[tombstonePruneMaxIds]] (the In-pushdown budget) delegates
+    * to [[topK]]. */
   def topKPruned(spark: SparkSession, storeDir: String,
                  terms: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -3925,12 +3977,12 @@ object TextIndex {
     require(k >= 1, "need at least one result slot")
     import spark.implicits._
     lastPruneStats = None
-    if (readTombstones(spark, storeDir)
-          .exists(_.limit(1).count() > 0L)) {
+    val tomb = readTombstones(spark, storeDir)
+    if (tomb.exists(_.count() > tombstonePruneMaxIds)) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
       return topK(spark, storeDir, terms, k, k1, b)
     }
-    val (n, sdl, _) = readStats(spark, storeDir)
+    val (n, sdl, nb) = readStats(spark, storeDir)
     val live = readTermFilter(spark, storeDir)
       .fold(terms)(bits => presentTerms(spark, terms, bits))
     if (live.isEmpty) return emptyTopK(spark, storeDir)
@@ -3942,9 +3994,16 @@ object TextIndex {
     }
     val bs = readBlockRows(spark, storeDir, live)
     if (bs.isEmpty) return emptyTopK(spark, storeDir)
-    // exact corpus df per term from the sidecar — zero data files
+    // exact corpus df per term: the sidecar's cnt (zero data files),
+    // minus the tombstoned postings when deletes are pending
+    val tadj: Map[String, (Long, Long)] = tomb
+      .filter(_.limit(1).count() > 0L)
+      .fold(Map.empty[String, (Long, Long)])(t =>
+        tombstoneTermAdjust(spark, storeDir, live, nb, t))
     val dfFrame = broadcast(bs.groupBy(_.w)
-      .map { case (w, rs) => w -> rs.map(_.cnt).sum }.toSeq.toDF("w", "df"))
+      .map { case (w, rs) =>
+        w -> (rs.map(_.cnt).sum - tadj.get(w).fold(0L)(_._1)) }
+      .toSeq.toDF("w", "df"))
     val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
     // the scoring expressions, verbatim from [[topK]] — caps evaluate
     // the SAME tree at (maxtf, mindl), so monotone-rounded bounds and
@@ -3959,15 +4018,18 @@ object TextIndex {
             (col("tf") + lit(k1) *
               (lit(1.0 - b) + lit(b) * col("dl") / avgdl)),
           6).cast("decimal(28,6)"))
-    prunedServe(spark, storeDir, live, k, bs, scoreOf)
+    prunedServe(spark, storeDir, live, k, bs, scoreOf,
+      filterPost = p => minusTombstones(spark, storeDir, p))
   }
 
   /** Block-max-pruned Dirichlet LM ranking — row-for-row identical to
     * [[lmTopK]]. Collection term frequency comes from the sidecar's
-    * summed tf (exact on a tombstone-free store, zero data files);
+    * summed tf (zero data files; pending tombstones subtract their
+    * page-pruned point-lookup ctf exactly like [[topKPruned]]'s df);
     * the LM length norm makes contributions NEGATIVE for long docs,
     * which is exactly what [[prunedServe]]'s floor adjustment and
-    * plus-truncated caps exist for. Pending tombstones delegate. */
+    * plus-truncated caps exist for — and a stale-high sidecar maxdl
+    * only deepens the floor, which is the safe direction. */
   def lmTopKPruned(spark: SparkSession, storeDir: String,
                    terms: Seq[String], k: Int,
                    mu: Double = 2000.0): DataFrame = {
@@ -3976,12 +4038,12 @@ object TextIndex {
     require(mu > 0, "the Dirichlet pseudo-count must be positive")
     import spark.implicits._
     lastPruneStats = None
-    if (readTombstones(spark, storeDir)
-          .exists(_.limit(1).count() > 0L)) {
+    val tomb = readTombstones(spark, storeDir)
+    if (tomb.exists(_.count() > tombstonePruneMaxIds)) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
       return lmTopK(spark, storeDir, terms, k, mu)
     }
-    val (_, sdl, _) = readStats(spark, storeDir)
+    val (_, sdl, nb) = readStats(spark, storeDir)
     val live = readTermFilter(spark, storeDir)
       .fold(terms)(bits => presentTerms(spark, terms, bits))
     if (live.isEmpty) return emptyTopK(spark, storeDir)
@@ -3991,10 +4053,22 @@ object TextIndex {
     }
     val bs = readBlockRows(spark, storeDir, live)
     if (bs.isEmpty) return emptyTopK(spark, storeDir)
-    // exact collection term frequency from the sidecar's summed tf
+    // exact collection term frequency: the sidecar's summed tf, minus
+    // the tombstoned postings' tf when deletes are pending
+    val tadj: Map[String, (Long, Long)] = tomb
+      .filter(_.limit(1).count() > 0L)
+      .fold(Map.empty[String, (Long, Long)])(t =>
+        tombstoneTermAdjust(spark, storeDir, live, nb, t))
+    // clamp to 1 for a term whose EVERY posting is tombstoned: no live
+    // row ever scores with it (the anti-join removes them all), but
+    // the cap tree still evaluates at (maxtf, mindl) and ctf = 0 would
+    // divide by zero there — a smaller ctf only RAISES the cap, so the
+    // clamp stays an upper bound for the (empty) live posting set
     val ctfFrame = broadcast(bs.groupBy(_.w)
-      .map { case (w, rs) => w -> rs.map(_.sumtf).sum }.toSeq
-      .toDF("w", "ctf"))
+      .map { case (w, rs) =>
+        w -> math.max(1L,
+          rs.map(_.sumtf).sum - tadj.get(w).fold(0L)(_._2)) }
+      .toSeq.toDF("w", "ctf"))
     // the scoring expressions, verbatim from [[lmTopK]]
     def scoreOf(post: DataFrame): DataFrame =
       post.join(ctfFrame, Seq("w"))
@@ -4006,7 +4080,8 @@ object TextIndex {
           log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6)
           .cast("decimal(28,6)"))
         .withColumn("c", col("tfc") + col("bg"))
-    prunedServe(spark, storeDir, live, k, bs, scoreOf)
+    prunedServe(spark, storeDir, live, k, bs, scoreOf,
+      filterPost = p => minusTombstones(spark, storeDir, p))
   }
 
   /** BATCHED block-max-pruned BM25 — [[topKPruned]] for a whole query

@@ -6809,6 +6809,51 @@ object Pipeline {
 
   private val q277Sql = bm25Sql(Seq("join"), 5)
 
+  // --------------------------------------------------------------- q281
+  // Pruning UNDER pending tombstones — the delete-to-compaction perf
+  // cliff removed: the q266 banded store takes a delete (every 7th
+  // doc) and the pruned serve keeps pruning instead of delegating.
+  // Sidecar df is stale-high by exactly the tombstoned postings,
+  // which are a PAGE-PRUNED point lookup (postings sort by
+  // (tb, w, doc_id); the ids push down as an In residual — the
+  // parquet analog of Lucene's skip pointers), so df stays exact;
+  // the probe and survivor reads anti-join the tombstone set; caps
+  // from superset extremes only loosen, never under-estimate. The
+  // oracle replays plain BM25 over the SURVIVING corpus.
+  private def q281TombstonePrune(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q281", dir)
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val jtf = size(filter(toks, w => w === "join"))
+    val dl = size(toks)
+    TextIndex.build(docs.filter(jtf >= 3), "doc_id", "text", out,
+      nBuckets = 8, filesPerBucket = 2)
+    TextIndex.buildBlockStats(s, out)
+    TextIndex.append(docs.filter(jtf.between(1, 2) && dl < 50),
+      "doc_id", "text", out, filesPerBucket = 2)
+    TextIndex.append(docs.filter(jtf === 0 || (jtf.between(1, 2)
+      && dl >= 50)), "doc_id", "text", out, filesPerBucket = 2)
+    TextIndex.delete(s, out,
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+      "doc_id")
+    val res = TextIndex.topKPruned(s, out, Seq("join"), 5)
+    val st = TextIndex.lastPruneStats.get
+    require(!st.delegated && st.skipped > 0,
+      s"the serve must PRUNE through pending tombstones: $st")
+    val fs = graft.sinks.HadoopSwap.fs(s, out)
+    val tombFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$out/_tombstones"))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(graft.plans.PlanProbe.scannedFileCount(res) <=
+        st.survivors + tombFiles,
+      s"the final plan must read survivors + the tombstone sidecar " +
+        s"only: $st + $tombFiles")
+    res
+  }
+
+  private val q281Sql = bm25Sql(Seq("join"), 5,
+    corpus = "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0)")
+
   // --------------------------------------------------------------- q279
   // The sharded family completed for the LM ranker: lmTopKSharded
   // (global ctf = Σ per-shard ctf — one terms-sized exchange) and its
@@ -7862,6 +7907,7 @@ object Pipeline {
     "q278_pruned_bm25f" -> q278PrunedBm25f _,
     "q279_sharded_lm" -> q279ShardedLm _,
     "q280_sharded_batch" -> q280ShardedBatch _,
+    "q281_tombstone_prune" -> q281TombstonePrune _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -8150,6 +8196,7 @@ object Pipeline {
     "q278_pruned_bm25f" -> q278Sql,
     "q279_sharded_lm" -> q268Sql,
     "q280_sharded_batch" -> q269Sql,
+    "q281_tombstone_prune" -> q281Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -523,24 +523,68 @@ class TextPruneSpec extends SparkSpec {
     assert(TextIndex.lastPruneStats.get.delegated)
   }
 
-  test("tombstones delegate; absent terms answer empty with no files") {
-    val dir = tmp("delegate")
-    val (a, b, _) = skewDocs()
-    TextIndex.build(a.unionAll(b), "doc_id", "text", dir, nBuckets = 4)
+  test("pending tombstones PRUNE (exact df/ctf via the point-lookup " +
+      "subtraction), still skip, and only a huge set delegates") {
+    val dir = tmp("tombprune")
+    val (a, b, c) = skewDocs()
+    TextIndex.build(a, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
     TextIndex.buildBlockStats(spark, dir)
-    assert(TextIndex.delete(spark, dir, Seq(3L).toDF("doc_id"),
-      "doc_id") == 1L)
-    val want = rows(TextIndex.topK(spark, dir, Seq("x", "y"), 5))
-    assert(rows(TextIndex.topKPruned(spark, dir, Seq("x", "y"), 5)) ==
-      want, "delegation must stay exact under tombstones")
-    assert(TextIndex.lastPruneStats.get.delegated)
-    // compaction purges the tombstones and rebuilds the caps: the
-    // pruned path resumes
+    TextIndex.append(b, "doc_id", "text", dir, filesPerBucket = 1)
+    TextIndex.append(c, "doc_id", "text", dir, filesPerBucket = 1)
+    // delete a dense doc AND a sparse one: df/ctf of both terms move,
+    // and the dense θ band loses a member
+    assert(TextIndex.delete(spark, dir, Seq(3L, 15L).toDF("doc_id"),
+      "doc_id") == 2L)
+    var skippedTotal = 0
+    for (k <- Seq(1, 3, 5, 12); terms <- Seq(Seq("x"), Seq("x", "y"))) {
+      assert(rows(TextIndex.topKPruned(spark, dir, terms, k)) ==
+        rows(TextIndex.topK(spark, dir, terms, k)),
+        s"BM25 under tombstones k=$k terms=$terms")
+      val st = TextIndex.lastPruneStats.get
+      assert(!st.delegated, s"must PRUNE through tombstones: $st")
+      skippedTotal += st.skipped
+      assert(rows(TextIndex.lmTopKPruned(spark, dir, terms, k)) ==
+        rows(TextIndex.lmTopK(spark, dir, terms, k)),
+        s"LM under tombstones k=$k terms=$terms")
+      assert(!TextIndex.lastPruneStats.get.delegated)
+    }
+    assert(skippedTotal > 0,
+      "the banded corpus must still skip with tombstones pending")
+    // a tombstone set past the In-pushdown budget delegates, exactly
+    val saved = TextIndex.tombstonePruneMaxIds
+    TextIndex.tombstonePruneMaxIds = 1L
+    try {
+      assert(rows(TextIndex.topKPruned(spark, dir, Seq("x", "y"), 5)) ==
+        rows(TextIndex.topK(spark, dir, Seq("x", "y"), 5)))
+      assert(TextIndex.lastPruneStats.get.delegated)
+    } finally TextIndex.tombstonePruneMaxIds = saved
+    // compaction purges the tombstones; the zero-adjustment path and
+    // the rebuilt caps keep agreeing
     TextIndex.compact(spark, dir, filesPerBucket = 1)
     assert(rows(TextIndex.topKPruned(spark, dir, Seq("x", "y"), 5)) ==
       rows(TextIndex.topK(spark, dir, Seq("x", "y"), 5)))
     assert(!TextIndex.lastPruneStats.get.delegated)
     // provably-absent terms: the exact empty answer
     assert(rows(TextIndex.topKPruned(spark, dir, Seq("zzz"), 5)).isEmpty)
+  }
+
+  test("a doc deleted AFTER the sidecar landed can never surface: the " +
+      "probe and survivor reads anti-join pending tombstones") {
+    val dir = tmp("tombtop")
+    val (a, b, _) = skewDocs()
+    TextIndex.build(a, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, dir)
+    TextIndex.append(b, "doc_id", "text", dir, filesPerBucket = 1)
+    // the unpruned top-1 for x is a dense doc; delete it
+    val top = rows(TextIndex.topK(spark, dir, Seq("x"), 1)).head._1
+    assert(TextIndex.delete(spark, dir, Seq(top).toDF("doc_id"),
+      "doc_id") == 1L)
+    val got = rows(TextIndex.topKPruned(spark, dir, Seq("x"), 3))
+    assert(!got.exists(_._1 == top),
+      "tombstoned doc must not surface from the pruned serve")
+    assert(got == rows(TextIndex.topK(spark, dir, Seq("x"), 3)))
+    assert(!TextIndex.lastPruneStats.get.delegated)
   }
 }
