@@ -527,7 +527,7 @@ object GraftCli {
            |           annsq8query <indexdir> <storedir> <emb> <id> <k> [nprobe]
            |           textbuild <docs> <storedir> [buckets] [files_per_bucket]
            |           textappend <docs> <storedir> [files_per_bucket]
-           |           textquery <storedir> <term,term,...> <k> <outdir>
+           |           textquery <dir[;dir2;...]> <term,term,...> <k> <outdir>  (front door: auto-picks pruned/sharded)
            |           textcompact <storedir> [files_per_bucket]
            |           textcompactsel <storedir> <max_files_per_bucket> [files_per_bucket]
            |           textbuildpos <docs> <storedir> [buckets] [files_per_bucket]
@@ -2933,13 +2933,18 @@ object GraftCli {
   private def textQuery(storeDir: String, terms: Seq[String], k: Int,
                         out: String): Unit = {
     val spark = GraftSession.local()
-    val hits = graft.operators.TextIndex.topK(spark, storeDir, terms, k)
+    // the serve front door: an opted-in store (or fleet — semicolon-
+    // separated dirs) prunes, a plain one serves unpruned — same rows
+    // either way (textqueryp/textquerysharded stay as explicit verbs)
+    val dirs = storeDir.split(";").toSeq.filter(_.nonEmpty)
+    val hits = graft.operators.TextIndex.serve(spark, dirs, terms, k)
     hits.write.mode("overwrite").parquet(out)
     val shown = spark.read.parquet(out)
       .orderBy(col("score").desc, col("doc_id")).collect()
     shown.foreach(r => println(s"${r.get(0)}\t${r.get(1)}\t${r.get(2)}"))
+    val route = graft.operators.TextIndex.lastServeRoute.getOrElse("?")
     println(s"${shown.length} BM25 hits for [${terms.mkString(", ")}] " +
-      s"from $storeDir -> $out")
+      s"from ${dirs.mkString(";")} via $route -> $out")
     spark.stop()
   }
 

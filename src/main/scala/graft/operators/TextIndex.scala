@@ -2495,14 +2495,15 @@ object TextIndex {
     }
 
   /** Suffix-expanded BM25 (`*fix` queries): [[expandSuffix]] through
-    * the existing bucket-pruned [[topK]] — [[wildcardTopK]]'s
-    * leading-wildcard sibling. */
+    * the [[serve]] front door (expanded terms are just terms, so an
+    * opted-in store gets the block-max pruned path for free) —
+    * [[wildcardTopK]]'s leading-wildcard sibling. */
   def suffixTopK(spark: SparkSession, storeDir: String, suffix: String,
                  k: Int, maxTerms: Int = 64, k1: Double = 1.2,
                  b: Double = 0.75): DataFrame = {
     val terms = expandSuffix(spark, storeDir, suffix, maxTerms)
     if (terms.isEmpty) emptyTopK(spark, storeDir)
-    else topK(spark, storeDir, terms, k, k1, b)
+    else serve(spark, Seq(storeDir), terms, k, "bm25", k1, b)
   }
 
   /** Expand terms matching a regexp (Java `rlike` find semantics —
@@ -2522,34 +2523,36 @@ object TextIndex {
     spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
       .withColumn("n_terms", lit(0L)).withColumn("score", lit(0.0))
 
-  /** Prefix-expanded BM25: expand against the vocab sidecar, score the
-    * expanded terms through [[topK]] (summed per-term contributions —
-    * multi-term OR semantics). Zero matching terms → the exact empty
-    * answer, zero data files opened. */
+  /** Prefix-expanded BM25: expand against the vocab sidecar, score
+    * the expanded terms through the [[serve]] front door (summed
+    * per-term contributions — multi-term OR semantics; an opted-in
+    * store prunes). Zero matching terms → the exact empty answer,
+    * zero data files opened. */
   def wildcardTopK(spark: SparkSession, storeDir: String, prefix: String,
                    k: Int, maxTerms: Int = 64, k1: Double = 1.2,
                    b: Double = 0.75): DataFrame = {
     val ts = expandPrefix(spark, storeDir, prefix, maxTerms)
     if (ts.isEmpty) emptyTopK(spark, storeDir)
-    else topK(spark, storeDir, ts, k, k1, b)
+    else serve(spark, Seq(storeDir), ts, k, "bm25", k1, b)
   }
 
-  /** Fuzzy-expanded BM25 — [[expandFuzzy]] then [[topK]]. */
+  /** Fuzzy-expanded BM25 — [[expandFuzzy]] then the [[serve]] door. */
   def fuzzyTopK(spark: SparkSession, storeDir: String, term: String,
                 maxDist: Int, k: Int, maxTerms: Int = 16,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val ts = expandFuzzy(spark, storeDir, term, maxDist, maxTerms)
     if (ts.isEmpty) emptyTopK(spark, storeDir)
-    else topK(spark, storeDir, ts, k, k1, b)
+    else serve(spark, Seq(storeDir), ts, k, "bm25", k1, b)
   }
 
-  /** Regexp-expanded BM25 — [[expandRegexp]] then [[topK]]. */
+  /** Regexp-expanded BM25 — [[expandRegexp]] then the [[serve]]
+    * door. */
   def regexpTopK(spark: SparkSession, storeDir: String, pattern: String,
                  k: Int, maxTerms: Int = 64, k1: Double = 1.2,
                  b: Double = 0.75): DataFrame = {
     val ts = expandRegexp(spark, storeDir, pattern, maxTerms)
     if (ts.isEmpty) emptyTopK(spark, storeDir)
-    else topK(spark, storeDir, ts, k, k1, b)
+    else serve(spark, Seq(storeDir), ts, k, "bm25", k1, b)
   }
 
   /** BATCHED wildcard BM25 — a whole `(idCol, prefixCol)` query frame
@@ -2580,7 +2583,10 @@ object TextIndex {
       .filter(col("_r") <= maxTerms)
       .groupBy(col("query_id"))
       .agg(collect_list(col("w")).as("terms"))
-    topKBatch(spark, storeDir, expanded, "query_id", "terms", k, k1, b)
+    // through the front door: an opted-in store serves the expanded
+    // frame block-max pruned, bit-identically
+    serveBatch(spark, Seq(storeDir), expanded, "query_id", "terms", k,
+      "bm25", k1, b)
   }
 
   /** MULTI-FIELD BM25F ranking (Robertson et al.'s simple BM25F —
@@ -3032,7 +3038,10 @@ object TextIndex {
       .filter(col("_r") <= maxTerms)
       .groupBy(col("query_id"))
       .agg(collect_list(col("w")).as("terms"))
-    topKBatch(spark, storeDir, expanded, "query_id", "terms", k, k1, b)
+    // through the front door: an opted-in store serves the expanded
+    // frame block-max pruned, bit-identically
+    serveBatch(spark, Seq(storeDir), expanded, "query_id", "terms", k,
+      "bm25", k1, b)
   }
 
   /** BATCHED regexp BM25 — a whole `(idCol, patternCol)` query frame
@@ -3058,7 +3067,10 @@ object TextIndex {
       .filter(col("_r") <= maxTerms)
       .groupBy(col("query_id"))
       .agg(collect_list(col("w")).as("terms"))
-    topKBatch(spark, storeDir, expanded, "query_id", "terms", k, k1, b)
+    // through the front door: an opted-in store serves the expanded
+    // frame block-max pruned, bit-identically
+    serveBatch(spark, Seq(storeDir), expanded, "query_id", "terms", k,
+      "bm25", k1, b)
   }
 
   /** SCATTER-GATHER BM25 across N store SHARDS — the serve topology a
@@ -3622,6 +3634,312 @@ object TextIndex {
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 
+  /** BATCHED scatter-gather Dirichlet LM — [[lmTopKSharded]] for a
+    * whole query frame, per-query rows bit-identical to
+    * [[lmTopKBatch]] over the union store: one terms-sized global ctf
+    * union for the whole batch, per-shard bounded tops, a shards×k
+    * gather per query. */
+  def lmTopKShardedBatch(spark: SparkSession, shardDirs: Seq[String],
+                         queries: DataFrame, idCol: String,
+                         termsCol: String, k: Int,
+                         mu: Double = 2000.0): DataFrame = {
+    require(shardDirs.nonEmpty, "need at least one shard")
+    require(k >= 1, "need at least one result slot")
+    require(mu > 0, "the Dirichlet pseudo-count must be positive")
+    import spark.implicits._
+    val stats = shardDirs.map(d => readStats(spark, d))
+    val sdl = stats.map(_._2).sum
+    val qt = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(array_distinct(col(termsCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .localCheckpoint()
+    val wanted = qt.select(col("w")).distinct().localCheckpoint()
+    val reads = shardDirs.zip(stats).flatMap { case (dir, (_, _, nb)) =>
+      val wantedS = dropAbsentTermRows(spark, dir, wanted)
+      val buckets = wantedS
+        .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (buckets.isEmpty) None
+      else Some(minusTombstones(spark, dir,
+        spark.read.parquet(dir)
+          .filter(col("tb").isin(buckets: _*))
+          .drop("tb")
+          .join(wantedS, Seq("w"))
+          .select(col("doc_id"), col("w"), col("tf"), col("dl"))))
+    }
+    if (reads.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_terms"),
+        col("id").cast("double").as("score"))
+    val ctfT = reads.map(_.groupBy(col("w")).agg(sum(col("tf")).as("ctf")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("w")).agg(sum(col("ctf")).as("ctf"))
+    val bctf = broadcast(ctfT)
+    val perShard = reads.map { tf =>
+      tf.join(bctf, Seq("w"))
+        .withColumn("tfc", round(
+          log(lit(1.0) + col("tf").cast("double") * lit(sdl).cast("double") /
+            (lit(mu) * col("ctf").cast("double"))), 6)
+          .cast("decimal(28,6)"))
+        .withColumn("bg", round(
+          log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6)
+          .cast("decimal(28,6)"))
+        .withColumn("c", col("tfc") + col("bg"))
+        .select(col("w"), col("doc_id"), col("c"))
+        .join(qt, Seq("w"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("c")).cast("double").as("score"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopK.top_k_tagged(k)(col("doc_id"),
+          col("score"), col("n_terms")).as("hits"))
+        .select(col("query_id"), explode(col("hits")).as("hit"))
+        .select(col("query_id"), col("hit._1").as("doc_id"),
+          col("hit._3").as("n_terms"), col("hit._2").as("score"))
+    }
+    perShard.reduce(_.unionByName(_))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k_tagged(k)(col("doc_id"),
+        col("score"), col("n_terms")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit._1").as("doc_id"),
+        col("hit._3").as("n_terms"), col("hit._2").as("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** [[lmTopKShardedBatch]] with per-shard BLOCK-MAX pruning — the
+    * LM face of [[topKShardedPrunedBatch]]: global ctf from the
+    * shards' sidecars (zero data files), one cross-shard probe union
+    * setting the per-query global θ WITH global floors (the generic
+    * least(c, 0) fold — negative for the LM length norm), then each
+    * shard's distributed batched prune under the shared frame.
+    * Pending tombstones, an un-opted shard, or a failed heal delegate
+    * to [[lmTopKShardedBatch]]. */
+  def lmTopKShardedPrunedBatch(spark: SparkSession,
+                               shardDirs: Seq[String],
+                               queries: DataFrame, idCol: String,
+                               termsCol: String, k: Int,
+                               mu: Double = 2000.0): DataFrame = {
+    require(shardDirs.nonEmpty, "need at least one shard")
+    require(k >= 1, "need at least one result slot")
+    require(mu > 0, "the Dirichlet pseudo-count must be positive")
+    import spark.implicits._
+    lastPruneStats = None
+    if (shardDirs.exists(d => readTombstones(spark, d)
+          .exists(_.limit(1).count() > 0L)) ||
+        shardDirs.exists(d =>
+          !graft.sinks.HadoopSwap.exists(spark, blockmaxPath(d))) ||
+        shardDirs.exists(d => !tryEnsureBlockCoverage(spark, d))) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return lmTopKShardedBatch(spark, shardDirs, queries, idCol,
+        termsCol, k, mu)
+    }
+    val stats = shardDirs.map(d => readStats(spark, d))
+    val sdl = stats.map(_._2).sum
+    val qt = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(array_distinct(col(termsCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
+    if (qt.limit(1).count() == 0L)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_terms"),
+        col("id").cast("double").as("score"))
+    val termsF = qt.select(col("w")).distinct()
+    val bsByShard = shardDirs.map { dir =>
+      val liveFiles = graft.sinks.SkippingStore
+        .listDataFileRelPaths(spark, dir)
+      dir -> graft.sinks.SidecarFold.withReadRetry() {
+        spark.read.parquet(blockmaxPath(dir))
+          .join(broadcast(termsF), Seq("w"))
+          .join(broadcast(liveFiles.toDF("file")), Seq("file"),
+            "left_semi")
+          .dropDuplicates("file", "w")
+          .localCheckpoint()
+      }
+    }
+    // GLOBAL ctf from the sidecars alone — zero data files
+    val ctfFrame = broadcast(
+      bsByShard.map(_._2.groupBy(col("w")).agg(sum(col("sumtf")).as("ctf")))
+        .reduce(_.unionByName(_))
+        .groupBy(col("w")).agg(sum(col("ctf")).as("ctf")))
+    def scoreOf(post: DataFrame): DataFrame =
+      post.join(ctfFrame, Seq("w"))
+        .withColumn("tfc", round(
+          log(lit(1.0) + col("tf").cast("double") * lit(sdl).cast("double") /
+            (lit(mu) * col("ctf").cast("double"))), 6)
+          .cast("decimal(28,6)"))
+        .withColumn("bg", round(
+          log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6)
+          .cast("decimal(28,6)"))
+        .withColumn("c", col("tfc") + col("bg"))
+    val cm = (col("c") * 1000000L).cast("long")
+    val bsUnion = bsByShard.map(_._2).reduce(_.unionByName(_))
+    val floors = scoreOf(bsUnion.groupBy(col("w"))
+        .agg(max(col("maxdl")).as("dl")).withColumn("tf", lit(1L)))
+      .select(col("w"), least(cm, lit(0L)).as("floor"))
+    val negAdj = qt.join(broadcast(floors), Seq("w"))
+      .groupBy(col("query_id")).agg(sum(col("floor")).as("neg_adj"))
+    val wprobe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("cap").desc, col("file"))
+    val probeReads = bsByShard.flatMap { case (dir, bsDF) =>
+      val files = scoreOf(bsDF.select(col("file"), col("w"),
+          col("maxtf").as("tf"), col("mindl").as("dl")))
+        .select(col("file"), col("w"), cm.as("cap"))
+        .withColumn("_r", row_number().over(wprobe))
+        .filter(col("_r") === 1)
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (files.isEmpty) None
+      else Some(spark.read.option("basePath", dir)
+        .parquet(files.map(f => s"$dir/$f"): _*)
+        .join(broadcast(termsF), Seq("w")))
+    }
+    if (probeReads.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_terms"),
+        col("id").cast("double").as("score"))
+    val wrank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    val thetaQ = scoreOf(probeReads.reduce(_.unionByName(_)))
+      .join(qt.select(col("query_id"), col("w")), Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg((sum(col("c")) * 1000000L).cast("long").as("s"))
+      .withColumn("_r", row_number().over(wrank)).filter(col("_r") === k)
+      .join(negAdj, Seq("query_id"))
+      .select(col("query_id"), (col("s") + col("neg_adj")).as("theta"))
+      .localCheckpoint()
+    var acc = PruneStats(0, 0, 0, None, delegated = false)
+    val perShard = bsByShard.map { case (dir, bsDF) =>
+      val served = prunedServeBatch(spark, dir, qt, k, bsDF, scoreOf,
+        sharedThetaQ = Some(thetaQ))
+      lastPruneStats.foreach(s => acc = PruneStats(
+        acc.relevantFiles + s.relevantFiles,
+        acc.survivors + s.survivors,
+        acc.skipped + s.skipped, None, delegated = false))
+      served
+    }
+    lastPruneStats = Some(acc)
+    perShard.reduce(_.unionByName(_))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k_tagged(k)(col("doc_id"),
+        col("score"), col("n_terms")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit._1").as("doc_id"),
+        col("hit._3").as("n_terms"), col("hit._2").as("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // ONE SERVE FRONT DOOR. The ranked-serve matrix is now
+  // {plain, pruned} × {single, batched} × {single-store, sharded} ×
+  // {BM25, LM}, and every cell is an explicit verb — correct, but a
+  // caller picking by method name can silently land on a slow path
+  // (unpruned on an opted-in store) or an inapplicable one. serve()/
+  // serveBatch() inspect the stores — shard count, `_blockmax`
+  // opt-in — and dispatch to the fastest EXACT path; the pruned verbs
+  // themselves keep the tombstone / heal-failure / mixed-fleet
+  // delegations, so the front door never needs to re-check those.
+  // Every explicit verb stays public: the front door is a default,
+  // not a replacement. [[lastServeRoute]] records the chosen verb
+  // (the dispatch-matrix spec pins it; never feeds an answer).
+
+  @volatile private[graft] var lastServeRoute: Option[String] = None
+
+  private def hasBlockmax(spark: SparkSession, dir: String): Boolean =
+    graft.sinks.HadoopSwap.exists(spark, blockmaxPath(dir))
+
+  /** Serve a ranked term query from one store or a shard fleet,
+    * picking the fastest exact path. `scorer`: "bm25" (default) or
+    * "lm" (Dirichlet; `mu`). Answers are bit-identical whichever path
+    * dispatch lands on — that is the pruning/scatter contract this
+    * file proves — so the choice is pure mechanics. */
+  def serve(spark: SparkSession, storeDirs: Seq[String],
+            terms: Seq[String], k: Int, scorer: String = "bm25",
+            k1: Double = 1.2, b: Double = 0.75,
+            mu: Double = 2000.0): DataFrame = {
+    require(storeDirs.nonEmpty, "need at least one store")
+    val sc = scorer.toLowerCase(java.util.Locale.ROOT)
+    require(sc == "bm25" || sc == "lm",
+      s"unknown scorer '$scorer' — expected bm25 or lm")
+    val pruned = storeDirs.forall(hasBlockmax(spark, _))
+    val route = (storeDirs.size == 1, pruned, sc) match {
+      case (true, true, "bm25") => "topKPruned"
+      case (true, false, "bm25") => "topK"
+      case (true, true, "lm") => "lmTopKPruned"
+      case (true, false, "lm") => "lmTopK"
+      case (false, true, "bm25") => "topKShardedPruned"
+      case (false, false, "bm25") => "topKSharded"
+      case (false, true, "lm") => "lmTopKShardedPruned"
+      case (_, _, _) => "lmTopKSharded"
+    }
+    lastServeRoute = Some(route)
+    route match {
+      case "topKPruned" => topKPruned(spark, storeDirs.head, terms, k, k1, b)
+      case "topK" => topK(spark, storeDirs.head, terms, k, k1, b)
+      case "lmTopKPruned" => lmTopKPruned(spark, storeDirs.head, terms, k, mu)
+      case "lmTopK" => lmTopK(spark, storeDirs.head, terms, k, mu)
+      case "topKShardedPruned" =>
+        topKShardedPruned(spark, storeDirs, terms, k, k1, b)
+      case "topKSharded" => topKSharded(spark, storeDirs, terms, k, k1, b)
+      case "lmTopKShardedPruned" =>
+        lmTopKShardedPruned(spark, storeDirs, terms, k, mu)
+      case _ => lmTopKSharded(spark, storeDirs, terms, k, mu)
+    }
+  }
+
+  /** [[serve]] for a whole `(idCol, termsCol: array<string>)` query
+    * frame — the batched column of the same dispatch matrix. */
+  def serveBatch(spark: SparkSession, storeDirs: Seq[String],
+                 queries: DataFrame, idCol: String, termsCol: String,
+                 k: Int, scorer: String = "bm25", k1: Double = 1.2,
+                 b: Double = 0.75, mu: Double = 2000.0): DataFrame = {
+    require(storeDirs.nonEmpty, "need at least one store")
+    val sc = scorer.toLowerCase(java.util.Locale.ROOT)
+    require(sc == "bm25" || sc == "lm",
+      s"unknown scorer '$scorer' — expected bm25 or lm")
+    val pruned = storeDirs.forall(hasBlockmax(spark, _))
+    val route = (storeDirs.size == 1, pruned, sc) match {
+      case (true, true, "bm25") => "topKPrunedBatch"
+      case (true, false, "bm25") => "topKBatch"
+      case (true, true, "lm") => "lmTopKPrunedBatch"
+      case (true, false, "lm") => "lmTopKBatch"
+      case (false, true, "bm25") => "topKShardedPrunedBatch"
+      case (false, false, "bm25") => "topKShardedBatch"
+      case (false, true, "lm") => "lmTopKShardedPrunedBatch"
+      case (_, _, _) => "lmTopKShardedBatch"
+    }
+    lastServeRoute = Some(route)
+    route match {
+      case "topKPrunedBatch" =>
+        topKPrunedBatch(spark, storeDirs.head, queries, idCol, termsCol,
+          k, k1, b)
+      case "topKBatch" =>
+        topKBatch(spark, storeDirs.head, queries, idCol, termsCol, k,
+          k1, b)
+      case "lmTopKPrunedBatch" =>
+        lmTopKPrunedBatch(spark, storeDirs.head, queries, idCol,
+          termsCol, k, mu)
+      case "lmTopKBatch" =>
+        lmTopKBatch(spark, storeDirs.head, queries, idCol, termsCol, k, mu)
+      case "topKShardedPrunedBatch" =>
+        topKShardedPrunedBatch(spark, storeDirs, queries, idCol,
+          termsCol, k, k1, b)
+      case "topKShardedBatch" =>
+        topKShardedBatch(spark, storeDirs, queries, idCol, termsCol, k,
+          k1, b)
+      case "lmTopKShardedPrunedBatch" =>
+        lmTopKShardedPrunedBatch(spark, storeDirs, queries, idCol,
+          termsCol, k, mu)
+      case _ =>
+        lmTopKShardedBatch(spark, storeDirs, queries, idCol, termsCol,
+          k, mu)
+    }
+  }
+
   // ------------------------------------------------------------------
   // BLOCK-MAX dynamic pruning (Ding & Suel's block-max WAND / Lucene's
   // MaxScore, re-expressed for a file-blocked store). [[topK]] scores
@@ -3672,9 +3990,13 @@ object TextIndex {
   //     outright; the survivors' DECIMAL partial sums are
   //     order-independent, so scores are bit-identical to the
   //     one-pass serve.
-  //   - pending tombstones would make sidecar df stale-high (idf
-  //     under-estimated → caps too LOW → over-pruning): the serve
-  //     delegates to [[topK]] until the next compaction purges them.
+  //   - pending tombstones make sidecar df stale-high (idf
+  //     under-estimated → caps too LOW → over-pruning) — the SINGLE
+  //     serves therefore subtract the tombstoned postings exactly
+  //     ([[tombstoneTermAdjust]]'s page-pruned point lookup) and
+  //     anti-join the tombstone set on every read, delegating only
+  //     past the In-pushdown budget; the batched and sharded serves
+  //     still delegate wholesale until the next compaction purges.
 
   private def blockmaxPath(dir: String) = s"$dir/_blockmax"
 

@@ -6809,6 +6809,69 @@ object Pipeline {
 
   private val q277Sql = bm25Sql(Seq("join"), 5)
 
+  // --------------------------------------------------------------- q282
+  // Expansion serves through the PRUNED path + the serve front door:
+  // wildcard ('joi*') and leading-wildcard ('*oin') BM25 on a store
+  // carrying BOTH sidecars (_vocab for expansion, _blockmax for
+  // pruning) — expanded terms are just terms, so the q266 banded
+  // store skips files for them too. serve()/the expansion verbs
+  // dispatch through the front door (lastServeRoute pins the route
+  // in-plan); the suffix serve must agree with the wildcard one
+  // row-for-row (both expand to the same term here). The oracle
+  // replays expansion (df-ranked against the live vocab) + BM25 from
+  // the raw corpus.
+  private def q282ExpansionPruned(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q282", dir)
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val jtf = size(filter(toks, w => w === "join"))
+    val dl = size(toks)
+    TextIndex.build(docs.filter(jtf >= 3), "doc_id", "text", out,
+      nBuckets = 8, filesPerBucket = 2)
+    TextIndex.buildBlockStats(s, out)
+    TextIndex.buildVocab(s, out)
+    TextIndex.append(docs.filter(jtf.between(1, 2) && dl < 50),
+      "doc_id", "text", out, filesPerBucket = 2)
+    TextIndex.append(docs.filter(jtf === 0 || (jtf.between(1, 2)
+      && dl >= 50)), "doc_id", "text", out, filesPerBucket = 2)
+    val res = TextIndex.wildcardTopK(s, out, "joi", 5, maxTerms = 8)
+    require(TextIndex.lastServeRoute.contains("topKPruned"),
+      s"the expansion serve must ride the pruned front-door path " +
+        s"(got ${TextIndex.lastServeRoute})")
+    val st = TextIndex.lastPruneStats.get
+    require(!st.delegated && st.skipped > 0,
+      s"the banded corpus must skip for the expanded terms too: $st")
+    require(graft.plans.PlanProbe.scannedFileCount(res) <= st.survivors,
+      s"the final plan must read survivor files only: $st")
+    require(res.collect().toSeq ==
+        TextIndex.suffixTopK(s, out, "oin", 5).collect().toSeq,
+      "wildcard and suffix serves must agree (same expansion here)")
+    res
+  }
+
+  private val q282Sql =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM b2),
+      |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS vdf FROM
+      |    (SELECT doc_id, unnest(toks) AS w FROM base)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |e AS (SELECT w FROM vocab WHERE w LIKE 'joi%'
+      |  ORDER BY vdf DESC, w LIMIT 8),
+      |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, dl, unnest(toks) AS w FROM b2)
+      |  WHERE w IN (SELECT w FROM e) GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |contrib AS (SELECT doc_id,
+      |    CAST(round(
+      |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+      |      * (tf * (1.2e0 + 1)) /
+      |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6) AS DECIMAL(28,6)) AS c
+      |  FROM tf JOIN df USING (w) CROSS JOIN stats)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
+      |FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 5""".stripMargin
+
   // --------------------------------------------------------------- q281
   // Pruning UNDER pending tombstones — the delete-to-compaction perf
   // cliff removed: the q266 banded store takes a delete (every 7th
@@ -7908,6 +7971,7 @@ object Pipeline {
     "q279_sharded_lm" -> q279ShardedLm _,
     "q280_sharded_batch" -> q280ShardedBatch _,
     "q281_tombstone_prune" -> q281TombstonePrune _,
+    "q282_expansion_pruned" -> q282ExpansionPruned _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -8197,6 +8261,7 @@ object Pipeline {
     "q279_sharded_lm" -> q268Sql,
     "q280_sharded_batch" -> q269Sql,
     "q281_tombstone_prune" -> q281Sql,
+    "q282_expansion_pruned" -> q282Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -17,8 +17,9 @@ import scala.util.Random
   *     the instrumentation ledger records skipped > 0;
   *   - the candidate-completion path (upper-bound survivors missing a
   *     skipped term's mass) re-ranks exactly;
-  *   - pending tombstones delegate to the unpruned serve (sidecar df
-  *     would be stale-high → caps under-estimated → over-pruning);
+  *   - pending tombstones PRUNE: the point-lookup subtraction keeps
+  *     df/ctf exact and the reads anti-join the tombstone set; only a
+  *     set past the In-pushdown budget delegates;
   *   - appends extend the sidecar from the new files alone; compact
   *     rebuilds it; a coverage gap heals at serve time.
   */
@@ -521,6 +522,119 @@ class TextPruneSpec extends SparkSpec {
       brows(TextIndex.topKShardedBatch(spark, shards :+ s2, queries,
         "query_id", "terms", 5)))
     assert(TextIndex.lastPruneStats.get.delegated)
+  }
+
+  test("the serve front door dispatches by store shape; every route " +
+      "answers identically; unknown scorers refuse") {
+    val (a, b, c) = skewDocs()
+    val dirP = tmp("fd_p") // opted-in single store
+    TextIndex.build(a, "doc_id", "text", dirP, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, dirP)
+    TextIndex.append(b, "doc_id", "text", dirP, filesPerBucket = 1)
+    TextIndex.append(c, "doc_id", "text", dirP, filesPerBucket = 1)
+    val dirU = tmp("fd_u") // plain single store
+    TextIndex.build(a.unionAll(b).unionAll(c), "doc_id", "text", dirU,
+      nBuckets = 4, filesPerBucket = 1)
+    val s0 = tmp("fd_s0") // opted-in shard fleet
+    val s1 = tmp("fd_s1")
+    val s1u = tmp("fd_s1u") // same shard content, NOT opted in
+    TextIndex.build(a.unionAll(b), "doc_id", "text", s0, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, s0)
+    TextIndex.build(c, "doc_id", "text", s1, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, s1)
+    TextIndex.build(c, "doc_id", "text", s1u, nBuckets = 4,
+      filesPerBucket = 1)
+    val terms = Seq("x", "y")
+    def route = TextIndex.lastServeRoute.get
+    for (sc <- Seq("bm25", "lm")) {
+      val want = rows(TextIndex.serve(spark, Seq(dirU), terms, 5, sc))
+      assert(route == (if (sc == "bm25") "topK" else "lmTopK"))
+      assert(rows(TextIndex.serve(spark, Seq(dirP), terms, 5, sc)) ==
+        want, s"$sc pruned single")
+      assert(route ==
+        (if (sc == "bm25") "topKPruned" else "lmTopKPruned"))
+      assert(rows(TextIndex.serve(spark, Seq(s0, s1), terms, 5, sc)) ==
+        want, s"$sc sharded pruned")
+      assert(route == (if (sc == "bm25") "topKShardedPruned"
+        else "lmTopKShardedPruned"))
+      assert(rows(TextIndex.serve(spark, Seq(s0, s1u), terms, 5, sc)) ==
+        want, s"$sc mixed fleet")
+      assert(route ==
+        (if (sc == "bm25") "topKSharded" else "lmTopKSharded"))
+    }
+    // the batched column, including the sharded pruned LM face
+    val queries = Seq((0L, Seq("x", "y")), (1L, Seq("x")))
+      .toDF("query_id", "terms")
+    def brows(df: DataFrame) =
+      df.select($"query_id", $"doc_id", $"n_terms", $"score")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    for (sc <- Seq("bm25", "lm")) {
+      val want = brows(TextIndex.serveBatch(spark, Seq(dirU), queries,
+        "query_id", "terms", 5, sc))
+      assert(route == (if (sc == "bm25") "topKBatch" else "lmTopKBatch"))
+      assert(brows(TextIndex.serveBatch(spark, Seq(dirP), queries,
+        "query_id", "terms", 5, sc)) == want, s"$sc pruned batch")
+      assert(route == (if (sc == "bm25") "topKPrunedBatch"
+        else "lmTopKPrunedBatch"))
+      assert(brows(TextIndex.serveBatch(spark, Seq(s0, s1), queries,
+        "query_id", "terms", 5, sc)) == want, s"$sc sharded pruned batch")
+      assert(route == (if (sc == "bm25") "topKShardedPrunedBatch"
+        else "lmTopKShardedPrunedBatch"))
+      assert(brows(TextIndex.serveBatch(spark, Seq(s0, s1u), queries,
+        "query_id", "terms", 5, sc)) == want, s"$sc mixed batch")
+      assert(route == (if (sc == "bm25") "topKShardedBatch"
+        else "lmTopKShardedBatch"))
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.serve(spark, Seq(dirP), terms, 5, "pagerank")
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.serveBatch(spark, Seq(dirP), queries,
+        "query_id", "terms", 5, "cosine")
+    }
+  }
+
+  test("expansion serves ride the pruned path on an opted-in store, " +
+      "bit-identically") {
+    val dir = tmp("expprune")
+    val (a, b, c) = skewDocs()
+    // give x/y a shared prefix family via extra terms: xq/yq docs
+    TextIndex.build(a, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, dir)
+    TextIndex.buildVocab(spark, dir)
+    TextIndex.append(b, "doc_id", "text", dir, filesPerBucket = 1)
+    TextIndex.append(c, "doc_id", "text", dir, filesPerBucket = 1)
+    // prefix 'x' expands to {x}; f* expands to the filler family
+    val viaPrefix = rows(TextIndex.wildcardTopK(spark, dir, "x", 5))
+    assert(TextIndex.lastServeRoute.get == "topKPruned",
+      "expansion must ride the pruned path once the store opted in")
+    assert(!TextIndex.lastPruneStats.get.delegated)
+    assert(viaPrefix == rows(TextIndex.topK(spark, dir,
+      TextIndex.expandPrefix(spark, dir, "x"), 5)))
+    val viaSuffix = rows(TextIndex.suffixTopK(spark, dir, "1", 5))
+    assert(viaSuffix == rows(TextIndex.topK(spark, dir,
+      TextIndex.expandSuffix(spark, dir, "1"), 5)))
+    assert(TextIndex.lastServeRoute.get == "topKPruned")
+    val viaFuzzy = rows(TextIndex.fuzzyTopK(spark, dir, "x", 1, 5))
+    assert(viaFuzzy == rows(TextIndex.topK(spark, dir,
+      TextIndex.expandFuzzy(spark, dir, "x", 1), 5)))
+    // batched wildcard rides the pruned batch
+    val wq = Seq((0L, "x"), (1L, "f")).toDF("query_id", "prefix")
+    val got = TextIndex.wildcardTopKBatch(spark, dir, wq,
+      "query_id", "prefix", 5)
+      .select($"query_id", $"doc_id", $"n_terms", $"score")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(TextIndex.lastServeRoute.get == "topKPrunedBatch")
+    val loop = Seq(0L -> "x", 1L -> "f").flatMap { case (q, p) =>
+      rows(TextIndex.wildcardTopK(spark, dir, p, 5))
+        .map(r => (q, r._1, r._2, r._3))
+    }
+    assert(got.sortBy(t => (t._1, -t._4, t._2)) ==
+      loop.sortBy(t => (t._1, -t._4, t._2)))
   }
 
   test("pending tombstones PRUNE (exact df/ctf via the point-lookup " +
