@@ -4125,6 +4125,21 @@ object TextIndex {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
   }
 
+  /** Live-data-file count above which the SINGLE-query pruned serves
+    * run the DISTRIBUTED batched cap algebra (a one-row query frame
+    * through [[prunedServeBatch]]) instead of collecting
+    * (files-with-term × terms) cap tuples on the driver. The default
+    * keeps the driver state in the same order as Spark's own file
+    * index for any store below it; million-file stores switch to the
+    * distributed algebra automatically. Package-private so specs can
+    * drive the crossover. */
+  @volatile private[graft] var distributedCapsFileThreshold: Int = 65536
+
+  /** Whether the last single-query pruned serve ran the distributed
+    * cap algebra (the [[distributedCapsFileThreshold]] crossover) —
+    * spec instrumentation, never feeds an answer. */
+  @volatile private[graft] var lastPruneDistributed: Boolean = false
+
   /** Instrumentation for the last [[topKPruned]] call — the ledger
     * specs and oracle rows use to prove files were actually skipped
     * (the [[phaseSeconds]] precedent). Never feeds an answer. */
@@ -4299,6 +4314,7 @@ object TextIndex {
     require(k >= 1, "need at least one result slot")
     import spark.implicits._
     lastPruneStats = None
+    lastPruneDistributed = false
     val tomb = readTombstones(spark, storeDir)
     if (tomb.exists(_.count() > tombstonePruneMaxIds)) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
@@ -4308,6 +4324,20 @@ object TextIndex {
     val live = readTermFilter(spark, storeDir)
       .fold(terms)(bits => presentTerms(spark, terms, bits))
     if (live.isEmpty) return emptyTopK(spark, storeDir)
+    // a many-file store runs the DISTRIBUTED cap algebra (the batched
+    // serve with a one-row frame): driver-held state stays file-LIST-
+    // sized, never files×terms cap tuples. (Under pending tombstones
+    // the batched path delegates to the exact unpruned batch — the
+    // combination of a million-file store AND pending deletes is a
+    // compact-first situation either way.)
+    if (graft.sinks.SkippingStore.listDataFileRelPaths(spark, storeDir)
+          .size > distributedCapsFileThreshold) {
+      lastPruneDistributed = true
+      return topKPrunedBatch(spark, storeDir,
+          Seq((0L, live)).toDF("query_id", "terms"), "query_id",
+          "terms", k, k1, b)
+        .select(col("doc_id"), col("n_terms"), col("score"))
+    }
     if (!tryEnsureBlockCoverage(spark, storeDir)) {
       // read-only mount / failed heal write: pruning without full
       // file coverage is unsound — serve exactly, unpruned
@@ -4360,6 +4390,7 @@ object TextIndex {
     require(mu > 0, "the Dirichlet pseudo-count must be positive")
     import spark.implicits._
     lastPruneStats = None
+    lastPruneDistributed = false
     val tomb = readTombstones(spark, storeDir)
     if (tomb.exists(_.count() > tombstonePruneMaxIds)) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
@@ -4369,6 +4400,15 @@ object TextIndex {
     val live = readTermFilter(spark, storeDir)
       .fold(terms)(bits => presentTerms(spark, terms, bits))
     if (live.isEmpty) return emptyTopK(spark, storeDir)
+    // the many-file crossover — see [[topKPruned]]
+    if (graft.sinks.SkippingStore.listDataFileRelPaths(spark, storeDir)
+          .size > distributedCapsFileThreshold) {
+      lastPruneDistributed = true
+      return lmTopKPrunedBatch(spark, storeDir,
+          Seq((0L, live)).toDF("query_id", "terms"), "query_id",
+          "terms", k, mu)
+        .select(col("doc_id"), col("n_terms"), col("score"))
+    }
     if (!tryEnsureBlockCoverage(spark, storeDir)) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
       return lmTopK(spark, storeDir, terms, k, mu)

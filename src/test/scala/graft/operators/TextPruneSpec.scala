@@ -524,6 +524,44 @@ class TextPruneSpec extends SparkSpec {
     assert(TextIndex.lastPruneStats.get.delegated)
   }
 
+  test("past the file-count threshold the single-query serves run the " +
+      "distributed cap algebra, bit-identically") {
+    val dir = tmp("distcaps")
+    val (a, b, c) = skewDocs()
+    TextIndex.build(a, "doc_id", "text", dir, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.buildBlockStats(spark, dir)
+    TextIndex.append(b, "doc_id", "text", dir, filesPerBucket = 1)
+    TextIndex.append(c, "doc_id", "text", dir, filesPerBucket = 1)
+    val saved = TextIndex.distributedCapsFileThreshold
+    try {
+      for (k <- Seq(1, 5, 12)) {
+        TextIndex.distributedCapsFileThreshold = Int.MaxValue
+        val wantB = rows(TextIndex.topKPruned(spark, dir,
+          Seq("x", "y"), k))
+        assert(!TextIndex.lastPruneDistributed)
+        val wantL = rows(TextIndex.lmTopKPruned(spark, dir,
+          Seq("x", "y"), k))
+        // a 'many-file' store (threshold 2): the same serves cross to
+        // the distributed batched algebra — same rows, and the driver
+        // never collects the files×terms cap tuples
+        TextIndex.distributedCapsFileThreshold = 2
+        assert(rows(TextIndex.topKPruned(spark, dir,
+          Seq("x", "y"), k)) == wantB, s"BM25 crossover k=$k")
+        assert(TextIndex.lastPruneDistributed,
+          "the crossover must actually route to the batched algebra")
+        assert(!TextIndex.lastPruneStats.get.delegated)
+        assert(rows(TextIndex.lmTopKPruned(spark, dir,
+          Seq("x", "y"), k)) == wantL, s"LM crossover k=$k")
+        assert(TextIndex.lastPruneDistributed)
+      }
+      // the crossover still skips files on the banded fixture
+      TextIndex.distributedCapsFileThreshold = 2
+      rows(TextIndex.topKPruned(spark, dir, Seq("x", "y"), 5))
+      assert(TextIndex.lastPruneStats.get.skipped > 0)
+    } finally TextIndex.distributedCapsFileThreshold = saved
+  }
+
   test("the serve front door dispatches by store shape; every route " +
       "answers identically; unknown scorers refuse") {
     val (a, b, c) = skewDocs()
