@@ -657,6 +657,73 @@ object Similarity {
         col("hit._1").cast(idType).as(idCol), col("hit._2").as("sim"))
   }
 
+  // ------------------------------------------------------------------
+  // SCATTER-GATHER ANN — the serve topology a 100 TB vector corpus
+  // actually runs: document-partitioned IVF store SHARDS (per tenant /
+  // time window / ingest line), each with its OWN trained index. The
+  // statistics contract is SIMPLER than the text scatter's global-df
+  // exchange: cosine similarity is ABSOLUTE — a candidate's score
+  // depends only on its own vector and the query, never on which
+  // shard it landed in — so per-shard codebooks are sound as-is and
+  // NO cross-shard statistics exchange exists at all. Per-shard
+  // centroids only steer which candidates are CONSIDERED (the same
+  // recall role nprobe plays inside one store); with nprobe = every
+  // shard's full cell count the scatter is EXACT over the union,
+  // which is what the oracle replays. Gathers are k-bounded (a vector
+  // lives in exactly one shard, so the global top-k is the top-k of
+  // the per-shard tops), and every per-shard read keeps the
+  // single-store prunes: probed-cell partition pruning, rider zone
+  // skipping, tombstone anti-joins.
+
+  /** Scatter-gather top-k across IVF store shards — one query vector
+    * ranked over every shard's probed lists, gathered k-bounded.
+    * `shards`: (storeDir, its own trained index) per shard; `nprobe`
+    * applies per shard (clamped to each shard's cell count). */
+  def ivfStoreTopKSharded(spark: org.apache.spark.sql.SparkSession,
+                          shards: Seq[(String, IvfIndex)],
+                          idCol: String, embCol: String, qv: Seq[Float],
+                          k: Int, nprobe: Int = 1,
+                          excludeId: Option[Long] = None,
+                          where: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    require(shards.nonEmpty, "need at least one shard")
+    require(nprobe >= 1, "need at least one probe cell")
+    shards.map { case (dir, ix) =>
+      ivfStoreTopK(spark, dir, idCol, embCol, qv, ix, k,
+        math.min(nprobe, ix.cids.size), excludeId, where)
+    }.reduce(_.unionByName(_))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** BATCHED scatter-gather ANN — [[knnJoinIvfStore]] across shards:
+    * every shard retrieves per-query k-bounded tops from its own
+    * probed lists in one job, and the gather re-ranks shards×k rows
+    * per query through the bounded TopK aggregator. Per query, rows
+    * are bit-identical to the [[ivfStoreTopKSharded]] loop (same
+    * rounding, same (sim desc, id) tiebreak); with full nprobe the
+    * answer is the exact kNN over the shard union. */
+  def knnJoinIvfStoreSharded(spark: org.apache.spark.sql.SparkSession,
+                             shards: Seq[(String, IvfIndex)],
+                             queries: DataFrame, idCol: String,
+                             embCol: String, k: Int, nprobe: Int,
+                             where: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    require(shards.nonEmpty, "need at least one shard")
+    require(nprobe >= 1, "need at least one probe cell")
+    val idType = integralIdType(queries, idCol)
+    shards.map { case (dir, ix) =>
+      knnJoinIvfStore(spark, dir, queries, idCol, embCol, k, ix,
+        math.min(nprobe, ix.cids.size), where)
+    }.reduce(_.unionByName(_))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(k)(col(idCol).cast("long"),
+        col("sim")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"),
+        col("hit._1").cast(idType).as(idCol), col("hit._2").as("sim"))
+  }
+
   /** Sign-bucket LSH: bucket key = sign bits of the first `bits` dims.
     * Probes only the query's bucket, then exact cosine within it. */
   def signBucketTopK(emb: DataFrame, idCol: String, embCol: String,

@@ -6809,6 +6809,129 @@ object Pipeline {
 
   private val q277Sql = bm25Sql(Seq("join"), 5)
 
+  // --------------------------------------------------------------- q283
+  // SCATTER-GATHER ANN: the embedding corpus document-partitioned
+  // into three IVF store shards, EACH WITH ITS OWN TRAINED CODEBOOK —
+  // sound without any cross-shard exchange because cosine is ABSOLUTE
+  // (a candidate's score never depends on which shard it landed in,
+  // unlike idf); per-shard centroids only steer which candidates are
+  // considered, the same recall role nprobe plays inside one store.
+  // With full per-shard nprobe the scatter is EXACT over the union —
+  // the oracle replays brute-force cosine top-k per query — and the
+  // k-bounded gather re-ranks shards×k rows. The in-plan require
+  // proves the nprobe=1 scatter still partition-prunes to probed
+  // cells inside every shard.
+  private def q283AnnSharded(s: SparkSession, dir: String): DataFrame = {
+    val outs = Seq(scratch("q283a", dir), scratch("q283b", dir),
+      scratch("q283c", dir))
+    val emb = t(s, dir, "embeddings")
+    val shards = outs.zipWithIndex.map { case (out, i) =>
+      val part = emb.filter(col("vec_id") % 3 === i)
+      val ix = Similarity.trainIvf(part, "vec_id", "embedding", 4)
+      Similarity.ivfStoreBuild(part, "vec_id", "embedding", ix, out)
+      (out, ix)
+    }
+    val qvecs = emb.filter(col("vec_id").isin(0L, 3L, 7L))
+    val full = shards.map(_._2.cids.size).max
+    val res = Similarity.knnJoinIvfStoreSharded(s, shards, qvecs,
+        "vec_id", "embedding", k = 10, nprobe = full)
+      .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+    // the single-query scatter agrees with the batched one, in-plan
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    require(Similarity.ivfStoreTopKSharded(s, shards, "vec_id",
+          "embedding", q0, k = 10, nprobe = full, excludeId = Some(0L))
+        .collect().toSeq ==
+      res.filter(col("query_id") === 0L)
+        .select(col("vec_id"), col("sim")).collect().toSeq,
+      "single and batched ANN scatters must agree per query")
+    // approximate mode still prunes: nprobe=1 opens a strict subset
+    // of every shard's cell partitions
+    val allFiles = outs.map(o =>
+      graft.sinks.SkippingStore.listDataFileRelPaths(s, o).size).sum
+    val pruned = Similarity.ivfStoreTopKSharded(s, shards, "vec_id",
+      "embedding", q0, k = 10, nprobe = 1, excludeId = Some(0L))
+    require(graft.plans.PlanProbe.scannedFileCount(pruned) < allFiles,
+      s"the nprobe=1 scatter must open probed cells only ($allFiles)")
+    res
+  }
+
+  private val q283Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id IN (0, 3, 7)),
+       |scored AS (SELECT q.query_id, e.vec_id,
+       |    ${cosSql("e.embedding", "q.qv")} AS sim
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id) AS rn FROM scored)
+       |SELECT query_id, vec_id, sim FROM r WHERE rn <= 10
+       |ORDER BY query_id, sim DESC, vec_id""".stripMargin
+
+  // --------------------------------------------------------------- q284
+  // The SHARDED THREE-ARM HYBRID — q254's composition with every arm
+  // scattered: BM25 and Dirichlet LM over three document-partitioned
+  // positional store shards (the global-df/ctf contract makes the
+  // text arms bit-identical to the union store), the dense arm over
+  // three per-codebook IVF shards (absolute distances, exact at full
+  // nprobe), fused per query with reciprocal-rank fusion. One logical
+  // corpus, three ranking families, nine physical shards — and the
+  // oracle is q254's, verbatim: sharding must never move a fused row.
+  private def q284ShardedHybrid(s: SparkSession, dir: String): DataFrame = {
+    val outsT = Seq(scratch("q284t0", dir), scratch("q284t1", dir),
+      scratch("q284t2", dir))
+    val outsV = Seq(scratch("q284v0", dir), scratch("q284v1", dir),
+      scratch("q284v2", dir))
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    outsT.zipWithIndex.foreach { case (out, i) =>
+      TextIndex.buildPositional(docs.filter(col("doc_id") % 3 === i),
+        "doc_id", "text", out, nBuckets = 8, filesPerBucket = 2)
+    }
+    val vshards = outsV.zipWithIndex.map { case (out, i) =>
+      val part = emb.filter(col("vec_id") % 3 === i)
+      val ix = Similarity.trainIvf(part, "vec_id", "embedding", 4)
+      Similarity.ivfStoreBuild(part, "vec_id", "embedding", ix, out)
+      (out, ix)
+    }
+    import s.implicits._
+    val qterms = Seq(
+      (0L, Seq("spark", "join", "merge")),
+      (3L, Seq("vector", "stream")),
+      (7L, Seq("filter", "sort"))).toDF("query_id", "terms")
+    val lex = TextIndex.topKShardedBatch(s, outsT, qterms,
+        "query_id", "terms", 20)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val lm = TextIndex.lmTopKShardedBatch(s, outsT, qterms,
+        "query_id", "terms", 20)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    // both text arms stay inside every shard's probed buckets
+    val live = Seq("spark", "join", "merge", "vector", "stream",
+      "filter", "sort")
+    val probed = live.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(8)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val budget = outsT.map { out =>
+      val allFiles = graft.sinks.SkippingStore.listDataFileRelPaths(s, out)
+      val inProbed =
+        allFiles.count(p => probed.exists(b => p.contains(s"tb=$b/")))
+      require(inProbed < allFiles.size,
+        "test setup: some bucket must stay unprobed")
+      inProbed
+    }.sum
+    Seq("BM25" -> lex, "LM" -> lm).foreach { case (leg, r) =>
+      require(graft.plans.PlanProbe.scannedFileCount(r) <= 2L * budget,
+        s"the sharded $leg arm must stay inside the shards' probed " +
+          s"buckets (2 passes x $budget files)")
+    }
+    val qvecs = emb.filter(col("vec_id").isin(0L, 3L, 7L))
+    val dense = Similarity.knnJoinIvfStoreSharded(s, vshards, qvecs,
+        "vec_id", "embedding", k = 20,
+        nprobe = vshards.map(_._2.cids.size).max)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("sim").as("score"))
+    Similarity.rrfFuseBatch(Seq(lex, lm, dense), "doc_id", c = 60, k = 10)
+  }
+
   // --------------------------------------------------------------- q282
   // Expansion serves through the PRUNED path + the serve front door:
   // wildcard ('joi*') and leading-wildcard ('*oin') BM25 on a store
@@ -7972,6 +8095,8 @@ object Pipeline {
     "q280_sharded_batch" -> q280ShardedBatch _,
     "q281_tombstone_prune" -> q281TombstonePrune _,
     "q282_expansion_pruned" -> q282ExpansionPruned _,
+    "q283_ann_sharded" -> q283AnnSharded _,
+    "q284_sharded_hybrid" -> q284ShardedHybrid _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -8262,6 +8387,8 @@ object Pipeline {
     "q280_sharded_batch" -> q269Sql,
     "q281_tombstone_prune" -> q281Sql,
     "q282_expansion_pruned" -> q282Sql,
+    "q283_ann_sharded" -> q283Sql,
+    "q284_sharded_hybrid" -> q254Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -58,6 +58,67 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 > 0.0 && r2 >= r1, s"recall must not degrade with nprobe: $r1 $r2")
   }
 
+  test("ANN scatter-gather: full-nprobe sharded serves == exact kNN " +
+      "over the union; per-shard codebooks; tombstones honored") {
+    import org.apache.spark.sql.functions._
+    def tmp(tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_annsh_$tag")
+      d.toFile.deleteOnExit()
+      d.resolve("store").toString
+    }
+    // three shards, EACH trained on its own subset (own codebooks —
+    // distances are absolute, so no cross-shard contract is needed)
+    val shards = (0 until 3).map { i =>
+      val out = tmp(s"s$i")
+      val part = emb.filter($"vec_id" % 3 === i)
+      val ix = Similarity.trainIvf(part, "vec_id", "embedding", 3)
+      Similarity.ivfStoreBuild(part, "vec_id", "embedding", ix, out)
+      (out, ix)
+    }
+    val full = shards.map(_._2.cids.size).max
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"sim").as[(Long, Double)].collect().toSeq
+    val exact = pairs(Similarity.cosineTopK(emb, "vec_id", "embedding",
+      0L, 7))
+    assert(pairs(Similarity.ivfStoreTopKSharded(spark, shards, "vec_id",
+      "embedding", qv, k = 7, nprobe = full, excludeId = Some(0L))) ==
+      exact, "full-probe scatter must equal exact kNN over the union")
+    // recall does not degrade with nprobe, like the single store
+    val e = exact.map(_._1).toSet
+    def recall(np: Int) = (pairs(Similarity.ivfStoreTopKSharded(spark,
+      shards, "vec_id", "embedding", qv, 7, np, Some(0L)))
+      .map(_._1).toSet & e).size.toDouble / e.size
+    val r1 = recall(1)
+    assert(r1 > 0.0 && recall(2) >= r1)
+    // batched scatter == the single-query loop, per query
+    val queries = emb.filter($"vec_id".isin(0L, 5L, 9L))
+    val batched = Similarity.knnJoinIvfStoreSharded(spark, shards,
+        queries, "vec_id", "embedding", k = 7, nprobe = full)
+      .select($"query_id", $"vec_id", $"sim")
+      .as[(Long, Long, Double)].collect().toSeq
+      .sortBy(t => (t._1, -t._3, t._2))
+    val loop = Seq(0L, 5L, 9L).flatMap { q =>
+      val v = emb.filter($"vec_id" === q)
+        .select($"embedding").head().getSeq[Float](0)
+      pairs(Similarity.ivfStoreTopKSharded(spark, shards, "vec_id",
+        "embedding", v, 7, full, Some(q))).map(p => (q, p._1, p._2))
+    }.sortBy(t => (t._1, -t._3, t._2))
+    assert(batched == loop, "batched scatter must equal the loop")
+    // a tombstoned vector never surfaces from any shard
+    val victim = exact.head._1
+    assert(Similarity.ivfStoreDelete(spark,
+      shards((victim % 3).toInt)._1, Seq(victim).toDF("vec_id"),
+      "vec_id") == 1L)
+    val after = pairs(Similarity.ivfStoreTopKSharded(spark, shards,
+      "vec_id", "embedding", qv, 7, full, Some(0L)))
+    assert(!after.exists(_._1 == victim), "tombstoned vector surfaced")
+    assert(after == pairs(Similarity.cosineTopK(
+        emb.filter($"vec_id" =!= victim), "vec_id", "embedding", 0L, 7)),
+      "post-delete scatter must equal exact kNN over the survivors")
+  }
+
   test("knnJoinIvfStore == per-query ivfStoreTopK loop; scan prunes to the probed union") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("knnstore").toString + "/s"
