@@ -4948,4 +4948,223 @@ object TextIndex {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BATCHED block-max-pruned BM25F — [[bm25fTopKPruned]] for a whole
+    * `(idCol, termsCol: array<string>)` query frame, per-query rows
+    * bit-identical to [[bm25fTopKBatch]]. The algebra runs
+    * DISTRIBUTED per the batched-family discipline (driver-held state
+    * is file lists and bucket ids, never queries or postings): caps
+    * and the cross-field folds are sidecar-frame joins, per-query θ
+    * is a window rank over ONE shared probe read per field, the
+    * survivor union is one caps×queries join, and the drop-by-order
+    * theorem holds PER QUERY against the union's complement (a file
+    * skipped by every query bounds every query's straddlers sub-θ).
+    * The exact any-field df pass is shared by the whole batch and
+    * materialized once (localCheckpoint), so the final plan reads
+    * survivor files only. Delegates to [[bm25fTopKBatch]] on pending
+    * tombstones, an un-opted field store, or a failed heal. */
+  def bm25fTopKPrunedBatch(spark: SparkSession,
+                           fields: Seq[(String, String, Double, Double)],
+                           queries: DataFrame, idCol: String,
+                           termsCol: String, k: Int,
+                           k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "need at least one field store")
+    require(k >= 1, "need at least one result slot")
+    require(k1 > 0, "k1 must be positive (saturation monotonicity)")
+    require(fields.forall { case (_, _, boost, bf) =>
+        boost >= 0 && bf >= 0 && bf <= 1 },
+      "caps are upper bounds only for boost >= 0 and 0 <= b_f <= 1")
+    import spark.implicits._
+    lastPruneStats = None
+    if (fields.exists { case (_, d, _, _) =>
+          readTombstones(spark, d).exists(_.limit(1).count() > 0L) } ||
+        fields.exists { case (_, d, _, _) =>
+          !graft.sinks.HadoopSwap.exists(spark, blockmaxPath(d)) } ||
+        fields.exists { case (_, d, _, _) =>
+          !tryEnsureBlockCoverage(spark, d) }) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return bm25fTopKBatch(spark, fields, queries, idCol, termsCol,
+        k, k1)
+    }
+    val stats = fields.map { case (f, dir, _, _) =>
+      f -> readStats(spark, dir)
+    }
+    val ns = stats.map(_._2._1).distinct
+    require(ns.size == 1,
+      s"field stores must hold the same corpus (n per field: " +
+        s"${stats.map { case (f, (nf, _, _)) => s"$f=$nf" }.mkString(", ")})")
+    val n = ns.head
+    val qt = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(array_distinct(col(termsCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
+    def emptyBatch = spark.range(0).select(col("id").as("query_id"),
+      col("id").as("doc_id"), col("id").as("n_terms"),
+      col("id").cast("double").as("score"))
+    if (qt.limit(1).count() == 0L) return emptyBatch
+    val termsF = qt.select(col("w")).distinct().localCheckpoint()
+    def wtfp(boost: Double, bf: Double, sdlF: Long) =
+      round(lit(boost) * col("tf") /
+          (lit(1.0 - bf) + lit(bf) * col("dl") /
+            round(lit(sdlF).cast("double") / lit(n), 6)), 6)
+        .cast("decimal(28,6)")
+    // per-field sidecar frames for the union terms
+    val fr = fields.zip(stats).map {
+      case ((f, dir, boost, bf), (_, (_, sdlF, nbF))) =>
+        val liveFiles = graft.sinks.SkippingStore
+          .listDataFileRelPaths(spark, dir)
+        val bsDF = graft.sinks.SidecarFold.withReadRetry() {
+          spark.read.parquet(blockmaxPath(dir))
+            .join(broadcast(termsF), Seq("w"))
+            .join(broadcast(liveFiles.toDF("file")), Seq("file"),
+              "left_semi")
+            .dropDuplicates("file", "w")
+            .localCheckpoint()
+        }
+        (f, dir, boost, bf, sdlF, nbF, bsDF)
+    }
+    if (fr.forall(_._7.isEmpty)) return emptyBatch
+    // exact ANY-FIELD df for the union terms — one shared cheap
+    // (doc_id, w) pass, materialized so the final plan reuses it
+    val dfParts = fr.flatMap { case (_, dir, _, _, _, nbF, _) =>
+      val wantedF = dropAbsentTermRows(spark, dir, termsF)
+      val buckets = wantedF
+        .select(pmod(xxhash64(col("w")), lit(nbF)).cast("int").as("tb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (buckets.isEmpty) None
+      else Some(spark.read.parquet(dir)
+        .filter(col("tb").isin(buckets: _*))
+        .drop("tb")
+        .join(wantedF, Seq("w"))
+        .select(col("doc_id"), col("w")))
+    }
+    if (dfParts.isEmpty) return emptyBatch
+    val dfT = broadcast(dfParts.reduce(_.unionByName(_))
+      .groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint())
+    val idfExpr = round(
+      log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 6)
+    def contribOf(rows: DataFrame): DataFrame =
+      rows.join(dfT, Seq("w"))
+        .withColumn("idf", idfExpr)
+        .withColumn("wtfd", col("wtf").cast("double") / lit(1e6))
+        .withColumn("c", round(
+          col("idf") * col("wtfd") / (lit(k1) + col("wtfd")), 6)
+          .cast("decimal(28,6)"))
+    val cm = (col("c") * 1000000L).cast("long")
+    // per-(field, file, w) wtfp caps evaluated at (maxtf, mindl),
+    // one frame across fields
+    val capsAll = fr.map { case (f, _, boost, bf, sdlF, _, bsDF) =>
+      bsDF.select(col("file"), col("w"), col("maxtf").as("tf"),
+          col("mindl").as("dl"))
+        .select(lit(f).as("field"), col("file"), col("w"),
+          (wtfp(boost, bf, sdlF) * 1000000L).cast("long").as("cwf"))
+    }.reduce(_.unionByName(_))
+      .localCheckpoint() // files×union-terms rows
+    val capWtfpG = capsAll.groupBy(col("w"), col("field"))
+      .agg(max(col("cwf")).as("gwf"))
+    val capWtfTotal = capWtfpG.groupBy(col("w"))
+      .agg(sum(col("gwf")).as("total"))
+    // capG(w): exact-idf contribution at the cross-field total
+    val capG = contribOf(capWtfTotal
+        .select(col("w"), col("total").as("wtf")))
+      .select(col("w"), cm.as("cap_g"))
+    // cap(w, F@f): own-file part + other fields' maxima
+    val fileCaps = contribOf(capsAll
+        .join(capWtfpG, Seq("w", "field"))
+        .join(capWtfTotal, Seq("w"))
+        .select(col("field"), col("file"), col("w"),
+          (col("cwf") + col("total") - col("gwf")).as("wtf")))
+      .select(col("field"), col("file"), col("w"), cm.as("cap"))
+      .localCheckpoint()
+    // per-(query, term) rest-mass (BM25F contributions are >= 0)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    val qrest = qt.join(broadcast(capG), Seq("w"))
+      .withColumn("rest", sum(col("cap_g")).over(wq) - col("cap_g"))
+    // θ per query from one probe read per field (per-(w, field)
+    // best-wtfp-cap file), scored with exact idf
+    val wprobe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w"), col("field"))
+      .orderBy(col("cwf").desc, col("file"))
+    val probeByField: Map[String, Seq[String]] = capsAll
+      .withColumn("_r", row_number().over(wprobe)).filter(col("_r") === 1)
+      .select(col("field"), col("file")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (f, rs) =>
+        f -> rs.map(_._2).distinct.sorted.toSeq }
+    val probeParts = fr.collect {
+      case (f, dir, boost, bf, sdlF, _, _) if probeByField.contains(f) =>
+        spark.read.option("basePath", dir)
+          .parquet(probeByField(f).map(p => s"$dir/$p"): _*)
+          .join(broadcast(termsF), Seq("w"))
+          .select(col("doc_id"), col("w"),
+            wtfp(boost, bf, sdlF).as("wtfp"))
+    }
+    val wrank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    val thetaQ = probeParts.reduce(_.unionByName(_))
+      .groupBy(col("doc_id"), col("w"))
+      .agg((sum(col("wtfp")) * 1000000L).cast("long").as("wtf"))
+      .transform(contribOf)
+      .join(qt.select(col("query_id"), col("w")), Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg((sum(col("c")) * 1000000L).cast("long").as("s"))
+      .withColumn("_r", row_number().over(wrank)).filter(col("_r") === k)
+      .select(col("query_id"), col("s").as("theta"))
+      .localCheckpoint()
+    // survivor union: a (field, file) lives iff SOME query's bound
+    // reaches its θ (queries with no θ row keep everything)
+    val survivorsF = fileCaps
+      .join(qrest.select(col("query_id"), col("w"), col("rest")),
+        Seq("w"))
+      .join(thetaQ, Seq("query_id"), "left")
+      .filter(col("theta").isNull ||
+        col("cap") + col("rest") >= col("theta"))
+      .select(col("field"), col("file")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val relevant = capsAll.select(col("field"), col("file")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val skipped = relevant.toSet -- survivorsF.toSet
+    lastPruneStats = Some(PruneStats(relevant.length, survivorsF.length,
+      skipped.size, None, delegated = false))
+    if (survivorsF.isEmpty) return emptyBatch
+    val survByField = survivorsF.groupBy(_._1)
+      .map { case (f, fs) => f -> fs.map(_._2).sorted.toSeq }
+    // survivor-only scoring with the shared exact df — the unpruned
+    // batch's expressions over the pruned read; straddlers drop by
+    // ORDER per query (computed under-counts stay sub-θ)
+    val parts = fr.collect {
+      case (f, dir, boost, bf, sdlF, _, _) if survByField.contains(f) =>
+        spark.read.option("basePath", dir)
+          .parquet(survByField(f).map(p => s"$dir/$p"): _*)
+          .join(broadcast(termsF), Seq("w"))
+          .select(col("doc_id"), col("w"),
+            wtfp(boost, bf, sdlF).as("wtfp"))
+    }
+    val contrib = parts.reduce(_.unionByName(_))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(sum(col("wtfp")).as("wtf"))
+      .join(dfT, Seq("w"))
+      .withColumn("idf", idfExpr)
+      .withColumn("c", round(
+        col("idf") * col("wtf").cast("double") /
+          (lit(k1) + col("wtf").cast("double")), 6)
+        .cast("decimal(28,6)"))
+      .select(col("w"), col("doc_id"), col("c"))
+    contrib.join(qt, Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).cast("double").as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k_tagged(k)(col("doc_id"),
+        col("score"), col("n_terms")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit._1").as("doc_id"),
+        col("hit._3").as("n_terms"), col("hit._2").as("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
 }

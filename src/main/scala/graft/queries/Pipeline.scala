@@ -6809,6 +6809,101 @@ object Pipeline {
 
   private val q277Sql = bm25Sql(Seq("join"), 5)
 
+  // --------------------------------------------------------------- q285
+  // BATCHED block-max pruned BM25F — the last cell of the pruned
+  // matrix: a whole query frame over the q278 banded field stores,
+  // per-query rows bit-identical to the unpruned bm25fTopKBatch. The
+  // algebra runs distributed (caps and cross-field folds as sidecar-
+  // frame joins, per-query θ via a window rank over one probe read
+  // per field, the survivor union via one caps×queries join), the
+  // shared exact any-field df pass is materialized once for the whole
+  // batch, and the dead query drops whole. The oracle replays each
+  // query's shared-saturation BM25F from the rewritten corpus.
+  private def q285PrunedBm25fBatch(s: SparkSession, dir: String): DataFrame = {
+    val outT = scratch("q285t", dir)
+    val outB = scratch("q285b", dir)
+    val dense = Seq.fill(50)("join merge").mkString(" ")
+    val docs = t(s, dir, "documents")
+      .withColumn("text", when(col("doc_id") % 11 === 0, lit(dense))
+        .otherwise(col("text")))
+    val toks = split(col("text"), "\\s+")
+    val fielded = docs.select(col("doc_id"), size(toks).as("dl"),
+      array_join(slice(toks, lit(1), lit(3)), " ").as("title"),
+      array_join(slice(toks, lit(4), greatest(size(toks) - 3, lit(0))),
+        " ").as("body"))
+    val bandA = col("doc_id") % 11 === 0
+    val bandB = col("doc_id") % 11 =!= 0 && col("dl") >= 50
+    Seq(("title", outT), ("body", outB)).foreach { case (c, out) =>
+      TextIndex.build(fielded.filter(bandA), "doc_id", c, out,
+        nBuckets = 8, filesPerBucket = 2)
+      TextIndex.buildBlockStats(s, out)
+      TextIndex.append(fielded.filter(bandB), "doc_id", c, out,
+        filesPerBucket = 2)
+      TextIndex.append(fielded.filter(!bandA && !bandB), "doc_id", c,
+        out, filesPerBucket = 2)
+    }
+    import s.implicits._
+    val queries = Seq(
+      (0L, Seq("join", "merge")), (1L, Seq("join")),
+      (2L, Seq("qqzznope"))).toDF("query_id", "terms")
+    val res = TextIndex.bm25fTopKPrunedBatch(s,
+      Seq(("title", outT, 2.0, 0.5), ("body", outB, 1.0, 0.75)),
+      queries, "query_id", "terms", 10)
+    val st = TextIndex.lastPruneStats.get
+    require(!st.delegated && st.skipped > 0,
+      s"the sparse bands must skip under the batched union too: $st")
+    res
+  }
+
+  private val q285Sql = {
+    val qs = Seq((0, Seq("join", "merge")), (1, Seq("join")))
+    val armCtes = qs.map { case (qid, terms) =>
+      val inList = terms.map(w => s"'$w'").mkString(", ")
+      s"""ft$qid AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+         |    (SELECT doc_id, CAST(len(tt) AS BIGINT) AS dl, unnest(tt) AS w
+         |     FROM fld)
+         |  WHERE w IN ($inList) GROUP BY 1, 2, 3),
+         |fb$qid AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM
+         |    (SELECT doc_id, CAST(len(bt) AS BIGINT) AS dl, unnest(bt) AS w
+         |     FROM fld)
+         |  WHERE w IN ($inList) GROUP BY 1, 2, 3),
+         |u$qid AS (
+         |  SELECT doc_id, w, CAST(round(2.0e0 * tf /
+         |      (0.5e0 + 0.5e0 * dl / avt), 6) AS DECIMAL(28,6)) AS wtfp
+         |    FROM ft$qid CROSS JOIN st
+         |  UNION ALL
+         |  SELECT doc_id, w, CAST(round(1.0e0 * tf /
+         |      (0.25e0 + 0.75e0 * dl / avb), 6) AS DECIMAL(28,6)) AS wtfp
+         |    FROM fb$qid CROSS JOIN st),
+         |df$qid AS (SELECT w, COUNT(DISTINCT doc_id) AS df
+         |  FROM u$qid GROUP BY w),
+         |wt$qid AS (SELECT doc_id, w, SUM(wtfp) AS wtf
+         |  FROM u$qid GROUP BY 1, 2),
+         |c$qid AS (SELECT doc_id,
+         |    CAST(round(
+         |      round(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0)), 6)
+         |      * CAST(wtf AS DOUBLE) / (1.2e0 + CAST(wtf AS DOUBLE)), 6)
+         |      AS DECIMAL(28,6)) AS c
+         |  FROM wt$qid JOIN df$qid USING (w) CROSS JOIN st),
+         |top$qid AS (SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |    COUNT(*) AS n_terms, CAST(SUM(c) AS DOUBLE) AS score
+         |  FROM c$qid GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin
+    }
+    val arms = qs.map { case (qid, _) => s"SELECT * FROM top$qid" }
+    s"""WITH rw AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN
+       |    trim(repeat('join merge ', 50)) ELSE text END AS text
+       |  FROM documents),
+       |base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM rw),
+       |fld AS (SELECT doc_id, toks[1:3] AS tt, toks[4:] AS bt FROM base),
+       |st AS (SELECT COUNT(*) AS n,
+       |    round(CAST(SUM(len(tt)) AS DOUBLE) / COUNT(*), 6) AS avt,
+       |    round(CAST(SUM(len(bt)) AS DOUBLE) / COUNT(*), 6) AS avb FROM fld),
+       |${armCtes.mkString(",\n")}
+       |${arms.mkString("\nUNION ALL ")}
+       |ORDER BY query_id, score DESC, doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q283
   // SCATTER-GATHER ANN: the embedding corpus document-partitioned
   // into three IVF store shards, EACH WITH ITS OWN TRAINED CODEBOOK —
@@ -8097,6 +8192,7 @@ object Pipeline {
     "q282_expansion_pruned" -> q282ExpansionPruned _,
     "q283_ann_sharded" -> q283AnnSharded _,
     "q284_sharded_hybrid" -> q284ShardedHybrid _,
+    "q285_pruned_bm25f_batch" -> q285PrunedBm25fBatch _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -8389,6 +8485,7 @@ object Pipeline {
     "q282_expansion_pruned" -> q282Sql,
     "q283_ann_sharded" -> q283Sql,
     "q284_sharded_hybrid" -> q254Sql,
+    "q285_pruned_bm25f_batch" -> q285Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

@@ -372,6 +372,69 @@ class TextPruneSpec extends SparkSpec {
     assert(TextIndex.lastPruneStats.get.delegated)
   }
 
+  test("BATCHED BM25F pruned == unpruned batch == the single-query " +
+      "loop; the union still skips") {
+    val filler = (i: Long, n: Int) =>
+      Seq.tabulate(n)(j => s"f${(i + j) % 7}").mkString(" ")
+    val fdocs = ((0L until 10L).map(i =>
+        (i, "x x x x x y", "y y y y y x")) ++
+      (10L until 30L).map(i =>
+        (i, s"x ${filler(i, 30)}", s"y ${filler(i + 3, 30)}")) ++
+      (30L until 50L).map(i =>
+        (i, filler(i, 8), filler(i + 5, 20))))
+      .toDF("doc_id", "title", "body")
+    def banded(dir: String, c: String): Unit = {
+      TextIndex.build(fdocs.filter($"doc_id" < 10), "doc_id", c, dir,
+        nBuckets = 4, filesPerBucket = 1)
+      TextIndex.buildBlockStats(spark, dir)
+      TextIndex.append(fdocs.filter($"doc_id" >= 10 && $"doc_id" < 30),
+        "doc_id", c, dir, filesPerBucket = 1)
+      TextIndex.append(fdocs.filter($"doc_id" >= 30), "doc_id", c, dir,
+        filesPerBucket = 1)
+    }
+    val dirT = tmp("fb_t")
+    val dirB = tmp("fb_b")
+    banded(dirT, "title")
+    banded(dirB, "body")
+    val fields = Seq(("title", dirT, 2.0, 0.5), ("body", dirB, 1.0, 0.75))
+    val queries = Seq(
+      (0L, Seq("x", "y")), (1L, Seq("x")), (2L, Seq("f1", "f2")),
+      (3L, Seq("zzz"))).toDF("query_id", "terms")
+    def brows(df: DataFrame) =
+      df.select($"query_id", $"doc_id", $"n_terms", $"score")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    var skippedTotal = 0
+    for (k <- Seq(1, 5, 12)) {
+      val got = brows(TextIndex.bm25fTopKPrunedBatch(spark, fields,
+        queries, "query_id", "terms", k))
+      assert(got == brows(TextIndex.bm25fTopKBatch(spark, fields,
+        queries, "query_id", "terms", k)), s"k=$k vs unpruned batch")
+      val st = TextIndex.lastPruneStats.get
+      assert(!st.delegated)
+      skippedTotal += st.skipped
+      // and per query, the single pruned serve agrees
+      val loop = Seq(0L -> Seq("x", "y"), 1L -> Seq("x"),
+        2L -> Seq("f1", "f2")).flatMap { case (q, ts) =>
+        rows(TextIndex.bm25fTopKPruned(spark, fields, ts, k))
+          .map(r => (q, r._1, r._2, r._3))
+      }
+      assert(got.sortBy(t => (t._1, -t._4, t._2)) ==
+        loop.sortBy(t => (t._1, -t._4, t._2)), s"k=$k vs loop")
+    }
+    assert(skippedTotal > 0,
+      "the banded field stores must skip under the batched union too")
+    // tombstones delegate the batch whole, exactly
+    Seq(dirT, dirB).foreach { d =>
+      assert(TextIndex.delete(spark, d, Seq(17L).toDF("doc_id"),
+        "doc_id") == 1L)
+    }
+    assert(brows(TextIndex.bm25fTopKPrunedBatch(spark, fields, queries,
+        "query_id", "terms", 5)) ==
+      brows(TextIndex.bm25fTopKBatch(spark, fields, queries,
+        "query_id", "terms", 5)))
+    assert(TextIndex.lastPruneStats.get.delegated)
+  }
+
   test("BM25F pruned delegates on a field store without _blockmax") {
     val (a, b, _) = skewDocs()
     val docs = a.unionAll(b)
