@@ -2824,10 +2824,12 @@ object GraftCli {
   private def textBm25f(fields: Seq[(String, String, Double, Double)],
                         terms: Seq[String], k: Int, out: String): Unit = {
     val spark = GraftSession.local()
-    graft.operators.TextIndex.bm25fTopK(spark, fields, terms, k)
+    // fields front door: opted-in stores serve block-max pruned
+    graft.operators.TextIndex.serveFields(spark, fields, terms, k)
       .write.mode("overwrite").parquet(out)
+    val route = graft.operators.TextIndex.lastServeRoute.getOrElse("?")
     println(s"BM25F[${terms.mkString(", ")}] over " +
-      s"${fields.map(_._1).mkString("+")}: " +
+      s"${fields.map(_._1).mkString("+")} via $route: " +
       s"${spark.read.parquet(out).count()} hits -> $out")
     spark.stop()
   }
@@ -2839,7 +2841,7 @@ object GraftCli {
     import spark.implicits._
     val q = queries.zipWithIndex
       .map { case (ts, i) => (i.toLong, ts) }.toDF("query_id", "terms")
-    graft.operators.TextIndex.bm25fTopKBatch(spark, fields, q,
+    graft.operators.TextIndex.serveFieldsBatch(spark, fields, q,
         "query_id", "terms", k)
       .write.mode("overwrite").parquet(out)
     println(s"${queries.size} BM25F queries (one batched serve) over " +

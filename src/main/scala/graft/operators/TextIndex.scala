@@ -3940,6 +3940,39 @@ object TextIndex {
     }
   }
 
+  /** [[serve]] for the MULTI-FIELD (BM25F) family: dispatches to the
+    * block-max pruned serve when every field store carries a
+    * `_blockmax` sidecar, the plain serve otherwise — same rows
+    * either way (the pruned verbs keep their own tombstone/heal
+    * delegations). */
+  def serveFields(spark: SparkSession,
+                  fields: Seq[(String, String, Double, Double)],
+                  terms: Seq[String], k: Int,
+                  k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "need at least one field store")
+    val pruned = fields.forall { case (_, d, _, _) =>
+      hasBlockmax(spark, d) }
+    lastServeRoute = Some(if (pruned) "bm25fTopKPruned" else "bm25fTopK")
+    if (pruned) bm25fTopKPruned(spark, fields, terms, k, k1)
+    else bm25fTopK(spark, fields, terms, k, k1)
+  }
+
+  /** [[serveFields]] for a whole query frame. */
+  def serveFieldsBatch(spark: SparkSession,
+                       fields: Seq[(String, String, Double, Double)],
+                       queries: DataFrame, idCol: String,
+                       termsCol: String, k: Int,
+                       k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "need at least one field store")
+    val pruned = fields.forall { case (_, d, _, _) =>
+      hasBlockmax(spark, d) }
+    lastServeRoute = Some(
+      if (pruned) "bm25fTopKPrunedBatch" else "bm25fTopKBatch")
+    if (pruned)
+      bm25fTopKPrunedBatch(spark, fields, queries, idCol, termsCol, k, k1)
+    else bm25fTopKBatch(spark, fields, queries, idCol, termsCol, k, k1)
+  }
+
   // ------------------------------------------------------------------
   // BLOCK-MAX dynamic pruning (Ding & Suel's block-max WAND / Lucene's
   // MaxScore, re-expressed for a file-blocked store). [[topK]] scores

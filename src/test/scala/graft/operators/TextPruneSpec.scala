@@ -344,6 +344,13 @@ class TextPruneSpec extends SparkSpec {
       skippedTotal += st.skipped
     }
     assert(skippedTotal > 0, "the banded field stores must skip files")
+    // the fields front door picks the pruned path on opted-in stores
+    val fdFields = Seq(("title", dirT, 2.0, 0.5),
+      ("body", dirB, 1.0, 0.75))
+    assert(rows(TextIndex.serveFields(spark, fdFields,
+        Seq("x", "y"), 5)) ==
+      rows(TextIndex.bm25fTopK(spark, fdFields, Seq("x", "y"), 5)))
+    assert(TextIndex.lastServeRoute.contains("bm25fTopKPruned"))
     // randomized sweep: random terms, k, weights
     val words = Seq("x", "y", "f0", "f1", "f2", "f3", "zzz")
     val rnd = new Random(113)
