@@ -3940,6 +3940,122 @@ object TextIndex {
     }
   }
 
+  /** SCATTER-GATHER BM25F — the two serve axes composed: each FIELD
+    * is itself document-partitioned into N store shards (shard i
+    * holds field stores for the same doc subset). Global statistics
+    * per the scatter contract: n = Σ shard n, per-field avgdl from
+    * Σ shard Σdl_f / n, and the ANY-FIELD df(w) = Σ per-shard
+    * any-field df — exact because shards partition DOCS, so the
+    * cross-shard distinct-doc union is a disjoint sum (the one
+    * statistic the per-field sidecars cannot give even locally).
+    * Per-shard reads keep the single-store prunes; the gather is
+    * k-bounded. `shards(i)` must list the SAME (field, boost, b_f)
+    * tuples in the same order — fields of one corpus, sharded
+    * together; enforced loudly. Bit-identical to [[bm25fTopK]] over
+    * per-field union stores. */
+  def bm25fTopKSharded(spark: SparkSession,
+                       shards: Seq[Seq[(String, String, Double, Double)]],
+                       terms: Seq[String], k: Int,
+                       k1: Double = 1.2): DataFrame = {
+    require(shards.nonEmpty, "need at least one shard")
+    require(terms.nonEmpty, "need at least one query term")
+    val sig = shards.map(_.map { case (f, _, boost, bf) =>
+      (f, boost, bf) })
+    require(sig.distinct.size == 1,
+      "every shard must carry the same (field, boost, b) list — " +
+        "fields of one corpus, sharded together")
+    import spark.implicits._
+    val distinct = terms.distinct
+    // per-shard per-field stats; global n and per-field global Σdl
+    val shardStats = shards.map(_.map { case (f, dir, boost, bf) =>
+      (f, dir, boost, bf, readStats(spark, dir))
+    })
+    shardStats.foreach { fs =>
+      val ns = fs.map(_._5._1).distinct
+      require(ns.size == 1,
+        s"a shard's field stores must hold the same doc subset " +
+          s"(n per field: ${fs.map(t => s"${t._1}=${t._5._1}")
+            .mkString(", ")})")
+    }
+    val n = shardStats.map(_.head._5._1).sum
+    val sdlByField: Map[String, Long] = shardStats.flatten
+      .groupBy(_._1).map { case (f, rs) => f -> rs.map(_._5._2).sum }
+    // per-(shard, field) probed reads with the GLOBAL normalization
+    val perShardParts = shardStats.map { fs =>
+      fs.flatMap { case (f, dir, boost, bf, (_, _, nbF)) =>
+        val live = readTermFilter(spark, dir)
+          .fold(distinct)(bits => presentTerms(spark, distinct, bits))
+        if (live.isEmpty) None
+        else {
+          val buckets = live.toDF("w")
+            .select(pmod(xxhash64(col("w")), lit(nbF)).cast("int")
+              .as("tb"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val avgdlF = round(
+            lit(sdlByField(f)).cast("double") / lit(n), 6)
+          Some(minusTombstones(spark, dir,
+              spark.read.parquet(dir)
+                .filter(col("tb").isin(buckets: _*))
+                .filter(col("w").isin(live: _*)))
+            .select(col("doc_id"), col("w"),
+              round(lit(boost) * col("tf") /
+                (lit(1.0 - bf) + lit(bf) * col("dl") / avgdlF), 6)
+                .cast("decimal(28,6)").as("wtfp")))
+        }
+      }
+    }
+    val liveShards = perShardParts.filter(_.nonEmpty)
+      .map(_.reduce(_.unionByName(_)))
+    if (liveShards.isEmpty)
+      return spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_terms"), col("id").cast("double").as("score"))
+    // GLOBAL any-field df: per-shard distinct-doc counts, disjoint sum
+    val dfT = liveShards
+      .map(_.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("w")).agg(sum(col("df")).as("df"))
+    val bdf = broadcast(dfT)
+    val perShard = liveShards.map { union =>
+      union.groupBy(col("doc_id"), col("w"))
+        .agg(sum(col("wtfp")).as("wtf"))
+        .join(bdf, Seq("w"))
+        .withColumn("idf", round(
+          log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)),
+          6))
+        .withColumn("c", round(
+          col("idf") * col("wtf").cast("double") /
+            (lit(k1) + col("wtf").cast("double")), 6)
+          .cast("decimal(28,6)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("c")).cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+    }
+    perShard.reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** SCATTER-GATHER faceted search — [[facetCounts]] across N
+    * document-partitioned store shards: the conjunctive match set is
+    * the disjoint union of per-shard match sets, so per-facet counts
+    * SUM across shards — no global statistics exist to exchange at
+    * all (facets are counts, not scores). `corpus` holds the facet
+    * column for the whole corpus; each shard contributes only its own
+    * matched docs. Bit-identical to [[facetCounts]] over the union
+    * store. */
+  def facetCountsSharded(spark: SparkSession, shardDirs: Seq[String],
+                         terms: Seq[String], corpus: DataFrame,
+                         idCol: String, facetCol: String): DataFrame = {
+    require(shardDirs.nonEmpty, "need at least one shard")
+    val perShard = shardDirs.map(d =>
+      facetCounts(spark, d, terms, corpus, idCol, facetCol))
+    perShard.reduce(_.unionByName(_))
+      .groupBy(col("facet")).agg(sum(col("n_docs")).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("facet"))
+  }
+
   /** [[serve]] for the MULTI-FIELD (BM25F) family: dispatches to the
     * block-max pruned serve when every field store carries a
     * `_blockmax` sidecar, the plain serve otherwise — same rows

@@ -6809,6 +6809,54 @@ object Pipeline {
 
   private val q277Sql = bm25Sql(Seq("join"), 5)
 
+  // --------------------------------------------------------------- q286
+  // SCATTER-GATHER BM25F — the field and shard axes composed: the
+  // q263 title/body split, document-partitioned into three shards
+  // (six physical stores). Global statistics per the scatter
+  // contract: n and per-field Σdl sum across shards, and the
+  // ANY-FIELD df is the disjoint per-shard sum (docs live in exactly
+  // one shard, so cross-shard distinct-doc counting is a plain sum —
+  // the statistic per-field sidecars cannot give even locally). The
+  // oracle is q263's, verbatim: sharding a fielded corpus must never
+  // move a row.
+  private def q286Bm25fSharded(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val fielded = docs.select(col("doc_id"),
+      array_join(slice(toks, lit(1), lit(3)), " ").as("title"),
+      array_join(slice(toks, lit(4), greatest(size(toks) - 3, lit(0))),
+        " ").as("body"))
+    val shards = (0 until 3).map { i =>
+      val part = fielded.filter(col("doc_id") % 3 === i)
+      val dT = scratch(s"q286t$i", dir)
+      val dB = scratch(s"q286b$i", dir)
+      TextIndex.build(part, "doc_id", "title", dT, nBuckets = 8,
+        filesPerBucket = 2)
+      TextIndex.build(part, "doc_id", "body", dB, nBuckets = 8,
+        filesPerBucket = 2)
+      Seq(("title", dT, 2.0, 0.5), ("body", dB, 1.0, 0.75))
+    }
+    TextIndex.bm25fTopKSharded(s, shards,
+      Seq("join", "merge", "vector"), 15)
+  }
+
+  // --------------------------------------------------------------- q287
+  // SCATTER-GATHER facets: the conjunctive match set is the disjoint
+  // union of per-shard match sets, so per-facet counts SUM across
+  // shards — no statistics exchange exists at all (counts, not
+  // scores). Same oracle as the single-store q262.
+  private def q287FacetsSharded(s: SparkSession, dir: String): DataFrame = {
+    val outs = Seq(scratch("q287a", dir), scratch("q287b", dir),
+      scratch("q287c", dir))
+    val docs = t(s, dir, "documents")
+    outs.zipWithIndex.foreach { case (out, i) =>
+      TextIndex.build(docs.filter(col("doc_id") % 3 === i), "doc_id",
+        "text", out, nBuckets = 8, filesPerBucket = 2)
+    }
+    TextIndex.facetCountsSharded(s, outs, Seq("join", "merge"),
+      docs, "doc_id", "lang")
+  }
+
   // --------------------------------------------------------------- q285
   // BATCHED block-max pruned BM25F — the last cell of the pruned
   // matrix: a whole query frame over the q278 banded field stores,
@@ -8193,6 +8241,8 @@ object Pipeline {
     "q283_ann_sharded" -> q283AnnSharded _,
     "q284_sharded_hybrid" -> q284ShardedHybrid _,
     "q285_pruned_bm25f_batch" -> q285PrunedBm25fBatch _,
+    "q286_bm25f_sharded" -> q286Bm25fSharded _,
+    "q287_facets_sharded" -> q287FacetsSharded _,
     "q203_dim_join" -> q203DimJoin _,
     "q178_pack_efficiency" -> q178PackEfficiency _,
     "q176_langid_confusion" -> q176LangConfusion _,
@@ -8486,6 +8536,8 @@ object Pipeline {
     "q283_ann_sharded" -> q283Sql,
     "q284_sharded_hybrid" -> q254Sql,
     "q285_pruned_bm25f_batch" -> q285Sql,
+    "q286_bm25f_sharded" -> q263Sql,
+    "q287_facets_sharded" -> q262Sql,
     "q202_epoch_mix" -> q202Sql,
     "q203_dim_join" -> q203Sql,
   )

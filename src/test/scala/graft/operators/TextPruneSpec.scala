@@ -442,6 +442,58 @@ class TextPruneSpec extends SparkSpec {
     assert(TextIndex.lastPruneStats.get.delegated)
   }
 
+  test("BM25F sharded == BM25F over per-field union stores; facets " +
+      "sum across shards") {
+    val filler = (i: Long, n: Int) =>
+      Seq.tabulate(n)(j => s"f${(i + j) % 7}").mkString(" ")
+    val fdocs = (0L until 45L).map { i =>
+      val t = if (i % 5 == 0) s"x y ${filler(i, 2)}" else filler(i, 4)
+      val b = if (i % 3 == 0) s"x ${filler(i, 20)}"
+        else s"y ${filler(i + 2, 12)}"
+      (i, t, b)
+    }.toDF("doc_id", "title", "body")
+    // three doc shards × two fields, plus per-field union stores
+    val shards = (0 until 3).map { i =>
+      val part = fdocs.filter($"doc_id" % 3 === i)
+      val dT = tmp(s"fs_t$i")
+      val dB = tmp(s"fs_b$i")
+      TextIndex.build(part, "doc_id", "title", dT, nBuckets = 4,
+        filesPerBucket = 1)
+      TextIndex.build(part, "doc_id", "body", dB, nBuckets = 4,
+        filesPerBucket = 1)
+      Seq(("title", dT, 2.0, 0.5), ("body", dB, 1.0, 0.75))
+    }
+    val uT = tmp("fs_ut")
+    val uB = tmp("fs_ub")
+    TextIndex.build(fdocs, "doc_id", "title", uT, nBuckets = 4,
+      filesPerBucket = 1)
+    TextIndex.build(fdocs, "doc_id", "body", uB, nBuckets = 4,
+      filesPerBucket = 1)
+    val union = Seq(("title", uT, 2.0, 0.5), ("body", uB, 1.0, 0.75))
+    for (k <- Seq(1, 3, 5, 12); ts <- Seq(Seq("x"), Seq("x", "y"))) {
+      assert(rows(TextIndex.bm25fTopKSharded(spark, shards, ts, k)) ==
+        rows(TextIndex.bm25fTopK(spark, union, ts, k)),
+        s"k=$k terms=$ts")
+    }
+    // a shard with a different weight list refuses loudly
+    intercept[IllegalArgumentException] {
+      TextIndex.bm25fTopKSharded(spark,
+        shards.init :+ shards.last.map { case (f, d, _, bf) =>
+          (f, d, 9.0, bf) }, Seq("x"), 3)
+    }
+    // facet counts: disjoint match sets sum across shards
+    val docs1 = fdocs.select($"doc_id",
+      concat(lit("lang"), ($"doc_id" % 4).cast("string")).as("lang"))
+    val bodyShards = shards.map(_.last._2)
+    val bodyUnion = uB
+    def frows(df: DataFrame) =
+      df.select($"facet", $"n_docs").as[(String, Long)].collect().toSeq
+    assert(frows(TextIndex.facetCountsSharded(spark, bodyShards,
+        Seq("x"), docs1, "doc_id", "lang")) ==
+      frows(TextIndex.facetCounts(spark, bodyUnion, Seq("x"), docs1,
+        "doc_id", "lang")))
+  }
+
   test("BM25F pruned delegates on a field store without _blockmax") {
     val (a, b, _) = skewDocs()
     val docs = a.unionAll(b)
