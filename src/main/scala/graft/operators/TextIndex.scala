@@ -3549,6 +3549,7 @@ object TextIndex {
     val bsByShard = shardDirs.map { dir =>
       val liveFiles = graft.sinks.SkippingStore
         .listDataFileRelPaths(spark, dir)
+      graft.sinks.SidecarFold.restoreAside(spark, blockmaxPath(dir))
       dir -> graft.sinks.SidecarFold.withReadRetry() {
         spark.read.parquet(blockmaxPath(dir))
           .join(broadcast(termsF), Seq("w"))
@@ -3751,6 +3752,7 @@ object TextIndex {
     val bsByShard = shardDirs.map { dir =>
       val liveFiles = graft.sinks.SkippingStore
         .listDataFileRelPaths(spark, dir)
+      graft.sinks.SidecarFold.restoreAside(spark, blockmaxPath(dir))
       dir -> graft.sinks.SidecarFold.withReadRetry() {
         spark.read.parquet(blockmaxPath(dir))
           .join(broadcast(termsF), Seq("w"))
@@ -4225,6 +4227,18 @@ object TextIndex {
     ()
   }
 
+  /** Memo of the last live-data-file snapshot whose `_blockmax`
+    * coverage this process verified, per store. Coverage is a
+    * function of the DATA FILE set alone (the sidecar only grows or
+    * folds coverage-preservingly; compactions REPLACE data files and
+    * so change the listing), so an unchanged listing means the last
+    * verification still holds and the serve can skip the sidecar
+    * coverage read — on a warm store that removes one fixed-cost job
+    * per serve per store. An external writer invalidates naturally:
+    * its new files change the listing. */
+  private val blockCoverageMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** Serve-time coverage heal, TOLERANT of read-only mounts: a query
     * against a store whose sidecar lags its data files tries to
     * extend coverage (idempotent), but a failed WRITE — read-only
@@ -4235,7 +4249,16 @@ object TextIndex {
     * cap algebra — pruning without full coverage is unsound). */
   private def tryEnsureBlockCoverage(spark: SparkSession,
                                      dir: String): Boolean =
-    try { maybeExtendBlockStats(spark, dir); true }
+    try {
+      val snap = Integer.valueOf(graft.sinks.SkippingStore
+        .listDataFileRelPaths(spark, dir).sorted.hashCode)
+      if (snap == blockCoverageMemo.get(dir)) true
+      else {
+        maybeExtendBlockStats(spark, dir)
+        blockCoverageMemo.put(dir, snap)
+        true
+      }
+    }
     catch { case scala.util.control.NonFatal(_) => false }
 
   /** Pending-tombstone count above which the single-query pruned
@@ -4310,6 +4333,10 @@ object TextIndex {
     * already be ensured by the caller ([[tryEnsureBlockCoverage]]). */
   private def readBlockRows(spark: SparkSession, storeDir: String,
                             live: Seq[String]): Seq[BlockRow] = {
+    // crash-aside heal stays on the read path (job-free FS rename):
+    // the coverage memo can skip [[maybeExtendBlockStats]], but a
+    // fold that died mid-swap must still never read as missing
+    graft.sinks.SidecarFold.restoreAside(spark, blockmaxPath(storeDir))
     require(graft.sinks.HadoopSwap.exists(spark, blockmaxPath(storeDir)),
       s"$storeDir has no _blockmax sidecar — buildBlockStats() creates " +
         "it (appends maintain it from then on); unpruned serves work " +
@@ -4635,6 +4662,7 @@ object TextIndex {
     val liveFiles = graft.sinks.SkippingStore
       .listDataFileRelPaths(spark, storeDir)
     val termsF = qt.select(col("w")).distinct()
+    graft.sinks.SidecarFold.restoreAside(spark, blockmaxPath(storeDir))
     // dedupe by (file, w): racing serve-time heals can land duplicate
     // coverage rows between folds, and Σcnt over them would inflate df
     val bsDF = graft.sinks.SidecarFold.withReadRetry() {
@@ -4944,17 +4972,20 @@ object TextIndex {
           (lit(1.0 - bf) + lit(bf) * col("dl") /
             round(lit(sdlF).cast("double") / lit(n), 6)), 6)
         .cast("decimal(28,6)")
-    // per-(field, file, w) wtfp caps, in-plan over tiny frames
+    // per-(field, file, w) wtfp caps, in-plan over tiny frames —
+    // UNIONED into one collect (each in-plan action costs a fixed
+    // ~0.2 s locally; the pruned serve's local floor is job-count-
+    // bound, so tiny frames share jobs wherever the algebra allows)
     val wtfpCaps: Seq[(String, String, String, Long)] =
-      fr.flatMap { case (f, _, boost, bf, sdlF, _, _, bs) =>
-        if (bs.isEmpty) Nil
-        else bs.map(r => (r.file, r.w, r.maxtf, r.mindl))
+      fr.collect { case (f, _, boost, bf, sdlF, _, _, bs)
+          if bs.nonEmpty =>
+        bs.map(r => (r.file, r.w, r.maxtf, r.mindl))
           .toDF("file", "w", "tf", "dl")
-          .select(col("file"), col("w"),
-            wtfp(boost, bf, sdlF).as("c")).collect()
-          .map(r => (f, r.getString(0), r.getString(1),
-            micros(r.getDecimal(2)))).toSeq
-      }
+          .select(lit(f).as("field"), col("file"), col("w"),
+            wtfp(boost, bf, sdlF).as("c"))
+      }.reduce(_.unionByName(_)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          micros(r.getDecimal(3)))).toSeq
     // per-(w, field) global wtfp maxima and per-w cross-field totals
     val capWtfpG: Map[(String, String), Long] =
       wtfpCaps.groupBy(t => (t._3, t._1))
@@ -4998,15 +5029,6 @@ object TextIndex {
         .withColumn("c", round(
           col("idf") * col("wtfd") / (lit(k1) + col("wtfd")), 6)
           .cast("decimal(28,6)"))
-    // capG(w): the contribution bound no doc can exceed for w —
-    // exact idf, wtf at the cross-field total
-    val capG: Map[String, Long] = contribOf(capWtfTotal.toSeq
-        .map { case (w, m) => (w, dfExact(w), m) }.toDF("w", "df", "wtf"))
-      .select(col("w"), col("c")).collect()
-      .map(r => r.getString(0) -> micros(r.getDecimal(1))).toMap
-    val totalCapG = capG.values.sum
-    val restG: Map[String, Long] = capG.map { case (w, c) =>
-      w -> (totalCapG - c) }
     // cap(t, F@f): field f's part from F's own cap, other fields from
     // their global maxima — the bound for any doc touching F
     val fileCaps: Seq[(String, String, String, Long)] = {
@@ -5019,6 +5041,14 @@ object TextIndex {
         .map(r => (r.getString(0), r.getString(1), r.getString(2),
           micros(r.getDecimal(3)))).toSeq
     }
+    // capG(w) = max_F cap(w, F): the argmax file of the max field has
+    // cwf = capWtfpG, so its folded wtf IS capWtfTotal — no separate
+    // in-plan evaluation needed (one fewer fixed-cost job)
+    val capG: Map[String, Long] = fileCaps.groupBy(_._3)
+      .map { case (w, rs) => w -> rs.map(_._4).max }
+    val totalCapG = capG.values.sum
+    val restG: Map[String, Long] = capG.map { case (w, c) =>
+      w -> (totalCapG - c) }
     // θ probe: per (w, field) best-wtfp-cap file (ties by file name),
     // one read per field, scored with the exact idf — partial wtf
     // ≤ true wtf and the contribution is increasing in it, so every
@@ -5164,6 +5194,7 @@ object TextIndex {
       case ((f, dir, boost, bf), (_, (_, sdlF, nbF))) =>
         val liveFiles = graft.sinks.SkippingStore
           .listDataFileRelPaths(spark, dir)
+        graft.sinks.SidecarFold.restoreAside(spark, blockmaxPath(dir))
         val bsDF = graft.sinks.SidecarFold.withReadRetry() {
           spark.read.parquet(blockmaxPath(dir))
             .join(broadcast(termsF), Seq("w"))

@@ -82,6 +82,44 @@ object ServeProfile {
         TextIndex.phraseSearchBatch(spark, dir, queries,
           "query_id", "phrase").count())
     finally TextIndex.serveRowCountGate = false
+
+    // round-15 arm: the BM25F pruned serve's price vs the unpruned
+    // one, on the q278 banded fixture (dense rewrite so θ dominates
+    // and the sparse bands actually skip) — the measured side of the
+    // SCALE.md claim that pruning shrinks the WIDE pass while the
+    // cheap (doc_id, w) df pass is unavoidable for field exactness
+    val dense = Seq.fill(50)("join merge").mkString(" ")
+    val fdocs0 = docs.withColumn("text",
+      when(col("doc_id") % 11 === 0, lit(dense)).otherwise(col("text")))
+    val toks = split(col("text"), "\\s+")
+    val fielded = fdocs0.select(col("doc_id"), size(toks).as("dl"),
+      array_join(slice(toks, lit(1), lit(3)), " ").as("title"),
+      array_join(slice(toks, lit(4), greatest(size(toks) - 3, lit(0))),
+        " ").as("body"))
+    val dT = dir + "_ft"
+    val dB = dir + "_fb"
+    val bandA = col("doc_id") % 11 === 0
+    val bandB = col("doc_id") % 11 =!= 0 && col("dl") >= 50
+    Seq(("title", dT), ("body", dB)).foreach { case (c, out) =>
+      TextIndex.build(fielded.filter(bandA), "doc_id", c, out,
+        nBuckets = 8, filesPerBucket = 2)
+      TextIndex.buildBlockStats(spark, out)
+      TextIndex.append(fielded.filter(bandB), "doc_id", c, out,
+        filesPerBucket = 2)
+      TextIndex.append(fielded.filter(!bandA && !bandB), "doc_id", c,
+        out, filesPerBucket = 2)
+    }
+    val fields = Seq(("title", dT, 2.0, 0.5), ("body", dB, 1.0, 0.75))
+    floor("bm25f unpruned (q278 fixture)")(() =>
+      TextIndex.bm25fTopK(spark, fields, Seq("join", "merge"), 10)
+        .count())
+    floor("bm25f block-max pruned (A/B)")(() => {
+      val n = TextIndex.bm25fTopKPruned(spark, fields,
+        Seq("join", "merge"), 10).count()
+      val st = TextIndex.lastPruneStats.get
+      require(!st.delegated && st.skipped > 0, s"fixture must skip: $st")
+      n
+    })
     spark.stop()
   }
 }
