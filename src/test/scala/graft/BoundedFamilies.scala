@@ -138,6 +138,27 @@ object BoundedFamilies {
         // sharding composed with pruning: the same global-df table,
         // summed from the shards' sidecars
         "q277_sharded_pruned" -> Set(Set("df", "w")),
+        // pruned BM25F: the exact ANY-FIELD df collected from the
+        // cheap (doc_id, w) pass — terms-sized; the batched form also
+        // broadcasts the union-terms frame into the sidecar/probe
+        // reads (query-terms-sized by construction)
+        "q278_pruned_bm25f" -> Set(Set("df", "w")),
+        "q285_pruned_bm25f_batch" -> Set(Set("df", "w"), Set("w")),
+        // the LM scatter's global ctf union (zero data files when
+        // pruned — summed from the shards' sidecars)
+        "q279_sharded_lm" -> Set(Set("ctf", "w")),
+        // the batched scatter: global df + the union-terms frame
+        "q280_sharded_batch" -> Set(Set("df", "w"), Set("w")),
+        // pruning through tombstones: sidecar df minus the tombstoned
+        // postings' point-lookup counts — still terms-sized
+        "q281_tombstone_prune" -> Set(Set("df", "w")),
+        // expansion through the pruned front door: topKPruned's
+        // sidecar-derived df for the expanded terms
+        "q282_expansion_pruned" -> Set(Set("df", "w")),
+        // the sharded tri-hybrid's text arms: global df + global ctf
+        "q284_sharded_hybrid" -> Set(Set("df", "w"), Set("ctf", "w")),
+        // fields x shards: the disjoint-sum any-field df table
+        "q286_bm25f_sharded" -> Set(Set("df", "w")),
         "q172_rrf_fusion" -> Set(Set("df", "w")),
         // the range-facet bucket list: a handful of driver literals
         "q273_facet_range" -> Set(Set("lo", "hi")),
