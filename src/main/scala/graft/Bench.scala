@@ -102,7 +102,12 @@ object Bench {
     // regression (tools/bench_diff.py --controls does exactly that;
     // the hand-built adjudication tables this replaces are in
     // SCALE.md §r10-r12)
-    val controlNames = Seq("q1_agg", "q26_closure", "q97_lm_score")
+    // q288_io_control is the I/O-bound control (r16): a pure parquet
+    // write+read whose floor moves with disk/page-cache load — the
+    // CPU-shaped trio cannot see sustained I/O contention (the r15
+    // driver-bench artifact: 39 false regressions, all store-bound)
+    val controlNames =
+      Seq("q1_agg", "q26_closure", "q97_lm_score", "q288_io_control")
     val controlsStr = {
       val cs = controlNames.flatMap(n => results.get(n).map(n -> _))
       if (cs.isEmpty) ""

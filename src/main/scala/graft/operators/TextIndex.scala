@@ -170,6 +170,10 @@ object TextIndex {
       .withColumn("df_sketch", dfSketch.fold(
         lit(null).cast("array<bigint>"))(a => typedLit(a.toSeq)))
       .coalesce(1).write.mode("append").parquet(statsPath(dir))
+    // the listing signature invalidates the snapshot memo anyway; the
+    // explicit drop just spares the next reader the stale-hit compare
+    statsSnapshotMemo.remove(dir)
+    ()
   }
 
   // Term-presence filter geometry — frozen like the bucket hash: the
@@ -245,27 +249,107 @@ object TextIndex {
     arr
   }
 
+  /** Collapsed `_corpus_stats` content — everything every reader ever
+    * derives from the sidecar, reduced from ONE collected read:
+    * per-batch rows sum/OR into fixed-size aggregates (≤ fold
+    * threshold rows by construction), so holding the snapshot costs
+    * ~144 KiB per store, not rows × arrays. */
+  private final case class StatsSnapshot(sig: String, nbs: Seq[Int],
+    n: Long, sdl: Long, bits: Option[Array[Long]],
+    sketch: Option[Array[Long]])
+
+  /** Snapshot memo keyed by store dir, VALIDATED per call against the
+    * sidecar's live file listing (name, length, mtime — any append,
+    * fold, or external writer changes it): the [[blockCoverageMemo]]
+    * idiom. One serve calls [[readStats]] + [[readTermFilter]] (and
+    * phrase folds add [[readDfSketch]]); without the memo each ran its
+    * own fixed-cost job over the same tiny parquet — with it the trio
+    * costs one collect per sidecar STATE, metadata-validated, never a
+    * cached answer (n/sdl/bits always re-derive when the files
+    * change). Bounded: wholesale-cleared past 64 stores. */
+  private val statsSnapshotMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StatsSnapshot]()
+
+  /** The sidecar's state signature: its file listing with lengths and
+    * mtimes. A filesystem metadata call — never a Spark job. */
+  private def statsSidecarSig(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(statsPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  /** The one collected read behind [[readStats]], [[readTermFilter]]
+    * and [[readDfSketch]]. */
+  private def statsSnapshot(spark: SparkSession,
+                            dir: String): StatsSnapshot = {
+    restoreStatsAside(spark, dir) // fold-crash heal; no-op when live
+    val sig = statsSidecarSig(spark, dir)
+    val hit = statsSnapshotMemo.get(dir)
+    if (hit != null && hit.sig == sig) return hit
+    val snap = graft.sinks.SidecarFold.withReadRetry() {
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(statsPath(dir))
+      val hasBits = df.columns.contains("tf_bits")
+      val hasSketch = df.columns.contains("df_sketch")
+      val rows = df.collect()
+      val nbs = rows.map(_.getAs[Int]("nbuckets")).distinct.toSeq
+      val n = rows.map(_.getAs[Long]("n")).sum
+      val sdl = rows.map(_.getAs[Long]("sdl")).sum
+      // OR of every batch's bitset; None when ANY row predates the
+      // filter or carries foreign geometry — "cannot prove absence"
+      val bits: Option[Array[Long]] =
+        if (!hasBits) None
+        else rows.foldLeft(Option(new Array[Long](TermFilterBits / 64))) {
+          case (None, _) => None
+          case (Some(acc), r) =>
+            val i = r.fieldIndex("tf_bits")
+            if (r.isNullAt(i)) None
+            else {
+              val a = r.getSeq[Long](i)
+              if (a.length != acc.length) None
+              else { var j = 0
+                while (j < acc.length) { acc(j) |= a(j); j += 1 }
+                Some(acc) }
+            }
+        }
+      // the df sketch SUMS over non-null rows (additive count-min); a
+      // partial sum is a usable underestimate — estimates only order
+      // plans
+      val sketch: Option[Array[Long]] =
+        if (!hasSketch) None
+        else {
+          val acc = new Array[Long](DfSketchW * DfSketchD)
+          var any = false
+          rows.foreach { r =>
+            val i = r.fieldIndex("df_sketch")
+            if (!r.isNullAt(i)) {
+              val a = r.getSeq[Long](i)
+              if (a.length == acc.length) {
+                any = true
+                var j = 0
+                while (j < acc.length) { acc(j) += a(j); j += 1 }
+              }
+            }
+          }
+          if (any) Some(acc) else None
+        }
+      StatsSnapshot(sig, nbs, n, sdl, bits, sketch)
+    }
+    if (statsSnapshotMemo.size > 64) statsSnapshotMemo.clear()
+    statsSnapshotMemo.put(dir, snap)
+    snap
+  }
+
   /** OR of every applied batch's bitset; None when any stats row
     * predates the filter (a store with pre-filter batches cannot
     * prove absence — the serve falls back to opening every query
     * term's bucket, never to a wrong skip). */
   private def readTermFilter(spark: SparkSession,
                              dir: String): Option[Array[Long]] =
-      graft.sinks.SidecarFold.withReadRetry() {
-    val df = spark.read.option("mergeSchema", "true")
-      .parquet(statsPath(dir))
-    if (!df.columns.contains("tf_bits")) return None
-    val rows = df.select(col("tf_bits")).collect()
-    val acc = new Array[Long](TermFilterBits / 64)
-    rows.foreach { r =>
-      if (r.isNullAt(0)) return None
-      val a = r.getSeq[Long](0)
-      if (a.length != acc.length) return None // foreign geometry
-      var i = 0
-      while (i < acc.length) { acc(i) |= a(i); i += 1 }
-    }
-    Some(acc)
-  }
+    statsSnapshot(spark, dir).bits
 
   /** Summed per-term df sketch over every applied batch's non-null
     * row — None when no row carries one (pre-sketch store, healed
@@ -273,23 +357,7 @@ object TextIndex {
     * a usable underestimate, because estimates only order plans. */
   private def readDfSketch(spark: SparkSession,
                            dir: String): Option[Array[Long]] =
-      graft.sinks.SidecarFold.withReadRetry() {
-    val df = spark.read.option("mergeSchema", "true")
-      .parquet(statsPath(dir))
-    if (!df.columns.contains("df_sketch")) return None
-    val rows = df.filter(col("df_sketch").isNotNull)
-      .select(col("df_sketch")).collect()
-    if (rows.isEmpty) return None
-    val acc = new Array[Long](DfSketchW * DfSketchD)
-    rows.foreach { r =>
-      val a = r.getSeq[Long](0)
-      if (a.length == acc.length) {
-        var i = 0
-        while (i < acc.length) { acc(i) += a(i); i += 1 }
-      }
-    }
-    Some(acc)
-  }
+    statsSnapshot(spark, dir).sketch
 
   /** Estimated df per term (count-min: min over the depth probes),
     * engine-evaluated with the writer's own hash expressions. */
@@ -599,15 +667,11 @@ object TextIndex {
     * delete is a single atomic sidecar append with no
     * stats-out-of-sync crash window. */
   private[graft] def readStats(spark: SparkSession,
-                               dir: String): (Long, Long, Int) =
-      graft.sinks.SidecarFold.withReadRetry() {
-    restoreStatsAside(spark, dir) // fold-crash heal; no-op when live
-    val df = spark.read.parquet(statsPath(dir))
-    val nbs = df.select(col("nbuckets")).distinct()
-      .collect().map(_.getInt(0))
-    require(nbs.length == 1,
-      s"${statsPath(dir)}: inconsistent bucket counts ${nbs.mkString(",")}")
-    val r = df.agg(sum(col("n")), sum(col("sdl"))).head()
+                               dir: String): (Long, Long, Int) = {
+    val snap = statsSnapshot(spark, dir)
+    require(snap.nbs.length == 1,
+      s"${statsPath(dir)}: inconsistent bucket counts " +
+        snap.nbs.mkString(","))
     val (dn, dsdl) = readTombstones(spark, dir).fold((0L, 0L)) { tb =>
       val t = tb.agg(count(lit(1)), sum(col("dl"))).head()
       // null-text docs carry a null dl (they contributed nothing to
@@ -615,7 +679,7 @@ object TextIndex {
       if (t.getLong(0) == 0L) (0L, 0L)
       else (t.getLong(0), if (t.isNullAt(1)) 0L else t.getLong(1))
     }
-    (r.getLong(0) - dn, r.getLong(1) - dsdl, nbs.head)
+    (snap.n - dn, snap.sdl - dsdl, snap.nbs.head)
   }
 
   /** DELETE documents from the store — the lifecycle op a churning
@@ -3180,6 +3244,11 @@ object TextIndex {
     require(k >= 1, "need at least one result slot")
     import spark.implicits._
     lastPruneStats = None
+    // out-of-monotone-range params delegate — see [[topKPruned]]
+    if (!(k1 > 0 && b >= 0 && b <= 1)) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return topKSharded(spark, shardDirs, terms, k, k1, b)
+    }
     if (shardDirs.exists(d => readTombstones(spark, d)
           .exists(_.limit(1).count() > 0L)) ||
         shardDirs.exists(d =>
@@ -3520,6 +3589,12 @@ object TextIndex {
     require(k >= 1, "need at least one result slot")
     import spark.implicits._
     lastPruneStats = None
+    // out-of-monotone-range params delegate — see [[topKPruned]]
+    if (!(k1 > 0 && b >= 0 && b <= 1)) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return topKShardedBatch(spark, shardDirs, queries, idCol,
+        termsCol, k, k1, b)
+    }
     if (shardDirs.exists(d => readTombstones(spark, d)
           .exists(_.limit(1).count() > 0L)) ||
         shardDirs.exists(d =>
@@ -4058,18 +4133,30 @@ object TextIndex {
       .orderBy(col("n_docs").desc, col("facet"))
   }
 
+  /** Whether a BM25F field config satisfies the pruned verbs'
+    * monotonicity preconditions (boost ≥ 0, 0 ≤ b_f ≤ 1, k1 > 0) —
+    * the cap algebra's soundness domain. Out-of-range configs route
+    * to the exact unpruned serve instead of tripping the pruned
+    * verb's loud require (the unpruned scorer is well-defined for
+    * them, so the front door must keep serving what [[bm25fTopK]]
+    * always served). */
+  private def bm25fMonotone(fields: Seq[(String, String, Double, Double)],
+                            k1: Double): Boolean =
+    k1 > 0 && fields.forall { case (_, _, boost, bf) =>
+      boost >= 0 && bf >= 0 && bf <= 1 }
+
   /** [[serve]] for the MULTI-FIELD (BM25F) family: dispatches to the
     * block-max pruned serve when every field store carries a
-    * `_blockmax` sidecar, the plain serve otherwise — same rows
-    * either way (the pruned verbs keep their own tombstone/heal
-    * delegations). */
+    * `_blockmax` sidecar AND the config sits in the cap algebra's
+    * monotone range, the plain serve otherwise — same rows either way
+    * (the pruned verbs keep their own tombstone/heal delegations). */
   def serveFields(spark: SparkSession,
                   fields: Seq[(String, String, Double, Double)],
                   terms: Seq[String], k: Int,
                   k1: Double = 1.2): DataFrame = {
     require(fields.nonEmpty, "need at least one field store")
-    val pruned = fields.forall { case (_, d, _, _) =>
-      hasBlockmax(spark, d) }
+    val pruned = bm25fMonotone(fields, k1) &&
+      fields.forall { case (_, d, _, _) => hasBlockmax(spark, d) }
     lastServeRoute = Some(if (pruned) "bm25fTopKPruned" else "bm25fTopK")
     if (pruned) bm25fTopKPruned(spark, fields, terms, k, k1)
     else bm25fTopK(spark, fields, terms, k, k1)
@@ -4082,8 +4169,8 @@ object TextIndex {
                        termsCol: String, k: Int,
                        k1: Double = 1.2): DataFrame = {
     require(fields.nonEmpty, "need at least one field store")
-    val pruned = fields.forall { case (_, d, _, _) =>
-      hasBlockmax(spark, d) }
+    val pruned = bm25fMonotone(fields, k1) &&
+      fields.forall { case (_, d, _, _) => hasBlockmax(spark, d) }
     lastServeRoute = Some(
       if (pruned) "bm25fTopKPrunedBatch" else "bm25fTopKBatch")
     if (pruned)
@@ -4237,7 +4324,7 @@ object TextIndex {
     * per serve per store. An external writer invalidates naturally:
     * its new files change the listing. */
   private val blockCoverageMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Serve-time coverage heal, TOLERANT of read-only mounts: a query
     * against a store whose sidecar lags its data files tries to
@@ -4250,8 +4337,12 @@ object TextIndex {
   private def tryEnsureBlockCoverage(spark: SparkSession,
                                      dir: String): Boolean =
     try {
-      val snap = Integer.valueOf(graft.sinks.SkippingStore
-        .listDataFileRelPaths(spark, dir).sorted.hashCode)
+      // the memo holds the LISTING itself, not a 32-bit hash — a
+      // hash collision between two distinct listings would skip the
+      // coverage heal and prune with uncovered files (r15 advisory);
+      // the joined string is file-list-sized, same as the listing
+      val snap = graft.sinks.SkippingStore
+        .listDataFileRelPaths(spark, dir).sorted.mkString("\n")
       if (snap == blockCoverageMemo.get(dir)) true
       else {
         maybeExtendBlockStats(spark, dir)
@@ -4278,19 +4369,38 @@ object TextIndex {
     * residual — the parquet analog of Lucene's skip pointers), never
     * a full bucket read. Returns w -> (tombstoned df, tombstoned ctf)
     * for the live terms; absent keys mean no tombstoned postings. */
+  /** Tombstone-id count up to which the point lookup inlines the ids
+    * as an `In` literal (parquet page-level pushdown inside each
+    * term's sorted run); past it — but still under the
+    * [[tombstonePruneMaxIds]] delegation bound — the lookup switches
+    * to a broadcast left-semi join: a 100k-literal In bloats the
+    * Catalyst plan and far exceeds parquet's In-pushdown threshold,
+    * so the "point lookup" would silently degrade to a full-bucket
+    * scan carrying a huge predicate (r15 advisory). The semi-join
+    * reads the same buckets with the same term filter, so the
+    * adjustment stays bucket-bounded either way. */
+  @volatile private[graft] var tombstoneInLiteralMaxIds: Int = 4096
+
   private def tombstoneTermAdjust(spark: SparkSession, storeDir: String,
                                   live: Seq[String], nb: Int,
                                   tomb: DataFrame)
       : Map[String, (Long, Long)] = {
     import spark.implicits._
-    val ids = tomb.select(col("doc_id")).collect().map(_.get(0)).toSeq
     val buckets = live.toDF("w")
       .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(storeDir)
+    val matching = spark.read.parquet(storeDir)
       .filter(col("tb").isin(buckets: _*))
       .filter(col("w").isin(live: _*))
-      .filter(col("doc_id").isin(ids: _*))
+    val ids = tomb.select(col("doc_id")).limit(
+        tombstoneInLiteralMaxIds + 1).collect().map(_.get(0)).toSeq
+    val doomedPosts =
+      if (ids.size <= tombstoneInLiteralMaxIds)
+        matching.filter(col("doc_id").isin(ids: _*))
+      else
+        matching.join(broadcast(tomb.select(col("doc_id"))),
+          Seq("doc_id"), "left_semi")
+    doomedPosts
       .groupBy(col("w"))
       .agg(count(lit(1)).as("tdf"), sum(col("tf")).cast("long").as("tctf"))
       .collect()
@@ -4391,18 +4501,21 @@ object TextIndex {
     import spark.implicits._
     def micros(d: java.math.BigDecimal): Long =
       d.movePointRight(6).longValueExact()
-    // per-(file, w) caps + per-term floors, computed in-plan over
-    // tiny collected frames (files×terms / terms rows) and pulled
-    // back as exact micros longs
-    val caps = scoreOf(bs.map(r => (r.file, r.w, r.maxtf, r.mindl))
+    // per-(file, w) caps + per-term floors, computed in-plan over ONE
+    // tiny collected frame (files×terms + terms rows; floor rows ride
+    // with a null file key — scoreOf is per-row arithmetic over the
+    // broadcast df frame, so unioning the inputs changes no value)
+    // and pulled back as exact micros longs
+    val capFloorRows = scoreOf(
+        (bs.map(r => (r.file, r.w, r.maxtf, r.mindl)) ++
+          bs.groupBy(_.w).map { case (w, rs) =>
+            (null: String, w, 1L, rs.map(_.maxdl).max) }.toSeq)
         .toDF("file", "w", "tf", "dl"))
       .select(col("file"), col("w"), col("c")).collect()
+    val caps = capFloorRows.filter(!_.isNullAt(0))
       .map(r => (r.getString(0), r.getString(1), micros(r.getDecimal(2))))
-    val negAdjust = scoreOf(bs.groupBy(_.w)
-        .map { case (w, rs) => (w, 1L, rs.map(_.maxdl).max) }.toSeq
-        .toDF("w", "tf", "dl"))
-      .select(col("c")).collect()
-      .map(r => math.min(0L, micros(r.getDecimal(0)))).sum
+    val negAdjust = capFloorRows.filter(_.isNullAt(0))
+      .map(r => math.min(0L, micros(r.getDecimal(2)))).sum
     val capPlus: Map[String, Long] = caps.groupBy(_._2)
       .map { case (w, rs) => w -> math.max(rs.map(_._3).max, 0L) }
     val totalPlus = capPlus.values.sum
@@ -4491,6 +4604,15 @@ object TextIndex {
     import spark.implicits._
     lastPruneStats = None
     lastPruneDistributed = false
+    // the cap algebra is sound only on BM25's monotone range (k1 > 0,
+    // 0 ≤ b ≤ 1): caps at (maxtf, mindl) stop upper-bounding outside
+    // it, so out-of-range params — reachable via serve() from the
+    // expansion verbs, which forward caller k1/b — delegate to the
+    // exact unpruned serve instead of silently over-pruning
+    if (!(k1 > 0 && b >= 0 && b <= 1)) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return topK(spark, storeDir, terms, k, k1, b)
+    }
     val tomb = readTombstones(spark, storeDir)
     if (tomb.exists(_.count() > tombstonePruneMaxIds)) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
@@ -4681,6 +4803,12 @@ object TextIndex {
                       b: Double = 0.75): DataFrame = {
     require(k >= 1, "need at least one result slot")
     lastPruneStats = None
+    // out-of-monotone-range params delegate — see [[topKPruned]]
+    if (!(k1 > 0 && b >= 0 && b <= 1)) {
+      lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
+      return topKBatch(spark, storeDir, queries, idCol, termsCol, k,
+        k1, b)
+    }
     if (readTombstones(spark, storeDir)
           .exists(_.limit(1).count() > 0L)) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
@@ -4880,15 +5008,18 @@ object TextIndex {
   //      (maxtf, mindl) — monotone (boost ≥ 0, 0 ≤ b_f ≤ 1, dl ≥ 1),
   //      so it bounds every posting of t-in-F; the other fields ride
   //      their global per-field maxima. cap(t,F) then evaluates the
-  //      SHARED-saturation contribution at capWtf with idf at a df
-  //      LOWER bound (idf is decreasing in df; the any-field distinct
-  //      df is not derivable from per-field sidecars, but
-  //      df ≥ max_f df_f always — a per-field sidecar cnt).
-  //   2. θ comes from probe partials scored with idf at the df UPPER
-  //      bound (min(n, Σ_f df_f)) — partial wtf ≤ true wtf and
-  //      idf_lb ≤ idf, and the contribution is increasing in both, so
-  //      every probe partial lower-bounds the doc's true score and
-  //      the k-th partial lower-bounds s_k.
+  //      SHARED-saturation contribution at capWtf with the EXACT
+  //      any-field df — computed FIRST by the cheap column-pruned
+  //      (doc_id, w) pass (it is not derivable from per-field
+  //      sidecars: a doc may carry t in several fields, and per-field
+  //      cnt sums over-count the overlap; df BOUNDS from sidecar sums
+  //      were measured too loose to skip anything on dense stores, so
+  //      exact-df-first is the design, not an optimization).
+  //   2. θ comes from probe partials scored with the SAME exact
+  //      any-field idf — partial wtf ≤ true wtf and the contribution
+  //      is increasing in wtf at fixed idf, so every probe partial
+  //      lower-bounds the doc's true score and the k-th partial
+  //      lower-bounds s_k.
   //   3. STRADDLERS drop by ORDER, not by detection. Skip rule: F is
   //      skipped iff ∀t in F: cap(t,F) + Σ_{t'≠t} capG(t') < θ
   //      (strict). Any doc with ANY posting in a skipped file then

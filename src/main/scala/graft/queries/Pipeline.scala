@@ -8140,7 +8140,34 @@ object Pipeline {
       |    AS fill_rate
       |FROM p GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q288
+  // I/O-bound bench CONTROL (VERDICT r15 #1a): a pure parquet
+  // store write + full-column read-back with no tokenize, no shuffle
+  // (coalesce is narrow), no joins — so bench_diff can tell sustained
+  // box I/O contention from code regressions on the store-lifecycle
+  // queries, which the CPU-shaped controls (q1/q26/q97) cannot see.
+  // The returned aggregate forces the read to touch every text byte;
+  // the oracle replays it over the source table (the copy moves rows,
+  // never changes them).
+  private def q288IoControl(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q288", dir)
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .coalesce(4)
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("text_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
+  private val q288Sql =
+    """SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_io_control" -> q288IoControl _,
     "q179_best_of_cluster" -> q179BestOfCluster _,
     "q182_hard_negatives" -> q182HardNegatives _,
     "q183_class_keywords" -> q183ClassKeywords _,
@@ -8342,6 +8369,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q288_io_control" -> q288Sql,
     "q137_pagerank" -> q137Sql,
     "q138_anchor_text" -> q138Sql,
     "q139_gopher_rules" -> q139Sql,

@@ -409,16 +409,203 @@ object SkippingStore {
     walk(root)
   }
 
+  /** A/B kill-switch for the footer-stats zone derivation (default ON;
+    * set env var or sysprop GRAFT_ZONE_FOOTER_STATS=false to force the
+    * original data-scan path). Answer-preserving by construction: both
+    * paths produce bit-identical sidecar rows (spec-pinned), the switch
+    * exists only to price the derivation in isolation. */
+  private def footerStatsEnabled: Boolean =
+    !sys.env.get("GRAFT_ZONE_FOOTER_STATS")
+      .orElse(Option(java.lang.System.getProperty("GRAFT_ZONE_FOOTER_STATS")))
+      .exists(_.equalsIgnoreCase("false"))
+
+  /** File count past which [[footerZoneRows]] declines and the caller
+    * runs the distributed data scan instead — driver-side footer reads
+    * are file-LIST-sized work (the listing that precedes them already
+    * is), but a million-file batch belongs on the cluster. Same
+    * crossover idiom as TextIndex.distributedCapsFileThreshold. */
+  private[graft] var footerZoneMaxFiles: Int = 65536
+
+  /** Unsigned lexicographic byte comparison — parquet's SortOrder for
+    * UTF-8 binary stats AND Spark's UTF8String ordering, so footer
+    * min/max merge exactly like a Spark `min`/`max` over the column. */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Zone rows for `relFiles` derived from parquet FOOTER statistics —
+    * the metadata-only replacement for the leaf data scan (the same
+    * move lake formats make: file stats ride the manifest, not a
+    * post-write scan). Returns None (caller falls back to the exact
+    * scan) unless EVERY (file, col) pair yields provably exact stats:
+    *
+    *  - column type must be BINARY/UTF8 (string slots) or plain signed
+    *    INT32/INT64 (widened-double slots) — the types whose footer
+    *    min/max are exact and whose ordering matches Spark's
+    *    (unsigned-byte lexicographic for UTF-8 strings; long→double
+    *    rounding is monotone non-decreasing, so min/max commute with
+    *    the cast). FLOAT/DOUBLE (NaN pollution), DATE/TIMESTAMP
+    *    (session-zone widening), DECIMAL and unsigned ints fall back.
+    *  - every column chunk must carry set null counts, and min/max
+    *    whenever it holds non-null values (parquet drops oversized
+    *    binary stats — that reads as "absent", never as a wrong
+    *    bound). Row-group stats are untruncated at parquet-mr
+    *    defaults; a belt-and-braces length guard falls back anyway.
+    *
+    * Produces the exact [[multiZoneRows]] schema; files with zero rows
+    * produce no row (matching the scan, which never sees them). */
+  private def footerZoneRows(spark: SparkSession, dir: String,
+                             relFiles: Seq[String], cols: Seq[String])
+      : Option[DataFrame] = {
+    if (!footerStatsEnabled || relFiles.size > footerZoneMaxFiles)
+      return None
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val writerTz = spark.sessionState.conf.sessionLocalTimeZone
+    // (file, col, zmin, zmax, zmin_str, zmax_str, nrows, nnulls, tz)
+    type ZRow = (String, String, Option[Double], Option[Double],
+      Option[String], Option[String], Long, Long, String)
+    def fileRows(rel: String): Option[Seq[ZRow]] = {
+      val reader = ParquetFileReader.open(HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(s"$dir/$rel"), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val nrows = blocks.map(_.getRowCount).sum
+        if (nrows == 0L) return Some(Nil) // the scan never sees it
+        val out = cols.map { c =>
+          var nnulls = 0L
+          var minB: Array[Byte] = null; var maxB: Array[Byte] = null
+          var minL = Long.MaxValue; var maxL = Long.MinValue
+          var sawValue = false
+          var isString = false; var decided = false
+          blocks.foreach { blk =>
+            val chunk = blk.getColumns.asScala
+              .find(_.getPath.toDotString == c)
+              .getOrElse(return None) // column absent: fall back
+            val pt = chunk.getPrimitiveType
+            val ann = pt.getLogicalTypeAnnotation
+            val strCol = pt.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+              ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            val intCol = (pt.getPrimitiveTypeName == PrimitiveTypeName.INT32 ||
+              pt.getPrimitiveTypeName == PrimitiveTypeName.INT64) &&
+              (ann == null || (ann match {
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                  i.isSigned
+                case _ => false
+              }))
+            if (!strCol && !intCol) return None // unsupported type
+            if (!decided) { isString = strCol; decided = true }
+            else if (isString != strCol) return None // schema drift
+            val stats = chunk.getStatistics
+            if (stats == null || !stats.isNumNullsSet) return None
+            nnulls += stats.getNumNulls
+            if (stats.hasNonNullValue) {
+              sawValue = true
+              if (isString) {
+                val mn = stats.genericGetMin.asInstanceOf[Binary].getBytes
+                val mx = stats.genericGetMax.asInstanceOf[Binary].getBytes
+                // untruncated at parquet defaults; guard anyway — a
+                // truncation-configured writer must fall back, never
+                // publish a non-exact bound
+                if (mn.length >= 4096 || mx.length >= 4096) return None
+                if (minB == null || unsignedLess(mn, minB)) minB = mn
+                if (maxB == null || unsignedLess(maxB, mx)) maxB = mx
+              } else {
+                val mn = stats.genericGetMin match {
+                  case i: java.lang.Integer => i.longValue
+                  case l: java.lang.Long => l.longValue
+                  case _ => return None
+                }
+                val mx = stats.genericGetMax match {
+                  case i: java.lang.Integer => i.longValue
+                  case l: java.lang.Long => l.longValue
+                  case _ => return None
+                }
+                if (mn < minL) minL = mn
+                if (mx > maxL) maxL = mx
+              }
+            } else if (stats.getNumNulls < blk.getRowCount) {
+              // non-null values exist but min/max were dropped
+              // (oversized binary): cannot bound — fall back
+              return None
+            }
+          }
+          if (!sawValue) // all-null column: null stats, exact nnulls
+            (rel, c, None: Option[Double], None: Option[Double],
+              None: Option[String], None: Option[String], nrows, nnulls,
+              writerTz)
+          else if (isString)
+            (rel, c, None: Option[Double], None: Option[Double],
+              Some(new String(minB, java.nio.charset.StandardCharsets.UTF_8)),
+              Some(new String(maxB, java.nio.charset.StandardCharsets.UTF_8)),
+              nrows, nnulls, writerTz)
+          else
+            (rel, c, Some(minL.toDouble), Some(maxL.toDouble),
+              None: Option[String], None: Option[String], nrows, nnulls,
+              writerTz)
+        }
+        Some(out)
+      } finally reader.close()
+    }
+    // bounded parallel footer reads — metadata RPCs, file-list-sized
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, relFiles.size)))
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = relFiles.map(f =>
+        scala.concurrent.Future(fileRows(f))(ec))
+      val all = fs.map(f => scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration.Inf))
+      if (all.exists(_.isEmpty)) None
+      else {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("file", StringType), StructField("col", StringType),
+          StructField("zmin", DoubleType), StructField("zmax", DoubleType),
+          StructField("zmin_str", StringType),
+          StructField("zmax_str", StringType),
+          StructField("nrows", LongType), StructField("nnulls", LongType),
+          StructField("tz", StringType)))
+        val rows = all.flatMap(_.get).map { t =>
+          org.apache.spark.sql.Row(t._1, t._2, t._3.orNull, t._4.orNull,
+            t._5.orNull, t._6.orNull, t._7, t._8, t._9)
+        }
+        Some(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          schema))
+      }
+    } finally pool.shutdown()
+  }
+
   /** Build — or incrementally EXTEND — the `_zonemap_multi` sidecar of
     * a PARTITIONED store, keyed by partition-relative file path. Only
-    * files the sidecar doesn't map yet are scanned (the appendMulti
+    * files the sidecar doesn't map yet are touched (the appendMulti
     * cost model: per-batch, not per-store), so the postings-store
     * lifecycle is build → index → append → index → … with each index
     * pass touching just the new files. Stats cols must be DATA
     * columns (partition columns prune via the directory layout
     * already, and leaf-file reads don't carry them). A compaction
     * rewrite drops the sidecar with the old directory — re-run this
-    * afterwards. */
+    * afterwards.
+    *
+    * Stats come from the new files' parquet FOOTERS when every stats
+    * column qualifies ([[footerZoneRows]] — a metadata read, no data
+    * scan, no Spark job over the batch); any non-qualifying column or
+    * absent footer statistic falls back to the original column-pruned
+    * leaf scan, bit-identical rows either way. */
   def indexPartitioned(spark: SparkSession, dir: String,
                        statsCols: Seq[String]): Unit = {
     require(statsCols.nonEmpty, "need at least one stats column")
@@ -429,24 +616,37 @@ object SkippingStore {
     val (known, cols) =
       if (!pathExists(spark, side)) (Set.empty[String], statsCols.sorted)
       else {
-        val zm = spark.read.parquet(side)
-        val existing = zm.select(col("col")).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
+        // ONE collect for both the indexed column set and the mapped
+        // file set — the sidecar is (files × cols)-sized by
+        // construction, and two separate distinct+collect jobs were
+        // pure fixed cost on every append
+        val fc = spark.read.parquet(side)
+          .select(col("col"), col("file")).collect()
+        val existing = fc.map(_.getString(0)).distinct.toSeq.sorted
         require(existing == statsCols.sorted,
           s"$side already indexes ${existing.mkString(",")} — " +
             "extend with the same column set or rebuild")
-        (zm.select(col("file")).distinct()
-          .collect().map(_.getString(0)).toSet, existing)
+        (fc.map(_.getString(1)).toSet, existing)
       }
     val newFiles = listDataFileRelPaths(spark, dir).filterNot(known)
     if (newFiles.isEmpty) return
-    // leaf-file read: data columns only, which is exactly what rider
-    // stats need; the trailing-segments regexp recovers the relative key
-    val data = spark.read.parquet(newFiles.map(f => s"$dir/$f"): _*)
-    multiZoneRows(data, cols,
-        regexp_extract(input_file_name(), "((?:[^/]+=[^/]*/)*[^/]+)$", 1))
-      .coalesce(1)
-      .write.mode(if (known.isEmpty) "overwrite" else "append").parquet(side)
+    footerZoneRows(spark, dir, newFiles, cols) match {
+      case Some(rows) =>
+        rows.coalesce(1)
+          .write.mode(if (known.isEmpty) "overwrite" else "append")
+          .parquet(side)
+      case None =>
+        // leaf-file read: data columns only, which is exactly what
+        // rider stats need; the trailing-segments regexp recovers the
+        // relative key
+        val data = spark.read.parquet(newFiles.map(f => s"$dir/$f"): _*)
+        multiZoneRows(data, cols,
+            regexp_extract(input_file_name(),
+              "((?:[^/]+=[^/]*/)*[^/]+)$", 1))
+          .coalesce(1)
+          .write.mode(if (known.isEmpty) "overwrite" else "append")
+          .parquet(side)
+    }
     // one appended zonemap file per ingest — fold on the same
     // threshold as the tombstone/doclen sidecars so a long-appended
     // store's EVERY zone-pruned serve keeps a bounded sidecar read

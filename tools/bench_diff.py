@@ -37,7 +37,8 @@ import statistics
 import subprocess
 import sys
 
-CONTROL_NAMES = ("q1_agg", "q26_closure", "q97_lm_score")
+CONTROL_NAMES = ("q1_agg", "q26_closure", "q97_lm_score",
+                 "q288_io_control")
 
 
 def load(path):
@@ -152,6 +153,22 @@ def main():
           f"{len(improvements)} improved, "
           f"{len(new) - len(shared)} added, {len(old) - len(shared)} removed, "
           f"{len(new_err)} failed")
+    # WHOLE-RUN contention refusal (r15 lesson: a sustained I/O-load
+    # window depresses ALL repeats of many queries at once — tight
+    # spreads, inflated minima — which the spread classifier and
+    # CPU-shaped controls both miss, manufacturing dozens of false
+    # regressions). When a large same-direction block of the shared
+    # set "regresses" with (near-)zero improvements, the box moved,
+    # not the code: refuse to adjudicate and demand a re-run. Exit 3
+    # so round-close gating can tell "re-run needed" from "regressed".
+    if shared and len(regressions) >= max(10, len(shared) // 10) \
+            and len(improvements) <= len(regressions) // 10:
+        print(f"VERDICT: NOT ADJUDICABLE — {len(regressions)} same-"
+              f"direction regressions across {len(shared)} shared "
+              "queries with no offsetting improvements is whole-run "
+              "contention, not code. Re-run both sides on a quiet box "
+              "(min-of-3, interleaved) before trusting this diff.")
+        sys.exit(3)
     sys.exit(1 if regressions else 0)
 
 
