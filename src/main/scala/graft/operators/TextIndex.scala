@@ -160,20 +160,90 @@ object TextIndex {
     * `tf_bits` is the batch's term-presence Bloom bitset
     * ([[termFilterBits]]) — per-batch bitsets OR at read, so the
     * union filter stays append-only too. */
+  /** A/B kill-switch for the driver-side stats-row write (default ON;
+    * GRAFT_STATS_DRIVER_WRITE=false forces the original Spark write).
+    * Answer-preserving: both paths land one identical row; readers
+    * merge schemas. */
+  private def statsDriverWriteEnabled: Boolean =
+    ingestFlag("GRAFT_STATS_DRIVER_WRITE")
+
   private def appendStatsRow(spark: SparkSession, dir: String, bid: Long,
                              n: Long, sdl: Long, nBuckets: Int,
                              tfBits: Array[Long],
                              dfSketch: Option[Array[Long]] = None): Unit = {
-    import spark.implicits._
-    Seq((bid, n, sdl, nBuckets, tfBits.toSeq))
-      .toDF("bid", "n", "sdl", "nbuckets", "tf_bits")
-      .withColumn("df_sketch", dfSketch.fold(
-        lit(null).cast("array<bigint>"))(a => typedLit(a.toSeq)))
-      .coalesce(1).write.mode("append").parquet(statsPath(dir))
+    // ONE metadata-sized row per batch — launching a Spark job to
+    // write it was pure fixed cost (~0.2 s locally, one job per
+    // ingest). The driver writes the parquet file directly
+    // (standard-LIST layout, same column set Spark wrote), dot-
+    // prefixed-then-renamed so readers never see a torn file — the
+    // same crash discipline as Spark's committer. Any failure falls
+    // back to the original Spark write.
+    val direct = statsDriverWriteEnabled &&
+      (try { writeStatsRowDirect(spark, dir, bid, n, sdl, nBuckets,
+          tfBits, dfSketch); true }
+        catch { case scala.util.control.NonFatal(_) => false })
+    if (!direct) {
+      import spark.implicits._
+      Seq((bid, n, sdl, nBuckets, tfBits.toSeq))
+        .toDF("bid", "n", "sdl", "nbuckets", "tf_bits")
+        .withColumn("df_sketch", dfSketch.fold(
+          lit(null).cast("array<bigint>"))(a => typedLit(a.toSeq)))
+        .coalesce(1).write.mode("append").parquet(statsPath(dir))
+    }
     // the listing signature invalidates the snapshot memo anyway; the
     // explicit drop just spares the next reader the stale-hit compare
     statsSnapshotMemo.remove(dir)
     ()
+  }
+
+  private def writeStatsRowDirect(spark: SparkSession, dir: String,
+                                  bid: Long, n: Long, sdl: Long,
+                                  nBuckets: Int, tfBits: Array[Long],
+                                  dfSketch: Option[Array[Long]]): Unit = {
+    import org.apache.parquet.schema.Types
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val schema = Types.buildMessage()
+      .required(INT64).named("bid")
+      .required(INT64).named("n")
+      .required(INT64).named("sdl")
+      .required(INT32).named("nbuckets")
+      .addField(Types.optionalList().requiredElement(INT64)
+        .named("tf_bits"))
+      .addField(Types.optionalList().requiredElement(INT64)
+        .named("df_sketch"))
+      .named("spark_schema")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(statsPath(dir))
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) fs.mkdirs(base)
+    val stamp = java.util.UUID.randomUUID.toString
+    val tmp = new org.apache.hadoop.fs.Path(base,
+      s".part-$stamp.snappy.parquet.inprogress")
+    val fin = new org.apache.hadoop.fs.Path(base,
+      s"part-00000-$stamp-graft.snappy.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(tmp, conf))
+      .withType(schema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+      g.add("bid", bid); g.add("n", n); g.add("sdl", sdl)
+      g.add("nbuckets", nBuckets)
+      val tl = g.addGroup("tf_bits")
+      tfBits.foreach(v => tl.addGroup("list").add("element", v))
+      dfSketch.foreach { a =>
+        val sl = g.addGroup("df_sketch")
+        a.foreach(v => sl.addGroup("list").add("element", v))
+      }
+      writer.write(g)
+    } finally writer.close()
+    // dot-prefixed files are invisible to every reader; the rename
+    // publishes the complete row atomically
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"rename $tmp -> $fin failed")
   }
 
   // Term-presence filter geometry — frozen like the bucket hash: the
@@ -234,6 +304,52 @@ object TextIndex {
     array((0 until TermFilterK).map(i =>
       pmod(xxhash64(col("w"), lit(i)), lit(TermFilterBits.toLong))): _*)
 
+  // ------------------------------------------------------------------
+  // Driver-side evaluation of the frozen hash expressions. The WRITE
+  // side keeps evaluating `xxhash64`/`pmod` through the engine (the
+  // frozen-layout contract); the SERVE side routes query terms to
+  // buckets and filter probes with these local functions, which
+  // replicate Spark's XxHash64 seed fold exactly (initial seed 42,
+  // strings via hashUTF8String, int literals via hashInt — the
+  // HashExpression contract) — each serve previously paid one
+  // fixed-cost local job just to hash a handful of terms. Bit-equality
+  // with the engine expressions is pinned by FrozenHashSpec; a Spark
+  // upgrade that changed the hash would fail that spec loudly (and
+  // would anyway have broken every existing store's layout).
+
+  private def xx64(w: String, seed: Long = 42L): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(w), seed)
+
+  private def pmodL(h: Long, m: Long): Long = {
+    val r = h % m; if (r < 0) r + m else r
+  }
+
+  /** `pmod(xxhash64(w), nb)` — the frozen bucket key. */
+  private[graft] def bucketOf(w: String, nb: Int): Int =
+    pmodL(xx64(w), nb).toInt
+
+  /** Distinct bucket ids of `terms` (driver-evaluated; order-free —
+    * callers only `isin` them). */
+  private[graft] def bucketsOf(terms: Seq[String], nb: Int): Seq[Int] =
+    terms.map(bucketOf(_, nb)).distinct
+
+  /** [[termProbes]] driver-side: `pmod(xxhash64(w, i), bits)`. */
+  private[graft] def termProbesLocal(w: String): Seq[Long] = {
+    val h = xx64(w)
+    (0 until TermFilterK).map(i => pmodL(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, h),
+      TermFilterBits.toLong))
+  }
+
+  /** [[dfSketchProbes]] driver-side. */
+  private[graft] def dfSketchProbesLocal(w: String): Seq[Int] = {
+    val h = xx64(w)
+    (0 until DfSketchD).map(d => (d * DfSketchW + pmodL(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(101 + d, h),
+      DfSketchW.toLong)).toInt)
+  }
+
   /** The batch's term-presence bitset, reduced ON THE CLUSTER into
     * ≤ nbits/64 (word, bits) rows — never vocab-sized driver
     * traffic. Input is the postings frame, so tokenization is never
@@ -255,7 +371,7 @@ object TextIndex {
     * threshold rows by construction), so holding the snapshot costs
     * ~144 KiB per store, not rows × arrays. */
   private final case class StatsSnapshot(sig: String, nbs: Seq[Int],
-    n: Long, sdl: Long, bits: Option[Array[Long]],
+    n: Long, sdl: Long, maxBid: Long, bits: Option[Array[Long]],
     sketch: Option[Array[Long]])
 
   /** Snapshot memo keyed by store dir, VALIDATED per call against the
@@ -270,16 +386,20 @@ object TextIndex {
   private val statsSnapshotMemo =
     new java.util.concurrent.ConcurrentHashMap[String, StatsSnapshot]()
 
-  /** The sidecar's state signature: its file listing with lengths and
-    * mtimes. A filesystem metadata call — never a Spark job. */
-  private def statsSidecarSig(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(statsPath(dir))
+  /** A directory's state signature: its file listing with lengths and
+    * mtimes. A filesystem metadata call — never a Spark job. Any
+    * append, fold, swap, or external writer changes it. */
+  private def dirListingSig(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"
     else fs.listStatus(p).map(s =>
         s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString("|")
   }
+
+  private def statsSidecarSig(spark: SparkSession, dir: String): String =
+    dirListingSig(spark, statsPath(dir))
 
   /** The one collected read behind [[readStats]], [[readTermFilter]]
     * and [[readDfSketch]]. */
@@ -298,6 +418,8 @@ object TextIndex {
       val nbs = rows.map(_.getAs[Int]("nbuckets")).distinct.toSeq
       val n = rows.map(_.getAs[Long]("n")).sum
       val sdl = rows.map(_.getAs[Long]("sdl")).sum
+      val maxBid =
+        if (rows.isEmpty) -1L else rows.map(_.getAs[Long]("bid")).max
       // OR of every batch's bitset; None when ANY row predates the
       // filter or carries foreign geometry — "cannot prove absence"
       val bits: Option[Array[Long]] =
@@ -336,7 +458,7 @@ object TextIndex {
           }
           if (any) Some(acc) else None
         }
-      StatsSnapshot(sig, nbs, n, sdl, bits, sketch)
+      StatsSnapshot(sig, nbs, n, sdl, maxBid, bits, sketch)
     }
     if (statsSnapshotMemo.size > 64) statsSnapshotMemo.clear()
     statsSnapshotMemo.put(dir, snap)
@@ -360,29 +482,22 @@ object TextIndex {
     statsSnapshot(spark, dir).sketch
 
   /** Estimated df per term (count-min: min over the depth probes),
-    * engine-evaluated with the writer's own hash expressions. */
+    * driver-evaluated with [[dfSketchProbesLocal]] (spec-pinned to the
+    * writer's engine expressions — no per-serve hash job). */
   private def estimatedDf(spark: SparkSession, terms: Seq[String],
-                          sketch: Array[Long]): Map[String, Long] = {
-    import spark.implicits._
-    terms.toDF("w").select(col("w"), dfSketchProbes(col("w")).as("ps"))
-      .collect()
-      .map(r => r.getString(0) ->
-        r.getSeq[Long](1).map(p => sketch(p.toInt)).min)
-      .toMap
-  }
+                          sketch: Array[Long]): Map[String, Long] =
+    terms.map(w =>
+      w -> dfSketchProbesLocal(w).map(p => sketch(p)).min).toMap
 
   /** The query terms that MIGHT exist in the store — Bloom semantics:
     * a dropped term provably has df = 0, so dropping it changes no
     * score and no match; it only skips opening that term's bucket.
-    * Probes are engine-evaluated with the writer's own expressions. */
+    * Probes are driver-evaluated with [[termProbesLocal]] (spec-pinned
+    * to the writer's engine expressions). */
   private def presentTerms(spark: SparkSession, terms: Seq[String],
-                           bits: Array[Long]): Seq[String] = {
-    import spark.implicits._
-    terms.toDF("w").select(col("w"), termProbes.as("ps")).collect()
-      .filter(r => r.getSeq[Long](1).forall(p =>
-        (bits((p / 64).toInt) & (1L << (p % 64).toInt)) != 0L))
-      .map(_.getString(0)).toSeq
-  }
+                           bits: Array[Long]): Seq[String] =
+    terms.filter(w => termProbesLocal(w).forall(p =>
+      (bits((p / 64).toInt) & (1L << (p % 64).toInt)) != 0L))
 
   /** Whether batch `bid`'s stats contribution already landed (the
     * replay-heal guard; bid-row reads prune to one tiny sidecar
@@ -407,8 +522,7 @@ object TextIndex {
   private def statsRowExists(spark: SparkSession, dir: String,
                              bid: Long): Boolean =
     graft.sinks.HadoopSwap.exists(spark, statsPath(dir)) &&
-      spark.read.parquet(statsPath(dir))
-        .filter(col("bid") >= bid).limit(1).count() > 0
+      statsSnapshot(spark, dir).maxBid >= bid
 
   /** The per-doc `(doc_id, dl)` sidecar — written at every
     * build/append so a later [[delete]] can price the removed docs
@@ -1209,9 +1323,7 @@ object TextIndex {
     if (terms.exists(t => !live(t)))
       return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
         .withColumn("n_occurrences", lit(0L))
-    val buckets = terms.toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val buckets = bucketsOf(terms, nb)
     val post = minusTombstones(spark, storeDir,
       spark.read.parquet(storeDir)
         .filter(col("tb").isin(buckets: _*))
@@ -1340,9 +1452,7 @@ object TextIndex {
     if (!(live(a) && live(b)))
       return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
         .withColumn("n_pairs", lit(0L))
-    val buckets = Seq(a, b).toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val buckets = bucketsOf(Seq(a, b), nb)
     val post = minusTombstones(spark, storeDir,
       spark.read.parquet(storeDir)
         .filter(col("tb").isin(buckets: _*))
@@ -1390,9 +1500,7 @@ object TextIndex {
     if (live.isEmpty)
       return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
         .withColumn("n_terms", lit(0L)).withColumn("score", lit(0.0))
-    val buckets = live.toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val buckets = bucketsOf(live, nb)
     val tf = minusTombstones(spark, storeDir,
       spark.read.parquet(storeDir)
         .filter(col("tb").isin(buckets: _*))
@@ -1511,9 +1619,7 @@ object TextIndex {
       return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
         .withColumn("n_clear", lit(0L))
     val terms = Seq(a, b).filter(live)
-    val buckets = terms.toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val buckets = bucketsOf(terms, nb)
     val post = minusTombstones(spark, storeDir,
       spark.read.parquet(storeDir)
         .filter(col("tb").isin(buckets: _*))
@@ -1821,9 +1927,7 @@ object TextIndex {
     if (distinct.exists(t => !live(t)))
       return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
     val (_, _, nb) = readStats(spark, storeDir)
-    val buckets = distinct.toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val buckets = bucketsOf(distinct, nb)
     val post = minusTombstones(spark, storeDir,
       spark.read.parquet(storeDir)
         .filter(col("tb").isin(buckets: _*))
@@ -1917,9 +2021,7 @@ object TextIndex {
     // set before any bucket opens
     if (live.size < distinct.size) return empty()
     val (n, sdl, nb) = readStats(spark, storeDir)
-    val buckets = live.toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val buckets = bucketsOf(live, nb)
     val tf = minusTombstones(spark, storeDir,
       spark.read.parquet(storeDir)
         .filter(col("tb").isin(buckets: _*))
@@ -2338,9 +2440,7 @@ object TextIndex {
     if (live.isEmpty)
       return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
         .withColumn("n_terms", lit(0L)).withColumn("score", lit(0.0))
-    val buckets = live.toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val buckets = bucketsOf(live, nb)
     // tombstoned docs drop BEFORE df: every BM25 input (df, n, avgdl)
     // is exactly what a rebuild on the surviving corpus would produce
     val tf = minusTombstones(spark, storeDir,
@@ -2396,11 +2496,8 @@ object TextIndex {
     * a vocab REBUILD must carry so [[healBatch]]'s replay guard keeps
     * answering "already applied" for every batch the rebuild folded
     * in. */
-  private def statsBidHwm(spark: SparkSession, dir: String): Long = {
-    restoreStatsAside(spark, dir)
-    val h = spark.read.parquet(statsPath(dir)).agg(max(col("bid"))).head()
-    if (h.isNullAt(0)) -1L else h.getLong(0)
-  }
+  private def statsBidHwm(spark: SparkSession, dir: String): Long =
+    statsSnapshot(spark, dir).maxBid
 
   /** Create (or exactly rebuild) the `_vocab` sidecar from the LIVE
     * postings: one column-pruned pass over `(doc_id, w)` minus
@@ -2701,9 +2798,7 @@ object TextIndex {
           .fold(distinct)(bits => presentTerms(spark, distinct, bits))
         if (live.isEmpty) None
         else {
-          val buckets = live.toDF("w")
-            .select(pmod(xxhash64(col("w")), lit(nbF)).cast("int").as("tb"))
-            .distinct().collect().map(_.getInt(0)).toSeq
+          val buckets = bucketsOf(live, nbF)
           val avgdlF = round(lit(sdlF).cast("double") / lit(n), 6)
           Some(minusTombstones(spark, dir,
               spark.read.parquet(dir)
@@ -2863,9 +2958,7 @@ object TextIndex {
         .withColumn("n_occurrences", lit(0L))
     val liveSlots = distinctSlots.map(_.filter(live))
     val liveTerms = liveSlots.flatten.distinct
-    val buckets = liveTerms.toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val buckets = bucketsOf(liveTerms, nb)
     val post = minusTombstones(spark, storeDir,
       spark.read.parquet(storeDir)
         .filter(col("tb").isin(buckets: _*))
@@ -3177,9 +3270,7 @@ object TextIndex {
         .fold(terms)(bits => presentTerms(spark, terms, bits))
       if (live.isEmpty) None
       else {
-        val buckets = live.toDF("w")
-          .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+        val buckets = bucketsOf(live, nb)
         Some(minusTombstones(spark, dir,
           spark.read.parquet(dir)
             .filter(col("tb").isin(buckets: _*))
@@ -3355,9 +3446,7 @@ object TextIndex {
         .fold(terms)(bits => presentTerms(spark, terms, bits))
       if (live.isEmpty) None
       else {
-        val buckets = live.toDF("w")
-          .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+        val buckets = bucketsOf(live, nb)
         Some(minusTombstones(spark, dir,
           spark.read.parquet(dir)
             .filter(col("tb").isin(buckets: _*))
@@ -4064,10 +4153,7 @@ object TextIndex {
           .fold(distinct)(bits => presentTerms(spark, distinct, bits))
         if (live.isEmpty) None
         else {
-          val buckets = live.toDF("w")
-            .select(pmod(xxhash64(col("w")), lit(nbF)).cast("int")
-              .as("tb"))
-            .distinct().collect().map(_.getInt(0)).toSeq
+          val buckets = bucketsOf(live, nbF)
           val avgdlF = round(
             lit(sdlByField(f)).cast("double") / lit(n), 6)
           Some(minusTombstones(spark, dir,
@@ -4282,6 +4368,17 @@ object TextIndex {
     * file's rows entirely (uncovered → healed here), never half of
     * them — partial per-file coverage is physically unreachable. The
     * fold drops rows of files a selective compaction replaced. */
+  /** Covered-file-set memo for the `_blockmax` sidecar, keyed by the
+    * sidecar's own listing signature ([[statsSnapshotMemo]]'s idiom):
+    * every append re-checked coverage with a fixed-cost distinct+
+    * collect job over the sidecar — with the memo only a sidecar
+    * state this process hasn't seen pays the read. Stale-row names
+    * (files a compaction replaced) are harmless in the set: `missing`
+    * filters LIVE files, and replaced names never recur (part-file
+    * UUIDs). Bounded like the stats memo. */
+  private val blockCoveredMemo = new java.util.concurrent
+    .ConcurrentHashMap[String, (String, Set[String])]()
+
   private[graft] def maybeExtendBlockStats(spark: SparkSession,
                                            dir: String): Unit = {
     import spark.implicits._
@@ -4290,9 +4387,13 @@ object TextIndex {
     if (!graft.sinks.HadoopSwap.exists(spark, side)) return
     timed("blockmax_extend") {
       val live = graft.sinks.SkippingStore.listDataFileRelPaths(spark, dir)
-      val covered = spark.read.parquet(side)
-        .select(col("file")).distinct()
-        .collect().map(_.getString(0)).toSet
+      val sideSig = dirListingSig(spark, side)
+      val covered = Option(blockCoveredMemo.get(dir)) match {
+        case Some((sig, set)) if sig == sideSig => set
+        case _ => spark.read.parquet(side)
+          .select(col("file")).distinct()
+          .collect().map(_.getString(0)).toSet
+      }
       val missing = live.filterNot(covered)
       if (missing.nonEmpty)
         deriveBlockRows(spark, dir, missing)
@@ -4310,6 +4411,12 @@ object TextIndex {
         SidecarFoldThreshold)(
         _.join(broadcast(liveDF), Seq("file"), "left_semi")
           .dropDuplicates("file", "w"))
+      // memo the post-write coverage under the post-write signature:
+      // the extension covered `missing`, and a fold only drops rows
+      // of non-live files, which `missing` never re-lists
+      if (blockCoveredMemo.size > 64) blockCoveredMemo.clear()
+      blockCoveredMemo.put(dir,
+        (dirListingSig(spark, side), covered ++ missing))
     }
     ()
   }
@@ -4386,9 +4493,7 @@ object TextIndex {
                                   tomb: DataFrame)
       : Map[String, (Long, Long)] = {
     import spark.implicits._
-    val buckets = live.toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val buckets = bucketsOf(live, nb)
     val matching = spark.read.parquet(storeDir)
       .filter(col("tb").isin(buckets: _*))
       .filter(col("w").isin(live: _*))
@@ -5134,9 +5239,7 @@ object TextIndex {
     // Collected terms-sized, so the FINAL plan reads survivors only.
     val dfParts = fr.collect {
       case (_, dir, _, _, _, nbF, live, _) if live.nonEmpty =>
-        val buckets = live.toDF("w")
-          .select(pmod(xxhash64(col("w")), lit(nbF)).cast("int").as("tb"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+        val buckets = bucketsOf(live, nbF)
         spark.read.parquet(dir)
           .filter(col("tb").isin(buckets: _*))
           .filter(col("w").isin(live: _*))
