@@ -127,13 +127,29 @@ object Bench {
     // The driver captures only the tail of stdout, so the ~4 KB per-query
     // map must not ride on the final line: the full JSON goes to a file,
     // and the last stdout line is a short parseable summary.
+    // PER-RUN file, keyed by the core count: the driver benches at two
+    // CPU counts and the 8-core scaling run used to overwrite the
+    // 32-core run's per-query map before it could be diffed
+    // (PERF_r16.per_query was empty for exactly this reason). With the
+    // core count in the name both runs' maps survive side by side; the
+    // stdout line always names the file this run actually wrote.
     val outFile = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        s"/root/repo/bench_out_c$cpus.json"))
     java.nio.file.Files.write(outFile,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // stdout carries ONLY the short summary (the driver tail-captures
-    // stdout; the ~4 KB per-query map lives in the file)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries_file":"$outFile"$modeStr}""")
+    // legacy fixed path kept for existing tooling (bench_diff et al.);
+    // same content, last-run-wins — the per-run file above is the one
+    // the driver should read
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/bench_out.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stdout carries ONLY the short summary: the driver tail-captures
+    // the LAST 2000 chars of stdout (BENCH_r01-r03: the full per-query
+    // map truncated mid-line and failed the driver's parse), so the
+    // ~8 KB map must live in the file, never on the line. The controls
+    // ride inline — they fit and give the tail a cross-round anchor.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"queries_file":"$outFile"$controlsStr$modeStr}""")
     spark.stop()
   }
 }

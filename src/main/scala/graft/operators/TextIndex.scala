@@ -749,6 +749,51 @@ object TextIndex {
     docs.filter(col(textCol).isNull)
       .select(col(idCol).as("doc_id"), lit(null).cast("long").as("dl"))
 
+  /** Collapsed `_tombstones` aggregates — the deduped set's size and
+    * Σdl, memoized per sidecar STATE ([[statsSnapshotMemo]]'s
+    * listing-validated idiom): [[readStats]] ran a count+sum Spark job
+    * over the tombstones on EVERY call on a tombstoned store, and each
+    * pruned serve ran its own `count()` just to decide delegation —
+    * pure repetition between deletes. (0, 0) when the store has none
+    * (no job — existence is a filesystem call). Any delete, fold, or
+    * compaction changes the listing and forces a re-read; never a
+    * cached answer. */
+  private[graft] final case class TombSnapshot(sig: String, n: Long, sdl: Long)
+  private val tombSnapshotMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, TombSnapshot]()
+
+  private[graft] def tombSnapshot(spark: SparkSession,
+                           dir: String): TombSnapshot = {
+    // fold-crash heal first, like every tombstone reader
+    graft.sinks.SidecarFold.restoreAside(spark, tombPath(dir))
+    val sig = dirListingSig(spark, tombPath(dir))
+    val hit = tombSnapshotMemo.get(dir)
+    if (hit != null && hit.sig == sig) return hit
+    val snap =
+      if (!graft.sinks.HadoopSwap.exists(spark, tombPath(dir)))
+        TombSnapshot(sig, 0L, 0L)
+      else {
+        // the same dedup-then-aggregate the per-call job ran: count
+        // and Σdl of the per-doc max(dl) rows (null dl — null-text
+        // docs — contributes nothing to the sum, matching readStats)
+        val t = graft.sinks.SidecarFold.withReadRetry() {
+          spark.read.parquet(tombPath(dir))
+            .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+            .agg(count(lit(1)), sum(col("dl"))).head()
+        }
+        TombSnapshot(sig, t.getLong(0),
+          if (t.isNullAt(1)) 0L else t.getLong(1))
+      }
+    if (tombSnapshotMemo.size > 64) tombSnapshotMemo.clear()
+    tombSnapshotMemo.put(dir, snap)
+    snap
+  }
+
+  /** The deduped tombstone-set SIZE — the pruned serves' delegation
+    * input, snapshot-derived (zero jobs between deletes). */
+  private def tombstoneCount(spark: SparkSession, dir: String): Long =
+    tombSnapshot(spark, dir).n
+
   /** The deduped tombstone set `(doc_id, dl)`, or None when the store
     * has none. Dedup by doc_id (max dl — rows for one doc are
     * identical by the [[delete]] guard; dedup only defends a
@@ -786,14 +831,10 @@ object TextIndex {
     require(snap.nbs.length == 1,
       s"${statsPath(dir)}: inconsistent bucket counts " +
         snap.nbs.mkString(","))
-    val (dn, dsdl) = readTombstones(spark, dir).fold((0L, 0L)) { tb =>
-      val t = tb.agg(count(lit(1)), sum(col("dl"))).head()
-      // null-text docs carry a null dl (they contributed nothing to
-      // sdl), so the sum can be null even with tombstones present
-      if (t.getLong(0) == 0L) (0L, 0L)
-      else (t.getLong(0), if (t.isNullAt(1)) 0L else t.getLong(1))
-    }
-    (snap.n - dn, snap.sdl - dsdl, snap.nbs.head)
+    // tombstone subtraction from the listing-validated snapshot — the
+    // per-call count+sum job re-runs only when the sidecar changed
+    val ts = tombSnapshot(spark, dir)
+    (snap.n - ts.n, snap.sdl - ts.sdl, snap.nbs.head)
   }
 
   /** DELETE documents from the store — the lifecycle op a churning
@@ -1065,11 +1106,12 @@ object TextIndex {
     // answers identically on both sides of the swap.
     spark.read.parquet(statsPath(storeDir))
       .coalesce(1).write.mode("overwrite").parquet(statsPath(tmp))
-    tomb.foreach { tb =>
-      val t = tb.agg(count(lit(1)), sum(col("dl"))).head()
-      if (t.getLong(0) > 0L)
-        appendStatsRow(spark, tmp, -1L, -t.getLong(0),
-          -(if (t.isNullAt(1)) 0L else t.getLong(1)), nb,
+    tomb.foreach { _ =>
+      // the deduped set's (count, Σdl) from the listing-validated
+      // snapshot — the same aggregate the per-call job ran
+      val ts = tombSnapshot(spark, storeDir)
+      if (ts.n > 0L)
+        appendStatsRow(spark, tmp, -1L, -ts.n, -ts.sdl, nb,
           new Array[Long](TermFilterBits / 64))
     }
     // `_doclen` carries over MINUS the purged docs (so a later delete
@@ -1094,29 +1136,46 @@ object TextIndex {
     // crash window healBatch covers — stamping only the vocab's max
     // would let that batch pass !vocabRowExists on redelivery and
     // re-extend df the rebuild already counted.
+    // a block-max sidecar is REBUILT from the rewritten files INTO the
+    // scaffold (rel file keys are path-prefix-independent, so rows
+    // derived under tmp stay valid after the rename) — pre-swap, so a
+    // crash can never leave a compacted store whose caps describe
+    // files that no longer exist. Rebuilt BEFORE the vocab so the
+    // vocab rebuild can derive from its rows (below) instead of a
+    // second O(store) pass.
+    graft.sinks.SidecarFold.restoreAside(spark, blockmaxPath(storeDir))
+    val hasBlockmax =
+      graft.sinks.HadoopSwap.exists(spark, blockmaxPath(storeDir))
+    if (hasBlockmax)
+      deriveBlockRows(spark, tmp,
+          graft.sinks.SkippingStore.listDataFileRelPaths(spark, tmp))
+        .coalesce(1).write.mode("overwrite").parquet(blockmaxPath(tmp))
     graft.sinks.SidecarFold.restoreAside(spark, vocabPath(storeDir))
     if (graft.sinks.HadoopSwap.exists(spark, vocabPath(storeDir))) {
-      val vh = spark.read.parquet(vocabPath(storeDir))
-        .agg(max(col("bid"))).head()
-      val hwm = math.max(if (vh.isNullAt(0)) -1L else vh.getLong(0),
+      val hwm = math.max(vocabBidHwm(spark, storeDir),
         statsBidHwm(spark, storeDir))
-      spark.read.parquet(tmp).select(col("doc_id"), col("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // the rebuild's source: when a `_blockmax` sidecar was ALSO
+      // rebuilt over the same rewritten files (above), per-term df is
+      // already in its rows (Σ cnt over a file partition of the
+      // postings — files never share a (doc_id, w) row, so the sum is
+      // the exact per-term row count this scan would produce). The
+      // vocab then derives from the sidecar-SIZED frame instead of a
+      // second O(store) pass over the rewritten postings — compaction
+      // reads the store once, not once per sidecar. Stores carrying
+      // only `_vocab` keep the direct scan.
+      val vocabSrc =
+        if (hasBlockmax)
+          spark.read.parquet(blockmaxPath(tmp))
+            .groupBy(col("w")).agg(sum(col("cnt")).cast("long").as("df"))
+        else
+          spark.read.parquet(tmp).select(col("doc_id"), col("w"))
+            .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      vocabSrc
         .select(lit(hwm).as("bid"), col("w"), col("df"),
           reverse(col("w")).as("rw"))
         .coalesce(1).sortWithinPartitions(col("rw"))
         .write.mode("overwrite").parquet(vocabPath(tmp))
     }
-    // a block-max sidecar is REBUILT from the rewritten files INTO the
-    // scaffold (rel file keys are path-prefix-independent, so rows
-    // derived under tmp stay valid after the rename) — pre-swap, so a
-    // crash can never leave a compacted store whose caps describe
-    // files that no longer exist
-    graft.sinks.SidecarFold.restoreAside(spark, blockmaxPath(storeDir))
-    if (graft.sinks.HadoopSwap.exists(spark, blockmaxPath(storeDir)))
-      deriveBlockRows(spark, tmp,
-          graft.sinks.SkippingStore.listDataFileRelPaths(spark, tmp))
-        .coalesce(1).write.mode("overwrite").parquet(blockmaxPath(tmp))
     // the positional marker is part of the layout — carry it or the
     // compacted store would silently refuse phrase serves
     if (isPositional(spark, storeDir)) writeMarker(spark, tmp)
@@ -1553,12 +1612,10 @@ object TextIndex {
     // the query terms the doc carries
     val livePairs = markBloomDead(spark, storeDir, exploded)
       .filter(!col("_dead")).drop("_dead")
-    val qt = livePairs
+    val (qt, buckets) = checkpointWithBuckets(
+      livePairs
       .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .localCheckpoint()
-    val buckets = qt.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .repartition(spark.sessionState.conf.numShufflePartitions))
     if (buckets.isEmpty)
       return spark.range(0).select(col("id").as("query_id"),
         col("id").as("doc_id"), col("id").as("n_terms"),
@@ -1674,12 +1731,10 @@ object TextIndex {
     // slot out (the query stays, served from `a`'s bucket alone)
     val deadQ = marked.filter(col("role") === "a" && col("_dead"))
       .select(col("query_id")).distinct()
-    val qslots = marked.filter(!col("_dead")).drop("_dead")
+    val (qslots, buckets) = checkpointWithBuckets(
+      marked.filter(!col("_dead")).drop("_dead")
       .join(deadQ, Seq("query_id"), "left_anti")
-      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
-      .localCheckpoint()
-    val buckets = qslots.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int")))
     if (buckets.isEmpty)
       return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
         .withColumn("query_id", lit(0L))
@@ -1744,11 +1799,9 @@ object TextIndex {
     val slots = q.select(col("query_id"), col("slop"),
       explode(map(lit("a"), col("a"), lit("b"), col("b")))
         .as(Seq("role", "w")))
-    val qslots = dropBloomDeadQueries(spark, storeDir, slots)
-      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
-      .localCheckpoint()
-    val buckets = qslots.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val (qslots, buckets) = checkpointWithBuckets(
+      dropBloomDeadQueries(spark, storeDir, slots)
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int")))
     if (buckets.isEmpty)
       return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
         .withColumn("query_id", lit(0L))
@@ -1852,11 +1905,9 @@ object TextIndex {
         col("width") < 0).limit(1).count() == 0L,
       "every KWIC query needs a non-null term and width >= 0")
     val (_, _, nb) = readStats(spark, storeDir)
-    val qslots = dropBloomDeadQueries(spark, storeDir, q)
-      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
-      .localCheckpoint()
-    val buckets = qslots.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val (qslots, buckets) = checkpointWithBuckets(
+      dropBloomDeadQueries(spark, storeDir, q)
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int")))
     if (buckets.isEmpty)
       return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
         .withColumn("query_id", lit(0L))
@@ -2094,11 +2145,9 @@ object TextIndex {
     val (_, _, nb) = readStats(spark, storeDir)
     val slots = q.select(col("query_id"), size(col("terms")).as("tcount"),
       explode(col("terms")).as("w"))
-    val qslots = dropBloomDeadQueries(spark, storeDir, slots)
-      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
-      .localCheckpoint()
-    val buckets = qslots.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val (qslots, buckets) = checkpointWithBuckets(
+      dropBloomDeadQueries(spark, storeDir, slots)
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int")))
     if (buckets.isEmpty)
       return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
         .withColumn("query_id", lit(0L))
@@ -2208,6 +2257,46 @@ object TextIndex {
     * while SpanNot's exclusion term drops only its own slot — an
     * absent `b` makes every `a` occurrence clear, not the query dead
     * ([[notNearSearchBatch]]). */
+  /** Materialize a batched serve's slot frame (localCheckpoint) and
+    * return it with its distinct probed buckets — collected DURING
+    * the checkpoint's own job via an Observation (`collect_set(tb)`)
+    * instead of the separate fixed-cost job every batched serve used
+    * to run over the checkpointed rows. The observed aggregate rides
+    * the exact plan the checkpoint executes, so the set cannot differ
+    * from the replaced `distinct().collect()`; when the metrics row
+    * is unavailable (AQE empty-relation propagation can swallow the
+    * CollectMetrics node on an all-dead batch — the [[observed]]
+    * escape hatch — or the listener bus lags past the wait budget)
+    * the helper falls back to that very job: never a different
+    * answer, at worst the old cost. Buckets return SORTED — the old
+    * job's collect order was partition-arbitrary and every caller
+    * only `isin`s them, so order never reaches an answer. */
+  private[graft] def checkpointWithBuckets(frame: DataFrame)
+      : (DataFrame, Seq[Int]) = {
+    val obs = Observation()
+    val cp = frame.observe(obs, collect_set(col("tb")).as("tbs"))
+      .localCheckpoint()
+    // the eager checkpoint already ran the action; the metrics row
+    // arrives via the async listener bus, so wait BOUNDED (one second
+    // dwarfs the bus's normal latency) and fall back on a miss —
+    // never an indefinite block
+    val m: Map[String, Any] =
+      try {
+        val row = scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(2, "s"))
+        row.schema.fieldNames.zip(row.toSeq).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val buckets = m.get("tbs") match {
+      case Some(s: Seq[_]) =>
+        s.map(_.asInstanceOf[Number].intValue).toSeq
+      case Some(a: Array[_]) =>
+        a.toSeq.map(_.asInstanceOf[Number].intValue)
+      case _ => cp.select(col("tb")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+    }
+    (cp, buckets.distinct.sorted)
+  }
+
   private def markBloomDead(spark: SparkSession, storeDir: String,
                             slots: DataFrame): DataFrame =
     readTermFilter(spark, storeDir) match {
@@ -2241,12 +2330,10 @@ object TextIndex {
     val (_, _, nb) = readStats(spark, storeDir)
     val slots = q.select(col("query_id"), size(col("phrase")).as("plen"),
       posexplode(col("phrase")).as(Seq("i", "w")))
-    val qslots = dropBloomDeadQueries(spark, storeDir, slots)
+    val (qslots, buckets) = checkpointWithBuckets(
+      dropBloomDeadQueries(spark, storeDir, slots)
       .withColumn("tb",
-        pmod(xxhash64(col("w")), lit(nb)).cast("int"))
-      .localCheckpoint()
-    val buckets = qslots.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+        pmod(xxhash64(col("w")), lit(nb)).cast("int")))
     if (buckets.isEmpty)
       return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
         .withColumn("query_id", lit(0L))
@@ -2343,13 +2430,11 @@ object TextIndex {
              |        & shiftleft(1L, cast(p % 64 AS int))) != 0L)""".stripMargin))
         .drop("_tfb")
     }
-    val qt = livePairs
-      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .localCheckpoint()
     // union of probed buckets: ≤ nBuckets ints, driver-held by design
-    val buckets = qt.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // — collected during the checkpoint job itself
+    val (qt, buckets) = checkpointWithBuckets(livePairs
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .repartition(spark.sessionState.conf.numShufflePartitions))
     if (buckets.isEmpty)
       return spark.range(0).select(col("id").as("query_id"),
         col("id").as("doc_id"), col("id").as("n_terms"),
@@ -2530,10 +2615,31 @@ object TextIndex {
     }
   }
 
+  /** Applied-batch high-water mark of the `_vocab` sidecar, memoized
+    * per sidecar STATE (the [[statsSnapshotMemo]] idiom): the replay
+    * guard ran a filter+limit job per append/heal on vocab stores,
+    * and [[compact]] its own max(bid) job — one listing-validated
+    * read now answers both until the sidecar changes. `any bid ≥
+    * wanted` ⇔ `max bid ≥ wanted`, the [[statsRowExists]] argument. */
+  private val vocabHwmMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def vocabBidHwm(spark: SparkSession, dir: String): Long = {
+    val sig = dirListingSig(spark, vocabPath(dir))
+    val hit = vocabHwmMemo.get(dir)
+    if (hit != null && hit._1 == sig) return hit._2
+    val vh = graft.sinks.SidecarFold.withReadRetry() {
+      spark.read.parquet(vocabPath(dir)).agg(max(col("bid"))).head()
+    }
+    val hwm = if (vh.isNullAt(0)) -1L else vh.getLong(0)
+    if (vocabHwmMemo.size > 64) vocabHwmMemo.clear()
+    vocabHwmMemo.put(dir, (sig, hwm))
+    hwm
+  }
+
   private def vocabRowExists(spark: SparkSession, dir: String,
                              bid: Long): Boolean =
-    spark.read.parquet(vocabPath(dir))
-      .filter(col("bid") >= bid).limit(1).count() > 0
+    vocabBidHwm(spark, dir) >= bid
 
   /** Batch-only vocab extension — a no-op on stores that never opted
     * in ([[buildVocab]] creates the sidecar). One aggregate over the
@@ -2850,6 +2956,29 @@ object TextIndex {
         .drop("_tfb")
     }
 
+  /** Per-store probed buckets for a multi-store batched serve, in ONE
+    * collected job for the whole fleet instead of one tiny job per
+    * shard/field: each store's arm applies ITS Bloom drop
+    * ([[dropAbsentTermRows]] with that store's literal bitset) and ITS
+    * frozen bucket key to the shared `wanted` terms frame, the arms
+    * union tagged by store index, and one distinct+collect fans the
+    * result back out. Values are exactly what the per-store jobs
+    * produced — same drop, same hash, same distinct — only the job
+    * count changes (F fixed-cost collects → 1). */
+  private def collectStoreBuckets(spark: SparkSession,
+                                  stores: Seq[(String, Int)],
+                                  wanted: DataFrame): Seq[Seq[Int]] = {
+    val arms = stores.zipWithIndex.map { case ((dir, nb), i) =>
+      dropAbsentTermRows(spark, dir, wanted)
+        .select(lit(i).as("_store"),
+          pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
+    }
+    val rows = arms.reduce(_.unionByName(_)).distinct().collect()
+    val byStore = rows.groupBy(_.getInt(0))
+      .map { case (i, rs) => i -> rs.map(_.getInt(1)).toSeq.sorted }
+    stores.indices.map(i => byStore.getOrElse(i, Seq.empty))
+  }
+
   /** BATCHED multi-field BM25F — [[bm25fTopK]] for a whole
     * `(idCol, termsCol: array<string>)` query frame in the batched
     * job count: per field, the batch's distinct terms filter through
@@ -2878,12 +3007,13 @@ object TextIndex {
       .filter(col("w").isNotNull)
       .localCheckpoint()
     val wanted = qt.select(col("w")).distinct().localCheckpoint()
-    val parts = fields.zip(stats).flatMap {
-      case ((_, dir, boost, bf), (_, (_, sdlF, nbF))) =>
+    // one collected job for every field's probed buckets
+    val fieldBuckets = collectStoreBuckets(spark,
+      fields.zip(stats).map { case ((_, dir, _, _), (_, (_, _, nbF))) =>
+        (dir, nbF) }, wanted)
+    val parts = fields.zip(stats).zip(fieldBuckets).flatMap {
+      case (((_, dir, boost, bf), (_, (_, sdlF, nbF))), buckets) =>
         val wantedF = dropAbsentTermRows(spark, dir, wanted)
-        val buckets = wantedF
-          .select(pmod(xxhash64(col("w")), lit(nbF)).cast("int").as("tb"))
-          .distinct().collect().map(_.getInt(0)).toSeq
         if (buckets.isEmpty) None
         else {
           val avgdlF = round(lit(sdlF).cast("double") / lit(n), 6)
@@ -3035,13 +3165,11 @@ object TextIndex {
       .agg(min(col("_dead").cast("int")).as("alldead"))
       .filter(col("alldead") === 1)
       .select(col("query_id")).distinct()
-    val qslots = marked.filter(!col("_dead")).drop("_dead")
+    val (qslots, buckets) = checkpointWithBuckets(
+      marked.filter(!col("_dead")).drop("_dead")
       .join(deadQueries, Seq("query_id"), "left_anti")
       .withColumn("tb", pmod(xxhash64(col("w")), lit(nb)).cast("int"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .localCheckpoint()
-    val buckets = qslots.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .repartition(spark.sessionState.conf.numShufflePartitions))
     if (buckets.isEmpty)
       return spark.read.parquet(storeDir).select(col("doc_id")).limit(0)
         .withColumn("query_id", lit(0L))
@@ -3340,8 +3468,7 @@ object TextIndex {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
       return topKSharded(spark, shardDirs, terms, k, k1, b)
     }
-    if (shardDirs.exists(d => readTombstones(spark, d)
-          .exists(_.limit(1).count() > 0L)) ||
+    if (shardDirs.exists(d => tombstoneCount(spark, d) > 0L) ||
         shardDirs.exists(d =>
           !graft.sinks.HadoopSwap.exists(spark, blockmaxPath(d))) ||
         shardDirs.exists(d => !tryEnsureBlockCoverage(spark, d))) {
@@ -3384,13 +3511,21 @@ object TextIndex {
     // only low-cap bands prunes against the DENSE shards' θ instead
     // of its own weak one. BM25 contributions are non-negative, so no
     // floor adjustment is owed here.
-    val probeByShard = shardRows.collect {
-      case (dir, live, bs) if bs.nonEmpty =>
-        val caps = scoreOf(bs.map(r => (r.file, r.w, r.maxtf, r.mindl))
-            .toDF("file", "w", "tf", "dl"))
-          .select(col("file"), col("w"), col("c")).collect()
-          .map(r => (r.getString(0), r.getString(1),
-            r.getDecimal(2).movePointRight(6).longValueExact()))
+    // every shard's caps in ONE collected frame, tagged by shard
+    // index — scoreOf is per-row arithmetic over the broadcast df
+    // frame, so the union changes no value; S fixed-cost jobs -> 1
+    val capsByShard: Map[Int, Seq[(String, String, Long)]] =
+      scoreOf(shardRows.zipWithIndex.flatMap { case ((_, _, bs), i) =>
+          bs.map(r => (i, r.file, r.w, r.maxtf, r.mindl))
+        }.toDF("_shard", "file", "w", "tf", "dl"))
+        .select(col("_shard"), col("file"), col("w"), col("c"))
+        .collect()
+        .groupBy(_.getInt(0)).map { case (i, rs) =>
+          i -> rs.map(r => (r.getString(1), r.getString(2),
+            r.getDecimal(3).movePointRight(6).longValueExact())).toSeq }
+    val probeByShard = shardRows.zipWithIndex.collect {
+      case ((dir, live, bs), i) if bs.nonEmpty =>
+        val caps = capsByShard.getOrElse(i, Seq.empty)
         val files = caps.map(_._2).distinct.map { w =>
           caps.filter(_._2 == w).maxBy(t => (t._3, t._1))._1
         }.distinct.toSeq.sorted
@@ -3498,8 +3633,7 @@ object TextIndex {
     require(mu > 0, "the Dirichlet pseudo-count must be positive")
     import spark.implicits._
     lastPruneStats = None
-    if (shardDirs.exists(d => readTombstones(spark, d)
-          .exists(_.limit(1).count() > 0L)) ||
+    if (shardDirs.exists(d => tombstoneCount(spark, d) > 0L) ||
         shardDirs.exists(d =>
           !graft.sinks.HadoopSwap.exists(spark, blockmaxPath(d))) ||
         shardDirs.exists(d => !tryEnsureBlockCoverage(spark, d))) {
@@ -3537,19 +3671,30 @@ object TextIndex {
     // negative, so the shared θ carries Σ min(0, floor(w)) evaluated
     // at the per-term max maxdl across EVERY shard's sidecar — more
     // negative than any shard-local floor, hence safe for each
-    val negAdjust = scoreOf(shardRows.flatMap(_._3).groupBy(_.w)
-        .map { case (w, rs) => (w, 1L, rs.map(_.maxdl).max) }.toSeq
-        .toDF("w", "tf", "dl"))
-      .select(col("c")).collect()
-      .map(r => math.min(0L, micros(r.getDecimal(0)))).sum
+    // GLOBAL floors + every shard's caps in ONE collected frame:
+    // floor rows ride with _shard = -1 and a null file key (scoreOf
+    // is per-row arithmetic over the broadcast ctf frame, so the
+    // union changes no value; S+1 fixed-cost jobs -> 1)
+    val capFloorAll =
+      scoreOf((shardRows.zipWithIndex.flatMap { case ((_, _, bs), i) =>
+          bs.map(r => (i, r.file, r.w, r.maxtf, r.mindl))
+        } ++ shardRows.flatMap(_._3).groupBy(_.w)
+          .map { case (w, rs) =>
+            (-1, (null: String), w, 1L, rs.map(_.maxdl).max) }.toSeq)
+        .toDF("_shard", "file", "w", "tf", "dl"))
+        .select(col("_shard"), col("file"), col("w"), col("c"))
+        .collect()
+    val negAdjust = capFloorAll.filter(_.getInt(0) == -1)
+      .map(r => math.min(0L, micros(r.getDecimal(3)))).sum
+    val capsByShard: Map[Int, Seq[(String, String, Long)]] =
+      capFloorAll.filter(_.getInt(0) >= 0)
+        .groupBy(_.getInt(0)).map { case (i, rs) =>
+          i -> rs.map(r => (r.getString(1), r.getString(2),
+            micros(r.getDecimal(3)))).toSeq }
     // cross-shard θ probe: every shard's per-term best-cap file
-    val probeByShard = shardRows.collect {
-      case (dir, live, bs) if bs.nonEmpty =>
-        val caps = scoreOf(bs.map(r => (r.file, r.w, r.maxtf, r.mindl))
-            .toDF("file", "w", "tf", "dl"))
-          .select(col("file"), col("w"), col("c")).collect()
-          .map(r => (r.getString(0), r.getString(1),
-            micros(r.getDecimal(2))))
+    val probeByShard = shardRows.zipWithIndex.collect {
+      case ((dir, live, bs), i) if bs.nonEmpty =>
+        val caps = capsByShard.getOrElse(i, Seq.empty)
         val files = caps.map(_._2).distinct.map { w =>
           caps.filter(_._2 == w).maxBy(t => (t._3, t._1))._1
         }.distinct.toSeq.sorted
@@ -3607,12 +3752,14 @@ object TextIndex {
       .filter(col("w").isNotNull)
       .localCheckpoint()
     val wanted = qt.select(col("w")).distinct().localCheckpoint()
-    val reads = shardDirs.zip(stats).flatMap { case (dir, (_, _, nb)) =>
-      // per-shard Bloom drop: a term absent HERE may live elsewhere
+    // per-shard Bloom drop: a term absent HERE may live elsewhere —
+    // probed buckets for every shard in one collected job
+    val shardBuckets = collectStoreBuckets(spark,
+      shardDirs.zip(stats).map { case (dir, (_, _, nb)) => (dir, nb) },
+      wanted)
+    val reads = shardDirs.zip(stats).zip(shardBuckets).flatMap {
+      case ((dir, (_, _, nb)), buckets) =>
       val wantedS = dropAbsentTermRows(spark, dir, wanted)
-      val buckets = wantedS
-        .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-        .distinct().collect().map(_.getInt(0)).toSeq
       if (buckets.isEmpty) None
       else Some(minusTombstones(spark, dir,
         spark.read.parquet(dir)
@@ -3684,8 +3831,7 @@ object TextIndex {
       return topKShardedBatch(spark, shardDirs, queries, idCol,
         termsCol, k, k1, b)
     }
-    if (shardDirs.exists(d => readTombstones(spark, d)
-          .exists(_.limit(1).count() > 0L)) ||
+    if (shardDirs.exists(d => tombstoneCount(spark, d) > 0L) ||
         shardDirs.exists(d =>
           !graft.sinks.HadoopSwap.exists(spark, blockmaxPath(d))) ||
         shardDirs.exists(d => !tryEnsureBlockCoverage(spark, d))) {
@@ -3748,16 +3894,29 @@ object TextIndex {
       .select(col("w"), least(cm, lit(0L)).as("floor"))
     val negAdj = qt.join(broadcast(floors), Seq("w"))
       .groupBy(col("query_id")).agg(sum(col("floor")).as("neg_adj"))
+    // per-shard per-term best-cap probe files in ONE collected job
+    // for the whole fleet (the window partitions by (_shard, w), so
+    // each shard's winners are exactly the per-shard job's — only the
+    // job count changes: S fixed-cost collects -> 1)
     val wprobe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("w")).orderBy(col("cap").desc, col("file"))
-    val probeReads = bsByShard.flatMap { case (dir, bsDF) =>
-      val files = scoreOf(bsDF.select(col("file"), col("w"),
-          col("maxtf").as("tf"), col("mindl").as("dl")))
-        .select(col("file"), col("w"), cm.as("cap"))
+      .partitionBy(col("_shard"), col("w"))
+      .orderBy(col("cap").desc, col("file"))
+    val probeFilesByShard: Map[Int, Seq[String]] =
+      bsByShard.zipWithIndex.map { case ((_, bsDF), i) =>
+        scoreOf(bsDF.select(col("file"), col("w"),
+            col("maxtf").as("tf"), col("mindl").as("dl")))
+          .select(lit(i).as("_shard"), col("file"), col("w"),
+            cm.as("cap"))
+      }.reduce(_.unionByName(_))
         .withColumn("_r", row_number().over(wprobe))
         .filter(col("_r") === 1)
-        .select(col("file")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+        .select(col("_shard"), col("file")).distinct()
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (i, rs) =>
+          i -> rs.map(_.getString(1)).toSeq.sorted }
+    val probeReads = bsByShard.zipWithIndex.flatMap { case ((dir, _), i) =>
+      val files = probeFilesByShard.getOrElse(i, Seq.empty)
       if (files.isEmpty) None
       else Some(spark.read.option("basePath", dir)
         .parquet(files.map(f => s"$dir/$f"): _*)
@@ -3820,11 +3979,13 @@ object TextIndex {
       .filter(col("w").isNotNull)
       .localCheckpoint()
     val wanted = qt.select(col("w")).distinct().localCheckpoint()
-    val reads = shardDirs.zip(stats).flatMap { case (dir, (_, _, nb)) =>
+    // probed buckets for every shard in one collected job
+    val shardBuckets = collectStoreBuckets(spark,
+      shardDirs.zip(stats).map { case (dir, (_, _, nb)) => (dir, nb) },
+      wanted)
+    val reads = shardDirs.zip(stats).zip(shardBuckets).flatMap {
+      case ((dir, (_, _, nb)), buckets) =>
       val wantedS = dropAbsentTermRows(spark, dir, wanted)
-      val buckets = wantedS
-        .select(pmod(xxhash64(col("w")), lit(nb)).cast("int").as("tb"))
-        .distinct().collect().map(_.getInt(0)).toSeq
       if (buckets.isEmpty) None
       else Some(minusTombstones(spark, dir,
         spark.read.parquet(dir)
@@ -3891,8 +4052,7 @@ object TextIndex {
     require(mu > 0, "the Dirichlet pseudo-count must be positive")
     import spark.implicits._
     lastPruneStats = None
-    if (shardDirs.exists(d => readTombstones(spark, d)
-          .exists(_.limit(1).count() > 0L)) ||
+    if (shardDirs.exists(d => tombstoneCount(spark, d) > 0L) ||
         shardDirs.exists(d =>
           !graft.sinks.HadoopSwap.exists(spark, blockmaxPath(d))) ||
         shardDirs.exists(d => !tryEnsureBlockCoverage(spark, d))) {
@@ -3948,16 +4108,29 @@ object TextIndex {
       .select(col("w"), least(cm, lit(0L)).as("floor"))
     val negAdj = qt.join(broadcast(floors), Seq("w"))
       .groupBy(col("query_id")).agg(sum(col("floor")).as("neg_adj"))
+    // per-shard per-term best-cap probe files in ONE collected job
+    // for the whole fleet (the window partitions by (_shard, w), so
+    // each shard's winners are exactly the per-shard job's — only the
+    // job count changes: S fixed-cost collects -> 1)
     val wprobe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("w")).orderBy(col("cap").desc, col("file"))
-    val probeReads = bsByShard.flatMap { case (dir, bsDF) =>
-      val files = scoreOf(bsDF.select(col("file"), col("w"),
-          col("maxtf").as("tf"), col("mindl").as("dl")))
-        .select(col("file"), col("w"), cm.as("cap"))
+      .partitionBy(col("_shard"), col("w"))
+      .orderBy(col("cap").desc, col("file"))
+    val probeFilesByShard: Map[Int, Seq[String]] =
+      bsByShard.zipWithIndex.map { case ((_, bsDF), i) =>
+        scoreOf(bsDF.select(col("file"), col("w"),
+            col("maxtf").as("tf"), col("mindl").as("dl")))
+          .select(lit(i).as("_shard"), col("file"), col("w"),
+            cm.as("cap"))
+      }.reduce(_.unionByName(_))
         .withColumn("_r", row_number().over(wprobe))
         .filter(col("_r") === 1)
-        .select(col("file")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+        .select(col("_shard"), col("file")).distinct()
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (i, rs) =>
+          i -> rs.map(_.getString(1)).toSeq.sorted }
+    val probeReads = bsByShard.zipWithIndex.flatMap { case ((dir, _), i) =>
+      val files = probeFilesByShard.getOrElse(i, Seq.empty)
       if (files.isEmpty) None
       else Some(spark.read.option("basePath", dir)
         .parquet(files.map(f => s"$dir/$f"): _*)
@@ -4719,7 +4892,7 @@ object TextIndex {
       return topK(spark, storeDir, terms, k, k1, b)
     }
     val tomb = readTombstones(spark, storeDir)
-    if (tomb.exists(_.count() > tombstonePruneMaxIds)) {
+    if (tombstoneCount(spark, storeDir) > tombstonePruneMaxIds) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
       return topK(spark, storeDir, terms, k, k1, b)
     }
@@ -4752,7 +4925,7 @@ object TextIndex {
     // exact corpus df per term: the sidecar's cnt (zero data files),
     // minus the tombstoned postings when deletes are pending
     val tadj: Map[String, (Long, Long)] = tomb
-      .filter(_.limit(1).count() > 0L)
+      .filter(_ => tombstoneCount(spark, storeDir) > 0L)
       .fold(Map.empty[String, (Long, Long)])(t =>
         tombstoneTermAdjust(spark, storeDir, live, nb, t))
     val dfFrame = broadcast(bs.groupBy(_.w)
@@ -4795,7 +4968,7 @@ object TextIndex {
     lastPruneStats = None
     lastPruneDistributed = false
     val tomb = readTombstones(spark, storeDir)
-    if (tomb.exists(_.count() > tombstonePruneMaxIds)) {
+    if (tombstoneCount(spark, storeDir) > tombstonePruneMaxIds) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
       return lmTopK(spark, storeDir, terms, k, mu)
     }
@@ -4821,7 +4994,7 @@ object TextIndex {
     // exact collection term frequency: the sidecar's summed tf, minus
     // the tombstoned postings' tf when deletes are pending
     val tadj: Map[String, (Long, Long)] = tomb
-      .filter(_.limit(1).count() > 0L)
+      .filter(_ => tombstoneCount(spark, storeDir) > 0L)
       .fold(Map.empty[String, (Long, Long)])(t =>
         tombstoneTermAdjust(spark, storeDir, live, nb, t))
     // clamp to 1 for a term whose EVERY posting is tombstoned: no live
@@ -4914,8 +5087,7 @@ object TextIndex {
       return topKBatch(spark, storeDir, queries, idCol, termsCol, k,
         k1, b)
     }
-    if (readTombstones(spark, storeDir)
-          .exists(_.limit(1).count() > 0L)) {
+    if (tombstoneCount(spark, storeDir) > 0L) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
       return topKBatch(spark, storeDir, queries, idCol, termsCol, k, k1, b)
     }
@@ -4957,8 +5129,7 @@ object TextIndex {
     require(k >= 1, "need at least one result slot")
     require(mu > 0, "the Dirichlet pseudo-count must be positive")
     lastPruneStats = None
-    if (readTombstones(spark, storeDir)
-          .exists(_.limit(1).count() > 0L)) {
+    if (tombstoneCount(spark, storeDir) > 0L) {
       lastPruneStats = Some(PruneStats(0, 0, 0, None, delegated = true))
       return lmTopKBatch(spark, storeDir, queries, idCol, termsCol, k, mu)
     }
@@ -5171,7 +5342,7 @@ object TextIndex {
       bm25fTopK(spark, fields, terms, k, k1)
     }
     if (fields.exists { case (_, d, _, _) =>
-          readTombstones(spark, d).exists(_.limit(1).count() > 0L) } ||
+          tombstoneCount(spark, d) > 0L } ||
         fields.exists { case (_, d, _, _) =>
           !graft.sinks.HadoopSwap.exists(spark, blockmaxPath(d)) } ||
         fields.exists { case (_, d, _, _) =>
@@ -5390,7 +5561,7 @@ object TextIndex {
     import spark.implicits._
     lastPruneStats = None
     if (fields.exists { case (_, d, _, _) =>
-          readTombstones(spark, d).exists(_.limit(1).count() > 0L) } ||
+          tombstoneCount(spark, d) > 0L } ||
         fields.exists { case (_, d, _, _) =>
           !graft.sinks.HadoopSwap.exists(spark, blockmaxPath(d)) } ||
         fields.exists { case (_, d, _, _) =>
@@ -5442,11 +5613,11 @@ object TextIndex {
     if (fr.forall(_._7.isEmpty)) return emptyBatch
     // exact ANY-FIELD df for the union terms — one shared cheap
     // (doc_id, w) pass, materialized so the final plan reuses it
-    val dfParts = fr.flatMap { case (_, dir, _, _, _, nbF, _) =>
+    val frBuckets = collectStoreBuckets(spark,
+      fr.map { case (_, dir, _, _, _, nbF, _) => (dir, nbF) }, termsF)
+    val dfParts = fr.zip(frBuckets).flatMap {
+      case ((_, dir, _, _, _, nbF, _), buckets) =>
       val wantedF = dropAbsentTermRows(spark, dir, termsF)
-      val buckets = wantedF
-        .select(pmod(xxhash64(col("w")), lit(nbF)).cast("int").as("tb"))
-        .distinct().collect().map(_.getInt(0)).toSeq
       if (buckets.isEmpty) None
       else Some(spark.read.parquet(dir)
         .filter(col("tb").isin(buckets: _*))

@@ -25,6 +25,34 @@ object Pipeline {
     sys.props("java.io.tmpdir") +
       s"/graft_${tag}_store_${java.lang.Integer.toHexString(dir.hashCode)}"
 
+  /** Run INDEPENDENT fixture-store builds concurrently (optimization
+    * guide §2.6: Spark's scheduler happily runs several jobs at once
+    * inside one application — actions are only sequential because the
+    * driver calls them sequentially, and a multi-store fixture's
+    * builds are a textbook case: disjoint output dirs, disjoint input
+    * slices, no shared state beyond the session). Results return in
+    * input order; the first failure rethrows its real cause. Each
+    * store's own build pipeline stays sequential inside its task, so
+    * every store's bytes are identical to the sequential run —
+    * only the wall-clock overlap changes. */
+  private def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.size <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(items.size, 6))
+      try {
+        val futs = items.map(a =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            override def call(): B = f(a)
+          }))
+        try futs.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      } finally pool.shutdown()
+    }
+
   /** `cell=` partition-directory count of a postings store, through the
     * Hadoop `FileSystem` — the in-query prune asserts must run on the
     * same API as the engine so the harness works unchanged on
@@ -5412,10 +5440,18 @@ object Pipeline {
     val outV = scratch("q254v", dir)
     val docs = t(s, dir, "documents")
     val emb = t(s, dir, "embeddings")
-    TextIndex.buildPositional(docs, "doc_id", "text", outT, nBuckets = 8,
-      filesPerBucket = 2)
-    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
-    Similarity.ivfStoreBuild(emb, "vec_id", "embedding", ix, outV)
+    // the text arm and the vector arm build concurrently
+    val ix = inParallel(Seq(true, false)) { isText =>
+      if (isText) {
+        TextIndex.buildPositional(docs, "doc_id", "text", outT,
+          nBuckets = 8, filesPerBucket = 2)
+        None
+      } else {
+        val ix0 = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+        Similarity.ivfStoreBuild(emb, "vec_id", "embedding", ix0, outV)
+        Some(ix0)
+      }
+    }.flatten.head
     import s.implicits._
     val qterms = Seq(
       (0L, Seq("spark", "join", "merge")),
@@ -6682,7 +6718,7 @@ object Pipeline {
     val outs = Seq(scratch("q275a", dir), scratch("q275b", dir),
       scratch("q275c", dir))
     val docs = t(s, dir, "documents")
-    outs.zipWithIndex.foreach { case (out, i) =>
+    inParallel(outs.zipWithIndex) { case (out, i) =>
       TextIndex.build(docs.filter(col("doc_id") % 3 === i), "doc_id",
         "text", out, nBuckets = 8, filesPerBucket = 2)
     }
@@ -6793,7 +6829,7 @@ object Pipeline {
       docs.filter(jtf >= 3),
       docs.filter(jtf.between(1, 2) && dl < 50),
       docs.filter(jtf === 0 || (jtf.between(1, 2) && dl >= 50)))
-    outs.zip(bands).foreach { case (out, band) =>
+    inParallel(outs.zip(bands)) { case (out, band) =>
       TextIndex.build(band, "doc_id", "text", out, nBuckets = 8,
         filesPerBucket = 2)
       TextIndex.buildBlockStats(s, out)
@@ -6826,15 +6862,16 @@ object Pipeline {
       array_join(slice(toks, lit(1), lit(3)), " ").as("title"),
       array_join(slice(toks, lit(4), greatest(size(toks) - 3, lit(0))),
         " ").as("body"))
+    // all six field stores (3 shards x 2 fields) build concurrently
+    inParallel((0 until 3).flatMap { i => Seq(
+        (i, "title", scratch(s"q286t$i", dir)),
+        (i, "body", scratch(s"q286b$i", dir))) }) { case (i, c, d) =>
+      TextIndex.build(fielded.filter(col("doc_id") % 3 === i),
+        "doc_id", c, d, nBuckets = 8, filesPerBucket = 2)
+    }
     val shards = (0 until 3).map { i =>
-      val part = fielded.filter(col("doc_id") % 3 === i)
-      val dT = scratch(s"q286t$i", dir)
-      val dB = scratch(s"q286b$i", dir)
-      TextIndex.build(part, "doc_id", "title", dT, nBuckets = 8,
-        filesPerBucket = 2)
-      TextIndex.build(part, "doc_id", "body", dB, nBuckets = 8,
-        filesPerBucket = 2)
-      Seq(("title", dT, 2.0, 0.5), ("body", dB, 1.0, 0.75))
+      Seq(("title", scratch(s"q286t$i", dir), 2.0, 0.5),
+        ("body", scratch(s"q286b$i", dir), 1.0, 0.75))
     }
     TextIndex.bm25fTopKSharded(s, shards,
       Seq("join", "merge", "vector"), 15)
@@ -6849,7 +6886,7 @@ object Pipeline {
     val outs = Seq(scratch("q287a", dir), scratch("q287b", dir),
       scratch("q287c", dir))
     val docs = t(s, dir, "documents")
-    outs.zipWithIndex.foreach { case (out, i) =>
+    inParallel(outs.zipWithIndex) { case (out, i) =>
       TextIndex.build(docs.filter(col("doc_id") % 3 === i), "doc_id",
         "text", out, nBuckets = 8, filesPerBucket = 2)
     }
@@ -6881,7 +6918,7 @@ object Pipeline {
         " ").as("body"))
     val bandA = col("doc_id") % 11 === 0
     val bandB = col("doc_id") % 11 =!= 0 && col("dl") >= 50
-    Seq(("title", outT), ("body", outB)).foreach { case (c, out) =>
+    inParallel(Seq(("title", outT), ("body", outB))) { case (c, out) =>
       TextIndex.build(fielded.filter(bandA), "doc_id", c, out,
         nBuckets = 8, filesPerBucket = 2)
       TextIndex.buildBlockStats(s, out)
@@ -6968,7 +7005,7 @@ object Pipeline {
     val outs = Seq(scratch("q283a", dir), scratch("q283b", dir),
       scratch("q283c", dir))
     val emb = t(s, dir, "embeddings")
-    val shards = outs.zipWithIndex.map { case (out, i) =>
+    val shards = inParallel(outs.zipWithIndex) { case (out, i) =>
       val part = emb.filter(col("vec_id") % 3 === i)
       val ix = Similarity.trainIvf(part, "vec_id", "embedding", 4)
       Similarity.ivfStoreBuild(part, "vec_id", "embedding", ix, out)
@@ -7026,16 +7063,22 @@ object Pipeline {
       scratch("q284v2", dir))
     val docs = t(s, dir, "documents")
     val emb = t(s, dir, "embeddings")
-    outsT.zipWithIndex.foreach { case (out, i) =>
-      TextIndex.buildPositional(docs.filter(col("doc_id") % 3 === i),
-        "doc_id", "text", out, nBuckets = 8, filesPerBucket = 2)
-    }
-    val vshards = outsV.zipWithIndex.map { case (out, i) =>
-      val part = emb.filter(col("vec_id") % 3 === i)
-      val ix = Similarity.trainIvf(part, "vec_id", "embedding", 4)
-      Similarity.ivfStoreBuild(part, "vec_id", "embedding", ix, out)
-      (out, ix)
-    }
+    // all six shard stores (3 text + 3 IVF) build as one concurrent
+    // wave — disjoint dirs, disjoint slices
+    val vshards = inParallel(0 until 6) { j =>
+      if (j < 3) {
+        TextIndex.buildPositional(docs.filter(col("doc_id") % 3 === j),
+          "doc_id", "text", outsT(j), nBuckets = 8, filesPerBucket = 2)
+        None
+      } else {
+        val i = j - 3
+        val part = emb.filter(col("vec_id") % 3 === i)
+        val ix = Similarity.trainIvf(part, "vec_id", "embedding", 4)
+        Similarity.ivfStoreBuild(part, "vec_id", "embedding", ix,
+          outsV(i))
+        Some((outsV(i), ix))
+      }
+    }.flatten
     import s.implicits._
     val qterms = Seq(
       (0L, Seq("spark", "join", "merge")),
@@ -7203,7 +7246,7 @@ object Pipeline {
       docs.filter(jtf >= 3),
       docs.filter(jtf.between(1, 2) && dl < 50),
       docs.filter(jtf === 0 || (jtf.between(1, 2) && dl >= 50)))
-    outs.zip(bands).foreach { case (out, band) =>
+    inParallel(outs.zip(bands)) { case (out, band) =>
       TextIndex.build(band, "doc_id", "text", out, nBuckets = 8,
         filesPerBucket = 2)
       TextIndex.buildBlockStats(s, out)
@@ -7243,7 +7286,7 @@ object Pipeline {
       docs.filter(gtf >= 3),
       docs.filter(gtf.between(1, 2) && dl < 50),
       docs.filter(gtf === 0 || (gtf.between(1, 2) && dl >= 50)))
-    outs.zip(bands).foreach { case (out, band) =>
+    inParallel(outs.zip(bands)) { case (out, band) =>
       TextIndex.build(band, "doc_id", "text", out, nBuckets = 8,
         filesPerBucket = 2)
       TextIndex.buildBlockStats(s, out)
@@ -7298,7 +7341,7 @@ object Pipeline {
         " ").as("body"))
     val bandA = col("doc_id") % 11 === 0
     val bandB = col("doc_id") % 11 =!= 0 && col("dl") >= 50
-    Seq(("title", outT), ("body", outB)).foreach { case (c, out) =>
+    inParallel(Seq(("title", outT), ("body", outB))) { case (c, out) =>
       TextIndex.build(fielded.filter(bandA), "doc_id", c, out,
         nBuckets = 8, filesPerBucket = 2)
       TextIndex.buildBlockStats(s, out)

@@ -426,6 +426,13 @@ object SkippingStore {
     * crossover idiom as TextIndex.distributedCapsFileThreshold. */
   private[graft] var footerZoneMaxFiles: Int = 65536
 
+  /** Wall-clock budget for the whole footer-read batch: past it the
+    * derivation gives up and the caller runs the exact data scan —
+    * a stuck metadata RPC costs one fallback pass, never a hung
+    * driver. Package-private so the spec can drive the timeout. */
+  @volatile private[graft] var footerReadBudgetNanos: Long =
+    120L * 1000 * 1000 * 1000
+
   /** Unsigned lexicographic byte comparison — parquet's SortOrder for
     * UTF-8 binary stats AND Spark's UTF8String ordering, so footer
     * min/max merge exactly like a Spark `min`/`max` over the column. */
@@ -559,15 +566,26 @@ object SkippingStore {
         Some(out)
       } finally reader.close()
     }
-    // bounded parallel footer reads — metadata RPCs, file-list-sized
+    // bounded parallel footer reads — metadata RPCs, file-list-sized.
+    // The await is BOUNDED (one hung filesystem read must degrade to
+    // the exact data scan, never hang the driver forever — VERDICT r16
+    // #5), and a footer read that THROWS (corrupt file, dying mount)
+    // falls back the same way instead of failing the ingest.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(16, relFiles.size)))
     try {
       val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
       val fs = relFiles.map(f =>
         scala.concurrent.Future(fileRows(f))(ec))
-      val all = fs.map(f => scala.concurrent.Await
-        .result(f, scala.concurrent.duration.Duration.Inf))
+      val deadline = java.lang.System.nanoTime() +
+        footerReadBudgetNanos
+      val all = fs.map { f =>
+        val remain = deadline - java.lang.System.nanoTime()
+        if (remain <= 0L) return None
+        try scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.fromNanos(remain))
+        catch { case scala.util.control.NonFatal(_) => return None }
+      }
       if (all.exists(_.isEmpty)) None
       else {
         import org.apache.spark.sql.types._
@@ -587,7 +605,8 @@ object SkippingStore {
             scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
           schema))
       }
-    } finally pool.shutdown()
+    } finally pool.shutdownNow() // interrupts hung reads on the
+    // timeout path; a no-op after normal completion
   }
 
   /** Build — or incrementally EXTEND — the `_zonemap_multi` sidecar of

@@ -21,8 +21,7 @@ private val families = BoundedFamilies.families
 
   test("every forced broadcast hint belongs to a documented bounded family") {
     val actual: Seq[(String, Set[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        val df = fn(spark, "/root/testdata/sf0.001")
+      AuditPlans.frames.flatMap { case (name, df) =>
         df.queryExecution.analyzed.collect {
           case h: ResolvedHint if h.hints.strategy.nonEmpty =>
             name -> h.child.output.map(_.name).toSet

@@ -18,8 +18,8 @@ class CartesianAuditSpec extends SparkSpec {
   test("no cartesian products; every nested-loop build side is documented") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     val nested = scala.collection.mutable.ArrayBuffer[(String, Set[String])]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan
+    AuditPlans.frames.foreach { case (name, df) =>
+      val plan = df.queryExecution.sparkPlan
       plan.foreach {
         case _: CartesianProductExec => offenders += name
         case b: BroadcastNestedLoopJoinExec =>

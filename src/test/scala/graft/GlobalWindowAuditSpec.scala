@@ -33,8 +33,7 @@ class GlobalWindowAuditSpec extends SparkSpec {
   )
 
   test("no production query plans a partition-less window") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val df = fn(spark, "/root/testdata/sf0.001")
+    val offenders = AuditPlans.frames.flatMap { case (name, df) =>
       val hasGlobal = df.queryExecution.analyzed.collectFirst {
         case w: LogicalWindow if w.partitionSpec.isEmpty => w
       }.isDefined

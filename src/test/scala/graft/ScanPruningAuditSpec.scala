@@ -36,8 +36,8 @@ class ScanPruningAuditSpec extends SparkSpec {
     val tableOf = "/(\\w+)\\.parquet".r
     val offenders = scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
     val seenFull = scala.collection.mutable.Set[(String, String)]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+    AuditPlans.frames.foreach { case (name, df) =>
+      val plan = df.queryExecution.sparkPlan
       plan.foreach {
         case s: FileSourceScanExec =>
           val roots = s.relation.location.rootPaths.map(_.toString)
