@@ -2271,22 +2271,41 @@ object TextIndex {
     * answer, at worst the old cost. Buckets return SORTED — the old
     * job's collect order was partition-arbitrary and every caller
     * only `isin`s them, so order never reaches an answer. */
+  /** The observed metrics row of an already-executed action, BOUNDED:
+    * the row arrives via the async listener bus (normally well under
+    * a second behind the action), so wait two and return empty on a
+    * miss — the callers all fall back to the explicit job, never an
+    * indefinite block on a swallowed metrics node. */
+  private def awaitObserved(obs: Observation): Map[String, Any] =
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(2, "s"))
+      row.schema.fieldNames.zip(row.toSeq).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Materialize a batched serve's query frame (localCheckpoint) and
+    * return whether it is EMPTY, observed during the checkpoint's own
+    * job ([[checkpointWithBuckets]]'s idiom) instead of a separate
+    * `limit(1).count()` — one fixed-cost job per batched pruned serve
+    * removed. */
+  private def checkpointWithNonEmpty(frame: DataFrame)
+      : (DataFrame, Boolean) = {
+    val obs = Observation()
+    val cp = frame.observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val n = awaitObserved(obs).get("n") match {
+      case Some(l: java.lang.Long) => l.longValue
+      case _ => cp.limit(1).count()
+    }
+    (cp, n > 0L)
+  }
+
   private[graft] def checkpointWithBuckets(frame: DataFrame)
       : (DataFrame, Seq[Int]) = {
     val obs = Observation()
     val cp = frame.observe(obs, collect_set(col("tb")).as("tbs"))
       .localCheckpoint()
-    // the eager checkpoint already ran the action; the metrics row
-    // arrives via the async listener bus, so wait BOUNDED (one second
-    // dwarfs the bus's normal latency) and fall back on a miss —
-    // never an indefinite block
-    val m: Map[String, Any] =
-      try {
-        val row = scala.concurrent.Await.result(obs.future,
-          scala.concurrent.duration.Duration(2, "s"))
-        row.schema.fieldNames.zip(row.toSeq).toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val buckets = m.get("tbs") match {
+    val buckets = awaitObserved(obs).get("tbs") match {
       case Some(s: Seq[_]) =>
         s.map(_.asInstanceOf[Number].intValue).toSeq
       case Some(a: Array[_]) =>
@@ -3843,13 +3862,12 @@ object TextIndex {
     val n = stats.map(_._1).sum
     val sdl = stats.map(_._2).sum
     val avgdl = round(lit(sdl).cast("double") / lit(n), 6)
-    val qt = queries
+    val (qt, qtNonEmpty) = checkpointWithNonEmpty(queries
       .select(col(idCol).cast("long").as("query_id"),
         explode(array_distinct(col(termsCol))).as("w"))
       .filter(col("w").isNotNull)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .localCheckpoint()
-    if (qt.limit(1).count() == 0L)
+      .repartition(spark.sessionState.conf.numShufflePartitions))
+    if (!qtNonEmpty)
       return spark.range(0).select(col("id").as("query_id"),
         col("id").as("doc_id"), col("id").as("n_terms"),
         col("id").cast("double").as("score"))
@@ -4062,13 +4080,12 @@ object TextIndex {
     }
     val stats = shardDirs.map(d => readStats(spark, d))
     val sdl = stats.map(_._2).sum
-    val qt = queries
+    val (qt, qtNonEmpty) = checkpointWithNonEmpty(queries
       .select(col(idCol).cast("long").as("query_id"),
         explode(array_distinct(col(termsCol))).as("w"))
       .filter(col("w").isNotNull)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .localCheckpoint()
-    if (qt.limit(1).count() == 0L)
+      .repartition(spark.sessionState.conf.numShufflePartitions))
+    if (!qtNonEmpty)
       return spark.range(0).select(col("id").as("query_id"),
         col("id").as("doc_id"), col("id").as("n_terms"),
         col("id").cast("double").as("score"))
@@ -5048,11 +5065,11 @@ object TextIndex {
       .select(col(idCol).cast("long").as("query_id"),
         explode(array_distinct(col(termsCol))).as("w"))
       .filter(col("w").isNotNull)
-    val qt = markBloomDead(spark, storeDir, exploded)
-      .filter(!col("_dead")).drop("_dead")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .localCheckpoint()
-    if (qt.limit(1).count() == 0L)
+    val (qt, nonEmpty) = checkpointWithNonEmpty(
+      markBloomDead(spark, storeDir, exploded)
+        .filter(!col("_dead")).drop("_dead")
+        .repartition(spark.sessionState.conf.numShufflePartitions))
+    if (!nonEmpty)
       return Left(spark.range(0).select(col("id").as("query_id"),
         col("id").as("doc_id"), col("id").as("n_terms"),
         col("id").cast("double").as("score")))

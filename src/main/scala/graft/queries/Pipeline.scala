@@ -4405,10 +4405,18 @@ object Pipeline {
     val outV = scratch("q238v", dir)
     val docs = t(s, dir, "documents")
     val emb = t(s, dir, "embeddings")
-    TextIndex.build(docs, "doc_id", "text", outT, nBuckets = 8,
-      filesPerBucket = 2)
-    val ix = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
-    Similarity.ivfStoreBuild(emb, "vec_id", "embedding", ix, outV)
+    // the text arm and the vector arm build concurrently
+    val ix = inParallel(Seq(true, false)) { isText =>
+      if (isText) {
+        TextIndex.build(docs, "doc_id", "text", outT, nBuckets = 8,
+          filesPerBucket = 2)
+        None
+      } else {
+        val ix0 = Similarity.trainIvf(emb, "vec_id", "embedding", 8)
+        Similarity.ivfStoreBuild(emb, "vec_id", "embedding", ix0, outV)
+        Some(ix0)
+      }
+    }.flatten.head
     import s.implicits._
     val qterms = Seq(
       (0L, Seq("spark", "join", "merge")),
